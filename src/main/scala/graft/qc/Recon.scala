@@ -1,0 +1,91 @@
+package graft.qc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.GraftFunctions._
+
+/** Reconciliation / quality-check reports (SURVEY §3.3, §5): the
+  * reference validates itself by comparing redundant computations of the
+  * same aggregates (`pipeline/datavalidation.py:344-409`,
+  * `pipeline/qualitycheck.py:149-197`).
+  *
+  * Scale: each side is a pre-aggregated frame (one shuffle each, already
+  * reduced to dimension cardinality) so the outer join is between two
+  * small aggregates — broadcastable regardless of fact size.
+  */
+object Recon {
+
+  /** A1: per-BU sum + row count (`datavalidation.py:326-341`). */
+  def buAggregate(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment").as("bu"))
+      .agg(round(sum(col("o_totalprice")), 2).as("value_sum"),
+        count(lit(1)).as("row_count"))
+  }
+
+  /** One side of the reconciliation: per-BU totals for orders in a given
+    * calendar year (stands in for the "CSV extract" vs "DB snapshot"
+    * sides of `datavalidation.py`). */
+  private def sideByYear(spark: SparkSession, dir: String,
+      yr: Int): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    o.filter(year(col("o_orderdate")) === yr)
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment").as("bu"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total"),
+        count(lit(1)).as("n"))
+  }
+
+  /** J3 + F21a + F23: full-outer variance report, datavalidation flavor —
+    * old=0 -> NULL variance, humanized display columns
+    * (`datavalidation.py:344-409`). */
+  def varianceReport(spark: SparkSession, dir: String, newYear: Int = 1996,
+      oldYear: Int = 1995): DataFrame = {
+    val nw = sideByYear(spark, dir, newYear)
+      .withColumnsRenamed(Map("total" -> "new_total", "n" -> "new_n"))
+    val old = sideByYear(spark, dir, oldYear)
+      .withColumnsRenamed(Map("total" -> "old_total", "n" -> "old_n"))
+    nw.join(old, Seq("bu"), "outer")
+      .select(col("bu"),
+        coalesce(col("new_total"), lit(0.0)).as("new_total"),
+        coalesce(col("old_total"), lit(0.0)).as("old_total"),
+        coalesce(col("new_n"), lit(0L)).as("new_n"),
+        coalesce(col("old_n"), lit(0L)).as("old_n"))
+      .withColumn("value_variance_pct",
+        round(varianceNull(col("new_total"), col("old_total")), 6))
+      .withColumn("count_variance_pct",
+        round(varianceNull(col("new_n").cast("double"),
+          col("old_n").cast("double")), 6))
+      .withColumn("new_total_disp", humanize(col("new_total")))
+      .withColumn("old_total_disp", humanize(col("old_total")))
+  }
+
+  /** A2 + J4 + F21b: threshold QC, qualitycheck flavor — per-key
+    * PASS/FAIL at ±15%, zero-baseline rule old=0 -> PASS iff new=0
+    * (`qualitycheck.py:149-197`). Key = BU | Country composite. */
+  def thresholdQc(spark: SparkSession, dir: String, newYear: Int = 1996,
+      oldYear: Int = 1995, threshold: Double = 0.15): DataFrame = {
+    def side(yr: Int, tot: String) = {
+      val o = Tables(spark, dir, "orders")
+      val c = Tables(spark, dir, "customer")
+      val n = Tables(spark, dir, "nation")
+      o.filter(year(col("o_orderdate")) === yr)
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(concat_ws(" | ", col("c_mktsegment"), col("n_name"))
+          .as("qc_key"))
+        .agg(round(sum(col("o_totalprice")), 2).as(tot))
+    }
+    side(newYear, "new_total").join(side(oldYear, "old_total"),
+        Seq("qc_key"), "outer")
+      .na.fill(0.0, Seq("new_total", "old_total"))
+      .withColumn("variance_pct",
+        round(varianceNull(col("new_total"), col("old_total")), 6))
+      .withColumn("status",
+        qcStatus(col("new_total"), col("old_total"), threshold))
+  }
+}

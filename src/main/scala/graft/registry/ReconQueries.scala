@@ -1,0 +1,140 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Star, Tables}
+import graft.functions.GraftFunctions._
+import graft.qc.Recon
+
+/** Registry: reconciliation aggregates + QC reports + scalar-date-function
+  * coverage (SURVEY §2.4 A1/A7/A8, §2.3 J3/J4, §2.8 F13–F21/F23).
+  */
+object ReconQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_bu_sum_count" -> ((s, d) => Recon.buAggregate(s, d)),
+    "a7_latest_snapshot" -> ((s, d) =>
+      Tables(s, d, "orders").agg(
+        max(date_trunc("month", col("o_orderdate")).cast("date"))
+          .as("latest_snapshot"))),
+    "a8_latest_two_snapshots" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .select(date_trunc("month", col("o_orderdate")).cast("date")
+          .as("snap"))
+        .distinct().orderBy(desc("snap")).limit(2)),
+    "dv_variance_report" -> ((s, d) => Recon.varianceReport(s, d)),
+    "qc_threshold" -> ((s, d) => Recon.thresholdQc(s, d)),
+    "f_date_functions" -> ((s, d) =>
+      Star.calendar(s, d).select(
+        col("month_start"),
+        col("month_year"),
+        parseMonthLabel(col("month_year")).as("reparsed"),
+        weekStart(col("month_start")).as("week_start"),
+        col("fiscal_year"),
+        monthKey(col("month_start"), 6).as("month_key_plus6"),
+        snapshotLabel(col("month_start")).as("snapshot_label"))),
+    "f_fy_from_text" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"),
+          concat(lit("plan FY"), lpad((year(col("o_orderdate")) % 100)
+            .cast("string"), 2, "0"), lit(" rev ")).as("label"))
+        .select(col("o_orderkey"), col("label"),
+          fyYearFromText(col("label")).as("fy"))))
+
+  val oracles: Map[String, String] = Map(
+    "a1_bu_sum_count" ->
+      """SELECT c_mktsegment AS bu, ROUND(SUM(o_totalprice), 2) AS value_sum,
+        |       COUNT(*) AS row_count
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+    "a7_latest_snapshot" ->
+      """SELECT MAX(CAST(date_trunc('month', o_orderdate) AS DATE))
+        |  AS latest_snapshot FROM orders""".stripMargin,
+    "a8_latest_two_snapshots" ->
+      """SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE)
+        |  AS snap FROM orders ORDER BY snap DESC LIMIT 2""".stripMargin,
+    "dv_variance_report" -> {
+      def side(yr: Int) =
+        s"""SELECT c_mktsegment AS bu, ROUND(SUM(o_totalprice), 2) AS total,
+           |       COUNT(*) AS n
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |WHERE year(o_orderdate) = $yr GROUP BY 1""".stripMargin
+      s"""WITH nw AS (${side(1996)}), old AS (${side(1995)}),
+         |j AS (
+         |  SELECT COALESCE(nw.bu, old.bu) AS bu,
+         |         COALESCE(nw.total, 0.0) AS new_total,
+         |         COALESCE(old.total, 0.0) AS old_total,
+         |         COALESCE(nw.n, 0) AS new_n,
+         |         COALESCE(old.n, 0) AS old_n
+         |  FROM nw FULL OUTER JOIN old ON nw.bu = old.bu
+         |)
+         |SELECT bu, new_total, old_total, new_n, old_n,
+         |  ROUND(CASE WHEN old_total = 0 THEN NULL
+         |        ELSE (new_total - old_total) / old_total END, 6)
+         |    AS value_variance_pct,
+         |  ROUND(CASE WHEN old_n = 0 THEN NULL
+         |        ELSE (CAST(new_n AS DOUBLE) - old_n) / old_n END, 6)
+         |    AS count_variance_pct,
+         |  CASE WHEN new_total IS NULL THEN '-'
+         |       WHEN abs(new_total) >= 1e9 THEN
+         |         CAST(CAST(ROUND(new_total/1e9, 1) AS DECIMAL(28,1)) AS VARCHAR) || 'B'
+         |       WHEN abs(new_total) >= 1e6 THEN
+         |         CAST(CAST(ROUND(new_total/1e6, 1) AS DECIMAL(28,1)) AS VARCHAR) || 'M'
+         |       WHEN abs(new_total) >= 1e3 THEN
+         |         CAST(CAST(ROUND(new_total/1e3, 1) AS DECIMAL(28,1)) AS VARCHAR) || 'K'
+         |       ELSE CAST(CAST(ROUND(new_total, 1) AS DECIMAL(28,1)) AS VARCHAR)
+         |  END AS new_total_disp,
+         |  CASE WHEN old_total IS NULL THEN '-'
+         |       WHEN abs(old_total) >= 1e9 THEN
+         |         CAST(CAST(ROUND(old_total/1e9, 1) AS DECIMAL(28,1)) AS VARCHAR) || 'B'
+         |       WHEN abs(old_total) >= 1e6 THEN
+         |         CAST(CAST(ROUND(old_total/1e6, 1) AS DECIMAL(28,1)) AS VARCHAR) || 'M'
+         |       WHEN abs(old_total) >= 1e3 THEN
+         |         CAST(CAST(ROUND(old_total/1e3, 1) AS DECIMAL(28,1)) AS VARCHAR) || 'K'
+         |       ELSE CAST(CAST(ROUND(old_total, 1) AS DECIMAL(28,1)) AS VARCHAR)
+         |  END AS old_total_disp
+         |FROM j""".stripMargin
+    },
+    "qc_threshold" -> {
+      def side(yr: Int) =
+        s"""SELECT concat_ws(' | ', c_mktsegment, n_name) AS qc_key,
+           |       ROUND(SUM(o_totalprice), 2) AS total
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |     JOIN nation ON c_nationkey = n_nationkey
+           |WHERE year(o_orderdate) = $yr GROUP BY 1""".stripMargin
+      s"""WITH nw AS (${side(1996)}), old AS (${side(1995)}),
+         |j AS (
+         |  SELECT COALESCE(nw.qc_key, old.qc_key) AS qc_key,
+         |         COALESCE(nw.total, 0.0) AS new_total,
+         |         COALESCE(old.total, 0.0) AS old_total
+         |  FROM nw FULL OUTER JOIN old ON nw.qc_key = old.qc_key
+         |)
+         |SELECT qc_key, new_total, old_total,
+         |  ROUND(CASE WHEN old_total = 0 THEN NULL
+         |        ELSE (new_total - old_total) / old_total END, 6)
+         |    AS variance_pct,
+         |  CASE WHEN old_total = 0 THEN
+         |         CASE WHEN new_total = 0 THEN 'PASS' ELSE 'FAIL' END
+         |       WHEN abs((new_total - old_total) / old_total) <= 0.15
+         |         THEN 'PASS' ELSE 'FAIL'
+         |  END AS status
+         |FROM j""".stripMargin
+    },
+    "f_date_functions" ->
+      s"""WITH ${Star.CalendarSql}
+         |SELECT month_start, month_year,
+         |       CAST(strptime(month_year, '%b %Y') AS DATE) AS reparsed,
+         |       CAST(date_trunc('week', month_start) AS DATE) AS week_start,
+         |       fiscal_year,
+         |       year(month_start + INTERVAL 6 MONTH)*100
+         |         + month(month_start + INTERVAL 6 MONTH) AS month_key_plus6,
+         |       strftime(CAST(date_trunc('month', month_start) AS DATE),
+         |         '%m/%d/%Y') AS snapshot_label
+         |FROM calendar""".stripMargin,
+    "f_fy_from_text" ->
+      """SELECT o_orderkey,
+        |       'plan FY' || lpad(CAST(year(o_orderdate) % 100 AS VARCHAR),
+        |         2, '0') || ' rev ' AS label,
+        |       (year(o_orderdate) % 100) + 2000 AS fy
+        |FROM orders""".stripMargin)
+}
