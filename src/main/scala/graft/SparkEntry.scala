@@ -21,7 +21,8 @@ object SparkEntry {
   private val registries: Seq[(Map[String, (SparkSession, String) => DataFrame],
       Map[String, String])] = Seq(
     (ExtractQueries.queries, ExtractQueries.oracles),
-    (ReconQueries.queries, ReconQueries.oracles))
+    (ReconQueries.queries, ReconQueries.oracles),
+    (TextQueries.queries, TextQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,116 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.text.TextAnalysis._
+
+/** Registry: text-analysis operators over the `documents` table
+  * (language-ID, quality scoring, token counting, fingerprinting).
+  *
+  * The oracle SQL is generated from the SAME Scala constants
+  * (marker lists, regex patterns) as the Spark expressions, so the two
+  * engines can't drift. DuckDB notes: `regexp_replace` needs the 'g'
+  * flag to match Spark's replace-all; integer list arithmetic is cast
+  * to BIGINT up front to avoid INT32 overflow errors.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_counts" -> ((s, d) => docs(s, d).select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      bpeishTokenCount(col("text")).as("n_bpeish"))),
+
+    "text_quality_scores" -> ((s, d) => docs(s, d).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("len_chars"),
+      round(punctRatio(col("text")), 6).as("punct_ratio"),
+      round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
+      qualityScore(col("text")).as("quality"))),
+
+    "text_lang_id" -> ((s, d) => docs(s, d).select(
+      col("doc_id"), col("lang"),
+      langId(col("text")).as("lang_pred"))),
+
+    "text_fingerprints" -> ((s, d) => docs(s, d).select(
+      col("doc_id"),
+      fingerprintMd5(col("text")).as("fp_md5"),
+      rollingFingerprint(col("text")).as("fp_rolling"))))
+
+  // ---- DuckDB oracle SQL, generated from the same constants ----
+
+  /** normalize(text) in DuckDB. */
+  private def normSql(c: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  private def toksSql(c: String): String =
+    s"string_split_regex(trim($c), '\\s+')"
+
+  private def markerHitsSql(toks: String, markers: Seq[String]): String = {
+    val list = markers.map(m => s"'$m'").mkString("[", ", ", "]")
+    s"CAST(len(list_filter($toks, t -> list_contains($list, t))) AS DOUBLE)"
+  }
+
+  private val punctSql =
+    """CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0 THEN 0.0
+      |     ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+      |          / length(regexp_replace(text, '\s', '', 'g')) END""".stripMargin
+
+  private val stopSql = {
+    val hits = markerHitsSql("string_split_regex(trim(lower(text)), '\\s+')",
+      graft.text.TextAnalysis.LangMarkers.head._2)
+    s"""CASE WHEN trim(text) = '' THEN 0.0
+       |     ELSE $hits / len(string_split_regex(trim(lower(text)), '\\s+')) END""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "text_token_counts" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN trim(text) = '' THEN 0
+         |       ELSE len(${toksSql("text")}) END AS n_tokens,
+         |  len(regexp_extract_all(text, '$BpeishPattern')) AS n_bpeish
+         |FROM documents""".stripMargin,
+
+    "text_quality_scores" ->
+      s"""SELECT doc_id,
+         |  length(text) AS len_chars,
+         |  ROUND($punctSql, 6) AS punct_ratio,
+         |  ROUND($stopSql, 6) AS stopword_ratio,
+         |  ROUND(least(length(text) / 500.0, 1.0) * 0.4
+         |      + least(($stopSql) * 4.0, 1.0) * 0.3
+         |      + greatest(1.0 - ($punctSql) * 5.0, 0.0) * 0.3, 6) AS quality
+         |FROM documents""".stripMargin,
+
+    "text_lang_id" -> {
+      val toks = s"${toksSql("lower(text)")}"
+      val scores = graft.text.TextAnalysis.LangMarkers.map { case (l, ms) =>
+        l -> markerHitsSql(toks, ms)
+      }
+      val best = scores.map(_._2).mkString("greatest(", ", ", ")")
+      val cases = scores.map { case (l, s) =>
+        s"WHEN $s = best THEN '$l'"
+      }.mkString("\n         ")
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN best = 0 THEN 'und'
+         |       $cases
+         |       ELSE 'und' END AS lang_pred
+         |FROM (SELECT doc_id, lang, text, $best AS best FROM documents)""".stripMargin
+    },
+
+    "text_fingerprints" -> {
+      val t = s"substring(${normSql("text")}, 1, 64)"
+      s"""SELECT doc_id,
+         |  md5(${normSql("text")}) AS fp_md5,
+         |  list_reduce(
+         |    [CAST(0 AS BIGINT)] ||
+         |    CASE WHEN length(t) = 0 THEN CAST([] AS BIGINT[])
+         |         ELSE list_transform(range(1, length(t) + 1),
+         |                i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)) END,
+         |    (acc, x) -> (acc * 31 + x) % 2147483647) AS fp_rolling
+         |FROM (SELECT doc_id, text, $t AS t FROM documents)""".stripMargin
+    })
+}

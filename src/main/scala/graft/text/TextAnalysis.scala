@@ -1,0 +1,119 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column library for the training-data pipeline surface:
+  * language-ID (n-gram/stopword heuristic), quality scoring, token
+  * counting (whitespace + BPE-ish regex), and document fingerprinting.
+  *
+  * Everything is a pure `Column` expression built from
+  * `org.apache.spark.sql.functions` (no UDFs) so it stays inside
+  * whole-stage codegen and scales as embarrassingly-parallel map work —
+  * no shuffle is introduced by any function here.
+  *
+  * Cross-engine determinism: each expression has an exact DuckDB-SQL
+  * equivalent (see `graft.registry.TextQueries`), so every operator is
+  * oracle-checkable. Hashing uses MD5 (identical hex output in both
+  * engines) and 31-polynomial rolling hashes over code points.
+  */
+object TextAnalysis {
+
+  /** Lower-case and strip everything but letters, digits and single
+    * spaces — the canonical form used by fingerprints and dedup. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "),
+      " +", " "))
+
+  /** Whitespace tokens of the trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(trim(text) === "", lit(0L))
+      .otherwise(size(tokens(text)).cast("long"))
+
+  /** BPE-ish token count: runs of letters, runs of digits, and single
+    * non-alphanumeric marks each count as one token — a cheap proxy for
+    * subword tokenizer cost used to budget training data. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0))).cast("long")
+
+  /** Ratio of punctuation characters to total non-space characters. */
+  def punctRatio(text: Column): Column = {
+    val nonSpace = length(regexp_replace(text, "\\s", ""))
+    val punct = length(regexp_replace(text, "[^\\p{Punct}]", ""))
+    when(nonSpace === 0, lit(0.0))
+      .otherwise(punct.cast("double") / nonSpace.cast("double"))
+  }
+
+  /** Per-language marker-word ("stopword") lists for the n-gram
+    * language-ID heuristic. Public common function words per language;
+    * deterministic, data-independent. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不"))
+
+  private def markerHits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(lit): _*))).cast("double")
+
+  /** Stopword ratio against the English marker list (quality signal). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    when(trim(text) === "", lit(0.0)).otherwise(
+      markerHits(toks, LangMarkers.head._2) / size(toks).cast("double"))
+  }
+
+  /** Language-ID: argmax of marker-hit counts across languages, with a
+    * fixed priority order for ties and "und" (undetermined) when no
+    * marker hits at all. Heuristic shape per public fastText/CLD-style
+    * frequency scoring, reduced to expression form. */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scores = LangMarkers.map { case (l, ms) => l -> markerHits(toks, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best === 0, lit("und"))) { case (acc, (l, s)) =>
+      acc.when(s === best, lit(l))
+    }.otherwise(lit("und"))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length documents,
+    * presence of stopwords, and low punctuation density — the classic
+    * heuristic trio of C4/Gopher-style quality filters. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val punctScore = greatest(lit(1.0) - punctRatio(text) * 5.0, lit(0.0))
+    round(lenScore * 0.4 + stopScore * 0.3 + punctScore * 0.3, 6)
+  }
+
+  /** Whole-document fingerprint: MD5 of the normalized text. */
+  def fingerprintMd5(text: Column): Column = md5(normalize(text))
+
+  /** Rolling polynomial fingerprint over the first `maxChars` code
+    * points of the normalized text: h = (h*31 + cp) mod 2^31-1.
+    * Bounded prefix keeps the per-row cost O(maxChars) at any document
+    * length (the substring-per-char expansion is quadratic otherwise). */
+  def rollingFingerprint(text: Column, maxChars: Int = 64): Column = {
+    val t = substring(normalize(text), 1, maxChars)
+    // sequence(1, 0) is DESCENDING [1,0] in Spark — guard the empty case
+    val codes = when(length(t) === 0, array().cast("array<long>"))
+      .otherwise(transform(sequence(lit(1), length(t)),
+        i => ascii(substring(t, i, lit(1))).cast("long")))
+    aggregate(codes, lit(0L), (acc, x) => (acc * 31 + x) % 2147483647L)
+  }
+
+  /** Word n-gram shingles of the normalized text (n consecutive words
+    * joined by a single space); empty array when fewer than n words. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val w = split(normalize(text), " ")
+    val cnt = size(w) - (n - 1)
+    when(cnt < 1, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), cnt), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))
+  }
+}
