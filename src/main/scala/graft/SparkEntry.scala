@@ -22,7 +22,13 @@ object SparkEntry {
       Map[String, String])] = Seq(
     (ExtractQueries.queries, ExtractQueries.oracles),
     (ReconQueries.queries, ReconQueries.oracles),
-    (TextQueries.queries, TextQueries.oracles))
+    (TextQueries.queries, TextQueries.oracles),
+    (DedupQueries.queries, DedupQueries.oracles),
+    (SimilarityQueries.queries, SimilarityQueries.oracles),
+    (AnalyticsQueries.queries, AnalyticsQueries.oracles),
+    (StreamQueries.queries, StreamQueries.oracles),
+    (MultimodalQueries.queries, MultimodalQueries.oracles),
+    (LoadQueries.queries, LoadQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

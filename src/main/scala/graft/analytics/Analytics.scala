@@ -1,0 +1,239 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.GraftFunctions._
+
+/** The reference's reusable analytics library re-expressed Spark-first
+  * (SURVEY.md §2.5 W1–W4, §2.4 A3/A12/A13, §2.3 J5/J6/J10, §2.8
+  * F24/F27/F28): ABC/XYZ classification, forecast accuracy (FCA), UOM
+  * conversion, delta detection, pivot/unpivot, weekly disaggregation.
+  *
+  * Scale notes:
+  *  - ABC's cumulative window partitions by the (bounded) class key —
+  *    per-partition ordered scan after one hash aggregate; never a
+  *    global unpartitioned window over fact-sized data.
+  *  - Delta detection is a PK equi-join (shuffle on PK both sides; at
+  *    deployment scale both snapshots would be bucketed by PK so the
+  *    join is co-located).
+  *  - UOM conversion joins a dimension-sized factor table → broadcast.
+  */
+object Analytics {
+
+  /** W1+W2 (`myConversionsClass.py:227-252` calcABC): revenue per part
+    * within each brand, cumulative-share ABC classes (A ≤ 0.8, B ≤ 0.95).
+    * Window partitions by brand — cumulative sums never cross groups. */
+  def abcClassification(spark: SparkSession, dir: String,
+      aCut: Double = 0.8, bCut: Double = 0.95): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val p = Tables(spark, dir, "part")
+    val rev = li.join(p, li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"), col("l_partkey"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("revenue"))
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(desc("revenue"), asc("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("p_brand"))
+    rev
+      .withColumn("cum_share",
+        round(sum(col("revenue")).over(w) / sum(col("revenue")).over(tot), 6))
+      .withColumn("abc_class",
+        when(col("cum_share") <= aCut, "A")
+          .when(col("cum_share") <= bCut, "B")
+          .otherwise("C"))
+  }
+
+  /** A13 (`myConversionsClass.py:214-225` calcXYZ): per-part monthly
+    * demand mean, population std-dev, COV = σ/μ, XYZ classes. */
+  def xyzClassification(spark: SparkSession, dir: String,
+      xCut: Double = 0.5, yCut: Double = 1.0): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val monthly = li
+      .groupBy(col("l_partkey"),
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+          .cast("long").as("month_key"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    // population σ via the explicit moment formula (not stddev_pop):
+    // engines implement stddev differently (Welford vs two-pass) but
+    // avg/multiply/sqrt are bit-identical IEEE ops on exact sums
+    monthly.groupBy(col("l_partkey"))
+      .agg(round(avg(col("qty")), 6).as("mean_qty"),
+        round(sqrt(greatest(
+          avg(col("qty") * col("qty")) - avg(col("qty")) * avg(col("qty")),
+          lit(0.0))), 6).as("std_qty"),
+        count(lit(1)).as("n_months"))
+      .withColumn("cov", round(
+        when(col("mean_qty") === 0, lit(null))
+          .otherwise(col("std_qty") / col("mean_qty")), 6))
+      .withColumn("xyz_class",
+        when(col("cov").isNull, "Z")
+          .when(col("cov") <= xCut, "X")
+          .when(col("cov") <= yCut, "Y")
+          .otherwise("Z"))
+  }
+
+  /** F24 (`myConversionsClass.py:254-264` calcFCA): treat 1995 per-part
+    * monthly qty as the "forecast" for 1996 actuals; AbsErr% and FCA
+    * with the demand=0 ⇒ (0, 0.99) edge rule. */
+  def forecastAccuracy(spark: SparkSession, dir: String,
+      fcYear: Int = 1995, actYear: Int = 1996): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    def side(yr: Int, as: String) = li
+      .filter(year(col("l_shipdate")) === yr)
+      .groupBy(col("l_partkey"), month(col("l_shipdate")).as("mo"))
+      .agg(sum(col("l_quantity")).as(as))
+    side(fcYear, "forecast")
+      .join(side(actYear, "actual"), Seq("l_partkey", "mo"))
+      .select(col("l_partkey"), col("mo").cast("long").as("mo"),
+        round(col("forecast"), 2).as("forecast"),
+        round(col("actual"), 2).as("actual"),
+        round(absErrPct(col("actual") - col("forecast"), col("actual")), 6)
+          .as("abs_err_pct"),
+        round(fca(col("actual") - col("forecast"), col("actual")), 6)
+          .as("fca"))
+  }
+
+  /** J6 (`myConversionsClass.py:627-672` UOM conversion): factor table
+    * derived from part (EA=1, BOX=p_size, PAL=p_size*10); convert
+    * lineitem quantities EA→BOX via from-factor / to-factor joins with
+    * the reference's default-1 fallbacks. Factor dim is broadcast. */
+  def uomConversion(spark: SparkSession, dir: String, fromUom: String = "EA",
+      toUom: String = "BOX"): DataFrame = {
+    val p = Tables(spark, dir, "part")
+    val factors = p.select(col("p_partkey"),
+        explode(array(
+          struct(lit("EA").as("uom"), lit(1.0).as("factor")),
+          struct(lit("BOX").as("uom"), col("p_size").cast("double")
+            .as("factor")),
+          struct(lit("PAL").as("uom"), (col("p_size") * 10).cast("double")
+            .as("factor")))).as("f"))
+      .select(col("p_partkey"), col("f.uom").as("uom"),
+        col("f.factor").as("factor"))
+    val li = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("qty"))
+    val fFrom = factors.filter(col("uom") === fromUom)
+      .select(col("p_partkey").as("pk_from"), col("factor").as("from_factor"))
+    val fTo = factors.filter(col("uom") === toUom)
+      .select(col("p_partkey").as("pk_to"), col("factor").as("to_factor"))
+    li.join(broadcast(fFrom), li("l_partkey") === col("pk_from"), "left")
+      .join(broadcast(fTo), li("l_partkey") === col("pk_to"), "left")
+      .select(col("l_partkey"), col("qty"),
+        coalesce(col("from_factor"), lit(1.0)).as("from_factor"),
+        coalesce(col("to_factor"), lit(1.0)).as("to_factor"),
+        round(col("qty") * coalesce(col("from_factor"), lit(1.0))
+          / coalesce(col("to_factor"), lit(1.0)), 6).as("converted_qty"))
+  }
+
+  /** J5/S13 (`mySQLClass.py:148-220` delta upsert detection): per-part
+    * 1996 aggregate vs 1995 aggregate on the same PK; keep rows whose
+    * value differs (including one-sided nulls) — the rows an upsert
+    * would write. */
+  def deltaDetect(spark: SparkSession, dir: String, newYear: Int = 1996,
+      oldYear: Int = 1995): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    def snap(yr: Int, as: String) = li
+      .filter(year(col("l_shipdate")) === yr)
+      .groupBy(col("l_partkey"))
+      .agg(round(sum(col("l_quantity")), 2).as(as))
+    snap(newYear, "new_qty")
+      .join(snap(oldYear, "old_qty"), Seq("l_partkey"), "left")
+      .filter(col("old_qty").isNull || col("new_qty") =!= col("old_qty"))
+  }
+
+  /** W3/J10 (`myConversionsClass.py:342-353` groupwise max): orders
+    * with the max totalprice per market segment (ties kept). */
+  def groupwiseMax(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    val j = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_mktsegment").as("bu"), col("o_orderkey"),
+        col("o_totalprice"))
+    j.withColumn("mx",
+        max(col("o_totalprice")).over(Window.partitionBy(col("bu"))))
+      .filter(col("o_totalprice") === col("mx"))
+      .select(col("bu"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  /** W4 (`myConversionsClass.py:506-530` ordinal snapshot slice):
+    * dense-rank distinct order months ascending, keep ordinals [lo,hi].
+    * Ranking runs on the DISTINCT month list (tiny), never the fact. */
+  def ordinalSnapshotSlice(spark: SparkSession, dir: String, lo: Int = 2,
+      hi: Int = 4): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val months = o.select(date_trunc("month", col("o_orderdate"))
+        .cast("date").as("snap")).distinct()
+    months.withColumn("ordinal", dense_rank().over(Window.orderBy("snap"))
+        .cast("long"))
+      .filter(col("ordinal").between(lo, hi))
+  }
+
+  /** Pivot-to-unpivot round trip covering A3 + F28: nation × mktsegment
+    * order totals pivoted wide (fixed segment list so the plan is one
+    * pass), then melted back to long via stack. */
+  val Segments: Seq[String] =
+    Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  def pivotSum(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    val n = Tables(spark, dir, "nation")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .pivot("c_mktsegment", Segments)
+      .agg(round(sum(col("o_totalprice")), 2))
+      .na.fill(0.0, Segments)
+  }
+
+  def unpivotSum(spark: SparkSession, dir: String): DataFrame = {
+    val stackExpr = Segments.map(s => s"'$s', `$s`").mkString(", ")
+    pivotSum(spark, dir).select(col("nation"),
+      expr(s"stack(${Segments.size}, $stackExpr) AS (bu, total)"))
+  }
+
+  /** F27/J9 (`myConversionsClass.py:532-547` weekly disaggregation):
+    * monthly per-nation totals divided evenly over that month's
+    * calendar weeks (Mondays overlapping the month), one row per week.
+    * The week calendar is generated from the month dim (tiny, no
+    * fact-side blow-up before the final explode). */
+  def weeklyDisaggregation(spark: SparkSession, dir: String,
+      yr: Int = 1996): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val monthly = o.filter(year(col("o_orderdate")) === yr)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+        .as("month_start"))
+      .agg(round(sum(col("o_totalprice")), 2).as("month_total"))
+    val withWeeks = monthly.withColumn("weeks",
+      sequence(
+        date_trunc("week", col("month_start")).cast("date"),
+        date_trunc("week", last_day(col("month_start"))).cast("date"),
+        expr("interval 7 days")))
+    withWeeks
+      .select(col("month_start"), col("month_total"),
+        size(col("weeks")).cast("long").as("n_weeks"),
+        explode(col("weeks")).as("week_start"))
+      .select(col("month_start"), col("week_start"), col("n_weeks"),
+        round(col("month_total") / col("n_weeks"), 6).as("week_value"))
+  }
+
+  /** W1 standalone (`myConversionsClass.py:236-244`): running cumulative
+    * order total per segment over months + percent-of-total. */
+  def runningTotals(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    val monthly = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment").as("bu"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("snap"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total"))
+    val w = Window.partitionBy(col("bu")).orderBy(col("snap"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("bu"))
+    monthly
+      .withColumn("cum_total", round(sum(col("total")).over(w), 2))
+      .withColumn("pct_of_total",
+        round(col("total") / sum(col("total")).over(tot), 6))
+  }
+}

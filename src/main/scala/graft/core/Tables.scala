@@ -15,6 +15,16 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(all.contains(name), s"unknown table $name")
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // the driver wrote ts as parquet TIMESTAMP(NANOS), which Spark
+      // rejects; read nanos as long (legacy conf) and convert via
+      // INTEGER division (a double division would lose precision on
+      // ~1e18 nano values)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
   }
 }

@@ -21,27 +21,60 @@ import graft.text.TextAnalysis._
   *    document-frequency cap that drops ubiquitous shingles before the
   *    join — the classic guard against quadratic blow-up on hot terms.
   *
-  * Hashing is MD5 (identical lowercase-hex output in Spark and DuckDB)
-  * so every operator is oracle-checkable; a lexicographic min over
-  * per-seed MD5 hex digests is a uniform MinHash permutation.
+  * Hashing is oracle-checkable in both engines: MinHash uses ONE
+  * 31-polynomial base hash per shingle (mod the prime 2^31-1) mixed by
+  * 16 affine permutations h ↦ (a_j·h + b_j) mod p — bijective because p
+  * is prime — rather than 16 separate digests; SimHash votes by md5
+  * hex-digit parity with the digest array materialized once per doc.
   */
 object Dedup {
 
   val NumHashes = 16
   val Bands = 8 // rows-per-band = 2 → LSH S-curve threshold ≈ 0.35
-  val SimhashBits = 16
-  val SimhashSegments = 4 // 4-bit segments → guarantees recall at Hamming ≤ 3
+  val SimhashBits = 32 // one vote per md5 hex digit; 64 needs a 2nd digest
+  val SimhashSegments = 4 // 8-bit segments → guarantees recall at Hamming ≤ 3
   val MaxHamming = 3
   val ShingleN = 3
-  val MaxShingleDf = 100 // hot-shingle cap for the Jaccard inverted index
+  /** Hot-shingle doc-frequency cap for the Jaccard inverted index: a
+    * shingle in more than this many docs is dropped from BOTH sets
+    * before the join (idf-style guard). Exact-dup pairs keep jaccard
+    * 1.0 (identical sets stay identical); the cap is what keeps the
+    * pair join near-linear when a background vocabulary is shared. */
+  val MaxShingleDf = 20
   val MinJaccard = 0.5
   val MinEstJaccard = 0.5
 
-  /** Distinct word-n-gram shingle sets; drops docs too short to shingle. */
-  def shingleSets(docs: DataFrame, n: Int = ShingleN): DataFrame =
-    docs.select(col("doc_id"),
-        array_distinct(wordShingles(col("text"), n)).as("shingles"))
-      .filter(size(col("shingles")) > 0)
+  /** Distinct word-n-gram shingle sets; drops docs too short to shingle.
+    *
+    * Built as STAGED projections, not one nested expression: `normalize`
+    * (two regex passes) and `split` each materialize once per doc.
+    * Inlining them into the shingle lambda re-evaluates them per
+    * element — Catalyst's CollapseProject keeps these stages apart
+    * because the intermediates are non-cheap and multiply referenced.
+    * The repartition spreads per-doc hashing across all cores: the
+    * small-SF parquet arrives as ONE partition, which otherwise
+    * serializes the whole dedup pipeline onto a single task. */
+  def shingleSets(docs: DataFrame, n: Int = ShingleN): DataFrame = {
+    val w = col("w")
+    val cnt = size(w) - (n - 1)
+    // The too-short-to-shingle filter MUST be this cheap word-count
+    // pre-filter, NOT a post-filter on size(shingles): PushDownPredicates
+    // would rewrite a post-filter by substituting the whole shingle
+    // expression into the per-row predicate — with `w` re-inlined as
+    // split(normalize(text)) at every lambda reference, i.e. two regex
+    // passes per shingle element. (Docs with ≥ n words ⟺ ≥ 1 shingle,
+    // so the two forms select identical rows.)
+    docs
+      .filter(size(split(normalize(col("text")), " ")) >= n)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), normalize(col("text")).as("nt"))
+      .select(col("doc_id"), split(col("nt"), " ").as("w"))
+      .select(col("doc_id"), array_distinct(
+        when(cnt < 1, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), cnt), i =>
+            concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*))))
+        .as("shingles"))
+  }
 
   /** Exact dedup: group by normalized-text MD5; keeper = min doc_id. */
   def exactDedup(docs: DataFrame): DataFrame =
@@ -50,13 +83,34 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"),
         count(lit(1)).as("n_copies"))
 
-  /** MinHash signature: sig[j] = min over shingles of md5("<j>|"+s). */
+  /** MinHash permutation modulus (prime, 2^31-1) and mixers: with p
+    * prime and a_j ≢ 0, h ↦ (a_j·h + b_j) mod p is a bijection. */
+  val P = 2147483647L
+  private def aj(j: Column): Column = (lit(2654435761L) * (j + 1)) % P
+  private def bj(j: Column): Column = (lit(40503L) * (j + 7)) % P
+
+  /** Base hash of a shingle: first 8 hex digits of md5, as an integer
+    * mod P. ONE digest per shingle (md5 and conv are native Catalyst
+    * expressions — a per-character rolling hash costs O(len²)
+    * interpreted lambda hops inside a HOF); the 16 "permutations" are
+    * then integer mixes of this single base, not 16 separate digests.
+    * The mod keeps a_j·base < 2^63 (no overflow). */
+  private def baseHash(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long") % P
+
+  /** MinHash signature: sig[j] = min over shingles of (a_j·base + b_j)
+    * mod P. The base-hash array is materialized in its own projection
+    * (computed ONCE per doc); the 16-permutation min loop runs in the
+    * native [[graft.functions.MinHashSig]] expression — the HOF lambda
+    * form pays one interpreter dispatch per element per permutation. */
   def minhashSignature(docs: DataFrame,
       numHashes: Int = NumHashes): DataFrame =
-    shingleSets(docs).select(col("doc_id"),
-      transform(sequence(lit(0), lit(numHashes - 1)), j =>
-        array_min(transform(col("shingles"), s =>
-          md5(concat(j.cast("string"), lit("|"), s))))).as("sig"))
+    shingleSets(docs)
+      .select(col("doc_id"),
+        transform(col("shingles"), baseHash(_)).as("bases"))
+      .select(col("doc_id"),
+        graft.functions.DedupExpressions.minhashSig(col("bases"), numHashes)
+          .as("sig"))
 
   /** MinHash signatures exploded into LSH band buckets. */
   private def banded(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
@@ -64,8 +118,8 @@ object Dedup {
     sig.select(col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"),
-          array_join(slice(col("sig"), b * r + 1, lit(r)), "|")
-            .as("bval")))).as("bk"))
+          array_join(slice(col("sig"), b * r + 1, lit(r))
+            .cast("array<string>"), "|").as("bval")))).as("bk"))
       .select(col("doc_id"), col("sig"),
         col("bk.band").as("band"), col("bk.bval").as("bval"))
   }
@@ -74,7 +128,8 @@ object Dedup {
     * Jaccard = fraction of agreeing signature positions, thresholded. */
   def minhashLshPairs(docs: DataFrame, numHashes: Int = NumHashes,
       bands: Int = Bands, minEst: Double = MinEstJaccard): DataFrame = {
-    val sig = minhashSignature(docs, numHashes)
+    // both join sides share this lineage — persist, or it computes twice
+    val sig = minhashSignature(docs, numHashes).persist()
     val bk = banded(sig, numHashes, bands)
     val a = bk.select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
       col("band"), col("bval"))
@@ -93,13 +148,17 @@ object Dedup {
   }
 
   /** SimHash bit string: bit j is the sign of the shingle-vote sum,
-    * where shingle s votes ±1 by the parity of hex digit j of md5(s). */
+    * where shingle s votes ±1 by the parity of hex digit j of md5(s).
+    * The md5 digest array is materialized ONCE per doc in its own
+    * projection — the per-bit pass then only does substr/ascii (the
+    * naive form recomputes every digest for every bit: 32× the md5s). */
   def simhash(docs: DataFrame, bits: Int = SimhashBits): DataFrame =
-    shingleSets(docs).select(col("doc_id"),
-      array_join(transform(sequence(lit(1), lit(bits)), j =>
-        when(aggregate(col("shingles"), lit(0L), (acc, s) =>
-          acc + (ascii(md5(s).substr(j, lit(1))) % 2) * 2 - 1) > 0,
-          lit("1")).otherwise(lit("0"))), "").as("simhash"))
+    shingleSets(docs)
+      .select(col("doc_id"),
+        transform(col("shingles"), s => md5(s)).as("digests"))
+      .select(col("doc_id"),
+        graft.functions.DedupExpressions.simhashBits(col("digests"), bits)
+          .as("simhash"))
 
   /** SimHash near-dup pairs at Hamming ≤ maxHamming via segment-equality
     * banding (no cross join): Hamming ≤ 3 over 4 segments guarantees at
@@ -107,7 +166,7 @@ object Dedup {
   def simhashPairs(docs: DataFrame, bits: Int = SimhashBits,
       segments: Int = SimhashSegments,
       maxHamming: Int = MaxHamming): DataFrame = {
-    val sh = simhash(docs, bits)
+    val sh = simhash(docs, bits).persist() // reused by both join sides
     val w = bits / segments
     val seg = sh.select(col("doc_id"), col("simhash"),
       explode(transform(sequence(lit(0), lit(segments - 1)), s =>
@@ -137,13 +196,18 @@ object Dedup {
     * the join — the hot-term guard that keeps the join linear-ish. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = ShingleN,
       minJaccard: Double = MinJaccard, maxDf: Int = MaxShingleDf): DataFrame = {
-    val ex = shingleSets(docs, n)
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    // persist BEFORE explode: the cache boundary stops the optimizer
+    // from re-inlining the shingle expression into the Generate (which
+    // re-evaluates normalize+split per element), and the frame feeds
+    // three consumers (df-cap aggregate, and both sides via exF)
+    val ss = shingleSets(docs, n).persist()
+    val ex = ss.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val rare = ex.groupBy(col("sh"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select(col("sh"))
-    val exF = ex.join(rare, Seq("sh")) // inner = semi here (rare is distinct)
+    // read by the counts agg and BOTH sides of the pair join: persist
+    val exF = ex.join(rare, Seq("sh")).persist()
     val counts = exF.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val shared = exF.select(col("doc_id").as("a_id"), col("sh"))
       .join(exF.select(col("doc_id").as("b_id"), col("sh")), Seq("sh"))

@@ -31,9 +31,12 @@ object GraftFunctions {
   def scrubNumeric(c: Column): Column = regexp_replace(c, "[^0-9.\\-]", "")
 
   /** F4: thousands-comma removal + double cast; unparsable -> NULL
-    * (reference `SqlUpload_Actuals.py:82-89`, the upload/NULL path). */
+    * (reference `SqlUpload_Actuals.py:82-89`, the upload/NULL path).
+    * TRY-cast so ANSI mode (Spark 4 default) nulls instead of throwing. */
   def parseNumberNull(c: Column): Column =
-    regexp_replace(c, ",", "").cast("double")
+    org.apache.spark.sql.graft.ColumnShim.tryCast(
+      regexp_replace(c, ",", ""),
+      org.apache.spark.sql.types.DoubleType)
 
   /** F4 variant: unparsable -> 0.0 (the QC path, `datavalidation.py:308`). */
   def parseNumberZero(c: Column): Column =
@@ -63,8 +66,11 @@ object GraftFunctions {
       .when(c.isin("DOP", "DOP-C", "DOP-S"), "DISC")
       .otherwise(c)
 
-  /** F12: numeric-parsability predicate (reference `myDFClass.py:11-18`). */
-  def isNumeric(c: Column): Column = c.cast("double").isNotNull
+  /** F12: numeric-parsability predicate (reference `myDFClass.py:11-18`);
+    * TRY_CAST semantics, matching the oracle's TRY_CAST. */
+  def isNumeric(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.tryCast(c,
+      org.apache.spark.sql.types.DoubleType).isNotNull
 
   // ---- dates / fiscal calendar ----
 

@@ -1,0 +1,133 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import graft.functions.GraftFunctions.cleanString
+
+/** Ingest wrappers replicating the reference's reader conventions
+  * (SURVEY §1.3, §2.1 S1–S4, §2.2 P2–P4/P13/P14):
+  * all-string CSV reads, pandas-null normalization, header-row
+  * detection, positional duplicate-column disambiguation, candidate-
+  * column resolution, schema guards, and folder scans with provenance.
+  *
+  * All driver-side logic here touches only schema/paths — row data
+  * never reaches the driver.
+  */
+object Readers {
+
+  /** S1: all-string CSV scan (reference `lib.py:92-95` reads with
+    * `dtype=str`). Header row taken from the file; every column typed
+    * string so cleaning is explicit, as in the reference. */
+  def csvAllString(spark: SparkSession, path: String,
+      header: Boolean = true): DataFrame =
+    spark.read.option("header", header.toString)
+      .option("inferSchema", "false").csv(path)
+
+  /** The `na_filter=False` variant (reference `SqlUpload.py:71`): blanks
+    * survive as empty strings. Spark CSV yields null for empty by
+    * default — restore `""` explicitly. */
+  def csvKeepBlanks(spark: SparkSession, path: String): DataFrame = {
+    val df = csvAllString(spark, path)
+    df.select(df.columns.map(c => coalesce(col(c), lit("")).as(c)): _*)
+  }
+
+  /** P13/F1: normalize pandas null artifacts (`""`, `"nan"`, `"None"`)
+    * to real nulls across all string columns
+    * (reference `SqlUpload_Actuals.py:75-77`). */
+  def normalizeNulls(df: DataFrame): DataFrame =
+    df.select(df.columns.map { c =>
+      df.schema(c).dataType match {
+        case StringType => cleanString(col(c)).as(c)
+        case _ => col(c)
+      }
+    }: _*)
+
+  /** P14: schema guard — fail fast when required columns are missing
+    * (reference `SqlUpload.py:76-79`, `lib.py:196-202`). */
+  def requireColumns(df: DataFrame, required: Seq[String]): DataFrame = {
+    val missing = required.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"missing required columns: ${missing.mkString(", ")}")
+    df
+  }
+
+  /** P3: candidate-column resolution — first existing column among
+    * candidates (reference `pick_col`, `lib.py:149-155`). */
+  def pickCol(df: DataFrame, candidates: Seq[String]): Option[String] =
+    candidates.find(df.columns.contains)
+
+  /** P2: bulk rename to a canonical schema from (target -> candidates)
+    * fallback chains (reference `lib.py:243-283`). Unresolved targets
+    * are added as null columns. */
+  def renameToCanonical(df: DataFrame,
+      mapping: Seq[(String, Seq[String])]): DataFrame =
+    mapping.foldLeft(df) { case (acc, (target, candidates)) =>
+      pickCol(acc, candidates) match {
+        case Some(src) if src == target => acc
+        case Some(src) => acc.withColumnRenamed(src, target)
+        case None => acc.withColumn(target, lit(null).cast("string"))
+      }
+    }
+
+  /** P4: positional duplicate-column pick — select the nth occurrence
+    * of each (possibly duplicated) header name (reference
+    * `transform_sap_gers`, `lib.py:305-318`: 1st "Sales Organization",
+    * 2nd "Country"). Spark disallows ambiguous duplicate names, so the
+    * frame is read POSITIONALLY (header=false → `_c0.._cN`) and the
+    * real header list travels separately; `picks` maps output name ->
+    * (header, 0-based occurrence). */
+  def pickDuplicateColumns(positional: DataFrame, headers: Seq[String],
+      picks: Seq[(String, (String, Int))]): DataFrame = {
+    val indexed = headers.zipWithIndex
+    val cols = picks.map { case (out, (header, occ)) =>
+      val matches = indexed.filter(_._1 == header)
+      require(matches.length > occ,
+        s"column '$header' occurrence $occ not found")
+      col(positional.columns(matches(occ)._2)).as(out)
+    }
+    positional.select(cols: _*)
+  }
+
+  /** §1.3 header-row detection: scan the first `maxRows` rows for known
+    * header tokens, drop everything above, re-label columns (reference
+    * `lib.py:399-417`). Distributed form: the candidate window is tiny
+    * (`limit(maxRows)` on the driver); the body filter runs on
+    * executors via a monotonically-increasing row id. */
+  def detectHeaderRow(df: DataFrame, knownTokens: Seq[String],
+      maxRows: Int = 10): DataFrame = {
+    val first = df.limit(maxRows).collect()
+    val headerIdx = first.indexWhere(r =>
+      r.toSeq.exists(v => v != null && knownTokens.contains(v.toString)))
+    require(headerIdx >= 0, "no header row found")
+    val headers = first(headerIdx).toSeq.map(v =>
+      Option(v).map(_.toString).getOrElse("_unnamed"))
+    val withId = df.withColumn("_rid", monotonically_increasing_id())
+    // rows strictly after the header row, in original order
+    val body = withId.orderBy("_rid")
+      .filter(col("_rid") > headerIdx).drop("_rid")
+    body.toDF(headers.map(h => h.replace(".", "_")): _*)
+  }
+
+  /** S3: folder scan + union + provenance column (reference
+    * `myFileClass.py:89-131`): one read over the whole directory, the
+    * source file kept as a column — Spark's multi-file read IS the
+    * union, no driver-side concat. */
+  def folderScanWithProvenance(spark: SparkSession, dir: String): DataFrame =
+    csvAllString(spark, dir)
+      .withColumn("FileName",
+        regexp_extract(input_file_name(), "[^/]+$", 0))
+
+  /** S4: latest-file selection — prefer max yyyyMMdd filename prefix,
+    * else max mtime (reference `find_latest_by_pattern`,
+    * `lib.py:56-83`). Driver-side path logic, as in the reference. */
+  def findLatestByPattern(dir: java.io.File, suffix: String): Option[java.io.File] = {
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(suffix))
+    val dated = files.flatMap { f =>
+      "^(\\d{8})".r.findFirstIn(f.getName).map(d => (d, f))
+    }
+    if (dated.nonEmpty) Some(dated.maxBy(_._1)._2)
+    else files.sortBy(_.lastModified()).lastOption
+  }
+}

@@ -1,0 +1,83 @@
+package graft.load
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.GraftFunctions._
+
+/** Load/lookup/union operators (SURVEY §2.3 J2/J7/J8, §2.4 A12, §2.6
+  * O2, §2.7 U1/U2, §3.2): the reference's `myConversionsClass` /
+  * `myDFClass` join utilities and the SqlUpload union+coerce+preview
+  * pipeline, re-expressed declaratively.
+  */
+object Load {
+
+  /** J2: guarded left join — FAIL (reference Err=99,
+    * `myConversionsClass.py:188-203`) if the right side has duplicate
+    * keys. The guard is one tiny aggregate over the (dimension-sized)
+    * right side, evaluated before the join is launched. */
+  def guardedLeftJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val dups = right.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
+    require(dups == 0, "Err=99: right side has duplicate join keys")
+    left.join(right, keys, "left")
+  }
+
+  /** J7: lookup join with NotMapped default + error side-output
+    * (reference `myConversionsClass.py:265-302`): unmatched keys get
+    * "NotMapped"; the distinct unmatched keys are a separate frame the
+    * caller can persist/notify with. */
+  def lookupWithDefault(facts: DataFrame, lookup: DataFrame, key: String,
+      valueCol: String, default: String = "NotMapped")
+      : (DataFrame, DataFrame) = {
+    val joined = facts.join(broadcast(lookup), Seq(key), "left")
+    val enriched = joined.withColumn(valueCol,
+      coalesce(col(valueCol), lit(default)))
+    val errors = joined.filter(col(valueCol).isNull)
+      .select(col(key)).distinct()
+    (enriched, errors)
+  }
+
+  /** J8: region/plant backfill — rows with a blank region are crossed
+    * with the (tiny) region list and re-joined on (key, region) to pick
+    * a plant (reference `myDFClass.py:222-243`). */
+  def regionBackfill(facts: DataFrame, regionPlants: DataFrame,
+      keyCol: String): DataFrame = {
+    val blank = facts.filter(col("region").isNull || col("region") === "")
+      .drop("region")
+    val filled = facts.filter(col("region").isNotNull && col("region") =!= "")
+    val backfilled = blank
+      .crossJoin(broadcast(regionPlants.select(col("region")).distinct()))
+      .join(broadcast(regionPlants), Seq(keyCol, "region"), "left")
+    filled.join(broadcast(regionPlants), Seq(keyCol, "region"), "left")
+      .unionByName(backfilled)
+  }
+
+  /** A12: row-wise (horizontal) sum across a column list — a pure
+    * expression, no shuffle (reference `sumColumns`,
+    * `myConversionsClass.py:426-438`). */
+  def horizontalSum(cols: Seq[Column]): Column =
+    cols.map(c => coalesce(c, lit(0.0))).reduce(_ + _)
+
+  /** U2: split-process-union — divergent branches (numeric-parsable vs
+    * not, reference `myDFClass.py:139-143` / F12) processed separately
+    * then unioned by name. */
+  def splitUnion(df: DataFrame, valueCol: String): DataFrame = {
+    val parsable = df.filter(isNumeric(col(valueCol)))
+      .withColumn("branch", lit("FLOAT"))
+      .withColumn(valueCol, col(valueCol).cast("double").cast("string"))
+    val rest = df.filter(!isNumeric(col(valueCol)))
+      .withColumn("branch", lit("STR"))
+      .withColumn(valueCol, upper(col(valueCol)))
+    parsable.unionByName(rest)
+  }
+
+  /** O2/§3.2: upload preview — `TOP(n) ORDER BY TRY_CONVERT(date, …)
+    * DESC` (reference `SqlUpload.py:107-123`): lenient date parse as
+    * the sort key, nulls last. */
+  def previewLatest(df: DataFrame, dateCol: String, n: Int,
+      tieBreak: Seq[Column] = Nil): DataFrame =
+    df.orderBy(parseDateLenient(col(dateCol)).desc_nulls_last +: tieBreak: _*)
+      .limit(n)
+}

@@ -1,0 +1,189 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.analytics.Analytics
+
+/** Registry: reusable-analytics operators (SURVEY §2.5 W1–W4, §2.4
+  * A3/A13, §2.3 J5/J6/J10, §2.8 F24/F27/F28) with DuckDB oracles.
+  */
+object AnalyticsQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "abc_classification" -> ((s, d) => Analytics.abcClassification(s, d)),
+    "xyz_classification" -> ((s, d) => Analytics.xyzClassification(s, d)),
+    "fca_forecast_accuracy" -> ((s, d) => Analytics.forecastAccuracy(s, d)),
+    "uom_conversion" -> ((s, d) => Analytics.uomConversion(s, d)),
+    "delta_detect" -> ((s, d) => Analytics.deltaDetect(s, d)),
+    "groupwise_max" -> ((s, d) => Analytics.groupwiseMax(s, d)),
+    "ordinal_snapshot_slice" -> ((s, d) =>
+      Analytics.ordinalSnapshotSlice(s, d)),
+    "pivot_sum" -> ((s, d) => Analytics.pivotSum(s, d)),
+    "unpivot_sum" -> ((s, d) => Analytics.unpivotSum(s, d)),
+    "weekly_disaggregation" -> ((s, d) => Analytics.weeklyDisaggregation(s, d)),
+    "running_totals" -> ((s, d) => Analytics.runningTotals(s, d)))
+
+  private val segs = Analytics.Segments
+
+  val oracles: Map[String, String] = Map(
+    "abc_classification" ->
+      """WITH rev AS (
+        |  SELECT p_brand, l_partkey,
+        |         ROUND(SUM(l_extendedprice), 2) AS revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p_brand, l_partkey, revenue, cum_share,
+        |  CASE WHEN cum_share <= 0.8 THEN 'A'
+        |       WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class
+        |FROM (
+        |  SELECT *, ROUND(
+        |    SUM(revenue) OVER (PARTITION BY p_brand
+        |      ORDER BY revenue DESC, l_partkey ROWS UNBOUNDED PRECEDING)
+        |    / SUM(revenue) OVER (PARTITION BY p_brand), 6) AS cum_share
+        |  FROM rev)""".stripMargin,
+
+    "xyz_classification" ->
+      """WITH m AS (
+        |  SELECT l_partkey,
+        |         year(l_shipdate) * 100 + month(l_shipdate) AS month_key,
+        |         SUM(l_quantity) AS qty
+        |  FROM lineitem GROUP BY 1, 2
+        |),
+        |st AS (
+        |  SELECT l_partkey, ROUND(AVG(qty), 6) AS mean_qty,
+        |         ROUND(sqrt(greatest(
+        |           AVG(qty * qty) - AVG(qty) * AVG(qty), 0.0)), 6) AS std_qty,
+        |         COUNT(*) AS n_months,
+        |         CASE WHEN AVG(qty) = 0 THEN NULL
+        |              ELSE ROUND(ROUND(sqrt(greatest(
+        |                AVG(qty * qty) - AVG(qty) * AVG(qty), 0.0)), 6)
+        |                / ROUND(AVG(qty), 6), 6) END AS cov
+        |  FROM m GROUP BY 1
+        |)
+        |SELECT l_partkey, mean_qty, std_qty, n_months, cov,
+        |  CASE WHEN cov IS NULL THEN 'Z'
+        |       WHEN cov <= 0.5 THEN 'X'
+        |       WHEN cov <= 1.0 THEN 'Y' ELSE 'Z' END AS xyz_class
+        |FROM st""".stripMargin,
+
+    "fca_forecast_accuracy" ->
+      """WITH fc AS (
+        |  SELECT l_partkey, month(l_shipdate) AS mo, SUM(l_quantity) AS v
+        |  FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1, 2
+        |),
+        |act AS (
+        |  SELECT l_partkey, month(l_shipdate) AS mo, SUM(l_quantity) AS v
+        |  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1, 2
+        |)
+        |SELECT fc.l_partkey, fc.mo, ROUND(fc.v, 2) AS forecast,
+        |  ROUND(act.v, 2) AS actual,
+        |  ROUND(CASE WHEN act.v = 0 THEN 0.0
+        |        ELSE abs(act.v - fc.v) / act.v END, 6) AS abs_err_pct,
+        |  ROUND(CASE WHEN act.v = 0 THEN 0.99
+        |        ELSE 1.0 - abs(act.v - fc.v) / act.v END, 6) AS fca
+        |FROM fc JOIN act ON fc.l_partkey = act.l_partkey
+        |                AND fc.mo = act.mo""".stripMargin,
+
+    "uom_conversion" ->
+      """WITH li AS (
+        |  SELECT l_partkey, ROUND(SUM(l_quantity), 2) AS qty
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT li.l_partkey, li.qty,
+        |  CAST(1.0 AS DOUBLE) AS from_factor,
+        |  COALESCE(CAST(p_size AS DOUBLE), 1.0) AS to_factor,
+        |  ROUND(li.qty * 1.0 / COALESCE(CAST(p_size AS DOUBLE), 1.0), 6)
+        |    AS converted_qty
+        |FROM li LEFT JOIN part ON li.l_partkey = p_partkey""".stripMargin,
+
+    "delta_detect" ->
+      """WITH nw AS (
+        |  SELECT l_partkey, ROUND(SUM(l_quantity), 2) AS new_qty
+        |  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1
+        |),
+        |old AS (
+        |  SELECT l_partkey, ROUND(SUM(l_quantity), 2) AS old_qty
+        |  FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1
+        |)
+        |SELECT nw.l_partkey, new_qty, old_qty
+        |FROM nw LEFT JOIN old ON nw.l_partkey = old.l_partkey
+        |WHERE old_qty IS NULL OR new_qty <> old_qty""".stripMargin,
+
+    "groupwise_max" ->
+      """SELECT bu, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment AS bu, o_orderkey, o_totalprice,
+        |         MAX(o_totalprice) OVER (PARTITION BY c_mktsegment) AS mx
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |) WHERE o_totalprice = mx""".stripMargin,
+
+    "ordinal_snapshot_slice" ->
+      """SELECT snap, ordinal FROM (
+        |  SELECT snap, dense_rank() OVER (ORDER BY snap) AS ordinal
+        |  FROM (SELECT DISTINCT CAST(date_trunc('month', o_orderdate)
+        |          AS DATE) AS snap FROM orders)
+        |) WHERE ordinal BETWEEN 2 AND 4""".stripMargin,
+
+    "pivot_sum" -> {
+      val cols = segs.map(s =>
+        s"""  COALESCE(ROUND(SUM(o_totalprice)
+           |    FILTER (WHERE c_mktsegment = '$s'), 2), 0.0) AS "$s"""".stripMargin)
+        .mkString(",\n")
+      s"""SELECT n_name AS nation,
+         |$cols
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |     JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY 1""".stripMargin
+    },
+
+    "unpivot_sum" -> {
+      val cols = segs.map(s =>
+        s"""  COALESCE(ROUND(SUM(o_totalprice)
+           |    FILTER (WHERE c_mktsegment = '$s'), 2), 0.0) AS "$s"""".stripMargin)
+        .mkString(",\n")
+      val unions = segs.map(s =>
+        s"""SELECT nation, '$s' AS bu, "$s" AS total FROM pvt""")
+        .mkString("\nUNION ALL\n")
+      s"""WITH pvt AS (
+         |SELECT n_name AS nation,
+         |$cols
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |     JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY 1
+         |)
+         |$unions""".stripMargin
+    },
+
+    "weekly_disaggregation" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+        |           AS month_start,
+        |         ROUND(SUM(o_totalprice), 2) AS month_total
+        |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+        |),
+        |w AS (
+        |  SELECT month_start, month_total,
+        |    generate_series(CAST(date_trunc('week', month_start) AS DATE),
+        |      CAST(date_trunc('week', last_day(month_start)) AS DATE),
+        |      INTERVAL 7 DAY) AS weeks
+        |  FROM m
+        |)
+        |SELECT month_start, CAST(unnest(weeks) AS DATE) AS week_start,
+        |  len(weeks) AS n_weeks,
+        |  ROUND(month_total / len(weeks), 6) AS week_value
+        |FROM w""".stripMargin,
+
+    "running_totals" ->
+      """WITH m AS (
+        |  SELECT c_mktsegment AS bu,
+        |         CAST(date_trunc('month', o_orderdate) AS DATE) AS snap,
+        |         ROUND(SUM(o_totalprice), 2) AS total
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT bu, snap, total,
+        |  ROUND(SUM(total) OVER (PARTITION BY bu ORDER BY snap
+        |    ROWS UNBOUNDED PRECEDING), 2) AS cum_total,
+        |  ROUND(total / SUM(total) OVER (PARTITION BY bu), 6)
+        |    AS pct_of_total
+        |FROM m""".stripMargin)
+}

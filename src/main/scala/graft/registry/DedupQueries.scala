@@ -1,0 +1,162 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.dedup.Dedup
+import graft.dedup.Dedup._
+
+/** Registry: deduplication operators over `documents` (SURVEY-adjacent
+  * training-data-pipeline surface). Oracle SQL mirrors the exact same
+  * MD5-based shingle/signature math in DuckDB, generated from the same
+  * constants in [[graft.dedup.Dedup]].
+  */
+object DedupQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, d) => Dedup.exactDedup(docs(s, d))),
+    "dedup_minhash_sig" -> ((s, d) =>
+      Dedup.minhashSignature(docs(s, d))
+        .select(col("doc_id"),
+          array_join(col("sig").cast("array<string>"), ",").as("sig_str"))),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(docs(s, d))),
+    "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
+    "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(docs(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(docs(s, d))))
+
+  // ---- shared DuckDB CTEs (generated from the same constants) ----
+
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** Word-ShingleN-gram distinct shingle sets, docs with ≥1 shingle. */
+  private val ShinglesCte = {
+    val joinWords = (0 until ShingleN)
+      .map(j => s"w[i + $j]").mkString(" || ' ' || ")
+    s"""sh AS (
+       |  SELECT doc_id, list_distinct(
+       |    CASE WHEN len(w) - ${ShingleN - 1} < 1 THEN []
+       |         ELSE list_transform(range(1, len(w) - ${ShingleN - 2}),
+       |                i -> $joinWords) END) AS shingles
+       |  FROM (SELECT doc_id, string_split($normSql, ' ') AS w
+       |        FROM documents)
+       |), shf AS (SELECT * FROM sh WHERE len(shingles) > 0)""".stripMargin
+  }
+
+  /** hex→int of md5(s)[1..8] as an explicit 8-term polynomial (DuckDB
+    * has no conv(); md5 hex digits are 0-9a-f so ascii<58 ⇒ digit). */
+  private val Hex8 = (1 to 8).map { i =>
+    val a = s"ascii(substring(md5(s), $i, 1))"
+    val pow = math.pow(16, 8 - i).toLong
+    s"(($a - (CASE WHEN $a < 58 THEN 48 ELSE 87 END)) * CAST($pow AS BIGINT))"
+  }.mkString("(", " + ", ")")
+
+  private val SigCte =
+    s"""bs AS (
+       |  SELECT doc_id, list_transform(shingles, s ->
+       |    $Hex8 % 2147483647) AS bases
+       |  FROM shf),
+       |sig AS (
+       |  SELECT doc_id, list_transform(range(0, $NumHashes), j ->
+       |    list_min(list_transform(bases, h ->
+       |      (((2654435761 * (j + 1)) % 2147483647) * h
+       |        + ((40503 * (j + 7)) % 2147483647)) % 2147483647))) AS sig
+       |  FROM bs)""".stripMargin
+
+  private val SimhashCte =
+    s"""dg AS (
+       |  SELECT doc_id, list_transform(shingles, s -> md5(s)) AS digests
+       |  FROM shf),
+       |simh AS (
+       |  SELECT doc_id, array_to_string(list_transform(range(1, ${SimhashBits + 1}), j ->
+       |    CASE WHEN CAST(list_sum(list_transform(digests,
+       |           d -> (ascii(substring(d, j, 1)) % 2) * 2 - 1)) AS BIGINT) > 0
+       |         THEN '1' ELSE '0' END), '') AS simhash
+       |  FROM dg)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM (SELECT doc_id, md5($normSql) AS fp FROM documents)
+         |GROUP BY fp""".stripMargin,
+
+    "dedup_minhash_sig" ->
+      s"""WITH $ShinglesCte, $SigCte
+         |SELECT doc_id, array_to_string(
+         |  list_transform(sig, x -> CAST(x AS VARCHAR)), ',') AS sig_str
+         |FROM sig""".stripMargin,
+
+    "dedup_minhash_lsh" -> {
+      val r = NumHashes / Bands
+      s"""WITH $ShinglesCte, $SigCte,
+         |bands AS (
+         |  SELECT doc_id, band,
+         |         array_to_string(list_transform(
+         |           list_slice(sig, band * $r + 1, band * $r + $r),
+         |           x -> CAST(x AS VARCHAR)), '|') AS bval
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, $Bands)) AS band)
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+         |)
+         |SELECT * FROM (
+         |  SELECT a_id, b_id,
+         |    ROUND(CAST(list_sum(list_transform(range(1, ${NumHashes + 1}),
+         |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+         |      AS BIGINT) / $NumHashes.0, 6) AS est_jaccard
+         |  FROM cand JOIN sig sa ON a_id = sa.doc_id
+         |            JOIN sig sb ON b_id = sb.doc_id
+         |) WHERE est_jaccard >= $MinEstJaccard""".stripMargin
+    },
+
+    "dedup_simhash" ->
+      s"""WITH $ShinglesCte, $SimhashCte
+         |SELECT doc_id, simhash FROM simh""".stripMargin,
+
+    "dedup_simhash_pairs" -> {
+      val w = SimhashBits / SimhashSegments
+      s"""WITH $ShinglesCte, $SimhashCte,
+         |seg AS (
+         |  SELECT doc_id, simhash, s AS seg,
+         |         substring(simhash, s * $w + 1, $w) AS sval
+         |  FROM simh CROSS JOIN (SELECT unnest(range(0, $SimhashSegments)) AS s)
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM seg a JOIN seg b
+         |    ON a.seg = b.seg AND a.sval = b.sval AND a.doc_id < b.doc_id
+         |)
+         |SELECT * FROM (
+         |  SELECT a_id, b_id,
+         |    CAST(list_sum(list_transform(range(1, ${SimhashBits + 1}),
+         |      i -> CASE WHEN substring(sa.simhash, i, 1) =
+         |                     substring(sb.simhash, i, 1)
+         |                THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+         |  FROM cand JOIN simh sa ON a_id = sa.doc_id
+         |            JOIN simh sb ON b_id = sb.doc_id
+         |) WHERE hamming <= $MaxHamming""".stripMargin
+    },
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $ShinglesCte,
+         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM shf),
+         |rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= $MaxShingleDf),
+         |exf AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare ON ex.s = rare.s),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM exf GROUP BY 1),
+         |shared AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+         |  FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT * FROM (
+         |  SELECT a_id, b_id,
+         |         ROUND(c * 1.0 / (ca.n + cb.n - c), 6) AS jaccard
+         |  FROM shared JOIN cnt ca ON a_id = ca.doc_id
+         |              JOIN cnt cb ON b_id = cb.doc_id
+         |) WHERE jaccard >= $MinJaccard""".stripMargin)
+}

@@ -1,0 +1,118 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.load.Load
+
+/** Registry: load/lookup/union/preview operators (SURVEY §2.3 J2/J7,
+  * §2.4 A12, §2.6 O2, §2.7 U2, §3.2).
+  */
+object LoadQueries {
+
+  private def suppQty(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "lineitem").groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("qty"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j2_guarded_lookup" -> ((s, d) => {
+      val supp = Tables(s, d, "supplier")
+      val nat = Tables(s, d, "nation")
+      val lookup = supp.join(nat, supp("s_nationkey") === nat("n_nationkey"))
+        .select(supp("s_suppkey").as("l_suppkey"),
+          nat("n_name").as("supplier_country"))
+      Load.guardedLeftJoin(suppQty(s, d), lookup, Seq("l_suppkey"))
+    }),
+
+    "j7_lookup_notmapped" -> ((s, d) => {
+      val supp = Tables(s, d, "supplier")
+      val nat = Tables(s, d, "nation")
+      // partial lookup: every 3rd supplier missing -> NotMapped
+      val lookup = supp.filter(col("s_suppkey") % 3 =!= 0)
+        .join(nat, supp("s_nationkey") === nat("n_nationkey"))
+        .select(supp("s_suppkey").as("l_suppkey"),
+          nat("n_name").as("supplier_country"))
+      Load.lookupWithDefault(suppQty(s, d), lookup, "l_suppkey",
+        "supplier_country")._1
+    }),
+
+    "a12_horizontal_sum" -> ((s, d) => {
+      val wide = graft.analytics.Analytics.pivotSum(s, d)
+      wide.select(col("nation") +:
+        graft.analytics.Analytics.Segments.map(col) :+
+        round(Load.horizontalSum(
+          graft.analytics.Analytics.Segments.map(col)), 2)
+          .as("row_total"): _*)
+    }),
+
+    "u2_split_union" -> ((s, d) =>
+      Load.splitUnion(
+        Tables(s, d, "orders").select(col("o_orderkey"),
+          when(col("o_orderkey") % 3 === 0,
+            col("o_orderkey").cast("string"))
+            .otherwise(col("o_orderpriority")).as("val")),
+        "val")),
+
+    "o2_preview_latest" -> ((s, d) =>
+      Load.previewLatest(
+        Tables(s, d, "orders").select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "MM/dd/yyyy").as("snapshot")),
+        "snapshot", 10, Seq(col("o_orderkey")))))
+
+  val oracles: Map[String, String] = Map(
+    "j2_guarded_lookup" ->
+      """WITH q AS (SELECT l_suppkey, ROUND(SUM(l_quantity), 2) AS qty
+        |           FROM lineitem GROUP BY 1)
+        |SELECT q.l_suppkey, q.qty, n_name AS supplier_country
+        |FROM q LEFT JOIN supplier ON q.l_suppkey = s_suppkey
+        |       LEFT JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
+
+    "j7_lookup_notmapped" ->
+      """WITH q AS (SELECT l_suppkey, ROUND(SUM(l_quantity), 2) AS qty
+        |           FROM lineitem GROUP BY 1),
+        |lk AS (SELECT s_suppkey, n_name FROM supplier
+        |       JOIN nation ON s_nationkey = n_nationkey
+        |       WHERE s_suppkey % 3 <> 0)
+        |SELECT q.l_suppkey, q.qty,
+        |       COALESCE(n_name, 'NotMapped') AS supplier_country
+        |FROM q LEFT JOIN lk ON q.l_suppkey = s_suppkey""".stripMargin,
+
+    "a12_horizontal_sum" -> {
+      val segs = graft.analytics.Analytics.Segments
+      val cols = segs.map(s =>
+        s"""COALESCE(ROUND(SUM(o_totalprice)
+           |    FILTER (WHERE c_mktsegment = '$s'), 2), 0.0) AS "$s"""".stripMargin)
+        .mkString(",\n  ")
+      val rowSum = segs.map(s => s"""COALESCE("$s", 0.0)""").mkString(" + ")
+      s"""WITH pvt AS (
+         |  SELECT n_name AS nation,
+         |  $cols
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |       JOIN nation ON c_nationkey = n_nationkey
+         |  GROUP BY 1
+         |)
+         |SELECT *, ROUND($rowSum, 2) AS row_total FROM pvt""".stripMargin
+    },
+
+    "u2_split_union" ->
+      """WITH src AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 3 = 0
+        |              THEN CAST(o_orderkey AS VARCHAR)
+        |              ELSE o_orderpriority END AS val
+        |  FROM orders
+        |)
+        |SELECT o_orderkey,
+        |       CAST(CAST(val AS DOUBLE) AS VARCHAR) AS val,
+        |       'FLOAT' AS branch
+        |FROM src WHERE TRY_CAST(val AS DOUBLE) IS NOT NULL
+        |UNION ALL
+        |SELECT o_orderkey, upper(val) AS val, 'STR' AS branch
+        |FROM src WHERE TRY_CAST(val AS DOUBLE) IS NULL""".stripMargin,
+
+    "o2_preview_latest" ->
+      """SELECT o_orderkey,
+        |       strftime(o_orderdate, '%m/%d/%Y') AS snapshot
+        |FROM orders
+        |ORDER BY o_orderdate DESC, o_orderkey LIMIT 10""".stripMargin)
+}

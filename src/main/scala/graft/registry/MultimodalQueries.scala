@@ -1,0 +1,35 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.multimodal.Multimodal
+
+/** Registry: multimodal binary-column pipeline. The payloads here are
+  * ASCII text bytes (stand-in for encoded frames), which makes the
+  * byte-level feature math expressible with char functions in DuckDB —
+  * the oracle checks the REAL binary plumbing end to end, not the stub
+  * semantics.
+  */
+object MultimodalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_features" -> ((s, d) => Multimodal.mediaFeatures(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_features" ->
+      """WITH c AS (
+        |  SELECT doc_id, 'img/' || source AS media_type, text,
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> ascii(text[i:i])) AS codes
+        |  FROM documents
+        |)
+        |SELECT doc_id, media_type,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  ROUND(CASE WHEN length(text) = 0 THEN 0.0
+        |    ELSE CAST(list_sum(codes) AS DOUBLE) / length(text) END, 6)
+        |    AS mean_byte,
+        |  CAST(len(list_filter(codes, c -> c // 64 = 0)) AS BIGINT) AS hist_0,
+        |  CAST(len(list_filter(codes, c -> c // 64 = 1)) AS BIGINT) AS hist_1,
+        |  CAST(len(list_filter(codes, c -> c // 64 = 2)) AS BIGINT) AS hist_2,
+        |  CAST(len(list_filter(codes, c -> c // 64 = 3)) AS BIGINT) AS hist_3
+        |FROM c""".stripMargin)
+}

@@ -1,0 +1,82 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.Tables
+import graft.similarity.Similarity
+import graft.similarity.Similarity._
+
+/** Registry: similarity-search operators over `embeddings`. The oracle
+  * replays the identical double-precision dot-product and deterministic
+  * hyperplane math in DuckDB (generated from the same constants).
+  */
+object SimilarityQueries {
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_bruteforce_topk" -> ((s, d) => Similarity.bruteForceTopK(emb(s, d))),
+    "sim_lsh_topk" -> ((s, d) => Similarity.lshTopK(emb(s, d))),
+    "sim_nearest_neighbor" -> ((s, d) => Similarity.nearestNeighbor(emb(s, d))))
+
+  // ---- DuckDB SQL (same constants, same math) ----
+
+  private val ECte =
+    """e AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings)""".stripMargin
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))"
+
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  private val BucketCte =
+    s"""bk AS (SELECT vec_id, v, array_to_string(list_transform(
+       |    range(0, $NumHyperplanes), j ->
+       |    CASE WHEN list_sum(list_transform(range(1, len(v) + 1), d ->
+       |           v[d] * (((j * 64 + d) * 2654435761 % 1000003)
+       |                   / 1000003.0 - 0.5))) > 0
+       |         THEN '1' ELSE '0' END), '') AS bucket
+       |  FROM e)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "sim_bruteforce_topk" ->
+      s"""WITH $ECte,
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+         |      WHERE vec_id % $QueryMod = 0),
+         |p AS (SELECT q_id, b.vec_id AS nn_id,
+         |        ${cosSql("qv", "b.v")} AS cos
+         |      FROM q JOIN e b ON q_id <> b.vec_id),
+         |r AS (SELECT q_id, nn_id, cos, row_number() OVER (
+         |        PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rank
+         |      FROM p)
+         |SELECT q_id, rank, nn_id, ROUND(cos, 6) AS cos
+         |FROM r WHERE rank <= $TopK""".stripMargin,
+
+    "sim_lsh_topk" ->
+      s"""WITH $ECte, $BucketCte,
+         |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM bk
+         |      WHERE vec_id % $QueryMod = 0),
+         |p AS (SELECT q_id, b.vec_id AS nn_id,
+         |        ${cosSql("qv", "b.v")} AS cos
+         |      FROM q JOIN bk b ON q.bucket = b.bucket
+         |      WHERE q_id <> b.vec_id),
+         |r AS (SELECT q_id, nn_id, cos, row_number() OVER (
+         |        PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rank
+         |      FROM p)
+         |SELECT q_id, rank, nn_id, ROUND(cos, 6) AS cos
+         |FROM r WHERE rank <= $TopK""".stripMargin,
+
+    "sim_nearest_neighbor" ->
+      s"""WITH $ECte,
+         |p AS (SELECT a.vec_id AS q_id, b.vec_id AS nn_id,
+         |        ${cosSql("a.v", "b.v")} AS cos
+         |      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT q_id, nn_id, cos, row_number() OVER (
+         |        PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rank
+         |      FROM p)
+         |SELECT q_id, nn_id, ROUND(cos, 6) AS cos
+         |FROM r WHERE rank = 1""".stripMargin)
+}

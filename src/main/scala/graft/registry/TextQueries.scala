@@ -17,7 +17,7 @@ import graft.text.TextAnalysis._
 object TextQueries {
 
   private def docs(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "documents")
+    Tables(s, d, "documents").repartition(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_counts" -> ((s, d) => docs(s, d).select(

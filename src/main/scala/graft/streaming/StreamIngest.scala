@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** Structured-Streaming ingest for the reference's TCP/JSON micro-batch
+  * contract (SURVEY.md §2.9; reference `Dataset/stream.py:150-201`):
+  *
+  * One newline-terminated JSON object per micro-batch whose outer keys
+  * are stringified row indices and whose inner objects are either
+  * `{"feature0": …, …, "featureN": …[, "label": …]}` rows or
+  * `{"img": [[…]], "label": …}` image rows.
+  *
+  * The reference's (absent) consumer was a legacy DStream; this engine
+  * uses Structured Streaming only: `readStream.format("socket")` →
+  * `from_json(MapType(String, innerStruct))` → `explode(map)`. The
+  * payload transform is IDENTICAL for batch and stream frames (tested
+  * on batch literals + MemoryStream in CI; the socket path needs no
+  * separate logic), which is exactly Spark's unified-API intent.
+  *
+  * No watermarks or stateful ops: the contract is processing-time-only
+  * micro-batches (reference sends one batch / 5 s with no event time);
+  * per-batch model update hooks are `foreachBatch`.
+  */
+object StreamIngest {
+
+  /** Inner-row schema for an N-feature payload (+ optional label). */
+  def featureSchema(nFeatures: Int, withLabel: Boolean): StructType = {
+    val fs = (0 until nFeatures).map(i =>
+      StructField(s"feature$i", DoubleType, nullable = true))
+    StructType(if (withLabel) fs :+ StructField("label", LongType) else fs)
+  }
+
+  /** Parse a batch-of-rows JSON object (`value` column) into one row
+    * per inner key: row_index + the inner struct's fields. Works on
+    * both static and streaming DataFrames. */
+  def parsePayload(raw: DataFrame, inner: StructType): DataFrame = {
+    val parsed = raw.select(
+      from_json(col("value"), MapType(StringType, inner)).as("batch"))
+    val exploded = parsed.select(explode(col("batch"))
+      .as(Seq("row_index", "row")))
+    exploded.select(
+      col("row_index").cast("long").as("row_index") +:
+        inner.fields.map(f => col(s"row.${f.name}").as(f.name)): _*)
+  }
+
+  /** The socket source matching the producer's transport
+    * (`stream.py:24-36`: localhost:6100, newline-terminated). */
+  def socketStream(spark: SparkSession, inner: StructType,
+      host: String = "localhost", port: Int = 6100): DataFrame =
+    parsePayload(
+      spark.readStream.format("socket")
+        .option("host", host).option("port", port).load(),
+      inner)
+
+  /** Mirror of the producer's 5-second cadence for downstream sinks. */
+  val BatchTrigger: Trigger = Trigger.ProcessingTime("5 seconds")
+
+  /** Per-batch hook (the Structured-Streaming expression of the
+    * reference's implied incremental-model-update consumer): stateless
+    * transform + user callback per micro-batch. */
+  def foreachBatchWriter(parsed: DataFrame)(
+      f: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    parsed.writeStream.trigger(BatchTrigger)
+      .foreachBatch((df: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        f(df, id))
+
+  /** Deterministic batch reconstruction of the producer payload from
+    * the `events` table — used to exercise the exact payload JSON shape
+    * in batch (oracle-checkable) and as MemoryStream feed in tests:
+    * groups events into batches of `batchSize` by event_id and encodes
+    * each batch as the producer's outer-object JSON. */
+  def producerPayloadFromEvents(spark: SparkSession, dir: String,
+      batchSize: Int = 100): DataFrame = {
+    val ev = graft.core.Tables(spark, dir, "events")
+      .select(col("event_id"),
+        (col("event_id") % batchSize).cast("string").as("row_index"),
+        (col("event_id") / batchSize).cast("long").as("batch_id"),
+        struct(
+          col("value").as("feature0"),
+          col("user_id").cast("double").as("feature1"),
+          col("event_type").as("label")).as("row"))
+    ev.groupBy(col("batch_id"))
+      .agg(to_json(map_from_entries(collect_list(
+        struct(col("row_index"), col("row"))))).as("value"))
+  }
+
+  /** Round-trip: produce payload JSON from events, parse it back with
+    * the stream parser — the batch-mode equivalence proof for S16. */
+  def payloadRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val inner = StructType(Seq(
+      StructField("feature0", DoubleType),
+      StructField("feature1", DoubleType),
+      StructField("label", StringType)))
+    parsePayload(producerPayloadFromEvents(spark, dir), inner)
+  }
+}

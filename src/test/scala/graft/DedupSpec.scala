@@ -1,0 +1,56 @@
+package graft
+
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 0/1 exact dups; 2 near-dup of 0 (one word changed); 3 unrelated
+  private val docs = Seq(
+    (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+    (3L, "one two three four five six seven eight nine ten"))
+    .toDF("doc_id", "text")
+
+  test("exactDedup groups identical normalized text") {
+    val r = Dedup.exactDedup(docs).orderBy("keep_id")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSeq
+    assert(r == Seq((0L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds exact and near pairs, not unrelated ones") {
+    val pairs = Dedup.minhashLshPairs(docs)
+      .select("a_id", "b_id", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(p => (p._1, p._2))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 1.0))
+    assert(pairs.forall(p => p._2 != 3L && p._1 != 3L))
+  }
+
+  test("simhash: identical docs get identical hashes; pairs at low hamming") {
+    val sh = Dedup.simhash(docs).orderBy("doc_id").as[(Long, String)]
+      .collect()
+    assert(sh(0)._2 == sh(1)._2)
+    assert(sh(0)._2.length == Dedup.SimhashBits)
+    val pairs = Dedup.simhashPairs(docs).select("a_id", "b_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("ngram Jaccard: exact pair = 1.0, near pair in (0,1)") {
+    val r = Dedup.ngramJaccardPairs(docs, minJaccard = 0.1)
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)]
+      .collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(r((0L, 1L)) == 1.0)
+    assert(r((0L, 2L)) > 0.1 && r((0L, 2L)) < 1.0)
+    assert(!r.contains((0L, 3L)))
+  }
+
+  test("hot-shingle cap drops ubiquitous shingles from the index") {
+    val many = (0L to 30L).map(i => (i, s"common common common common tail$i"))
+      .toDF("doc_id", "text")
+    // every doc shares the hot "common common common" shingle; cap at 10
+    val pairs = Dedup.ngramJaccardPairs(many, minJaccard = 0.01, maxDf = 10)
+    assert(pairs.count() == 0L)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.GraftFunctions._
+
+/** Property tests for the §5 operational invariants (SURVEY: adopted
+  * test strategy #3) + scalar-function unit checks. Raw ScalaCheck
+  * generators with fixed seeds (the scalatest bridge artifact isn't in
+  * the offline cache). */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  test("property: variance of identical inputs is 0 and QC passes") {
+    (1L to 5L).foreach { seed =>
+      val xs = sample(Gen.listOfN(20, Gen.chooseNum(-1e6, 1e6)), seed)
+      val r = xs.toDF("v").select(
+        varianceNull($"v", $"v").as("var"),
+        qcStatus($"v", $"v").as("st")).collect()
+      assert(r.forall(row =>
+        (row.isNullAt(0) || row.getDouble(0) == 0.0) &&
+          row.getString(1) == "PASS"))
+    }
+  }
+
+  test("property: unionByName preserves SUM(value)") {
+    (1L to 5L).foreach { seed =>
+      val a = sample(Gen.listOfN(15, Gen.chooseNum(-1e5, 1e5)), seed)
+      val b = sample(Gen.listOfN(15, Gen.chooseNum(-1e5, 1e5)), seed + 100)
+      val u = a.toDF("value").unionByName(b.toDF("value"))
+        .agg(sum("value")).as[Double].head()
+      assert(math.abs(u - (a.sum + b.sum)) < 1e-6)
+    }
+  }
+
+  test("zero-baseline QC rule: old=0 passes iff new=0") {
+    val r = Seq((0.0, 0.0), (1.0, 0.0), (0.9, 1.0), (2.0, 1.0))
+      .toDF("nw", "old")
+      .select(qcStatus($"nw", $"old").as("st")).as[String].collect().toSeq
+    assert(r == Seq("PASS", "FAIL", "PASS", "FAIL"))
+  }
+
+  test("cleaning functions: null normalization and numeric scrub") {
+    val r = Seq("  x  ", "nan", "None", "", "1,234.5abc")
+      .toDF("c")
+      .select(cleanString($"c").as("clean"),
+        parseNumberNull(scrubNumeric($"c")).as("num")).collect()
+    assert(r(0).getString(0) == "x")
+    assert(r(1).isNullAt(0) && r(2).isNullAt(0) && r(3).isNullAt(0))
+    assert(r(4).getDouble(1) == 1234.5)
+  }
+
+  test("fiscal year: FY starts in October") {
+    val r = Seq("1995-09-30", "1995-10-01")
+      .toDF("d").select(fiscalYear(to_date($"d"))).as[Int].collect().toSeq
+    assert(r == Seq(1995, 1996))
+  }
+
+  test("month key arithmetic with EDATE-style shift") {
+    val r = Seq("1996-06-15").toDF("d")
+      .select(monthKey(to_date($"d")),
+        monthKey(to_date($"d"), -12),
+        monthKey(to_date($"d"), 7)).as[(Long, Long, Long)].head()
+    assert(r == ((199606L, 199506L, 199701L)))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExpressions._
+import graft.similarity.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("DotProduct / L2Norm expressions compute exact values and nulls") {
+    val df = Seq(
+      (Some(Seq(1.0, 2.0, 3.0)), Some(Seq(4.0, 5.0, 6.0))),
+      (None, Some(Seq(1.0, 1.0, 1.0))))
+      .toDF("a", "b")
+    val r = df.select(
+      dotProduct($"a", $"b").as("dot"),
+      l2Norm($"a").as("na")).collect()
+    assert(r(0).getDouble(0) == 32.0)
+    assert(math.abs(r(0).getDouble(1) - math.sqrt(14.0)) < 1e-12)
+    assert(r(1).isNullAt(0) && r(1).isNullAt(1))
+  }
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))).toDF("a", "b")
+    val r = df.select(Similarity.cosine($"a", $"b")).as[Double].collect()
+    assert(math.abs(r(0) - 1.0) < 1e-12 && math.abs(r(1)) < 1e-12)
+  }
+
+  test("nearestNeighbor finds the planted closest vector") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.99f, 0.1f, 0.0f)), // closest to 0
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.9f, 0.4f))) // closest to 2
+      .toDF("vec_id", "embedding")
+    val nn = Similarity.nearestNeighbor(emb)
+      .select("q_id", "nn_id").as[(Long, Long)].collect().toMap
+    assert(nn(0L) == 1L && nn(1L) == 0L && nn(2L) == 3L && nn(3L) == 2L)
+  }
+
+  test("brute-force top-k ranks by cosine desc, ranks 1..k") {
+    val r = Similarity.bruteForceTopK(
+      graft.core.Tables(spark, SfDir, "embeddings"), k = 3)
+    val byQ = r.select("q_id", "rank", "cos").as[(Long, Long, Double)]
+      .collect().groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length))
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sortBy(-_).toSeq)
+    }
+  }
+
+  test("LSH top-k is a subset-ranking consistent with brute force") {
+    val emb = graft.core.Tables(spark, SfDir, "embeddings")
+    val bf = Similarity.bruteForceTopK(emb, k = 50)
+      .select("q_id", "nn_id", "cos").as[(Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val lsh = Similarity.lshTopK(emb, k = 3)
+      .select("q_id", "nn_id", "cos").as[(Long, Long, Double)].collect()
+    // every LSH result's cosine must agree with brute force where both exist
+    lsh.foreach { case (q, n, c) =>
+      bf.get((q, n)).foreach(c2 => assert(math.abs(c - c2) < 1e-9))
+    }
+  }
+}

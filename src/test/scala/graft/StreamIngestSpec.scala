@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.streaming.StreamIngest
+
+class StreamIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val inner = StructType(Seq(
+    StructField("feature0", DoubleType),
+    StructField("feature1", DoubleType),
+    StructField("label", LongType)))
+
+  // the producer contract payload (reference Dataset/stream.py:156-176):
+  // outer keys = stringified row indices, inner = feature dict (+label)
+  private val payload =
+    """{"0": {"feature0": 1.5, "feature1": 2.5, "label": 7},
+      | "1": {"feature0": 3.0, "feature1": 4.0, "label": 9}}""".stripMargin
+      .replace("\n", "")
+
+  test("parsePayload explodes a batch object into typed rows (batch)") {
+    val df = Seq(payload).toDF("value")
+    val rows = StreamIngest.parsePayload(df, inner)
+      .orderBy("row_index")
+      .as[(Long, Double, Double, Long)].collect().toSeq
+    assert(rows == Seq((0L, 1.5, 2.5, 7L), (1L, 3.0, 4.0, 9L)))
+  }
+
+  test("same transform runs as a Structured Streaming query (MemoryStream)") {
+    val ms = MemoryStream[String](org.apache.spark.sql.Encoders.STRING, spark.sqlContext)
+    val parsed = StreamIngest.parsePayload(ms.toDF().toDF("value"), inner)
+    val q = parsed.writeStream.format("memory")
+      .queryName("ingest_test").outputMode("append").start()
+    try {
+      ms.addData(payload)
+      q.processAllAvailable()
+      val rows = spark.table("ingest_test").orderBy("row_index")
+        .as[(Long, Double, Double, Long)].collect().toSeq
+      assert(rows == Seq((0L, 1.5, 2.5, 7L), (1L, 3.0, 4.0, 9L)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch hook sees each micro-batch") {
+    val ms = MemoryStream[String](org.apache.spark.sql.Encoders.STRING, spark.sqlContext)
+    val parsed = StreamIngest.parsePayload(ms.toDF().toDF("value"), inner)
+    @volatile var seen = 0L
+    val q = StreamIngest.foreachBatchWriter(parsed) { (df, _) =>
+      seen += df.count()
+    }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow).start()
+    try {
+      ms.addData(payload)
+      q.awaitTermination(30000)
+      assert(seen == 2L)
+    } finally q.stop()
+  }
+
+  test("payload round trip over events equals the direct projection") {
+    val rt = StreamIngest.payloadRoundTrip(spark, SfDir)
+    val direct = graft.core.Tables(spark, SfDir, "events")
+      .select((col("event_id") % 100).cast("long").as("row_index"),
+        col("value").as("feature0"),
+        col("user_id").cast("double").as("feature1"),
+        col("event_type").as("label"))
+    assert(rt.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(rt).count() == 0)
+  }
+}
