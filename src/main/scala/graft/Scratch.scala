@@ -25,7 +25,12 @@ object Scratch {
     time("minhash_sig")(graft.dedup.Dedup.minhashSignature(docs).count())
     time("lsh_pairs")(graft.dedup.Dedup.minhashLshPairs(docs).count())
     time("simhash_pairs")(graft.dedup.Dedup.simhashPairs(docs).count())
-    time("ngram_jaccard")(graft.dedup.Dedup.ngramJaccardPairs(docs).count())
+    time("act_demand_blank")(
+      graft.extract.Extracts.actDemandBlank(spark, dir).count())
+    val fin = graft.transform.Transform.actDemandBlankFinal(spark, dir)
+    time("demand_to_final")(fin.count())
+    time("demand_to_final_2nd")(fin.count())
+    fin.explain("formatted")
     spark.stop()
   }
 }
