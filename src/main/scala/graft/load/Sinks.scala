@@ -1,0 +1,55 @@
+package graft.load
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink-side operators (SURVEY §2.1 S10/S12/S13): CSV sink, chunked
+  * append, and the delta-upsert write path. The reference's JDBC sinks
+  * (`mySQLClass.writeToDB`) map to `df.write.jdbc` with a batchsize —
+  * modeled here on files since the test environment has no database;
+  * the delta semantics (J5) are engine-side and identical either way.
+  */
+object Sinks {
+
+  /** S10: CSV sink with header (reference `to_csv(index=False)`). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.option("header", "true").mode(SaveMode.Overwrite).csv(path)
+
+  /** S12's chunking knob: bound rows per output file (the reference's
+    * 5000-row insert chunks; for files this is `maxRecordsPerFile`). */
+  def writeParquetChunked(df: DataFrame, path: String,
+      maxRecordsPerFile: Int = 5000): Unit =
+    df.write.option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .mode(SaveMode.Overwrite).parquet(path)
+
+  /** S13: delta upsert against a parquet target (reference
+    * `mySQLClass.py:148-220`): read the target, keep only new rows
+    * whose value columns differ (or whose PK is absent), append just
+    * those. Returns the number of rows appended. On a cluster this is
+    * Delta Lake `MERGE`; the join+filter+append reproduces the
+    * reference's exact semantics on plain parquet. */
+  def deltaUpsertAppend(spark: SparkSession, newDf: DataFrame,
+      targetPath: String, pk: Seq[String]): Long = {
+    val target = try spark.read.parquet(targetPath) catch {
+      case _: Throwable => null
+    }
+    val delta =
+      if (target == null) newDf
+      else {
+        val valueCols = newDf.columns.filterNot(pk.contains)
+        if (valueCols.isEmpty) newDf.join(target, pk, "left_anti")
+        else {
+          val renamed = valueCols.foldLeft(target)((d, c) =>
+            d.withColumnRenamed(c, s"${c}__db"))
+          newDf.join(renamed, pk, "left")
+            .filter(valueCols.map(c =>
+              col(s"${c}__db").isNull =!= col(c).isNull ||
+                col(c) =!= col(s"${c}__db")).reduce(_ || _))
+            .select(newDf.columns.map(col): _*)
+        }
+      }
+    val n = delta.count()
+    if (n > 0) delta.write.mode(SaveMode.Append).parquet(targetPath)
+    n
+  }
+}

@@ -64,6 +64,28 @@ object Recon {
       .withColumn("old_total_disp", humanize(col("old_total")))
   }
 
+  /** J11 + F22 (`myConversionsClass.py:372-409` validateTotals):
+    * conservation-of-totals check through a reshaping transform —
+    * per-key totals BEFORE vs the horizontal re-sum of the pivoted
+    * AFTER frame, `-Before`/`-After` suffixes, delta %, PASS/FAIL at
+    * the reference's 0.001 tolerance. */
+  def beforeAfterValidation(spark: SparkSession, dir: String,
+      tolerance: Double = 0.001): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val before = li.groupBy(col("l_partkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_before"))
+    val after = li.groupBy(col("l_partkey"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("l_quantity")))
+      .na.fill(0.0, Seq("F", "O"))
+      .select(col("l_partkey"),
+        round(col("F") + col("O"), 2).as("total_after"))
+    before.join(after, Seq("l_partkey"))
+      .withColumn("delta", round(col("total_after") - col("total_before"), 6))
+      .withColumn("status",
+        when(abs(col("delta")) <= tolerance, "PASS").otherwise("FAIL"))
+  }
+
   /** A2 + J4 + F21b: threshold QC, qualitycheck flavor — per-key
     * PASS/FAIL at ±15%, zero-baseline rule old=0 -> PASS iff new=0
     * (`qualitycheck.py:149-197`). Key = BU | Country composite. */

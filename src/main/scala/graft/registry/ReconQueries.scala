@@ -24,6 +24,7 @@ object ReconQueries {
         .distinct().orderBy(desc("snap")).limit(2)),
     "dv_variance_report" -> ((s, d) => Recon.varianceReport(s, d)),
     "qc_threshold" -> ((s, d) => Recon.thresholdQc(s, d)),
+    "qc_before_after" -> ((s, d) => Recon.beforeAfterValidation(s, d)),
     "f_date_functions" -> ((s, d) =>
       Star.calendar(s, d).select(
         col("month_start"),
@@ -120,6 +121,24 @@ object ReconQueries {
          |  END AS status
          |FROM j""".stripMargin
     },
+    "qc_before_after" ->
+      """WITH b AS (
+        |  SELECT l_partkey, ROUND(SUM(l_quantity), 2) AS total_before
+        |  FROM lineitem GROUP BY 1
+        |),
+        |a AS (
+        |  SELECT l_partkey, ROUND(
+        |    COALESCE(SUM(l_quantity) FILTER (WHERE l_linestatus = 'F'), 0.0)
+        |    + COALESCE(SUM(l_quantity) FILTER (WHERE l_linestatus = 'O'), 0.0),
+        |    2) AS total_after
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT b.l_partkey, total_before, total_after,
+        |  ROUND(total_after - total_before, 6) AS delta,
+        |  CASE WHEN abs(ROUND(total_after - total_before, 6)) <= 0.001
+        |       THEN 'PASS' ELSE 'FAIL' END AS status
+        |FROM b JOIN a ON b.l_partkey = a.l_partkey""".stripMargin,
+
     "f_date_functions" ->
       s"""WITH ${Star.CalendarSql}
          |SELECT month_start, month_year,

@@ -68,6 +68,12 @@ object StreamIngest {
       .foreachBatch((df: org.apache.spark.sql.Dataset[Row], id: Long) =>
         f(df, id))
 
+  /** S17: the producer's raw-line variant (`stream.py:204-226`): each
+    * batch is a JSON ARRAY of raw text lines → one row per line. */
+  def parseLineArray(raw: DataFrame): DataFrame =
+    raw.select(posexplode(from_json(col("value"),
+      ArrayType(StringType))).as(Seq("line_index", "line")))
+
   /** Deterministic batch reconstruction of the producer payload from
     * the `events` table — used to exercise the exact payload JSON shape
     * in batch (oracle-checkable) and as MemoryStream feed in tests:

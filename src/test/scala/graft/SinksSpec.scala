@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.load.Sinks
+import graft.qc.Recon
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("delta upsert appends only changed/new rows; unchanged is no-op") {
+    val dir = Files.createTempDirectory("graft_upsert").toFile.getAbsolutePath
+    val target = s"$dir/t"
+    val base = Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("k", "v")
+    assert(Sinks.deltaUpsertAppend(spark, base, target, Seq("k")) == 3)
+    // unchanged upload -> empty delta (SURVEY §5 property)
+    assert(Sinks.deltaUpsertAppend(spark, base, target, Seq("k")) == 0)
+    // one changed + one new
+    val next = Seq((2, 21.0), (4, 40.0)).toDF("k", "v")
+    assert(Sinks.deltaUpsertAppend(spark, next, target, Seq("k")) == 2)
+    val rows = spark.read.parquet(target).as[(Int, Double)].collect().toSet
+    assert(rows == Set((1, 10.0), (2, 20.0), (3, 30.0), (2, 21.0), (4, 40.0)))
+  }
+
+  test("csv sink round-trips with header") {
+    val dir = Files.createTempDirectory("graft_csv_sink").toFile.getAbsolutePath
+    val df = Seq(("a", 1), ("b", 2)).toDF("name", "n")
+    Sinks.writeCsv(df, s"$dir/out")
+    val back = spark.read.option("header", "true").csv(s"$dir/out")
+    assert(back.columns.toSeq == Seq("name", "n") && back.count() == 2)
+  }
+
+  test("chunked parquet bounds records per file") {
+    val dir = Files.createTempDirectory("graft_chunk").toFile.getAbsolutePath
+    val df = spark.range(100).toDF("id").coalesce(1)
+    Sinks.writeParquetChunked(df, s"$dir/out", maxRecordsPerFile = 30)
+    val files = new java.io.File(s"$dir/out").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files >= 4) // 100 rows / 30 per file
+  }
+
+  test("before/after validation passes on a conserving transform") {
+    val r = Recon.beforeAfterValidation(spark, SfDir)
+    assert(r.filter(col("status") =!= "PASS").count() == 0)
+  }
+
+  test("S17 line-array payload parses to one row per line") {
+    val df = Seq("""["line one", "line two", "line three"]""").toDF("value")
+    val rows = graft.streaming.StreamIngest.parseLineArray(df)
+      .orderBy("line_index").as[(Int, String)].collect().toSeq
+    assert(rows == Seq((0, "line one"), (1, "line two"), (2, "line three")))
+  }
+}
