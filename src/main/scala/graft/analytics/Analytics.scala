@@ -22,26 +22,36 @@ import graft.functions.GraftFunctions._
   */
 object Analytics {
 
-  /** W1+W2 (`myConversionsClass.py:227-252` calcABC): revenue per part
-    * within each brand, cumulative-share ABC classes (A ≤ 0.8, B ≤ 0.95).
-    * Window partitions by brand — cumulative sums never cross groups. */
+  /** W1+W2 (`myConversionsClass.py:228-253` calcABC): revenue per part
+    * within each brand, cumulative-share ABC classes with the
+    * reference's exact edge rules: negatives clamped to 0 first; the
+    * first positive row of a group is always A (val == its own cumsum);
+    * A for cum-share in (0, a]; B for (a, b]; a still-C row with a
+    * single share ≥ (b−a) is promoted to B. Window partitions by brand
+    * — cumulative sums never cross groups. */
   def abcClassification(spark: SparkSession, dir: String,
       aCut: Double = 0.8, bCut: Double = 0.95): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
     val p = Tables(spark, dir, "part")
     val rev = li.join(p, li("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"), col("l_partkey"))
-      .agg(round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .agg(greatest(round(sum(col("l_extendedprice")), 2), lit(0.0))
+        .as("revenue"))
     val w = Window.partitionBy(col("p_brand"))
       .orderBy(desc("revenue"), asc("l_partkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy(col("p_brand"))
     rev
+      .withColumn("cum_sum", round(sum(col("revenue")).over(w), 2))
+      .withColumn("share",
+        round(col("revenue") / sum(col("revenue")).over(tot), 6))
       .withColumn("cum_share",
         round(sum(col("revenue")).over(w) / sum(col("revenue")).over(tot), 6))
       .withColumn("abc_class",
-        when(col("cum_share") <= aCut, "A")
-          .when(col("cum_share") <= bCut, "B")
+        when(col("revenue") > 0 && col("revenue") === col("cum_sum"), "A")
+          .when(col("cum_share") > 0 && col("cum_share") <= aCut, "A")
+          .when(col("cum_share") > aCut && col("cum_share") <= bCut, "B")
+          .when(col("share") >= bCut - aCut, "B")
           .otherwise("C"))
   }
 
@@ -57,7 +67,10 @@ object Analytics {
       .agg(sum(col("l_quantity")).as("qty"))
     // population σ via the explicit moment formula (not stddev_pop):
     // engines implement stddev differently (Welford vs two-pass) but
-    // avg/multiply/sqrt are bit-identical IEEE ops on exact sums
+    // avg/multiply/sqrt are bit-identical IEEE ops on exact sums.
+    // Edge rules per the reference (`myConversionsClass.py:215-225`):
+    // COV sentinel 9.0 when mean ≤ 0; X requires COV strictly > 0
+    // (zero-variance demand is Z, not X).
     monthly.groupBy(col("l_partkey"))
       .agg(round(avg(col("qty")), 6).as("mean_qty"),
         round(sqrt(greatest(
@@ -65,12 +78,11 @@ object Analytics {
           lit(0.0))), 6).as("std_qty"),
         count(lit(1)).as("n_months"))
       .withColumn("cov", round(
-        when(col("mean_qty") === 0, lit(null))
-          .otherwise(col("std_qty") / col("mean_qty")), 6))
+        when(col("mean_qty") > 0, col("std_qty") / col("mean_qty"))
+          .otherwise(lit(9.0)), 6))
       .withColumn("xyz_class",
-        when(col("cov").isNull, "Z")
-          .when(col("cov") <= xCut, "X")
-          .when(col("cov") <= yCut, "Y")
+        when(col("cov") > 0 && col("cov") <= xCut, "X")
+          .when(col("cov") > xCut && col("cov") <= yCut, "Y")
           .otherwise("Z"))
   }
 

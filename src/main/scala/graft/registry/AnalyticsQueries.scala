@@ -28,15 +28,24 @@ object AnalyticsQueries {
     "abc_classification" ->
       """WITH rev AS (
         |  SELECT p_brand, l_partkey,
-        |         ROUND(SUM(l_extendedprice), 2) AS revenue
+        |         greatest(ROUND(SUM(l_extendedprice), 2), 0.0) AS revenue
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  GROUP BY 1, 2
         |)
-        |SELECT p_brand, l_partkey, revenue, cum_share,
-        |  CASE WHEN cum_share <= 0.8 THEN 'A'
-        |       WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class
+        |SELECT p_brand, l_partkey, revenue, cum_sum, share, cum_share,
+        |  CASE WHEN revenue > 0 AND revenue = cum_sum THEN 'A'
+        |       WHEN cum_share > 0 AND cum_share <= 0.8 THEN 'A'
+        |       WHEN cum_share > 0.8 AND cum_share <= 0.95 THEN 'B'
+        |       WHEN share >= 0.95 - 0.8 THEN 'B'
+        |       ELSE 'C' END AS abc_class
         |FROM (
-        |  SELECT *, ROUND(
+        |  SELECT *,
+        |    ROUND(SUM(revenue) OVER (PARTITION BY p_brand
+        |      ORDER BY revenue DESC, l_partkey ROWS UNBOUNDED PRECEDING), 2)
+        |      AS cum_sum,
+        |    ROUND(revenue
+        |      / SUM(revenue) OVER (PARTITION BY p_brand), 6) AS share,
+        |    ROUND(
         |    SUM(revenue) OVER (PARTITION BY p_brand
         |      ORDER BY revenue DESC, l_partkey ROWS UNBOUNDED PRECEDING)
         |    / SUM(revenue) OVER (PARTITION BY p_brand), 6) AS cum_share
@@ -54,16 +63,17 @@ object AnalyticsQueries {
         |         ROUND(sqrt(greatest(
         |           AVG(qty * qty) - AVG(qty) * AVG(qty), 0.0)), 6) AS std_qty,
         |         COUNT(*) AS n_months,
-        |         CASE WHEN AVG(qty) = 0 THEN NULL
-        |              ELSE ROUND(ROUND(sqrt(greatest(
+        |         CASE WHEN ROUND(AVG(qty), 6) > 0
+        |              THEN ROUND(ROUND(sqrt(greatest(
         |                AVG(qty * qty) - AVG(qty) * AVG(qty), 0.0)), 6)
-        |                / ROUND(AVG(qty), 6), 6) END AS cov
+        |                / ROUND(AVG(qty), 6), 6)
+        |              ELSE 9.0 END AS cov
         |  FROM m GROUP BY 1
         |)
         |SELECT l_partkey, mean_qty, std_qty, n_months, cov,
-        |  CASE WHEN cov IS NULL THEN 'Z'
-        |       WHEN cov <= 0.5 THEN 'X'
-        |       WHEN cov <= 1.0 THEN 'Y' ELSE 'Z' END AS xyz_class
+        |  CASE WHEN cov > 0 AND cov <= 0.5 THEN 'X'
+        |       WHEN cov > 0.5 AND cov <= 1.0 THEN 'Y'
+        |       ELSE 'Z' END AS xyz_class
         |FROM st""".stripMargin,
 
     "fca_forecast_accuracy" ->
