@@ -25,12 +25,13 @@ object Scratch {
     time("minhash_sig")(graft.dedup.Dedup.minhashSignature(docs).count())
     time("lsh_pairs")(graft.dedup.Dedup.minhashLshPairs(docs).count())
     time("simhash_pairs")(graft.dedup.Dedup.simhashPairs(docs).count())
-    time("act_demand_blank")(
-      graft.extract.Extracts.actDemandBlank(spark, dir).count())
-    val fin = graft.transform.Transform.actDemandBlankFinal(spark, dir)
-    time("demand_to_final")(fin.count())
-    time("demand_to_final_2nd")(fin.count())
-    fin.explain("formatted")
+    val a12 = graft.registry.LoadQueries.queries("a12_horizontal_sum")(spark, dir)
+    time("a12_1st")(a12.count())
+    time("a12_2nd")(a12.count())
+    println("=== a12 plan ===")
+    a12.explain("formatted")
+    println("=== act_demand_blank plan ===")
+    graft.extract.Extracts.actDemandBlank(spark, dir).explain("formatted")
     spark.stop()
   }
 }

@@ -47,7 +47,13 @@ object Star {
           .as("snapshot_date"),
         col("l_quantity").as("siop_consensus"),
         (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
-          .cast("long").as("month_key"))
+          .cast("long").as("month_key"),
+        // raw scan column passthrough: month-window queries add a
+        // redundant range predicate on this so the parquet reader can
+        // prune row groups by l_shipdate min/max stats — a predicate on
+        // the DERIVED month_key is not sargable and only filters
+        // post-scan
+        col("l_shipdate").as("ship_ts"))
   }
 
   /** Calendar dim (reference `ActDemandBlank.ps1:36-52` 'Calendar'):

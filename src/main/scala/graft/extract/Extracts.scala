@@ -25,6 +25,17 @@ object Extracts {
   val BuSet: Seq[String] = Seq("AUTOMOBILE", "BUILDING", "MACHINERY")
   val BuSetSql: String = BuSet.map(s => s"'$s'").mkString("(", ", ", ")")
 
+  /** Month-window predicate in sargable form: the same window as the
+    * month_key bounds, but on the RAW scan timestamp so parquet
+    * row-group pruning applies (month_key is derived → not pushable). */
+  private def shipRange(asOf: String, fromM: Int, toM: Int) = {
+    val base = to_date(lit(asOf))
+    col("ship_ts") >= trunc(add_months(base, fromM), "month")
+      .cast("timestamp") &&
+      col("ship_ts") < trunc(add_months(base, toM), "month")
+        .cast("timestamp")
+  }
+
   /** ActDemandBlank (`ActDemandBlank.ps1:20-63`): blank-country actuals,
     * trailing-12-month window, grouped sum, non-zero rows only. */
   def actDemandBlank(spark: SparkSession, dir: String,
@@ -35,7 +46,8 @@ object Extracts {
       .filter((col("country").isNull || col("country") === "") &&  // P7
         col("cycle") === "Current" &&
         col("reltio_bu").isin(BuSet: _*) &&                        // P8
-        col("month_key") >= lo && col("month_key") < hi)           // P9
+        col("month_key") >= lo && col("month_key") < hi &&         // P9
+        shipRange(asOf, -12, 0))                    // sargable twin of P9
     val cal = broadcast(Star.calendar(spark, dir))
     fact.join(cal, fact("month_key") === cal("month_sort"))        // J12
       .groupBy(col("planning_system"), col("material_id"),         // A4
@@ -56,7 +68,8 @@ object Extracts {
     val fact = Star.siop(spark, dir)
       .filter(col("country").isNotNull && col("country") =!= "" &&
         col("reltio_bu").isin(BuSet: _*) &&
-        col("month_key") >= lo && col("month_key") < hi)
+        col("month_key") >= lo && col("month_key") < hi &&
+        shipRange(asOf, fromMonths, toMonths))
     val cal = broadcast(Star.calendar(spark, dir))
     fact.join(cal, fact("month_key") === cal("month_sort"))
       .groupBy(col("planning_system"), col("material_id"),

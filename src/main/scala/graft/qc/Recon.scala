@@ -64,6 +64,29 @@ object Recon {
       .withColumn("old_total_disp", humanize(col("old_total")))
   }
 
+  /** A2 one-pass form: the reference computes BU, Country, and
+    * BU+Country totals as THREE separate groupbys
+    * (`qualitycheck.py:149-164` — reproduced faithfully in
+    * [[thresholdQc]]); at scale the same numbers come from ONE pass
+    * with GROUPING SETS — one shuffle instead of three over the fact.
+    * grouping_id disambiguates the level. */
+  def multiLevelTotals(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    val n = Tables(spark, dir, "nation")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(col("c_mktsegment").as("bu"), col("n_name").as("country"),
+        col("o_totalprice"))
+      .groupingSets(
+        Seq(Seq(col("bu")), Seq(col("country")),
+          Seq(col("bu"), col("country"))),
+        col("bu"), col("country"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total"),
+        count(lit(1)).as("n_rows"),
+        grouping_id().cast("long").as("level"))
+  }
+
   /** J11 + F22 (`myConversionsClass.py:372-409` validateTotals):
     * conservation-of-totals check through a reshaping transform —
     * per-key totals BEFORE vs the horizontal re-sum of the pivoted

@@ -25,6 +25,7 @@ object ReconQueries {
     "dv_variance_report" -> ((s, d) => Recon.varianceReport(s, d)),
     "qc_threshold" -> ((s, d) => Recon.thresholdQc(s, d)),
     "qc_before_after" -> ((s, d) => Recon.beforeAfterValidation(s, d)),
+    "qc_multilevel_totals" -> ((s, d) => Recon.multiLevelTotals(s, d)),
     "f_date_functions" -> ((s, d) =>
       Star.calendar(s, d).select(
         col("month_start"),
@@ -121,6 +122,16 @@ object ReconQueries {
          |  END AS status
          |FROM j""".stripMargin
     },
+    "qc_multilevel_totals" ->
+      """SELECT c_mktsegment AS bu, n_name AS country,
+        |       ROUND(SUM(o_totalprice), 2) AS total,
+        |       COUNT(*) AS n_rows,
+        |       GROUPING(c_mktsegment, n_name) AS level
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |     JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((c_mktsegment), (n_name),
+        |                        (c_mktsegment, n_name))""".stripMargin,
+
     "qc_before_after" ->
       """WITH b AS (
         |  SELECT l_partkey, ROUND(SUM(l_quantity), 2) AS total_before

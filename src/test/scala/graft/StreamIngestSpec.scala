@@ -56,6 +56,33 @@ class StreamIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("live TCP socket source parses the producer contract end-to-end") {
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val t = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val out = new java.io.PrintWriter(sock.getOutputStream, true)
+        out.println(payload) // newline-terminated, per stream.py:65
+        Thread.sleep(3000)
+        sock.close()
+      } catch { case _: Throwable => () } finally server.close()
+    })
+    t.setDaemon(true)
+    t.start()
+    val parsed = StreamIngest.socketStream(spark, inner, "localhost", port)
+    val q = parsed.writeStream.format("memory")
+      .queryName("socket_test").outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("socket_test").count() < 2 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      val rows = spark.table("socket_test").orderBy("row_index")
+        .as[(Long, Double, Double, Long)].collect().toSeq
+      assert(rows == Seq((0L, 1.5, 2.5, 7L), (1L, 3.0, 4.0, 9L)))
+    } finally q.stop()
+  }
+
   test("payload round trip over events equals the direct projection") {
     val rt = StreamIngest.payloadRoundTrip(spark, SfDir)
     val direct = graft.core.Tables(spark, SfDir, "events")
