@@ -22,6 +22,24 @@ object Sinks {
     df.write.option("maxRecordsPerFile", maxRecordsPerFile.toString)
       .mode(SaveMode.Overwrite).parquet(path)
 
+  /** S14: DELETE-with-predicate (reference `mySQLClass.py:237-257`) as
+    * the anti-predicate rewrite of the target table: keep rows NOT
+    * matching, overwrite. Null-safe: rows where the predicate is NULL
+    * are kept (SQL DELETE only removes rows where the predicate is
+    * true). Returns the number of rows deleted. */
+  def deleteWhere(spark: SparkSession, targetPath: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    val target = spark.read.parquet(targetPath)
+    val keep = target.filter(!coalesce(predicate, lit(false)))
+    val before = target.count()
+    val kept = keep.count()
+    // overwrite requires materializing first (can't read+overwrite lazily)
+    val tmp = targetPath + "__rewrite"
+    keep.write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(targetPath)
+    before - kept
+  }
+
   /** S13: delta upsert against a parquet target (reference
     * `mySQLClass.py:148-220`): read the target, keep only new rows
     * whose value columns differ (or whose PK is absent), append just

@@ -35,6 +35,20 @@ object ReconQueries {
         col("fiscal_year"),
         monthKey(col("month_start"), 6).as("month_key_plus6"),
         snapshotLabel(col("month_start")).as("snapshot_label"))),
+    "f_cleaning_keys" -> ((s, d) =>
+      Tables(s, d, "part").select(
+        col("p_partkey"),
+        skuKey(lpad(col("p_partkey").cast("string"), 8, "0")).as("sku"),
+        buMatKey(col("p_brand"), col("p_partkey").cast("string"))
+          .as("bu_mat_key"),
+        zeroPad(col("p_size").cast("string"), 4).as("size_padded"),
+        recodeBu(when(col("p_partkey") % 5 === 0, "SRG")
+          .when(col("p_partkey") % 5 === 1, "DOP")
+          .otherwise(col("p_brand"))).as("bu_recoded"),
+        ageBucket(col("p_size"), 25).as("age_bucket"),
+        round(incomingOrders(col("p_retailprice"), col("p_size").cast("double"),
+          lit(0.5)), 4).as("net_orders"))),
+
     "f_fy_from_text" -> ((s, d) =>
       Tables(s, d, "orders")
         .select(col("o_orderkey"),
@@ -161,6 +175,27 @@ object ReconQueries {
          |       strftime(CAST(date_trunc('month', month_start) AS DATE),
          |         '%m/%d/%Y') AS snapshot_label
          |FROM calendar""".stripMargin,
+    "f_cleaning_keys" ->
+      """SELECT p_partkey,
+        |  'SKU-' || regexp_replace(lpad(CAST(p_partkey AS VARCHAR), 8, '0'),
+        |    '^0+', '') AS sku,
+        |  upper(p_brand || '|' || CAST(p_partkey AS VARCHAR)) AS bu_mat_key,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+        |  CASE WHEN (CASE WHEN p_partkey % 5 = 0 THEN 'SRG'
+        |             WHEN p_partkey % 5 = 1 THEN 'DOP'
+        |             ELSE p_brand END) = 'SRG' THEN 'SUR'
+        |       WHEN (CASE WHEN p_partkey % 5 = 0 THEN 'SRG'
+        |             WHEN p_partkey % 5 = 1 THEN 'DOP'
+        |             ELSE p_brand END) IN ('DOP', 'DOP-C', 'DOP-S')
+        |         THEN 'DISC'
+        |       ELSE (CASE WHEN p_partkey % 5 = 0 THEN 'SRG'
+        |             WHEN p_partkey % 5 = 1 THEN 'DOP'
+        |             ELSE p_brand END) END AS bu_recoded,
+        |  CASE WHEN p_size >= 25 THEN 'aged' ELSE 'current' END AS age_bucket,
+        |  ROUND((p_retailprice - CAST(p_size AS DOUBLE)) * 0.5, 4)
+        |    AS net_orders
+        |FROM part""".stripMargin,
+
     "f_fy_from_text" ->
       """SELECT o_orderkey,
         |       'plan FY' || lpad(CAST(year(o_orderdate) % 100 AS VARCHAR),

@@ -22,6 +22,18 @@ class SinksSpec extends SparkSpec {
     assert(rows == Set((1, 10.0), (2, 20.0), (3, 30.0), (2, 21.0), (4, 40.0)))
   }
 
+  test("deleteWhere removes only predicate-true rows (null-safe)") {
+    val dir = Files.createTempDirectory("graft_del").toFile.getAbsolutePath
+    val t = s"$dir/t"
+    Seq((1, Some("x")), (2, Some("y")), (3, None: Option[String]))
+      .toDF("k", "v").write.parquet(t)
+    val n = graft.load.Sinks.deleteWhere(spark, t, col("v") === "x")
+    assert(n == 1)
+    // the null-v row survives (predicate NULL, not true)
+    val left = spark.read.parquet(t).select("k").as[Int].collect().toSet
+    assert(left == Set(2, 3))
+  }
+
   test("csv sink round-trips with header") {
     val dir = Files.createTempDirectory("graft_csv_sink").toFile.getAbsolutePath
     val df = Seq(("a", 1), ("b", 2)).toDF("name", "n")
