@@ -68,6 +68,33 @@ object StreamIngest {
       .foreachBatch((df: org.apache.spark.sql.Dataset[Row], id: Long) =>
         f(df, id))
 
+  /** Watermarked tumbling-window aggregate — the stateful Structured
+    * Streaming shape the batch `events_tumbling_window` query mirrors.
+    * The reference's contract is processing-time-only (no late data
+    * possible, SURVEY §2.9); this is the engine capability a real
+    * event-time feed needs: state bounded by the watermark, late rows
+    * beyond it dropped. */
+  def windowedCounts(parsed: DataFrame, eventTimeCol: String,
+      windowLen: String = "1 hour", watermark: String = "2 hours",
+      keyCol: String = "label"): DataFrame =
+    parsed.withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("n"))
+
+  /** Streaming exact dedup for a document feed: normalized-text MD5
+    * fingerprint + dropDuplicatesWithinWatermark — state for a
+    * fingerprint is dropped once the watermark passes it, so the
+    * operator runs indefinitely with bounded state (the streaming twin
+    * of `Dedup.exactDedup`). */
+  def streamingExactDedup(docs: DataFrame, eventTimeCol: String,
+      textCol: String = "text", watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", graft.text.TextAnalysis.fingerprintMd5(col(textCol)))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** S17: the producer's raw-line variant (`stream.py:204-226`): each
     * batch is a JSON ARRAY of raw text lines → one row per line. */
   def parseLineArray(raw: DataFrame): DataFrame =

@@ -83,6 +83,51 @@ class StreamIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked windowed aggregation over an event-time stream") {
+    import java.sql.Timestamp
+    val ms = MemoryStream[(Timestamp, String)](
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.TIMESTAMP,
+        org.apache.spark.sql.Encoders.STRING), spark.sqlContext)
+    val df = ms.toDF().toDF("ts", "label")
+    val agg = StreamIngest.windowedCounts(df, "ts", "10 minutes",
+      "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_test")
+      .outputMode("append").start()
+    try {
+      def t(m: String) = Timestamp.valueOf(s"2026-01-01 $m:00")
+      ms.addData((t("10:01"), "a"), (t("10:02"), "a"), (t("10:11"), "b"))
+      q.processAllAvailable()
+      // advance watermark far enough to close the 10:00 and 10:10 windows
+      ms.addData((t("11:00"), "c"))
+      q.processAllAvailable()
+      val rows = spark.table("win_test")
+        .select("label", "n").as[(String, Long)].collect().toMap
+      assert(rows("a") == 2L && rows("b") == 1L)
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup drops repeated fingerprints within watermark") {
+    import java.sql.Timestamp
+    val ms = MemoryStream[(Timestamp, String)](
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.TIMESTAMP,
+        org.apache.spark.sql.Encoders.STRING), spark.sqlContext)
+    val df = ms.toDF().toDF("ts", "text")
+    val deduped = StreamIngest.streamingExactDedup(df, "ts")
+    val q = deduped.writeStream.format("memory").queryName("sdedup_test")
+      .outputMode("append").start()
+    try {
+      def t(m: String) = Timestamp.valueOf(s"2026-01-01 $m:00")
+      ms.addData(
+        (t("10:00"), "Hello  World!"),
+        (t("10:01"), "hello world"), // same normalized fingerprint
+        (t("10:02"), "different doc"))
+      q.processAllAvailable()
+      assert(spark.table("sdedup_test").count() == 2)
+    } finally q.stop()
+  }
+
   test("payload round trip over events equals the direct projection") {
     val rt = StreamIngest.payloadRoundTrip(spark, SfDir)
     val direct = graft.core.Tables(spark, SfDir, "events")
