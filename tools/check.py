@@ -59,9 +59,14 @@ def main():
     for name in names:
         got = pd.read_parquet(f"{out_dir}/{name}")
         if name not in oracle:
-            status = "SKIP(no-oracle)" if len(got) > 0 else "FAIL(empty)"
-            n_skip += 1
-            print(f"{status:18s} {name} rows={len(got)}")
+            # empty result for an oracle-less operator is a regression,
+            # not a skip — it must fail the exit code
+            if len(got) > 0:
+                n_skip += 1
+                print(f"{'SKIP(no-oracle)':18s} {name} rows={len(got)}")
+            else:
+                n_fail += 1
+                print(f"{'FAIL(empty)':18s} {name} rows=0")
             continue
         try:
             exp = con.execute(oracle[name]).df()
