@@ -31,8 +31,18 @@ object Dedup {
 
   val NumHashes = 16
   val Bands = 8 // rows-per-band = 2 → LSH S-curve threshold ≈ 0.35
-  val SimhashBits = 32 // one vote per md5 hex digit; 64 needs a 2nd digest
-  val SimhashSegments = 4 // 8-bit segments → guarantees recall at Hamming ≤ 3
+  val SimhashBits = 64 // one vote per hex digit of two md5 digests
+  /** Manku et al. (WWW'07) block-permutation search: 64 bits split into
+    * 6 blocks; Hamming ≤ 3 flips touch ≤ 3 blocks, so ≥ 3 of 6 blocks
+    * are identical ⇒ some 3-block combination matches exactly. Bucket
+    * key = one of the C(6,3) = 20 3-block concatenations (~33 bits), so
+    * expected bucket width shrinks as n/2³³ — unlike fixed 8-bit
+    * segments whose buckets grow linearly (n/256) with corpus size. */
+  val SimhashBlocks = 6
+  val BlockWidths: Seq[Int] = Seq(11, 11, 11, 11, 10, 10) // sums to 64
+  val BlockOffsets: Seq[Int] = BlockWidths.scanLeft(0)(_ + _).init
+  val BlockCombos: Seq[Seq[Int]] =
+    (0 until SimhashBlocks).combinations(SimhashBlocks / 2).map(_.toSeq).toSeq
   val MaxHamming = 3
   val ShingleN = 3
   /** Hot-shingle doc-frequency cap for the Jaccard inverted index: a
@@ -148,10 +158,12 @@ object Dedup {
   }
 
   /** SimHash bit string: bit j is the sign of the shingle-vote sum,
-    * where shingle s votes ±1 by the parity of hex digit j of md5(s).
-    * The md5 digest array is materialized ONCE per doc in its own
-    * projection — the per-bit pass then only does substr/ascii (the
-    * naive form recomputes every digest for every bit: 32× the md5s). */
+    * where shingle s votes ±1 by bit (j mod 4) of the value of hex
+    * digit (j div 4) of md5(s) — 4 signature bits per hex char, so the
+    * 64-bit signature still costs exactly ONE digest per shingle. The
+    * digest array is materialized once per doc in its own projection
+    * (the naive form recomputes every digest for every bit: 64× the
+    * md5s). */
   def simhash(docs: DataFrame, bits: Int = SimhashBits): DataFrame =
     shingleSets(docs)
       .select(col("doc_id"),
@@ -160,31 +172,41 @@ object Dedup {
         graft.functions.DedupExpressions.simhashBits(col("digests"), bits)
           .as("simhash"))
 
-  /** SimHash near-dup pairs at Hamming ≤ maxHamming via segment-equality
-    * banding (no cross join): Hamming ≤ 3 over 4 segments guarantees at
-    * least one identical 4-bit segment. */
+  /** SimHash near-dup pairs at Hamming ≤ [[MaxHamming]] via Manku-style
+    * block-combination banding (no cross join): each signature explodes
+    * into its 20 3-of-6-block keys; candidates come from the
+    * (combo, key) equi-join — see [[BlockCombos]] for the pigeonhole
+    * argument and why the ~33-bit keys keep buckets sub-linear in n. */
   def simhashPairs(docs: DataFrame, bits: Int = SimhashBits,
-      segments: Int = SimhashSegments,
       maxHamming: Int = MaxHamming): DataFrame = {
+    // The signature travels through the 20-way explode and the bucket
+    // shuffle as two packed longs, not a 64-char string; hamming is
+    // then one codegen'd bit_count(xor) pair per candidate instead of
+    // 64 interpreted per-char HOF hops. (Split hi/lo because a 64-bit
+    // binary string with bit 0 set overflows a signed conv/cast.)
+    def half(off: Int) =
+      conv(col("simhash").substr(off + 1, 32), 2, 10).cast("long")
     // reused by both join sides
-    val sh = graft.core.CacheBay.register(simhash(docs, bits))
-    val w = bits / segments
-    val seg = sh.select(col("doc_id"), col("simhash"),
-      explode(transform(sequence(lit(0), lit(segments - 1)), s =>
-        struct(s.as("seg"),
-          col("simhash").substr(s * w + 1, lit(w)).as("sval")))).as("sk"))
-      .select(col("doc_id"), col("simhash"),
-        col("sk.seg").as("seg"), col("sk.sval").as("sval"))
-    val a = seg.select(col("doc_id").as("a_id"),
-      col("simhash").as("a_sh"), col("seg"), col("sval"))
-    val b = seg.select(col("doc_id").as("b_id"),
-      col("simhash").as("b_sh"), col("seg"), col("sval"))
-    val hamming = aggregate(
-      transform(sequence(lit(1), lit(bits)), i =>
-        when(col("a_sh").substr(i, lit(1)) === col("b_sh").substr(i, lit(1)),
-          lit(0L)).otherwise(lit(1L))),
-      lit(0L), (acc, x) => acc + x)
-    a.join(b, Seq("seg", "sval"))
+    val sh = graft.core.CacheBay.register(
+      simhash(docs, bits).select(col("doc_id"), col("simhash"),
+        half(0).as("hi"), half(32).as("lo")))
+    val keyStructs = BlockCombos.zipWithIndex.map { case (blocks, ci) =>
+      struct(lit(ci).as("cb"),
+        concat(blocks.map(b =>
+          col("simhash").substr(BlockOffsets(b) + 1, BlockWidths(b))): _*)
+          .as("kval"))
+    }
+    val seg = sh.select(col("doc_id"), col("hi"), col("lo"),
+        explode(array(keyStructs: _*)).as("k"))
+      .select(col("doc_id"), col("hi"), col("lo"),
+        col("k.cb").as("cb"), col("k.kval").as("kval"))
+    val a = seg.select(col("doc_id").as("a_id"), col("hi").as("a_hi"),
+      col("lo").as("a_lo"), col("cb"), col("kval"))
+    val b = seg.select(col("doc_id").as("b_id"), col("hi").as("b_hi"),
+      col("lo").as("b_lo"), col("cb"), col("kval"))
+    val hamming = (bit_count(col("a_hi").bitwiseXOR(col("b_hi"))) +
+      bit_count(col("a_lo").bitwiseXOR(col("b_lo")))).cast("long")
+    a.join(b, Seq("cb", "kval"))
       .filter(col("a_id") < col("b_id"))
       .dropDuplicates("a_id", "b_id")
       .select(col("a_id"), col("b_id"), hamming.as("hamming"))

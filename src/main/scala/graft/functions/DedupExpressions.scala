@@ -60,8 +60,10 @@ case class MinHashSig(child: Expression, numHashes: Int)
 }
 
 /** SimHash bit string from an array of md5 hex digests: bit j votes
-  * ±1 per digest by the parity of hex character j (= low bit of its
-  * ASCII byte); output char j is '1' iff the vote sum is positive. */
+  * ±1 per digest by bit (j mod 4) of the VALUE of hex digit (j div 4)
+  * — 4 signature bits per hex character, so one 32-char md5 supports
+  * up to 128 bits and a 64-bit signature costs exactly one digest per
+  * shingle. Output char j is '1' iff the vote sum is positive. */
 case class SimHashBits(child: Expression, bits: Int)
     extends UnaryExpression with CodegenFallback {
 
@@ -77,7 +79,9 @@ case class SimHashBits(child: Expression, bits: Int)
       val d = digests.getUTF8String(i).getBytes
       var j = 0
       while (j < bits) {
-        sums(j) += ((d(j) & 1) << 1) - 1
+        val b = d(j >> 2)
+        val v = if (b < 58) b - 48 else b - 87 // hex char -> digit value
+        sums(j) += (((v >> (j & 3)) & 1) << 1) - 1
         j += 1
       }
       i += 1

@@ -66,16 +66,24 @@ object DedupQueries {
        |        + ((40503 * (j + 7)) % 2147483647)) % 2147483647))) AS sig
        |  FROM bs)""".stripMargin
 
-  private val SimhashCte =
+  /** Bit j (1-based) votes by bit ((j-1) mod 4) of the value of hex
+    * digit ((j-1) div 4 + 1) of the single md5 — same mapping as
+    * [[graft.functions.SimHashBits]]. */
+  private val SimhashCte = {
+    val hv = "ascii(substring(d, CAST((j-1)//4 AS INT) + 1, 1))"
+    val digitVal = s"(CASE WHEN $hv < 58 THEN $hv - 48 ELSE $hv - 87 END)"
+    val shift = "(CASE WHEN (j-1)%4 = 0 THEN 1 WHEN (j-1)%4 = 1 THEN 2 " +
+      "WHEN (j-1)%4 = 2 THEN 4 ELSE 8 END)"
     s"""dg AS (
        |  SELECT doc_id, list_transform(shingles, s -> md5(s)) AS digests
        |  FROM shf),
        |simh AS (
        |  SELECT doc_id, array_to_string(list_transform(range(1, ${SimhashBits + 1}), j ->
        |    CASE WHEN CAST(list_sum(list_transform(digests,
-       |           d -> (ascii(substring(d, j, 1)) % 2) * 2 - 1)) AS BIGINT) > 0
+       |           d -> (($digitVal // $shift) % 2) * 2 - 1)) AS BIGINT) > 0
        |         THEN '1' ELSE '0' END), '') AS simhash
        |  FROM dg)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -119,12 +127,21 @@ object DedupQueries {
          |SELECT doc_id, simhash FROM simh""".stripMargin,
 
     "dedup_simhash_pairs" -> {
-      val w = SimhashBits / SimhashSegments
+      // the same 20 3-of-6-block keys as Dedup.BlockCombos, generated
+      // from the same constants
+      val keyLits = BlockCombos.zipWithIndex.map { case (blocks, ci) =>
+        val kval = blocks.map(b =>
+          s"substring(simhash, ${BlockOffsets(b) + 1}, ${BlockWidths(b)})")
+          .mkString(" || ")
+        s"{'cb': $ci, 'kval': $kval}"
+      }.mkString(",\n      ")
       s"""WITH $ShinglesCte, $SimhashCte,
          |seg AS (
-         |  SELECT doc_id, simhash, s AS seg,
-         |         substring(simhash, s * $w + 1, $w) AS sval
-         |  FROM simh CROSS JOIN (SELECT unnest(range(0, $SimhashSegments)) AS s)
+         |  SELECT doc_id, simhash, u.cb AS seg, u.kval AS sval FROM (
+         |    SELECT doc_id, simhash, unnest([
+         |      $keyLits
+         |    ]) AS u
+         |    FROM simh)
          |),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -133,10 +150,7 @@ object DedupQueries {
          |)
          |SELECT * FROM (
          |  SELECT a_id, b_id,
-         |    CAST(list_sum(list_transform(range(1, ${SimhashBits + 1}),
-         |      i -> CASE WHEN substring(sa.simhash, i, 1) =
-         |                     substring(sb.simhash, i, 1)
-         |                THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+         |    CAST(hamming(sa.simhash, sb.simhash) AS BIGINT) AS hamming
          |  FROM cand JOIN simh sa ON a_id = sa.doc_id
          |            JOIN simh sb ON b_id = sb.doc_id
          |) WHERE hamming <= $MaxHamming""".stripMargin
