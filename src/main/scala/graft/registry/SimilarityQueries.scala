@@ -7,7 +7,10 @@ import graft.similarity.Similarity._
 
 /** Registry: similarity-search operators over `embeddings`. The oracle
   * replays the identical double-precision dot-product and deterministic
-  * hyperplane math in DuckDB (generated from the same constants).
+  * hyperplane math in DuckDB (generated from the same constants), and
+  * both engines derive the size-scaled hyperplane count from the same
+  * integer-only formula ([[Similarity.scaledNBits]] / `nb` CTE) so the
+  * bucket codes agree at every scale factor.
   */
 object SimilarityQueries {
 
@@ -16,8 +19,14 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bruteforce_topk" -> ((s, d) => Similarity.bruteForceTopK(emb(s, d))),
-    "sim_lsh_topk" -> ((s, d) => Similarity.lshTopK(emb(s, d))),
-    "sim_nearest_neighbor" -> ((s, d) => Similarity.nearestNeighbor(emb(s, d))))
+    "sim_lsh_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.lshTopK(e, nBits = scaledNBits(e.count()))
+    }),
+    "sim_nearest_neighbor" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.nearestNeighbor(e, nBits = scaledNBits(e.count()))
+    }))
 
   // ---- DuckDB SQL (same constants, same math) ----
 
@@ -26,17 +35,21 @@ object SimilarityQueries {
       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings)""".stripMargin
 
+  /** Size-scaled hyperplane count (see Similarity.scaledNBits). */
+  private val NbCte = s"nb AS (SELECT $ScaledNBitsSql AS nbits)"
+
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))"
 
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
+  /** nBits-bit bucket code with nBits read from the `nb` CTE. */
   private val BucketCte =
     s"""bk AS (SELECT vec_id, v, array_to_string(list_transform(
-       |    range(0, $NumHyperplanes), j ->
+       |    range(0, (SELECT nbits FROM nb)), j ->
        |    CASE WHEN list_sum(list_transform(range(1, len(v) + 1), d ->
-       |           v[d] * (((j * 64 + d) * 2654435761 % 1000003)
+       |           v[d] * (((j * $Dim + d) * 2654435761 % 1000003)
        |                   / 1000003.0 - 0.5))) > 0
        |         THEN '1' ELSE '0' END), '') AS bucket
        |  FROM e)""".stripMargin
@@ -56,7 +69,7 @@ object SimilarityQueries {
          |FROM r WHERE rank <= $TopK""".stripMargin,
 
     "sim_lsh_topk" ->
-      s"""WITH $ECte, $BucketCte,
+      s"""WITH $ECte, $NbCte, $BucketCte,
          |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM bk
          |      WHERE vec_id % $QueryMod = 0),
          |p AS (SELECT q_id, b.vec_id AS nn_id,
@@ -69,11 +82,25 @@ object SimilarityQueries {
          |SELECT q_id, rank, nn_id, ROUND(cos, 6) AS cos
          |FROM r WHERE rank <= $TopK""".stripMargin,
 
+    // multi-probe LSH NN: own bucket + every Hamming-1 flip as probe
+    // keys; candidates from the bucket equi-join (same shape as the
+    // Spark plan — no all-pairs join anywhere)
     "sim_nearest_neighbor" ->
-      s"""WITH $ECte,
-         |p AS (SELECT a.vec_id AS q_id, b.vec_id AS nn_id,
-         |        ${cosSql("a.v", "b.v")} AS cos
-         |      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      s"""WITH $ECte, $NbCte, $BucketCte,
+         |pr AS (
+         |  SELECT vec_id AS q_id, v AS qv, unnest(list_prepend(bucket,
+         |    list_transform(range(0, (SELECT nbits FROM nb)), j ->
+         |      substring(bucket, 1, CAST(j AS INT)) ||
+         |      (CASE WHEN substring(bucket, CAST(j AS INT) + 1, 1) = '1'
+         |            THEN '0' ELSE '1' END) ||
+         |      substring(bucket, CAST(j AS INT) + 2,
+         |        length(bucket) - CAST(j AS INT) - 1))))
+         |    AS bucket
+         |  FROM bk),
+         |p AS (SELECT q_id, b.vec_id AS nn_id,
+         |        ${cosSql("qv", "b.v")} AS cos
+         |      FROM pr JOIN bk b ON pr.bucket = b.bucket
+         |      WHERE q_id <> b.vec_id),
          |r AS (SELECT q_id, nn_id, cos, row_number() OVER (
          |        PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rank
          |      FROM p)

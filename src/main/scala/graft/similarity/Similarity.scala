@@ -34,6 +34,26 @@ object Similarity {
   val Dim = 64
   /** Query subset: vec_id % QueryMod == 0 (keeps brute force bounded). */
   val QueryMod = 25
+  /** Target mean bucket occupancy for size-scaled LSH. */
+  val TargetBucket = 16
+
+  /** Hyperplane count scaled to corpus size: the smallest k with
+    * 2^k ≥ ⌈n / TargetBucket⌉, floored at [[NumHyperplanes]] — bucket
+    * population stays ~constant as n grows instead of growing linearly
+    * (the round-1 weakness of a fixed 8-bit code). Integer-only (binary
+    * digit count, no float log2) so the DuckDB oracle derives the
+    * identical value at power-of-two boundaries. */
+  def scaledNBits(n: Long): Int = {
+    val m = (n + TargetBucket - 1) / TargetBucket
+    math.max(NumHyperplanes,
+      java.lang.Long.toBinaryString(math.max(m - 1, 0)).length)
+  }
+
+  /** The same derivation in DuckDB SQL, over the live row count. */
+  val ScaledNBitsSql: String =
+    s"""GREATEST($NumHyperplanes, length(format('{:b}',
+       | GREATEST(((SELECT COUNT(*) FROM embeddings) + ${TargetBucket - 1})
+       |   // $TargetBucket - 1, 0))))""".stripMargin.replace("\n", "")
 
   /** Deterministic pseudo-random hyperplane coefficient in [-0.5, 0.5):
     * c(j, d) = ((j*64 + d) * 2654435761 mod 1000003) / 1000003 - 0.5
@@ -96,11 +116,13 @@ object Similarity {
     * bucket; ranking identical to brute force within the bucket. */
   def lshTopK(emb: DataFrame, k: Int = TopK, queryMod: Int = QueryMod,
       nBits: Int = NumHyperplanes): DataFrame = {
-    val bucketed = emb.repartition(col("vec_id"))
-      .select(col("vec_id"),
-        asDouble(col("embedding")).as("v"),
-        l2Norm(asDouble(col("embedding"))).as("nrm"),
-        lshBucket(col("embedding"), nBits).as("bucket"))
+    // both join sides read this lineage — persist via CacheBay
+    val bucketed = graft.core.CacheBay.register(
+      emb.repartition(col("vec_id"))
+        .select(col("vec_id"),
+          asDouble(col("embedding")).as("v"),
+          l2Norm(asDouble(col("embedding"))).as("nrm"),
+          lshBucket(col("embedding"), nBits).as("bucket")))
     val q = bucketed.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("v").as("q_emb"),
         col("nrm").as("q_norm"), col("bucket"))
@@ -112,10 +134,57 @@ object Similarity {
     topKOf(pairs, k)
   }
 
-  /** Per-vector nearest neighbor (top-1 over the whole corpus) — the
-    * embedding-cosine near-duplicate detector: near-dup pairs at
-    * threshold t are exactly the rows of this result with cos ≥ t. */
-  def nearestNeighbor(emb: DataFrame): DataFrame = {
+  /** Per-vector approximate nearest neighbor — the embedding-cosine
+    * near-duplicate detector: near-dup pairs at threshold t are exactly
+    * the rows of this result with cos ≥ t.
+    *
+    * Multi-probe LSH, never all-pairs: every vector is bucketed by an
+    * nBits-bit hyperplane code; the query side probes its own bucket
+    * plus the nBits buckets at Hamming distance 1 (the standard
+    * multi-probe recall boost), the corpus side is keyed by its own
+    * bucket only, and candidates come from the bucket equi-join — a
+    * shuffle on the bucket key with per-query candidate counts around
+    * (nBits+1)·n/2^nBits ≈ (log n)·[[TargetBucket]] when nBits =
+    * [[scaledNBits]]. Nothing is broadcast and no O(n²) pair set ever
+    * materializes, so the shape survives a 100× corpus. A vector whose
+    * probes find no occupied bucket drops out (standard ANN semantics;
+    * [[nearestNeighborExact]] remains the test oracle). */
+  def nearestNeighbor(emb: DataFrame,
+      nBits: Int = NumHyperplanes): DataFrame = {
+    val bucketed = graft.core.CacheBay.register(
+      emb.repartition(col("vec_id"))
+        .select(col("vec_id"),
+          asDouble(col("embedding")).as("v"),
+          l2Norm(asDouble(col("embedding"))).as("nrm"),
+          lshBucket(col("embedding"), nBits).as("bucket")))
+    // own bucket + each single-bit flip (nBits+1 probe keys per vector)
+    val flips = (0 until nBits).map { j =>
+      concat(
+        col("bucket").substr(1, j),
+        when(col("bucket").substr(j + 1, 1) === "1", lit("0"))
+          .otherwise(lit("1")),
+        col("bucket").substr(j + 2, nBits - j - 1))
+    }
+    val probes = bucketed.select(col("vec_id").as("q_id"),
+        col("v").as("q_emb"), col("nrm").as("q_norm"),
+        explode(array(col("bucket") +: flips: _*)).as("bucket"))
+    val corpus = bucketed.select(col("vec_id").as("nn_id"),
+      col("v").as("c_emb"), col("nrm").as("c_norm"), col("bucket"))
+    probes.join(corpus, Seq("bucket"))
+      .filter(col("q_id") =!= col("nn_id"))
+      .select(col("q_id"), col("nn_id"), pairCos.as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(desc("cos"), asc("nn_id"))))
+      .filter(col("rank") === 1)
+      .select(col("q_id"), col("nn_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Exact per-vector NN by brute force — O(n²): the TEST ORACLE for
+    * [[nearestNeighbor]] on sampled subsets, never the production path
+    * (a corpus broadcast is unbroadcastable and the pair count
+    * quadratic at scale). */
+  def nearestNeighborExact(emb: DataFrame): DataFrame = {
     val a = withNorm(emb, "q_id", "q_emb", "q_norm")
     val b = withNorm(emb, "nn_id", "c_emb", "c_norm")
     a.join(broadcast(b), col("q_id") =!= col("nn_id"))

@@ -28,16 +28,49 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r(0) - 1.0) < 1e-12 && math.abs(r(1)) < 1e-12)
   }
 
-  test("nearestNeighbor finds the planted closest vector") {
+  test("exact nearestNeighbor oracle finds the planted closest vector") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f)),
       (1L, Seq(0.99f, 0.1f, 0.0f)), // closest to 0
       (2L, Seq(0.0f, 1.0f, 0.0f)),
       (3L, Seq(0.0f, 0.9f, 0.4f))) // closest to 2
       .toDF("vec_id", "embedding")
-    val nn = Similarity.nearestNeighbor(emb)
+    val nn = Similarity.nearestNeighborExact(emb)
       .select("q_id", "nn_id").as[(Long, Long)].collect().toMap
     assert(nn(0L) == 1L && nn(1L) == 0L && nn(2L) == 3L && nn(3L) == 2L)
+  }
+
+  test("bucketed multi-probe NN never beats the exact oracle's cosine") {
+    val emb = graft.core.Tables(spark, SfDir, "embeddings")
+    val exact = Similarity.nearestNeighborExact(emb)
+      .select("q_id", "cos").as[(Long, Double)].collect().toMap
+    val approx = Similarity.nearestNeighbor(emb,
+        nBits = Similarity.scaledNBits(exact.size.toLong))
+      .select("q_id", "cos").as[(Long, Double)].collect()
+    assert(approx.nonEmpty)
+    approx.foreach { case (q, c) => assert(c <= exact(q) + 1e-9) }
+  }
+
+  test("bucketed NN recovers planted near-duplicate clusters") {
+    // 20 clusters × 3 near-identical 64-d vectors (deterministic
+    // pseudo-random base + 1% per-member jitter): every vector's
+    // approximate NN must come from its own cluster — the semantics a
+    // near-duplicate detector has to guarantee, unlike argmax-NN over
+    // random vectors (which LSH legitimately approximates)
+    def coef(seed: Int, d: Int): Double =
+      ((seed * 64L + d) * 1103515245L % 1000003L) / 1000003.0 - 0.5
+    val vecs = for {
+      k <- 0 until 20
+      m <- 0 until 3
+    } yield ((k * 3 + m).toLong,
+      (1 to 64).map(d =>
+        (coef(k, d) + 0.01 * coef(k * 3 + m + 1000, d)).toFloat))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val nn = Similarity.nearestNeighbor(emb, nBits = 8)
+      .select("q_id", "nn_id").as[(Long, Long)].collect()
+    assert(nn.length == vecs.length) // nobody isolated
+    nn.foreach { case (q, n) => assert(q / 3 == n / 3,
+      s"vector $q matched $n from another cluster") }
   }
 
   test("brute-force top-k ranks by cosine desc, ranks 1..k") {
