@@ -34,7 +34,15 @@ object StreamQueries {
           round(sum(col("value")), 4).as("value_sum"))
         .select(col("window.start").as("window_start"),
           col("window.end").as("window_end"),
-          col("event_type"), col("n"), col("value_sum"))))
+          col("event_type"), col("n"), col("value_sum"))),
+
+    // MLlib streaming consumer, batch-mode mirror: per-micro-batch
+    // incremental logistic-regression refit over the events feed, one
+    // metrics row per batch (no SQL oracle — model training is not
+    // SQL-expressible; covered by StreamingTrainerSpec's MemoryStream
+    // convergence test and the driver's rows-only check)
+    "ml_stream_train" -> ((s, d) =>
+      graft.streaming.StreamingTrainer.trainOnEvents(s, d)))
 
   val oracles: Map[String, String] = Map(
     "stream_payload_roundtrip" ->

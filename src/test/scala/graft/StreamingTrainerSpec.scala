@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.{StreamIngest, StreamingLogistic, StreamingTrainer}
+
+/** The MLlib streaming consumer (reference `Dataset/stream.py:150-201`
+  * producer contract; the trainer side is absent from the reference —
+  * this is the engine's implementation of the implied consumer). */
+class StreamingTrainerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic well-mixed pseudo-random features with a fixed linear
+  // truth (w = (0.8, -0.6), b = 0.1); training batches carry sparse
+  // deterministic label noise, the holdout is the clean planted rule
+  private def u(k: Long): Double = {
+    var h = k * 2654435761L
+    h ^= (h >>> 13)
+    math.floorMod(h, 100003L) / 100003.0
+  }
+
+  private def rows(seed: Int, n: Int,
+      noisy: Boolean): Seq[(Double, Double, Long)] =
+    (0 until n).map { i =>
+      val k = (seed * 1000L + i) * 2
+      val f0 = u(k) * 4 - 2
+      val f1 = u(k + 1) * 4 - 2
+      val clean = if (0.8 * f0 - 0.6 * f1 + 0.1 > 0) 1L else 0L
+      val label =
+        if (noisy && (seed * 1000 + i) % 13 == 0) 1L - clean else clean
+      (f0, f1, label)
+    }
+
+  private def payloadJson(seed: Int, n: Int): String =
+    rows(seed, n, noisy = true).zipWithIndex.map { case ((f0, f1, l), i) =>
+      s""""$i": {"feature0": $f0, "feature1": $f1, "label": $l}"""
+    }.mkString("{", ", ", "}")
+
+  test("foreachBatch MLlib trainer converges across micro-batches") {
+    val inner = StreamIngest.featureSchema(2, withLabel = true)
+    val holdout = rows(99, 400, noisy = false)
+      .toDF("feature0", "feature1", "label")
+    val trainer = new StreamingLogistic(nFeatures = 2)
+    val ms = MemoryStream[String](
+      org.apache.spark.sql.Encoders.STRING, spark.sqlContext)
+    val parsed = StreamIngest.parsePayload(ms.toDF().toDF("value"), inner)
+    val q = trainer.writer(parsed)
+      .trigger(Trigger.ProcessingTime("10 milliseconds")).start()
+    val accs = scala.collection.mutable.Buffer[Double]()
+    try {
+      (1 to 3).foreach { b =>
+        ms.addData(payloadJson(b, 150))
+        q.processAllAvailable()
+        assert(trainer.batchCount == b) // one model update per micro-batch
+        accs += trainer.evaluate(holdout)._2
+      }
+    } finally q.stop()
+    // clean-holdout accuracy must improve monotonically as the window
+    // accumulates evidence, and end high
+    accs.indices.drop(1).foreach { i =>
+      assert(accs(i) >= accs(i - 1) - 0.005, s"accuracy regressed: $accs")
+    }
+    assert(accs.last >= 0.94, s"final accuracy ${accs.last} too low")
+    // the learned direction matches the planted truth's signs
+    val w = trainer.coefficients
+    assert(w(0) > 0 && w(1) < 0)
+  }
+
+  test("batch-mode events trainer emits an improving metric trajectory") {
+    val m = StreamingTrainer.trainOnEvents(spark, SfDir, batchSize = 200)
+      .orderBy("batch_id")
+      .as[(Long, Double, Double)].collect()
+    assert(m.length >= 2)
+    assert(m.last._3 >= m.head._3 - 0.005,
+      s"accuracy regressed: ${m.map(_._3).toSeq}")
+    assert(m.last._3 >= 0.9, s"final accuracy ${m.last._3} too low")
+  }
+}
