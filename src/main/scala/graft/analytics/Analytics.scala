@@ -88,16 +88,24 @@ object Analytics {
 
   /** F24 (`myConversionsClass.py:254-264` calcFCA): treat 1995 per-part
     * monthly qty as the "forecast" for 1996 actuals; AbsErr% and FCA
-    * with the demand=0 ⇒ (0, 0.99) edge rule. */
+    * with the demand=0 ⇒ (0, 0.99) edge rule.
+    *
+    * ONE lineitem scan with conditional aggregation, not a per-year
+    * scan pair joined back together — half the I/O and one shuffle
+    * instead of two plus a join. The raw l_shipdate range predicate is
+    * the sargable twin of the year() filter (row-group pruning). */
   def forecastAccuracy(spark: SparkSession, dir: String,
       fcYear: Int = 1995, actYear: Int = 1996): DataFrame = {
-    val li = Tables(spark, dir, "lineitem")
-    def side(yr: Int, as: String) = li
-      .filter(year(col("l_shipdate")) === yr)
+    val yr = year(col("l_shipdate"))
+    val lo = s"${math.min(fcYear, actYear)}-01-01"
+    val hi = s"${math.max(fcYear, actYear) + 1}-01-01"
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi) &&
+        yr.isin(fcYear, actYear))
       .groupBy(col("l_partkey"), month(col("l_shipdate")).as("mo"))
-      .agg(sum(col("l_quantity")).as(as))
-    side(fcYear, "forecast")
-      .join(side(actYear, "actual"), Seq("l_partkey", "mo"))
+      .agg(sum(when(yr === fcYear, col("l_quantity"))).as("forecast"),
+        sum(when(yr === actYear, col("l_quantity"))).as("actual"))
+      .filter(col("forecast").isNotNull && col("actual").isNotNull)
       .select(col("l_partkey"), col("mo").cast("long").as("mo"),
         round(col("forecast"), 2).as("forecast"),
         round(col("actual"), 2).as("actual"),
@@ -145,14 +153,22 @@ object Analytics {
     * would write. */
   def deltaDetect(spark: SparkSession, dir: String, newYear: Int = 1996,
       oldYear: Int = 1995): DataFrame = {
-    val li = Tables(spark, dir, "lineitem")
-    def snap(yr: Int, as: String) = li
-      .filter(year(col("l_shipdate")) === yr)
+    // one scan + one shuffle via conditional aggregation (the
+    // left-join-of-two-scans form reads lineitem twice); sargable
+    // range twin of the year() predicates, as in forecastAccuracy
+    val yr = year(col("l_shipdate"))
+    val lo = s"${math.min(newYear, oldYear)}-01-01"
+    val hi = s"${math.max(newYear, oldYear) + 1}-01-01"
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi) &&
+        yr.isin(newYear, oldYear))
       .groupBy(col("l_partkey"))
-      .agg(round(sum(col("l_quantity")), 2).as(as))
-    snap(newYear, "new_qty")
-      .join(snap(oldYear, "old_qty"), Seq("l_partkey"), "left")
-      .filter(col("old_qty").isNull || col("new_qty") =!= col("old_qty"))
+      .agg(round(sum(when(yr === newYear, col("l_quantity"))), 2)
+        .as("new_qty"),
+        round(sum(when(yr === oldYear, col("l_quantity"))), 2)
+          .as("old_qty"))
+      .filter(col("new_qty").isNotNull &&
+        (col("old_qty").isNull || col("new_qty") =!= col("old_qty")))
   }
 
   /** W3/J10 (`myConversionsClass.py:342-353` groupwise max): orders

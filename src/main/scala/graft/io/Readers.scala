@@ -102,9 +102,13 @@ object Readers {
     require(headerIdx >= 0, "no header row found")
     val headers = first(headerIdx).toSeq.map(v =>
       Option(v).map(_.toString).getOrElse("_unnamed"))
-    val withId = df.withColumn("_rid", monotonically_increasing_id())
-    // rows strictly after the header row, in original order
-    val body = withId.orderBy("_rid")
+    // rows strictly after the header row — the filter needs no sort
+    // (an orderBy here would be a full shuffle buying nothing).
+    // monotonically_increasing_id is partition-ordered, not
+    // file-ordered, on multi-split inputs; the header feeds this
+    // targets are single small files (one partition), where it equals
+    // the row order.
+    val body = df.withColumn("_rid", monotonically_increasing_id())
       .filter(col("_rid") > headerIdx).drop("_rid")
     body.toDF(headers.map(h => h.replace(".", "_")): _*)
   }

@@ -26,7 +26,14 @@ object Sinks {
     * the anti-predicate rewrite of the target table: keep rows NOT
     * matching, overwrite. Null-safe: rows where the predicate is NULL
     * are kept (SQL DELETE only removes rows where the predicate is
-    * true). Returns the number of rows deleted. */
+    * true). Returns the number of rows deleted.
+    *
+    * NOT atomic: a crash between the tmp write and the target
+    * overwrite leaves the data only in `<target>__rewrite` (recoverable
+    * by hand). The cluster-scale form of both this and the upsert below
+    * is a transactional table format (Delta/Iceberg `DELETE`/`MERGE`
+    * with deletion vectors); plain parquet can only do
+    * write-tmp-then-overwrite. */
   def deleteWhere(spark: SparkSession, targetPath: String,
       predicate: org.apache.spark.sql.Column): Long = {
     val target = spark.read.parquet(targetPath)
@@ -37,6 +44,9 @@ object Sinks {
     val tmp = targetPath + "__rewrite"
     keep.write.mode(SaveMode.Overwrite).parquet(tmp)
     spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(targetPath)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    tmpPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(tmpPath, true)
     before - kept
   }
 
@@ -48,24 +58,37 @@ object Sinks {
     * reference's exact semantics on plain parquet. */
   def deltaUpsertAppend(spark: SparkSession, newDf: DataFrame,
       targetPath: String, pk: Seq[String]): Long = {
-    val target = try spark.read.parquet(targetPath) catch {
-      case _: Throwable => null
-    }
-    val delta =
-      if (target == null) newDf
-      else {
+    // ONLY a missing target means "first load": any other read failure
+    // (corrupt file, permissions, transient FS error) must propagate —
+    // treating it as absence would append the full newDf and duplicate
+    // every existing row
+    val target =
+      try Some(spark.read.parquet(targetPath)) catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).exists(_.contains("PATH_NOT_FOUND")) =>
+          None
+      }
+    val delta = target match {
+      case None => newDf
+      case Some(db) =>
         val valueCols = newDf.columns.filterNot(pk.contains)
-        if (valueCols.isEmpty) newDf.join(target, pk, "left_anti")
+        if (valueCols.isEmpty) newDf.join(db, pk, "left_anti")
         else {
-          val renamed = valueCols.foldLeft(target)((d, c) =>
+          // existence marker: a new row whose PK is absent must append
+          // even when all its value columns are NULL (the per-column
+          // difference predicate alone evaluates to NULL for such rows
+          // and would silently drop them)
+          val renamed = valueCols.foldLeft(db)((d, c) =>
             d.withColumnRenamed(c, s"${c}__db"))
+            .withColumn("__exists", lit(1))
           newDf.join(renamed, pk, "left")
-            .filter(valueCols.map(c =>
-              col(s"${c}__db").isNull =!= col(c).isNull ||
-                col(c) =!= col(s"${c}__db")).reduce(_ || _))
+            .filter(col("__exists").isNull ||
+              valueCols.map(c =>
+                col(s"${c}__db").isNull =!= col(c).isNull ||
+                  col(c) =!= col(s"${c}__db")).reduce(_ || _))
             .select(newDf.columns.map(col): _*)
         }
-      }
+    }
     val n = delta.count()
     if (n > 0) delta.write.mode(SaveMode.Append).parquet(targetPath)
     n

@@ -25,8 +25,12 @@ object AnalyticsQueries {
   private val segs = Analytics.Segments
 
   val oracles: Map[String, String] = Map(
+    // the C->B promotion threshold is interpolated from the SAME Scala
+    // double the Spark side compares against (0.95 - 0.8 evaluates to
+    // 0.15000000000000002 in IEEE doubles but to exactly 0.15 in
+    // DuckDB's DECIMAL constant folding — latent cross-engine drift)
     "abc_classification" ->
-      """WITH rev AS (
+      s"""WITH rev AS (
         |  SELECT p_brand, l_partkey,
         |         greatest(ROUND(SUM(l_extendedprice), 2), 0.0) AS revenue
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -36,7 +40,7 @@ object AnalyticsQueries {
         |  CASE WHEN revenue > 0 AND revenue = cum_sum THEN 'A'
         |       WHEN cum_share > 0 AND cum_share <= 0.8 THEN 'A'
         |       WHEN cum_share > 0.8 AND cum_share <= 0.95 THEN 'B'
-        |       WHEN share >= 0.95 - 0.8 THEN 'B'
+        |       WHEN share >= ${0.95 - 0.8} THEN 'B'
         |       ELSE 'C' END AS abc_class
         |FROM (
         |  SELECT *,
@@ -77,22 +81,20 @@ object AnalyticsQueries {
         |FROM st""".stripMargin,
 
     "fca_forecast_accuracy" ->
-      """WITH fc AS (
-        |  SELECT l_partkey, month(l_shipdate) AS mo, SUM(l_quantity) AS v
-        |  FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1, 2
-        |),
-        |act AS (
-        |  SELECT l_partkey, month(l_shipdate) AS mo, SUM(l_quantity) AS v
-        |  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1, 2
+      """WITH j AS (
+        |  SELECT l_partkey, month(l_shipdate) AS mo,
+        |    SUM(l_quantity) FILTER (WHERE year(l_shipdate) = 1995) AS fv,
+        |    SUM(l_quantity) FILTER (WHERE year(l_shipdate) = 1996) AS av
+        |  FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)
+        |  GROUP BY 1, 2
         |)
-        |SELECT fc.l_partkey, fc.mo, ROUND(fc.v, 2) AS forecast,
-        |  ROUND(act.v, 2) AS actual,
-        |  ROUND(CASE WHEN act.v = 0 THEN 0.0
-        |        ELSE abs(act.v - fc.v) / act.v END, 6) AS abs_err_pct,
-        |  ROUND(CASE WHEN act.v = 0 THEN 0.99
-        |        ELSE 1.0 - abs(act.v - fc.v) / act.v END, 6) AS fca
-        |FROM fc JOIN act ON fc.l_partkey = act.l_partkey
-        |                AND fc.mo = act.mo""".stripMargin,
+        |SELECT l_partkey, mo, ROUND(fv, 2) AS forecast,
+        |  ROUND(av, 2) AS actual,
+        |  ROUND(CASE WHEN av = 0 THEN 0.0
+        |        ELSE abs(av - fv) / av END, 6) AS abs_err_pct,
+        |  ROUND(CASE WHEN av = 0 THEN 0.99
+        |        ELSE 1.0 - abs(av - fv) / av END, 6) AS fca
+        |FROM j WHERE fv IS NOT NULL AND av IS NOT NULL""".stripMargin,
 
     "uom_conversion" ->
       """WITH li AS (
@@ -107,17 +109,18 @@ object AnalyticsQueries {
         |FROM li LEFT JOIN part ON li.l_partkey = p_partkey""".stripMargin,
 
     "delta_detect" ->
-      """WITH nw AS (
-        |  SELECT l_partkey, ROUND(SUM(l_quantity), 2) AS new_qty
-        |  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1
-        |),
-        |old AS (
-        |  SELECT l_partkey, ROUND(SUM(l_quantity), 2) AS old_qty
-        |  FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1
+      """WITH j AS (
+        |  SELECT l_partkey,
+        |    ROUND(SUM(l_quantity)
+        |      FILTER (WHERE year(l_shipdate) = 1996), 2) AS new_qty,
+        |    ROUND(SUM(l_quantity)
+        |      FILTER (WHERE year(l_shipdate) = 1995), 2) AS old_qty
+        |  FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)
+        |  GROUP BY 1
         |)
-        |SELECT nw.l_partkey, new_qty, old_qty
-        |FROM nw LEFT JOIN old ON nw.l_partkey = old.l_partkey
-        |WHERE old_qty IS NULL OR new_qty <> old_qty""".stripMargin,
+        |SELECT l_partkey, new_qty, old_qty FROM j
+        |WHERE new_qty IS NOT NULL
+        |  AND (old_qty IS NULL OR new_qty <> old_qty)""".stripMargin,
 
     "groupwise_max" ->
       """SELECT bu, o_orderkey, o_totalprice FROM (

@@ -20,7 +20,7 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * distributed, so the consumer scales with executors exactly like the
   * batch queries.
   */
-class StreamingLogistic(nFeatures: Int, maxIter: Int = 50,
+class StreamingLogistic(nFeatures: Int, maxIter: Int = 25,
     regParam: Double = 0.01, windowBatches: Int = 8) extends Serializable {
 
   @volatile private var coef: Array[Double] = Array.fill(nFeatures)(0.0)

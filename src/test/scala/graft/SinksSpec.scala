@@ -22,6 +22,27 @@ class SinksSpec extends SparkSpec {
     assert(rows == Set((1, 10.0), (2, 20.0), (3, 30.0), (2, 21.0), (4, 40.0)))
   }
 
+  test("delta upsert appends a new-PK row whose values are all NULL") {
+    val dir = Files.createTempDirectory("graft_upsert2").toFile.getAbsolutePath
+    val target = s"$dir/t"
+    val base = Seq((1, Option(10.0))).toDF("k", "v")
+    assert(Sinks.deltaUpsertAppend(spark, base, target, Seq("k")) == 1)
+    // new PK, NULL value: the per-column difference predicate alone is
+    // NULL for this row — the existence marker must still append it
+    val next = Seq((2, None: Option[Double])).toDF("k", "v")
+    assert(Sinks.deltaUpsertAppend(spark, next, target, Seq("k")) == 1)
+    // re-sending the same NULL-valued row is then a no-op
+    assert(Sinks.deltaUpsertAppend(spark, next, target, Seq("k")) == 0)
+  }
+
+  test("deleteWhere cleans up its rewrite temp directory") {
+    val dir = Files.createTempDirectory("graft_del2").toFile.getAbsolutePath
+    val t = s"$dir/t"
+    Seq((1, "x"), (2, "y")).toDF("k", "v").write.parquet(t)
+    Sinks.deleteWhere(spark, t, col("v") === "x")
+    assert(!new java.io.File(t + "__rewrite").exists())
+  }
+
   test("deleteWhere removes only predicate-true rows (null-safe)") {
     val dir = Files.createTempDirectory("graft_del").toFile.getAbsolutePath
     val t = s"$dir/t"
