@@ -3,7 +3,7 @@ package graft.registry
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.Star
 import graft.extract.Extracts
-import graft.transform.Transform
+import graft.transform.{Runner, Transform}
 
 /** Driver-contract registry for the DAX-extract family (SURVEY §2.1 S7,
   * §2.4 A4–A6/A9, §2.2 P7–P11, §2.3 J1/J12): all 15 reference scripts —
@@ -50,7 +50,14 @@ object ExtractQueries {
     "bpc_by_sku_rollup" -> ((s, d) => Extracts.bpcBySku(s, d)),
     "act_unknown_latest_snapshot" -> ((s, d) => Extracts.actUnknown(s, d)),
     "fcst_unknown_latest_snapshot" -> ((s, d) => Extracts.fcstUnknown(s, d)),
-    "demand_to_final" -> ((s, d) => Transform.actDemandBlankFinal(s, d)))
+    "demand_to_final" -> ((s, d) => Transform.actDemandBlankFinal(s, d)),
+    // config-driven runner variants (pipeline/runner.py:22-178):
+    // constant source/BU + blank sales org + F2 country cleaning, and
+    // from-file snapshot + source-from-column
+    "job_bpc_vad" -> ((s, d) =>
+      Runner.runJob(s, d, Runner.jobs("bpc_vad"))),
+    "job_fcst_unknown" -> ((s, d) =>
+      Runner.runJob(s, d, Runner.jobs("fcst_unknown"))))
 
   /** One SQL shape for the 12 window scripts (see Extracts.windowedExtract):
     * country-blankness dual × month window [lo, hi), Cycle=Current, the
@@ -76,6 +83,33 @@ object ExtractQueries {
        |    AND $window
        |  GROUP BY ALL
        |) WHERE consensus <> 0""".stripMargin
+  }
+
+  /** FcstUnknown extract oracle — also the inner query of the
+    * job_fcst_unknown runner oracle. */
+  private val FcstUnknownSql: String = {
+    val fys = Extracts.FcstFiscalYears.mkString("(", ", ", ")")
+    s"""$W,
+       |mx AS (SELECT MAX(snapshot_date) AS m FROM siop),
+       |cal AS (SELECT * FROM calendar WHERE fiscal_year IN $fys)
+       |SELECT * FROM (
+       |  SELECT s.country, s.material_id, s.sales_organization,
+       |         s.planning_system, s.snapshot_date, s.reltio_bu,
+       |         ROUND(s.siop_consensus, 2) AS consensus,
+       |         c.month_year, c.month_sort,
+       |         COUNT(*) AS n_rows
+       |  FROM siop s JOIN cal c ON s.month_key = c.month_sort
+       |       CROSS JOIN mx
+       |  WHERE s.siop_consensus <> 0 AND s.siop_consensus IS NOT NULL
+       |    AND s.segment = '${Extracts.UnknownSegment}'
+       |    AND s.month_key >= ${mk(0)}
+       |    AND s.snapshot_date = mx.m
+       |  GROUP BY ALL
+       |) WHERE country IS NOT NULL OR material_id IS NOT NULL
+       |      OR sales_organization IS NOT NULL
+       |      OR planning_system IS NOT NULL OR snapshot_date IS NOT NULL
+       |      OR reltio_bu IS NOT NULL OR consensus IS NOT NULL
+       |      OR month_year IS NOT NULL OR month_sort IS NOT NULL""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -117,30 +151,48 @@ object ExtractQueries {
          |       COUNT(*) AS n_rows
          |FROM f WHERE snapshot_date = (SELECT MAX(snapshot_date) FROM f)
          |GROUP BY ALL""".stripMargin,
-    "fcst_unknown_latest_snapshot" -> {
-      val fys = Extracts.FcstFiscalYears.mkString("(", ", ", ")")
+    "fcst_unknown_latest_snapshot" -> FcstUnknownSql,
+    // runner variant: constant source/BU, blank sales org, F2 literal
+    // replace-all of " Performance", no month grain -> NULL attribute
+    "job_bpc_vad" ->
       s"""$W,
-         |mx AS (SELECT MAX(snapshot_date) AS m FROM siop),
-         |cal AS (SELECT * FROM calendar WHERE fiscal_year IN $fys)
-         |SELECT * FROM (
-         |  SELECT s.country, s.material_id, s.sales_organization,
-         |         s.planning_system, s.snapshot_date, s.reltio_bu,
-         |         ROUND(s.siop_consensus, 2) AS consensus,
-         |         c.month_year, c.month_sort,
-         |         COUNT(*) AS n_rows
-         |  FROM siop s JOIN cal c ON s.month_key = c.month_sort
-         |       CROSS JOIN mx
-         |  WHERE s.siop_consensus <> 0 AND s.siop_consensus IS NOT NULL
-         |    AND s.segment = '${Extracts.UnknownSegment}'
-         |    AND s.month_key >= ${mk(0)}
-         |    AND s.snapshot_date = mx.m
-         |  GROUP BY ALL
-         |) WHERE country IS NOT NULL OR material_id IS NOT NULL
-         |      OR sales_organization IS NOT NULL
-         |      OR planning_system IS NOT NULL OR snapshot_date IS NOT NULL
-         |      OR reltio_bu IS NOT NULL OR consensus IS NOT NULL
-         |      OR month_year IS NOT NULL OR month_sort IS NOT NULL""".stripMargin
-    },
+         |ext AS (
+         |  SELECT * FROM (
+         |    SELECT material_id, reltio_bu,
+         |           CASE WHEN country IS NOT NULL AND length(country) % 2 = 0
+         |                THEN country || ' Performance' ELSE country
+         |           END AS country,
+         |           segment,
+         |           ROUND(SUM(siop_consensus), 4) AS actual_units
+         |    FROM siop
+         |    WHERE reltio_bu IS NULL OR reltio_bu NOT IN ('FURNITURE')
+         |    GROUP BY ALL
+         |  ) WHERE material_id IS NOT NULL OR reltio_bu IS NOT NULL
+         |        OR country IS NOT NULL OR segment IS NOT NULL
+         |)
+         |SELECT 'BPC' AS source,
+         |       DATE '${Star.AsOf}' AS snapshot,
+         |       material_id AS material,
+         |       '' AS sales_organization,
+         |       replace(country, ' Performance', '') AS country,
+         |       CAST(NULL AS DATE) AS attribute,
+         |       actual_units AS value,
+         |       'MDS' AS bu
+         |FROM ext""".stripMargin,
+    // runner variant: snapshot taken from the extract's snapshot_date
+    // column, source from the planning-system column
+    "job_fcst_unknown" ->
+      s"""WITH fu AS ($FcstUnknownSql)
+         |SELECT planning_system AS source,
+         |       snapshot_date AS snapshot,
+         |       material_id AS material,
+         |       sales_organization,
+         |       country,
+         |       CAST(strptime(CAST(month_sort AS VARCHAR) || '01',
+         |            '%Y%m%d') AS DATE) AS attribute,
+         |       consensus AS value,
+         |       reltio_bu AS bu
+         |FROM fu""".stripMargin,
     "demand_to_final" ->
       s"""$W,
          |mapping AS (

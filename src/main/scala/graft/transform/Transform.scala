@@ -28,33 +28,10 @@ object Transform {
         n("n_name").as("corrected_country"))
   }
 
-  /** `transform_to_final` over an extract result: J1 mapping merge with
-    * conditional country overwrite, then the canonical projection. */
-  def toFinal(extract: DataFrame, mapping: DataFrame, source: String,
-      asOf: String): DataFrame = {
-    val m = broadcast(mapping)
-    extract.join(m, extract("sales_organization") === m("map_sales_org"),
-        "left")                                                     // J1
-      .select(
-        coalesce(col("planning_system"), lit(source)).as("source"),
-        trunc(to_date(lit(asOf)), "month").as("snapshot"),          // F13
-        col("material_id").as("material"),
-        col("sales_organization"),
-        when(col("country").isNull || col("country") === "",
-          col("corrected_country")).otherwise(col("country"))
-          .as("country"),
-        // attribute = first-of-month of the measured month (F14: the
-        // extract's month_sort is already the parsed yyyymm key)
-        to_date(concat(col("month_sort").cast("string"), lit("01")),
-          "yyyyMMdd").as("attribute"),
-        col("consensus").as("value"),
-        blankBuRewrite(col("reltio_bu")).as("bu"))                  // F9
-  }
-
   /** End-to-end flagship pipeline (SURVEY §7.2): ActDemandBlank extract
-    * -> canonical 8-column output. */
+    * -> canonical 8-column output, dispatched through the config-driven
+    * [[Runner]] (the `use_mapping=True` job of `runner.py:25-38`). */
   def actDemandBlankFinal(spark: SparkSession, dir: String,
       asOf: String = Star.AsOf): DataFrame =
-    toFinal(graft.extract.Extracts.actDemandBlank(spark, dir, asOf),
-      salesOrgMapping(spark, dir), "SIOP", asOf)
+    Runner.runJob(spark, dir, Runner.jobs("act_blank"), asOf)
 }
