@@ -32,11 +32,13 @@ object MonthRegex {
     }.distinct
   }
 
-  /** The OR-alternation pattern (tokens regex-quoted). */
+  /** The OR-alternation pattern. Tokens are emitted raw: every
+    * spelling is digits, letters, space, '-' or '/' — no regex
+    * metacharacters — and raw tokens keep the pattern portable to
+    * RE2-based engines (the DuckDB oracle), where Java's \Q...\E
+    * quoting is not recognized. */
   def pattern(snapshot: LocalDate, months: Int = 12): String =
-    monthTokens(snapshot, months)
-      .map(java.util.regex.Pattern.quote)
-      .mkString("(", "|", ")")
+    monthTokens(snapshot, months).mkString("(", "|", ")")
 
   /** Predicate: attribute text mentions any of the last N months. */
   def lastMonthsFilter(attribute: Column, snapshot: LocalDate,

@@ -57,7 +57,27 @@ object LoadQueries {
       Load.previewLatest(
         Tables(s, d, "orders").select(col("o_orderkey"),
           date_format(col("o_orderdate"), "MM/dd/yyyy").as("snapshot")),
-        "snapshot", 10, Seq(col("o_orderkey")))))
+        "snapshot", 10, Seq(col("o_orderkey")))),
+
+    // J8: region/plant backfill — blank-region suppliers crossed with
+    // the (tiny broadcast) region list, plant picked per (grp, region)
+    "j8_region_backfill" -> ((s, d) => {
+      val reg = Tables(s, d, "region")
+      val facts = Tables(s, d, "supplier")
+        .join(Tables(s, d, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(reg, col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), (col("s_suppkey") % 3).as("grp"),
+          when(col("s_suppkey") % 5 === 0, lit(null: String))
+            .otherwise(col("r_name")).as("region"),
+          round(col("s_acctbal"), 2).as("acct"))
+      val regionPlants = reg
+        .select(explode(array(lit(0L), lit(1L), lit(2L))).as("grp"),
+          col("r_name").as("region"),
+          concat(lit("P-"), col("r_regionkey").cast("string"))
+            .as("plant"))
+      Load.regionBackfill(facts, regionPlants, "grp")
+    }))
 
   val oracles: Map[String, String] = Map(
     "j2_guarded_lookup" ->
@@ -114,5 +134,29 @@ object LoadQueries {
       """SELECT o_orderkey,
         |       strftime(o_orderdate, '%m/%d/%Y') AS snapshot
         |FROM orders
-        |ORDER BY o_orderdate DESC, o_orderkey LIMIT 10""".stripMargin)
+        |ORDER BY o_orderdate DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "j8_region_backfill" ->
+      """WITH rp AS (
+        |  SELECT g AS grp, r_name AS region,
+        |         'P-' || CAST(r_regionkey AS VARCHAR) AS plant
+        |  FROM region CROSS JOIN (SELECT unnest([0, 1, 2]) AS g)
+        |),
+        |f AS (
+        |  SELECT s_suppkey, s_suppkey % 3 AS grp,
+        |         CASE WHEN s_suppkey % 5 = 0 THEN NULL ELSE r_name END
+        |           AS region,
+        |         ROUND(s_acctbal, 2) AS acct
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |       JOIN region ON n_regionkey = r_regionkey
+        |)
+        |SELECT f.grp, f.region, f.s_suppkey, f.acct, rp.plant
+        |FROM f LEFT JOIN rp ON f.grp = rp.grp AND f.region = rp.region
+        |WHERE f.region IS NOT NULL AND f.region <> ''
+        |UNION ALL
+        |SELECT b.grp, rl.region, b.s_suppkey, b.acct, rp2.plant
+        |FROM (SELECT * FROM f WHERE region IS NULL OR region = '') b
+        |CROSS JOIN (SELECT DISTINCT region FROM rp) rl
+        |LEFT JOIN rp rp2 ON b.grp = rp2.grp AND rl.region = rp2.region"""
+        .stripMargin)
 }

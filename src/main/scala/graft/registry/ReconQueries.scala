@@ -55,7 +55,37 @@ object ReconQueries {
           concat(lit("plan FY"), lpad((year(col("o_orderdate")) % 100)
             .cast("string"), 2, "0"), lit(" rev ")).as("label"))
         .select(col("o_orderkey"), col("label"),
-          fyYearFromText(col("label")).as("fy"))))
+          fyYearFromText(col("label")).as("fy"))),
+
+    // P6: the last-12-months regex-month filter over text attributes
+    // (reference datavalidation.py:173-234) — pattern generated once
+    // from Star.AsOf, identical string in both engines
+    "p6_month_regex_filter" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 2 === 0,
+            date_format(col("o_orderdate"), "yyyyMM"))
+            .otherwise(date_format(col("o_orderdate"), "MMM yyyy"))
+            .as("attribute"))
+        .filter(graft.functions.MonthRegex.lastMonthsFilter(
+          col("attribute"), java.time.LocalDate.parse(Star.AsOf)))),
+
+    // F3/F4/F15: keep-digits scrub, thousands-comma numeric parse
+    // (NULL and 0-fill variants), M-yyyy month parse
+    "f_cleaning_numeric" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          concat(lit("$"), col("l_quantity").cast("string"), lit(" USD"))
+            .as("raw_qty"),
+          concat(col("l_orderkey").cast("string"), lit(",500"))
+            .as("comma_val"),
+          concat(month(col("l_shipdate")).cast("string"), lit("-"),
+            year(col("l_shipdate")).cast("string")).as("month_txt"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          parseNumberNull(scrubNumeric(col("raw_qty"))).as("qty_clean"),
+          parseNumberNull(col("comma_val")).as("comma_parsed"),
+          parseNumberZero(col("raw_qty")).as("raw_zero_fill"),
+          parseSlashMonth(col("month_txt")).as("month_parsed"))))
 
   val oracles: Map[String, String] = Map(
     "a1_bu_sum_count" ->
@@ -201,5 +231,37 @@ object ReconQueries {
         |       'plan FY' || lpad(CAST(year(o_orderdate) % 100 AS VARCHAR),
         |         2, '0') || ' rev ' AS label,
         |       (year(o_orderdate) % 100) + 2000 AS fy
-        |FROM orders""".stripMargin)
+        |FROM orders""".stripMargin,
+
+    "p6_month_regex_filter" -> {
+      val pat = graft.functions.MonthRegex.pattern(
+        java.time.LocalDate.parse(Star.AsOf))
+      s"""SELECT * FROM (
+         |  SELECT o_orderkey,
+         |         CASE WHEN o_orderkey % 2 = 0
+         |              THEN strftime(o_orderdate, '%Y%m')
+         |              ELSE strftime(o_orderdate, '%b %Y')
+         |         END AS attribute
+         |  FROM orders
+         |) WHERE regexp_matches(attribute, '$pat')""".stripMargin
+    },
+
+    "f_cleaning_numeric" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    '$' || CAST(l_quantity AS VARCHAR) || ' USD' AS raw_qty,
+        |    CAST(l_orderkey AS VARCHAR) || ',500' AS comma_val,
+        |    CAST(month(l_shipdate) AS VARCHAR) || '-'
+        |      || CAST(year(l_shipdate) AS VARCHAR) AS month_txt
+        |  FROM lineitem
+        |)
+        |SELECT l_orderkey, l_linenumber,
+        |  TRY_CAST(replace(regexp_replace(raw_qty, '[^0-9.\-]', '', 'g'),
+        |    ',', '') AS DOUBLE) AS qty_clean,
+        |  TRY_CAST(replace(comma_val, ',', '') AS DOUBLE) AS comma_parsed,
+        |  COALESCE(TRY_CAST(replace(raw_qty, ',', '') AS DOUBLE), 0.0)
+        |    AS raw_zero_fill,
+        |  TRY_CAST(strptime(replace(month_txt, '-', '/'), '%-m/%Y')
+        |    AS DATE) AS month_parsed
+        |FROM src""".stripMargin)
 }
