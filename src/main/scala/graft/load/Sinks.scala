@@ -22,6 +22,20 @@ object Sinks {
     df.write.option("maxRecordsPerFile", maxRecordsPerFile.toString)
       .mode(SaveMode.Overwrite).parquet(path)
 
+  /** S15: truncate — keep the table's schema, drop every row
+    * (reference `mySQLClass.py:107-115`; its bug — truncating the
+    * literal name "table_name" — is deliberately not reproduced,
+    * SURVEY §2.1 S15). */
+  def truncate(spark: SparkSession, targetPath: String): Unit = {
+    val empty = spark.read.parquet(targetPath).limit(0)
+    val tmp = targetPath + "__rewrite"
+    empty.write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(targetPath)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    tmpPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(tmpPath, true)
+  }
+
   /** S14: DELETE-with-predicate (reference `mySQLClass.py:237-257`) as
     * the anti-predicate rewrite of the target table: keep rows NOT
     * matching, overwrite. Null-safe: rows where the predicate is NULL

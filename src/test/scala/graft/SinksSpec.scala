@@ -35,6 +35,16 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.deltaUpsertAppend(spark, next, target, Seq("k")) == 0)
   }
 
+  test("truncate empties the table but keeps its schema") {
+    val dir = Files.createTempDirectory("graft_trunc").toFile.getAbsolutePath
+    val t = s"$dir/t"
+    Seq((1, "x"), (2, "y")).toDF("k", "v").write.parquet(t)
+    Sinks.truncate(spark, t)
+    val back = spark.read.parquet(t)
+    assert(back.count() == 0)
+    assert(back.columns.toSeq == Seq("k", "v"))
+  }
+
   test("deleteWhere cleans up its rewrite temp directory") {
     val dir = Files.createTempDirectory("graft_del2").toFile.getAbsolutePath
     val t = s"$dir/t"
