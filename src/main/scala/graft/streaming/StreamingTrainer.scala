@@ -75,6 +75,9 @@ class StreamingLogistic(nFeatures: Int, maxIter: Int = 25,
       .transform(train)
     val m = new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(regParam)
+      // each LBFGS iteration is a full distributed pass; 1e-4 stops
+      // once the loss plateaus instead of burning the iteration budget
+      .setTol(1e-4)
       .setStandardization(false)
       .setLabelCol("label").setFeaturesCol("features")
       .fit(assembled)
