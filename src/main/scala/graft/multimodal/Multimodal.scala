@@ -84,4 +84,36 @@ object Multimodal {
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(mediaTable(spark, dir)).toDF()
       .withColumn("mean_byte", round(col("mean_byte"), 6))
+
+  val FrameBytes = 32
+  val FrameEvery = 4
+
+  /** Frame sampling: slice the opaque payload into fixed-size frames
+    * and keep every k-th (the video-keyframe / audio-window shape the
+    * training pipeline needs), fingerprinting each sampled frame. The
+    * codec is the same declared stub as [[decodeStub]] — the real part
+    * is the plumbing: per-row frame explosion is a narrow Generate (no
+    * shuffle), slicing/digesting stays inside codegen'd built-ins, and
+    * the frame grid derives from payload length only. Slicing operates
+    * on the hex image of the payload (2 chars/byte) so the identical
+    * frames are reproducible in the SQL oracle; a codec-enabled build
+    * would slice the binary directly with the same plan shape. */
+  def sampleFrames(spark: SparkSession, dir: String,
+      frameBytes: Int = FrameBytes, every: Int = FrameEvery): DataFrame = {
+    val w = frameBytes * 2
+    val hx = hex(col("payload"))
+    val nFrames = ceil(length(col("hx")) / w.toDouble).cast("int")
+    val frame = col("hx").substr(col("frame_index").cast("int") * w + 1,
+      lit(w))
+    mediaTable(spark, dir).toDF()
+      .select(col("doc_id"), col("media_type"), hx.as("hx"))
+      .filter(length(col("hx")) > 0)
+      .select(col("doc_id"), col("media_type"), col("hx"),
+        explode(filter(sequence(lit(0), nFrames - 1),
+          i => i % every === 0)).as("frame_index"))
+      .select(col("doc_id"), col("media_type"),
+        col("frame_index").cast("long").as("frame_index"),
+        md5(frame).as("frame_md5"),
+        (length(frame) / lit(2)).cast("long").as("n_bytes"))
+  }
 }

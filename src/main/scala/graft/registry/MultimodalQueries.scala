@@ -12,7 +12,8 @@ import graft.multimodal.Multimodal
 object MultimodalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_features" -> ((s, d) => Multimodal.mediaFeatures(s, d)))
+    "multimodal_features" -> ((s, d) => Multimodal.mediaFeatures(s, d)),
+    "multimodal_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, d)))
 
   val oracles: Map[String, String] = Map(
     "multimodal_features" ->
@@ -31,5 +32,28 @@ object MultimodalQueries {
         |  CAST(len(list_filter(codes, c -> c // 64 = 1)) AS BIGINT) AS hist_1,
         |  CAST(len(list_filter(codes, c -> c // 64 = 2)) AS BIGINT) AS hist_2,
         |  CAST(len(list_filter(codes, c -> c // 64 = 3)) AS BIGINT) AS hist_3
-        |FROM c""".stripMargin)
+        |FROM c""".stripMargin,
+
+    "multimodal_frame_sample" -> {
+      val w = Multimodal.FrameBytes * 2
+      val k = Multimodal.FrameEvery
+      s"""WITH m AS (
+         |  SELECT doc_id, 'img/' || source AS media_type,
+         |         hex(text) AS hx
+         |  FROM documents WHERE length(text) > 0
+         |),
+         |fr AS (
+         |  SELECT doc_id, media_type, hx,
+         |    unnest(list_filter(
+         |      range(0, CAST(ceil(length(hx) / $w.0) AS INT)),
+         |      i -> i % $k = 0)) AS frame_index
+         |  FROM m
+         |)
+         |SELECT doc_id, media_type, frame_index,
+         |  md5(substring(hx, CAST(frame_index * $w + 1 AS INT), $w))
+         |    AS frame_md5,
+         |  length(substring(hx, CAST(frame_index * $w + 1 AS INT), $w)) // 2
+         |    AS n_bytes
+         |FROM fr""".stripMargin
+    })
 }

@@ -23,6 +23,29 @@ class MultimodalSpec extends SparkSpec {
     assert(f.filter(col("hist_2") + col("hist_3") > 0).count() == 0)
   }
 
+  test("frame sampling: correct grid, full frames, every-kth kept") {
+    val f = Multimodal.sampleFrames(spark, SfDir)
+    import spark.implicits._
+    val rows = f.select("doc_id", "frame_index", "n_bytes")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // only every-kth frame index survives
+    assert(rows.forall(_._2 % Multimodal.FrameEvery == 0))
+    // all but a document's last sampled frame are exactly FrameBytes
+    val lastIdx = rows.groupBy(_._1).view.mapValues(_.map(_._2).max)
+    rows.foreach { case (d, i, n) =>
+      if (i < lastIdx(d)) assert(n == Multimodal.FrameBytes)
+      else assert(n > 0 && n <= Multimodal.FrameBytes)
+    }
+    // sampling with every=1 reconstructs the payload byte count
+    val total = Multimodal.sampleFrames(spark, SfDir, every = 1)
+      .groupBy(col("doc_id")).agg(sum("n_bytes").as("nb"))
+    val src = Multimodal.mediaTable(spark, SfDir).toDF()
+      .select(col("doc_id"), length(col("payload")).cast("long").as("pb"))
+    assert(total.join(src, "doc_id")
+      .filter(col("nb") =!= col("pb")).count() == 0)
+  }
+
   test("decode batch shape: batches bounded by DecodeBatchSize") {
     val batchSizes = Multimodal.mediaTable(spark, SfDir)
       .mapPartitions(it => it.grouped(Multimodal.DecodeBatchSize)
