@@ -1,0 +1,50 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Join strategies for fact-scale inputs — the two standard answers to
+  * "what happens to the lineitem⋈orders shuffle at 100 TB" (SURVEY §2.3
+  * scale notes, [[Star.siop]] doc):
+  *
+  *  - '''Bucketed co-located join''': both fact tables written
+  *    pre-hashed into the same bucket count on the join key. Spark's
+  *    bucketed scan then satisfies the join's distribution requirement
+  *    from the LAYOUT, so the sort-merge join plans with NO Exchange on
+  *    either side — the shuffle is paid once at write time and
+  *    amortized over every subsequent join ([[BucketedJoinSpec]]
+  *    asserts the exchange-free plan).
+  *
+  *  - '''Salted join''': when one join key is hot enough that a single
+  *    reduce task would own it (AQE's skew split handles moderate skew;
+  *    extreme single-key skew wants salting), split the hot side's rows
+  *    across `salts` sub-keys and replicate the other side once per
+  *    sub-key. Results are identical to the plain join; the hot key's
+  *    work spreads over `salts` tasks.
+  */
+object ScaleJoins {
+
+  /** Write `df` as a bucketed+sorted managed table on `bucketCol` —
+    * the one-time shuffle that makes later equi-joins on that column
+    * exchange-free. Both join sides must use the same bucket count. */
+  def writeBucketedTable(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
+
+  /** Equi-join with the skewed (left) side salted across `salts`
+    * sub-keys and the right side replicated per sub-key. The salt is a
+    * deterministic hash of the whole left row — any assignment works
+    * (the join result never depends on which salt a row gets); a hash
+    * avoids a nondeterministic rand() column in the plan. Use when one
+    * key dominates; for the general case let AQE's skew-join handle it. */
+  def saltedJoin(skewed: DataFrame, right: DataFrame, key: String,
+      salts: Int): DataFrame = {
+    val sl = skewed.withColumn("__salt",
+      pmod(xxhash64(skewed.columns.map(col): _*), lit(salts)))
+    val sr = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    sl.join(sr, Seq(key, "__salt")).drop("__salt")
+  }
+}

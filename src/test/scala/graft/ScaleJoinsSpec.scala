@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{ScaleJoins, Tables}
+
+/** The 100-TB join answers, proven on small data: bucketed co-located
+  * joins plan without exchanges; salted joins reproduce plain-join
+  * results while splitting a hot key. */
+class ScaleJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables co-locate the fact join: no Exchange in plan") {
+    val li = Tables(spark, SfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val o = Tables(spark, SfDir, "orders")
+      .select("o_orderkey", "o_orderdate")
+    ScaleJoins.writeBucketedTable(li, "li_bkt", "l_orderkey", 8)
+    ScaleJoins.writeBucketedTable(o, "o_bkt", "o_orderkey", 8)
+    try {
+      val j = spark.table("li_bkt").join(spark.table("o_bkt"),
+        col("l_orderkey") === col("o_orderkey"))
+      // disable broadcast so the co-location (not size) decides
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = j.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"bucketed join still shuffles:\n$plan")
+        assert(j.count() == li.count()) // every lineitem has its order
+      } finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_bkt")
+      spark.sql("DROP TABLE IF EXISTS o_bkt")
+    }
+  }
+
+  test("salted join equals the plain join on a hot-key distribution") {
+    // 1000 rows of one hot key + a long tail
+    val skewed = (1 to 1200).map(i =>
+      (if (i <= 1000) 1L else i.toLong, s"p$i")).toDF("k", "payload")
+    val dim = (1L to 300L).map(k => (k, s"d$k")).toDF("k", "attr")
+    val plain = skewed.join(dim, "k")
+      .select("k", "payload", "attr").as[(Long, String, String)]
+      .collect().toSet
+    val salted = ScaleJoins.saltedJoin(skewed, dim, "k", salts = 8)
+      .select("k", "payload", "attr").as[(Long, String, String)]
+      .collect().toSet
+    assert(salted == plain)
+    assert(plain.count(_._1 == 1L) == 1000)
+  }
+}
