@@ -26,7 +26,11 @@ object SimilarityQueries {
     "sim_nearest_neighbor" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.nearestNeighbor(e, nBits = scaledNBits(e.count()))
-    }))
+    }),
+    // IVF over MLlib k-means cells — no SQL oracle possible (KMeans);
+    // driver records the rows-only check, recall proven in
+    // SimilaritySpec's planted-cluster test
+    "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(emb(s, d))))
 
   // ---- DuckDB SQL (same constants, same math) ----
 

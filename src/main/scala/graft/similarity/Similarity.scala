@@ -180,6 +180,55 @@ object Similarity {
       .select(col("q_id"), col("nn_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** IVF (inverted-file) ANN over MLlib k-means cells — the classic
+    * cluster-scale alternative to hyperplane LSH: a coarse quantizer
+    * (KMeans, distributed fit) partitions the corpus into nCells;
+    * each query probes its nProbe nearest cells and ranks only those
+    * cells' members. Candidate count ≈ nProbe·n/nCells — tune nCells
+    * ~√n for √n-ish work per query. The per-query center ranking is a
+    * codegen'd expression over literal center arrays (d = |c|² − 2v·c;
+    * |v|² is constant per query so it cannot change the order) — the
+    * centroid table never joins, it folds into the plan. Not
+    * SQL-oracle-expressible (KMeans); covered by the planted-cluster
+    * spec and the driver's rows-only check. */
+  def ivfTopK(emb: DataFrame, k: Int = TopK, queryMod: Int = QueryMod,
+      nCells: Int = 16, nProbe: Int = 2, seed: Long = 7L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = graft.core.CacheBay.register(
+      emb.repartition(col("vec_id"))
+        .select(col("vec_id"),
+          asDouble(col("embedding")).as("v"),
+          l2Norm(asDouble(col("embedding"))).as("nrm"),
+          array_to_vector(col("embedding")).as("features")))
+    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
+      .fit(feat)
+    val assigned = km.transform(feat)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("prediction").as("cell"))
+    val centers = km.clusterCenters.map(_.toArray)
+    // distance rank to each center: |c|^2 - 2 v.c (|v|^2 is per-row
+    // constant); centers are literal arrays -> pure codegen, no join
+    val centerStructs = centers.zipWithIndex.map { case (c, j) =>
+      val cArr = array(c.map(lit): _*)
+      val d = lit(c.map(x => x * x).sum) - lit(2.0) * dotProduct(col("v"), cArr)
+      struct(d.as("d"), lit(j).as("cell"))
+    }
+    val probes = assigned.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q_emb"),
+        col("nrm").as("q_norm"),
+        explode(slice(array_sort(array(centerStructs: _*)), 1, nProbe))
+          .as("p"))
+      .select(col("q_id"), col("q_emb"), col("q_norm"),
+        col("p.cell").as("cell"))
+    val corpus = assigned.select(col("vec_id").as("nn_id"),
+      col("v").as("c_emb"), col("nrm").as("c_norm"), col("cell"))
+    val pairs = probes.join(corpus, Seq("cell"))
+      .filter(col("q_id") =!= col("nn_id"))
+      .select(col("q_id"), col("nn_id"), pairCos.as("cos"))
+    topKOf(pairs, k)
+  }
+
   /** Exact per-vector NN by brute force — O(n²): the TEST ORACLE for
     * [[nearestNeighbor]] on sampled subsets, never the production path
     * (a corpus broadcast is unbroadcastable and the pair count

@@ -51,6 +51,32 @@ class SimilaritySpec extends SparkSpec {
     approx.foreach { case (q, c) => assert(c <= exact(q) + 1e-9) }
   }
 
+  test("IVF top-k recovers planted clusters and never beats brute force") {
+    def coef(seed: Int, d: Int): Double =
+      ((seed * 64L + d) * 1103515245L % 1000003L) / 1000003.0 - 0.5
+    // 10 clusters x 5 near-identical members; query = member 0 of each
+    val vecs = for { c <- 0 until 10; m <- 0 until 5 } yield
+      ((c * 5 + m).toLong * 25L, // every vec_id % 25 == 0 -> all queried
+        (1 to 64).map(d =>
+          (coef(c, d) + 0.01 * coef(c * 5 + m + 500, d)).toFloat))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val ivf = Similarity.ivfTopK(emb, k = 4, nCells = 10, nProbe = 2)
+      .select("q_id", "rank", "nn_id", "cos")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    val bf = Similarity.bruteForceTopK(emb, k = 4)
+      .select("q_id", "nn_id", "cos").as[(Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    ivf.foreach { case (q, _, n, c) =>
+      // in-cluster members only (cluster = vec_id/125 by construction)
+      assert(q / 125 == n / 125, s"query $q matched foreign vector $n")
+      // agrees with brute force where both rank the pair
+      bf.get((q, n)).foreach(c2 => assert(math.abs(c - c2) < 1e-9))
+    }
+    // every query finds all 4 of its cluster siblings
+    assert(ivf.groupBy(_._1).forall(_._2.length == 4))
+  }
+
   test("bucketed NN recovers planted near-duplicate clusters") {
     // 20 clusters × 3 near-identical 64-d vectors (deterministic
     // pseudo-random base + 1% per-member jitter): every vector's
