@@ -13,8 +13,9 @@ import graft.text.TextAnalysis._
   *    work inside whole-stage codegen — no UDFs, no shuffle.
   *  - Candidate generation NEVER does an O(n²) cross join: MinHash
   *    pairs come from an equi-join on (band, band-value) buckets and
-  *    SimHash pairs from an equi-join on 4-bit signature segments
-  *    (pigeonhole: Hamming ≤ 3 over 4 segments ⇒ ≥ 1 segment equal).
+  *    SimHash pairs from an equi-join on Manku-style 3-of-6-block keys
+  *    (pigeonhole: Hamming ≤ 3 flips touch ≤ 3 of 6 blocks ⇒ some
+  *    3-block combination matches exactly).
   *    Both shuffle on the bucket key only; AQE's skew-join split
   *    handles a hot bucket (a huge near-identical cluster).
   *  - n-gram Jaccard uses the standard inverted-index join with a
