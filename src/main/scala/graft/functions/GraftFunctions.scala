@@ -92,10 +92,13 @@ object GraftFunctions {
   def parseSlashMonth(c: Column): Column =
     to_date(regexp_replace(c, "-", "/"), "M/yyyy")
 
-  /** F16: lenient date parse, `MM/dd/yyyy` preferred then ISO
-    * (reference `Staging.py:114-118`). */
+  /** F16: lenient date parse, `MM/dd/yyyy` preferred then ISO;
+    * unparsable -> NULL (the reference's `errors="coerce"` NaT
+    * semantics, `Staging.py:114-118` — try_to_timestamp, because ANSI
+    * `to_date` throws on malformed input). */
   def parseDateLenient(c: Column): Column =
-    coalesce(to_date(c, "MM/dd/yyyy"), to_date(c))
+    coalesce(try_to_timestamp(c, lit("MM/dd/yyyy")), try_to_timestamp(c))
+      .cast("date")
 
   /** F17: truncate to Monday week start (reference
     * `myConversionsClass.py:614-625`). */

@@ -73,6 +73,32 @@ object Load {
     parsable.unionByName(rest)
   }
 
+  /** §3.2 step 2 / SURVEY §1.3: schema-driven type coercion — the
+    * reference's `_coerce_df_to_sql_types` (`DryRun.py:115-188`) reads
+    * `INFORMATION_SCHEMA` and casts per column type; here the target
+    * schema IS the declaration. Per-type cleaning before the cast:
+    * strings get trim + pandas-null normalization (F1), doubles get
+    * thousands-comma removal + TRY-cast (F4, NULL on failure — the
+    * upload path's semantics), dates the lenient MM/dd/yyyy-then-ISO
+    * parse (F16), integers a trimmed TRY-cast. Pure projection — one
+    * codegen'd pass, no shuffle. */
+  def coerceToSchema(df: DataFrame,
+      target: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.select(target.fields.map { f =>
+      val c = col(f.name)
+      val coerced = f.dataType match {
+        case StringType => cleanString(c)
+        case DoubleType | FloatType => parseNumberNull(c)
+        case DateType => parseDateLenient(c)
+        case LongType | IntegerType | ShortType =>
+          org.apache.spark.sql.graft.ColumnShim.tryCast(trim(c), LongType)
+        case _ => c
+      }
+      coerced.cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+  }
+
   /** O2/§3.2: upload preview — `TOP(n) ORDER BY TRY_CONVERT(date, …)
     * DESC` (reference `SqlUpload.py:107-123`): lenient date parse as
     * the sort key, nulls last. */

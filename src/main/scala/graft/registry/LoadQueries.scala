@@ -59,6 +59,25 @@ object LoadQueries {
           date_format(col("o_orderdate"), "MM/dd/yyyy").as("snapshot")),
         "snapshot", 10, Seq(col("o_orderkey")))),
 
+    // §3.2 coercion variant B/C: deterministically dirtied all-string
+    // upload feed coerced against a declared target schema
+    "coerce_types" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val dirty = Tables(s, d, "orders").select(
+        concat(lit("  "), col("o_orderkey").cast("string"), lit("  "))
+          .as("key"),
+        concat(col("o_orderkey").cast("string"), lit(",250.75"))
+          .as("value"),
+        when(col("o_orderkey") % 7 === 0, lit("nan"))
+          .otherwise(col("o_orderstatus")).as("status"),
+        date_format(col("o_orderdate"), "MM/dd/yyyy").as("snapshot"))
+      Load.coerceToSchema(dirty, StructType(Seq(
+        StructField("key", LongType),
+        StructField("value", DoubleType),
+        StructField("status", StringType),
+        StructField("snapshot", DateType))))
+    }),
+
     // J8: region/plant backfill — blank-region suppliers crossed with
     // the (tiny broadcast) region list, plant picked per (grp, region)
     "j8_region_backfill" -> ((s, d) => {
@@ -135,6 +154,18 @@ object LoadQueries {
         |       strftime(o_orderdate, '%m/%d/%Y') AS snapshot
         |FROM orders
         |ORDER BY o_orderdate DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "coerce_types" ->
+      """SELECT
+        |  TRY_CAST(trim('  ' || CAST(o_orderkey AS VARCHAR) || '  ')
+        |    AS BIGINT) AS key,
+        |  TRY_CAST(replace(CAST(o_orderkey AS VARCHAR) || ',250.75',
+        |    ',', '') AS DOUBLE) AS value,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END
+        |    AS status,
+        |  TRY_CAST(strptime(strftime(o_orderdate, '%m/%d/%Y'),
+        |    '%m/%d/%Y') AS DATE) AS snapshot
+        |FROM orders""".stripMargin,
 
     "j8_region_backfill" ->
       """WITH rp AS (

@@ -137,4 +137,22 @@ class ReadersSpec extends SparkSpec {
     assert(hits == Set("199605", "1996-05", "05/1996", "May 1996",
       "May-96", "199506"))
   }
+
+  test("coerceToSchema: per-type cleaning then cast; failures -> NULL") {
+    import org.apache.spark.sql.types._
+    val dirty = Seq(
+      ("  7  ", "1,234.5", "  ok  ", "06/15/1997"),
+      ("x", "abc", "nan", "not a date"))
+      .toDF("key", "value", "status", "snapshot")
+    val out = graft.load.Load.coerceToSchema(dirty, StructType(Seq(
+      StructField("key", LongType),
+      StructField("value", DoubleType),
+      StructField("status", StringType),
+      StructField("snapshot", DateType)))).collect()
+    assert(out(0).getLong(0) == 7L)
+    assert(out(0).getDouble(1) == 1234.5)
+    assert(out(0).getString(2) == "ok")
+    assert(out(0).getDate(3) == java.sql.Date.valueOf("1997-06-15"))
+    assert((0 to 3).forall(out(1).isNullAt))
+  }
 }
