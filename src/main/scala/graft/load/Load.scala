@@ -99,6 +99,14 @@ object Load {
     }.toSeq: _*)
   }
 
+  /** §5 pre-upload null audit (`SqlUpload force nulls.py:105-123`
+    * `_validate_before_upload`): count NULL/unparsable rows per named
+    * column before an insert — one aggregate pass, one output row. */
+  def nullAudit(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls")) :+
+      count(lit(1)).as("n_rows"): _*)
+
   /** O2/§3.2: upload preview — `TOP(n) ORDER BY TRY_CONVERT(date, …)
     * DESC` (reference `SqlUpload.py:107-123`): lenient date parse as
     * the sort key, nulls last. */

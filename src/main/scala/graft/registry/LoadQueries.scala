@@ -61,22 +61,12 @@ object LoadQueries {
 
     // §3.2 coercion variant B/C: deterministically dirtied all-string
     // upload feed coerced against a declared target schema
-    "coerce_types" -> ((s, d) => {
-      import org.apache.spark.sql.types._
-      val dirty = Tables(s, d, "orders").select(
-        concat(lit("  "), col("o_orderkey").cast("string"), lit("  "))
-          .as("key"),
-        concat(col("o_orderkey").cast("string"), lit(",250.75"))
-          .as("value"),
-        when(col("o_orderkey") % 7 === 0, lit("nan"))
-          .otherwise(col("o_orderstatus")).as("status"),
-        date_format(col("o_orderdate"), "MM/dd/yyyy").as("snapshot"))
-      Load.coerceToSchema(dirty, StructType(Seq(
-        StructField("key", LongType),
-        StructField("value", DoubleType),
-        StructField("status", StringType),
-        StructField("snapshot", DateType))))
-    }),
+    "coerce_types" -> ((s, d) => coerced(s, d)),
+
+    // §5 pre-upload null audit over the coerced feed: every 7th status
+    // was dirtied to "nan" -> NULL, so the audit has real counts
+    "qc_null_audit" -> ((s, d) => Load.nullAudit(coerced(s, d),
+      Seq("key", "value", "status", "snapshot"))),
 
     // J8: region/plant backfill — blank-region suppliers crossed with
     // the (tiny broadcast) region list, plant picked per (grp, region)
@@ -97,6 +87,37 @@ object LoadQueries {
             .as("plant"))
       Load.regionBackfill(facts, regionPlants, "grp")
     }))
+
+  /** The dirtied-then-coerced upload feed shared by coerce_types and
+    * qc_null_audit. */
+  private def coerced(s: SparkSession, d: String): DataFrame = {
+      import org.apache.spark.sql.types._
+      val dirty = Tables(s, d, "orders").select(
+        concat(lit("  "), col("o_orderkey").cast("string"), lit("  "))
+          .as("key"),
+        concat(col("o_orderkey").cast("string"), lit(",250.75"))
+          .as("value"),
+        when(col("o_orderkey") % 7 === 0, lit("nan"))
+          .otherwise(col("o_orderstatus")).as("status"),
+        date_format(col("o_orderdate"), "MM/dd/yyyy").as("snapshot"))
+      Load.coerceToSchema(dirty, StructType(Seq(
+        StructField("key", LongType),
+        StructField("value", DoubleType),
+        StructField("status", StringType),
+        StructField("snapshot", DateType))))
+  }
+
+  private val CoerceSql: String =
+    """SELECT
+      |  TRY_CAST(trim('  ' || CAST(o_orderkey AS VARCHAR) || '  ')
+      |    AS BIGINT) AS key,
+      |  TRY_CAST(replace(CAST(o_orderkey AS VARCHAR) || ',250.75',
+      |    ',', '') AS DOUBLE) AS value,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END
+      |    AS status,
+      |  TRY_CAST(strptime(strftime(o_orderdate, '%m/%d/%Y'),
+      |    '%m/%d/%Y') AS DATE) AS snapshot
+      |FROM orders""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "j2_guarded_lookup" ->
@@ -155,17 +176,21 @@ object LoadQueries {
         |FROM orders
         |ORDER BY o_orderdate DESC, o_orderkey LIMIT 10""".stripMargin,
 
-    "coerce_types" ->
-      """SELECT
-        |  TRY_CAST(trim('  ' || CAST(o_orderkey AS VARCHAR) || '  ')
-        |    AS BIGINT) AS key,
-        |  TRY_CAST(replace(CAST(o_orderkey AS VARCHAR) || ',250.75',
-        |    ',', '') AS DOUBLE) AS value,
-        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END
-        |    AS status,
-        |  TRY_CAST(strptime(strftime(o_orderdate, '%m/%d/%Y'),
-        |    '%m/%d/%Y') AS DATE) AS snapshot
-        |FROM orders""".stripMargin,
+    "coerce_types" -> CoerceSql,
+
+    "qc_null_audit" ->
+      s"""WITH c AS ($CoerceSql)
+         |SELECT
+         |  CAST(SUM(CASE WHEN key IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS key_nulls,
+         |  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS value_nulls,
+         |  CAST(SUM(CASE WHEN status IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS status_nulls,
+         |  CAST(SUM(CASE WHEN snapshot IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS snapshot_nulls,
+         |  COUNT(*) AS n_rows
+         |FROM c""".stripMargin,
 
     "j8_region_backfill" ->
       """WITH rp AS (
