@@ -214,6 +214,52 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Near-duplicate cluster assignment: connected components over the
+    * MinHash-LSH pair graph — the step a production dedup pipeline
+    * runs after candidate pairs (pairs → clusters → keep one per
+    * cluster). Iterative min-label propagation: every doc starts
+    * labeled with its own id; each round, a doc takes the minimum of
+    * its label and its neighbors' labels; at fixpoint the label is the
+    * smallest doc id in the component (the canonical cluster id).
+    *
+    * Scale shape: each round is one equi-join labels⋈edges + one
+    * aggregate — the standard large-graph CC loop (GraphFrames/Pregel
+    * do the same joins); rounds needed = component diameter, and
+    * near-dup clusters are tiny and dense, so it converges in 2-3
+    * rounds. Convergence is CHECKED per round (one count), never
+    * assumed. Docs in no pair are their own singleton cluster. */
+  def nearDupClusters(docs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val pairs = minhashLshPairs(docs).select(col("a_id"), col("b_id"))
+    val edges = graft.core.CacheBay.register(
+      pairs.unionByName(pairs.select(col("b_id").as("a_id"),
+        col("a_id").as("b_id")))
+        .toDF("s", "t"))
+    var labels = graft.core.CacheBay.register(
+      docs.select(col("doc_id"), col("doc_id").as("cluster_id")))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnsRenamed(
+          Map("doc_id" -> "t", "cluster_id" -> "t_label")), Seq("t"))
+        .groupBy(col("s").as("doc_id"))
+        .agg(min(col("t_label")).as("nbr_min"))
+      val next = graft.core.CacheBay.register(
+        labels.join(neighborMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("nbr_min"),
+              col("cluster_id"))).as("cluster_id")))
+      val changed = next.join(labels.withColumnsRenamed(
+          Map("cluster_id" -> "old_label")), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("old_label")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    require(converged, s"CC did not converge within $maxIters rounds")
+    labels
+  }
+
   /** True n-gram Jaccard near-dup pairs via the inverted-index join.
     * Shingles occurring in more than maxDf documents are dropped from
     * BOTH numerator and denominator (consistent set semantics) before

@@ -18,6 +18,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(docs(s, d))),
+    "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(docs(s, d))),
     "dedup_minhash_sig" -> ((s, d) =>
       Dedup.minhashSignature(docs(s, d))
         .select(col("doc_id"),
@@ -85,6 +86,34 @@ object DedupQueries {
        |  FROM dg)""".stripMargin
   }
 
+  /** LSH band/candidate CTEs + thresholded pair select, shared by the
+    * pair query and the cluster (connected-components) query. */
+  private val LshBandCtes: String = {
+    val r = NumHashes / Bands
+    s"""bands AS (
+       |  SELECT doc_id, band,
+       |         array_to_string(list_transform(
+       |           list_slice(sig, band * $r + 1, band * $r + $r),
+       |           x -> CAST(x AS VARCHAR)), '|') AS bval
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, $Bands)) AS band)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+       |)""".stripMargin
+  }
+
+  private val LshPairsSelect: String =
+    s"""SELECT * FROM (
+       |  SELECT a_id, b_id,
+       |    ROUND(CAST(list_sum(list_transform(range(1, ${NumHashes + 1}),
+       |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+       |      AS BIGINT) / $NumHashes.0, 6) AS est_jaccard
+       |  FROM cand JOIN sig sa ON a_id = sa.doc_id
+       |            JOIN sig sb ON b_id = sb.doc_id
+       |) WHERE est_jaccard >= $MinEstJaccard""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       s"""SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -97,30 +126,28 @@ object DedupQueries {
          |  list_transform(sig, x -> CAST(x AS VARCHAR)), ',') AS sig_str
          |FROM sig""".stripMargin,
 
-    "dedup_minhash_lsh" -> {
-      val r = NumHashes / Bands
-      s"""WITH $ShinglesCte, $SigCte,
-         |bands AS (
-         |  SELECT doc_id, band,
-         |         array_to_string(list_transform(
-         |           list_slice(sig, band * $r + 1, band * $r + $r),
-         |           x -> CAST(x AS VARCHAR)), '|') AS bval
-         |  FROM sig CROSS JOIN (SELECT unnest(range(0, $Bands)) AS band)
+    "dedup_minhash_lsh" ->
+      s"""WITH $ShinglesCte, $SigCte, $LshBandCtes
+         |$LshPairsSelect""".stripMargin,
+
+    // connected components over the LSH pair graph: recursive
+    // transitive closure, label = min doc id reachable (same canonical
+    // labels as the engine's min-label propagation); docs in no pair
+    // are their own singleton cluster
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $ShinglesCte, $SigCte, $LshBandCtes,
+         |pr AS ($LshPairsSelect),
+         |e AS (SELECT a_id AS s, b_id AS t FROM pr
+         |      UNION ALL SELECT b_id, a_id FROM pr),
+         |r AS (
+         |  SELECT s, t FROM e
+         |  UNION
+         |  SELECT r.s, e.t FROM r JOIN e ON r.t = e.s
          |),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
-         |)
-         |SELECT * FROM (
-         |  SELECT a_id, b_id,
-         |    ROUND(CAST(list_sum(list_transform(range(1, ${NumHashes + 1}),
-         |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
-         |      AS BIGINT) / $NumHashes.0, 6) AS est_jaccard
-         |  FROM cand JOIN sig sa ON a_id = sa.doc_id
-         |            JOIN sig sb ON b_id = sb.doc_id
-         |) WHERE est_jaccard >= $MinEstJaccard""".stripMargin
-    },
+         |mins AS (SELECT s AS doc_id, MIN(t) AS m FROM r GROUP BY s)
+         |SELECT d.doc_id,
+         |       LEAST(d.doc_id, COALESCE(mins.m, d.doc_id)) AS cluster_id
+         |FROM documents d LEFT JOIN mins ON d.doc_id = mins.doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $ShinglesCte, $SimhashCte

@@ -53,4 +53,21 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.ngramJaccardPairs(many, minJaccard = 0.01, maxDf = 10)
     assert(pairs.count() == 0L)
   }
+
+  test("near-dup clusters: pairs share labels, label = min member id") {
+    val docs = graft.core.Tables(spark, SfDir, "documents")
+    val labels = Dedup.nearDupClusters(docs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == docs.count())
+    // every LSH pair's endpoints landed in the same cluster
+    val pairs = Dedup.minhashLshPairs(docs)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+    // the label is the minimum member id of its cluster
+    labels.groupBy(_._2).foreach { case (cl, members) =>
+      assert(members.keys.min == cl)
+    }
+  }
 }
