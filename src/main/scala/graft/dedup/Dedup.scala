@@ -230,34 +230,56 @@ object Dedup {
     * assumed. Docs in no pair are their own singleton cluster. */
   def nearDupClusters(docs: DataFrame, maxIters: Int = 10): DataFrame = {
     val pairs = minhashLshPairs(docs).select(col("a_id"), col("b_id"))
+    // iterate ONLY over docs that appear in some pair — everything
+    // else is a singleton cluster and needs no propagation (pair
+    // participants are a tiny fraction of the corpus, so each round's
+    // frames stay small regardless of corpus size)
     val edges = graft.core.CacheBay.register(
       pairs.unionByName(pairs.select(col("b_id").as("a_id"),
         col("a_id").as("b_id")))
         .toDF("s", "t"))
     var labels = graft.core.CacheBay.register(
-      docs.select(col("doc_id"), col("doc_id").as("cluster_id")))
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIters) {
+      edges.select(col("s").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("cluster_id")))
+    // labels only ever decrease (min-propagation is monotone), so the
+    // label sum strictly decreases until fixpoint — one scalar
+    // aggregate per round detects convergence, no self-join needed
+    var prevSum = labels.agg(sum("cluster_id")).head().getLong(0)
+    // one propagation hop: adopt min(own label, neighbors' labels).
+    // (Pointer jumping would make rounds O(log diameter), but it needs
+    // a label->label self-join of the evolving frame — a known Spark
+    // self-join-ambiguity trap; near-dup components are shallow, so
+    // the hop count stays small anyway.)
+    def hop(l: DataFrame): DataFrame = {
       val neighborMin = edges
-        .join(labels.withColumnsRenamed(
+        .join(l.withColumnsRenamed(
           Map("doc_id" -> "t", "cluster_id" -> "t_label")), Seq("t"))
         .groupBy(col("s").as("doc_id"))
         .agg(min(col("t_label")).as("nbr_min"))
-      val next = graft.core.CacheBay.register(
-        labels.join(neighborMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("cluster_id"), coalesce(col("nbr_min"),
-              col("cluster_id"))).as("cluster_id")))
-      val changed = next.join(labels.withColumnsRenamed(
-          Map("cluster_id" -> "old_label")), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("old_label")).count()
+      l.join(neighborMin, Seq("doc_id"))
+        .select(col("doc_id"),
+          least(col("cluster_id"), col("nbr_min")).as("cluster_id"))
+    }
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // eager localCheckpoint truncates the lineage each round — the
+      // canonical iterative-algorithm discipline: without it the
+      // logical plan (and its per-round analysis cost) grows with
+      // every iteration even though execution reads the cache
+      val next = hop(labels).localCheckpoint()
+      val nextSum = next.agg(sum("cluster_id")).head().getLong(0)
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       i += 1
     }
     require(converged, s"CC did not converge within $maxIters rounds")
-    labels
+    docs.select(col("doc_id"))
+      .join(labels.withColumnsRenamed(Map("cluster_id" -> "lbl")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
   }
 
   /** True n-gram Jaccard near-dup pairs via the inverted-index join.
