@@ -28,6 +28,7 @@ object SparkEntry {
     (AnalyticsQueries.queries, AnalyticsQueries.oracles),
     (StreamQueries.queries, StreamQueries.oracles),
     (MultimodalQueries.queries, MultimodalQueries.oracles),
+    (PipelineQueries.queries, PipelineQueries.oracles),
     (LoadQueries.queries, LoadQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -33,8 +33,9 @@ object DedupQueries {
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
-  /** Word-ShingleN-gram distinct shingle sets, docs with ≥1 shingle. */
-  private val ShinglesCte = {
+  /** Word-ShingleN-gram distinct shingle sets, docs with ≥1 shingle.
+    * Shared with [[PipelineQueries]] (decontamination). */
+  private[registry] val ShinglesCte = {
     val joinWords = (0 until ShingleN)
       .map(j => s"w[i + $j]").mkString(" || ' ' || ")
     s"""sh AS (

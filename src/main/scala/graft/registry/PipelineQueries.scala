@@ -1,0 +1,140 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.Tables
+import graft.pipeline.Pipeline
+import graft.pipeline.Pipeline._
+
+/** Registry: training-data curation operators over `documents`
+  * (deterministic splits, PII redaction, decontamination, sequence
+  * packing). Oracle SQL is generated from the SAME constants as the
+  * Spark expressions in [[graft.pipeline.Pipeline]] so the engines
+  * cannot drift. DuckDB notes: SUM(BIGINT) widens to HUGEINT — every
+  * summed measure is cast back to BIGINT; regex replace needs the 'g'
+  * flag to match Spark's replace-all.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_hash_split" -> ((s, d) => Pipeline.hashSplit(docs(s, d))),
+    "pipe_split_report" -> ((s, d) => Pipeline.splitReport(docs(s, d))),
+    "pipe_pii_redact" -> ((s, d) => Pipeline.piiRedact(docs(s, d))),
+    "pipe_decontaminate" -> ((s, d) => Pipeline.decontaminate(docs(s, d))),
+    "pipe_pack_sequences" -> ((s, d) => Pipeline.packSequences(docs(s, d))),
+    "pipe_pack_report" -> ((s, d) => Pipeline.packReport(docs(s, d))))
+
+  // ---- DuckDB oracle SQL, generated from the same constants ----
+
+  /** hex→int of the first 8 hex digits of `h` as an explicit 8-term
+    * polynomial (DuckDB has no conv(); md5 digits are 0-9a-f). */
+  private def hex8Sql(h: String): String = (1 to 8).map { i =>
+    val a = s"ascii(substring($h, $i, 1))"
+    val pow = math.pow(16, 8 - i).toLong
+    s"(($a - (CASE WHEN $a < 58 THEN 48 ELSE 87 END)) * CAST($pow AS BIGINT))"
+  }.mkString("(", " + ", ")")
+
+  /** doc_id → 0-99 bucket + split label, from the same thresholds. */
+  private val SplitCte =
+    s"""sp AS (
+       |  SELECT doc_id, lang, n_chars,
+       |         ${hex8Sql("md5(CAST(doc_id AS VARCHAR))")} % 100 AS bucket
+       |  FROM documents
+       |), spl AS (
+       |  SELECT doc_id, lang, n_chars, bucket,
+       |         CASE WHEN bucket < $TrainPct THEN 'train'
+       |              WHEN bucket < ${TrainPct + ValidPct} THEN 'valid'
+       |              ELSE 'test' END AS split
+       |  FROM sp)""".stripMargin
+
+  /** The synthetic-PII composition — identical to
+    * [[Pipeline.withSyntheticPii]]. */
+  private val RawPiiSql =
+    """text || ' contact u' || CAST(doc_id AS VARCHAR)
+      | || '@example.com or +1 555-01'
+      | || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+      | || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+      | || '.7'""".stripMargin.replace("\n", "")
+
+  val oracles: Map[String, String] = Map(
+    "pipe_hash_split" ->
+      s"""WITH $SplitCte
+         |SELECT doc_id, lang, n_chars, bucket, split FROM spl""".stripMargin,
+
+    "pipe_split_report" ->
+      s"""WITH $SplitCte
+         |SELECT split, lang, count(*) AS n_docs,
+         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM spl GROUP BY split, lang""".stripMargin,
+
+    "pipe_pii_redact" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(raw,
+         |      '$EmailRe', '<EMAIL>', 'g'),
+         |      '$PhoneRe', '<PHONE>', 'g'),
+         |      '$IpRe', '<IP>', 'g') AS clean_text,
+         |  CAST(len(regexp_extract_all(raw, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(raw, '$PhoneRe')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(raw, '$IpRe')) AS BIGINT) AS n_ips
+         |FROM (SELECT doc_id, $RawPiiSql AS raw FROM documents)""".stripMargin,
+
+    "pipe_decontaminate" ->
+      s"""WITH ${DedupQueries.ShinglesCte},
+         |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM shf),
+         |bench AS (SELECT DISTINCT sh FROM ex WHERE doc_id % $BenchMod = 0),
+         |agg AS (
+         |  SELECT c.doc_id, count(*) AS n_sh,
+         |         CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_hit
+         |  FROM ex c LEFT JOIN bench b ON c.sh = b.sh
+         |  WHERE c.doc_id % $BenchMod <> 0
+         |  GROUP BY c.doc_id)
+         |SELECT doc_id, n_sh, n_hit,
+         |       ROUND(n_hit * 1.0 / n_sh, 6) AS overlap,
+         |       CASE WHEN n_hit * 1.0 / n_sh >= $MinContamOverlap
+         |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+         |       END AS contaminated
+         |FROM agg""".stripMargin,
+
+    "pipe_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, doc_id % $PackParts AS part,
+         |         CASE WHEN trim(text) = '' THEN 0
+         |              ELSE len(string_split_regex(trim(text), '\\s+'))
+         |         END AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, part, n_tokens,
+         |         SUM(n_tokens) OVER (PARTITION BY part ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT doc_id, part, n_tokens,
+         |       part * 1000000 +
+         |         CAST(FLOOR((cum - n_tokens) / $PackBudget.0) AS BIGINT)
+         |         AS pack_id
+         |FROM c""".stripMargin,
+
+    "pipe_pack_report" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, doc_id % $PackParts AS part,
+         |         CASE WHEN trim(text) = '' THEN 0
+         |              ELSE len(string_split_regex(trim(text), '\\s+'))
+         |         END AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, part, n_tokens,
+         |         SUM(n_tokens) OVER (PARTITION BY part ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t),
+         |p AS (
+         |  SELECT part, n_tokens,
+         |         part * 1000000 +
+         |           CAST(FLOOR((cum - n_tokens) / $PackBudget.0) AS BIGINT)
+         |           AS pack_id
+         |  FROM c)
+         |SELECT part, pack_id, count(*) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+         |FROM p GROUP BY part, pack_id""".stripMargin)
+}
