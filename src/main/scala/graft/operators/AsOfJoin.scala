@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Backward as-of join — the time-series operator Spark's built-in set
+  * lacks (DuckDB/kdb ship it natively): for every probe row, attach the
+  * payload of the LAST build row with the same key and build.ts ≤
+  * probe.ts (inclusive).
+  *
+  * Implemented by composition, not a custom physical operator: tag both
+  * sides, `unionByName`, and take `last(payload, ignoreNulls)` over a
+  * (key)-partitioned window ordered by (ts, side) — build rows sort
+  * before probe rows at equal ts, which is exactly the ≤ semantics.
+  *
+  * Scale shape: ONE shuffle+sort of probe∪build on the key — the same
+  * cost as any windowed aggregate — versus the naive range join
+  * (`probe.ts >= build.ts` non-equi join), which Spark plans as a
+  * per-key cross product: quadratic in events-per-key and a guaranteed
+  * 100× scale-up casualty. A hot key concentrates one sort partition;
+  * the standard mitigation (bucket the timeline: join on (key,
+  * time_bucket) for bounded-staleness as-of) composes on top without
+  * changing this operator.
+  *
+  * The payload travels as ONE packed struct so a build row whose
+  * payload fields are all NULL still matches (`last(ignoreNulls)` skips
+  * nulls; the struct wrapper is non-null whenever the row exists) and
+  * the window computes a single `last`, not one per payload column.
+  *
+  * Determinism contract: `build` must be unique per (keys, ts) —
+  * pre-aggregate duplicates (e.g. `max_by`) or ties would resolve by
+  * partition order. Probe columns pass through untouched.
+  */
+object AsOfJoin {
+
+  def asOf(probe: DataFrame, build: DataFrame, keys: Seq[String],
+      ts: String, payload: Seq[String]): DataFrame = {
+    val probeExtra = probe.columns.toSeq
+      .filterNot(c => keys.contains(c) || c == ts)
+    val packedType = StructType(payload.map(c => build.schema(c)))
+    val p = probe.select(
+      (keys :+ ts).map(col) ++ probeExtra.map(col) ++ Seq(
+        lit(null).cast(packedType).as("__p"), lit(1).as("__side")): _*)
+    val b = build.select(
+      (keys :+ ts).map(col) ++ probeExtra.map(c =>
+        lit(null).cast(probe.schema(c).dataType).as(c)) ++ Seq(
+        struct(payload.map(col): _*).as("__p"), lit(0).as("__side")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p.unionByName(b)
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((keys :+ ts).map(col) ++ probeExtra.map(col) ++
+        payload.map(c => col(s"__m.$c").as(c)): _*)
+  }
+}

@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization via Spark's `session_window` — the dynamic
+  * (merge-on-overlap) window the streaming surface uses, runnable
+  * identically on batch frames: events of one key belong to the same
+  * session while each is within `gap` of the previous; the session
+  * spans [first event, last event + gap).
+  *
+  * In batch the plan is one shuffle on the key + a sort-merge of
+  * overlapping windows (no cross join, no explode). In streaming the
+  * SAME expression runs under a watermark with state merged per key —
+  * the batch oracle below is the correctness proof for both, per the
+  * engine's shared batch/stream-transform discipline
+  * (`StreamIngest.parsePayload`). */
+object Sessionize {
+
+  val DefaultGap = "6 hours"
+
+  def sessions(events: DataFrame, key: String, ts: String,
+      value: String, gap: String = DefaultGap): DataFrame =
+    events.groupBy(col(key), session_window(col(ts), gap))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col(value)), 4).as("value_sum"))
+      .select(col(key),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("value_sum"))
+}

@@ -36,6 +36,27 @@ object StreamQueries {
           col("window.end").as("window_end"),
           col("event_type"), col("n"), col("value_sum"))),
 
+    // Gap-based sessionization (session_window): the dynamic-window
+    // streaming shape, proven on the batch frame via gaps-and-islands
+    // oracle SQL
+    "events_session_window" -> ((s, d) =>
+      graft.operators.Sessionize.sessions(
+        Tables(s, d, "events"), "user_id", "ts", "value")),
+
+    // Backward as-of join: every event picks up the latest "milestone"
+    // event (event_id % 20 == 0) of the same user at-or-before its ts;
+    // oracle is DuckDB's native ASOF LEFT JOIN
+    "asof_last_milestone" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      val probe = ev.select(col("event_id"), col("user_id"), col("ts"))
+      val build = ev.filter(col("event_id") % 20 === 0)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("m_event_id"),
+          expr("max_by(value, event_id)").as("m_value"))
+      graft.operators.AsOfJoin.asOf(probe, build,
+        Seq("user_id"), "ts", Seq("m_event_id", "m_value"))
+    }),
+
     // MLlib streaming consumer, batch-mode mirror: per-micro-batch
     // incremental logistic-regression refit over the events feed, one
     // metrics row per batch (no SQL oracle — model training is not
@@ -62,5 +83,35 @@ object StreamQueries {
         |         AS window_end,
         |       event_type, COUNT(*) AS n,
         |       ROUND(SUM(value), 4) AS value_sum
-        |FROM events GROUP BY 1, 2, 3""".stripMargin)
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    // gaps-and-islands: new session when the gap to the previous event
+    // EXCEEDS the session gap — session_window merges an event landing
+    // exactly on the previous session's end (start <= end is inclusive
+    // in UpdatingSessionsIterator), so the boundary case merges: >, not >=
+    "events_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM x)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |       MAX(ts) + INTERVAL 6 HOUR AS session_end,
+        |       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS value_sum
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "asof_last_milestone" ->
+      """WITH b AS (
+        |  SELECT user_id, ts, MAX(event_id) AS m_event_id,
+        |         arg_max(value, event_id) AS m_value
+        |  FROM events WHERE event_id % 20 = 0 GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts, b.m_event_id, b.m_value
+        |FROM events e ASOF LEFT JOIN b
+        |  ON e.user_id = b.user_id AND e.ts >= b.ts""".stripMargin)
 }

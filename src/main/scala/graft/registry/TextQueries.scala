@@ -39,7 +39,10 @@ object TextQueries {
     "text_fingerprints" -> ((s, d) => docs(s, d).select(
       col("doc_id"),
       fingerprintMd5(col("text")).as("fp_md5"),
-      rollingFingerprint(col("text")).as("fp_rolling"))))
+      rollingFingerprint(col("text")).as("fp_rolling"))),
+
+    "text_bm25" -> ((s, d) =>
+      graft.text.Bm25.score(Tables(s, d, "documents"))))
 
   // ---- DuckDB oracle SQL, generated from the same constants ----
 
@@ -112,5 +115,33 @@ object TextQueries {
          |                i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)) END,
          |    (acc, x) -> (acc * 31 + x) % 2147483647) AS fp_rolling
          |FROM (SELECT doc_id, text, $t AS t FROM documents)""".stripMargin
+    },
+
+    // BM25 with odds-form idf (no ln — see graft.text.Bm25 scaladoc);
+    // constants interpolated PRE-COMPUTED from the Scala doubles so
+    // both engines compare/multiply the identical IEEE values, and
+    // every intermediate is cast to DOUBLE up front (DuckDB otherwise
+    // folds the +0.5 arithmetic in DECIMAL)
+    "text_bm25" -> {
+      import graft.text.Bm25.{K1, B, QueryTerms}
+      val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS w
+         |  FROM documents),
+         |l AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM t),
+         |st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM l),
+         |ex AS (SELECT doc_id, dl, unnest(w) AS term FROM l),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl2
+         |       FROM ex WHERE term IN ($termList) GROUP BY 1, 2),
+         |d AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+         |SELECT doc_id, COUNT(*) AS n_terms_hit,
+         |  ROUND(SUM((CAST(n_docs AS DOUBLE) - df + 0.5)
+         |    / (CAST(df AS DOUBLE) + 0.5)
+         |    * (CAST(tf AS DOUBLE) * ${K1 + 1})
+         |    / (CAST(tf AS DOUBLE)
+         |       + $K1 * (${1 - B} + $B * CAST(dl2 AS DOUBLE) / avgdl))),
+         |    6) AS bm25
+         |FROM tf JOIN d USING (term) CROSS JOIN st
+         |GROUP BY doc_id""".stripMargin
     })
 }

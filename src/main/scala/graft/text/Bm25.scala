@@ -1,0 +1,52 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis.normalize
+
+/** BM25-style relevance scoring of the corpus against a fixed query
+  * term set — the retrieval primitive quality-curation pipelines use to
+  * mine topic-relevant training documents.
+  *
+  * Scoring uses the odds-form idf `(N − df + ½)/(df + ½)` WITHOUT the
+  * logarithm: per-term document ranking is identical (ln is monotone)
+  * and every arithmetic op (+ × ÷) is exactly specified by IEEE 754, so
+  * both engines produce bit-identical scores — `ln`'s last-ulp libm
+  * variance would poison the cross-engine hash check. The tf saturation
+  * `tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))` is standard Robertson BM25.
+  *
+  * Scale shape: tokenize+explode is map work; `tf` aggregates on
+  * (doc, term) — one shuffle of only the matching terms (the isin
+  * filter drops the rest before the exchange); `df` and the corpus
+  * stats are tiny and broadcast. Nothing is quadratic and the token
+  * explode never shuffles unfiltered.
+  */
+object Bm25 {
+
+  val K1 = 1.2
+  val B = 0.75
+  /** Fixed demo query; high-df corpus terms so every sf matches. */
+  val QueryTerms = Seq("spark", "stream", "window", "vector")
+
+  def score(docs: DataFrame, terms: Seq[String] = QueryTerms,
+      k1: Double = K1, b: Double = B): DataFrame = {
+    val t = graft.core.CacheBay.register(
+      docs.repartition(col("doc_id"))
+        .select(col("doc_id"), split(normalize(col("text")), " ").as("w"))
+        .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl")))
+    val stats = t.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = t.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib = (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) *
+      (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        round(sum(contrib), 6).as("bm25"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, Sessionize}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+
+  test("asOf: backward inclusive match per key; no-match rows are null") {
+    val probe = Seq((1L, ts(1), "p1"), (1L, ts(5), "p2"), (1L, ts(9), "p3"),
+      (2L, ts(5), "p4")).toDF("k", "t", "tag")
+    val build = Seq((1L, ts(2), 10L), (1L, ts(5), 20L), (2L, ts(6), 30L))
+      .toDF("k", "t", "v")
+    val r = AsOfJoin.asOf(probe, build, Seq("k"), "t", Seq("v"))
+      .select($"tag", $"v").as[(String, Option[Long])].collect().toMap
+    assert(r("p1").isEmpty)      // before any build row
+    assert(r("p2").contains(20L)) // tie at t=5 is inclusive
+    assert(r("p3").contains(20L)) // latest at-or-before
+    assert(r("p4").isEmpty)      // key 2's build row is in the future
+  }
+
+  test("asOf: build row with null payload field still matches") {
+    val probe = Seq((1L, ts(5))).toDF("k", "t")
+    val build = Seq((1L, ts(1), Some(7L)), (1L, ts(3), None))
+      .toDF("k", "t", "v")
+    // the t=3 row (null v) is the as-of match; struct packing must not
+    // skip past it to the older t=1 row
+    val r = AsOfJoin.asOf(probe, build, Seq("k"), "t", Seq("v"))
+      .select($"v").as[Option[Long]].head()
+    assert(r.isEmpty)
+  }
+
+  test("sessionize: gap > splits, gap <= merges; end = last + gap") {
+    // boundary: an event exactly gap after the previous MERGES
+    // (session_window's start <= end comparison is inclusive)
+    val ev = Seq((1L, ts(0), 1.0), (1L, ts(6), 2.0), (1L, ts(13), 4.0),
+      (2L, ts(0), 8.0)).toDF("user_id", "t", "value")
+    val r = Sessionize.sessions(ev, "user_id", "t", "value", "6 hours")
+      .orderBy($"user_id", $"session_start")
+      .select($"user_id", $"session_start", $"session_end", $"n_events",
+        $"value_sum")
+      .collect()
+    assert(r.length == 3)
+    // user 1: [0h,6h] merge (gap == 6h); 13h splits (gap 7h > 6h)
+    assert(r(0).getLong(3) == 2 && r(0).getTimestamp(1) == ts(0) &&
+      r(0).getTimestamp(2) == ts(12)) // end = 6h + 6h gap
+    assert(r(1).getLong(3) == 1 && r(1).getDouble(4) == 4.0)
+    assert(r(2).getLong(0) == 2L)
+  }
+
+  test("bm25: tf saturation and rarity ordering; misses drop out") {
+    val docs = Seq(
+      (1L, "spark spark spark stream alpha beta gamma"),
+      (2L, "spark alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val r = graft.text.Bm25.score(docs, Seq("spark", "stream"))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2)))
+      .toMap
+    assert(!r.contains(3L))              // no query term -> no row
+    assert(r(1L)._1 == 2 && r(2L)._1 == 1)
+    assert(r(1L)._2 > r(2L)._2)          // more hits + rarer term
+    graft.core.CacheBay.drain()
+  }
+}
