@@ -57,6 +57,33 @@ object StreamQueries {
         Seq("user_id"), "ts", Seq("m_event_id", "m_value"))
     }),
 
+    // Bucketed point-in-interval range join: all events inside each
+    // milestone's 2-day window, same user — equi-join on (user, day
+    // bucket), never a nested loop; oracle is the plain theta join
+    "events_range_join" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      val m = ev.filter(col("event_id") % 20 === 0)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("m_event_id"))
+        .select(col("user_id"), col("ts").as("m_start"),
+          (col("ts") + expr("interval 2 days")).as("m_end"),
+          col("m_event_id"))
+      graft.operators.RangeJoin.pointInRange(
+        ev.select(col("event_id"), col("user_id"), col("ts")), m,
+        Seq("user_id"), "ts", "m_start", "m_end")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("m_event_id"))
+    }),
+
+    // Exact interpolated percentiles per event type (Spark percentile
+    // == DuckDB quantile_cont: both linear-interpolate at rank (n-1)p)
+    "events_percentiles" -> ((s, d) =>
+      Tables(s, d, "events").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"))),
+
     // MLlib streaming consumer, batch-mode mirror: per-micro-batch
     // incremental logistic-regression refit over the events feed, one
     // metrics row per batch (no SQL oracle — model training is not
@@ -113,5 +140,22 @@ object StreamQueries {
         |  FROM events WHERE event_id % 20 = 0 GROUP BY 1, 2)
         |SELECT e.event_id, e.user_id, e.ts, b.m_event_id, b.m_value
         |FROM events e ASOF LEFT JOIN b
-        |  ON e.user_id = b.user_id AND e.ts >= b.ts""".stripMargin)
+        |  ON e.user_id = b.user_id AND e.ts >= b.ts""".stripMargin,
+
+    "events_range_join" ->
+      """WITH m AS (
+        |  SELECT user_id, ts AS m_start, ts + INTERVAL 2 DAY AS m_end,
+        |         MAX(event_id) AS m_event_id
+        |  FROM events WHERE event_id % 20 = 0 GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts, m.m_event_id
+        |FROM events e JOIN m
+        |  ON e.user_id = m.user_id
+        | AND e.ts >= m.m_start AND e.ts <= m.m_end""".stripMargin,
+
+    "events_percentiles" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+        |       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+        |       ROUND(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type""".stripMargin)
 }

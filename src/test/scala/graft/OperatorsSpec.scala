@@ -51,6 +51,22 @@ class OperatorsSpec extends SparkSpec {
     assert(r(2).getLong(0) == 2L)
   }
 
+  test("rangeJoin: containment incl. boundaries, across buckets, no dup") {
+    import graft.operators.RangeJoin
+    val points = Seq((10L, 1L, ts(0)), (11L, 1L, ts(12)), (12L, 1L, ts(30)),
+      (13L, 1L, ts(49)), (14L, 2L, ts(12))).toDF("pid", "k", "t")
+    // interval [12h, 48h]: spans 3 day-buckets
+    val iv = Seq((1L, ts(12), ts(48), 100L))
+      .toDF("k", "lo", "hi", "iid")
+    val r = RangeJoin.pointInRange(points, iv, Seq("k"), "t", "lo", "hi")
+    assert(r.select($"pid").as[Long].collect().sorted.toSeq ==
+      Seq(11L, 12L)) // 11 at start boundary in, 12 mid (next bucket) in,
+                     // 10 before, 13 after, 14 wrong key
+    assert(r.count() == 2) // exactly-once per qualifying pair
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"nested loop in plan:\n$plan")
+  }
+
   test("bm25: tf saturation and rarity ordering; misses drop out") {
     val docs = Seq(
       (1L, "spark spark spark stream alpha beta gamma"),
