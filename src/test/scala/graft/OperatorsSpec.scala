@@ -67,6 +67,30 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("NestedLoop"), s"nested loop in plan:\n$plan")
   }
 
+  test("sessionize: same expression runs streaming under a watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[(Long, Timestamp, Double)](
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.TIMESTAMP,
+        org.apache.spark.sql.Encoders.scalaDouble), spark.sqlContext)
+    val ev = ms.toDF().toDF("user_id", "t", "value")
+      .withWatermark("t", "1 hour")
+    val q = Sessionize.sessions(ev, "user_id", "t", "value", "2 hours")
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, ts(1), 1.0), (1L, ts(2), 2.0), (1L, ts(8), 4.0))
+      q.processAllAvailable()
+      ms.addData((1L, ts(20), 8.0)) // advance watermark, close sessions
+      q.processAllAvailable()
+      val rows = spark.table("sess_test")
+        .select($"n_events", $"value_sum").as[(Long, Double)]
+        .collect().toSet
+      assert(rows.contains((2L, 3.0)) && rows.contains((1L, 4.0)))
+    } finally q.stop()
+  }
+
   test("bm25: tf saturation and rarity ordering; misses drop out") {
     val docs = Seq(
       (1L, "spark spark spark stream alpha beta gamma"),
