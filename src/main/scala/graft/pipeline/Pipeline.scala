@@ -167,4 +167,59 @@ object Pipeline {
       .groupBy(col("part"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("pack_tokens"))
+
+  // ---- deterministic pre-training shuffle ----
+
+  val ShuffleSeed = "graft-r3"
+  val NumShards = 8
+
+  /** Deterministic global shuffle for training order: pseudo-random key
+    * md5(seed ‖ id), documents assigned to an output shard by the key
+    * and ranked within the shard — exactly how a cluster writes
+    * shuffled training shards (one writer per shard, readers
+    * interleave shards). No global sort exists anywhere: the rank
+    * window is partitioned by shard, so the work parallelizes across
+    * shards and the shape is seed-reproducible on any cluster size. */
+  def shuffleShards(docs: DataFrame, seed: String = ShuffleSeed,
+      nShards: Int = NumShards): DataFrame = {
+    val key = md5(concat(lit(seed), lit("-"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+    docs.select(col("doc_id"), key.as("shuffle_key"))
+      .withColumn("shard",
+        conv(substring(col("shuffle_key"), 1, 8), 16, 10)
+          .cast("long") % nShards)
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  // ---- end-to-end curation composite ----
+
+  val MinQuality = 0.5
+
+  /** The full curation funnel a pre-training corpus goes through,
+    * composed from this library's own operators: keep a document iff
+    * it (1) is its exact-dup group's keeper, (2) scores at least
+    * [[MinQuality]], (3) is not benchmark-contaminated (and is not
+    * itself a benchmark doc), and (4) landed in the train split. The
+    * output is the training corpus manifest with the audit columns a
+    * curation run reports. Every stage is the already-proven operator;
+    * this query is the proof they compose in one lazy plan. */
+  def curatedCorpus(docs: DataFrame): DataFrame = {
+    val keepers = graft.dedup.Dedup.exactDedup(docs)
+      .select(col("keep_id").as("doc_id"))
+    val contam = decontaminate(docs)
+      .select(col("doc_id"), col("contaminated"))
+    val q = docs.select(col("doc_id"),
+      graft.text.TextAnalysis.qualityScore(col("text")).as("quality"))
+    hashSplit(docs)
+      .filter(col("split") === "train" && col("doc_id") % BenchMod =!= 0)
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(q, Seq("doc_id"))
+      .filter(col("quality") >= MinQuality)
+      // docs absent from the contamination check (no shingles) carry no
+      // contamination evidence and are kept
+      .join(contam, Seq("doc_id"), "left")
+      .filter(coalesce(col("contaminated"), lit(0L)) === 0L)
+      .select(col("doc_id"), col("bucket"), col("quality"))
+  }
 }

@@ -24,7 +24,9 @@ object PipelineQueries {
     "pipe_pii_redact" -> ((s, d) => Pipeline.piiRedact(docs(s, d))),
     "pipe_decontaminate" -> ((s, d) => Pipeline.decontaminate(docs(s, d))),
     "pipe_pack_sequences" -> ((s, d) => Pipeline.packSequences(docs(s, d))),
-    "pipe_pack_report" -> ((s, d) => Pipeline.packReport(docs(s, d))))
+    "pipe_pack_report" -> ((s, d) => Pipeline.packReport(docs(s, d))),
+    "pipe_shuffle_shards" -> ((s, d) => Pipeline.shuffleShards(docs(s, d))),
+    "pipe_curated_corpus" -> ((s, d) => Pipeline.curatedCorpus(docs(s, d))))
 
   // ---- DuckDB oracle SQL, generated from the same constants ----
 
@@ -136,5 +138,61 @@ object PipelineQueries {
          |  FROM c)
          |SELECT part, pack_id, count(*) AS n_docs,
          |       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
-         |FROM p GROUP BY part, pack_id""".stripMargin)
+         |FROM p GROUP BY part, pack_id""".stripMargin,
+
+    "pipe_shuffle_shards" ->
+      s"""WITH k AS (
+         |  SELECT doc_id,
+         |         md5('${Pipeline.ShuffleSeed}-' || CAST(doc_id AS VARCHAR))
+         |           AS shuffle_key
+         |  FROM documents),
+         |s AS (SELECT doc_id, shuffle_key,
+         |        ${hex8Sql("shuffle_key")} % ${Pipeline.NumShards} AS shard
+         |      FROM k)
+         |SELECT doc_id, shuffle_key, shard,
+         |       CAST(row_number() OVER (
+         |         PARTITION BY shard ORDER BY shuffle_key, doc_id)
+         |         AS BIGINT) AS rank
+         |FROM s""".stripMargin,
+
+    // the curation funnel: every predicate reuses the CTE that already
+    // oracles its standalone operator (split, exact-dup keeper,
+    // quality trio, contamination) — composed, not re-derived
+    "pipe_curated_corpus" -> {
+      val qualityExpr =
+        s"""ROUND(least(length(text) / 500.0, 1.0) * 0.4
+           |      + least((${TextQueries.stopSql}) * 4.0, 1.0) * 0.3
+           |      + greatest(1.0 - (${TextQueries.punctSql}) * 5.0, 0.0) * 0.3,
+           |   6)""".stripMargin
+      s"""WITH $SplitCte,
+         |fp AS (SELECT doc_id,
+         |         md5(trim(regexp_replace(regexp_replace(lower(text),
+         |           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+         |       FROM documents),
+         |keep AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fp),
+         |qual AS (SELECT doc_id, $qualityExpr AS quality FROM documents),
+         |${DedupQueries.ShinglesCte},
+         |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM shf),
+         |bench AS (SELECT DISTINCT sh FROM ex WHERE doc_id % $BenchMod = 0),
+         |agg AS (
+         |  SELECT c.doc_id, count(*) AS n_sh,
+         |         CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_hit
+         |  FROM ex c LEFT JOIN bench b ON c.sh = b.sh
+         |  WHERE c.doc_id % $BenchMod <> 0
+         |  GROUP BY c.doc_id),
+         |contam AS (
+         |  SELECT doc_id,
+         |         CASE WHEN n_hit * 1.0 / n_sh >= $MinContamOverlap
+         |              THEN 1 ELSE 0 END AS contaminated
+         |  FROM agg)
+         |SELECT spl.doc_id, spl.bucket, qual.quality
+         |FROM spl
+         |JOIN keep USING (doc_id)
+         |JOIN qual USING (doc_id)
+         |LEFT JOIN contam USING (doc_id)
+         |WHERE spl.split = 'train' AND spl.doc_id % $BenchMod <> 0
+         |  AND qual.quality >= ${Pipeline.MinQuality}
+         |  AND COALESCE(contam.contaminated, 0) = 0""".stripMargin
+    })
 }

@@ -30,7 +30,8 @@ object SimilarityQueries {
     // IVF over MLlib k-means cells — no SQL oracle possible (KMeans);
     // driver records the rows-only check, recall proven in
     // SimilaritySpec's planted-cluster test
-    "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(emb(s, d))))
+    "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(emb(s, d))),
+    "sim_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(emb(s, d))))
 
   // ---- DuckDB SQL (same constants, same math) ----
 
@@ -109,5 +110,26 @@ object SimilarityQueries {
          |        PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rank
          |      FROM p)
          |SELECT q_id, nn_id, ROUND(cos, 6) AS cos
-         |FROM r WHERE rank = 1""".stripMargin)
+         |FROM r WHERE rank = 1""".stripMargin,
+
+    // same floor(x*scale + 0.5) rounding as the Spark side — see the
+    // quantizeInt8 scaladoc for why it is NOT the engine round()
+    "sim_quantize_int8" ->
+      s"""WITH $ECte,
+         |m AS (SELECT vec_id, v,
+         |        list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+         |s AS (SELECT vec_id, v,
+         |        CASE WHEN mx > 0 THEN 127.0 / mx ELSE 1.0 END AS scale
+         |      FROM m),
+         |q AS (SELECT vec_id, v, scale,
+         |        list_transform(v, x ->
+         |          CAST(floor(x * scale + 0.5) AS BIGINT)) AS qv
+         |      FROM s)
+         |SELECT vec_id,
+         |  array_to_string(list_transform(qv, x -> CAST(x AS VARCHAR)), ',')
+         |    AS q_str,
+         |  ROUND(scale, 6) AS scale,
+         |  ROUND(list_max(list_transform(range(1, len(v) + 1),
+         |    i -> abs(qv[i] / scale - v[i]))), 6) AS max_err
+         |FROM q""".stripMargin)
 }

@@ -58,12 +58,13 @@ object TextQueries {
     s"CAST(len(list_filter($toks, t -> list_contains($list, t))) AS DOUBLE)"
   }
 
-  private val punctSql =
+  /** Shared with [[PipelineQueries]] (curation-composite oracle). */
+  private[registry] val punctSql =
     """CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0 THEN 0.0
       |     ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
       |          / length(regexp_replace(text, '\s', '', 'g')) END""".stripMargin
 
-  private val stopSql = {
+  private[registry] val stopSql = {
     val hits = markerHitsSql("string_split_regex(trim(lower(text)), '\\s+')",
       graft.text.TextAnalysis.LangMarkers.head._2)
     s"""CASE WHEN trim(text) = '' THEN 0.0

@@ -77,6 +77,52 @@ class PipelineSpec extends SparkSpec {
     assert(viol == 0)
   }
 
+  test("shuffleShards: permutation within shards, stable under re-run") {
+    val a = Pipeline.shuffleShards(docs).cache()
+    assert(a.count() == docs.count())
+    // rank is a dense 1..n permutation inside each shard
+    val bad = a.groupBy($"shard")
+      .agg(count(lit(1)).as("n"), max($"rank").as("mx"), min($"rank").as("mn"))
+      .filter($"mx" =!= $"n" || $"mn" =!= 1).count()
+    assert(bad == 0)
+    // deterministic: identical assignment on recompute
+    val b = Pipeline.shuffleShards(docs)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    a.unpersist()
+  }
+
+  test("quantizeInt8: values in [-127,127], error bounded by scale/2") {
+    val q = graft.similarity.Similarity.quantizeInt8(
+      graft.core.Tables(spark, SfDir, "embeddings"))
+    val parsed = q.select($"vec_id", $"scale", $"max_err",
+      transform(split($"q_str", ","), x => x.cast("long")).as("qv"))
+    assert(parsed.filter(exists($"qv",
+      x => abs(x) > 127)).count() == 0)
+    // |dequant - v| <= 0.5/scale by construction of floor(x+0.5);
+    // both max_err and scale are round(…,6) outputs, so allow the
+    // 5e-7 round-up each can contribute
+    assert(parsed.filter($"max_err" > lit(0.5) / $"scale" + 1e-5)
+      .count() == 0)
+  }
+
+  test("curatedCorpus: every emitted doc passes all four gates") {
+    val c = Pipeline.curatedCorpus(docs).cache()
+    assert(c.count() > 0)
+    val keep = graft.dedup.Dedup.exactDedup(docs)
+      .select($"keep_id".as("doc_id"))
+    assert(c.join(keep, Seq("doc_id"), "left_anti").count() == 0)
+    assert(c.filter($"quality" < Pipeline.MinQuality).count() == 0)
+    assert(c.filter($"doc_id" % Pipeline.BenchMod === 0).count() == 0)
+    val contaminated = Pipeline.decontaminate(docs)
+      .filter($"contaminated" === 1L).select($"doc_id")
+    assert(c.join(contaminated, Seq("doc_id"), "left_semi").count() == 0)
+    val split = Pipeline.hashSplit(docs)
+      .filter($"split" =!= "train").select($"doc_id")
+    assert(c.join(split, Seq("doc_id"), "left_semi").count() == 0)
+    c.unpersist()
+    graft.core.CacheBay.drain()
+  }
+
   test("packReport tokens reconcile with per-doc token counts") {
     val perDoc = Pipeline.packSequences(docs)
       .agg(sum($"n_tokens")).as[Long].head()
