@@ -264,4 +264,37 @@ object Analytics {
       .withColumn("pct_of_total",
         round(col("total") / sum(col("total")).over(tot), 6))
   }
+
+  /** SCD2 (slowly-changing-dimension type 2) validity-range derivation
+    * from an observation series: per customer, the monthly observed
+    * order priority collapses into [valid_from, valid_to] ranges, a new
+    * range opening whenever the attribute changes — the gaps-and-
+    * islands build every warehouse runs to turn snapshots into history
+    * tables. Consecutive OBSERVATIONS define adjacency (months with no
+    * orders don't split a range) — the standard event-series SCD2 form.
+    *
+    * Scale shape: one aggregate shuffle to the monthly grain, then the
+    * lag/cumsum windows and the final rollup all share the SAME
+    * (o_custkey) hash partitioning — Catalyst reuses one exchange for
+    * all three; nothing global. `max_by(priority, orderkey)` makes the
+    * per-month pick deterministic under concurrent orders. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val snap = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(expr("max_by(o_orderpriority, o_orderkey)").as("attr"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("month"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    snap
+      .withColumn("chg",
+        when(lag(col("attr"), 1).over(w).isNull ||
+          lag(col("attr"), 1).over(w) =!= col("attr"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("chg")).over(cum))
+      .groupBy(col("o_custkey"), col("island"), col("attr"))
+      .agg(min(col("month")).as("valid_from"),
+        max(col("month")).as("valid_to"),
+        count(lit(1)).as("n_months"))
+      .select(col("o_custkey"), col("attr"), col("valid_from"),
+        col("valid_to"), col("n_months"))
+  }
 }

@@ -20,7 +20,8 @@ object AnalyticsQueries {
     "pivot_sum" -> ((s, d) => Analytics.pivotSum(s, d)),
     "unpivot_sum" -> ((s, d) => Analytics.unpivotSum(s, d)),
     "weekly_disaggregation" -> ((s, d) => Analytics.weeklyDisaggregation(s, d)),
-    "running_totals" -> ((s, d) => Analytics.runningTotals(s, d)))
+    "running_totals" -> ((s, d) => Analytics.runningTotals(s, d)),
+    "scd2_history" -> ((s, d) => Analytics.scd2History(s, d)))
 
   private val segs = Analytics.Segments
 
@@ -198,5 +199,26 @@ object AnalyticsQueries {
         |    ROWS UNBOUNDED PRECEDING), 2) AS cum_total,
         |  ROUND(total / SUM(total) OVER (PARTITION BY bu), 6)
         |    AS pct_of_total
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin,
+
+    // gaps-and-islands: a new validity range opens when the observed
+    // attribute differs from the previous observation's
+    "scd2_history" ->
+      """WITH snap AS (
+        |  SELECT o_custkey,
+        |         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         arg_max(o_orderpriority, o_orderkey) AS attr
+        |  FROM orders GROUP BY 1, 2),
+        |x AS (
+        |  SELECT *, CASE WHEN lag(attr) OVER w IS NULL
+        |                   OR lag(attr) OVER w <> attr
+        |                 THEN 1 ELSE 0 END AS chg
+        |  FROM snap WINDOW w AS (PARTITION BY o_custkey ORDER BY month)),
+        |i AS (
+        |  SELECT *, SUM(chg) OVER (PARTITION BY o_custkey ORDER BY month
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM x)
+        |SELECT o_custkey, attr, MIN(month) AS valid_from,
+        |       MAX(month) AS valid_to, COUNT(*) AS n_months
+        |FROM i GROUP BY o_custkey, island, attr""".stripMargin)
 }

@@ -84,6 +84,17 @@ object StreamQueries {
           round(expr("percentile(value, 0.9)"), 6).as("p90"),
           round(expr("percentile(value, 0.99)"), 6).as("p99"))),
 
+    // Sketch-based approximate stats — the 100 TB path for distincts
+    // and quantiles (HLL++ / KLL replace exact shuffles with mergeable
+    // O(1)-state sketches). No SQL oracle: DuckDB's sketches are
+    // different algorithms; accuracy is asserted against the exact
+    // values in OperatorsSpec (driver records the rows-only check)
+    "events_approx_stats" -> ((s, d) =>
+      Tables(s, d, "events").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          expr("percentile_approx(value, 0.5, 1000)").as("p50_approx"))),
+
     // MLlib streaming consumer, batch-mode mirror: per-micro-batch
     // incremental logistic-regression refit over the events feed, one
     // metrics row per batch (no SQL oracle — model training is not

@@ -91,6 +91,37 @@ class OperatorsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scd2History: contiguous non-overlapping ranges; attr changes") {
+    val h = graft.analytics.Analytics.scd2History(spark, SfDir).cache()
+    // ranges of one customer never overlap and adjacent ranges carry a
+    // different attribute (else they'd be one island)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey").orderBy($"valid_from")
+    val bad = h.withColumn("pv_to", lag($"valid_to", 1).over(w))
+      .withColumn("pv_attr", lag($"attr", 1).over(w))
+      .filter($"pv_to".isNotNull &&
+        ($"pv_to" >= $"valid_from" || $"pv_attr" === $"attr")).count()
+    assert(bad == 0)
+    assert(h.filter($"valid_to" < $"valid_from").count() == 0)
+    h.unpersist()
+  }
+
+  test("approx sketches land within tolerance of the exact values") {
+    val ev = graft.core.Tables(spark, SfDir, "events")
+    val approx = SparkEntry.queries("events_approx_stats")(spark, SfDir)
+    val exact = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("exact_users"),
+        expr("percentile(value, 0.5)").as("p50_exact"))
+    val j = approx.join(exact, "event_type").cache()
+    // HLL++ default rsd = 5%; allow 3 sigma
+    assert(j.filter(abs($"approx_users" - $"exact_users") >
+      $"exact_users" * 0.15).count() == 0)
+    // percentile_approx with accuracy 1000 on ~2k rows/group: tight
+    assert(j.filter(abs($"p50_approx" - $"p50_exact") >
+      abs($"p50_exact") * 0.05 + 0.5).count() == 0)
+    j.unpersist()
+  }
+
   test("bm25: tf saturation and rarity ordering; misses drop out") {
     val docs = Seq(
       (1L, "spark spark spark stream alpha beta gamma"),
