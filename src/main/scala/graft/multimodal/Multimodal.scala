@@ -85,6 +85,53 @@ object Multimodal {
     extractFeatures(mediaTable(spark, dir)).toDF()
       .withColumn("mean_byte", round(col("mean_byte"), 6))
 
+  /** PCM16 waveform features — from a REAL decoder (see below). */
+  case class PcmFeatures(doc_id: Long, n_samples: Long, rms: Double,
+    peak: Long, zero_cross: Long)
+
+  /** A REAL decoder in the decode seam: 16-bit little-endian PCM is a
+    * raw sample format, so decoding needs no codec library — byte pairs
+    * ARE the samples. This makes one leg of the multimodal path fully
+    * genuine (the compressed-codec legs keep the declared stub): the
+    * same batched `mapPartitions` contract as [[decodeStub]], producing
+    * the standard audio features (RMS loudness, peak amplitude,
+    * zero-crossing count). Integer accumulation is exact (sum of s² <
+    * 2⁵³ at any realistic batch payload) and `sqrt` is IEEE-correctly-
+    * rounded, so the features are bit-reproducible cross-engine. */
+  def decodePcm16(batch: Seq[MediaRecord]): Seq[PcmFeatures] =
+    batch.flatMap { r =>
+      val b = r.payload
+      val n = b.length / 2
+      if (n == 0) None
+      else {
+        var i = 0; var sumSq = 0L; var peak = 0L; var zc = 0L
+        var prevNonNeg = false
+        while (i < n) {
+          // little-endian: low byte unsigned, high byte carries sign
+          val s = (b(2 * i + 1).toInt << 8) | (b(2 * i) & 0xff)
+          val a = math.abs(s.toLong)
+          sumSq += s.toLong * s
+          if (a > peak) peak = a
+          val nonNeg = s >= 0
+          if (i > 0 && nonNeg != prevNonNeg) zc += 1
+          prevNonNeg = nonNeg
+          i += 1
+        }
+        Some(PcmFeatures(r.doc_id, n, math.sqrt(sumSq.toDouble / n),
+          peak, zc))
+      }
+    }
+
+  /** PCM16 waveform-feature query over the media table (payload bytes
+    * interpreted as raw PCM16LE — the audio leg of the pipeline). */
+  def pcmFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(decodePcm16))
+      .toDF()
+      .withColumn("rms", round(col("rms"), 6))
+  }
+
   val FrameBytes = 32
   val FrameEvery = 4
 

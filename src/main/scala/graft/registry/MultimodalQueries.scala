@@ -13,7 +13,8 @@ object MultimodalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> ((s, d) => Multimodal.mediaFeatures(s, d)),
-    "multimodal_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, d)))
+    "multimodal_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, d)),
+    "multimodal_pcm_decode" -> ((s, d) => Multimodal.pcmFeatures(s, d)))
 
   val oracles: Map[String, String] = Map(
     "multimodal_features" ->
@@ -55,5 +56,29 @@ object MultimodalQueries {
          |  length(substring(hx, CAST(frame_index * $w + 1 AS INT), $w)) // 2
          |    AS n_bytes
          |FROM fr""".stripMargin
-    })
+    },
+
+    // PCM16LE: byte pairs are samples — the oracle replays the exact
+    // decode (low byte unsigned + high byte signed·256), exact integer
+    // sum-of-squares, IEEE sqrt
+    "multimodal_pcm_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id, text FROM documents WHERE length(text) >= 2),
+        |s AS (
+        |  SELECT doc_id, list_transform(range(1, length(text)//2 + 1),
+        |    i -> CASE WHEN ascii(text[2*i:2*i]) >= 128
+        |              THEN ascii(text[2*i-1:2*i-1])
+        |                   + ascii(text[2*i:2*i]) * 256 - 65536
+        |              ELSE ascii(text[2*i-1:2*i-1])
+        |                   + ascii(text[2*i:2*i]) * 256 END) AS smp
+        |  FROM m)
+        |SELECT doc_id, CAST(len(smp) AS BIGINT) AS n_samples,
+        |  ROUND(sqrt(CAST(list_sum(list_transform(smp, x -> x * x))
+        |    AS DOUBLE) / len(smp)), 6) AS rms,
+        |  CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT)
+        |    AS peak,
+        |  CAST(COALESCE(list_sum(list_transform(range(2, len(smp) + 1),
+        |    i -> CASE WHEN (smp[i] >= 0) <> (smp[i-1] >= 0)
+        |              THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_cross
+        |FROM s""".stripMargin)
 }

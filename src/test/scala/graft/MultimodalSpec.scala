@@ -46,6 +46,24 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("nb") =!= col("pb")).count() == 0)
   }
 
+  test("decodePcm16: known waveform incl. negative samples and odd tail") {
+    // bytes: [0x00,0x01] -> 256; [0xFF,0xFF] -> -1; [0x10,0x80] -> -32752;
+    // trailing odd byte dropped
+    val payload = Array[Byte](0x00, 0x01, 0xFF.toByte, 0xFF.toByte,
+      0x10, 0x80.toByte, 0x7F)
+    val r = Multimodal.decodePcm16(Seq(
+      Multimodal.MediaRecord(1L, "audio/pcm", payload, 1, 1))).head
+    assert(r.n_samples == 3)
+    assert(r.peak == 32752L)
+    assert(r.zero_cross == 1L) // 256 -> -1 flips; -1 -> -32752 doesn't
+    val expectRms =
+      math.sqrt((256L * 256 + 1 + 32752L * 32752).toDouble / 3)
+    assert(math.abs(r.rms - expectRms) < 1e-9)
+    // empty/1-byte payload yields no row, not a crash
+    assert(Multimodal.decodePcm16(Seq(
+      Multimodal.MediaRecord(2L, "audio/pcm", Array[Byte](1), 1, 1))).isEmpty)
+  }
+
   test("decode batch shape: batches bounded by DecodeBatchSize") {
     val batchSizes = Multimodal.mediaTable(spark, SfDir)
       .mapPartitions(it => it.grouped(Multimodal.DecodeBatchSize)
