@@ -36,6 +36,18 @@ object StreamQueries {
           col("window.end").as("window_end"),
           col("event_type"), col("n"), col("value_sum"))),
 
+    // Hopping (sliding) window aggregate — each event lands in
+    // width/slide windows; the overlapping-window streaming shape
+    "events_hopping_window" -> ((s, d) =>
+      Tables(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 4).as("value_sum"))
+        .select(col("window.start").as("window_start"),
+          col("window.end").as("window_end"),
+          col("event_type"), col("n"), col("value_sum"))),
+
     // Gap-based sessionization (session_window): the dynamic-window
     // streaming shape, proven on the batch frame via gaps-and-islands
     // oracle SQL
@@ -122,6 +134,19 @@ object StreamQueries {
         |       event_type, COUNT(*) AS n,
         |       ROUND(SUM(value), 4) AS value_sum
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    // each event belongs to exactly width/slide = 2 hop windows: its
+    // 30-min bucket and the one 30 min earlier
+    "events_hopping_window" ->
+      """WITH h AS (
+        |  SELECT event_type, value,
+        |         unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+        |                 time_bucket(INTERVAL 30 MINUTE, ts)
+        |                   - INTERVAL 30 MINUTE]) AS window_start
+        |  FROM events)
+        |SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+        |       event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS value_sum
+        |FROM h GROUP BY 1, 2, 3""".stripMargin,
 
     // gaps-and-islands: new session when the gap to the previous event
     // EXCEEDS the session gap — session_window merges an event landing

@@ -122,6 +122,27 @@ class OperatorsSpec extends SparkSpec {
     j.unpersist()
   }
 
+  test("stream-static join: dimension enrichment inside a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[(Long, Double)](
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble), spark.sqlContext)
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val joined = ms.toDF().toDF("user_id", "value")
+      .join(broadcast(dim), Seq("user_id"), "left")
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, 10.0), (3L, 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("ss_join")
+        .select($"user_id", $"tier").as[(Long, Option[String])]
+        .collect().toMap
+      assert(rows(1L).contains("gold") && rows(3L).isEmpty)
+    } finally q.stop()
+  }
+
   test("bm25: tf saturation and rarity ordering; misses drop out") {
     val docs = Seq(
       (1L, "spark spark spark stream alpha beta gamma"),
