@@ -96,6 +96,33 @@ object StreamQueries {
           round(expr("percentile(value, 0.9)"), 6).as("p90"),
           round(expr("percentile(value, 0.99)"), 6).as("p99"))),
 
+    // Batch mirror of the flatMapGroupsWithState spike detector
+    // (graft.streaming.Stateful): running mean over each user's PRIOR
+    // events via a preceding-rows window — the oracle-checked proof of
+    // the custom-state scoring rule. event_id deliberately not emitted:
+    // (ts, value)-tied rows are interchangeable, so the OUTPUT multiset
+    // is order-independent even though per-row attribution isn't
+    "events_spike_scores" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("value"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val priorN = count(lit(1)).over(w)
+      // exact cents accumulation — see Stateful.UserState scaladoc
+      val priorCents = sum(col("cents")).over(w)
+      Tables(s, d, "events")
+        .select(col("user_id"), col("ts"), col("value"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .select(col("user_id"), col("ts"), col("value"),
+          round(when(priorN === 0, col("value"))
+            .otherwise(priorCents / (lit(100.0) * priorN)), 6)
+            .as("running_mean"),
+          when(priorN > 0 &&
+            col("cents") * priorN >
+              lit(graft.streaming.Stateful.SpikeFactor) * priorCents,
+            1L).otherwise(0L).as("is_spike"))
+    }),
+
     // Sketch-based approximate stats — the 100 TB path for distincts
     // and quantiles (HLL++ / KLL replace exact shuffles with mergeable
     // O(1)-state sketches). No SQL oracle: DuckDB's sketches are
@@ -193,5 +220,26 @@ object StreamQueries {
         |       ROUND(quantile_cont(value, 0.5), 6) AS p50,
         |       ROUND(quantile_cont(value, 0.9), 6) AS p90,
         |       ROUND(quantile_cont(value, 0.99), 6) AS p99
-        |FROM events GROUP BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "events_spike_scores" ->
+      s"""WITH x AS (
+         |  SELECT user_id, ts, value,
+         |         COUNT(*) OVER w AS prior_n,
+         |         SUM(CAST(round(value * 100) AS BIGINT)) OVER w
+         |           AS prior_cents,
+         |         CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, value
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         |SELECT user_id, ts, value,
+         |  ROUND(CASE WHEN prior_n = 0 THEN value
+         |             ELSE CAST(prior_cents AS DOUBLE) / (100.0 * prior_n)
+         |        END, 6) AS running_mean,
+         |  CASE WHEN prior_n > 0
+         |        AND cents * prior_n >
+         |            ${graft.streaming.Stateful.SpikeFactor} * prior_cents
+         |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+         |  END AS is_spike
+         |FROM x""".stripMargin)
 }

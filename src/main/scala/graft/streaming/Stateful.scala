@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom-state streaming via `flatMapGroupsWithState` — the
+  * KeyValueGroupedDataset state API for semantics no built-in stateful
+  * operator expresses: a per-user running-mean spike detector whose
+  * verdict for each event depends on ALL history before it, emitted
+  * per event in append mode (a windowed aggregate can't do per-row
+  * emission; `dropDuplicates` has no arithmetic state).
+  *
+  * State is O(1) per user (count + sum). In production the state is
+  * bounded by `ProcessingTimeTimeout`: a user idle past the timeout is
+  * evicted (re-appearing users restart cold) — the same bounded-state
+  * discipline as a watermark. The BATCH equivalent of this semantics
+  * is a preceding-rows window (see `events_spike_scores` in
+  * `StreamQueries`), which is the oracle-checked proof of the scoring
+  * rule; the streaming specs prove state actually persists and evicts
+  * across micro-batches.
+  */
+object Stateful {
+
+  case class Obs(user_id: Long, ts: Timestamp, value: Double)
+  /** Running count + EXACT integer cents sum: the observed values carry
+    * two decimals, so ×100 accumulation is associative-exact — a double
+    * running sum would drift by association order and disagree with the
+    * window-mirror oracle at round-boundary means (observed: one row in
+    * 10k). One double division at emission keeps IEEE determinism. */
+  case class UserState(n: Long, sumCents: Long)
+  case class Scored(user_id: Long, ts: Timestamp, value: Double,
+    running_mean: Double, is_spike: Boolean)
+
+  /** A value this many times the running mean of the user's PRIOR
+    * events counts as a spike (first event is never a spike). Integer
+    * 3 so the spike test is exact: cents·n > 3·sumCents. */
+  val SpikeFactor = 3L
+
+  private def cents(v: Double): Long = math.round(v * 100)
+
+  private def score(evictAfter: Option[String])(user: Long,
+      rows: Iterator[Obs],
+      state: GroupState[UserState]): Iterator[Scored] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    var st = state.getOption.getOrElse(UserState(0L, 0L))
+    // within a micro-batch, event-time order; ties by value for
+    // determinism (matches the batch mirror's ORDER BY)
+    val out = rows.toSeq.sortBy(o => (o.ts.getTime, o.value)).map { o =>
+      val mean =
+        if (st.n == 0) o.value else st.sumCents / (100.0 * st.n)
+      val spike = st.n > 0 && cents(o.value) * st.n > SpikeFactor * st.sumCents
+      st = UserState(st.n + 1, st.sumCents + cents(o.value))
+      Scored(o.user_id, o.ts, o.value, mean, spike)
+    }
+    state.update(st)
+    evictAfter.foreach(state.setTimeoutDuration)
+    out.iterator
+  }
+
+  /** Attach the detector to an observation stream (or batch frame —
+    * the API runs in both; batch sees one group call with no state).
+    * `evictAfter` turns on processing-time state eviction — the
+    * production bound on per-user state; None (the default) keeps
+    * state indefinitely, which is what deterministic tests want. */
+  def spikeScores(events: Dataset[Obs],
+      evictAfter: Option[String] = None): Dataset[Scored] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (evictAfter.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(score(evictAfter))
+  }
+}

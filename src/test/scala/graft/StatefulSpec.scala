@@ -1,0 +1,48 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.streaming.Stateful
+import graft.streaming.Stateful.Obs
+
+class StatefulSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+
+  test("spike detector state persists across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[Obs](
+      org.apache.spark.sql.Encoders.product[Obs], spark.sqlContext)
+    val q = Stateful.spikeScores(ms.toDS())
+      .writeStream.format("memory").queryName("spike_test")
+      .outputMode("append").start()
+    try {
+      // batch 1 establishes mean 1.0 — no spikes possible yet
+      ms.addData(Obs(1L, ts(1), 1.0), Obs(1L, ts(2), 1.0))
+      q.processAllAvailable()
+      // batch 2: 9.0 > 3 × mean(1.0) is a spike ONLY if the state
+      // survived the micro-batch boundary
+      ms.addData(Obs(1L, ts(3), 9.0), Obs(2L, ts(3), 50.0))
+      q.processAllAvailable()
+      val rows = spark.table("spike_test")
+        .select($"user_id", $"value", $"is_spike")
+        .as[(Long, Double, Boolean)].collect().toSet
+      assert(rows.contains((1L, 9.0, true)))
+      assert(rows.contains((1L, 1.0, false)))
+      assert(rows.contains((2L, 50.0, false))) // first event: never a spike
+    } finally q.stop()
+  }
+
+  test("batch run of the state function equals the window mirror") {
+    val obs = graft.core.Tables(spark, SfDir, "events")
+      .select($"user_id", $"ts", $"value").as[Obs]
+    val viaState = Stateful.spikeScores(obs).toDF()
+      .select($"user_id", $"ts", $"value",
+        round($"running_mean", 6).as("running_mean"),
+        when($"is_spike", 1L).otherwise(0L).as("is_spike"))
+    val viaWindow = SparkEntry.queries("events_spike_scores")(spark, SfDir)
+    assert(viaState.exceptAll(viaWindow).count() == 0 &&
+      viaWindow.exceptAll(viaState).count() == 0)
+  }
+}
