@@ -133,7 +133,11 @@ object StreamingTrainer {
     val ids = batches.select(col("batch_id")).distinct()
       .orderBy(col("batch_id")).as[Long].collect().take(nBatchesMax)
     val holdout = batches.filter(col("batch_id") === ids.last)
-    val trainer = new StreamingLogistic(nFeatures = 2)
+    // the planted 2-feature linear rule separates in well under 15
+    // LBFGS iterations at tol 1e-4; the default 25-iteration budget
+    // only buys scheduling overhead here (each iteration is a full
+    // distributed pass)
+    val trainer = new StreamingLogistic(nFeatures = 2, maxIter = 15)
     val metrics = ids.map { b =>
       trainer.updateOn(batches.filter(col("batch_id") === b))
       val (loss, acc) = trainer.evaluate(holdout)
