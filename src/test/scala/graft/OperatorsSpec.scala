@@ -33,6 +33,27 @@ class OperatorsSpec extends SparkSpec {
     assert(r.isEmpty)
   }
 
+  test("asOf: agrees with brute-force reference on pseudo-random data") {
+    // deterministic pseudo-random corpus: 60 probe rows, 25 build rows,
+    // 5 keys, colliding timestamps included on purpose
+    def h(i: Long, m: Long): Long = math.floorMod(i * 2654435761L, m)
+    val probe = (0L until 60L)
+      .map(i => (h(i, 5), ts(h(i + 7, 24).toInt), i)).toDF("k", "t", "pid")
+    val build = (0L until 25L)
+      .map(i => (h(i + 3, 5), ts(h(i * 13 + 1, 24).toInt), i * 10))
+      .groupBy(r => (r._1, r._2)).map { case (_, rs) => rs.maxBy(_._3) }
+      .toSeq.toDF("k", "t", "v") // unique per (k, ts) per the contract
+    val got = AsOfJoin.asOf(probe, build, Seq("k"), "t", Seq("v"))
+      .select($"pid", $"v").as[(Long, Option[Long])].collect().toMap
+    val buildRows = build.as[(Long, Timestamp, Long)].collect()
+    for ((k, t, pid) <- probe.as[(Long, Timestamp, Long)].collect()) {
+      val expect = buildRows
+        .filter(b => b._1 == k && !b._2.after(t))
+        .sortBy(_._2.getTime).lastOption.map(_._3)
+      assert(got(pid) == expect, s"pid=$pid k=$k t=$t")
+    }
+  }
+
   test("sessionize: gap > splits, gap <= merges; end = last + gap") {
     // boundary: an event exactly gap after the previous MERGES
     // (session_window's start <= end comparison is inclusive)

@@ -41,4 +41,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(p, "BroadcastExchange") == 2, s"broadcast count:\n$p")
     graft.core.CacheBay.drain()
   }
+
+  // Plans that legitimately nested-loop over a BOUNDED broadcast side:
+  // J8's distinct-region backfill (reference semantics), BM25's 1-row
+  // corpus-stats frame, and the brute-force ANN baseline whose whole
+  // point is the exact all-pairs scan over a bounded query subset.
+  // Everything else must be equi-joined.
+  private val JustifiedCross =
+    Set("j8_region_backfill", "text_bm25", "sim_bruteforce_topk")
+  // Building these performs driver-side actions (KMeans fit / LBFGS
+  // training / count()s) — plan shape is audited by their own specs.
+  private val ActionOnBuild =
+    Set("ml_stream_train", "sim_ivf_topk", "dedup_clusters")
+
+  test("no registry query plans a cartesian or nested-loop join") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if ActionOnBuild(name) => None
+      case (name, fn) =>
+        val p = plan(fn(spark, SfDir))
+        graft.core.CacheBay.drain()
+        val bad = p.contains("CartesianProduct") ||
+          (p.contains("BroadcastNestedLoopJoin") && !JustifiedCross(name))
+        if (bad) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"quadratic joins in: $offenders")
+  }
 }
