@@ -87,6 +87,34 @@ class SinksSpec extends SparkSpec {
     assert(r.filter(col("status") =!= "PASS").count() == 0)
   }
 
+  test("streaming foreachBatch + upsert sink is replay-idempotent") {
+    // exactly-once-by-idempotence: Structured Streaming replays a
+    // micro-batch after a failure; an upsert keyed on the PK makes the
+    // retry a no-op, so the sink converges to exactly-once output
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("graft_stream_upsert")
+      .toFile.getAbsolutePath + "/target"
+    val ms = MemoryStream[(Long, String)](
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING), spark.sqlContext)
+    val parsed = ms.toDF().toDF("id", "payload")
+    val q = graft.streaming.StreamIngest.foreachBatchWriter(parsed) {
+      (df, _) =>
+        // upsert twice per micro-batch = simulated replay-after-crash
+        Sinks.deltaUpsertAppend(df.sparkSession, df, dir, Seq("id"))
+        Sinks.deltaUpsertAppend(df.sparkSession, df, dir, Seq("id"))
+        ()
+    }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow).start()
+    try {
+      ms.addData((1L, "a"), (2L, "b"))
+      q.awaitTermination(60000)
+      val out = spark.read.parquet(dir)
+      assert(out.count() == 2) // replays appended nothing
+      assert(out.select("id").distinct().count() == 2)
+    } finally q.stop()
+  }
+
   test("S17 line-array payload parses to one row per line") {
     val df = Seq("""["line one", "line two", "line three"]""").toDF("value")
     val rows = graft.streaming.StreamIngest.parseLineArray(df)
