@@ -107,19 +107,23 @@ object StreamQueries {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("value"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val priorN = count(lit(1)).over(w)
-      // exact cents accumulation — see Stateful.UserState scaladoc
-      val priorCents = sum(col("cents")).over(w)
+      // exact cents accumulation, and the mean emitted as INTEGER
+      // micro-units (cents·10⁴ div n): no floating point anywhere, so
+      // no round-tie ambiguity — Spark round() (decimal HALF_UP) and
+      // DuckDB round() (float tie-to-even) disagree at exact ties like
+      // …8125e-6, which cents/(100n) quotients hit routinely
       Tables(s, d, "events")
         .select(col("user_id"), col("ts"), col("value"),
           round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("prior_n", count(lit(1)).over(w))
+        .withColumn("prior_cents", sum(col("cents")).over(w))
         .select(col("user_id"), col("ts"), col("value"),
-          round(when(priorN === 0, col("value"))
-            .otherwise(priorCents / (lit(100.0) * priorN)), 6)
-            .as("running_mean"),
-          when(priorN > 0 &&
-            col("cents") * priorN >
-              lit(graft.streaming.Stateful.SpikeFactor) * priorCents,
+          when(col("prior_n") === 0, col("cents") * 10000L)
+            .otherwise(expr("(prior_cents * 10000) div prior_n"))
+            .as("running_mean_e6"),
+          when(col("prior_n") > 0 &&
+            col("cents") * col("prior_n") >
+              lit(graft.streaming.Stateful.SpikeFactor) * col("prior_cents"),
             1L).otherwise(0L).as("is_spike"))
     }),
 
@@ -222,6 +226,8 @@ object StreamQueries {
         |       ROUND(quantile_cont(value, 0.99), 6) AS p99
         |FROM events GROUP BY event_type""".stripMargin,
 
+    // pure-integer mean (micro-units): values are non-negative so
+    // DuckDB's floor-// equals Spark's truncating div
     "events_spike_scores" ->
       s"""WITH x AS (
          |  SELECT user_id, ts, value,
@@ -233,9 +239,9 @@ object StreamQueries {
          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, value
          |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
          |SELECT user_id, ts, value,
-         |  ROUND(CASE WHEN prior_n = 0 THEN value
-         |             ELSE CAST(prior_cents AS DOUBLE) / (100.0 * prior_n)
-         |        END, 6) AS running_mean,
+         |  CAST(CASE WHEN prior_n = 0 THEN cents * 10000
+         |            ELSE (prior_cents * 10000) // prior_n
+         |       END AS BIGINT) AS running_mean_e6,
          |  CASE WHEN prior_n > 0
          |        AND cents * prior_n >
          |            ${graft.streaming.Stateful.SpikeFactor} * prior_cents

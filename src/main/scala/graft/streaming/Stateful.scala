@@ -25,12 +25,16 @@ object Stateful {
   case class Obs(user_id: Long, ts: Timestamp, value: Double)
   /** Running count + EXACT integer cents sum: the observed values carry
     * two decimals, so ×100 accumulation is associative-exact — a double
-    * running sum would drift by association order and disagree with the
+    * running sum drifts by association order and disagrees with the
     * window-mirror oracle at round-boundary means (observed: one row in
-    * 10k). One double division at emission keeps IEEE determinism. */
+    * 10k). The emitted mean is INTEGER micro-units (cents·10⁴ div n):
+    * even a single exact division + round(…, 6) fails cross-engine,
+    * because the engines break decimal ties differently (Spark decimal
+    * HALF_UP vs DuckDB float tie-to-even) and cents/(100n) quotients
+    * hit exact …5e-7 ties routinely. Integer out = no ties exist. */
   case class UserState(n: Long, sumCents: Long)
   case class Scored(user_id: Long, ts: Timestamp, value: Double,
-    running_mean: Double, is_spike: Boolean)
+    running_mean_e6: Long, is_spike: Boolean)
 
   /** A value this many times the running mean of the user's PRIOR
     * events counts as a spike (first event is never a spike). Integer
@@ -47,11 +51,12 @@ object Stateful {
     // within a micro-batch, event-time order; ties by value for
     // determinism (matches the batch mirror's ORDER BY)
     val out = rows.toSeq.sortBy(o => (o.ts.getTime, o.value)).map { o =>
-      val mean =
-        if (st.n == 0) o.value else st.sumCents / (100.0 * st.n)
+      val meanE6 =
+        if (st.n == 0) cents(o.value) * 10000L
+        else st.sumCents * 10000L / st.n
       val spike = st.n > 0 && cents(o.value) * st.n > SpikeFactor * st.sumCents
       st = UserState(st.n + 1, st.sumCents + cents(o.value))
-      Scored(o.user_id, o.ts, o.value, mean, spike)
+      Scored(o.user_id, o.ts, o.value, meanE6, spike)
     }
     state.update(st)
     evictAfter.foreach(state.setTimeoutDuration)

@@ -38,8 +38,7 @@ class StatefulSpec extends SparkSpec {
     val obs = graft.core.Tables(spark, SfDir, "events")
       .select($"user_id", $"ts", $"value").as[Obs]
     val viaState = Stateful.spikeScores(obs).toDF()
-      .select($"user_id", $"ts", $"value",
-        round($"running_mean", 6).as("running_mean"),
+      .select($"user_id", $"ts", $"value", $"running_mean_e6",
         when($"is_spike", 1L).otherwise(0L).as("is_spike"))
     val viaWindow = SparkEntry.queries("events_spike_scores")(spark, SfDir)
     assert(viaState.exceptAll(viaWindow).count() == 0 &&
