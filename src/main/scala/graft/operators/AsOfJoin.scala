@@ -31,7 +31,10 @@ import org.apache.spark.sql.types.StructType
   *
   * Determinism contract: `build` must be unique per (keys, ts) —
   * pre-aggregate duplicates (e.g. `max_by`) or ties would resolve by
-  * partition order. Probe columns pass through untouched.
+  * partition order. Keys must be NON-NULL: `Window.partitionBy` groups
+  * SQL NULLs into one partition, so null-keyed rows would match each
+  * other — equi-join/ASOF semantics never match NULL keys. Pre-filter
+  * nullable keys before calling. Probe columns pass through untouched.
   */
 object AsOfJoin {
 

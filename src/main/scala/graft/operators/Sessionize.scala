@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   * (`StreamIngest.parsePayload`). */
 object Sessionize {
 
-  val DefaultGap = "6 hours"
+  /** Gap in hours — the oracle SQL interpolates THIS constant (as
+    * `INTERVAL n HOUR`), so tuning it moves both engines together. */
+  val DefaultGapHours = 6
+  val DefaultGap = s"$DefaultGapHours hours"
 
   def sessions(events: DataFrame, key: String, ts: String,
       value: String, gap: String = DefaultGap): DataFrame =

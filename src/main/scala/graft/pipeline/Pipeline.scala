@@ -122,8 +122,13 @@ object Pipeline {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sh"),
         sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))
+    // overlap emitted as INTEGER parts-per-million: round(exact
+    // rational, 6) diverges cross-engine at decimal ties (e.g. 41/640
+    // → Spark .064063, DuckDB .064062); integer div has no ties. The
+    // flag's >= threshold compares one exact double division — no
+    // rounding involved, so it stays deterministic.
     agg.select(col("doc_id"), col("n_sh"), col("n_hit"),
-      round(col("n_hit").cast("double") / col("n_sh"), 6).as("overlap"),
+      expr("(n_hit * 1000000) div n_sh").as("overlap_e6"),
       when(col("n_hit").cast("double") / col("n_sh") >= minOverlap, 1L)
         .otherwise(0L).as("contaminated"))
   }
@@ -144,7 +149,9 @@ object Pipeline {
     * sum is a window over each partition, never a single global sort:
     * the sort key is (part, doc_id) and the work parallelizes across
     * nParts — on a cluster, nParts rises with executor count and the
-    * shape is unchanged. pack_id is globally unique via part offset. */
+    * shape is unchanged. pack_id interleaves as pack·nParts + part —
+    * globally unique for ANY per-part pack count (a fixed additive
+    * offset would collide once one part exceeds it). */
   def packSequences(docs: DataFrame, budget: Long = PackBudget,
       nParts: Int = PackParts): DataFrame = {
     val t = docs.select(col("doc_id"),
@@ -154,9 +161,8 @@ object Pipeline {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t.withColumn("cum", sum(col("n_tokens")).over(w))
       .select(col("doc_id"), col("part"), col("n_tokens"),
-        (col("part") * lit(1000000L) +
-          floor((col("cum") - col("n_tokens")) / lit(budget.toDouble))
-            .cast("long")).as("pack_id"))
+        (floor((col("cum") - col("n_tokens")) / lit(budget.toDouble))
+          .cast("long") * nParts + col("part")).as("pack_id"))
   }
 
   /** Per-pack occupancy report: documents and tokens per packed

@@ -30,7 +30,8 @@ object DedupQueries {
 
   // ---- shared DuckDB CTEs (generated from the same constants) ----
 
-  private val normSql =
+  /** Shared with [[PipelineQueries]] (curation-composite oracle). */
+  private[registry] val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
   /** Word-ShingleN-gram distinct shingle sets, docs with ≥1 shingle.

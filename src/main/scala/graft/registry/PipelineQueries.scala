@@ -51,6 +51,40 @@ object PipelineQueries {
        |              ELSE 'test' END AS split
        |  FROM sp)""".stripMargin
 
+  /** Packing CTEs (token counts → partition-scoped running sum →
+    * interleaved pack ids) — shared by both pack oracles. */
+  private val PackCtes =
+    s"""t AS (
+       |  SELECT doc_id, doc_id % $PackParts AS part,
+       |         CASE WHEN trim(text) = '' THEN 0
+       |              ELSE len(string_split_regex(trim(text), '\\s+'))
+       |         END AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, part, n_tokens,
+       |         SUM(n_tokens) OVER (PARTITION BY part ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t),
+       |p AS (
+       |  SELECT doc_id, part, n_tokens,
+       |         CAST(FLOOR((cum - n_tokens) / $PackBudget.0) AS BIGINT)
+       |           * $PackParts + part AS pack_id
+       |  FROM c)""".stripMargin
+
+  /** Contamination CTEs (benchmark shingle vocabulary → per-doc hit
+    * counts) — appended after [[DedupQueries.ShinglesCte]]; shared by
+    * the standalone decontamination oracle and the curation funnel. */
+  private val ContamCtes =
+    s"""ex AS (SELECT doc_id, unnest(shingles) AS sh FROM shf),
+       |bench AS (SELECT DISTINCT sh FROM ex WHERE doc_id % $BenchMod = 0),
+       |agg AS (
+       |  SELECT c.doc_id, count(*) AS n_sh,
+       |         CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_hit
+       |  FROM ex c LEFT JOIN bench b ON c.sh = b.sh
+       |  WHERE c.doc_id % $BenchMod <> 0
+       |  GROUP BY c.doc_id)""".stripMargin
+
   /** The synthetic-PII composition — identical to
     * [[Pipeline.withSyntheticPii]]. */
   private val RawPiiSql =
@@ -83,59 +117,20 @@ object PipelineQueries {
          |FROM (SELECT doc_id, $RawPiiSql AS raw FROM documents)""".stripMargin,
 
     "pipe_decontaminate" ->
-      s"""WITH ${DedupQueries.ShinglesCte},
-         |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM shf),
-         |bench AS (SELECT DISTINCT sh FROM ex WHERE doc_id % $BenchMod = 0),
-         |agg AS (
-         |  SELECT c.doc_id, count(*) AS n_sh,
-         |         CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)
-         |              AS BIGINT) AS n_hit
-         |  FROM ex c LEFT JOIN bench b ON c.sh = b.sh
-         |  WHERE c.doc_id % $BenchMod <> 0
-         |  GROUP BY c.doc_id)
+      s"""WITH ${DedupQueries.ShinglesCte}, $ContamCtes
          |SELECT doc_id, n_sh, n_hit,
-         |       ROUND(n_hit * 1.0 / n_sh, 6) AS overlap,
+         |       CAST((n_hit * 1000000) // n_sh AS BIGINT) AS overlap_e6,
          |       CASE WHEN n_hit * 1.0 / n_sh >= $MinContamOverlap
          |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
          |       END AS contaminated
          |FROM agg""".stripMargin,
 
     "pipe_pack_sequences" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, doc_id % $PackParts AS part,
-         |         CASE WHEN trim(text) = '' THEN 0
-         |              ELSE len(string_split_regex(trim(text), '\\s+'))
-         |         END AS n_tokens
-         |  FROM documents),
-         |c AS (
-         |  SELECT doc_id, part, n_tokens,
-         |         SUM(n_tokens) OVER (PARTITION BY part ORDER BY doc_id
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM t)
-         |SELECT doc_id, part, n_tokens,
-         |       part * 1000000 +
-         |         CAST(FLOOR((cum - n_tokens) / $PackBudget.0) AS BIGINT)
-         |         AS pack_id
-         |FROM c""".stripMargin,
+      s"""WITH $PackCtes
+         |SELECT doc_id, part, n_tokens, pack_id FROM p""".stripMargin,
 
     "pipe_pack_report" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, doc_id % $PackParts AS part,
-         |         CASE WHEN trim(text) = '' THEN 0
-         |              ELSE len(string_split_regex(trim(text), '\\s+'))
-         |         END AS n_tokens
-         |  FROM documents),
-         |c AS (
-         |  SELECT doc_id, part, n_tokens,
-         |         SUM(n_tokens) OVER (PARTITION BY part ORDER BY doc_id
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM t),
-         |p AS (
-         |  SELECT part, n_tokens,
-         |         part * 1000000 +
-         |           CAST(FLOOR((cum - n_tokens) / $PackBudget.0) AS BIGINT)
-         |           AS pack_id
-         |  FROM c)
+      s"""WITH $PackCtes
          |SELECT part, pack_id, count(*) AS n_docs,
          |       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
          |FROM p GROUP BY part, pack_id""".stripMargin,
@@ -155,32 +150,19 @@ object PipelineQueries {
          |         AS BIGINT) AS rank
          |FROM s""".stripMargin,
 
-    // the curation funnel: every predicate reuses the CTE that already
-    // oracles its standalone operator (split, exact-dup keeper,
-    // quality trio, contamination) — composed, not re-derived
-    "pipe_curated_corpus" -> {
-      val qualityExpr =
-        s"""ROUND(least(length(text) / 500.0, 1.0) * 0.4
-           |      + least((${TextQueries.stopSql}) * 4.0, 1.0) * 0.3
-           |      + greatest(1.0 - (${TextQueries.punctSql}) * 5.0, 0.0) * 0.3,
-           |   6)""".stripMargin
+    // the curation funnel: every predicate reuses the SAME shared CTE/
+    // SQL val that oracles its standalone operator (SplitCte, dedup
+    // normSql, TextQueries.qualitySql, ContamCtes) — composed, never
+    // re-typed, so the composite and the standalone queries cannot
+    // disagree about a document
+    "pipe_curated_corpus" ->
       s"""WITH $SplitCte,
-         |fp AS (SELECT doc_id,
-         |         md5(trim(regexp_replace(regexp_replace(lower(text),
-         |           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+         |fp AS (SELECT doc_id, md5(${DedupQueries.normSql}) AS fp
          |       FROM documents),
          |keep AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fp),
-         |qual AS (SELECT doc_id, $qualityExpr AS quality FROM documents),
-         |${DedupQueries.ShinglesCte},
-         |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM shf),
-         |bench AS (SELECT DISTINCT sh FROM ex WHERE doc_id % $BenchMod = 0),
-         |agg AS (
-         |  SELECT c.doc_id, count(*) AS n_sh,
-         |         CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)
-         |              AS BIGINT) AS n_hit
-         |  FROM ex c LEFT JOIN bench b ON c.sh = b.sh
-         |  WHERE c.doc_id % $BenchMod <> 0
-         |  GROUP BY c.doc_id),
+         |qual AS (SELECT doc_id, ${TextQueries.qualitySql} AS quality
+         |         FROM documents),
+         |${DedupQueries.ShinglesCte}, $ContamCtes,
          |contam AS (
          |  SELECT doc_id,
          |         CASE WHEN n_hit * 1.0 / n_sh >= $MinContamOverlap
@@ -193,6 +175,5 @@ object PipelineQueries {
          |LEFT JOIN contam USING (doc_id)
          |WHERE spl.split = 'train' AND spl.doc_id % $BenchMod <> 0
          |  AND qual.quality >= ${Pipeline.MinQuality}
-         |  AND COALESCE(contam.contaminated, 0) = 0""".stripMargin
-    })
+         |  AND COALESCE(contam.contaminated, 0) = 0""".stripMargin)
 }

@@ -183,22 +183,24 @@ object StreamQueries {
     // EXCEEDS the session gap — session_window merges an event landing
     // exactly on the previous session's end (start <= end is inclusive
     // in UpdatingSessionsIterator), so the boundary case merges: >, not >=
-    "events_session_window" ->
-      """WITH x AS (
-        |  SELECT user_id, ts, value,
-        |         CASE WHEN lag(ts) OVER w IS NULL
-        |                OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
-        |              THEN 1 ELSE 0 END AS brk
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-        |), s AS (
-        |  SELECT user_id, ts, value,
-        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |  FROM x)
-        |SELECT user_id, MIN(ts) AS session_start,
-        |       MAX(ts) + INTERVAL 6 HOUR AS session_end,
-        |       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS value_sum
-        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "events_session_window" -> {
+      val g = graft.operators.Sessionize.DefaultGapHours
+      s"""WITH x AS (
+         |  SELECT user_id, ts, value,
+         |         CASE WHEN lag(ts) OVER w IS NULL
+         |                OR ts - lag(ts) OVER w > INTERVAL $g HOUR
+         |              THEN 1 ELSE 0 END AS brk
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         |), s AS (
+         |  SELECT user_id, ts, value,
+         |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM x)
+         |SELECT user_id, MIN(ts) AS session_start,
+         |       MAX(ts) + INTERVAL $g HOUR AS session_end,
+         |       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS value_sum
+         |FROM s GROUP BY user_id, sid""".stripMargin
+    },
 
     "asof_last_milestone" ->
       """WITH b AS (

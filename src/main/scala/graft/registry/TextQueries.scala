@@ -71,6 +71,14 @@ object TextQueries {
        |     ELSE $hits / len(string_split_regex(trim(lower(text)), '\\s+')) END""".stripMargin
   }
 
+  /** The composite quality score — shared verbatim with
+    * [[PipelineQueries]]'s curation-funnel oracle so the two cannot
+    * drift. */
+  private[registry] val qualitySql =
+    s"""ROUND(least(length(text) / 500.0, 1.0) * 0.4
+       |      + least(($stopSql) * 4.0, 1.0) * 0.3
+       |      + greatest(1.0 - ($punctSql) * 5.0, 0.0) * 0.3, 6)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "text_token_counts" ->
       s"""SELECT doc_id,
@@ -84,9 +92,7 @@ object TextQueries {
          |  length(text) AS len_chars,
          |  ROUND($punctSql, 6) AS punct_ratio,
          |  ROUND($stopSql, 6) AS stopword_ratio,
-         |  ROUND(least(length(text) / 500.0, 1.0) * 0.4
-         |      + least(($stopSql) * 4.0, 1.0) * 0.3
-         |      + greatest(1.0 - ($punctSql) * 5.0, 0.0) * 0.3, 6) AS quality
+         |  $qualitySql AS quality
          |FROM documents""".stripMargin,
 
     "text_lang_id" -> {

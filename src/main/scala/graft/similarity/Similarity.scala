@@ -237,7 +237,10 @@ object Similarity {
     * Spark disagree on round-half semantics but floor is IEEE-exact in
     * both; deterministic cross-engine beats round-half-even purism
     * here. Emits the reconstruction max-error per vector as the audit
-    * column. Pure per-row map work, no shuffle. */
+    * column. Per-row map work; the leading repartition exists only to
+    * spread the single-file small-SF input across cores (same note as
+    * [[withNorm]]) — on a multi-split cluster table it would be
+    * dropped and the operator is shuffle-free. */
   def quantizeInt8(emb: DataFrame): DataFrame =
     emb.repartition(col("vec_id"))
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))

@@ -48,10 +48,10 @@ class PipelineSpec extends SparkSpec {
       $"clean_text".contains("<IP>")).count() == r.count())
   }
 
-  test("decontaminate: benchmark docs excluded; overlap in [0,1]") {
+  test("decontaminate: benchmark docs excluded; overlap in [0,1e6]") {
     val d = Pipeline.decontaminate(docs)
     assert(d.filter($"doc_id" % Pipeline.BenchMod === 0).count() == 0)
-    assert(d.filter($"overlap" < 0 || $"overlap" > 1).count() == 0)
+    assert(d.filter($"overlap_e6" < 0 || $"overlap_e6" > 1000000).count() == 0)
     assert(d.filter($"n_hit" > $"n_sh").count() == 0)
     // an exact copy of a benchmark doc must flag as contaminated:
     // synthesize one by unioning doc 0's text under a fresh id
