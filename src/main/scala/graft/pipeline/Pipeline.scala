@@ -52,6 +52,29 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"))
 
+  /** Per-language keep-rates (percent of the 0-99 bucket) for
+    * stratified sampling — the language-rebalancing knob multilingual
+    * corpus curation turns (downsample the dominant language, keep the
+    * long tail whole). Unlisted languages use [[DefaultRate]]. */
+  val StratRates: Seq[(String, Int)] =
+    Seq("en" -> 50, "de" -> 80, "zh" -> 100)
+  val DefaultRate = 30
+
+  /** Deterministic stratified sample: keep a doc iff its hash bucket
+    * falls under its language's rate. Same md5 bucket as [[hashSplit]]
+    * — content-stable, re-runnable, and pure map work (the rate lookup
+    * folds into a CASE expression, no join). */
+  def stratifiedSample(docs: DataFrame,
+      rates: Seq[(String, Int)] = StratRates,
+      defaultRate: Int = DefaultRate): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("lang"),
+        hashBucket(col("doc_id")).as("bucket"), rate.as("keep_rate"))
+      .filter(col("bucket") < col("keep_rate"))
+  }
+
   // ---- PII redaction ----
 
   /** Conservative PII patterns (identical semantics in Java regex and

@@ -26,6 +26,8 @@ object PipelineQueries {
     "pipe_pack_sequences" -> ((s, d) => Pipeline.packSequences(docs(s, d))),
     "pipe_pack_report" -> ((s, d) => Pipeline.packReport(docs(s, d))),
     "pipe_shuffle_shards" -> ((s, d) => Pipeline.shuffleShards(docs(s, d))),
+    "pipe_stratified_sample" -> ((s, d) =>
+      Pipeline.stratifiedSample(docs(s, d))),
     "pipe_curated_corpus" -> ((s, d) => Pipeline.curatedCorpus(docs(s, d))))
 
   // ---- DuckDB oracle SQL, generated from the same constants ----
@@ -149,6 +151,19 @@ object PipelineQueries {
          |         PARTITION BY shard ORDER BY shuffle_key, doc_id)
          |         AS BIGINT) AS rank
          |FROM s""".stripMargin,
+
+    "pipe_stratified_sample" -> {
+      val cases = StratRates.map { case (l, r) =>
+        s"WHEN lang = '$l' THEN $r"
+      }.mkString(" ")
+      s"""WITH b AS (
+         |  SELECT doc_id, lang,
+         |         ${hex8Sql("md5(CAST(doc_id AS VARCHAR))")} % 100 AS bucket,
+         |         CASE $cases ELSE $DefaultRate END AS keep_rate
+         |  FROM documents)
+         |SELECT doc_id, lang, bucket, keep_rate
+         |FROM b WHERE bucket < keep_rate""".stripMargin
+    },
 
     // the curation funnel: every predicate reuses the SAME shared CTE/
     // SQL val that oracles its standalone operator (SplitCte, dedup

@@ -77,6 +77,24 @@ class PipelineSpec extends SparkSpec {
     assert(viol == 0)
   }
 
+  test("stratifiedSample: per-lang rates honored, subset of hashSplit") {
+    val s = Pipeline.stratifiedSample(docs).cache()
+    assert(s.filter($"bucket" >= $"keep_rate").count() == 0)
+    // keep-rate is a pure function of lang
+    val rates = Pipeline.StratRates.toMap
+    val bad = s.filter($"keep_rate" =!=
+      Pipeline.StratRates.foldLeft(lit(Pipeline.DefaultRate)) {
+        case (acc, (l, r)) => when($"lang" === l, lit(r)).otherwise(acc)
+      }).count()
+    assert(bad == 0)
+    // a 100%-rate stratum keeps every doc of that lang (if present)
+    for ((l, r) <- rates if r == 100) {
+      val total = docs.filter($"lang" === l).count()
+      assert(s.filter($"lang" === l).count() == total)
+    }
+    s.unpersist()
+  }
+
   test("shuffleShards: permutation within shards, stable under re-run") {
     val a = Pipeline.shuffleShards(docs).cache()
     assert(a.count() == docs.count())
