@@ -31,22 +31,44 @@ import org.apache.spark.sql.types.StructType
   *
   * Determinism contract: `build` must be unique per (keys, ts) —
   * pre-aggregate duplicates (e.g. `max_by`) or ties would resolve by
-  * partition order. Keys must be NON-NULL: `Window.partitionBy` groups
-  * SQL NULLs into one partition, so null-keyed rows would match each
-  * other — equi-join/ASOF semantics never match NULL keys. Pre-filter
-  * nullable keys before calling. Probe columns pass through untouched.
+  * partition order. Keys and ts must be NON-NULL: `Window.partitionBy`
+  * groups SQL NULLs into one partition, so null-keyed rows would match
+  * each other — equi-join/ASOF semantics never match NULL keys — and a
+  * null ts would sort first rather than participate in the ≤ order.
+  * Both are enforced: name collisions (reserved internals, payload vs
+  * probe columns) fail at plan time via `require`; null keys/ts fail at
+  * execution time via an `assert_true` guard, so a contract violation
+  * is an error, never a silently wrong row. Probe columns pass through
+  * untouched.
   */
 object AsOfJoin {
 
+  private val Reserved = Seq("__p", "__side", "__m")
+
   def asOf(probe: DataFrame, build: DataFrame, keys: Seq[String],
       ts: String, payload: Seq[String]): DataFrame = {
+    val taken = (probe.columns ++ build.columns).toSet
+    require(Reserved.forall(!taken.contains(_)),
+      s"asOf: input columns collide with reserved internals $Reserved")
     val probeExtra = probe.columns.toSeq
       .filterNot(c => keys.contains(c) || c == ts)
+    require(payload.intersect(probe.columns).isEmpty,
+      s"asOf: payload columns ${payload.intersect(probe.columns)} shadow " +
+        "probe columns — rename one side before joining")
+    // execution-time null-contract guard: assert_true raises on the
+    // first violating row (returns NULL when the contract holds, so the
+    // isNull filter keeps every valid row and costs one codegen'd check)
+    def nonNullGuard(df: DataFrame): DataFrame = {
+      val ok = (keys :+ ts).map(col(_).isNotNull).reduce(_ && _)
+      df.filter(assert_true(ok,
+        lit(s"asOf: null key/ts — keys=$keys ts=$ts must be non-null"))
+        .isNull)
+    }
     val packedType = StructType(payload.map(c => build.schema(c)))
-    val p = probe.select(
+    val p = nonNullGuard(probe).select(
       (keys :+ ts).map(col) ++ probeExtra.map(col) ++ Seq(
         lit(null).cast(packedType).as("__p"), lit(1).as("__side")): _*)
-    val b = build.select(
+    val b = nonNullGuard(build).select(
       (keys :+ ts).map(col) ++ probeExtra.map(c =>
         lit(null).cast(probe.schema(c).dataType).as(c)) ++ Seq(
         struct(payload.map(col): _*).as("__p"), lit(0).as("__side")): _*)

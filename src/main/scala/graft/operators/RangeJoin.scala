@@ -19,18 +19,33 @@ import org.apache.spark.sql.functions._
   *
   * Contract: key column names are shared; all other point/interval
   * column names must be disjoint (rename before calling).
+  *
+  * Dirty-data guards (the explode is the failure surface): an interval
+  * with `end < start` matches nothing under the containment filter, so
+  * such rows are DROPPED before the explode — otherwise `sequence`
+  * builds a descending garbage array. An interval spanning more than
+  * `maxBucketsPerInterval` buckets (a far-future end, or bucketSeconds
+  * mis-sized by orders of magnitude) would explode into an array big
+  * enough to OOM one task — that is a caller error, so it RAISES at
+  * execution time instead of silently burning the scale claim.
   */
 object RangeJoin {
 
   def pointInRange(points: DataFrame, intervals: DataFrame,
       keys: Seq[String], pointTs: String, startTs: String, endTs: String,
-      bucketSeconds: Long = 86400L): DataFrame = {
+      bucketSeconds: Long = 86400L,
+      maxBucketsPerInterval: Long = 100000L): DataFrame = {
     val pb = points.withColumn("__b",
       floor(unix_timestamp(col(pointTs)) / bucketSeconds))
-    val ib = intervals.withColumn("__b",
-      explode(sequence(
-        floor(unix_timestamp(col(startTs)) / bucketSeconds),
-        floor(unix_timestamp(col(endTs)) / bucketSeconds))))
+    val sb = floor(unix_timestamp(col(startTs)) / bucketSeconds)
+    val eb = floor(unix_timestamp(col(endTs)) / bucketSeconds)
+    val ib = intervals
+      .filter(col(endTs) >= col(startTs))
+      .filter(assert_true(eb - sb < lit(maxBucketsPerInterval),
+        lit(s"pointInRange: interval spans >= $maxBucketsPerInterval " +
+          s"buckets of ${bucketSeconds}s — widen bucketSeconds or clean " +
+          "the interval data")).isNull)
+      .withColumn("__b", explode(sequence(sb, eb)))
     pb.join(ib, keys :+ "__b")
       .filter(col(pointTs) >= col(startTs) && col(pointTs) <= col(endTs))
       .drop("__b")

@@ -22,13 +22,19 @@ object Sessionize {
   val DefaultGapHours = 6
   val DefaultGap = s"$DefaultGapHours hours"
 
+  /** The session value total is EXACT INTEGER CENTS, not
+    * `round(SUM(double), 4)`: the observed values carry two decimals,
+    * so ×100 accumulation is associative-exact, while cross-engine
+    * double summation order differs (DuckDB windows sum via a segment
+    * tree) — exactly the decimal-tie class that broke hashes at sf0.1
+    * elsewhere in this repo. Same discipline as `events_spike_scores`. */
   def sessions(events: DataFrame, key: String, ts: String,
       value: String, gap: String = DefaultGap): DataFrame =
     events.groupBy(col(key), session_window(col(ts), gap))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col(value)), 4).as("value_sum"))
+        sum(round(col(value) * 100).cast("long")).as("value_cents"))
       .select(col(key),
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
-        col("n_events"), col("value_sum"))
+        col("n_events"), col("value_cents"))
 }

@@ -26,15 +26,17 @@ object StreamQueries {
           .getField("k").as("k"))),
 
     // Tumbling-window aggregate — the Structured Streaming windowed-agg
-    // shape, runnable identically on the batch frame
+    // shape, runnable identically on the batch frame. Value totals are
+    // exact integer cents (see Sessionize scaladoc): round(SUM(dbl), 4)
+    // is fragile to cross-engine summation-order ties
     "events_tumbling_window" -> ((s, d) =>
       Tables(s, d, "events")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("value")), 4).as("value_sum"))
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
         .select(col("window.start").as("window_start"),
           col("window.end").as("window_end"),
-          col("event_type"), col("n"), col("value_sum"))),
+          col("event_type"), col("n"), col("value_cents"))),
 
     // Hopping (sliding) window aggregate — each event lands in
     // width/slide windows; the overlapping-window streaming shape
@@ -43,10 +45,10 @@ object StreamQueries {
         .groupBy(window(col("ts"), "1 hour", "30 minutes"),
           col("event_type"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("value")), 4).as("value_sum"))
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
         .select(col("window.start").as("window_start"),
           col("window.end").as("window_end"),
-          col("event_type"), col("n"), col("value_sum"))),
+          col("event_type"), col("n"), col("value_cents"))),
 
     // Gap-based sessionization (session_window): the dynamic-window
     // streaming shape, proven on the batch frame via gaps-and-islands
@@ -163,7 +165,8 @@ object StreamQueries {
         |       time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR
         |         AS window_end,
         |       event_type, COUNT(*) AS n,
-        |       ROUND(SUM(value), 4) AS value_sum
+        |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS value_cents
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
 
     // each event belongs to exactly width/slide = 2 hop windows: its
@@ -176,7 +179,9 @@ object StreamQueries {
         |                   - INTERVAL 30 MINUTE]) AS window_start
         |  FROM events)
         |SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
-        |       event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS value_sum
+        |       event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS value_cents
         |FROM h GROUP BY 1, 2, 3""".stripMargin,
 
     // gaps-and-islands: new session when the gap to the previous event
@@ -198,7 +203,9 @@ object StreamQueries {
          |  FROM x)
          |SELECT user_id, MIN(ts) AS session_start,
          |       MAX(ts) + INTERVAL $g HOUR AS session_end,
-         |       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS value_sum
+         |       COUNT(*) AS n_events,
+         |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |         AS value_cents
          |FROM s GROUP BY user_id, sid""".stripMargin
     },
 

@@ -131,7 +131,8 @@ object TextQueries {
     // folds the +0.5 arithmetic in DECIMAL)
     "text_bm25" -> {
       import graft.text.Bm25.{K1, B, QueryTerms}
-      val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+      val termList = graft.text.Bm25.normalizeTerms(QueryTerms)
+        .map(t => s"'$t'").mkString(", ")
       s"""WITH t AS (
          |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS w
          |  FROM documents),

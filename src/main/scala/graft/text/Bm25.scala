@@ -28,15 +28,24 @@ object Bm25 {
   /** Fixed demo query; high-df corpus terms so every sf matches. */
   val QueryTerms = Seq("spark", "stream", "window", "vector")
 
+  /** The corpus side is lowercased by `normalize()`, so raw caller
+    * terms ("Spark", " stream ") would silently match nothing. Terms
+    * get the same folding before the isin filter; the oracle SQL
+    * interpolates THIS function's output so both engines agree. */
+  def normalizeTerms(terms: Seq[String]): Seq[String] =
+    terms.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
+
   def score(docs: DataFrame, terms: Seq[String] = QueryTerms,
       k1: Double = K1, b: Double = B): DataFrame = {
+    val qterms = normalizeTerms(terms)
+    require(qterms.nonEmpty, "bm25: empty query term set")
     val t = graft.core.CacheBay.register(
       docs.repartition(col("doc_id"))
         .select(col("doc_id"), split(normalize(col("text")), " ").as("w"))
         .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl")))
     val stats = t.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val tf = t.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
-      .filter(col("term").isin(terms: _*))
+      .filter(col("term").isin(qterms: _*))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -54,6 +54,45 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("asOf: contract violations fail loudly, not silently") {
+    val probe = Seq((1L, ts(1), "p")).toDF("k", "t", "tag")
+    val build = Seq((1L, ts(1), 5L)).toDF("k", "t", "v")
+    // payload name shadowing a probe column → plan-time require
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(probe, build.withColumnRenamed("v", "tag"),
+        Seq("k"), "t", Seq("tag"))
+    }
+    // reserved internal name on an input → plan-time require
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(probe.withColumn("__side", lit(1)), build,
+        Seq("k"), "t", Seq("v"))
+    }
+    // null key row → execution-time raise (not a silent null-bucket match)
+    val nullKey = Seq((Option.empty[Long], ts(1), "p")).toDF("k", "t", "tag")
+    val ex = intercept[Exception] {
+      AsOfJoin.asOf(nullKey, build, Seq("k"), "t", Seq("v")).collect()
+    }
+    assert(ex.getMessage.contains("asOf") ||
+      Option(ex.getCause).exists(_.getMessage.contains("asOf")))
+  }
+
+  test("rangeJoin: inverted intervals drop; oversized intervals raise") {
+    import graft.operators.RangeJoin
+    val points = Seq((10L, 1L, ts(5))).toDF("pid", "k", "t")
+    // end < start: the theta join matches nothing — the bucketed form
+    // must drop it BEFORE the explode, not build a descending sequence
+    val inverted = Seq((1L, ts(10), ts(2), 100L)).toDF("k", "lo", "hi", "iid")
+    assert(RangeJoin.pointInRange(points, inverted,
+      Seq("k"), "t", "lo", "hi").count() == 0)
+    // a single far-future end would explode a huge bucket array: raise
+    val farFuture = Seq((1L, ts(0), Timestamp.valueOf("2525-01-01 00:00:00"),
+      100L)).toDF("k", "lo", "hi", "iid")
+    intercept[Exception] {
+      RangeJoin.pointInRange(points, farFuture, Seq("k"), "t", "lo", "hi",
+        bucketSeconds = 60L, maxBucketsPerInterval = 1000L).count()
+    }
+  }
+
   test("sessionize: gap > splits, gap <= merges; end = last + gap") {
     // boundary: an event exactly gap after the previous MERGES
     // (session_window's start <= end comparison is inclusive)
@@ -62,13 +101,13 @@ class OperatorsSpec extends SparkSpec {
     val r = Sessionize.sessions(ev, "user_id", "t", "value", "6 hours")
       .orderBy($"user_id", $"session_start")
       .select($"user_id", $"session_start", $"session_end", $"n_events",
-        $"value_sum")
+        $"value_cents")
       .collect()
     assert(r.length == 3)
     // user 1: [0h,6h] merge (gap == 6h); 13h splits (gap 7h > 6h)
     assert(r(0).getLong(3) == 2 && r(0).getTimestamp(1) == ts(0) &&
       r(0).getTimestamp(2) == ts(12)) // end = 6h + 6h gap
-    assert(r(1).getLong(3) == 1 && r(1).getDouble(4) == 4.0)
+    assert(r(1).getLong(3) == 1 && r(1).getLong(4) == 400L)
     assert(r(2).getLong(0) == 2L)
   }
 
@@ -106,9 +145,9 @@ class OperatorsSpec extends SparkSpec {
       ms.addData((1L, ts(20), 8.0)) // advance watermark, close sessions
       q.processAllAvailable()
       val rows = spark.table("sess_test")
-        .select($"n_events", $"value_sum").as[(Long, Double)]
+        .select($"n_events", $"value_cents").as[(Long, Long)]
         .collect().toSet
-      assert(rows.contains((2L, 3.0)) && rows.contains((1L, 4.0)))
+      assert(rows.contains((2L, 300L)) && rows.contains((1L, 400L)))
     } finally q.stop()
   }
 
@@ -170,7 +209,8 @@ class OperatorsSpec extends SparkSpec {
       (2L, "spark alpha beta gamma delta epsilon zeta"),
       (3L, "alpha beta gamma delta epsilon zeta eta"))
       .toDF("doc_id", "text")
-    val r = graft.text.Bm25.score(docs, Seq("spark", "stream"))
+    // raw caller casing/whitespace must fold to the corpus normal form
+    val r = graft.text.Bm25.score(docs, Seq(" Spark", "STREAM "))
       .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2)))
       .toMap
     assert(!r.contains(3L))              // no query term -> no row
