@@ -48,21 +48,36 @@ class StreamingLogistic(nFeatures: Int, maxIter: Int = 25,
     * model and the bounded window live on the driver. Holdout loss
     * improves as the window accumulates evidence. */
   def updateOn(batch: DataFrame): Unit = {
-    if (batch.isEmpty) return
     val spark = batch.sparkSession
     import spark.implicits._
+    // one job per micro-batch: collect IS the emptiness check (the
+    // separate isEmpty probe was a second full evaluation of the batch)
     val rows = batch
       .select(array(featureCols.map(c => col(c).cast("double")): _*),
         col("label").cast("double"))
       .as[(Array[Double], Double)].collect()
+    updateOnRows(spark, rows)
+  }
+
+  /** Core of [[updateOn]] for callers that already hold the (bounded)
+    * micro-batch rows — the batch-mirror replay collects the whole
+    * training prefix in ONE distributed pass instead of re-scanning the
+    * source per batch. */
+  def updateOnRows(spark: SparkSession,
+      rows: Array[(Array[Double], Double)]): Unit = {
+    import spark.implicits._
+    if (rows.isEmpty) return
     window.enqueue(rows)
     if (window.size > windowBatches) window.dequeue()
     val pooled = window.flatten.toSeq
     // partition count sized to the (small) window, not the session
-    // default: each LBFGS iteration is a treeAggregate job, and 32
-    // near-empty tasks per iteration × maxIter × batches is pure
-    // scheduling overhead
-    val nPart = math.max(1, math.min(8, pooled.size / 2500))
+    // default: each LBFGS iteration is a treeAggregate job, and even 4
+    // tasks per iteration × ~14 iterations × batches is dominated by
+    // per-task scheduling at this row count (measured: a 10k-row fit is
+    // 5× faster on 1 partition than on 4). One task handles ≤100k
+    // window rows trivially; real cluster feeds with bigger retained
+    // windows scale the divisor, not the constant
+    val nPart = math.max(1, math.min(8, pooled.size / 100000))
     val train = pooled
       .map { case (fs, l) => (fs.toSeq, l) }
       .toDF("fs", "label")
@@ -73,17 +88,22 @@ class StreamingLogistic(nFeatures: Int, maxIter: Int = 25,
     val assembled = new VectorAssembler()
       .setInputCols(featureCols).setOutputCol("features")
       .transform(train)
-    val m = new LogisticRegression()
-      .setMaxIter(maxIter).setRegParam(regParam)
-      // each LBFGS iteration is a full distributed pass; 1e-4 stops
-      // once the loss plateaus instead of burning the iteration budget
-      .setTol(1e-4)
-      .setStandardization(false)
-      .setLabelCol("label").setFeaturesCol("features")
-      .fit(assembled)
-    nBatches += 1
-    coef = m.coefficients.toArray
-    icept = m.intercept
+      // each LBFGS iteration re-reads the training frame; without the
+      // persist every iteration replays parallelize→project→assemble
+      .persist()
+    try {
+      val m = new LogisticRegression()
+        .setMaxIter(maxIter).setRegParam(regParam)
+        // each LBFGS iteration is a full distributed pass; 1e-4 stops
+        // once the loss plateaus instead of burning the iteration budget
+        .setTol(1e-4)
+        .setStandardization(false)
+        .setLabelCol("label").setFeaturesCol("features")
+        .fit(assembled)
+      nBatches += 1
+      coef = m.coefficients.toArray
+      icept = m.intercept
+    } finally assembled.unpersist(blocking = false)
   }
 
   /** Attach to a parsed payload stream: the reference's implied
@@ -129,17 +149,32 @@ object StreamingTrainer {
         // learnable target: a fixed linear rule over the two features
         when(col("value") * 3 - (col("user_id") % 97) > lit(0.0), 1L)
           .otherwise(0L).as("label"))
-    val batches = graft.core.CacheBay.register(ev)
-    val ids = batches.select(col("batch_id")).distinct()
-      .orderBy(col("batch_id")).as[Long].collect().take(nBatchesMax)
-    val holdout = batches.filter(col("batch_id") === ids.last)
+    // the replayed prefix is bounded (nBatchesMax × batchSize rows —
+    // the producer's whole retained window), so ONE distributed scan
+    // collects it; the per-batch filters then slice driver-side instead
+    // of re-scanning the full events feed 2× per batch. The live
+    // streaming path (writer/updateOn) never does this — each real
+    // micro-batch arrives already bounded.
+    val prefix = ev
+      .filter(col("batch_id") < lit(nBatchesMax.toLong))
+      .select(col("batch_id"),
+        array(col("feature0"), col("feature1")), col("label").cast("double"))
+      .as[(Long, Array[Double], Double)].collect()
+    val byBatch = prefix.groupBy(_._1)
+    val ids = byBatch.keys.toArray.sorted
+    // local holdout frame: the evaluate() aggregate is distributed
+    // column arithmetic either way, but its input is now a 1-job local
+    // relation, not a filter over the full cached feed
+    val holdout = byBatch(ids.last)
+      .map { case (_, fs, l) => (fs(0), fs(1), l) }.toSeq
+      .toDF("feature0", "feature1", "label")
     // the planted 2-feature linear rule separates in well under 15
     // LBFGS iterations at tol 1e-4; the default 25-iteration budget
     // only buys scheduling overhead here (each iteration is a full
     // distributed pass)
     val trainer = new StreamingLogistic(nFeatures = 2, maxIter = 15)
     val metrics = ids.map { b =>
-      trainer.updateOn(batches.filter(col("batch_id") === b))
+      trainer.updateOnRows(spark, byBatch(b).map(r => (r._2, r._3)))
       val (loss, acc) = trainer.evaluate(holdout)
       (b, loss, acc)
     }
