@@ -75,6 +75,64 @@ object Pipeline {
       .filter(col("bucket") < col("keep_rate"))
   }
 
+  // ---- temperature-based language rebalancing ----
+
+  /** Temperature exponent α = 0.5 — deliberately the ONE exponent whose
+    * `pow` is an exactly-specified IEEE 754 operation (`sqrt`), so the
+    * data-dependent keep-rates below are bit-identical in Spark/JVM and
+    * the DuckDB oracle with no interpolated constants. Other α values
+    * would route through libm `pow` and its last-ulp variance. */
+  val TempTargetFrac = 0.5
+
+  /** Fine bucket for fractional keep-rates: same content-stable md5
+    * prefix as [[hashBucket]], mod 1e6. */
+  def hashBucketE6(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long") % 1000000
+
+  /** Per-language keep thresholds (integer ppm of [[hashBucketE6]]) for
+    * temperature sampling at α = 0.5: sample share q_l ∝ p_l^α, so
+    * keep_rate_l = F · q_l / p_l — the multilingual rebalancing rule
+    * (downsample the head language, keep the tail) with the mixture
+    * temperature of the mT5/XLM-R line of work. Rates above 1 cap at 1
+    * (a language can't be upsampled by filtering; the realized total
+    * then lands slightly under F — standard and documented behavior).
+    *
+    * Determinism: the histogram is tiny (one row per language) and is
+    * folded in SORTED language order through `sqrt`/`+`/`/`/`*` only —
+    * every step exactly specified by IEEE 754 — so the oracle SQL
+    * recomputes the identical thresholds from the same table. */
+  def temperatureThresholds(docs: DataFrame,
+      targetFrac: Double = TempTargetFrac): Seq[(String, Long)] = {
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val total = counts.map(_._2).sum.toDouble
+    val s = counts.foldLeft(0.0) { case (acc, (_, n)) =>
+      acc + math.sqrt(n / total)
+    }
+    counts.map { case (l, n) =>
+      val p = n / total
+      val r = targetFrac * math.sqrt(p) / s / p
+      l -> math.min(math.floor(r * 1000000.0 + 0.5).toLong, 1000000L)
+    }.toSeq
+  }
+
+  /** Deterministic temperature sample: keep a doc iff its e6 hash
+    * bucket falls under its language's threshold. The rate lookup folds
+    * into a CASE (no join); the only non-map work is the one tiny
+    * language histogram behind [[temperatureThresholds]]. */
+  def temperatureSample(docs: DataFrame,
+      targetFrac: Double = TempTargetFrac): DataFrame = {
+    val th = temperatureThresholds(docs, targetFrac)
+    val thr = th.foldLeft(lit(0L): Column) { case (acc, (l, t)) =>
+      when(col("lang") === l, lit(t)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("lang"),
+        hashBucketE6(col("doc_id")).as("bucket_e6"),
+        thr.as("keep_thresh_e6"))
+      .filter(col("bucket_e6") < col("keep_thresh_e6"))
+  }
+
   // ---- PII redaction ----
 
   /** Conservative PII patterns (identical semantics in Java regex and

@@ -28,6 +28,8 @@ object PipelineQueries {
     "pipe_shuffle_shards" -> ((s, d) => Pipeline.shuffleShards(docs(s, d))),
     "pipe_stratified_sample" -> ((s, d) =>
       Pipeline.stratifiedSample(docs(s, d))),
+    "pipe_temperature_sample" -> ((s, d) =>
+      Pipeline.temperatureSample(docs(s, d))),
     "pipe_curated_corpus" -> ((s, d) => Pipeline.curatedCorpus(docs(s, d))))
 
   // ---- DuckDB oracle SQL, generated from the same constants ----
@@ -164,6 +166,39 @@ object PipelineQueries {
          |SELECT doc_id, lang, bucket, keep_rate
          |FROM b WHERE bucket < keep_rate""".stripMargin
     },
+
+    // the oracle RECOMPUTES the data-dependent α=0.5 temperature
+    // thresholds rather than interpolating them: every step (p = n/N,
+    // sqrt, the lang-ordered left-fold sum, two divisions, the ppm
+    // scale) is an exactly-specified IEEE 754 op replayed in the same
+    // order as Pipeline.temperatureThresholds, so both engines derive
+    // bit-identical doubles — the reason α is pinned to 0.5 (sqrt),
+    // not a libm pow
+    "pipe_temperature_sample" ->
+      s"""WITH lc AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM lc),
+         |ssum AS (
+         |  SELECT list_reduce(
+         |    [CAST(0 AS DOUBLE)] ||
+         |      list(sqrt(CAST(n AS DOUBLE) / nt) ORDER BY lang),
+         |    (a, b) -> a + b) AS s
+         |  FROM lc, tot),
+         |th AS (
+         |  SELECT lang,
+         |    LEAST(CAST(floor(
+         |      CAST(${Pipeline.TempTargetFrac} AS DOUBLE)
+         |        * sqrt(CAST(n AS DOUBLE) / nt) / s
+         |        / (CAST(n AS DOUBLE) / nt)
+         |        * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |      AS BIGINT), 1000000) AS keep_thresh_e6
+         |  FROM lc, tot, ssum),
+         |b AS (SELECT doc_id, lang,
+         |        ${hex8Sql("md5(CAST(doc_id AS VARCHAR))")} % 1000000
+         |          AS bucket_e6
+         |      FROM documents)
+         |SELECT b.doc_id, b.lang, b.bucket_e6, th.keep_thresh_e6
+         |FROM b JOIN th USING (lang)
+         |WHERE b.bucket_e6 < th.keep_thresh_e6""".stripMargin,
 
     // the curation funnel: every predicate reuses the SAME shared CTE/
     // SQL val that oracles its standalone operator (SplitCte, dedup

@@ -42,7 +42,16 @@ object TextQueries {
       rollingFingerprint(col("text")).as("fp_rolling"))),
 
     "text_bm25" -> ((s, d) =>
-      graft.text.Bm25.score(Tables(s, d, "documents"))))
+      graft.text.Bm25.score(Tables(s, d, "documents"))),
+
+    "text_repetition" -> ((s, d) =>
+      graft.text.CorpusStats.repetitionSignals(Tables(s, d, "documents"))),
+
+    "text_token_rarity" -> ((s, d) =>
+      graft.text.CorpusStats.tokenRarity(Tables(s, d, "documents"))),
+
+    "text_vocab_topk" -> ((s, d) =>
+      graft.text.CorpusStats.vocabTopK(Tables(s, d, "documents"))))
 
   // ---- DuckDB oracle SQL, generated from the same constants ----
 
@@ -78,6 +87,17 @@ object TextQueries {
     s"""ROUND(least(length(text) / 500.0, 1.0) * 0.4
        |      + least(($stopSql) * 4.0, 1.0) * 0.3
        |      + greatest(1.0 - ($punctSql) * 5.0, 0.0) * 0.3, 6)""".stripMargin
+
+  /** Normalized-token-array CTE (empty list, not [''], for empty
+    * normal forms) — shared by the corpus-stats oracles; mirrors
+    * [[graft.text.CorpusStats.tokenArray]]. */
+  private val TokCte =
+    s"""tw AS (
+       |  SELECT doc_id,
+       |         CASE WHEN ${normSql("text")} = ''
+       |              THEN CAST([] AS VARCHAR[])
+       |              ELSE string_split(${normSql("text")}, ' ') END AS w
+       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "text_token_counts" ->
@@ -151,5 +171,62 @@ object TextQueries {
          |    6) AS bm25
          |FROM tf JOIN d USING (term) CROSS JOIN st
          |GROUP BY doc_id""".stripMargin
-    })
+    },
+
+    // ratios as integer ppm via // — integer-exact in both engines
+    // (values non-negative); COALESCE folds token-less docs to zeros
+    "text_repetition" ->
+      s"""WITH $TokCte,
+         |uni AS (SELECT doc_id, unnest(w) AS tok FROM tw),
+         |uc AS (SELECT doc_id, tok, count(*) AS c FROM uni GROUP BY 1, 2),
+         |us AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |              count(*) AS n_distinct,
+         |              CAST(MAX(c) AS BIGINT) AS top_tok
+         |       FROM uc GROUP BY 1),
+         |bg AS (SELECT doc_id,
+         |              unnest(list_transform(range(1, len(w)),
+         |                i -> w[i] || ' ' || w[i + 1])) AS sh
+         |       FROM tw),
+         |bc AS (SELECT doc_id, sh, count(*) AS c FROM bg GROUP BY 1, 2),
+         |bs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         |              CAST(MAX(c) AS BIGINT) AS top_bigram
+         |       FROM bc GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(us.n_tokens, 0) AS n_tokens,
+         |  COALESCE(us.n_distinct, 0) AS n_distinct,
+         |  CAST(COALESCE(
+         |    ((us.n_tokens - us.n_distinct) * 1000000) // us.n_tokens, 0)
+         |    AS BIGINT) AS dup_token_frac_e6,
+         |  CAST(COALESCE((us.top_tok * 1000000) // us.n_tokens, 0)
+         |    AS BIGINT) AS top_token_frac_e6,
+         |  CAST(COALESCE((bs.top_bigram * 1000000) // bs.n_bigrams, 0)
+         |    AS BIGINT) AS top_bigram_frac_e6
+         |FROM documents d
+         |LEFT JOIN us USING (doc_id) LEFT JOIN bs USING (doc_id)""".stripMargin,
+
+    "text_token_rarity" ->
+      s"""WITH $TokCte,
+         |ex AS (SELECT doc_id, unnest(w) AS tok FROM tw),
+         |v AS (SELECT tok, CAST(count(*) AS BIGINT) AS ctf
+         |      FROM ex GROUP BY 1),
+         |a AS (SELECT e.doc_id, count(*) AS n_tokens,
+         |             MIN(v.ctf) AS min_corpus_tf,
+         |             CAST(SUM(v.ctf) AS BIGINT) AS sum_tf
+         |      FROM ex e JOIN v USING (tok) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(a.n_tokens, 0) AS n_tokens,
+         |  COALESCE(a.min_corpus_tf, 0) AS min_corpus_tf,
+         |  CAST(COALESCE((a.sum_tf * 1000000) // a.n_tokens, 0) AS BIGINT)
+         |    AS mean_corpus_tf_e6
+         |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
+
+    "text_vocab_topk" ->
+      s"""WITH $TokCte,
+         |ex AS (SELECT unnest(w) AS token FROM tw),
+         |v AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+         |      FROM ex GROUP BY 1
+         |      ORDER BY n DESC, token LIMIT ${graft.text.CorpusStats.VocabK})
+         |SELECT token, n,
+         |  CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+         |FROM v""".stripMargin)
 }

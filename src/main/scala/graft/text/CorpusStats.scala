@@ -1,0 +1,119 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis.{normalize, wordShingles}
+
+/** Corpus-statistics operators for training-data curation: repetition
+  * signals (the Gopher-rules repetition filters), corpus token-rarity
+  * scoring (a shuffle-only proxy for unigram-LM perplexity filtering),
+  * and top-k vocabulary extraction (tokenizer-vocab seeding).
+  *
+  * Scale shape: everything is explode → partial-aggregated groupBy —
+  * map work plus hash shuffles on (doc, token) / token keys; nothing
+  * is quadratic and no corpus-sized state is ever collected or
+  * broadcast. All ratio outputs are INTEGER parts-per-million
+  * (`x * 1e6 div n`): exact rationals as scaled integers, never
+  * `round(double, k)` — the cross-engine decimal-tie class this repo's
+  * verify notes document.
+  */
+object CorpusStats {
+
+  /** Normalized whitespace tokens; empty array (not `[""]`) for
+    * empty/symbol-only text so zh-like docs aggregate to zero counts
+    * instead of one empty-string token. */
+  def tokenArray(text: Column): Column = {
+    val n = normalize(text)
+    when(length(n) === 0, array().cast("array<string>"))
+      .otherwise(split(n, " "))
+  }
+
+  /** Per-document repetition signals (Gopher-style): duplicate-token
+    * fraction, most-frequent-token fraction, and most-frequent-bigram
+    * fraction, each in integer ppm. High values flag boilerplate and
+    * degenerate repetition — the standard pre-training drop rules.
+    *
+    * Two explode→two-level-aggregate legs (unigram, bigram) over one
+    * persisted tokenization (the persist is the reliable barrier that
+    * stops PushDownPredicates re-inlining `split(normalize)` into both
+    * legs), joined back to the full doc list so token-less documents
+    * report zeros rather than vanish. */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val t = graft.core.CacheBay.register(
+      docs.repartition(col("doc_id")).select(col("doc_id"),
+        tokenArray(col("text")).as("w"),
+        wordShingles(col("text"), 2).as("bg")))
+    val uni = t.select(col("doc_id"), explode(col("w")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).cast("long").as("top_tok"))
+    val bi = t.select(col("doc_id"), explode(col("bg")).as("sh"))
+      .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_bigrams"),
+        max(col("c")).cast("long").as("top_bigram"))
+    docs.select(col("doc_id"))
+      .join(uni, Seq("doc_id"), "left")
+      .join(bi, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(
+          expr("((n_tokens - n_distinct) * 1000000) div n_tokens"),
+          lit(0L)).as("dup_token_frac_e6"),
+        coalesce(expr("(top_tok * 1000000) div n_tokens"), lit(0L))
+          .as("top_token_frac_e6"),
+        coalesce(expr("(top_bigram * 1000000) div n_bigrams"), lit(0L))
+          .as("top_bigram_frac_e6"))
+  }
+
+  /** Per-document corpus-rarity score: the document's tokens joined to
+    * the corpus unigram frequency table, rolled up to the min and mean
+    * corpus term frequency. A cheap, fully-distributed proxy for the
+    * unigram-LM perplexity filter (docs of vanishingly rare tokens ≈
+    * high perplexity ≈ noise; docs of only ultra-common tokens ≈ low
+    * information) — without a model artifact: the "LM" is the corpus
+    * itself, one groupBy away.
+    *
+    * Shape: one shuffle builds the vocab, one hash join streams the
+    * exploded tokens past it (both sides partitioned by token — the
+    * vocab is corpus-sized, never broadcast), one per-doc rollup. */
+  def tokenRarity(docs: DataFrame): DataFrame = {
+    val ex = graft.core.CacheBay.register(
+      docs.repartition(col("doc_id")).select(col("doc_id"),
+        explode(tokenArray(col("text"))).as("tok")))
+    val vocab = ex.groupBy(col("tok"))
+      .agg(count(lit(1)).cast("long").as("ctf"))
+    val agg = ex.join(vocab, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        min(col("ctf")).as("min_corpus_tf"),
+        sum(col("ctf")).cast("long").as("sum_tf"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("min_corpus_tf"), lit(0L)).as("min_corpus_tf"),
+        coalesce(expr("(sum_tf * 1000000) div n_tokens"), lit(0L))
+          .as("mean_corpus_tf_e6"))
+  }
+
+  val VocabK = 100
+
+  /** Top-k corpus vocabulary by token frequency with a deterministic
+    * total order (count desc, token asc — the token tiebreak makes the
+    * k-boundary exact). The orderBy+limit plans as TakeOrdered (per-
+    * partition top-k, then a k-sized merge on the driver) — no global
+    * sort ever materializes; the final rank window runs on k rows. */
+  def vocabTopK(docs: DataFrame, k: Int = VocabK): DataFrame = {
+    val top = docs.repartition(col("doc_id"))
+      .select(explode(tokenArray(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(k)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("n").desc, col("token").asc))
+        .cast("long"))
+  }
+}

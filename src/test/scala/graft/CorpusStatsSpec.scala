@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.CorpusStats
+import graft.pipeline.Pipeline
+
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionSignals: exact ppm fractions; empty/one-token docs zero") {
+    val docs = Seq(
+      (1L, "a a a b"), // bigrams: "a a","a a","a b"
+      (2L, "x"),       // one token, no bigrams
+      (3L, "!!!"))     // normalizes to empty
+      .toDF("doc_id", "text")
+    val r = CorpusStats.repetitionSignals(docs).collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+          x.getLong(5))).toMap
+    assert(r(1L) == ((4L, 2L, 500000L, 750000L, 666666L)))
+    assert(r(2L) == ((1L, 1L, 0L, 1000000L, 0L)))
+    assert(r(3L) == ((0L, 0L, 0L, 0L, 0L)))
+    graft.core.CacheBay.drain()
+  }
+
+  test("tokenRarity: corpus term frequencies roll up per doc") {
+    val docs = Seq((1L, "a b"), (2L, "a")).toDF("doc_id", "text")
+    // corpus tf: a=2, b=1
+    val r = CorpusStats.tokenRarity(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toMap
+    assert(r(1L) == ((2L, 1L, 1500000L))) // (2+1)*1e6 div 2
+    assert(r(2L) == ((1L, 2L, 2000000L)))
+    graft.core.CacheBay.drain()
+  }
+
+  test("vocabTopK: count-desc token-asc total order; exact k boundary") {
+    val docs = Seq((1L, "a a b c"), (2L, "c")).toDF("doc_id", "text")
+    // counts: a=2, c=2, b=1 — tie a/c breaks on token asc
+    val r = CorpusStats.vocabTopK(docs, k = 2)
+      .select($"token", $"n", $"rank").as[(String, Long, Long)]
+      .collect().sortBy(_._3)
+    assert(r.toSeq == Seq(("a", 2L, 1L), ("c", 2L, 2L)))
+  }
+
+  test("temperature thresholds: tail upsampled, head downsampled, " +
+    "mass lands on targetFrac") {
+    val docs = ((0 until 80).map(i => (i.toLong, "en")) ++
+      (80 until 100).map(i => (i.toLong, "zh")))
+      .toDF("doc_id", "lang")
+    val th = Pipeline.temperatureThresholds(docs, targetFrac = 0.5).toMap
+    assert(th("zh") > th("en")) // α<1 flattens: minority keeps more
+    // Σ rate_l · p_l = F exactly when nothing caps at 1
+    val mass = th("en") / 1e6 * 0.8 + th("zh") / 1e6 * 0.2
+    assert(math.abs(mass - 0.5) < 1e-5, s"mass=$mass")
+    // sampling keeps exactly the rows under the per-lang threshold
+    val kept = Pipeline.temperatureSample(docs, targetFrac = 0.5)
+    assert(kept.filter($"bucket_e6" >= $"keep_thresh_e6").count() == 0)
+    val byLang = kept.groupBy($"lang").count().as[(String, Long)]
+      .collect().toMap
+    assert(byLang("en") > 0 && byLang("zh") > 0)
+    // determinism: re-running selects the identical doc set
+    val ids1 = kept.select($"doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = Pipeline.temperatureSample(docs, targetFrac = 0.5)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+  }
+
+  test("temperature thresholds cap at 1e6 when a tail rate exceeds 1") {
+    // one doc of 'rare' among 99 'en': rate_rare = F·sqrt(p)/s/p >> 1
+    val docs = ((0 until 99).map(i => (i.toLong, "en")) :+ (99L, "rare"))
+      .toDF("doc_id", "lang")
+    val th = Pipeline.temperatureThresholds(docs).toMap
+    assert(th("rare") == 1000000L)
+  }
+}
