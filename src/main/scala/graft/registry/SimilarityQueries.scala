@@ -31,7 +31,9 @@ object SimilarityQueries {
     // driver records the rows-only check, recall proven in
     // SimilaritySpec's planted-cluster test
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(emb(s, d))),
-    "sim_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(emb(s, d))))
+    "sim_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(emb(s, d))),
+    "sim_label_centroids" -> ((s, d) =>
+      Similarity.labelCentroids(emb(s, d))))
 
   // ---- DuckDB SQL (same constants, same math) ----
 
@@ -131,5 +133,25 @@ object SimilarityQueries {
          |  ROUND(scale, 6) AS scale,
          |  ROUND(list_max(list_transform(range(1, len(v) + 1),
          |    i -> abs(qv[i] / scale - v[i]))), 6) AS max_err
-         |FROM q""".stripMargin)
+         |FROM q""".stripMargin,
+
+    // parallel unnests zip positionally in DuckDB, giving (dim,
+    // component) pairs; micro-unit quantization BEFORE the sum makes
+    // accumulation order-free, and the mean is floor over one exact
+    // double division (integer-div negative semantics differ between
+    // engines — see Similarity.labelCentroids)
+    "sim_label_centroids" ->
+      """WITH ex AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |         unnest(range(0, len(embedding))) AS dim,
+        |         unnest(embedding) AS x
+        |  FROM embeddings),
+        |q AS (SELECT label, CAST(dim AS BIGINT) AS dim,
+        |        CAST(floor(CAST(x AS DOUBLE) * CAST(1000000 AS DOUBLE)
+        |          + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qv
+        |      FROM ex)
+        |SELECT label, dim, count(*) AS n,
+        |  CAST(floor(CAST(SUM(qv) AS DOUBLE) / count(*)) AS BIGINT)
+        |    AS centroid_e6
+        |FROM q GROUP BY label, dim""".stripMargin)
 }

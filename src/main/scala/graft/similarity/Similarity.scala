@@ -256,6 +256,32 @@ object Similarity {
           zip_with(col("q"), col("v"), (q, x) => abs(q / col("scale") - x)),
           lit(0.0), (a, e) => greatest(a, e)), 6).as("max_err"))
 
+  /** Per-label embedding centroids — the class-prototype primitive
+    * (semantic-cluster reports, classifier-based quality filters, and
+    * the coarse-quantizer training step IVF builds on). One narrow
+    * posexplode to (label, dim, component) then one hash aggregate —
+    * rows × dim records through a single shuffle, no vector state on
+    * the driver, linear at any corpus size.
+    *
+    * Cross-engine determinism: float components are quantized to
+    * integer micro-units with `floor(x·1e6 + 0.5)` (the operator-level
+    * rounding spelling both engines evaluate identically) BEFORE the
+    * sum, so accumulation is integer-exact in any order; the mean is
+    * then `floor(sum/n)` via one exact IEEE double division — NOT
+    * integer `div`, whose negative-operand semantics differ between
+    * Spark (truncate) and DuckDB (floor). */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    emb.repartition(col("vec_id"))
+      .select(col("label").cast("long").as("label"),
+        posexplode(asDouble(col("embedding"))))
+      .select(col("label"), col("pos").cast("long").as("dim"),
+        floor(col("col") * lit(1000000.0) + lit(0.5)).cast("long").as("q"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).cast("long").as("sum_q"))
+      .select(col("label"), col("dim"), col("n"),
+        floor(col("sum_q").cast("double") / col("n")).cast("long")
+          .as("centroid_e6"))
+
   /** Exact per-vector NN by brute force — O(n²): the TEST ORACLE for
     * [[nearestNeighbor]] on sampled subsets, never the production path
     * (a corpus broadcast is unbroadcastable and the pair count
