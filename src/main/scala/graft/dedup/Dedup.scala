@@ -282,6 +282,32 @@ object Dedup {
         coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Cross-document shingle novelty — the corpus-level duplication
+    * signal BEYOND pairwise dedup: for each document, how many of its
+    * distinct word-n-gram shingles appear in at least one OTHER
+    * document. High shared fractions flag boilerplate/template text
+    * that pairwise near-dup thresholds miss (each pair overlaps a
+    * little; the union overlaps a lot). Emitted as integer ppm.
+    *
+    * Shape: the shingle document-frequency table is one groupBy; the
+    * probe is the same inverted-index equi-join the Jaccard operator
+    * uses — never an all-pairs comparison. A doc's own occurrence is
+    * discounted with df ≥ 2 (shingles are per-doc distinct, so df
+    * counts documents). */
+  def shingleNovelty(docs: DataFrame, n: Int = ShingleN): DataFrame = {
+    val ss = graft.core.CacheBay.register(shingleSets(docs, n))
+    val ex = ss.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    ex.join(dfreq, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).cast("long")
+          .as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        expr("((n_shingles - n_shared) * 1000000) div n_shingles")
+          .as("novelty_e6"))
+  }
+
   /** True n-gram Jaccard near-dup pairs via the inverted-index join.
     * Shingles occurring in more than maxDf documents are dropped from
     * BOTH numerator and denominator (consistent set semantics) before

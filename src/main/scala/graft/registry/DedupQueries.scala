@@ -26,7 +26,8 @@ object DedupQueries {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(docs(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(docs(s, d))),
-    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(docs(s, d))))
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(docs(s, d))),
+    "dedup_shingle_novelty" -> ((s, d) => Dedup.shingleNovelty(docs(s, d))))
 
   // ---- shared DuckDB CTEs (generated from the same constants) ----
 
@@ -201,5 +202,21 @@ object DedupQueries {
          |         ROUND(c * 1.0 / (ca.n + cb.n - c), 6) AS jaccard
          |  FROM shared JOIN cnt ca ON a_id = ca.doc_id
          |              JOIN cnt cb ON b_id = cb.doc_id
-         |) WHERE jaccard >= $MinJaccard""".stripMargin)
+         |) WHERE jaccard >= $MinJaccard""".stripMargin,
+
+    // novelty as integer ppm (// is exact for these non-negative
+    // counts); df >= 2 means "appears in at least one OTHER doc"
+    // because shingles are per-doc distinct
+    "dedup_shingle_novelty" ->
+      s"""WITH $ShinglesCte,
+         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM shf),
+         |d AS (SELECT s, count(*) AS df FROM ex GROUP BY 1),
+         |a AS (SELECT doc_id, count(*) AS n_shingles,
+         |             CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END)
+         |               AS BIGINT) AS n_shared
+         |      FROM ex JOIN d USING (s) GROUP BY 1)
+         |SELECT doc_id, n_shingles, n_shared,
+         |  CAST(((n_shingles - n_shared) * 1000000) // n_shingles
+         |    AS BIGINT) AS novelty_e6
+         |FROM a""".stripMargin)
 }

@@ -54,6 +54,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.count() == 0L)
   }
 
+  test("shingleNovelty: shared shingles discount novelty; unique doc 1e6") {
+    val r = graft.dedup.Dedup.shingleNovelty(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toMap
+    // ShingleN=3 over 10 words -> 8 distinct shingles per doc
+    // docs 0/1 identical: all 8 shared -> novelty 0
+    assert(r(0L) == ((8L, 8L, 0L)) && r(1L) == ((8L, 8L, 0L)))
+    // doc 2 differs in the last word, which only the final 3-gram
+    // covers: 7 of 8 shingles are shared with docs 0/1
+    assert(r(2L) == ((8L, 7L, 125000L)))
+    // doc 3 shares nothing
+    assert(r(3L) == ((8L, 0L, 1000000L)))
+    graft.core.CacheBay.drain()
+  }
+
   test("near-dup clusters: pairs share labels, label = min member id") {
     val docs = graft.core.Tables(spark, SfDir, "documents")
     val labels = Dedup.nearDupClusters(docs)
