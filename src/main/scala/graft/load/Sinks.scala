@@ -22,6 +22,24 @@ object Sinks {
     df.write.option("maxRecordsPerFile", maxRecordsPerFile.toString)
       .mode(SaveMode.Overwrite).parquet(path)
 
+  /** Cluster-layout writer: hive-partition by the given columns and
+    * sort rows within each task before writing. The leading repartition
+    * on the partition columns means each output partition value is
+    * written by ONE task — without it every task writes a file into
+    * every partition directory (tasks × partitions small files, the
+    * classic 100 TB write pathology); the sort gives parquet row-group
+    * min/max stats on the sort keys, so later scans prune row groups on
+    * those predicates and partition directories on the partition keys.
+    * Skewed partition values (one giant language) would make the
+    * repartition one-task-hot; the standard composition is salting the
+    * repartition key and keeping partitionBy unchanged. */
+  def writePartitionedSorted(df: DataFrame, path: String,
+      partCols: Seq[String], sortCols: Seq[String]): Unit =
+    df.repartition(partCols.map(col): _*)
+      .sortWithinPartitions((partCols ++ sortCols).map(col): _*)
+      .write.partitionBy(partCols: _*)
+      .mode(SaveMode.Overwrite).parquet(path)
+
   /** S15: truncate — keep the table's schema, drop every row
     * (reference `mySQLClass.py:107-115`; its bug — truncating the
     * literal name "table_name" — is deliberately not reproduced,

@@ -93,6 +93,31 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("rangeJoin: agrees with brute-force theta join on pseudo-random " +
+    "data") {
+    import graft.operators.RangeJoin
+    def h(i: Long, m: Long): Long = math.floorMod(i * 2654435761L, m)
+    val points = (0L until 80L)
+      .map(i => (i, h(i, 4), ts(h(i + 5, 24).toInt))).toDF("pid", "k", "t")
+    // intervals up to 3 buckets wide with 6h buckets; some zero-width
+    val ivs = (0L until 20L).map { i =>
+      val lo = h(i * 7 + 2, 24).toInt
+      (i + 100L, h(i, 4), ts(lo), ts((lo + h(i, 13)).toInt min 23))
+    }.filter { case (_, _, lo, hi) => !hi.before(lo) }
+      .toDF("iid", "k", "lo", "hi")
+    val got = RangeJoin.pointInRange(points, ivs, Seq("k"), "t", "lo", "hi",
+      bucketSeconds = 21600L)
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    val expect = points.as[(Long, Long, Timestamp)].collect().flatMap {
+      case (pid, pk, t) =>
+        ivs.as[(Long, Long, Timestamp, Timestamp)].collect().collect {
+          case (iid, ik, lo, hi)
+            if ik == pk && !t.before(lo) && !t.after(hi) => (pid, iid)
+        }
+    }.toSet
+    assert(got == expect)
+  }
+
   test("sessionize: gap > splits, gap <= merges; end = last + gap") {
     // boundary: an event exactly gap after the previous MERGES
     // (session_window's start <= end comparison is inclusive)

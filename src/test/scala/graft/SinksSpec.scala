@@ -35,6 +35,32 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.deltaUpsertAppend(spark, next, target, Seq("k")) == 0)
   }
 
+  test("partitioned+sorted write: one file per partition, pruning " +
+    "scan, rows sorted within files") {
+    val dir = Files.createTempDirectory("psw").toString + "/docs"
+    val docs = graft.core.Tables(spark, SfDir, "documents")
+    Sinks.writePartitionedSorted(docs, dir, Seq("lang"), Seq("doc_id"))
+    val langs = docs.select($"lang").distinct().as[String].collect()
+    for (l <- langs) {
+      val d = new java.io.File(s"$dir/lang=$l")
+      assert(d.isDirectory, s"missing partition dir for $l")
+      // one writer task per partition value: exactly one data file
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"$l: ${files.length} files")
+      // sorted within the file
+      val ids = spark.read.parquet(files.head.getPath)
+        .select($"doc_id").as[Long].collect()
+      assert(ids.sameElements(ids.sorted), s"$l not sorted")
+    }
+    // partition pruning: the filtered scan reads only lang=en
+    val scan = spark.read.parquet(dir).filter($"lang" === "en")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"no partition filter in:\n$plan")
+    assert(scan.count() ==
+      docs.filter($"lang" === "en").count())
+  }
+
   test("truncate empties the table but keeps its schema") {
     val dir = Files.createTempDirectory("graft_trunc").toFile.getAbsolutePath
     val t = s"$dir/t"
@@ -108,7 +134,10 @@ class SinksSpec extends SparkSpec {
     }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow).start()
     try {
       ms.addData((1L, "a"), (2L, "b"))
-      q.awaitTermination(60000)
+      // awaitTermination returns FALSE on timeout (it does not throw):
+      // assert it, or a slow shared-JVM run reads the sink before the
+      // batch commits and fails with a confusing count mismatch
+      assert(q.awaitTermination(180000), "stream did not finish in time")
       val out = spark.read.parquet(dir)
       assert(out.count() == 2) // replays appended nothing
       assert(out.select("id").distinct().count() == 2)
