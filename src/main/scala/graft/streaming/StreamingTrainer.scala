@@ -21,7 +21,8 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * batch queries.
   */
 class StreamingLogistic(nFeatures: Int, maxIter: Int = 25,
-    regParam: Double = 0.01, windowBatches: Int = 8) extends Serializable {
+    regParam: Double = 0.01, windowBatches: Int = 8,
+    localFitMaxRows: Int = 100000) extends Serializable {
 
   @volatile private var coef: Array[Double] = Array.fill(nFeatures)(0.0)
   @volatile private var icept: Double = 0.0
@@ -42,9 +43,11 @@ class StreamingLogistic(nFeatures: Int, maxIter: Int = 25,
     (0 until nFeatures).map(i => s"feature$i").toArray
 
   /** One incremental update: append this micro-batch to the sliding
-    * window and refit the MLlib model over the retained evidence — the
-    * "refit per batch" consumer the reference implies. The fit itself
-    * is distributed (LBFGS over executors); only the O(nFeatures)
+    * window and refit over the retained evidence — the "refit per
+    * batch" consumer the reference implies. Windows at or under
+    * `localFitMaxRows` refit on the driver ([[fitLocal]], same
+    * objective, zero scheduled jobs); bigger windows refit through
+    * MLlib's distributed LBFGS. Either way only the O(nFeatures)
     * model and the bounded window live on the driver. Holdout loss
     * improves as the window accumulates evidence. */
   def updateOn(batch: DataFrame): Unit = {
@@ -70,6 +73,16 @@ class StreamingLogistic(nFeatures: Int, maxIter: Int = 25,
     window.enqueue(rows)
     if (window.size > windowBatches) window.dequeue()
     val pooled = window.flatten.toSeq
+    // The retained window is bounded driver state BY DESIGN (the same
+    // O(windowBatches × batchSize) queue either way). Below the
+    // threshold, shipping it back to executors costs ~15 scheduled
+    // treeAggregate jobs per fit while one driver LBFGS pass over ≤100k
+    // rows is sub-millisecond work — so small windows fit locally on
+    // the SAME objective MLlib minimizes (coefficients agree to tol).
+    // Larger windows take the distributed MLlib path below, which is
+    // the only one a real cluster feed with an executor-side window
+    // would exercise.
+    if (pooled.size <= localFitMaxRows) { fitLocal(pooled); return }
     // partition count sized to the (small) window, not the session
     // default: each LBFGS iteration is a treeAggregate job, and even 4
     // tasks per iteration × ~14 iterations × batches is dominated by
@@ -104,6 +117,52 @@ class StreamingLogistic(nFeatures: Int, maxIter: Int = 25,
       coef = m.coefficients.toArray
       icept = m.intercept
     } finally assembled.unpersist(blocking = false)
+  }
+
+  /** Driver-local refit over the bounded window: breeze LBFGS on the
+    * exact objective MLlib's `LogisticRegression` minimizes with
+    * `standardization=false` and L2-only reg —
+    * `(1/n)·Σ log(1+e^{-y·m}) + (regParam/2)·‖w‖²` with an
+    * unregularized intercept — so the two paths converge to the same
+    * model and the choice is purely a scheduling-cost one. Cold-start
+    * from zero each refit, matching the distributed path's fresh
+    * `fit`. */
+  private def fitLocal(rows: Seq[(Array[Double], Double)]): Unit = {
+    import breeze.linalg.DenseVector
+    import breeze.optimize.{DiffFunction, LBFGS}
+    val n = rows.size.toDouble
+    val obj = new DiffFunction[DenseVector[Double]] {
+      def calculate(x: DenseVector[Double]): (Double, DenseVector[Double]) = {
+        val g = new Array[Double](nFeatures + 1)
+        var loss = 0.0
+        rows.foreach { case (fs, y) =>
+          var m = x(nFeatures)
+          var i = 0
+          while (i < nFeatures) { m += x(i) * fs(i); i += 1 }
+          loss += (if (m > 0) m + math.log1p(math.exp(-m))
+                   else math.log1p(math.exp(m))) - y * m
+          val d = 1.0 / (1.0 + math.exp(-m)) - y
+          i = 0
+          while (i < nFeatures) { g(i) += d * fs(i); i += 1 }
+          g(nFeatures) += d
+        }
+        loss /= n
+        var i = 0
+        while (i < nFeatures) {
+          loss += 0.5 * regParam * x(i) * x(i)
+          g(i) = g(i) / n + regParam * x(i)
+          i += 1
+        }
+        g(nFeatures) /= n
+        (loss, DenseVector(g))
+      }
+    }
+    val sol = new LBFGS[DenseVector[Double]](
+      maxIter = maxIter, m = 10, tolerance = 1e-4)
+      .minimize(obj, DenseVector.zeros[Double](nFeatures + 1))
+    nBatches += 1
+    coef = Array.tabulate(nFeatures)(sol(_))
+    icept = sol(nFeatures)
   }
 
   /** Attach to a parsed payload stream: the reference's implied

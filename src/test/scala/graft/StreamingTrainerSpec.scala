@@ -66,6 +66,21 @@ class StreamingTrainerSpec extends SparkSpec {
     assert(w(0) > 0 && w(1) < 0)
   }
 
+  test("local and distributed fit paths converge to the same model") {
+    val data = rows(7, 600, noisy = true)
+      .map { case (f0, f1, l) => (Array(f0, f1), l.toDouble) }.toArray
+    val local = new StreamingLogistic(nFeatures = 2) // local path (600 rows)
+    local.updateOnRows(spark, data)
+    val dist = new StreamingLogistic(nFeatures = 2, localFitMaxRows = 0)
+    dist.updateOnRows(spark, data) // forced through MLlib LBFGS
+    assert(dist.batchCount == 1 && local.batchCount == 1)
+    // same objective, same tol: coefficients agree to optimizer noise
+    local.coefficients.zip(dist.coefficients).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 0.05, s"coef drift: $a vs $b")
+    }
+    assert(math.abs(local.intercept - dist.intercept) < 0.05)
+  }
+
   test("batch-mode events trainer emits an improving metric trajectory") {
     val m = StreamingTrainer.trainOnEvents(spark, SfDir, batchSize = 200)
       .orderBy("batch_id")
