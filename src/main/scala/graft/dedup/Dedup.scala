@@ -308,6 +308,97 @@ object Dedup {
           .as("novelty_e6"))
   }
 
+  /** Duplicated-span token window width (Lee et al. 2022 use 50-token
+    * substrings; 5 fits the synthetic corpus' ~40-token docs) and the
+    * cross-document df at which a span counts as duplicated. */
+  val SpanN = 5
+  val SpanMinDf = 2
+
+  /** Shingles of a token ARRAY with every occurrence kept (positions
+    * matter — [[shingleSets]]' distinct form can't say where a dup
+    * span starts). */
+  private def shinglesOfTokens(w: Column, n: Int): Column = {
+    val cnt = size(w) - (n - 1)
+    when(cnt < 1, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), cnt), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))
+  }
+
+  /** Duplicated-span removal — the distributed shape of exact-substring
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): a token position is COVERED when it
+    * falls inside any n-token window that also occurs in ≥ minDf
+    * documents; covered positions are cut and the survivors are
+    * reassembled in order. Emits per-doc token/coverage counts
+    * (integer ppm) plus the MD5 of the cleaned text.
+    *
+    * Scale shape — everything is linear in corpus size: span df is one
+    * groupBy on the span key; coverage is the inverted-index equi-join
+    * (the [[ngramJaccardPairs]] guard pattern) followed by a bounded
+    * ×n position explode; reassembly is one per-doc aggregate whose
+    * `array_sort(collect_list(struct(pos, tok)))` makes the
+    * non-deterministic collect order irrelevant. No all-pairs join,
+    * no driver-side state. */
+  def dupSpanRemoval(docs: DataFrame, n: Int = SpanN,
+      minDf: Int = SpanMinDf): DataFrame = {
+    import graft.text.CorpusStats.tokenArray
+    val toks = graft.core.CacheBay.register(
+      docs.repartition(col("doc_id"))
+        .select(col("doc_id"), tokenArray(col("text")).as("w")))
+    // spans with their 0-based start position; persisted because both
+    // the df aggregate and the coverage probe read it
+    val shp = graft.core.CacheBay.register(
+      toks.select(col("doc_id"),
+        posexplode(shinglesOfTokens(col("w"), n)))
+        .select(col("doc_id"), col("pos"), col("col").as("sh")))
+    val dup = shp.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("sh"))
+    val cov = shp.join(dup, Seq("sh"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tpos"))
+      .distinct()
+    val covAgg = cov.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_covered"))
+    val kept = toks
+      .select(col("doc_id"), posexplode(col("w")))
+      .select(col("doc_id"), col("pos").as("tpos"), col("col").as("tok"))
+      .join(cov, Seq("doc_id", "tpos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("tpos"), col("tok")))),
+        s => s.getField("tok")), " ").as("clean_text"))
+    toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(covAgg, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).cast("long").as("n_covered"),
+        coalesce(expr("(coalesce(n_covered, 0) * 1000000) div n_tokens"),
+          lit(0L)).as("covered_ppm"),
+        md5(coalesce(col("clean_text"), lit(""))).as("clean_fp"))
+  }
+
+  /** Canonical-representative selection over the near-dup clusters:
+    * each cluster keeps its highest-quality member (quality desc,
+    * doc_id asc tiebreak) — the curation decision layered on
+    * [[nearDupClusters]] when "keep the lowest id" would discard the
+    * best-written copy. One window over cluster-partitioned rows after
+    * the CC labels; singleton clusters (the vast majority) pass
+    * through rank 1 untouched. */
+  def canonicalReps(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = nearDupClusters(docs)
+    val scored = docs.select(col("doc_id"),
+      qualityScore(col("text")).as("quality"))
+    clusters.join(scored, Seq("doc_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(desc("quality"), asc("doc_id"))))
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        when(col("rk") === 1, 1L).otherwise(0L).as("is_rep"))
+  }
+
   /** True n-gram Jaccard near-dup pairs via the inverted-index join.
     * Shingles occurring in more than maxDf documents are dropped from
     * BOTH numerator and denominator (consistent set semantics) before

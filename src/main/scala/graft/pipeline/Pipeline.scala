@@ -283,6 +283,41 @@ object Pipeline {
 
   val MinQuality = 0.5
 
+  val NumTiles = 10
+
+  /** Exact global quantile bucketing WITHOUT a global sort — the
+    * equi-depth binning a 100 TB length/quality distribution needs
+    * (curriculum bucketing, per-decile sampling rates). `ntile()` over
+    * the full corpus would plan a single-partition window; instead the
+    * global rank decomposes as
+    *   rank(doc) = |rows with smaller value| + rank within equal-value
+    * so the only single-partition structure is the cumulative offset
+    * over the VALUE-DISTRIBUTION aggregate (one row per distinct
+    * n_chars — bounded by the value domain, not the corpus), which is
+    * then broadcast back. The intra-value window hash-partitions on the
+    * value key. Tile = ((rank-1)·k) div N + 1: same integer arithmetic
+    * in both engines, no NTILE remainder-placement ambiguity. */
+  def lengthDeciles(docs: DataFrame, k: Int = NumTiles): DataFrame = {
+    val base = graft.core.CacheBay.register(
+      docs.repartition(col("doc_id"))
+        .select(col("doc_id"), col("n_chars")))
+    val off = base.groupBy(col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum(col("c")).over(Window.orderBy(col("n_chars"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("n_chars"), col("off"))
+    val nd = base.agg(count(lit(1)).as("n_total"))
+    base.join(broadcast(off), Seq("n_chars"))
+      .withColumn("global_rank",
+        (col("off") + row_number().over(
+          Window.partitionBy(col("n_chars")).orderBy(col("doc_id"))))
+          .cast("long"))
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("n_chars"), col("global_rank"),
+        (expr(s"((global_rank - 1) * $k) div n_total") + 1L).as("tile"))
+  }
+
   /** The full curation funnel a pre-training corpus goes through,
     * composed from this library's own operators: keep a document iff
     * it (1) is its exact-dup group's keeper, (2) scores at least

@@ -27,7 +27,9 @@ object DedupQueries {
     "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(docs(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(docs(s, d))),
-    "dedup_shingle_novelty" -> ((s, d) => Dedup.shingleNovelty(docs(s, d))))
+    "dedup_shingle_novelty" -> ((s, d) => Dedup.shingleNovelty(docs(s, d))),
+    "dedup_dup_spans" -> ((s, d) => Dedup.dupSpanRemoval(docs(s, d))),
+    "dedup_canonical_reps" -> ((s, d) => Dedup.canonicalReps(docs(s, d))))
 
   // ---- shared DuckDB CTEs (generated from the same constants) ----
 
@@ -117,6 +119,25 @@ object DedupQueries {
        |            JOIN sig sb ON b_id = sb.doc_id
        |) WHERE est_jaccard >= $MinEstJaccard""".stripMargin
 
+  /** Connected-components labels over the LSH pair graph (recursive
+    * transitive closure; `cl` = (doc_id, cluster_id) for every doc,
+    * singletons included) — shared by the cluster query and the
+    * canonical-representative query. Callers prepend WITH RECURSIVE. */
+  private val ClusterCtes: String =
+    s"""$ShinglesCte, $SigCte, $LshBandCtes,
+       |pr AS ($LshPairsSelect),
+       |e AS (SELECT a_id AS s, b_id AS t FROM pr
+       |      UNION ALL SELECT b_id, a_id FROM pr),
+       |r AS (
+       |  SELECT s, t FROM e
+       |  UNION
+       |  SELECT r.s, e.t FROM r JOIN e ON r.t = e.s
+       |),
+       |mins AS (SELECT s AS doc_id, MIN(t) AS m FROM r GROUP BY s),
+       |cl AS (SELECT d.doc_id,
+       |         LEAST(d.doc_id, COALESCE(mins.m, d.doc_id)) AS cluster_id
+       |       FROM documents d LEFT JOIN mins ON d.doc_id = mins.doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       s"""SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -138,19 +159,67 @@ object DedupQueries {
     // labels as the engine's min-label propagation); docs in no pair
     // are their own singleton cluster
     "dedup_clusters" ->
-      s"""WITH RECURSIVE $ShinglesCte, $SigCte, $LshBandCtes,
-         |pr AS ($LshPairsSelect),
-         |e AS (SELECT a_id AS s, b_id AS t FROM pr
-         |      UNION ALL SELECT b_id, a_id FROM pr),
-         |r AS (
-         |  SELECT s, t FROM e
-         |  UNION
-         |  SELECT r.s, e.t FROM r JOIN e ON r.t = e.s
-         |),
-         |mins AS (SELECT s AS doc_id, MIN(t) AS m FROM r GROUP BY s)
-         |SELECT d.doc_id,
-         |       LEAST(d.doc_id, COALESCE(mins.m, d.doc_id)) AS cluster_id
-         |FROM documents d LEFT JOIN mins ON d.doc_id = mins.doc_id""".stripMargin,
+      s"""WITH RECURSIVE $ClusterCtes
+         |SELECT doc_id, cluster_id FROM cl""".stripMargin,
+
+    // clusters + quality → per-cluster best member (quality desc,
+    // doc_id asc): the same recursive-CTE labels as dedup_clusters,
+    // the same quality expression as text_quality_scores
+    "dedup_canonical_reps" ->
+      s"""WITH RECURSIVE $ClusterCtes,
+         |q AS (SELECT doc_id, ${TextQueries.qualitySql} AS quality
+         |      FROM documents),
+         |j AS (SELECT cl.doc_id, cl.cluster_id, q.quality,
+         |        row_number() OVER (PARTITION BY cl.cluster_id
+         |          ORDER BY q.quality DESC, cl.doc_id) AS rk
+         |      FROM cl JOIN q USING (doc_id))
+         |SELECT doc_id, cluster_id, quality,
+         |  CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_rep
+         |FROM j""".stripMargin,
+
+    // duplicated-span removal: positions covered by any SpanN-token
+    // window occurring in >= SpanMinDf docs are cut; text reassembled
+    // from the survivors in order (md5 of '' for fully-covered docs)
+    "dedup_dup_spans" -> {
+      val n = SpanN
+      s"""WITH tw AS (
+         |  SELECT doc_id,
+         |    CASE WHEN nrm = '' THEN CAST([] AS VARCHAR[])
+         |         ELSE string_split(nrm, ' ') END AS w
+         |  FROM (SELECT doc_id, $normSql AS nrm FROM documents)),
+         |sp AS (SELECT doc_id,
+         |         CAST(unnest(range(0, greatest(len(w) - ${n - 1}, 0)))
+         |           AS BIGINT) AS pos, w
+         |       FROM tw),
+         |shp AS (SELECT doc_id, pos,
+         |          array_to_string(w[CAST(pos + 1 AS INT):CAST(pos + $n AS INT)],
+         |            ' ') AS sh
+         |        FROM sp),
+         |dup AS (SELECT sh FROM shp
+         |        GROUP BY sh HAVING count(DISTINCT doc_id) >= $SpanMinDf),
+         |cov AS (SELECT DISTINCT s.doc_id, s.pos + o.o AS tpos
+         |        FROM shp s JOIN dup USING (sh)
+         |        CROSS JOIN (SELECT unnest(range(0, $n)) AS o) o),
+         |tk AS (SELECT doc_id,
+         |         CAST(unnest(range(0, len(w))) AS BIGINT) AS tpos, w
+         |       FROM tw),
+         |tok AS (SELECT doc_id, tpos, w[CAST(tpos + 1 AS INT)] AS tok FROM tk),
+         |kept AS (SELECT tok.doc_id,
+         |           string_agg(tok.tok, ' ' ORDER BY tok.tpos) AS txt
+         |         FROM tok ANTI JOIN cov
+         |           ON tok.doc_id = cov.doc_id AND tok.tpos = cov.tpos
+         |         GROUP BY 1),
+         |ca AS (SELECT doc_id, count(*) AS n_cov FROM cov GROUP BY 1)
+         |SELECT t.doc_id,
+         |  CAST(len(t.w) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(ca.n_cov, 0) AS BIGINT) AS n_covered,
+         |  CAST(CASE WHEN len(t.w) = 0 THEN 0
+         |            ELSE COALESCE((ca.n_cov * 1000000) // len(t.w), 0) END
+         |    AS BIGINT) AS covered_ppm,
+         |  md5(COALESCE(kept.txt, '')) AS clean_fp
+         |FROM tw t LEFT JOIN ca USING (doc_id)
+         |          LEFT JOIN kept USING (doc_id)""".stripMargin
+    },
 
     "dedup_simhash" ->
       s"""WITH $ShinglesCte, $SimhashCte

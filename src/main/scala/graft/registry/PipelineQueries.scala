@@ -30,7 +30,8 @@ object PipelineQueries {
       Pipeline.stratifiedSample(docs(s, d))),
     "pipe_temperature_sample" -> ((s, d) =>
       Pipeline.temperatureSample(docs(s, d))),
-    "pipe_curated_corpus" -> ((s, d) => Pipeline.curatedCorpus(docs(s, d))))
+    "pipe_curated_corpus" -> ((s, d) => Pipeline.curatedCorpus(docs(s, d))),
+    "pipe_length_deciles" -> ((s, d) => Pipeline.lengthDeciles(docs(s, d))))
 
   // ---- DuckDB oracle SQL, generated from the same constants ----
 
@@ -99,6 +100,20 @@ object PipelineQueries {
       | || '.7'""".stripMargin.replace("\n", "")
 
   val oracles: Map[String, String] = Map(
+    // global rank by (n_chars, doc_id) decomposed the same way the
+    // engine computes it (offset + intra-value rank); tile is the
+    // integer formula, NOT SQL NTILE (whose remainder placement
+    // differs) — see Pipeline.lengthDeciles
+    "pipe_length_deciles" ->
+      s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_total
+         |           FROM documents)
+         |SELECT doc_id, n_chars,
+         |  CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+         |    AS global_rank,
+         |  CAST((row_number() OVER (ORDER BY n_chars, doc_id) - 1)
+         |    * ${Pipeline.NumTiles} // n_total + 1 AS BIGINT) AS tile
+         |FROM documents CROSS JOIN n""".stripMargin,
+
     "pipe_hash_split" ->
       s"""WITH $SplitCte
          |SELECT doc_id, lang, n_chars, bucket, split FROM spl""".stripMargin,

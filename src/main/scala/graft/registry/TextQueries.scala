@@ -51,7 +51,10 @@ object TextQueries {
       graft.text.CorpusStats.tokenRarity(Tables(s, d, "documents"))),
 
     "text_vocab_topk" -> ((s, d) =>
-      graft.text.CorpusStats.vocabTopK(Tables(s, d, "documents"))))
+      graft.text.CorpusStats.vocabTopK(Tables(s, d, "documents"))),
+
+    "text_tfidf_topk" -> ((s, d) =>
+      graft.text.CorpusStats.tfIdfTopTerms(Tables(s, d, "documents"))))
 
   // ---- DuckDB oracle SQL, generated from the same constants ----
 
@@ -219,6 +222,30 @@ object TextQueries {
          |  CAST(COALESCE((a.sum_tf * 1000000) // a.n_tokens, 0) AS BIGINT)
          |    AS mean_corpus_tf_e6
          |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
+
+    // integer tf-idf score: (tf · 1e6 · n_docs) // (df · dl) — exact
+    // BIGINT arithmetic in both engines, term-asc tiebreak (see
+    // CorpusStats.tfIdfTopTerms)
+    "text_tfidf_topk" ->
+      s"""WITH $TokCte,
+         |ex AS (SELECT doc_id, unnest(w) AS term FROM tw),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM ex GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+         |       FROM tf GROUP BY 1),
+         |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |      FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |sc AS (SELECT doc_id, term, tf, df,
+         |         CAST((tf * 1000000 * n_docs) // (df * dl) AS BIGINT)
+         |           AS score_e6
+         |       FROM tf JOIN dl USING (doc_id) JOIN d USING (term)
+         |       CROSS JOIN n),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY score_e6 DESC, term) AS BIGINT) AS rank
+         |      FROM sc)
+         |SELECT doc_id, term, tf, df, score_e6, rank
+         |FROM r WHERE rank <= ${graft.text.CorpusStats.TfIdfK}""".stripMargin,
 
     "text_vocab_topk" ->
       s"""WITH $TokCte,

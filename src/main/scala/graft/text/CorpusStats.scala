@@ -100,6 +100,44 @@ object CorpusStats {
           .as("mean_corpus_tf_e6"))
   }
 
+  val TfIdfK = 3
+
+  /** Top-k TF-IDF terms per document — the per-doc keyword extractor
+    * (topic tagging, index pruning, boilerplate spotting). The score
+    * is kept in exact integers so both engines rank identically:
+    * `score_e6 = (tf · 10⁶ · n_docs) div (df · dl)` — tf/dl is the
+    * length-normalized term frequency and n_docs/df the inverse
+    * document frequency, composed as one integer expression instead of
+    * a float `ln` (whose last-bit noise reorders near-ties
+    * cross-engine). Ties break on term asc, so the top-k boundary is
+    * total-ordered.
+    *
+    * Shape: tf is one (doc, term) groupBy; df and dl are rollups of
+    * the tf frame (df = row count per term, since tf rows are already
+    * distinct doc×term); the scalar doc count broadcasts; the final
+    * top-k is a window over doc-partitioned rows. Everything hash-
+    * shuffles on doc or term keys — linear at any corpus size. */
+  def tfIdfTopTerms(docs: DataFrame, k: Int = TfIdfK): DataFrame = {
+    val tf = graft.core.CacheBay.register(
+      docs.repartition(col("doc_id"))
+        .select(col("doc_id"), explode(tokenArray(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dl, Seq("doc_id")).join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("term"),
+        col("tf").cast("long").as("tf"), col("df").cast("long").as("df"),
+        expr("(tf * 1000000 * n_docs) div (df * dl)").as("score_e6"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score_e6").desc, col("term").asc)).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   val VocabK = 100
 
   /** Top-k corpus vocabulary by token frequency with a deterministic

@@ -73,4 +73,40 @@ class CorpusStatsSpec extends SparkSpec {
     val th = Pipeline.temperatureThresholds(docs).toMap
     assert(th("rare") == 1000000L)
   }
+
+  test("tfIdfTopTerms: rare term outranks common ones; k bound holds") {
+    val docs = Seq(
+      (1L, "common common common zebra"),
+      (2L, "common common common common"),
+      (3L, "common filler filler filler"))
+      .toDF("doc_id", "text")
+    val r = CorpusStats.tfIdfTopTerms(docs)
+      .select("doc_id", "term", "rank", "score_e6")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    graft.core.CacheBay.drain()
+    // zebra: tf=1 df=1 dl=4 -> (1*1e6*3)/(1*4) = 750000; common in doc 1:
+    // tf=3 df=3 dl=4 -> (3*1e6*3)/(3*4) = 750000 -> term-asc tiebreak
+    val d1 = r.filter(_._1 == 1L).sortBy(_._3)
+    assert(d1.map(t => (t._2, t._4)) ==
+      Seq(("common", 750000L), ("zebra", 750000L)))
+    assert(r.groupBy(_._1).values.forall(_.size <= CorpusStats.TfIdfK))
+    assert(r.filter(_._1 == 3L).maxBy(_._4)._2 == "filler")
+  }
+
+  test("lengthDeciles: ranks are a permutation and tiles are equi-depth") {
+    val docs = graft.core.Tables(spark, SfDir, "documents")
+    val n = docs.count()
+    val r = Pipeline.lengthDeciles(docs)
+      .select("doc_id", "n_chars", "global_rank", "tile")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    graft.core.CacheBay.drain()
+    assert(r.map(_._3).sorted == (1L to n).toSeq)
+    // rank agrees with the local sort by (n_chars, doc_id)
+    val expect = r.sortBy(x => (x._2, x._1)).zipWithIndex
+      .map { case (x, i) => x._1 -> (i + 1L) }.toMap
+    r.foreach(x => assert(expect(x._1) == x._3))
+    // equi-depth: each tile holds floor(n/10) or ceil(n/10) rows
+    val sizes = r.groupBy(_._4).values.map(_.size.toLong)
+    assert(sizes.forall(s => s == n / 10 || s == n / 10 + 1))
+  }
 }

@@ -85,4 +85,44 @@ class DedupSpec extends SparkSpec {
       assert(members.keys.min == cl)
     }
   }
+
+  test("dupSpanRemoval: cross-doc repeated 5-gram spans are cut") {
+    // docs 10/11 share the 5-token prefix; doc 12 shares nothing
+    val d = Seq(
+      (10L, "red orange yellow green blue violet indigo maroon"),
+      (11L, "red orange yellow green blue crimson scarlet amber"),
+      (12L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val r = Dedup.dupSpanRemoval(d)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_covered", "covered_ppm", "clean_fp")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    graft.core.CacheBay.drain()
+    // only "red orange yellow green blue" is duplicated -> positions
+    // 0..4 covered in both docs; doc 12 untouched
+    assert(r(0) == (10L, 8L, 5L, 625000L,
+      md5Hex("violet indigo maroon")))
+    assert(r(1)._3 == 5L && r(1)._5 == md5Hex("crimson scarlet amber"))
+    assert(r(2) == (12L, 8L, 0L, 0L,
+      md5Hex("one two three four five six seven eight")))
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("canonicalReps: each cluster keeps exactly one highest-quality rep") {
+    val docs = graft.core.Tables(spark, SfDir, "documents")
+    val r = Dedup.canonicalReps(docs)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    graft.core.CacheBay.drain()
+    assert(r.size == docs.count())
+    r.groupBy(_._2).foreach { case (cl, members) =>
+      assert(members.count(_._4 == 1L) == 1, s"cluster $cl rep count != 1")
+      val rep = members.find(_._4 == 1L).get
+      // rep has max quality (doc_id tiebreak)
+      assert(members.forall(m => m._3 < rep._3 ||
+        (m._3 == rep._3 && m._1 >= rep._1)))
+    }
+  }
 }
