@@ -35,20 +35,21 @@ object Star {
     * range. */
   val AsOf = "1997-06-01"
 
-  private val cache =
-    scala.collection.mutable.Map[(SparkSession, String, String), DataFrame]()
-
   private def cached(spark: SparkSession, dir: String, key: String)(
-      build: => DataFrame): DataFrame = synchronized {
-    cache.getOrElseUpdate((spark, dir, key),
-      build.persist(StorageLevel.MEMORY_AND_DISK))
-  }
+      build: => DataFrame): DataFrame =
+    SessionCache.cached(spark, s"star:$dir:$key")(build)
 
   /** The SIOP fact table: one row per lineitem with planning dims.
     * Cached per (session, dir) — see class doc. */
   def siop(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "siop") {
-      val li = Tables(spark, dir, "lineitem")
+      // the small-SF fixture is ONE parquet file → one scan partition,
+      // which pins the join + 11-column projection + cache write to a
+      // single task (measured: ~5 s of the star build). Spreading the
+      // fact on the join key costs one shuffle the join needed anyway;
+      // a multi-split cluster table arrives pre-parallelized and a
+      // bucketed deployment would skip this entirely (ScaleJoins).
+      val li = Tables(spark, dir, "lineitem").repartition(col("l_orderkey"))
       val o  = Tables(spark, dir, "orders")
       val c  = Tables(spark, dir, "customer")
       val n  = Tables(spark, dir, "nation")

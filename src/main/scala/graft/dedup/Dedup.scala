@@ -87,6 +87,19 @@ object Dedup {
         .as("shingles"))
   }
 
+  /** Session-cached shingle sets for the `documents` table at `dir`:
+    * every dedup-family registry query starts from the same
+    * tokenize→shingle derivation, so a Bench/Verify sweep shares ONE
+    * materialization across the family instead of re-paying the two
+    * regex passes per query (same rationale as [[graft.core.Star]]'s
+    * shared fact). Operators accept it via their `shingles` parameter;
+    * ad-hoc callers (tests, non-table frames) omit it and compute
+    * per-call. */
+  def sharedShingles(spark: org.apache.spark.sql.SparkSession, dir: String,
+      n: Int = ShingleN): DataFrame =
+    graft.core.SessionCache.cached(spark, s"shingles:$dir:$n")(
+      shingleSets(graft.core.Tables(spark, dir, "documents"), n))
+
   /** Exact dedup: group by normalized-text MD5; keeper = min doc_id. */
   def exactDedup(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprintMd5(col("text")).as("fp"))
@@ -115,8 +128,9 @@ object Dedup {
     * native [[graft.functions.MinHashSig]] expression — the HOF lambda
     * form pays one interpreter dispatch per element per permutation. */
   def minhashSignature(docs: DataFrame,
-      numHashes: Int = NumHashes): DataFrame =
-    shingleSets(docs)
+      numHashes: Int = NumHashes,
+      shingles: Option[DataFrame] = None): DataFrame =
+    shingles.getOrElse(shingleSets(docs))
       .select(col("doc_id"),
         transform(col("shingles"), baseHash(_)).as("bases"))
       .select(col("doc_id"),
@@ -138,9 +152,11 @@ object Dedup {
   /** MinHash+LSH near-dup pairs: bucket-join candidates, then estimated
     * Jaccard = fraction of agreeing signature positions, thresholded. */
   def minhashLshPairs(docs: DataFrame, numHashes: Int = NumHashes,
-      bands: Int = Bands, minEst: Double = MinEstJaccard): DataFrame = {
+      bands: Int = Bands, minEst: Double = MinEstJaccard,
+      shingles: Option[DataFrame] = None): DataFrame = {
     // both join sides share this lineage — persist, or it computes twice
-    val sig = graft.core.CacheBay.register(minhashSignature(docs, numHashes))
+    val sig = graft.core.CacheBay.register(
+      minhashSignature(docs, numHashes, shingles))
     val bk = banded(sig, numHashes, bands)
     val a = bk.select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
       col("band"), col("bval"))
@@ -165,8 +181,9 @@ object Dedup {
     * digest array is materialized once per doc in its own projection
     * (the naive form recomputes every digest for every bit: 64× the
     * md5s). */
-  def simhash(docs: DataFrame, bits: Int = SimhashBits): DataFrame =
-    shingleSets(docs)
+  def simhash(docs: DataFrame, bits: Int = SimhashBits,
+      shingles: Option[DataFrame] = None): DataFrame =
+    shingles.getOrElse(shingleSets(docs))
       .select(col("doc_id"),
         transform(col("shingles"), s => md5(s)).as("digests"))
       .select(col("doc_id"),
@@ -179,7 +196,8 @@ object Dedup {
     * (combo, key) equi-join — see [[BlockCombos]] for the pigeonhole
     * argument and why the ~33-bit keys keep buckets sub-linear in n. */
   def simhashPairs(docs: DataFrame, bits: Int = SimhashBits,
-      maxHamming: Int = MaxHamming): DataFrame = {
+      maxHamming: Int = MaxHamming,
+      shingles: Option[DataFrame] = None): DataFrame = {
     // The signature travels through the 20-way explode and the bucket
     // shuffle as two packed longs, not a 64-char string; hamming is
     // then one codegen'd bit_count(xor) pair per candidate instead of
@@ -189,7 +207,7 @@ object Dedup {
       conv(col("simhash").substr(off + 1, 32), 2, 10).cast("long")
     // reused by both join sides
     val sh = graft.core.CacheBay.register(
-      simhash(docs, bits).select(col("doc_id"), col("simhash"),
+      simhash(docs, bits, shingles).select(col("doc_id"), col("simhash"),
         half(0).as("hi"), half(32).as("lo")))
     val keyStructs = BlockCombos.zipWithIndex.map { case (blocks, ci) =>
       struct(lit(ci).as("cb"),
@@ -227,9 +245,78 @@ object Dedup {
     * do the same joins); rounds needed = component diameter, and
     * near-dup clusters are tiny and dense, so it converges in 2-3
     * rounds. Convergence is CHECKED per round (one count), never
-    * assumed. Docs in no pair are their own singleton cluster. */
-  def nearDupClusters(docs: DataFrame, maxIters: Int = 10): DataFrame = {
-    val pairs = minhashLshPairs(docs).select(col("a_id"), col("b_id"))
+    * assumed. Docs in no pair are their own singleton cluster.
+    *
+    * Pair graphs at or under [[LocalCcMaxEdges]] skip the loop: the
+    * collected edge list union-finds on the driver in one pass
+    * ([[localUnionFind]]) — identical labels, none of the per-round
+    * job scheduling. */
+  /** Edge-count bound under which connected components run as one
+    * driver-side union-find pass instead of the distributed label
+    * loop: 1M symmetric edges ≈ 16 MB collected, and the loop's
+    * per-round scheduling (3+ jobs × diameter rounds) costs orders of
+    * magnitude more than the O(E·α) local pass. Near-dup edge sets
+    * are bounded by dup density, not corpus size — but NOT bounded in
+    * general, so the distributed loop stays and engages past the
+    * threshold. */
+  val LocalCcMaxEdges = 1000000L
+
+  def nearDupClusters(docs: DataFrame, maxIters: Int = 10,
+      localMaxEdges: Long = LocalCcMaxEdges,
+      shingles: Option[DataFrame] = None): DataFrame = {
+    val pairs = graft.core.CacheBay.register(
+      minhashLshPairs(docs, shingles = shingles)
+        .select(col("a_id"), col("b_id")))
+    if (pairs.count() * 2 <= localMaxEdges)
+      return joinLabels(docs, localUnionFind(pairs))
+    distributedClusters(docs, pairs, maxIters)
+  }
+
+  /** Driver union-find (path halving + union by min label) over a
+    * bounded collected pair list; returns (doc_id, cluster_id) for
+    * PARTICIPANTS only — the same partial frame the distributed loop
+    * produces, joined back identically by [[joinLabels]]. */
+  private def localUnionFind(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val es = pairs.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) {
+        val p = parent(r)
+        parent(r) = parent.getOrElse(p, p) // path halving
+        r = parent(r)
+      }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // min root wins = min-member cluster labels
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+      parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+    }
+    val members = es.flatMap(e => Seq(e._1, e._2)).distinct
+    members.map(m => (m, find(m))).toSeq.toDF("doc_id", "cluster_id")
+  }
+
+  /** Left-join participant labels back onto the full doc list;
+    * non-participants are their own singleton cluster. The local
+    * union-find result is bounded (≤ [[LocalCcMaxEdges]] ids) and
+    * broadcast; the distributed loop's label frame is unbounded and
+    * takes the planner's choice. */
+  private def joinLabels(docs: DataFrame, labels: DataFrame,
+      broadcastLabels: Boolean = true): DataFrame = {
+    val l = labels.withColumnsRenamed(Map("cluster_id" -> "lbl"))
+    docs.select(col("doc_id"))
+      .join(if (broadcastLabels) broadcast(l) else l, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+  }
+
+  private def distributedClusters(docs: DataFrame, pairs: DataFrame,
+      maxIters: Int): DataFrame = {
     // iterate ONLY over docs that appear in some pair — everything
     // else is a singleton cluster and needs no propagation (pair
     // participants are a tiny fraction of the corpus, so each round's
@@ -275,11 +362,7 @@ object Dedup {
       i += 1
     }
     require(converged, s"CC did not converge within $maxIters rounds")
-    docs.select(col("doc_id"))
-      .join(labels.withColumnsRenamed(Map("cluster_id" -> "lbl")),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+    joinLabels(docs, labels, broadcastLabels = false)
   }
 
   /** Cross-document shingle novelty — the corpus-level duplication
@@ -294,8 +377,10 @@ object Dedup {
     * uses — never an all-pairs comparison. A doc's own occurrence is
     * discounted with df ≥ 2 (shingles are per-doc distinct, so df
     * counts documents). */
-  def shingleNovelty(docs: DataFrame, n: Int = ShingleN): DataFrame = {
-    val ss = graft.core.CacheBay.register(shingleSets(docs, n))
+  def shingleNovelty(docs: DataFrame, n: Int = ShingleN,
+      shingles: Option[DataFrame] = None): DataFrame = {
+    val ss = shingles.getOrElse(
+      graft.core.CacheBay.register(shingleSets(docs, n)))
     val ex = ss.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     ex.join(dfreq, Seq("sh"))
@@ -386,9 +471,10 @@ object Dedup {
     * best-written copy. One window over cluster-partitioned rows after
     * the CC labels; singleton clusters (the vast majority) pass
     * through rank 1 untouched. */
-  def canonicalReps(docs: DataFrame): DataFrame = {
+  def canonicalReps(docs: DataFrame,
+      shingles: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val clusters = nearDupClusters(docs)
+    val clusters = nearDupClusters(docs, shingles = shingles)
     val scored = docs.select(col("doc_id"),
       qualityScore(col("text")).as("quality"))
     clusters.join(scored, Seq("doc_id"))
@@ -404,12 +490,14 @@ object Dedup {
     * BOTH numerator and denominator (consistent set semantics) before
     * the join — the hot-term guard that keeps the join linear-ish. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = ShingleN,
-      minJaccard: Double = MinJaccard, maxDf: Int = MaxShingleDf): DataFrame = {
+      minJaccard: Double = MinJaccard, maxDf: Int = MaxShingleDf,
+      shingles: Option[DataFrame] = None): DataFrame = {
     // persist BEFORE explode: the cache boundary stops the optimizer
     // from re-inlining the shingle expression into the Generate (which
     // re-evaluates normalize+split per element), and the frame feeds
     // three consumers (df-cap aggregate, and both sides via exF)
-    val ss = graft.core.CacheBay.register(shingleSets(docs, n))
+    val ss = shingles.getOrElse(
+      graft.core.CacheBay.register(shingleSets(docs, n)))
     val ex = ss.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val rare = ex.groupBy(col("sh"))
       .agg(count(lit(1)).as("df"))

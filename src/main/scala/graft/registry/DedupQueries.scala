@@ -16,20 +16,32 @@ object DedupQueries {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
 
+  /** The family's shared tokenize→shingle derivation (session-cached;
+    * see [[Dedup.sharedShingles]]). */
+  private def sh(s: SparkSession, d: String): Option[DataFrame] =
+    Some(Dedup.sharedShingles(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(docs(s, d))),
-    "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(docs(s, d))),
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.nearDupClusters(docs(s, d), shingles = sh(s, d))),
     "dedup_minhash_sig" -> ((s, d) =>
-      Dedup.minhashSignature(docs(s, d))
+      Dedup.minhashSignature(docs(s, d), shingles = sh(s, d))
         .select(col("doc_id"),
           array_join(col("sig").cast("array<string>"), ",").as("sig_str"))),
-    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(docs(s, d))),
-    "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
-    "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(docs(s, d))),
-    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(docs(s, d))),
-    "dedup_shingle_novelty" -> ((s, d) => Dedup.shingleNovelty(docs(s, d))),
+    "dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(docs(s, d), shingles = sh(s, d))),
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhash(docs(s, d), shingles = sh(s, d))),
+    "dedup_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(docs(s, d), shingles = sh(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(docs(s, d), shingles = sh(s, d))),
+    "dedup_shingle_novelty" -> ((s, d) =>
+      Dedup.shingleNovelty(docs(s, d), shingles = sh(s, d))),
     "dedup_dup_spans" -> ((s, d) => Dedup.dupSpanRemoval(docs(s, d))),
-    "dedup_canonical_reps" -> ((s, d) => Dedup.canonicalReps(docs(s, d))))
+    "dedup_canonical_reps" -> ((s, d) =>
+      Dedup.canonicalReps(docs(s, d), shingles = sh(s, d))))
 
   // ---- shared DuckDB CTEs (generated from the same constants) ----
 

@@ -201,8 +201,17 @@ object Similarity {
           asDouble(col("embedding")).as("v"),
           l2Norm(asDouble(col("embedding"))).as("nrm"),
           array_to_vector(col("embedding")).as("features")))
+    // fit on a partition count sized to the row count, not the session
+    // default: every k-means|| init round and Lloyd iteration is a
+    // distributed pass, and 32 near-empty tasks per pass is pure
+    // scheduling overhead at small n (same sizing note as the
+    // streaming trainer). ~100k rows per fit task; the assignment
+    // transform below still runs at full session parallelism.
+    val nFitParts = math.max(1,
+      math.min(32, (feat.count() / 100000L).toInt))
     val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
-      .fit(feat)
+      .setTol(1e-4)
+      .fit(feat.select(col("features")).coalesce(nFitParts))
     val assigned = km.transform(feat)
       .select(col("vec_id"), col("v"), col("nrm"),
         col("prediction").as("cell"))

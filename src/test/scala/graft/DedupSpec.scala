@@ -84,6 +84,12 @@ class DedupSpec extends SparkSpec {
     labels.groupBy(_._2).foreach { case (cl, members) =>
       assert(members.keys.min == cl)
     }
+    // localMaxEdges = 0 forces the distributed label loop; labels
+    // must be identical to the union-find fast path's
+    val viaLoop = Dedup.nearDupClusters(docs, localMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    graft.core.CacheBay.drain()
+    assert(viaLoop == labels, "loop and union-find labels diverge")
   }
 
   test("dupSpanRemoval: cross-doc repeated 5-gram spans are cut") {

@@ -44,15 +44,18 @@ class PlanAuditSpec extends SparkSpec {
 
   // Plans that legitimately nested-loop over a BOUNDED broadcast side:
   // J8's distinct-region backfill (reference semantics), BM25's 1-row
-  // corpus-stats frame, and the brute-force ANN baseline whose whole
-  // point is the exact all-pairs scan over a bounded query subset.
-  // Everything else must be equi-joined.
+  // corpus-stats frame, the brute-force ANN baseline whose whole point
+  // is the exact all-pairs scan over a bounded query subset, and the
+  // 1-row scalar-aggregate broadcasts (tf-idf's n_docs, the decile
+  // query's n_total). Everything else must be equi-joined.
   private val JustifiedCross =
-    Set("j8_region_backfill", "text_bm25", "sim_bruteforce_topk")
+    Set("j8_region_backfill", "text_bm25", "sim_bruteforce_topk",
+      "text_tfidf_topk", "pipe_length_deciles")
   // Building these performs driver-side actions (KMeans fit / LBFGS
   // training / count()s) — plan shape is audited by their own specs.
   private val ActionOnBuild =
-    Set("ml_stream_train", "sim_ivf_topk", "dedup_clusters")
+    Set("ml_stream_train", "sim_ivf_topk", "dedup_clusters",
+      "dedup_canonical_reps")
 
   test("no registry query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
