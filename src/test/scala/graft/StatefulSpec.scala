@@ -34,6 +34,43 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState: same verdicts, state survives micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // transformWithState requires the RocksDB state store provider;
+    // scope it to a forked session so the rest of the suite keeps the
+    // default provider
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Obs](
+      org.apache.spark.sql.Encoders.product[Obs], s2.sqlContext)
+    val q = Stateful.spikeScoresTws(ms.toDS())
+      .writeStream.format("memory").queryName("spike_tws")
+      .outputMode("append").start()
+    try {
+      ms.addData(Obs(1L, ts(1), 1.0), Obs(1L, ts(2), 1.0))
+      q.processAllAvailable()
+      ms.addData(Obs(1L, ts(3), 9.0), Obs(2L, ts(3), 50.0))
+      q.processAllAvailable()
+      val rows = s2.table("spike_tws")
+        .select($"user_id", $"value", $"is_spike")
+        .as[(Long, Double, Boolean)].collect().toSet
+      // identical verdicts to the flatMapGroupsWithState test: the
+      // spike is only visible if ValueState crossed the batch boundary
+      assert(rows.contains((1L, 9.0, true)))
+      assert(rows.contains((1L, 1.0, false)))
+      assert(rows.contains((2L, 50.0, false)))
+    } finally q.stop()
+  }
+
+  test("both state APIs emit identical batch output") {
+    val obs = graft.core.Tables(spark, SfDir, "events")
+      .select($"user_id", $"ts", $"value").as[Obs]
+    val a = Stateful.spikeScores(obs).toDF()
+    val b = Stateful.spikeScoresTws(obs).toDF()
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("batch run of the state function equals the window mirror") {
     val obs = graft.core.Tables(spark, SfDir, "events")
       .select($"user_id", $"ts", $"value").as[Obs]
