@@ -393,6 +393,31 @@ object Dedup {
           .as("novelty_e6"))
   }
 
+  /** LSH quality audit: the MinHash+LSH candidate pairs compared
+    * against the exact (df-capped) n-gram Jaccard pairs at the same
+    * threshold — the precision/recall evidence a production dedup
+    * rollout needs before trusting the approximate path ('both' = true
+    * positive, 'lsh_only' = S-curve false positive, 'true_only' =
+    * banding miss). Full-outer join of the two already-proven operators
+    * on the pair key; both legs read the same shared shingle frame.
+    * Absent-side scores report -1 (the join's null), keeping the output
+    * all-non-null for the oracle hash. */
+  def lshAudit(docs: DataFrame,
+      shingles: Option[DataFrame] = None): DataFrame = {
+    val est = minhashLshPairs(docs, shingles = shingles)
+      .select(col("a_id"), col("b_id"), col("est_jaccard"))
+    val tru = ngramJaccardPairs(docs, shingles = shingles)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+    est.join(tru, Seq("a_id", "b_id"), "full_outer")
+      .select(col("a_id"), col("b_id"),
+        coalesce(col("est_jaccard"), lit(-1.0)).as("est_jaccard"),
+        coalesce(col("jaccard"), lit(-1.0)).as("jaccard"),
+        when(col("est_jaccard").isNotNull && col("jaccard").isNotNull,
+          lit("both"))
+          .when(col("est_jaccard").isNotNull, lit("lsh_only"))
+          .otherwise(lit("true_only")).as("status"))
+  }
+
   /** Duplicated-span token window width (Lee et al. 2022 use 50-token
     * substrings; 5 fits the synthetic corpus' ~40-token docs) and the
     * cross-document df at which a span counts as duplicated. */

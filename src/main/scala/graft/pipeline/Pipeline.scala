@@ -283,6 +283,40 @@ object Pipeline {
 
   val MinQuality = 0.5
 
+  val ChunkSize = 16
+  val ChunkOverlap = 4
+
+  /** Fixed-size overlapping token chunks — the RAG/episode chunker
+    * (context windows with `overlap` tokens of continuity across
+    * boundaries). Chunk starts step by `size - overlap`; the final
+    * chunk may be short. Pure per-row array work (one Generate over a
+    * start-position sequence + codegen'd `slice`), no shuffle at all —
+    * the operator is embarrassingly parallel at any corpus size.
+    * Emits the chunk fingerprint rather than the text (the md5 keeps
+    * the oracle hash exact; a real pipeline would carry the slice). */
+  def chunkWithOverlap(docs: DataFrame, size: Int = ChunkSize,
+      overlap: Int = ChunkOverlap): DataFrame = {
+    require(overlap >= 0 && overlap < size, "need 0 <= overlap < size")
+    val stride = size - overlap
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        graft.text.CorpusStats.tokenArray(col("text")).as("w"))
+      .filter(size_(col("w")) > 0)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), size_(col("w")) - 1, lit(stride)))
+          .as("start"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_id"),
+        col("start").cast("long").as("start_tok"),
+        slice(col("w"), col("start") + 1, lit(size)).as("c"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size_(col("c")).cast("long").as("n_tokens"),
+        md5(array_join(col("c"), " ")).as("chunk_fp"))
+  }
+
+  private def size_(c: Column): Column =
+    org.apache.spark.sql.functions.size(c)
+
   val NumTiles = 10
 
   /** Exact global quantile bucketing WITHOUT a global sort — the

@@ -41,7 +41,9 @@ object DedupQueries {
       Dedup.shingleNovelty(docs(s, d), shingles = sh(s, d))),
     "dedup_dup_spans" -> ((s, d) => Dedup.dupSpanRemoval(docs(s, d))),
     "dedup_canonical_reps" -> ((s, d) =>
-      Dedup.canonicalReps(docs(s, d), shingles = sh(s, d))))
+      Dedup.canonicalReps(docs(s, d), shingles = sh(s, d))),
+    "dedup_lsh_audit" -> ((s, d) =>
+      Dedup.lshAudit(docs(s, d), shingles = sh(s, d))))
 
   // ---- shared DuckDB CTEs (generated from the same constants) ----
 
@@ -130,6 +132,26 @@ object DedupQueries {
        |  FROM cand JOIN sig sa ON a_id = sa.doc_id
        |            JOIN sig sb ON b_id = sb.doc_id
        |) WHERE est_jaccard >= $MinEstJaccard""".stripMargin
+
+  /** Exact df-capped n-gram Jaccard pairs as CTEs ending in `jp` —
+    * shared by the pair query and the LSH audit. Requires
+    * [[ShinglesCte]] upstream. */
+  private val JaccardPairsCtes: String =
+    s"""ex AS (SELECT doc_id, unnest(shingles) AS s FROM shf),
+       |rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= $MaxShingleDf),
+       |exf AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare ON ex.s = rare.s),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM exf GROUP BY 1),
+       |shared AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+       |  FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |jp AS (SELECT * FROM (
+       |  SELECT a_id, b_id,
+       |         ROUND(c * 1.0 / (ca.n + cb.n - c), 6) AS jaccard
+       |  FROM shared JOIN cnt ca ON a_id = ca.doc_id
+       |              JOIN cnt cb ON b_id = cb.doc_id
+       |) WHERE jaccard >= $MinJaccard)""".stripMargin
 
   /** Connected-components labels over the LSH pair graph (recursive
     * transitive closure; `cl` = (doc_id, cluster_id) for every doc,
@@ -268,22 +290,24 @@ object DedupQueries {
     },
 
     "dedup_ngram_jaccard" ->
-      s"""WITH $ShinglesCte,
-         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM shf),
-         |rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= $MaxShingleDf),
-         |exf AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare ON ex.s = rare.s),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM exf GROUP BY 1),
-         |shared AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
-         |  FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
-         |)
-         |SELECT * FROM (
-         |  SELECT a_id, b_id,
-         |         ROUND(c * 1.0 / (ca.n + cb.n - c), 6) AS jaccard
-         |  FROM shared JOIN cnt ca ON a_id = ca.doc_id
-         |              JOIN cnt cb ON b_id = cb.doc_id
-         |) WHERE jaccard >= $MinJaccard""".stripMargin,
+      s"""WITH $ShinglesCte, $JaccardPairsCtes
+         |SELECT a_id, b_id, jaccard FROM jp""".stripMargin,
+
+    // full-outer pair-key join of the LSH candidates and the exact
+    // (df-capped) Jaccard pairs; -1 marks the absent side
+    "dedup_lsh_audit" ->
+      s"""WITH $ShinglesCte, $SigCte, $LshBandCtes,
+         |lp AS ($LshPairsSelect),
+         |$JaccardPairsCtes
+         |SELECT COALESCE(l.a_id, j.a_id) AS a_id,
+         |  COALESCE(l.b_id, j.b_id) AS b_id,
+         |  COALESCE(l.est_jaccard, CAST(-1 AS DOUBLE)) AS est_jaccard,
+         |  COALESCE(j.jaccard, CAST(-1 AS DOUBLE)) AS jaccard,
+         |  CASE WHEN l.a_id IS NOT NULL AND j.a_id IS NOT NULL THEN 'both'
+         |       WHEN l.a_id IS NOT NULL THEN 'lsh_only'
+         |       ELSE 'true_only' END AS status
+         |FROM lp l FULL OUTER JOIN jp j
+         |  ON l.a_id = j.a_id AND l.b_id = j.b_id""".stripMargin,
 
     // novelty as integer ppm (// is exact for these non-negative
     // counts); df >= 2 means "appears in at least one OTHER doc"

@@ -15,6 +15,18 @@ object LoadQueries {
       .agg(round(sum(col("l_quantity")), 2).as("qty"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the salted-join rewrite must be RESULT-IDENTICAL to the plain
+    // equi-join (the salt only spreads a hot key's rows); the oracle
+    // is that plain join
+    "j_salted_join" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+          col("o_totalprice"))
+      val c = Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.core.ScaleJoins.saltedJoin(o, c, "c_custkey", salts = 8)
+    }),
+
     "j2_guarded_lookup" -> ((s, d) => {
       val supp = Tables(s, d, "supplier")
       val nat = Tables(s, d, "nation")
@@ -120,6 +132,11 @@ object LoadQueries {
       |FROM orders""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "j_salted_join" ->
+      """SELECT o_orderkey, o_custkey AS c_custkey, o_totalprice,
+        |       c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
     "j2_guarded_lookup" ->
       """WITH q AS (SELECT l_suppkey, ROUND(SUM(l_quantity), 2) AS qty
         |           FROM lineitem GROUP BY 1)

@@ -31,7 +31,8 @@ object PipelineQueries {
     "pipe_temperature_sample" -> ((s, d) =>
       Pipeline.temperatureSample(docs(s, d))),
     "pipe_curated_corpus" -> ((s, d) => Pipeline.curatedCorpus(docs(s, d))),
-    "pipe_length_deciles" -> ((s, d) => Pipeline.lengthDeciles(docs(s, d))))
+    "pipe_length_deciles" -> ((s, d) => Pipeline.lengthDeciles(docs(s, d))),
+    "pipe_chunk_overlap" -> ((s, d) => Pipeline.chunkWithOverlap(docs(s, d))))
 
   // ---- DuckDB oracle SQL, generated from the same constants ----
 
@@ -100,6 +101,28 @@ object PipelineQueries {
       | || '.7'""".stripMargin.replace("\n", "")
 
   val oracles: Map[String, String] = Map(
+    // same start-position arithmetic; DuckDB list slicing clamps at
+    // len(w) exactly like Spark slice
+    "pipe_chunk_overlap" -> {
+      import Pipeline.{ChunkSize, ChunkOverlap}
+      val stride = ChunkSize - ChunkOverlap
+      s"""WITH tw AS (
+         |  SELECT doc_id, string_split(${DedupQueries.normSql}, ' ') AS w
+         |  FROM documents WHERE ${DedupQueries.normSql} <> ''),
+         |st AS (SELECT doc_id, w,
+         |         CAST(unnest(range(0, len(w), $stride)) AS BIGINT) AS start
+         |       FROM tw),
+         |ch AS (SELECT doc_id, CAST(start // $stride AS BIGINT) AS chunk_id,
+         |         start AS start_tok,
+         |         w[CAST(start + 1 AS INT):CAST(least(start + $ChunkSize,
+         |           len(w)) AS INT)] AS c
+         |       FROM st)
+         |SELECT doc_id, chunk_id, start_tok,
+         |  CAST(len(c) AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(c, ' ')) AS chunk_fp
+         |FROM ch""".stripMargin
+    },
+
     // global rank by (n_chars, doc_id) decomposed the same way the
     // engine computes it (offset + intra-value rank); tile is the
     // integer formula, NOT SQL NTILE (whose remainder placement

@@ -33,7 +33,9 @@ object SimilarityQueries {
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(emb(s, d))),
     "sim_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(emb(s, d))),
     "sim_label_centroids" -> ((s, d) =>
-      Similarity.labelCentroids(emb(s, d))))
+      Similarity.labelCentroids(emb(s, d))),
+    "sim_centroid_outliers" -> ((s, d) =>
+      Similarity.centroidOutliers(emb(s, d))))
 
   // ---- DuckDB SQL (same constants, same math) ----
 
@@ -140,6 +142,35 @@ object SimilarityQueries {
     // accumulation order-free, and the mean is floor over one exact
     // double division (integer-div negative semantics differ between
     // engines — see Similarity.labelCentroids)
+    // per-vector exact-integer squared distance to the label centroid;
+    // mean via // FIRST so nothing overflows (see centroidOutliers)
+    "sim_centroid_outliers" ->
+      """WITH exq AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |         CAST(unnest(range(0, len(embedding))) AS BIGINT) AS dim,
+        |         unnest(embedding) AS x
+        |  FROM embeddings),
+        |qq AS (SELECT vec_id, label, dim,
+        |         CAST(floor(CAST(x AS DOUBLE) * CAST(1000000 AS DOUBLE)
+        |           + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q
+        |       FROM exq),
+        |cent AS (SELECT label, dim,
+        |           CAST(floor(CAST(SUM(q) AS DOUBLE) / count(*)) AS BIGINT)
+        |             AS centroid_e6
+        |         FROM qq GROUP BY 1, 2),
+        |pv AS (SELECT vec_id, label,
+        |         CAST(SUM((q - centroid_e6) * (q - centroid_e6)) AS BIGINT)
+        |           AS dist2
+        |       FROM qq JOIN cent USING (label, dim) GROUP BY 1, 2),
+        |pl AS (SELECT label,
+        |         CAST(CAST(SUM(dist2) AS BIGINT) // count(*) AS BIGINT)
+        |           AS mean_d2
+        |       FROM pv GROUP BY 1)
+        |SELECT vec_id, label, dist2, mean_d2,
+        |  CAST(CASE WHEN dist2 > 2 * mean_d2 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_outlier
+        |FROM pv JOIN pl USING (label)""".stripMargin,
+
     "sim_label_centroids" ->
       """WITH ex AS (
         |  SELECT CAST(label AS BIGINT) AS label,

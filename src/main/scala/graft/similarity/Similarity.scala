@@ -291,6 +291,44 @@ object Similarity {
         floor(col("sum_q").cast("double") / col("n")).cast("long")
           .as("centroid_e6"))
 
+  /** Per-vector squared distance to its label centroid, with a
+    * per-label outlier flag — mislabeled-example / embedding-drift
+    * detection (the vector sits far from its class prototype). Builds
+    * on [[labelCentroids]]' integer micro-unit components so the
+    * distance is EXACT integer arithmetic end to end: per-dim diff of
+    * two e6-quantized integers, squared and summed (order-free), then
+    * flagged when dist² exceeds 2× the label's mean dist² — the mean
+    * via integer div FIRST, so nothing approaches Long overflow at any
+    * corpus size.
+    *
+    * Shape: centroids are |labels|×dim rows (broadcast); the probe is
+    * one posexplode join + per-vector rollup + one label-level rollup
+    * joined back — all linear, one hash shuffle each. */
+  def centroidOutliers(emb: DataFrame): DataFrame = {
+    val cent = labelCentroids(emb)
+      .select(col("label"), col("dim"), col("centroid_e6"))
+    val q = emb.repartition(col("vec_id"))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(asDouble(col("embedding"))))
+      .select(col("vec_id"), col("label"),
+        col("pos").cast("long").as("dim"),
+        floor(col("col") * lit(1000000.0) + lit(0.5)).cast("long").as("q"))
+    val perVec = graft.core.CacheBay.register(
+      q.join(broadcast(cent), Seq("label", "dim"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum((col("q") - col("centroid_e6")) *
+          (col("q") - col("centroid_e6"))).cast("long").as("dist2")))
+    val perLabel = perVec.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_label"),
+        sum(col("dist2")).cast("long").as("sum_d2"))
+      .select(col("label"), expr("sum_d2 div n_label").as("mean_d2"))
+    perVec.join(broadcast(perLabel), Seq("label"))
+      .select(col("vec_id"), col("label"), col("dist2"),
+        col("mean_d2"),
+        when(col("dist2") > lit(2L) * col("mean_d2"), 1L).otherwise(0L)
+          .as("is_outlier"))
+  }
+
   /** Exact per-vector NN by brute force — O(n²): the TEST ORACLE for
     * [[nearestNeighbor]] on sampled subsets, never the production path
     * (a corpus broadcast is unbroadcastable and the pair count

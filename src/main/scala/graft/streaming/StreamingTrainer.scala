@@ -11,14 +11,14 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * micro-batches to a Spark-Streaming trainer that is absent from the
   * codebase. This is that trainer, Structured-Streaming-first:
   * the S16 payload parse ([[StreamIngest.parsePayload]]) feeds
-  * `foreachBatch`, each micro-batch refits an MLlib logistic regression
-  * (distributed LBFGS over the executors), and the driver keeps one
-  * small blended model — coefficients updated by a Polyak-style running
-  * average, the same incremental shape as MLlib's streaming k-means
-  * decay update. Model state is O(nFeatures) on the driver; all
-  * per-row work (assembly, gradient passes, evaluation) stays
-  * distributed, so the consumer scales with executors exactly like the
-  * batch queries.
+  * `foreachBatch`, and each micro-batch refits a logistic regression
+  * over a bounded sliding window of retained batches — the windowed
+  * analogue of MLlib's streaming k-means decay (old evidence ages out
+  * of the window instead of being exponentially down-weighted). Model
+  * state is O(nFeatures) on the driver plus the bounded window; the
+  * fit runs on the driver below [[StreamingLogistic.updateOnRows]]'s
+  * row threshold and through MLlib's distributed LBFGS above it, and
+  * evaluation is always distributed column arithmetic.
   */
 class StreamingLogistic(nFeatures: Int, maxIter: Int = 25,
     regParam: Double = 0.01, windowBatches: Int = 8,

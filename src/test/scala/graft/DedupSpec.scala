@@ -113,6 +113,27 @@ class DedupSpec extends SparkSpec {
       md5Hex("one two three four five six seven eight")))
   }
 
+  test("lshAudit statuses reconcile with the two source operators") {
+    val d = graft.core.Tables(spark, SfDir, "documents")
+    val audit = Dedup.lshAudit(d)
+      .select("a_id", "b_id", "status").as[(Long, Long, String)]
+      .collect().toSeq
+    val est = Dedup.minhashLshPairs(d)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val tru = Dedup.ngramJaccardPairs(d)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    graft.core.CacheBay.drain()
+    assert(audit.map(a => (a._1, a._2)).toSet == (est ++ tru))
+    audit.foreach { case (a, b, st) =>
+      val expected =
+        if (est((a, b)) && tru((a, b))) "both"
+        else if (est((a, b))) "lsh_only" else "true_only"
+      assert(st == expected, s"pair ($a,$b): $st != $expected")
+    }
+    // at this SF the exact and approximate paths agree on the dup set
+    assert(audit.exists(_._3 == "both"))
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

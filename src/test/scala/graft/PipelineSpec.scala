@@ -141,6 +141,28 @@ class PipelineSpec extends SparkSpec {
     graft.core.CacheBay.drain()
   }
 
+  test("chunkWithOverlap: stride/overlap invariants, tokens reconcile") {
+    val d = Seq((1L, (1 to 30).map(i => s"w$i").mkString(" ")),
+      (2L, "a b c"), (3L, "!!!")) // 3 tokens; symbol-only drops out
+      .toDF("doc_id", "text")
+    val r = Pipeline.chunkWithOverlap(d, size = 16, overlap = 4)
+      .select("doc_id", "chunk_id", "start_tok", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    // doc 1: 30 tokens, stride 12 -> starts 0,12,24; lengths 16,16,6
+    assert(r.filter(_._1 == 1L).map(t => (t._3, t._4)) ==
+      Seq((0L, 16L), (12L, 16L), (24L, 6L)))
+    // doc 2: one short chunk; doc 3: no tokens -> no chunks
+    assert(r.filter(_._1 == 2L) == Seq((2L, 0L, 0L, 3L)))
+    assert(!r.exists(_._1 == 3L))
+    // consecutive chunks overlap by exactly `overlap` while full
+    r.groupBy(_._1).values.foreach { cs =>
+      cs.sortBy(_._2).sliding(2).foreach {
+        case Seq(a, b) => assert(b._3 - a._3 == 12L)
+        case _ =>
+      }
+    }
+  }
+
   test("packReport tokens reconcile with per-doc token counts") {
     val perDoc = Pipeline.packSequences(docs)
       .agg(sum($"n_tokens")).as[Long].head()

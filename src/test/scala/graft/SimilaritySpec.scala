@@ -124,4 +124,21 @@ class SimilaritySpec extends SparkSpec {
       bf.get((q, n)).foreach(c2 => assert(math.abs(c - c2) < 1e-9))
     }
   }
+
+  test("centroidOutliers flags the planted far vector only") {
+    import spark.implicits._
+    // label 0: four vectors tight around (1, 0) plus one at (-40, 0);
+    // label 1: two identical vectors (zero distances, outlier-free)
+    val emb = (Seq(
+      (0L, Array(1.00f, 0f)), (1L, Array(1.01f, 0f)),
+      (2L, Array(0.99f, 0f)), (3L, Array(1.02f, 0f)),
+      (4L, Array(-40f, 0f))).map { case (i, v) => (i, v, 0) } ++
+      Seq((5L, Array(7f, 7f), 1), (6L, Array(7f, 7f), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.centroidOutliers(emb)
+      .select("vec_id", "is_outlier").as[(Long, Long)].collect().toMap
+    graft.core.CacheBay.drain()
+    assert(r(4L) == 1L, "planted outlier not flagged")
+    assert(Seq(0L, 1L, 2L, 3L, 5L, 6L).forall(r(_) == 0L))
+  }
 }
