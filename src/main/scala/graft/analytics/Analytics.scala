@@ -297,4 +297,44 @@ object Analytics {
       .select(col("o_custkey"), col("attr"), col("valid_from"),
         col("valid_to"), col("n_months"))
   }
+
+  /** Ordered-sequence funnel: per user, the earliest strictly-
+    * increasing chain of stage timestamps (first 'view', first 'click'
+    * AFTER it, first 'purchase' after that) and the stage count
+    * reached — the sequential-pattern query event analytics runs that
+    * no single groupBy expresses. One pass per stage: filter the stage
+    * type, join the previous stage's time on user_id, min-aggregate —
+    * every shuffle is on the user key, no window over raw events and
+    * nothing quadratic. Times emitted as epoch MICROS longs (−1 =
+    * stage not reached): integer-exact cross-engine, immune to
+    * sub-second normalization. */
+  def funnelStages(events: DataFrame,
+      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val base = graft.core.CacheBay.register(
+      events.repartition(col("user_id"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us")))
+    val users = base.select(col("user_id")).distinct()
+    val withTs = stages.zipWithIndex.foldLeft(
+      users.withColumn("t0", lit(Long.MinValue))) { case (acc, (st, i)) =>
+      val prev = s"t$i"
+      val cur = s"t${i + 1}"
+      val m = base.filter(col("event_type") === st)
+        .join(acc.select(col("user_id"), col(prev)), Seq("user_id"))
+        .filter(col("ts_us") > col(prev))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as(cur))
+      acc.join(m, Seq("user_id"), "left")
+        // carry a non-null boundary for the next stage's filter: users
+        // who missed this stage can't reach later ones
+        .withColumn(cur, coalesce(col(cur), lit(Long.MaxValue)))
+    }
+    val tCols = stages.indices.map(i => col(s"t${i + 1}"))
+    val stageN = tCols.map(t => when(t =!= Long.MaxValue, 1L).otherwise(0L))
+      .reduce(_ + _)
+    withTs.select(col("user_id") +:
+      stages.indices.map(i =>
+        when(tCols(i) === Long.MaxValue, lit(-1L)).otherwise(tCols(i))
+          .as(s"t_${stages(i)}_us")) :+
+      stageN.as("funnel_stage"): _*)
+  }
 }

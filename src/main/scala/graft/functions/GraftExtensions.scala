@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** `SparkSessionExtensions` entry point (SURVEY §7.3): registers the
+  * library's custom Catalyst expressions as SQL functions, so a pure-SQL
+  * consumer gets the same codegen'd hot paths the DataFrame API uses:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.functions.GraftExtensions ...
+  * SELECT doc_id FROM emb WHERE graft_dot(a, b) > 0.9
+  * }}}
+  *
+  * Only `injectFunction` is needed — every graft operator is otherwise a
+  * stock Catalyst plan, which is the point: the optimizer surface stays
+  * Spark's own (predicate pushdown, AQE, codegen all apply unmodified).
+  * Integer arguments to the dedup signatures arrive as SQL literals and
+  * are folded at registration (non-literal counts are rejected at
+  * analysis time, not runtime).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "misc_funcs", "", "", "internal")
+
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: count argument must be an INT literal, got $other")
+  }
+
+  private def fns: Seq[(String, String, FunctionBuilder)] = Seq(
+    ("graft_dot", "graft_dot(a, b) - dot product of two double arrays",
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    ("graft_l2norm", "graft_l2norm(a) - L2 norm of a double array",
+      (args: Seq[Expression]) => L2Norm(args(0))),
+    ("graft_minhash_sig",
+      "graft_minhash_sig(bases, k) - k-permutation MinHash signature",
+      (args: Seq[Expression]) =>
+        MinHashSig(args(0), intLit(args(1), "graft_minhash_sig"))),
+    ("graft_simhash_bits",
+      "graft_simhash_bits(digests, bits) - SimHash bit string",
+      (args: Seq[Expression]) =>
+        SimHashBits(args(0), intLit(args(1), "graft_simhash_bits"))))
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    fns.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
+}

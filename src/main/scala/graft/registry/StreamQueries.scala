@@ -91,6 +91,9 @@ object StreamQueries {
 
     // Exact interpolated percentiles per event type (Spark percentile
     // == DuckDB quantile_cont: both linear-interpolate at rank (n-1)p)
+    "events_funnel" -> ((s, d) =>
+      graft.analytics.Analytics.funnelStages(Tables(s, d, "events"))),
+
     "events_percentiles" -> ((s, d) =>
       Tables(s, d, "events").groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -227,6 +230,34 @@ object StreamQueries {
         |FROM events e JOIN m
         |  ON e.user_id = m.user_id
         | AND e.ts >= m.m_start AND e.ts <= m.m_end""".stripMargin,
+
+    // earliest strictly-increasing view->click->purchase chain per
+    // user; NULL comparisons block later stages exactly like the
+    // engine's MaxValue sentinel; epoch MICROS (DuckDB truncates
+    // ns->us exactly like Spark's div 1000 — verified on the 999ns
+    // case), -1 = not reached
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+        |           FROM events),
+        |s1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(ts_us) AS t2 FROM e
+        |       JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND ts_us > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(ts_us) AS t3 FROM e
+        |       JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM e)
+        |SELECT u.user_id,
+        |  CAST(COALESCE(t1, -1) AS BIGINT) AS t_view_us,
+        |  CAST(COALESCE(t2, -1) AS BIGINT) AS t_click_us,
+        |  CAST(COALESCE(t3, -1) AS BIGINT) AS t_purchase_us,
+        |  CAST((CASE WHEN t1 IS NULL THEN 0 ELSE 1 END)
+        |     + (CASE WHEN t2 IS NULL THEN 0 ELSE 1 END)
+        |     + (CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS funnel_stage
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |       LEFT JOIN s3 USING (user_id)""".stripMargin,
 
     "events_percentiles" ->
       """SELECT event_type, COUNT(*) AS n,

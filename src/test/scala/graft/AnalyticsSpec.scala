@@ -74,4 +74,28 @@ class AnalyticsSpec extends SparkSpec {
       .filter(abs(col("mx") - round(col("tot"), 2)) > 0.05)
     assert(byBu.count() == 0)
   }
+
+  test("funnelStages: strict event-time order, stages block downstream") {
+    import java.sql.Timestamp
+    def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    def us(s: Int) = ts(s).getTime * 1000L
+    val ev = Seq(
+      // user 1: full ordered chain
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)),
+      // user 2: click BEFORE view never counts; the later click does
+      (2L, "click", ts(1)), (2L, "view", ts(2)), (2L, "click", ts(5)),
+      // user 3: purchase before click -> stage stops at 2
+      (3L, "view", ts(1)), (3L, "purchase", ts(2)), (3L, "click", ts(3)),
+      // user 4: no view at all -> stage 0 despite click+purchase
+      (4L, "click", ts(1)), (4L, "purchase", ts(2)))
+      .toDF("user_id", "event_type", "ts")
+    val r = Analytics.funnelStages(ev)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4, t._5)).toMap
+    graft.core.CacheBay.drain()
+    assert(r(1L) == ((us(1), us(2), us(3), 3L)))
+    assert(r(2L) == ((us(2), us(5), -1L, 2L)))
+    assert(r(3L) == ((us(1), us(3), -1L, 2L)))
+    assert(r(4L) == ((-1L, -1L, -1L, 0L)))
+  }
 }
