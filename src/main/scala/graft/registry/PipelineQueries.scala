@@ -32,7 +32,9 @@ object PipelineQueries {
       Pipeline.temperatureSample(docs(s, d))),
     "pipe_curated_corpus" -> ((s, d) => Pipeline.curatedCorpus(docs(s, d))),
     "pipe_length_deciles" -> ((s, d) => Pipeline.lengthDeciles(docs(s, d))),
-    "pipe_chunk_overlap" -> ((s, d) => Pipeline.chunkWithOverlap(docs(s, d))))
+    "pipe_chunk_overlap" -> ((s, d) => Pipeline.chunkWithOverlap(docs(s, d))),
+    "pipe_token_budget" -> ((s, d) =>
+      Pipeline.tokenBudgetSelect(docs(s, d))))
 
   // ---- DuckDB oracle SQL, generated from the same constants ----
 
@@ -121,6 +123,58 @@ object PipelineQueries {
          |  CAST(len(c) AS BIGINT) AS n_tokens,
          |  md5(array_to_string(c, ' ')) AS chunk_fp
          |FROM ch""".stripMargin
+    },
+
+    // greedy quality-ranked prefix under a per-language token budget;
+    // quality is the INTEGER-ppm mirror of the float qualityScore (//
+    // on non-negative longs == Spark div) so the ranking — and hence
+    // the greedy cut — is bit-identical cross-engine
+    "pipe_token_budget" -> {
+      val markers = graft.text.TextAnalysis.LangMarkers.head._2
+        .map(m => s"'$m'").mkString("[", ", ", "]")
+      s"""WITH raw AS (
+         |  SELECT lang, doc_id,
+         |    CAST(length(text) AS BIGINT) AS len_chars,
+         |    CAST(len(list_filter(
+         |      string_split_regex(trim(lower(text)), '\\s+'),
+         |      t -> list_contains($markers, t))) AS BIGINT) AS stop_hits,
+         |    CASE WHEN trim(text) = '' THEN 0
+         |         ELSE CAST(len(string_split_regex(trim(lower(text)),
+         |           '\\s+')) AS BIGINT) END AS n_ws,
+         |    CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+         |      AS BIGINT) AS n_punct,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+         |      AS n_nonspace,
+         |    CASE WHEN trim(text) = '' THEN 0
+         |         ELSE CAST(len(string_split_regex(trim(text), '\\s+'))
+         |           AS BIGINT) END AS n_tokens
+         |  FROM documents),
+         |q AS (
+         |  SELECT lang, doc_id, n_tokens,
+         |    least(len_chars * 2000, 1000000) AS len_s,
+         |    CASE WHEN n_ws = 0 THEN 0
+         |         ELSE least((stop_hits * 4000000) // n_ws, 1000000)
+         |    END AS stop_s,
+         |    CASE WHEN n_nonspace = 0 THEN 1000000
+         |         ELSE greatest(1000000 - (n_punct * 5000000) // n_nonspace, 0)
+         |    END AS punct_s
+         |  FROM raw),
+         |sc AS (
+         |  SELECT lang, doc_id, n_tokens,
+         |    CAST((len_s * 4 + stop_s * 3 + punct_s * 3) // 10 AS BIGINT)
+         |      AS quality_e6
+         |  FROM q),
+         |c AS (
+         |  SELECT lang, doc_id, quality_e6, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY quality_e6 DESC, doc_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cum_tokens
+         |  FROM sc)
+         |SELECT lang, doc_id, quality_e6,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum_tokens <= $LangTokenBudget""".stripMargin
     },
 
     // global rank by (n_chars, doc_id) decomposed the same way the

@@ -70,6 +70,19 @@ object ReconQueries {
         .filter(graft.functions.MonthRegex.lastMonthsFilter(
           col("attribute"), java.time.LocalDate.parse(Star.AsOf)))),
 
+    // Schema-drift QC: the pre-batch check that the upstream feed's
+    // schema still matches the last snapshot — simulated evolution
+    // (drop l_tax, widen l_linenumber, add source_tag); the oracle
+    // recomputes the drift from DuckDB's own DESCRIBE of the same
+    // evolution, so the canonical type-name mapping is cross-checked
+    "qc_schema_drift" -> ((s, d) => {
+      val before = Tables(s, d, "lineitem")
+      val after = before.drop("l_tax")
+        .withColumn("l_linenumber", col("l_linenumber").cast("long"))
+        .withColumn("source_tag", lit("curated"))
+      Recon.schemaDrift(before, after)
+    }),
+
     // F3/F4/F15: keep-digits scrub, thousands-comma numeric parse
     // (NULL and 0-fill variants), M-yyyy month parse
     "f_cleaning_numeric" -> ((s, d) =>
@@ -245,6 +258,21 @@ object ReconQueries {
          |  FROM orders
          |) WHERE regexp_matches(attribute, '$pat')""".stripMargin
     },
+
+    "qc_schema_drift" ->
+      """WITH b AS (SELECT column_name, column_type
+        |           FROM (DESCRIBE SELECT * FROM lineitem)),
+        |a AS (SELECT column_name, column_type FROM (
+        |  DESCRIBE SELECT * EXCLUDE (l_tax)
+        |             REPLACE (CAST(l_linenumber AS BIGINT) AS l_linenumber),
+        |           CAST('curated' AS VARCHAR) AS source_tag FROM lineitem))
+        |SELECT COALESCE(b.column_name, a.column_name) AS column_name,
+        |  CASE WHEN b.column_name IS NULL THEN 'added'
+        |       WHEN a.column_name IS NULL THEN 'dropped'
+        |       WHEN b.column_type <> a.column_type THEN 'type_changed'
+        |       ELSE 'unchanged' END AS status,
+        |  b.column_type AS type_before, a.column_type AS type_after
+        |FROM b FULL OUTER JOIN a ON b.column_name = a.column_name""".stripMargin,
 
     "f_cleaning_numeric" ->
       """WITH src AS (

@@ -89,6 +89,29 @@ object StreamQueries {
           col("m_event_id"))
     }),
 
+    // The SAME range join written NAIVELY (raw theta condition, the
+    // shape Spark plans as a nested loop) — the RangeJoinRewrite
+    // optimizer rule turns it into the bucketed equi-join; the oracle
+    // proves the rewrite result-identical
+    "events_range_join_auto" -> ((s, d) => {
+      if (!s.experimental.extraOptimizations
+          .contains(graft.plans.RangeJoinRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
+      val ev = Tables(s, d, "events")
+      val m = ev.filter(col("event_id") % 20 === 0)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("m_event_id"))
+        .select(col("user_id").as("m_user_id"), col("ts").as("m_start"),
+          (col("ts") + expr("interval 2 days")).as("m_end"),
+          col("m_event_id"))
+      ev.select(col("event_id"), col("user_id"), col("ts"))
+        .join(m, col("user_id") === col("m_user_id") &&
+          col("ts") >= col("m_start") && col("ts") <= col("m_end"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("m_event_id"))
+    }),
+
     // Exact interpolated percentiles per event type (Spark percentile
     // == DuckDB quantile_cont: both linear-interpolate at rank (n-1)p)
     "events_funnel" -> ((s, d) =>
@@ -100,6 +123,11 @@ object StreamQueries {
           round(expr("percentile(value, 0.5)"), 6).as("p50"),
           round(expr("percentile(value, 0.9)"), 6).as("p90"),
           round(expr("percentile(value, 0.99)"), 6).as("p99"))),
+
+    // trailing 7-day per-user activity as of each event (RANGE frame
+    // over event time, exact cents)
+    "events_rolling_7d" -> ((s, d) =>
+      graft.analytics.Analytics.rollingWindow(Tables(s, d, "events"))),
 
     // Batch mirror of the flatMapGroupsWithState spike detector
     // (graft.streaming.Stateful): running mean over each user's PRIOR
@@ -231,6 +259,19 @@ object StreamQueries {
         |  ON e.user_id = m.user_id
         | AND e.ts >= m.m_start AND e.ts <= m.m_end""".stripMargin,
 
+    // identical semantics to events_range_join — the engine side is
+    // the NAIVE theta join rewritten by the optimizer rule, so equality
+    // here proves the rewrite preserves results
+    "events_range_join_auto" ->
+      """WITH m AS (
+        |  SELECT user_id, ts AS m_start, ts + INTERVAL 2 DAY AS m_end,
+        |         MAX(event_id) AS m_event_id
+        |  FROM events WHERE event_id % 20 = 0 GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts, m.m_event_id
+        |FROM events e JOIN m
+        |  ON e.user_id = m.user_id
+        | AND e.ts >= m.m_start AND e.ts <= m.m_end""".stripMargin,
+
     // earliest strictly-increasing view->click->purchase chain per
     // user; NULL comparisons block later stages exactly like the
     // engine's MaxValue sentinel; epoch MICROS (DuckDB truncates
@@ -265,6 +306,17 @@ object StreamQueries {
         |       ROUND(quantile_cont(value, 0.9), 6) AS p90,
         |       ROUND(quantile_cont(value, 0.99), 6) AS p99
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // RANGE frame over epoch-micros: ties share a frame, so per-row
+    // values depend only on (user_id, ts) — deterministic both engines
+    "events_rolling_7d" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+        |    AS cents_win
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // pure-integer mean (micro-units): values are non-negative so
     // DuckDB's floor-// equals Spark's truncating div

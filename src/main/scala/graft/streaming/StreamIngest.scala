@@ -95,6 +95,34 @@ object StreamIngest {
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Backfill/catch-up drain: process every payload file currently in
+    * `srcDir` through the SAME parse-transform as the live socket feed,
+    * then STOP — `Trigger.AvailableNow`. This is the missing half of a
+    * production ingest: the socket handles the live stream, this drains
+    * the backlog (bootstrap, downtime catch-up, reprocessing) with the
+    * identical code path and exactly-once file tracking — a second
+    * drain against the same checkpoint processes ONLY files that
+    * arrived since the first, never duplicating rows.
+    *
+    * Scale: AvailableNow splits the backlog into rate-limited
+    * micro-batches (`maxFilesPerTrigger`) instead of one giant batch,
+    * so a month of backlog drains under the same memory envelope as
+    * the live feed. */
+  def drainAvailableNow(spark: SparkSession, srcDir: String,
+      inner: StructType, outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 1000): Unit = {
+    val raw = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(srcDir)
+    val q = parsePayload(raw, inner).writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** S17: the producer's raw-line variant (`stream.py:204-226`): each
     * batch is a JSON ARRAY of raw text lines → one row per line. */
   def parseLineArray(raw: DataFrame): DataFrame =

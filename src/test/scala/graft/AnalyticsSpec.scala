@@ -75,6 +75,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(byBu.count() == 0)
   }
 
+  test("rollingWindow: inclusive 7-day range frame, ties share a frame") {
+    import java.sql.Timestamp
+    def day(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val ev = Seq(
+      (1L, 7L, day(1), 1.0),   // frame start
+      (2L, 7L, day(8), 2.0),   // exactly 7 days later: includes #1
+      (3L, 7L, day(9), 4.0),   // 8 days after #1: excludes it
+      (4L, 7L, day(9), 8.0),   // tie with #3: same frame, both included
+      (5L, 9L, day(8), 16.0))  // other user: isolated
+      .toDF("event_id", "user_id", "ts", "value")
+    val r = Analytics.rollingWindow(ev)
+      .select("event_id", "n_win", "cents_win")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r(1L) == ((1L, 100L)))
+    assert(r(2L) == ((2L, 300L)))      // 1.0 + 2.0
+    assert(r(3L) == ((3L, 1400L)))     // 2.0 + 4.0 + 8.0 (tie shares)
+    assert(r(4L) == ((3L, 1400L)))
+    assert(r(5L) == ((1L, 1600L)))
+  }
+
   test("funnelStages: strict event-time order, stages block downstream") {
     import java.sql.Timestamp
     def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")

@@ -170,4 +170,28 @@ class PipelineSpec extends SparkSpec {
       .agg(sum($"pack_tokens")).as[Long].head()
     assert(perDoc == perPack)
   }
+
+  test("tokenBudgetSelect: greedy prefix by (quality desc, id), " +
+    "budget never exceeded, no back-fill") {
+    val r = Pipeline.tokenBudgetSelect(docs, budgetPerLang = 200L)
+    graft.core.CacheBay.drain()
+    // budget holds per language
+    val over = r.groupBy($"lang").agg(max($"cum_tokens").as("m"))
+      .filter($"m" > 200L)
+    assert(over.count() == 0)
+    // kept set = exact greedy prefix recomputed via one brute window
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+      .orderBy($"quality_e6".desc, $"doc_id".asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val brute = Pipeline.tokenBudgetSelect(docs, budgetPerLang = Long.MaxValue)
+      .withColumn("cum2", sum($"n_tokens").over(w))
+      .filter($"cum2" <= 200L)
+      .select($"lang", $"doc_id")
+    graft.core.CacheBay.drain()
+    val got = r.select($"lang", $"doc_id")
+    assert(got.exceptAll(brute).count() == 0 &&
+      brute.exceptAll(got).count() == 0)
+    assert(r.count() > 0)
+  }
 }

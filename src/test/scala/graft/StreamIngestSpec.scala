@@ -128,6 +128,41 @@ class StreamIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("AvailableNow drain: processes backlog, stops, and a second " +
+    "drain picks up only new files") {
+    val root = java.nio.file.Files.createTempDirectory("drain_").toFile
+    val src = new java.io.File(root, "src"); src.mkdirs()
+    val out = new java.io.File(root, "out").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    def writeFile(name: String, rows: (Int, Double)*): Unit = {
+      val body = rows.map { case (i, v) =>
+        s""""$i": {"feature0": $v, "feature1": 0.0, "label": 1}"""
+      }.mkString("{", ", ", "}")
+      java.nio.file.Files.write(new java.io.File(src, name).toPath,
+        body.getBytes("UTF-8"))
+    }
+    try {
+      writeFile("b0.json", 0 -> 1.0, 1 -> 2.0)
+      StreamIngest.drainAvailableNow(spark, src.getAbsolutePath, inner,
+        out, ckpt)
+      val first = spark.read.parquet(out)
+        .select("row_index", "feature0").as[(Long, Double)]
+        .collect().sorted.toSeq
+      assert(first == Seq((0L, 1.0), (1L, 2.0)))
+      // backlog drained -> the query terminated (we got here) and a
+      // second drain with the same checkpoint reprocesses NOTHING old
+      writeFile("b1.json", 0 -> 3.0)
+      StreamIngest.drainAvailableNow(spark, src.getAbsolutePath, inner,
+        out, ckpt)
+      val second = spark.read.parquet(out)
+        .select("row_index", "feature0").as[(Long, Double)]
+        .collect().sorted.toSeq
+      assert(second == Seq((0L, 1.0), (0L, 3.0), (1L, 2.0)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(root)
+    }
+  }
+
   test("payload round trip over events equals the direct projection") {
     val rt = StreamIngest.payloadRoundTrip(spark, SfDir)
     val direct = graft.core.Tables(spark, SfDir, "events")
