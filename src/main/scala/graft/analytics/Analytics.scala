@@ -325,6 +325,49 @@ object Analytics {
         col("n_win"), col("cents_win"))
   }
 
+  /** Exact per-group AUC (ROC area) via the Mann–Whitney rank
+    * statistic — the model-eval metric a training pipeline computes at
+    * corpus scale, without a global sort and without floating point:
+    *
+    *   AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻),  R⁺ = Σ midrank(positives)
+    *
+    * Midranks decompose over the per-(group, score) DISTINCT-VALUE
+    * aggregate (2·midrank = 2·|rows below| + c + 1, integers
+    * throughout), so the only window runs over the value-distribution
+    * frame — bounded by the score domain, not the row count — exactly
+    * the X44 decomposition. Ties are handled exactly (midrank), which
+    * naive "count concordant pairs" samplers get wrong.
+    *
+    * Emitted as integer `auc_e6`; −1 flags a degenerate group (single
+    * class). Exact-integer headroom: r2·10⁶ must fit a long, which
+    * holds to ~3·10⁶ rows per group — beyond that, stratify groups
+    * finer (the statistic is per-group by construction) or drop the e6
+    * scaling to widen headroom; the decomposition itself is exact at
+    * any scale.
+    *
+    * Input contract: `grp` (group key), `cents` (LONG score — quantize
+    * doubles first, e.g. `round(value·100)`), `label` (0/1 LONG). */
+  def aucByGroup(scored: DataFrame): DataFrame = {
+    val byScore = scored.groupBy(col("grp"), col("cents"))
+      .agg(count(lit(1)).as("c"), sum(col("label")).as("pos_c"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("below", coalesce(sum(col("c")).over(w), lit(0L)))
+      .withColumn("r2c", col("pos_c") * (col("below") * 2 + col("c") + 1))
+      .groupBy(col("grp"))
+      .agg(sum(col("c")).cast("long").as("n"),
+        sum(col("pos_c")).cast("long").as("n_pos"),
+        sum(col("r2c")).cast("long").as("r2"))
+      .select(col("grp"), col("n"), col("n_pos"),
+        (col("n") - col("n_pos")).as("n_neg"),
+        when(col("n_pos") === 0 || col("n_pos") === col("n"), lit(-1L))
+          .otherwise(expr(
+            "((r2 - n_pos * (n_pos + 1)) * 1000000) div " +
+              "(2 * n_pos * (n - n_pos))"))
+          .as("auc_e6"))
+  }
+
   /** Ordered-sequence funnel: per user, the earliest strictly-
     * increasing chain of stage timestamps (first 'view', first 'click'
     * AFTER it, first 'purchase' after that) and the stage count

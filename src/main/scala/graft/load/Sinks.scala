@@ -40,6 +40,22 @@ object Sinks {
       .write.partitionBy(partCols: _*)
       .mode(SaveMode.Overwrite).parquet(path)
 
+  /** Single-pass write metrics: attach `Observation` counters to the
+    * frame and write it — the QC numbers (row count, sums, null
+    * counts) come out of the SAME job that wrote the data, not a
+    * second scan. At 100 TB the difference between "write, then
+    * re-read to count" and this is an entire extra pass over the
+    * table; `observe` aggregates per-task and merges on the driver at
+    * O(metrics) cost. Returns the metric row as a name→value map. */
+  def writeParquetObserved(df: DataFrame, path: String,
+      metrics: Seq[org.apache.spark.sql.Column]): Map[String, Any] = {
+    require(metrics.nonEmpty, "writeParquetObserved: no metrics given")
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, metrics.head, metrics.tail: _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    obs.get
+  }
+
   /** S15: truncate — keep the table's schema, drop every row
     * (reference `mySQLClass.py:107-115`; its bug — truncating the
     * literal name "table_name" — is deliberately not reproduced,

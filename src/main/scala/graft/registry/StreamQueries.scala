@@ -129,6 +129,33 @@ object StreamQueries {
     "events_rolling_7d" -> ((s, d) =>
       graft.analytics.Analytics.rollingWindow(Tables(s, d, "events"))),
 
+    // Per-group winsorization: clamp value to the group's exact
+    // [p05, p95] (outlier clipping before feature scaling). Bounds are
+    // one tiny per-group aggregate broadcast back — the fact side
+    // streams map-only; clipping itself adds NO shuffle
+    "events_winsorize" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      val bounds = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.05)").as("lo"),
+          expr("percentile(value, 0.95)").as("hi"))
+      ev.join(broadcast(bounds), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(least(greatest(col("value"), col("lo")), col("hi")), 6)
+            .as("clipped"),
+          when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+            .otherwise(0L).as("is_clipped"))
+    }),
+
+    // Exact per-day AUC of "value predicts purchase" — the rank-form
+    // eval metric, integer-exact (see Analytics.aucByGroup)
+    "events_auc" -> ((s, d) =>
+      graft.analytics.Analytics.aucByGroup(
+        Tables(s, d, "events").select(
+          date_format(col("ts"), "yyyy-MM-dd").as("grp"),
+          round(col("value") * 100).cast("long").as("cents"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("label")))),
+
     // Batch mirror of the flatMapGroupsWithState spike detector
     // (graft.streaming.Stateful): running mean over each user's PRIOR
     // events via a preceding-rows window — the oracle-checked proof of
@@ -307,6 +334,21 @@ object StreamQueries {
         |       ROUND(quantile_cont(value, 0.99), 6) AS p99
         |FROM events GROUP BY event_type""".stripMargin,
 
+    // Spark percentile == DuckDB quantile_cont (same (n-1)p linear
+    // interpolation); raw values pass through exact, clamped values
+    // round(6) both sides
+    "events_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         quantile_cont(value, 0.05) AS lo,
+        |         quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type, value,
+        |  ROUND(least(greatest(value, lo), hi), 6) AS clipped,
+        |  CAST(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_clipped
+        |FROM events e JOIN b ON e.event_type = b.event_type""".stripMargin,
+
     // RANGE frame over epoch-micros: ties share a frame, so per-row
     // values depend only on (user_id, ts) — deterministic both engines
     "events_rolling_7d" ->
@@ -317,6 +359,33 @@ object StreamQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // Mann–Whitney midrank AUC decomposed over the distinct-score
+    // frame; all-integer (values non-negative so // == div)
+    "events_auc" ->
+      """WITH t AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS grp,
+        |         CAST(round(value * 100) AS BIGINT) AS cents,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+        |           AS label
+        |  FROM events),
+        |g AS (SELECT grp, cents, COUNT(*) AS c,
+        |             CAST(SUM(label) AS BIGINT) AS pos_c
+        |      FROM t GROUP BY 1, 2),
+        |m AS (SELECT grp, cents, c, pos_c,
+        |        COALESCE(SUM(c) OVER (PARTITION BY grp ORDER BY cents
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS below
+        |      FROM g),
+        |a AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n,
+        |             CAST(SUM(pos_c) AS BIGINT) AS n_pos,
+        |             CAST(SUM(pos_c * (below * 2 + c + 1)) AS BIGINT) AS r2
+        |      FROM m GROUP BY 1)
+        |SELECT grp, n, n_pos, n - n_pos AS n_neg,
+        |  CAST(CASE WHEN n_pos = 0 OR n_pos = n THEN -1
+        |       ELSE ((r2 - n_pos * (n_pos + 1)) * 1000000)
+        |            // (2 * n_pos * (n - n_pos)) END AS BIGINT) AS auc_e6
+        |FROM a""".stripMargin,
 
     // pure-integer mean (micro-units): values are non-negative so
     // DuckDB's floor-// equals Spark's truncating div

@@ -75,6 +75,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(byBu.count() == 0)
   }
 
+  test("aucByGroup: midrank tie handling, perfect/inverse/degenerate") {
+    // hand-computed: neg {1, 2}, pos {2, 3}; midranks 1, 2.5, 2.5, 4
+    // R+ = 2.5 + 4 = 6.5 -> AUC = (6.5 - 3) / 4 = 0.875
+    val tied = Seq(("g", 1L, 0L), ("g", 2L, 0L), ("g", 2L, 1L),
+      ("g", 3L, 1L),
+      // perfect separation
+      ("p", 1L, 0L), ("p", 2L, 1L),
+      // inverse separation
+      ("i", 2L, 0L), ("i", 1L, 1L),
+      // degenerate: single class
+      ("d", 1L, 1L), ("d", 2L, 1L))
+      .toDF("grp", "cents", "label")
+    val r = Analytics.aucByGroup(tied)
+      .select("grp", "auc_e6").as[(String, Long)].collect().toMap
+    assert(r("g") == 875000L)
+    assert(r("p") == 1000000L)
+    assert(r("i") == 0L)
+    assert(r("d") == -1L)
+  }
+
   test("rollingWindow: inclusive 7-day range frame, ties share a frame") {
     import java.sql.Timestamp
     def day(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")

@@ -144,6 +144,24 @@ class SinksSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("writeParquetObserved: metrics come from the write pass itself") {
+    val dir = java.nio.file.Files.createTempDirectory("obs_").toFile
+    val out = new java.io.File(dir, "t").getAbsolutePath
+    try {
+      val df = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))
+        .toDF("id", "v")
+      val m = graft.load.Sinks.writeParquetObserved(df, out, Seq(
+        count(lit(1)).as("n_rows"),
+        sum(round($"v" * 100).cast("long")).as("cents"),
+        count(when($"v".isNull, 1)).as("n_null")))
+      assert(m("n_rows") == 3L)
+      assert(m("cents") == 6000L)
+      assert(m("n_null") == 0L)
+      // and the data actually landed
+      assert(spark.read.parquet(out).count() == 3L)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("S17 line-array payload parses to one row per line") {
     val df = Seq("""["line one", "line two", "line three"]""").toDF("value")
     val rows = graft.streaming.StreamIngest.parseLineArray(df)
