@@ -368,6 +368,40 @@ object Analytics {
           .as("auc_e6"))
   }
 
+  /** Score-calibration curve (reliability diagram): equi-depth score
+    * deciles × observed positive rate — the companion diagnostic to
+    * [[aucByGroup]] (AUC says the ranking works; calibration says the
+    * scores mean what they claim). Deciles come from the X44
+    * decomposition (global rank = broadcast distinct-value offset +
+    * intra-value window on the row id), so there is NO global sort of
+    * the fact table; positive rates are integer ppm.
+    *
+    * Input contract: `id` (unique row id — the tile of a tied score
+    * row is tie-broken by id, exactly as the oracle does), `cents`
+    * (LONG score), `label` (0/1 LONG). */
+  def calibrationCurve(scored: DataFrame, k: Int = 10): DataFrame = {
+    val base = graft.core.CacheBay.register(
+      scored.repartition(col("id")))
+    val off = base.groupBy(col("cents")).agg(count(lit(1)).as("c"))
+      .withColumn("below", coalesce(
+        sum(col("c")).over(Window.orderBy(col("cents"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("cents"), col("below"))
+    val nd = base.agg(count(lit(1)).as("n_total"))
+    base.join(broadcast(off), Seq("cents"))
+      .withColumn("grank", (col("below") + row_number().over(
+        Window.partitionBy(col("cents")).orderBy(col("id")))).cast("long"))
+      .crossJoin(broadcast(nd))
+      .select(col("cents"), col("label"),
+        (expr(s"((grank - 1) * $k) div n_total") + 1L).as("tile"))
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("label")).cast("long").as("n_pos"),
+        min(col("cents")).as("cents_lo"),
+        max(col("cents")).as("cents_hi"))
+      .withColumn("pos_rate_e6", expr("(n_pos * 1000000) div n"))
+  }
+
   /** Ordered-sequence funnel: per user, the earliest strictly-
     * increasing chain of stage timestamps (first 'view', first 'click'
     * AFTER it, first 'purchase' after that) and the stage count

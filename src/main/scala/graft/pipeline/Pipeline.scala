@@ -352,6 +352,27 @@ object Pipeline {
         (expr(s"((global_rank - 1) * $k) div n_total") + 1L).as("tile"))
   }
 
+  val BalancedK = 50
+
+  /** Exact-k-per-group deterministic sample: rank documents within
+    * each language by their content-stable md5 hash (doc_id tiebreak)
+    * and keep the first k — the "balanced eval subset" every
+    * multilingual benchmark build needs: same k from every group,
+    * stable across re-runs and machines, no rand() anywhere.
+    *
+    * Scale: one shuffle on the group key; the per-group sort is the
+    * same cost class as any per-group top-k. For a dominant group,
+    * compose a pre-filter `hashBucketE6 < ceil(4k/|group|·10⁶)` before
+    * the window to bound the sorted set — the hash is uniform, so the
+    * survivors still contain the true first k with near-certainty. */
+  def balancedSample(docs: DataFrame, k: Int = BalancedK): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"),
+        hashBucketE6(col("doc_id")).as("h"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   val LangTokenBudget = 2000L
 
   /** Token-budget corpus selection — the mixing step that turns "all

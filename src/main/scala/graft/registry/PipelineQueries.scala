@@ -34,7 +34,9 @@ object PipelineQueries {
     "pipe_length_deciles" -> ((s, d) => Pipeline.lengthDeciles(docs(s, d))),
     "pipe_chunk_overlap" -> ((s, d) => Pipeline.chunkWithOverlap(docs(s, d))),
     "pipe_token_budget" -> ((s, d) =>
-      Pipeline.tokenBudgetSelect(docs(s, d))))
+      Pipeline.tokenBudgetSelect(docs(s, d))),
+    "pipe_balanced_sample" -> ((s, d) =>
+      Pipeline.balancedSample(docs(s, d))))
 
   // ---- DuckDB oracle SQL, generated from the same constants ----
 
@@ -124,6 +126,20 @@ object PipelineQueries {
          |  md5(array_to_string(c, ' ')) AS chunk_fp
          |FROM ch""".stripMargin
     },
+
+    // exact k per language by content-stable hash rank — deterministic
+    // balanced subset, no rand()
+    "pipe_balanced_sample" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |         ${hex8Sql("md5(CAST(doc_id AS VARCHAR))")} % 1000000 AS h
+         |  FROM documents),
+         |r AS (SELECT doc_id, lang, h,
+         |        CAST(row_number() OVER (PARTITION BY lang
+         |          ORDER BY h, doc_id) AS BIGINT) AS rk
+         |      FROM t)
+         |SELECT doc_id, lang, h, rk FROM r
+         |WHERE rk <= ${Pipeline.BalancedK}""".stripMargin,
 
     // greedy quality-ranked prefix under a per-language token budget;
     // quality is the INTEGER-ppm mirror of the float qualityScore (//

@@ -156,6 +156,17 @@ object StreamQueries {
           when(col("event_type") === "purchase", 1L).otherwise(0L)
             .as("label")))),
 
+    // Reliability diagram for the same score/label pair as events_auc:
+    // equi-depth score deciles (X44 decomposition, no global sort) ×
+    // integer-ppm positive rate
+    "events_calibration" -> ((s, d) =>
+      graft.analytics.Analytics.calibrationCurve(
+        Tables(s, d, "events").select(
+          col("event_id").as("id"),
+          round(col("value") * 100).cast("long").as("cents"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("label")))),
+
     // Batch mirror of the flatMapGroupsWithState spike detector
     // (graft.streaming.Stateful): running mean over each user's PRIOR
     // events via a preceding-rows window — the oracle-checked proof of
@@ -359,6 +370,30 @@ object StreamQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // equi-depth tile via the integer rank formula (NOT NTILE —
+    // remainder placement differs); oracle may global-sort, the
+    // engine must not
+    "events_calibration" ->
+      """WITH t AS (
+        |  SELECT event_id AS id,
+        |         CAST(round(value * 100) AS BIGINT) AS cents,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+        |           AS label
+        |  FROM events),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM t),
+        |r AS (SELECT id, cents, label,
+        |        CAST(row_number() OVER (ORDER BY cents, id) AS BIGINT)
+        |          AS grank
+        |      FROM t)
+        |SELECT ((grank - 1) * 10) // n_total + 1 AS tile,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(label) AS BIGINT) AS n_pos,
+        |  MIN(cents) AS cents_lo, MAX(cents) AS cents_hi,
+        |  (CAST(SUM(label) AS BIGINT) * 1000000) // CAST(COUNT(*) AS BIGINT)
+        |    AS pos_rate_e6
+        |FROM r CROSS JOIN n
+        |GROUP BY 1""".stripMargin,
 
     // Mann–Whitney midrank AUC decomposed over the distinct-score
     // frame; all-integer (values non-negative so // == div)

@@ -75,6 +75,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(byBu.count() == 0)
   }
 
+  test("calibrationCurve: equi-depth tiles conserve rows, rates exact") {
+    val n = 100
+    val scored = (1 to n).map(i =>
+      (i.toLong, (i % 25).toLong, if (i % 3 == 0) 1L else 0L))
+      .toDF("id", "cents", "label")
+    val r = Analytics.calibrationCurve(scored)
+    graft.core.CacheBay.drain()
+    val rows = r.orderBy("tile")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._2).sum == n)          // every row in exactly one tile
+    assert(rows.forall(t => t._2 == 10))     // 100 rows / 10 tiles exactly
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    // tiles are ordered by score: lo/hi ranges never go backwards
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => a._5 <= b._4 || a._5 == b._4 - 0; case _ => true
+    })
+    assert(rows.forall(t => t._6 >= 0 && t._6 <= 1000000 &&
+      t._6 == t._3 * 1000000 / t._2))
+  }
+
   test("aucByGroup: midrank tie handling, perfect/inverse/degenerate") {
     // hand-computed: neg {1, 2}, pos {2, 3}; midranks 1, 2.5, 2.5, 4
     // R+ = 2.5 + 4 = 6.5 -> AUC = (6.5 - 3) / 4 = 0.875

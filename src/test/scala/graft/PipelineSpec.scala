@@ -171,6 +171,19 @@ class PipelineSpec extends SparkSpec {
     assert(perDoc == perPack)
   }
 
+  test("balancedSample: exactly min(k, group size) per group, stable") {
+    val r = Pipeline.balancedSample(docs, k = 20)
+    val sizes = r.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val groups = docs.groupBy($"lang").count().as[(String, Long)]
+      .collect().toMap
+    groups.foreach { case (l, n) =>
+      assert(sizes(l) == math.min(20L, n), s"lang $l")
+    }
+    // deterministic: a second run picks the identical set
+    val again = Pipeline.balancedSample(docs, k = 20).select($"doc_id")
+    assert(r.select($"doc_id").exceptAll(again).count() == 0)
+  }
+
   test("tokenBudgetSelect: greedy prefix by (quality desc, id), " +
     "budget never exceeded, no back-fill") {
     val r = Pipeline.tokenBudgetSelect(docs, budgetPerLang = 200L)

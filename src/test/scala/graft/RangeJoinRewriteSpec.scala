@@ -109,6 +109,53 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("fires with reversed operands and the points side on the right") {
+    val expected = naive(points, intervals)
+      .select("event_id", "m_event_id").as[(Long, Long)]
+      .collect().sorted.toSeq
+    withRule {
+      // m_start <= ts AND m_end >= ts, intervals JOIN points
+      val df = intervals.join(points,
+        col("m_user_id") === col("user_id") &&
+          col("m_start") <= col("ts") && col("m_end") >= col("ts"))
+      val plan = planString(df)
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"nested loop survived the reversed form:\n$plan")
+      val got = df.select("event_id", "m_event_id").as[(Long, Long)]
+        .collect().sorted.toSeq
+      assert(got == expected)
+    }
+  }
+
+  test("rule injected via spark.sql.extensions fires in SQL") {
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master(spark.sparkContext.master)
+      .withExtensions(new graft.functions.GraftExtensions)
+      .create()
+    try {
+      // rebuild the inputs as views owned by the new session
+      import scala.jdk.CollectionConverters._
+      s2.createDataFrame(points.collect().toList.asJava, points.schema)
+        .createOrReplaceTempView("rj_points")
+      s2.createDataFrame(intervals.collect().toList.asJava, intervals.schema)
+        .createOrReplaceTempView("rj_intervals")
+      val df = s2.sql(
+        """SELECT event_id, m_event_id FROM rj_points p JOIN rj_intervals i
+          |ON p.user_id = i.m_user_id
+          |AND p.ts BETWEEN i.m_start AND i.m_end""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop"), s"extension rule not applied:\n$plan")
+      assert(df.count() == 4)
+    } finally {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("an interval spanning too many buckets raises, not OOMs") {
     withRule {
       spark.conf.set(RangeJoinRewrite.MaxBucketsKey, "10")
