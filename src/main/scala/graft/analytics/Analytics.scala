@@ -368,6 +368,32 @@ object Analytics {
           .as("auc_e6"))
   }
 
+  /** Per-key mergeable rollup: count + exact-cents sum. The measure
+    * set is deliberately ALGEBRAIC (count/sum merge by addition) so
+    * partial rollups combine exactly — the same property map-side
+    * partial aggregation exploits within a job, lifted to CROSS-RUN
+    * incremental maintenance. */
+  def eventRollup(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(round(col("value") * 100).cast("long")).cast("long")
+          .as("cents"))
+
+  /** Incremental rollup maintenance: merge a STORED rollup with the
+    * rollup of a new data slice — the update path that keeps a 100 TB
+    * running aggregate current without rescanning history. Each
+    * period merges yesterday's rollup with today's partition: cost =
+    * |keys| + |new slice|, never |history|. The registry query proves
+    * the invariant that matters: split-rollup-then-merge is
+    * bit-identical to recomputing over everything (its oracle IS the
+    * full recompute). */
+  def mergeRollups(stored: DataFrame, delta: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stored.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).cast("long").as("n"),
+        sum(col("cents")).cast("long").as("cents"))
+
   /** Score-calibration curve (reliability diagram): equi-depth score
     * deciles × observed positive rate — the companion diagnostic to
     * [[aucByGroup]] (AUC says the ranking works; calibration says the

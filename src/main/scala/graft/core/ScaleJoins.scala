@@ -47,4 +47,25 @@ object ScaleJoins {
       explode(sequence(lit(0L), lit(salts - 1L))))
     sl.join(sr, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Join-key skew profile: the top-k hottest keys with their row
+    * share in integer ppm — the diagnostic that DECIDES between the
+    * plain join, AQE skew split, and [[saltedJoin]] (a key holding >
+    * a few percent of a 100 TB fact means one reduce task owns TBs).
+    * One key-aggregate shuffle; the global top-k goes through
+    * `orderBy.limit` (planned as TakeOrdered: per-partition top-k +
+    * driver merge of k·partitions rows, never a full sort) and the
+    * rank window runs over exactly k rows — same shape as
+    * [[graft.text.CorpusStats.vocabTopK]]. */
+  def keySkewProfile(df: DataFrame, key: String, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+    val total = df.agg(count(lit(1)).as("n_rows"))
+    counts.orderBy(col("c").desc, col(key)).limit(topK)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("c").desc, col(key))).cast("long"))
+      .crossJoin(broadcast(total))
+      .select(col("rk"), col(key), col("c"),
+        expr("(c * 1000000) div n_rows").as("share_e6"))
+  }
 }

@@ -156,6 +156,26 @@ object StreamQueries {
           when(col("event_type") === "purchase", 1L).otherwise(0L)
             .as("label")))),
 
+    // Incremental aggregation maintenance: rollup(first half) merged
+    // with rollup(second half) must equal the full recompute — the
+    // oracle IS the full recompute, so the merge algebra is proven
+    "events_rollup_merge" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      val cut = to_timestamp(lit("2024-01-15 00:00:00"))
+      val stored = graft.analytics.Analytics.eventRollup(
+        ev.filter(col("ts") < cut))
+      val delta = graft.analytics.Analytics.eventRollup(
+        ev.filter(col("ts") >= cut))
+      graft.analytics.Analytics.mergeRollups(stored, delta,
+        Seq("user_id", "event_type"))
+    }),
+
+    // Key-skew diagnostic: top-10 hottest user keys + row share in ppm
+    // (decides plain join vs AQE skew split vs salting)
+    "events_key_skew" -> ((s, d) =>
+      graft.core.ScaleJoins.keySkewProfile(
+        Tables(s, d, "events"), "user_id")),
+
     // Reliability diagram for the same score/label pair as events_auc:
     // equi-depth score deciles (X44 decomposition, no global sort) ×
     // integer-ppm positive rate
@@ -370,6 +390,25 @@ object StreamQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // the full recompute — equality with the engine's split+merge
+    // path is the whole point
+    "events_rollup_merge" ->
+      """SELECT user_id, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "events_key_skew" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events),
+        |r AS (SELECT user_id, cnt,
+        |        CAST(row_number() OVER (ORDER BY cnt DESC, user_id)
+        |          AS BIGINT) AS rk
+        |      FROM c)
+        |SELECT rk, user_id, CAST(cnt AS BIGINT) AS c,
+        |  (CAST(cnt AS BIGINT) * 1000000) // n_rows AS share_e6
+        |FROM r CROSS JOIN n WHERE rk <= 10""".stripMargin,
 
     // equi-depth tile via the integer rank formula (NOT NTILE —
     // remainder placement differs); oracle may global-sort, the

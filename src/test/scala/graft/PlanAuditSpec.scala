@@ -50,7 +50,8 @@ class PlanAuditSpec extends SparkSpec {
   // query's n_total). Everything else must be equi-joined.
   private val JustifiedCross =
     Set("j8_region_backfill", "text_bm25", "sim_bruteforce_topk",
-      "text_tfidf_topk", "pipe_length_deciles", "events_calibration")
+      "text_tfidf_topk", "pipe_length_deciles", "events_calibration",
+      "events_key_skew")
   // Building these performs driver-side actions (KMeans fit / LBFGS
   // training / count()s) — plan shape is audited by their own specs.
   private val ActionOnBuild =

@@ -51,4 +51,18 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(salted == plain)
     assert(plain.count(_._1 == 1L) == 1000)
   }
+
+  test("keySkewProfile: exact top-k shares via TakeOrdered, no full sort") {
+    // key 1 owns half the rows; keys 51..100 one row each
+    val df = (1 to 100).map(i => (if (i <= 50) 1L else i.toLong, i))
+      .toDF("k", "x")
+    val r = ScaleJoins.keySkewProfile(df, "k", topK = 3)
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), s"global sort instead:\n$plan")
+    val rows = r.orderBy("rk").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.head == ((1L, 1L, 50L, 500000L)))
+    assert(rows.map(_._1) == Seq(1L, 2L, 3L))
+    // ties broken by key: keys 51, 52 (count 1 each) follow the hot key
+    assert(rows(1)._2 == 51L && rows(2)._2 == 52L)
+  }
 }
