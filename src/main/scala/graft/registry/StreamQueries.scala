@@ -156,6 +156,15 @@ object StreamQueries {
           when(col("event_type") === "purchase", 1L).otherwise(0L)
             .as("label")))),
 
+    // Per-key top-k with per-partition bounded-heap pre-prune (shuffle
+    // k·partitions rows per key, not the group) — oracle is the plain
+    // rank window, proving the prune drops nothing
+    "events_topk_per_user" -> ((s, d) =>
+      graft.operators.TopKPerKey.topKPerKey(
+        Tables(s, d, "events").select(col("event_id"), col("user_id"),
+          round(col("value") * 100).cast("long").as("cents")),
+        Seq("user_id"), "cents", "event_id", 3)),
+
     // Incremental aggregation maintenance: rollup(first half) merged
     // with rollup(second half) must equal the full recompute — the
     // oracle IS the full recompute, so the merge algebra is proven
@@ -390,6 +399,16 @@ object StreamQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "events_topk_per_user" ->
+      """WITH t AS (SELECT event_id, user_id,
+        |             CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |r AS (SELECT event_id, user_id, cents,
+        |        CAST(row_number() OVER (PARTITION BY user_id
+        |          ORDER BY cents DESC, event_id) AS BIGINT) AS rk
+        |      FROM t)
+        |SELECT event_id, user_id, cents, rk FROM r WHERE rk <= 3""".stripMargin,
 
     // the full recompute — equality with the engine's split+merge
     // path is the whole point

@@ -75,6 +75,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(byBu.count() == 0)
   }
 
+  test("property: funnel times are ordered, stage = prefix of hits; " +
+    "AUC is shift-invariant and bounded") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    (1L to 3L).foreach { seed =>
+      // random event soup: 60 events over 8 users, 3 types, 100 seconds
+      val evGen = Gen.listOfN(60, for {
+        u <- Gen.chooseNum(1L, 8L)
+        t <- Gen.oneOf("view", "click", "purchase")
+        s <- Gen.chooseNum(0, 99)
+      } yield (u, t, java.sql.Timestamp.valueOf(
+        f"2024-01-01 00:01:${s % 60}%02d.${s / 60}%03d")))
+      val ev = sample(evGen, seed).toDF("user_id", "event_type", "ts")
+      val f = Analytics.funnelStages(ev)
+        .as[(Long, Long, Long, Long, Long)].collect()
+      graft.core.CacheBay.drain()
+      f.foreach { case (_, v, c, p, stage) =>
+        // later stages require earlier ones, strictly increasing
+        if (c != -1L) assert(v != -1L && c > v)
+        if (p != -1L) assert(c != -1L && p > c)
+        assert(stage == Seq(v, c, p).count(_ != -1L))
+      }
+      // AUC: bounded, and invariant under shifting all scores
+      val scGen = Gen.listOfN(50, for {
+        cts <- Gen.chooseNum(0L, 20L)
+        lb <- Gen.oneOf(0L, 1L)
+      } yield ("g", cts, lb))
+      val sc = sample(scGen, seed + 10)
+      val auc1 = Analytics.aucByGroup(sc.toDF("grp", "cents", "label"))
+        .select("auc_e6").as[Long].head()
+      val auc2 = Analytics.aucByGroup(
+        sc.map { case (g, c, l) => (g, c + 1000L, l) }
+          .toDF("grp", "cents", "label"))
+        .select("auc_e6").as[Long].head()
+      assert(auc1 == auc2)
+      assert(auc1 == -1L || (auc1 >= 0L && auc1 <= 1000000L))
+    }
+  }
+
   test("calibrationCurve: equi-depth tiles conserve rows, rates exact") {
     val n = 100
     val scored = (1 to n).map(i =>

@@ -285,4 +285,27 @@ class OperatorsSpec extends SparkSpec {
     assert(r(1L)._2 > r(2L)._2)          // more hits + rarer term
     graft.core.CacheBay.drain()
   }
+
+  test("topKPerKey: equals the plain rank window across partitionings") {
+    import org.apache.spark.sql.expressions.Window
+    // pseudo-random but deterministic: 500 rows, 20 keys, tied scores
+    val rows = (1 to 500).map { i =>
+      (i.toLong, (i * 7919 % 20).toLong, (i * 104729 % 13).toLong)
+    }
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"cents".desc, $"event_id".asc)
+    for (parts <- Seq(1, 7, 32)) {
+      val df = rows.toDF("event_id", "user_id", "cents").repartition(parts)
+      val got = graft.operators.TopKPerKey
+        .topKPerKey(df, Seq("user_id"), "cents", "event_id", 3)
+        .select("event_id", "user_id", "cents", "rk")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val want = df.withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 3)
+        .select("event_id", "user_id", "cents", "rk")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == want, s"parts=$parts")
+      assert(got.groupBy(_._2).forall(_._2.size == 3))
+    }
+  }
 }
