@@ -42,7 +42,7 @@ object ScaleJoins {
   def saltedJoin(skewed: DataFrame, right: DataFrame, key: String,
       salts: Int): DataFrame = {
     val sl = skewed.withColumn("__salt",
-      pmod(xxhash64(skewed.columns.map(col): _*), lit(salts)))
+      pmod(xxhash64(skewed.columns.toIndexedSeq.map(col): _*), lit(salts)))
     val sr = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts - 1L))))
     sl.join(sr, Seq(key, "__salt")).drop("__salt")

@@ -29,14 +29,14 @@ object Readers {
     * default — restore `""` explicitly. */
   def csvKeepBlanks(spark: SparkSession, path: String): DataFrame = {
     val df = csvAllString(spark, path)
-    df.select(df.columns.map(c => coalesce(col(c), lit("")).as(c)): _*)
+    df.select(df.columns.toIndexedSeq.map(c => coalesce(col(c), lit("")).as(c)): _*)
   }
 
   /** P13/F1: normalize pandas null artifacts (`""`, `"nan"`, `"None"`)
     * to real nulls across all string columns
     * (reference `SqlUpload_Actuals.py:75-77`). */
   def normalizeNulls(df: DataFrame): DataFrame =
-    df.select(df.columns.map { c =>
+    df.select(df.columns.toIndexedSeq.map { c =>
       df.schema(c).dataType match {
         case StringType => cleanString(col(c)).as(c)
         case _ => col(c)

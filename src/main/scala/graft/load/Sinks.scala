@@ -134,7 +134,7 @@ object Sinks {
               valueCols.map(c =>
                 col(s"${c}__db").isNull =!= col(c).isNull ||
                   col(c) =!= col(s"${c}__db")).reduce(_ || _))
-            .select(newDf.columns.map(col): _*)
+            .select(newDf.columns.toIndexedSeq.map(col): _*)
         }
     }
     val n = delta.count()

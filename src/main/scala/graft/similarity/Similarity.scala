@@ -219,14 +219,14 @@ object Similarity {
     // distance rank to each center: |c|^2 - 2 v.c (|v|^2 is per-row
     // constant); centers are literal arrays -> pure codegen, no join
     val centerStructs = centers.zipWithIndex.map { case (c, j) =>
-      val cArr = array(c.map(lit): _*)
+      val cArr = array(c.toIndexedSeq.map(lit): _*)
       val d = lit(c.map(x => x * x).sum) - lit(2.0) * dotProduct(col("v"), cArr)
       struct(d.as("d"), lit(j).as("cell"))
     }
     val probes = assigned.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("v").as("q_emb"),
         col("nrm").as("q_norm"),
-        explode(slice(array_sort(array(centerStructs: _*)), 1, nProbe))
+        explode(slice(array_sort(array(centerStructs.toIndexedSeq: _*)), 1, nProbe))
           .as("p"))
       .select(col("q_id"), col("q_emb"), col("q_norm"),
         col("p.cell").as("cell"))

@@ -44,7 +44,7 @@ object StreamIngest {
       .as(Seq("row_index", "row")))
     exploded.select(
       col("row_index").cast("long").as("row_index") +:
-        inner.fields.map(f => col(s"row.${f.name}").as(f.name)): _*)
+        inner.fields.toIndexedSeq.map(f => col(s"row.${f.name}").as(f.name)): _*)
   }
 
   /** The socket source matching the producer's transport

@@ -56,7 +56,7 @@ class StreamingLogistic(nFeatures: Int, maxIter: Int = 25,
     // one job per micro-batch: collect IS the emptiness check (the
     // separate isEmpty probe was a second full evaluation of the batch)
     val rows = batch
-      .select(array(featureCols.map(c => col(c).cast("double")): _*),
+      .select(array(featureCols.toIndexedSeq.map(c => col(c).cast("double")): _*),
         col("label").cast("double"))
       .as[(Array[Double], Double)].collect()
     updateOnRows(spark, rows)
@@ -95,7 +95,7 @@ class StreamingLogistic(nFeatures: Int, maxIter: Int = 25,
       .map { case (fs, l) => (fs.toSeq, l) }
       .toDF("fs", "label")
       .repartition(nPart)
-      .select(featureCols.zipWithIndex.map { case (c, i) =>
+      .select(featureCols.toIndexedSeq.zipWithIndex.map { case (c, i) =>
         element_at(col("fs"), i + 1).as(c)
       } :+ col("label"): _*)
     val assembled = new VectorAssembler()
