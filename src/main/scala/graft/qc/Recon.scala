@@ -134,6 +134,38 @@ object Recon {
         qcStatus(col("new_total"), col("old_total"), threshold))
   }
 
+  /** Snapshot CDC: classify every primary key across two snapshots as
+    * insert / delete / update (unchanged rows are dropped) with
+    * before/after values — the change feed an incremental downstream
+    * consumes when the source can't emit one itself. The J5
+    * delta-detect operator is the new-side half of this; CDC labels
+    * both directions.
+    *
+    * Inputs must be pre-projected to pk + valueCols. One full-outer
+    * equi-join on the pk: both sides hash-partition once, sort-merge,
+    * nothing quadratic — at cluster scale the native alternative is a
+    * table format's change-data-feed (Delta CDF), which this
+    * reproduces on plain snapshots. */
+  def snapshotCdc(before: DataFrame, after: DataFrame, pk: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    val b = valueCols.foldLeft(before)((d, c) =>
+      d.withColumnRenamed(c, s"${c}_before")).withColumn("__b", lit(1))
+    val a = valueCols.foldLeft(after)((d, c) =>
+      d.withColumnRenamed(c, s"${c}_after")).withColumn("__a", lit(1))
+    val changed = valueCols.map(c =>
+      col(s"${c}_before").isNull =!= col(s"${c}_after").isNull ||
+        col(s"${c}_before") =!= col(s"${c}_after")).reduce(_ || _)
+    b.join(a, pk, "full_outer")
+      .withColumn("op",
+        when(col("__b").isNull, "insert")
+          .when(col("__a").isNull, "delete")
+          .when(changed, "update"))
+      .filter(col("op").isNotNull)
+      .select(pk.map(col) ++ Seq(col("op")) ++
+        valueCols.flatMap(c =>
+          Seq(col(s"${c}_before"), col(s"${c}_after"))): _*)
+  }
+
   /** Canonical (DuckDB-style) name for a Spark type, so a drift report
     * computed from Spark schemas compares byte-for-byte with one
     * computed by an ANSI engine's DESCRIBE. */

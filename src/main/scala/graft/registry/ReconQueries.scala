@@ -83,6 +83,21 @@ object ReconQueries {
       Recon.schemaDrift(before, after)
     }),
 
+    // Snapshot CDC over a deterministic evolution of customer:
+    // %11 keys deleted, %7 balances bumped (exact cents), %13 keys
+    // re-keyed high as inserts — every op class exercised
+    "qc_snapshot_cdc" -> ((s, d) => {
+      val b = Tables(s, d, "customer").select(col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val after = b.filter(col("c_custkey") % 11 =!= 0)
+        .withColumn("cents", when(col("c_custkey") % 7 === 0,
+          col("cents") + 10000L).otherwise(col("cents")))
+        .unionByName(b.filter(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + 10000000L).as("c_custkey"),
+            col("cents")))
+      Recon.snapshotCdc(b, after, Seq("c_custkey"), Seq("cents"))
+    }),
+
     // F3/F4/F15: keep-digits scrub, thousands-comma numeric parse
     // (NULL and 0-fill variants), M-yyyy month parse
     "f_cleaning_numeric" -> ((s, d) =>
@@ -273,6 +288,29 @@ object ReconQueries {
         |       ELSE 'unchanged' END AS status,
         |  b.column_type AS type_before, a.column_type AS type_after
         |FROM b FULL OUTER JOIN a ON b.column_name = a.column_name""".stripMargin,
+
+    "qc_snapshot_cdc" ->
+      """WITH b AS (SELECT c_custkey,
+        |             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |           FROM customer),
+        |a AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 7 = 0 THEN cents + 10000
+        |              ELSE cents END AS cents
+        |  FROM b WHERE c_custkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, cents FROM b
+        |  WHERE c_custkey % 13 = 0),
+        |j AS (SELECT COALESCE(b.c_custkey, a.c_custkey) AS c_custkey,
+        |        b.cents AS cents_before, a.cents AS cents_after,
+        |        b.c_custkey IS NULL AS ins, a.c_custkey IS NULL AS del
+        |      FROM b FULL OUTER JOIN a ON b.c_custkey = a.c_custkey)
+        |SELECT c_custkey,
+        |  CASE WHEN ins THEN 'insert' WHEN del THEN 'delete'
+        |       ELSE 'update' END AS op,
+        |  cents_before, cents_after
+        |FROM j
+        |WHERE ins OR del OR cents_before <> cents_after""".stripMargin,
 
     "f_cleaning_numeric" ->
       """WITH src AS (

@@ -23,4 +23,26 @@ class ReconSpec extends SparkSpec {
     assert(r("tag") == (("added", null, "VARCHAR")))
     assert(r.size == 5)
   }
+
+  test("snapshotCdc: insert/delete/update classified; unchanged dropped; " +
+    "null flips count as updates") {
+    val before = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(30L)),
+      (4L, None: Option[Long]))
+      .toDF("id", "v")
+    val after = Seq((1L, Some(10L)),  // unchanged -> dropped
+      (2L, Some(25L)),                // update
+      (4L, Some(40L)),                // null -> value: update
+      (5L, Some(50L)))                // insert; 3 deleted
+      .toDF("id", "v")
+    val r = Recon.snapshotCdc(before, after, Seq("id"), Seq("v"))
+      .collect().map(row => row.getLong(0) ->
+        ((row.getString(1),
+          if (row.isNullAt(2)) null else row.getLong(2),
+          if (row.isNullAt(3)) null else row.getLong(3)))).toMap
+    assert(r(2L) == (("update", 20L, 25L)))
+    assert(r(3L) == (("delete", 30L, null)))
+    assert(r(4L) == (("update", null, 40L)))
+    assert(r(5L) == (("insert", null, 50L)))
+    assert(r.size == 4)
+  }
 }
