@@ -134,6 +134,44 @@ object Recon {
         qcStatus(col("new_total"), col("old_total"), threshold))
   }
 
+  /** Referential-integrity audit: for each child→parent relation,
+    * child row count, orphaned-row count (child keys with no parent),
+    * and orphan rate in integer ppm. Orphans are the silent killer of
+    * inner-join pipelines — rows that simply vanish from every report.
+    * Per relation: one left-anti equi-join (hash/sort-merge, parent
+    * side reduced to its distinct key first); relations are audited
+    * independently and unioned. */
+  def referentialAudit(relations: Seq[(String, DataFrame, String,
+      DataFrame, String)]): DataFrame = {
+    relations.map { case (name, child, fk, parent, pkCol) =>
+      val orphans = child.select(col(fk))
+        .join(parent.select(col(pkCol).as(fk)).distinct(), Seq(fk),
+          "left_anti")
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orphans"))))
+        .select(lit(name).as("relation"),
+          col("n_child").cast("long").as("n_child"),
+          col("n_orphans").cast("long").as("n_orphans"),
+          expr("(n_orphans * 1000000) div n_child").as("orphan_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Time-completeness audit: which calendar days between the feed's
+    * first and last event have NO data — the gap report that catches
+    * a dead upstream before the monthly rollup does. The expected-day
+    * list is generated from the observed min/max (a 1-row aggregate,
+    * broadcast; the `sequence` is |days| long — bounded by the time
+    * span, never the row count) and anti-joined against the observed
+    * distinct days. */
+  def missingDays(events: DataFrame, tsCol: String = "ts"): DataFrame = {
+    val span = events.agg(
+      min(to_date(col(tsCol))).as("d0"), max(to_date(col(tsCol))).as("d1"))
+    val expected = span.select(explode(sequence(col("d0"), col("d1"),
+      expr("interval 1 day"))).as("day"))
+    val observed = events.select(to_date(col(tsCol)).as("day")).distinct()
+    expected.join(observed, Seq("day"), "left_anti")
+  }
+
   /** Snapshot CDC: classify every primary key across two snapshots as
     * insert / delete / update (unchanged rows are dropped) with
     * before/after values — the change feed an incremental downstream

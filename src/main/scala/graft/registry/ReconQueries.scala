@@ -83,6 +83,24 @@ object ReconQueries {
       Recon.schemaDrift(before, after)
     }),
 
+    // Referential-integrity audit across three relations; the
+    // events->customer relation has real orphans (user ids beyond the
+    // customer key range), the star relations audit clean
+    "qc_referential" -> ((s, d) =>
+      Recon.referentialAudit(Seq(
+        ("lineitem->orders", Tables(s, d, "lineitem"), "l_orderkey",
+          Tables(s, d, "orders"), "o_orderkey"),
+        ("orders->customer", Tables(s, d, "orders"), "o_custkey",
+          Tables(s, d, "customer"), "c_custkey"),
+        ("events->customer", Tables(s, d, "events"), "user_id",
+          Tables(s, d, "customer"), "c_custkey")))),
+
+    // Completeness audit: days 15/16 are deterministically blinded so
+    // the gap report has something to find at every SF
+    "qc_missing_days" -> ((s, d) =>
+      Recon.missingDays(Tables(s, d, "events")
+        .filter(!dayofmonth(col("ts")).isin(15, 16)))),
+
     // Snapshot CDC over a deterministic evolution of customer:
     // %11 keys deleted, %7 balances bumped (exact cents), %13 keys
     // re-keyed high as inserts — every op class exercised
@@ -288,6 +306,38 @@ object ReconQueries {
         |       ELSE 'unchanged' END AS status,
         |  b.column_type AS type_before, a.column_type AS type_after
         |FROM b FULL OUTER JOIN a ON b.column_name = a.column_name""".stripMargin,
+
+    "qc_referential" -> {
+      def rel(name: String, child: String, fk: String, parent: String,
+          pk: String) =
+        s"""SELECT '$name' AS relation,
+           |  CAST(COUNT(*) AS BIGINT) AS n_child,
+           |  CAST(SUM(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_orphans
+           |FROM $child c LEFT JOIN (SELECT DISTINCT $pk FROM $parent) p
+           |  ON c.$fk = p.$pk""".stripMargin
+      s"""WITH u AS (
+         |${rel("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey")}
+         |UNION ALL
+         |${rel("orders->customer", "orders", "o_custkey", "customer", "c_custkey")}
+         |UNION ALL
+         |${rel("events->customer", "events", "user_id", "customer", "c_custkey")}
+         |)
+         |SELECT relation, n_child, n_orphans,
+         |  (n_orphans * 1000000) // n_child AS orphan_ppm
+         |FROM u""".stripMargin
+    },
+
+    "qc_missing_days" ->
+      """WITH e AS (SELECT ts FROM events WHERE day(ts) NOT IN (15, 16)),
+        |s AS (SELECT CAST(min(ts) AS DATE) AS d0,
+        |             CAST(max(ts) AS DATE) AS d1 FROM e),
+        |x AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |        CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |      FROM s),
+        |o AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM e)
+        |SELECT x.day FROM x LEFT JOIN o ON x.day = o.day
+        |WHERE o.day IS NULL""".stripMargin,
 
     "qc_snapshot_cdc" ->
       """WITH b AS (SELECT c_custkey,

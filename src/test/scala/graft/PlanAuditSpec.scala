@@ -51,7 +51,7 @@ class PlanAuditSpec extends SparkSpec {
   private val JustifiedCross =
     Set("j8_region_backfill", "text_bm25", "sim_bruteforce_topk",
       "text_tfidf_topk", "pipe_length_deciles", "events_calibration",
-      "events_key_skew")
+      "events_key_skew", "qc_referential")
   // Building these performs driver-side actions (KMeans fit / LBFGS
   // training / count()s) — plan shape is audited by their own specs.
   private val ActionOnBuild =

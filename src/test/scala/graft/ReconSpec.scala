@@ -45,4 +45,21 @@ class ReconSpec extends SparkSpec {
     assert(r(5L) == (("insert", null, 50L)))
     assert(r.size == 4)
   }
+
+  test("referentialAudit counts orphans per relation; missingDays " +
+    "finds exactly the blinded gap") {
+    val child = Seq((1L, "a"), (2L, "b"), (9L, "c"), (9L, "d"))
+      .toDF("fk", "x")
+    val parent = Seq((1L, "p"), (2L, "q"), (3L, "r")).toDF("pk", "y")
+    val r = Recon.referentialAudit(Seq(("child->parent", child, "fk",
+      parent, "pk"))).as[(String, Long, Long, Long)].head()
+    assert(r == (("child->parent", 4L, 2L, 500000L)))
+
+    import java.sql.Timestamp
+    val ev = Seq(1, 2, 4, 5).map(d =>
+      Tuple1(Timestamp.valueOf(f"2024-03-$d%02d 10:00:00"))).toDF("ts")
+    val missing = Recon.missingDays(ev).as[java.sql.Date]
+      .collect().map(_.toString).toSeq
+    assert(missing == Seq("2024-03-03"))
+  }
 }
