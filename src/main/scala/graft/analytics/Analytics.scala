@@ -368,6 +368,25 @@ object Analytics {
           .as("auc_e6"))
   }
 
+  /** Retention cohort matrix: users grouped by first-seen day, then
+    * for each (cohort, day-offset) the count of cohort members active
+    * that many days later — the triangle every growth dashboard draws.
+    * Three key-partitioned shuffles, nothing user-quadratic: per-user
+    * first day (groupBy user), distinct (user, day) activity, an equi-
+    * join on the user key, and the final (cohort, offset) aggregate.
+    * All-integer output (DATE + day offsets + counts). */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val firstDay = events.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .join(firstDay, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long")
+          .as("day_offset"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+  }
+
   /** Per-key mergeable rollup: count + exact-cents sum. The measure
     * set is deliberately ALGEBRAIC (count/sum merge by addition) so
     * partial rollups combine exactly — the same property map-side

@@ -156,6 +156,11 @@ object StreamQueries {
           when(col("event_type") === "purchase", 1L).otherwise(0L)
             .as("label")))),
 
+    // Retention triangle: cohort = first-seen day; users active at
+    // each day offset
+    "events_retention" -> ((s, d) =>
+      graft.analytics.Analytics.retentionCohorts(Tables(s, d, "events"))),
+
     // Per-key top-k with per-partition bounded-heap pre-prune (shuffle
     // k·partitions rows per key, not the group) — oracle is the plain
     // rank window, proving the prune drops nothing
@@ -399,6 +404,16 @@ object StreamQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "events_retention" ->
+      """WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |      FROM events)
+        |SELECT cohort_day,
+        |  CAST(datediff('day', cohort_day, day) AS BIGINT) AS day_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
 
     "events_topk_per_user" ->
       """WITH t AS (SELECT event_id, user_id,

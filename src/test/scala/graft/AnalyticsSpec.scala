@@ -156,6 +156,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(r("d") == -1L)
   }
 
+  test("retentionCohorts: cohort triangle counts distinct active users") {
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2024-05-$d%02d 09:00:00")
+    val ev = Seq(
+      (1L, ts(1)), (1L, ts(1)), (1L, ts(3)),   // cohort d1: offsets 0, 2
+      (2L, ts(1)), (2L, ts(2)),                // cohort d1: offsets 0, 1
+      (3L, ts(2)))                             // cohort d2: offset 0
+      .toDF("user_id", "ts")
+    val r = Analytics.retentionCohorts(ev)
+      .as[(java.sql.Date, Long, Long)].collect()
+      .map(t => (t._1.toString, t._2) -> t._3).toMap
+    assert(r(("2024-05-01", 0L)) == 2L)   // users 1 and 2 on day 0
+    assert(r(("2024-05-01", 1L)) == 1L)   // user 2 returned next day
+    assert(r(("2024-05-01", 2L)) == 1L)   // user 1 returned on day 2
+    assert(r(("2024-05-02", 0L)) == 1L)   // user 3's cohort
+    assert(r.size == 4)
+  }
+
   test("rollingWindow: inclusive 7-day range frame, ties share a frame") {
     import java.sql.Timestamp
     def day(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
