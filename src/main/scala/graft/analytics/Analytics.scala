@@ -368,6 +368,32 @@ object Analytics {
           .as("auc_e6"))
   }
 
+  /** Sequential-pattern mining, n-gram form: the top-k most frequent
+    * event-type trigrams across all per-user event sequences — the
+    * "what do users actually do, in order" summary funnels are then
+    * built from. Trigrams come from two `lead()`s over one
+    * user-partitioned window (a single key shuffle; sequences never
+    * leave their partition), counts from one hash aggregate over a
+    * domain bounded by |event types|³, and the global top-k through
+    * `orderBy.limit` = TakeOrdered. Deterministic (count desc, trigram
+    * asc) tiebreak. */
+  def eventTrigrams(events: DataFrame, topK: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val counts = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+        .as("trigram"))
+      .groupBy(col("trigram")).agg(count(lit(1)).as("n"))
+    counts.orderBy(col("n").desc, col("trigram")).limit(topK)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n").desc, col("trigram"))).cast("long"))
+  }
+
   /** Retention cohort matrix: users grouped by first-seen day, then
     * for each (cohort, day-offset) the count of cohort members active
     * that many days later — the triangle every growth dashboard draws.

@@ -161,6 +161,11 @@ object StreamQueries {
     "events_retention" -> ((s, d) =>
       graft.analytics.Analytics.retentionCohorts(Tables(s, d, "events"))),
 
+    // Sequential patterns: top-20 event-type trigrams over per-user
+    // ordered histories
+    "events_trigrams" -> ((s, d) =>
+      graft.analytics.Analytics.eventTrigrams(Tables(s, d, "events"))),
+
     // Per-key top-k with per-partition bounded-heap pre-prune (shuffle
     // k·partitions rows per key, not the group) — oracle is the plain
     // rank window, proving the prune drops nothing
@@ -404,6 +409,23 @@ object StreamQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "events_trigrams" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |         lead(event_type, 1) OVER w AS e2,
+        |         lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |t AS (SELECT event_type || '>' || e2 || '>' || e3 AS trigram
+        |      FROM s WHERE e3 IS NOT NULL),
+        |c AS (SELECT trigram, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM t GROUP BY 1),
+        |r AS (SELECT trigram, n,
+        |        CAST(row_number() OVER (ORDER BY n DESC, trigram)
+        |          AS BIGINT) AS rk
+        |      FROM c)
+        |SELECT trigram, n, rk FROM r WHERE rk <= 20""".stripMargin,
 
     "events_retention" ->
       """WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day

@@ -156,6 +156,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(r("d") == -1L)
   }
 
+  test("eventTrigrams: ordered per-user windows, count-desc tiebreak") {
+    import java.sql.Timestamp
+    def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val ev = Seq(
+      (1L, 1L, "a", ts(1)), (2L, 1L, "b", ts(2)), (3L, 1L, "c", ts(3)),
+      (4L, 1L, "a", ts(4)),   // user 1: a>b>c, b>c>a
+      (5L, 2L, "a", ts(1)), (6L, 2L, "b", ts(2)), (7L, 2L, "c", ts(3)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = Analytics.eventTrigrams(ev)
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._3)
+    assert(r == Seq(("a>b>c", 2L, 1L), ("b>c>a", 1L, 2L)))
+  }
+
   test("retentionCohorts: cohort triangle counts distinct active users") {
     import java.sql.Timestamp
     def ts(d: Int) = Timestamp.valueOf(f"2024-05-$d%02d 09:00:00")
