@@ -195,6 +195,26 @@ object StreamQueries {
       graft.core.ScaleJoins.keySkewProfile(
         Tables(s, d, "events"), "user_id")),
 
+    // Robust per-group outlier flags: |x − median| > 3·MAD — immune to
+    // the outliers themselves (unlike z-scores, whose mean/stddev the
+    // outliers drag). Two tiny per-group percentile aggregates
+    // broadcast back; the fact side streams map-only, and both engines
+    // interpolate the exact same median (proven by events_percentiles)
+    "events_mad_outliers" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val withDev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = withDev.groupBy(col("event_type"))
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      withDev.join(broadcast(mad), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+          when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L)
+            .as("is_outlier"))
+    }),
+
     // Reliability diagram for the same score/label pair as events_auc:
     // equi-depth score deciles (X44 decomposition, no global sort) ×
     // integer-ppm positive rate
@@ -465,6 +485,22 @@ object StreamQueries {
         |SELECT rk, user_id, CAST(cnt AS BIGINT) AS c,
         |  (CAST(cnt AS BIGINT) * 1000000) // n_rows AS share_e6
         |FROM r CROSS JOIN n WHERE rk <= 10""".stripMargin,
+
+    // flag compares the UNROUNDED identical-IEEE intermediates; only
+    // the reported med/mad round
+    "events_mad_outliers" ->
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |           FROM events GROUP BY 1),
+        |d AS (SELECT event_id, e.event_type, value, med,
+        |             abs(value - med) AS adev
+        |      FROM events e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |       FROM d GROUP BY 1)
+        |SELECT event_id, d.event_type, value,
+        |  ROUND(med, 6) AS med, ROUND(mad, 6) AS mad,
+        |  CAST(CASE WHEN adev > 3 * mad THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_outlier
+        |FROM d JOIN md USING (event_type)""".stripMargin,
 
     // equi-depth tile via the integer rank formula (NOT NTILE —
     // remainder placement differs); oracle may global-sort, the
