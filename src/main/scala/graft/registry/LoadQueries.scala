@@ -65,6 +65,14 @@ object LoadQueries {
             .otherwise(col("o_orderpriority")).as("val")),
         "val")),
 
+    // O4: head-n preview of a key-ordered frame (the reference's
+    // df.head(n) console check, made deterministic by the key sort)
+    "o4_head_preview" -> ((s, d) =>
+      Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          round(col("c_acctbal"), 2).as("acctbal"))
+        .orderBy(col("c_custkey")).limit(8)),
+
     "o2_preview_latest" -> ((s, d) =>
       Load.previewLatest(
         Tables(s, d, "orders").select(col("o_orderkey"),
@@ -186,6 +194,11 @@ object LoadQueries {
         |UNION ALL
         |SELECT o_orderkey, upper(val) AS val, 'STR' AS branch
         |FROM src WHERE TRY_CAST(val AS DOUBLE) IS NULL""".stripMargin,
+
+    "o4_head_preview" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |       ROUND(c_acctbal, 2) AS acctbal
+        |FROM customer ORDER BY c_custkey LIMIT 8""".stripMargin,
 
     "o2_preview_latest" ->
       """SELECT o_orderkey,

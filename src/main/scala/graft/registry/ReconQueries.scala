@@ -116,6 +116,40 @@ object ReconQueries {
       Recon.snapshotCdc(b, after, Seq("c_custkey"), Seq("cents"))
     }),
 
+    // F23/F25/F26 dedicated rows (VERDICT r4 #1): K/M/B humanization
+    // over grouped totals (all four magnitude branches + sign + NULL),
+    // age bucketing, and the incoming-orders formula — the same shapes
+    // dv_variance_report / f_cleaning_keys embed, isolated so each
+    // function carries its own green row
+    "f_display_functions" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(round(sum(col("o_totalprice")), 2).as("total"),
+          count(lit(1)).as("n"))
+        .select(col("priority"), col("total"), col("n"),
+          humanize(col("total")).as("total_disp"),
+          humanize(col("total") * 1000).as("big_disp"),
+          humanize(-col("total")).as("neg_disp"),
+          humanize(least(col("n"), lit(999L)).cast("double"))
+            .as("small_disp"),
+          humanize(lit(null).cast("double")).as("null_disp"),
+          ageBucket(col("n"), 5000).as("n_bucket"),
+          round(incomingOrders(col("total"),
+            col("n").cast("double") * 100.0, lit(0.5)), 4)
+            .as("net_orders"))),
+
+    // F30: list -> delimited string with enclosers (reference
+    // `myConversionsClass.py:356-369`) — per-segment sorted key list,
+    // each element quoted; array_sort fixes collect_list's
+    // partition-order nondeterminism
+    "f_list_join" -> ((s, d) =>
+      Tables(s, d, "customer")
+        .filter(col("c_custkey") % 100 === 0)
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(array_join(
+          transform(array_sort(collect_list(col("c_custkey").cast("string"))),
+            v => concat(lit("'"), v, lit("'"))), ",").as("key_list"))),
+
     // F3/F4/F15: keep-digits scrub, thousands-comma numeric parse
     // (NULL and 0-fill variants), M-yyyy month parse
     "f_cleaning_numeric" -> ((s, d) =>
@@ -133,7 +167,45 @@ object ReconQueries {
           parseNumberZero(col("raw_qty")).as("raw_zero_fill"),
           parseSlashMonth(col("month_txt")).as("month_parsed"))))
 
+  /** DuckDB mirror of [[graft.functions.GraftFunctions.humanize]] —
+    * same decimal(28,1) cast so the string form matches byte-for-byte
+    * (shared shape with the dv_variance_report display columns). */
+  private def humanizeSql(v: String): String =
+    s"""CASE WHEN ($v) IS NULL THEN '-'
+       |     WHEN abs($v) >= 1e9 THEN
+       |       CAST(CAST(ROUND(($v)/1e9, 1) AS DECIMAL(28,1)) AS VARCHAR) || 'B'
+       |     WHEN abs($v) >= 1e6 THEN
+       |       CAST(CAST(ROUND(($v)/1e6, 1) AS DECIMAL(28,1)) AS VARCHAR) || 'M'
+       |     WHEN abs($v) >= 1e3 THEN
+       |       CAST(CAST(ROUND(($v)/1e3, 1) AS DECIMAL(28,1)) AS VARCHAR) || 'K'
+       |     ELSE CAST(CAST(ROUND($v, 1) AS DECIMAL(28,1)) AS VARCHAR)
+       |END""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "f_display_functions" ->
+      s"""WITH g AS (
+         |  SELECT o_orderpriority AS priority,
+         |         ROUND(SUM(o_totalprice), 2) AS total,
+         |         COUNT(*) AS n
+         |  FROM orders GROUP BY 1)
+         |SELECT priority, total, n,
+         |  ${humanizeSql("total")} AS total_disp,
+         |  ${humanizeSql("total * 1000")} AS big_disp,
+         |  ${humanizeSql("-total")} AS neg_disp,
+         |  ${humanizeSql("CAST(least(n, 999) AS DOUBLE)")} AS small_disp,
+         |  ${humanizeSql("CAST(NULL AS DOUBLE)")} AS null_disp,
+         |  CASE WHEN n >= 5000 THEN 'aged' ELSE 'current' END AS n_bucket,
+         |  ROUND((total - CAST(n AS DOUBLE) * 100.0) * 0.5, 4)
+         |    AS net_orders
+         |FROM g""".stripMargin,
+
+    "f_list_join" ->
+      """SELECT c_mktsegment AS segment,
+        |       string_agg('''' || CAST(c_custkey AS VARCHAR) || '''', ','
+        |         ORDER BY CAST(c_custkey AS VARCHAR)) AS key_list
+        |FROM customer WHERE c_custkey % 100 = 0
+        |GROUP BY 1""".stripMargin,
+
     "a1_bu_sum_count" ->
       """SELECT c_mktsegment AS bu, ROUND(SUM(o_totalprice), 2) AS value_sum,
         |       COUNT(*) AS row_count

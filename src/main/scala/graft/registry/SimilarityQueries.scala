@@ -27,10 +27,14 @@ object SimilarityQueries {
       val e = emb(s, d)
       Similarity.nearestNeighbor(e, nBits = scaledNBits(e.count()))
     }),
-    // IVF over MLlib k-means cells — no SQL oracle possible (KMeans);
-    // driver records the rows-only check, recall proven in
-    // SimilaritySpec's planted-cluster test
+    // IVF over MLlib k-means cells — the LEARNED centers have no SQL
+    // oracle (KMeans); driver records the rows-only check, recall
+    // proven in SimilaritySpec's planted-cluster test. The identical
+    // probe/rank pipeline is fully oracle-checked by sim_ivf_recall
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(emb(s, d))),
+    // the X45-pattern audit: deterministic seed centers make the whole
+    // IVF pipeline + its recall-vs-brute-force SQL-recomputable
+    "sim_ivf_recall" -> ((s, d) => Similarity.ivfRecallAudit(emb(s, d))),
     "sim_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(emb(s, d))),
     "sim_label_centroids" -> ((s, d) =>
       Similarity.labelCentroids(emb(s, d))),
@@ -115,6 +119,50 @@ object SimilarityQueries {
          |      FROM p)
          |SELECT q_id, nn_id, ROUND(cos, 6) AS cos
          |FROM r WHERE rank = 1""".stripMargin,
+
+    // full IVF audit replay: seed centers (same ORDER BY/LIMIT rule),
+    // nearest-center assignment (d = |c|² − 2v·c, ties → lowest cell),
+    // nProbe=2 probes, in-cell cosine top-k, recall vs brute force.
+    // |c|² via list_sum matches the Spark side's Scala left-fold sum
+    "sim_ivf_recall" ->
+      s"""WITH $ECte,
+         |c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+         |               AS INT) AS cell, v AS cv
+         |      FROM (SELECT vec_id, v FROM e WHERE vec_id % 5 = 2
+         |            ORDER BY vec_id LIMIT 16)),
+         |dd AS (SELECT e.vec_id, e.v, c.cell,
+         |         list_sum(list_transform(cv, x -> x * x))
+         |           - 2.0 * ${dotSql("v", "cv")} AS d
+         |       FROM e CROSS JOIN c),
+         |rk AS (SELECT vec_id, v, cell, row_number() OVER (
+         |         PARTITION BY vec_id ORDER BY d, cell) AS r
+         |       FROM dd),
+         |corp AS (SELECT vec_id AS nn_id, v AS cv2, cell
+         |         FROM rk WHERE r = 1),
+         |pro AS (SELECT vec_id AS q_id, v AS qv, cell
+         |        FROM rk WHERE r <= 2 AND vec_id % $QueryMod = 0),
+         |ip AS (SELECT q_id, nn_id, ${cosSql("qv", "cv2")} AS cos
+         |       FROM pro JOIN corp USING (cell) WHERE q_id <> nn_id),
+         |it AS (SELECT q_id, nn_id, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rank
+         |       FROM ip),
+         |itop AS (SELECT q_id, nn_id FROM it WHERE rank <= $TopK),
+         |bp AS (SELECT q.vec_id AS q_id, b.vec_id AS nn_id,
+         |         ${cosSql("q.v", "b.v")} AS cos
+         |       FROM e q JOIN e b
+         |         ON q.vec_id % $QueryMod = 0 AND q.vec_id <> b.vec_id),
+         |bt AS (SELECT q_id, nn_id, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rank
+         |       FROM bp),
+         |btop AS (SELECT q_id, nn_id FROM bt WHERE rank <= $TopK)
+         |SELECT b.q_id,
+         |  CAST(SUM(CASE WHEN i.nn_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hits,
+         |  (CAST(SUM(CASE WHEN i.nn_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) * 1000000) // $TopK AS recall_ppm
+         |FROM btop b LEFT JOIN itop i
+         |  ON b.q_id = i.q_id AND b.nn_id = i.nn_id
+         |GROUP BY b.q_id""".stripMargin,
 
     // same floor(x*scale + 0.5) rounding as the Spark side — see the
     // quantizeInt8 scaladoc for why it is NOT the engine round()

@@ -259,14 +259,31 @@ object StreamQueries {
 
     // Sketch-based approximate stats — the 100 TB path for distincts
     // and quantiles (HLL++ / KLL replace exact shuffles with mergeable
-    // O(1)-state sketches). No SQL oracle: DuckDB's sketches are
-    // different algorithms; accuracy is asserted against the exact
-    // values in OperatorsSpec (driver records the rows-only check)
+    // O(1)-state sketches). DuckDB's sketches are different algorithms,
+    // so the raw sketch values can't cross-check; what CAN is the
+    // deterministic error-bound VERDICT: the exact side is computed
+    // in-query and the output carries only booleans asserting
+    // |approx − exact| ≤ bound (HLL++ rsd 0.05 → generous 10% bound;
+    // percentile_approx accuracy 1000 → rank error n/1000, checked
+    // against the exact [p49, p51] envelope). Booleans hash identically
+    // across engines, and the exact n / exact_users columns are genuine
+    // cross-checked values — a sketch drifting out of bound flips a
+    // boolean and fails the hash (VERDICT r4 #3)
     "events_approx_stats" -> ((s, d) =>
       Tables(s, d, "events").groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("exact_users"),
           approx_count_distinct(col("user_id")).as("approx_users"),
-          expr("percentile_approx(value, 0.5, 1000)").as("p50_approx"))),
+          expr("percentile_approx(value, 0.5, 1000)").as("p50_approx"),
+          expr("percentile(value, 0.49)").as("p49_exact"),
+          expr("percentile(value, 0.51)").as("p51_exact"))
+        .select(col("event_type"), col("n"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            greatest(ceil(col("exact_users") * 0.1), lit(5.0)))
+            .as("users_within_10pct"),
+          (col("p50_approx") >= col("p49_exact") &&
+            col("p50_approx") <= col("p51_exact"))
+            .as("p50_within_bound"))),
 
     // MLlib streaming consumer, batch-mode mirror: per-micro-batch
     // incremental logistic-regression refit over the events feed, one
@@ -552,6 +569,16 @@ object StreamQueries {
         |       ELSE ((r2 - n_pos * (n_pos + 1)) * 1000000)
         |            // (2 * n_pos * (n - n_pos)) END AS BIGINT) AS auc_e6
         |FROM a""".stripMargin,
+
+    // the exact columns are genuinely recomputed; the booleans are the
+    // sketch error-bound contract (always TRUE when the sketch honors
+    // its published bound — a violation flips the hash)
+    "events_approx_stats" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       COUNT(DISTINCT user_id) AS exact_users,
+        |       CAST(1 AS BOOLEAN) AS users_within_10pct,
+        |       CAST(1 AS BOOLEAN) AS p50_within_bound
+        |FROM events GROUP BY 1""".stripMargin,
 
     // pure-integer mean (micro-units): values are non-negative so
     // DuckDB's floor-// equals Spark's truncating div

@@ -180,17 +180,52 @@ object Similarity {
       .select(col("q_id"), col("nn_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Per-center distance-rank structs over literal center arrays
+    * (d = |c|² − 2v·c; |v|² is constant per row so it cannot change
+    * the order) — the centroid table never joins, it folds into the
+    * plan as codegen'd expressions. |c|² is a Scala left-fold sum, the
+    * same sequential order DuckDB's `list_sum` accumulates in, so the
+    * audit oracle reproduces the doubles bit-exactly. */
+  private def centerDistStructs(centers: Array[Array[Double]]): Seq[Column] =
+    centers.zipWithIndex.map { case (c, j) =>
+      val cArr = array(c.toIndexedSeq.map(lit): _*)
+      val d = lit(c.map(x => x * x).sum) - lit(2.0) * dotProduct(col("v"), cArr)
+      struct(d.as("d"), lit(j).as("cell"))
+    }.toIndexedSeq
+
+  /** IVF probe + rank against a FIXED center set: every vector is
+    * assigned to its nearest center (ties → lowest cell id, both
+    * engines); each query probes its nProbe nearest cells and ranks
+    * only those cells' members — candidate count ≈ nProbe·n/nCells,
+    * via one bucket equi-join, never all-pairs. `feat` must carry
+    * (vec_id, v, nrm). */
+  def ivfTopKFromCenters(feat: DataFrame, centers: Array[Array[Double]],
+      k: Int = TopK, queryMod: Int = QueryMod, nProbe: Int = 2): DataFrame = {
+    require(centers.nonEmpty, "ivfTopKFromCenters: empty center set")
+    val sorted = array_sort(array(centerDistStructs(centers): _*))
+    val assigned = feat.withColumn("cells",
+      slice(sorted, 1, math.min(math.max(nProbe, 1), centers.length)))
+    val corpus = assigned.select(col("vec_id").as("nn_id"),
+      col("v").as("c_emb"), col("nrm").as("c_norm"),
+      col("cells").getItem(0).getField("cell").as("cell"))
+    val probes = assigned.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q_emb"),
+        col("nrm").as("q_norm"), explode(col("cells.cell")).as("cell"))
+    val pairs = probes.join(corpus, Seq("cell"))
+      .filter(col("q_id") =!= col("nn_id"))
+      .select(col("q_id"), col("nn_id"), pairCos.as("cos"))
+    topKOf(pairs, k)
+  }
+
   /** IVF (inverted-file) ANN over MLlib k-means cells — the classic
     * cluster-scale alternative to hyperplane LSH: a coarse quantizer
-    * (KMeans, distributed fit) partitions the corpus into nCells;
-    * each query probes its nProbe nearest cells and ranks only those
-    * cells' members. Candidate count ≈ nProbe·n/nCells — tune nCells
-    * ~√n for √n-ish work per query. The per-query center ranking is a
-    * codegen'd expression over literal center arrays (d = |c|² − 2v·c;
-    * |v|² is constant per query so it cannot change the order) — the
-    * centroid table never joins, it folds into the plan. Not
-    * SQL-oracle-expressible (KMeans); covered by the planted-cluster
-    * spec and the driver's rows-only check. */
+    * (KMeans, distributed fit) partitions the corpus into nCells —
+    * tune nCells ~√n for √n-ish work per query. Probe/rank mechanics
+    * in [[ivfTopKFromCenters]]. The LEARNED centers are not
+    * SQL-oracle-expressible (KMeans), so this query is rows-only +
+    * planted-cluster spec; [[ivfRecallAudit]] puts the identical
+    * probe/rank pipeline under a full DuckDB oracle with
+    * deterministic centers. */
   def ivfTopK(emb: DataFrame, k: Int = TopK, queryMod: Int = QueryMod,
       nCells: Int = 16, nProbe: Int = 2, seed: Long = 7L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
@@ -205,37 +240,49 @@ object Similarity {
     // default: every k-means|| init round and Lloyd iteration is a
     // distributed pass, and 32 near-empty tasks per pass is pure
     // scheduling overhead at small n (same sizing note as the
-    // streaming trainer). ~100k rows per fit task; the assignment
-    // transform below still runs at full session parallelism.
+    // streaming trainer). ~100k rows per fit task; the probe/rank
+    // pipeline below still runs at full session parallelism.
     val nFitParts = math.max(1,
       math.min(32, (feat.count() / 100000L).toInt))
     val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
       .setTol(1e-4)
       .fit(feat.select(col("features")).coalesce(nFitParts))
-    val assigned = km.transform(feat)
-      .select(col("vec_id"), col("v"), col("nrm"),
-        col("prediction").as("cell"))
-    val centers = km.clusterCenters.map(_.toArray)
-    // distance rank to each center: |c|^2 - 2 v.c (|v|^2 is per-row
-    // constant); centers are literal arrays -> pure codegen, no join
-    val centerStructs = centers.zipWithIndex.map { case (c, j) =>
-      val cArr = array(c.toIndexedSeq.map(lit): _*)
-      val d = lit(c.map(x => x * x).sum) - lit(2.0) * dotProduct(col("v"), cArr)
-      struct(d.as("d"), lit(j).as("cell"))
-    }
-    val probes = assigned.filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("q_id"), col("v").as("q_emb"),
-        col("nrm").as("q_norm"),
-        explode(slice(array_sort(array(centerStructs.toIndexedSeq: _*)), 1, nProbe))
-          .as("p"))
-      .select(col("q_id"), col("q_emb"), col("q_norm"),
-        col("p.cell").as("cell"))
-    val corpus = assigned.select(col("vec_id").as("nn_id"),
-      col("v").as("c_emb"), col("nrm").as("c_norm"), col("cell"))
-    val pairs = probes.join(corpus, Seq("cell"))
-      .filter(col("q_id") =!= col("nn_id"))
-      .select(col("q_id"), col("nn_id"), pairCos.as("cos"))
-    topKOf(pairs, k)
+    ivfTopKFromCenters(feat.select(col("vec_id"), col("v"), col("nrm")),
+      km.clusterCenters.map(_.toArray), k, queryMod, nProbe)
+  }
+
+  /** Deterministic seed centers: the embeddings of the first nCells
+    * vectors with vec_id ≡ 2 (mod 5), in vec_id order — a bounded
+    * nCells-row collect (16 vectors, not data-dependent), replayable
+    * verbatim by the oracle's ORDER BY/LIMIT CTE. */
+  def seedCenters(emb: DataFrame, nCells: Int): Array[Array[Double]] =
+    emb.filter(col("vec_id") % 5 === 2).orderBy(col("vec_id"))
+      .limit(nCells).select(asDouble(col("embedding")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+
+  /** IVF recall audit (VERDICT r4 #2, the X45 pattern): run the exact
+    * [[ivfTopKFromCenters]] pipeline with [[seedCenters]] instead of
+    * learned ones, join its top-k against [[bruteForceTopK]] ground
+    * truth, and emit per-query recall@k as integer ppm. Every number
+    * is deterministic arithmetic on both engines, so the DuckDB
+    * oracle recomputes the full audit — assignment, probes,
+    * candidate ranking, recall — from the raw table. */
+  def ivfRecallAudit(emb: DataFrame, k: Int = TopK, queryMod: Int = QueryMod,
+      nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val feat = graft.core.CacheBay.register(
+      emb.repartition(col("vec_id"))
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"),
+          l2Norm(asDouble(col("embedding"))).as("nrm")))
+    val ivf = ivfTopKFromCenters(feat, seedCenters(emb, nCells), k,
+      queryMod, nProbe)
+    val bf = bruteForceTopK(emb, k, queryMod)
+    bf.select(col("q_id"), col("nn_id"))
+      .join(ivf.select(col("q_id"), col("nn_id"), lit(1L).as("hit")),
+        Seq("q_id", "nn_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        expr(s"(n_hits * 1000000) div $k").as("recall_ppm"))
   }
 
   /** Symmetric int8 quantization of the embedding column — the storage

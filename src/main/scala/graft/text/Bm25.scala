@@ -39,9 +39,13 @@ object Bm25 {
       k1: Double = K1, b: Double = B): DataFrame = {
     val qterms = normalizeTerms(terms)
     require(qterms.nonEmpty, "bm25: empty query term set")
+    // deliberately NO repartition of the corpus: tokenization and `dl`
+    // are map-side work, and the only shuffles are the post-isin-filter
+    // (doc_id, term) aggregate and its tiny descendants — a leading
+    // repartition would exchange the ENTIRE raw corpus text for nothing
+    // (VERDICT r4 #4; asserted in PlanAuditSpec)
     val t = graft.core.CacheBay.register(
-      docs.repartition(col("doc_id"))
-        .select(col("doc_id"), split(normalize(col("text")), " ").as("w"))
+      docs.select(col("doc_id"), split(normalize(col("text")), " ").as("w"))
         .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl")))
     val stats = t.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val tf = t.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))

@@ -39,6 +39,15 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(SparkEntry.queries("text_bm25")(spark, SfDir))
     // df-per-term and the 1-row stats frame: exactly two broadcasts
     assert(count(p, "BroadcastExchange") == 2, s"broadcast count:\n$p")
+    // and exactly four hash exchanges, ALL downstream of the isin
+    // filter: the (doc_id, term) tf aggregate, the same aggregate
+    // re-derived on the df branch, the tiny per-term df rollup, and
+    // the final per-doc aggregate — the raw corpus text is never
+    // exchanged (VERDICT r4 #4: the old leading repartition is gone)
+    val shuffles = count(p, "Exchange hashpartitioning")
+    assert(shuffles == 4, s"shuffle count $shuffles:\n$p")
+    assert(!p.contains("Exchange RoundRobinPartitioning"),
+      s"corpus repartition resurfaced:\n$p")
     graft.core.CacheBay.drain()
   }
 
@@ -51,7 +60,11 @@ class PlanAuditSpec extends SparkSpec {
   private val JustifiedCross =
     Set("j8_region_backfill", "text_bm25", "sim_bruteforce_topk",
       "text_tfidf_topk", "pipe_length_deciles", "events_calibration",
-      "events_key_skew", "qc_referential")
+      "events_key_skew", "qc_referential",
+      // recall audit: the IVF side is a bucket equi-join; the BNLJ is
+      // its brute-force ground-truth side (same shape as
+      // sim_bruteforce_topk, bounded query subset)
+      "sim_ivf_recall")
   // Building these performs driver-side actions (KMeans fit / LBFGS
   // training / count()s) — plan shape is audited by their own specs.
   private val ActionOnBuild =
