@@ -12,7 +12,13 @@ import org.apache.spark.storage.StorageLevel
   * its 15 extracts against one shared Vertipaq model for the same
   * reason; at cluster scale this is "materialize the shared upstream
   * once per session", which a production deployment would replace with
-  * a bucketed table or a materialized view. */
+  * a bucketed table or a materialized view.
+  *
+  * Lifetime contract: entries live until [[clear]] is called for the
+  * owning session (Bench/Verify do this before `spark.stop()`). A
+  * long-lived multi-session embedding MUST call `clear(session)` at
+  * session teardown — otherwise cached blocks and the session key
+  * itself are retained for the life of the process. */
 object SessionCache {
   private val cache =
     scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
@@ -21,5 +27,13 @@ object SessionCache {
       build: => DataFrame): DataFrame = synchronized {
     cache.getOrElseUpdate((spark, key),
       build.persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Evict every entry owned by `spark`: unpersist (non-blocking) and
+    * drop the key references so the session can be collected. */
+  def clear(spark: SparkSession): Unit = synchronized {
+    cache.keys.filter(_._1 eq spark).toSeq.foreach { k =>
+      cache.remove(k).foreach(_.unpersist(false))
+    }
   }
 }

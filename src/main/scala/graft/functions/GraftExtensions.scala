@@ -36,19 +36,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$fn: count argument must be an INT literal, got $other")
   }
 
-  private def fns: Seq[(String, String, FunctionBuilder)] = Seq(
-    ("graft_dot", "graft_dot(a, b) - dot product of two double arrays",
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
-    ("graft_l2norm", "graft_l2norm(a) - L2 norm of a double array",
-      (args: Seq[Expression]) => L2Norm(args(0))),
-    ("graft_minhash_sig",
-      "graft_minhash_sig(bases, k) - k-permutation MinHash signature",
-      (args: Seq[Expression]) =>
-        MinHashSig(args(0), intLit(args(1), "graft_minhash_sig"))),
-    ("graft_simhash_bits",
-      "graft_simhash_bits(digests, bits) - SimHash bit string",
-      (args: Seq[Expression]) =>
-        SimHashBits(args(0), intLit(args(1), "graft_simhash_bits"))))
+  /** Analysis-time arity gate: a wrong argument count gets a message
+    * naming the expected signature instead of an
+    * IndexOutOfBoundsException from the builder body. */
+  private def arity(fn: String, usage: String, n: Int)(
+      args: Seq[Expression]): Seq[Expression] = {
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n argument(s) — $usage — got ${args.length}")
+    args
+  }
+
+  private def fns: Seq[(String, String, FunctionBuilder)] = {
+    val dotU = "graft_dot(a, b) - dot product of two double arrays"
+    val l2U = "graft_l2norm(a) - L2 norm of a double array"
+    val mhU = "graft_minhash_sig(bases, k) - k-permutation MinHash signature"
+    val shU = "graft_simhash_bits(digests, bits) - SimHash bit string"
+    Seq(
+      ("graft_dot", dotU, (args: Seq[Expression]) => {
+        val a = arity("graft_dot", dotU, 2)(args); DotProduct(a(0), a(1))
+      }),
+      ("graft_l2norm", l2U, (args: Seq[Expression]) =>
+        L2Norm(arity("graft_l2norm", l2U, 1)(args).head)),
+      ("graft_minhash_sig", mhU, (args: Seq[Expression]) => {
+        val a = arity("graft_minhash_sig", mhU, 2)(args)
+        MinHashSig(a(0), intLit(a(1), "graft_minhash_sig"))
+      }),
+      ("graft_simhash_bits", shU, (args: Seq[Expression]) => {
+        val a = arity("graft_simhash_bits", shU, 2)(args)
+        SimHashBits(a(0), intLit(a(1), "graft_simhash_bits"))
+      }))
+  }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     fns.foreach { case (name, usage, builder) =>

@@ -35,6 +35,21 @@ object TopKPerKey {
     val keyIdx = keys.map(schema.fieldIndex)
     val ordIdx = schema.fieldIndex(orderCol)
     val tieIdx = schema.fieldIndex(tieCol)
+    // the LONG/non-null contract enforced up front with real messages,
+    // not via an opaque NPE inside the partition loop
+    Seq(orderCol -> ordIdx, tieCol -> tieIdx).foreach { case (name, i) =>
+      require(schema(i).dataType ==
+        org.apache.spark.sql.types.LongType,
+        s"topKPerKey: column '$name' must be LONG (exact-cents " +
+          s"convention), got ${schema(i).dataType.sql}")
+    }
+    def longAt(row: Row, i: Int, name: String): Long = {
+      if (row.isNullAt(i)) throw new IllegalArgumentException(
+        s"topKPerKey: NULL in ordering column '$name' — supply " +
+          "non-null order/tie values (a rank window would sort NULLs; " +
+          "this operator's bounded heap deliberately rejects them)")
+      row.getLong(i)
+    }
     // larger (ord DESC, tie ASC) rank = better; heap evicts the worst
     val betterLast = Ordering.by[(Long, Long, Row), (Long, Long)] {
       case (o, t, _) => (-o, t)
@@ -46,7 +61,8 @@ object TopKPerKey {
         val key = keyIdx.map(row.get)
         val h = heaps.getOrElseUpdate(key,
           scala.collection.mutable.PriorityQueue.empty(betterLast))
-        h.enqueue((row.getLong(ordIdx), row.getLong(tieIdx), row))
+        h.enqueue((longAt(row, ordIdx, orderCol),
+          longAt(row, tieIdx, tieCol), row))
         if (h.size > k) h.dequeue()  // drops the WORST (max of betterLast)
       }
       heaps.valuesIterator.flatMap(_.iterator.map(_._3))

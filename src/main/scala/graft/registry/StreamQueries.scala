@@ -92,12 +92,11 @@ object StreamQueries {
     // The SAME range join written NAIVELY (raw theta condition, the
     // shape Spark plans as a nested loop) — the RangeJoinRewrite
     // optimizer rule turns it into the bucketed equi-join; the oracle
-    // proves the rewrite result-identical
+    // proves the rewrite result-identical. The rule is SCOPED to this
+    // query: optimization is forced eagerly (QueryExecution memoizes
+    // optimizedPlan) and the rule removed again, so the shared
+    // session's later plans are never run-order dependent on it
     "events_range_join_auto" -> ((s, d) => {
-      if (!s.experimental.extraOptimizations
-          .contains(graft.plans.RangeJoinRewrite))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
       val ev = Tables(s, d, "events")
       val m = ev.filter(col("event_id") % 20 === 0)
         .groupBy(col("user_id"), col("ts"))
@@ -105,11 +104,17 @@ object StreamQueries {
         .select(col("user_id").as("m_user_id"), col("ts").as("m_start"),
           (col("ts") + expr("interval 2 days")).as("m_end"),
           col("m_event_id"))
-      ev.select(col("event_id"), col("user_id"), col("ts"))
+      val naive = ev.select(col("event_id"), col("user_id"), col("ts"))
         .join(m, col("user_id") === col("m_user_id") &&
           col("ts") >= col("m_start") && col("ts") <= col("m_end"))
         .select(col("event_id"), col("user_id"), col("ts"),
           col("m_event_id"))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
+      try { naive.queryExecution.optimizedPlan; naive }
+      finally s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.RangeJoinRewrite)
     }),
 
     // Exact interpolated percentiles per event type (Spark percentile

@@ -43,6 +43,13 @@ class GraftExtensionsSpec extends SparkSpec {
         s2.sql("SELECT graft_minhash_sig(array(1L), CAST(rand()*4 AS INT))")
           .head()
       }
+      // wrong arity is an analysis-time error NAMING the signature,
+      // not an IndexOutOfBoundsException from the builder body
+      val e = intercept[Exception] {
+        s2.sql("SELECT graft_dot(array(1.0d))").head()
+      }
+      assert(e.getMessage.contains("expects 2"),
+        s"arity error message: ${e.getMessage}")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

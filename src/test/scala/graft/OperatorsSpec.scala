@@ -312,4 +312,27 @@ class OperatorsSpec extends SparkSpec {
       assert(got.groupBy(_._2).forall(_._2.size == 3))
     }
   }
+
+  test("topKPerKey: contract violations fail loudly, not with an NPE") {
+    // non-LONG ordering column rejected at plan time
+    val dbl = Seq((1L, 1L, 1.5)).toDF("event_id", "user_id", "cents")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.TopKPerKey
+        .topKPerKey(dbl, Seq("user_id"), "cents", "event_id", 3)
+    }
+    assert(e1.getMessage.contains("must be LONG"))
+    // NULL order value rejected with a descriptive message at run time
+    val withNull = Seq((1L, 1L, java.lang.Long.valueOf(5L)),
+      (2L, 1L, null.asInstanceOf[java.lang.Long]))
+      .toDF("event_id", "user_id", "cents")
+    val e2 = intercept[Exception] {
+      graft.operators.TopKPerKey
+        .topKPerKey(withNull, Seq("user_id"), "cents", "event_id", 3)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e2).exists(_.contains("NULL in ordering column")),
+      s"got: ${messages(e2)}")
+  }
 }

@@ -34,7 +34,7 @@ class StreamRollupSpec extends SparkSpec {
         .toDF("user_id", "event_type", "value")
       val want = Analytics.eventRollup(all)
         .as[(Long, String, Long, Long)].collect().toSet
-      def stored = spark.read.parquet(target)
+      def stored = StreamRollup.current(spark, target).get
         .as[(Long, String, Long, Long)].collect().toSet
       assert(stored == want)
       // redelivery: same id applied again changes nothing
@@ -45,6 +45,18 @@ class StreamRollupSpec extends SparkSpec {
       // a NEW id applies
       assert(StreamRollup.mergeBatch(replay, id = 999L, target))
       assert(stored.contains((9L, "view", 1L, 10000L)))
+      // crash atomicity: a partial version dir without _SUCCESS (a
+      // writer that died mid-batch) is invisible to readers and to the
+      // replay guard, and the redelivered batch overwrites it cleanly
+      val partial = new java.io.File(root, "rollup/v1500")
+      assert(partial.mkdirs())
+      java.nio.file.Files.writeString(
+        new java.io.File(partial, "part-00000.parquet").toPath, "junk")
+      assert(StreamRollup.currentVersion(spark, target) == 999L)
+      assert(stored.contains((9L, "view", 1L, 10000L)))
+      assert(StreamRollup.mergeBatch(replay, id = 1500L, target))
+      assert(StreamRollup.currentVersion(spark, target) == 1500L)
+      assert(stored.contains((9L, "view", 2L, 20000L)))
     } finally {
       q.stop()
       org.apache.commons.io.FileUtils.deleteDirectory(root)
