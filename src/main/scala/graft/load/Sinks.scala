@@ -98,6 +98,41 @@ object Sinks {
     before - kept
   }
 
+  /** S13 at partition granularity — the `replaceWhere`-shaped MERGE a
+    * 100 TB hive-partitioned table actually needs: only the partitions
+    * PRESENT IN the incoming delta are read and rewritten. Existing
+    * rows of an affected partition survive unless the delta supersedes
+    * their pk (delta wins); rows of untouched partitions are never
+    * read, let alone rewritten — the cost is |affected partitions| +
+    * |delta|, not |table|. Dynamic partition overwrite does the
+    * selective directory swap; the merged content is materialized
+    * first (`localCheckpoint`) because a lazy plan cannot read the
+    * partitions it is about to overwrite. The delta's partition values
+    * are a tiny distinct set, broadcast into a semi-join that prunes
+    * the target scan to the affected directories. Returns the number
+    * of rows written. On a cluster this is Delta/Iceberg MERGE with
+    * `replaceWhere`; plain parquet reproduces the semantics at
+    * partition granularity (same tiering note as
+    * [[deltaUpsertAppend]]). */
+  def partitionedUpsert(spark: SparkSession, newDf: DataFrame,
+      targetPath: String, partCol: String, pk: Seq[String]): Long = {
+    val pType = newDf.schema(partCol).dataType
+    // partition-column type inference would retype e.g. "199601" to
+    // INT; cast back to the delta's declared type so the joins align
+    val target = spark.read.parquet(targetPath)
+      .withColumn(partCol, col(partCol).cast(pType))
+    val affected = newDf.select(col(partCol)).distinct()
+    val survivors = target
+      .join(broadcast(affected), Seq(partCol), "left_semi")
+      .join(newDf.select(pk.map(col): _*), pk, "left_anti")
+      .select(newDf.columns.toIndexedSeq.map(col): _*)
+    val merged = survivors.unionByName(newDf).localCheckpoint(true)
+    merged.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol).parquet(targetPath)
+    merged.count()
+  }
+
   /** S13: delta upsert against a parquet target (reference
     * `mySQLClass.py:148-220`): read the target, keep only new rows
     * whose value columns differ (or whose PK is absent), append just

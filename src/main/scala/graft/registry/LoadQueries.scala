@@ -88,6 +88,31 @@ object LoadQueries {
     "qc_null_audit" -> ((s, d) => Load.nullAudit(coerced(s, d),
       Seq("key", "value", "status", "snapshot"))),
 
+    // S13 partition-granular MERGE (VERDICT r4 #6): seed a
+    // hive-partitioned target from orders, upsert a delta touching two
+    // month partitions (keyed updates + re-keyed inserts), return the
+    // post-upsert table — the oracle recomputes the expected final
+    // state from the raw inputs, proving result-identity of the
+    // dynamic-partition-overwrite path to a plain keyed merge
+    "s13_partition_upsert" -> ((s, d) => {
+      val base = Tables(s, d, "orders").select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyyMM").as("ym"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_upsert_").toFile.getAbsolutePath
+      base.write.mode("overwrite").partitionBy("ym").parquet(dir)
+      val inMonths = base.filter(col("ym").isin("199601", "199602"))
+      val delta = inMonths.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("cents", col("cents") + 12345L)
+        .unionByName(inMonths.filter(col("o_orderkey") % 13 === 0)
+          .select((col("o_orderkey") + 50000000L).as("o_orderkey"),
+            col("ym"), (col("cents") + 1L).as("cents")))
+      graft.load.Sinks.partitionedUpsert(s, delta, dir, "ym",
+        Seq("o_orderkey"))
+      s.read.parquet(dir).select(col("o_orderkey"),
+        col("ym").cast("string").as("ym"), col("cents"))
+    }),
+
     // J8: region/plant backfill — blank-region suppliers crossed with
     // the (tiny broadcast) region list, plant picked per (grp, region)
     "j8_region_backfill" -> ((s, d) => {
@@ -221,6 +246,24 @@ object LoadQueries {
          |    AS BIGINT) AS snapshot_nulls,
          |  COUNT(*) AS n_rows
          |FROM c""".stripMargin,
+
+    // the expected post-upsert state recomputed directly: delta rows
+    // win on their pk; everything else survives untouched
+    "s13_partition_upsert" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, strftime(o_orderdate, '%Y%m') AS ym,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |d AS (
+        |  SELECT o_orderkey, ym, CAST(cents + 12345 AS BIGINT) AS cents
+        |  FROM b WHERE ym IN ('199601', '199602') AND o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 50000000, ym, CAST(cents + 1 AS BIGINT)
+        |  FROM b WHERE ym IN ('199601', '199602') AND o_orderkey % 13 = 0)
+        |SELECT o_orderkey, ym, cents FROM d
+        |UNION ALL
+        |SELECT o_orderkey, ym, cents FROM b
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM d)""".stripMargin,
 
     "j8_region_backfill" ->
       """WITH rp AS (

@@ -162,6 +162,35 @@ class SinksSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("partitioned upsert rewrites ONLY the delta's partitions; " +
+    "delta wins on pk, survivors and untouched partitions keep") {
+    val dir = Files.createTempDirectory("pup").toFile.getAbsolutePath
+    val t = s"$dir/t"
+    Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "b", 40L),
+      (5L, "c", 50L)).toDF("k", "p", "cents")
+      .write.partitionBy("p").parquet(t)
+    def files(part: String): Map[String, Long] = {
+      val d = new java.io.File(s"$t/p=$part")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val aBefore = files("a"); val cBefore = files("c")
+    // delta: update k=3 in p=b, insert k=9 into p=b — p=a and p=c are
+    // not present in the delta and must not be rewritten
+    val delta = Seq((3L, "b", 31L), (9L, "b", 90L)).toDF("k", "p", "cents")
+    assert(Sinks.partitionedUpsert(spark, delta, t, "p", Seq("k")) == 3)
+    val got = spark.read.parquet(t)
+      .select($"k", $"p".cast("string"), $"cents")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 31L),
+      (4L, "b", 40L), (5L, "c", 50L), (9L, "b", 90L)))
+    // untouched partition directories: identical file names AND mtimes
+    assert(files("a") == aBefore)
+    assert(files("c") == cBefore)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir))
+  }
+
   test("S17 line-array payload parses to one row per line") {
     val df = Seq("""["line one", "line two", "line three"]""").toDF("value")
     val rows = graft.streaming.StreamIngest.parseLineArray(df)

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamCdc
+
+/** The streaming CDC sink: per-batch snapshot diffs accumulate into an
+  * append-only insert/update/delete feed, the stored snapshot tracks
+  * the latest batch, and redelivered batch ids are no-ops (the same
+  * diff logic is oracle-checked batch-side by qc_snapshot_cdc). */
+class StreamCdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("snapshot stream → change feed; replayed batches are no-ops") {
+    val root = java.nio.file.Files.createTempDirectory("cdc_").toFile
+    val target = new java.io.File(root, "cdc").getAbsolutePath
+    val ms = MemoryStream[(Long, Long)](
+      org.apache.spark.sql.Encoders.product[(Long, Long)],
+      spark.sqlContext)
+    val snaps = ms.toDF().toDF("k", "cents")
+    val q = StreamCdc.sink(snaps, target, Seq("k"), Seq("cents"))
+      .option("checkpointLocation",
+        new java.io.File(root, "ckpt").getAbsolutePath)
+      .start()
+    try {
+      // batch 0: initial snapshot — everything is an insert
+      ms.addData((1L, 10L), (2L, 20L), (3L, 30L))
+      q.processAllAvailable()
+      // batch 1: 1 deleted, 2 updated, 3 unchanged, 4 inserted
+      ms.addData((2L, 25L), (3L, 30L), (4L, 40L))
+      q.processAllAvailable()
+
+      def feed = StreamCdc.feed(spark, target)
+        .select($"batch_id", $"k", $"op",
+          coalesce($"cents_before", lit(-1L)).as("b"),
+          coalesce($"cents_after", lit(-1L)).as("a"))
+        .as[(Long, Long, String, Long, Long)].collect().toSet
+      val want = Set(
+        (0L, 1L, "insert", -1L, 10L),
+        (0L, 2L, "insert", -1L, 20L),
+        (0L, 3L, "insert", -1L, 30L),
+        (1L, 1L, "delete", 10L, -1L),
+        (1L, 2L, "update", 20L, 25L),
+        (1L, 4L, "insert", -1L, 40L))
+      assert(feed == want)
+      // stored snapshot is the latest full state
+      assert(StreamCdc.currentSnapshot(spark, target).get
+        .as[(Long, Long)].collect().toSet ==
+        Set((2L, 25L), (3L, 30L), (4L, 40L)))
+      // redelivery: an already-committed id changes NOTHING — neither
+      // the feed (no double-append) nor the snapshot
+      val replay = Seq((9L, 99L)).toDF("k", "cents")
+      assert(!StreamCdc.applyBatch(replay, 1L, target,
+        Seq("k"), Seq("cents")))
+      assert(feed == want)
+      assert(StreamCdc.currentVersion(spark, target) == 1L)
+      // a NEW id diffs against the stored state: everything vanished
+      // except the new key
+      assert(StreamCdc.applyBatch(replay, 7L, target,
+        Seq("k"), Seq("cents")))
+      assert(feed.count(_._1 == 7L) == 4) // 3 deletes + 1 insert
+      assert(StreamCdc.currentSnapshot(spark, target).get
+        .as[(Long, Long)].collect().toSet == Set((9L, 99L)))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(root)
+    }
+  }
+}
