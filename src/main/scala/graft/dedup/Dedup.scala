@@ -510,6 +510,21 @@ object Dedup {
         when(col("rk") === 1, 1L).otherwise(0L).as("is_rep"))
   }
 
+  /** Cluster-size histogram over the near-dup components — the dedup
+    * coverage report (how much of the corpus is duplicated, at what
+    * multiplicity: the "number of copies" curve dedup papers plot, and
+    * the first thing to eyeball before choosing keep-one vs drop-all).
+    * Two tiny hash aggregates past the shared cluster labels; scale
+    * cost is the label computation itself, amortized across the family
+    * via the shared shingle cache. */
+  def clusterSizeHistogram(docs: DataFrame,
+      shingles: Option[DataFrame] = None): DataFrame =
+    nearDupClusters(docs, shingles = shingles)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).cast("long").as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).cast("long").as("n_clusters"))
+
   /** True n-gram Jaccard near-dup pairs via the inverted-index join.
     * Shingles occurring in more than maxDf documents are dropped from
     * BOTH numerator and denominator (consistent set semantics) before

@@ -43,7 +43,9 @@ object DedupQueries {
     "dedup_canonical_reps" -> ((s, d) =>
       Dedup.canonicalReps(docs(s, d), shingles = sh(s, d))),
     "dedup_lsh_audit" -> ((s, d) =>
-      Dedup.lshAudit(docs(s, d), shingles = sh(s, d))))
+      Dedup.lshAudit(docs(s, d), shingles = sh(s, d))),
+    "dedup_cluster_sizes" -> ((s, d) =>
+      Dedup.clusterSizeHistogram(docs(s, d), shingles = sh(s, d))))
 
   // ---- shared DuckDB CTEs (generated from the same constants) ----
 
@@ -210,6 +212,16 @@ object DedupQueries {
          |SELECT doc_id, cluster_id, quality,
          |  CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_rep
          |FROM j""".stripMargin,
+
+    // the same recursive-CTE labels rolled up twice: per-cluster size,
+    // then clusters per size
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE $ClusterCtes,
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT)
+         |         AS cluster_size
+         |       FROM cl GROUP BY 1)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM sz GROUP BY 1""".stripMargin,
 
     // duplicated-span removal: positions covered by any SpanN-token
     // window occurring in >= SpanMinDf docs are cut; text reassembled

@@ -100,7 +100,11 @@ object LoadQueries {
         round(col("o_totalprice") * 100).cast("long").as("cents"))
       val dir = java.nio.file.Files
         .createTempDirectory("graft_upsert_").toFile.getAbsolutePath
-      base.write.mode("overwrite").partitionBy("ym").parquet(dir)
+      // one task per partition value for the seed write — without the
+      // repartition every task writes a file into every month
+      // directory (tasks × partitions small files)
+      base.repartition(col("ym"))
+        .write.mode("overwrite").partitionBy("ym").parquet(dir)
       val inMonths = base.filter(col("ym").isin("199601", "199602"))
       val delta = inMonths.filter(col("o_orderkey") % 7 === 0)
         .withColumn("cents", col("cents") + 12345L)

@@ -36,6 +36,8 @@ object SimilarityQueries {
     // IVF pipeline + its recall-vs-brute-force SQL-recomputable
     "sim_ivf_recall" -> ((s, d) => Similarity.ivfRecallAudit(emb(s, d))),
     "sim_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(emb(s, d))),
+    "sim_random_projection" -> ((s, d) =>
+      Similarity.randomProjection(emb(s, d))),
     "sim_label_centroids" -> ((s, d) =>
       Similarity.labelCentroids(emb(s, d))),
     "sim_centroid_outliers" -> ((s, d) =>
@@ -163,6 +165,22 @@ object SimilarityQueries {
          |FROM btop b LEFT JOIN itop i
          |  ON b.q_id = i.q_id AND b.nn_id = i.nn_id
          |GROUP BY b.q_id""".stripMargin,
+
+    // JL projection: the SAME hyperplane family as the LSH bucketer
+    // (an LSH bit is the sign of one component), quantized via the
+    // cross-engine-exact floor(x·1e6 + 0.5) spelling
+    "sim_random_projection" -> {
+      val comps = (0 until 8).map { j =>
+        s"""CAST(floor(list_sum(list_transform(range(1, len(v) + 1), d ->
+           |    v[d] * (((${j} * $Dim + d) * 2654435761 % 1000003)
+           |            / 1000003.0 - 0.5))) * 1000000 + 0.5) AS BIGINT)
+           |  AS p$j""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $ECte
+         |SELECT vec_id,
+         |$comps
+         |FROM e""".stripMargin
+    },
 
     // same floor(x*scale + 0.5) rounding as the Spark side — see the
     // quantizeInt8 scaladoc for why it is NOT the engine round()

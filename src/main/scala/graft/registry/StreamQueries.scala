@@ -1,6 +1,6 @@
 package graft.registry
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.Tables
@@ -290,6 +290,41 @@ object StreamQueries {
             col("p50_approx") <= col("p51_exact"))
             .as("p50_within_bound"))),
 
+    // Mergeable-sketch rollup — X60's incremental-maintenance algebra
+    // lifted to DISTINCT COUNTS, which plain count-distinct can never
+    // merge: per-slice Datasketches HLL sketches union losslessly, so
+    // a 100 TB feed keeps running distinct-user counts current at
+    // |sketch| per slice, never |history|. Verdict booleans (oracle
+    // pattern of events_approx_stats): BOTH the one-pass estimate and
+    // the split-union estimate must land within the HLL bound of the
+    // exact count computed in-query — the union estimate is NOT
+    // register-identical to one-pass (sparse→dense promotion differs
+    // by build path), but mergeability means the BOUND survives the
+    // merge, and that is what the verdict pins
+    "events_hll_rollup" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      val cut = to_timestamp(lit("2024-01-15 00:00:00"))
+      def sliceSketch(sl: DataFrame) = sl.groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val merged = sliceSketch(ev.filter(col("ts") < cut))
+        .unionByName(sliceSketch(ev.filter(col("ts") >= cut)))
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+          .as("est_merged"))
+      val full = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("exact_users"),
+          hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+            .as("est_full"))
+      def withinBound(est: Column) =
+        abs(est - col("exact_users")) <=
+          greatest(ceil(col("exact_users") * 0.05), lit(5.0))
+      full.join(merged, Seq("event_type"))
+        .select(col("event_type"), col("n"), col("exact_users"),
+          withinBound(col("est_full")).as("full_within_5pct"),
+          withinBound(col("est_merged")).as("merged_within_5pct"))
+    }),
+
     // MLlib streaming consumer, batch-mode mirror: per-micro-batch
     // incremental logistic-regression refit over the events feed, one
     // metrics row per batch (no SQL oracle — model training is not
@@ -574,6 +609,16 @@ object StreamQueries {
         |       ELSE ((r2 - n_pos * (n_pos + 1)) * 1000000)
         |            // (2 * n_pos * (n - n_pos)) END AS BIGINT) AS auc_e6
         |FROM a""".stripMargin,
+
+    // exact columns genuinely recomputed; booleans are the sketch
+    // contract (union losslessness + error bound) — a violation flips
+    // the hash
+    "events_hll_rollup" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       COUNT(DISTINCT user_id) AS exact_users,
+        |       CAST(1 AS BOOLEAN) AS full_within_5pct,
+        |       CAST(1 AS BOOLEAN) AS merged_within_5pct
+        |FROM events GROUP BY 1""".stripMargin,
 
     // the exact columns are genuinely recomputed; the booleans are the
     // sketch error-bound contract (always TRUE when the sketch honors

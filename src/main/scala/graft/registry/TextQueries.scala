@@ -54,7 +54,13 @@ object TextQueries {
       graft.text.CorpusStats.vocabTopK(Tables(s, d, "documents"))),
 
     "text_tfidf_topk" -> ((s, d) =>
-      graft.text.CorpusStats.tfIdfTopTerms(Tables(s, d, "documents"))))
+      graft.text.CorpusStats.tfIdfTopTerms(Tables(s, d, "documents"))),
+
+    "text_collocations" -> ((s, d) =>
+      graft.text.CorpusStats.collocations(Tables(s, d, "documents"))),
+
+    "text_oov_rate" -> ((s, d) =>
+      graft.text.CorpusStats.oovRate(Tables(s, d, "documents"))))
 
   // ---- DuckDB oracle SQL, generated from the same constants ----
 
@@ -255,5 +261,56 @@ object TextQueries {
          |      ORDER BY n DESC, token LIMIT ${graft.text.CorpusStats.VocabK})
          |SELECT token, n,
          |  CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
-         |FROM v""".stripMargin)
+         |FROM v""".stripMargin,
+
+    // integer-exact PMI lift (see CorpusStats.collocations): one
+    // BIGINT expression, monotone in PMI, no cross-engine ln
+    "text_collocations" ->
+      s"""WITH $TokCte,
+         |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_tok
+         |        FROM (SELECT unnest(w) AS tok FROM tw) GROUP BY 1),
+         |bg AS (SELECT unnest(list_transform(range(1, len(w)),
+         |         i -> w[i] || ' ' || w[i + 1])) AS bigram
+         |       FROM tw),
+         |bi AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n_ab
+         |       FROM bg GROUP BY 1
+         |       HAVING count(*) >= ${graft.text.CorpusStats.CollocMinCount}),
+         |tot AS (SELECT CAST(SUM(len(w)) AS BIGINT) AS n_uni_total,
+         |          CAST(SUM(greatest(len(w) - 1, 0)) AS BIGINT)
+         |            AS n_bi_total
+         |        FROM tw),
+         |sc AS (SELECT bigram, n_ab, ua.n_tok AS n_a, ub.n_tok AS n_b,
+         |         CAST((((n_ab * 1000000 * n_uni_total)
+         |                // (ua.n_tok * n_bi_total)) * n_uni_total)
+         |           // ub.n_tok AS BIGINT) AS lift_e6
+         |       FROM bi
+         |       JOIN uni ua ON string_split(bigram, ' ')[1] = ua.tok
+         |       JOIN uni ub ON string_split(bigram, ' ')[2] = ub.tok
+         |       CROSS JOIN tot),
+         |r AS (SELECT *, CAST(row_number() OVER (
+         |        ORDER BY lift_e6 DESC, bigram) AS BIGINT) AS rank
+         |      FROM sc)
+         |SELECT bigram, n_ab, n_a, n_b, lift_e6, rank
+         |FROM r WHERE rank <= ${graft.text.CorpusStats.CollocK}""".stripMargin,
+
+    // OOV rate vs the same top-k vocab CTE as text_vocab_topk
+    "text_oov_rate" ->
+      s"""WITH $TokCte,
+         |v AS (SELECT tok FROM (
+         |        SELECT tok, count(*) AS n
+         |        FROM (SELECT unnest(w) AS tok FROM tw) GROUP BY 1
+         |        ORDER BY n DESC, tok
+         |        LIMIT ${graft.text.CorpusStats.VocabK})),
+         |ex AS (SELECT doc_id, unnest(w) AS tok FROM tw),
+         |a AS (SELECT e.doc_id,
+         |        CAST(count(*) AS BIGINT) AS n_tokens,
+         |        CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS n_oov
+         |      FROM ex e LEFT JOIN v ON e.tok = v.tok GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(a.n_tokens, 0) AS n_tokens,
+         |  COALESCE(a.n_oov, 0) AS n_oov,
+         |  CAST(COALESCE((a.n_oov * 1000000) // a.n_tokens, 0) AS BIGINT)
+         |    AS oov_ppm
+         |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin)
 }

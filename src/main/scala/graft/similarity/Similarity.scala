@@ -285,6 +285,29 @@ object Similarity {
         expr(s"(n_hits * 1000000) div $k").as("recall_ppm"))
   }
 
+  /** Johnson–Lindenstrauss random projection of the embedding column
+    * to kDims dimensions — the dimensionality cut a 100 TB embedding
+    * corpus takes before clustering/ANN (distance-preserving within
+    * 1±ε, 8× less data through every downstream shuffle). The
+    * projection matrix is the SAME deterministic hyperplane family the
+    * LSH bucketer uses ([[hyperplaneCoef]] — an LSH bit is exactly the
+    * SIGN of one of these components), so there is no model artifact to
+    * ship and the oracle replays the matrix from the constants. Each
+    * component is one codegen'd dot product against a literal array;
+    * output quantized to integer micro-units via the cross-engine-exact
+    * `floor(x·10⁶ + 0.5)` spelling. Pure map work — shuffle-free on a
+    * multi-split table (the repartition only spreads the single-file
+    * small-SF input, same note as [[withNorm]]). */
+  def randomProjection(emb: DataFrame, kDims: Int = 8,
+      dim: Int = Dim): DataFrame =
+    emb.repartition(col("vec_id"))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id") +: (0 until kDims).map { j =>
+        val hp = array((1 to dim).map(d => lit(hyperplaneCoef(j, d))): _*)
+        floor(dotProduct(col("v"), hp) * 1000000.0 + 0.5).cast("long")
+          .as(s"p$j")
+      }: _*)
+
   /** Symmetric int8 quantization of the embedding column — the storage
     * shrink a 100 TB embedding corpus ships with (4× smaller than
     * float32, dot products stay SIMD-friendly): per-vector scale

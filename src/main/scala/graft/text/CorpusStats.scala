@@ -138,6 +138,88 @@ object CorpusStats {
       .filter(col("rank") <= k)
   }
 
+  val CollocK = 20
+  val CollocMinCount = 5
+
+  /** Top-k collocations by integer-exact PMI lift — the
+    * phrase-mining primitive (tokenizer merge candidates, named-entity
+    * seeds, stock-phrase/boilerplate spotting). Lift compares the
+    * observed adjacent-bigram rate to the independence baseline:
+    * `lift_e6 ≈ (n_ab · N_uni² · 10⁶) / (N_bi · n_a · n_b)`, computed
+    * as the TWO-STEP integer division
+    * `((n_ab·10⁶·N_uni) div (n_a·N_bi)) · N_uni div n_b` so no
+    * intermediate exceeds ~10¹⁸ at any realistic corpus size (the
+    * single-product form overflows Long once N_uni² · n_ab passes
+    * 10¹²) — both engines evaluate the identical floor-division
+    * sequence, and the statistic is monotone in PMI up to the ≤1-ulp
+    * floor loss of step one. A minimum pair count keeps the rare-pair
+    * degeneracy of PMI out of the top-k; ties break on bigram asc.
+    * Petabyte-scale token totals would move step one to decimal(38) —
+    * same expression.
+    *
+    * Shape: unigram and bigram counts are two explode→groupBy legs over
+    * one persisted tokenization; the two scalar totals broadcast; the
+    * bigram frame joins the unigram vocab twice ON THE TOKEN KEY
+    * (vocab is corpus-sized, never broadcast); top-k via
+    * TakeOrdered — linear at any corpus size. */
+  def collocations(docs: DataFrame, k: Int = CollocK,
+      minCount: Int = CollocMinCount): DataFrame = {
+    val t = graft.core.CacheBay.register(
+      docs.repartition(col("doc_id")).select(col("doc_id"),
+        tokenArray(col("text")).as("w"),
+        wordShingles(col("text"), 2).as("bg")))
+    val uni = t.select(explode(col("w")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).cast("long").as("n_tok"))
+    val bi = t.select(explode(col("bg")).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).cast("long").as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val totals = t.select(
+        size(col("w")).cast("long").as("nw"),
+        greatest(size(col("w")).cast("long") - 1L, lit(0L)).as("nb"))
+      .agg(sum(col("nw")).cast("long").as("n_uni_total"),
+        sum(col("nb")).cast("long").as("n_bi_total"))
+    val scored = bi
+      .withColumn("a", split(col("bigram"), " ").getItem(0))
+      .withColumn("b", split(col("bigram"), " ").getItem(1))
+      .join(uni.withColumnsRenamed(Map("tok" -> "a", "n_tok" -> "n_a")),
+        Seq("a"))
+      .join(uni.withColumnsRenamed(Map("tok" -> "b", "n_tok" -> "n_b")),
+        Seq("b"))
+      .crossJoin(broadcast(totals))
+      .select(col("bigram"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("(((n_ab * 1000000 * n_uni_total) div (n_a * n_bi_total))" +
+          " * n_uni_total) div n_b").as("lift_e6"))
+    scored.orderBy(col("lift_e6").desc, col("bigram").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("lift_e6").desc, col("bigram").asc))
+        .cast("long"))
+  }
+
+  /** Per-document out-of-vocabulary rate against the top-k corpus
+    * vocabulary ([[vocabTopK]]) in integer ppm — the tokenizer-coverage
+    * QC: a doc whose tokens mostly miss the vocabulary is noise,
+    * another script, or a domain the tokenizer was never trained for.
+    * The vocab is k rows by construction → broadcast; the fact side
+    * streams map-only past it (one left join + per-doc rollup);
+    * token-less docs report zeros rather than vanish. */
+  def oovRate(docs: DataFrame, k: Int = VocabK): DataFrame = {
+    val vocab = vocabTopK(docs, k).select(col("token").as("tok"),
+      lit(1L).as("in_vocab"))
+    val perDoc = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(tokenArray(col("text"))).as("tok"))
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_oov"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(expr("(n_oov * 1000000) div n_tokens"), lit(0L))
+          .as("oov_ppm"))
+  }
+
   val VocabK = 100
 
   /** Top-k corpus vocabulary by token frequency with a deterministic

@@ -74,6 +74,35 @@ class CorpusStatsSpec extends SparkSpec {
     assert(th("rare") == 1000000L)
   }
 
+  test("collocations: glued pair outranks independent pair; min count") {
+    // "x y" always adjacent (lift >> 1); "a b" co-occur but a/b also
+    // appear apart (lower lift); "q r" appears only 2 times (< min 3)
+    val docs = (1 to 6).map(i => (i.toLong, "x y a c b d a b"))
+      .++(Seq((7L, "q r q r"), (8L, "a d b c")))
+      .toSeq.toDF("doc_id", "text")
+    val r = CorpusStats.collocations(docs, k = 10, minCount = 3)
+      .select($"bigram", $"lift_e6", $"rank")
+      .as[(String, Long, Long)].collect()
+    val byB = r.map(x => x._1 -> x._2).toMap
+    assert(byB.contains("x y") && byB.contains("a b"))
+    assert(byB("x y") > byB("a b"), s"lift order: $byB")
+    assert(!byB.contains("q r")) // below min count
+    assert(r.map(_._3).sorted.sameElements(1L to r.length))
+    graft.core.CacheBay.drain()
+  }
+
+  test("oovRate: ppm of tokens outside the top-k vocab; empty doc zeros") {
+    // vocab k=2 -> {a, b} (a=3, b=2, z=1); doc 1 has 1 OOV of 3 tokens
+    val docs = Seq((1L, "a b z"), (2L, "a b a"), (3L, "!!!"))
+      .toDF("doc_id", "text")
+    val r = CorpusStats.oovRate(docs, k = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> (x._2, x._3, x._4)).toMap
+    assert(r(1L) == ((3L, 1L, 333333L)))
+    assert(r(2L) == ((3L, 0L, 0L)))
+    assert(r(3L) == ((0L, 0L, 0L)))
+  }
+
   test("tfIdfTopTerms: rare term outranks common ones; k bound holds") {
     val docs = Seq(
       (1L, "common common common zebra"),

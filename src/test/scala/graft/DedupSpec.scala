@@ -92,6 +92,19 @@ class DedupSpec extends SparkSpec {
     assert(viaLoop == labels, "loop and union-find labels diverge")
   }
 
+  test("clusterSizeHistogram: sizes partition the corpus exactly") {
+    val docs = graft.core.Tables(spark, SfDir, "documents")
+    val hist = Dedup.clusterSizeHistogram(docs)
+      .as[(Long, Long)].collect().toMap
+    val labels = Dedup.nearDupClusters(docs).as[(Long, Long)].collect()
+    graft.core.CacheBay.drain()
+    // Σ size · n_clusters = corpus size; histogram matches the labels
+    assert(hist.map { case (sz, n) => sz * n }.sum == docs.count())
+    val fromLabels = labels.groupBy(_._2).values
+      .groupBy(_.size.toLong).map { case (sz, cs) => sz -> cs.size.toLong }
+    assert(hist == fromLabels)
+  }
+
   test("dupSpanRemoval: cross-doc repeated 5-gram spans are cut") {
     // docs 10/11 share the 5-token prefix; doc 12 shares nothing
     val d = Seq(

@@ -64,12 +64,15 @@ class PlanAuditSpec extends SparkSpec {
       // recall audit: the IVF side is a bucket equi-join; the BNLJ is
       // its brute-force ground-truth side (same shape as
       // sim_bruteforce_topk, bounded query subset)
-      "sim_ivf_recall")
+      "sim_ivf_recall",
+      // 1-row corpus-totals broadcast (same class as tf-idf's n_docs)
+      "text_collocations")
   // Building these performs driver-side actions (KMeans fit / LBFGS
   // training / count()s) — plan shape is audited by their own specs.
   private val ActionOnBuild =
     Set("ml_stream_train", "sim_ivf_topk", "dedup_clusters",
-      "dedup_canonical_reps")
+      "dedup_canonical_reps", "dedup_cluster_sizes",
+      "s13_partition_upsert")
 
   test("no registry query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

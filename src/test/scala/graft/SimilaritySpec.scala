@@ -125,6 +125,49 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("randomProjection: component signs reproduce the LSH bucket bits") {
+    import spark.implicits._
+    val emb = graft.core.Tables(spark, SfDir, "embeddings").limit(50)
+    val proj = Similarity.randomProjection(emb, kDims = 8)
+    val withBucket = emb.select($"vec_id",
+      Similarity.lshBucket($"embedding", 8).as("bucket"))
+    val j = proj.join(withBucket, "vec_id").collect()
+    assert(j.nonEmpty)
+    j.foreach { row =>
+      val bucket = row.getAs[String]("bucket")
+      (0 until 8).foreach { k =>
+        val p = row.getAs[Long](s"p$k")
+        // bit = 1 iff the (unquantized) component is > 0; the e6
+        // quantization keeps the sign except within half a micro-unit
+        if (math.abs(p) > 1) {
+          val expected = if (p > 0) '1' else '0'
+          assert(bucket.charAt(k) == expected,
+            s"vec ${row.getLong(0)} dim $k: p=$p bucket=$bucket")
+        }
+      }
+    }
+  }
+
+  test("ivfRecallAudit: recall in [0, 1e6], every brute-force query " +
+    "present, deterministic seed centers") {
+    val emb = graft.core.Tables(spark, SfDir, "embeddings")
+    val r = Similarity.ivfRecallAudit(emb)
+      .as[(Long, Long, Long)].collect()
+    graft.core.CacheBay.drain()
+    val nQueries = Similarity.bruteForceTopK(emb)
+      .select("q_id").distinct().count()
+    assert(r.length == nQueries)
+    r.foreach { case (_, hits, ppm) =>
+      assert(hits >= 0 && hits <= Similarity.TopK)
+      assert(ppm >= 0 && ppm <= 1000000L)
+      assert(ppm == hits * 1000000L / Similarity.TopK)
+    }
+    // seed centers are a function of the data alone
+    val c1 = Similarity.seedCenters(emb, 16).map(_.toSeq).toSeq
+    val c2 = Similarity.seedCenters(emb, 16).map(_.toSeq).toSeq
+    assert(c1 == c2)
+  }
+
   test("centroidOutliers flags the planted far vector only") {
     import spark.implicits._
     // label 0: four vectors tight around (1, 0) plus one at (-40, 0);
