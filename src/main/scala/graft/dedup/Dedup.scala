@@ -510,6 +510,54 @@ object Dedup {
         when(col("rk") === 1, 1L).otherwise(0L).as("is_rep"))
   }
 
+  /** Incremental dedup: flag INCOMING docs that near-duplicate a doc
+    * already in the EXISTING corpus — the arrival-time variant of
+    * X2/X3 that a rolling 100 TB ingest actually runs. The existing
+    * side's banded signatures are the stored index (built once per
+    * corpus snapshot and reused across batches; derived on the fly
+    * here), the incoming batch bands against it, and candidates come
+    * from the band equi-join — cost \|batch\| + \|matched bands\|,
+    * never \|corpus\| pairs. Emits one row per incoming doc: its best
+    * existing partner by estimated Jaccard (ties → min existing id),
+    * or NULL/is_dup=0 when genuinely new. Signatures are per-doc
+    * functions, so sign-then-split ≡ split-then-sign and the shared
+    * shingle cache serves both sides. */
+  def incrementalDedup(incoming: DataFrame, existing: DataFrame,
+      numHashes: Int = NumHashes, bands: Int = Bands,
+      minEst: Double = MinEstJaccard,
+      incomingShingles: Option[DataFrame] = None,
+      existingShingles: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inB = banded(graft.core.CacheBay.register(
+      minhashSignature(incoming, numHashes, incomingShingles)),
+      numHashes, bands)
+      .select(col("doc_id").as("in_id"), col("sig").as("a_sig"),
+        col("band"), col("bval"))
+    val exB = banded(graft.core.CacheBay.register(
+      minhashSignature(existing, numHashes, existingShingles)),
+      numHashes, bands)
+      .select(col("doc_id").as("ex_id"), col("sig").as("b_sig"),
+        col("band"), col("bval"))
+    val agree = aggregate(
+      zip_with(col("a_sig"), col("b_sig"),
+        (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+    val best = inB.join(exB, Seq("band", "bval"))
+      .dropDuplicates("in_id", "ex_id")
+      .select(col("in_id"), col("ex_id"),
+        round(agree / numHashes.toDouble, 6).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEst)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("in_id"))
+          .orderBy(desc("est_jaccard"), asc("ex_id"))))
+      .filter(col("rk") === 1)
+    incoming.select(col("doc_id"))
+      .join(best, col("doc_id") === col("in_id"), "left")
+      .select(col("doc_id"), col("ex_id").as("dup_of"),
+        col("est_jaccard"),
+        when(col("ex_id").isNull, 0L).otherwise(1L).as("is_dup"))
+  }
+
   /** Cluster-size histogram over the near-dup components — the dedup
     * coverage report (how much of the corpus is duplicated, at what
     * multiplicity: the "number of copies" curve dedup papers plot, and

@@ -446,6 +446,66 @@ object Pipeline {
         col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Per-source curation profile: doc count, exact-duplicate share
+    * (ppm), and mean quality (integer micro-units) per `source` — the
+    * domain-level report that drives source blocklists and mixing
+    * weights in a web-scale corpus (per-domain curation is the first
+    * cut every pretraining pipeline makes; per-doc scoring comes
+    * after). One fingerprint+quality map pass, one hash aggregate:
+    * linear, no driver state. Quality enters as
+    * `floor(q·10⁶ + 0.5)` BEFORE the sum so the mean is exact integer
+    * arithmetic in any accumulation order (the [[labelCentroids]]
+    * spelling). */
+  def sourceProfile(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        graft.text.TextAnalysis.fingerprintMd5(col("text")).as("fp"),
+        floor(graft.text.TextAnalysis.qualityScore(col("text"))
+          * 1000000.0 + 0.5).cast("long").as("q_e6"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"),
+        sum(col("q_e6")).cast("long").as("sum_q"))
+      .select(col("source"), col("n_docs"),
+        expr("((n_docs - n_unique) * 1000000) div n_docs").as("dup_ppm"),
+        expr("sum_q div n_docs").as("mean_quality_e6"))
+
+  /** Deterministic ratio mixing (curriculum interleave): source i (in
+    * source-name order, 1-based) gets weight i; the j-th doc of a
+    * source (1-based doc_id rank) is scheduled at integer key
+    * `(j·10⁶) div weight`, and the global schedule position orders by
+    * (key, source, doc_id) — any schedule prefix then holds the
+    * sources in ≈weight proportion, with no RNG, reproducibly. The
+    * global position uses the X44 decomposition (broadcast distinct-
+    * key offsets + intra-key rank), so the fact table is never
+    * globally sorted — the key table the cumulative window runs over
+    * is \|distinct keys\|, and at cluster scale a range-partitioned
+    * sort on `mix_pos` is Spark's own `orderBy`. */
+  def mixInterleave(docs: DataFrame): DataFrame = {
+    val weights = docs.select(col("source")).distinct()
+      .withColumn("weight", row_number().over(
+        Window.orderBy(col("source"))).cast("long"))
+    val keyed = graft.core.CacheBay.register(
+      docs.select(col("doc_id"), col("source"))
+        .join(broadcast(weights), Seq("source"))
+        .withColumn("src_rank", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("doc_id")))
+          .cast("long"))
+        .withColumn("key", expr("(src_rank * 1000000) div weight")))
+    val offsets = keyed.groupBy(col("key")).agg(count(lit(1)).as("c"))
+      .withColumn("below", coalesce(
+        sum(col("c")).over(Window.orderBy(col("key"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("key"), col("below"))
+    keyed.join(broadcast(offsets), Seq("key"))
+      .withColumn("mix_pos", (col("below") + row_number().over(
+        Window.partitionBy(col("key"))
+          .orderBy(col("source"), col("doc_id"))))
+        .cast("long"))
+      .select(col("doc_id"), col("source"), col("weight"),
+        col("src_rank"), col("mix_pos"))
+  }
+
   /** The full curation funnel a pre-training corpus goes through,
     * composed from this library's own operators: keep a document iff
     * it (1) is its exact-dup group's keeper, (2) scores at least

@@ -45,7 +45,19 @@ object DedupQueries {
     "dedup_lsh_audit" -> ((s, d) =>
       Dedup.lshAudit(docs(s, d), shingles = sh(s, d))),
     "dedup_cluster_sizes" -> ((s, d) =>
-      Dedup.clusterSizeHistogram(docs(s, d), shingles = sh(s, d))))
+      Dedup.clusterSizeHistogram(docs(s, d), shingles = sh(s, d))),
+    // incremental arrival-time dedup: incoming = doc_id % 4 == 0,
+    // existing = the rest; signatures are per-doc functions, so the
+    // shared shingle cache splits cleanly into the two sides
+    "dedup_incremental" -> ((s, d) => {
+      val dd = docs(s, d)
+      val shared = Dedup.sharedShingles(s, d)
+      Dedup.incrementalDedup(
+        dd.filter(col("doc_id") % 4 === 0),
+        dd.filter(col("doc_id") % 4 =!= 0),
+        incomingShingles = Some(shared.filter(col("doc_id") % 4 === 0)),
+        existingShingles = Some(shared.filter(col("doc_id") % 4 =!= 0)))
+    }))
 
   // ---- shared DuckDB CTEs (generated from the same constants) ----
 
@@ -212,6 +224,36 @@ object DedupQueries {
          |SELECT doc_id, cluster_id, quality,
          |  CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_rep
          |FROM j""".stripMargin,
+
+    // incoming docs banded against the existing side only (bands/sig
+    // CTEs over ALL docs, split by the %4 rule — signatures are
+    // per-doc, so split-then-sign ≡ sign-then-split); best existing
+    // partner by estimated Jaccard, ties → min id
+    "dedup_incremental" ->
+      s"""WITH $ShinglesCte, $SigCte, $LshBandCtes,
+         |inb AS (SELECT * FROM bands WHERE doc_id % 4 = 0),
+         |exb AS (SELECT * FROM bands WHERE doc_id % 4 <> 0),
+         |ic AS (SELECT DISTINCT i.doc_id AS in_id, e.doc_id AS ex_id
+         |       FROM inb i JOIN exb e
+         |         ON i.band = e.band AND i.bval = e.bval),
+         |m AS (SELECT * FROM (
+         |    SELECT in_id, ex_id,
+         |      ROUND(CAST(list_sum(list_transform(range(1, ${NumHashes + 1}),
+         |        i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+         |        AS BIGINT) / $NumHashes.0, 6) AS est_jaccard
+         |    FROM ic JOIN sig sa ON in_id = sa.doc_id
+         |             JOIN sig sb ON ex_id = sb.doc_id
+         |  ) WHERE est_jaccard >= $MinEstJaccard),
+         |b AS (SELECT in_id, ex_id, est_jaccard, row_number() OVER (
+         |        PARTITION BY in_id
+         |        ORDER BY est_jaccard DESC, ex_id) AS rk
+         |      FROM m)
+         |SELECT d.doc_id, b.ex_id AS dup_of, b.est_jaccard,
+         |  CAST(CASE WHEN b.ex_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         |    AS is_dup
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+         |LEFT JOIN (SELECT * FROM b WHERE rk = 1) b
+         |  ON d.doc_id = b.in_id""".stripMargin,
 
     // the same recursive-CTE labels rolled up twice: per-cluster size,
     // then clusters per size

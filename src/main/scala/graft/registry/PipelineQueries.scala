@@ -36,7 +36,10 @@ object PipelineQueries {
     "pipe_token_budget" -> ((s, d) =>
       Pipeline.tokenBudgetSelect(docs(s, d))),
     "pipe_balanced_sample" -> ((s, d) =>
-      Pipeline.balancedSample(docs(s, d))))
+      Pipeline.balancedSample(docs(s, d))),
+    "pipe_source_profile" -> ((s, d) => Pipeline.sourceProfile(docs(s, d))),
+    "pipe_mix_interleave" -> ((s, d) =>
+      Pipeline.mixInterleave(docs(s, d))))
 
   // ---- DuckDB oracle SQL, generated from the same constants ----
 
@@ -333,5 +336,42 @@ object PipelineQueries {
          |LEFT JOIN contam USING (doc_id)
          |WHERE spl.split = 'train' AND spl.doc_id % $BenchMod <> 0
          |  AND qual.quality >= ${Pipeline.MinQuality}
-         |  AND COALESCE(contam.contaminated, 0) = 0""".stripMargin)
+         |  AND COALESCE(contam.contaminated, 0) = 0""".stripMargin,
+
+    // quality enters as floor(q·1e6 + 0.5) BEFORE the sum (exact
+    // integer mean, any accumulation order); same qualitySql /
+    // normSql shared vals as the standalone operators
+    "pipe_source_profile" ->
+      s"""WITH p AS (
+         |  SELECT source, md5(${DedupQueries.normSql}) AS fp,
+         |         CAST(floor((${TextQueries.qualitySql})
+         |           * CAST(1000000 AS DOUBLE)
+         |           + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q_e6
+         |  FROM documents),
+         |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |        CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+         |        CAST(SUM(q_e6) AS BIGINT) AS sum_q
+         |      FROM p GROUP BY 1)
+         |SELECT source, n_docs,
+         |  ((n_docs - n_unique) * 1000000) // n_docs AS dup_ppm,
+         |  sum_q // n_docs AS mean_quality_e6
+         |FROM a""".stripMargin,
+
+    // the oracle may global-sort (row_number over the full order); the
+    // engine derives mix_pos via the distinct-key offset decomposition
+    "pipe_mix_interleave" ->
+      """WITH w AS (
+        |  SELECT source, CAST(row_number() OVER (ORDER BY source)
+        |    AS BIGINT) AS weight
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |k AS (
+        |  SELECT doc_id, d.source, weight,
+        |    CAST(row_number() OVER (PARTITION BY d.source
+        |      ORDER BY doc_id) AS BIGINT) AS src_rank
+        |  FROM documents d JOIN w ON d.source = w.source),
+        |ky AS (SELECT *, (src_rank * 1000000) // weight AS key FROM k)
+        |SELECT doc_id, source, weight, src_rank,
+        |  CAST(row_number() OVER (ORDER BY key, source, doc_id)
+        |    AS BIGINT) AS mix_pos
+        |FROM ky""".stripMargin)
 }

@@ -92,6 +92,30 @@ class DedupSpec extends SparkSpec {
     assert(viaLoop == labels, "loop and union-find labels diverge")
   }
 
+  test("incrementalDedup: arrival near-dups flagged with best partner, " +
+    "novel docs pass") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val existing = Seq(
+      (1L, base),
+      (2L, "completely different content about spark streaming windows"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base),                                    // exact dup of 1
+      (11L, "unrelated novel text nothing shared here with anything"))
+      .toDF("doc_id", "text")
+    val r = Dedup.incrementalDedup(incoming, existing)
+      .select($"doc_id", $"is_dup")
+      .as[(Long, Long)].collect().toMap
+    graft.core.CacheBay.drain()
+    assert(r(10L) == 1L, "planted duplicate not flagged")
+    assert(r(11L) == 0L, "novel doc falsely flagged")
+    val dupOf = Dedup.incrementalDedup(incoming, existing)
+      .filter($"doc_id" === 10L).select($"dup_of")
+      .as[Long].head()
+    graft.core.CacheBay.drain()
+    assert(dupOf == 1L)
+  }
+
   test("clusterSizeHistogram: sizes partition the corpus exactly") {
     val docs = graft.core.Tables(spark, SfDir, "documents")
     val hist = Dedup.clusterSizeHistogram(docs)

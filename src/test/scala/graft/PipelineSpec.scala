@@ -207,4 +207,39 @@ class PipelineSpec extends SparkSpec {
       brute.exceptAll(got).count() == 0)
     assert(r.count() > 0)
   }
+
+  test("sourceProfile: exact dup share and integer mean quality") {
+    val docs = Seq(
+      (1L, "aa bb cc", "s1"), (2L, "aa bb cc", "s1"), (3L, "zz", "s1"),
+      (4L, "dd ee", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r = Pipeline.sourceProfile(docs)
+      .as[(String, Long, Long, Long)].collect()
+      .map(x => x._1 -> (x._2, x._3)).toMap
+    // s1: 3 docs, 2 unique fingerprints -> dup_ppm = 333333
+    assert(r("s1")._1 == 3L && r("s1")._2 == 333333L)
+    assert(r("s2") == ((1L, 0L)))
+  }
+
+  test("mixInterleave: positions are a permutation; prefix holds " +
+    "sources in ≈weight proportion") {
+    val docs = graft.core.Tables(spark, SfDir, "documents")
+    val r = Pipeline.mixInterleave(docs)
+      .select($"doc_id", $"source", $"weight", $"mix_pos")
+      .as[(Long, String, Long, Long)].collect()
+    graft.core.CacheBay.drain()
+    assert(r.length == docs.count())
+    assert(r.map(_._4).sorted.sameElements(1L to r.length))
+    // in the first half of the schedule, a weight-w source appears
+    // ≈ w/Σw of the time (±40% relative — the interleave is exact up
+    // to per-source exhaustion)
+    val totalW = r.map(x => x._2 -> x._3).distinct.map(_._2).sum
+    val half = r.filter(_._4 <= r.length / 2)
+    r.map(x => x._2 -> x._3).distinct.foreach { case (src, w) =>
+      val got = half.count(_._2 == src).toDouble
+      val want = (r.length / 2).toDouble * w / totalW
+      assert(math.abs(got - want) <= want * 0.4 + 3,
+        s"$src w=$w got=$got want≈$want")
+    }
+  }
 }
