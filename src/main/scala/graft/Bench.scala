@@ -32,6 +32,8 @@ object Bench {
         graft.core.Star.siop(spark, sfDir).count()
         graft.core.Star.calendar(spark, sfDir).count()
         graft.dedup.Dedup.sharedShingles(spark, sfDir).count()
+        graft.dedup.Dedup.sharedPairs(spark, sfDir).count()
+        graft.dedup.Dedup.sharedClusters(spark, sfDir).count()
       } catch { case _: Throwable => () }
     }
     val cacheBuild = (System.nanoTime() - tc) / 1e9

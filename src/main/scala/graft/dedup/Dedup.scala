@@ -100,6 +100,27 @@ object Dedup {
     graft.core.SessionCache.cached(spark, s"shingles:$dir:$n")(
       shingleSets(graft.core.Tables(spark, dir, "documents"), n))
 
+  /** Session-cached MinHash+LSH candidate pairs for the `documents`
+    * table at `dir` — second tier of the family cache: the pair set
+    * feeds clusters, the LSH audit, and the raw pair listing, so a
+    * Bench/Verify sweep pays the signature→band→bucket-join once. */
+  def sharedPairs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.core.SessionCache.cached(spark, s"lshpairs:$dir")(
+      minhashLshPairs(graft.core.Tables(spark, dir, "documents"),
+        shingles = Some(sharedShingles(spark, dir))))
+
+  /** Session-cached near-dup cluster labels for the `documents` table
+    * at `dir` — third tier of the family cache: clusters, canonical
+    * reps, and the size histogram all start from the same connected
+    * components, so the label computation materializes once per
+    * session instead of once per query. */
+  def sharedClusters(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.core.SessionCache.cached(spark, s"clusters:$dir")(
+      nearDupClusters(graft.core.Tables(spark, dir, "documents"),
+        pairs = Some(sharedPairs(spark, dir))))
+
   /** Exact dedup: group by normalized-text MD5; keeper = min doc_id. */
   def exactDedup(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprintMd5(col("text")).as("fp"))
@@ -263,13 +284,18 @@ object Dedup {
 
   def nearDupClusters(docs: DataFrame, maxIters: Int = 10,
       localMaxEdges: Long = LocalCcMaxEdges,
-      shingles: Option[DataFrame] = None): DataFrame = {
-    val pairs = graft.core.CacheBay.register(
-      minhashLshPairs(docs, shingles = shingles)
-        .select(col("a_id"), col("b_id")))
-    if (pairs.count() * 2 <= localMaxEdges)
-      return joinLabels(docs, localUnionFind(pairs))
-    distributedClusters(docs, pairs, maxIters)
+      shingles: Option[DataFrame] = None,
+      pairs: Option[DataFrame] = None): DataFrame = {
+    // a provided pair frame (e.g. the session-shared [[sharedPairs]])
+    // carries its own persistence; only a per-call build registers with
+    // CacheBay for the end-of-query drain
+    val edges = pairs.map(_.select(col("a_id"), col("b_id")))
+      .getOrElse(graft.core.CacheBay.register(
+        minhashLshPairs(docs, shingles = shingles)
+          .select(col("a_id"), col("b_id"))))
+    if (edges.count() * 2 <= localMaxEdges)
+      return joinLabels(docs, localUnionFind(edges))
+    distributedClusters(docs, edges, maxIters)
   }
 
   /** Driver union-find (path halving + union by min label) over a
@@ -403,8 +429,9 @@ object Dedup {
     * Absent-side scores report -1 (the join's null), keeping the output
     * all-non-null for the oracle hash. */
   def lshAudit(docs: DataFrame,
-      shingles: Option[DataFrame] = None): DataFrame = {
-    val est = minhashLshPairs(docs, shingles = shingles)
+      shingles: Option[DataFrame] = None,
+      pairs: Option[DataFrame] = None): DataFrame = {
+    val est = pairs.getOrElse(minhashLshPairs(docs, shingles = shingles))
       .select(col("a_id"), col("b_id"), col("est_jaccard"))
     val tru = ngramJaccardPairs(docs, shingles = shingles)
       .select(col("a_id"), col("b_id"), col("jaccard"))
@@ -497,9 +524,11 @@ object Dedup {
     * the CC labels; singleton clusters (the vast majority) pass
     * through rank 1 untouched. */
   def canonicalReps(docs: DataFrame,
-      shingles: Option[DataFrame] = None): DataFrame = {
+      shingles: Option[DataFrame] = None,
+      clusterLabels: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val clusters = nearDupClusters(docs, shingles = shingles)
+    val clusters = clusterLabels.getOrElse(
+      nearDupClusters(docs, shingles = shingles))
     val scored = docs.select(col("doc_id"),
       qualityScore(col("text")).as("quality"))
     clusters.join(scored, Seq("doc_id"))
@@ -566,8 +595,9 @@ object Dedup {
     * cost is the label computation itself, amortized across the family
     * via the shared shingle cache. */
   def clusterSizeHistogram(docs: DataFrame,
-      shingles: Option[DataFrame] = None): DataFrame =
-    nearDupClusters(docs, shingles = shingles)
+      shingles: Option[DataFrame] = None,
+      clusterLabels: Option[DataFrame] = None): DataFrame =
+    clusterLabels.getOrElse(nearDupClusters(docs, shingles = shingles))
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).cast("long").as("cluster_size"))
       .groupBy(col("cluster_size"))

@@ -24,13 +24,13 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(docs(s, d))),
     "dedup_clusters" -> ((s, d) =>
-      Dedup.nearDupClusters(docs(s, d), shingles = sh(s, d))),
+      Dedup.nearDupClusters(docs(s, d),
+        pairs = Some(Dedup.sharedPairs(s, d)))),
     "dedup_minhash_sig" -> ((s, d) =>
       Dedup.minhashSignature(docs(s, d), shingles = sh(s, d))
         .select(col("doc_id"),
           array_join(col("sig").cast("array<string>"), ",").as("sig_str"))),
-    "dedup_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashLshPairs(docs(s, d), shingles = sh(s, d))),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.sharedPairs(s, d)),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(docs(s, d), shingles = sh(s, d))),
     "dedup_simhash_pairs" -> ((s, d) =>
@@ -41,11 +41,14 @@ object DedupQueries {
       Dedup.shingleNovelty(docs(s, d), shingles = sh(s, d))),
     "dedup_dup_spans" -> ((s, d) => Dedup.dupSpanRemoval(docs(s, d))),
     "dedup_canonical_reps" -> ((s, d) =>
-      Dedup.canonicalReps(docs(s, d), shingles = sh(s, d))),
+      Dedup.canonicalReps(docs(s, d),
+        clusterLabels = Some(Dedup.sharedClusters(s, d)))),
     "dedup_lsh_audit" -> ((s, d) =>
-      Dedup.lshAudit(docs(s, d), shingles = sh(s, d))),
+      Dedup.lshAudit(docs(s, d), shingles = sh(s, d),
+        pairs = Some(Dedup.sharedPairs(s, d)))),
     "dedup_cluster_sizes" -> ((s, d) =>
-      Dedup.clusterSizeHistogram(docs(s, d), shingles = sh(s, d))),
+      Dedup.clusterSizeHistogram(docs(s, d),
+        clusterLabels = Some(Dedup.sharedClusters(s, d)))),
     // incremental arrival-time dedup: incoming = doc_id % 4 == 0,
     // existing = the rest; signatures are per-doc functions, so the
     // shared shingle cache splits cleanly into the two sides

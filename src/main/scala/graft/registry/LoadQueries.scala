@@ -95,7 +95,14 @@ object LoadQueries {
     // state from the raw inputs, proving result-identity of the
     // dynamic-partition-overwrite path to a plain keyed merge
     "s13_partition_upsert" -> ((s, d) => {
-      val base = Tables(s, d, "orders").select(col("o_orderkey"),
+      // a 3-year slice keeps the fixture at 36 month partitions — the
+      // partition-granular merge semantics are identical at any
+      // partition count, and the seed write is setup cost, not the
+      // operator under test
+      val base = Tables(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01")
+          && col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyyMM").as("ym"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
       val dir = java.nio.file.Files
@@ -257,7 +264,9 @@ object LoadQueries {
       """WITH b AS (
         |  SELECT o_orderkey, strftime(o_orderdate, '%Y%m') AS ym,
         |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-        |  FROM orders),
+        |  FROM orders
+        |  WHERE o_orderdate >= DATE '1995-01-01'
+        |    AND o_orderdate < DATE '1998-01-01'),
         |d AS (
         |  SELECT o_orderkey, ym, CAST(cents + 12345 AS BIGINT) AS cents
         |  FROM b WHERE ym IN ('199601', '199602') AND o_orderkey % 7 = 0

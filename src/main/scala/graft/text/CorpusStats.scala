@@ -3,7 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.text.TextAnalysis.{normalize, wordShingles}
+import graft.text.TextAnalysis.{normalize, wordShinglesOf}
 
 /** Corpus-statistics operators for training-data curation: repetition
   * signals (the Gopher-rules repetition filters), corpus token-rarity
@@ -40,17 +40,19 @@ object CorpusStats {
     * legs), joined back to the full doc list so token-less documents
     * report zeros rather than vanish. */
   def repetitionSignals(docs: DataFrame): DataFrame = {
+    // cache ONLY the token array; bigrams derive linearly from the
+    // cached attribute (wordShinglesOf) on the one leg that needs them
     val t = graft.core.CacheBay.register(
       docs.repartition(col("doc_id")).select(col("doc_id"),
-        tokenArray(col("text")).as("w"),
-        wordShingles(col("text"), 2).as("bg")))
+        tokenArray(col("text")).as("w")))
     val uni = t.select(col("doc_id"), explode(col("w")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).cast("long").as("n_tokens"),
         count(lit(1)).as("n_distinct"),
         max(col("c")).cast("long").as("top_tok"))
-    val bi = t.select(col("doc_id"), explode(col("bg")).as("sh"))
+    val bi = t.select(col("doc_id"),
+        explode(wordShinglesOf(col("w"), 2)).as("sh"))
       .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).cast("long").as("n_bigrams"),
@@ -164,13 +166,14 @@ object CorpusStats {
     * TakeOrdered — linear at any corpus size. */
   def collocations(docs: DataFrame, k: Int = CollocK,
       minCount: Int = CollocMinCount): DataFrame = {
+    // cache ONLY the token array; bigrams derive linearly from the
+    // cached attribute (wordShinglesOf) on the one leg that needs them
     val t = graft.core.CacheBay.register(
       docs.repartition(col("doc_id")).select(col("doc_id"),
-        tokenArray(col("text")).as("w"),
-        wordShingles(col("text"), 2).as("bg")))
+        tokenArray(col("text")).as("w")))
     val uni = t.select(explode(col("w")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).cast("long").as("n_tok"))
-    val bi = t.select(explode(col("bg")).as("bigram"))
+    val bi = t.select(explode(wordShinglesOf(col("w"), 2)).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).cast("long").as("n_ab"))
       .filter(col("n_ab") >= minCount)
     val totals = t.select(

@@ -107,13 +107,26 @@ object TextAnalysis {
     aggregate(codes, lit(0L), (acc, x) => (acc * 31 + x) % 2147483647L)
   }
 
-  /** Word n-gram shingles of the normalized text (n consecutive words
-    * joined by a single space); empty array when fewer than n words. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val w = split(normalize(text), " ")
+  /** Word n-gram shingles of an already-materialized token ARRAY
+    * column (n consecutive words joined by a single space); empty
+    * array when fewer than n words. `w` should be a plain attribute
+    * (a staged projection or cached column): `element_at` on an
+    * attribute is O(1) per lambda invocation, so the whole shingle
+    * array is linear in document length. */
+  def wordShinglesOf(w: Column, n: Int): Column = {
     val cnt = size(w) - (n - 1)
     when(cnt < 1, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), cnt), i =>
         concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))
   }
+
+  /** Word n-gram shingles straight from raw text. ONLY for tiny/ad-hoc
+    * frames: the split-of-normalized-text sub-expression sits inside
+    * the per-element lambda, where interpreted evaluation recomputes it
+    * at every `element_at` reference — quadratic per document (measured
+    * 140× on the corpus bench). Corpus-scale callers must stage the
+    * token array as its own projection/cache column and use
+    * [[wordShinglesOf]]. */
+  def wordShingles(text: Column, n: Int): Column =
+    wordShinglesOf(split(normalize(text), " "), n)
 }
