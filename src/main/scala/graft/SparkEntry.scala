@@ -29,7 +29,8 @@ object SparkEntry {
     (StreamQueries.queries, StreamQueries.oracles),
     (MultimodalQueries.queries, MultimodalQueries.oracles),
     (PipelineQueries.queries, PipelineQueries.oracles),
-    (LoadQueries.queries, LoadQueries.oracles))
+    (LoadQueries.queries, LoadQueries.oracles),
+    (MaintQueries.queries, MaintQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

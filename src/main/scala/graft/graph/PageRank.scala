@@ -1,0 +1,81 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Integer-exact PageRank over a bipartite interaction graph — the
+  * authority-scoring primitive a curation pipeline runs over its
+  * domain/link graph (rank web domains by who references them, weight
+  * crawl priority, damp low-authority sources before quality scoring).
+  * The fixture graph is the purchase graph: customer↔supplier edges
+  * from `orders ⋈ lineitem`, symmetrized so no node is a dangling
+  * sink.
+  *
+  * All arithmetic is INTEGER micro-units: every node starts at 10⁶,
+  * one step is `r' = (1−d)·10⁶ + d · Σ_{u→v} (r(u) div outdeg(u))`
+  * with d = 85/100 applied as `(85 · Σ) div 100`. Floor division
+  * loses ≤1 µunit per edge, deterministically and identically in any
+  * engine and any accumulation order — so a DuckDB oracle can replay
+  * the exact values, which float PageRank (whose sums reassociate
+  * per-partition) never hash-matches.
+  *
+  * Scale shape: one iteration = one equi-join of the edge list with
+  * the rank table on `src` (both hash-partitioned on the same key
+  * after the first shuffle) + one `groupBy(dst)` sum — the standard
+  * distributed PageRank step, linear in |E| per iteration, no
+  * adjacency ever collected. The edge list and degree table persist
+  * once ([[graft.core.CacheBay]]) and are reused by every iteration;
+  * the iteration count is a small constant so the unrolled lineage
+  * stays shallow (an open-ended convergence loop would add
+  * `localCheckpoint` per round, as [[graft.dedup.Dedup]]'s CC loop
+  * does).
+  *
+  * Reference-free addition (SURVEY §2.11 X81): the reference has no
+  * graph operator; this is the training-data-pipeline authority
+  * signal re-expressed Spark-first.
+  */
+object PageRank {
+
+  val Iters = 3
+  val BaseE6 = 1000000L
+  /** (1−d)·10⁶ and the d = 85/100 rational, as integers. */
+  val RestartE6 = 150000L
+  val DampNum = 85L
+  val DampDen = 100L
+
+  /** Node encoding: customers at 2·key, suppliers at 2·key+1 keeps the
+    * two id spaces disjoint in one integer column. */
+  def purchaseRanks(orders: DataFrame, lineitem: DataFrame,
+      iters: Int = Iters): DataFrame = {
+    val cs = lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).cast("long").as("src"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+      .distinct()
+    // symmetrize: every node has out-edges, so no dangling-mass term
+    val edges = graft.core.CacheBay.register(
+      cs.unionByName(cs.select(col("dst").as("src"), col("src").as("dst"))))
+    val deg = graft.core.CacheBay.register(
+      edges.groupBy(col("src"))
+        .agg(count(lit(1)).cast("long").as("outdeg")))
+    var rank = deg.select(col("src").as("node"), lit(BaseE6).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(deg, Seq("src"))
+        .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("pr div outdeg")).cast("long").as("c"))
+      rank = deg.select(col("src").as("node"))
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(RestartE6) +
+            expr(s"($DampNum * coalesce(c, cast(0 as bigint))) div $DampDen"))
+            .cast("long").as("pr"))
+    }
+    rank.select(
+      when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+        .as("kind"),
+      expr("node div 2").cast("long").as("id"),
+      col("pr").as("rank_e6"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.graph.PageRank
+import graft.maint.Maintenance
+
+/** Registry: graph-authority and table-maintenance planning operators
+  * (SURVEY §2.11 X81–X83). Oracle SQL is generated from the same
+  * constants as the Scala operators — iteration count, damping
+  * rational, byte targets, and the Morton bit expansion — so both
+  * engines evaluate the identical integer arithmetic.
+  */
+object MaintQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> ((s, d) =>
+      PageRank.purchaseRanks(Tables(s, d, "orders"),
+        Tables(s, d, "lineitem"))),
+    "maint_compaction_plan" -> ((s, d) =>
+      Maintenance.compactionPlan(
+        Tables(s, d, "documents").select(col("source"), col("doc_id"),
+          length(col("text")).cast("long").as("bytes")))),
+    "maint_zorder_stats" -> ((s, d) =>
+      Maintenance.zorderStats(Tables(s, d, "lineitem"),
+        "l_partkey", "l_suppkey")))
+
+  /** One PageRank step as a CTE, from the same constants. */
+  private def prStep(prev: String, curr: String): String =
+    s"""$curr AS (SELECT d.src AS node,
+       |  CAST(${PageRank.RestartE6} + (${PageRank.DampNum} *
+       |    COALESCE(s.c, 0)) // ${PageRank.DampDen} AS BIGINT) AS pr
+       |FROM deg d LEFT JOIN (
+       |  SELECT e.dst, CAST(SUM(r.pr // g.outdeg) AS BIGINT) AS c
+       |  FROM e JOIN deg g ON e.src = g.src
+       |       JOIN $prev r ON e.src = r.node
+       |  GROUP BY 1) s ON d.src = s.dst)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "graph_pagerank" ->
+      s"""WITH cs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (SELECT src, dst FROM cs
+         |      UNION ALL SELECT dst AS src, src AS dst FROM cs),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+         |        FROM e GROUP BY 1),
+         |r0 AS (SELECT src AS node, CAST(${PageRank.BaseE6} AS BIGINT)
+         |         AS pr FROM deg),
+         |${(1 to PageRank.Iters).map(i => prStep(s"r${i - 1}", s"r$i"))
+            .mkString(",\n")}
+         |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |    AS kind,
+         |  CAST(node // 2 AS BIGINT) AS id, pr AS rank_e6
+         |FROM r${PageRank.Iters}""".stripMargin,
+
+    "maint_compaction_plan" ->
+      s"""WITH m AS (
+         |  SELECT source, doc_id, CAST(length(text) AS BIGINT) AS bytes
+         |  FROM documents),
+         |o AS (
+         |  SELECT source, doc_id, bytes,
+         |    CAST(COALESCE(SUM(bytes) OVER (
+         |      PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS start_off
+         |  FROM m)
+         |SELECT source, doc_id, bytes,
+         |  start_off // ${Maintenance.TargetBytes} AS bin
+         |FROM o""".stripMargin,
+
+    "maint_zorder_stats" ->
+      s"""WITH b AS (
+         |  SELECT CAST(l_partkey AS BIGINT) AS x,
+         |         CAST(l_suppkey AS BIGINT) AS y
+         |  FROM lineitem),
+         |z AS (SELECT x, y,
+         |        ${Maintenance.mortonKeySql("x", "y")} AS zkey
+         |      FROM b)
+         |SELECT zkey // ${1L << Maintenance.ZBucketShift} AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  MIN(x) AS x_min, MAX(x) AS x_max,
+         |  MIN(y) AS y_min, MAX(y) AS y_max
+         |FROM z GROUP BY 1""".stripMargin)
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.PageRank
+import graft.maint.Maintenance
+
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("purchaseRanks: shared supplier out-ranks exclusive one; " +
+    "ranks are deterministic integers") {
+    // customers 1,2 both buy from supplier 1; only customer 1 buys
+    // from supplier 2 — supplier 1 must end with the higher authority
+    val orders = Seq((10L, 1L), (11L, 2L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((10L, 1L), (10L, 2L), (11L, 1L))
+      .toDF("l_orderkey", "l_suppkey")
+    val r = PageRank.purchaseRanks(orders, lineitem)
+      .filter($"kind" === "supplier")
+      .select($"id", $"rank_e6").as[(Long, Long)].collect().toMap
+    graft.core.CacheBay.drain()
+    assert(r(1L) > r(2L), s"shared supplier should rank higher: $r")
+    // floor division only ever LOSES mass: total ≤ N · 10⁶
+    assert(r.values.forall(_ > 0) && r.values.sum <= 4 * 1000000L)
+  }
+
+  test("compactionPlan: start-offset binning packs every non-final " +
+    "bin past the target") {
+    val m = Seq(("p", 1L, 3000L), ("p", 2L, 3000L), ("p", 3L, 3000L),
+      ("q", 9L, 100L)).toDF("source", "doc_id", "bytes")
+    val r = Maintenance.compactionPlan(m)
+      .select($"source", $"doc_id", $"bin").as[(String, Long, Long)]
+      .collect().toSet
+    // offsets 0 / 3000 / 6000 with target 4096 → bins 0, 0, 1
+    assert(r == Set(("p", 1L, 0L), ("p", 2L, 0L), ("p", 3L, 1L),
+      ("q", 9L, 0L)))
+  }
+
+  test("mortonKey: bit-interleave matches the hand computation") {
+    // x=3 (011), y=5 (101): z bits x0 y0 x1 y1 x2 y2 = 1·1+2·1+4·1+
+    // 8·0+16·0+32·1 = 39
+    val r = Seq((3L, 5L)).toDF("x", "y")
+      .select(Maintenance.mortonKey($"x", $"y").as("z"))
+      .as[Long].head()
+    assert(r == 39L)
+  }
+
+  test("zorderStats: per-bucket ranges are tight vs the global span") {
+    val li = graft.core.Tables(spark, SfDir, "lineitem")
+    // the sf0.001 key space is ≤8 bits per dim — bucket on bits ≥4 of
+    // each dim (shift 8) so the fixture actually splits into tiles
+    val stats = Maintenance.zorderStats(li, "l_partkey", "l_suppkey",
+      bucketShift = 8).collect()
+    val xSpanGlobal = li.agg(max($"l_partkey") - min($"l_partkey"))
+      .head().getLong(0)
+    val avgSpan = stats.map(r => r.getAs[Long]("x_max") -
+      r.getAs[Long]("x_min")).sum.toDouble / stats.length
+    // Z-order buckets bound BOTH dimensions: the average per-bucket
+    // partkey span must be well under the global span (a 1-D sort on
+    // suppkey alone would leave it ≈ global)
+    assert(avgSpan < xSpanGlobal / 2.0,
+      s"avg bucket span $avgSpan vs global $xSpanGlobal")
+    assert(stats.map(_.getAs[Long]("n_rows")).sum == li.count())
+  }
+}
