@@ -555,16 +555,31 @@ object Dedup {
       numHashes: Int = NumHashes, bands: Int = Bands,
       minEst: Double = MinEstJaccard,
       incomingShingles: Option[DataFrame] = None,
-      existingShingles: Option[DataFrame] = None): DataFrame = {
+      existingShingles: Option[DataFrame] = None): DataFrame =
+    incrementalDedupBySig(
+      graft.core.CacheBay.register(
+        minhashSignature(incoming, numHashes, incomingShingles)),
+      graft.core.CacheBay.register(
+        minhashSignature(existing, numHashes, existingShingles)),
+      numHashes, bands, minEst,
+      allIncoming = Some(incoming.select(col("doc_id"))))
+
+  /** Signature-level core of [[incrementalDedup]]: flag the incoming
+    * `(doc_id, sig)` frame against an existing signature index — the
+    * form a streaming ingest runs, where the index is STORED state
+    * ([[graft.streaming.StreamDedup]]) and each document's signature
+    * is computed exactly once, ever. `allIncoming` restores the
+    * one-row-per-incoming-doc contract for docs too short to shingle
+    * (they carry no signature but still pass through as novel). */
+  def incrementalDedupBySig(inSig: DataFrame, exSig: DataFrame,
+      numHashes: Int = NumHashes, bands: Int = Bands,
+      minEst: Double = MinEstJaccard,
+      allIncoming: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val inB = banded(graft.core.CacheBay.register(
-      minhashSignature(incoming, numHashes, incomingShingles)),
-      numHashes, bands)
+    val inB = banded(inSig, numHashes, bands)
       .select(col("doc_id").as("in_id"), col("sig").as("a_sig"),
         col("band"), col("bval"))
-    val exB = banded(graft.core.CacheBay.register(
-      minhashSignature(existing, numHashes, existingShingles)),
-      numHashes, bands)
+    val exB = banded(exSig, numHashes, bands)
       .select(col("doc_id").as("ex_id"), col("sig").as("b_sig"),
         col("band"), col("bval"))
     val agree = aggregate(
@@ -580,7 +595,7 @@ object Dedup {
         Window.partitionBy(col("in_id"))
           .orderBy(desc("est_jaccard"), asc("ex_id"))))
       .filter(col("rk") === 1)
-    incoming.select(col("doc_id"))
+    allIncoming.getOrElse(inSig).select(col("doc_id"))
       .join(best, col("doc_id") === col("in_id"), "left")
       .select(col("doc_id"), col("ex_id").as("dup_of"),
         col("est_jaccard"),
