@@ -506,6 +506,53 @@ object Pipeline {
         col("src_rank"), col("mix_pos"))
   }
 
+  /** Width of one quality bucket in µunits (10 buckets across [0,1],
+    * plus the exact-1.0 edge bucket). */
+  val DriftBucketE6 = 100000L
+
+  /** Quality-distribution drift between the hash splits — the
+    * train/eval skew check run before shipping a split: a correct
+    * doc_id-hash split should show every quality bucket at ≈ the same
+    * share in train, valid, and test, and a drift here means the split
+    * key correlates with content (leaky key, id assigned by source or
+    * time). Emits the DENSE (bucket × split) grid — a bucket that is
+    * populated in the corpus but EMPTY in one split is the starkest
+    * drift and must not vanish from the report. All shares are integer
+    * ppm (`n·10⁶ div total`), so the report hash-matches any engine.
+    *
+    * Scale shape: one map pass over the corpus into a
+    * (split, bucket)-keyed count — tens of rows — and everything after
+    * is arithmetic on that tiny frame (split/bucket margins, one
+    * broadcast grand total). Linear, one aggregation shuffle. */
+  def splitDrift(docs: DataFrame): DataFrame = {
+    val b = docs.select(hashBucket(col("doc_id")).as("hb"),
+        floor(graft.text.TextAnalysis.qualityScore(col("text"))
+          * 1000000.0 + 0.5).cast("long").as("q_e6"))
+      .select(when(col("hb") < TrainPct, lit("train"))
+          .when(col("hb") < TrainPct + ValidPct, lit("valid"))
+          .otherwise(lit("test")).as("split"),
+        expr(s"q_e6 div $DriftBucketE6").cast("long").as("q_bucket"))
+    val counts = graft.core.CacheBay.register(
+      b.groupBy(col("split"), col("q_bucket"))
+        .agg(count(lit(1)).cast("long").as("n")))
+    val splitTotals = counts.groupBy(col("split"))
+      .agg(sum(col("n")).cast("long").as("n_split"))
+    val bucketTotals = counts.groupBy(col("q_bucket"))
+      .agg(sum(col("n")).cast("long").as("n_bucket"))
+    val grand = counts.agg(sum(col("n")).cast("long").as("n_all"))
+    val grid = bucketTotals.select(col("q_bucket"), col("n_bucket"),
+      explode(array(lit("train"), lit("valid"), lit("test"))).as("split"))
+    grid.join(counts, Seq("split", "q_bucket"), "left")
+      .join(splitTotals, Seq("split"), "left")
+      .crossJoin(broadcast(grand))
+      .select(col("split"), col("q_bucket"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(expr("(n * 1000000) div n_split"), lit(0L))
+          .as("share_ppm"),
+        expr("(n_bucket * 1000000) div n_all").as("corpus_ppm"))
+      .withColumn("drift_ppm", abs(col("share_ppm") - col("corpus_ppm")))
+  }
+
   /** The full curation funnel a pre-training corpus goes through,
     * composed from this library's own operators: keep a document iff
     * it (1) is its exact-dup group's keeper, (2) scores at least

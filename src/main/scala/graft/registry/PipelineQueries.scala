@@ -38,6 +38,7 @@ object PipelineQueries {
     "pipe_balanced_sample" -> ((s, d) =>
       Pipeline.balancedSample(docs(s, d))),
     "pipe_source_profile" -> ((s, d) => Pipeline.sourceProfile(docs(s, d))),
+    "pipe_split_drift" -> ((s, d) => Pipeline.splitDrift(docs(s, d))),
     "pipe_mix_interleave" -> ((s, d) =>
       Pipeline.mixInterleave(docs(s, d))))
 
@@ -356,6 +357,43 @@ object PipelineQueries {
          |  ((n_docs - n_unique) * 1000000) // n_docs AS dup_ppm,
          |  sum_q // n_docs AS mean_quality_e6
          |FROM a""".stripMargin,
+
+    // dense (bucket × split) grid so empty-in-one-split buckets keep a
+    // row; integer-ppm shares; same qualitySql/bucket constants
+    "pipe_split_drift" ->
+      s"""WITH p AS (
+         |  SELECT ${hex8Sql("md5(CAST(doc_id AS VARCHAR))")} % 100 AS hb,
+         |    CAST(floor((${TextQueries.qualitySql})
+         |      * CAST(1000000 AS DOUBLE)
+         |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q_e6
+         |  FROM documents),
+         |b AS (SELECT CASE WHEN hb < ${Pipeline.TrainPct} THEN 'train'
+         |          WHEN hb < ${Pipeline.TrainPct + Pipeline.ValidPct}
+         |            THEN 'valid'
+         |          ELSE 'test' END AS split,
+         |        q_e6 // ${Pipeline.DriftBucketE6} AS q_bucket
+         |      FROM p),
+         |c AS (SELECT split, q_bucket, CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM b GROUP BY 1, 2),
+         |st AS (SELECT split, CAST(SUM(n) AS BIGINT) AS n_split
+         |       FROM c GROUP BY 1),
+         |bt AS (SELECT q_bucket, CAST(SUM(n) AS BIGINT) AS n_bucket
+         |       FROM c GROUP BY 1),
+         |g AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM c),
+         |grid AS (SELECT q_bucket, n_bucket, s.split
+         |         FROM bt CROSS JOIN (
+         |           SELECT unnest(['train', 'valid', 'test']) AS split) s)
+         |SELECT grid.split, grid.q_bucket,
+         |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+         |  CAST(COALESCE((c.n * 1000000) // st.n_split, 0) AS BIGINT)
+         |    AS share_ppm,
+         |  (grid.n_bucket * 1000000) // g.n_all AS corpus_ppm,
+         |  ABS(CAST(COALESCE((c.n * 1000000) // st.n_split, 0) AS BIGINT)
+         |    - (grid.n_bucket * 1000000) // g.n_all) AS drift_ppm
+         |FROM grid
+         |LEFT JOIN c ON grid.split = c.split AND grid.q_bucket = c.q_bucket
+         |LEFT JOIN st ON grid.split = st.split
+         |CROSS JOIN g""".stripMargin,
 
     // the oracle may global-sort (row_number over the full order); the
     // engine derives mix_pos via the distinct-key offset decomposition

@@ -208,6 +208,24 @@ class PipelineSpec extends SparkSpec {
     assert(r.count() > 0)
   }
 
+  test("splitDrift: dense grid covers every populated bucket × 3 " +
+    "splits; shares sum to ≈1e6 per split") {
+    val docs = graft.core.Tables(spark, SfDir, "documents")
+    val r = Pipeline.splitDrift(docs)
+      .select($"split", $"q_bucket", $"n", $"share_ppm")
+      .as[(String, Long, Long, Long)].collect()
+    graft.core.CacheBay.drain()
+    val buckets = r.map(_._2).distinct
+    assert(r.length == buckets.length * 3, "grid not dense")
+    // per split, shares are n_i*1e6 div n_split: sum within 1e6 minus
+    // at most one floor-loss per bucket
+    Seq("train", "valid", "test").foreach { s =>
+      val shares = r.filter(_._1 == s).map(_._4).sum
+      assert(shares <= 1000000L && shares > 1000000L - buckets.length,
+        s"$s shares sum $shares")
+    }
+  }
+
   test("sourceProfile: exact dup share and integer mean quality") {
     val docs = Seq(
       (1L, "aa bb cc", "s1"), (2L, "aa bb cc", "s1"), (3L, "zz", "s1"),

@@ -66,7 +66,7 @@ class PlanAuditSpec extends SparkSpec {
       // sim_bruteforce_topk, bounded query subset)
       "sim_ivf_recall",
       // 1-row corpus-totals broadcast (same class as tf-idf's n_docs)
-      "text_collocations")
+      "text_collocations", "pipe_split_drift")
   // Building these performs driver-side actions (KMeans fit / LBFGS
   // training / count()s) — plan shape is audited by their own specs.
   private val ActionOnBuild =
