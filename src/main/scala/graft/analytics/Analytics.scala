@@ -413,6 +413,31 @@ object Analytics {
       .agg(count(lit(1)).cast("long").as("n_users"))
   }
 
+  /** CUBE totals over order priority × status — A6's rollup
+    * generalized to the full grouping-sets lattice: detail, both
+    * single-dimension subtotal planes, and the grand total in ONE
+    * aggregation pass. Explicit `GROUPING()` flags distinguish a NULL
+    * dimension value from an all-values subtotal (the classic cube
+    * ambiguity). Spark plans CUBE as a single Expand (4× the rows,
+    * map-side) into one partial-aggregated hash shuffle — one exchange
+    * for all four planes, versus four separate scans+shuffles for the
+    * naive union-of-group-bys; the measure is integer cents so every
+    * plane is accumulation-order-exact. */
+  def cubeTotals(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select(col("o_orderpriority").as("priority"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .cube(col("priority"), col("status"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        sum(col("cents")).cast("long").as("sum_cents"),
+        grouping(col("priority")).cast("long").as("g_priority"),
+        grouping(col("status")).cast("long").as("g_status"))
+      .select(coalesce(col("priority"), lit("ALL")).as("priority"),
+        coalesce(col("status"), lit("ALL")).as("status"),
+        col("g_priority"), col("g_status"),
+        col("n_orders"), col("sum_cents"))
+
   /** Per-key mergeable rollup: count + exact-cents sum. The measure
     * set is deliberately ALGEBRAIC (count/sum merge by addition) so
     * partial rollups combine exactly — the same property map-side

@@ -122,6 +122,43 @@ object Readers {
       .withColumn("FileName",
         regexp_extract(input_file_name(), "[^/]+$", 0))
 
+  /** Schema-evolution union (X86): align any number of table
+    * generations by COLUMN NAME, null-filling columns a generation
+    * predates and widening numeric types to the least common arithmetic
+    * type (int ⊂ long ⊂ double) — what reading years of parquet
+    * generations from one 100 TB lake path requires once columns have
+    * been added or widened. Spark's single-path `mergeSchema` read does
+    * the same alignment; this operator is the explicit form for
+    * generations that live in SEPARATE paths/frames (so each scan still
+    * prunes and pushes down independently before the union — the plan
+    * is N parallel scans into one union, no shuffle at all).
+    * Column order follows the first generation, then first-appearance
+    * of new columns. Non-numeric type conflicts are an error, not a
+    * silent cast. */
+  def evolveUnion(gens: Seq[DataFrame]): DataFrame = {
+    require(gens.nonEmpty, "evolveUnion needs at least one generation")
+    val rank = Map[String, Int]("integer" -> 0, "long" -> 1, "double" -> 2)
+    def widen(a: String, b: String): String =
+      if (a == b) a
+      else (rank.get(a), rank.get(b)) match {
+        case (Some(x), Some(y)) => if (x >= y) a else b
+        case _ => throw new IllegalArgumentException(
+          s"evolveUnion: incompatible types $a vs $b")
+      }
+    val ordered = gens.flatMap(_.schema.fields.map(_.name)).distinct
+    val types = gens.flatMap(_.schema.fields.map(f =>
+        f.name -> f.dataType.typeName))
+      .groupBy(_._1).map { case (n, ts) =>
+        n -> ts.map(_._2).reduce(widen) }
+    gens.map { g =>
+      val have = g.schema.fieldNames.toSet
+      g.select(ordered.map { c =>
+        if (have(c)) col(c).cast(types(c)).as(c)
+        else lit(null).cast(types(c)).as(c)
+      }: _*)
+    }.reduce(_.unionByName(_))
+  }
+
   /** S4: latest-file selection — prefer max yyyyMMdd filename prefix,
     * else max mtime (reference `find_latest_by_pattern`,
     * `lib.py:56-83`). Driver-side path logic, as in the reference. */

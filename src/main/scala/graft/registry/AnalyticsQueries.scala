@@ -21,7 +21,8 @@ object AnalyticsQueries {
     "unpivot_sum" -> ((s, d) => Analytics.unpivotSum(s, d)),
     "weekly_disaggregation" -> ((s, d) => Analytics.weeklyDisaggregation(s, d)),
     "running_totals" -> ((s, d) => Analytics.runningTotals(s, d)),
-    "scd2_history" -> ((s, d) => Analytics.scd2History(s, d)))
+    "scd2_history" -> ((s, d) => Analytics.scd2History(s, d)),
+    "a_cube_totals" -> ((s, d) => Analytics.cubeTotals(s, d)))
 
   private val segs = Analytics.Segments
 
@@ -220,5 +221,19 @@ object AnalyticsQueries {
         |  FROM x)
         |SELECT o_custkey, attr, MIN(month) AS valid_from,
         |       MAX(month) AS valid_to, COUNT(*) AS n_months
-        |FROM i GROUP BY o_custkey, island, attr""".stripMargin)
+        |FROM i GROUP BY o_custkey, island, attr""".stripMargin,
+
+    // one pass over all four grouping-sets planes; GROUPING() flags
+    // disambiguate subtotal NULLs; integer cents keep every plane
+    // accumulation-order-exact
+    "a_cube_totals" ->
+      """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COALESCE(o_orderstatus, 'ALL') AS status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders
+        |GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin)
 }

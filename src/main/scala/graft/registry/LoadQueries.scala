@@ -124,6 +124,21 @@ object LoadQueries {
         col("ym").cast("string").as("ym"), col("cents"))
     }),
 
+    // X86 schema-evolution union: two order "generations" — the old
+    // one predates the priority column and carried 32-bit cents; the
+    // reader aligns by name, null-fills, and widens int→long
+    "io_evolve_union" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      val gen1 = o.filter(col("o_orderdate") < lit("1995-01-01"))
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("int").as("cents"))
+      val gen2 = o.filter(col("o_orderdate") >= lit("1995-01-01"))
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderpriority").as("priority"))
+      graft.io.Readers.evolveUnion(Seq(gen1, gen2))
+    }),
+
     // J8: region/plant backfill — blank-region suppliers crossed with
     // the (tiny broadcast) region list, plant picked per (grp, region)
     "j8_region_backfill" -> ((s, d) => {
@@ -277,6 +292,19 @@ object LoadQueries {
         |UNION ALL
         |SELECT o_orderkey, ym, cents FROM b
         |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM d)""".stripMargin,
+
+    // the evolved frame recomputed directly: old generation null-fills
+    // the late column, cents BIGINT in both branches
+    "io_evolve_union" ->
+      """SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  CAST(NULL AS VARCHAR) AS priority
+        |FROM orders WHERE o_orderdate < DATE '1995-01-01'
+        |UNION ALL
+        |SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  o_orderpriority AS priority
+        |FROM orders WHERE o_orderdate >= DATE '1995-01-01'""".stripMargin,
 
     "j8_region_backfill" ->
       """WITH rp AS (

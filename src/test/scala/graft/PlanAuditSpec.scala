@@ -74,6 +74,23 @@ class PlanAuditSpec extends SparkSpec {
       "dedup_canonical_reps", "dedup_cluster_sizes",
       "s13_partition_upsert")
 
+  test("the shared Tables read path pushes filters into the parquet " +
+    "scan and prunes unread columns") {
+    import org.apache.spark.sql.functions.col
+    // every operator reads through Tables(); this is the contract that
+    // makes their filters data-skipping at 100 TB — a range predicate
+    // must reach the scan as PushedFilters and an unused wide column
+    // (o_comment) must be absent from ReadSchema
+    val df = Tables(spark, SfDir, "orders")
+      .filter(col("o_orderdate") >= "1995-01-01")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), " +
+      "GreaterThanOrEqual(o_orderdate"), s"filter not pushed:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("o_comment"),
+      s"column pruning failed:\n$p")
+  }
+
   test("no registry query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if ActionOnBuild(name) => None

@@ -155,4 +155,19 @@ class ReadersSpec extends SparkSpec {
     assert(out(0).getDate(3) == java.sql.Date.valueOf("1997-06-15"))
     assert((0 to 3).forall(out(1).isNullAt))
   }
+
+  test("evolveUnion: aligns by name, widens int→long→double, " +
+    "null-fills late columns, rejects type conflicts") {
+    val gen1 = Seq((1, 10)).toDF("k", "v") // int, int
+    val gen2 = Seq((2L, 2.5, "x")).toDF("k", "v", "tag") // long, double
+    val u = graft.io.Readers.evolveUnion(Seq(gen1, gen2))
+    assert(u.schema.map(f => f.name -> f.dataType.typeName) ==
+      Seq("k" -> "long", "v" -> "double", "tag" -> "string"))
+    val rows = u.as[(Long, Double, Option[String])].collect().toSet
+    assert(rows == Set((1L, 10.0, None), (2L, 2.5, Some("x"))))
+    val bad = Seq(("a", 1)).toDF("k", "v") // string k vs numeric k
+    intercept[IllegalArgumentException] {
+      graft.io.Readers.evolveUnion(Seq(gen1, bad))
+    }
+  }
 }
