@@ -24,12 +24,14 @@ object Maintenance {
   /** Small-file compaction plan: within each partition (`source`),
     * files concatenate in file-id order and split at `target`-byte
     * offsets — file f lands in bin `start_offset div target` where
-    * `start_offset` is the cumulative size of its predecessors. Every
-    * bin except a partition's last then holds ≥ target bytes of input
-    * (bins never sit mostly-empty), each output chunk reads a
-    * contiguous run of inputs, and the assignment depends only on
-    * (partition, order, sizes) — deterministic, so the plan is
-    * idempotent across re-runs on the same snapshot.
+    * `start_offset` is the cumulative size of its predecessors. Each
+    * output chunk reads a CONTIGUOUS run of inputs, and the
+    * concatenated stream through the end of any non-final bin k totals
+    * ≥ (k+1)·target bytes — bins average ≥ target (an individual bin
+    * can undershoot by at most one file, when a boundary-straddling
+    * file is assigned to the bin where it starts). The assignment
+    * depends only on (partition, order, sizes) — deterministic, so
+    * the plan is idempotent across re-runs on the same snapshot.
     *
     * Scale shape: one partitioned running-sum window — a single hash
     * shuffle on the partition key; no global sort, no driver state.

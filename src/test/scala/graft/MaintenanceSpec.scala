@@ -23,8 +23,7 @@ class MaintenanceSpec extends SparkSpec {
     assert(r.values.forall(_ > 0) && r.values.sum <= 4 * 1000000L)
   }
 
-  test("compactionPlan: start-offset binning packs every non-final " +
-    "bin past the target") {
+  test("compactionPlan: start-offset binning on a hand fixture") {
     val m = Seq(("p", 1L, 3000L), ("p", 2L, 3000L), ("p", 3L, 3000L),
       ("q", 9L, 100L)).toDF("source", "doc_id", "bytes")
     val r = Maintenance.compactionPlan(m)
@@ -42,6 +41,64 @@ class MaintenanceSpec extends SparkSpec {
       .select(Maintenance.mortonKey($"x", $"y").as("z"))
       .as[Long].head()
     assert(r == 39L)
+  }
+
+  test("property: mortonKey is injective and order-bounded on the " +
+    "16-bit grid") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: org.scalacheck.Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    (1L to 3L).foreach { seed =>
+      val pts = sample(Gen.listOfN(200,
+        Gen.zip(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L))),
+        seed).distinct
+      val keys = pts.toDF("x", "y")
+        .select($"x", $"y", Maintenance.mortonKey($"x", $"y").as("z"))
+        .as[(Long, Long, Long)].collect()
+      // injective: distinct inputs → distinct keys
+      assert(keys.map(_._3).distinct.length == pts.length)
+      // per-dimension monotone (fixed other dim): the property that
+      // makes key-range pruning sound for each dimension separately
+      val y0 = sample(Gen.chooseNum(0L, 65535L), seed + 9)
+      val xs = sample(Gen.listOfN(100, Gen.chooseNum(0L, 65535L)),
+        seed + 17).distinct.sorted
+      val zx = xs.map(x => (x, y0)).toDF("x", "y")
+        .select(Maintenance.mortonKey($"x", $"y")).as[Long].collect()
+      assert(zx.sliding(2).forall(w => w.length < 2 || w(0) < w(1)))
+      val zy = xs.map(y => (y0, y)).toDF("x", "y")
+        .select(Maintenance.mortonKey($"x", $"y")).as[Long].collect()
+      assert(zy.sliding(2).forall(w => w.length < 2 || w(0) < w(1)))
+    }
+  }
+
+  test("property: compactionPlan bins are contiguous and every " +
+    "non-final bin reaches the target") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: org.scalacheck.Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    (1L to 3L).foreach { seed =>
+      val sizes = sample(Gen.listOfN(60, Gen.chooseNum(1L, 3000L)), seed)
+      val m = sizes.zipWithIndex
+        .map { case (sz, i) => ("p", i.toLong, sz) }
+        .toDF("source", "doc_id", "bytes")
+      val r = Maintenance.compactionPlan(m)
+        .select($"doc_id", $"bytes", $"bin")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      // bins are non-decreasing in file order (contiguous runs)
+      assert(r.sliding(2).forall(w => w(0)._3 <= w(1)._3))
+      // prefix invariant: through the end of any non-final bin k the
+      // concatenated stream totals ≥ (k+1)·target — bins average ≥
+      // target even though a boundary-straddling file can leave one
+      // individual bin short
+      val last = r.map(_._3).max
+      r.map(_._3).distinct.filter(_ != last).foreach { b =>
+        val prefix = r.filter(_._3 <= b).map(_._2).sum
+        assert(prefix >= (b + 1) * Maintenance.TargetBytes,
+          s"bin $b prefix $prefix")
+      }
+    }
   }
 
   test("zorderStats: per-bucket ranges are tight vs the global span") {
