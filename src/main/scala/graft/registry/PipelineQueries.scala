@@ -396,7 +396,8 @@ object PipelineQueries {
          |CROSS JOIN g""".stripMargin,
 
     // the oracle may global-sort (row_number over the full order); the
-    // engine derives mix_pos via the distinct-key offset decomposition
+    // engine derives mix_pos via a range-partitioned sort plus
+    // per-range-partition offsets (boundary-invariant global rank)
     "pipe_mix_interleave" ->
       """WITH w AS (
         |  SELECT source, CAST(row_number() OVER (ORDER BY source)

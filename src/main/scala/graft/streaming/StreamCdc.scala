@@ -45,9 +45,19 @@ object StreamCdc {
   def currentSnapshot(spark: SparkSession, root: String): Option[DataFrame] =
     VersionedState.current(spark, snapRoot(root))
 
-  /** The accumulated change feed across all committed batches. */
-  def feed(spark: SparkSession, root: String): DataFrame =
+  /** The accumulated change feed across all committed batches. A crash
+    * between the feed write and the snapshot commit leaves an orphan
+    * `feed/b<id>` for an UNcommitted batch (replay will idempotently
+    * rewrite it); gating on the committed snapshot version keeps those
+    * phantom rows invisible until the commit lands — the same
+    * read-your-committed contract as [[StreamDedup]]'s segment
+    * watermark. The filter is on the feed's own `batch_id` column, so
+    * it prunes with parquet row-group stats per batch directory. */
+  def feed(spark: SparkSession, root: String): DataFrame = {
+    val committed = currentVersion(spark, root)
     spark.read.parquet(s"$root/feed/b*")
+      .filter(col("batch_id") <= committed)
+  }
 
   /** Diff one full-snapshot micro-batch against the stored snapshot,
     * append the change feed, commit the new snapshot. Returns false

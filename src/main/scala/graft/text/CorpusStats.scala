@@ -40,11 +40,13 @@ object CorpusStats {
     * legs), joined back to the full doc list so token-less documents
     * report zeros rather than vanish. */
   def repetitionSignals(docs: DataFrame): DataFrame = {
-    // cache ONLY the token array; bigrams derive linearly from the
-    // cached attribute (wordShinglesOf) on the one leg that needs them
+    // cache ONLY the token array (no upstream repartition: shipping the
+    // raw corpus through an exchange buys nothing — the downstream
+    // groupBys partial-aggregate map-side and shuffle their own keys);
+    // bigrams derive linearly from the cached attribute
+    // (wordShinglesOf) on the one leg that needs them
     val t = graft.core.CacheBay.register(
-      docs.repartition(col("doc_id")).select(col("doc_id"),
-        tokenArray(col("text")).as("w")))
+      docs.select(col("doc_id"), tokenArray(col("text")).as("w")))
     val uni = t.select(col("doc_id"), explode(col("w")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
@@ -85,8 +87,7 @@ object CorpusStats {
     * vocab is corpus-sized, never broadcast), one per-doc rollup. */
   def tokenRarity(docs: DataFrame): DataFrame = {
     val ex = graft.core.CacheBay.register(
-      docs.repartition(col("doc_id")).select(col("doc_id"),
-        explode(tokenArray(col("text"))).as("tok")))
+      docs.select(col("doc_id"), explode(tokenArray(col("text"))).as("tok")))
     val vocab = ex.groupBy(col("tok"))
       .agg(count(lit(1)).cast("long").as("ctf"))
     val agg = ex.join(vocab, Seq("tok"))
@@ -121,8 +122,7 @@ object CorpusStats {
     * shuffles on doc or term keys — linear at any corpus size. */
   def tfIdfTopTerms(docs: DataFrame, k: Int = TfIdfK): DataFrame = {
     val tf = graft.core.CacheBay.register(
-      docs.repartition(col("doc_id"))
-        .select(col("doc_id"), explode(tokenArray(col("text"))).as("term"))
+      docs.select(col("doc_id"), explode(tokenArray(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf")))
     val dl = tf.groupBy(col("doc_id"))
@@ -149,15 +149,19 @@ object CorpusStats {
     * observed adjacent-bigram rate to the independence baseline:
     * `lift_e6 ≈ (n_ab · N_uni² · 10⁶) / (N_bi · n_a · n_b)`, computed
     * as the TWO-STEP integer division
-    * `((n_ab·10⁶·N_uni) div (n_a·N_bi)) · N_uni div n_b` so no
-    * intermediate exceeds ~10¹⁸ at any realistic corpus size (the
-    * single-product form overflows Long once N_uni² · n_ab passes
-    * 10¹²) — both engines evaluate the identical floor-division
-    * sequence, and the statistic is monotone in PMI up to the ≤1-ulp
-    * floor loss of step one. A minimum pair count keeps the rare-pair
-    * degeneracy of PMI out of the top-k; ties break on bigram asc.
-    * Petabyte-scale token totals would move step one to decimal(38) —
-    * same expression.
+    * `((n_ab·10⁶·N_uni) div (n_a·N_bi)) · N_uni div n_b`. Long-exact
+    * range (Long max ≈ 9.2·10¹⁸): step one needs
+    * `n_ab·N_uni ≤ 9.2·10¹²` and `n_a·N_bi ≤ 9.2·10¹⁸`; step two needs
+    * `q₁·N_uni ≤ 9.2·10¹⁸` — comfortably a ~10⁹-token corpus shard
+    * (pair counts to ~9·10³ there), which is how phrase mining runs:
+    * per-shard candidates, then a count-merge. A single global pass
+    * over a 10¹⁰+-token corpus (where a stock bigram alone can hit
+    * n_ab·N_uni ≈ 10¹⁸) must move the arithmetic to decimal(38) — the
+    * identical floor-division sequence in wider lanes, in both engines.
+    * Both engines evaluate the same two floor divisions, and the
+    * statistic is monotone in PMI up to the ≤1-ulp floor loss of step
+    * one. A minimum pair count keeps the rare-pair degeneracy of PMI
+    * out of the top-k; ties break on bigram asc.
     *
     * Shape: unigram and bigram counts are two explode→groupBy legs over
     * one persisted tokenization; the two scalar totals broadcast; the
@@ -166,11 +170,11 @@ object CorpusStats {
     * TakeOrdered — linear at any corpus size. */
   def collocations(docs: DataFrame, k: Int = CollocK,
       minCount: Int = CollocMinCount): DataFrame = {
-    // cache ONLY the token array; bigrams derive linearly from the
-    // cached attribute (wordShinglesOf) on the one leg that needs them
+    // cache ONLY the token array (no upstream repartition — see
+    // repetitionSignals); bigrams derive linearly from the cached
+    // attribute (wordShinglesOf) on the one leg that needs them
     val t = graft.core.CacheBay.register(
-      docs.repartition(col("doc_id")).select(col("doc_id"),
-        tokenArray(col("text")).as("w")))
+      docs.select(col("doc_id"), tokenArray(col("text")).as("w")))
     val uni = t.select(explode(col("w")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).cast("long").as("n_tok"))
     val bi = t.select(explode(wordShinglesOf(col("w"), 2)).as("bigram"))
@@ -208,7 +212,7 @@ object CorpusStats {
   def oovRate(docs: DataFrame, k: Int = VocabK): DataFrame = {
     val vocab = vocabTopK(docs, k).select(col("token").as("tok"),
       lit(1L).as("in_vocab"))
-    val perDoc = docs.repartition(col("doc_id"))
+    val perDoc = docs
       .select(col("doc_id"), explode(tokenArray(col("text"))).as("tok"))
       .join(broadcast(vocab), Seq("tok"), "left")
       .groupBy(col("doc_id"))
@@ -231,7 +235,7 @@ object CorpusStats {
     * partition top-k, then a k-sized merge on the driver) — no global
     * sort ever materializes; the final rank window runs on k rows. */
   def vocabTopK(docs: DataFrame, k: Int = VocabK): DataFrame = {
-    val top = docs.repartition(col("doc_id"))
+    val top = docs
       .select(explode(tokenArray(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).cast("long").as("n"))
       .orderBy(col("n").desc, col("token").asc).limit(k)

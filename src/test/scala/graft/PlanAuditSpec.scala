@@ -51,6 +51,67 @@ class PlanAuditSpec extends SparkSpec {
     graft.core.CacheBay.drain()
   }
 
+  test("vocab top-k never exchanges the raw corpus: one token-keyed " +
+    "shuffle, per-partition TakeOrdered, no global sort") {
+    val p = plan(SparkEntry.queries("text_vocab_topk")(spark, SfDir))
+    assert(p.contains("TakeOrdered"), s"missing TakeOrdered:\n$p")
+    // exactly ONE hash exchange — the token groupBy (map-side partial
+    // agg first); the r5-flagged doc-keyed repartition of raw text is
+    // gone and must stay gone
+    val shuffles = count(p, "Exchange hashpartitioning")
+    assert(shuffles == 1, s"shuffle count $shuffles:\n$p")
+    assert(!p.contains("Exchange RoundRobinPartitioning") &&
+      !p.contains("Exchange rangepartitioning"),
+      s"corpus repartition / global sort resurfaced:\n$p")
+  }
+
+  test("oov rate: vocab broadcasts, fact side streams map-only into " +
+    "its per-doc rollup — no raw-corpus exchange") {
+    val p = plan(SparkEntry.queries("text_oov_rate")(spark, SfDir))
+    // exactly two hash exchanges — the token groupBy (vocab leg) and
+    // the per-doc rollup — and neither moves the raw text (the
+    // r5-flagged doc-keyed repartition is gone); the final doc-list
+    // join broadcasts the rollup at this SF, which is AQE's call
+    val shuffles = count(p, "Exchange hashpartitioning")
+    assert(shuffles == 2, s"shuffle count $shuffles:\n$p")
+    assert(!p.contains("Exchange RoundRobinPartitioning") &&
+      !p.contains("Exchange rangepartitioning"),
+      s"corpus repartition / global sort resurfaced:\n$p")
+  }
+
+  test("auto range-join rewrite survives into NEW QueryExecutions " +
+    "(the plan Verify/Bench actually execute, not the memoized one)") {
+    val df = SparkEntry.queries("events_range_join_auto")(spark, SfDir)
+    // derive a fresh Dataset the way Verify (.coalesce.write) and
+    // Bench (.count) do — its QueryExecution re-runs the optimizer,
+    // so this passes only if the rule stays installed (r5 ADVICE: the
+    // force-memoize-then-remove scoping executed the nested loop)
+    val p = plan(df.select(df.columns.map(org.apache.spark.sql.functions.col): _*))
+    assert(!p.contains("NestedLoop"), s"nested loop executed:\n$p")
+    assert(p.contains("Generate explode"), s"bucket explode missing:\n$p")
+  }
+
+  test("mix interleave range-partitions the schedule sort; no doc-keyed " +
+    "broadcast, no single-partition window over an unbounded key") {
+    val p = plan(SparkEntry.queries("pipe_mix_interleave")(spark, SfDir))
+    // the global rank rides Spark's distributed sort
+    assert(p.contains("Exchange rangepartitioning"),
+      s"missing range-partitioned sort:\n$p")
+    // exactly two DISTINCT broadcasts (the cached subtree prints once
+    // per consumer, so count unique plan ids): the |sources| weights
+    // frame and the ≤ shuffle-partitions pid-offsets frame — never
+    // the doc frame
+    val broadcasts = """BroadcastExchange[^\n]*plan_id=(\d+)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSet.size
+    assert(broadcasts == 2, s"broadcast count $broadcasts:\n$p")
+    // the r5 shape (per-schedule-key offsets: groupBy(key) + window
+    // partitioned by key, an unbounded domain) must not resurface —
+    // every hash exchange is on source or pid, never on key
+    assert(!p.contains("hashpartitioning(key"),
+      s"schedule-key exchange resurfaced:\n$p")
+    graft.core.CacheBay.drain()
+  }
+
   // Plans that legitimately nested-loop over a BOUNDED broadcast side:
   // J8's distinct-region backfill (reference semantics), BM25's 1-row
   // corpus-stats frame, the brute-force ANN baseline whose whole point

@@ -67,4 +67,28 @@ class StreamCdcSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(root)
     }
   }
+
+  test("a feed dir written by a crashed (uncommitted) batch stays " +
+    "invisible until its snapshot commit lands") {
+    val root = java.nio.file.Files.createTempDirectory("cdc_").toFile
+    val target = new java.io.File(root, "cdc").getAbsolutePath
+    try {
+      assert(StreamCdc.applyBatch(Seq((1L, 10L)).toDF("k", "cents"),
+        0L, target, Seq("k"), Seq("cents")))
+      // simulate a crash between the feed write and the snapshot
+      // commit: write feed/b1 by hand, commit nothing
+      StreamCdc.feed(spark, target).limit(0) // force schema path once
+      Seq((1L, "delete", Some(10L), Option.empty[Long], 1L))
+        .toDF("k", "op", "cents_before", "cents_after", "batch_id")
+        .write.parquet(s"$target/feed/b1")
+      // phantom rows of the uncommitted batch must NOT surface
+      assert(StreamCdc.feed(spark, target)
+        .select($"batch_id").as[Long].collect().toSet == Set(0L))
+      // replay of batch 1 recomputes + commits; now it is visible
+      assert(StreamCdc.applyBatch(Seq((2L, 20L)).toDF("k", "cents"),
+        1L, target, Seq("k"), Seq("cents")))
+      assert(StreamCdc.feed(spark, target)
+        .select($"batch_id").as[Long].collect().toSet == Set(0L, 1L))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(root)
+  }
 }
