@@ -3,6 +3,8 @@ package graft.graph
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import scala.collection.mutable.ArrayBuffer
+
 /** Integer-exact PageRank over a bipartite interaction graph — the
   * authority-scoring primitive a curation pipeline runs over its
   * domain/link graph (rank web domains by who references them, weight
@@ -25,10 +27,10 @@ import org.apache.spark.sql.functions._
   * distributed PageRank step, linear in |E| per iteration, no
   * adjacency ever collected. The edge list and degree table persist
   * once ([[graft.core.CacheBay]]) and are reused by every iteration;
-  * the iteration count is a small constant so the unrolled lineage
-  * stays shallow (an open-ended convergence loop would add
-  * `localCheckpoint` per round, as [[graft.dedup.Dedup]]'s CC loop
-  * does).
+  * in [[purchaseRanks]] the iteration count is a small constant so the
+  * unrolled lineage stays shallow, and [[purchaseRanksConverged]] is
+  * the open-ended tolerance-driven loop with `localCheckpoint` per
+  * round (the [[graft.dedup.Dedup]] CC-loop shape).
   *
   * Reference-free addition (SURVEY §2.11 X81): the reference has no
   * graph operator; this is the training-data-pipeline authority
@@ -47,6 +49,46 @@ object PageRank {
     * two id spaces disjoint in one integer column. */
   def purchaseRanks(orders: DataFrame, lineitem: DataFrame,
       iters: Int = Iters): DataFrame = {
+    val (edges, deg) = purchaseGraph(orders, lineitem)
+    var rank = deg.select(col("src").as("node"), lit(BaseE6).as("pr"))
+    for (_ <- 1 to iters) rank = step(edges, deg, rank)
+    present(rank)
+  }
+
+  /** Convergence-driven variant: iterate until the max per-node rank
+    * move drops to `tolE6` µunits (or `maxIters`), instead of a blind
+    * constant — the form a 100 TB graph runs, where the right
+    * iteration count isn't knowable up front. Each round
+    * `localCheckpoint`s eagerly (the [[graft.dedup.Dedup]] CC-loop
+    * shape): the lineage is truncated so analysis cost doesn't
+    * compound, and the delta aggregate joins two MATERIALIZED rank
+    * frames (never a self-join of an evolving plan). Per round that
+    * adds one keyed equi-join and a scalar max — same linear-in-|E|
+    * cost class as the step itself; the only driver state is one Long
+    * per round. Returns the final ranks plus the per-round max-delta
+    * trace (the convergence evidence a monitoring job records). */
+  def purchaseRanksConverged(orders: DataFrame, lineitem: DataFrame,
+      tolE6: Long = 1000L, maxIters: Int = 20): (DataFrame, Seq[Long]) = {
+    val (edges, deg) = purchaseGraph(orders, lineitem)
+    var rank = deg.select(col("src").as("node"), lit(BaseE6).as("pr"))
+      .localCheckpoint()
+    val deltas = ArrayBuffer.empty[Long]
+    var converged = false
+    while (deltas.size < maxIters && !converged) {
+      val next = step(edges, deg, rank).localCheckpoint()
+      val delta = next
+        .join(rank.select(col("node"), col("pr").as("prev")), Seq("node"))
+        .agg(max(abs(col("pr") - col("prev"))).cast("long"))
+        .first().getLong(0)
+      deltas += delta
+      rank = next
+      converged = delta <= tolE6
+    }
+    (present(rank), deltas.toSeq)
+  }
+
+  private def purchaseGraph(orders: DataFrame,
+      lineitem: DataFrame): (DataFrame, DataFrame) = {
     val cs = lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).cast("long").as("src"),
@@ -58,24 +100,28 @@ object PageRank {
     val deg = graft.core.CacheBay.register(
       edges.groupBy(col("src"))
         .agg(count(lit(1)).cast("long").as("outdeg")))
-    var rank = deg.select(col("src").as("node"), lit(BaseE6).as("pr"))
-    for (_ <- 1 to iters) {
-      val contrib = edges
-        .join(deg, Seq("src"))
-        .join(rank.withColumnRenamed("node", "src"), Seq("src"))
-        .groupBy(col("dst"))
-        .agg(sum(expr("pr div outdeg")).cast("long").as("c"))
-      rank = deg.select(col("src").as("node"))
-        .join(contrib, col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit(RestartE6) +
-            expr(s"($DampNum * coalesce(c, cast(0 as bigint))) div $DampDen"))
-            .cast("long").as("pr"))
-    }
+    (edges, deg)
+  }
+
+  private def step(edges: DataFrame, deg: DataFrame,
+      rank: DataFrame): DataFrame = {
+    val contrib = edges
+      .join(deg, Seq("src"))
+      .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+      .groupBy(col("dst"))
+      .agg(sum(expr("pr div outdeg")).cast("long").as("c"))
+    deg.select(col("src").as("node"))
+      .join(contrib, col("node") === col("dst"), "left")
+      .select(col("node"),
+        (lit(RestartE6) +
+          expr(s"($DampNum * coalesce(c, cast(0 as bigint))) div $DampDen"))
+          .cast("long").as("pr"))
+  }
+
+  private def present(rank: DataFrame): DataFrame =
     rank.select(
       when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
         .as("kind"),
       expr("node div 2").cast("long").as("id"),
       col("pr").as("rank_e6"))
-  }
 }

@@ -14,7 +14,8 @@ object MultimodalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> ((s, d) => Multimodal.mediaFeatures(s, d)),
     "multimodal_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, d)),
-    "multimodal_pcm_decode" -> ((s, d) => Multimodal.pcmFeatures(s, d)))
+    "multimodal_pcm_decode" -> ((s, d) => Multimodal.pcmFeatures(s, d)),
+    "multimodal_image_decode" -> ((s, d) => Multimodal.imageFeatures(s, d)))
 
   val oracles: Map[String, String] = Map(
     "multimodal_features" ->
@@ -80,5 +81,32 @@ object MultimodalQueries {
         |  CAST(COALESCE(list_sum(list_transform(range(2, len(smp) + 1),
         |    i -> CASE WHEN (smp[i] >= 0) <> (smp[i-1] >= 0)
         |              THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_cross
-        |FROM s""".stripMargin)
+        |FROM s""".stripMargin,
+
+    // PNG is lossless, so the REAL encode→decode round trip through
+    // javax.imageio must reproduce the deterministic pixel function of
+    // the text exactly — the oracle replays that function (byte at
+    // (k mod len), w×h from the % 64 / % 48 metadata rule) in SQL
+    "multimodal_image_decode" -> {
+      val t = Multimodal.EdgeThreshold
+      s"""WITH m AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |    (length(text) % 64) + 1 AS w, (length(text) % 48) + 1 AS h
+         |  FROM documents WHERE length(text) > 0),
+         |px AS (
+         |  SELECT doc_id, w, h,
+         |    list_transform(range(0, w * h),
+         |      k -> ascii(text[(k % len) + 1:(k % len) + 1])) AS p
+         |  FROM m)
+         |SELECT doc_id, CAST(w AS BIGINT) AS img_w,
+         |  CAST(h AS BIGINT) AS img_h, CAST(w * h AS BIGINT) AS n_pixels,
+         |  CAST(list_sum(p) AS BIGINT) AS sum_px,
+         |  CAST((CAST(list_sum(p) AS BIGINT) * 1000000) // (w * h)
+         |    AS BIGINT) AS mean_px_e6,
+         |  CAST(COALESCE(list_sum(list_transform(range(0, w * h - 1),
+         |    k -> CASE WHEN (k + 1) % w <> 0
+         |              AND abs(p[k + 2] - p[k + 1]) >= $t
+         |         THEN 1 ELSE 0 END)), 0) AS BIGINT) AS edges
+         |FROM px""".stripMargin
+    })
 }

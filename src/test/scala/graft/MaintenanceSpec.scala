@@ -23,6 +23,32 @@ class MaintenanceSpec extends SparkSpec {
     assert(r.values.forall(_ > 0) && r.values.sum <= 4 * 1000000L)
   }
 
+  test("purchaseRanksConverged: deltas shrink monotonically to the " +
+    "tolerance and the result matches an equal-length unrolled run") {
+    val orders = graft.core.Tables(spark, SfDir, "orders")
+    val lineitem = graft.core.Tables(spark, SfDir, "lineitem")
+    val (ranks, deltas) = PageRank.purchaseRanksConverged(
+      orders, lineitem, tolE6 = 3000000L)
+    val got = ranks.select($"kind", $"id", $"rank_e6")
+      .as[(String, Long, Long)].collect().toSet
+    graft.core.CacheBay.drain()
+    // the loop ran, converged before the cap, and every round moved
+    // the ranks LESS than the round before (damping contracts the
+    // iteration; integer floor can only help)
+    assert(deltas.nonEmpty && deltas.size < 20, s"deltas: $deltas")
+    assert(deltas.last <= 3000000L, s"did not converge: $deltas")
+    assert(deltas.sliding(2).forall(w => w.length < 2 || w(1) < w(0)),
+      s"deltas not monotone: $deltas")
+    // convergence changes pacing, not semantics: the same number of
+    // rounds unrolled bit-matches
+    val unrolled = PageRank.purchaseRanks(orders, lineitem,
+      iters = deltas.size)
+      .select($"kind", $"id", $"rank_e6")
+      .as[(String, Long, Long)].collect().toSet
+    graft.core.CacheBay.drain()
+    assert(got == unrolled)
+  }
+
   test("compactionPlan: start-offset binning on a hand fixture") {
     val m = Seq(("p", 1L, 3000L), ("p", 2L, 3000L), ("p", 3L, 3000L),
       ("q", 9L, 100L)).toDF("source", "doc_id", "bytes")

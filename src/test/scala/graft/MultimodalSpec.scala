@@ -64,6 +64,43 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.MediaRecord(2L, "audio/pcm", Array[Byte](1), 1, 1))).isEmpty)
   }
 
+  test("image leg: payloads are REAL PNGs and the decode round-trips " +
+    "the deterministic pixel function exactly") {
+    // text "abcd": len 4 → w = 5, h = 5; pixels cycle a,b,c,d,a,…
+    val rec = {
+      val text = "abcd"
+      val w = 5; val h = 5
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      (0 until w * h).foreach(k =>
+        bi.getRaster.setSample(k % w, k / w, 0, text.charAt(k % 4).toInt))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "png", bos)
+      Multimodal.MediaRecord(7L, "image/png", bos.toByteArray, w, h)
+    }
+    // PNG magic bytes: the payload really is an encoded image
+    val magic = rec.payload.take(4).map(_ & 0xff)
+    assert(magic.sameElements(Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt)))
+    val f = Multimodal.decodeImage(Seq(rec)).head
+    assert(f.img_w == 5 && f.img_h == 5 && f.n_pixels == 25)
+    // 25 pixels cycling 97,98,99,100: k%4==0 hits 7 times (k=0,4,…,24)
+    val sum = 7 * 97 + 6 * 98 + 6 * 99 + 6 * 100
+    assert(f.sum_px == sum)
+    assert(f.mean_px_e6 == sum.toLong * 1000000L / 25)
+    assert(f.edges == 0) // max horizontal step is 3 < EdgeThreshold
+    // corrupt payload is quarantined, not a crash
+    assert(Multimodal.decodeImage(Seq(Multimodal.MediaRecord(8L,
+      "image/png", Array[Byte](1, 2, 3), 1, 1))).isEmpty)
+    // end-to-end over the fixture: every doc decodes, dims match the
+    // metadata rule
+    val feats = Multimodal.imageFeatures(spark, SfDir)
+    val docs = graft.core.Tables(spark, SfDir, "documents")
+      .filter(length(col("text")) > 0)
+    assert(feats.count() == docs.count())
+    assert(feats.filter(col("img_w") =!= (col("n_pixels") / col("img_h")))
+      .count() == 0)
+  }
+
   test("decode batch shape: batches bounded by DecodeBatchSize") {
     val batchSizes = Multimodal.mediaTable(spark, SfDir)
       .mapPartitions(it => it.grouped(Multimodal.DecodeBatchSize)

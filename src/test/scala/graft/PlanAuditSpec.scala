@@ -112,6 +112,54 @@ class PlanAuditSpec extends SparkSpec {
     graft.core.CacheBay.drain()
   }
 
+  test("round-5 family: no global sort, no single-partition funnel, " +
+    "every join an equi-join") {
+    // graph_pagerank: cached edges/degrees, per-iteration equi-join +
+    // keyed aggregate — nothing range-partitioned, nothing forced
+    // through one task
+    val pr = plan(SparkEntry.queries("graph_pagerank")(spark, SfDir))
+    assert(!pr.contains("Exchange rangepartitioning") &&
+      !pr.contains("Exchange SinglePartition") &&
+      !pr.contains("NestedLoop") && !pr.contains("CartesianProduct"),
+      s"pagerank plan degraded:\n$pr")
+    graft.core.CacheBay.drain()
+
+    // compaction planner: ONE hash shuffle on the partition key; the
+    // running sum is a partitioned window, never a global sort
+    val cp = plan(SparkEntry.queries("maint_compaction_plan")(spark, SfDir))
+    assert(count(cp, "Exchange hashpartitioning") == 1 &&
+      !cp.contains("Exchange rangepartitioning") &&
+      !cp.contains("Exchange SinglePartition") && cp.contains("Window"),
+      s"compaction plan shape:\n$cp")
+
+    // z-order audit: map pass + one bucket-keyed hash aggregate
+    val zs = plan(SparkEntry.queries("maint_zorder_stats")(spark, SfDir))
+    assert(count(zs, "Exchange hashpartitioning") == 1 &&
+      !zs.contains("Exchange rangepartitioning") &&
+      !zs.contains("Join"), s"zorder stats shape:\n$zs")
+
+    // per-source profile: the two-phase countDistinct pair of hash
+    // exchanges and nothing else — no broadcast of anything doc-sized
+    val sp = plan(SparkEntry.queries("pipe_source_profile")(spark, SfDir))
+    assert(count(sp, "Exchange hashpartitioning") == 2 &&
+      !sp.contains("BroadcastExchange") &&
+      !sp.contains("Exchange rangepartitioning"),
+      s"source profile shape:\n$sp")
+    graft.core.CacheBay.drain()
+
+    // incremental dedup: the band join is a hash EQUI-join on
+    // (band, bval) — the broadcast side is the |batch|-bounded banded
+    // signatures, never the corpus index — and no single-partition
+    // window anywhere
+    val di = plan(SparkEntry.queries("dedup_incremental")(spark, SfDir))
+    assert((di.contains("BroadcastHashJoin [band") ||
+      di.contains("SortMergeJoin [band")) &&
+      !di.contains("NestedLoop") && !di.contains("CartesianProduct") &&
+      !di.contains("Exchange SinglePartition"),
+      s"incremental dedup band join shape:\n$di")
+    graft.core.CacheBay.drain()
+  }
+
   // Plans that legitimately nested-loop over a BOUNDED broadcast side:
   // J8's distinct-region backfill (reference semantics), BM25's 1-row
   // corpus-stats frame, the brute-force ANN baseline whose whole point

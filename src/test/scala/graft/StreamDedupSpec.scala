@@ -64,4 +64,88 @@ class StreamDedupSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(root)
     }
   }
+
+  test("segment compaction bounds per-batch open cost; ledger content, " +
+    "watermark and replay guard all survive") {
+    val root = java.nio.file.Files.createTempDirectory("sdedup_").toFile
+    val target = new java.io.File(root, "ledger").getAbsolutePath
+    try {
+      // ten tiny micro-batches → ten segment dirs
+      (0L until 10L).foreach { id =>
+        assert(StreamDedup.mergeBatch(
+          Seq((100 * id + 1, s"unique document number $id with its own " +
+            s"words ${('a' + id.toInt).toChar} end")).toDF("doc_id", "text"),
+          id, target))
+      }
+      val before = StreamDedup.ledger(spark, target).get
+        .select($"doc_id", $"is_dup", $"batch_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(StreamDedup.unitCount(spark, target) == 10)
+      val openBefore = StreamDedup.ledger(spark, target).get
+        .inputFiles.length
+
+      // compact with a target big enough to swallow everything
+      assert(StreamDedup.compactSegments(spark, target,
+        target = Long.MaxValue) == 1)
+      // the batch-cost proxy (files a ledger scan opens) collapsed...
+      assert(StreamDedup.unitCount(spark, target) == 1)
+      assert(StreamDedup.ledger(spark, target).get
+        .inputFiles.length < openBefore)
+      // ...while content, watermark, and the replay guard are intact
+      assert(StreamDedup.ledger(spark, target).get
+        .select($"doc_id", $"is_dup", $"batch_id")
+        .as[(Long, Long, Long)].collect().toSet == before)
+      assert(StreamDedup.maxSegment(spark, target) == 9L)
+      assert(!StreamDedup.mergeBatch(
+        Seq((999L, "whatever")).toDF("doc_id", "text"), 9L, target))
+      // new batches append fresh segments after the generation and
+      // still dedup against the compacted keeper index
+      assert(StreamDedup.mergeBatch(
+        Seq((999L, "unique document number 3 with its own words d end"))
+          .toDF("doc_id", "text"), 10L, target))
+      val dup = StreamDedup.ledger(spark, target).get
+        .filter($"doc_id" === 999L)
+        .select($"is_dup", $"batch_id").as[(Long, Long)].collect().toSeq
+      assert(dup == Seq((1L, 10L)))
+      assert(StreamDedup.unitCount(spark, target) == 2)
+
+      // compacting repeatedly stays idempotent-ish and cheap: a second
+      // run merges the generation with the new segment; a third is a
+      // no-op (single unit left)
+      assert(StreamDedup.compactSegments(spark, target,
+        target = Long.MaxValue) == 1)
+      assert(StreamDedup.compactSegments(spark, target,
+        target = Long.MaxValue) == 0)
+      assert(StreamDedup.maxSegment(spark, target) == 10L)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(root)
+  }
+
+  test("a crash between the compaction commit and the covered-segment " +
+    "cleanup neither double-counts nor regresses the watermark") {
+    val root = java.nio.file.Files.createTempDirectory("sdedup_").toFile
+    val target = new java.io.File(root, "ledger").getAbsolutePath
+    try {
+      (0L to 2L).foreach { id =>
+        assert(StreamDedup.mergeBatch(
+          Seq((id + 1, s"crash test document $id distinct content here"))
+            .toDF("doc_id", "text"), id, target))
+      }
+      // simulate: a committed cmp0_2 exists AND the covered seg dirs
+      // were never deleted (crash mid-cleanup)
+      val all = StreamDedup.ledger(spark, target).get
+      all.write.parquet(s"$target/cmp0_2")
+      val rows = StreamDedup.ledger(spark, target).get
+        .select($"doc_id", $"batch_id").as[(Long, Long)].collect().toSeq
+      // three rows, not six: the covered segments are masked
+      assert(rows.size == 3)
+      assert(StreamDedup.maxSegment(spark, target) == 2L)
+      assert(StreamDedup.unitCount(spark, target) == 1)
+      // the next compaction run clears the leftovers (and, with a
+      // single live unit, writes nothing)
+      assert(StreamDedup.compactSegments(spark, target) == 0)
+      assert(!new java.io.File(target, "seg0").exists())
+      assert(StreamDedup.maxSegment(spark, target) == 2L)
+      assert(StreamDedup.ledger(spark, target).get.count() == 3)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(root)
+  }
 }
