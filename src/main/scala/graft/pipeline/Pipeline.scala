@@ -214,6 +214,58 @@ object Pipeline {
         .otherwise(0L).as("contaminated"))
   }
 
+  /** Token-level contamination SPANS — the surgical sequel to
+    * [[decontaminate]]'s doc-level verdict: for every training doc
+    * with ≥ 1 benchmark-shingle hit, WHERE the overlap sits. Runs of
+    * consecutive hit positions (gaps-and-islands on `pos − row_number`)
+    * distinguish one long verbatim benchmark quote (high
+    * `max_span_tokens`, few spans — excise the span, keep the doc)
+    * from scattered common trigrams (many 1-shingle spans — likely a
+    * false positive). Emits per-doc hit ppm, span count, longest span
+    * in shingles and tokens, and the first hit position.
+    *
+    * Shape: the benchmark shingle vocabulary is eval-set-bounded →
+    * `broadcast`; the probe is a map-side join over positioned corpus
+    * shingles; runs are one window + aggregate partitioned by doc
+    * (per-doc hit lists are doc-length-bounded). Linear, no corpus
+    * shuffle on the shingle key. */
+  def contaminationSpans(docs: DataFrame,
+      benchMod: Int = BenchMod): DataFrame = {
+    val n = graft.dedup.Dedup.ShingleN
+    val toks = graft.core.CacheBay.register(
+      docs.select(col("doc_id"),
+        graft.text.CorpusStats.tokenArray(col("text")).as("w")))
+    val shp = graft.core.CacheBay.register(
+      toks.select(col("doc_id"), posexplode(wordShinglesOf(col("w"), n)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("sh")))
+    val bench = shp.filter(col("doc_id") % benchMod === 0)
+      .select(col("sh")).distinct()
+    val hits = shp.filter(col("doc_id") % benchMod =!= 0)
+      .join(broadcast(bench), Seq("sh"))
+      .select(col("doc_id"), col("pos"))
+    val runs = hits
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))).cast("long"))
+      .withColumn("grp", col("pos") - col("rn"))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).cast("long").as("run_len"),
+        min(col("pos")).as("start_pos"))
+    val perDoc = runs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+        max(col("run_len")).as("max_run"),
+        min(col("start_pos")).cast("long").as("first_pos"),
+        sum(col("run_len")).cast("long").as("n_hit"))
+    val tot = shp.filter(col("doc_id") % benchMod =!= 0)
+      .groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("n_sh"))
+    perDoc.join(tot, Seq("doc_id"))
+      .select(col("doc_id"), col("n_sh"), col("n_hit"),
+        expr("(n_hit * 1000000) div n_sh").as("hit_ppm"),
+        col("n_spans"), col("max_run").as("max_span_shingles"),
+        (col("max_run") + (n - 1)).cast("long").as("max_span_tokens"),
+        col("first_pos"))
+  }
+
   // ---- sequence packing ----
 
   /** Token budget per packed training sequence and the number of

@@ -40,7 +40,9 @@ object PipelineQueries {
     "pipe_source_profile" -> ((s, d) => Pipeline.sourceProfile(docs(s, d))),
     "pipe_split_drift" -> ((s, d) => Pipeline.splitDrift(docs(s, d))),
     "pipe_mix_interleave" -> ((s, d) =>
-      Pipeline.mixInterleave(docs(s, d))))
+      Pipeline.mixInterleave(docs(s, d))),
+    "pipe_contamination_spans" -> ((s, d) =>
+      Pipeline.contaminationSpans(docs(s, d))))
 
   // ---- DuckDB oracle SQL, generated from the same constants ----
 
@@ -394,6 +396,49 @@ object PipelineQueries {
          |LEFT JOIN c ON grid.split = c.split AND grid.q_bucket = c.q_bucket
          |LEFT JOIN st ON grid.split = st.split
          |CROSS JOIN g""".stripMargin,
+
+    // gaps-and-islands over positioned benchmark-shingle hits: runs of
+    // consecutive hit positions = contamination spans
+    "pipe_contamination_spans" -> {
+      val n = graft.dedup.Dedup.ShingleN
+      s"""WITH tw AS (
+         |  SELECT doc_id,
+         |    CASE WHEN nrm = '' THEN CAST([] AS VARCHAR[])
+         |         ELSE string_split(nrm, ' ') END AS w
+         |  FROM (SELECT doc_id, ${DedupQueries.normSql} AS nrm
+         |        FROM documents)),
+         |sp AS (SELECT doc_id,
+         |         CAST(unnest(range(0, greatest(len(w) - ${n - 1}, 0)))
+         |           AS BIGINT) AS pos, w
+         |       FROM tw),
+         |shp AS (SELECT doc_id, pos,
+         |          array_to_string(
+         |            w[CAST(pos + 1 AS INT):CAST(pos + $n AS INT)], ' ')
+         |            AS sh
+         |        FROM sp),
+         |b AS (SELECT DISTINCT sh FROM shp WHERE doc_id % $BenchMod = 0),
+         |h AS (SELECT doc_id, pos FROM shp JOIN b USING (sh)
+         |      WHERE doc_id % $BenchMod <> 0),
+         |r AS (SELECT doc_id, pos, pos - row_number() OVER (
+         |        PARTITION BY doc_id ORDER BY pos) AS grp
+         |      FROM h),
+         |runs AS (SELECT doc_id, grp, count(*) AS run_len,
+         |           min(pos) AS start_pos
+         |         FROM r GROUP BY 1, 2),
+         |pd AS (SELECT doc_id, count(*) AS n_spans, max(run_len) AS mr,
+         |         min(start_pos) AS first_pos, SUM(run_len) AS n_hit
+         |       FROM runs GROUP BY 1),
+         |tot AS (SELECT doc_id, count(*) AS n_sh FROM shp
+         |        WHERE doc_id % $BenchMod <> 0 GROUP BY 1)
+         |SELECT pd.doc_id, CAST(tot.n_sh AS BIGINT) AS n_sh,
+         |  CAST(pd.n_hit AS BIGINT) AS n_hit,
+         |  CAST((pd.n_hit * 1000000) // tot.n_sh AS BIGINT) AS hit_ppm,
+         |  CAST(pd.n_spans AS BIGINT) AS n_spans,
+         |  CAST(pd.mr AS BIGINT) AS max_span_shingles,
+         |  CAST(pd.mr + ${n - 1} AS BIGINT) AS max_span_tokens,
+         |  CAST(pd.first_pos AS BIGINT) AS first_pos
+         |FROM pd JOIN tot USING (doc_id)""".stripMargin
+    },
 
     // the oracle may global-sort (row_number over the full order); the
     // engine derives mix_pos via a range-partitioned sort plus

@@ -41,7 +41,11 @@ object SimilarityQueries {
     "sim_label_centroids" -> ((s, d) =>
       Similarity.labelCentroids(emb(s, d))),
     "sim_centroid_outliers" -> ((s, d) =>
-      Similarity.centroidOutliers(emb(s, d))))
+      Similarity.centroidOutliers(emb(s, d))),
+    "sim_semantic_dedup" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.semanticDedup(e, nBits = scaledNBits(e.count()))
+    }))
 
   // ---- DuckDB SQL (same constants, same math) ----
 
@@ -250,5 +254,22 @@ object SimilarityQueries {
         |SELECT label, dim, count(*) AS n,
         |  CAST(floor(CAST(SUM(qv) AS DOUBLE) / count(*)) AS BIGINT)
         |    AS centroid_e6
-        |FROM q GROUP BY label, dim""".stripMargin)
+        |FROM q GROUP BY label, dim""".stripMargin,
+
+    // SemDeDup keeper-star: per LSH bucket, min vec_id keeps; members
+    // flag as semantic dups on an integer cosine gate vs the keeper
+    "sim_semantic_dedup" ->
+      s"""WITH $ECte, $NbCte, $BucketCte,
+         |k AS (SELECT bucket, MIN(vec_id) AS keeper_id
+         |      FROM bk GROUP BY bucket),
+         |j AS (SELECT b.vec_id, b.bucket, k.keeper_id, b.v, kb.v AS kv
+         |      FROM bk b JOIN k USING (bucket)
+         |      JOIN bk kb ON kb.vec_id = k.keeper_id)
+         |SELECT vec_id, bucket, keeper_id,
+         |  ROUND(${cosSql("v", "kv")}, 6) AS cos,
+         |  CAST(CASE WHEN vec_id <> keeper_id AND
+         |         floor(${cosSql("v", "kv")} * CAST(1000000 AS DOUBLE)
+         |           + CAST(0.5 AS DOUBLE)) >= ${Similarity.SemDupMinCosE6}
+         |       THEN 1 ELSE 0 END AS BIGINT) AS is_semantic_dup
+         |FROM j""".stripMargin)
 }

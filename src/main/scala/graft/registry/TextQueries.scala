@@ -60,7 +60,10 @@ object TextQueries {
       graft.text.CorpusStats.collocations(Tables(s, d, "documents"))),
 
     "text_oov_rate" -> ((s, d) =>
-      graft.text.CorpusStats.oovRate(Tables(s, d, "documents"))))
+      graft.text.CorpusStats.oovRate(Tables(s, d, "documents"))),
+
+    "text_dup_ngram_coverage" -> ((s, d) =>
+      graft.text.CorpusStats.dupNgramCoverage(Tables(s, d, "documents"))))
 
   // ---- DuckDB oracle SQL, generated from the same constants ----
 
@@ -312,5 +315,35 @@ object TextQueries {
          |  COALESCE(a.n_oov, 0) AS n_oov,
          |  CAST(COALESCE((a.n_oov * 1000000) // a.n_tokens, 0) AS BIGINT)
          |    AS oov_ppm
-         |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin)
+         |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
+
+    // within-doc duplicate n-gram coverage: positions covered by any
+    // gram occurring ≥2× in the SAME doc (cross-doc df is
+    // dedup_dup_spans' job)
+    "text_dup_ngram_coverage" -> {
+      val n = graft.text.CorpusStats.DupGramN
+      s"""WITH $TokCte,
+         |sp AS (SELECT doc_id,
+         |         CAST(unnest(range(0, greatest(len(w) - ${n - 1}, 0)))
+         |           AS BIGINT) AS pos, w
+         |       FROM tw),
+         |shp AS (SELECT doc_id, pos,
+         |          array_to_string(
+         |            w[CAST(pos + 1 AS INT):CAST(pos + $n AS INT)], ' ')
+         |            AS g
+         |        FROM sp),
+         |dup AS (SELECT doc_id, g FROM shp
+         |        GROUP BY doc_id, g HAVING count(*) >= 2),
+         |cov AS (SELECT DISTINCT s.doc_id, s.pos + o.o AS tpos
+         |        FROM shp s JOIN dup USING (doc_id, g)
+         |        CROSS JOIN (SELECT unnest(range(0, $n)) AS o) o),
+         |ca AS (SELECT doc_id, count(*) AS n_cov FROM cov GROUP BY 1)
+         |SELECT t.doc_id,
+         |  CAST(len(t.w) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(ca.n_cov, 0) AS BIGINT) AS n_covered,
+         |  CAST(CASE WHEN len(t.w) = 0 THEN 0
+         |            ELSE COALESCE((ca.n_cov * 1000000) // len(t.w), 0) END
+         |    AS BIGINT) AS dup_coverage_ppm
+         |FROM tw t LEFT JOIN ca USING (doc_id)""".stripMargin
+    })
 }

@@ -399,6 +399,43 @@ object Similarity {
           .as("is_outlier"))
   }
 
+  /** A pair closer than this (cosine in µunits, floor(cos·10⁶ + 0.5))
+    * is a semantic duplicate. */
+  val SemDupMinCosE6 = 950000L
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): docs
+    * whose EMBEDDINGS nearly coincide are near-paraphrases that text
+    * dedup (MinHash/SimHash — lexical overlap) cannot see. Each vector
+    * hashes to its hyperplane-LSH bucket; the bucket's lowest vec_id
+    * is the keeper, and every other member is flagged a semantic dup
+    * iff its cosine TO THE KEEPER clears [[SemDupMinCosE6]] — the
+    * keeper-star comparison (each member vs one representative), not
+    * pairwise: per bucket cost is \|bucket\|, and [[scaledNBits]]
+    * holds \|bucket\| ≈ constant as the corpus grows, so the whole
+    * pass is linear with three bucket/keeper equi-joins and no
+    * all-pairs join anywhere. The gate is integer
+    * (`floor(cos·10⁶ + 0.5) ≥ min`), so the dup verdict never rides a
+    * float-formatting tie cross-engine. */
+  def semanticDedup(emb: DataFrame, nBits: Int = NumHyperplanes,
+      minCosE6: Long = SemDupMinCosE6): DataFrame = {
+    val coded = graft.core.CacheBay.register(
+      emb.repartition(col("vec_id"))
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("bucket", lshBucket(col("v"), nBits)))
+    val keepers = coded.groupBy(col("bucket"))
+      .agg(min(col("vec_id")).as("keeper_id"))
+    val kv = coded.select(col("vec_id").as("keeper_id"), col("v").as("kv"))
+    val cosK = dotProduct(col("v"), col("kv")) /
+      (l2Norm(col("v")) * l2Norm(col("kv")))
+    coded.join(keepers, Seq("bucket"))
+      .join(kv, Seq("keeper_id"))
+      .select(col("vec_id"), col("bucket"), col("keeper_id"),
+        round(cosK, 6).as("cos"),
+        when(col("vec_id") =!= col("keeper_id") &&
+          floor(cosK * 1000000.0 + 0.5) >= minCosE6, 1L)
+          .otherwise(0L).as("is_semantic_dup"))
+  }
+
   /** Exact per-vector NN by brute force — O(n²): the TEST ORACLE for
     * [[nearestNeighbor]] on sampled subsets, never the production path
     * (a corpus broadcast is unbroadcastable and the pair count

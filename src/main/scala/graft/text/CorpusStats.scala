@@ -202,6 +202,47 @@ object CorpusStats {
         .cast("long"))
   }
 
+  val DupGramN = 3
+
+  /** Within-document duplicate n-gram COVERAGE (the strongest of the
+    * Gopher repetition rules, Rae et al. 2021 table A1): the ppm of a
+    * document's token positions that sit inside an n-gram occurring at
+    * least twice IN THAT DOCUMENT. [[repetitionSignals]]' top-gram
+    * fraction sees only the single most repeated gram; coverage sees a
+    * document stitched from MANY distinct repeated phrases (template
+    * spam, keyword stuffing), which is the common failure mode.
+    * Distinct from [[graft.dedup.Dedup.dupSpanRemoval]], whose df is
+    * CROSS-document.
+    *
+    * Shape: positions explode once (persisted), duplicate grams are a
+    * (doc, gram)-keyed count, coverage is the gram self-join back plus
+    * a bounded ×n position explode and per-doc distinct-count — every
+    * shuffle on (doc, gram) or doc keys, linear at any corpus size. */
+  def dupNgramCoverage(docs: DataFrame, n: Int = DupGramN): DataFrame = {
+    val t = graft.core.CacheBay.register(
+      docs.select(col("doc_id"), tokenArray(col("text")).as("w")))
+    val grams = graft.core.CacheBay.register(
+      t.select(col("doc_id"), posexplode(wordShinglesOf(col("w"), n)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("g")))
+    val dup = grams.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("doc_id"), col("g"))
+    val cov = grams.join(dup, Seq("doc_id", "g"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tpos"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_covered"))
+    t.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        coalesce(expr("(n_covered * 1000000) div n_tokens"), lit(0L))
+          .as("dup_coverage_ppm"))
+  }
+
   /** Per-document out-of-vocabulary rate against the top-k corpus
     * vocabulary ([[vocabTopK]]) in integer ppm — the tokenizer-coverage
     * QC: a doc whose tokens mostly miss the vocabulary is noise,

@@ -23,6 +23,23 @@ class CorpusStatsSpec extends SparkSpec {
     graft.core.CacheBay.drain()
   }
 
+  test("dupNgramCoverage: positions under a within-doc repeated " +
+    "trigram count once; repeat-free and empty docs zero") {
+    val docs = Seq(
+      // "a b c" occurs twice: covers positions 0-2 and 3-5 of 7 → 6/7
+      (1L, "a b c a b c x"),
+      (2L, "p q r s"),  // all trigrams unique → 0 covered
+      (3L, "!!!"))      // normalizes to empty → 0 tokens
+      .toDF("doc_id", "text")
+    val r = CorpusStats.dupNgramCoverage(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toMap
+    graft.core.CacheBay.drain()
+    assert(r(1L) == ((7L, 6L, 6000000L / 7L)))
+    assert(r(2L) == ((4L, 0L, 0L)))
+    assert(r(3L) == ((0L, 0L, 0L)))
+  }
+
   test("tokenRarity: corpus term frequencies roll up per doc") {
     val docs = Seq((1L, "a b"), (2L, "a")).toDF("doc_id", "text")
     // corpus tf: a=2, b=1

@@ -239,6 +239,28 @@ class PipelineSpec extends SparkSpec {
     assert(r("s2") == ((1L, 0L)))
   }
 
+  test("contaminationSpans: one verbatim quote is one long run; " +
+    "scattered hits are many short runs; clean docs absent") {
+    // doc 50 (id % 50 == 0) is the benchmark; trigrams with positions
+    val docs = Seq(
+      (50L, "alpha beta gamma delta epsilon"),
+      // verbatim 5-token quote at positions 2..6 → hit shingles at
+      // 2,3,4 (one run of 3) out of 7 shingle positions
+      (1L, "zz yy alpha beta gamma delta epsilon qq ww"),
+      // two separated quotes → two runs of 1
+      (2L, "alpha beta gamma xx yy zz beta gamma delta"),
+      (3L, "nothing shared with the benchmark here at all"))
+      .toDF("doc_id", "text")
+    val r = Pipeline.contaminationSpans(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(4),
+        x.getLong(5), x.getLong(6), x.getLong(7))).toMap
+    graft.core.CacheBay.drain()
+    // (n_sh, n_hit, n_spans, max_span_shingles, max_span_tokens, first)
+    assert(r(1L) == ((7L, 3L, 1L, 3L, 5L, 2L)), s"got ${r.get(1L)}")
+    assert(r(2L) == ((7L, 2L, 2L, 1L, 3L, 0L)), s"got ${r.get(2L)}")
+    assert(!r.contains(3L) && !r.contains(50L))
+  }
+
   test("mixInterleave: positions are a permutation; prefix holds " +
     "sources in ≈weight proportion") {
     val docs = graft.core.Tables(spark, SfDir, "documents")

@@ -99,6 +99,32 @@ class SimilaritySpec extends SparkSpec {
       s"vector $q matched $n from another cluster") }
   }
 
+  test("semanticDedup: scaled copy flags against its bucket keeper; " +
+    "keepers and distinct-direction vectors never flag") {
+    def coef(seed: Int, d: Int): Double =
+      ((seed * 64L + d) * 1103515245L % 1000003L) / 1000003.0 - 0.5
+    val base = (1 to 64).map(d => coef(7, d).toFloat)
+    val other = (1 to 64).map(d => coef(99, d).toFloat)
+    val emb = Seq(
+      (1L, base),                        // keeper of base's bucket
+      (2L, base.map(x => 2.0f * x)),     // same direction: cos = 1
+      (3L, other)                        // unrelated direction
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.semanticDedup(emb)
+      .select($"vec_id", $"keeper_id", $"is_semantic_dup")
+      .as[(Long, Long, Long)].collect()
+      .map { case (v, k, d) => (v, (k, d)) }.toMap
+    graft.core.CacheBay.drain()
+    // the scaled copy lands in vector 1's bucket (identical sign
+    // pattern) and clears the cosine gate against keeper 1
+    assert(r(2L) == ((1L, 1L)), s"got $r")
+    // keepers never self-flag
+    assert(r(1L) == ((1L, 0L)))
+    // a distinct direction never flags, whatever bucket it fell in
+    assert(r(3L)._2 == 0L)
+    assert(r.size == 3)
+  }
+
   test("brute-force top-k ranks by cosine desc, ranks 1..k") {
     val r = Similarity.bruteForceTopK(
       graft.core.Tables(spark, SfDir, "embeddings"), k = 3)
