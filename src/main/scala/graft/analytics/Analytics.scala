@@ -537,4 +537,59 @@ object Analytics {
           .as(s"t_${stages(i)}_us")) :+
       stageN.as("funnel_stage"): _*)
   }
+
+  /** Shards the quantile-sketch partials are built over (stands in for
+    * "yesterday's sketch" + "today's batch" at test scale). */
+  val SketchShards = 4L
+
+  /** Mergeable log-bucket quantile sketch — the bounded-error,
+    * merge-friendly alternative to the exact `percentile` aggregate
+    * (`events_percentiles`) when the exact form's per-group sort state
+    * is too big or the sketch must accumulate across days: values
+    * bucket to
+    * `bitlength(cents)` (power-of-two buckets, relative error ≤ 2×,
+    * all integer — `length(bin(x))` here, `format('{:b}', x)` in the
+    * oracle, the [[graft.similarity.Similarity.ScaledNBitsSql]]
+    * device), per-bucket counts form the sketch, and a quantile reads
+    * off the cumulative counts as the lower bound of the first bucket
+    * whose cumulative share clears p. Counts are a commutative monoid,
+    * so sketches MERGE exactly: this implementation deliberately
+    * builds per-shard partials first and merges them — the oracle
+    * computes the sketch directly, so the hash-match IS the
+    * mergeability proof. Negative values clamp to the zero bucket
+    * (document the domain, don't silently wrap). One narrow map pass,
+    * two keyed aggregates, a per-type window over ≤64 bucket rows. */
+  def logBucketQuantiles(events: DataFrame): DataFrame = {
+    val cents = greatest(floor(col("value") * 100.0 + 0.5).cast("long"),
+      lit(0L))
+    val bucket = when(cents === 0, lit(0L))
+      .otherwise(length(bin(cents)).cast("long"))
+    val partials = events
+      .select(col("event_type"),
+        pmod(col("user_id"), lit(SketchShards)).as("shard"),
+        bucket.as("b"))
+      .groupBy(col("event_type"), col("shard"), col("b"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val counts = partials.groupBy(col("event_type"), col("b"))
+      .agg(sum(col("c")).cast("long").as("c"))
+    val cum = counts.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy(col("event_type"))
+        .orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+    val tot = counts.groupBy(col("event_type"))
+      .agg(sum(col("c")).cast("long").as("n"))
+    def qb(p: Int) =
+      min(when(col("cum") * 100 >= col("n") * p, col("b"))).as(s"b$p")
+    def lb(b: String) =
+      expr(s"CASE WHEN $b = 0 THEN CAST(0 AS BIGINT) " +
+        s"ELSE shiftleft(CAST(1 AS BIGINT), CAST($b - 1 AS INT)) END")
+        .cast("long").as(s"p${b.drop(1)}_lb_cents")
+    cum.join(tot, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), qb(50), qb(90), qb(99))
+      .select(col("event_type"), col("n"),
+        col("b50"), col("b90"), col("b99"),
+        lb("b50"), lb("b90"), lb("b99"))
+  }
 }

@@ -68,4 +68,33 @@ object ScaleJoins {
       .select(col("rk"), col(key), col("c"),
         expr("(c * 1000000) div n_rows").as("share_e6"))
   }
+
+  /** Bucket count for [[bitmapPrunedJoin]]'s key bitmap: false-positive
+    * rate ≈ \|dim key set\| / buckets (one hash, no bit packing — the
+    * broadcast is a distinct-bucket list, bounded by this constant no
+    * matter how large the dim grows). */
+  val BitmapBuckets = 1 << 20
+
+  /** Bitmap (single-hash Bloom) semi-prune join: when the dim side is
+    * too big to broadcast ITSELF but the fact side is mostly non-
+    * matching rows, broadcast the dim's hashed key-bucket SET and
+    * left-semi prune the fact BEFORE its join shuffle — non-matching
+    * fact rows (minus the bounded false-positive share) never enter
+    * the exchange. The final equi-join re-checks real keys, so false
+    * positives cost only wasted shuffle bytes, never wrong rows:
+    * result-identical to the plain join by construction. This is the
+    * static, engine-visible form of Spark's runtime bloom-filter join;
+    * spelling it as a broadcast left-semi on `pmod(xxhash64(key), m)`
+    * keeps the whole prune inside codegen'd built-ins and makes the
+    * plan assertable (the semi-join must sit BELOW the join's
+    * exchange). */
+  def bitmapPrunedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      buckets: Int = BitmapBuckets): DataFrame = {
+    val bb = pmod(xxhash64(col(key)), lit(buckets.toLong))
+    val dimBuckets = dim.select(bb.as("__bb")).distinct()
+    fact.withColumn("__bb", bb)
+      .join(broadcast(dimBuckets), Seq("__bb"), "left_semi")
+      .drop("__bb")
+      .join(dim, Seq(key))
+  }
 }

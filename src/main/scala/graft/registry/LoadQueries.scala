@@ -27,6 +27,21 @@ object LoadQueries {
       graft.core.ScaleJoins.saltedJoin(o, c, "c_custkey", salts = 8)
     }),
 
+    // the bitmap semi-prune must be RESULT-IDENTICAL to the plain
+    // equi-join (false positives only waste shuffle bytes; the final
+    // join re-checks keys); the dim is the every-20th-supplier subset,
+    // so most lineitem rows are prunable before the join shuffle
+    "j_bitmap_prune" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+      val dim = Tables(s, d, "supplier")
+        .filter(col("s_suppkey") % 20 === 0)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      graft.core.ScaleJoins.bitmapPrunedJoin(li, dim, "l_suppkey")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          round(col("l_quantity"), 2).as("qty"), col("s_name"))
+    }),
+
     "j2_guarded_lookup" -> ((s, d) => {
       val supp = Tables(s, d, "supplier")
       val nat = Tables(s, d, "nation")
@@ -195,6 +210,11 @@ object LoadQueries {
       """SELECT o_orderkey, o_custkey AS c_custkey, o_totalprice,
         |       c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "j_bitmap_prune" ->
+      """SELECT l_orderkey, l_suppkey, ROUND(l_quantity, 2) AS qty, s_name
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_suppkey % 20 = 0""".stripMargin,
 
     "j2_guarded_lookup" ->
       """WITH q AS (SELECT l_suppkey, ROUND(SUM(l_quantity), 2) AS qty

@@ -134,6 +134,12 @@ object StreamQueries {
           round(expr("percentile(value, 0.9)"), 6).as("p90"),
           round(expr("percentile(value, 0.99)"), 6).as("p99"))),
 
+    // mergeable log-bucket quantile sketch: built shard-then-merge on
+    // the Spark side, directly in the oracle — the hash-match is the
+    // mergeability proof
+    "events_quantile_sketch" -> ((s, d) =>
+      graft.analytics.Analytics.logBucketQuantiles(Tables(s, d, "events"))),
+
     // trailing 7-day per-user activity as of each event (RANGE frame
     // over event time, exact cents)
     "events_rolling_7d" -> ((s, d) =>
@@ -465,6 +471,47 @@ object StreamQueries {
         |       ROUND(quantile_cont(value, 0.9), 6) AS p90,
         |       ROUND(quantile_cont(value, 0.99), 6) AS p99
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // log-bucket sketch: bucket = bitlength(cents) (integer in both
+    // engines: bin() / format('{:b}')), quantile = lower bound of the
+    // first bucket whose cumulative share clears p — all-integer, so
+    // the DIRECT computation here must hash-match Spark's
+    // shard-then-merge build
+    "events_quantile_sketch" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    GREATEST(CAST(floor(value * 100 + 0.5) AS BIGINT), 0) AS cents
+        |  FROM events),
+        |bk AS (SELECT event_type,
+        |         CASE WHEN cents = 0 THEN 0
+        |              ELSE length(format('{:b}', cents)) END AS b
+        |       FROM c),
+        |g AS (SELECT event_type, CAST(b AS BIGINT) AS b,
+        |        CAST(count(*) AS BIGINT) AS c
+        |      FROM bk GROUP BY 1, 2),
+        |cm AS (SELECT event_type, b, c,
+        |         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY b)
+        |           AS BIGINT) AS cum
+        |       FROM g),
+        |t AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+        |      FROM g GROUP BY 1),
+        |q AS (SELECT cm.event_type, t.n,
+        |        CAST(MIN(CASE WHEN cum * 100 >= n * 50 THEN b END)
+        |          AS BIGINT) AS b50,
+        |        CAST(MIN(CASE WHEN cum * 100 >= n * 90 THEN b END)
+        |          AS BIGINT) AS b90,
+        |        CAST(MIN(CASE WHEN cum * 100 >= n * 99 THEN b END)
+        |          AS BIGINT) AS b99
+        |      FROM cm JOIN t USING (event_type)
+        |      GROUP BY cm.event_type, t.n)
+        |SELECT event_type, n, b50, b90, b99,
+        |  CAST(CASE WHEN b50 = 0 THEN 0 ELSE power(2, b50 - 1) END
+        |    AS BIGINT) AS p50_lb_cents,
+        |  CAST(CASE WHEN b90 = 0 THEN 0 ELSE power(2, b90 - 1) END
+        |    AS BIGINT) AS p90_lb_cents,
+        |  CAST(CASE WHEN b99 = 0 THEN 0 ELSE power(2, b99 - 1) END
+        |    AS BIGINT) AS p99_lb_cents
+        |FROM q""".stripMargin,
 
     // Spark percentile == DuckDB quantile_cont (same (n-1)p linear
     // interpolation); raw values pass through exact, clamped values

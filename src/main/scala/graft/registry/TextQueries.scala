@@ -63,7 +63,18 @@ object TextQueries {
       graft.text.CorpusStats.oovRate(Tables(s, d, "documents"))),
 
     "text_dup_ngram_coverage" -> ((s, d) =>
-      graft.text.CorpusStats.dupNgramCoverage(Tables(s, d, "documents"))))
+      graft.text.CorpusStats.dupNgramCoverage(Tables(s, d, "documents"))),
+
+    // incremental vocab: stored counts of the old corpus (doc_id % 4
+    // != 0) merged with the new batch's scan — must equal the full
+    // recomputation, which is what the oracle computes
+    "text_vocab_incremental" -> ((s, d) => {
+      val dd = Tables(s, d, "documents")
+      graft.text.CorpusStats.vocabMergeIncremental(
+        graft.text.CorpusStats.tokenCountsOf(
+          dd.filter(col("doc_id") % 4 =!= 0)),
+        dd.filter(col("doc_id") % 4 === 0))
+    }))
 
   // ---- DuckDB oracle SQL, generated from the same constants ----
 
@@ -257,6 +268,18 @@ object TextQueries {
          |FROM r WHERE rank <= ${graft.text.CorpusStats.TfIdfK}""".stripMargin,
 
     "text_vocab_topk" ->
+      s"""WITH $TokCte,
+         |ex AS (SELECT unnest(w) AS token FROM tw),
+         |v AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+         |      FROM ex GROUP BY 1
+         |      ORDER BY n DESC, token LIMIT ${graft.text.CorpusStats.VocabK})
+         |SELECT token, n,
+         |  CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+         |FROM v""".stripMargin,
+
+    // the merge of stored counts + batch scan must EQUAL the full
+    // recomputation — the oracle is exactly the text_vocab_topk SQL
+    "text_vocab_incremental" ->
       s"""WITH $TokCte,
          |ex AS (SELECT unnest(w) AS token FROM tw),
          |v AS (SELECT token, CAST(count(*) AS BIGINT) AS n

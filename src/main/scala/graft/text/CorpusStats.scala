@@ -284,4 +284,31 @@ object CorpusStats {
       row_number().over(Window.orderBy(col("n").desc, col("token").asc))
         .cast("long"))
   }
+
+  /** The corpus token-count table — the persisted artifact
+    * [[vocabMergeIncremental]] maintains. */
+  def tokenCountsOf(docs: DataFrame): DataFrame =
+    docs.select(explode(tokenArray(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).cast("long").as("n"))
+
+  /** Incremental vocabulary maintenance: token counts are a
+    * commutative monoid, so a grown corpus' vocabulary updates by
+    * scanning ONLY the incoming batch and merging its count table
+    * into the stored one (union → sum → the same top-k total order as
+    * [[vocabTopK]]) — never by re-tokenizing the corpus. This is the
+    * X78-incremental-dedup shape applied to corpus statistics: at
+    * 100 TB the stored count table is vocabulary-sized (millions of
+    * rows, not corpus-sized) and the update cost is \|batch\| + one
+    * token-keyed merge shuffle. The result is EXACTLY the full
+    * recomputation (count merge is associative, the tie-break total
+    * order is data-independent), which is what the oracle asserts. */
+  def vocabMergeIncremental(existingCounts: DataFrame, incoming: DataFrame,
+      k: Int = VocabK): DataFrame = {
+    val merged = existingCounts.unionByName(tokenCountsOf(incoming))
+      .groupBy(col("token")).agg(sum(col("n")).cast("long").as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(k)
+    merged.withColumn("rank",
+      row_number().over(Window.orderBy(col("n").desc, col("token").asc))
+        .cast("long"))
+  }
 }

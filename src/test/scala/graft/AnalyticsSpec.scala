@@ -207,6 +207,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(r(5L) == ((1L, 1600L)))
   }
 
+  test("logBucketQuantiles: known buckets on a hand fixture; lower " +
+    "bounds bracket the exact quantile within 2x") {
+    import java.sql.Timestamp
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    // type A: 10 values of 0.01 (1 cent, b=1) and 10 of 10.24
+    // (1024 cents, b=11) → p50 lands in bucket 1, p90/p99 in bucket 11
+    // type B: all zero/negative → every bucket 0
+    val rows =
+      (1 to 10).map(i => (i.toLong, ts, i.toLong, "A", 0.01)) ++
+      (11 to 20).map(i => (i.toLong, ts, i.toLong, "A", 10.24)) ++
+      (21 to 25).map(i => (i.toLong, ts, i.toLong, "B", -3.5))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = graft.analytics.Analytics.logBucketQuantiles(ev).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5), x.getLong(6),
+        x.getLong(7))).toMap
+    // (n, b50, b90, b99, p50_lb, p90_lb, p99_lb) — the exact p50 is
+    // 1 cent in [lb, 2·lb) = [1, 2) and the exact p90/p99 are 1024 in
+    // [1024, 2048): the sketch's 2× error contract on this fixture
+    assert(r("A") == ((20L, 1L, 11L, 11L, 1L, 1024L, 1024L)), s"got $r")
+    assert(r("B") == ((5L, 0L, 0L, 0L, 0L, 0L, 0L)), s"got $r")
+  }
+
   test("funnelStages: strict event-time order, stages block downstream") {
     import java.sql.Timestamp
     def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")

@@ -40,6 +40,25 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r(3L) == ((0L, 0L, 0L)))
   }
 
+  test("vocabMergeIncremental: stored counts + batch scan equals the " +
+    "full recomputation, including rank flips the batch causes") {
+    val old = Seq((1L, "apple banana apple"), (2L, "banana cherry"))
+      .toDF("doc_id", "text")
+    // the batch makes cherry overtake apple and introduces durian
+    val batch = Seq((3L, "cherry cherry durian")).toDF("doc_id", "text")
+    val merged = CorpusStats.vocabMergeIncremental(
+      CorpusStats.tokenCountsOf(old), batch, k = 10)
+      .select("rank", "token", "n").as[(Long, String, Long)]
+      .collect().toSeq.sortBy(_._1)
+    val full = CorpusStats.vocabTopK(old.unionByName(batch), k = 10)
+      .select("rank", "token", "n").as[(Long, String, Long)]
+      .collect().toSeq.sortBy(_._1)
+    graft.core.CacheBay.drain()
+    assert(merged == full)
+    assert(merged.map(t => (t._2, t._3)) ==
+      Seq(("cherry", 3L), ("apple", 2L), ("banana", 2L), ("durian", 1L)))
+  }
+
   test("tokenRarity: corpus term frequencies roll up per doc") {
     val docs = Seq((1L, "a b"), (2L, "a")).toDF("doc_id", "text")
     // corpus tf: a=2, b=1

@@ -52,6 +52,26 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(plain.count(_._1 == 1L) == 1000)
   }
 
+  test("bitmapPrunedJoin equals the plain join and prunes below the " +
+    "join shuffle") {
+    val fact = (1L to 2000L).map(k => (k, s"f$k")).toDF("k", "payload")
+    val dim = (1L to 2000L).filter(_ % 100 == 0)
+      .map(k => (k, s"d$k")).toDF("k", "attr")
+    val plain = fact.join(dim, "k")
+      .select("k", "payload", "attr").as[(Long, String, String)]
+      .collect().toSet
+    val pruned = ScaleJoins.bitmapPrunedJoin(fact, dim, "k")
+    assert(pruned.select("k", "payload", "attr")
+      .as[(Long, String, String)].collect().toSet == plain)
+    assert(plain.size == 20)
+    // the semi-prune is in the executed plan (broadcast LeftSemi on
+    // the hashed bucket), upstream of the real equi-join
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"prune vanished:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("NestedLoop"))
+  }
+
   test("keySkewProfile: exact top-k shares via TakeOrdered, no full sort") {
     // key 1 owns half the rows; keys 51..100 one row each
     val df = (1 to 100).map(i => (if (i <= 50) 1L else i.toLong, i))
