@@ -199,4 +199,30 @@ object StreamDedup {
       (batch: org.apache.spark.sql.Dataset[Row], id: Long) => {
         mergeBatch(batch, id, root); ()
       })
+
+  /** Run [[compactSegments]] after every `every`-th committed batch. */
+  val MaintainEvery = 8
+
+  /** The self-maintaining stream writer: [[sink]] plus a
+    * [[compactSegments]] pass after every [[MaintainEvery]]-th batch —
+    * the complete operational loop, so unit count (and with it
+    * per-batch parquet open cost) stays bounded by
+    * `every + O(log corpus/target)` forever without an external
+    * maintenance scheduler. Compaction runs AFTER the batch's segment
+    * commits and is itself crash-safe at any point (see
+    * [[compactSegments]]), so the at-least-once replay story is
+    * unchanged: a redelivered batch is rejected by the watermark
+    * whether or not its segment has since been folded into a
+    * generation. */
+  def sinkWithMaintenance(docs: DataFrame, root: String,
+      every: Int = MaintainEvery,
+      target: Long = graft.maint.Maintenance.TargetBytes
+      ): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch(
+      (batch: org.apache.spark.sql.Dataset[Row], id: Long) => {
+        val applied = mergeBatch(batch, id, root)
+        if (applied && id % every == every - 1)
+          compactSegments(batch.sparkSession, root, target)
+        ()
+      })
 }

@@ -160,6 +160,49 @@ class PlanAuditSpec extends SparkSpec {
     graft.core.CacheBay.drain()
   }
 
+  test("round-6 family: no single-partition funnels over unbounded " +
+    "frames, no global sorts, every join an equi-join") {
+    // contamination spans: benchmark vocabulary broadcast; runs via a
+    // doc-partitioned window — never a single-partition window
+    val cs = plan(SparkEntry.queries("pipe_contamination_spans")(spark, SfDir))
+    assert(cs.contains("BroadcastExchange") &&
+      !cs.contains("Exchange SinglePartition") &&
+      !cs.contains("Exchange rangepartitioning") &&
+      !cs.contains("NestedLoop") && !cs.contains("CartesianProduct"),
+      s"contamination spans shape:\n$cs")
+    graft.core.CacheBay.drain()
+
+    // dup n-gram coverage: (doc, gram)-keyed equi-joins only
+    val dc = plan(SparkEntry.queries("text_dup_ngram_coverage")(spark, SfDir))
+    assert(!dc.contains("Exchange SinglePartition") &&
+      !dc.contains("Exchange rangepartitioning") &&
+      !dc.contains("NestedLoop") && !dc.contains("CartesianProduct"),
+      s"dup coverage shape:\n$dc")
+    graft.core.CacheBay.drain()
+
+    // semantic dedup: bucket/keeper equi-joins, never pairwise
+    val sd = plan(SparkEntry.queries("sim_semantic_dedup")(spark, SfDir))
+    assert(!sd.contains("NestedLoop") && !sd.contains("CartesianProduct"),
+      s"semantic dedup shape:\n$sd")
+    graft.core.CacheBay.drain()
+
+    // incremental vocab: token-keyed merge + TakeOrdered, no raw-text
+    // exchange and no global sort
+    val vi = plan(SparkEntry.queries("text_vocab_incremental")(spark, SfDir))
+    assert(vi.contains("TakeOrdered") &&
+      !vi.contains("Exchange RoundRobinPartitioning") &&
+      !vi.contains("Exchange rangepartitioning"),
+      s"incremental vocab shape:\n$vi")
+
+    // quantile sketch: keyed aggregates + a per-type window over ≤64
+    // bucket rows — nothing single-partition, nothing sorted globally
+    val qs = plan(SparkEntry.queries("events_quantile_sketch")(spark, SfDir))
+    assert(!qs.contains("Exchange SinglePartition") &&
+      !qs.contains("Exchange rangepartitioning") &&
+      !qs.contains("NestedLoop") && !qs.contains("CartesianProduct"),
+      s"quantile sketch shape:\n$qs")
+  }
+
   // Plans that legitimately nested-loop over a BOUNDED broadcast side:
   // J8's distinct-region backfill (reference semantics), BM25's 1-row
   // corpus-stats frame, the brute-force ANN baseline whose whole point

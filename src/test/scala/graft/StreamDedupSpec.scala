@@ -120,6 +120,41 @@ class StreamDedupSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(root)
   }
 
+  test("self-maintaining sink keeps unit count bounded across many " +
+    "micro-batches while dedup semantics hold") {
+    val root = java.nio.file.Files.createTempDirectory("sdedup_").toFile
+    val target = new java.io.File(root, "ledger").getAbsolutePath
+    val ms = MemoryStream[(Long, String)](
+      org.apache.spark.sql.Encoders.product[(Long, String)],
+      spark.sqlContext)
+    val q = StreamDedup.sinkWithMaintenance(
+      ms.toDF().toDF("doc_id", "text"), target, every = 3,
+      target = Long.MaxValue)
+      .option("checkpointLocation",
+        new java.io.File(root, "ckpt").getAbsolutePath)
+      .start()
+    try {
+      (0 until 9).foreach { i =>
+        // doc 3 repeats doc 0's text; everyone else is novel
+        val text = if (i == 3) s"novel text number 0 for this stream"
+        else s"novel text number $i for this stream"
+        ms.addData((i.toLong, text))
+        q.processAllAvailable()
+      }
+      // 9 batches with maintenance every 3: never 9 units on disk
+      assert(StreamDedup.unitCount(spark, target) <= 4,
+        s"units: ${StreamDedup.unitCount(spark, target)}")
+      assert(StreamDedup.maxSegment(spark, target) == 8L)
+      val led = StreamDedup.ledger(spark, target).get
+        .select($"doc_id", $"is_dup").as[(Long, Long)].collect().toMap
+      assert(led.size == 9)
+      assert(led(3L) == 1L && led.filter(_._1 != 3L).values.forall(_ == 0L))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(root)
+    }
+  }
+
   test("a crash between the compaction commit and the covered-segment " +
     "cleanup neither double-counts nor regresses the watermark") {
     val root = java.nio.file.Files.createTempDirectory("sdedup_").toFile
