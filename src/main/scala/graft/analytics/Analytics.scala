@@ -538,6 +538,37 @@ object Analytics {
       stageN.as("funnel_stage"): _*)
   }
 
+  /** Half-life (days) and step cap for [[decayScores]]. */
+  val DecayHalfLifeDays = 7
+  val DecayMaxSteps = 30
+
+  /** Step-wise exponential time-decay scoring — the freshness weight a
+    * curation pipeline hangs on sources/types before sampling (stale
+    * mass shouldn't dominate the mix). Each event contributes
+    * `10⁶ >> min(age_days div halfLife, 30)` µunits as of the
+    * NEWEST event date: a power-of-two half-life ladder instead of a
+    * float `exp(-λt)`, so the decay is EXACT INTEGER in any engine and
+    * any accumulation order — `shiftright` here, `// power(2, k)` in
+    * the oracle (2^k ≤ 2³⁰ is float-exact). Step-wise (weekly rungs)
+    * rather than smooth, which sampling weights don't mind and
+    * hash-exactness does. One narrow map pass + one hash aggregate;
+    * the as-of scalar broadcasts. */
+  def decayScores(events: DataFrame,
+      halfLifeDays: Int = DecayHalfLifeDays): DataFrame = {
+    val asOf = events.agg(max(to_date(col("ts"))).as("as_of"))
+    events.select(col("event_type"), to_date(col("ts")).as("d"))
+      .crossJoin(broadcast(asOf))
+      .select(col("event_type"),
+        least(expr(s"datediff(as_of, d) div $halfLifeDays"),
+          lit(DecayMaxSteps.toLong)).as("k"))
+      .select(col("event_type"),
+        expr("shiftright(CAST(1000000 AS BIGINT), CAST(k AS INT))")
+          .as("w"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("w")).cast("long").as("decayed_mass_e6"))
+  }
+
   /** Shards the quantile-sketch partials are built over (stands in for
     * "yesterday's sketch" + "today's batch" at test scale). */
   val SketchShards = 4L

@@ -266,6 +266,50 @@ object Pipeline {
         col("first_pos"))
   }
 
+  /** Boundary rate for [[contentChunks]]: a token whose hash ≡ 0
+    * (mod this) ends its chunk → mean chunk length ≈ this many
+    * tokens. */
+  val ChunkBoundaryMod = 16
+
+  /** Content-defined chunking — the dedup-stable chunker (the FastCDC/
+    * rsync idea at token granularity): chunk boundaries are TOKENS
+    * whose hash ≡ 0 (mod [[ChunkBoundaryMod]]), so boundaries are a
+    * function of CONTENT, not position. Insert a paragraph at the top
+    * of a document and a fixed-stride chunker ([[chunkWithOverlap]])
+    * shifts every window — every chunk fingerprint changes; here every
+    * chunk after the first post-insertion boundary is byte-identical,
+    * which is what makes chunk-level exact dedup across near-identical
+    * documents (boilerplate headers, versioned pages) actually fire.
+    * The boundary hash is the md5-hex8 integer (the [[graft.dedup
+    * .Dedup]] base-hash device), exactly replayable in SQL.
+    *
+    * Shape: one posexplode, per-token hash + flag inside built-ins, a
+    * doc-partitioned running count (window bounded by doc length), one
+    * (doc, chunk) aggregate whose `array_sort(collect_list)` makes
+    * collect order irrelevant. Linear; no cross-doc state. */
+  def contentChunks(docs: DataFrame,
+      mod: Int = ChunkBoundaryMod): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(graft.text.CorpusStats.tokenArray(col("text"))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("tok"))
+    val hex8 = expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)")
+    val flagged = toks.withColumn("b",
+      when(pmod(hex8, lit(mod.toLong)) === 0, 1L).otherwise(0L))
+    // a boundary token ENDS its chunk: chunk id = boundaries strictly
+    // before this position
+    flagged.withColumn("chunk_id",
+      coalesce(sum(col("b")).over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("pos")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)).cast("long"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ")).as("chunk_md5"))
+  }
+
   // ---- sequence packing ----
 
   /** Token budget per packed training sequence and the number of

@@ -42,7 +42,9 @@ object PipelineQueries {
     "pipe_mix_interleave" -> ((s, d) =>
       Pipeline.mixInterleave(docs(s, d))),
     "pipe_contamination_spans" -> ((s, d) =>
-      Pipeline.contaminationSpans(docs(s, d))))
+      Pipeline.contaminationSpans(docs(s, d))),
+    "pipe_content_chunks" -> ((s, d) =>
+      Pipeline.contentChunks(docs(s, d))))
 
   // ---- DuckDB oracle SQL, generated from the same constants ----
 
@@ -396,6 +398,37 @@ object PipelineQueries {
          |LEFT JOIN c ON grid.split = c.split AND grid.q_bucket = c.q_bucket
          |LEFT JOIN st ON grid.split = st.split
          |CROSS JOIN g""".stripMargin,
+
+    // content-defined chunking: boundary = token whose md5-hex8 ≡ 0
+    // (mod ChunkBoundaryMod); chunk id = boundaries strictly before
+    // the position
+    "pipe_content_chunks" -> {
+      val mod = Pipeline.ChunkBoundaryMod
+      s"""WITH tw AS (
+         |  SELECT doc_id,
+         |    CASE WHEN nrm = '' THEN CAST([] AS VARCHAR[])
+         |         ELSE string_split(nrm, ' ') END AS w
+         |  FROM (SELECT doc_id, ${DedupQueries.normSql} AS nrm
+         |        FROM documents)),
+         |p AS (SELECT doc_id,
+         |        CAST(unnest(range(0, len(w))) AS BIGINT) AS pos, w
+         |      FROM tw),
+         |tk AS (SELECT doc_id, pos, w[CAST(pos + 1 AS INT)] AS tok
+         |       FROM p),
+         |f AS (SELECT doc_id, pos, tok,
+         |        CASE WHEN ${hex8Sql("md5(tok)")} % $mod = 0
+         |             THEN 1 ELSE 0 END AS b
+         |      FROM tk),
+         |c AS (SELECT doc_id, pos, tok,
+         |        CAST(COALESCE(SUM(b) OVER (
+         |          PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |          0) AS BIGINT) AS chunk_id
+         |      FROM f)
+         |SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+         |FROM c GROUP BY 1, 2""".stripMargin
+    },
 
     // gaps-and-islands over positioned benchmark-shingle hits: runs of
     // consecutive hit positions = contamination spans

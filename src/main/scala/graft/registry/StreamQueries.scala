@@ -140,6 +140,10 @@ object StreamQueries {
     "events_quantile_sketch" -> ((s, d) =>
       graft.analytics.Analytics.logBucketQuantiles(Tables(s, d, "events"))),
 
+    // integer half-life ladder: 10^6 >> (age div 7), capped at 30 rungs
+    "events_decay_score" -> ((s, d) =>
+      graft.analytics.Analytics.decayScores(Tables(s, d, "events"))),
+
     // trailing 7-day per-user activity as of each event (RANGE frame
     // over event time, exact cents)
     "events_rolling_7d" -> ((s, d) =>
@@ -471,6 +475,20 @@ object StreamQueries {
         |       ROUND(quantile_cont(value, 0.9), 6) AS p90,
         |       ROUND(quantile_cont(value, 0.99), 6) AS p99
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "events_decay_score" -> {
+      val h = graft.analytics.Analytics.DecayHalfLifeDays
+      val cap = graft.analytics.Analytics.DecayMaxSteps
+      s"""WITH a AS (SELECT MAX(CAST(ts AS DATE)) AS as_of FROM events),
+         |s AS (SELECT event_type,
+         |        LEAST(CAST(date_diff('day', CAST(ts AS DATE), as_of)
+         |          AS BIGINT) // $h, $cap) AS k
+         |      FROM events CROSS JOIN a)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(SUM(1000000 // CAST(power(2, k) AS BIGINT)) AS BIGINT)
+         |    AS decayed_mass_e6
+         |FROM s GROUP BY 1""".stripMargin
+    },
 
     // log-bucket sketch: bucket = bitlength(cents) (integer in both
     // engines: bin() / format('{:b}')), quantile = lower bound of the

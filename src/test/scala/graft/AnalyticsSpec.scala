@@ -207,6 +207,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(r(5L) == ((1L, 1600L)))
   }
 
+  test("decayScores: half-life ladder weights exact on known ages; " +
+    "ancient mass decays to zero") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s + " 12:00:00")
+    // as-of = 2024-12-31; ages 0, 7, 70, 400 days → k = 0, 1, 10, 30
+    val ev = Seq(
+      (1L, t("2024-12-31"), 1L, "A", 0.0),
+      (2L, t("2024-12-24"), 1L, "A", 0.0),
+      (3L, t("2024-10-22"), 1L, "B", 0.0),
+      (4L, t("2023-11-27"), 1L, "B", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = graft.analytics.Analytics.decayScores(ev).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r("A") == ((2L, 1000000L + 500000L)), s"got $r")
+    // 70 days = 10 rungs → 1e6 >> 10 = 976; 400 days caps at 30 → 0
+    assert(r("B") == ((2L, 976L)), s"got $r")
+  }
+
   test("logBucketQuantiles: known buckets on a hand fixture; lower " +
     "bounds bracket the exact quantile within 2x") {
     import java.sql.Timestamp

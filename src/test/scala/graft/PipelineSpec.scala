@@ -239,6 +239,31 @@ class PipelineSpec extends SparkSpec {
     assert(r("s2") == ((1L, 0L)))
   }
 
+  test("contentChunks: boundaries are content-defined — a prefix " +
+    "insertion leaves downstream chunk fingerprints intact") {
+    val base = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val prefixed = "inserted words at the front " + base
+    val docs = Seq((1L, base), (2L, prefixed)).toDF("doc_id", "text")
+    val r = Pipeline.contentChunks(docs)
+      .select($"doc_id", $"chunk_md5", $"n_tokens")
+      .as[(Long, String, Long)].collect()
+    val c1 = r.filter(_._1 == 1L).map(_._2).toSet
+    val c2 = r.filter(_._1 == 2L).map(_._2).toSet
+    // every chunk after the first post-insertion boundary is identical
+    // → the two docs SHARE most fingerprints (the fixed-stride chunker
+    // would share none); only the head chunk(s) differ
+    val shared = c1.intersect(c2)
+    assert(shared.size >= c1.size - 2,
+      s"CDC stability lost: ${shared.size} of ${c1.size} shared")
+    assert(c1 != c2) // the head of doc 2 really did change
+    // chunks reconcile: per-doc token counts sum to the doc length
+    val sums = r.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._3).sum }
+    assert(sums(1L) == 200L && sums(2L) == 205L)
+    // mean chunk length is in the vicinity of the boundary mod
+    assert(c1.size >= 200 / Pipeline.ChunkBoundaryMod / 3 &&
+      c1.size <= 3 * 200 / Pipeline.ChunkBoundaryMod)
+  }
+
   test("contaminationSpans: one verbatim quote is one long run; " +
     "scattered hits are many short runs; clean docs absent") {
     // doc 50 (id % 50 == 0) is the benchmark; trigrams with positions

@@ -218,7 +218,9 @@ class PlanAuditSpec extends SparkSpec {
       // sim_bruteforce_topk, bounded query subset)
       "sim_ivf_recall",
       // 1-row corpus-totals broadcast (same class as tf-idf's n_docs)
-      "text_collocations", "pipe_split_drift")
+      "text_collocations", "pipe_split_drift",
+      // 1-row as-of scalar broadcast (max event date)
+      "events_decay_score")
   // Building these performs driver-side actions (KMeans fit / LBFGS
   // training / count()s) — plan shape is audited by their own specs.
   private val ActionOnBuild =
