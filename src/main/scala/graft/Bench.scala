@@ -7,7 +7,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // session-wide function + RangeJoinRewrite install (VERDICT r6 #6)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen path and the parquet footers once so the
@@ -27,20 +30,34 @@ object Bench {
     // first-touch materialization and per-query numbers stop being
     // attributable (VERDICT r4 #7). Skipped under a name filter.
     val tc = System.nanoTime()
+    def tier(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      try { f; () } catch { case e: Throwable =>
+        System.err.println(s"[bench] cache tier $label FAILED: ${e.getMessage}")
+      }
+      val tag = s"[cache:$label]"
+      System.err.println(
+        f"[bench] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
     if (only.isEmpty) {
-      try {
-        graft.core.Star.siop(spark, sfDir).count()
-        graft.core.Star.calendar(spark, sfDir).count()
-        graft.dedup.Dedup.sharedShingles(spark, sfDir).count()
-        graft.dedup.Dedup.sharedPairs(spark, sfDir).count()
-        graft.dedup.Dedup.sharedClusters(spark, sfDir).count()
-      } catch { case _: Throwable => () }
+      tier("star.siop")(graft.core.Star.siop(spark, sfDir).count())
+      tier("star.calendar")(graft.core.Star.calendar(spark, sfDir).count())
+      tier("dedup.shingles")(graft.dedup.Dedup.sharedShingles(spark, sfDir).count())
+      tier("dedup.pairs")(graft.dedup.Dedup.sharedPairs(spark, sfDir).count())
+      tier("dedup.clusters")(graft.dedup.Dedup.sharedClusters(spark, sfDir).count())
     }
     val cacheBuild = (System.nanoTime() - tc) / 1e9
     System.err.println(f"[bench] [cache-build]${""}%15s $cacheBuild%8.2f s")
+    // A throwing query records an explicit "err" entry, not a
+    // normal-looking sub-second timing (VERDICT r6 #2), and the run
+    // exits nonzero so the harness can't mistake a red sweep for green.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        System.err.println(s"[bench] FAILED $name: ${errors(name)}")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-28s $dt%8.2f s")
       // some operators persist() shared join lineages; drop the
@@ -50,11 +67,24 @@ object Bench {
       graft.core.CacheBay.drain()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val qs = results
+      .filterNot { case (k, _) => errors.contains(k) }
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cache_build_sec":$cacheBuild}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","cache_build_sec":$cacheBuild}""")
     graft.core.SessionCache.clear(spark)
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(
+        s"[bench] ${errors.size} QUERY FAILURE(S): ${errors.keys.mkString(", ")}")
+      sys.exit(2)
+    }
   }
 }

@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // production install path for the library's SQL functions and the
+      // RangeJoinRewrite optimizer rule — session-wide from the start,
+      // so no query's plan depends on which query ran first (VERDICT r6 #6)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -19,13 +23,25 @@ object Verify {
     // (same contract as Bench's SPARK_GRAFT_ONLY)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // A throwing query must be LOUD: r6 lost 19 correctness rows to a
+    // silent catch (VERDICT r6 #2). Failures now leave a per-query
+    // _FAILED/<name>.txt with the stack trace, an errors.json map, and a
+    // final stderr banner with the failure count.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${e.getMessage}"
+        System.err.println(s"[verify] FAILED $name: $msg")
+        errors(name) = msg
+        val failDir = Paths.get(s"$outDir/_FAILED")
+        Files.createDirectories(failDir)
+        val sw = new java.io.StringWriter()
+        e.printStackTrace(new java.io.PrintWriter(sw))
+        Files.writeString(failDir.resolve(s"$name.txt"), sw.toString)
       }
       graft.core.CacheBay.drain() // drop per-query transient persists
       }
@@ -44,7 +60,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(
+        s"[verify] ${errors.size} QUERY FAILURE(S): ${errors.keys.mkString(", ")}")
     graft.core.SessionCache.clear(spark)
     spark.stop()
+    // exit 0 even on failures: the driver's DuckDB compare must still
+    // process every query that DID dump; errors.json + _FAILED/ +
+    // the stderr banner are the loud record of what didn't
   }
 }

@@ -62,9 +62,10 @@ object Dedup {
     * Inlining them into the shingle lambda re-evaluates them per
     * element — Catalyst's CollapseProject keeps these stages apart
     * because the intermediates are non-cheap and multiply referenced.
-    * The repartition spreads per-doc hashing across all cores: the
-    * small-SF parquet arrives as ONE partition, which otherwise
-    * serializes the whole dedup pipeline onto a single task. */
+    * [[graft.core.Spread]] spreads per-doc hashing across all cores
+    * ONLY when the source arrives under-parallel (the local single-file
+    * fixture); on an already-split cluster-scale source it adds no
+    * exchange. */
   def shingleSets(docs: DataFrame, n: Int = ShingleN): DataFrame = {
     val w = col("w")
     val cnt = size(w) - (n - 1)
@@ -75,9 +76,8 @@ object Dedup {
     // split(normalize(text)) at every lambda reference, i.e. two regex
     // passes per shingle element. (Docs with ≥ n words ⟺ ≥ 1 shingle,
     // so the two forms select identical rows.)
-    docs
+    graft.core.Spread(docs)
       .filter(size(split(normalize(col("text")), " ")) >= n)
-      .repartition(col("doc_id"))
       .select(col("doc_id"), normalize(col("text")).as("nt"))
       .select(col("doc_id"), split(col("nt"), " ").as("w"))
       .select(col("doc_id"), array_distinct(
@@ -480,7 +480,7 @@ object Dedup {
       minDf: Int = SpanMinDf): DataFrame = {
     import graft.text.CorpusStats.tokenArray
     val toks = graft.core.CacheBay.register(
-      docs.repartition(col("doc_id"))
+      graft.core.Spread(docs)
         .select(col("doc_id"), tokenArray(col("text")).as("w")))
     // spans with their 0-based start position; persisted because both
     // the df aggregate and the coverage probe read it

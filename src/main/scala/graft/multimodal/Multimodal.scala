@@ -40,8 +40,7 @@ object Multimodal {
     * real encoded frames — same schema.) */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
-    graft.core.Tables(spark, dir, "documents")
-      .repartition(col("doc_id")) // decode parallelism (1-file input)
+    graft.core.Spread(graft.core.Tables(spark, dir, "documents"))
       .select(col("doc_id"),
         concat(lit("img/"), col("source")).as("media_type"),
         encode(col("text"), "UTF-8").as("payload"),
@@ -157,9 +156,8 @@ object Multimodal {
     * per-row work after one balancing repartition of the 1-file input. */
   def imageTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
-    graft.core.Tables(spark, dir, "documents")
+    graft.core.Spread(graft.core.Tables(spark, dir, "documents"))
       .filter(length(col("text")) > 0)
-      .repartition(col("doc_id")) // encode parallelism (1-file input)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         val w = text.length % 64 + 1

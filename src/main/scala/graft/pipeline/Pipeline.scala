@@ -386,15 +386,17 @@ object Pipeline {
     * (context windows with `overlap` tokens of continuity across
     * boundaries). Chunk starts step by `size - overlap`; the final
     * chunk may be short. Pure per-row array work (one Generate over a
-    * start-position sequence + codegen'd `slice`), no shuffle at all —
-    * the operator is embarrassingly parallel at any corpus size.
+    * start-position sequence + codegen'd `slice`) — embarrassingly
+    * parallel, and at cluster scale SHUFFLE-FREE: the only exchange
+    * [[graft.core.Spread]] can introduce is the local single-file
+    * parallelism repair, which vanishes on any already-split source.
     * Emits the chunk fingerprint rather than the text (the md5 keeps
     * the oracle hash exact; a real pipeline would carry the slice). */
   def chunkWithOverlap(docs: DataFrame, size: Int = ChunkSize,
       overlap: Int = ChunkOverlap): DataFrame = {
     require(overlap >= 0 && overlap < size, "need 0 <= overlap < size")
     val stride = size - overlap
-    docs.repartition(col("doc_id"))
+    graft.core.Spread(docs)
       .select(col("doc_id"),
         graft.text.CorpusStats.tokenArray(col("text")).as("w"))
       .filter(size_(col("w")) > 0)
@@ -429,8 +431,7 @@ object Pipeline {
     * in both engines, no NTILE remainder-placement ambiguity. */
   def lengthDeciles(docs: DataFrame, k: Int = NumTiles): DataFrame = {
     val base = graft.core.CacheBay.register(
-      docs.repartition(col("doc_id"))
-        .select(col("doc_id"), col("n_chars")))
+      docs.select(col("doc_id"), col("n_chars")))
     val off = base.groupBy(col("n_chars"))
       .agg(count(lit(1)).as("c"))
       .withColumn("off", coalesce(
@@ -497,7 +498,7 @@ object Pipeline {
   def tokenBudgetSelect(docs: DataFrame,
       budgetPerLang: Long = LangTokenBudget): DataFrame = {
     val lowerToks = tokens(lower(col("text")))
-    val scored = docs.repartition(col("doc_id"))
+    val scored = graft.core.Spread(docs)
       .select(col("lang"), col("doc_id"),
         length(col("text")).cast("long").as("len_chars"),
         size(filter(lowerToks,

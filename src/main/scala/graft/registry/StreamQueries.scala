@@ -92,16 +92,15 @@ object StreamQueries {
     // The SAME range join written NAIVELY (raw theta condition, the
     // shape Spark plans as a nested loop) — the RangeJoinRewrite
     // optimizer rule turns it into the bucketed equi-join; the oracle
-    // proves the rewrite result-identical. The rule is installed
-    // idempotently and LEFT installed (the production deployment:
-    // GraftExtensions injects it session-wide): any downstream action
-    // (Verify's write, Bench's count) builds a NEW QueryExecution, so
-    // removing the rule after forcing the memoized optimizedPlan would
-    // silently execute the un-rewritten nested loop (r5 ADVICE). The
-    // rule is fixed-point safe and skips every `__`-bucketed plan, so
-    // leaving it installed cannot change any other query's results —
-    // it only upgrades a matching naive theta join, which is exactly
-    // its contract
+    // proves the rewrite result-identical. The rule is NOT installed
+    // here: the production install path is
+    //   spark.sql.extensions=graft.functions.GraftExtensions
+    // which injects it session-wide at session build (Verify, Bench and
+    // the test session all set it), so the rewrite applies regardless of
+    // which query runs first (VERDICT r6 #6 — the old first-call install
+    // made plan quality iteration-order-dependent). In a session built
+    // WITHOUT the extension this query still returns correct rows — it
+    // just executes the nested loop it wrote.
     "events_range_join_auto" -> ((s, d) => {
       val ev = Tables(s, d, "events")
       val m = ev.filter(col("event_id") % 20 === 0)
@@ -115,10 +114,6 @@ object StreamQueries {
           col("ts") >= col("m_start") && col("ts") <= col("m_end"))
         .select(col("event_id"), col("user_id"), col("ts"),
           col("m_event_id"))
-      if (!s.experimental.extraOptimizations
-          .contains(graft.plans.RangeJoinRewrite))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
       naive
     }),
 

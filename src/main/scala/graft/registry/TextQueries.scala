@@ -16,8 +16,11 @@ import graft.text.TextAnalysis._
   */
 object TextQueries {
 
+  // Spread repairs the single-file fixture's one-partition scan locally
+  // and is a no-op (no exchange) on an already-split source — see
+  // graft.core.Spread for the 100 TB rationale
   private def docs(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "documents").repartition(col("doc_id"))
+    graft.core.Spread(Tables(s, d, "documents"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_counts" -> ((s, d) => docs(s, d).select(

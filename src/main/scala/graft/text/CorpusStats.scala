@@ -158,6 +158,9 @@ object CorpusStats {
     * over a 10¹⁰+-token corpus (where a stock bigram alone can hit
     * n_ab·N_uni ≈ 10¹⁸) must move the arithmetic to decimal(38) — the
     * identical floor-division sequence in wider lanes, in both engines.
+    * These bounds are runtime-ASSERTED per row by [[guardedLiftE6]]:
+    * out-of-range counts fail the job with remediation advice rather
+    * than silently wrapping.
     * Both engines evaluate the same two floor divisions, and the
     * statistic is monotone in PMI up to the ≤1-ulp floor loss of step
     * one. A minimum pair count keeps the rare-pair degeneracy of PMI
@@ -194,13 +197,37 @@ object CorpusStats {
         Seq("b"))
       .crossJoin(broadcast(totals))
       .select(col("bigram"), col("n_ab"), col("n_a"), col("n_b"),
-        expr("(((n_ab * 1000000 * n_uni_total) div (n_a * n_bi_total))" +
-          " * n_uni_total) div n_b").as("lift_e6"))
+        guardedLiftE6.as("lift_e6"))
     scored.orderBy(col("lift_e6").desc, col("bigram").asc).limit(k)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("lift_e6").desc, col("bigram").asc))
         .cast("long"))
   }
+
+  /** The collocation lift with its Long-exact preconditions ENFORCED,
+    * not just documented (VERDICT r6 #7): past the safe range the raw
+    * expression would silently wrap and corrupt the ranking, so each
+    * step asserts its bound and fails loudly with remediation advice
+    * instead. Inputs: columns `n_ab, n_a, n_b, n_uni_total,
+    * n_bi_total`. The guards are the algebraic rearrangements of the
+    * three products against Long.MaxValue using conservative floor
+    * division (a boundary-exact case may be rejected — acceptable for
+    * a corruption guard; the remediation is identical). `assert_true`
+    * returns NULL when the condition holds, so `coalesce(assert, lift)`
+    * evaluates the guard per row and yields the untouched lift value —
+    * the oracle SQL needs no counterpart. */
+  private[graft] def guardedLiftE6: Column = expr(
+    "coalesce(cast(assert_true(" +
+      "n_ab <= (9223372036854775807 div 1000000) div n_uni_total" +
+      " and n_a <= 9223372036854775807 div n_bi_total" +
+      " and ((n_ab * 1000000 * n_uni_total) div (n_a * n_bi_total))" +
+      "   <= 9223372036854775807 div n_uni_total," +
+      " 'collocation lift exceeds the Long-exact range " +
+      "(n_ab*1e6*N_uni, n_a*N_bi, or q1*N_uni > 2^63-1): " +
+      "shard the corpus and count-merge, or move the arithmetic to " +
+      "decimal(38)') as bigint)," +
+      " (((n_ab * 1000000 * n_uni_total) div (n_a * n_bi_total))" +
+      " * n_uni_total) div n_b)")
 
   val DupGramN = 3
 

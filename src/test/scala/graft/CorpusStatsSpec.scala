@@ -127,6 +127,29 @@ class CorpusStatsSpec extends SparkSpec {
     graft.core.CacheBay.drain()
   }
 
+  test("guardedLiftE6: safe range matches the raw formula; overflow range throws") {
+    // counts as plain columns: the guard is pure expression logic, so a
+    // synthetic count frame exercises ranges no fixture corpus can reach
+    def lift(nAb: Long, nA: Long, nB: Long, nUni: Long, nBi: Long) =
+      Seq((nAb, nA, nB, nUni, nBi))
+        .toDF("n_ab", "n_a", "n_b", "n_uni_total", "n_bi_total")
+        .select(CorpusStats.guardedLiftE6.as("lift_e6"))
+    // safe: n_ab·1e6·N_uni = 5e13 — well inside 2^63; value = raw formula
+    val safe = lift(nAb = 50L, nA = 100L, nB = 200L,
+      nUni = 1000000L, nBi = 999000L).as[Long].head()
+    assert(safe == ((50L * 1000000L * 1000000L) / (100L * 999000L))
+      * 1000000L / 200L)
+    // overflow: n_ab·1e6·N_uni ≈ 10^19 > 2^63-1 — the documented
+    // 10¹⁰-token-corpus stock-bigram case; must THROW, not wrap
+    val big = intercept[Exception] {
+      lift(nAb = 1000000L, nA = 2000000L, nB = 2000000L,
+        nUni = 10000000000L, nBi = 9999999999L).as[Long].head()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(big).exists(_.contains("Long-exact range")), msgs(big))
+  }
+
   test("oovRate: ppm of tokens outside the top-k vocab; empty doc zeros") {
     // vocab k=2 -> {a, b} (a=3, b=2, z=1); doc 1 has 1 OOV of 3 tokens
     val docs = Seq((1L, "a b z"), (2L, "a b a"), (3L, "!!!"))

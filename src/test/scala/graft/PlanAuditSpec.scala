@@ -203,6 +203,31 @@ class PlanAuditSpec extends SparkSpec {
       s"quantile sketch shape:\n$qs")
   }
 
+  test("Spread: an already-split source gains NO exchange through the " +
+    "map-only operators; a single-partition source is repaired locally") {
+    import org.apache.spark.sql.functions._
+    // 4 scan partitions on a local[4] session = cluster-scale shape:
+    // Spread must return the frame untouched, so the chunker's plan —
+    // whose scaladoc promises shuffle-freedom at scale — carries no
+    // Exchange of any kind
+    val par = spark.range(0, 200, 1, 4)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", lit("alpha beta gamma delta epsilon zeta"),
+          col("id").cast("string")).as("text"))
+    val pc = plan(graft.pipeline.Pipeline.chunkWithOverlap(par))
+    assert(!pc.contains("Exchange"), s"chunker gained an exchange:\n$pc")
+    val ps = plan(graft.dedup.Dedup.shingleSets(par))
+    assert(!ps.contains("Exchange"), s"shingleSets gained an exchange:\n$ps")
+    // single-partition input (the local fixture shape): repaired to
+    // the session's core count by one round-robin exchange
+    val one = spark.range(0, 200, 1, 1)
+      .select(col("id").as("doc_id"), lit("t").as("text"))
+    val spread = graft.core.Spread(one.toDF())
+    assert(spread.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism,
+      s"local repair: ${spread.rdd.getNumPartitions}")
+  }
+
   // Plans that legitimately nested-loop over a BOUNDED broadcast side:
   // J8's distinct-region backfill (reference semantics), BM25's 1-row
   // corpus-stats frame, the brute-force ANN baseline whose whole point

@@ -10,6 +10,9 @@ object TestSession {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // same install path production uses: functions + RangeJoinRewrite
+    // active session-wide, so tests exercise the plans users would get
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .getOrCreate()
 }
 
