@@ -472,6 +472,82 @@ object Pipeline {
 
   val LangTokenBudget = 2000L
 
+  /** One-pass integer micro-unit quality scoring: (lang, source,
+    * doc_id, quality_e6, n_tokens) — the exact-arithmetic mirror of
+    * [[graft.text.TextAnalysis.qualityScore]] (`least(len·2000, 10⁶)`,
+    * `(stop_hits·4·10⁶) div n_ws`, `10⁶ − (punct·5·10⁶) div
+    * nonspace`; 4/3/3 weights), shared by [[tokenBudgetSelect]] and
+    * [[perSourceCap]] so their rankings cannot drift. Integer, never a
+    * rounded DOUBLE: last-ulp float ties would reorder greedy cuts
+    * cross-engine. Map-only over the corpus (Spread adds no exchange
+    * on an already-split source). */
+  private def qualityScored(docs: DataFrame): DataFrame = {
+    val lowerToks = tokens(lower(col("text")))
+    graft.core.Spread(docs)
+      .select(col("lang"), col("source"), col("doc_id"),
+        length(col("text")).cast("long").as("len_chars"),
+        size(filter(lowerToks,
+          t => t.isin(LangMarkers.head._2.map(lit): _*)))
+          .cast("long").as("stop_hits"),
+        when(trim(col("text")) === "", lit(0L))
+          .otherwise(size(lowerToks).cast("long")).as("n_ws"),
+        length(regexp_replace(col("text"), "[^\\p{Punct}]", ""))
+          .cast("long").as("n_punct"),
+        length(regexp_replace(col("text"), "\\s", ""))
+          .cast("long").as("n_nonspace"),
+        tokenCount(col("text")).as("n_tokens"))
+      .withColumn("len_s", least(col("len_chars") * 2000L, lit(1000000L)))
+      .withColumn("stop_s", when(col("n_ws") === 0, lit(0L))
+        .otherwise(least(expr("(stop_hits * 4000000) div n_ws"),
+          lit(1000000L))))
+      .withColumn("punct_s", when(col("n_nonspace") === 0, lit(1000000L))
+        .otherwise(greatest(
+          lit(1000000L) - expr("(n_punct * 5000000) div n_nonspace"),
+          lit(0L))))
+      .withColumn("quality_e6",
+        expr("(len_s * 4 + stop_s * 3 + punct_s * 3) div 10"))
+      .select(col("lang"), col("source"), col("doc_id"),
+        col("quality_e6"), col("n_tokens"))
+  }
+
+  val SourceCap = 10
+
+  /** Per-source (per-domain) document cap — the C4/RefinedWeb-family
+    * curation rule that stops any single domain from dominating the
+    * corpus: keep at most `cap` documents per `source`, best quality
+    * first (doc_id tiebreak), and drop the rest. Emits the kept rows
+    * with their within-source rank.
+    *
+    * Scale shape (the [[tokenBudgetSelect]] decomposition, NOT a
+    * per-source `row_number` over raw documents): a hot domain in a
+    * web corpus can hold billions of rows, so ranking decomposes as
+    * `rank = |better-quality docs in source| + rank within the
+    * (source, quality) tie group`. The cumulative offset runs over the
+    * (source, quality) VALUE-DISTRIBUTION aggregate — bounded by the
+    * score domain per source, not the domain's row count — and the
+    * only row-level window partitions on the compound (source,
+    * quality) key, so even a pathological single-domain corpus spreads
+    * across the quality buckets. The offset joins back ON THE COMPOUND
+    * KEY (sources are unbounded at web scale — never broadcast). */
+  def perSourceCap(docs: DataFrame, cap: Int = SourceCap): DataFrame = {
+    val scored = graft.core.CacheBay.register(
+      qualityScored(docs)
+        .select(col("source"), col("doc_id"), col("quality_e6")))
+    val off = scored.groupBy(col("source"), col("quality_e6"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum(col("c")).over(Window.partitionBy(col("source"))
+          .orderBy(col("quality_e6").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("quality_e6"), col("off"))
+    scored.join(off, Seq("source", "quality_e6"))
+      .withColumn("rk", (col("off") + row_number().over(
+        Window.partitionBy(col("source"), col("quality_e6"))
+          .orderBy(col("doc_id")))).cast("long"))
+      .filter(col("rk") <= cap)
+      .select(col("source"), col("doc_id"), col("quality_e6"), col("rk"))
+  }
+
   /** Token-budget corpus selection — the mixing step that turns "all
     * surviving documents" into "the N-token training corpus": per
     * language, documents are ranked by quality (best first, doc_id
@@ -497,33 +573,10 @@ object Pipeline {
     * hash-partitioned on the value key. */
   def tokenBudgetSelect(docs: DataFrame,
       budgetPerLang: Long = LangTokenBudget): DataFrame = {
-    val lowerToks = tokens(lower(col("text")))
-    val scored = graft.core.Spread(docs)
-      .select(col("lang"), col("doc_id"),
-        length(col("text")).cast("long").as("len_chars"),
-        size(filter(lowerToks,
-          t => t.isin(LangMarkers.head._2.map(lit): _*)))
-          .cast("long").as("stop_hits"),
-        when(trim(col("text")) === "", lit(0L))
-          .otherwise(size(lowerToks).cast("long")).as("n_ws"),
-        length(regexp_replace(col("text"), "[^\\p{Punct}]", ""))
-          .cast("long").as("n_punct"),
-        length(regexp_replace(col("text"), "\\s", ""))
-          .cast("long").as("n_nonspace"),
-        tokenCount(col("text")).as("n_tokens"))
-      .withColumn("len_s", least(col("len_chars") * 2000L, lit(1000000L)))
-      .withColumn("stop_s", when(col("n_ws") === 0, lit(0L))
-        .otherwise(least(expr("(stop_hits * 4000000) div n_ws"),
-          lit(1000000L))))
-      .withColumn("punct_s", when(col("n_nonspace") === 0, lit(1000000L))
-        .otherwise(greatest(
-          lit(1000000L) - expr("(n_punct * 5000000) div n_nonspace"),
-          lit(0L))))
-      .withColumn("quality_e6",
-        expr("(len_s * 4 + stop_s * 3 + punct_s * 3) div 10"))
-      .select(col("lang"), col("doc_id"), col("quality_e6"),
-        col("n_tokens"))
-    val base = graft.core.CacheBay.register(scored)
+    val base = graft.core.CacheBay.register(
+      qualityScored(docs)
+        .select(col("lang"), col("doc_id"), col("quality_e6"),
+          col("n_tokens")))
     val off = base.groupBy(col("lang"), col("quality_e6"))
       .agg(sum(col("n_tokens")).as("s"))
       .withColumn("off", coalesce(

@@ -83,13 +83,7 @@ object DedupQueries {
        |), shf AS (SELECT * FROM sh WHERE len(shingles) > 0)""".stripMargin
   }
 
-  /** hex→int of md5(s)[1..8] as an explicit 8-term polynomial (DuckDB
-    * has no conv(); md5 hex digits are 0-9a-f so ascii<58 ⇒ digit). */
-  private val Hex8 = (1 to 8).map { i =>
-    val a = s"ascii(substring(md5(s), $i, 1))"
-    val pow = math.pow(16, 8 - i).toLong
-    s"(($a - (CASE WHEN $a < 58 THEN 48 ELSE 87 END)) * CAST($pow AS BIGINT))"
-  }.mkString("(", " + ", ")")
+  private val Hex8 = OracleSql.hex8("md5(s)")
 
   private val SigCte =
     s"""bs AS (

@@ -24,7 +24,10 @@ object MaintQueries {
           length(col("text")).cast("long").as("bytes")))),
     "maint_zorder_stats" -> ((s, d) =>
       Maintenance.zorderStats(Tables(s, d, "lineitem"),
-        "l_partkey", "l_suppkey")))
+        "l_partkey", "l_suppkey")),
+    "graph_triangles" -> ((s, d) =>
+      graft.graph.Triangles.triangleCounts(
+        graft.graph.Triangles.coPurchaseEdges(Tables(s, d, "lineitem")))))
 
   /** One PageRank step as a CTE, from the same constants. */
   private def prStep(prev: String, curr: String): String =
@@ -82,5 +85,32 @@ object MaintQueries {
          |  CAST(COUNT(*) AS BIGINT) AS n_rows,
          |  MIN(x) AS x_min, MAX(x) AS x_max,
          |  MIN(y) AS y_min, MAX(y) AS y_max
-         |FROM z GROUP BY 1""".stripMargin)
+         |FROM z GROUP BY 1""".stripMargin,
+
+    // the oracle enumerates each triangle once in canonical id order
+    // (a<b<c via the e1-e2-e3 triple join); the engine enumerates via
+    // degree-ordered orientation — a different wedge schedule over the
+    // SAME edge set, so the triangle set (and hence every per-node
+    // count) is identical
+    "graph_triangles" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM op x JOIN op y ON x.ok = y.ok AND x.p < y.p),
+        |und AS (SELECT a AS u, b AS v FROM e
+        |        UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+        |        FROM und GROUP BY 1),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |nodes AS (SELECT x AS n FROM tri
+        |          UNION ALL SELECT y FROM tri
+        |          UNION ALL SELECT z FROM tri),
+        |tc AS (SELECT n, CAST(count(*) AS BIGINT) AS c FROM nodes GROUP BY 1)
+        |SELECT d.u AS part, d.deg, CAST(COALESCE(tc.c, 0) AS BIGINT) AS n_tri
+        |FROM deg d LEFT JOIN tc ON d.u = tc.n""".stripMargin)
 }

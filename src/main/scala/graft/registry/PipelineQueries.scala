@@ -44,17 +44,54 @@ object PipelineQueries {
     "pipe_contamination_spans" -> ((s, d) =>
       Pipeline.contaminationSpans(docs(s, d))),
     "pipe_content_chunks" -> ((s, d) =>
-      Pipeline.contentChunks(docs(s, d))))
+      Pipeline.contentChunks(docs(s, d))),
+    "pipe_source_cap" -> ((s, d) => Pipeline.perSourceCap(docs(s, d))))
 
   // ---- DuckDB oracle SQL, generated from the same constants ----
 
-  /** hex→int of the first 8 hex digits of `h` as an explicit 8-term
-    * polynomial (DuckDB has no conv(); md5 digits are 0-9a-f). */
-  private def hex8Sql(h: String): String = (1 to 8).map { i =>
-    val a = s"ascii(substring($h, $i, 1))"
-    val pow = math.pow(16, 8 - i).toLong
-    s"(($a - (CASE WHEN $a < 58 THEN 48 ELSE 87 END)) * CAST($pow AS BIGINT))"
-  }.mkString("(", " + ", ")")
+  private def hex8Sql(h: String): String = OracleSql.hex8(h)
+
+  /** Integer micro-unit quality scoring CTE chain (raw → q → sc),
+    * ending in `sc(lang, source, doc_id, n_tokens, quality_e6)` —
+    * generated from the same constants as
+    * `Pipeline.qualityScored` and shared by the token-budget and
+    * source-cap oracles so their rankings cannot drift. */
+  private val QualityCte = {
+    val markers = graft.text.TextAnalysis.LangMarkers.head._2
+      .map(m => s"'$m'").mkString("[", ", ", "]")
+    s"""raw AS (
+       |  SELECT lang, source, doc_id,
+       |    CAST(length(text) AS BIGINT) AS len_chars,
+       |    CAST(len(list_filter(
+       |      string_split_regex(trim(lower(text)), '\\s+'),
+       |      t -> list_contains($markers, t))) AS BIGINT) AS stop_hits,
+       |    CASE WHEN trim(text) = '' THEN 0
+       |         ELSE CAST(len(string_split_regex(trim(lower(text)),
+       |           '\\s+')) AS BIGINT) END AS n_ws,
+       |    CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+       |      AS BIGINT) AS n_punct,
+       |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+       |      AS n_nonspace,
+       |    CASE WHEN trim(text) = '' THEN 0
+       |         ELSE CAST(len(string_split_regex(trim(text), '\\s+'))
+       |           AS BIGINT) END AS n_tokens
+       |  FROM documents),
+       |q AS (
+       |  SELECT lang, source, doc_id, n_tokens,
+       |    least(len_chars * 2000, 1000000) AS len_s,
+       |    CASE WHEN n_ws = 0 THEN 0
+       |         ELSE least((stop_hits * 4000000) // n_ws, 1000000)
+       |    END AS stop_s,
+       |    CASE WHEN n_nonspace = 0 THEN 1000000
+       |         ELSE greatest(1000000 - (n_punct * 5000000) // n_nonspace, 0)
+       |    END AS punct_s
+       |  FROM raw),
+       |sc AS (
+       |  SELECT lang, source, doc_id, n_tokens,
+       |    CAST((len_s * 4 + stop_s * 3 + punct_s * 3) // 10 AS BIGINT)
+       |      AS quality_e6
+       |  FROM q)""".stripMargin
+  }
 
   /** doc_id → 0-99 bucket + split label, from the same thresholds. */
   private val SplitCte =
@@ -154,40 +191,7 @@ object PipelineQueries {
     // on non-negative longs == Spark div) so the ranking — and hence
     // the greedy cut — is bit-identical cross-engine
     "pipe_token_budget" -> {
-      val markers = graft.text.TextAnalysis.LangMarkers.head._2
-        .map(m => s"'$m'").mkString("[", ", ", "]")
-      s"""WITH raw AS (
-         |  SELECT lang, doc_id,
-         |    CAST(length(text) AS BIGINT) AS len_chars,
-         |    CAST(len(list_filter(
-         |      string_split_regex(trim(lower(text)), '\\s+'),
-         |      t -> list_contains($markers, t))) AS BIGINT) AS stop_hits,
-         |    CASE WHEN trim(text) = '' THEN 0
-         |         ELSE CAST(len(string_split_regex(trim(lower(text)),
-         |           '\\s+')) AS BIGINT) END AS n_ws,
-         |    CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
-         |      AS BIGINT) AS n_punct,
-         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
-         |      AS n_nonspace,
-         |    CASE WHEN trim(text) = '' THEN 0
-         |         ELSE CAST(len(string_split_regex(trim(text), '\\s+'))
-         |           AS BIGINT) END AS n_tokens
-         |  FROM documents),
-         |q AS (
-         |  SELECT lang, doc_id, n_tokens,
-         |    least(len_chars * 2000, 1000000) AS len_s,
-         |    CASE WHEN n_ws = 0 THEN 0
-         |         ELSE least((stop_hits * 4000000) // n_ws, 1000000)
-         |    END AS stop_s,
-         |    CASE WHEN n_nonspace = 0 THEN 1000000
-         |         ELSE greatest(1000000 - (n_punct * 5000000) // n_nonspace, 0)
-         |    END AS punct_s
-         |  FROM raw),
-         |sc AS (
-         |  SELECT lang, doc_id, n_tokens,
-         |    CAST((len_s * 4 + stop_s * 3 + punct_s * 3) // 10 AS BIGINT)
-         |      AS quality_e6
-         |  FROM q),
+      s"""WITH $QualityCte,
          |c AS (
          |  SELECT lang, doc_id, quality_e6, n_tokens,
          |    SUM(n_tokens) OVER (PARTITION BY lang
@@ -490,5 +494,17 @@ object PipelineQueries {
         |SELECT doc_id, source, weight, src_rank,
         |  CAST(row_number() OVER (ORDER BY key, source, doc_id)
         |    AS BIGINT) AS mix_pos
-        |FROM ky""".stripMargin)
+        |FROM ky""".stripMargin,
+
+    // per-source cap: the oracle ranks directly (row_number over each
+    // source); the engine decomposes the same rank as offset + intra-
+    // tie-group rank so no per-domain global sort exists at scale —
+    // identical output by construction
+    "pipe_source_cap" ->
+      s"""WITH $QualityCte
+         |SELECT source, doc_id, quality_e6,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY quality_e6 DESC, doc_id ASC) AS BIGINT) AS rk
+         |FROM sc
+         |QUALIFY rk <= ${Pipeline.SourceCap}""".stripMargin)
 }

@@ -53,6 +53,9 @@ object TextQueries {
     "text_token_rarity" -> ((s, d) =>
       graft.text.CorpusStats.tokenRarity(Tables(s, d, "documents"))),
 
+    "text_cms_heavy_hitters" -> ((s, d) =>
+      graft.text.CorpusStats.cmsHeavyHitters(docs(s, d))),
+
     "text_vocab_topk" -> ((s, d) =>
       graft.text.CorpusStats.vocabTopK(Tables(s, d, "documents"))),
 
@@ -269,6 +272,39 @@ object TextQueries {
          |      FROM sc)
          |SELECT doc_id, term, tf, df, score_e6, rank
          |FROM r WHERE rank <= ${graft.text.CorpusStats.TfIdfK}""".stripMargin,
+
+    // the oracle builds the IDENTICAL count-min sketch (same md5-hex8
+    // base, same mixers, same d×w geometry) directly over the global
+    // token stream; the Spark side merges per-source partial sketches —
+    // the hash-match is the mergeability proof (counter addition)
+    "text_cms_heavy_hitters" -> {
+      import graft.text.CorpusStats.{CmsDepth, CmsWidth, CmsK}
+      val base = s"(${OracleSql.hex8("md5(tok)")} % 2147483647)"
+      s"""WITH $TokCte,
+         |ex AS (SELECT unnest(w) AS tok FROM tw),
+         |cells AS (
+         |  SELECT j, ${OracleSql.mix("j", base)} % $CmsWidth AS bucket
+         |  FROM ex, range(0, $CmsDepth) t(j)),
+         |sk AS (
+         |  SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM cells GROUP BY 1, 2),
+         |top AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM ex GROUP BY 1 ORDER BY n_exact DESC, tok LIMIT $CmsK),
+         |probes AS (
+         |  SELECT tok, n_exact, j,
+         |    ${OracleSql.mix("j", base)} % $CmsWidth AS bucket
+         |  FROM top, range(0, $CmsDepth) t(j)),
+         |est AS (
+         |  SELECT p.tok AS token, p.n_exact,
+         |    CAST(min(s.cnt) AS BIGINT) AS est_cms
+         |  FROM probes p JOIN sk s USING (j, bucket)
+         |  GROUP BY 1, 2)
+         |SELECT token, n_exact, est_cms,
+         |  CAST(row_number() OVER (ORDER BY n_exact DESC, token)
+         |    AS BIGINT) AS rank
+         |FROM est""".stripMargin
+    },
 
     "text_vocab_topk" ->
       s"""WITH $TokCte,

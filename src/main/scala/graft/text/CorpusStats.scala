@@ -312,6 +312,80 @@ object CorpusStats {
         .cast("long"))
   }
 
+  /** Count-min sketch geometry: depth (independent hash rows) and
+    * width (buckets per row). Error bound: est − true ≤ 2N/w with
+    * probability 1 − (1/2)^d over the hash draw; at w = 8192 a
+    * 10¹⁰-token corpus overestimates by ≲ 2.4 M — the right trade for
+    * a heavy-hitter screen whose candidates are exact-verified anyway. */
+  val CmsDepth = 4
+  val CmsWidth = 8192
+  val CmsK = 20
+
+  /** Count-min sketch heavy hitters — the third mergeable sketch next
+    * to the HLL rollup and the log-bucket quantile sketch: token
+    * frequency estimation in FIXED memory (d·w counters) regardless of
+    * vocabulary size. Emits the exact top-k tokens with both their
+    * exact count and the CMS estimate, so the sketch's one-sided error
+    * (est ≥ exact always) is verifiable row by row — and because every
+    * hash is a deterministic md5-derived mix, the DuckDB oracle
+    * computes the IDENTICAL sketch and the hash-match proves both the
+    * construction and its mergeability (counter addition is the merge;
+    * the per-source partial sketches here sum to the global sketch by
+    * associativity).
+    *
+    * Scale shape: the sketch aggregate shuffles on the (row, bucket)
+    * key — a domain of d·w = 32k cells with map-side partial
+    * aggregation, so the exchange is sketch-sized, not corpus-sized,
+    * no matter how many tokens flow in. The candidate set (exact
+    * top-k via TakeOrdered) joins the sketch with the k·d probe rows
+    * broadcast. Hash row j uses the [[graft.dedup.Dedup]] MinHash
+    * mixers over the md5-hex8 base so row hashes are pairwise
+    * independent enough and cross-engine reproducible. */
+  def cmsHeavyHitters(docs: DataFrame, depth: Int = CmsDepth,
+      width: Int = CmsWidth, k: Int = CmsK): DataFrame = {
+    val P = 2147483647L
+    def hj(base: Column, j: Int): Column = {
+      val aj = (2654435761L * (j + 1)) % P
+      val bj = (40503L * (j + 7)) % P
+      (base * aj + bj) % P % width
+    }
+    val toks = graft.core.CacheBay.register(
+      docs.select(col("source"), explode(tokenArray(col("text"))).as("tok"))
+        .withColumn("base",
+          conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % P))
+    // per-source partial sketches, then the associative counter merge —
+    // the same two-level shape a 1000-executor run or a day-over-day
+    // incremental maintenance job would use
+    val partial = toks
+      .select(col("source"), explode(array((0 until depth).map(j =>
+        struct(lit(j).as("j"), hj(col("base"), j).as("bucket"))): _*))
+        .as("cell"))
+      .groupBy(col("source"), col("cell.j").as("j"),
+        col("cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val sketch = partial.groupBy(col("j"), col("bucket"))
+      .agg(sum(col("c")).cast("long").as("cnt"))
+    val top = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).cast("long").as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok").asc).limit(k)
+    val probes = top
+      .withColumn("base",
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % P)
+      .select(col("tok"), col("n_exact"), col("base"),
+        explode(array((0 until depth).map(j =>
+          struct(lit(j).as("j"), hj(col("base"), j).as("bucket"))): _*))
+        .as("cell"))
+      .select(col("tok"), col("n_exact"),
+        col("cell.j").as("j"), col("cell.bucket").as("bucket"))
+    sketch.join(broadcast(probes), Seq("j", "bucket"))
+      .groupBy(col("tok"), col("n_exact"))
+      .agg(min(col("cnt")).cast("long").as("est_cms"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_exact").desc, col("tok").asc)).cast("long"))
+      .select(col("tok").as("token"), col("n_exact"), col("est_cms"),
+        col("rank"))
+  }
+
   /** The corpus token-count table — the persisted artifact
     * [[vocabMergeIncremental]] maintains. */
   def tokenCountsOf(docs: DataFrame): DataFrame =

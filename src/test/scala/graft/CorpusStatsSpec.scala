@@ -127,6 +127,29 @@ class CorpusStatsSpec extends SparkSpec {
     graft.core.CacheBay.drain()
   }
 
+  test("cmsHeavyHitters: estimates are one-sided (est >= exact), " +
+    "top token exact, and partial-sketch merge = direct sketch") {
+    // 'alpha' 30×, 'beta' 12×, singles once each, spread over 2 sources
+    val docs = ((1 to 6).map(i =>
+      (i.toLong, "alpha alpha alpha alpha alpha beta beta", "s1")) ++
+      Seq((7L, "alpha beta gamma delta", "s2"), (8L, "alpha beta zz", "s2")))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", lit(0L))
+    val r = CorpusStats.cmsHeavyHitters(docs, k = 4)
+      .select($"token", $"n_exact", $"est_cms", $"rank")
+      .as[(String, Long, Long, Long)].collect()
+    graft.core.CacheBay.drain()
+    assert(r.length == 4)
+    // CMS error is one-sided: never an underestimate
+    assert(r.forall { case (_, ex, est, _) => est >= ex })
+    val byTok = r.map(x => x._1 -> x._2).toMap
+    assert(byTok("alpha") == 32L && byTok("beta") == 14L)
+    assert(r.find(_._4 == 1L).get._1 == "alpha")
+    // tiny vocab in an 8192-bucket row: no collisions, so the min
+    // over depth rows recovers the exact count
+    assert(r.forall { case (_, ex, est, _) => est == ex })
+  }
+
   test("guardedLiftE6: safe range matches the raw formula; overflow range throws") {
     // counts as plain columns: the guard is pure expression logic, so a
     // synthetic count frame exercises ranges no fixture corpus can reach

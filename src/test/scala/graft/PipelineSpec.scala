@@ -208,6 +208,31 @@ class PipelineSpec extends SparkSpec {
     assert(r.count() > 0)
   }
 
+  test("perSourceCap: at most cap per source, best quality kept, " +
+    "rank is the contiguous within-source prefix") {
+    val r = Pipeline.perSourceCap(docs, cap = 5)
+    graft.core.CacheBay.drain()
+    val bySrc = r.groupBy($"source")
+      .agg(count(lit(1)).as("n"), max($"rk").as("mx"), min($"rk").as("mn"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(bySrc.nonEmpty)
+    // ≤ cap rows per source and ranks are exactly 1..n
+    assert(bySrc.forall { case (_, n, mx, mn) =>
+      n <= 5 && mn == 1L && mx == n })
+    // kept = the true top-n by (quality desc, id): nothing dropped
+    // outranks anything kept within the same source
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"source")
+      .orderBy($"quality_e6".desc, $"doc_id".asc)
+    val brute = Pipeline.perSourceCap(docs, cap = Int.MaxValue)
+      .withColumn("rk2", row_number().over(w).cast("long"))
+      .filter($"rk2" <= 5)
+      .select($"source", $"doc_id", $"rk2".as("rk"))
+    graft.core.CacheBay.drain()
+    val got = r.select($"source", $"doc_id", $"rk")
+    assert(got.exceptAll(brute).count() == 0 &&
+      brute.exceptAll(got).count() == 0)
+  }
+
   test("splitDrift: dense grid covers every populated bucket × 3 " +
     "splits; shares sum to ≈1e6 per split") {
     val docs = graft.core.Tables(spark, SfDir, "documents")

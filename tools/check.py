@@ -55,7 +55,7 @@ def main():
     n_pass = n_fail = n_skip = 0
     import glob
     names = sorted(p.split("/")[-1] for p in glob.glob(f"{out_dir}/*")
-                   if not p.endswith(".json"))
+                   if not p.endswith(".json") and not p.endswith("_FAILED"))
     for name in names:
         got = pd.read_parquet(f"{out_dir}/{name}")
         if name not in oracle:
