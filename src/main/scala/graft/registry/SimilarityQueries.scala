@@ -36,6 +36,12 @@ object SimilarityQueries {
     // IVF pipeline + its recall-vs-brute-force SQL-recomputable
     "sim_ivf_recall" -> ((s, d) => Similarity.ivfRecallAudit(emb(s, d))),
     "sim_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(emb(s, d))),
+    // PQ/ADC over the scaled LSH candidate buckets: codebook, encode,
+    // and ranking all deterministic — fully oracle-replayed
+    "sim_pq_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.pqTopK(e, nBits = scaledNBits(e.count()))
+    }),
     "sim_random_projection" -> ((s, d) =>
       Similarity.randomProjection(emb(s, d))),
     "sim_label_centroids" -> ((s, d) =>
@@ -184,6 +190,57 @@ object SimilarityQueries {
          |SELECT vec_id,
          |$comps
          |FROM e""".stripMargin
+    },
+
+    // PQ/ADC replay: seed codebook (the ivf_recall center CTE), encode
+    // = per-(vector, sub-space) argmin with ORDER BY dd, j (= the Spark
+    // array_sort tie-break), ADC = nested list_sum folds in ascending
+    // (s, d) order — the identical double arithmetic as the engine's
+    // expression folds. The nested cbv[code+1][s*8+d] lookup mirrors
+    // element_at(element_at(cbFull, code+1), s*sub+d+1).
+    "sim_pq_topk" -> {
+      val m = Similarity.PqM
+      val sub = Similarity.Dim / Similarity.PqM
+      s"""WITH $ECte, $NbCte, $BucketCte,
+         |seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+         |             AS INT) AS j, v AS sv
+         |          FROM (SELECT vec_id, v FROM e WHERE vec_id % 5 = 2
+         |                ORDER BY vec_id LIMIT ${Similarity.PqCodes})),
+         |dd AS (SELECT e.vec_id, t.s, c.j,
+         |         list_sum(list_transform(range(1, ${sub + 1}), d ->
+         |           (e.v[t.s * $sub + CAST(d AS INT)]
+         |             - c.sv[t.s * $sub + CAST(d AS INT)])
+         |           * (e.v[t.s * $sub + CAST(d AS INT)]
+         |             - c.sv[t.s * $sub + CAST(d AS INT)]))) AS dd
+         |       FROM e, range(0, $m) t(s), seeds c),
+         |cd AS (SELECT vec_id, s, j, row_number() OVER (
+         |         PARTITION BY vec_id, s ORDER BY dd, j) AS rn
+         |       FROM dd),
+         |cl AS (SELECT vec_id, list(j ORDER BY s) AS codes
+         |       FROM cd WHERE rn = 1 GROUP BY vec_id),
+         |cbn AS (SELECT list(sv ORDER BY j) AS cbv FROM seeds),
+         |p AS (SELECT q.vec_id AS q_id, b.vec_id AS nn_id,
+         |        q.v AS qv, cl.codes
+         |      FROM bk q
+         |      JOIN bk b ON q.bucket = b.bucket AND q.vec_id <> b.vec_id
+         |      JOIN cl ON cl.vec_id = b.vec_id
+         |      WHERE q.vec_id % $QueryMod = 0),
+         |ad AS (SELECT q_id, nn_id,
+         |         list_sum(list_transform(range(0, $m), s ->
+         |           list_sum(list_transform(range(1, ${sub + 1}), d ->
+         |             (qv[s * $sub + CAST(d AS INT)]
+         |               - cbv[codes[CAST(s AS INT) + 1] + 1]
+         |                    [s * $sub + CAST(d AS INT)])
+         |             * (qv[s * $sub + CAST(d AS INT)]
+         |               - cbv[codes[CAST(s AS INT) + 1] + 1]
+         |                    [s * $sub + CAST(d AS INT)]))))) AS adc
+         |       FROM p CROSS JOIN cbn),
+         |r AS (SELECT q_id, nn_id, adc, row_number() OVER (
+         |        PARTITION BY q_id ORDER BY adc, nn_id) AS rank
+         |      FROM ad)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, nn_id,
+         |  ROUND(adc, 6) AS adc
+         |FROM r WHERE rank <= $TopK""".stripMargin
     },
 
     // same floor(x*scale + 0.5) rounding as the Spark side — see the

@@ -251,6 +251,84 @@ object Similarity {
       km.clusterCenters.map(_.toArray), k, queryMod, nProbe)
   }
 
+  val PqM = 8
+  val PqCodes = 16
+
+  /** Product-quantization ANN — the memory-compression leg of the ANN
+    * family (IVF partitions the corpus; PQ shrinks what each candidate
+    * COSTS): every corpus vector is encoded as `m` sub-space code
+    * bytes (here m=8 codes over 8-dim sub-vectors, 16 centroids each),
+    * and query-to-candidate distance is estimated by asymmetric
+    * distance computation (ADC) — the query keeps its full sub-vectors
+    * and sums its squared distance to each candidate's RECONSTRUCTED
+    * sub-centroids. At cluster scale the candidate side of the join
+    * carries m bytes per vector instead of 4·dim — the difference
+    * between an index that fits executor memory at 10⁹ vectors and one
+    * that doesn't.
+    *
+    * Candidates come from the same scaled LSH bucket equi-join as
+    * [[lshTopK]] (PQ is a ranking compression, not a pruning
+    * structure — production systems pair it with a coarse index, here
+    * the hyperplane buckets; never all-pairs). The codebook is the
+    * [[seedCenters]] family sliced per sub-space — deterministic and
+    * bounded, so the FULL pipeline (codebook, encoding, ADC ranking)
+    * is replayed verbatim by the DuckDB oracle; every double fold is
+    * spelled in ascending index order on both engines. Encoding ties
+    * break to the lowest code (array_sort on (dist, j) structs =
+    * the oracle's `ORDER BY dd, j`). */
+  def pqTopK(emb: DataFrame, k: Int = TopK, queryMod: Int = QueryMod,
+      m: Int = PqM, kCodes: Int = PqCodes,
+      nBits: Int = NumHyperplanes): DataFrame = {
+    val seeds = seedCenters(emb, kCodes)
+    require(seeds.length == kCodes && seeds.head.length % m == 0,
+      s"pqTopK: need $kCodes seeds and dim divisible by $m")
+    val sub = seeds.head.length / m
+    // squared distance of v's sub-space s to a COMPILE-TIME centroid,
+    // ascending-d left fold (matches the oracle's list_sum order)
+    def subDistLit(v: Column, s: Int, seed: Array[Double]): Column =
+      (0 until sub).map { d =>
+        val t = element_at(v, s * sub + d + 1) - lit(seed(s * sub + d))
+        t * t
+      }.reduce(_ + _)
+    // per-sub-space encode: argmin over codes, ties to lowest j
+    def codeOf(v: Column, s: Int): Column =
+      array_sort(array((0 until kCodes).map(j =>
+        struct(subDistLit(v, s, seeds(j)).as("d"), lit(j).as("j"))): _*))
+        .getItem(0).getField("j")
+    val bucketed = graft.core.CacheBay.register(
+      emb.select(col("vec_id"),
+        asDouble(col("embedding")).as("v"),
+        lshBucket(col("embedding"), nBits).as("bucket")))
+    val q = bucketed.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+    val c = bucketed.select(col("vec_id").as("nn_id"),
+      array((0 until m).map(s => codeOf(col("v"), s)): _*).as("codes"),
+      col("bucket"))
+    // ADC: reconstruct each candidate sub-centroid from the literal
+    // codebook by its runtime code; sum sub-space distances in
+    // ascending s order (the oracle's outer list_sum)
+    val cbFull = array(seeds.map(sv =>
+      array(sv.toIndexedSeq.map(lit): _*)): _*)
+    def adcDist: Column = (0 until m).map { s =>
+      val centroid = element_at(cbFull,
+        (element_at(col("codes"), s + 1) + 1).cast("int"))
+      (0 until sub).map { d =>
+        val t = element_at(col("qv"), s * sub + d + 1) -
+          element_at(centroid, s * sub + d + 1)
+        t * t
+      }.reduce(_ + _)
+    }.reduce(_ + _)
+    q.join(c, Seq("bucket"))
+      .filter(col("q_id") =!= col("nn_id"))
+      .select(col("q_id"), col("nn_id"), adcDist.as("adc"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(asc("adc"), asc("nn_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("nn_id"), round(col("adc"), 6).as("adc"))
+  }
+
   /** Deterministic seed centers: the embeddings of the first nCells
     * vectors with vec_id ≡ 2 (mod 5), in vec_id order — a bounded
     * nCells-row collect (16 vectors, not data-dependent), replayable

@@ -203,6 +203,45 @@ class PlanAuditSpec extends SparkSpec {
       s"quantile sketch shape:\n$qs")
   }
 
+  test("round-7 family: keyed equi-joins and bounded windows only") {
+    // triangles: orientation + wedge + probe are all hash equi-joins;
+    // nothing cartesian, nothing single-partition over unbounded rows
+    val tr = plan(SparkEntry.queries("graph_triangles")(spark, SfDir))
+    assert(!tr.contains("CartesianProduct") && !tr.contains("NestedLoop") &&
+      !tr.contains("Exchange rangepartitioning"),
+      s"triangle shape:\n$tr")
+    graft.core.CacheBay.drain()
+
+    // per-source cap: offset joins back on the compound key (never a
+    // broadcast of the unbounded source domain), the only windows are
+    // value-distribution or tie-group scoped — no global sort, no
+    // single-partition funnel
+    val sc = plan(SparkEntry.queries("pipe_source_cap")(spark, SfDir))
+    assert(!sc.contains("Exchange SinglePartition") &&
+      !sc.contains("Exchange rangepartitioning") &&
+      !sc.contains("CartesianProduct") && !sc.contains("NestedLoop"),
+      s"source cap shape:\n$sc")
+    graft.core.CacheBay.drain()
+
+    // CMS: the sketch aggregate shuffles on the bounded (j, bucket)
+    // domain; candidates via TakeOrdered; the probe join broadcasts
+    // the k·d probe rows, never the sketch-to-corpus direction
+    val cm = plan(SparkEntry.queries("text_cms_heavy_hitters")(spark, SfDir))
+    assert(cm.contains("TakeOrdered") && cm.contains("BroadcastExchange") &&
+      !cm.contains("CartesianProduct") &&
+      !cm.contains("Exchange rangepartitioning"),
+      s"CMS shape:\n$cm")
+    graft.core.CacheBay.drain()
+
+    // PQ: candidates come from the LSH bucket equi-join — the ADC
+    // ranking never plans an all-pairs join
+    val pq = plan(SparkEntry.queries("sim_pq_topk")(spark, SfDir))
+    assert(!pq.contains("CartesianProduct") && !pq.contains("NestedLoop") &&
+      !pq.contains("Exchange rangepartitioning"),
+      s"PQ shape:\n$pq")
+    graft.core.CacheBay.drain()
+  }
+
   test("Spread: an already-split source gains NO exchange through the " +
     "map-only operators; a single-partition source is repaired locally") {
     import org.apache.spark.sql.functions._

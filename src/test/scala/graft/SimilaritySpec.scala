@@ -28,6 +28,31 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r(0) - 1.0) < 1e-12 && math.abs(r(1)) < 1e-12)
   }
 
+  test("pqTopK: a seed-vector duplicate reconstructs with zero ADC " +
+    "distance and ranks first") {
+    // 80 vectors, dim 64: ids ≡ 2 (mod 5) supply the 16-seed codebook;
+    // vec 0 (a query: 0 % 25 == 0) is an exact copy of seed vec 2, so
+    // vec 2's codes reconstruct vec 2 exactly (it IS a centroid in
+    // every sub-space) and ADC(0 → 2) must be exactly 0 at rank 1
+    def v(i: Long): Seq[Float] =
+      (1 to 64).map(d => (((i * 64 + d) * 131) % 997).toFloat / 997f)
+    val emb = ((0L until 80L).map(i =>
+      (i, if (i == 0L) v(2L) else v(i)))).toDF("vec_id", "embedding")
+    val r = Similarity.pqTopK(emb)
+      .select($"q_id", $"rank", $"nn_id", $"adc")
+      .as[(Long, Long, Long, Double)].collect()
+    graft.core.CacheBay.drain()
+    val first = r.filter(x => x._1 == 0L && x._2 == 1L)
+    assert(first.length == 1 && first.head._3 == 2L &&
+      first.head._4 == 0.0, s"got: ${first.toSeq}")
+    // every other ADC distance is non-negative and ranks are
+    // contiguous per query
+    assert(r.forall(_._4 >= 0.0))
+    val perQ = r.groupBy(_._1).values
+    assert(perQ.forall(g =>
+      g.map(_._2).sorted.sameElements(1L to g.length)))
+  }
+
   test("exact nearestNeighbor oracle finds the planted closest vector") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f)),
