@@ -102,9 +102,154 @@ case class L2Norm(child: Expression)
     copy(newChild)
 }
 
+/** Product-quantization encode: per sub-space s of the input vector,
+  * the index of the codebook entry minimizing the squared sub-distance
+  * (ties → lowest index, scanning j ascending with strict <, which is
+  * the oracle's `ORDER BY dd, j`). The codebook rides along as a
+  * reference object — m·k·dim doubles of FIXED size, never a join
+  * side. The literal-expression spelling of the same arithmetic
+  * (m·k·sub ≈ 1024 leaf terms) blows past the codegen method limits
+  * and falls back to interpreted tree-walking — the reason this is a
+  * native expression, per the [[DotProduct]] preference note. Inner
+  * accumulation is ascending-d, matching the oracle's list_sum. */
+case class PqEncode(child: Expression, codebook: Array[Array[Double]],
+    m: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, IntegerType}
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+
+  private val sub = codebook.head.length / m
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var bestJ = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < codebook.length) {
+        val c = codebook(j)
+        var acc = 0.0
+        var d = 0
+        val off = s * sub
+        while (d < sub) {
+          val t = v.getDouble(off + d) - c(off + d)
+          acc += t * t
+          d += 1
+        }
+        if (acc < bestD) { bestD = acc; bestJ = j }
+        j += 1
+      }
+      codes(s) = bestJ
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cb = ctx.addReferenceObj("pqCodebook", codebook, "double[][]")
+      val codes = ctx.freshName("codes")
+      val s = ctx.freshName("s"); val j = ctx.freshName("j")
+      val d = ctx.freshName("d"); val acc = ctx.freshName("acc")
+      val bestJ = ctx.freshName("bestJ"); val bestD = ctx.freshName("bestD")
+      val t = ctx.freshName("t"); val off = ctx.freshName("off")
+      s"""
+         |int[] $codes = new int[$m];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  int $bestJ = 0;
+         |  double $bestD = Double.MAX_VALUE;
+         |  int $off = $s * $sub;
+         |  for (int $j = 0; $j < ${codebook.length}; $j++) {
+         |    double $acc = 0.0;
+         |    for (int $d = 0; $d < $sub; $d++) {
+         |      double $t = $a.getDouble($off + $d) - $cb[$j][$off + $d];
+         |      $acc += $t * $t;
+         |    }
+         |    if ($acc < $bestD) { $bestD = $acc; $bestJ = $j; }
+         |  }
+         |  $codes[$s] = $bestJ;
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance computation against [[PqEncode]] codes: the
+  * query's squared distance to the candidate's reconstructed
+  * sub-centroids, accumulated in ascending (s, d) order — bit-identical
+  * to the oracle's nested list_sum folds. ~dim fused multiply-adds per
+  * pair, same budget as [[DotProduct]]. */
+case class PqAdc(left: Expression, right: Expression,
+    codebook: Array[Array[Double]], m: Int) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc"
+
+  private val sub = codebook.head.length / m
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val q = a.asInstanceOf[ArrayData]
+    val codes = b.asInstanceOf[ArrayData]
+    var total = 0.0
+    var s = 0
+    while (s < m) {
+      val c = codebook(codes.getInt(s))
+      val off = s * sub
+      var acc = 0.0
+      var d = 0
+      while (d < sub) {
+        val t = q.getDouble(off + d) - c(off + d)
+        acc += t * t
+        d += 1
+      }
+      total += acc
+      s += 1
+    }
+    total
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val cb = ctx.addReferenceObj("pqCodebook", codebook, "double[][]")
+      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc"); val total = ctx.freshName("total")
+      val t = ctx.freshName("t"); val off = ctx.freshName("off")
+      val c = ctx.freshName("c")
+      s"""
+         |double $total = 0.0;
+         |for (int $s = 0; $s < $m; $s++) {
+         |  double[] $c = $cb[$b.getInt($s)];
+         |  int $off = $s * $sub;
+         |  double $acc = 0.0;
+         |  for (int $d = 0; $d < $sub; $d++) {
+         |    double $t = $a.getDouble($off + $d) - $c[$off + $d];
+         |    $acc += $t * $t;
+         |  }
+         |  $total += $acc;
+         |}
+         |${ev.value} = $total;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAdc = copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column wrappers. Inputs are cast to array<double> by the caller. */
   def dotProduct(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
   def l2Norm(a: Column): Column = column(L2Norm(expression(a)))
+  def pqEncode(v: Column, codebook: Array[Array[Double]], m: Int): Column =
+    column(PqEncode(expression(v), codebook, m))
+  def pqAdc(qv: Column, codes: Column, codebook: Array[Array[Double]],
+      m: Int): Column = column(PqAdc(expression(qv), expression(codes),
+    codebook, m))
 }
