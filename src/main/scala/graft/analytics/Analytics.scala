@@ -623,4 +623,37 @@ object Analytics {
         col("b50"), col("b90"), col("b99"),
         lb("b50"), lb("b90"), lb("b99"))
   }
+
+  /** Calendar gap fill with last-observation-carried-forward — the
+    * time-series repair step between gap DETECTION
+    * ([[graft.qc.Recon]]'s missing-days audit) and any rolling/decay
+    * consumer that assumes a dense daily spine: per event type, every
+    * day in [min, max] gets a row; days with no events carry the most
+    * recent observed daily count forward (`is_gap` marks them, `n_obs`
+    * keeps the honest 0).
+    *
+    * Scale shape: the spine is |types| × |days| — bounded by the
+    * CALENDAR and the type domain, not the event count — built by one
+    * per-type min/max aggregate and a `sequence()` explode; the
+    * left join back is keyed on (type, day); the carry-forward window
+    * partitions per type over calendar days. Nothing here grows with
+    * event volume except the one initial daily aggregate. */
+  def gapFillDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val spine = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"))).as("day"))
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_obs"),
+        col("n").isNull.cast("boolean").as("is_gap"),
+        last(col("n"), ignoreNulls = true).over(
+          Window.partitionBy(col("event_type")).orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long").as("n_filled"))
+  }
 }

@@ -122,6 +122,9 @@ object StreamQueries {
     "events_funnel" -> ((s, d) =>
       graft.analytics.Analytics.funnelStages(Tables(s, d, "events"))),
 
+    "events_gap_fill" -> ((s, d) =>
+      graft.analytics.Analytics.gapFillDaily(Tables(s, d, "events"))),
+
     "events_percentiles" -> ((s, d) =>
       Tables(s, d, "events").groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -716,5 +719,31 @@ object StreamQueries {
          |            ${graft.streaming.Stateful.SpikeFactor} * prior_cents
          |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
          |  END AS is_spike
-         |FROM x""".stripMargin)
+         |FROM x""".stripMargin,
+
+    // dense calendar spine per type (the qc_missing_days date-series
+    // spelling) + LOCF via IGNORE NULLS — mirrors Analytics.gapFillDaily
+    "events_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |mm AS (SELECT event_type, min(day) AS mn, max(day) AS mx
+        |       FROM daily GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type,
+        |    CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+        |      CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM mm),
+        |j AS (SELECT s.event_type, s.day, d.n
+        |      FROM spine s LEFT JOIN daily d
+        |        ON s.event_type = d.event_type AND s.day = d.day)
+        |SELECT event_type, day,
+        |  CAST(COALESCE(n, 0) AS BIGINT) AS n_obs,
+        |  (n IS NULL) AS is_gap,
+        |  CAST(last_value(n IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS n_filled
+        |FROM j""".stripMargin)
 }

@@ -56,6 +56,9 @@ object TextQueries {
     "text_cms_heavy_hitters" -> ((s, d) =>
       graft.text.CorpusStats.cmsHeavyHitters(docs(s, d))),
 
+    "text_bpe_pair_counts" -> ((s, d) =>
+      graft.text.CorpusStats.bpePairCounts(docs(s, d))),
+
     "text_vocab_topk" -> ((s, d) =>
       graft.text.CorpusStats.vocabTopK(Tables(s, d, "documents"))),
 
@@ -272,6 +275,26 @@ object TextQueries {
          |      FROM sc)
          |SELECT doc_id, term, tf, df, score_e6, rank
          |FROM r WHERE rank <= ${graft.text.CorpusStats.TfIdfK}""".stripMargin,
+
+    // BPE inner loop over the DISTINCT-token frequency table: adjacent
+    // pairs as 2-char substrings at ascending positions, weighted by
+    // token frequency — identical substring semantics in both engines
+    "text_bpe_pair_counts" ->
+      s"""WITH $TokCte,
+         |wc AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT unnest(w) AS token FROM tw) GROUP BY 1),
+         |pr AS (
+         |  SELECT unnest(list_transform(range(1, length(token)), i ->
+         |    substring(token, CAST(i AS INT), 2))) AS pair, n
+         |  FROM wc WHERE length(token) >= 2),
+         |agg AS (
+         |  SELECT pair, CAST(sum(n) AS BIGINT) AS w
+         |  FROM pr GROUP BY 1
+         |  ORDER BY w DESC, pair LIMIT ${graft.text.CorpusStats.BpeK})
+         |SELECT pair, w,
+         |  CAST(row_number() OVER (ORDER BY w DESC, pair) AS BIGINT) AS rank
+         |FROM agg""".stripMargin,
 
     // the oracle builds the IDENTICAL count-min sketch (same md5-hex8
     // base, same mixers, same d×w geometry) directly over the global

@@ -386,6 +386,37 @@ object CorpusStats {
         col("rank"))
   }
 
+  val BpeK = 30
+
+  /** BPE merge-candidate counting — the inner loop of byte-pair-
+    * encoding tokenizer training, run the way BPE actually trains at
+    * scale: over the AGGREGATED word-frequency table (vocabulary-sized,
+    * built by one corpus pass), never by rescanning the corpus per
+    * merge round. Each distinct token contributes its adjacent
+    * character pairs weighted by the token's corpus frequency; the
+    * top-k pairs are the next merge candidates. (The merge-apply-
+    * recount loop is driver orchestration over this operator — each
+    * round is vocab-sized work.)
+    *
+    * Pairs are spelled as 2-char substrings at ascending positions —
+    * `substring(tok, i, 2)` in both engines — so no split/join
+    * round-trip can disagree on boundaries. One explode of the vocab
+    * (Σ token lengths over DISTINCT tokens, not the corpus), one
+    * pair-keyed aggregate, TakeOrdered top-k. */
+  def bpePairCounts(docs: DataFrame, k: Int = BpeK): DataFrame = {
+    val words = tokenCountsOf(docs)
+    val top = words
+      .filter(length(col("token")) >= 2)
+      .select(col("n"),
+        explode(transform(sequence(lit(1), length(col("token")) - 1),
+          i => col("token").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("n")).cast("long").as("w"))
+      .orderBy(col("w").desc, col("pair").asc).limit(k)
+    top.withColumn("rank", row_number().over(
+      Window.orderBy(col("w").desc, col("pair").asc)).cast("long"))
+  }
+
   /** The corpus token-count table — the persisted artifact
     * [[vocabMergeIncremental]] maintains. */
   def tokenCountsOf(docs: DataFrame): DataFrame =

@@ -225,6 +225,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(r("B") == ((2L, 976L)), s"got $r")
   }
 
+  test("gapFillDaily: dense spine per type, gaps flagged and " +
+    "carried forward from the last observed day") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s + " 12:00:00")
+    // A: days 1, 2, 5 (2 events on day 2) → gaps 3, 4 carry day-2's 2
+    // B: single day → one dense row, no gaps
+    val ev = Seq(
+      (1L, t("2024-03-01"), 1L, "A", 0.0),
+      (2L, t("2024-03-02"), 1L, "A", 0.0),
+      (3L, t("2024-03-02"), 2L, "A", 0.0),
+      (4L, t("2024-03-05"), 1L, "A", 0.0),
+      (5L, t("2024-03-09"), 1L, "B", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = graft.analytics.Analytics.gapFillDaily(ev)
+      .collect().map(x => (x.getString(0), x.getDate(1).toString,
+        x.getLong(2), x.getBoolean(3), x.getLong(4)))
+      .sortBy(x => (x._1, x._2))
+    assert(r.map(_._2) sameElements Array("2024-03-01", "2024-03-02",
+      "2024-03-03", "2024-03-04", "2024-03-05", "2024-03-09"))
+    val a = r.filter(_._1 == "A")
+    assert(a.map(_._3).toSeq == Seq(1L, 2L, 0L, 0L, 1L)) // n_obs
+    assert(a.map(_._4).toSeq ==
+      Seq(false, false, true, true, false)) // is_gap
+    assert(a.map(_._5).toSeq == Seq(1L, 2L, 2L, 2L, 1L)) // LOCF
+    assert(r.filter(_._1 == "B").toSeq ==
+      Seq(("B", "2024-03-09", 1L, false, 1L)))
+  }
+
   test("logBucketQuantiles: known buckets on a hand fixture; lower " +
     "bounds bracket the exact quantile within 2x") {
     import java.sql.Timestamp

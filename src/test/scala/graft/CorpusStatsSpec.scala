@@ -127,6 +127,17 @@ class CorpusStatsSpec extends SparkSpec {
     graft.core.CacheBay.drain()
   }
 
+  test("bpePairCounts: adjacent 2-char pairs weighted by token " +
+    "frequency; single-char tokens contribute nothing") {
+    // 'xy' ×3, 'zz' ×1, 'q' ×2 (too short to pair)
+    val docs = Seq((1L, "xy xy zz q"), (2L, "xy q"))
+      .toDF("doc_id", "text")
+    val r = CorpusStats.bpePairCounts(docs, k = 10)
+      .select($"pair", $"w", $"rank").as[(String, Long, Long)].collect()
+    assert(r.toSeq.sortBy(_._3) ==
+      Seq(("xy", 3L, 1L), ("zz", 1L, 2L)))
+  }
+
   test("cmsHeavyHitters: estimates are one-sided (est >= exact), " +
     "top token exact, and partial-sketch merge = direct sketch") {
     // 'alpha' 30×, 'beta' 12×, singles once each, spread over 2 sources
