@@ -417,6 +417,87 @@ object CorpusStats {
       Window.orderBy(col("w").desc, col("pair").asc)).cast("long"))
   }
 
+  val BpeRounds = 6
+
+  /** Full BPE training rounds — [[bpePairCounts]] iterated with the
+    * merges APPLIED: each round counts frequency-weighted adjacent
+    * symbol pairs over the vocabulary symbol table, merges the top pair
+    * everywhere, and recounts. Emits the merge table (round, pair,
+    * weight) — the artifact a tokenizer trainer persists.
+    *
+    * Merge semantics are BPE's standard greedy left-to-right pass.
+    * Naive string `replace` cannot express it (a merged occurrence
+    * consumes the boundary the next match needs — the classic
+    * `a a a a` chain bug), so the merge is RELATIONAL: matches are
+    * rows of a (token, pos) table, overlap chains (only possible when
+    * the pair is a doubled symbol) group by the `pos − row_number`
+    * islands key, and within each chain the odd-ranked matches merge —
+    * exactly the left-to-right greedy outcome, in pure windowed set
+    * logic both engines evaluate identically (the DuckDB oracle
+    * unrolls the same rounds as CTEs, PageRank-style).
+    *
+    * Scale shape: every round is VOCABULARY-sized work — windows and
+    * joins partition on the token key over the distinct-token symbol
+    * table; the corpus is scanned once (the initial count). The
+    * per-round top-pair collect is one row (the PageRank convergence-
+    * scalar discipline), and `localCheckpoint` truncates the growing
+    * round lineage. */
+  def bpeTrainMerges(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val byTok = Window.partitionBy(col("tid")).orderBy(col("pos"))
+    var syms = tokenCountsOf(docs)
+      .select(col("token").as("tid"), col("n"),
+        posexplode(split(col("token"), "")))
+      .select(col("tid"), col("n"), col("pos").cast("long").as("pos"),
+        col("col").as("sym"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    var r = 1
+    while (r <= rounds) {
+      val pairs = syms
+        .withColumn("nxt", lead(col("sym"), 1).over(byTok))
+        .filter(col("nxt").isNotNull)
+        .select(col("tid"), col("n"), col("pos"),
+          concat(col("sym"), lit(" "), col("nxt")).as("pr"))
+      val top = pairs.groupBy(col("pr"))
+        .agg(sum(col("n")).cast("long").as("w"))
+        .orderBy(col("w").desc, col("pr").asc).limit(1)
+        .collect()
+      if (top.isEmpty) { r = rounds + 1 }
+      else {
+        val pr = top.head.getString(0)
+        merges += ((r.toLong, pr, top.head.getLong(1)))
+        val merged = pr.replace(" ", "")
+        // overlap chains via the islands key; odd ranks merge (the
+        // greedy left-to-right set). For a non-doubled pair every
+        // chain has length 1 and all matches merge.
+        val m = pairs.filter(col("pr") === pr)
+          .withColumn("rn", row_number().over(byTok).cast("long"))
+          .withColumn("rn2", row_number().over(
+            Window.partitionBy(col("tid"), col("pos") - col("rn"))
+              .orderBy(col("pos"))).cast("long"))
+          .filter(col("rn2") % 2 === 1)
+          .select(col("tid"), col("pos"), lit(1).as("hit"))
+        syms = syms
+          .join(m.select(col("tid"), col("pos"), col("hit").as("m0")),
+            Seq("tid", "pos"), "left")
+          .join(m.select(col("tid"), (col("pos") + 1).as("pos"),
+            col("hit").as("m1")), Seq("tid", "pos"), "left")
+          .filter(col("m1").isNull) // drop the consumed second symbol
+          .select(col("tid"), col("n"), col("pos"),
+            when(col("m0").isNotNull, lit(merged))
+              .otherwise(col("sym")).as("sym"))
+          .withColumn("pos",
+            (row_number().over(byTok) - 1).cast("long"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("round", "pair", "w")
+  }
+
   /** The corpus token-count table — the persisted artifact
     * [[vocabMergeIncremental]] maintains. */
   def tokenCountsOf(docs: DataFrame): DataFrame =

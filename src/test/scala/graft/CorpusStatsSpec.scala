@@ -138,6 +138,17 @@ class CorpusStatsSpec extends SparkSpec {
       Seq(("xy", 3L, 1L), ("zz", 1L, 2L)))
   }
 
+  test("bpeTrainMerges: greedy left-to-right chains (the 'a a a a' " +
+    "case), multi-round merge composition, early stop") {
+    // 'aaaa' ×2: round 1 merges the doubled pair at chain offsets
+    // 0 and 2 (NOT a naive replace-all) → [aa, aa]; round 2 merges
+    // the composed pair; then no pairs remain → exactly 2 rows
+    val docs = Seq((1L, "aaaa aaaa b")).toDF("doc_id", "text")
+    val r = CorpusStats.bpeTrainMerges(docs, rounds = 6)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq((1L, "a a", 6L), (2L, "aa aa", 2L)), r.toSeq)
+  }
+
   test("cmsHeavyHitters: estimates are one-sided (est >= exact), " +
     "top token exact, and partial-sketch merge = direct sketch") {
     // 'alpha' 30×, 'beta' 12×, singles once each, spread over 2 sources

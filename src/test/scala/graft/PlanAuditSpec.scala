@@ -290,7 +290,9 @@ class PlanAuditSpec extends SparkSpec {
   private val ActionOnBuild =
     Set("ml_stream_train", "sim_ivf_topk", "dedup_clusters",
       "dedup_canonical_reps", "dedup_cluster_sizes",
-      "s13_partition_upsert")
+      "s13_partition_upsert",
+      // per-round top-pair collect (PageRank-style driver loop)
+      "text_bpe_train")
 
   test("the shared Tables read path pushes filters into the parquet " +
     "scan and prunes unread columns") {
