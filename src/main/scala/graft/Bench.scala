@@ -87,7 +87,16 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","cache_build_sec":$cacheBuild}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","cache_build_sec":$cacheBuild}"""
+    println(json)
+    // the harness records only a truncated stdout tail; persist the
+    // full artifact so per-query timings stay recoverable
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "target/bench_last.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     graft.core.SessionCache.clear(spark)
     spark.stop()
     if (errors.nonEmpty) {
