@@ -40,11 +40,23 @@ object Triangles {
       .select(col("a"), col("b")).distinct()
   }
 
+  /** Session-cached co-purchase edges for the lineitem table at `dir`:
+    * the triangle and community queries start from the same ~m-row
+    * edge derivation, so a Bench/Verify sweep materializes it once
+    * (the [[graft.dedup.Dedup.sharedShingles]] family-cache pattern). */
+  def sharedCoPurchaseEdges(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.core.SessionCache.cached(spark, s"copurchase:$dir")(
+      coPurchaseEdges(graft.core.Tables(spark, dir, "lineitem")))
+
   /** Per-node degree and triangle participation count over canonical
     * `(a, b)` edges (`a < b`). Nodes in no triangle report 0. */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.core.CacheBay.register(e)
+    // persistence belongs to the CALLER: the registry passes the
+    // session-shared co-purchase cache (re-persisting it here would
+    // hand it to CacheBay's end-of-query drain and evict the family
+    // cache mid-sweep); spec-sized frames don't need it
+    val e = edges
     val und = e.select(col("a").as("u"), col("b").as("v"))
       .unionByName(e.select(col("b").as("u"), col("a").as("v")))
     val deg = graft.core.CacheBay.register(

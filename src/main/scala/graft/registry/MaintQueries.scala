@@ -27,7 +27,10 @@ object MaintQueries {
         "l_partkey", "l_suppkey")),
     "graph_triangles" -> ((s, d) =>
       graft.graph.Triangles.triangleCounts(
-        graft.graph.Triangles.coPurchaseEdges(Tables(s, d, "lineitem")))))
+        graft.graph.Triangles.sharedCoPurchaseEdges(s, d))),
+    "graph_communities" -> ((s, d) =>
+      graft.graph.Communities.labelPropagation(
+        graft.graph.Triangles.sharedCoPurchaseEdges(s, d))))
 
   /** One PageRank step as a CTE, from the same constants. */
   private def prStep(prev: String, curr: String): String =
@@ -112,5 +115,35 @@ object MaintQueries {
         |          UNION ALL SELECT z FROM tri),
         |tc AS (SELECT n, CAST(count(*) AS BIGINT) AS c FROM nodes GROUP BY 1)
         |SELECT d.u AS part, d.deg, CAST(COALESCE(tc.c, 0) AS BIGINT) AS n_tri
-        |FROM deg d LEFT JOIN tc ON d.u = tc.n""".stripMargin)
+        |FROM deg d LEFT JOIN tc ON d.u = tc.n""".stripMargin,
+
+    // synchronous LPA unrolled (MATERIALIZED per round — DuckDB inlines
+    // chained CTEs otherwise); same deterministic rule as the engine:
+    // neighbor-majority, ties to the smallest label, min-id init
+    "graph_communities" -> {
+      def round(i: Int): String =
+        s"""l$i AS MATERIALIZED (
+           |  SELECT node, label FROM (
+           |    SELECT u AS node, label, row_number() OVER (
+           |      PARTITION BY u ORDER BY c DESC, label ASC) AS rn
+           |    FROM (SELECT e.u, l.label, CAST(count(*) AS BIGINT) AS c
+           |          FROM und e JOIN l${i - 1} l ON e.v = l.node
+           |          GROUP BY 1, 2))
+           |  WHERE rn = 1)""".stripMargin
+      val r = graft.graph.Communities.LpaRounds
+      s"""WITH op AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT x.p AS a, y.p AS b
+         |  FROM op x JOIN op y ON x.ok = y.ok AND x.p < y.p),
+         |und AS MATERIALIZED (SELECT a AS u, b AS v FROM e0
+         |       UNION ALL SELECT b, a FROM e0),
+         |l0 AS MATERIALIZED (
+         |  SELECT DISTINCT u AS node, u AS label FROM und),
+         |${(1 to r).map(round).mkString(",\n")},
+         |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS csize
+         |       FROM l$r GROUP BY 1)
+         |SELECT l.node AS part, l.label AS community, sz.csize
+         |FROM l$r l JOIN sz ON l.label = sz.label""".stripMargin
+    })
 }

@@ -292,7 +292,9 @@ class PlanAuditSpec extends SparkSpec {
       "dedup_canonical_reps", "dedup_cluster_sizes",
       "s13_partition_upsert",
       // per-round top-pair collect (PageRank-style driver loop)
-      "text_bpe_train")
+      "text_bpe_train",
+      // per-round localCheckpoint (eager) in the LPA loop
+      "graph_communities")
 
   test("the shared Tables read path pushes filters into the parquet " +
     "scan and prunes unread columns") {

@@ -36,6 +36,21 @@ class TrianglesSpec extends SparkSpec {
     assert(rs.forall(_._3 == 0L))
   }
 
+  test("labelPropagation: two triangles over a bridge settle into " +
+    "two communities with the deterministic tie rule") {
+    // 1-2-3 and 4-5-6 triangles, bridge 3-4; hand-traced sync rounds
+    // with min-tie converge to {1,2,3}→1 and {4,5,6}→3 by round 4
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val r = graft.graph.Communities.labelPropagation(e)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    graft.core.CacheBay.drain()
+    assert(r.map(x => x._1 -> x._2).toSeq ==
+      Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L),
+      r.toSeq.toString)
+    assert(r.forall(_._3 == 3L))
+  }
+
   test("co-purchase edges: same-order parts pair once, canonical a<b") {
     val li = Seq((10L, 1L), (10L, 2L), (10L, 2L), (10L, 3L), (20L, 2L),
       (20L, 3L), (30L, 9L))
