@@ -45,6 +45,8 @@ object Bench {
       tier("dedup.shingles")(graft.dedup.Dedup.sharedShingles(spark, sfDir).count())
       tier("dedup.pairs")(graft.dedup.Dedup.sharedPairs(spark, sfDir).count())
       tier("dedup.clusters")(graft.dedup.Dedup.sharedClusters(spark, sfDir).count())
+      tier("graph.copurchase")(
+        graft.graph.Triangles.sharedCoPurchaseEdges(spark, sfDir).count())
     }
     val cacheBuild = (System.nanoTime() - tc) / 1e9
     System.err.println(f"[bench] [cache-build]${""}%15s $cacheBuild%8.2f s")

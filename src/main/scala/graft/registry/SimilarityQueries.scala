@@ -42,6 +42,10 @@ object SimilarityQueries {
       val e = emb(s, d)
       Similarity.pqTopK(e, nBits = scaledNBits(e.count()))
     }),
+    "sim_pq_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.pqRecallAudit(e, nBits = scaledNBits(e.count()))
+    }),
     "sim_random_projection" -> ((s, d) =>
       Similarity.randomProjection(emb(s, d))),
     "sim_label_centroids" -> ((s, d) =>
@@ -78,6 +82,61 @@ object SimilarityQueries {
        |                   / 1000003.0 - 0.5))) > 0
        |         THEN '1' ELSE '0' END), '') AS bucket
        |  FROM e)""".stripMargin
+
+  /** The PQ pipeline CTE chain (seed codebook → per-sub-space argmin
+    * encode → bucket candidates → nested ADC folds → rank), shared by
+    * the sim_pq_topk and sim_pq_recall oracles. Mirrors
+    * [[graft.functions.PqEncode]]/[[graft.functions.PqAdc]]: identical
+    * ascending-(s, d) accumulation order, `ORDER BY dd, j` = the
+    * lowest-code tie-break. */
+  private val PqCtes: String = {
+    val m = Similarity.PqM
+    val sub = Similarity.Dim / Similarity.PqM
+    s"""seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+       |             AS INT) AS j, v AS sv
+       |          FROM (SELECT vec_id, v FROM e WHERE vec_id % 5 = 2
+       |                ORDER BY vec_id LIMIT ${Similarity.PqCodes})),
+       |dd AS (SELECT e.vec_id, t.s, c.j,
+       |         list_sum(list_transform(range(1, ${sub + 1}), d ->
+       |           (e.v[t.s * $sub + CAST(d AS INT)]
+       |             - c.sv[t.s * $sub + CAST(d AS INT)])
+       |           * (e.v[t.s * $sub + CAST(d AS INT)]
+       |             - c.sv[t.s * $sub + CAST(d AS INT)]))) AS dd
+       |       FROM e, range(0, $m) t(s), seeds c),
+       |cd AS (SELECT vec_id, s, j, row_number() OVER (
+       |         PARTITION BY vec_id, s ORDER BY dd, j) AS rn
+       |       FROM dd),
+       |cl AS (SELECT vec_id, list(j ORDER BY s) AS codes
+       |       FROM cd WHERE rn = 1 GROUP BY vec_id),
+       |cbn AS (SELECT list(sv ORDER BY j) AS cbv FROM seeds),
+       |pq_pr AS (
+       |  SELECT vec_id AS q_id, v AS qv, unnest(list_prepend(bucket,
+       |    list_transform(range(0, (SELECT nbits FROM nb)), j ->
+       |      substring(bucket, 1, CAST(j AS INT)) ||
+       |      (CASE WHEN substring(bucket, CAST(j AS INT) + 1, 1) = '1'
+       |            THEN '0' ELSE '1' END) ||
+       |      substring(bucket, CAST(j AS INT) + 2,
+       |        length(bucket) - CAST(j AS INT) - 1))))
+       |    AS bucket
+       |  FROM bk WHERE vec_id % $QueryMod = 0),
+       |p AS (SELECT pr.q_id, b.vec_id AS nn_id, pr.qv, cl.codes
+       |      FROM pq_pr pr
+       |      JOIN bk b ON pr.bucket = b.bucket AND pr.q_id <> b.vec_id
+       |      JOIN cl ON cl.vec_id = b.vec_id),
+       |ad AS (SELECT q_id, nn_id,
+       |         list_sum(list_transform(range(0, $m), s ->
+       |           list_sum(list_transform(range(1, ${sub + 1}), d ->
+       |             (qv[s * $sub + CAST(d AS INT)]
+       |               - cbv[codes[CAST(s AS INT) + 1] + 1]
+       |                    [s * $sub + CAST(d AS INT)])
+       |             * (qv[s * $sub + CAST(d AS INT)]
+       |               - cbv[codes[CAST(s AS INT) + 1] + 1]
+       |                    [s * $sub + CAST(d AS INT)]))))) AS adc
+       |       FROM p CROSS JOIN cbn),
+       |r AS (SELECT q_id, nn_id, adc, row_number() OVER (
+       |        PARTITION BY q_id ORDER BY adc, nn_id) AS rank
+       |      FROM ad)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "sim_bruteforce_topk" ->
@@ -198,50 +257,36 @@ object SimilarityQueries {
     // (s, d) order — the identical double arithmetic as the engine's
     // expression folds. The nested cbv[code+1][s*8+d] lookup mirrors
     // element_at(element_at(cbFull, code+1), s*sub+d+1).
-    "sim_pq_topk" -> {
-      val m = Similarity.PqM
-      val sub = Similarity.Dim / Similarity.PqM
+    "sim_pq_topk" ->
       s"""WITH $ECte, $NbCte, $BucketCte,
-         |seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
-         |             AS INT) AS j, v AS sv
-         |          FROM (SELECT vec_id, v FROM e WHERE vec_id % 5 = 2
-         |                ORDER BY vec_id LIMIT ${Similarity.PqCodes})),
-         |dd AS (SELECT e.vec_id, t.s, c.j,
-         |         list_sum(list_transform(range(1, ${sub + 1}), d ->
-         |           (e.v[t.s * $sub + CAST(d AS INT)]
-         |             - c.sv[t.s * $sub + CAST(d AS INT)])
-         |           * (e.v[t.s * $sub + CAST(d AS INT)]
-         |             - c.sv[t.s * $sub + CAST(d AS INT)]))) AS dd
-         |       FROM e, range(0, $m) t(s), seeds c),
-         |cd AS (SELECT vec_id, s, j, row_number() OVER (
-         |         PARTITION BY vec_id, s ORDER BY dd, j) AS rn
-         |       FROM dd),
-         |cl AS (SELECT vec_id, list(j ORDER BY s) AS codes
-         |       FROM cd WHERE rn = 1 GROUP BY vec_id),
-         |cbn AS (SELECT list(sv ORDER BY j) AS cbv FROM seeds),
-         |p AS (SELECT q.vec_id AS q_id, b.vec_id AS nn_id,
-         |        q.v AS qv, cl.codes
-         |      FROM bk q
-         |      JOIN bk b ON q.bucket = b.bucket AND q.vec_id <> b.vec_id
-         |      JOIN cl ON cl.vec_id = b.vec_id
-         |      WHERE q.vec_id % $QueryMod = 0),
-         |ad AS (SELECT q_id, nn_id,
-         |         list_sum(list_transform(range(0, $m), s ->
-         |           list_sum(list_transform(range(1, ${sub + 1}), d ->
-         |             (qv[s * $sub + CAST(d AS INT)]
-         |               - cbv[codes[CAST(s AS INT) + 1] + 1]
-         |                    [s * $sub + CAST(d AS INT)])
-         |             * (qv[s * $sub + CAST(d AS INT)]
-         |               - cbv[codes[CAST(s AS INT) + 1] + 1]
-         |                    [s * $sub + CAST(d AS INT)]))))) AS adc
-         |       FROM p CROSS JOIN cbn),
-         |r AS (SELECT q_id, nn_id, adc, row_number() OVER (
-         |        PARTITION BY q_id ORDER BY adc, nn_id) AS rank
-         |      FROM ad)
+         |$PqCtes
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, nn_id,
          |  ROUND(adc, 6) AS adc
-         |FROM r WHERE rank <= $TopK""".stripMargin
-    },
+         |FROM r WHERE rank <= $TopK""".stripMargin,
+
+    // recall@k of the full PQ pipeline (LSH candidate cut + ADC
+    // distortion) vs exact-cosine ground truth — the ivf_recall audit
+    // shape over the shared PQ CTE chain
+    "sim_pq_recall" ->
+      s"""WITH $ECte, $NbCte, $BucketCte,
+         |$PqCtes,
+         |pt AS (SELECT q_id, nn_id FROM r WHERE rank <= $TopK),
+         |bp AS (SELECT q.vec_id AS q_id, b.vec_id AS nn_id,
+         |         ${cosSql("q.v", "b.v")} AS cos
+         |       FROM e q JOIN e b
+         |         ON q.vec_id % $QueryMod = 0 AND q.vec_id <> b.vec_id),
+         |bt AS (SELECT q_id, nn_id, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rank
+         |       FROM bp),
+         |btop AS (SELECT q_id, nn_id FROM bt WHERE rank <= $TopK)
+         |SELECT b.q_id,
+         |  CAST(SUM(CASE WHEN i.nn_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hits,
+         |  (CAST(SUM(CASE WHEN i.nn_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) * 1000000) // $TopK AS recall_ppm
+         |FROM btop b LEFT JOIN pt i
+         |  ON b.q_id = i.q_id AND b.nn_id = i.nn_id
+         |GROUP BY b.q_id""".stripMargin,
 
     // same floor(x*scale + 0.5) rounding as the Spark side — see the
     // quantizeInt8 scaladoc for why it is NOT the engine round()

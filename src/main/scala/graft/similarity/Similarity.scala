@@ -291,8 +291,24 @@ object Similarity {
       emb.select(col("vec_id"),
         asDouble(col("embedding")).as("v"),
         lshBucket(col("embedding"), nBits).as("bucket")))
+    // multi-probe query side (own bucket + every Hamming-1 flip, the
+    // [[nearestNeighbor]] recall boost): a single-bucket cut at scaled
+    // nBits keeps only ~n/2^nBits candidates and the ADC layer has
+    // almost nothing to rank — measured recall@5 on the (unstructured)
+    // fixture: 3.25% single-bucket → 5.25% multi-probe, with the
+    // corpus side still single-keyed. On near-random vectors recall
+    // tracks the candidate fraction ((nBits+1)/2^nBits ≈ 0.6% here);
+    // the planted-structure spec shows the mechanism at full strength.
+    val flips = (0 until nBits).map { j =>
+      concat(
+        col("bucket").substr(1, j),
+        when(col("bucket").substr(j + 1, 1) === "1", lit("0"))
+          .otherwise(lit("1")),
+        col("bucket").substr(j + 2, nBits - j - 1))
+    }
     val q = bucketed.filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        explode(array(col("bucket") +: flips: _*)).as("bucket"))
     val c = bucketed.select(col("vec_id").as("nn_id"),
       graft.functions.VectorExpressions.pqEncode(col("v"), seeds, m)
         .as("codes"),
@@ -337,6 +353,27 @@ object Similarity {
     val bf = bruteForceTopK(emb, k, queryMod)
     bf.select(col("q_id"), col("nn_id"))
       .join(ivf.select(col("q_id"), col("nn_id"), lit(1L).as("hit")),
+        Seq("q_id", "nn_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        expr(s"(n_hits * 1000000) div $k").as("recall_ppm"))
+  }
+
+  /** PQ recall audit (the [[ivfRecallAudit]] pattern applied to
+    * [[pqTopK]]): join the PQ/ADC top-k against [[bruteForceTopK]]
+    * exact-cosine ground truth and emit per-query recall@k as integer
+    * ppm. Quantifies BOTH approximation layers at once — the LSH
+    * candidate cut and the ADC distance distortion — which is the
+    * number an index operator actually tunes against. Deterministic
+    * end to end, so the oracle recomputes the full audit. */
+  def pqRecallAudit(emb: DataFrame, k: Int = TopK,
+      queryMod: Int = QueryMod,
+      nBits: Int = NumHyperplanes): DataFrame = {
+    val pq = pqTopK(emb, k, queryMod, nBits = nBits)
+    val bf = bruteForceTopK(emb, k, queryMod)
+    bf.select(col("q_id"), col("nn_id"))
+      .join(pq.select(col("q_id"), col("nn_id"), lit(1L).as("hit")),
         Seq("q_id", "nn_id"), "left")
       .groupBy(col("q_id"))
       .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"))

@@ -277,10 +277,10 @@ class PlanAuditSpec extends SparkSpec {
     Set("j8_region_backfill", "text_bm25", "sim_bruteforce_topk",
       "text_tfidf_topk", "pipe_length_deciles", "events_calibration",
       "events_key_skew", "qc_referential",
-      // recall audit: the IVF side is a bucket equi-join; the BNLJ is
-      // its brute-force ground-truth side (same shape as
+      // recall audits: the IVF/PQ side is a bucket equi-join; the BNLJ
+      // is the brute-force ground-truth side (same shape as
       // sim_bruteforce_topk, bounded query subset)
-      "sim_ivf_recall",
+      "sim_ivf_recall", "sim_pq_recall",
       // 1-row corpus-totals broadcast (same class as tf-idf's n_docs)
       "text_collocations", "pipe_split_drift",
       // 1-row as-of scalar broadcast (max event date)
