@@ -22,7 +22,15 @@ object Bench {
     // optional comma-separated name filter for single-query iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_INJECT_FAIL=1: standing self-test that a throwing
+    // query produces an "errors" entry and a nonzero exit (see Verify)
+    val injected: Seq[(String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)] =
+      if (sys.env.contains("SPARK_GRAFT_INJECT_FAIL"))
+        Seq("zz_injected_failure" -> ((_, _) =>
+          throw new RuntimeException("injected failure (harness self-test)")))
+      else Seq.empty
+    val selected = (SparkEntry.queries.toSeq ++ injected).sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // pre-build the session-shared family caches (star fact/calendar,
     // dedup shingles) and report their cost as its OWN line: otherwise

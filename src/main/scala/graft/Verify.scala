@@ -25,10 +25,19 @@ object Verify {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // A throwing query must be LOUD: r6 lost 19 correctness rows to a
     // silent catch (VERDICT r6 #2). Failures now leave a per-query
-    // _FAILED/<name>.txt with the stack trace, an errors.json map, and a
+    // .failed/<name>.txt with the stack trace, an errors.json map, and a
     // final stderr banner with the failure count.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries
+    // SPARK_GRAFT_INJECT_FAIL=1 adds a query that always throws — the
+    // standing proof that a broken query surfaces as a loud artifact
+    // instead of a silent omission
+    val injected: Map[String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] =
+      if (sys.env.contains("SPARK_GRAFT_INJECT_FAIL"))
+        Map("zz_injected_failure" -> ((_, _) =>
+          throw new RuntimeException("injected failure (harness self-test)")))
+      else Map.empty
+    (SparkEntry.queries ++ injected)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -37,7 +46,9 @@ object Verify {
         val msg = s"${e.getClass.getName}: ${e.getMessage}"
         System.err.println(s"[verify] FAILED $name: $msg")
         errors(name) = msg
-        val failDir = Paths.get(s"$outDir/_FAILED")
+        // dot-prefixed so the driver's result-dir glob (which skips
+        // dotfiles by default) can never mistake it for a query dump
+        val failDir = Paths.get(s"$outDir/.failed")
         Files.createDirectories(failDir)
         val sw = new java.io.StringWriter()
         e.printStackTrace(new java.io.PrintWriter(sw))

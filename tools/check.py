@@ -54,8 +54,9 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
     import glob
+    # glob skips the dot-prefixed .failed dir; .json artifacts excluded
     names = sorted(p.split("/")[-1] for p in glob.glob(f"{out_dir}/*")
-                   if not p.endswith(".json") and not p.endswith("_FAILED"))
+                   if not p.endswith(".json"))
     for name in names:
         got = pd.read_parquet(f"{out_dir}/{name}")
         if name not in oracle:
