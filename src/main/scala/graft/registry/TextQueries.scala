@@ -62,6 +62,9 @@ object TextQueries {
     "text_bpe_train" -> ((s, d) =>
       graft.text.CorpusStats.bpeTrainMerges(docs(s, d))),
 
+    "text_bpe_fertility" -> ((s, d) =>
+      graft.text.CorpusStats.bpeFertility(docs(s, d))),
+
     "text_vocab_topk" -> ((s, d) =>
       graft.text.CorpusStats.vocabTopK(Tables(s, d, "documents"))),
 
@@ -133,6 +136,55 @@ object TextQueries {
        |              THEN CAST([] AS VARCHAR[])
        |              ELSE string_split(${normSql("text")}, ' ') END AS w
        |  FROM documents)""".stripMargin
+
+  /** The BPE round pyramid (wc → s0 → rounds of p/t/mm/m/s CTEs),
+    * shared by the train and fertility oracles. MATERIALIZED is
+    * load-bearing: DuckDB inlines chained CTEs and the plan explodes
+    * exponentially without it. */
+  private def bpeCtes(rounds: Int): String = {
+    def round(i: Int): String = {
+      val prev = s"s${i - 1}"
+      s"""p$i AS MATERIALIZED (
+         |  SELECT tid, n, pos, sym || ' ' ||
+         |    lead(sym) OVER (PARTITION BY tid ORDER BY pos) AS pr
+         |  FROM $prev),
+         |t$i AS MATERIALIZED (SELECT pr, CAST(sum(n) AS BIGINT) AS w
+         |        FROM p$i WHERE pr IS NOT NULL GROUP BY 1
+         |        ORDER BY w DESC, pr LIMIT 1),
+         |mm$i AS (SELECT tid, pos,
+         |           row_number() OVER (PARTITION BY tid ORDER BY pos)
+         |             AS rn
+         |         FROM p$i WHERE pr = (SELECT pr FROM t$i)),
+         |m$i AS MATERIALIZED (SELECT tid, pos FROM (
+         |          SELECT tid, pos, row_number() OVER (
+         |            PARTITION BY tid, pos - rn ORDER BY pos) AS rn2
+         |          FROM mm$i)
+         |        WHERE rn2 % 2 = 1),
+         |s$i AS MATERIALIZED (
+         |  SELECT tid, n, CAST(row_number() OVER (
+         |      PARTITION BY tid ORDER BY pos) - 1 AS BIGINT) AS pos,
+         |    sym FROM (
+         |    SELECT s.tid, s.n, s.pos,
+         |      CASE WHEN m0.pos IS NOT NULL
+         |           THEN replace((SELECT pr FROM t$i), ' ', '')
+         |           ELSE s.sym END AS sym
+         |    FROM $prev s
+         |    LEFT JOIN m$i m0 ON s.tid = m0.tid AND s.pos = m0.pos
+         |    LEFT JOIN m$i m1 ON s.tid = m1.tid AND s.pos = m1.pos + 1
+         |    WHERE m1.pos IS NULL))""".stripMargin
+    }
+    s"""wc AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(w) AS token FROM tw) GROUP BY 1),
+       |s0 AS MATERIALIZED (
+       |  SELECT token AS tid, n, u.pos, u.sym FROM (
+       |    SELECT token, n,
+       |      unnest(list_transform(range(1, length(token) + 1),
+       |        i -> struct_pack(pos := CAST(i - 1 AS BIGINT),
+       |          sym := substring(token, CAST(i AS INT), 1)))) AS u
+       |    FROM wc)),
+       |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "text_token_counts" ->
@@ -306,53 +358,33 @@ object TextQueries {
     // left-to-right), consumed second symbols dropped, positions
     // reindexed. Identical windowed set logic to bpeTrainMerges.
     "text_bpe_train" -> {
-      def round(i: Int): String = {
-        val prev = s"s${i - 1}"
-        s"""p$i AS MATERIALIZED (
-           |  SELECT tid, n, pos, sym || ' ' ||
-           |    lead(sym) OVER (PARTITION BY tid ORDER BY pos) AS pr
-           |  FROM $prev),
-           |t$i AS MATERIALIZED (SELECT pr, CAST(sum(n) AS BIGINT) AS w
-           |        FROM p$i WHERE pr IS NOT NULL GROUP BY 1
-           |        ORDER BY w DESC, pr LIMIT 1),
-           |mm$i AS (SELECT tid, pos,
-           |           row_number() OVER (PARTITION BY tid ORDER BY pos)
-           |             AS rn
-           |         FROM p$i WHERE pr = (SELECT pr FROM t$i)),
-           |m$i AS MATERIALIZED (SELECT tid, pos FROM (
-           |          SELECT tid, pos, row_number() OVER (
-           |            PARTITION BY tid, pos - rn ORDER BY pos) AS rn2
-           |          FROM mm$i)
-           |        WHERE rn2 % 2 = 1),
-           |s$i AS MATERIALIZED (
-           |  SELECT tid, n, CAST(row_number() OVER (
-           |      PARTITION BY tid ORDER BY pos) - 1 AS BIGINT) AS pos,
-           |    sym FROM (
-           |    SELECT s.tid, s.n, s.pos,
-           |      CASE WHEN m0.pos IS NOT NULL
-           |           THEN replace((SELECT pr FROM t$i), ' ', '')
-           |           ELSE s.sym END AS sym
-           |    FROM $prev s
-           |    LEFT JOIN m$i m0 ON s.tid = m0.tid AND s.pos = m0.pos
-           |    LEFT JOIN m$i m1 ON s.tid = m1.tid AND s.pos = m1.pos + 1
-           |    WHERE m1.pos IS NULL))""".stripMargin
-      }
       val rounds = graft.text.CorpusStats.BpeRounds
       s"""WITH $TokCte,
-         |wc AS (
-         |  SELECT token, CAST(count(*) AS BIGINT) AS n
-         |  FROM (SELECT unnest(w) AS token FROM tw) GROUP BY 1),
-         |s0 AS MATERIALIZED (
-         |  SELECT token AS tid, n, u.pos, u.sym FROM (
-         |    SELECT token, n,
-         |      unnest(list_transform(range(1, length(token) + 1),
-         |        i -> struct_pack(pos := CAST(i - 1 AS BIGINT),
-         |          sym := substring(token, CAST(i AS INT), 1)))) AS u
-         |    FROM wc)),
-         |${(1 to rounds).map(round).mkString(",\n")}
+         |${bpeCtes(rounds)}
          |${(1 to rounds).map(i =>
              s"SELECT CAST($i AS BIGINT) AS round, pr AS pair, w FROM t$i")
              .mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    // fertility of the trained merges: post-merge symbol counts are a
+    // VOCAB-sized aggregate of the round-$BpeRounds symbol table; the
+    // per-doc rollup joins (doc, token) occurrences on the token key
+    "text_bpe_fertility" -> {
+      val rounds = graft.text.CorpusStats.BpeRounds
+      s"""WITH $TokCte,
+         |${bpeCtes(rounds)},
+         |ns AS (SELECT tid, CAST(count(*) AS BIGINT) AS n_syms
+         |       FROM s$rounds GROUP BY 1),
+         |dt AS (SELECT doc_id, unnest(w) AS tid FROM tw),
+         |dc AS (SELECT doc_id, tid, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM dt GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  CAST(sum(cnt) AS BIGINT) AS n_words,
+         |  CAST(sum(cnt * n_syms) AS BIGINT) AS n_bpe_tokens,
+         |  (CAST(sum(cnt * n_syms) AS BIGINT) * 1000000)
+         |    // CAST(sum(cnt) AS BIGINT) AS fertility_ppm
+         |FROM dc JOIN ns USING (tid)
+         |GROUP BY 1""".stripMargin
     },
 
     // the oracle builds the IDENTICAL count-min sketch (same md5-hex8

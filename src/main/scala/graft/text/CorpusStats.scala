@@ -442,7 +442,14 @@ object CorpusStats {
     * per-round top-pair collect is one row (the PageRank convergence-
     * scalar discipline), and `localCheckpoint` truncates the growing
     * round lineage. */
-  def bpeTrainMerges(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
+  def bpeTrainMerges(docs: DataFrame, rounds: Int = BpeRounds): DataFrame =
+    bpeTrain(docs, rounds)._1
+
+  /** [[bpeTrainMerges]] plus the post-merge vocabulary symbol table
+    * `(tid, n, pos, sym)` — the trained-tokenizer artifact
+    * [[bpeFertility]] measures against. */
+  private[graft] def bpeTrain(docs: DataFrame,
+      rounds: Int = BpeRounds): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import org.apache.spark.sql.expressions.Window
     val byTok = Window.partitionBy(col("tid")).orderBy(col("pos"))
@@ -495,7 +502,35 @@ object CorpusStats {
       }
     }
     import spark.implicits._
-    merges.toSeq.toDF("round", "pair", "w")
+    (merges.toSeq.toDF("round", "pair", "w"), syms)
+  }
+
+  /** BPE fertility — the tokenizer-quality metric (average sub-word
+    * tokens per whitespace word) of the [[bpeTrain]]ed merges, per
+    * document: a language/domain whose fertility stays high after
+    * training is under-served by the vocabulary (the signal tokenizer
+    * teams track per corpus slice). Integer-ppm output.
+    *
+    * Scale shape: the merges apply to the VOCABULARY symbol table (the
+    * training artifact — never the corpus), so post-merge symbol
+    * counts per token are a vocab-sized aggregate; the corpus is
+    * touched exactly twice, once by training's initial count and once
+    * for the (doc, token) occurrence table the per-doc rollup joins ON
+    * THE TOKEN KEY (vocab is corpus-derived — never broadcast). */
+  def bpeFertility(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
+    val syms = bpeTrain(docs, rounds)._2
+    val nsyms = syms.groupBy(col("tid"))
+      .agg(count(lit(1)).cast("long").as("n_syms"))
+    val docToks = docs
+      .select(col("doc_id"), explode(tokenArray(col("text"))).as("tid"))
+      .groupBy(col("doc_id"), col("tid"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    docToks.join(nsyms, Seq("tid"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("long").as("n_words"),
+        sum(col("cnt") * col("n_syms")).cast("long").as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        expr("(n_bpe_tokens * 1000000) div n_words").as("fertility_ppm"))
   }
 
   /** The corpus token-count table — the persisted artifact

@@ -149,6 +149,16 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r.toSeq == Seq((1L, "a a", 6L), (2L, "aa aa", 2L)), r.toSeq)
   }
 
+  test("bpeFertility: per-doc sub-word tokens per word after the " +
+    "trained merges, integer ppm") {
+    // rounds=2: 'aaaa' fully merges (a a → aa, then aa aa → aaaa);
+    // 'ab' stays 2 symbols → doc: 3 words, 2·1 + 1·2 = 4 bpe tokens
+    val docs = Seq((1L, "aaaa aaaa ab")).toDF("doc_id", "text")
+    val r = CorpusStats.bpeFertility(docs, rounds = 2)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.toSeq == Seq((1L, 3L, 4L, 1333333L)), r.toSeq)
+  }
+
   test("cmsHeavyHitters: estimates are one-sided (est >= exact), " +
     "top token exact, and partial-sketch merge = direct sketch") {
     // 'alpha' 30×, 'beta' 12×, singles once each, spread over 2 sources

@@ -292,7 +292,7 @@ class PlanAuditSpec extends SparkSpec {
       "dedup_canonical_reps", "dedup_cluster_sizes",
       "s13_partition_upsert",
       // per-round top-pair collect (PageRank-style driver loop)
-      "text_bpe_train",
+      "text_bpe_train", "text_bpe_fertility",
       // per-round localCheckpoint (eager) in the LPA loop
       "graph_communities")
 
