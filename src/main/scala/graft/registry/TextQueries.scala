@@ -22,6 +22,18 @@ object TextQueries {
   private def docs(s: SparkSession, d: String): DataFrame =
     graft.core.Spread(Tables(s, d, "documents"))
 
+  /** One BPE training run per (session, dir), feeding BOTH the
+    * merge-table and fertility queries through the session cache: the
+    * `lazy val` guarantees the driver loop executes at most once even
+    * when both keys are cold (first touch of either materializes the
+    * pair; the other key caches the already-built sibling frame). */
+  private def bpeArtifacts(s: SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    lazy val trained = graft.text.CorpusStats.bpeTrain(docs(s, d))
+    (graft.core.SessionCache.cached(s, s"bpemerges:$d")(trained._1),
+      graft.core.SessionCache.cached(s, s"bpesyms:$d")(trained._2))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_counts" -> ((s, d) => docs(s, d).select(
       col("doc_id"),
@@ -59,11 +71,11 @@ object TextQueries {
     "text_bpe_pair_counts" -> ((s, d) =>
       graft.text.CorpusStats.bpePairCounts(docs(s, d))),
 
-    "text_bpe_train" -> ((s, d) =>
-      graft.text.CorpusStats.bpeTrainMerges(docs(s, d))),
+    "text_bpe_train" -> ((s, d) => bpeArtifacts(s, d)._1),
 
     "text_bpe_fertility" -> ((s, d) =>
-      graft.text.CorpusStats.bpeFertility(docs(s, d))),
+      graft.text.CorpusStats.bpeFertilityFrom(docs(s, d),
+        bpeArtifacts(s, d)._2)),
 
     "text_vocab_topk" -> ((s, d) =>
       graft.text.CorpusStats.vocabTopK(Tables(s, d, "documents"))),

@@ -517,8 +517,13 @@ object CorpusStats {
     * touched exactly twice, once by training's initial count and once
     * for the (doc, token) occurrence table the per-doc rollup joins ON
     * THE TOKEN KEY (vocab is corpus-derived — never broadcast). */
-  def bpeFertility(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
-    val syms = bpeTrain(docs, rounds)._2
+  def bpeFertility(docs: DataFrame, rounds: Int = BpeRounds): DataFrame =
+    bpeFertilityFrom(docs, bpeTrain(docs, rounds)._2)
+
+  /** [[bpeFertility]] against an already-trained symbol table (the
+    * registry shares one session-cached training run between the
+    * train and fertility queries). */
+  def bpeFertilityFrom(docs: DataFrame, syms: DataFrame): DataFrame = {
     val nsyms = syms.groupBy(col("tid"))
       .agg(count(lit(1)).cast("long").as("n_syms"))
     val docToks = docs
