@@ -654,4 +654,98 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
+
+  // ---- winnowing (MOSS) fingerprints ----
+
+  /** Winnowing window size w: every w consecutive k-gram hashes
+    * contribute their minimum, guaranteeing any shared run of
+    * w + WinnowGramN − 1 tokens shares ≥ 1 selected fingerprint —
+    * the coverage guarantee fixed-stride sampling (X18) lacks. */
+  val WinnowWindow = 4
+
+  /** k-gram width for winnowing (reuses the word-shingle builder). */
+  val WinnowGramN: Int = ShingleN
+
+  /** Positions pack into the selection key below this bound —
+    * guarded per row, not silently dropped. 2^20 grams ≈ a 1M-token
+    * document; longer inputs should be pre-chunked (X96). */
+  val WinnowPosCap: Long = 1L << 20
+
+  /** Hot-fingerprint document-frequency cap before the pair join —
+    * the same inverted-index guard as [[ngramJaccardPairs]]. */
+  val WinnowMaxDf = 20
+
+  /** Minimum shared winnowed fingerprints for a reported pair. */
+  val WinnowMinShared = 2
+
+  /** Winnowing (the MOSS local fingerprinting scheme): hash every
+    * word k-gram, slide a w-wide window over the hash sequence, and
+    * select each window's minimum — rightmost position on hash ties,
+    * the standard rule, encoded by packing `(hash asc, pos desc)`
+    * into ONE integer key `hash·2^20 + (2^20−1−pos)` so a plain
+    * windowed `min` realizes the argmin identically in both engines.
+    * Selection is position-LOCAL (a window sees only w neighbors), so
+    * two documents sharing any sufficiently long token run select at
+    * least one identical fingerprint — robust to content reordering
+    * in a way global-min sampling (MinHash) is not, and
+    * position-robust in a way fixed-stride sampling (X18) is not.
+    *
+    * Scale shape: one row per gram position, ONE shuffle on doc_id for
+    * the per-doc ordered window (the X90 doc-partitioned-window
+    * pattern — linear, never corpus-keyed), then a distinct on
+    * (doc_id, fp). Docs with fewer than w grams select nothing (no
+    * full window exists — winnowing's own contract).
+    *
+    * Returns distinct `(doc_id, fp)`. */
+  def winnowedFingerprints(docs: DataFrame, n: Int = WinnowGramN,
+      w: Int = WinnowWindow): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col("doc_id"),
+        graft.text.CorpusStats.tokenArray(col("text")).as("tk"))
+      .select(col("doc_id"), wordShinglesOf(col("tk"), n).as("grams"))
+      .select(col("doc_id"), posexplode(col("grams")).as(Seq("pos", "gram")))
+    // per-row position guard in the house assert_true spelling (cf.
+    // CorpusStats.guardedLiftE6): oversized docs fail loudly, never
+    // silently lose fingerprints
+    val posGuard = expr(
+      s"coalesce(cast(assert_true(pos < $WinnowPosCap, " +
+        "'winnow: gram position exceeds WinnowPosCap ? pre-chunk " +
+        "oversized documents (X96) or raise the cap') as bigint), 0)")
+    val keyed = grams
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        baseHash(col("gram")).as("h"))
+      .select(col("doc_id"), col("pos"),
+        (posGuard + col("h") * WinnowPosCap +
+          (lit(WinnowPosCap - 1) - col("pos"))).as("key"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val win = byDoc.orderBy(col("pos")).rowsBetween(Window.currentRow, w - 1)
+    keyed
+      .select(col("doc_id"), col("pos"),
+        min(col("key")).over(win).as("wk"),
+        count(lit(1)).over(byDoc).as("ng"))
+      .filter(col("pos") <= col("ng") - w) // full windows only
+      .select(col("doc_id"), expr(s"wk div $WinnowPosCap").as("fp"))
+      .distinct()
+  }
+
+  /** Near-dup candidate pairs from shared winnowed fingerprints:
+    * df-capped inverted-index equi-join on fp (never all-pairs),
+    * pairs reported with their shared-fingerprint count when it
+    * reaches [[WinnowMinShared]]. */
+  def winnowPairs(docs: DataFrame, maxDf: Int = WinnowMaxDf,
+      minShared: Int = WinnowMinShared): DataFrame = {
+    val fps = graft.core.CacheBay.register(winnowedFingerprints(docs))
+    val rare = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("fp"))
+    val f = graft.core.CacheBay.register(fps.join(rare, Seq("fp")))
+    f.select(col("doc_id").as("a_id"), col("fp"))
+      .join(f.select(col("doc_id").as("b_id"), col("fp")), Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -40,6 +40,7 @@ object DedupQueries {
     "dedup_shingle_novelty" -> ((s, d) =>
       Dedup.shingleNovelty(docs(s, d), shingles = sh(s, d))),
     "dedup_dup_spans" -> ((s, d) => Dedup.dupSpanRemoval(docs(s, d))),
+    "dedup_winnow" -> ((s, d) => Dedup.winnowPairs(docs(s, d))),
     "dedup_canonical_reps" -> ((s, d) =>
       Dedup.canonicalReps(docs(s, d),
         clusterLabels = Some(Dedup.sharedClusters(s, d)))),
@@ -188,6 +189,46 @@ object DedupQueries {
       s"""SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies
          |FROM (SELECT doc_id, md5($normSql) AS fp FROM documents)
          |GROUP BY fp""".stripMargin,
+
+    // winnowing: the same (hash asc, pos desc) argmin as the engine,
+    // realized by the identical packed-integer min over the identical
+    // doc-partitioned w-window; full windows only, then the df-capped
+    // fp self-join
+    "dedup_winnow" -> {
+      val n = Dedup.WinnowGramN
+      val w = Dedup.WinnowWindow
+      val cap = Dedup.WinnowPosCap
+      val gram = (0 until n).map(j => s"w[pos + ${j + 1}]")
+        .mkString(" || ' ' || ")
+      s"""WITH tw AS (
+         |  SELECT doc_id,
+         |    CASE WHEN nrm = '' THEN CAST([] AS VARCHAR[])
+         |         ELSE string_split(nrm, ' ') END AS w
+         |  FROM (SELECT doc_id, $normSql AS nrm FROM documents)),
+         |gp AS (SELECT doc_id,
+         |         CAST(unnest(range(0, greatest(len(w) - ${n - 1}, 0)))
+         |           AS BIGINT) AS pos, w
+         |       FROM tw),
+         |g AS (SELECT doc_id, pos, $gram AS gram FROM gp),
+         |h AS (SELECT doc_id, pos,
+         |        (${OracleSql.hex8("md5(gram)")} % 2147483647) * $cap
+         |          + ($cap - 1 - pos) AS key
+         |      FROM g),
+         |wm AS (SELECT doc_id, pos,
+         |         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wk,
+         |         count(*) OVER (PARTITION BY doc_id) AS ng
+         |       FROM h),
+         |sel AS (SELECT DISTINCT doc_id, wk // $cap AS fp
+         |        FROM wm WHERE pos <= ng - $w),
+         |rare AS (SELECT fp FROM sel GROUP BY fp
+         |         HAVING count(*) <= ${Dedup.WinnowMaxDf}),
+         |sf AS (SELECT sel.doc_id, sel.fp FROM sel JOIN rare USING (fp))
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM sf a JOIN sf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= ${Dedup.WinnowMinShared}""".stripMargin
+    },
 
     "dedup_minhash_sig" ->
       s"""WITH $ShinglesCte, $SigCte

@@ -30,6 +30,9 @@ object MaintQueries {
         graft.graph.Triangles.sharedCoPurchaseEdges(s, d))),
     "graph_communities" -> ((s, d) =>
       graft.graph.Communities.labelPropagation(
+        graft.graph.Triangles.sharedCoPurchaseEdges(s, d))),
+    "graph_kcore" -> ((s, d) =>
+      graft.graph.KCore.kCore(
         graft.graph.Triangles.sharedCoPurchaseEdges(s, d))))
 
   /** One PageRank step as a CTE, from the same constants. */
@@ -145,5 +148,33 @@ object MaintQueries {
          |       FROM l$r GROUP BY 1)
          |SELECT l.node AS part, l.label AS community, sz.csize
          |FROM l$r l JOIN sz ON l.label = sz.label""".stripMargin
+    },
+
+    // synchronous peeling unrolled, same fixed-round contract as the
+    // engine (KCore.scala): round i keeps nodes whose degree within the
+    // round-(i-1) survivor set is >= K; the final select recomputes
+    // degree over the LAST survivor set, matching KCore.kCore
+    "graph_kcore" -> {
+      def peel(i: Int): String =
+        s"""s$i AS MATERIALIZED (
+           |  SELECT u FROM (
+           |    SELECT n.u, count(*) AS c
+           |    FROM und n JOIN s${i - 1} a ON n.u = a.u
+           |               JOIN s${i - 1} b ON n.v = b.u
+           |    GROUP BY 1)
+           |  WHERE c >= ${graft.graph.KCore.K})""".stripMargin
+      val r = graft.graph.KCore.PeelRounds
+      s"""WITH op AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT x.p AS a, y.p AS b
+         |  FROM op x JOIN op y ON x.ok = y.ok AND x.p < y.p),
+         |und AS MATERIALIZED (SELECT a AS u, b AS v FROM e
+         |       UNION ALL SELECT b, a FROM e),
+         |s0 AS MATERIALIZED (SELECT DISTINCT u FROM und),
+         |${(1 to r).map(peel).mkString(",\n")}
+         |SELECT n.u AS part, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM und n JOIN s$r a ON n.u = a.u JOIN s$r b ON n.v = b.u
+         |GROUP BY 1""".stripMargin
     })
 }
