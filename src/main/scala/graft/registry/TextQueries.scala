@@ -62,7 +62,9 @@ object TextQueries {
     "text_repetition" -> ((s, d) =>
       graft.text.CorpusStats.repetitionSignals(Tables(s, d, "documents"))),
 
-    "text_token_rarity" -> ((s, d) =>
+    "text_surprisal" -> ((s, d) =>
+      graft.text.CorpusStats.surprisalScores(docs(s, d))),
+    "text_token_rarity" ->((s, d) =>
       graft.text.CorpusStats.tokenRarity(Tables(s, d, "documents"))),
 
     "text_cms_heavy_hitters" -> ((s, d) =>
@@ -317,6 +319,26 @@ object TextQueries {
          |  COALESCE(a.min_corpus_tf, 0) AS min_corpus_tf,
          |  CAST(COALESCE((a.sum_tf * 1000000) // a.n_tokens, 0) AS BIGINT)
          |    AS mean_corpus_tf_e6
+         |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
+
+    // integer surprisal: bit_length(N div ctf) per token (length of
+    // the binary spelling — the X95 bucket function), summed per doc;
+    // same vocab/join topology as text_token_rarity
+    "text_surprisal" ->
+      s"""WITH $TokCte,
+         |ex AS (SELECT doc_id, unnest(w) AS tok FROM tw),
+         |v AS (SELECT tok, CAST(count(*) AS BIGINT) AS ctf
+         |      FROM ex GROUP BY 1),
+         |t AS (SELECT CAST(SUM(ctf) AS BIGINT) AS n_total FROM v),
+         |a AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |        CAST(SUM(length(format('{:b}', t.n_total // v.ctf)))
+         |          AS BIGINT) AS total_bits
+         |      FROM ex e JOIN v USING (tok) CROSS JOIN t GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(a.n_tokens, 0) AS n_tokens,
+         |  COALESCE(a.total_bits, 0) AS total_bits,
+         |  CAST(COALESCE((a.total_bits * 1000000) // a.n_tokens, 0)
+         |    AS BIGINT) AS bits_per_token_e6
          |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
 
     // integer tf-idf score: (tf · 1e6 · n_docs) // (df · dl) — exact

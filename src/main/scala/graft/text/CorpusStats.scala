@@ -103,6 +103,46 @@ object CorpusStats {
           .as("mean_corpus_tf_e6"))
   }
 
+  /** Integer bits-per-token perplexity proxy (the CCNet/Wenzek-style
+    * LM quality filter, arXiv:1911.00359, made oracle-exact): the
+    * surprisal of a token under the corpus unigram LM is
+    * −log2(ctf/N) ∈ [bits−1, bits] where bits =
+    * `bit_length(N div ctf)` — an INTEGER both engines compute
+    * identically (`length(bin(x))` here, `length(format('{:b}', x))`
+    * in DuckDB — the X95 sketch's bucket function), so the per-doc sum
+    * never hits float accumulation-order drift. High bits/token =
+    * rare-token soup (OCR noise, gibberish, wrong-language residue);
+    * low = boilerplate stitched from the head of the vocabulary — the
+    * two tails the CCNet perplexity buckets cut. Within ±1 bit per
+    * token of the real unigram cross-entropy, which is all the filter
+    * thresholds need.
+    *
+    * Shape: [[tokenRarity]]'s exact topology — one shuffle builds the
+    * vocab, one token-keyed hash join streams the exploded tokens past
+    * it (vocab is corpus-vocabulary-sized, never broadcast), one
+    * per-doc rollup; the global total N is a 1-row aggregate joined by
+    * broadcast. */
+  def surprisalScores(docs: DataFrame): DataFrame = {
+    val ex = graft.core.CacheBay.register(
+      docs.select(col("doc_id"), explode(tokenArray(col("text"))).as("tok")))
+    val vocab = graft.core.CacheBay.register(
+      ex.groupBy(col("tok")).agg(count(lit(1)).cast("long").as("ctf")))
+    val total = vocab.agg(sum(col("ctf")).cast("long").as("n_total"))
+    val agg = ex.join(vocab, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        length(bin(expr("n_total div ctf"))).cast("long").as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(col("bits")).cast("long").as("total_bits"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("total_bits"), lit(0L)).as("total_bits"),
+        coalesce(expr("(total_bits * 1000000) div n_tokens"), lit(0L))
+          .as("bits_per_token_e6"))
+  }
+
   val TfIdfK = 3
 
   /** Top-k TF-IDF terms per document — the per-doc keyword extractor

@@ -252,4 +252,22 @@ class CorpusStatsSpec extends SparkSpec {
     val sizes = r.groupBy(_._4).values.map(_.size.toLong)
     assert(sizes.forall(s => s == n / 10 || s == n / 10 + 1))
   }
+
+  test("surprisalScores: bit_length(N div ctf) summed per doc; " +
+    "rare tokens cost more bits; empty docs zero") {
+    // corpus: a×4, b×2, c×1 → N=7; bits(a)=len(bin(1))=1,
+    // bits(b)=len(bin(3))=2, bits(c)=len(bin(7))=3
+    val docs = Seq((1L, "a a a a b"), (2L, "b c"), (3L, "!!!"))
+      .toDF("doc_id", "text")
+    val r = CorpusStats.surprisalScores(docs)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> (x._2, x._3, x._4)).toMap
+    graft.core.CacheBay.drain()
+    assert(r(1L) == ((5L, 6L, 1200000L)))  // 4·1 + 2 bits
+    assert(r(2L) == ((2L, 5L, 2500000L)))  // 2 + 3 bits
+    assert(r(3L) == ((0L, 0L, 0L)))
+    // the rare-token doc reads as higher-entropy than the common-token
+    // doc — the filter signal
+    assert(r(2L)._3 > r(1L)._3)
+  }
 }
