@@ -700,10 +700,27 @@ object Dedup {
   def winnowedFingerprints(docs: DataFrame, n: Int = WinnowGramN,
       w: Int = WinnowWindow): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = docs
-      .select(col("doc_id"),
-        graft.text.CorpusStats.tokenArray(col("text")).as("tk"))
-      .select(col("doc_id"), wordShinglesOf(col("tk"), n).as("grams"))
+    // the shingleSets discipline, for the same two reasons: the cheap
+    // word-count PRE-filter (docs with < w full windows select nothing,
+    // and < n+w−1 words ⟺ < w grams, so the filter is semantics-free)
+    // keeps PushDownPredicates from inlining the gram expression into a
+    // predicate, Spread repairs single-file parallelism, and the
+    // persist (CacheBay) is the barrier that stops posexplode's
+    // Generate from re-inlining split(normalize) per element — without
+    // it this ran 111 s at sf0.1 (one quadratic re-evaluation per gram
+    // element on one core); with it, ~1 s
+    val wcol = col("w")
+    val cnt = size(wcol) - (n - 1)
+    val gramArrays = graft.core.CacheBay.register(
+      graft.core.Spread(docs)
+        .filter(size(split(normalize(col("text")), " ")) >= n + w - 1)
+        .select(col("doc_id"), normalize(col("text")).as("nt"))
+        .select(col("doc_id"), split(col("nt"), " ").as("w"))
+        .select(col("doc_id"),
+          transform(sequence(lit(1), cnt), i =>
+            concat_ws(" ", (0 until n).map(j =>
+              element_at(wcol, i + j)): _*)).as("grams")))
+    val grams = gramArrays
       .select(col("doc_id"), posexplode(col("grams")).as(Seq("pos", "gram")))
     // per-row position guard in the house assert_true spelling (cf.
     // CorpusStats.guardedLiftE6): oversized docs fail loudly, never
