@@ -42,6 +42,13 @@ object LoadQueries {
           round(col("l_quantity"), 2).as("qty"), col("s_name"))
     }),
 
+    // record linkage over the DISTINCT name domain (the part-name
+    // variants): rep = lexicographic min over the close-edit
+    // neighborhood, rows labeled back by an equi-join on name
+    "j_fuzzy_canonical" -> ((s, d) =>
+      graft.operators.FuzzyMatch.canonicalMap(
+        Tables(s, d, "part"), "p_partkey", "p_name")),
+
     "j2_guarded_lookup" -> ((s, d) => {
       val supp = Tables(s, d, "supplier")
       val nat = Tables(s, d, "nation")
@@ -215,6 +222,23 @@ object LoadQueries {
       """SELECT l_orderkey, l_suppkey, ROUND(l_quantity, 2) AS qty, s_name
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |WHERE s_suppkey % 20 = 0""".stripMargin,
+
+    // same blocking (first name token) and the same one-hop
+    // lexicographic-min rule; levenshtein is exact in both engines
+    "j_fuzzy_canonical" -> {
+      import graft.operators.FuzzyMatch.MaxLev
+      s"""WITH n AS (SELECT p_partkey AS key, lower(p_name) AS nm
+         |           FROM part),
+         |d AS (SELECT nm, string_split(nm, ' ')[1] AS blk
+         |      FROM (SELECT DISTINCT nm FROM n)),
+         |pr AS (SELECT a.nm, b.nm AS cand
+         |       FROM d a JOIN d b ON a.blk = b.blk AND a.nm <> b.nm
+         |       WHERE levenshtein(a.nm, b.nm) <= $MaxLev),
+         |rep AS (SELECT nm, least(nm, min(cand)) AS rep
+         |        FROM pr GROUP BY nm)
+         |SELECT n.key, n.nm, COALESCE(rep.rep, n.nm) AS rep
+         |FROM n LEFT JOIN rep USING (nm)""".stripMargin
+    },
 
     "j2_guarded_lookup" ->
       """WITH q AS (SELECT l_suppkey, ROUND(SUM(l_quantity), 2) AS qty
