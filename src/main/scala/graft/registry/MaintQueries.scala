@@ -33,7 +33,9 @@ object MaintQueries {
         graft.graph.Triangles.sharedCoPurchaseEdges(s, d))),
     "graph_kcore" -> ((s, d) =>
       graft.graph.KCore.kCore(
-        graft.graph.Triangles.sharedCoPurchaseEdges(s, d))))
+        graft.graph.Triangles.sharedCoPurchaseEdges(s, d))),
+    "basket_rules" -> ((s, d) =>
+      graft.analytics.Associations.basketRules(Tables(s, d, "lineitem"))))
 
   /** One PageRank step as a CTE, from the same constants. */
   private def prStep(prev: String, curr: String): String =
@@ -176,5 +178,30 @@ object MaintQueries {
          |SELECT n.u AS part, CAST(count(*) AS BIGINT) AS core_deg
          |FROM und n JOIN s$r a ON n.u = a.u JOIN s$r b ON n.v = b.u
          |GROUP BY 1""".stripMargin
-    })
+    },
+
+    // same per-order pair derivation as graph_triangles but WITHOUT
+    // the distinct — multiplicity IS the support; integer confidence
+    // and lift, both directions of each surviving pair
+    "basket_rules" ->
+      s"""WITH op AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders
+         |      FROM op),
+         |sup AS (SELECT p, CAST(count(*) AS BIGINT) AS n_item
+         |        FROM op GROUP BY 1),
+         |pc AS (SELECT x.p AS a, y.p AS b, CAST(count(*) AS BIGINT)
+         |           AS n_pair
+         |       FROM op x JOIN op y ON x.ok = y.ok AND x.p < y.p
+         |       GROUP BY 1, 2
+         |       HAVING count(*) >= ${graft.analytics.Associations.MinSupport}),
+         |dr AS (SELECT a AS ant, b AS cons, n_pair FROM pc
+         |       UNION ALL SELECT b, a, n_pair FROM pc)
+         |SELECT dr.ant, dr.cons, dr.n_pair, sa.n_item AS n_ant,
+         |  CAST((dr.n_pair * 1000000) // sa.n_item AS BIGINT) AS conf_e6,
+         |  CAST((dr.n_pair * 1000000 * n.n_orders)
+         |    // (sa.n_item * sc.n_item) AS BIGINT) AS lift_e6
+         |FROM dr JOIN sup sa ON dr.ant = sa.p
+         |        JOIN sup sc ON dr.cons = sc.p
+         |        CROSS JOIN n""".stripMargin)
 }

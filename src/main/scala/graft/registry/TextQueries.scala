@@ -64,6 +64,8 @@ object TextQueries {
 
     "text_surprisal" -> ((s, d) =>
       graft.text.CorpusStats.surprisalScores(docs(s, d))),
+    "text_vocab_growth" -> ((s, d) =>
+      graft.text.CorpusStats.vocabGrowth(docs(s, d))),
     "text_token_rarity" ->((s, d) =>
       graft.text.CorpusStats.tokenRarity(Tables(s, d, "documents"))),
 
@@ -320,6 +322,35 @@ object TextQueries {
          |  CAST(COALESCE((a.sum_tf * 1000000) // a.n_tokens, 0) AS BIGINT)
          |    AS mean_corpus_tf_e6
          |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
+
+    // id-range buckets ((doc_id·B) div (max_id+1) — no global sort),
+    // first-appearance bucket per token, 10-row cumulative rollup
+    "text_vocab_growth" -> {
+      val b = graft.text.CorpusStats.GrowthBuckets
+      s"""WITH $TokCte,
+         |mx AS (SELECT MAX(doc_id) AS max_id FROM documents),
+         |db AS (SELECT (d.doc_id * $b) // (mx.max_id + 1) AS bkt
+         |       FROM documents d CROSS JOIN mx),
+         |dc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS n_docs
+         |       FROM db GROUP BY 1),
+         |ex AS (SELECT (tw.doc_id * $b) // (mx.max_id + 1) AS bkt,
+         |         unnest(w) AS tok
+         |       FROM tw CROSS JOIN mx),
+         |tc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS n_tokens
+         |       FROM ex GROUP BY 1),
+         |nv AS (SELECT bkt, CAST(count(*) AS BIGINT) AS new_vocab
+         |       FROM (SELECT tok, MIN(bkt) AS bkt FROM ex GROUP BY 1)
+         |       GROUP BY 1),
+         |j AS (SELECT dc.bkt, dc.n_docs,
+         |        COALESCE(tc.n_tokens, 0) AS n_tokens,
+         |        COALESCE(nv.new_vocab, 0) AS new_vocab
+         |      FROM dc LEFT JOIN tc USING (bkt)
+         |            LEFT JOIN nv USING (bkt))
+         |SELECT bkt, n_docs, n_tokens, new_vocab,
+         |  CAST(SUM(n_tokens) OVER (ORDER BY bkt) AS BIGINT) AS cum_tokens,
+         |  CAST(SUM(new_vocab) OVER (ORDER BY bkt) AS BIGINT) AS cum_vocab
+         |FROM j""".stripMargin
+    },
 
     // integer surprisal: bit_length(N div ctf) per token (length of
     // the binary spelling — the X95 bucket function), summed per doc;

@@ -578,6 +578,56 @@ object CorpusStats {
         expr("(n_bpe_tokens * 1000000) div n_words").as("fertility_ppm"))
   }
 
+  /** Number of id-range buckets for [[vocabGrowth]]. */
+  val GrowthBuckets = 10
+
+  /** Heaps-law vocabulary growth curve: cumulative distinct-token
+    * count as the corpus prefix grows, the standard diagnostic for
+    * "is this corpus still contributing new vocabulary or replaying
+    * itself" (Heaps' law V(n) ≈ K·n^β; a near-flat tail means the
+    * marginal data is vocabulary-exhausted — dedup/mix rebalance
+    * territory). One row per prefix bucket with per-bucket and
+    * cumulative doc/token/vocab counts.
+    *
+    * Scale contract: the prefix order is doc_id ID-RANGE deciles
+    * (`(doc_id·B) div (max_id+1)`), NOT a rank decile — a global
+    * `row_number` would force a total sort of the corpus; the id-range
+    * rule needs one 1-row max aggregate and keeps bucketing map-side.
+    * Buckets are merely uneven if ids are sparse, and the per-bucket
+    * doc count is reported so the curve stays honest. A token's
+    * first-appearance bucket is `min(doc-bucket)` per token —
+    * vocabulary-sized aggregate; the cumulative rollup is
+    * [[GrowthBuckets]] rows. */
+  def vocabGrowth(docs: DataFrame, buckets: Int = GrowthBuckets): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxId = docs.agg(max(col("doc_id")).cast("long").as("max_id"))
+    val ex = graft.core.CacheBay.register(
+      docs.crossJoin(broadcast(maxId))
+        .select(col("doc_id"),
+          expr(s"(doc_id * $buckets) div (max_id + 1)").as("bkt"),
+          explode(tokenArray(col("text"))).as("tok")))
+    val docBkt = docs.crossJoin(broadcast(maxId))
+      .select(expr(s"(doc_id * $buckets) div (max_id + 1)").as("bkt"))
+      .groupBy(col("bkt")).agg(count(lit(1)).cast("long").as("n_docs"))
+    val tokCnt = ex.groupBy(col("bkt"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"))
+    val newVocab = ex.groupBy(col("tok"))
+      .agg(min(col("bkt")).as("first_bkt"))
+      .groupBy(col("first_bkt").as("bkt"))
+      .agg(count(lit(1)).cast("long").as("new_vocab"))
+    val byBkt = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docBkt
+      .join(tokCnt, Seq("bkt"), "left")
+      .join(newVocab, Seq("bkt"), "left")
+      .select(col("bkt"), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("new_vocab"), lit(0L)).as("new_vocab"))
+      .select(col("bkt"), col("n_docs"), col("n_tokens"), col("new_vocab"),
+        sum(col("n_tokens")).over(byBkt).cast("long").as("cum_tokens"),
+        sum(col("new_vocab")).over(byBkt).cast("long").as("cum_vocab"))
+  }
+
   /** The corpus token-count table — the persisted artifact
     * [[vocabMergeIncremental]] maintains. */
   def tokenCountsOf(docs: DataFrame): DataFrame =

@@ -270,4 +270,19 @@ class CorpusStatsSpec extends SparkSpec {
     // doc — the filter signal
     assert(r(2L)._3 > r(1L)._3)
   }
+
+  test("vocabGrowth: id-range buckets, first-appearance vocab, " +
+    "cumulative rollup; empty-normal-form docs count as docs") {
+    // ids 0..4, B=10 → bkt = 2·id
+    val docs = Seq((0L, "a b"), (1L, "a c"), (2L, "b c d"),
+      (3L, "!!!"), (4L, "d a")).toDF("doc_id", "text")
+    val r = CorpusStats.vocabGrowth(docs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    graft.core.CacheBay.drain()
+    assert(r.map(_._1).toSeq == Seq(0L, 2L, 4L, 6L, 8L))
+    assert(r.map(_._3).toSeq == Seq(2L, 2L, 3L, 0L, 2L))  // n_tokens
+    assert(r.map(_._4).toSeq == Seq(2L, 1L, 1L, 0L, 0L))  // new_vocab
+    assert(r.map(_._5).toSeq == Seq(2L, 4L, 7L, 7L, 9L))  // cum_tokens
+    assert(r.map(_._6).toSeq == Seq(2L, 3L, 4L, 4L, 4L))  // cum_vocab
+  }
 }
