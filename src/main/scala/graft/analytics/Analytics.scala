@@ -656,4 +656,49 @@ object Analytics {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("long").as("n_filled"))
   }
+
+  /** Alarm threshold multiple of the drift allowance for [[cusumScores]]. */
+  val CusumAlarmMult = 3L
+
+  /** One-sided CUSUM change-point scores over the daily per-type
+    * event-count series — the sequential drift detector (Page 1954)
+    * that flags a SUSTAINED upward shift a spike detector (X32) and a
+    * rolling window (X54) both miss: small per-day excesses accumulate
+    * until the score clears the alarm bar. The sequential recurrence
+    * `S_t = max(0, S_{t−1} + (x_t − k))` is deliberately spelled in its
+    * CLOSED FORM `S_t = C_t − min(0, min_{j≤t} C_j)` (C = prefix sum of
+    * deviations) so it is two plain windows instead of a row-at-a-time
+    * loop — order-free integer arithmetic, oracle-identical. The
+    * allowance k is the per-type mean daily count (`total div n_days`,
+    * integer): deviations are vs the series' own level. Composes with
+    * [[gapFillDaily]] (X103) when a dense daily spine matters — here
+    * the series is the observed days.
+    *
+    * Shape: one keyed daily aggregate, a 1-row-per-type allowance
+    * join, two windows partitioned by type — all linear, partitioned
+    * by the bounded type key. */
+  def cusumScores(events: DataFrame,
+      alarmMult: Long = CusumAlarmMult): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val allow = daily.groupBy(col("event_type"))
+      .agg(expr("sum(n) div count(1)").cast("long").as("k"))
+    val pre = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(allow, Seq("event_type"))
+      .select(col("event_type"), col("day"), col("n"),
+        (col("n") - col("k")).as("dev"), col("k"))
+      .select(col("event_type"), col("day"), col("n"), col("dev"), col("k"),
+        sum(col("dev")).over(pre).cast("long").as("cum"))
+      .select(col("event_type"), col("day"), col("n"), col("dev"),
+        (col("cum") - least(lit(0L), min(col("cum")).over(pre)))
+          .cast("long").as("cusum"),
+        col("k"))
+      .select(col("event_type"), col("day"), col("n"), col("dev"),
+        col("cusum"),
+        when(col("cusum") > col("k") * alarmMult, lit(1L))
+          .otherwise(lit(0L)).as("is_alarm"))
+  }
 }

@@ -125,6 +125,11 @@ object StreamQueries {
     "events_gap_fill" -> ((s, d) =>
       graft.analytics.Analytics.gapFillDaily(Tables(s, d, "events"))),
 
+    // one-sided CUSUM in closed form (two windows, no sequential
+    // loop); allowance = per-type integer mean daily count
+    "events_cusum" -> ((s, d) =>
+      graft.analytics.Analytics.cusumScores(Tables(s, d, "events"))),
+
     "events_percentiles" -> ((s, d) =>
       Tables(s, d, "events").groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -745,5 +750,34 @@ object StreamQueries {
         |    PARTITION BY event_type ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS BIGINT) AS n_filled
-        |FROM j""".stripMargin)
+        |FROM j""".stripMargin,
+
+    // CUSUM closed form: S_t = C_t − min(0, min_{j≤t} C_j); identical
+    // prefix windows, identical integer allowance
+    "events_cusum" -> {
+      val m = graft.analytics.Analytics.CusumAlarmMult
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |al AS (SELECT event_type, CAST(SUM(n) // count(*) AS BIGINT)
+         |           AS k
+         |       FROM daily GROUP BY 1),
+         |c AS (SELECT d.event_type, d.day, d.n, d.n - al.k AS dev, al.k,
+         |        CAST(SUM(d.n - al.k) OVER (
+         |          PARTITION BY d.event_type ORDER BY d.day
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          AS BIGINT) AS cum
+         |      FROM daily d JOIN al USING (event_type)),
+         |s AS (SELECT event_type, day, n, dev, k,
+         |        CAST(cum - least(0, MIN(cum) OVER (
+         |          PARTITION BY event_type ORDER BY day
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |          AS BIGINT) AS cusum
+         |      FROM c)
+         |SELECT event_type, day, n, dev, cusum,
+         |  CAST(CASE WHEN cusum > k * $m THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_alarm
+         |FROM s""".stripMargin
+    })
 }

@@ -66,6 +66,8 @@ object TextQueries {
       graft.text.CorpusStats.surprisalScores(docs(s, d))),
     "text_vocab_growth" -> ((s, d) =>
       graft.text.CorpusStats.vocabGrowth(docs(s, d))),
+    "text_dsir_weights" -> ((s, d) =>
+      graft.text.CorpusStats.dsirWeights(docs(s, d))),
     "text_token_rarity" ->((s, d) =>
       graft.text.CorpusStats.tokenRarity(Tables(s, d, "documents"))),
 
@@ -322,6 +324,46 @@ object TextQueries {
          |  CAST(COALESCE((a.sum_tf * 1000000) // a.n_tokens, 0) AS BIGINT)
          |    AS mean_corpus_tf_e6
          |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
+
+    // DSIR log-ratio in integer bits (surprisal_raw − surprisal_tgt,
+    // add-one smoothed target); offset div for the possibly-negative
+    // mean (see CorpusStats.dsirWeights)
+    "text_dsir_weights" -> {
+      val lang = graft.text.CorpusStats.DsirTargetLang
+      s"""WITH $TokCte,
+         |ex AS (SELECT doc_id, unnest(w) AS tok FROM tw),
+         |r AS (SELECT tok, CAST(count(*) AS BIGINT) AS ctf
+         |      FROM ex GROUP BY 1),
+         |ti AS (SELECT doc_id FROM documents WHERE lang = '$lang'),
+         |t AS (SELECT tok, CAST(count(*) AS BIGINT) AS ctf_t
+         |      FROM ex JOIN ti USING (doc_id) GROUP BY 1),
+         |tot AS (SELECT
+         |  (SELECT CAST(SUM(ctf) AS BIGINT) FROM r) AS n_raw,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM r) AS v_raw,
+         |  (SELECT CAST(COALESCE(SUM(ctf_t), 0) AS BIGINT) FROM t)
+         |    AS n_tgt),
+         |b AS (SELECT e.doc_id,
+         |        CAST(length(format('{:b}', tot.n_raw // r.ctf))
+         |          AS BIGINT) AS rb,
+         |        CAST(length(format('{:b}', (tot.n_tgt + tot.v_raw)
+         |          // (COALESCE(t.ctf_t, 0) + 1))) AS BIGINT) AS tb
+         |      FROM ex e JOIN r USING (tok) LEFT JOIN t USING (tok)
+         |           CROSS JOIN tot),
+         |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |        CAST(SUM(rb) AS BIGINT) AS raw_bits,
+         |        CAST(SUM(tb) AS BIGINT) AS tgt_bits
+         |      FROM b GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(a.n_tokens, 0) AS n_tokens,
+         |  COALESCE(a.raw_bits, 0) AS raw_bits,
+         |  COALESCE(a.tgt_bits, 0) AS tgt_bits,
+         |  COALESCE(a.raw_bits - a.tgt_bits, 0) AS dsir_bits,
+         |  CAST(COALESCE(
+         |    ((a.raw_bits - a.tgt_bits + 64 * a.n_tokens) * 1000000)
+         |      // a.n_tokens - 64000000, 0) AS BIGINT)
+         |    AS dsir_per_tok_e6
+         |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin
+    },
 
     // id-range buckets ((doc_id·B) div (max_id+1) — no global sort),
     // first-appearance bucket per token, 10-row cumulative rollup

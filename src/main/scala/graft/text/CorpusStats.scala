@@ -578,6 +578,68 @@ object CorpusStats {
         expr("(n_bpe_tokens * 1000000) div n_words").as("fertility_ppm"))
   }
 
+  /** Target slice for [[dsirWeights]]: the language whose
+    * distribution the sampler up-weights toward. */
+  val DsirTargetLang = "en"
+
+  /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169
+    * — data selection by importance resampling), integer-exact: score
+    * each document by how much more likely its tokens are under the
+    * TARGET distribution (here the [[DsirTargetLang]] slice) than
+    * under the raw corpus. The per-token log-ratio
+    * log2(p_tgt/p_raw) = (−log2 p_raw) − (−log2 p_tgt) is spelled with
+    * the [[surprisalScores]] integer surprisal
+    * (`bit_length(N div ctf)`, ±1 bit), with add-one smoothing on the
+    * target side (`(N_tgt + V_raw) div (ctf_tgt + 1)`) so raw-vocab
+    * tokens absent from the target stay finite. Positive `dsir_bits`
+    * = the doc reads more target-like than corpus-average — the
+    * resampling weight exponent.
+    *
+    * The per-token mean uses the OFFSET spelling
+    * `((dsir + 64·n)·10⁶) div n − 64·10⁶`: dsir_bits can be negative
+    * and Spark's `div` truncates while DuckDB's `//` floors — the
+    * +64-bits-per-token shift (surprisal ≤ 64 bits) keeps the
+    * numerator non-negative where the two agree.
+    *
+    * Shape: one exploded pass, two vocabulary-sized count tables
+    * (raw; target via a doc-keyed semi-join), a 1-row totals
+    * broadcast, one token-keyed join, one per-doc rollup. */
+  def dsirWeights(docs: DataFrame,
+      targetLang: String = DsirTargetLang): DataFrame = {
+    val ex = graft.core.CacheBay.register(
+      docs.select(col("doc_id"), explode(tokenArray(col("text"))).as("tok")))
+    val raw = graft.core.CacheBay.register(
+      ex.groupBy(col("tok")).agg(count(lit(1)).cast("long").as("ctf")))
+    val tgtIds = docs.filter(col("lang") === targetLang).select(col("doc_id"))
+    val tgt = ex.join(tgtIds, Seq("doc_id"), "left_semi")
+      .groupBy(col("tok")).agg(count(lit(1)).cast("long").as("ctf_t"))
+    val totals = raw.agg(sum(col("ctf")).cast("long").as("n_raw"),
+        count(lit(1)).cast("long").as("v_raw"))
+      .crossJoin(tgt.agg(
+        coalesce(sum(col("ctf_t")), lit(0L)).cast("long").as("n_tgt")))
+    val agg = ex.join(raw, Seq("tok"))
+      .join(tgt, Seq("tok"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        length(bin(expr("n_raw div ctf"))).cast("long").as("rb"),
+        length(bin(expr(
+          "(n_tgt + v_raw) div (coalesce(ctf_t, 0) + 1)")))
+          .cast("long").as("tb"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(col("rb")).cast("long").as("raw_bits"),
+        sum(col("tb")).cast("long").as("tgt_bits"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("raw_bits"), lit(0L)).as("raw_bits"),
+        coalesce(col("tgt_bits"), lit(0L)).as("tgt_bits"),
+        coalesce(col("raw_bits") - col("tgt_bits"), lit(0L))
+          .as("dsir_bits"),
+        coalesce(expr("((raw_bits - tgt_bits + 64 * n_tokens) * 1000000)" +
+          " div n_tokens - 64000000"), lit(0L)).as("dsir_per_tok_e6"))
+  }
+
   /** Number of id-range buckets for [[vocabGrowth]]. */
   val GrowthBuckets = 10
 

@@ -299,4 +299,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(r(3L) == ((us(1), us(3), -1L, 2L)))
     assert(r(4L) == ((-1L, -1L, -1L, 0L)))
   }
+
+  test("cusumScores: closed form matches the hand-run recurrence; " +
+    "sustained shift accumulates to the alarm") {
+    // counts 1,1,1,1,21 → k=5; dev −4×4, 16; S = 0,0,0,0,16;
+    // alarm bar k·3 = 15 → last day alarms
+    val ev = (1 to 4).flatMap(day => Seq((s"2024-01-0$day", 1))) ++
+      Seq.fill(21)(("2024-01-05", 1))
+    val df = ev.zipWithIndex.map { case ((d, _), i) =>
+      (i.toLong, "buy", s"$d 10:00:00") }
+      .toDF("event_id", "event_type", "t")
+      .select(col("event_id"), col("event_type"),
+        to_timestamp(col("t")).as("ts"))
+    val r = Analytics.cusumScores(df)
+      .orderBy("day").as[(String, java.sql.Date, Long, Long, Long, Long)]
+      .collect()
+    graft.core.CacheBay.drain()
+    assert(r.map(_._3).toSeq == Seq(1L, 1L, 1L, 1L, 21L))
+    assert(r.map(_._4).toSeq == Seq(-4L, -4L, -4L, -4L, 16L))
+    assert(r.map(_._5).toSeq == Seq(0L, 0L, 0L, 0L, 16L))
+    assert(r.map(_._6).toSeq == Seq(0L, 0L, 0L, 0L, 1L))
+  }
 }

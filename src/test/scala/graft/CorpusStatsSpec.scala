@@ -285,4 +285,18 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r.map(_._5).toSeq == Seq(2L, 4L, 7L, 7L, 9L))  // cum_tokens
     assert(r.map(_._6).toSeq == Seq(2L, 3L, 4L, 4L, 4L))  // cum_vocab
   }
+
+  test("dsirWeights: raw-vs-smoothed-target bits; floor semantics on " +
+    "the negative per-token mean") {
+    // raw: a:3 b:1 c:2, N=6, V=3; target(en): a:2 b:1, n_tgt=3
+    // rb: a=2 b=3 c=2; tb (6 // (ctf_t+1)): a=2 b=2 c=3
+    val docs = Seq((1L, "a a b", "en"), (2L, "a c c", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val r = CorpusStats.dsirWeights(docs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> (x._2, x._3, x._4, x._5, x._6)).toMap
+    graft.core.CacheBay.drain()
+    assert(r(1L) == ((3L, 7L, 6L, 1L, 333333L)))
+    assert(r(2L) == ((3L, 6L, 8L, -2L, -666667L)))  // floor(-2/3·1e6)
+  }
 }
