@@ -657,6 +657,88 @@ object Analytics {
           .cast("long").as("n_filled"))
   }
 
+  /** Syntetos-Boylan cut points in e6 units (ADI 1.32, CV² 0.49 —
+    * Syntetos, Boylan & Croston 2005, the standard quadrant bounds). */
+  val AdiCutE6 = 1320000L
+  val Cv2CutE6 = 490000L
+
+  /** Syntetos-Boylan demand-pattern classification — the
+    * forecast-method selector demand planners run beside XYZ (A13):
+    * the ADI axis (average demand interval — how OFTEN a SKU moves)
+    * × the CV² axis (size variability of the months it does move)
+    * splits SKUs into smooth / intermittent / erratic / lumpy, which
+    * picks SES vs Croston vs SBA downstream. XYZ sees only
+    * variability over OBSERVED months; a SKU selling 10 units exactly
+    * twice a year is X by CV but needs Croston — the ADI axis is the
+    * difference.
+    *
+    * Integer-exact in both engines: months index as `year·12+month`;
+    * ADI·10⁶ = `(span·10⁶) div n_active` (span = inclusive first→last
+    * demand month count); CV²·10⁶ = `((n·Σq²−S²)·10⁶) div S²` (the
+    * moment identity — non-negative by Cauchy-Schwarz, so div ≡ //),
+    * with the house assert on the S² and n·Σq² Long bounds. Monthly
+    * quantities are integral doubles ≤ 2⁵³, so their sums are exact
+    * before the cast. One monthly aggregate + one per-part rollup —
+    * both partitioned by part key. */
+  def intermittencyClassification(lineitem: DataFrame): DataFrame = {
+    val monthly = lineitem
+      .groupBy(col("l_partkey"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+          .cast("long").as("mi"))
+      .agg(sum(col("l_quantity")).cast("long").as("q"))
+    monthly.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).cast("long").as("n_active"),
+        (max(col("mi")) - min(col("mi")) + 1).cast("long")
+          .as("span_months"),
+        sum(col("q")).cast("long").as("s"),
+        sum(col("q") * col("q")).cast("long").as("ss"))
+      .select(col("l_partkey"), col("n_active"), col("span_months"),
+        expr("(span_months * 1000000) div n_active").as("adi_e6"),
+        expr("coalesce(cast(assert_true(" +
+          "s <= 3037000499 and n_active <= 9223372036854775807 div ss," +
+          " 'intermittency cv2 exceeds the Long-exact range " +
+          "(S^2 or n*sum(q^2) > 2^63-1): move to decimal(38)')" +
+          " as bigint), 0)" +
+          " + (((n_active * ss - s * s) * 1000000) div (s * s))")
+          .as("cv2_e6"))
+      .select(col("l_partkey"), col("n_active"), col("span_months"),
+        col("adi_e6"), col("cv2_e6"),
+        when(col("adi_e6") < AdiCutE6 && col("cv2_e6") < Cv2CutE6,
+          "smooth")
+          .when(col("adi_e6") >= AdiCutE6 && col("cv2_e6") < Cv2CutE6,
+            "intermittent")
+          .when(col("adi_e6") < AdiCutE6, "erratic")
+          .otherwise("lumpy").as("demand_class"))
+  }
+
+  /** Month-of-year seasonal indices over the orders history — the
+    * demand-planning seasonality profile (index 10⁶ = flat month;
+    * 1.2·10⁶ = 20 % above the flat share): per calendar month, order
+    * count and revenue-cents share scaled by 12. Exact integers:
+    * cents = `floor(price·100 + 0.5)`, index = `(x·12·10⁶) div X`,
+    * with the house assert on the 12·10⁶ multiplier bound. Two
+    * aggregates (12-row and 1-row) — nothing scales with order count
+    * but the first scan. */
+  def seasonalIndex(orders: DataFrame): DataFrame = {
+    val cents = floor(col("o_totalprice") * 100.0 + 0.5).cast("long")
+    val m = orders.select(month(col("o_orderdate")).cast("long").as("m"),
+        cents.as("cents"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        sum(col("cents")).cast("long").as("cents"))
+    val tot = m.agg(sum(col("n_orders")).cast("long").as("tn"),
+      sum(col("cents")).cast("long").as("tc"))
+    m.crossJoin(broadcast(tot))
+      .select(col("m"), col("n_orders"), col("cents"),
+        expr("coalesce(cast(assert_true(" +
+          "cents <= 9223372036854775807 div 12000000 and" +
+          " n_orders <= 9223372036854775807 div 12000000," +
+          " 'seasonal index exceeds the Long-exact range: shard the " +
+          "sums or move to decimal(38)') as bigint), 0)" +
+          " + ((n_orders * 12000000) div tn)").as("count_idx_e6"),
+        expr("(cents * 12000000) div tc").as("revenue_idx_e6"))
+  }
+
   /** Alarm threshold multiple of the drift allowance for [[cusumScores]]. */
   val CusumAlarmMult = 3L
 

@@ -57,8 +57,12 @@ object KCore {
         .join(survivors.select(col("u").as("v")), Seq("v"), "left_semi")
         .groupBy(col("u"))
         .agg(count(lit(1)).cast("long").as("deg"))
-    var s = und.select(col("u")).distinct()
-    var i = 0
+    // round 1 peels from the full node set — the survivor semi-joins
+    // are no-op filters there, so degree comes straight off `und`
+    var s = und.groupBy(col("u"))
+      .agg(count(lit(1)).cast("long").as("deg"))
+      .filter(col("deg") >= k).select(col("u")).localCheckpoint()
+    var i = 1
     while (i < rounds) {
       s = degreesOver(s).filter(col("deg") >= k)
         .select(col("u")).localCheckpoint()

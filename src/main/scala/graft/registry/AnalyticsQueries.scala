@@ -22,7 +22,12 @@ object AnalyticsQueries {
     "weekly_disaggregation" -> ((s, d) => Analytics.weeklyDisaggregation(s, d)),
     "running_totals" -> ((s, d) => Analytics.runningTotals(s, d)),
     "scd2_history" -> ((s, d) => Analytics.scd2History(s, d)),
-    "a_cube_totals" -> ((s, d) => Analytics.cubeTotals(s, d)))
+    "a_cube_totals" -> ((s, d) => Analytics.cubeTotals(s, d)),
+    "demand_intermittency" -> ((s, d) =>
+      Analytics.intermittencyClassification(
+        graft.core.Tables(s, d, "lineitem"))),
+    "seasonal_index" -> ((s, d) =>
+      Analytics.seasonalIndex(graft.core.Tables(s, d, "orders"))))
 
   private val segs = Analytics.Segments
 
@@ -235,5 +240,55 @@ object AnalyticsQueries {
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |    AS sum_cents
         |FROM orders
-        |GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin)
+        |GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin,
+
+    // Syntetos-Boylan quadrants from the same integer moment identity
+    // (CV² = (n·Σq²−S²)/S²) and the same e6 cut points
+    "demand_intermittency" -> {
+      import Analytics.{AdiCutE6, Cv2CutE6}
+      s"""WITH m AS (
+         |  SELECT l_partkey,
+         |         year(l_shipdate) * 12 + month(l_shipdate) AS mi,
+         |         CAST(SUM(l_quantity) AS BIGINT) AS q
+         |  FROM lineitem GROUP BY 1, 2),
+         |a AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_active,
+         |        CAST(max(mi) - min(mi) + 1 AS BIGINT) AS span_months,
+         |        CAST(SUM(q) AS BIGINT) AS s,
+         |        CAST(SUM(q * q) AS BIGINT) AS ss
+         |      FROM m GROUP BY 1),
+         |x AS (SELECT l_partkey, n_active, span_months,
+         |        CAST((span_months * 1000000) // n_active AS BIGINT)
+         |          AS adi_e6,
+         |        CAST(((n_active * ss - s * s) * 1000000) // (s * s)
+         |          AS BIGINT) AS cv2_e6
+         |      FROM a)
+         |SELECT l_partkey, n_active, span_months, adi_e6, cv2_e6,
+         |  CASE WHEN adi_e6 < $AdiCutE6 AND cv2_e6 < $Cv2CutE6
+         |         THEN 'smooth'
+         |       WHEN adi_e6 >= $AdiCutE6 AND cv2_e6 < $Cv2CutE6
+         |         THEN 'intermittent'
+         |       WHEN adi_e6 < $AdiCutE6 THEN 'erratic'
+         |       ELSE 'lumpy' END AS demand_class
+         |FROM x""".stripMargin
+    },
+
+    // month-of-year share scaled by 12; cents via floor(x·100+0.5)
+    // with explicit DOUBLE casts (the DECIMAL-folding gotcha)
+    "seasonal_index" ->
+      """WITH m AS (
+        |  SELECT CAST(month(o_orderdate) AS BIGINT) AS m,
+        |         CAST(count(*) AS BIGINT) AS n_orders,
+        |         CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE)
+        |           * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |           AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS tn,
+        |             CAST(SUM(cents) AS BIGINT) AS tc
+        |      FROM m)
+        |SELECT m.m, m.n_orders, m.cents,
+        |  CAST((m.n_orders * 12000000) // t.tn AS BIGINT)
+        |    AS count_idx_e6,
+        |  CAST((m.cents * 12000000) // t.tc AS BIGINT)
+        |    AS revenue_idx_e6
+        |FROM m CROSS JOIN t""".stripMargin)
 }

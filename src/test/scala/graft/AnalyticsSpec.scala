@@ -320,4 +320,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.map(_._5).toSeq == Seq(0L, 0L, 0L, 0L, 16L))
     assert(r.map(_._6).toSeq == Seq(0L, 0L, 0L, 0L, 1L))
   }
+
+  test("intermittencyClassification: ADI from the month span, CV2 " +
+    "from the moment identity, Syntetos-Boylan quadrants") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val li = Seq(
+      // part 1: Jan+Mar 1992, equal sizes → ADI 1.5e6, CV2 0 → intermittent
+      (1L, d("1992-01-10"), 4.0), (1L, d("1992-03-05"), 4.0),
+      // part 2: Jan+Feb, sizes 1 and 9 → ADI 1e6, CV2 0.64e6 → erratic
+      (2L, d("1992-01-02"), 1.0), (2L, d("1992-02-02"), 9.0),
+      // part 3: single month → smooth
+      (3L, d("1992-01-15"), 5.0),
+      // part 4: Jan+Jul, equal → ADI 3.5e6, CV2 0 → intermittent
+      (4L, d("1992-01-01"), 2.0), (4L, d("1992-07-01"), 2.0))
+      .toDF("l_partkey", "l_shipdate", "l_quantity")
+    val r = Analytics.intermittencyClassification(li)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .map(x => x._1 -> (x._4, x._5, x._6)).toMap
+    graft.core.CacheBay.drain()
+    assert(r(1L) == ((1500000L, 0L, "intermittent")))
+    assert(r(2L) == ((1000000L, 640000L, "erratic")))
+    assert(r(3L) == ((1000000L, 0L, "smooth")))
+    assert(r(4L) == ((3500000L, 0L, "intermittent")))
+  }
+
+  test("seasonalIndex: month shares scaled by 12, integer cents") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val o = Seq((1L, t("1995-01-03"), 10.0), (2L, t("1996-01-08"), 20.0),
+      (3L, t("1995-02-20"), 30.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val r = Analytics.seasonalIndex(o)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> (x._2, x._3, x._4, x._5)).toMap
+    graft.core.CacheBay.drain()
+    assert(r(1L) == ((2L, 3000L, 8000000L, 6000000L)))
+    assert(r(2L) == ((1L, 3000L, 4000000L, 6000000L)))
+  }
 }

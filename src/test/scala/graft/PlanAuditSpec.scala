@@ -284,7 +284,11 @@ class PlanAuditSpec extends SparkSpec {
       // 1-row corpus-totals broadcast (same class as tf-idf's n_docs)
       "text_collocations", "pipe_split_drift",
       // 1-row as-of scalar broadcast (max event date)
-      "events_decay_score")
+      "events_decay_score",
+      // 1-row scalar broadcasts: basket total-order count, surprisal /
+      // DSIR corpus totals, vocab-growth max doc id, seasonal totals
+      "basket_rules", "text_surprisal", "text_dsir_weights",
+      "text_vocab_growth", "seasonal_index")
   // Building these performs driver-side actions (KMeans fit / LBFGS
   // training / count()s) — plan shape is audited by their own specs.
   private val ActionOnBuild =
