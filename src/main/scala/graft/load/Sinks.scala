@@ -176,4 +176,25 @@ object Sinks {
     if (n > 0) delta.write.mode(SaveMode.Append).parquet(targetPath)
     n
   }
+
+  /** Bucketed external table write — the storage half of the
+    * co-located join story a 100 TB star schema lives on: both join
+    * sides hash-bucketed on the join key with the SAME bucket count
+    * means the scan itself IS the join's required distribution, and
+    * the equi-join plans with NO Exchange on either side
+    * (`BucketedJoinSpec` asserts it). On a cluster this is
+    * `CLUSTERED BY ... INTO n BUCKETS` in the metastore / Iceberg's
+    * bucket partition transform; locally it writes through the
+    * session catalog with an explicit external path. `sortBy` on the
+    * bucket key additionally lets the sort-merge join skip its sort.
+    * One-time write cost buys every subsequent join's shuffle — the
+    * standard trade for a fact table joined daily. */
+  def writeBucketedTable(df: DataFrame, table: String, path: String,
+      bucketCol: String, nBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
 }

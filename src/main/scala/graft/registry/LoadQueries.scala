@@ -42,6 +42,29 @@ object LoadQueries {
           round(col("l_quantity"), 2).as("qty"), col("s_name"))
     }),
 
+    // both sides bucketed on the join key with the same bucket count:
+    // the scan IS the join distribution — zero Exchange, spec-asserted
+    // (BucketedJoinSpec); result-identity to the plain join is this
+    // oracle
+    "j_bucketed_colocated" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_bucketed_").toFile.getAbsolutePath
+      graft.load.Sinks.writeBucketedTable(
+        Tables(s, d, "orders").select(col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice")),
+        "graft_bkt_orders", s"$dir/orders", "o_custkey", 8)
+      graft.load.Sinks.writeBucketedTable(
+        Tables(s, d, "customer").select(col("c_custkey"),
+          col("c_mktsegment")),
+        "graft_bkt_customer", s"$dir/customer", "c_custkey", 8)
+      s.table("graft_bkt_orders")
+        .join(s.table("graft_bkt_customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          col("c_mktsegment"))
+    }),
+
     // record linkage over the DISTINCT name domain (the part-name
     // variants): rep = lexicographic min over the close-edit
     // neighborhood, rows labeled back by an equi-join on name
@@ -222,6 +245,11 @@ object LoadQueries {
       """SELECT l_orderkey, l_suppkey, ROUND(l_quantity, 2) AS qty, s_name
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |WHERE s_suppkey % 20 = 0""".stripMargin,
+
+    "j_bucketed_colocated" ->
+      """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price,
+        |       c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
     // same blocking (first name token) and the same one-hop
     // lexicographic-min rule; levenshtein is exact in both engines

@@ -292,7 +292,8 @@ class PlanAuditSpec extends SparkSpec {
   // Building these performs driver-side actions (KMeans fit / LBFGS
   // training / count()s) — plan shape is audited by their own specs.
   private val ActionOnBuild =
-    Set("ml_stream_train", "sim_ivf_topk", "dedup_clusters",
+    Set("j_bucketed_colocated", // writes the bucketed tables on build
+      "ml_stream_train", "sim_ivf_topk", "dedup_clusters",
       "dedup_canonical_reps", "dedup_cluster_sizes",
       "s13_partition_upsert",
       // per-round top-pair collect (PageRank-style driver loop)
