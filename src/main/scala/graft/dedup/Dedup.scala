@@ -746,6 +746,29 @@ object Dedup {
       .distinct()
   }
 
+  /** Golden-record construction over the near-dup clusters — the MDM
+    * survivorship step after matching (X3 finds the cluster, X30 picks
+    * the best member, THIS merges the members into one consolidated
+    * record): per cluster, field-level survivorship rules — earliest
+    * member id (stable key), longest text length (most complete
+    * content), member count, distinct source count, and total token
+    * mass. All rules are order-free aggregates (min/max/count/sum), so
+    * the merge is one keyed aggregation — no window, no sort, exact in
+    * any engine. Per-cluster cost is the member list; the cluster key
+    * partitions the shuffle. */
+  def goldenRecords(docs: DataFrame,
+      clusterLabels: Option[DataFrame] = None): DataFrame = {
+    val clusters = clusterLabels.getOrElse(nearDupClusters(docs))
+    clusters.join(docs, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(min(col("doc_id")).cast("long").as("golden_id"),
+        count(lit(1)).cast("long").as("n_members"),
+        countDistinct(col("source")).cast("long").as("n_sources"),
+        max(length(col("text"))).cast("long").as("max_chars"),
+        sum(graft.text.TextAnalysis.tokenCount(col("text")))
+          .cast("long").as("total_tokens"))
+  }
+
   /** Near-dup candidate pairs from shared winnowed fingerprints:
     * df-capped inverted-index equi-join on fp (never all-pairs),
     * pairs reported with their shared-fingerprint count when it

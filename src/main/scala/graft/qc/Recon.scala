@@ -255,4 +255,42 @@ object Recon {
     }
     rows.toDF("column_name", "status", "type_before", "type_after")
   }
+
+  /** Benford expected first-digit shares in ppm —
+    * `floor(log10(1+1/d)·10⁶ + 0.5)`, precomputed in Scala so both
+    * engines compare against the identical integer literals. */
+  val BenfordE6: Seq[(Int, Long)] = (1 to 9).map(d =>
+    d -> math.floor(math.log10(1.0 + 1.0 / d) * 1e6 + 0.5).toLong)
+
+  /** Benford first-digit audit — the classic data-quality /
+    * fabrication screen for financial-style amounts (naturally-grown
+    * multiplicative quantities follow log-uniform mantissas; manually
+    * keyed or synthesized figures usually don't): per leading digit of
+    * the positive cent amounts, observed ppm share vs the Benford
+    * expectation, deviation in ppm. Exact integers throughout — digit
+    * from the decimal string of the cents (no float log), shares via
+    * `(n·10⁶) div N`, expectation from precomputed literals; deviation
+    * is a SUBTRACTION (never a negative division, where the engines'
+    * div semantics part ways). One 9-row aggregate + a 1-row total
+    * broadcast. A fixture built from uniform draws will deviate —
+    * the audit reports, it does not gate. */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val cents = floor(col(valueCol) * 100.0 + 0.5).cast("long")
+    val digits = df.select(cents.as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val tot = digits.agg(sum(col("n")).cast("long").as("total"))
+    val expCase = BenfordE6
+      .map { case (d, e) => s"WHEN digit = $d THEN CAST($e AS BIGINT)" }
+      .mkString("CASE ", " ", " END")
+    digits.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        expr("(n * 1000000) div total").as("obs_ppm"),
+        expr(expCase).as("exp_ppm"))
+      .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
+        (col("obs_ppm") - col("exp_ppm")).as("dev_ppm"))
+  }
 }

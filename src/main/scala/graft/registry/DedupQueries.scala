@@ -41,6 +41,9 @@ object DedupQueries {
       Dedup.shingleNovelty(docs(s, d), shingles = sh(s, d))),
     "dedup_dup_spans" -> ((s, d) => Dedup.dupSpanRemoval(docs(s, d))),
     "dedup_winnow" -> ((s, d) => Dedup.winnowPairs(docs(s, d))),
+    "dedup_golden_record" -> ((s, d) =>
+      Dedup.goldenRecords(docs(s, d),
+        clusterLabels = Some(Dedup.sharedClusters(s, d)))),
     "dedup_canonical_reps" -> ((s, d) =>
       Dedup.canonicalReps(docs(s, d),
         clusterLabels = Some(Dedup.sharedClusters(s, d)))),
@@ -189,6 +192,21 @@ object DedupQueries {
       s"""SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies
          |FROM (SELECT doc_id, md5($normSql) AS fp FROM documents)
          |GROUP BY fp""".stripMargin,
+
+    // survivorship over the same recursive-closure cluster labels as
+    // dedup_clusters: order-free min/max/count/sum field rules
+    "dedup_golden_record" ->
+      s"""WITH RECURSIVE $ClusterCtes
+         |SELECT cl.cluster_id,
+         |  CAST(MIN(cl.doc_id) AS BIGINT) AS golden_id,
+         |  CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+         |  CAST(MAX(length(d.text)) AS BIGINT) AS max_chars,
+         |  CAST(SUM(CASE WHEN trim(d.text) = '' THEN 0
+         |    ELSE len(string_split_regex(trim(d.text), '\\s+')) END)
+         |    AS BIGINT) AS total_tokens
+         |FROM cl JOIN documents d ON cl.doc_id = d.doc_id
+         |GROUP BY 1""".stripMargin,
 
     // winnowing: the same (hash asc, pos desc) argmin as the engine,
     // realized by the identical packed-integer min over the identical

@@ -101,6 +101,11 @@ object ReconQueries {
       Recon.missingDays(Tables(s, d, "events")
         .filter(!dayofmonth(col("ts")).isin(15, 16)))),
 
+    // first-digit distribution of positive cent amounts vs the
+    // precomputed Benford literals; deviation by subtraction
+    "qc_benford" -> ((s, d) =>
+      Recon.benfordAudit(Tables(s, d, "orders"), "o_totalprice")),
+
     // Snapshot CDC over a deterministic evolution of customer:
     // %11 keys deleted, %7 balances bumped (exact cents), %13 keys
     // re-keyed high as inserts — every op class exercised
@@ -451,5 +456,29 @@ object ReconQueries {
         |    AS raw_zero_fill,
         |  TRY_CAST(strptime(replace(month_txt, '-', '/'), '%-m/%Y')
         |    AS DATE) AS month_parsed
-        |FROM src""".stripMargin)
+        |FROM src""".stripMargin,
+
+    // same digit extraction (decimal string of cents, no float log)
+    // and the same Benford integer literals
+    "qc_benford" -> {
+      val expCase = Recon.BenfordE6
+        .map { case (dg, e) => s"WHEN digit = $dg THEN CAST($e AS BIGINT)" }
+        .mkString("CASE ", " ", " END")
+      s"""WITH c AS (
+         |  SELECT CAST(floor(CAST(o_totalprice AS DOUBLE)
+         |    * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+         |    AS cents
+         |  FROM orders),
+         |dg AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1)
+         |           AS BIGINT) AS digit,
+         |         CAST(count(*) AS BIGINT) AS n
+         |       FROM c WHERE cents > 0 GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM dg)
+         |SELECT digit, n,
+         |  CAST((n * 1000000) // t.total AS BIGINT) AS obs_ppm,
+         |  $expCase AS exp_ppm,
+         |  CAST((n * 1000000) // t.total - ($expCase) AS BIGINT)
+         |    AS dev_ppm
+         |FROM dg CROSS JOIN t""".stripMargin
+    })
 }

@@ -189,4 +189,18 @@ class DedupSpec extends SparkSpec {
         (m._3 == rep._3 && m._1 >= rep._1)))
     }
   }
+
+  test("goldenRecords: order-free survivorship rules per cluster") {
+    val docs = Seq(
+      (1L, "x y z", "a"), (2L, "x y z w", "a"), (3L, "hello", "b"))
+      .toDF("doc_id", "text", "source")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L))
+      .toDF("doc_id", "cluster_id")
+    val r = Dedup.goldenRecords(docs, clusterLabels = Some(labels))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> (x._2, x._3, x._4, x._5, x._6)).toMap
+    graft.core.CacheBay.drain()
+    assert(r(1L) == ((1L, 2L, 1L, 7L, 7L)))
+    assert(r(3L) == ((3L, 1L, 1L, 5L, 1L)))
+  }
 }

@@ -288,11 +288,12 @@ class PlanAuditSpec extends SparkSpec {
       // 1-row scalar broadcasts: basket total-order count, surprisal /
       // DSIR corpus totals, vocab-growth max doc id, seasonal totals
       "basket_rules", "text_surprisal", "text_dsir_weights",
-      "text_vocab_growth", "seasonal_index")
+      "text_vocab_growth", "seasonal_index", "qc_benford")
   // Building these performs driver-side actions (KMeans fit / LBFGS
   // training / count()s) — plan shape is audited by their own specs.
   private val ActionOnBuild =
     Set("j_bucketed_colocated", // writes the bucketed tables on build
+      "dedup_golden_record", // shared-cluster driver union-find on build
       "ml_stream_train", "sim_ivf_topk", "dedup_clusters",
       "dedup_canonical_reps", "dedup_cluster_sizes",
       "s13_partition_upsert",

@@ -62,4 +62,17 @@ class ReconSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(missing == Seq("2024-03-03"))
   }
+
+  test("benfordAudit: decimal-string digits, ppm shares vs the " +
+    "precomputed literals; zero/negative amounts excluded") {
+    val df = Seq(1.23, 0.19, 2.50, 95.00, -5.00, 0.00).toDF("v")
+    val r = Recon.benfordAudit(df, "v")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> (x._2, x._3, x._4, x._5)).toMap
+    graft.core.CacheBay.drain()
+    assert(r.keySet == Set(1L, 2L, 9L))
+    assert(r(1L) == ((2L, 500000L, 301030L, 198970L)))
+    assert(r(2L) == ((1L, 250000L, 176091L, 73909L)))
+    assert(r(9L) == ((1L, 250000L, 45757L, 204243L)))
+  }
 }
