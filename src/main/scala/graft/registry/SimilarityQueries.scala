@@ -55,6 +55,11 @@ object SimilarityQueries {
     "sim_semantic_dedup" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.semanticDedup(e, nBits = scaledNBits(e.count()))
+    }),
+    // contrastive hard-negative mining off the same LSH buckets
+    "sim_hard_negatives" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.hardNegatives(e, nBits = scaledNBits(e.count()))
     }))
 
   // ---- DuckDB SQL (same constants, same math) ----
@@ -360,6 +365,28 @@ object SimilarityQueries {
 
     // SemDeDup keeper-star: per LSH bucket, min vec_id keeps; members
     // flag as semantic dups on an integer cosine gate vs the keeper
+    // same bucket equi-join and (cos desc, id asc) rank as
+    // sim_lsh_topk, plus the different-label gate
+    "sim_hard_negatives" ->
+      s"""WITH $ECte, $NbCte, $BucketCte,
+         |lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+         |       FROM embeddings),
+         |q AS (SELECT b.vec_id AS q_id, l.label AS q_label,
+         |        b.v AS qv, b.bucket
+         |      FROM bk b JOIN lb l USING (vec_id)
+         |      WHERE b.vec_id % ${Similarity.QueryMod} = 0),
+         |p AS (SELECT q_id, q_label, b.vec_id AS nn_id,
+         |        l2.label AS nn_label, ${cosSql("qv", "b.v")} AS cos
+         |      FROM q JOIN bk b ON q.bucket = b.bucket
+         |           JOIN lb l2 ON b.vec_id = l2.vec_id
+         |      WHERE q_id <> b.vec_id AND q_label <> l2.label),
+         |r AS (SELECT q_id, q_label, nn_id, nn_label, cos,
+         |        row_number() OVER (PARTITION BY q_id
+         |          ORDER BY cos DESC, nn_id) AS rank
+         |      FROM p)
+         |SELECT q_id, q_label, nn_id, nn_label, ROUND(cos, 6) AS cos
+         |FROM r WHERE rank = 1""".stripMargin,
+
     "sim_semantic_dedup" ->
       s"""WITH $ECte, $NbCte, $BucketCte,
          |k AS (SELECT bucket, MIN(vec_id) AS keeper_id

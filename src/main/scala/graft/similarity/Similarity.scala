@@ -180,6 +180,47 @@ object Similarity {
       .select(col("q_id"), col("nn_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Hard-negative mining for contrastive/metric training — the
+    * curation step that decides what a embedding model trains AGAINST:
+    * for each query vector, the most similar candidate with a
+    * DIFFERENT label (highest cosine = the negative the current
+    * embedding most confuses — random negatives are trivially easy and
+    * teach nothing; the hard ones carry the gradient signal).
+    *
+    * Candidates come from the single-bucket LSH equi-join ([[lshTopK]]'s
+    * exact shape — no all-pairs), the different-label gate is a plain
+    * predicate on the joined rows, and the per-query argmax is
+    * `row_number` over (cos desc, id asc) — the family's standard
+    * tie-break, oracle-identical. A query whose bucket holds no
+    * other-label member drops out (same semantics as every ANN leg;
+    * the spec pins the planted-geometry case). */
+  def hardNegatives(emb: DataFrame, queryMod: Int = QueryMod,
+      nBits: Int = NumHyperplanes): DataFrame = {
+    val bucketed = graft.core.CacheBay.register(
+      emb.repartition(col("vec_id"))
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          asDouble(col("embedding")).as("v"),
+          l2Norm(asDouble(col("embedding"))).as("nrm"),
+          lshBucket(col("embedding"), nBits).as("bucket")))
+    val q = bucketed.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("q_emb"), col("nrm").as("q_norm"), col("bucket"))
+    val c = bucketed.select(col("vec_id").as("nn_id"),
+      col("label").as("nn_label"),
+      col("v").as("c_emb"), col("nrm").as("c_norm"), col("bucket"))
+    q.join(c, Seq("bucket"))
+      .filter(col("q_id") =!= col("nn_id") &&
+        col("q_label") =!= col("nn_label"))
+      .select(col("q_id"), col("q_label"), col("nn_id"),
+        col("nn_label"), pairCos.as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(desc("cos"), asc("nn_id"))))
+      .filter(col("rank") === 1)
+      .select(col("q_id"), col("q_label"), col("nn_id"),
+        col("nn_label"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Per-center distance-rank structs over literal center arrays
     * (d = |c|² − 2v·c; |v|² is constant per row so it cannot change
     * the order) — the centroid table never joins, it folds into the

@@ -235,4 +235,22 @@ class SimilaritySpec extends SparkSpec {
     assert(r(4L) == 1L, "planted outlier not flagged")
     assert(Seq(0L, 1L, 2L, 3L, 5L, 6L).forall(r(_) == 0L))
   }
+
+  test("hardNegatives picks the highest-cosine DIFFERENT-label " +
+    "candidate; same-label near-dups never surface") {
+    // all near-parallel (one bucket); q=0 (label 0): nearest overall
+    // is 25 (label 0, excluded); hardest negative is 50 (label 1)
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.01f, 0.0f), 0),
+      (25L, Seq(1.0f, 0.011f, 0.0f), 0),   // same label — excluded
+      (50L, Seq(1.0f, 0.02f, 0.0f), 1),    // hardest negative
+      (51L, Seq(1.0f, 0.3f, 0.0f), 1))     // further negative
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.hardNegatives(emb, queryMod = 25, nBits = 2)
+      .select("q_id", "nn_id", "nn_label")
+      .as[(Long, Long, Long)].collect()
+      .map { case (q, n, l) => q -> (n, l) }.toMap
+    graft.core.CacheBay.drain()
+    assert(r(0L) == ((50L, 1L)), r.toString)
+  }
 }
