@@ -43,6 +43,30 @@ object Pipeline {
           .when(col("bucket") < trainPct + validPct, lit("valid"))
           .otherwise(lit("test")))
 
+  /** Train/eval split-leakage audit — the contamination check INSIDE
+    * the corpus (decontamination X17 guards against external
+    * benchmarks; this guards the held-out split against the training
+    * split): near-duplicate pairs whose members land in DIFFERENT
+    * splits are eval examples the model has effectively seen — the
+    * standard reason hash-split corpora still leak (near-dups hash to
+    * independent buckets). Composes the X3 LSH pair set with the
+    * deterministic hash split: two equi-joins on doc_id, a
+    * cross-split predicate, no new heavy derivation — and under
+    * Bench/Verify the pair set is the session-shared cache, so the
+    * audit costs two hash joins. */
+  def splitLeakage(docs: DataFrame,
+      pairs: Option[DataFrame] = None): DataFrame = {
+    val p = pairs.getOrElse(graft.dedup.Dedup.minhashLshPairs(docs))
+    val s = hashSplit(docs).select(col("doc_id"), col("split"))
+    p.join(s.withColumnsRenamed(
+        Map("doc_id" -> "a_id", "split" -> "a_split")), Seq("a_id"))
+      .join(s.withColumnsRenamed(
+        Map("doc_id" -> "b_id", "split" -> "b_split")), Seq("b_id"))
+      .filter(col("a_split") =!= col("b_split"))
+      .select(col("a_id"), col("b_id"), col("a_split"), col("b_split"),
+        col("est_jaccard"))
+  }
+
   /** Stratification report over the split: doc and char volumes per
     * (split, lang) — the sanity check run before shipping a split.
     * One partial-aggregated shuffle on a tiny key space. */

@@ -89,7 +89,7 @@ object DedupQueries {
 
   private val Hex8 = OracleSql.hex8("md5(s)")
 
-  private val SigCte =
+  private[registry] val SigCte =
     s"""bs AS (
        |  SELECT doc_id, list_transform(shingles, s ->
        |    $Hex8 % 2147483647) AS bases
@@ -122,7 +122,7 @@ object DedupQueries {
 
   /** LSH band/candidate CTEs + thresholded pair select, shared by the
     * pair query and the cluster (connected-components) query. */
-  private val LshBandCtes: String = {
+  private[registry] val LshBandCtes: String = {
     val r = NumHashes / Bands
     s"""bands AS (
        |  SELECT doc_id, band,
@@ -138,7 +138,7 @@ object DedupQueries {
        |)""".stripMargin
   }
 
-  private val LshPairsSelect: String =
+  private[registry] val LshPairsSelect: String =
     s"""SELECT * FROM (
        |  SELECT a_id, b_id,
        |    ROUND(CAST(list_sum(list_transform(range(1, ${NumHashes + 1}),

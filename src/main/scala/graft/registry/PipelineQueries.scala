@@ -39,6 +39,11 @@ object PipelineQueries {
       Pipeline.balancedSample(docs(s, d))),
     "pipe_source_profile" -> ((s, d) => Pipeline.sourceProfile(docs(s, d))),
     "pipe_split_drift" -> ((s, d) => Pipeline.splitDrift(docs(s, d))),
+    // near-dup pairs crossing the train/valid/test boundary — the
+    // in-corpus leakage audit, off the session-shared LSH pair cache
+    "pipe_split_leakage" -> ((s, d) =>
+      Pipeline.splitLeakage(docs(s, d),
+        pairs = Some(graft.dedup.Dedup.sharedPairs(s, d)))),
     "pipe_mix_interleave" -> ((s, d) =>
       Pipeline.mixInterleave(docs(s, d))),
     "pipe_contamination_spans" -> ((s, d) =>
@@ -365,6 +370,19 @@ object PipelineQueries {
          |  ((n_docs - n_unique) * 1000000) // n_docs AS dup_ppm,
          |  sum_q // n_docs AS mean_quality_e6
          |FROM a""".stripMargin,
+
+    // the dedup LSH pair CTEs joined to the split rule: pairs whose
+    // members land in different splits
+    "pipe_split_leakage" ->
+      s"""WITH ${DedupQueries.ShinglesCte}, ${DedupQueries.SigCte},
+         |${DedupQueries.LshBandCtes},
+         |pr AS (${DedupQueries.LshPairsSelect}),
+         |$SplitCte
+         |SELECT pr.a_id, pr.b_id, sa.split AS a_split,
+         |  sb.split AS b_split, pr.est_jaccard
+         |FROM pr JOIN spl sa ON pr.a_id = sa.doc_id
+         |        JOIN spl sb ON pr.b_id = sb.doc_id
+         |WHERE sa.split <> sb.split""".stripMargin,
 
     // dense (bucket × split) grid so empty-in-one-split buckets keep a
     // row; integer-ppm shares; same qualitySql/bucket constants

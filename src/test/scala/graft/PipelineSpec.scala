@@ -332,4 +332,26 @@ class PipelineSpec extends SparkSpec {
         s"$src w=$w got=$got want≈$want")
     }
   }
+
+  test("splitLeakage keeps exactly the near-dup pairs that cross the " +
+    "split boundary") {
+    val docs = (1L to 60L).map(i => (i, s"doc $i body", "en", 10L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val splits = Pipeline.hashSplit(docs)
+      .select(col("doc_id"), col("split"))
+      .as[(Long, String)].collect().toMap
+    val ids = splits.keys.toSeq.sorted
+    val cross = (for { a <- ids; b <- ids if a < b &&
+      splits(a) != splits(b) } yield (a, b)).head
+    val same = (for { a <- ids; b <- ids if a < b &&
+      splits(a) == splits(b) } yield (a, b)).head
+    val pairs = Seq((cross._1, cross._2, 0.9), (same._1, same._2, 0.8))
+      .toDF("a_id", "b_id", "est_jaccard")
+    val r = Pipeline.splitLeakage(docs, pairs = Some(pairs))
+      .as[(Long, Long, String, String, Double)].collect()
+    graft.core.CacheBay.drain()
+    assert(r.length == 1, r.toSeq.toString)
+    assert(Set(r(0)._1, r(0)._2) == Set(cross._1, cross._2))
+    assert(r(0)._3 != r(0)._4 && r(0)._5 == 0.9)
+  }
 }
