@@ -68,6 +68,8 @@ object TextQueries {
       graft.text.CorpusStats.vocabGrowth(docs(s, d))),
     "text_dsir_weights" -> ((s, d) =>
       graft.text.CorpusStats.dsirWeights(docs(s, d))),
+    "text_source_overlap" -> ((s, d) =>
+      graft.text.CorpusStats.sourceOverlap(docs(s, d))),
     "text_token_rarity" ->((s, d) =>
       graft.text.CorpusStats.tokenRarity(Tables(s, d, "documents"))),
 
@@ -324,6 +326,37 @@ object TextQueries {
          |  CAST(COALESCE((a.sum_tf * 1000000) // a.n_tokens, 0) AS BIGINT)
          |    AS mean_corpus_tf_e6
          |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
+
+    // top-K token sets per source ((n desc, tok asc) rank), pairwise
+    // shared-token Jaccard in ppm over the K-sized sets only
+    "text_source_overlap" -> {
+      val k = graft.text.CorpusStats.OverlapK
+      s"""WITH tw AS (
+         |  SELECT source,
+         |    CASE WHEN ${normSql("text")} = ''
+         |         THEN CAST([] AS VARCHAR[])
+         |         ELSE string_split(${normSql("text")}, ' ') END AS w
+         |  FROM documents),
+         |ex AS (SELECT source, unnest(w) AS tok FROM tw),
+         |c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+         |      FROM ex GROUP BY 1, 2),
+         |top AS (SELECT source, tok FROM (
+         |    SELECT source, tok, row_number() OVER (
+         |      PARTITION BY source ORDER BY n DESC, tok ASC) AS rk
+         |    FROM c) WHERE rk <= $k),
+         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS s
+         |       FROM top GROUP BY 1),
+         |sh AS (SELECT a.source AS a_source, b.source AS b_source,
+         |         CAST(count(*) AS BIGINT) AS shared
+         |       FROM top a JOIN top b
+         |         ON a.tok = b.tok AND a.source < b.source
+         |       GROUP BY 1, 2)
+         |SELECT sh.a_source, sh.b_source, sh.shared,
+         |  CAST((sh.shared * 1000000) // (sa.s + sb.s - sh.shared)
+         |    AS BIGINT) AS jaccard_ppm
+         |FROM sh JOIN sz sa ON sh.a_source = sa.source
+         |        JOIN sz sb ON sh.b_source = sb.source""".stripMargin
+    },
 
     // DSIR log-ratio in integer bits (surprisal_raw − surprisal_tgt,
     // add-one smoothed target); offset div for the possibly-negative

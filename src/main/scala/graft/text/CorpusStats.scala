@@ -640,6 +640,47 @@ object CorpusStats {
           " div n_tokens - 64000000"), lit(0L)).as("dsir_per_tok_e6"))
   }
 
+  /** Top-token set size per source for [[sourceOverlap]]. */
+  val OverlapK = 50
+
+  /** Per-source vocabulary overlap — source-LEVEL near-mirror
+    * detection (two feeds scraping the same site produce few
+    * document-level near-dups after templating but nearly identical
+    * characteristic vocabularies; X3 can't see that — this can):
+    * Jaccard of the top-[[OverlapK]] token sets per source pair, in
+    * integer ppm. The compare runs over K-row-per-source TOP SETS,
+    * never the full vocabulary — |sources|·K rows into a token-keyed
+    * self-join, so a thousand-source corpus compares 50k rows, not
+    * its token table; the rank window partitions by the bounded
+    * source key. Ties break (count desc, token asc) — the
+    * [[vocabTopK]] total order, data-independent. */
+  def sourceOverlap(docs: DataFrame, k: Int = OverlapK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = graft.core.CacheBay.register(
+      docs.select(col("source"), explode(tokenArray(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("n").desc, col("tok").asc)))
+        .filter(col("rk") <= k)
+        .select(col("source"), col("tok")))
+    val sizes = top.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("sz"))
+    top.withColumnRenamed("source", "a_source")
+      .join(top.withColumnRenamed("source", "b_source"), Seq("tok"))
+      .filter(col("a_source") < col("b_source"))
+      .groupBy(col("a_source"), col("b_source"))
+      .agg(count(lit(1)).cast("long").as("shared"))
+      .join(sizes.withColumnsRenamed(
+        Map("source" -> "a_source", "sz" -> "na")), Seq("a_source"))
+      .join(sizes.withColumnsRenamed(
+        Map("source" -> "b_source", "sz" -> "nb")), Seq("b_source"))
+      .select(col("a_source"), col("b_source"), col("shared"),
+        expr("(shared * 1000000) div (na + nb - shared)")
+          .as("jaccard_ppm"))
+  }
+
   /** Number of id-range buckets for [[vocabGrowth]]. */
   val GrowthBuckets = 10
 

@@ -299,4 +299,15 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r(1L) == ((3L, 7L, 6L, 1L, 333333L)))
     assert(r(2L) == ((3L, 6L, 8L, -2L, -666667L)))  // floor(-2/3·1e6)
   }
+
+  test("sourceOverlap: top-set Jaccard per source pair; disjoint " +
+    "sources produce no row") {
+    val docs = Seq((1L, "a b c", "A"), (2L, "a b d", "B"),
+      (3L, "x y z", "C"))
+      .toDF("doc_id", "text", "source")
+    val r = CorpusStats.sourceOverlap(docs)
+      .as[(String, String, Long, Long)].collect().toSeq
+    graft.core.CacheBay.drain()
+    assert(r == Seq(("A", "B", 2L, 500000L)), r.toString)
+  }
 }
