@@ -40,9 +40,16 @@ object KCore {
   /** Peel threshold: nodes below degree K leave the graph. */
   val K = 4
 
-  /** Fixed synchronous peeling rounds (fixpoint on the fixtures is
-    * reached earlier — spec-asserted). */
-  val PeelRounds = 6
+  /** Fixed synchronous peeling rounds. The co-purchase fixture reaches
+    * its fixpoint in round 1 at every SF (minimum degree 38 ≥ K — the
+    * basket graph is dense quasi-random, and such graphs have a SHARP
+    * core transition: probing relative thresholds near the mean degree
+    * either keeps everything or cascades to an empty core, so the
+    * absolute-K contract with real peeling proven on the hand-built
+    * spec graphs is the honest choice). Three rounds keep a
+    * convergence margin without paying no-op semi-join rounds;
+    * KCoreSpec asserts rounds R and R+1 agree on the fixture. */
+  val PeelRounds = 3
 
   /** Nodes of the k-core after [[PeelRounds]] synchronous peels over
     * canonical `(a, b)` edges, with their degree inside the surviving
