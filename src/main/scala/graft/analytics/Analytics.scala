@@ -657,6 +657,35 @@ object Analytics {
           .cast("long").as("n_filled"))
   }
 
+  /** Per-transition timing profile — the dwell-time matrix behavioral
+    * analytics hangs beside the sequence counts (X67 counts WHICH
+    * type-paths occur; this measures HOW LONG each hop takes): for
+    * every (prev_type, next_type) transition within a user's ordered
+    * event stream, the count and min/mean/max gap in whole seconds.
+    * Second diffs are floor-of-epoch differences — Spark's
+    * `cast(ts as long)` and DuckDB's `date_diff('second', …)` agree
+    * exactly — and the mean is `sum div n` (gaps are non-negative by
+    * the (ts, event_id) order, so div ≡ //). One user-keyed lag window
+    * (the X67 shuffle) + one aggregate on the bounded type-pair key. */
+  def transitionTimes(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"), col("ts").cast("long").as("sec"))
+      .select(col("event_type").as("next_type"), col("sec"),
+        lag(col("event_type"), 1).over(byUser).as("prev_type"),
+        lag(col("sec"), 1).over(byUser).as("prev_sec"))
+      .filter(col("prev_type").isNotNull)
+      .select(col("prev_type"), col("next_type"),
+        (col("sec") - col("prev_sec")).as("gap_s"))
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        min(col("gap_s")).cast("long").as("min_gap_s"),
+        max(col("gap_s")).cast("long").as("max_gap_s"),
+        expr("sum(gap_s) div count(1)").cast("long").as("mean_gap_s"))
+  }
+
   /** Syntetos-Boylan cut points in e6 units (ADI 1.32, CV² 0.49 —
     * Syntetos, Boylan & Croston 2005, the standard quadrant bounds). */
   val AdiCutE6 = 1320000L

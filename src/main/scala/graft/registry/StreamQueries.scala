@@ -130,6 +130,11 @@ object StreamQueries {
     "events_cusum" -> ((s, d) =>
       graft.analytics.Analytics.cusumScores(Tables(s, d, "events"))),
 
+    // dwell-time matrix: per (prev,next) type transition, whole-second
+    // gap stats off one user-keyed lag window
+    "events_transitions" -> ((s, d) =>
+      graft.analytics.Analytics.transitionTimes(Tables(s, d, "events"))),
+
     "events_percentiles" -> ((s, d) =>
       Tables(s, d, "events").groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -751,6 +756,23 @@ object StreamQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS BIGINT) AS n_filled
         |FROM j""".stripMargin,
+
+    // same (ts, event_id) lag order; epoch-floor second diffs agree
+    // between cast-to-long and date_diff('second')
+    "events_transitions" ->
+      """WITH g AS (
+        |  SELECT lag(event_type) OVER w AS prev_type,
+        |         event_type AS next_type,
+        |         date_diff('second', lag(ts) OVER w, ts) AS gap_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT prev_type, next_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+        |  CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+        |  CAST(SUM(gap_s) // count(*) AS BIGINT) AS mean_gap_s
+        |FROM g WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
 
     // CUSUM closed form: S_t = C_t − min(0, min_{j≤t} C_j); identical
     // prefix windows, identical integer allowance

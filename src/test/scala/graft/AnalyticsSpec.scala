@@ -321,6 +321,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.map(_._6).toSeq == Seq(0L, 0L, 0L, 0L, 1L))
   }
 
+  test("transitionTimes: per-user lag gaps aggregate by type pair") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, 1L, "view", t(0)), (1L, 2L, "click", t(10)),
+      (1L, 3L, "click", t(25)),
+      (2L, 4L, "view", t(5)), (2L, 5L, "buy", t(9)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val r = Analytics.transitionTimes(ev)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(x => (x._1, x._2) -> (x._3, x._4, x._5, x._6)).toMap
+    graft.core.CacheBay.drain()
+    assert(r(("view", "click")) == ((1L, 10L, 10L, 10L)))
+    assert(r(("click", "click")) == ((1L, 15L, 15L, 15L)))
+    assert(r(("view", "buy")) == ((1L, 4L, 4L, 4L)))
+    assert(r.size == 3)
+  }
+
   test("intermittencyClassification: ADI from the month span, CV2 " +
     "from the moment identity, Syntetos-Boylan quadrants") {
     def d(s: String) = java.sql.Date.valueOf(s)
