@@ -657,6 +657,65 @@ object Analytics {
           .cast("long").as("n_filled"))
   }
 
+  /** Quintile count for [[rfmSegmentation]]. */
+  val RfmTiles = 5
+
+  /** Exact global k-tile of `base` on `v` (ties → `id` asc) WITHOUT a
+    * global sort — the X28 decomposition: per-VALUE offsets (a
+    * value-domain-sized cumulative sum) + intra-value row_number give
+    * the exact global rank; `tile = ((rank−1)·k) div n + 1`. */
+  private def tileOn(base: DataFrame, id: String, v: String, k: Int,
+      out: String): DataFrame = {
+    val off = base.groupBy(col(v)).agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum(col("c")).over(Window.orderBy(col(v))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(v), col("off"))
+    val nd = base.agg(count(lit(1)).as("n_total"))
+    base.join(broadcast(off), Seq(v))
+      .withColumn("grk", col("off") + row_number().over(
+        Window.partitionBy(col(v)).orderBy(col(id))))
+      .crossJoin(broadcast(nd))
+      .withColumn(out, (expr(s"((grk - 1) * $k) div n_total") + 1L)
+        .cast("long"))
+      .drop("off", "grk", "n_total")
+  }
+
+  /** RFM customer segmentation (the CRM/demand-planning workhorse:
+    * Recency = days since last order at the corpus as-of, Frequency =
+    * order count, Monetary = lifetime cents) with each dimension cut
+    * into exact global quintiles — tile 1 = most recent / fewest /
+    * lowest, tile 5 the opposite end; `rfm = r·100 + f·10 + m` is the
+    * classic 3-digit segment code. Quintiles use [[tileOn]]'s
+    * no-global-sort decomposition three times (the X28 discipline —
+    * a `ntile` over all customers would force a total sort); ties
+    * break on c_custkey, data-independent in both engines. The as-of
+    * is the orders' own max date (never wall-clock — the §7.4
+    * determinism rule). */
+  def rfmSegmentation(orders: DataFrame, k: Int = RfmTiles): DataFrame = {
+    val asOf = orders.agg(max(to_date(col("o_orderdate"))).as("as_of"))
+    val base = orders
+      .select(col("o_custkey").as("c_custkey"),
+        to_date(col("o_orderdate")).as("d"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy(col("c_custkey"))
+      .agg(max(col("d")).as("last_d"),
+        count(lit(1)).cast("long").as("f_orders"),
+        sum(col("cents")).cast("long").as("m_cents"))
+      .crossJoin(broadcast(asOf))
+      .select(col("c_custkey"),
+        datediff(col("as_of"), col("last_d")).cast("long").as("r_days"),
+        col("f_orders"), col("m_cents"))
+    val tiled = tileOn(tileOn(tileOn(graft.core.CacheBay.register(base),
+      "c_custkey", "r_days", k, "r_tile"),
+      "c_custkey", "f_orders", k, "f_tile"),
+      "c_custkey", "m_cents", k, "m_tile")
+    tiled.select(col("c_custkey"), col("r_days"), col("f_orders"),
+      col("m_cents"), col("r_tile"), col("f_tile"), col("m_tile"),
+      (col("r_tile") * 100 + col("f_tile") * 10 + col("m_tile"))
+        .cast("long").as("rfm"))
+  }
+
   /** Per-transition timing profile — the dwell-time matrix behavioral
     * analytics hangs beside the sequence counts (X67 counts WHICH
     * type-paths occur; this measures HOW LONG each hop takes): for

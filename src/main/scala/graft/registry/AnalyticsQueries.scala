@@ -27,7 +27,9 @@ object AnalyticsQueries {
       Analytics.intermittencyClassification(
         graft.core.Tables(s, d, "lineitem"))),
     "seasonal_index" -> ((s, d) =>
-      Analytics.seasonalIndex(graft.core.Tables(s, d, "orders"))))
+      Analytics.seasonalIndex(graft.core.Tables(s, d, "orders"))),
+    "rfm_segments" -> ((s, d) =>
+      Analytics.rfmSegmentation(graft.core.Tables(s, d, "orders"))))
 
   private val segs = Analytics.Segments
 
@@ -290,5 +292,37 @@ object AnalyticsQueries {
         |    AS count_idx_e6,
         |  CAST((m.cents * 12000000) // t.tc AS BIGINT)
         |    AS revenue_idx_e6
-        |FROM m CROSS JOIN t""".stripMargin)
+        |FROM m CROSS JOIN t""".stripMargin,
+
+    // exact global quintiles via the same rank→tile formula (the
+    // engine's no-sort decomposition and a plain global row_number
+    // produce the SAME ranks — that identity is what the hash-match
+    // proves); ties on c_custkey
+    "rfm_segments" -> {
+      val k = Analytics.RfmTiles
+      def tile(v: String) =
+        s"(((row_number() OVER (ORDER BY $v, c_custkey) - 1) * $k)" +
+          s" // n_total + 1)"
+      s"""WITH ao AS (SELECT CAST(max(o_orderdate) AS DATE) AS as_of
+         |           FROM orders),
+         |b AS (SELECT o_custkey AS c_custkey,
+         |        CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+         |          ao.as_of) AS BIGINT) AS r_days,
+         |        CAST(count(*) AS BIGINT) AS f_orders,
+         |        CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE)
+         |          * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |          AS BIGINT)) AS BIGINT) AS m_cents
+         |      FROM orders CROSS JOIN ao
+         |      GROUP BY 1, ao.as_of),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM b),
+         |tl AS (SELECT c_custkey, r_days, f_orders, m_cents,
+         |         CAST(${tile("r_days")} AS BIGINT) AS r_tile,
+         |         CAST(${tile("f_orders")} AS BIGINT) AS f_tile,
+         |         CAST(${tile("m_cents")} AS BIGINT) AS m_tile
+         |       FROM b CROSS JOIN n)
+         |SELECT c_custkey, r_days, f_orders, m_cents,
+         |  r_tile, f_tile, m_tile,
+         |  CAST(r_tile * 100 + f_tile * 10 + m_tile AS BIGINT) AS rfm
+         |FROM tl""".stripMargin
+    })
 }

@@ -338,6 +338,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.size == 3)
   }
 
+  test("rfmSegmentation: exact quintiles per dimension, 3-digit code") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val o = Seq(
+      (1L, t("2020-01-10"), 10.0), (1L, t("2020-01-01"), 10.0),
+      (2L, t("2020-01-09"), 30.0), (3L, t("2020-01-08"), 40.0),
+      (4L, t("2020-01-07"), 50.0), (5L, t("2020-01-06"), 5.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val r = Analytics.rfmSegmentation(o)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> x._8).toMap
+    graft.core.CacheBay.drain()
+    assert(r == Map(1L -> 152L, 2L -> 213L, 3L -> 324L,
+      4L -> 435L, 5L -> 541L), r.toString)
+  }
+
   test("intermittencyClassification: ADI from the month span, CV2 " +
     "from the moment identity, Syntetos-Boylan quadrants") {
     def d(s: String) = java.sql.Date.valueOf(s)

@@ -288,7 +288,8 @@ class PlanAuditSpec extends SparkSpec {
       // 1-row scalar broadcasts: basket total-order count, surprisal /
       // DSIR corpus totals, vocab-growth max doc id, seasonal totals
       "basket_rules", "text_surprisal", "text_dsir_weights",
-      "text_vocab_growth", "seasonal_index", "qc_benford")
+      "text_vocab_growth", "seasonal_index", "qc_benford",
+      "rfm_segments")
   // Building these performs driver-side actions (KMeans fit / LBFGS
   // training / count()s) — plan shape is audited by their own specs.
   private val ActionOnBuild =
