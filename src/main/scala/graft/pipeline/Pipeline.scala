@@ -290,6 +290,55 @@ object Pipeline {
         col("first_pos"))
   }
 
+  /** Span EXCISION — the actionable output [[contaminationSpans]]
+    * diagnoses (X90 reports WHERE the benchmark quotes sit; this
+    * emits the decontaminated text with those spans REMOVED — the
+    * step a pipeline actually ships): a token is contaminated iff any
+    * hit shingle's [pos, pos+n−1] window covers it. Coverage expands
+    * each hit into its n token positions (a bounded `sequence`
+    * explode — n rows per hit, never a range join), the keep-set is a
+    * doc+position ANTI-join, and the text reassembles with
+    * `array_sort(collect_list(struct(pos, tok)))` — deterministic
+    * order, mirrored by the oracle's `string_agg(… ORDER BY)`. Output
+    * text is in the normalized token form (the same canonical form
+    * every dedup/contamination operator matches on). Bench docs
+    * (doc_id % benchMod = 0) are the benchmark side, not emitted. */
+  def exciseContamination(docs: DataFrame,
+      benchMod: Int = BenchMod): DataFrame = {
+    val n = graft.dedup.Dedup.ShingleN
+    val toks = graft.core.CacheBay.register(
+      docs.select(col("doc_id"),
+        graft.text.CorpusStats.tokenArray(col("text")).as("w")))
+    val shp = graft.core.CacheBay.register(
+      toks.select(col("doc_id"), posexplode(wordShinglesOf(col("w"), n)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("sh")))
+    val bench = shp.filter(col("doc_id") % benchMod === 0)
+      .select(col("sh")).distinct()
+    val covered = shp.filter(col("doc_id") % benchMod =!= 0)
+      .join(broadcast(bench), Seq("sh"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tp"))
+      .distinct()
+    val tokens = toks.filter(col("doc_id") % benchMod =!= 0)
+      .select(col("doc_id"), posexplode(col("w")))
+      .select(col("doc_id"), col("pos").cast("long").as("tp"),
+        col("col").as("tok"))
+    val kept = tokens.join(covered, Seq("doc_id", "tp"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("tp"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"))
+    toks.filter(col("doc_id") % benchMod =!= 0)
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .cast("long").as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Boundary rate for [[contentChunks]]: a token whose hash ≡ 0
     * (mod this) ends its chunk → mean chunk length ≈ this many
     * tokens. */

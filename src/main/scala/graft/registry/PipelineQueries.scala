@@ -48,6 +48,8 @@ object PipelineQueries {
       Pipeline.mixInterleave(docs(s, d))),
     "pipe_contamination_spans" -> ((s, d) =>
       Pipeline.contaminationSpans(docs(s, d))),
+    "pipe_decontaminated" -> ((s, d) =>
+      Pipeline.exciseContamination(docs(s, d))),
     "pipe_content_chunks" -> ((s, d) =>
       Pipeline.contentChunks(docs(s, d))),
     "pipe_source_cap" -> ((s, d) => Pipeline.perSourceCap(docs(s, d))))
@@ -454,6 +456,49 @@ object PipelineQueries {
 
     // gaps-and-islands over positioned benchmark-shingle hits: runs of
     // consecutive hit positions = contamination spans
+    // X126: same positioned-shingle CTEs; covered token positions from
+    // the bounded per-hit range explode; text reassembles with an
+    // ORDER BY string_agg mirroring the engine's array_sort
+    "pipe_decontaminated" -> {
+      val n = graft.dedup.Dedup.ShingleN
+      s"""WITH tw AS (
+         |  SELECT doc_id,
+         |    CASE WHEN nrm = '' THEN CAST([] AS VARCHAR[])
+         |         ELSE string_split(nrm, ' ') END AS w
+         |  FROM (SELECT doc_id, ${DedupQueries.normSql} AS nrm
+         |        FROM documents)),
+         |sp AS (SELECT doc_id,
+         |         CAST(unnest(range(0, greatest(len(w) - ${n - 1}, 0)))
+         |           AS BIGINT) AS pos, w
+         |       FROM tw),
+         |shp AS (SELECT doc_id, pos,
+         |          array_to_string(
+         |            w[CAST(pos + 1 AS INT):CAST(pos + $n AS INT)], ' ')
+         |            AS sh
+         |        FROM sp),
+         |b AS (SELECT DISTINCT sh FROM shp WHERE doc_id % $BenchMod = 0),
+         |cov AS (SELECT DISTINCT h.doc_id, h.pos + u.o AS tp
+         |        FROM (SELECT doc_id, pos FROM shp JOIN b USING (sh)
+         |              WHERE doc_id % $BenchMod <> 0) h
+         |        CROSS JOIN (SELECT unnest(range(0, $n)) AS o) u),
+         |tk AS (SELECT doc_id,
+         |         CAST(unnest(range(0, len(w))) AS BIGINT) AS tp,
+         |         unnest(w) AS tok
+         |       FROM tw WHERE doc_id % $BenchMod <> 0),
+         |kp AS (SELECT t.doc_id,
+         |         CAST(count(*) AS BIGINT) AS n_kept,
+         |         string_agg(t.tok, ' ' ORDER BY t.tp) AS clean_text
+         |       FROM tk t ANTI JOIN cov c
+         |         ON t.doc_id = c.doc_id AND t.tp = c.tp
+         |       GROUP BY 1)
+         |SELECT tw.doc_id, CAST(len(tw.w) AS BIGINT) AS n_tokens,
+         |  CAST(len(tw.w) - COALESCE(kp.n_kept, 0) AS BIGINT)
+         |    AS n_removed,
+         |  COALESCE(kp.clean_text, '') AS clean_text
+         |FROM tw LEFT JOIN kp USING (doc_id)
+         |WHERE tw.doc_id % $BenchMod <> 0""".stripMargin
+    },
+
     "pipe_contamination_spans" -> {
       val n = graft.dedup.Dedup.ShingleN
       s"""WITH tw AS (

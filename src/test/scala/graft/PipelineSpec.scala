@@ -333,6 +333,22 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate excises exactly the covered token spans and " +
+    "reassembles the remainder in order") {
+    val docs = Seq(
+      (0L, "secret quote here"),                            // benchmark
+      (1L, "intro words secret quote here trailing tail"),  // one span
+      (2L, "no overlap at all"))                            // untouched
+      .toDF("doc_id", "text")
+    val r = Pipeline.exciseContamination(docs)
+      .as[(Long, Long, Long, String)].collect()
+      .map(x => x._1 -> (x._2, x._3, x._4)).toMap
+    graft.core.CacheBay.drain()
+    assert(!r.contains(0L)) // bench side not emitted
+    assert(r(1L) == ((7L, 3L, "intro words trailing tail")))
+    assert(r(2L) == ((4L, 0L, "no overlap at all")))
+  }
+
   test("splitLeakage keeps exactly the near-dup pairs that cross the " +
     "split boundary") {
     val docs = (1L to 60L).map(i => (i, s"doc $i body", "en", 10L))
