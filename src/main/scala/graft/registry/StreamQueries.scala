@@ -135,6 +135,11 @@ object StreamQueries {
     "events_transitions" -> ((s, d) =>
       graft.analytics.Analytics.transitionTimes(Tables(s, d, "events"))),
 
+    // daily active/new/returning + cumulative users (cum distinct =
+    // running sum of daily new — no distinct-over-growing-window)
+    "events_daily_users" -> ((s, d) =>
+      graft.analytics.Analytics.dailyUsers(Tables(s, d, "events"))),
+
     "events_percentiles" -> ((s, d) =>
       Tables(s, d, "events").groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -756,6 +761,25 @@ object StreamQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS BIGINT) AS n_filled
         |FROM j""".stripMargin,
+
+    // same (user, day) dedup + first-seen rule; cumulative = prefix
+    // sum of daily new
+    "events_daily_users" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |a AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active
+        |      FROM ud GROUP BY 1),
+        |fs AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM (
+        |         SELECT user_id, min(day) AS day FROM ud GROUP BY 1)
+        |       GROUP BY 1)
+        |SELECT a.day, a.n_active,
+        |  COALESCE(fs.n_new, 0) AS n_new,
+        |  CAST(a.n_active - COALESCE(fs.n_new, 0) AS BIGINT)
+        |    AS n_returning,
+        |  CAST(SUM(COALESCE(fs.n_new, 0)) OVER (ORDER BY a.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_users
+        |FROM a LEFT JOIN fs USING (day)""".stripMargin,
 
     // same (ts, event_id) lag order; epoch-floor second diffs agree
     // between cast-to-long and date_diff('second')

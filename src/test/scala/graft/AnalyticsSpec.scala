@@ -338,6 +338,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.size == 3)
   }
 
+  test("dailyUsers: new/returning split and cumulative-as-sum-of-new") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s + " 09:00:00")
+    val ev = Seq((1L, t("2024-01-01")), (2L, t("2024-01-01")),
+      (1L, t("2024-01-02")), (3L, t("2024-01-02")),
+      (2L, t("2024-01-03")), (2L, t("2024-01-03")))
+      .toDF("user_id", "ts")
+    val r = Analytics.dailyUsers(ev).orderBy("day")
+      .as[(java.sql.Date, Long, Long, Long, Long)].collect()
+      .map(x => (x._2, x._3, x._4, x._5)).toSeq
+    graft.core.CacheBay.drain()
+    assert(r == Seq((2L, 2L, 0L, 2L), (2L, 1L, 1L, 3L),
+      (1L, 0L, 1L, 3L)), r.toString)
+  }
+
   test("rfmSegmentation: exact quintiles per dimension, 3-digit code") {
     def t(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
     val o = Seq(
