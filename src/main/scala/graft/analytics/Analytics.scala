@@ -657,6 +657,61 @@ object Analytics {
           .cast("long").as("n_filled"))
   }
 
+  /** Cross-series correlation over the zero-filled daily type counts —
+    * which event types move TOGETHER day to day (shared upstream
+    * driver, mirrored instrumentation) and which are independent. The
+    * moment sums (n, Σx, Σy, Σxy, Σx², Σy²) are the mergeable
+    * sufficient statistics — a commutative monoid like the X94/X99
+    * sketches, which is what makes the statistic maintainable
+    * incrementally at scale — and every derived quantity is exact
+    * integer arithmetic: `cov = n·Σxy − Σx·Σy` (sign carried
+    * separately), `r²·10⁶ = (cov²·10⁶) div (vx·vy)` under the house
+    * overflow assert. ZERO-filling over the global day spine is load-
+    * bearing: joining only on days where both types fired would bias
+    * the correlation toward co-active days. Spine = |days|·|types|
+    * rows — calendar-sized, never event-volume-sized. */
+  def typeCorrelationStats(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val spine = daily.select(col("day")).distinct()
+      .crossJoin(daily.select(col("event_type")).distinct())
+    val filled = graft.core.CacheBay.register(
+      spine.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n")))
+    val pairs = filled.select(col("day"), col("event_type").as("type_a"),
+        col("n").as("x"))
+      .join(filled.select(col("day"), col("event_type").as("type_b"),
+        col("n").as("y")), Seq("day"))
+      .filter(col("type_a") < col("type_b"))
+    pairs.groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("y")).cast("long").as("sy"),
+        sum(col("x") * col("y")).cast("long").as("sxy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"),
+        sum(col("y") * col("y")).cast("long").as("syy"))
+      .select(col("type_a"), col("type_b"), col("n_days"),
+        col("sx"), col("sy"), col("sxy"),
+        expr("n_days * sxy - sx * sy").as("cov_n2"),
+        expr("n_days * sxx - sx * sx").as("vx_n2"),
+        expr("n_days * syy - sy * sy").as("vy_n2"))
+      .select(col("type_a"), col("type_b"), col("n_days"),
+        col("sx"), col("sy"), col("sxy"), col("cov_n2"),
+        signum(col("cov_n2")).cast("long").as("cov_sign"),
+        expr("case when vx_n2 = 0 or vy_n2 = 0 then 0 else " +
+          "coalesce(cast(assert_true(" +
+          "abs(cov_n2) <= 3037000499 and " +
+          "cov_n2 * cov_n2 <= 9223372036854775807 div 1000000 and " +
+          "vx_n2 <= 9223372036854775807 div vy_n2," +
+          " 'correlation moments exceed the Long-exact range: shard " +
+          "the day spine or move to decimal(38)') as bigint), 0)" +
+          " + ((cov_n2 * cov_n2 * 1000000) div (vx_n2 * vy_n2)) end")
+          .as("r2_ppm"))
+  }
+
   /** Daily active / new / cumulative user curve — the product-growth
     * view beside the cohort matrix (X66 answers "does a cohort come
     * back"; this answers "is the user base growing or churning in

@@ -339,6 +339,34 @@ object Pipeline {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Per-source quality calibration — percentile-rank normalization
+    * WITHIN each source (the cross-source comparability step before
+    * any global quality cut: raw quality scores are source-biased —
+    * a clean curated feed's 40th percentile can outscore a crawl's
+    * 95th — so mixing decisions should compare a doc to ITS OWN
+    * source's distribution, the quality-classifier-calibration move
+    * every multi-source mix makes): `pct_ppm = ((rk−1)·10⁶) div
+    * (n−1)` over the (quality desc → rank asc? no — quality ASC, id
+    * tiebreak) order, 0 for a single-doc source (no distribution to
+    * rank against). Integer-exact; one window per the bounded source
+    * key; composes with X38's budget selection as the calibrated
+    * alternative ranking. */
+  def sourceCalibratedQuality(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = qualityScored(docs)
+      .select(col("source"), col("doc_id"), col("quality_e6"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality_e6"), col("doc_id"))
+    base
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("source"))).cast("long"))
+      .select(col("source"), col("doc_id"), col("quality_e6"),
+        when(col("n") === 1, lit(0L))
+          .otherwise(expr("((rk - 1) * 1000000) div (n - 1)"))
+          .as("pct_ppm"))
+  }
+
   /** Boundary rate for [[contentChunks]]: a token whose hash ≡ 0
     * (mod this) ends its chunk → mean chunk length ≈ this many
     * tokens. */

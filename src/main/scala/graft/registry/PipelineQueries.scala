@@ -52,7 +52,9 @@ object PipelineQueries {
       Pipeline.exciseContamination(docs(s, d))),
     "pipe_content_chunks" -> ((s, d) =>
       Pipeline.contentChunks(docs(s, d))),
-    "pipe_source_cap" -> ((s, d) => Pipeline.perSourceCap(docs(s, d))))
+    "pipe_source_cap" -> ((s, d) => Pipeline.perSourceCap(docs(s, d))),
+    "pipe_source_calibration" -> ((s, d) =>
+      Pipeline.sourceCalibratedQuality(docs(s, d))))
 
   // ---- DuckDB oracle SQL, generated from the same constants ----
 
@@ -456,6 +458,22 @@ object PipelineQueries {
 
     // gaps-and-islands over positioned benchmark-shingle hits: runs of
     // consecutive hit positions = contamination spans
+    // same QualityCte scores; (quality asc, doc_id) rank within
+    // source, percentile ppm over n−1
+    "pipe_source_calibration" ->
+      s"""WITH $QualityCte,
+         |r AS (SELECT source, doc_id, quality_e6,
+         |        CAST(row_number() OVER (PARTITION BY source
+         |          ORDER BY quality_e6, doc_id) AS BIGINT) AS rk,
+         |        CAST(count(*) OVER (PARTITION BY source) AS BIGINT)
+         |          AS n
+         |      FROM sc)
+         |SELECT source, doc_id, quality_e6,
+         |  CAST(CASE WHEN n = 1 THEN 0
+         |       ELSE ((rk - 1) * 1000000) // (n - 1) END AS BIGINT)
+         |    AS pct_ppm
+         |FROM r""".stripMargin,
+
     // X126: same positioned-shingle CTEs; covered token positions from
     // the bounded per-hit range explode; text reassembles with an
     // ORDER BY string_agg mirroring the engine's array_sort

@@ -140,6 +140,12 @@ object StreamQueries {
     "events_daily_users" -> ((s, d) =>
       graft.analytics.Analytics.dailyUsers(Tables(s, d, "events"))),
 
+    // mergeable moment sums over the zero-filled daily spine; integer
+    // cov/r² under the house overflow assert
+    "events_type_correlation" -> ((s, d) =>
+      graft.analytics.Analytics.typeCorrelationStats(
+        Tables(s, d, "events"))),
+
     "events_percentiles" -> ((s, d) =>
       Tables(s, d, "events").groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -761,6 +767,44 @@ object StreamQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS BIGINT) AS n_filled
         |FROM j""".stripMargin,
+
+    // same zero-filled spine, same moment identities; the CASE guards
+    // only the degenerate zero-variance legs
+    "events_type_correlation" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (SELECT d.day, t.event_type
+        |          FROM (SELECT DISTINCT day FROM daily) d
+        |          CROSS JOIN (SELECT DISTINCT event_type FROM daily) t),
+        |f AS (SELECT s.event_type, s.day, COALESCE(daily.n, 0) AS n
+        |      FROM spine s LEFT JOIN daily
+        |        ON s.event_type = daily.event_type AND s.day = daily.day),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |        a.n AS x, b.n AS y
+        |      FROM f a JOIN f b
+        |        ON a.day = b.day AND a.event_type < b.event_type),
+        |m AS (SELECT type_a, type_b,
+        |        CAST(count(*) AS BIGINT) AS n_days,
+        |        CAST(SUM(x) AS BIGINT) AS sx,
+        |        CAST(SUM(y) AS BIGINT) AS sy,
+        |        CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |        CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |        CAST(SUM(y * y) AS BIGINT) AS syy
+        |      FROM p GROUP BY 1, 2),
+        |d2 AS (SELECT type_a, type_b, n_days, sx, sy, sxy,
+        |         n_days * sxy - sx * sy AS cov_n2,
+        |         n_days * sxx - sx * sx AS vx_n2,
+        |         n_days * syy - sy * sy AS vy_n2
+        |       FROM m)
+        |SELECT type_a, type_b, n_days, sx, sy, sxy,
+        |  CAST(cov_n2 AS BIGINT) AS cov_n2,
+        |  CAST(sign(cov_n2) AS BIGINT) AS cov_sign,
+        |  CAST(CASE WHEN vx_n2 = 0 OR vy_n2 = 0 THEN 0
+        |       ELSE (cov_n2 * cov_n2 * 1000000) // (vx_n2 * vy_n2)
+        |       END AS BIGINT) AS r2_ppm
+        |FROM d2""".stripMargin,
 
     // same (user, day) dedup + first-seen rule; cumulative = prefix
     // sum of daily new

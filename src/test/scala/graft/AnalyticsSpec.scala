@@ -352,6 +352,26 @@ class AnalyticsSpec extends SparkSpec {
       (1L, 0L, 1L, 3L)), r.toString)
   }
 
+  test("typeCorrelationStats: zero-filled spine, exact moments, " +
+    "r2 = 1e6 for a perfectly linear pair and 0 for a flat cov") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s + " 01:00:00")
+    def burst(ty: String, day: String, k: Int) =
+      Seq.fill(k)((ty, t(day)))
+    val ev = (burst("A", "2024-01-01", 1) ++ burst("A", "2024-01-02", 2)
+      ++ burst("A", "2024-01-03", 3)
+      ++ burst("B", "2024-01-01", 2) ++ burst("B", "2024-01-02", 4)
+      ++ burst("B", "2024-01-03", 6)
+      ++ burst("C", "2024-01-01", 1) ++ burst("C", "2024-01-03", 1))
+      .toDF("event_type", "ts")
+    val r = Analytics.typeCorrelationStats(ev)
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(x => (x._1, x._2) -> (x._7, x._8, x._9)).toMap
+    graft.core.CacheBay.drain()
+    assert(r(("A", "B")) == ((12L, 1L, 1000000L)))   // exact linear
+    assert(r(("A", "C")) == ((0L, 0L, 0L)))          // flat covariance
+    assert(r.size == 3)
+  }
+
   test("rfmSegmentation: exact quintiles per dimension, 3-digit code") {
     def t(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
     val o = Seq(

@@ -333,6 +333,21 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("sourceCalibratedQuality: percentile ranks within source; " +
+    "singleton source pins to 0") {
+    val docs = Seq(
+      (1L, "the data " * 2, "en", "X"), (2L, "the data " * 30, "en", "X"),
+      (3L, "the data " * 80, "en", "X"), (4L, "anything here", "en", "Y"))
+      .map { case (i, t, l, s) => (i, t.trim, l, s) }
+      .toDF("doc_id", "text", "lang", "source")
+    val r = Pipeline.sourceCalibratedQuality(docs)
+      .as[(String, Long, Long, Long)].collect()
+      .map(x => x._2 -> x._4).toMap
+    graft.core.CacheBay.drain()
+    assert(r(1L) == 0L && r(2L) == 500000L && r(3L) == 1000000L)
+    assert(r(4L) == 0L)
+  }
+
   test("decontaminate excises exactly the covered token spans and " +
     "reassembles the remainder in order") {
     val docs = Seq(
