@@ -223,6 +223,60 @@ object Multimodal {
       .toDF()
   }
 
+  case class ImageHash(doc_id: Long, img_w: Long, img_h: Long,
+    ahash: String, n_ones: Long)
+
+  /** Perceptual average-hash (aHash) from the REAL decoded pixels —
+    * the image-dedup primitive (pHash family): 8×8 cell means over
+    * the grayscale raster, bit i = cell mean > mean-of-cell-means;
+    * near-duplicate images land within a small Hamming distance, and
+    * EXACT re-encodes hash identically — which is what image-level
+    * exact dedup joins on. All arithmetic is integer (cell mean =
+    * `sum div count`, global mean = `Σmeans div 64`), and the
+    * synthetic PNG's pixels are a pure function of the text, so the
+    * whole decode→hash path replays in SQL (the X13 oracle device).
+    * Images narrower than the 8×8 grid drop out (no full cell cover —
+    * same quarantine semantics as an unreadable payload). Per-image
+    * cost is one raster pass; the hash is 64 bits of state. */
+  def ahashImage(batch: Seq[MediaRecord]): Seq[ImageHash] =
+    batch.flatMap { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      if (img == null || img.getWidth < 8 || img.getHeight < 8) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val raster = img.getRaster
+        val sums = new Array[Long](64)
+        val counts = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          val cy = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val c = cy * 8 + x * 8 / w
+            sums(c) += raster.getSample(x, y, 0)
+            counts(c) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val means = Array.tabulate(64)(i => sums(i) / counts(i))
+        val gm = means.sum / 64
+        val bits = means.map(m => if (m > gm) '1' else '0')
+        Some(ImageHash(r.doc_id, w.toLong, h.toLong, new String(bits),
+          bits.count(_ == '1').toLong))
+      }
+    }
+
+  /** [[ahashImage]] over the session's synthetic PNG table. */
+  def imageHashes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imageTable(spark, dir)
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(ahashImage))
+      .toDF()
+  }
+
   val FrameBytes = 32
   val FrameEvery = 4
 

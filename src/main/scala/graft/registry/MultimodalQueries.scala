@@ -15,7 +15,8 @@ object MultimodalQueries {
     "multimodal_features" -> ((s, d) => Multimodal.mediaFeatures(s, d)),
     "multimodal_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, d)),
     "multimodal_pcm_decode" -> ((s, d) => Multimodal.pcmFeatures(s, d)),
-    "multimodal_image_decode" -> ((s, d) => Multimodal.imageFeatures(s, d)))
+    "multimodal_image_decode" -> ((s, d) => Multimodal.imageFeatures(s, d)),
+    "multimodal_ahash" -> ((s, d) => Multimodal.imageHashes(s, d)))
 
   val oracles: Map[String, String] = Map(
     "multimodal_features" ->
@@ -108,5 +109,37 @@ object MultimodalQueries {
          |              AND abs(p[k + 2] - p[k + 1]) >= $t
          |         THEN 1 ELSE 0 END)), 0) AS BIGINT) AS edges
          |FROM px""".stripMargin
-    })
+    },
+
+    // aHash replay: the same pixel function, cell assignment
+    // ((y·8)//h)·8 + (x·8)//w, integer cell means, global mean of
+    // means, bit = mean > gm; w/h < 8 drop (no full cell cover)
+    "multimodal_ahash" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    (length(text) % 64) + 1 AS w, (length(text) % 48) + 1 AS h
+        |  FROM documents
+        |  WHERE length(text) > 0 AND (length(text) % 64) + 1 >= 8
+        |    AND (length(text) % 48) + 1 >= 8),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    CAST(unnest(range(0, w * h)) AS BIGINT) AS k,
+        |    unnest(list_transform(range(0, w * h),
+        |      k2 -> ascii(text[(k2 % len) + 1:(k2 % len) + 1]))) AS v
+        |  FROM m),
+        |cells AS (
+        |  SELECT doc_id, w, h,
+        |    ((k // w) * 8 // h) * 8 + ((k % w) * 8 // w) AS cell,
+        |    CAST(SUM(v) // count(*) AS BIGINT) AS mean
+        |  FROM px GROUP BY 1, 2, 3, 4),
+        |g AS (SELECT doc_id, CAST(SUM(mean) // 64 AS BIGINT) AS gm
+        |      FROM cells GROUP BY 1)
+        |SELECT c.doc_id,
+        |  CAST(c.w AS BIGINT) AS img_w, CAST(c.h AS BIGINT) AS img_h,
+        |  string_agg(CASE WHEN c.mean > g.gm THEN '1' ELSE '0' END, ''
+        |    ORDER BY c.cell) AS ahash,
+        |  CAST(SUM(CASE WHEN c.mean > g.gm THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_ones
+        |FROM cells c JOIN g USING (doc_id)
+        |GROUP BY 1, 2, 3""".stripMargin)
 }

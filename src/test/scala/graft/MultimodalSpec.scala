@@ -108,4 +108,37 @@ class MultimodalSpec extends SparkSpec {
       .collect()
     assert(batchSizes.forall(_ <= Multimodal.DecodeBatchSize))
   }
+
+  test("ahash: flat images hash to all-zero bits; identical content " +
+    "hashes identically; undersized grids drop") {
+    def png(text: String): Array[Byte] = {
+      val w = text.length % 64 + 1
+      val h = text.length % 48 + 1
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      var k = 0
+      while (k < w * h) {
+        img.getRaster.setSample(k % w, k / w, 0,
+          text.charAt(k % text.length).toInt & 0xff)
+        k += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val flat = "z" * 20                       // 21×21, constant pixels
+    val structured = ("a" * 30) + ("~" * 33)  // 64×16, half dark/bright
+    val tiny = "abc"                          // 4×4 < 8×8 grid
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "image/png", png(flat), 21, 21),
+      Multimodal.MediaRecord(2L, "image/png", png(structured), 64, 16),
+      Multimodal.MediaRecord(3L, "image/png", png(flat), 21, 21),
+      Multimodal.MediaRecord(4L, "image/png", png(tiny), 4, 4))
+    val r = Multimodal.ahashImage(recs).map(x => x.doc_id -> x).toMap
+    assert(!r.contains(4L))
+    assert(r(1L).ahash == "0" * 64 && r(1L).n_ones == 0L)
+    assert(r(1L).ahash == r(3L).ahash)
+    assert(r(2L).n_ones > 0L &&
+      r(2L).n_ones == r(2L).ahash.count(_ == '1').toLong)
+  }
 }
