@@ -277,6 +277,47 @@ object Multimodal {
       .toDF()
   }
 
+  /** Pigeonhole block count and Hamming bound for [[ahashPairs]]:
+    * with 4 blocks of 16 bits, any pair within Hamming ≤ 3 leaves at
+    * least one block untouched — the bucket equi-join finds it. */
+  val AhashBlocks = 4
+  val AhashMaxHamming = 3L
+
+  /** Image near-duplicate pairs from [[ahashImage]] hashes — the
+    * multimodal leg of the dedup family (the X5 SimHash machinery
+    * applied to perceptual image hashes): candidates from the
+    * pigeonhole block equi-join (never all-pairs — a pair within the
+    * Hamming bound shares ≥ 1 exact 16-bit block by counting),
+    * Hamming verified as one codegen'd `bit_count(xor)` pair on the
+    * two packed 32-bit halves (the X5 packed-long device — not 64
+    * interpreted per-char hops). Shuffles on the (block, value)
+    * bucket key only. */
+  def ahashPairs(hashes: DataFrame,
+      maxHamming: Long = AhashMaxHamming): DataFrame = {
+    def half(off: Int) =
+      conv(col("ahash").substr(off + 1, 32), 2, 10).cast("long")
+    val h = graft.core.CacheBay.register(
+      hashes.select(col("doc_id"), col("ahash"),
+        half(0).as("hi"), half(32).as("lo")))
+    val seg = h.select(col("doc_id"), col("hi"), col("lo"),
+      explode(array((0 until AhashBlocks).map(b =>
+        struct(lit(b).as("blk"),
+          col("ahash").substr(b * 16 + 1, 16).as("kval"))): _*)).as("k"))
+      .select(col("doc_id"), col("hi"), col("lo"),
+        col("k.blk").as("blk"), col("k.kval").as("kval"))
+    val a = seg.select(col("doc_id").as("a_id"), col("hi").as("a_hi"),
+      col("lo").as("a_lo"), col("blk"), col("kval"))
+    val b = seg.select(col("doc_id").as("b_id"), col("hi").as("b_hi"),
+      col("lo").as("b_lo"), col("blk"), col("kval"))
+    val hamming = (bit_count(col("a_hi").bitwiseXOR(col("b_hi"))) +
+      bit_count(col("a_lo").bitwiseXOR(col("b_lo")))).cast("long")
+    a.join(b, Seq("blk", "kval"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .select(col("a_id"), col("b_id"), hamming.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   val FrameBytes = 32
   val FrameEvery = 4
 

@@ -16,7 +16,9 @@ object MultimodalQueries {
     "multimodal_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, d)),
     "multimodal_pcm_decode" -> ((s, d) => Multimodal.pcmFeatures(s, d)),
     "multimodal_image_decode" -> ((s, d) => Multimodal.imageFeatures(s, d)),
-    "multimodal_ahash" -> ((s, d) => Multimodal.imageHashes(s, d)))
+    "multimodal_ahash" -> ((s, d) => Multimodal.imageHashes(s, d)),
+    "multimodal_ahash_pairs" -> ((s, d) =>
+      Multimodal.ahashPairs(Multimodal.imageHashes(s, d))))
 
   val oracles: Map[String, String] = Map(
     "multimodal_features" ->
@@ -115,31 +117,68 @@ object MultimodalQueries {
     // ((y·8)//h)·8 + (x·8)//w, integer cell means, global mean of
     // means, bit = mean > gm; w/h < 8 drop (no full cell cover)
     "multimodal_ahash" ->
-      """WITH m AS (
-        |  SELECT doc_id, text, length(text) AS len,
-        |    (length(text) % 64) + 1 AS w, (length(text) % 48) + 1 AS h
-        |  FROM documents
-        |  WHERE length(text) > 0 AND (length(text) % 64) + 1 >= 8
-        |    AND (length(text) % 48) + 1 >= 8),
-        |px AS (
-        |  SELECT doc_id, w, h,
-        |    CAST(unnest(range(0, w * h)) AS BIGINT) AS k,
-        |    unnest(list_transform(range(0, w * h),
-        |      k2 -> ascii(text[(k2 % len) + 1:(k2 % len) + 1]))) AS v
-        |  FROM m),
-        |cells AS (
-        |  SELECT doc_id, w, h,
-        |    ((k // w) * 8 // h) * 8 + ((k % w) * 8 // w) AS cell,
-        |    CAST(SUM(v) // count(*) AS BIGINT) AS mean
-        |  FROM px GROUP BY 1, 2, 3, 4),
-        |g AS (SELECT doc_id, CAST(SUM(mean) // 64 AS BIGINT) AS gm
-        |      FROM cells GROUP BY 1)
-        |SELECT c.doc_id,
-        |  CAST(c.w AS BIGINT) AS img_w, CAST(c.h AS BIGINT) AS img_h,
-        |  string_agg(CASE WHEN c.mean > g.gm THEN '1' ELSE '0' END, ''
-        |    ORDER BY c.cell) AS ahash,
-        |  CAST(SUM(CASE WHEN c.mean > g.gm THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_ones
-        |FROM cells c JOIN g USING (doc_id)
-        |GROUP BY 1, 2, 3""".stripMargin)
+      s"""WITH $AhashCtes
+         |SELECT doc_id,
+         |  CAST(w AS BIGINT) AS img_w, CAST(h AS BIGINT) AS img_h,
+         |  ahash, n_ones
+         |FROM ah""".stripMargin,
+
+    // block pigeonhole + per-position bitstring hamming over the same
+    // ah CTE; DISTINCT collapses multi-block candidate repeats
+    "multimodal_ahash_pairs" -> {
+      val blocks = Multimodal.AhashBlocks
+      s"""WITH $AhashCtes,
+         |seg AS (SELECT doc_id, ahash,
+         |          CAST(unnest(range(0, $blocks)) AS BIGINT) AS blk,
+         |          unnest(list_transform(range(0, $blocks),
+         |            b -> ahash[b * 16 + 1:b * 16 + 16])) AS kval
+         |        FROM ah),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, a.ahash AS a_h,
+         |           b.doc_id AS b_id, b.ahash AS b_h
+         |         FROM seg a JOIN seg b
+         |           ON a.blk = b.blk AND a.kval = b.kval
+         |          AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id,
+         |  CAST(len(list_filter(range(1, 65),
+         |    i -> a_h[CAST(i AS INT):CAST(i AS INT)]
+         |      <> b_h[CAST(i AS INT):CAST(i AS INT)])) AS BIGINT)
+         |    AS hamming
+         |FROM cand
+         |WHERE len(list_filter(range(1, 65),
+         |  i -> a_h[CAST(i AS INT):CAST(i AS INT)]
+         |    <> b_h[CAST(i AS INT):CAST(i AS INT)]))
+         |  <= ${Multimodal.AhashMaxHamming}""".stripMargin
+    })
+
+  /** The pixel→cell-mean→bit chain ending in
+    * `ah(doc_id, w, h, ahash, n_ones)` — shared by the hash oracle and
+    * the pair oracle. */
+  private lazy val AhashCtes: String =
+    """m AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |    (length(text) % 64) + 1 AS w, (length(text) % 48) + 1 AS h
+      |  FROM documents
+      |  WHERE length(text) > 0 AND (length(text) % 64) + 1 >= 8
+      |    AND (length(text) % 48) + 1 >= 8),
+      |px AS (
+      |  SELECT doc_id, w, h,
+      |    CAST(unnest(range(0, w * h)) AS BIGINT) AS k,
+      |    unnest(list_transform(range(0, w * h),
+      |      k2 -> ascii(text[(k2 % len) + 1:(k2 % len) + 1]))) AS v
+      |  FROM m),
+      |cells AS (
+      |  SELECT doc_id, w, h,
+      |    ((k // w) * 8 // h) * 8 + ((k % w) * 8 // w) AS cell,
+      |    CAST(SUM(v) // count(*) AS BIGINT) AS mean
+      |  FROM px GROUP BY 1, 2, 3, 4),
+      |g AS (SELECT doc_id, CAST(SUM(mean) // 64 AS BIGINT) AS gm
+      |      FROM cells GROUP BY 1),
+      |ah AS (
+      |  SELECT c.doc_id, c.w, c.h,
+      |    string_agg(CASE WHEN c.mean > g.gm THEN '1' ELSE '0' END, ''
+      |      ORDER BY c.cell) AS ahash,
+      |    CAST(SUM(CASE WHEN c.mean > g.gm THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_ones
+      |  FROM cells c JOIN g USING (doc_id)
+      |  GROUP BY 1, 2, 3)""".stripMargin
 }

@@ -141,4 +141,25 @@ class MultimodalSpec extends SparkSpec {
     assert(r(2L).n_ones > 0L &&
       r(2L).n_ones == r(2L).ahash.count(_ == '1').toLong)
   }
+
+  test("ahashPairs: pigeonhole finds pairs within the Hamming bound " +
+    "and spread flips fall outside every block") {
+    import spark.implicits._
+    val base = ("01" * 32).toCharArray
+    def flip(pos: Int*) = {
+      val c = base.clone()
+      pos.foreach(p => c(p) = if (c(p) == '0') '1' else '0')
+      new String(c)
+    }
+    val hashes = Seq(
+      (1L, 16L, 16L, new String(base), 32L),
+      (2L, 16L, 16L, flip(50, 51), 32L),         // 2 flips, block 3
+      (3L, 16L, 16L, flip(1, 17, 33, 49), 32L),  // 1 flip per block
+      (4L, 16L, 16L, "1" * 64, 64L))
+      .toDF("doc_id", "img_w", "img_h", "ahash", "n_ones")
+    val p = graft.multimodal.Multimodal.ahashPairs(hashes)
+      .as[(Long, Long, Long)].collect().toSeq
+    graft.core.CacheBay.drain()
+    assert(p == Seq((1L, 2L, 2L)), p.toString)
+  }
 }
