@@ -289,7 +289,10 @@ class PlanAuditSpec extends SparkSpec {
       // DSIR corpus totals, vocab-growth max doc id, seasonal totals
       "basket_rules", "text_surprisal", "text_dsir_weights",
       "text_vocab_growth", "seasonal_index", "qc_benford",
-      "rfm_segments")
+      "rfm_segments",
+      // deliberate calendar-sized cross: |days|·|types| spine rows —
+      // the zero-fill the correlation NEEDS (see typeCorrelationStats)
+      "events_type_correlation")
   // Building these performs driver-side actions (KMeans fit / LBFGS
   // training / count()s) — plan shape is audited by their own specs.
   private val ActionOnBuild =
