@@ -55,6 +55,8 @@ object Bench {
       tier("dedup.clusters")(graft.dedup.Dedup.sharedClusters(spark, sfDir).count())
       tier("graph.copurchase")(
         graft.graph.Triangles.sharedCoPurchaseEdges(spark, sfDir).count())
+      tier("multimodal.imgtable")(
+        graft.multimodal.Multimodal.sharedImageTable(spark, sfDir).count())
     }
     val cacheBuild = (System.nanoTime() - tc) / 1e9
     System.err.println(f"[bench] [cache-build]${""}%15s $cacheBuild%8.2f s")

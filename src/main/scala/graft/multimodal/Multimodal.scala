@@ -218,7 +218,7 @@ object Multimodal {
     * leg of the multimodal path). */
   def imageFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    imageTable(spark, dir)
+    sharedImageTable(spark, dir)
       .mapPartitions(_.grouped(DecodeBatchSize).flatMap(decodeImage))
       .toDF()
   }
@@ -269,10 +269,22 @@ object Multimodal {
       }
     }
 
+  /** Session-cached [[imageTable]]: the PNG encode is the expensive
+    * half of the family (one `ImageIO.write` per doc), and three
+    * registry queries (features, hash, pairs) start from the same
+    * encoded table — the [[graft.dedup.Dedup.sharedShingles]]
+    * family-cache pattern. */
+  def sharedImageTable(spark: SparkSession,
+      dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.core.SessionCache.cached(spark, s"imgtable:$dir")(
+      imageTable(spark, dir).toDF()).as[MediaRecord]
+  }
+
   /** [[ahashImage]] over the session's synthetic PNG table. */
   def imageHashes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    imageTable(spark, dir)
+    sharedImageTable(spark, dir)
       .mapPartitions(_.grouped(DecodeBatchSize).flatMap(ahashImage))
       .toDF()
   }
