@@ -657,6 +657,42 @@ object Analytics {
           .cast("long").as("n_filled"))
   }
 
+  /** Fulfillment-lag SLA threshold (days) for [[supplierLeadTime]]. */
+  val LeadTimeSlaDays = 60L
+
+  /** Supplier lead-time scorecard (the fulfillment-lag KPI the
+    * reference's demand pipeline feeds — which suppliers ship an
+    * order's lines promptly, which breach the SLA): per supplier, line
+    * count, SLA-breach ppm (ship lag > [[LeadTimeSlaDays]] days), and
+    * min/mean/max order→ship day lags. Lags could in principle be
+    * negative (data error: ship before order), so the mean uses the
+    * offset spelling `((Σd + K·n) div n) − K` (K = 10⁶ ≫ any real lag;
+    * Spark div truncates, DuckDB // floors — the shift keeps the
+    * numerator where they agree). One order-keyed equi-join (fact to
+    * fact — at 100 TB both sides bucket on orderkey, the X118 layout)
+    * + one supplier-keyed aggregate. */
+  def supplierLeadTime(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val d = datediff(to_date(col("l_shipdate")),
+      to_date(col("o_orderdate"))).cast("long")
+    lineitem.select(col("l_orderkey"), col("l_suppkey"),
+        col("l_shipdate"))
+      .join(orders.select(col("o_orderkey").as("l_orderkey"),
+        col("o_orderdate")), Seq("l_orderkey"))
+      .select(col("l_suppkey"), d.as("lag_d"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).cast("long").as("n_lines"),
+        sum(when(col("lag_d") > LeadTimeSlaDays, 1L).otherwise(0L))
+          .cast("long").as("n_breach"),
+        min(col("lag_d")).cast("long").as("min_lag_d"),
+        max(col("lag_d")).cast("long").as("max_lag_d"),
+        sum(col("lag_d")).cast("long").as("sum_lag_d"))
+      .select(col("l_suppkey"), col("n_lines"), col("n_breach"),
+        expr("(n_breach * 1000000) div n_lines").as("breach_ppm"),
+        col("min_lag_d"), col("max_lag_d"),
+        expr("((sum_lag_d + 1000000 * n_lines) div n_lines)" +
+          " - 1000000").as("mean_lag_d"))
+  }
+
   /** Cross-series correlation over the zero-filled daily type counts —
     * which event types move TOGETHER day to day (shared upstream
     * driver, mirrored instrumentation) and which are independent. The

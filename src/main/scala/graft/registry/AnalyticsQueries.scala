@@ -29,7 +29,10 @@ object AnalyticsQueries {
     "seasonal_index" -> ((s, d) =>
       Analytics.seasonalIndex(graft.core.Tables(s, d, "orders"))),
     "rfm_segments" -> ((s, d) =>
-      Analytics.rfmSegmentation(graft.core.Tables(s, d, "orders"))))
+      Analytics.rfmSegmentation(graft.core.Tables(s, d, "orders"))),
+    "supplier_lead_time" -> ((s, d) =>
+      Analytics.supplierLeadTime(graft.core.Tables(s, d, "orders"),
+        graft.core.Tables(s, d, "lineitem"))))
 
   private val segs = Analytics.Segments
 
@@ -293,6 +296,30 @@ object AnalyticsQueries {
         |  CAST((m.cents * 12000000) // t.tc AS BIGINT)
         |    AS revenue_idx_e6
         |FROM m CROSS JOIN t""".stripMargin,
+
+    // same day-lag arithmetic and offset-div mean; SLA ppm integer
+    "supplier_lead_time" -> {
+      val sla = Analytics.LeadTimeSlaDays
+      s"""WITH j AS (
+         |  SELECT l_suppkey,
+         |    CAST(date_diff('day', CAST(o_orderdate AS DATE),
+         |      CAST(l_shipdate AS DATE)) AS BIGINT) AS lag_d
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |a AS (SELECT l_suppkey,
+         |        CAST(count(*) AS BIGINT) AS n_lines,
+         |        CAST(SUM(CASE WHEN lag_d > $sla THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS n_breach,
+         |        CAST(min(lag_d) AS BIGINT) AS min_lag_d,
+         |        CAST(max(lag_d) AS BIGINT) AS max_lag_d,
+         |        CAST(SUM(lag_d) AS BIGINT) AS sum_lag_d
+         |      FROM j GROUP BY 1)
+         |SELECT l_suppkey, n_lines, n_breach,
+         |  CAST((n_breach * 1000000) // n_lines AS BIGINT) AS breach_ppm,
+         |  min_lag_d, max_lag_d,
+         |  CAST(((sum_lag_d + 1000000 * n_lines) // n_lines) - 1000000
+         |    AS BIGINT) AS mean_lag_d
+         |FROM a""".stripMargin
+    },
 
     // exact global quintiles via the same rank→tile formula (the
     // engine's no-sort decomposition and a plain global row_number

@@ -352,6 +352,21 @@ class AnalyticsSpec extends SparkSpec {
       (1L, 0L, 1L, 3L)), r.toString)
   }
 
+  test("supplierLeadTime: day lags, SLA breach ppm, offset-div mean") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val o = Seq((100L, t("2020-01-01")), (200L, t("2020-01-01")))
+      .toDF("o_orderkey", "o_orderdate")
+    val li = Seq((100L, 1L, t("2020-01-11")), (200L, 1L, t("2020-03-11")),
+      (100L, 2L, t("2020-01-06")))
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val r = Analytics.supplierLeadTime(o, li)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> (x._2, x._3, x._4, x._5, x._6, x._7)).toMap
+    graft.core.CacheBay.drain()
+    assert(r(1L) == ((2L, 1L, 500000L, 10L, 70L, 40L)))
+    assert(r(2L) == ((1L, 0L, 0L, 5L, 5L, 5L)))
+  }
+
   test("typeCorrelationStats: zero-filled spine, exact moments, " +
     "r2 = 1e6 for a perfectly linear pair and 0 for a flat cov") {
     def t(s: String) = java.sql.Timestamp.valueOf(s + " 01:00:00")
