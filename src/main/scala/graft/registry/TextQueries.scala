@@ -70,6 +70,8 @@ object TextQueries {
       graft.text.CorpusStats.dsirWeights(docs(s, d))),
     "text_source_overlap" -> ((s, d) =>
       graft.text.CorpusStats.sourceOverlap(docs(s, d))),
+    "text_ppl_buckets" -> ((s, d) =>
+      graft.text.CorpusStats.perplexityBuckets(docs(s, d))),
     "text_token_rarity" ->((s, d) =>
       graft.text.CorpusStats.tokenRarity(Tables(s, d, "documents"))),
 
@@ -326,6 +328,31 @@ object TextQueries {
          |  CAST(COALESCE((a.sum_tf * 1000000) // a.n_tokens, 0) AS BIGINT)
          |    AS mean_corpus_tf_e6
          |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
+
+    // the text_surprisal chain + per-lang tercile of bits-per-token
+    "text_ppl_buckets" ->
+      s"""WITH $TokCte,
+         |ex AS (SELECT doc_id, unnest(w) AS tok FROM tw),
+         |v AS (SELECT tok, CAST(count(*) AS BIGINT) AS ctf
+         |      FROM ex GROUP BY 1),
+         |t AS (SELECT CAST(SUM(ctf) AS BIGINT) AS n_total FROM v),
+         |a AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |        CAST(SUM(length(format('{:b}', t.n_total // v.ctf)))
+         |          AS BIGINT) AS total_bits
+         |      FROM ex e JOIN v USING (tok) CROSS JOIN t GROUP BY 1),
+         |s AS (SELECT d.doc_id, d.lang,
+         |        CAST(COALESCE((a.total_bits * 1000000) // a.n_tokens,
+         |          0) AS BIGINT) AS bits_per_token_e6
+         |      FROM documents d LEFT JOIN a USING (doc_id)),
+         |r AS (SELECT doc_id, lang, bits_per_token_e6,
+         |        CAST(row_number() OVER (PARTITION BY lang
+         |          ORDER BY bits_per_token_e6, doc_id) AS BIGINT) AS rk,
+         |        CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+         |      FROM s)
+         |SELECT doc_id, lang, bits_per_token_e6,
+         |  CASE ((rk - 1) * 3) // n WHEN 0 THEN 'head'
+         |       WHEN 1 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+         |FROM r""".stripMargin,
 
     // top-K token sets per source ((n desc, tok asc) rank), pairwise
     // shared-token Jaccard in ppm over the K-sized sets only

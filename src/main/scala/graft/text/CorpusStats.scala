@@ -640,6 +640,33 @@ object CorpusStats {
           " div n_tokens - 64000000"), lit(0L)).as("dsir_per_tok_e6"))
   }
 
+  /** CCNet-style perplexity-bucket assignment (Wenzek et al.: split
+    * each language into head/middle/tail THIRDS by LM perplexity and
+    * mix from the head first — THE published recipe this family's
+    * X110 surprisal score exists to feed): per language, exact
+    * tercile of [[surprisalScores]]' bits-per-token — head = lowest
+    * bits (most fluent), tail = highest. Tercile = `((rk−1)·3) div n`
+    * over the (bits, doc_id) order — one window per the BOUNDED
+    * language key (the balancedSample class of per-group sort; a
+    * dominant language composes the X28 offset decomposition if its
+    * group outgrows a task). */
+  def perplexityBuckets(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = surprisalScores(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val byLang = Window.partitionBy(col("lang"))
+    val w = byLang.orderBy(col("bits_per_token_e6"), col("doc_id"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(byLang).cast("long"))
+      .select(col("doc_id"), col("lang"), col("bits_per_token_e6"),
+        expr("((rk - 1) * 3) div n").as("tercile"))
+      .select(col("doc_id"), col("lang"), col("bits_per_token_e6"),
+        when(col("tercile") === 0, "head")
+          .when(col("tercile") === 1, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
   /** Top-token set size per source for [[sourceOverlap]]. */
   val OverlapK = 50
 

@@ -300,6 +300,25 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r(2L) == ((3L, 6L, 8L, -2L, -666667L)))  // floor(-2/3·1e6)
   }
 
+  test("perplexityBuckets: per-lang terciles over bits-per-token, " +
+    "head = most fluent") {
+    // en corpus: 'the'×many dominates; rare-token docs read as tail
+    val docs = Seq(
+      (1L, "the the the the", "en"), (2L, "the the data here", "en"),
+      (3L, "zq xv wk jj", "en"),
+      (4L, "aa bb", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val r = CorpusStats.perplexityBuckets(docs)
+      .as[(Long, String, Long, String)].collect()
+      .map(x => x._1 -> (x._3, x._4)).toMap
+    graft.core.CacheBay.drain()
+    // exact tercile boundaries for n=3: ranks 1,2,3 → head/middle/tail
+    assert(r(1L)._2 == "head" && r(3L)._2 == "tail")
+    assert(r(2L)._2 == "middle")
+    assert(r(4L)._2 == "head") // singleton language: rank 1 of 1
+    assert(r(1L)._1 < r(2L)._1 && r(2L)._1 < r(3L)._1)
+  }
+
   test("sourceOverlap: top-set Jaccard per source pair; disjoint " +
     "sources produce no row") {
     val docs = Seq((1L, "a b c", "A"), (2L, "a b d", "B"),
