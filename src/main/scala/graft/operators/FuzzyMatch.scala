@@ -63,9 +63,14 @@ object FuzzyMatch {
         s"$MaxBlock distinct names ? use a more selective blocking " +
         "key')))"))
       .select(col("nm"), col("blk"))
+    // |len(a)−len(b)| ≤ k is the classic edit-distance lower bound:
+    // the cheap length gate runs BEFORE the O(len²) levenshtein, so
+    // hopeless candidates never reach it — result-identical because
+    // lev(a,b) ≥ |len(a)−len(b)| always
     val pairs = guarded
       .join(guarded.select(col("nm").as("cand"), col("blk")), Seq("blk"))
       .filter(col("nm") =!= col("cand") &&
+        abs(length(col("nm")) - length(col("cand"))) <= maxLev &&
         levenshtein(col("nm"), col("cand")) <= maxLev)
     val rep = pairs.groupBy(col("nm"))
       .agg(least(col("nm"), min(col("cand"))).as("rep"))
