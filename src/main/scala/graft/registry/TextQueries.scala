@@ -72,6 +72,8 @@ object TextQueries {
       graft.text.CorpusStats.sourceOverlap(docs(s, d))),
     "text_ppl_buckets" -> ((s, d) =>
       graft.text.CorpusStats.perplexityBuckets(docs(s, d))),
+    "text_vocab_drift" -> ((s, d) =>
+      graft.text.CorpusStats.vocabDrift(docs(s, d))),
     "text_token_rarity" ->((s, d) =>
       graft.text.CorpusStats.tokenRarity(Tables(s, d, "documents"))),
 
@@ -328,6 +330,32 @@ object TextQueries {
          |  CAST(COALESCE((a.sum_tf * 1000000) // a.n_tokens, 0) AS BIGINT)
          |    AS mean_corpus_tf_e6
          |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
+
+    // doc-parity halves, full-outer token join, cross-multiplied
+    // exact-integer TV contributions, (contrib desc, tok asc) top-K
+    "text_vocab_drift" -> {
+      val k = graft.text.CorpusStats.DriftK
+      s"""WITH $TokCte,
+         |ex AS (SELECT doc_id, unnest(w) AS tok FROM tw),
+         |s0 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c0
+         |       FROM ex WHERE doc_id % 2 = 0 GROUP BY 1),
+         |s1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1
+         |       FROM ex WHERE doc_id % 2 = 1 GROUP BY 1),
+         |j AS (SELECT COALESCE(s0.tok, s1.tok) AS tok,
+         |        COALESCE(c0, 0) AS c0, COALESCE(c1, 0) AS c1
+         |      FROM s0 FULL OUTER JOIN s1 ON s0.tok = s1.tok),
+         |t AS (SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+         |             CAST(SUM(c1) AS BIGINT) AS n1
+         |      FROM j),
+         |r AS (SELECT j.tok, j.c0, j.c1,
+         |        abs(j.c0 * t.n1 - j.c1 * t.n0) AS contrib
+         |      FROM j CROSS JOIN t),
+         |rk AS (SELECT tok, c0, c1, CAST(contrib AS BIGINT) AS contrib,
+         |         CAST(row_number() OVER (
+         |           ORDER BY contrib DESC, tok ASC) AS BIGINT) AS rk
+         |       FROM r)
+         |SELECT rk, tok, c0, c1, contrib FROM rk WHERE rk <= $k""".stripMargin
+    },
 
     // the text_surprisal chain + per-lang tercile of bits-per-token
     "text_ppl_buckets" ->

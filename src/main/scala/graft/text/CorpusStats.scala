@@ -667,6 +667,51 @@ object CorpusStats {
           .otherwise("tail").as("ppl_bucket"))
   }
 
+  /** Top-contributor count for [[vocabDrift]]. */
+  val DriftK = 20
+
+  /** Vocabulary drift attribution between two corpus slices (here the
+    * doc_id-parity halves, standing in for yesterday's snapshot vs
+    * today's): WHICH tokens drive the distribution shift, ranked by
+    * their total-variation contribution `|c₁·N₂ − c₂·N₁|` — the
+    * cross-multiplied spelling that stays EXACT integer where the
+    * naive `|c₁/N₁ − c₂/N₂|` would be float (per-term bound
+    * c·N ≲ 10¹⁰ at sf0.1; the house assert guards the Long range).
+    * Per-term share `tv_ppm = (contrib·10⁶) div (2·N₁·N₂ div 10⁶
+    * …)` is deliberately NOT emitted — the exact contribution and
+    * both marginals are, so any downstream normalization stays a
+    * consumer choice and the row set hash-matches trivially. The
+    * standard drift monitor between ingestion batches: a token
+    * surging from nothing (c₁=0) or collapsing (c₂=0) tops the list.
+    * Vocabulary-sized work throughout: one exploded count per slice,
+    * a full-outer token join, a top-K by the (contrib desc, token
+    * asc) total order. */
+  def vocabDrift(docs: DataFrame, k: Int = DriftK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = graft.core.CacheBay.register(
+      docs.select(col("doc_id"), explode(tokenArray(col("text"))).as("tok")))
+    def side(p: Int) = ex.filter(col("doc_id") % 2 === p)
+      .groupBy(col("tok")).agg(count(lit(1)).cast("long").as(s"c$p"))
+    val joined = graft.core.CacheBay.register(
+      side(0).join(side(1), Seq("tok"), "full_outer")
+        .select(col("tok"), coalesce(col("c0"), lit(0L)).as("c0"),
+          coalesce(col("c1"), lit(0L)).as("c1")))
+    val totals = joined.agg(sum(col("c0")).cast("long").as("n0"),
+      sum(col("c1")).cast("long").as("n1"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("tok"), col("c0"), col("c1"),
+        expr("coalesce(cast(assert_true(" +
+          "c0 <= 9223372036854775807 div greatest(n1, 1) and " +
+          "c1 <= 9223372036854775807 div greatest(n0, 1)," +
+          " 'vocab drift contribution exceeds the Long-exact range: " +
+          "move to decimal(38)') as bigint), 0)" +
+          " + abs(c0 * n1 - c1 * n0)").as("contrib"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("contrib").desc, col("tok").asc)).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("rk"), col("tok"), col("c0"), col("c1"), col("contrib"))
+  }
+
   /** Top-token set size per source for [[sourceOverlap]]. */
   val OverlapK = 50
 

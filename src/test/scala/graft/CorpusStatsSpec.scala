@@ -300,6 +300,20 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r(2L) == ((3L, 6L, 8L, -2L, -666667L)))  // floor(-2/3·1e6)
   }
 
+  test("vocabDrift: exact cross-multiplied TV contributions, " +
+    "surging/collapsing tokens rank first") {
+    // even half: a:3 b:1 c:1 (N0=5); odd half: a:1 b:2 (N1=3)
+    // contrib: a=|9-5|=4, b=|3-10|=7, c=|3-0|=3
+    val docs = Seq((0L, "a a b"), (2L, "a c"), (1L, "a b b"))
+      .toDF("doc_id", "text")
+    val r = CorpusStats.vocabDrift(docs)
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    graft.core.CacheBay.drain()
+    assert(r.map(x => (x._1, x._2, x._5)).toSeq ==
+      Seq((1L, "b", 7L), (2L, "a", 4L), (3L, "c", 3L)), r.toSeq.toString)
+    assert(r.find(_._2 == "c").get._4 == 0L) // collapsed in odd half
+  }
+
   test("perplexityBuckets: per-lang terciles over bits-per-token, " +
     "head = most fluent") {
     // en corpus: 'the'×many dominates; rare-token docs read as tail
