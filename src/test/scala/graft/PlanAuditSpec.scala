@@ -292,7 +292,9 @@ class PlanAuditSpec extends SparkSpec {
       "rfm_segments",
       // deliberate calendar-sized cross: |days|·|types| spine rows —
       // the zero-fill the correlation NEEDS (see typeCorrelationStats)
-      "events_type_correlation")
+      "events_type_correlation",
+      // 1-row corpus-totals broadcasts (surprisal chain / drift N0·N1)
+      "text_ppl_buckets", "text_vocab_drift")
   // Building these performs driver-side actions (KMeans fit / LBFGS
   // training / count()s) — plan shape is audited by their own specs.
   private val ActionOnBuild =
