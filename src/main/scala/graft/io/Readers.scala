@@ -171,4 +171,35 @@ object Readers {
     if (dated.nonEmpty) Some(dated.maxBy(_._1)._2)
     else files.sortBy(_.lastModified()).lastOption
   }
+
+  /** JSONL ingest with corrupt-record QUARANTINE — the production
+    * contract for the web-scale document feeds the pipeline surface
+    * consumes (a 100 TB crawl delivery always contains malformed
+    * lines; FAILFAST aborts the job, bare PERMISSIVE silently nulls
+    * fields — quarantine keeps the batch AND the evidence): explicit
+    * schema (never inference — a schema-inference pass is a second
+    * full scan AND drifts with the data), PERMISSIVE parse with the
+    * corrupt line captured, split into (clean rows, quarantined raw
+    * lines). Returns the pair; the caller lands the quarantine
+    * side-channel next to the batch (the J7 NotMapped discipline
+    * applied at ingest). Spark requires the corrupt-record column in
+    * the read schema and caches the parse (documented Spark
+    * semantics: the corrupt column is only populated reliably when
+    * the parsed frame is materialized once). */
+  def jsonlWithQuarantine(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType)
+      : (DataFrame, DataFrame) = {
+    val corrupt = "_corrupt_record"
+    val full = schema.add(corrupt, org.apache.spark.sql.types.StringType)
+    val parsed = graft.core.CacheBay.register(
+      spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+        .json(path))
+    val clean = parsed.filter(col(corrupt).isNull)
+      .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    val quarantined = parsed.filter(col(corrupt).isNotNull)
+      .select(col(corrupt).as("raw_line"))
+    (clean, quarantined)
+  }
 }

@@ -170,4 +170,28 @@ class ReadersSpec extends SparkSpec {
       graft.io.Readers.evolveUnion(Seq(gen1, bad))
     }
   }
+
+  test("jsonlWithQuarantine: clean rows parse, malformed lines land " +
+    "in the quarantine verbatim, nothing is silently dropped") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_jsonl_").toFile
+    val f = new java.io.File(dir, "batch.jsonl")
+    val lines = Seq(
+      """{"doc_id": 1, "text": "hello"}""",
+      """{"doc_id": 2 "text": "missing comma"}""",   // malformed
+      """{"doc_id": 3, "text": "ok"}""",
+      """not json at all""")
+    Files.write(f.toPath,
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val (clean, quarantined) =
+      Readers.jsonlWithQuarantine(spark, f.getAbsolutePath, schema)
+    val good = clean.as[(Long, String)].collect().sortBy(_._1)
+    val badLines = quarantined.as[String].collect().toSet
+    graft.core.CacheBay.drain()
+    assert(good.toSeq == Seq(1L -> "hello", 3L -> "ok"))
+    assert(badLines == Set(lines(1), lines(3)))
+    assert(good.length + badLines.size == lines.length)
+  }
 }
