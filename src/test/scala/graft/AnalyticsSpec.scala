@@ -300,6 +300,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(r(4L) == ((-1L, -1L, -1L, 0L)))
   }
 
+  test("property: CUSUM closed form equals the sequential recurrence " +
+    "S_t = max(0, S_t-1 + dev) on random daily series") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    (1L to 6L).foreach { seed =>
+      val counts = sample(Gen.listOfN(12, Gen.chooseNum(0, 9)), seed)
+        .map(_ + 1) // ≥1 event per day so every day exists
+      val ev = counts.zipWithIndex.flatMap { case (c, day) =>
+        Seq.fill(c)(("t", java.sql.Timestamp.valueOf(
+          f"2024-02-${day + 1}%02d 12:00:00")))
+      }.zipWithIndex.map { case ((ty, ts), i) => (i.toLong, ty, ts) }
+        .toDF("event_id", "event_type", "ts")
+      val got = Analytics.cusumScores(ev).orderBy("day")
+        .select("n", "cusum")
+        .as[(Long, Long)].collect().toSeq
+      graft.core.CacheBay.drain()
+      // sequential model with the same integer allowance
+      val k = counts.map(_.toLong).sum / counts.length
+      val want = counts.map(_.toLong)
+        .scanLeft(0L)((s, x) => math.max(0L, s + (x - k))).drop(1)
+      assert(got.map(_._1) == counts.map(_.toLong), s"seed=$seed")
+      assert(got.map(_._2) == want, s"seed=$seed k=$k counts=$counts")
+    }
+  }
+
   test("cusumScores: closed form matches the hand-run recurrence; " +
     "sustained shift accumulates to the alarm") {
     // counts 1,1,1,1,21 → k=5; dev −4×4, 16; S = 0,0,0,0,16;
