@@ -37,6 +37,34 @@ class KCoreSpec extends SparkSpec {
     assert(r == 0L)
   }
 
+  test("property: distributed peeling equals a scalar set model on " +
+    "random graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val edgeGen = for {
+      a <- Gen.chooseNum(1L, 12L); b <- Gen.chooseNum(1L, 12L) if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    (1L to 6L).foreach { seed =>
+      val edges = sample(Gen.listOfN(25, edgeGen), seed).distinct
+      // scalar model: same fixed-round synchronous peel at k=2
+      def degrees(s: Set[Long]): Map[Long, Int] =
+        edges.filter(e => s(e._1) && s(e._2))
+          .flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (n, xs) => n -> xs.size }
+      var surv: Set[Long] = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      (1 to 4).foreach { _ =>
+        surv = degrees(surv).filter(_._2 >= 2).keySet
+      }
+      val want = degrees(surv).map { case (n, d) => n -> d.toLong }
+      val got = KCore.kCore(edges.toDF("a", "b"), k = 2, rounds = 4)
+        .as[(Long, Long)].collect().toMap
+      graft.core.CacheBay.drain()
+      assert(got == want, s"seed=$seed edges=$edges")
+    }
+  }
+
   test("fixture converges within PeelRounds: rounds R and R+1 agree, " +
     "and every reported core_deg is >= K") {
     val edges = Triangles.coPurchaseEdges(
