@@ -79,13 +79,15 @@ object Similarity {
     }: _*)
   }
 
-  /** Corpus/query frames with the norm computed once per vector. The
-    * repartition spreads the pair loops across cores — the small-SF
-    * parquet arrives as one partition, which would pin the whole
-    * cosine join to a single task. */
+  /** Corpus/query frames with the norm computed once per vector.
+    * [[graft.core.Spread]] repairs local parallelism only when the scan
+    * is materially under-split (the small-SF parquet arrives as ONE
+    * partition, which would pin the whole cosine join to a single
+    * task); on an already-split cluster table it is the identity and
+    * no Exchange enters the plan. */
   private def withNorm(emb: DataFrame, idAs: String, embAs: String,
       normAs: String): DataFrame =
-    emb.repartition(col("vec_id"))
+    graft.core.Spread(emb)
       .select(col("vec_id").as(idAs),
         asDouble(col("embedding")).as(embAs),
         l2Norm(asDouble(col("embedding"))).as(normAs))
@@ -118,7 +120,7 @@ object Similarity {
       nBits: Int = NumHyperplanes): DataFrame = {
     // both join sides read this lineage — persist via CacheBay
     val bucketed = graft.core.CacheBay.register(
-      emb.repartition(col("vec_id"))
+      graft.core.Spread(emb)
         .select(col("vec_id"),
           asDouble(col("embedding")).as("v"),
           l2Norm(asDouble(col("embedding"))).as("nrm"),
@@ -152,7 +154,7 @@ object Similarity {
   def nearestNeighbor(emb: DataFrame,
       nBits: Int = NumHyperplanes): DataFrame = {
     val bucketed = graft.core.CacheBay.register(
-      emb.repartition(col("vec_id"))
+      graft.core.Spread(emb)
         .select(col("vec_id"),
           asDouble(col("embedding")).as("v"),
           l2Norm(asDouble(col("embedding"))).as("nrm"),
@@ -197,7 +199,7 @@ object Similarity {
   def hardNegatives(emb: DataFrame, queryMod: Int = QueryMod,
       nBits: Int = NumHyperplanes): DataFrame = {
     val bucketed = graft.core.CacheBay.register(
-      emb.repartition(col("vec_id"))
+      graft.core.Spread(emb)
         .select(col("vec_id"), col("label").cast("long").as("label"),
           asDouble(col("embedding")).as("v"),
           l2Norm(asDouble(col("embedding"))).as("nrm"),
@@ -272,7 +274,7 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val feat = graft.core.CacheBay.register(
-      emb.repartition(col("vec_id"))
+      graft.core.Spread(emb)
         .select(col("vec_id"),
           asDouble(col("embedding")).as("v"),
           l2Norm(asDouble(col("embedding"))).as("nrm"),
@@ -386,7 +388,7 @@ object Similarity {
   def ivfRecallAudit(emb: DataFrame, k: Int = TopK, queryMod: Int = QueryMod,
       nCells: Int = 16, nProbe: Int = 2): DataFrame = {
     val feat = graft.core.CacheBay.register(
-      emb.repartition(col("vec_id"))
+      graft.core.Spread(emb)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"),
           l2Norm(asDouble(col("embedding"))).as("nrm")))
     val ivf = ivfTopKFromCenters(feat, seedCenters(emb, nCells), k,
@@ -433,11 +435,11 @@ object Similarity {
     * component is one codegen'd dot product against a literal array;
     * output quantized to integer micro-units via the cross-engine-exact
     * `floor(x·10⁶ + 0.5)` spelling. Pure map work — shuffle-free on a
-    * multi-split table (the repartition only spreads the single-file
-    * small-SF input, same note as [[withNorm]]). */
+    * multi-split table ([[graft.core.Spread]] only spreads the
+    * single-file small-SF input, same note as [[withNorm]]). */
   def randomProjection(emb: DataFrame, kDims: Int = 8,
       dim: Int = Dim): DataFrame =
-    emb.repartition(col("vec_id"))
+    graft.core.Spread(emb)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .select(col("vec_id") +: (0 until kDims).map { j =>
         val hp = array((1 to dim).map(d => lit(hyperplaneCoef(j, d))): _*)
@@ -453,12 +455,12 @@ object Similarity {
     * Spark disagree on round-half semantics but floor is IEEE-exact in
     * both; deterministic cross-engine beats round-half-even purism
     * here. Emits the reconstruction max-error per vector as the audit
-    * column. Per-row map work; the leading repartition exists only to
-    * spread the single-file small-SF input across cores (same note as
-    * [[withNorm]]) — on a multi-split cluster table it would be
-    * dropped and the operator is shuffle-free. */
+    * column. Per-row map work; the leading [[graft.core.Spread]] only
+    * spreads the single-file small-SF input across cores (same note as
+    * [[withNorm]]) — on a multi-split cluster table it is the identity
+    * and the operator is shuffle-free. */
   def quantizeInt8(emb: DataFrame): DataFrame =
-    emb.repartition(col("vec_id"))
+    graft.core.Spread(emb)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
       .withColumn("scale",
@@ -487,7 +489,7 @@ object Similarity {
     * integer `div`, whose negative-operand semantics differ between
     * Spark (truncate) and DuckDB (floor). */
   def labelCentroids(emb: DataFrame): DataFrame =
-    emb.repartition(col("vec_id"))
+    graft.core.Spread(emb)
       .select(col("label").cast("long").as("label"),
         posexplode(asDouble(col("embedding"))))
       .select(col("label"), col("pos").cast("long").as("dim"),
@@ -514,7 +516,7 @@ object Similarity {
   def centroidOutliers(emb: DataFrame): DataFrame = {
     val cent = labelCentroids(emb)
       .select(col("label"), col("dim"), col("centroid_e6"))
-    val q = emb.repartition(col("vec_id"))
+    val q = graft.core.Spread(emb)
       .select(col("vec_id"), col("label").cast("long").as("label"),
         posexplode(asDouble(col("embedding"))))
       .select(col("vec_id"), col("label"),
@@ -556,7 +558,7 @@ object Similarity {
   def semanticDedup(emb: DataFrame, nBits: Int = NumHyperplanes,
       minCosE6: Long = SemDupMinCosE6): DataFrame = {
     val coded = graft.core.CacheBay.register(
-      emb.repartition(col("vec_id"))
+      graft.core.Spread(emb)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
         .withColumn("bucket", lshBucket(col("v"), nBits)))
     val keepers = coded.groupBy(col("bucket"))

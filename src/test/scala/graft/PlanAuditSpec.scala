@@ -267,6 +267,35 @@ class PlanAuditSpec extends SparkSpec {
       s"local repair: ${spread.rdd.getNumPartitions}")
   }
 
+  test("Spread: an already-split embedding source gains NO exchange " +
+    "through the similarity scan-prep paths (VERDICT r7 #1)") {
+    import org.apache.spark.sql.functions._
+    // 4 scan partitions on local[4] = cluster-scale shape: the former
+    // unconditional repartition(vec_id) shipped the whole corpus
+    // through a hash exchange; after the Spread conversion the
+    // map-only similarity operators must plan with no Exchange at all
+    val emb = spark.range(0, 64, 1, 4)
+      .select(col("id").as("vec_id"), (col("id") % 4).as("label"),
+        transform(sequence(lit(1), lit(graft.similarity.Similarity.Dim)),
+          d => ((col("id") + d) % 7).cast("float")).as("embedding"))
+    val rp = plan(graft.similarity.Similarity.randomProjection(emb))
+    assert(!rp.contains("Exchange"),
+      s"randomProjection gained an exchange:\n$rp")
+    val qi = plan(graft.similarity.Similarity.quantizeInt8(emb))
+    assert(!qi.contains("Exchange"),
+      s"quantizeInt8 gained an exchange:\n$qi")
+    // bucket-join legs: the bucketed scan-prep select (the input every
+    // sim_* join consumes) must itself be exchange-free — joins then
+    // shuffle on their bucket keys only, downstream of this frame
+    val prep = plan(graft.core.Spread(emb.toDF())
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"),
+        graft.similarity.Similarity.lshBucket(col("embedding"))
+          .as("bucket")))
+    assert(!prep.contains("Exchange"),
+      s"bucketed scan-prep gained an exchange:\n$prep")
+  }
+
   // Plans that legitimately nested-loop over a BOUNDED broadcast side:
   // J8's distinct-region backfill (reference semantics), BM25's 1-row
   // corpus-stats frame, the brute-force ANN baseline whose whole point
