@@ -365,9 +365,55 @@ object StreamQueries {
     // SQL-expressible; covered by StreamingTrainerSpec's MemoryStream
     // convergence test and the driver's rows-only check)
     "ml_stream_train" -> ((s, d) =>
-      graft.streaming.StreamingTrainer.trainOnEvents(s, d)))
+      graft.streaming.StreamingTrainer.trainOnEvents(s, d)),
+
+    // the evaluator half of the streaming trainer under FIXED snapshot
+    // weights — fully SQL-replayable (softsign + Brier: exact rational
+    // arithmetic, no transcendentals), so the scoring pipeline gets a
+    // real oracle while the LBFGS fit keeps its convergence spec
+    "ml_stream_eval" -> ((s, d) =>
+      graft.streaming.StreamingTrainer.evalFixedWeights(
+        graft.core.Tables(s, d, "events"))))
 
   val oracles: Map[String, String] = Map(
+    // every decimal constant CAST AS DOUBLE (DuckDB DECIMAL folding
+    // would otherwise infect the arithmetic); per-row Brier quantized
+    // to integer e9 units before the sum, so order never matters
+    "ml_stream_eval" ->
+      """WITH f AS (
+        |  SELECT event_id // 2000 AS batch_id,
+        |         value AS f0,
+        |         CAST(user_id % 97 AS DOUBLE) AS f1
+        |  FROM events),
+        |s AS (
+        |  SELECT batch_id,
+        |         CASE WHEN f0 * 3 - f1 > CAST(0 AS DOUBLE)
+        |              THEN 1 ELSE 0 END AS label,
+        |         CAST(2.5 AS DOUBLE) * f0 + CAST(-1.0 AS DOUBLE) * f1
+        |           + CAST(0.25 AS DOUBLE) AS m
+        |  FROM f),
+        |p AS (
+        |  SELECT batch_id, label, m,
+        |         CAST(0.5 AS DOUBLE) + m / (CAST(2.0 AS DOUBLE)
+        |           * (CAST(1.0 AS DOUBLE) + abs(m))) AS prob
+        |  FROM s),
+        |r AS (
+        |  SELECT batch_id,
+        |         CASE WHEN (m > 0) = (label = 1) THEN 1 ELSE 0 END
+        |           AS correct,
+        |         CAST(floor((prob - label) * (prob - label)
+        |           * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |           AS BIGINT) AS brier_e9
+        |  FROM p)
+        |SELECT batch_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(correct) AS BIGINT) AS n_correct,
+        |       (CAST(SUM(correct) AS BIGINT) * 1000000)
+        |         // CAST(COUNT(*) AS BIGINT) AS accuracy_ppm,
+        |       CAST(SUM(brier_e9) AS BIGINT)
+        |         // CAST(COUNT(*) AS BIGINT) AS mean_brier_e9
+        |FROM r GROUP BY 1""".stripMargin,
+
     "stream_payload_roundtrip" ->
       """SELECT event_id % 100 AS row_index, value AS feature0,
         |       CAST(user_id AS DOUBLE) AS feature1,

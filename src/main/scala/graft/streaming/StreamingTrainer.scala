@@ -239,4 +239,56 @@ object StreamingTrainer {
     }
     metrics.toSeq.toDF("batch_id", "log_loss", "accuracy")
   }
+
+  /** Fixed snapshot weights for [[evalFixedWeights]] — a deliberately
+    * imperfect mid-training model (the planted rule is (3, −1, 0)), so
+    * accuracy sits strictly inside (0, 1) and per-batch variation is
+    * visible. */
+  val EvalW0 = 2.5
+  val EvalW1 = -1.0
+  val EvalB = 0.25
+
+  /** The scored-EVALUATION half of the streaming trainer under a FIXED
+    * weight vector — the [[graft.similarity.Similarity.ivfRecallAudit]]
+    * device (VERDICT r7 #2): [[trainOnEvents]]' LBFGS fit is not
+    * SQL-expressible, but scoring a frozen model over the same feed is
+    * pure column arithmetic, so THIS query puts the whole evaluation
+    * pipeline (featurization, batching, margin, calibration, scoring)
+    * under a full DuckDB oracle; the fit keeps its convergence spec.
+    *
+    * Per producer micro-batch: row count, correct-prediction count,
+    * accuracy in ppm, and mean Brier score in e9 units. Calibration is
+    * the softsign squash p = 1/2 + m/(2(1+|m|)) and the score is Brier
+    * (p − label)² rather than sigmoid/log-loss — a DELIBERATE swap:
+    * Brier is a proper scoring rule too, and softsign+Brier need only
+    * +,−,×,÷,|·| (each IEEE-correctly-rounded, so bit-identical in
+    * Spark and DuckDB), where exp/ln are transcendentals whose last
+    * ulp differs between libm implementations and would poison a
+    * cross-engine hash match. Per-row scores quantize to integers
+    * BEFORE the sum (`floor(x·10⁹ + 0.5)`, the house spelling), so
+    * accumulation order cannot change the aggregate.
+    *
+    * Shape: one scan, per-row map work, one aggregate keyed by the
+    * derived batch id — map-side combinable, one shuffle on a bounded
+    * key domain, linear at any feed size. */
+  def evalFixedWeights(events: DataFrame,
+      batchSize: Int = 2000): DataFrame = {
+    val f0 = col("value")
+    val f1 = (col("user_id") % 97).cast("double")
+    val label = when(f0 * 3 - f1 > lit(0.0), 1L).otherwise(0L)
+    val m = lit(EvalW0) * f0 + lit(EvalW1) * f1 + lit(EvalB)
+    val p = lit(0.5) + m / (lit(2.0) * (lit(1.0) + abs(m)))
+    val scored = events.select(
+      expr(s"event_id div $batchSize").as("batch_id"),
+      when((m > 0) === (label === 1L), 1L).otherwise(0L).as("correct"),
+      floor((p - label.cast("double")) * (p - label.cast("double"))
+        * 1e9 + 0.5).cast("long").as("brier_e9"))
+    scored.groupBy(col("batch_id"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("correct")).cast("long").as("n_correct"),
+        sum(col("brier_e9")).cast("long").as("sum_brier_e9"))
+      .select(col("batch_id"), col("n"), col("n_correct"),
+        expr("(n_correct * 1000000) div n").as("accuracy_ppm"),
+        expr("sum_brier_e9 div n").as("mean_brier_e9"))
+  }
 }
