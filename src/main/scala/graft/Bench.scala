@@ -55,6 +55,8 @@ object Bench {
       tier("dedup.clusters")(graft.dedup.Dedup.sharedClusters(spark, sfDir).count())
       tier("graph.copurchase")(
         graft.graph.Triangles.sharedCoPurchaseEdges(spark, sfDir).count())
+      tier("graph.und")(
+        graft.graph.Triangles.sharedUndirectedEdges(spark, sfDir).count())
       tier("multimodal.imgtable")(
         graft.multimodal.Multimodal.sharedImageTable(spark, sfDir).count())
     }

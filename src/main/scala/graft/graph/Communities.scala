@@ -36,10 +36,16 @@ object Communities {
   /** (part, community, csize) after [[LpaRounds]] synchronous rounds
     * over canonical `(a, b)` edges. */
   def labelPropagation(edges: DataFrame,
+      rounds: Int = LpaRounds): DataFrame =
+    labelPropagationUnd(
+      graft.core.CacheBay.register(Triangles.undirected(edges)), rounds)
+
+  /** [[labelPropagation]] over an ALREADY-EXPANDED (and caller-
+    * persisted) undirected edge frame `(u, v)` — the registry passes
+    * [[Triangles.sharedUndirectedEdges]] so the expansion is built
+    * once per sweep, not once per graph query. */
+  def labelPropagationUnd(e: DataFrame,
       rounds: Int = LpaRounds): DataFrame = {
-    val e = graft.core.CacheBay.register(
-      edges.select(col("a").as("u"), col("b").as("v"))
-        .unionByName(edges.select(col("b").as("u"), col("a").as("v"))))
     var labels = e.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     var i = 0

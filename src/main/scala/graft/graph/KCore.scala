@@ -55,10 +55,16 @@ object KCore {
     * canonical `(a, b)` edges, with their degree inside the surviving
     * subgraph: `(part, core_deg)`. */
   def kCore(edges: DataFrame, k: Int = K,
+      rounds: Int = PeelRounds): DataFrame =
+    kCoreUnd(graft.core.CacheBay.register(Triangles.undirected(edges)),
+      k, rounds)
+
+  /** [[kCore]] over an ALREADY-EXPANDED (and caller-persisted)
+    * undirected edge frame `(u, v)` — the registry passes
+    * [[Triangles.sharedUndirectedEdges]] so the expansion is built
+    * once per sweep, not once per graph query. */
+  def kCoreUnd(und: DataFrame, k: Int = K,
       rounds: Int = PeelRounds): DataFrame = {
-    val und = graft.core.CacheBay.register(
-      edges.select(col("a").as("u"), col("b").as("v"))
-        .unionByName(edges.select(col("b").as("u"), col("a").as("v"))))
     def degreesOver(survivors: DataFrame): DataFrame =
       und.join(survivors, Seq("u"), "left_semi")
         .join(survivors.select(col("u").as("v")), Seq("v"), "left_semi")

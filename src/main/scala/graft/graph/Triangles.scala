@@ -49,6 +49,23 @@ object Triangles {
     graft.core.SessionCache.cached(spark, s"copurchase:$dir")(
       coPurchaseEdges(graft.core.Tables(spark, dir, "lineitem")))
 
+  /** Undirected expansion of canonical edges: both directions of every
+    * `(a, b)` edge, as `(u, v)`. */
+  def undirected(edges: DataFrame): DataFrame =
+    edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+
+  /** Session-cached undirected expansion of [[sharedCoPurchaseEdges]]:
+    * [[Communities.labelPropagation]] and [[KCore.kCore]] — the two
+    * most expensive graph queries — both start every round from this
+    * same 2m-row frame, so a Bench/Verify sweep materializes it ONCE
+    * instead of once per query (VERDICT r7 #5). Priced as its own
+    * `[cache:graph.und]` tier in Bench. */
+  def sharedUndirectedEdges(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.core.SessionCache.cached(spark, s"copurchase_und:$dir")(
+      undirected(sharedCoPurchaseEdges(spark, dir)))
+
   /** Per-node degree and triangle participation count over canonical
     * `(a, b)` edges (`a < b`). Nodes in no triangle report 0. */
   def triangleCounts(edges: DataFrame): DataFrame = {

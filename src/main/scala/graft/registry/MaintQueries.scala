@@ -29,11 +29,11 @@ object MaintQueries {
       graft.graph.Triangles.triangleCounts(
         graft.graph.Triangles.sharedCoPurchaseEdges(s, d))),
     "graph_communities" -> ((s, d) =>
-      graft.graph.Communities.labelPropagation(
-        graft.graph.Triangles.sharedCoPurchaseEdges(s, d))),
+      graft.graph.Communities.labelPropagationUnd(
+        graft.graph.Triangles.sharedUndirectedEdges(s, d))),
     "graph_kcore" -> ((s, d) =>
-      graft.graph.KCore.kCore(
-        graft.graph.Triangles.sharedCoPurchaseEdges(s, d))),
+      graft.graph.KCore.kCoreUnd(
+        graft.graph.Triangles.sharedUndirectedEdges(s, d))),
     "basket_rules" -> ((s, d) =>
       graft.analytics.Associations.basketRules(Tables(s, d, "lineitem"))))
 
