@@ -40,4 +40,48 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     registries.map(_._2).reduce(_ ++ _)
+
+  /** Every declared surface WITHOUT a batch DuckDB oracle, with the
+    * suite that carries its evidence (VERDICT r7 #7): the correctness
+    * artifact then accounts for all declared surfaces explicitly —
+    * rows here are spec-verified by design (streaming state,
+    * side-effecting writes, learned models), not untested leftovers.
+    * Verify dumps this as `spec_only.json` next to `oracle_sql.json`. */
+  val specOnly: Map[String, String] = Map(
+    // no-oracle QUERY rows (present in `queries`, absent from oracleSql)
+    "ml_stream_train" -> ("StreamingTrainerSpec — LBFGS fit is not " +
+      "SQL-expressible; MemoryStream convergence asserted; the scoring " +
+      "half is oracle-green as ml_stream_eval"),
+    "sim_ivf_topk" -> ("SimilaritySpec — KMeans fit has no SQL oracle; " +
+      "planted-cluster recovery asserted; probe/rank mechanics " +
+      "oracle-green as sim_ivf_recall"),
+    // operator surfaces with no queries entry (side-effecting /
+    // driver-side / streaming-state semantics)
+    "S1_S3_S4_csv_folder_latest" -> "ReadersSpec",
+    "S5_S6_S8_S12_jdbc" -> "JdbcSpec (DuckDB-JDBC round-trip)",
+    "S10_S14_S15_sinks" -> "SinksSpec (side-effecting writes)",
+    "S16_S17_tcp_json_ingest" -> "StreamIngestSpec (live socket)",
+    "X15_stateful_stream_windows_dedup" ->
+      "StatefulSpec (MemoryStream; stateful-stream-only semantics)",
+    "X39_stream_stream_interval_join" ->
+      ("OperatorsSpec (cross-micro-batch buffering; batch mirror " +
+      "oracle-green as events_range_join)"),
+    "X52_backfill_drain_available_now" ->
+      "StreamIngestSpec (checkpoint file-tracking semantics)",
+    "X57_write_observed_metrics" ->
+      "SinksSpec (side-effecting write; metrics map asserted)",
+    "X68_streaming_incremental_rollup" ->
+      "StreamRollupSpec (stored state ≡ recompute; replay no-op)",
+    "X70_streaming_cdc_sink" ->
+      "StreamCdcSpec (batch mirror oracle-green as qc_snapshot_cdc)",
+    "X84_streaming_dedup_ledger" ->
+      "StreamDedupSpec (batch mirror oracle-green as dedup_incremental)",
+    "X88_ledger_segment_compaction" ->
+      "StreamDedupSpec (watermark/replay invariance, crash orphan)",
+    "X89_pagerank_converged" ->
+      "MaintenanceSpec (graph_pagerank row stays the oracle)",
+    "X135_jsonl_quarantine" -> "ReadersSpec (file-based source op)",
+    "X13_video_decode_stub" ->
+      ("documented stub (Multimodal.scala — no video codec in " +
+      "container; PCM/PNG legs are real and oracle-green)"))
 }
