@@ -908,9 +908,12 @@ object Analytics {
       .select(col("l_partkey"), col("n_active"), col("span_months"),
         expr("(span_months * 1000000) div n_active").as("adi_e6"),
         expr("coalesce(cast(assert_true(" +
-          "s <= 3037000499 and n_active <= 9223372036854775807 div ss," +
+          "s <= 3037000499 and n_active <= 9223372036854775807 div ss" +
+          " and (n_active * ss - s * s) <=" +
+          " 9223372036854775807 div 1000000," +
           " 'intermittency cv2 exceeds the Long-exact range " +
-          "(S^2 or n*sum(q^2) > 2^63-1): move to decimal(38)')" +
+          "(S^2, n*sum(q^2) or the e6-scaled variance numerator " +
+          "> 2^63-1): move to decimal(38)')" +
           " as bigint), 0)" +
           " + (((n_active * ss - s * s) * 1000000) div (s * s))")
           .as("cv2_e6"))
@@ -949,7 +952,15 @@ object Analytics {
           " 'seasonal index exceeds the Long-exact range: shard the " +
           "sums or move to decimal(38)') as bigint), 0)" +
           " + ((n_orders * 12000000) div tn)").as("count_idx_e6"),
-        expr("(cents * 12000000) div tc").as("revenue_idx_e6"))
+        // guard duplicated HERE, not only in count_idx_e6: a consumer
+        // projecting revenue_idx_e6 alone lets Catalyst prune the
+        // other column — and its assert with it (the FuzzyMatch
+        // projection-pruning trap)
+        expr("coalesce(cast(assert_true(" +
+          "cents <= 9223372036854775807 div 12000000," +
+          " 'seasonal index exceeds the Long-exact range: shard the " +
+          "sums or move to decimal(38)') as bigint), 0)" +
+          " + ((cents * 12000000) div tc)").as("revenue_idx_e6"))
   }
 
   /** Alarm threshold multiple of the drift allowance for [[cusumScores]]. */

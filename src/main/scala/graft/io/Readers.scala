@@ -96,6 +96,14 @@ object Readers {
     * executors via a monotonically-increasing row id. */
   def detectHeaderRow(df: DataFrame, knownTokens: Seq[String],
       maxRows: Int = 10): DataFrame = {
+    // monotonically_increasing_id is partition-encoded (jumps by 2^33
+    // per partition) and limit().collect() has no cross-partition order
+    // guarantee, so the ordinal comparison below is only sound on a
+    // single-split input. Enforce it — a multi-split file must fail
+    // loudly here, not silently keep pre-header rows (ADVICE r7).
+    require(df.rdd.getNumPartitions == 1,
+      "detectHeaderRow: input must be a single-partition scan (one " +
+        "small file); coalesce(1) multi-split inputs explicitly")
     val first = df.limit(maxRows).collect()
     val headerIdx = first.indexWhere(r =>
       r.toSeq.exists(v => v != null && knownTokens.contains(v.toString)))
@@ -103,11 +111,9 @@ object Readers {
     val headers = first(headerIdx).toSeq.map(v =>
       Option(v).map(_.toString).getOrElse("_unnamed"))
     // rows strictly after the header row — the filter needs no sort
-    // (an orderBy here would be a full shuffle buying nothing).
-    // monotonically_increasing_id is partition-ordered, not
-    // file-ordered, on multi-split inputs; the header feeds this
-    // targets are single small files (one partition), where it equals
-    // the row order.
+    // (an orderBy here would be a full shuffle buying nothing); on the
+    // enforced single partition monotonically_increasing_id equals the
+    // row order.
     val body = df.withColumn("_rid", monotonically_increasing_id())
       .filter(col("_rid") > headerIdx).drop("_rid")
     body.toDF(headers.map(h => h.replace(".", "_")): _*)

@@ -14,6 +14,47 @@ object LoadQueries {
     Tables(s, d, "lineitem").groupBy(col("l_suppkey"))
       .agg(round(sum(col("l_quantity")), 2).as("qty"))
 
+  /** Bucketed-table build for `j_bucketed_colocated`, memoized per
+    * (session, data dir): repeated invocations (Bench runs every query
+    * twice; Verify sweeps after Bench in the same JVM) reuse one temp
+    * dir and one pair of suffixed table names instead of re-writing —
+    * and a shutdown hook drops the tables and deletes the dir, so
+    * nothing accumulates across sweeps or races across sessions. */
+  private val bucketedBuilds =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def bucketedTables(s: SparkSession, d: String): (String, String) = {
+    val key = System.identityHashCode(s).toHexString + "|" + d
+    bucketedBuilds.computeIfAbsent(key, _ => {
+      val suffix = java.lang.Integer.toHexString(key.hashCode & 0x7fffffff)
+      val ordersT = s"graft_bkt_orders_$suffix"
+      val customerT = s"graft_bkt_customer_$suffix"
+      val dirPath = java.nio.file.Files.createTempDirectory("graft_bucketed_")
+      val dir = dirPath.toFile.getAbsolutePath
+      graft.load.Sinks.writeBucketedTable(
+        Tables(s, d, "orders").select(col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice")),
+        ordersT, s"$dir/orders", "o_custkey", 8)
+      graft.load.Sinks.writeBucketedTable(
+        Tables(s, d, "customer").select(col("c_custkey"),
+          col("c_mktsegment")),
+        customerT, s"$dir/customer", "c_custkey", 8)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        try {
+          s.sql(s"DROP TABLE IF EXISTS $ordersT")
+          s.sql(s"DROP TABLE IF EXISTS $customerT")
+        } catch { case _: Throwable => () }
+        try {
+          import java.nio.file.{Files, Path}
+          import scala.jdk.CollectionConverters._
+          Files.walk(dirPath).iterator().asScala.toSeq.reverse
+            .foreach((p: Path) => Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
+      }))
+      (ordersT, customerT)
+    })
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the salted-join rewrite must be RESULT-IDENTICAL to the plain
     // equi-join (the salt only spreads a hot key's rows); the oracle
@@ -45,20 +86,15 @@ object LoadQueries {
     // both sides bucketed on the join key with the same bucket count:
     // the scan IS the join distribution — zero Exchange, spec-asserted
     // (BucketedJoinSpec); result-identity to the plain join is this
-    // oracle
+    // oracle. The bucketed tables are built ONCE per (session, data
+    // dir) — names suffixed so two sessions sharing a metastore never
+    // race on a fixed global name, the temp dir reused across bench
+    // passes instead of accumulating per invocation, and everything
+    // swept by a shutdown hook (ADVICE r7).
     "j_bucketed_colocated" -> ((s, d) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_bucketed_").toFile.getAbsolutePath
-      graft.load.Sinks.writeBucketedTable(
-        Tables(s, d, "orders").select(col("o_orderkey"),
-          col("o_custkey"), col("o_totalprice")),
-        "graft_bkt_orders", s"$dir/orders", "o_custkey", 8)
-      graft.load.Sinks.writeBucketedTable(
-        Tables(s, d, "customer").select(col("c_custkey"),
-          col("c_mktsegment")),
-        "graft_bkt_customer", s"$dir/customer", "c_custkey", 8)
-      s.table("graft_bkt_orders")
-        .join(s.table("graft_bkt_customer"),
+      val (ordersT, customerT) = bucketedTables(s, d)
+      s.table(ordersT)
+        .join(s.table(customerT),
           col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"), col("o_custkey"),
           round(col("o_totalprice"), 2).as("price"),
