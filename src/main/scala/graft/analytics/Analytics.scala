@@ -1007,4 +1007,70 @@ object Analytics {
         when(col("cusum") > col("k") * alarmMult, lit(1L))
           .otherwise(lit(0L)).as("is_alarm"))
   }
+
+  /** Bucket width for [[weightedMedian]]'s first pass, in cents —
+    * $1,000 buckets put the synthetic price domain (~0..110k dollars)
+    * into ~110 buckets per group. */
+  val WMedianBucketCents = 100000L
+
+  /** EXACT weighted median (lower median) of line price weighted by
+    * quantity, per brand — without ever sorting a whole group in one
+    * task. The naive form (`cumsum(weight) OVER (PARTITION BY brand
+    * ORDER BY price)`) is a correctness-equal scale trap: brand
+    * cardinality is ~25, so each window partition holds 1/25 of the
+    * FACT table and one task sorts billions of rows at 100 TB. This is
+    * the standard two-pass refinement instead:
+    *
+    *  1. histogram pass — weights aggregate to (brand, price-bucket)
+    *     grain (map-side combinable; ≤ ~110 buckets/brand), and a
+    *     window over that TINY frame finds each brand's
+    *     median-crossing bucket and the cumulative weight before it;
+    *  2. refine pass — only the crossing bucket's rows (≈1/110 of the
+    *     group) sort in a window, offset by the carried-in prefix, and
+    *     the median is the cheapest price whose offset cumulative
+    *     weight reaches ⌈total/2⌉.
+    *
+    * Exactness: the bucket key is monotone in price, so within-bucket
+    * cumulative + before-bucket prefix ≡ the global cumulative at every
+    * row; ties are impossible across buckets (equal prices share a
+    * bucket) and broken within one by (orderkey, linenumber). Weights
+    * quantize to integer centiunits and prices to cents up front, so
+    * both engines accumulate identical integers in any order. */
+  def weightedMedian(lineitem: DataFrame, part: DataFrame,
+      bucketCents: Long = WMedianBucketCents): DataFrame = {
+    val base = graft.core.CacheBay.register(lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")
+          .as("price_cents"),
+        floor(col("l_quantity") * 100.0 + 0.5).cast("long").as("w_units"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("bucket", expr(s"price_cents div $bucketCents")))
+    val hist = base.groupBy(col("p_brand"), col("bucket"))
+      .agg(sum(col("w_units")).cast("long").as("bw"))
+    val hscan = Window.partitionBy(col("p_brand")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val crossing = hist
+      .withColumn("cum_through", sum(col("bw")).over(hscan).cast("long"))
+      .withColumn("totw",
+        sum(col("bw")).over(Window.partitionBy(col("p_brand")))
+          .cast("long"))
+      .withColumn("cum_before", (col("cum_through") - col("bw")))
+      .withColumn("threshold", expr("(totw + 1) div 2"))
+      .filter(col("cum_through") >= col("threshold") &&
+        col("cum_before") < col("threshold"))
+      .select(col("p_brand"), col("bucket"), col("cum_before"),
+        col("threshold"), col("totw"))
+    val rscan = Window.partitionBy(col("p_brand"))
+      .orderBy(col("price_cents"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(crossing), Seq("p_brand", "bucket"))
+      .withColumn("cumw",
+        col("cum_before") + sum(col("w_units")).over(rscan).cast("long"))
+      .filter(col("cumw") >= col("threshold"))
+      .groupBy(col("p_brand"))
+      .agg(min(col("price_cents")).cast("long").as("wmedian_cents"),
+        max(col("totw")).cast("long").as("total_weight_units"))
+  }
 }

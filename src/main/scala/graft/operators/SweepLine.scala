@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sweep-line interval concurrency — the classic "how many intervals
+  * are open at once" operator (peak concurrent sessions, open orders,
+  * warehouse load), computed WITHOUT expanding intervals to their
+  * covered days: each interval contributes a +1 at its start and a −1
+  * at its end, the deltas are pre-aggregated to one net value per
+  * (key, date), and a keyed running sum over the date axis is the open
+  * count. Peak concurrency per key falls out of one more aggregate.
+  *
+  * Scale shape: the event-ification is two projections of the same
+  * frame unioned (no join); the net-delta aggregate is map-side
+  * combinable and reduces the frame to (key × distinct dates) — per-key
+  * date domains are bounded (a few thousand for multi-year calendars),
+  * so the running-sum window partitions are bounded no matter how many
+  * intervals feed each key. Nothing global, nothing quadratic in
+  * interval count, no calendar explode (an interval spanning years
+  * still contributes exactly two deltas).
+  *
+  * Tie semantics are aggregate-exact: deltas at the same date collapse
+  * into one net value BEFORE the scan, so the open count is the value
+  * after all of that date's starts and ends apply — an interval ending
+  * on date d no longer counts on d (half-open [start, end)), and the
+  * result is independent of any within-date ordering.
+  */
+object SweepLine {
+
+  /** Per-key peak concurrency: `(key, peak_open, peak_date, n_intervals)`
+    * where `peak_date` is the EARLIEST date attaining the peak (exact
+    * tie-break, no arbitrary row pick). Expects `start <= end`;
+    * zero-length intervals ([d, d)) net to 0 and never open. */
+  def peakConcurrency(intervals: DataFrame, key: String, start: String,
+      end: String): DataFrame = {
+    val deltas = intervals
+      .select(col(key).as("k"), col(start).cast("date").as("d"),
+        lit(1L).as("delta"))
+      .unionByName(intervals.select(col(key).as("k"),
+        col(end).cast("date").as("d"), lit(-1L).as("delta")))
+      .groupBy(col("k"), col("d"))
+      .agg(sum(col("delta")).cast("long").as("net"))
+    val scan = Window.partitionBy(col("k")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("open_cnt", sum(col("net")).over(scan).cast("long"))
+      .withColumn("peak", max(col("open_cnt"))
+        .over(Window.partitionBy(col("k"))).cast("long"))
+      .filter(col("open_cnt") === col("peak"))
+      .groupBy(col("k"))
+      .agg(min(col("d")).as("peak_date"), max(col("peak")).as("peak_open"))
+      .join(
+        intervals.groupBy(col(key).as("k"))
+          .agg(count(lit(1)).cast("long").as("n_intervals")),
+        Seq("k"))
+      .select(col("k").as(key), col("peak_open"), col("peak_date"),
+        col("n_intervals"))
+  }
+}

@@ -845,4 +845,50 @@ object Pipeline {
       .filter(coalesce(col("contaminated"), lit(0L)) === 0L)
       .select(col("doc_id"), col("bucket"), col("quality"))
   }
+
+  /** Temporal fold period (days) and embargo gap (days) for
+    * [[embargoSplit]] — weekly folds with a one-day purge fit the
+    * fixture's 30-day event window (5 folds); production feeds tune
+    * both together. */
+  val EmbargoFoldDays = 7L
+  val EmbargoGapDays = 1L
+
+  /** Purged temporal split with embargo — the time-series analogue of
+    * [[hashSplit]]: folds are contiguous `foldDays` blocks of the
+    * timeline, and rows within `gapDays` of a fold boundary are
+    * EMBARGOED (assigned to no fold) so that nothing trained on fold k
+    * has seen data adjacent in time to fold k+1's evaluation window —
+    * the leakage-purging device of time-ordered cross-validation
+    * (standard practice for financial/temporal model evaluation, e.g.
+    * de Prado's purged k-fold). A model pipeline that splits temporal
+    * data with a hash split leaks auto-correlated neighbors across the
+    * boundary; this operator is the fix, and its per-fold report is
+    * the audit.
+    *
+    * Pure integer day arithmetic (epoch micros div 86,400,000,000 —
+    * `unix_micros` here, `epoch_us` in the oracle), so both engines
+    * agree bit-for-bit. One map + one map-side-combinable aggregate at
+    * fold grain; nothing global, embargo never reads neighboring rows
+    * (membership is a closed-form predicate on the day offset). */
+  def embargoSplit(events: DataFrame, foldDays: Long = EmbargoFoldDays,
+      gapDays: Long = EmbargoGapDays): DataFrame = {
+    val day = expr("unix_micros(ts) div 86400000000")
+    val off = col("epoch_day") % foldDays
+    events
+      .select(day.as("epoch_day"))
+      .select(col("epoch_day"), expr(s"epoch_day div $foldDays").as("fold"),
+        // embargoed: within gapDays of either edge of the fold block
+        when(off < gapDays || off >= foldDays - gapDays, 1L)
+          .otherwise(0L).as("embargoed"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col("embargoed")).cast("long").as("n_embargoed"),
+        min(when(col("embargoed") === 0L, col("epoch_day")))
+          .cast("long").as("kept_min_day"),
+        max(when(col("embargoed") === 0L, col("epoch_day")))
+          .cast("long").as("kept_max_day"))
+      .select(col("fold"), col("n_rows"), col("n_embargoed"),
+        (col("n_rows") - col("n_embargoed")).as("n_kept"),
+        col("kept_min_day"), col("kept_max_day"))
+  }
 }

@@ -293,4 +293,51 @@ object Recon {
       .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
         (col("obs_ppm") - col("exp_ppm")).as("dev_ppm"))
   }
+
+  /** Herfindahl–Hirschman concentration audit: how concentrated is a
+    * measure (here: order revenue) across members (customers) within
+    * each group (the customer's nation)? HHI = Σ shareᵢ² ranges from
+    * 1/n (perfectly even) to 1 (monopoly) — the standard screen for
+    * "one entity dominates this segment" in spend/risk audits.
+    *
+    * Cross-engine exactness: shares quantize FIRST — shareᵢ is
+    * `(centsᵢ · 10⁶) div total_cents` (truncating integer division,
+    * nonneg operands so Spark and DuckDB agree) — and the reported HHI
+    * is Σ share_ppm² div 10⁶, i.e. the HHI of the quantized shares.
+    * share_ppm ≤ 10⁶ so each square ≤ 10¹², and a group would need
+    * ~9·10⁶ members to overflow the Long sum — asserted, not assumed.
+    *
+    * Scale shape: one map-side-combinable aggregate to member grain,
+    * a broadcast of the per-group totals (group cardinality = nations),
+    * one more aggregate to group grain. Nothing global, no window. */
+  def concentrationAudit(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val memberRev = orders
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .as("cents"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("cents"))
+    val totals = memberRev.groupBy(col("n_name"))
+      .agg(sum(col("cents")).cast("long").as("total_cents"),
+        count(lit(1)).cast("long").as("n_members"))
+    memberRev.join(broadcast(totals), Seq("n_name"))
+      .select(col("n_name"), col("total_cents"), col("n_members"),
+        expr("(cents * 1000000) div total_cents").as("share_ppm"))
+      .groupBy(col("n_name"))
+      .agg(max(col("total_cents")).as("total_cents"),
+        max(col("n_members")).as("n_members"),
+        max(col("share_ppm")).cast("long").as("top1_share_ppm"),
+        sum(col("share_ppm") * col("share_ppm")).cast("long").as("ssq"))
+      .select(col("n_name"), col("n_members"), col("total_cents"),
+        col("top1_share_ppm"),
+        expr("coalesce(cast(assert_true(" +
+          "n_members <= 9223372036854775807 div 1000000000000," +
+          " 'HHI share-square sum exceeds the Long-exact range: shard " +
+          "the group or move to decimal(38)') as bigint), 0)" +
+          " + (ssq div 1000000)").as("hhi_ppm"))
+  }
 }

@@ -32,7 +32,23 @@ object AnalyticsQueries {
       Analytics.rfmSegmentation(graft.core.Tables(s, d, "orders"))),
     "supplier_lead_time" -> ((s, d) =>
       Analytics.supplierLeadTime(graft.core.Tables(s, d, "orders"),
-        graft.core.Tables(s, d, "lineitem"))))
+        graft.core.Tables(s, d, "lineitem"))),
+
+    // X137: sweep-line peak concurrency of order→ship intervals per
+    // supplier — two deltas per interval, no calendar explode
+    "supplier_open_orders" -> ((s, d) => {
+      val li = graft.core.Tables(s, d, "lineitem")
+      val o = graft.core.Tables(s, d, "orders")
+      graft.operators.SweepLine.peakConcurrency(
+        li.join(o, li("l_orderkey") === o("o_orderkey")),
+        "l_suppkey", "o_orderdate", "l_shipdate")
+    }),
+
+    // X138: exact weighted median by two-pass bucket refinement — no
+    // whole-group single-task sort
+    "weighted_median" -> ((s, d) =>
+      Analytics.weightedMedian(graft.core.Tables(s, d, "lineitem"),
+        graft.core.Tables(s, d, "part"))))
 
   private val segs = Analytics.Segments
 
@@ -351,5 +367,60 @@ object AnalyticsQueries {
          |  r_tile, f_tile, m_tile,
          |  CAST(r_tile * 100 + f_tile * 10 + m_tile AS BIGINT) AS rfm
          |FROM tl""".stripMargin
-    })
+    },
+
+    // half-open [order, ship): an interval ending on d is closed on d;
+    // deltas collapse per (key, date) before the scan so no within-date
+    // ordering exists to disagree on
+    "supplier_open_orders" ->
+      """WITH iv AS (
+        |  SELECT l_suppkey AS k, CAST(o_orderdate AS DATE) AS s,
+        |         CAST(l_shipdate AS DATE) AS e
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |d AS (
+        |  SELECT k, d, CAST(SUM(delta) AS BIGINT) AS net FROM (
+        |    SELECT k, s AS d, 1 AS delta FROM iv
+        |    UNION ALL SELECT k, e AS d, -1 AS delta FROM iv) u
+        |  GROUP BY 1, 2),
+        |o AS (
+        |  SELECT k, d, CAST(SUM(net) OVER (PARTITION BY k ORDER BY d
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open_cnt
+        |  FROM d),
+        |p AS (
+        |  SELECT k, d, open_cnt,
+        |         CAST(MAX(open_cnt) OVER (PARTITION BY k) AS BIGINT)
+        |           AS peak
+        |  FROM o),
+        |n AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_intervals
+        |      FROM iv GROUP BY 1)
+        |SELECT p.k AS l_suppkey, MAX(p.peak) AS peak_open,
+        |       MIN(p.d) AS peak_date, MAX(n.n_intervals) AS n_intervals
+        |FROM p JOIN n ON p.k = n.k
+        |WHERE open_cnt = peak GROUP BY 1""".stripMargin,
+
+    // the oracle states the SPEC (one global cumulative-weight window
+    // per brand); the engine's two-pass bucket refinement must land on
+    // the identical row because the bucket key is monotone in price
+    "weighted_median" ->
+      """WITH base AS (
+        |  SELECT p_brand,
+        |    CAST(floor(CAST(l_extendedprice AS DOUBLE)
+        |      * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |      AS price_cents,
+        |    CAST(floor(CAST(l_quantity AS DOUBLE)
+        |      * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |      AS w_units,
+        |    l_orderkey, l_linenumber
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |c AS (
+        |  SELECT p_brand, price_cents,
+        |    CAST(SUM(w_units) OVER (PARTITION BY p_brand
+        |      ORDER BY price_cents, l_orderkey, l_linenumber
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw,
+        |    CAST(SUM(w_units) OVER (PARTITION BY p_brand) AS BIGINT)
+        |      AS totw
+        |  FROM base)
+        |SELECT p_brand, MIN(price_cents) AS wmedian_cents,
+        |       MAX(totw) AS total_weight_units
+        |FROM c WHERE cumw >= (totw + 1) // 2 GROUP BY 1""".stripMargin)
 }

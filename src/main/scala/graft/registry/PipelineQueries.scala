@@ -20,6 +20,12 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_hash_split" -> ((s, d) => Pipeline.hashSplit(docs(s, d))),
+
+    // X139: purged temporal split — weekly folds over the events
+    // timeline, rows within the embargo gap of a fold edge assigned to
+    // no fold (the time-series-leakage fix a hash split cannot give)
+    "pipe_embargo_split" -> ((s, d) =>
+      Pipeline.embargoSplit(graft.core.Tables(s, d, "events"))),
     "pipe_split_report" -> ((s, d) => Pipeline.splitReport(docs(s, d))),
     "pipe_pii_redact" -> ((s, d) => Pipeline.piiRedact(docs(s, d))),
     "pipe_decontaminate" -> ((s, d) => Pipeline.decontaminate(docs(s, d))),
@@ -587,5 +593,30 @@ object PipelineQueries {
          |  CAST(row_number() OVER (PARTITION BY source
          |    ORDER BY quality_e6 DESC, doc_id ASC) AS BIGINT) AS rk
          |FROM sc
-         |QUALIFY rk <= ${Pipeline.SourceCap}""".stripMargin)
+         |QUALIFY rk <= ${Pipeline.SourceCap}""".stripMargin,
+
+    // pure integer day arithmetic: epoch_us // 86400000000 here,
+    // unix_micros div on the Spark side — identical truncation
+    "pipe_embargo_split" -> {
+      val fd = Pipeline.EmbargoFoldDays
+      val g = Pipeline.EmbargoGapDays
+      s"""WITH b AS (
+         |  SELECT epoch_us(ts) // 86400000000 AS epoch_day,
+         |         (epoch_us(ts) // 86400000000) // $fd AS fold,
+         |         CASE WHEN (epoch_us(ts) // 86400000000) % $fd < $g
+         |              OR (epoch_us(ts) // 86400000000) % $fd
+         |                 >= ${fd - g}
+         |              THEN 1 ELSE 0 END AS embargoed
+         |  FROM events)
+         |SELECT fold,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(embargoed) AS BIGINT) AS n_embargoed,
+         |  CAST(COUNT(*) AS BIGINT) - CAST(SUM(embargoed) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(MIN(CASE WHEN embargoed = 0 THEN epoch_day END)
+         |    AS BIGINT) AS kept_min_day,
+         |  CAST(MAX(CASE WHEN embargoed = 0 THEN epoch_day END)
+         |    AS BIGINT) AS kept_max_day
+         |FROM b GROUP BY 1""".stripMargin
+    })
 }

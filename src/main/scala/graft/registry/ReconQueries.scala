@@ -106,6 +106,12 @@ object ReconQueries {
     "qc_benford" -> ((s, d) =>
       Recon.benfordAudit(Tables(s, d, "orders"), "o_totalprice")),
 
+    // X136: Herfindahl concentration of order revenue across customers
+    // within each nation — quantized-share HHI, exact integers
+    "qc_concentration" -> ((s, d) =>
+      Recon.concentrationAudit(Tables(s, d, "orders"),
+        Tables(s, d, "customer"), Tables(s, d, "nation"))),
+
     // Snapshot CDC over a deterministic evolution of customer:
     // %11 keys deleted, %7 balances bumped (exact cents), %13 keys
     // re-keyed high as inserts — every op class exercised
@@ -404,6 +410,35 @@ object ReconQueries {
          |  (n_orphans * 1000000) // n_child AS orphan_ppm
          |FROM u""".stripMargin
     },
+
+    // member shares quantize to ppm via truncating integer division
+    // BEFORE squaring, so the reported HHI is the HHI of the quantized
+    // shares — exact in both engines; SUMs cast out of HUGEINT
+    "qc_concentration" ->
+      """WITH mr AS (
+        |  SELECT n_name, o_custkey,
+        |    CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE)
+        |      * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |t AS (
+        |  SELECT n_name, CAST(SUM(cents) AS BIGINT) AS total_cents,
+        |         CAST(COUNT(*) AS BIGINT) AS n_members
+        |  FROM mr GROUP BY 1),
+        |s AS (
+        |  SELECT mr.n_name, t.total_cents, t.n_members,
+        |         (cents * 1000000) // total_cents AS share_ppm
+        |  FROM mr JOIN t USING (n_name))
+        |SELECT n_name,
+        |  MAX(n_members) AS n_members,
+        |  MAX(total_cents) AS total_cents,
+        |  CAST(MAX(share_ppm) AS BIGINT) AS top1_share_ppm,
+        |  CAST(SUM(share_ppm * share_ppm) AS BIGINT) // 1000000
+        |    AS hhi_ppm
+        |FROM s GROUP BY 1""".stripMargin,
 
     "qc_missing_days" ->
       """WITH e AS (SELECT ts FROM events WHERE day(ts) NOT IN (15, 16)),

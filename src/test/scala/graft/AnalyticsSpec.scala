@@ -464,4 +464,53 @@ class AnalyticsSpec extends SparkSpec {
     assert(r(1L) == ((2L, 3000L, 8000000L, 6000000L)))
     assert(r(2L) == ((1L, 3000L, 4000000L, 6000000L)))
   }
+
+  test("weightedMedian: hand case crosses buckets; lower-median " +
+    "threshold is ceil(total/2)") {
+    // brand X: prices $10/$20/$30 with quantities 1/1/2 -> 100/100/200
+    // weight units, total 400, threshold 200 -> cum 100,200 crosses at
+    // $20. bucketCents=1000 puts each price in its own bucket, so the
+    // crossing bucket (2) is refined with cum_before=100 carried in.
+    // brand Y: single line -> its own price.
+    val li = Seq(
+      ("X", 10.0, 1.0, 1L, 1), ("X", 20.0, 1.0, 2L, 1),
+      ("X", 30.0, 2.0, 3L, 1), ("Y", 55.5, 7.0, 4L, 1))
+      .toDF("b", "l_extendedprice", "l_quantity", "l_orderkey",
+        "l_linenumber")
+      .withColumn("l_partkey", when(col("b") === "X", 1L).otherwise(2L))
+    val part = Seq((1L, "X"), (2L, "Y")).toDF("p_partkey", "p_brand")
+    val byBrand = Analytics.weightedMedian(li, part, bucketCents = 1000L)
+      .collect().map(row => row.getString(0) ->
+        (row.getLong(1), row.getLong(2))).toMap
+    graft.core.CacheBay.drain()
+    assert(byBrand("X") == ((2000L, 400L)))
+    assert(byBrand("Y") == ((5550L, 700L)))
+  }
+
+  test("weightedMedian: two-pass refinement equals the naive global " +
+    "window on fixture data, at a bucket width that forces refinement") {
+    val li = graft.core.Tables(spark, SfDir, "lineitem")
+    val part = graft.core.Tables(spark, SfDir, "part")
+    val got = Analytics.weightedMedian(li, part, bucketCents = 50000L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    graft.core.CacheBay.drain()
+    li.join(part, li("l_partkey") === part("p_partkey"))
+      .selectExpr("p_brand",
+        "cast(floor(l_extendedprice * 100.0 + 0.5) as long) as pc",
+        "cast(floor(l_quantity * 100.0 + 0.5) as long) as w",
+        "l_orderkey", "l_linenumber")
+      .createOrReplaceTempView("wm_naive_base")
+    val naive = spark.sql(
+      """SELECT p_brand, MIN(pc) AS med, MAX(totw) AS totw FROM (
+        |  SELECT p_brand, pc,
+        |    SUM(w) OVER (PARTITION BY p_brand ORDER BY pc, l_orderkey,
+        |      l_linenumber ROWS UNBOUNDED PRECEDING) AS cumw,
+        |    SUM(w) OVER (PARTITION BY p_brand) AS totw
+        |  FROM wm_naive_base)
+        |WHERE cumw >= (totw + 1) div 2 GROUP BY p_brand""".stripMargin)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got === naive)
+  }
 }

@@ -335,4 +335,26 @@ class OperatorsSpec extends SparkSpec {
     assert(messages(e2).exists(_.contains("NULL in ordering column")),
       s"got: ${messages(e2)}")
   }
+
+  test("SweepLine: peak concurrency with half-open intervals, " +
+    "earliest-date tie-break, zero-length intervals never open") {
+    def d(n: Int) = java.sql.Date.valueOf(f"2024-01-$n%02d")
+    val iv = Seq(
+      // key a: [1,5) [2,4) [3,6) -> opens 1,2,3 then closes: peak 3 @ d3
+      ("a", d(1), d(5)), ("a", d(2), d(4)), ("a", d(3), d(6)),
+      // key b: [1,3) [3,5) touch at d3 — half-open means NOT concurrent
+      ("b", d(1), d(3)), ("b", d(3), d(5)),
+      // key c: zero-length [2,2) nets 0 and never opens; [1,4) carries
+      ("c", d(2), d(2)), ("c", d(1), d(4)))
+      .toDF("k", "s", "e")
+    val got = graft.operators.SweepLine.peakConcurrency(iv, "k", "s", "e")
+      .orderBy("k")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDate(2).toString, r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("a", 3L, "2024-01-03", 3L),
+      ("b", 1L, "2024-01-01", 2L),
+      ("c", 1L, "2024-01-01", 2L)))
+  }
 }

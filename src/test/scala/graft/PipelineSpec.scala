@@ -385,4 +385,19 @@ class PipelineSpec extends SparkSpec {
     assert(Set(r(0)._1, r(0)._2) == Set(cross._1, cross._2))
     assert(r(0)._3 != r(0)._4 && r(0)._5 == 0.9)
   }
+
+  test("embargoSplit: fold edges purge exactly gapDays on each side; " +
+    "interior days keep") {
+    // one event per day for days 0..13 (epoch days), foldDays=7 gap=1:
+    // fold 0 embargoes days 0 and 6, keeps 1..5; fold 1 embargoes 7
+    // and 13, keeps 8..12
+    val ev = (0 to 13).map(day =>
+      (day.toLong, new java.sql.Timestamp(day * 86400000L)))
+      .toDF("event_id", "ts")
+    val r = Pipeline.embargoSplit(ev, foldDays = 7L, gapDays = 1L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> (x._2, x._3, x._4, x._5, x._6)).toMap
+    assert(r(0L) == ((7L, 2L, 5L, 1L, 5L)))
+    assert(r(1L) == ((7L, 2L, 5L, 8L, 12L)))
+  }
 }

@@ -75,4 +75,30 @@ class ReconSpec extends SparkSpec {
     assert(r(2L) == ((1L, 250000L, 176091L, 73909L)))
     assert(r(9L) == ((1L, 250000L, 45757L, 204243L)))
   }
+
+  test("concentrationAudit: monopoly = 1e6 ppm, even split = 1/n, " +
+    "shares quantize before squaring") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      // nation A: one customer owns everything -> HHI 1,000,000
+      (1L, 100L, 40.0, t("1995-01-01")),
+      (2L, 100L, 60.0, t("1995-01-02")),
+      // nation B: two customers at 50/50 -> shares 500000, HHI 500000
+      (3L, 200L, 30.0, t("1995-01-03")),
+      (4L, 201L, 30.0, t("1995-01-04")),
+      // nation C: 75/25 -> 562500 + 62500 = 625000
+      (5L, 300L, 75.0, t("1995-01-05")),
+      (6L, 301L, 25.0, t("1995-01-06")))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val cust = Seq((100L, 0), (200L, 1), (201L, 1), (300L, 2), (301L, 2))
+      .toDF("c_custkey", "c_nationkey")
+    val nat = Seq((0, "A"), (1, "B"), (2, "C"))
+      .toDF("n_nationkey", "n_name")
+    val r = Recon.concentrationAudit(orders, cust, nat)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> (x._2, x._3, x._4, x._5)).toMap
+    assert(r("A") == ((1L, 10000L, 1000000L, 1000000L)))
+    assert(r("B") == ((2L, 6000L, 500000L, 500000L)))
+    assert(r("C") == ((2L, 10000L, 750000L, 625000L)))
+  }
 }
