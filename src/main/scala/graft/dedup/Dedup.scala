@@ -655,6 +655,82 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** EXACT threshold-Jaccard pair join via PREFIX FILTERING (the
+    * PPJoin family — Xiao et al., "Efficient Similarity Joins for Near
+    * Duplicate Detection", WWW'08): every pair with Jaccard ≥ τ is
+    * returned, with NO df cap and NO all-pairs join.
+    *
+    * Why this exists next to [[ngramJaccardPairs]]: the inverted-index
+    * join stays linear only by DROPPING shingles with df > maxDf —
+    * a semantic change (capped Jaccard). Prefix filtering is lossless:
+    * sort each doc's shingles by a global rarest-first total order
+    * (df asc, shingle asc) and join only each doc's first
+    * n − ⌈τ·n⌉ + 1 shingles. If jac(x,y) ≥ τ then |x∩y| ≥ τ·|x| (since
+    * |x∪y| ≥ |x|), so x's overlap cannot fit inside its ⌈τ·n⌉ − 1
+    * suffix — every qualifying pair MUST collide on a prefix shingle
+    * of both sides, and the candidate set provably contains all
+    * answers. Candidates then verify with one exact array
+    * intersection.
+    *
+    * Scale shape: prefixes hold each doc's RAREST shingles, so the
+    * candidate join's per-key blowup is df²-bounded over low-df keys
+    * by construction (hot shingles sort to the suffix and never join)
+    * — the skew-proofing falls out of the algorithm instead of a
+    * semantic cap. Everything else is per-doc map work and equi-joins;
+    * the length filter (⌊min·10⁶⌋ ≥ max·τ_e6) prunes size-incompatible
+    * candidates before verification. All comparisons are integer
+    * cross-multiplications — exact in both engines. */
+  def prefixFilterPairs(docs: DataFrame, n: Int = ShingleN,
+      minJaccard: Double = MinJaccard,
+      shingles: Option[DataFrame] = None): DataFrame = {
+    val tauE6 = math.round(minJaccard * 1e6)
+    val ss = graft.core.CacheBay.register(
+      shingles.getOrElse(shingleSets(docs, n))
+        .filter(size(col("shingles")) > 0))
+    val ex = graft.core.CacheBay.register(
+      ss.select(col("doc_id"), explode(col("shingles")).as("sh")))
+    val dfreq = ex.groupBy(col("sh"))
+      .agg(count(lit(1)).cast("long").as("dfc"))
+    // rarest-first global total order = (df asc, shingle asc); the
+    // struct sort is deterministic because shingles are per-doc unique
+    val pfx = ex.join(dfreq, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("dfc").as("dfc"),
+        col("sh").as("sh")))).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_sh"),
+        col("toks"))
+      .select(col("doc_id"), col("n_sh"),
+        expr(s"slice(toks, 1, cast(n_sh - " +
+          s"((n_sh * $tauE6 + 999999) div 1000000) + 1 as int))")
+          .as("pfx"))
+      .select(col("doc_id"), col("n_sh"), explode(col("pfx")).as("t"))
+      .select(col("doc_id"), col("n_sh"), col("t.sh").as("sh"))
+    val cands = pfx
+      .select(col("doc_id").as("a_id"), col("n_sh").as("na"), col("sh"))
+      .join(pfx.select(col("doc_id").as("b_id"), col("n_sh").as("nb"),
+        col("sh")), Seq("sh"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(least(col("na"), col("nb")) * lit(1000000L) >=
+        greatest(col("na"), col("nb")) * lit(tauE6))
+      .select(col("a_id"), col("b_id")).distinct()
+    val arrays = ss.select(col("doc_id"), col("shingles"))
+    cands
+      .join(arrays.select(col("doc_id").as("a_id"),
+        col("shingles").as("ash")), Seq("a_id"))
+      .join(arrays.select(col("doc_id").as("b_id"),
+        col("shingles").as("bsh")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("ash"), col("bsh"))).cast("long")
+          .as("inter"),
+        size(col("ash")).cast("long").as("na"),
+        size(col("bsh")).cast("long").as("nb"))
+      .filter(col("inter") * lit(1000000L) >=
+        lit(tauE6) * (col("na") + col("nb") - col("inter")))
+      .select(col("a_id"), col("b_id"), col("inter"), col("na"),
+        col("nb"),
+        expr("(inter * 1000000) div (na + nb - inter)").as("jac_e6"))
+  }
+
   // ---- winnowing (MOSS) fingerprints ----
 
   /** Winnowing window size w: every w consecutive k-gram hashes

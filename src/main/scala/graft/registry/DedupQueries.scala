@@ -37,6 +37,10 @@ object DedupQueries {
       Dedup.simhashPairs(docs(s, d), shingles = sh(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d), shingles = sh(s, d))),
+    // X140: EXACT tau-Jaccard join — prefix filtering instead of the
+    // df cap, so no shingle is dropped and the answer set is complete
+    "dedup_ppjoin" -> ((s, d) =>
+      Dedup.prefixFilterPairs(docs(s, d), shingles = sh(s, d))),
     "dedup_shingle_novelty" -> ((s, d) =>
       Dedup.shingleNovelty(docs(s, d), shingles = sh(s, d))),
     "dedup_dup_spans" -> ((s, d) => Dedup.dupSpanRemoval(docs(s, d))),
@@ -402,6 +406,31 @@ object DedupQueries {
     "dedup_ngram_jaccard" ->
       s"""WITH $ShinglesCte, $JaccardPairsCtes
          |SELECT a_id, b_id, jaccard FROM jp""".stripMargin,
+
+    // the oracle is the brute-force inverted-index join with NO df cap
+    // — prefix filtering is lossless, so the engine must reproduce the
+    // complete answer set exactly; integer cross-multiplied threshold
+    "dedup_ppjoin" -> {
+      val tauE6 = math.round(Dedup.MinJaccard * 1e6)
+      s"""WITH $ShinglesCte,
+         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM shf),
+         |cnt AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n
+         |        FROM shf),
+         |shared AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |         CAST(count(*) AS BIGINT) AS inter
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT a_id, b_id, inter, ca.n AS na, cb.n AS nb
+         |  FROM shared JOIN cnt ca ON a_id = ca.doc_id
+         |              JOIN cnt cb ON b_id = cb.doc_id)
+         |SELECT a_id, b_id, inter, na, nb,
+         |  (inter * 1000000) // (na + nb - inter) AS jac_e6
+         |FROM j
+         |WHERE inter * 1000000 >= $tauE6 * (na + nb - inter)"""
+        .stripMargin
+    },
 
     // full-outer pair-key join of the LSH candidates and the exact
     // (df-capped) Jaccard pairs; -1 marks the absent side

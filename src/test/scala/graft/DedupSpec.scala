@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 
 class DedupSpec extends SparkSpec {
@@ -202,5 +203,48 @@ class DedupSpec extends SparkSpec {
     graft.core.CacheBay.drain()
     assert(r(1L) == ((1L, 2L, 1L, 7L, 7L)))
     assert(r(3L) == ((3L, 1L, 1L, 5L, 1L)))
+  }
+
+  test("prefixFilterPairs: hand case — near-dup pair found, unrelated " +
+    "doc excluded, jac_e6 exact") {
+    // docs 1/2: 6-word texts differing in the last word -> shingle
+    // sets of 4 trigrams sharing 3: jac = 3/5 = 0.6 >= 0.5
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e g"),
+      (3L, "q r s t u v")).toDF("doc_id", "text")
+    val r = Dedup.prefixFilterPairs(docs, minJaccard = 0.5)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    graft.core.CacheBay.drain()
+    assert(r.toSeq == Seq((1L, 2L, 3L, 4L, 4L, 600000L)))
+  }
+
+  test("prefixFilterPairs: complete — equals the uncapped brute-force " +
+    "join on fixture docs (lossless prefix filtering)") {
+    val docs = graft.core.Tables(spark, SfDir, "documents")
+    val got = Dedup.prefixFilterPairs(docs)
+      .select("a_id", "b_id", "inter", "jac_e6")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    graft.core.CacheBay.drain()
+    // brute force: inverted-index join with NO prefix and NO df cap
+    val ss = Dedup.shingleSets(docs)
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), col("shingles"))
+    val ex = ss.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val cnt = ss.select(col("doc_id"), size(col("shingles")).cast("long")
+      .as("n"))
+    val tauE6 = math.round(Dedup.MinJaccard * 1e6)
+    val want = ex.select(col("doc_id").as("a_id"), col("sh"))
+      .join(ex.select(col("doc_id").as("b_id"), col("sh")), Seq("sh"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count("*").cast("long").as("inter"))
+      .join(cnt.toDF("a_id", "na"), Seq("a_id"))
+      .join(cnt.toDF("b_id", "nb"), Seq("b_id"))
+      .filter(col("inter") * 1000000L >=
+        lit(tauE6) * (col("na") + col("nb") - col("inter")))
+      .select(col("a_id"), col("b_id"), col("inter"),
+        expr("(inter * 1000000) div (na + nb - inter)").as("jac_e6"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want && want.nonEmpty,
+      s"got ${got.size} pairs, want ${want.size}")
   }
 }
