@@ -1,6 +1,7 @@
 package graft.registry
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.analytics.Analytics
 
 /** Registry: reusable-analytics operators (SURVEY §2.5 W1–W4, §2.4
@@ -48,7 +49,27 @@ object AnalyticsQueries {
     // whole-group single-task sort
     "weighted_median" -> ((s, d) =>
       Analytics.weightedMedian(graft.core.Tables(s, d, "lineitem"),
-        graft.core.Tables(s, d, "part"))))
+        graft.core.Tables(s, d, "part"))),
+
+    // X141: GLOBAL running total via the distributed two-phase prefix
+    // scan — the empty-PARTITION-BY window this replaces would move
+    // every row into one task (sampled to %100 keys AFTER the scan)
+    "scan_running_total" -> ((s, d) => {
+      val o = graft.core.Tables(s, d, "orders")
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("od"),
+          floor(col("o_totalprice") * 100.0 + 0.5).cast("long")
+            .as("cents"))
+      graft.operators.PrefixScan
+        .prefixSum(o, Seq("od", "o_orderkey"), "cents", "cum_cents")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("od"), col("cents"),
+          col("cum_cents"))
+    }),
+
+    // X142: global 2-D Pareto frontier from the exclusive prefix max
+    "pareto_frontier" -> ((s, d) =>
+      graft.operators.Skyline.frontier(graft.core.Tables(s, d, "part"))))
 
   private val segs = Analytics.Segments
 
@@ -422,5 +443,45 @@ object AnalyticsQueries {
         |  FROM base)
         |SELECT p_brand, MIN(price_cents) AS wmedian_cents,
         |       MAX(totw) AS total_weight_units
-        |FROM c WHERE cumw >= (totw + 1) // 2 GROUP BY 1""".stripMargin)
+        |FROM c WHERE cumw >= (totw + 1) // 2 GROUP BY 1""".stripMargin,
+
+    // the oracle spells the SPEC as the global empty-partition window
+    // the engine refuses to plan; integer cents make the running sum
+    // associative, so the two-phase scan must reproduce it exactly
+    "scan_running_total" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+        |    CAST(floor(CAST(o_totalprice AS DOUBLE)
+        |      * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |c AS (
+        |  SELECT o_orderkey, od, cents,
+        |    CAST(SUM(cents) OVER (ORDER BY od, o_orderkey
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        |  FROM b)
+        |SELECT o_orderkey, od, cents, cum_cents
+        |FROM c WHERE o_orderkey % 100 = 0""".stripMargin,
+
+    // exclusive running max over strictly-cheaper prices; first price
+    // coalesces to Long.MinValue exactly as the scan's identity does
+    "pareto_frontier" ->
+      """WITH b AS (
+        |  SELECT p_partkey, p_brand,
+        |    CAST(floor(CAST(p_retailprice AS DOUBLE)
+        |      * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |      AS price_cents,
+        |    CAST(p_size AS BIGINT) AS p_size
+        |  FROM part),
+        |g AS (SELECT price_cents, MAX(p_size) AS msize
+        |      FROM b GROUP BY 1),
+        |s AS (
+        |  SELECT price_cents, msize,
+        |    CAST(COALESCE(MAX(msize) OVER (ORDER BY price_cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      -9223372036854775808) AS BIGINT) AS m_excl
+        |  FROM g)
+        |SELECT b.p_partkey, b.p_brand, b.price_cents, b.p_size
+        |FROM b JOIN s USING (price_cents)
+        |WHERE s.m_excl < b.p_size AND b.p_size = s.msize""".stripMargin)
 }

@@ -335,7 +335,11 @@ class PlanAuditSpec extends SparkSpec {
       // per-round top-pair collect (PageRank-style driver loop)
       "text_bpe_train", "text_bpe_fertility",
       // per-round localCheckpoint (eager) in the LPA loop
-      "graph_communities")
+      "graph_communities",
+      // two-phase prefix scan: bounded per-partition-totals collect on
+      // build (≤ numPartitions rows); plan shape audited by
+      // PrefixScanSpec (no global window, no full-frame hash exchange)
+      "scan_running_total", "pareto_frontier")
 
   test("the shared Tables read path pushes filters into the parquet " +
     "scan and prunes unread columns") {

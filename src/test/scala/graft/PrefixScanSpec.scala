@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{PrefixScan, Skyline}
+
+class PrefixScanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("prefixSum equals the naive global window on shuffled input " +
+    "spread over several partitions") {
+    // values chosen so every prefix is distinct; input arrives in a
+    // scrambled order and in 5 partitions to exercise range placement
+    val rows = (1L to 200L).map(i => (i, (i * 37 % 101) + 1))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(scala.util.Random.shuffle(rows), 5))
+      .toDF("k", "v")
+    val got = PrefixScan.prefixSum(df, Seq("k"), "v", "cum")
+      .select("k", "cum").as[(Long, Long)].collect().toMap
+    graft.core.CacheBay.drain()
+    var acc = 0L
+    val want = rows.sortBy(_._1).map { case (k, v) =>
+      acc += v; (k, acc)
+    }.toMap
+    assert(got === want)
+  }
+
+  test("prefixAgg max: exclusive column is the strictly-before max, " +
+    "Long.MinValue at the global first row") {
+    val df = Seq((1L, 5L), (2L, 3L), (3L, 9L), (4L, 9L), (5L, 1L))
+      .toDF("k", "v").repartition(3)
+    val got = PrefixScan
+      .prefixAgg(df, Seq("k"), "v", "max", "mi", "me")
+      .select("k", "mi", "me").as[(Long, Long, Long)].collect()
+      .sortBy(_._1)
+    graft.core.CacheBay.drain()
+    assert(got.toSeq === Seq(
+      (1L, 5L, Long.MinValue), (2L, 5L, 5L), (3L, 9L, 5L),
+      (4L, 9L, 9L), (5L, 9L, 9L)))
+  }
+
+  test("non-LONG value column is rejected with the associativity " +
+    "rationale") {
+    val df = Seq((1L, 1.5)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      PrefixScan.prefixSum(df, Seq("k"), "v", "cum")
+    }
+    assert(e.getMessage.contains("must be LONG"))
+  }
+
+  test("the scan's plan has no global window and no full-frame hash " +
+    "exchange — one range shuffle plus a broadcast join") {
+    val df = spark.range(0, 1000)
+      .select(col("id").as("k"), (col("id") % 7 + 1).as("v"))
+    val scanned = PrefixScan.prefixSum(df, Seq("k"), "v", "cum")
+    val p = scanned.queryExecution.executedPlan.toString
+    graft.core.CacheBay.drain()
+    assert(!p.contains("Window"), s"global window leaked in:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"full-frame hash exchange in:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("Broadcast"),
+      s"offset join is not broadcast:\n$p")
+  }
+
+  test("Skyline.frontier: hand case — dominated rows drop, equal " +
+    "(price,size) duplicates both survive") {
+    val part = Seq(
+      // (key, brand, price, size)
+      (1L, "A", 10.0, 5), // frontier (cheapest)
+      (2L, "A", 20.0, 4), // dominated by 1 (pricier, smaller)
+      (3L, "B", 20.0, 9), // frontier (bigger than anything cheaper)
+      (4L, "B", 20.0, 9), // duplicate of 3 -> both survive
+      (5L, "C", 30.0, 9), // dominated by 3 (same size, pricier)
+      (6L, "C", 40.0, 12) // frontier
+    ).toDF("p_partkey", "p_brand", "p_retailprice", "p_size")
+    val got = Skyline.frontier(part)
+      .select("p_partkey").as[Long].collect().toSet
+    graft.core.CacheBay.drain()
+    assert(got === Set(1L, 3L, 4L, 6L))
+  }
+
+  test("Skyline.frontier: fixture parts match the naive quadratic " +
+    "domination filter") {
+    val part = graft.core.Tables(spark, SfDir, "part")
+    val got = Skyline.frontier(part).select("p_partkey")
+      .as[Long].collect().toSet
+    graft.core.CacheBay.drain()
+    val rows = part.select(col("p_partkey"),
+      floor(col("p_retailprice") * 100.0 + 0.5).cast("long").as("pc"),
+      col("p_size").cast("long").as("sz"))
+      .as[(Long, Long, Long)].collect()
+    val want = rows.filter { case (_, pc, sz) =>
+      !rows.exists { case (_, pc2, sz2) =>
+        pc2 <= pc && sz2 >= sz && (pc2 < pc || sz2 > sz)
+      }
+    }.map(_._1).toSet
+    assert(got === want && want.nonEmpty)
+  }
+}
