@@ -1,0 +1,91 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over the SUPPORT-FILTERED
+  * co-purchase graph — the "product families" view: two parts are
+  * linked only when co-purchased in ≥ minSupport distinct orders, so
+  * the one-off basket noise that fuses the raw co-purchase graph into
+  * a single giant blob drops away and the components left are real
+  * recurring-affinity groups.
+  *
+  * Algorithm: synchronous min-label propagation to FIXPOINT (not a
+  * fixed round count) — every node starts labeled with its own id and
+  * adopts min(own, neighbors') each round. The label sum is strictly
+  * decreasing until convergence, so one scalar aggregate per round
+  * detects the fixpoint without comparing frames; rounds are bounded
+  * by component diameter. Same discipline as the dedup cluster loop
+  * (`Dedup.distributedClusters`): eager `localCheckpoint` per round
+  * truncates the logical plan, no self-join of the evolving frame
+  * (min-adoption via the static edge frame only), per-round frames
+  * bounded by the filtered edge set — which the support threshold
+  * keeps SUBLINEAR in fact size (repeat co-purchases are rare:
+  * ~3.4k edges at both sf0.01 and sf0.1 from 115k/1.2M raw pairs).
+  *
+  * At 100 TB the support filter is the load-bearing choice twice over:
+  * it is a map-side-combinable aggregate that shrinks the graph before
+  * any iteration touches it, and it bounds every propagation round to
+  * the filtered edges rather than the raw basket blowup.
+  */
+object Components {
+
+  /** Minimum distinct-order co-occurrence for an edge to exist. */
+  val MinSupport = 2
+
+  /** Fixpoint-loop bound — generous vs the observed ≤ 10-round
+    * diameters; the loop REQUIRES convergence rather than silently
+    * emitting a half-propagated labeling. */
+  val MaxRounds = 64
+
+  /** Canonical `(a, b)` edges (a < b) with co-purchase support ≥
+    * `minSupport` distinct orders. */
+  def supportEdges(lineitem: DataFrame,
+      minSupport: Int = MinSupport): DataFrame = {
+    val op = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    op.select(col("ok"), col("p").as("a"))
+      .join(op.select(col("ok"), col("p").as("b")), Seq("ok"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minSupport)
+      .select(col("a"), col("b"))
+  }
+
+  /** Per-component membership counts over canonical edges:
+    * `(component_id, n_nodes)` where the id is the component's minimum
+    * part key. Isolated parts (no qualifying edge) are out of scope —
+    * the graph is DEFINED by its edge set. */
+  def connectedComponents(edges: DataFrame,
+      maxIters: Int = MaxRounds): DataFrame = {
+    val und = graft.core.CacheBay.register(Triangles.undirected(edges))
+    var labels = und.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum("lbl")).head().getLong(0)
+    def hop(l: DataFrame): DataFrame = {
+      val nbrMin = und
+        .join(l.withColumnsRenamed(Map("node" -> "v", "lbl" -> "vl")),
+          Seq("v"))
+        .groupBy(col("u").as("node"))
+        .agg(min(col("vl")).as("nbr_min"))
+      l.join(nbrMin, Seq("node"))
+        .select(col("node"), least(col("lbl"), col("nbr_min")).as("lbl"))
+    }
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val next = hop(labels).localCheckpoint()
+      val nextSum = next.agg(sum("lbl")).head().getLong(0)
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      i += 1
+    }
+    require(converged, s"components did not converge in $maxIters rounds")
+    labels.groupBy(col("lbl").as("component_id"))
+      .agg(count(lit(1)).cast("long").as("n_nodes"))
+  }
+}

@@ -35,7 +35,12 @@ object MaintQueries {
       graft.graph.KCore.kCoreUnd(
         graft.graph.Triangles.sharedUndirectedEdges(s, d))),
     "basket_rules" -> ((s, d) =>
-      graft.analytics.Associations.basketRules(Tables(s, d, "lineitem"))))
+      graft.analytics.Associations.basketRules(Tables(s, d, "lineitem"))),
+    // X143: distributed connected components (min-label propagation to
+    // fixpoint) over the support-filtered co-purchase graph
+    "graph_components" -> ((s, d) =>
+      graft.graph.Components.connectedComponents(
+        graft.graph.Components.supportEdges(Tables(s, d, "lineitem")))))
 
   /** One PageRank step as a CTE, from the same constants. */
   private def prStep(prev: String, curr: String): String =
@@ -203,5 +208,32 @@ object MaintQueries {
          |    // (sa.n_item * sc.n_item) AS BIGINT) AS lift_e6
          |FROM dr JOIN sup sa ON dr.ant = sa.p
          |        JOIN sup sc ON dr.cons = sc.p
-         |        CROSS JOIN n""".stripMargin)
+         |        CROSS JOIN n""".stripMargin,
+
+    // the oracle computes reachability by recursive label spreading
+    // (every node accumulates each reachable id, min per node = the
+    // component's minimum member) — exhaustive but self-terminating;
+    // the engine reaches the same fixpoint by min-label propagation.
+    // Bounded because the support filter keeps the edge set small.
+    "graph_components" -> {
+      val ms = graft.graph.Components.MinSupport
+      s"""WITH RECURSIVE op AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+         |  FROM lineitem),
+         |e AS (
+         |  SELECT x.p AS a, y.p AS b
+         |  FROM op x JOIN op y ON x.ok = y.ok AND x.p < y.p
+         |  GROUP BY 1, 2 HAVING count(*) >= $ms),
+         |und AS (SELECT a AS u, b AS v FROM e
+         |        UNION ALL SELECT b, a FROM e),
+         |r AS (
+         |  SELECT DISTINCT u AS node, u AS lbl FROM und
+         |  UNION
+         |  SELECT und.u AS node, r.lbl
+         |  FROM r JOIN und ON r.node = und.v),
+         |m AS (SELECT node, MIN(lbl) AS lbl FROM r GROUP BY 1)
+         |SELECT lbl AS component_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |FROM m GROUP BY 1""".stripMargin
+    })
 }

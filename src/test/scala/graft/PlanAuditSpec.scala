@@ -336,6 +336,9 @@ class PlanAuditSpec extends SparkSpec {
       "text_bpe_train", "text_bpe_fertility",
       // per-round localCheckpoint (eager) in the LPA loop
       "graph_communities",
+      // fixpoint min-label loop: localCheckpoint + label-sum action
+      // per round on build
+      "graph_components",
       // two-phase prefix scan: bounded per-partition-totals collect on
       // build (≤ numPartitions rows); plan shape audited by
       // PrefixScanSpec (no global window, no full-frame hash exchange)
