@@ -335,6 +335,12 @@ object StreamQueries {
     // register-identical to one-pass (sparse→dense promotion differs
     // by build path), but mergeability means the BOUND survives the
     // merge, and that is what the verdict pins
+    // X144: KMV distinct sketch — per-type k-minimum-hash estimate plus
+    // the merged __all__ row; the whole estimator is integer-replayable
+    "events_kmv_distinct" -> ((s, d) =>
+      graft.operators.KmvSketch.kmvDistinct(Tables(s, d, "events"),
+        "event_type", "user_id")),
+
     "events_hll_rollup" -> ((s, d) => {
       val ev = Tables(s, d, "events")
       val cut = to_timestamp(lit("2024-01-15 00:00:00"))
@@ -744,6 +750,34 @@ object StreamQueries {
         |       ELSE ((r2 - n_pos * (n_pos + 1)) * 1000000)
         |            // (2 * n_pos * (n - n_pos)) END AS BIGINT) AS auc_e6
         |FROM a""".stripMargin,
+
+    // the oracle replays the ESTIMATOR itself — hash, rank, ratio are
+    // all integer arithmetic, so est_distinct hash-matches bit-for-bit
+    // (the plain rank window is the spec; the engine's bounded
+    // per-partition heaps must return the identical k-min sets)
+    "events_kmv_distinct" -> {
+      val k = graft.operators.KmvSketch.K
+      val estNum = (k - 1).toLong * graft.operators.KmvSketch.HashSpan
+      val h = OracleSql.hex8("md5(CAST(user_id AS VARCHAR))")
+      s"""WITH dh AS (
+         |  SELECT DISTINCT event_type AS grp, $h AS h FROM events),
+         |r AS (SELECT grp, h,
+         |        row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
+         |      FROM dh),
+         |kept AS (SELECT grp, h FROM r WHERE rk <= $k),
+         |mh AS (SELECT DISTINCT h FROM kept),
+         |mr AS (SELECT '__all__' AS grp, h,
+         |         row_number() OVER (ORDER BY h) AS rk FROM mh),
+         |u AS (SELECT grp, h FROM kept
+         |      UNION ALL SELECT grp, h FROM mr WHERE rk <= $k)
+         |SELECT grp AS event_type,
+         |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |  CAST(MAX(h) AS BIGINT) AS kth_hash,
+         |  CAST(CASE WHEN COUNT(*) < $k THEN COUNT(*)
+         |       ELSE $estNum // greatest(MAX(h), 1) END AS BIGINT)
+         |    AS est_distinct
+         |FROM u GROUP BY 1""".stripMargin
+    },
 
     // exact columns genuinely recomputed; booleans are the sketch
     // contract (union losslessness + error bound) — a violation flips

@@ -336,6 +336,62 @@ class OperatorsSpec extends SparkSpec {
       s"got: ${messages(e2)}")
   }
 
+  test("KmvSketch: equals the naive rank-window model per group and " +
+    "for the merged row; under-filled sketches are exact") {
+    val ev = graft.core.Tables(spark, SfDir, "events")
+    // the fixture has 15 distinct users: k=8 fills every sketch (the
+    // ratio-estimate path), k=64 fills none (the exact path)
+    val dh = ev.selectExpr("event_type AS grp",
+      "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, " +
+        "10) AS BIGINT) AS h").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    for (k <- Seq(8, 64)) {
+      val got = graft.operators.KmvSketch
+        .kmvDistinct(ev, "event_type", "user_id", k)
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      def sketch(hs: Seq[Long]): (Long, Long, Long) = {
+        val kept = hs.distinct.sorted.take(k)
+        val est = if (kept.length < k) kept.length.toLong
+          else (k - 1).toLong * 4294967296L / math.max(kept.last, 1L)
+        (kept.length.toLong, kept.last, est)
+      }
+      val want = dh.groupBy(_._1).map { case (g, rows) =>
+        g -> sketch(rows.map(_._2).toSeq)
+      } + ("__all__" -> sketch(dh.map(_._2).toSeq))
+      assert(got === want, s"k=$k")
+      val filled = want.values.count(_._1 == k)
+      assert(if (k == 8) filled == want.size else filled == 0, s"k=$k")
+    }
+    // under-filled sketches are EXACT: k=64 rows equal countDistinct
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).cast("long")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got64 = graft.operators.KmvSketch
+      .kmvDistinct(ev, "event_type", "user_id", 64)
+      .filter(col("event_type") =!= "__all__")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(got64 === exact)
+  }
+
+  test("KmvSketch merge property: the __all__ row from per-group " +
+    "sketches equals a direct single-group sketch") {
+    val ev = graft.core.Tables(spark, SfDir, "events")
+    val k = 16
+    val merged = graft.operators.KmvSketch
+      .kmvDistinct(ev, "event_type", "user_id", k)
+      .filter(col("event_type") === "__all__")
+      .as[(String, Long, Long, Long)].collect().head
+    val direct = graft.operators.KmvSketch
+      .kmvDistinct(ev.withColumn("one", lit("solo")), "one",
+        "user_id", k)
+      .filter(col("one") === "solo")
+      .as[(String, Long, Long, Long)].collect().head
+    assert((merged._2, merged._3, merged._4) ===
+      (direct._2, direct._3, direct._4))
+  }
+
   test("SweepLine: peak concurrency with half-open intervals, " +
     "earliest-date tie-break, zero-length intervals never open") {
     def d(n: Int) = java.sql.Date.valueOf(f"2024-01-$n%02d")
