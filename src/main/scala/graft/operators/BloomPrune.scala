@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter semi-join pruning — the pre-SHUFFLE fact reduction
+  * behind every engine's runtime row filtering (Spark's own
+  * InjectRuntimeFilter, Iceberg/Delta dynamic file pruning): when a
+  * fact table semi-joins a selective dimension, the shuffle should
+  * move only fact rows whose key MIGHT match, not the whole fact. The
+  * dimension's keys fold into an m-bit Bloom filter (k deterministic
+  * hashes); the fact side tests all k bits as a plain codegen'd
+  * predicate BEFORE its exchange, and the exact semi-join afterwards
+  * removes the false positives — result identity with the plain
+  * semi-join is the operator's contract (and its oracle), the filter
+  * only changes HOW MUCH data reaches the shuffle.
+  *
+  * Scale shape: the filter build is one map-side-combinable `bit_or`
+  * aggregate at word grain (≤ m/64 rows — a BOUNDED driver collect,
+  * 1024 longs at the default m, independent of dimension size), and
+  * the fact test is per-row map work against a broadcast literal
+  * array. Hashes are the repo's deterministic md5-hex8 integers with
+  * a per-hash salt, so the same build replays bit-for-bit anywhere.
+  */
+object BloomPrune {
+
+  /** Filter size in bits (2^16 → 1024 longs) and hash count. At the
+    * default load (n/m ≈ 0.03 for a 2k-key dimension) the false-
+    * positive rate is well under 1%; production sizes m to the
+    * dimension's key count — the collect stays m/64 rows either way. */
+  val FilterBits = 65536
+  val NumHashes = 3
+
+  /** SQL text of hash j's bit position for `key` — kept as a SQL
+    * string so both the build and the test side splice it into larger
+    * integer expressions (shiftleft's Scala-API numBits is Int-only). */
+  private def posSql(key: String, j: Int, bits: Int): String =
+    s"(CAST(conv(substring(md5(concat(CAST($key AS STRING), ':$j'))," +
+      s" 1, 8), 16, 10) AS BIGINT) % $bits)"
+
+  /** Rows of `fact` whose `factKey` passes the Bloom filter built from
+    * `dim`'s `dimKey` — a SUPERSET of the true semi-join (false
+    * positives possible, false negatives impossible); chain the exact
+    * semi-join after it for equality semantics. */
+  def bloomFilteredFact(fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String, bits: Int = FilterBits,
+      hashes: Int = NumHashes): DataFrame = {
+    require(hashes > 0 && bits >= 64 && bits % 64 == 0,
+      "bloomFilteredFact: hashes > 0 and bits a positive multiple of 64")
+    val words = dim
+      .select(explode(array((0 until hashes).map(j =>
+        expr(posSql(dimKey, j, bits))): _*)).as("pos"))
+      .select(expr("CAST(pos div 64 AS INT)").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+          .as("mask"))
+      .groupBy(col("word"))
+      .agg(expr("bit_or(mask)").as("bm"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val filter = Array.fill(bits / 64)(0L)
+    words.foreach { case (w, m) => filter(w) = m }
+    val filterLit = typedLit(filter.toSeq)
+    // test via AND-mask, never shift-right: an arithmetic >> of a
+    // negative word smears the sign bit and (x >> 63) % 2 is -1
+    val pass = (0 until hashes).map { j =>
+      val p = posSql(factKey, j, bits)
+      element_at(filterLit, expr(s"CAST($p div 64 AS INT) + 1"))
+        .bitwiseAND(expr(
+          s"shiftleft(CAST(1 AS BIGINT), CAST($p % 64 AS INT))")) =!= 0L
+    }.reduce(_ && _)
+    fact.filter(pass)
+  }
+
+  /** The full pruned semi-join: Bloom pre-filter, then the exact
+    * semi-join that removes false positives. Result-identical to
+    * `fact.join(dim, key, "left_semi")` by construction. */
+  def prunedSemiJoin(fact: DataFrame, factKey: String, dim: DataFrame,
+      dimKey: String, bits: Int = FilterBits,
+      hashes: Int = NumHashes): DataFrame =
+    bloomFilteredFact(fact, factKey, dim, dimKey, bits, hashes)
+      .join(dim.select(col(dimKey).as(factKey)).distinct(),
+        Seq(factKey), "left_semi")
+}

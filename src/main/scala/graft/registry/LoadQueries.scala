@@ -83,6 +83,22 @@ object LoadQueries {
           round(col("l_quantity"), 2).as("qty"), col("s_name"))
     }),
 
+    // X145: Bloom-filter semi-join pruning — the dimension's keys fold
+    // into a deterministic m-bit filter, the fact side tests k bits
+    // BEFORE its shuffle, the exact semi-join removes false positives;
+    // result identity with the plain semi-join IS the oracle
+    "j_bloom_prune" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+      val dim = Tables(s, d, "part")
+        .filter(col("p_brand") === "Brand#23")
+      graft.operators.BloomPrune
+        .prunedSemiJoin(li, "l_partkey", dim, "p_partkey")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).cast("long").as("n_lines"),
+          sum(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long"))
+            .cast("long").as("cents"))
+    }),
+
     // both sides bucketed on the join key with the same bucket count:
     // the scan IS the join distribution — zero Exchange, spec-asserted
     // (BucketedJoinSpec); result-identity to the plain join is this
@@ -281,6 +297,19 @@ object LoadQueries {
       """SELECT l_orderkey, l_suppkey, ROUND(l_quantity, 2) AS qty, s_name
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |WHERE s_suppkey % 20 = 0""".stripMargin,
+
+    // the plain semi-join IS the spec: the Bloom pre-filter may only
+    // change how much data reaches the shuffle, never the result
+    "j_bloom_prune" ->
+      """SELECT l_suppkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE)
+        |    * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+        |    AS BIGINT) AS cents
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                    WHERE p_brand = 'Brand#23')
+        |GROUP BY 1""".stripMargin,
 
     "j_bucketed_colocated" ->
       """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price,

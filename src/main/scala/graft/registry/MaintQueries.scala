@@ -40,7 +40,13 @@ object MaintQueries {
     // fixpoint) over the support-filtered co-purchase graph
     "graph_components" -> ((s, d) =>
       graft.graph.Components.connectedComponents(
-        graft.graph.Components.supportEdges(Tables(s, d, "lineitem")))))
+        graft.graph.Components.supportEdges(Tables(s, d, "lineitem")))),
+    // X146: exact integer degree-assortativity moments (Newman r's
+    // numerator/denominator; the sqrt-and-signed-division stays with
+    // the consumer — the X129 mergeable-moments discipline)
+    "graph_assortativity" -> ((s, d) =>
+      graft.graph.Assortativity.degreeMoments(
+        graft.graph.Triangles.sharedCoPurchaseEdges(s, d))))
 
   /** One PageRank step as a CTE, from the same constants. */
   private def prStep(prev: String, curr: String): String =
@@ -235,5 +241,34 @@ object MaintQueries {
          |SELECT lbl AS component_id,
          |       CAST(COUNT(*) AS BIGINT) AS n_nodes
          |FROM m GROUP BY 1""".stripMargin
-    })
+    },
+
+    // symmetric edge-end multiset (each edge in both orientations), so
+    // s_y == s_x and s_y2 == s_x2 are emitted once; arithmetic runs in
+    // DuckDB HUGEINT and casts down — the Spark side asserts the same
+    // products stay Long-exact
+    "graph_assortativity" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM op x JOIN op y ON x.ok = y.ok AND x.p < y.p),
+        |und AS (SELECT a AS u, b AS v FROM e
+        |        UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d
+        |        FROM und GROUP BY 1),
+        |p AS (
+        |  SELECT du.d AS dx, dv.d AS dy
+        |  FROM und JOIN deg du ON und.u = du.u
+        |           JOIN deg dv ON und.v = dv.u)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_ends,
+        |  CAST(SUM(dx) AS BIGINT) AS s_x,
+        |  CAST(SUM(dx * dy) AS BIGINT) AS s_xy,
+        |  CAST(SUM(dx * dx) AS BIGINT) AS s_x2,
+        |  CAST(COUNT(*) * SUM(dx * dy) - SUM(dx) * SUM(dx) AS BIGINT)
+        |    AS num,
+        |  CAST(COUNT(*) * SUM(dx * dx) - SUM(dx) * SUM(dx) AS BIGINT)
+        |    AS den
+        |FROM p""".stripMargin)
 }

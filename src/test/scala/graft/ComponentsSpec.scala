@@ -17,6 +17,18 @@ class ComponentsSpec extends SparkSpec {
     assert(r === Map(1L -> 4L, 10L -> 2L, 20L -> 3L))
   }
 
+  test("Assortativity.degreeMoments: path graph is perfectly " +
+    "disassortative (num = -den)") {
+    // path 1-2-3: degrees 1,2,1; symmetric end multiset
+    // {(1,2),(2,1),(2,1),(1,2)} -> n=4, sx=6, sxy=8, sx2=10,
+    // num = 32-36 = -4, den = 40-36 = 4  (r = -1)
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val r = graft.graph.Assortativity.degreeMoments(edges)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    graft.core.CacheBay.drain()
+    assert(r === ((4L, 6L, 8L, 10L, -4L, 4L)))
+  }
+
   test("supportEdges drops sub-threshold pairs; components match a " +
     "scalar union-find on fixture data") {
     val li = graft.core.Tables(spark, SfDir, "lineitem")

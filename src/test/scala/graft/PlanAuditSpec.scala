@@ -342,7 +342,9 @@ class PlanAuditSpec extends SparkSpec {
       // two-phase prefix scan: bounded per-partition-totals collect on
       // build (≤ numPartitions rows); plan shape audited by
       // PrefixScanSpec (no global window, no full-frame hash exchange)
-      "scan_running_total", "pareto_frontier")
+      "scan_running_total", "pareto_frontier",
+      // Bloom filter words collect on build (≤ bits/64 = 1024 rows)
+      "j_bloom_prune")
 
   test("the shared Tables read path pushes filters into the parquet " +
     "scan and prunes unread columns") {
