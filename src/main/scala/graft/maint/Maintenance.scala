@@ -96,4 +96,74 @@ object Maintenance {
       .agg(count(lit(1)).cast("long").as("n_rows"),
         min(col("x")).as("x_min"), max(col("x")).as("x_max"),
         min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+
+  /** Pruning-audit geometry: coordinates HASH-fold (md5-hex8) onto a
+    * 2^AuditBits square — content-derived and uniform at every SF, so
+    * the probe geometry is scale-invariant (raw fixture key domains
+    * are narrower than the probe box at small SFs; a production audit
+    * would use the raw clustering columns directly). Buckets are the
+    * key's top bits (1024 tiles of 32×32); the probe is the quarter
+    * box [0, 255]² on both dims. */
+  val AuditBits = 10
+  val AuditBucketShift = 10
+  val AuditBoxHi = 255L
+
+  /** md5-hex8 fold of a column onto [0, 2^AuditBits). */
+  private def auditCoordSql(c: String): String =
+    s"(CAST(conv(substring(md5(CAST($c AS STRING)), 1, 8), 16, 10) " +
+      s"AS BIGINT) % ${1L << AuditBits})"
+
+  /** Data-skipping pruning audit — the measured answer to "what did
+    * Z-ordering actually buy": the SAME points are bucketed two ways
+    * (`zorder` = top Morton-key bits; `natural` = a key-hash layout, a
+    * sorted-by-one-column table's worst case for the second column),
+    * each bucket gets the min/max stats a file footer would hold, and
+    * a two-dimensional box predicate is planned against both — a
+    * bucket is SCANNED iff its bounding box intersects the probe box.
+    * Output per layout: bucket/row totals, scanned counts, matching
+    * rows (identical across layouts — pruning must never change the
+    * answer), and the scanned-rows ppm the layout would actually read.
+    *
+    * Everything is integer div/mod arithmetic over content-derived
+    * keys — no sampled range boundaries, so the report replays
+    * bit-for-bit in any engine. One union of two projections, one
+    * hash aggregate at (layout, bucket) grain, one 2-row rollup. */
+  def pruningAudit(df: DataFrame, xCol: String, yCol: String,
+      ordCol: String): DataFrame = {
+    val side = 1L << AuditBits
+    val pts = df.select(
+      expr(auditCoordSql(xCol)).as("x"),
+      expr(auditCoordSql(yCol)).as("y"),
+      (col(ordCol).cast("long") % side).as("natbucket"))
+    val both = pts
+      .select(lit("zorder").as("layout"),
+        expr(s"${mortonKeySql("x", "y", AuditBits)
+          .replace("//", "div")} div ${1L << AuditBucketShift}")
+          .cast("long").as("bucket"),
+        col("x"), col("y"))
+      .unionByName(pts.select(lit("natural").as("layout"),
+        col("natbucket").as("bucket"), col("x"), col("y")))
+    val inBox = when(col("x") <= AuditBoxHi && col("y") <= AuditBoxHi,
+      1L).otherwise(0L)
+    val buckets = both
+      .groupBy(col("layout"), col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        min(col("x")).as("x_min"), min(col("y")).as("y_min"),
+        sum(inBox).cast("long").as("n_match"))
+      // box lo is 0 and coords are non-negative, so the bounding box
+      // intersects the probe iff both mins are inside it
+      .withColumn("scanned",
+        when(col("x_min") <= AuditBoxHi && col("y_min") <= AuditBoxHi,
+          1L).otherwise(0L))
+    buckets.groupBy(col("layout"))
+      .agg(count(lit(1)).cast("long").as("n_buckets"),
+        sum(col("scanned")).cast("long").as("n_scanned"),
+        sum(col("n_rows")).cast("long").as("rows_total"),
+        sum(col("scanned") * col("n_rows")).cast("long")
+          .as("rows_scanned"),
+        sum(col("n_match")).cast("long").as("rows_matching"))
+      .select(col("layout"), col("n_buckets"), col("n_scanned"),
+        col("rows_total"), col("rows_scanned"), col("rows_matching"),
+        expr("(rows_scanned * 1000000) div rows_total").as("scan_ppm"))
+  }
 }

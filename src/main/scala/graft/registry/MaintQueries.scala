@@ -41,6 +41,12 @@ object MaintQueries {
     "graph_components" -> ((s, d) =>
       graft.graph.Components.connectedComponents(
         graft.graph.Components.supportEdges(Tables(s, d, "lineitem")))),
+    // X148: measured data-skipping audit — the same points bucketed by
+    // Morton tiles vs a key-hash layout, a 2-D box planned against
+    // both footers' min/max stats; the zorder scan_ppm is the win
+    "maint_pruning_audit" -> ((s, d) =>
+      Maintenance.pruningAudit(Tables(s, d, "lineitem"),
+        "l_partkey", "l_suppkey", "l_orderkey")),
     // X146: exact integer degree-assortativity moments (Newman r's
     // numerator/denominator; the sqrt-and-signed-division stays with
     // the consumer — the X129 mergeable-moments discipline)
@@ -241,6 +247,44 @@ object MaintQueries {
          |SELECT lbl AS component_id,
          |       CAST(COUNT(*) AS BIGINT) AS n_nodes
          |FROM m GROUP BY 1""".stripMargin
+    },
+
+    // same Morton spelling, same quarter-box probe; a bucket scans iff
+    // its min corner is inside the box (lo = 0, coords non-negative)
+    "maint_pruning_audit" -> {
+      import graft.maint.Maintenance._
+      val z = mortonKeySql("x", "y", AuditBits)
+      val side = 1L << AuditBits
+      val hx = OracleSql.hex8("md5(CAST(l_partkey AS VARCHAR))")
+      val hy = OracleSql.hex8("md5(CAST(l_suppkey AS VARCHAR))")
+      s"""WITH pts AS (
+         |  SELECT $hx % $side AS x, $hy % $side AS y,
+         |         l_orderkey % $side AS natbucket
+         |  FROM lineitem),
+         |lay AS (
+         |  SELECT 'zorder' AS layout,
+         |         $z // ${1L << AuditBucketShift} AS bucket, x, y
+         |  FROM pts
+         |  UNION ALL
+         |  SELECT 'natural', natbucket, x, y FROM pts),
+         |bk AS (
+         |  SELECT layout, bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    MIN(x) AS x_min, MIN(y) AS y_min,
+         |    CAST(SUM(CASE WHEN x <= $AuditBoxHi AND y <= $AuditBoxHi
+         |         THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         |    CASE WHEN MIN(x) <= $AuditBoxHi AND MIN(y) <= $AuditBoxHi
+         |         THEN 1 ELSE 0 END AS scanned
+         |  FROM lay GROUP BY 1, 2)
+         |SELECT layout,
+         |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |  CAST(SUM(scanned) AS BIGINT) AS n_scanned,
+         |  CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+         |  CAST(SUM(scanned * n_rows) AS BIGINT) AS rows_scanned,
+         |  CAST(SUM(n_match) AS BIGINT) AS rows_matching,
+         |  (CAST(SUM(scanned * n_rows) AS BIGINT) * 1000000)
+         |    // CAST(SUM(n_rows) AS BIGINT) AS scan_ppm
+         |FROM bk GROUP BY 1""".stripMargin
     },
 
     // symmetric edge-end multiset (each edge in both orientations), so

@@ -112,6 +112,27 @@ object ReconQueries {
       Recon.concentrationAudit(Tables(s, d, "orders"),
         Tables(s, d, "customer"), Tables(s, d, "nation"))),
 
+    // X147: incremental view maintenance — the CDC rows from the same
+    // deterministic evolution maintain a bucketed (count, cents)
+    // aggregate WITHOUT rescanning the base; the oracle recomputes
+    // from the after-image, so equality proves delta application
+    "ivm_incremental_agg" -> ((s, d) => {
+      val b = Tables(s, d, "customer").select(col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val after = b.filter(col("c_custkey") % 11 =!= 0)
+        .withColumn("cents", when(col("c_custkey") % 7 === 0,
+          col("cents") + 10000L).otherwise(col("cents")))
+        .unionByName(b.filter(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + 10000000L).as("c_custkey"),
+            col("cents")))
+      val baseAgg = b.groupBy((col("c_custkey") % 10).as("bucket"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("cents")).cast("long").as("cents"))
+      val cdc = Recon.snapshotCdc(b, after, Seq("c_custkey"),
+        Seq("cents"))
+      Recon.applyCdcToAgg(baseAgg, cdc, col("c_custkey") % 10)
+    }),
+
     // Snapshot CDC over a deterministic evolution of customer:
     // %11 keys deleted, %7 balances bumped (exact cents), %13 keys
     // re-keyed high as inserts — every op class exercised
@@ -450,6 +471,25 @@ object ReconQueries {
         |o AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM e)
         |SELECT x.day FROM x LEFT JOIN o ON x.day = o.day
         |WHERE o.day IS NULL""".stripMargin,
+
+    // the oracle aggregates the AFTER-image directly — the engine must
+    // land on the same rows from base aggregate + deltas alone
+    "ivm_incremental_agg" ->
+      """WITH b AS (SELECT c_custkey,
+        |             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |           FROM customer),
+        |a AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 7 = 0 THEN cents + 10000
+        |              ELSE cents END AS cents
+        |  FROM b WHERE c_custkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, cents FROM b
+        |  WHERE c_custkey % 13 = 0)
+        |SELECT c_custkey % 10 AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM a GROUP BY 1""".stripMargin,
 
     "qc_snapshot_cdc" ->
       """WITH b AS (SELECT c_custkey,

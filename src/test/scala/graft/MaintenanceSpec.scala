@@ -144,4 +144,21 @@ class MaintenanceSpec extends SparkSpec {
       s"avg bucket span $avgSpan vs global $xSpanGlobal")
     assert(stats.map(_.getAs[Long]("n_rows")).sum == li.count())
   }
+
+  test("pruningAudit: the Z-order layout scans a strictly smaller " +
+    "fraction than the key-hash layout; matches are layout-invariant") {
+    import org.apache.spark.sql.functions.col
+    val li = graft.core.Tables(spark, SfDir, "lineitem")
+    val r = graft.maint.Maintenance
+      .pruningAudit(li, "l_partkey", "l_suppkey", "l_orderkey")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(3), x.getLong(4), x.getLong(5), x.getLong(6))).toMap
+    val (zTot, zScan, zMatch, zPpm) = r("zorder")
+    val (nTot, nScan, nMatch, nPpm) = r("natural")
+    assert(zTot == nTot && zMatch == nMatch,
+      "pruning changed totals or the answer")
+    assert(zScan >= zMatch, "scanned fewer rows than match the box")
+    assert(zPpm < nPpm,
+      s"z-order bought nothing: zorder $zPpm ppm vs natural $nPpm ppm")
+  }
 }

@@ -76,6 +76,26 @@ class ReconSpec extends SparkSpec {
     assert(r(9L) == ((1L, 250000L, 45757L, 204243L)))
   }
 
+  test("applyCdcToAgg: inserts, deletes, updates and a group that " +
+    "empties — equals recomputing the after-image") {
+    // base: bucket0 = {k10: 5, k20: 7}, bucket1 = {k11: 3}
+    val base = Seq((10L, 5L), (20L, 7L), (11L, 3L))
+      .toDF("c_custkey", "cents")
+    val baseAgg = base.groupBy((col("c_custkey") % 10).as("bucket"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("cents")).cast("long").as("cents"))
+    // delete k11 (bucket1 empties), update k10 5->9, insert k30 (+2)
+    val cdc = Seq(
+      (11L, "delete", Some(3L), None: Option[Long]),
+      (10L, "update", Some(5L), Some(9L)),
+      (30L, "insert", None: Option[Long], Some(2L)))
+      .toDF("c_custkey", "op", "cents_before", "cents_after")
+    val got = Recon.applyCdcToAgg(baseAgg, cdc, col("c_custkey") % 10)
+      .as[(Long, Long, Long)].collect().toSet
+    // after-image: bucket0 = {k10: 9, k20: 7, k30: 2} -> (3, 18)
+    assert(got === Set((0L, 3L, 18L)))
+  }
+
   test("concentrationAudit: monopoly = 1e6 ppm, even split = 1/n, " +
     "shares quantize before squaring") {
     def t(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
