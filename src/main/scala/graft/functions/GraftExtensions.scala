@@ -51,7 +51,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     val l2U = "graft_l2norm(a) - L2 norm of a double array"
     val mhU = "graft_minhash_sig(bases, k) - k-permutation MinHash signature"
     val shU = "graft_simhash_bits(digests, bits) - SimHash bit string"
+    val dlU = "graft_dl(a, b) - unrestricted Damerau-Levenshtein distance"
     Seq(
+      ("graft_dl", dlU, (args: Seq[Expression]) => {
+        val a = arity("graft_dl", dlU, 2)(args)
+        DamerauLevenshtein(a(0), a(1))
+      }),
       ("graft_dot", dotU, (args: Seq[Expression]) => {
         val a = arity("graft_dot", dotU, 2)(args); DotProduct(a(0), a(1))
       }),

@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** UNRESTRICTED Damerau–Levenshtein distance — edit distance counting
+  * adjacent transposition as ONE operation, in the unrestricted form
+  * (a transposed pair may be edited again later: DL("CA","ABC") = 2,
+  * where the common OSA simplification answers 3). Spark ships only
+  * plain `levenshtein`, which prices every swapped-neighbor typo — the
+  * single most common human keying error in the reference's
+  * master-data matching — at 2 edits and pushes real matches over any
+  * threshold; this closes that gap as a native expression.
+  *
+  * The unrestricted variant (Lowrance–Wagner) is deliberately chosen
+  * over OSA because it is the one DuckDB implements
+  * (`damerau_levenshtein('CA','ABC') = 2`, probed) — so the oracle
+  * replays the ENGINE'S exact metric, not a look-alike.
+  *
+  * Native `Expression` per the build-brief preference order: the DP
+  * needs mutable row arrays and a last-occurrence table that no
+  * Column composition can express; `doGenCode` emits one static call,
+  * so the join stays inside whole-stage codegen (the same device as
+  * Spark's own `levenshtein`). O(|a|·|b|) time — callers gate lengths
+  * BEFORE calling (the X111 blocked-matching discipline); the 4096
+  * guard here is the loud backstop, not the plan.
+  */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_dl"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DamerauLevenshtein.distance(a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.DamerauLevenshtein" +
+        s".distance($a.toString(), $b.toString());")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DamerauLevenshtein = copy(newLeft, newRight)
+}
+
+object StringExpressions {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graft.ColumnShim.{column, expression}
+
+  /** Column wrapper over [[DamerauLevenshtein]]. */
+  def damerauLevenshtein(a: Column, b: Column): Column =
+    column(DamerauLevenshtein(expression(a), expression(b)))
+}
+
+object DamerauLevenshtein {
+
+  /** Quadratic-cost backstop: fuzzy matching runs on NAME-length
+    * strings behind a blocking join; a document-length operand here is
+    * a pipeline bug, fail loudly. */
+  val MaxLen = 4096
+
+  /** Lowrance–Wagner unrestricted Damerau–Levenshtein. Called from
+    * generated code — keep the signature primitive-friendly. */
+  def distance(s: String, t: String): Int = {
+    require(s.length <= MaxLen && t.length <= MaxLen,
+      s"damerau-levenshtein operands exceed $MaxLen chars — gate " +
+        "lengths before the distance (blocked-matching discipline)")
+    val n = s.length
+    val m = t.length
+    if (n == 0) return m
+    if (m == 0) return n
+    val inf = n + m
+    // d is (n+2) x (m+2), 1-based with a sentinel row/col of `inf`
+    val d = Array.ofDim[Int](n + 2, m + 2)
+    d(0)(0) = inf
+    var i = 0
+    while (i <= n) { d(i + 1)(0) = inf; d(i + 1)(1) = i; i += 1 }
+    var j = 0
+    while (j <= m) { d(0)(j + 1) = inf; d(1)(j + 1) = j; j += 1 }
+    // last row index (1-based) where each char occurred in s
+    val da = new java.util.HashMap[Character, Integer]()
+    i = 1
+    while (i <= n) {
+      var db = 0
+      j = 1
+      while (j <= m) {
+        val k: Int = {
+          val v = da.get(t.charAt(j - 1)); if (v == null) 0 else v
+        }
+        val l = db
+        val cost = if (s.charAt(i - 1) == t.charAt(j - 1)) { db = j; 0 }
+          else 1
+        val subst = d(i)(j) + cost
+        val insert = d(i + 1)(j) + 1
+        val delete = d(i)(j + 1) + 1
+        val transp = d(k)(l) + (i - k - 1) + 1 + (j - l - 1)
+        d(i + 1)(j + 1) =
+          math.min(math.min(subst, insert), math.min(delete, transp))
+        j += 1
+      }
+      da.put(s.charAt(i - 1), i)
+      i += 1
+    }
+    d(n + 1)(m + 1)
+  }
+}

@@ -120,6 +120,35 @@ object LoadQueries {
     // record linkage over the DISTINCT name domain (the part-name
     // variants): rep = lexicographic min over the close-edit
     // neighborhood, rows labeled back by an equi-join on name
+    // X149: transposition-aware fuzzy pairs — the native unrestricted
+    // Damerau-Levenshtein expression (graft_dl) finds swapped-neighbor
+    // typos (dl=1) that plain levenshtein prices at 2 and loses; the
+    // planted variants swap two adjacent chars, the blocking key is
+    // swap-stable, and the oracle replays DuckDB's own
+    // damerau_levenshtein (probed: the same unrestricted variant)
+    "j_fuzzy_dl" -> ((s, d) => {
+      val sup = Tables(s, d, "supplier")
+      val clean = sup.select(col("s_name").as("nm"))
+      val variants = sup.filter(col("s_suppkey") % 3 === 0)
+        .select(concat(substring(col("s_name"), 1, 8),
+          substring(col("s_name"), 10, 1),
+          substring(col("s_name"), 9, 1),
+          substring(col("s_name"), 11, 8)).as("nm"))
+      val all = graft.core.CacheBay.register(
+        clean.unionByName(variants)
+          .withColumn("blk", substring(col("nm"), 11, 7)))
+      all.select(col("nm").as("a"), col("blk"))
+        .join(all.select(col("nm").as("b"), col("blk")), Seq("blk"))
+        .filter(col("a") < col("b") &&
+          abs(length(col("a")) - length(col("b"))) <= 1)
+        .select(col("a"), col("b"),
+          graft.functions.StringExpressions
+            .damerauLevenshtein(col("a"), col("b")).cast("long")
+            .as("dl_dist"),
+          levenshtein(col("a"), col("b")).cast("long").as("lev_dist"))
+        .filter(col("dl_dist") <= 1)
+    }),
+
     "j_fuzzy_canonical" -> ((s, d) =>
       graft.operators.FuzzyMatch.canonicalMap(
         Tables(s, d, "part"), "p_partkey", "p_name")),
@@ -318,6 +347,24 @@ object LoadQueries {
 
     // same blocking (first name token) and the same one-hop
     // lexicographic-min rule; levenshtein is exact in both engines
+    "j_fuzzy_dl" ->
+      """WITH sup AS (SELECT s_name AS nm FROM supplier),
+        |var AS (
+        |  SELECT substr(s_name, 1, 8) || substr(s_name, 10, 1)
+        |         || substr(s_name, 9, 1) || substr(s_name, 11, 8) AS nm
+        |  FROM supplier WHERE s_suppkey % 3 = 0),
+        |al AS (SELECT nm, substr(nm, 11, 7) AS blk
+        |       FROM (SELECT nm FROM sup
+        |             UNION ALL SELECT nm FROM var) u),
+        |p AS (
+        |  SELECT a.nm AS a, b.nm AS b
+        |  FROM al a JOIN al b ON a.blk = b.blk AND a.nm < b.nm
+        |  WHERE abs(length(a.nm) - length(b.nm)) <= 1)
+        |SELECT a, b,
+        |  CAST(damerau_levenshtein(a, b) AS BIGINT) AS dl_dist,
+        |  CAST(levenshtein(a, b) AS BIGINT) AS lev_dist
+        |FROM p WHERE damerau_levenshtein(a, b) <= 1""".stripMargin,
+
     "j_fuzzy_canonical" -> {
       import graft.operators.FuzzyMatch.MaxLev
       s"""WITH n AS (SELECT p_partkey AS key, lower(p_name) AS nm

@@ -67,4 +67,34 @@ class FunctionsSpec extends SparkSpec {
         monthKey(to_date($"d"), 7)).as[(Long, Long, Long)].head()
     assert(r == ((199606L, 199506L, 199701L)))
   }
+
+  test("DamerauLevenshtein: unrestricted variant, pinned to DuckDB's " +
+    "probed answers; transpositions cost 1 where levenshtein says 2") {
+    import graft.functions.DamerauLevenshtein.distance
+    // pinned to duckdb damerau_levenshtein outputs (probed r8):
+    // the CA/ABC=2 case is what separates unrestricted DL from OSA (3)
+    assert(distance("CA", "ABC") == 2)
+    assert(distance("abcdef", "abcfed") == 2)
+    assert(distance("kitten", "sitting") == 3)
+    assert(distance("", "abc") == 3)
+    assert(distance("ab", "ba") == 1)
+    assert(distance("", "") == 0)
+    assert(distance("same", "same") == 0)
+    // the operator's reason to exist: one adjacent swap
+    val r = Seq(("Supplier#000000001", "Supplier0#00000001"))
+      .toDF("a", "b")
+      .select(graft.functions.StringExpressions
+        .damerauLevenshtein($"a", $"b").as("dl"),
+        levenshtein($"a", $"b").as("lev"))
+      .as[(Int, Int)].head()
+    assert(r == ((1, 2)))
+    // SQL surface + null propagation + codegen path
+    val sqlR = spark.sql(
+      "SELECT graft_dl('CA', 'ABC'), graft_dl(NULL, 'x')").head()
+    assert(sqlR.getInt(0) == 2 && sqlR.isNullAt(1))
+    val e = intercept[Exception] {
+      distance("x" * 5000, "y")
+    }
+    assert(e.getMessage.contains("gate lengths"))
+  }
 }
