@@ -33,6 +33,45 @@ object KmvSketch {
   val K = 128
   val HashSpan = 4294967296L // 2^32
 
+  /** Sliding-window distinct-count via KMV MERGE — the problem exact
+    * methods cannot decompose (distinct is not subtractable, so a
+    * 7-day rolling COUNT(DISTINCT) recomputes every window from raw
+    * rows): per-day k-min sets build once, each day's set contributes
+    * to the `windowDays` windows that contain it (a bounded ×w
+    * explode of k-row sketches, never of raw data), and each window
+    * re-truncates the union — lossless per the merge property. At
+    * 100 TB the raw rows are touched ONCE; everything sliding happens
+    * on sketch-sized frames. Emits
+    * `(window_day, n_kept, kth_hash, est_distinct)` for every window
+    * end any present day contributes to (leading/trailing partial
+    * windows included — deterministic, and the oracle replays the
+    * same frame). */
+  def kmvRolling(df: DataFrame, tsCol: String, value: String,
+      k: Int = K, windowDays: Int = 7): DataFrame = {
+    val h = expr(s"CAST(conv(substring(md5(CAST($value AS STRING)), " +
+      "1, 8), 16, 10) AS BIGINT)")
+    val dh = df.select(
+      expr(s"unix_micros($tsCol) div 86400000000").as("day"),
+      h.as("h")).distinct().withColumn("nh", -col("h"))
+    val daily = TopKPerKey.topKPerKey(dh, Seq("day"), "nh", "h", k)
+      .select(col("day"), col("nh"), col("h"))
+    val contrib = daily
+      .select(explode(sequence(col("day"),
+        col("day") + (windowDays - 1))).as("window_day"),
+        col("nh"), col("h"))
+      .distinct() // the same hash may arrive from several member days
+    val kept = TopKPerKey
+      .topKPerKey(contrib, Seq("window_day"), "nh", "h", k)
+    val estNum = (k - 1).toLong * HashSpan
+    kept.groupBy(col("window_day"))
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        max(col("h")).cast("long").as("kth_hash"))
+      .select(col("window_day"), col("n_kept"), col("kth_hash"),
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"$estNum div greatest(kth_hash, 1)"))
+          .cast("long").as("est_distinct"))
+  }
+
   /** `(group, n_kept, kth_hash, est_distinct)` per group plus the
     * merged `__all__` row. */
   def kmvDistinct(df: DataFrame, key: String, value: String,

@@ -341,6 +341,14 @@ object StreamQueries {
       graft.operators.KmvSketch.kmvDistinct(Tables(s, d, "events"),
         "event_type", "user_id")),
 
+    // X150: 7-day rolling distinct users via KMV merge — raw rows are
+    // touched once; the slide happens on sketch-sized frames (distinct
+    // is not subtractable, so the exact rolling form re-scans every
+    // window)
+    "events_kmv_rolling7" -> ((s, d) =>
+      graft.operators.KmvSketch.kmvRolling(Tables(s, d, "events"),
+        "ts", "user_id", k = 64)),
+
     "events_hll_rollup" -> ((s, d) => {
       val ev = Tables(s, d, "events")
       val cut = to_timestamp(lit("2024-01-15 00:00:00"))
@@ -777,6 +785,38 @@ object StreamQueries {
          |       ELSE $estNum // greatest(MAX(h), 1) END AS BIGINT)
          |    AS est_distinct
          |FROM u GROUP BY 1""".stripMargin
+    },
+
+    // per-day k-min sets -> bounded x7 window explode of SKETCHES ->
+    // re-truncate; rank windows are the spec the bounded heaps must hit
+    "events_kmv_rolling7" -> {
+      val k = 64
+      val estNum = (k - 1).toLong * graft.operators.KmvSketch.HashSpan
+      val h = OracleSql.hex8("md5(CAST(user_id AS VARCHAR))")
+      s"""WITH dh AS (
+         |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+         |         $h AS h
+         |  FROM events),
+         |dr AS (SELECT day, h,
+         |         row_number() OVER (PARTITION BY day ORDER BY h) AS rk
+         |       FROM dh),
+         |daily AS (SELECT day, h FROM dr WHERE rk <= $k),
+         |contrib AS (
+         |  SELECT DISTINCT day + gs.x AS window_day, h
+         |  FROM daily CROSS JOIN
+         |    (SELECT unnest(range(0, 7)) AS x) gs),
+         |wr AS (SELECT window_day, h,
+         |         row_number() OVER (PARTITION BY window_day
+         |           ORDER BY h) AS rk
+         |       FROM contrib),
+         |kept AS (SELECT window_day, h FROM wr WHERE rk <= $k)
+         |SELECT window_day,
+         |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |  CAST(MAX(h) AS BIGINT) AS kth_hash,
+         |  CAST(CASE WHEN COUNT(*) < $k THEN COUNT(*)
+         |       ELSE $estNum // greatest(MAX(h), 1) END AS BIGINT)
+         |    AS est_distinct
+         |FROM kept GROUP BY 1""".stripMargin
     },
 
     // exact columns genuinely recomputed; booleans are the sketch

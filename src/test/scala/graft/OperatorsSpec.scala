@@ -392,6 +392,26 @@ class OperatorsSpec extends SparkSpec {
       (direct._2, direct._3, direct._4))
   }
 
+  test("kmvRolling: a window's merged sketch equals the direct sketch " +
+    "over its member days' raw events") {
+    val ev = graft.core.Tables(spark, SfDir, "events")
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+    val k = 8
+    val minDay = ev.agg(min(col("day"))).head().getLong(0)
+    val d = minDay + 8 // a full 7-day window [d-6, d]
+    val rolled = graft.operators.KmvSketch
+      .kmvRolling(ev, "ts", "user_id", k)
+      .filter(col("window_day") === d)
+      .as[(Long, Long, Long, Long)].collect().head
+    val direct = graft.operators.KmvSketch
+      .kmvDistinct(ev.filter(col("day").between(d - 6, d))
+        .withColumn("one", lit("solo")), "one", "user_id", k)
+      .filter(col("one") === "solo")
+      .as[(String, Long, Long, Long)].collect().head
+    assert((rolled._2, rolled._3, rolled._4) ===
+      (direct._2, direct._3, direct._4))
+  }
+
   test("SweepLine: peak concurrency with half-open intervals, " +
     "earliest-date tie-break, zero-length intervals never open") {
     def d(n: Int) = java.sql.Date.valueOf(f"2024-01-$n%02d")
