@@ -476,8 +476,11 @@ object Analytics {
     * row is tie-broken by id, exactly as the oracle does), `cents`
     * (LONG score), `label` (0/1 LONG). */
   def calibrationCurve(scored: DataFrame, k: Int = 10): DataFrame = {
-    val base = graft.core.CacheBay.register(
-      scored.repartition(col("id")))
+    // Spread, not repartition(id): the id is unique, so the hash
+    // exchange bought nothing but local parallelism repair — on an
+    // already-split source it was a full-table shuffle for free
+    // (the r7 Similarity cleanup, applied here)
+    val base = graft.core.CacheBay.register(graft.core.Spread(scored))
     val off = base.groupBy(col("cents")).agg(count(lit(1)).as("c"))
       .withColumn("below", coalesce(
         sum(col("c")).over(Window.orderBy(col("cents"))
