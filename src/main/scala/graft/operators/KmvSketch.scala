@@ -72,6 +72,64 @@ object KmvSketch {
           .cast("long").as("est_distinct"))
   }
 
+  /** KMV SET ALGEBRA — the theta-sketch feature: distinct-count
+    * estimates for two sets AND their union/intersection from two
+    * k-min sketches alone (exact distinct intersection is a full
+    * equi-join of both raw sets; this is two sketch scans). The
+    * intersection device: θ = the union sketch's k-th minimum; every
+    * union-kept hash h ≤ θ decides membership in A EXACTLY via A's
+    * sketch (θ ≤ θ_A because A ⊆ A∪B, so A's sketch holds ALL of A's
+    * hashes up to θ), and the surviving both-members count scales by
+    * the sampling density: est_∩ = n_both · 2³² div θ. Under-filled
+    * union sketches degrade to EXACT set algebra (the kept sets are
+    * the full sets). One row out; all integer arithmetic.
+    *
+    * The two 1-row aggregates assemble via broadcast cross join —
+    * the PlanAudit JustifiedCross class. */
+  def kmvSetOps(df: DataFrame, typeCol: String, value: String,
+      keyA: String, keyB: String, k: Int = 32): DataFrame = {
+    val h = expr(s"CAST(conv(substring(md5(CAST($value AS STRING)), " +
+      "1, 8), 16, 10) AS BIGINT)")
+    val dh = df.filter(col(typeCol).isin(keyA, keyB))
+      .select(col(typeCol).as("grp"), h.as("h")).distinct()
+      .withColumn("nh", -col("h"))
+    val kept = graft.core.CacheBay.register(
+      TopKPerKey.topKPerKey(dh, Seq("grp"), "nh", "h", k)
+        .select(col("grp"), col("nh"), col("h")))
+    val uk = graft.core.CacheBay.register(
+      TopKPerKey.topKPerKey(
+        kept.select(lit("u").as("grp"), col("nh"), col("h")).distinct(),
+        Seq("grp"), "nh", "h", k)
+        .select(col("h")))
+    val estNum = (k - 1).toLong * HashSpan
+    def estOf(pre: String) =
+      when(col(s"n_$pre") < k, col(s"n_$pre"))
+        .otherwise(expr(s"$estNum div greatest(theta_$pre, 1)"))
+        .cast("long").as(s"est_$pre")
+    val aAgg = kept.filter(col("grp") === keyA)
+      .agg(count(lit(1)).cast("long").as("n_a"),
+        max(col("h")).cast("long").as("theta_a"))
+    val bAgg = kept.filter(col("grp") === keyB)
+      .agg(count(lit(1)).cast("long").as("n_b"),
+        max(col("h")).cast("long").as("theta_b"))
+    val uAgg = uk.agg(count(lit(1)).cast("long").as("n_u"),
+      max(col("h")).cast("long").as("theta_u"))
+    val both = uk
+      .join(kept.filter(col("grp") === keyA).select(col("h")), Seq("h"),
+        "left_semi")
+      .join(kept.filter(col("grp") === keyB).select(col("h")), Seq("h"),
+        "left_semi")
+      .agg(count(lit(1)).cast("long").as("n_both"))
+    aAgg.crossJoin(broadcast(bAgg)).crossJoin(broadcast(uAgg))
+      .crossJoin(broadcast(both))
+      .select(col("n_a"), estOf("a"), col("n_b"), estOf("b"),
+        col("n_u"), col("theta_u"), estOf("u"), col("n_both"),
+        when(col("n_u") < k, col("n_both"))
+          .otherwise(expr(s"(n_both * $HashSpan) div " +
+            "greatest(theta_u, 1)"))
+          .cast("long").as("est_intersection"))
+  }
+
   /** `(group, n_kept, kth_hash, est_distinct)` per group plus the
     * merged `__all__` row. */
   def kmvDistinct(df: DataFrame, key: String, value: String,

@@ -341,6 +341,13 @@ object StreamQueries {
       graft.operators.KmvSketch.kmvDistinct(Tables(s, d, "events"),
         "event_type", "user_id")),
 
+    // X151: KMV set algebra — union AND intersection estimates of two
+    // behavior cohorts from two sketch scans (exact distinct
+    // intersection is a raw-set equi-join)
+    "events_kmv_setops" -> ((s, d) =>
+      graft.operators.KmvSketch.kmvSetOps(Tables(s, d, "events"),
+        "event_type", "user_id", "click", "purchase")),
+
     // X150: 7-day rolling distinct users via KMV merge — raw rows are
     // touched once; the slide happens on sketch-sized frames (distinct
     // is not subtractable, so the exact rolling form re-scans every
@@ -785,6 +792,54 @@ object StreamQueries {
          |       ELSE $estNum // greatest(MAX(h), 1) END AS BIGINT)
          |    AS est_distinct
          |FROM u GROUP BY 1""".stripMargin
+    },
+
+    // theta = the union sketch's k-th minimum; membership of a
+    // union-kept hash in either original set decides EXACTLY via that
+    // set's sketch (theta <= theta_A); under-filled -> exact algebra
+    "events_kmv_setops" -> {
+      val k = 32
+      val estNum = (k - 1).toLong * graft.operators.KmvSketch.HashSpan
+      val span = graft.operators.KmvSketch.HashSpan
+      val h = OracleSql.hex8("md5(CAST(user_id AS VARCHAR))")
+      s"""WITH dh AS (
+         |  SELECT DISTINCT event_type AS grp, $h AS h FROM events
+         |  WHERE event_type IN ('click', 'purchase')),
+         |r AS (SELECT grp, h,
+         |        row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
+         |      FROM dh),
+         |kept AS (SELECT grp, h FROM r WHERE rk <= $k),
+         |ur AS (SELECT h, row_number() OVER (ORDER BY h) AS rk
+         |       FROM (SELECT DISTINCT h FROM kept) x),
+         |uk AS (SELECT h FROM ur WHERE rk <= $k),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a,
+         |             CAST(MAX(h) AS BIGINT) AS theta_a
+         |      FROM kept WHERE grp = 'click'),
+         |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b,
+         |             CAST(MAX(h) AS BIGINT) AS theta_b
+         |      FROM kept WHERE grp = 'purchase'),
+         |u AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_u,
+         |             CAST(MAX(h) AS BIGINT) AS theta_u FROM uk),
+         |bo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_both FROM uk
+         |       WHERE h IN (SELECT h FROM kept WHERE grp = 'click')
+         |         AND h IN (SELECT h FROM kept WHERE grp = 'purchase'))
+         |SELECT n_a,
+         |  CAST(CASE WHEN n_a < $k THEN n_a
+         |       ELSE $estNum // greatest(theta_a, 1) END AS BIGINT)
+         |    AS est_a,
+         |  n_b,
+         |  CAST(CASE WHEN n_b < $k THEN n_b
+         |       ELSE $estNum // greatest(theta_b, 1) END AS BIGINT)
+         |    AS est_b,
+         |  n_u, theta_u,
+         |  CAST(CASE WHEN n_u < $k THEN n_u
+         |       ELSE $estNum // greatest(theta_u, 1) END AS BIGINT)
+         |    AS est_u,
+         |  n_both,
+         |  CAST(CASE WHEN n_u < $k THEN n_both
+         |       ELSE (n_both * $span) // greatest(theta_u, 1) END
+         |    AS BIGINT) AS est_intersection
+         |FROM a CROSS JOIN b CROSS JOIN u CROSS JOIN bo""".stripMargin
     },
 
     // per-day k-min sets -> bounded x7 window explode of SKETCHES ->

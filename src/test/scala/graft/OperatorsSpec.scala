@@ -392,6 +392,40 @@ class OperatorsSpec extends SparkSpec {
       (direct._2, direct._3, direct._4))
   }
 
+  test("kmvSetOps: matches the scalar model at both fill levels; " +
+    "under-filled degrades to exact set algebra") {
+    val ev = graft.core.Tables(spark, SfDir, "events")
+    val hs = ev.filter(col("event_type").isin("click", "purchase"))
+      .selectExpr("event_type",
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), " +
+          "16, 10) AS BIGINT) AS h").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val aSet = hs.filter(_._1 == "click").map(_._2).toSet
+    val bSet = hs.filter(_._1 == "purchase").map(_._2).toSet
+    for (k <- Seq(8, 64)) {
+      val got = graft.operators.KmvSketch
+        .kmvSetOps(ev, "event_type", "user_id", "click", "purchase", k)
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().head
+      def sk(s: Set[Long]) = s.toSeq.sorted.take(k)
+      val (ka, kb) = (sk(aSet), sk(bSet))
+      val ku = sk(ka.toSet ++ kb.toSet)
+      def est(kept: Seq[Long]) = if (kept.length < k) kept.length.toLong
+        else (k - 1).toLong * 4294967296L / math.max(kept.last, 1L)
+      val nBoth = ku.count(x => ka.contains(x) && kb.contains(x)).toLong
+      val estI = if (ku.length < k) nBoth
+        else nBoth * 4294967296L / math.max(ku.last, 1L)
+      assert(got === ((ka.length.toLong, est(ka), kb.length.toLong,
+        est(kb), ku.length.toLong, ku.last, est(ku), nBoth, estI)),
+        s"k=$k")
+      // the under-filled path is EXACT set algebra
+      if (ku.length < k) {
+        assert(got._7 == (aSet ++ bSet).size.toLong)
+        assert(got._9 == (aSet intersect bSet).size.toLong)
+      }
+    }
+  }
+
   test("kmvRolling: a window's merged sketch equals the direct sketch " +
     "over its member days' raw events") {
     val ev = graft.core.Tables(spark, SfDir, "events")

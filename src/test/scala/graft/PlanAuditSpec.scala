@@ -314,6 +314,8 @@ class PlanAuditSpec extends SparkSpec {
       "text_collocations", "pipe_split_drift",
       // 1-row as-of scalar broadcast (max event date)
       "events_decay_score",
+      // four 1-row sketch aggregates assembled by broadcast cross join
+      "events_kmv_setops",
       // 1-row scalar broadcasts: basket total-order count, surprisal /
       // DSIR corpus totals, vocab-growth max doc id, seasonal totals
       "basket_rules", "text_surprisal", "text_dsir_weights",
