@@ -81,6 +81,10 @@ object SparkEntry {
     "X89_pagerank_converged" ->
       "MaintenanceSpec (graph_pagerank row stays the oracle)",
     "X135_jsonl_quarantine" -> "ReadersSpec (file-based source op)",
+    "X152_streaming_kmv_sketch" ->
+      ("KmvStreamSpec (per-group sketch state; snapshot after any " +
+      "prefix ≡ batch kmvDistinct over it — the batch operator's " +
+      "oracle covers the arithmetic)"),
     "X13_video_decode_stub" ->
       ("documented stub (Multimodal.scala — no video codec in " +
       "container; PCM/PNG legs are real and oracle-green)"))
