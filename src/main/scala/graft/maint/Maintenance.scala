@@ -97,6 +97,57 @@ object Maintenance {
         min(col("x")).as("x_min"), max(col("x")).as("x_max"),
         min(col("y")).as("y_min"), max(col("y")).as("y_max"))
 
+  /** KMV size for [[columnStats]] NDV estimates. */
+  val StatsNdvK = 256
+
+  /** ANALYZE-style column statistics — the stats a cost-based
+    * optimizer (and every data engineer's first profiling query) needs
+    * per column: row/null counts, min/max, and an NDV estimate. The
+    * scan cost is the point at 100 TB: the basic stats come from ONE
+    * pass (an unpivot explode to (column, value) grain — bounded ×c
+    * per row — feeding one map-side-combinable aggregate), and NDV
+    * uses the X144 KMV sketch (bounded heaps; exact below k, never an
+    * unbounded distinct per column). All LONG-valued inputs — the
+    * caller maps each profiled column to an exact integer expression
+    * (cents, units, keys), which is the repo-wide convention anyway.
+    *
+    * `(col_name, n_rows, n_null, min_val, max_val, ndv_kept,
+    * ndv_est)`. */
+  def columnStats(df: DataFrame, cols: Seq[(String, Column)],
+      k: Int = StatsNdvK): DataFrame = {
+    val unpivoted = graft.core.CacheBay.register(df.select(
+      explode(array(cols.map { case (n, c) =>
+        struct(lit(n).as("col_name"), c.cast("long").as("v"))
+      }: _*)).as("t"))
+      .select(col("t.col_name").as("col_name"), col("t.v").as("v")))
+    val base = unpivoted.groupBy(col("col_name"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_null"),
+        min(col("v")).cast("long").as("min_val"),
+        max(col("v")).cast("long").as("max_val"))
+    val dh = unpivoted.filter(col("v").isNotNull)
+      .select(col("col_name"),
+        expr("CAST(conv(substring(md5(CAST(v AS STRING)), 1, 8), 16, " +
+          "10) AS BIGINT)").as("h"))
+      .distinct().withColumn("nh", -col("h"))
+    val estNum = (k - 1).toLong * graft.operators.KmvSketch.HashSpan
+    val ndv = graft.operators.TopKPerKey
+      .topKPerKey(dh, Seq("col_name"), "nh", "h", k)
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).cast("long").as("ndv_kept"),
+        max(col("h")).cast("long").as("kth"))
+      .select(col("col_name"), col("ndv_kept"),
+        when(col("ndv_kept") < k, col("ndv_kept"))
+          .otherwise(expr(s"$estNum div greatest(kth, 1)"))
+          .cast("long").as("ndv_est"))
+    base.join(ndv, Seq("col_name"), "left")
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        col("min_val"), col("max_val"),
+        coalesce(col("ndv_kept"), lit(0L)).as("ndv_kept"),
+        coalesce(col("ndv_est"), lit(0L)).as("ndv_est"))
+  }
+
   /** Pruning-audit geometry: coordinates HASH-fold (md5-hex8) onto a
     * 2^AuditBits square — content-derived and uniform at every SF, so
     * the probe geometry is scale-invariant (raw fixture key domains

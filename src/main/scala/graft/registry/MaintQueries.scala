@@ -14,6 +14,20 @@ import graft.maint.Maintenance
   */
 object MaintQueries {
 
+  /** Columns [[graft.maint.Maintenance.columnStats]] profiles, as SQL
+    * text BOTH engines parse — the query and the oracle generate from
+    * this one list, so they cannot drift. The nullable probe exercises
+    * the null-counting path (the fixture itself carries no NULLs). */
+  private val StatsCols: Seq[(String, String)] = Seq(
+    "l_partkey" -> "l_partkey",
+    "l_suppkey" -> "l_suppkey",
+    "price_cents" -> ("CAST(floor(CAST(l_extendedprice AS DOUBLE) " +
+      "* CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"),
+    "qty_units" -> ("CAST(floor(CAST(l_quantity AS DOUBLE) " +
+      "* CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"),
+    "supp_nullable" -> ("CASE WHEN l_suppkey % 10 = 0 THEN NULL " +
+      "ELSE l_suppkey END"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> ((s, d) =>
       PageRank.purchaseRanks(Tables(s, d, "orders"),
@@ -41,6 +55,12 @@ object MaintQueries {
     "graph_components" -> ((s, d) =>
       graft.graph.Components.connectedComponents(
         graft.graph.Components.supportEdges(Tables(s, d, "lineitem")))),
+    // X153: ANALYZE-style column statistics (CBO-feeding profile):
+    // one unpivot pass for counts/nulls/min/max + KMV NDV per column;
+    // the nullable probe column exercises the null path
+    "maint_column_stats" -> ((s, d) =>
+      Maintenance.columnStats(Tables(s, d, "lineitem"),
+        StatsCols.map { case (n, e) => n -> expr(e) })),
     // X148: measured data-skipping audit — the same points bucketed by
     // Morton tiles vs a key-hash layout, a 2-D box planned against
     // both footers' min/max stats; the zorder scan_ppm is the win
@@ -247,6 +267,43 @@ object MaintQueries {
          |SELECT lbl AS component_id,
          |       CAST(COUNT(*) AS BIGINT) AS n_nodes
          |FROM m GROUP BY 1""".stripMargin
+    },
+
+    // generated from the SAME StatsCols list as the engine query; the
+    // rank window is the NDV spec the bounded heaps must reproduce
+    "maint_column_stats" -> {
+      val k = graft.maint.Maintenance.StatsNdvK
+      val estNum = (k - 1).toLong * graft.operators.KmvSketch.HashSpan
+      val h = OracleSql.hex8("md5(CAST(v AS VARCHAR))")
+      val arms = StatsCols.map { case (n, e) =>
+        s"SELECT '$n' AS col_name, CAST($e AS BIGINT) AS v FROM lineitem"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH u AS (
+         |  $arms),
+         |base AS (
+         |  SELECT col_name,
+         |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_null,
+         |    CAST(MIN(v) AS BIGINT) AS min_val,
+         |    CAST(MAX(v) AS BIGINT) AS max_val
+         |  FROM u GROUP BY 1),
+         |dh AS (SELECT DISTINCT col_name, $h AS hh FROM u
+         |       WHERE v IS NOT NULL),
+         |r AS (SELECT col_name, hh,
+         |        row_number() OVER (PARTITION BY col_name
+         |          ORDER BY hh) AS rk
+         |      FROM dh),
+         |ndv AS (
+         |  SELECT col_name, CAST(COUNT(*) AS BIGINT) AS ndv_kept,
+         |         CAST(MAX(hh) AS BIGINT) AS kth
+         |  FROM r WHERE rk <= $k GROUP BY 1)
+         |SELECT base.col_name, n_rows, n_null, min_val, max_val,
+         |  CAST(COALESCE(ndv_kept, 0) AS BIGINT) AS ndv_kept,
+         |  CAST(COALESCE(CASE WHEN ndv_kept < $k THEN ndv_kept
+         |       ELSE $estNum // greatest(kth, 1) END, 0) AS BIGINT)
+         |    AS ndv_est
+         |FROM base LEFT JOIN ndv USING (col_name)""".stripMargin
     },
 
     // same Morton spelling, same quarter-box probe; a bucket scans iff

@@ -97,4 +97,41 @@ class FunctionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("gate lengths"))
   }
+
+  test("DamerauLevenshtein: metric axioms and levenshtein bounds hold " +
+    "over random string pairs (property)") {
+    import graft.functions.DamerauLevenshtein.distance
+    // plain Levenshtein reference, small and obviously correct
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val gen = Gen.listOf(Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    val seed = Seed(42L)
+    val strs = Iterator.iterate(seed)(_.next)
+      .map(s => gen.apply(Gen.Parameters.default, s).getOrElse(""))
+      .take(60).toSeq
+    for (a <- strs.take(20); b <- strs.slice(20, 40)) {
+      val dl = distance(a, b)
+      val lv = lev(a, b)
+      // identity, symmetry, the levenshtein sandwich, length bound
+      assert(distance(a, a) == 0)
+      assert(dl == distance(b, a))
+      assert(dl <= lv && lv <= 2 * dl || (dl == 0 && lv == 0),
+        s"bounds broke for '$a'/'$b': dl=$dl lev=$lv")
+      assert(dl >= math.abs(a.length - b.length))
+    }
+    // triangle inequality (holds for the UNRESTRICTED variant; OSA
+    // famously violates it — e.g. OSA('ca','abc')=3 > 1+... )
+    for (a <- strs.take(12); b <- strs.slice(12, 24);
+         c <- strs.slice(24, 36)) {
+      assert(distance(a, c) <= distance(a, b) + distance(b, c),
+        s"triangle broke for '$a'/'$b'/'$c'")
+    }
+  }
 }

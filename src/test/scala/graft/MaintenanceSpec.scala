@@ -145,6 +145,23 @@ class MaintenanceSpec extends SparkSpec {
     assert(stats.map(_.getAs[Long]("n_rows")).sum == li.count())
   }
 
+  test("columnStats: exact counts, null accounting, min/max, and " +
+    "exact NDV below the sketch fill") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(10L)), (2L, Some(10L)), (3L, Some(30L)),
+      (4L, None: Option[Long]), (5L, None: Option[Long]))
+      .toDF("k", "v")
+    val r = graft.maint.Maintenance.columnStats(df,
+      Seq("k" -> col("k"), "v" -> col("v")), k = 8)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4, x._5, x._6, x._7))).toMap
+    graft.core.CacheBay.drain()
+    assert(r("k") == ((5L, 0L, 1L, 5L, 5L, 5L)))
+    assert(r("v") == ((5L, 2L, 10L, 30L, 2L, 2L)))
+  }
+
   test("pruningAudit: the Z-order layout scans a strictly smaller " +
     "fraction than the key-hash layout; matches are layout-invariant") {
     import org.apache.spark.sql.functions.col
