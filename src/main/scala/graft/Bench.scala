@@ -53,6 +53,8 @@ object Bench {
       tier("dedup.shingles")(graft.dedup.Dedup.sharedShingles(spark, sfDir).count())
       tier("dedup.pairs")(graft.dedup.Dedup.sharedPairs(spark, sfDir).count())
       tier("dedup.clusters")(graft.dedup.Dedup.sharedClusters(spark, sfDir).count())
+      tier("dedup.ppjoin")(
+        graft.dedup.Dedup.sharedExactPairs(spark, sfDir).count())
       tier("graph.copurchase")(
         graft.graph.Triangles.sharedCoPurchaseEdges(spark, sfDir).count())
       tier("graph.und")(

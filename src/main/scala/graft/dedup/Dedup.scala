@@ -655,6 +655,16 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Session-cached [[prefixFilterPairs]] output for the `documents`
+    * table at `dir` — third tier of the dedup family cache: the exact
+    * τ-Jaccard pair set feeds both the pair listing and the
+    * top-k-neighbors view, so a sweep pays the prefix join once. */
+  def sharedExactPairs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.core.SessionCache.cached(spark, s"ppjoinpairs:$dir")(
+      prefixFilterPairs(graft.core.Tables(spark, dir, "documents"),
+        shingles = Some(sharedShingles(spark, dir))))
+
   /** EXACT threshold-Jaccard pair join via PREFIX FILTERING (the
     * PPJoin family — Xiao et al., "Efficient Similarity Joins for Near
     * Duplicate Detection", WWW'08): every pair with Jaccard ≥ τ is

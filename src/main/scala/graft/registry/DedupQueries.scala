@@ -39,8 +39,20 @@ object DedupQueries {
       Dedup.ngramJaccardPairs(docs(s, d), shingles = sh(s, d))),
     // X140: EXACT tau-Jaccard join — prefix filtering instead of the
     // df cap, so no shingle is dropped and the answer set is complete
-    "dedup_ppjoin" -> ((s, d) =>
-      Dedup.prefixFilterPairs(docs(s, d), shingles = sh(s, d))),
+    "dedup_ppjoin" -> ((s, d) => Dedup.sharedExactPairs(s, d)),
+    // X154: each doc's top-3 nearest neighbors by exact Jaccard — the
+    // kNN text view composed from the shared exact pair set via the
+    // bounded-heap top-k (no per-doc sort of the whole pair list)
+    "dedup_topk_neighbors" -> ((s, d) => {
+      val p = Dedup.sharedExactPairs(s, d)
+        .select(col("a_id"), col("b_id"), col("jac_e6"))
+      val sym = p.unionByName(p.select(col("b_id").as("a_id"),
+        col("a_id").as("b_id"), col("jac_e6")))
+      graft.operators.TopKPerKey.topKPerKey(
+        sym.select(col("a_id").as("doc_id"),
+          col("b_id").as("neighbor"), col("jac_e6")),
+        Seq("doc_id"), "jac_e6", "neighbor", 3)
+    }),
     "dedup_shingle_novelty" -> ((s, d) =>
       Dedup.shingleNovelty(docs(s, d), shingles = sh(s, d))),
     "dedup_dup_spans" -> ((s, d) => Dedup.dupSpanRemoval(docs(s, d))),
@@ -155,6 +167,28 @@ object DedupQueries {
   /** Exact df-capped n-gram Jaccard pairs as CTEs ending in `jp` —
     * shared by the pair query and the LSH audit. Requires
     * [[ShinglesCte]] upstream. */
+  /** Uncapped exact τ-Jaccard pairs (the X140 spec): brute-force
+    * inverted-index join, integer cross-multiplied threshold. Produces
+    * `pp(a_id, b_id, inter, na, nb, jac_e6)`. */
+  private val PpPairsCtes: String = {
+    val tauE6 = math.round(Dedup.MinJaccard * 1e6)
+    s"""ppex AS (SELECT doc_id, unnest(shingles) AS s FROM shf),
+       |ppcnt AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n
+       |          FROM shf),
+       |ppsh AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |         CAST(count(*) AS BIGINT) AS inter
+       |  FROM ppex a JOIN ppex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pp AS (
+       |  SELECT a_id, b_id, inter, ca.n AS na, cb.n AS nb,
+       |         (inter * 1000000) // (ca.n + cb.n - inter) AS jac_e6
+       |  FROM ppsh JOIN ppcnt ca ON a_id = ca.doc_id
+       |            JOIN ppcnt cb ON b_id = cb.doc_id
+       |  WHERE inter * 1000000 >= $tauE6 * (ca.n + cb.n - inter))"""
+      .stripMargin
+  }
+
   private val JaccardPairsCtes: String =
     s"""ex AS (SELECT doc_id, unnest(shingles) AS s FROM shf),
        |rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= $MaxShingleDf),
@@ -410,27 +444,26 @@ object DedupQueries {
     // the oracle is the brute-force inverted-index join with NO df cap
     // — prefix filtering is lossless, so the engine must reproduce the
     // complete answer set exactly; integer cross-multiplied threshold
-    "dedup_ppjoin" -> {
-      val tauE6 = math.round(Dedup.MinJaccard * 1e6)
-      s"""WITH $ShinglesCte,
-         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM shf),
-         |cnt AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n
-         |        FROM shf),
-         |shared AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |         CAST(count(*) AS BIGINT) AS inter
-         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |j AS (
-         |  SELECT a_id, b_id, inter, ca.n AS na, cb.n AS nb
-         |  FROM shared JOIN cnt ca ON a_id = ca.doc_id
-         |              JOIN cnt cb ON b_id = cb.doc_id)
-         |SELECT a_id, b_id, inter, na, nb,
-         |  (inter * 1000000) // (na + nb - inter) AS jac_e6
-         |FROM j
-         |WHERE inter * 1000000 >= $tauE6 * (na + nb - inter)"""
-        .stripMargin
-    },
+    "dedup_ppjoin" ->
+      s"""WITH $ShinglesCte, $PpPairsCtes
+         |SELECT a_id, b_id, inter, na, nb, jac_e6 FROM pp"""
+        .stripMargin,
+
+    // symmetrized exact pairs -> rank window (jac DESC, neighbor ASC)
+    // — the spec the bounded per-partition heaps must reproduce
+    "dedup_topk_neighbors" ->
+      s"""WITH $ShinglesCte, $PpPairsCtes,
+         |sym AS (SELECT a_id AS doc_id, b_id AS neighbor, jac_e6
+         |        FROM pp
+         |        UNION ALL
+         |        SELECT b_id, a_id, jac_e6 FROM pp),
+         |rk AS (SELECT doc_id, neighbor, jac_e6,
+         |         CAST(row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY jac_e6 DESC, neighbor ASC) AS BIGINT)
+         |           AS rk
+         |       FROM sym)
+         |SELECT doc_id, neighbor, jac_e6, rk FROM rk
+         |WHERE rk <= 3""".stripMargin,
 
     // full-outer pair-key join of the LSH candidates and the exact
     // (df-capped) Jaccard pairs; -1 marks the absent side
