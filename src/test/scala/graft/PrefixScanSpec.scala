@@ -61,6 +61,27 @@ class PrefixScanSpec extends SparkSpec {
       s"offset join is not broadcast:\n$p")
   }
 
+  test("edge cases: empty input yields empty output; a single row " +
+    "scans to itself; duplicate order keys are caller error but sums " +
+    "stay total-correct") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("k", "v")
+    assert(PrefixScan.prefixSum(empty, Seq("k"), "v", "cum").count() == 0)
+    graft.core.CacheBay.drain()
+    val one = Seq((7L, 42L)).toDF("k", "v")
+    val r = PrefixScan.prefixSum(one, Seq("k"), "v", "cum")
+      .select("k", "cum").as[(Long, Long)].collect()
+    graft.core.CacheBay.drain()
+    assert(r.toSeq == Seq((7L, 42L)))
+    // ties on the order key: per-row cums are boundary-dependent (the
+    // documented contract) but the FINAL cumulative is still the total
+    val tied = Seq((1L, 10L), (1L, 20L), (1L, 30L)).toDF("k", "v")
+    val cums = PrefixScan.prefixSum(tied, Seq("k"), "v", "cum")
+      .select("cum").as[Long].collect()
+    graft.core.CacheBay.drain()
+    assert(cums.max == 60L)
+  }
+
   test("Skyline.frontier: hand case — dominated rows drop, equal " +
     "(price,size) duplicates both survive") {
     val part = Seq(
