@@ -125,6 +125,48 @@ object Multimodal {
       }
     }
 
+  /** Samples per analysis window for [[pcmWindowEnergy]] — the "frame"
+    * of audio feature extraction (VAD, silence trimming, loudness
+    * normalization all consume per-window energy, not whole-clip
+    * RMS). */
+  val PcmWindow = 64
+
+  case class PcmWindowEnergy(doc_id: Long, win: Long, n_samples: Long,
+    energy: Long)
+
+  /** Windowed short-time energy over the same PCM16LE decode: per
+    * fixed window of [[PcmWindow]] samples, Σ s² as an EXACT Long (a
+    * 16-bit sample squares below 2³¹; 64 of them stay far inside
+    * Long), so the whole decode→window→energy path hash-matches the
+    * SQL replay — the X13 oracle device applied at sub-clip grain.
+    * Same batched `mapPartitions` seam as [[decodePcm16]]. */
+  def decodePcmWindows(batch: Seq[MediaRecord],
+      win: Int = PcmWindow): Seq[PcmWindowEnergy] =
+    batch.flatMap { r =>
+      val b = r.payload
+      val n = b.length / 2
+      (0 until (n + win - 1) / win).map { w =>
+        val lo = w * win
+        val hi = math.min(lo + win, n)
+        var i = lo; var e = 0L
+        while (i < hi) {
+          val s = (b(2 * i + 1).toInt << 8) | (b(2 * i) & 0xff)
+          e += s.toLong * s
+          i += 1
+        }
+        PcmWindowEnergy(r.doc_id, w.toLong, (hi - lo).toLong, e)
+      }
+    }
+
+  /** Short-time-energy query over the media table. */
+  def pcmWindowEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(b =>
+        decodePcmWindows(b)))
+      .toDF()
+  }
+
   /** PCM16 waveform-feature query over the media table (payload bytes
     * interpreted as raw PCM16LE — the audio leg of the pipeline). */
   def pcmFeatures(spark: SparkSession, dir: String): DataFrame = {

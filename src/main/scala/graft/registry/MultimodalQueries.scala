@@ -15,6 +15,11 @@ object MultimodalQueries {
     "multimodal_features" -> ((s, d) => Multimodal.mediaFeatures(s, d)),
     "multimodal_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, d)),
     "multimodal_pcm_decode" -> ((s, d) => Multimodal.pcmFeatures(s, d)),
+    // X155: short-time energy per fixed sample window — the audio
+    // frame grain VAD/silence-trim/loudness consume; exact Longs end
+    // to end, so the real decode hash-matches the SQL replay
+    "multimodal_pcm_energy" -> ((s, d) =>
+      Multimodal.pcmWindowEnergy(s, d)),
     "multimodal_image_decode" -> ((s, d) => Multimodal.imageFeatures(s, d)),
     "multimodal_ahash" -> ((s, d) => Multimodal.imageHashes(s, d)),
     "multimodal_ahash_pairs" -> ((s, d) =>
@@ -85,6 +90,31 @@ object MultimodalQueries {
         |    i -> CASE WHEN (smp[i] >= 0) <> (smp[i-1] >= 0)
         |              THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_cross
         |FROM s""".stripMargin,
+
+    // same sample decode, grouped to the fixed analysis window; the
+    // struct-unnest carries each sample's ordinal so the window id is
+    // (i-1) div W in both engines
+    "multimodal_pcm_energy" -> {
+      val w = Multimodal.PcmWindow
+      s"""WITH m AS (
+         |  SELECT doc_id, text FROM documents WHERE length(text) >= 2),
+         |s AS (
+         |  SELECT doc_id, list_transform(range(1, length(text)//2 + 1),
+         |    i -> CASE WHEN ascii(text[2*i:2*i]) >= 128
+         |              THEN ascii(text[2*i-1:2*i-1])
+         |                   + ascii(text[2*i:2*i]) * 256 - 65536
+         |              ELSE ascii(text[2*i-1:2*i-1])
+         |                   + ascii(text[2*i:2*i]) * 256 END) AS smp
+         |  FROM m),
+         |u AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(smp) + 1),
+         |    i -> {'i': i, 'v': smp[i]})) AS t
+         |  FROM s)
+         |SELECT doc_id, CAST((t.i - 1) // $w AS BIGINT) AS win,
+         |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+         |  CAST(SUM(t.v * t.v) AS BIGINT) AS energy
+         |FROM u GROUP BY 1, 2""".stripMargin
+    },
 
     // PNG is lossless, so the REAL encode→decode round trip through
     // javax.imageio must reproduce the deterministic pixel function of

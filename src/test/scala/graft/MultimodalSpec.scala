@@ -64,6 +64,23 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.MediaRecord(2L, "audio/pcm", Array[Byte](1), 1, 1))).isEmpty)
   }
 
+  test("decodePcmWindows: exact per-window energies, short final " +
+    "window, window boundary at exactly W samples") {
+    // 3 samples with window=2: win0 = {256, -1}, win1 = {-32752}
+    val payload = Array[Byte](0x00, 0x01, 0xFF.toByte, 0xFF.toByte,
+      0x10, 0x80.toByte)
+    val r = Multimodal.decodePcmWindows(Seq(
+      Multimodal.MediaRecord(1L, "audio/pcm", payload, 1, 1)), win = 2)
+    assert(r == Seq(
+      Multimodal.PcmWindowEnergy(1L, 0L, 2L, 256L * 256 + 1),
+      Multimodal.PcmWindowEnergy(1L, 1L, 1L, 32752L * 32752)))
+    // exactly one full window -> exactly one row
+    val two = Array[Byte](0x01, 0x00, 0x02, 0x00)
+    val r2 = Multimodal.decodePcmWindows(Seq(
+      Multimodal.MediaRecord(2L, "audio/pcm", two, 1, 1)), win = 2)
+    assert(r2 == Seq(Multimodal.PcmWindowEnergy(2L, 0L, 2L, 5L)))
+  }
+
   test("image leg: payloads are REAL PNGs and the decode round-trips " +
     "the deterministic pixel function exactly") {
     // text "abcd": len 4 → w = 5, h = 5; pixels cycle a,b,c,d,a,…
