@@ -1076,4 +1076,58 @@ object Analytics {
       .agg(min(col("price_cents")).cast("long").as("wmedian_cents"),
         max(col("totw")).cast("long").as("total_weight_units"))
   }
+
+  /** [[weightedMedian]] generalized to a VECTOR of weighted quantiles
+    * (lower quantile at each q%: the cheapest price whose cumulative
+    * weight reaches ⌈total·q/100⌉) — the p25/p50/p75 ladder ops teams
+    * actually ask of a price distribution, still without sorting any
+    * whole group: ONE histogram pass serves every q (each q picks its
+    * own crossing bucket from the same tiny bucket frame), and the
+    * refine pass sorts only the union of crossing buckets, windowed
+    * per (group, q) with each q's prefix weight carried in. Integer
+    * thresholds: `(totw·q + 99) div 100` ≡ ceil, which at q=50
+    * reproduces the median's `(totw+1) div 2` exactly. */
+  def weightedQuantiles(lineitem: DataFrame, part: DataFrame,
+      qPcts: Seq[Int] = Seq(25, 50, 75),
+      bucketCents: Long = WMedianBucketCents): DataFrame = {
+    require(qPcts.nonEmpty && qPcts.forall(q => q > 0 && q < 100),
+      "weightedQuantiles: q percentages must be in (0, 100)")
+    import lineitem.sparkSession.implicits._
+    val base = graft.core.CacheBay.register(lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")
+          .as("price_cents"),
+        floor(col("l_quantity") * 100.0 + 0.5).cast("long").as("w_units"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("bucket", expr(s"price_cents div $bucketCents")))
+    val hscan = Window.partitionBy(col("p_brand")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = base.groupBy(col("p_brand"), col("bucket"))
+      .agg(sum(col("w_units")).cast("long").as("bw"))
+      .withColumn("cum_through", sum(col("bw")).over(hscan).cast("long"))
+      .withColumn("totw",
+        sum(col("bw")).over(Window.partitionBy(col("p_brand")))
+          .cast("long"))
+    val crossing = hist
+      .crossJoin(broadcast(
+        qPcts.toDF("q").select(col("q").cast("long").as("q"))))
+      .withColumn("threshold", expr("(totw * q + 99) div 100"))
+      .filter(col("cum_through") >= col("threshold") &&
+        (col("cum_through") - col("bw")) < col("threshold"))
+      .select(col("p_brand"), col("bucket"), col("q"),
+        (col("cum_through") - col("bw")).as("cum_before"),
+        col("threshold"), col("totw"))
+    val rscan = Window.partitionBy(col("p_brand"), col("q"))
+      .orderBy(col("price_cents"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(crossing), Seq("p_brand", "bucket"))
+      .withColumn("cumw",
+        col("cum_before") + sum(col("w_units")).over(rscan).cast("long"))
+      .filter(col("cumw") >= col("threshold"))
+      .groupBy(col("p_brand"), col("q"))
+      .agg(min(col("price_cents")).cast("long").as("wq_cents"),
+        max(col("totw")).cast("long").as("total_weight_units"))
+  }
 }

@@ -51,6 +51,14 @@ object AnalyticsQueries {
       Analytics.weightedMedian(graft.core.Tables(s, d, "lineitem"),
         graft.core.Tables(s, d, "part"))),
 
+    // X156: the p25/p50/p75 weighted-quantile ladder from ONE
+    // histogram pass — each q picks its crossing bucket from the same
+    // tiny bucket frame; only crossing buckets ever sort
+    "weighted_quantiles" -> ((s, d) =>
+      graft.analytics.Analytics.weightedQuantiles(
+        graft.core.Tables(s, d, "lineitem"),
+        graft.core.Tables(s, d, "part"))),
+
     // X141: GLOBAL running total via the distributed two-phase prefix
     // scan — the empty-PARTITION-BY window this replaces would move
     // every row into one task (sampled to %100 keys AFTER the scan)
@@ -444,6 +452,34 @@ object AnalyticsQueries {
         |SELECT p_brand, MIN(price_cents) AS wmedian_cents,
         |       MAX(totw) AS total_weight_units
         |FROM c WHERE cumw >= (totw + 1) // 2 GROUP BY 1""".stripMargin,
+
+    // one global-window arm per q — the SPEC the bucket refinement
+    // must land on; ceil threshold spelled (totw*q + 99) // 100
+    "weighted_quantiles" ->
+      """WITH base AS (
+        |  SELECT p_brand,
+        |    CAST(floor(CAST(l_extendedprice AS DOUBLE)
+        |      * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |      AS price_cents,
+        |    CAST(floor(CAST(l_quantity AS DOUBLE)
+        |      * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |      AS w_units,
+        |    l_orderkey, l_linenumber
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |c AS (
+        |  SELECT p_brand, price_cents,
+        |    CAST(SUM(w_units) OVER (PARTITION BY p_brand
+        |      ORDER BY price_cents, l_orderkey, l_linenumber
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw,
+        |    CAST(SUM(w_units) OVER (PARTITION BY p_brand) AS BIGINT)
+        |      AS totw
+        |  FROM base),
+        |qs AS (SELECT CAST(unnest([25, 50, 75]) AS BIGINT) AS q)
+        |SELECT p_brand, q, MIN(price_cents) AS wq_cents,
+        |       MAX(totw) AS total_weight_units
+        |FROM c CROSS JOIN qs
+        |WHERE cumw >= (totw * q + 99) // 100
+        |GROUP BY 1, 2""".stripMargin,
 
     // the oracle spells the SPEC as the global empty-partition window
     // the engine refuses to plan; integer cents make the running sum

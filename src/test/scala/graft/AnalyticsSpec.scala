@@ -487,6 +487,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(byBrand("Y") == ((5550L, 700L)))
   }
 
+  test("weightedQuantiles: hand quartiles; q=50 equals weightedMedian " +
+    "on fixture data") {
+    val li = Seq(
+      ("X", 10.0, 1.0, 1L, 1), ("X", 20.0, 1.0, 2L, 1),
+      ("X", 30.0, 2.0, 3L, 1), ("Y", 55.5, 7.0, 4L, 1))
+      .toDF("b", "l_extendedprice", "l_quantity", "l_orderkey",
+        "l_linenumber")
+      .withColumn("l_partkey", when(col("b") === "X", 1L).otherwise(2L))
+    val part = Seq((1L, "X"), (2L, "Y")).toDF("p_partkey", "p_brand")
+    val r = Analytics.weightedQuantiles(li, part, bucketCents = 1000L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(x => (x._1, x._2) -> x._3).toMap
+    graft.core.CacheBay.drain()
+    assert(r(("X", 25L)) == 1000L && r(("X", 50L)) == 2000L &&
+      r(("X", 75L)) == 3000L)
+    assert(r(("Y", 25L)) == 5550L && r(("Y", 75L)) == 5550L)
+    // q=50 reproduces the median operator exactly on real data
+    val liF = graft.core.Tables(spark, SfDir, "lineitem")
+    val partF = graft.core.Tables(spark, SfDir, "part")
+    val med = Analytics.weightedMedian(liF, partF)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    graft.core.CacheBay.drain()
+    val q50 = Analytics.weightedQuantiles(liF, partF, qPcts = Seq(50))
+      .collect().map(x => x.getString(0) -> x.getLong(2)).toMap
+    graft.core.CacheBay.drain()
+    assert(q50 === med)
+  }
+
   test("weightedMedian: two-pass refinement equals the naive global " +
     "window on fixture data, at a bucket width that forces refinement") {
     val li = graft.core.Tables(spark, SfDir, "lineitem")

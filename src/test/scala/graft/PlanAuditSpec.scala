@@ -316,6 +316,8 @@ class PlanAuditSpec extends SparkSpec {
       "events_decay_score",
       // four 1-row sketch aggregates assembled by broadcast cross join
       "events_kmv_setops",
+      // the 3-row quantile list broadcast onto the tiny bucket frame
+      "weighted_quantiles",
       // 1-row scalar broadcasts: basket total-order count, surprisal /
       // DSIR corpus totals, vocab-growth max doc id, seasonal totals
       "basket_rules", "text_surprisal", "text_dsir_weights",
