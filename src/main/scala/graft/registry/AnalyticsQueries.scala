@@ -51,6 +51,17 @@ object AnalyticsQueries {
       Analytics.weightedMedian(graft.core.Tables(s, d, "lineitem"),
         graft.core.Tables(s, d, "part"))),
 
+    // X157: Poisson-bootstrap error bars — uncertainty for a grouped
+    // sum in ONE scan (bounded xR explode), draws inverted from the
+    // hash so the whole computation is deterministic and replayable
+    "a_bootstrap_totals" -> ((s, d) =>
+      graft.operators.Bootstrap.poissonBootstrap(
+        graft.core.Tables(s, d, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            floor(col("o_totalprice") * 100.0 + 0.5).cast("long")
+              .as("cents")),
+        "o_orderpriority", "o_orderkey", "cents")),
+
     // X156: the p25/p50/p75 weighted-quantile ladder from ONE
     // histogram pass — each q picks its crossing bucket from the same
     // tiny bucket frame; only crossing buckets ever sort
@@ -452,6 +463,41 @@ object AnalyticsQueries {
         |SELECT p_brand, MIN(price_cents) AS wmedian_cents,
         |       MAX(totw) AS total_weight_units
         |FROM c WHERE cumw >= (totw + 1) // 2 GROUP BY 1""".stripMargin,
+
+    // the CDF thresholds are generated from the SAME constant list as
+    // the engine; only the hex8-of-md5 spelling differs per engine
+    "a_bootstrap_totals" -> {
+      import graft.operators.Bootstrap
+      val r = Bootstrap.Replicates
+      val h = OracleSql.hex8(
+        "md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR))")
+      s"""WITH base AS (
+         |  SELECT o_orderpriority AS grp, o_orderkey,
+         |    CAST(floor(CAST(o_totalprice AS DOUBLE)
+         |      * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+         |      AS v
+         |  FROM orders),
+         |exact AS (
+         |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |         CAST(SUM(v) AS BIGINT) AS total_cents
+         |  FROM base GROUP BY 1),
+         |reps AS (
+         |  SELECT grp, b,
+         |    CAST(SUM(v * ${Bootstrap.countSql(h)}) AS BIGINT)
+         |      AS rep_sum
+         |  FROM base CROSS JOIN
+         |    (SELECT unnest(range(0, $r)) AS b) bs
+         |  GROUP BY 1, 2),
+         |spread AS (
+         |  SELECT grp, list_sort(list(rep_sum)) AS sums
+         |  FROM reps GROUP BY 1)
+         |SELECT exact.grp AS o_orderpriority, n_rows, total_cents,
+         |  CAST(sums[1] AS BIGINT) AS boot_min,
+         |  CAST(sums[${(r + 1) / 2}] AS BIGINT) AS boot_med_lo,
+         |  CAST(sums[$r] AS BIGINT) AS boot_max
+         |FROM exact JOIN spread ON exact.grp = spread.grp"""
+        .stripMargin
+    },
 
     // one global-window arm per q — the SPEC the bucket refinement
     // must land on; ceil threshold spelled (totw*q + 99) // 100

@@ -392,6 +392,36 @@ class OperatorsSpec extends SparkSpec {
       (direct._2, direct._3, direct._4))
   }
 
+  test("Bootstrap: Poisson(1) draws average ~1, results are " +
+    "deterministic, and the spread brackets the exact total") {
+    import graft.operators.Bootstrap
+    val o = graft.core.Tables(spark, SfDir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+    // draw-level sanity: the mean resample count over all
+    // (row, replicate) pairs is ~1 (law of the inverted CDF)
+    val cnts = o.select(col("o_orderkey"),
+      explode(sequence(lit(0), lit(15))).as("b"))
+      .selectExpr(Bootstrap.countSql(
+        Bootstrap.sparkHash("o_orderkey", "b")) + " AS cnt")
+      .agg(avg(col("cnt"))).head().getDouble(0)
+    assert(math.abs(cnts - 1.0) < 0.05, s"mean draw $cnts")
+    val run1 = Bootstrap.poissonBootstrap(o, "o_orderpriority",
+      "o_orderkey", "cents")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val run2 = Bootstrap.poissonBootstrap(o, "o_orderpriority",
+      "o_orderkey", "cents")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(run1 === run2 && run1.nonEmpty)
+    // with 16 replicates the spread straddles the exact total for
+    // every group here (fails only if the estimator is biased/broken)
+    run1.foreach { case (g, _, tot, mn, med, mx) =>
+      assert(mn <= mx && mn <= med && med <= mx, g)
+      assert(mn <= tot && tot <= mx,
+        s"$g: [$mn, $mx] misses exact $tot")
+    }
+  }
+
   test("kmvSetOps: matches the scalar model at both fill levels; " +
     "under-filled degrades to exact set algebra") {
     val ev = graft.core.Tables(spark, SfDir, "events")
