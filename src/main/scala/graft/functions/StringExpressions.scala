@@ -59,8 +59,10 @@ object DamerauLevenshtein {
 
   /** Quadratic-cost backstop: fuzzy matching runs on NAME-length
     * strings behind a blocking join; a document-length operand here is
-    * a pipeline bug, fail loudly. */
-  val MaxLen = 4096
+    * a pipeline bug, fail loudly. 1024 bounds the DP matrix at
+    * ~4 MB/call — 4096 would allow 67 MB PER ROW across every executor
+    * thread, an OOM the require exists to prevent, not permit. */
+  val MaxLen = 1024
 
   /** Lowrance–Wagner unrestricted Damerau–Levenshtein. Called from
     * generated code — keep the signature primitive-friendly. */

@@ -362,7 +362,13 @@ object Recon {
         count(lit(1)).cast("long").as("n_members"))
     memberRev.join(broadcast(totals), Seq("n_name"))
       .select(col("n_name"), col("total_cents"), col("n_members"),
-        expr("(cents * 1000000) div total_cents").as("share_ppm"))
+        // share_ppm feeds BOTH downstream aggregates, so the embedded
+        // assert cannot be projection-pruned away
+        expr("coalesce(cast(assert_true(" +
+          "cents <= 9223372036854775807 div 1000000," +
+          " 'concentration share numerator exceeds the Long-exact " +
+          "range: move to decimal(38)') as bigint), 0)" +
+          " + ((cents * 1000000) div total_cents)").as("share_ppm"))
       .groupBy(col("n_name"))
       .agg(max(col("total_cents")).as("total_cents"),
         max(col("n_members")).as("n_members"),
