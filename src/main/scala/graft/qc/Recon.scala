@@ -294,6 +294,51 @@ object Recon {
         (col("obs_ppm") - col("exp_ppm")).as("dev_ppm"))
   }
 
+  /** Order-independent TABLE FINGERPRINTS — the cheap cross-system
+    * equality proof a migration/recon pipeline runs instead of a
+    * row-by-row diff: every row canonicalizes to a string, hashes to
+    * the md5-hex8 integer, and the per-bucket SUM of row hashes is the
+    * fingerprint (sum is commutative, so row order, partitioning and
+    * engine are all irrelevant — any engine that can md5 a string can
+    * recompute it). Equal fingerprints localize equality to the
+    * bucket; differing ones bound the re-check to 1/buckets of the
+    * table — the binary-search property full-table checksums lack.
+    *
+    * Collision note: a SUM of 32-bit hashes is a screen, not a proof —
+    * the row count travels with it, and the combined (n, sum) pair
+    * makes an accidental collision require compensating edits inside
+    * one bucket. The reference runs exactly this class of redundant
+    * recon between its SQL store and file exports
+    * (`pipeline/datavalidation.py:344-409`).
+    *
+    * Scale: one map pass per side + a bucket-grain aggregate; the
+    * comparison joins two tiny bucket frames. */
+  def fingerprintDiff(before: DataFrame, after: DataFrame,
+      cols: Seq[String], bucketKey: String,
+      buckets: Int = 16): DataFrame = {
+    def fp(df: DataFrame, side: String): DataFrame = {
+      df.select((col(bucketKey) % buckets).cast("long").as("bucket"),
+        expr(s"CAST(conv(substring(md5(concat_ws('|', " +
+          cols.map(c => s"coalesce(CAST($c AS STRING), '')").mkString(", ") +
+          s")), 1, 8), 16, 10) AS BIGINT)").as("h"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).cast("long").as(s"n_$side"),
+          sum(col("h")).cast("long").as(s"fp_$side"))
+    }
+    fp(before, "before").join(fp(after, "after"), Seq("bucket"),
+      "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("fp_before"), lit(0L)).as("fp_before"),
+        coalesce(col("fp_after"), lit(0L)).as("fp_after"),
+        when(coalesce(col("n_before"), lit(0L)) ===
+          coalesce(col("n_after"), lit(0L)) &&
+          coalesce(col("fp_before"), lit(0L)) ===
+            coalesce(col("fp_after"), lit(0L)), 1L).otherwise(0L)
+          .as("bucket_match"))
+  }
+
   /** Incremental view maintenance (IVM) of a grouped (count, sum)
     * aggregate from CDC deltas — the operator that turns
     * [[snapshotCdc]]'s output into an UPDATED materialized aggregate

@@ -112,6 +112,22 @@ object ReconQueries {
       Recon.concentrationAudit(Tables(s, d, "orders"),
         Tables(s, d, "customer"), Tables(s, d, "nation"))),
 
+    // X158: order-independent table fingerprints — the cheap
+    // cross-system equality screen over the same evolution pair; equal
+    // buckets are untouched, differing ones bound the re-check
+    "qc_fingerprint_diff" -> ((s, d) => {
+      val b = Tables(s, d, "customer").select(col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val after = b.filter(col("c_custkey") % 11 =!= 0)
+        .withColumn("cents", when(col("c_custkey") % 7 === 0,
+          col("cents") + 10000L).otherwise(col("cents")))
+        .unionByName(b.filter(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + 10000000L).as("c_custkey"),
+            col("cents")))
+      Recon.fingerprintDiff(b, after, Seq("c_custkey", "cents"),
+        "c_custkey")
+    }),
+
     // X147: incremental view maintenance — the CDC rows from the same
     // deterministic evolution maintain a bucketed (count, cents)
     // aggregate WITHOUT rescanning the base; the oracle recomputes
@@ -471,6 +487,42 @@ object ReconQueries {
         |o AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM e)
         |SELECT x.day FROM x LEFT JOIN o ON x.day = o.day
         |WHERE o.day IS NULL""".stripMargin,
+
+    // the per-bucket SUM of row hashes is order/partition/engine
+    // independent; (n, fp) travel together as the collision screen
+    "qc_fingerprint_diff" -> {
+      val h = OracleSql.hex8("md5(CAST(c_custkey AS VARCHAR) || '|' " +
+        "|| CAST(cents AS VARCHAR))")
+      s"""WITH b AS (SELECT c_custkey,
+         |             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+         |           FROM customer),
+         |a AS (
+         |  SELECT c_custkey,
+         |         CASE WHEN c_custkey % 7 = 0 THEN cents + 10000
+         |              ELSE cents END AS cents
+         |  FROM b WHERE c_custkey % 11 <> 0
+         |  UNION ALL
+         |  SELECT c_custkey + 10000000, cents FROM b
+         |  WHERE c_custkey % 13 = 0),
+         |fb AS (SELECT c_custkey % 16 AS bucket,
+         |         CAST(COUNT(*) AS BIGINT) AS n_before,
+         |         CAST(SUM($h) AS BIGINT) AS fp_before
+         |       FROM b GROUP BY 1),
+         |fa AS (SELECT c_custkey % 16 AS bucket,
+         |         CAST(COUNT(*) AS BIGINT) AS n_after,
+         |         CAST(SUM($h) AS BIGINT) AS fp_after
+         |       FROM a GROUP BY 1)
+         |SELECT COALESCE(fb.bucket, fa.bucket) AS bucket,
+         |  COALESCE(n_before, 0) AS n_before,
+         |  COALESCE(n_after, 0) AS n_after,
+         |  COALESCE(fp_before, 0) AS fp_before,
+         |  COALESCE(fp_after, 0) AS fp_after,
+         |  CAST(CASE WHEN COALESCE(n_before, 0) = COALESCE(n_after, 0)
+         |       AND COALESCE(fp_before, 0) = COALESCE(fp_after, 0)
+         |       THEN 1 ELSE 0 END AS BIGINT) AS bucket_match
+         |FROM fb FULL OUTER JOIN fa ON fb.bucket = fa.bucket"""
+        .stripMargin
+    },
 
     // the oracle aggregates the AFTER-image directly — the engine must
     // land on the same rows from base aggregate + deltas alone

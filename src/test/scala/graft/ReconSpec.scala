@@ -76,6 +76,27 @@ class ReconSpec extends SparkSpec {
     assert(r(9L) == ((1L, 250000L, 45757L, 204243L)))
   }
 
+  test("fingerprintDiff: order/partitioning-invariant equality; a " +
+    "single-row change flips exactly its bucket") {
+    val rows = (1L to 200L).map(k => (k, k * 7 % 101))
+    val aDf = rows.toDF("c_custkey", "cents")
+    // same rows, scrambled order, different partitioning
+    val bDf = spark.createDataFrame(spark.sparkContext.parallelize(
+      scala.util.Random.shuffle(rows), 7)).toDF("c_custkey", "cents")
+    val eq = Recon.fingerprintDiff(aDf, bDf, Seq("c_custkey", "cents"),
+      "c_custkey")
+    assert(eq.filter(col("bucket_match") === 0L).count() == 0)
+    // mutate one row (key 42 -> bucket 42 % 16 = 10)
+    val mut = bDf.withColumn("cents",
+      when(col("c_custkey") === 42L, col("cents") + 1L)
+        .otherwise(col("cents")))
+    val d = Recon.fingerprintDiff(aDf, mut, Seq("c_custkey", "cents"),
+      "c_custkey")
+      .filter(col("bucket_match") === 0L)
+      .select("bucket").as[Long].collect().toSeq
+    assert(d == Seq(10L), d.toString)
+  }
+
   test("applyCdcToAgg: inserts, deletes, updates and a group that " +
     "empties — equals recomputing the after-image") {
     // base: bucket0 = {k10: 5, k20: 7}, bucket1 = {k11: 3}
