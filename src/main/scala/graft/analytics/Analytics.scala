@@ -1011,6 +1011,51 @@ object Analytics {
           .otherwise(lit(0L)).as("is_alarm"))
   }
 
+  /** Integer autocorrelation of the daily count series per key — the
+    * periodicity screen ("is this feed weekly-shaped?") without a
+    * single transcendental: raw lag dot-products Σnₜ·nₜ₊ₖ against the
+    * lag-0 energy Σnₜ², reported as the e6-scaled ratio (truncating
+    * div, nonneg). A weekly feed shows r₇ ≫ r₁; a flat one shows both
+    * ≈ (overlap fraction)·10⁶. Normalization by energy (not the
+    * textbook mean-centered variance) keeps every term an exact
+    * integer — the STATISTIC IS DEFINED this way, identically in both
+    * engines.
+    *
+    * Scale shape: one aggregate to (key, day) grain — the series frame
+    * is calendar-sized per key no matter how many raw events — then
+    * each lag is one keyed equi-join of that tiny frame against
+    * itself on (key, day + k). */
+  def dailyAutocorrelation(events: DataFrame, keyCol: String,
+      lags: Seq[Int] = Seq(1, 7)): DataFrame = {
+    val daily = graft.core.CacheBay.register(events
+      .select(col(keyCol).as("k"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("k"), col("day"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      // the guard rides the value every consumer reads, so pruning
+      // cannot drop it: Σn²·10⁶ stays Long-exact only while daily
+      // counts stay ≤ ~5·10⁵ over a month-scale window
+      .select(col("k"), col("day"),
+        expr("coalesce(cast(assert_true(n <= 500000," +
+          " 'daily-count autocorrelation exceeds the Long-exact " +
+          "range: rescale counts (div 1000) or move to decimal(38)')" +
+          " as bigint), 0) + n").as("n")))
+    val base = daily.groupBy(col("k"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("n") * col("n")).cast("long").as("energy"))
+    lags.foldLeft(base) { (acc, lag) =>
+      val dot = daily
+        .join(daily.select(col("k"), (col("day") - lag).as("day"),
+          col("n").as("n2")), Seq("k", "day"))
+        .groupBy(col("k"))
+        .agg(sum(col("n") * col("n2")).cast("long").as(s"dot$lag"))
+      acc.join(dot, Seq("k"), "left")
+        .withColumn(s"dot$lag", coalesce(col(s"dot$lag"), lit(0L)))
+        .withColumn(s"r${lag}_e6",
+          expr(s"(dot$lag * 1000000) div energy"))
+    }.withColumnRenamed("k", keyCol)
+  }
+
   /** Bucket width for [[weightedMedian]]'s first pass, in cents —
     * $1,000 buckets put the synthetic price domain (~0..110k dollars)
     * into ~110 buckets per group. */

@@ -341,6 +341,12 @@ object StreamQueries {
       graft.operators.KmvSketch.kmvDistinct(Tables(s, d, "events"),
         "event_type", "user_id")),
 
+    // X159: integer autocorrelation of the daily series — the weekly-
+    // periodicity screen, transcendental-free by definition
+    "events_autocorr" -> ((s, d) =>
+      graft.analytics.Analytics.dailyAutocorrelation(
+        Tables(s, d, "events"), "event_type")),
+
     // X151: KMV set algebra — union AND intersection estimates of two
     // behavior cohorts from two sketch scans (exact distinct
     // intersection is a raw-set equi-join)
@@ -793,6 +799,35 @@ object StreamQueries {
          |    AS est_distinct
          |FROM u GROUP BY 1""".stripMargin
     },
+
+    // raw lag dot-products over the (key, day) series vs lag-0 energy;
+    // e6 ratio by truncating div — every term an exact integer
+    "events_autocorr" ->
+      """WITH daily AS (
+        |  SELECT event_type AS k, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |base AS (
+        |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |         CAST(SUM(n * n) AS BIGINT) AS energy
+        |  FROM daily GROUP BY 1),
+        |d1 AS (
+        |  SELECT a.k, CAST(SUM(a.n * b.n) AS BIGINT) AS dot1
+        |  FROM daily a JOIN daily b
+        |    ON a.k = b.k AND b.day = a.day + 1
+        |  GROUP BY 1),
+        |d7 AS (
+        |  SELECT a.k, CAST(SUM(a.n * b.n) AS BIGINT) AS dot7
+        |  FROM daily a JOIN daily b
+        |    ON a.k = b.k AND b.day = a.day + 7
+        |  GROUP BY 1)
+        |SELECT base.k AS event_type, n_days, energy,
+        |  COALESCE(dot1, 0) AS dot1,
+        |  (COALESCE(dot1, 0) * 1000000) // energy AS r1_e6,
+        |  COALESCE(dot7, 0) AS dot7,
+        |  (COALESCE(dot7, 0) * 1000000) // energy AS r7_e6
+        |FROM base LEFT JOIN d1 ON base.k = d1.k
+        |          LEFT JOIN d7 ON base.k = d7.k""".stripMargin,
 
     // theta = the union sketch's k-th minimum; membership of a
     // union-kept hash in either original set decides EXACTLY via that

@@ -487,6 +487,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(byBrand("Y") == ((5550L, 700L)))
   }
 
+  test("dailyAutocorrelation: a weekly-spiked series scores r7 above " +
+    "r1; hand-exact integers") {
+    // two identical weeks of [9,1,1,1,1,1,1] daily counts:
+    // energy = 2*(81+6) = 174; dot7 = 81+6 = 87 -> r7 = 500000;
+    // dot1 = 9+5+9+9+5 = 37 -> r1 = 37e6 div 174 = 212643
+    val rows = (0 until 14).flatMap { d =>
+      val n = if (d % 7 == 0) 9 else 1
+      (0 until n).map(i =>
+        ("w", new java.sql.Timestamp(d * 86400000L + i * 1000L)))
+    }
+    val ev = rows.toDF("event_type", "ts")
+    val r = Analytics.dailyAutocorrelation(ev, "event_type")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    graft.core.CacheBay.drain()
+    assert(r === (("w", 14L, 174L, 37L, 212643L, 87L, 500000L)))
+  }
+
   test("weightedQuantiles: hand quartiles; q=50 equals weightedMedian " +
     "on fixture data") {
     val li = Seq(
