@@ -55,6 +55,8 @@ object Bench {
       tier("dedup.clusters")(graft.dedup.Dedup.sharedClusters(spark, sfDir).count())
       tier("dedup.ppjoin")(
         graft.dedup.Dedup.sharedExactPairs(spark, sfDir).count())
+      tier("graph.copurchase_w")(
+        graft.graph.Triangles.sharedWeightedEdges(spark, sfDir).count())
       tier("graph.copurchase")(
         graft.graph.Triangles.sharedCoPurchaseEdges(spark, sfDir).count())
       tier("graph.und")(

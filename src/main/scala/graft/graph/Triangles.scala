@@ -30,15 +30,30 @@ object Triangles {
     * self-join is bounded by (items per order)² — basket size, not
     * corpus size — and the distinct collapses repeat pairs into one
     * edge before any downstream work. */
-  def coPurchaseEdges(lineitem: DataFrame): DataFrame = {
+  def coPurchaseEdges(lineitem: DataFrame): DataFrame =
+    weightedCoPurchaseEdges(lineitem).select(col("a"), col("b"))
+
+  /** Canonical co-purchase edges WITH their distinct-order support
+    * count `w` — the single basket self-join every graph-family
+    * derivation reduces to: the unweighted edge set is its projection
+    * and the support-filtered graph (X143) its filter, so a sweep pays
+    * the quadratic-in-basket-size work exactly once. */
+  def weightedCoPurchaseEdges(lineitem: DataFrame): DataFrame = {
     val op = lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       .distinct()
     op.select(col("ok"), col("p").as("a"))
       .join(op.select(col("ok"), col("p").as("b")), Seq("ok"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).cast("long").as("w"))
   }
+
+  /** Session-cached weighted edges for the lineitem table at `dir`. */
+  def sharedWeightedEdges(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.core.SessionCache.cached(spark, s"copurchase_w:$dir")(
+      weightedCoPurchaseEdges(graft.core.Tables(spark, dir, "lineitem")))
 
   /** Session-cached co-purchase edges for the lineitem table at `dir`:
     * the triangle and community queries start from the same ~m-row
@@ -47,7 +62,7 @@ object Triangles {
   def sharedCoPurchaseEdges(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
     graft.core.SessionCache.cached(spark, s"copurchase:$dir")(
-      coPurchaseEdges(graft.core.Tables(spark, dir, "lineitem")))
+      sharedWeightedEdges(spark, dir).select(col("a"), col("b")))
 
   /** Undirected expansion of canonical edges: both directions of every
     * `(a, b)` edge, as `(u, v)`. */

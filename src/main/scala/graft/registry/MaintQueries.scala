@@ -54,7 +54,9 @@ object MaintQueries {
     // fixpoint) over the support-filtered co-purchase graph
     "graph_components" -> ((s, d) =>
       graft.graph.Components.connectedComponents(
-        graft.graph.Components.supportEdges(Tables(s, d, "lineitem")))),
+        graft.graph.Triangles.sharedWeightedEdges(s, d)
+          .filter(col("w") >= graft.graph.Components.MinSupport)
+          .select(col("a"), col("b")))),
     // X153: ANALYZE-style column statistics (CBO-feeding profile):
     // one unpivot pass for counts/nulls/min/max + KMV NDV per column;
     // the nullable probe column exercises the null path
