@@ -294,6 +294,98 @@ object Recon {
         (col("obs_ppm") - col("exp_ppm")).as("dev_ppm"))
   }
 
+  /** Numeric DISTRIBUTION drift between two slices — the
+    * model-input-monitoring staple ("did this feature's distribution
+    * move between training and serving / last month and this month"),
+    * as exact integers instead of the log-based PSI: values bucket by
+    * a fixed width, and each bucket's total-variation contribution is
+    * the cross-multiplied `|c₁·N₂ − c₂·N₁|` (the X134 vocabulary-drift
+    * device applied to numeric buckets — the naive rate difference is
+    * float). Σcontrib / (2·N₁·N₂) is the TV distance; the per-bucket
+    * rows ARE the attribution (which value range moved). Missing-on-
+    * one-side buckets coalesce to 0 via the full-outer join. Two
+    * map-side-combinable bucket aggregates + a bucket-grain join;
+    * Long bound on the cross products asserted. */
+  def valueDrift(before: DataFrame, after: DataFrame, valueCol: String,
+      bucketWidthCents: Long): DataFrame = {
+    def side(df: DataFrame, n: String) = df
+      .select(floor(col(valueCol) * 100.0 + 0.5).cast("long")
+        .as("cents"))
+      .select(expr(s"cents div $bucketWidthCents").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as(n))
+    side(before, "c1").join(side(after, "c2"), Seq("bucket"),
+        "full_outer")
+      .select(col("bucket"),
+        coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+      .crossJoin(broadcast(
+        side(before, "x").agg(sum(col("x")).cast("long").as("n1"))))
+      .crossJoin(broadcast(
+        side(after, "x").agg(sum(col("x")).cast("long").as("n2"))))
+      .select(col("bucket"), col("c1"), col("c2"), col("n1"), col("n2"),
+        expr("coalesce(cast(assert_true(" +
+          "c1 <= 9223372036854775807 div greatest(n2, 1) and " +
+          "c2 <= 9223372036854775807 div greatest(n1, 1)," +
+          " 'drift cross products exceed the Long-exact range: move " +
+          "to decimal(38)') as bigint), 0)" +
+          " + abs(c1 * n2 - c2 * n1)").as("tv_contrib"))
+  }
+
+  /** Gini coefficient of revenue across members per group — the
+    * rank-weighted inequality measure beside [[concentrationAudit]]'s
+    * HHI (HHI is dominated by the top shares; Gini sees the whole
+    * curve). Closed form over ascending-sorted member values:
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) — emitted in e6 units with
+    * every term an exact integer (numerator is provably ≥ 0 for the
+    * ascending order, so the truncating div never sees a negative
+    * operand). Ties break by member key, and the formula is
+    * tie-ordering-invariant anyway (equal x contribute equal i·x sums
+    * under any permutation of their ranks).
+    *
+    * Scale: ranks come from a window partitioned by GROUP over the
+    * MEMBER-grain frame (already one aggregate away from the fact
+    * table — the same grain [[concentrationAudit]] reduces to);
+    * n·Σx Long bound asserted. */
+  def giniAudit(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame = {
+    // member revenue quantizes to WHOLE DOLLARS (exact cents summed,
+    // then one truncating div) — the quantized-statistic device X136
+    // uses for shares: at cent grain the e6-scaled Gini numerator
+    // (~Gini·n·total) already overflows Long at sf0.1 (the guard
+    // caught it); dollars buy 100x headroom and the quantized Gini is
+    // the DEFINED statistic, identical in both engines
+    val memberRev = orders
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .as("cents"))
+      .select(col("o_custkey"), expr("cents div 100").as("dollars"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_custkey"), col("dollars"))
+    val ranked = memberRev.withColumn("rk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("n_name"))
+        .orderBy(col("dollars"), col("o_custkey"))).cast("long"))
+    ranked.groupBy(col("n_name"))
+      .agg(count(lit(1)).cast("long").as("n_members"),
+        sum(col("dollars")).cast("long").as("total_dollars"),
+        sum(col("rk") * col("dollars")).cast("long").as("rank_weighted"))
+      .select(col("n_name"), col("n_members"), col("total_dollars"),
+        expr("coalesce(cast(assert_true(" +
+          "n_members <= 9223372036854775807 div " +
+          "greatest(total_dollars, 1) and " +
+          "rank_weighted <= 9223372036854775807 div 2 and " +
+          "(2 * rank_weighted - (n_members + 1) * total_dollars) <= " +
+          "9223372036854775807 div 1000000," +
+          " 'gini terms exceed the Long-exact range: quantize " +
+          "coarser or move to decimal(38)') as bigint), 0)" +
+          " + (((2 * rank_weighted - (n_members + 1) * total_dollars)" +
+          " * 1000000) div (n_members * total_dollars))").as("gini_e6"))
+  }
+
   /** Order-independent TABLE FINGERPRINTS — the cheap cross-system
     * equality proof a migration/recon pipeline runs instead of a
     * row-by-row diff: every row canonicalizes to a string, hashes to

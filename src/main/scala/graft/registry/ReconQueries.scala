@@ -112,6 +112,22 @@ object ReconQueries {
       Recon.concentrationAudit(Tables(s, d, "orders"),
         Tables(s, d, "customer"), Tables(s, d, "nation"))),
 
+    // X160: Gini inequality beside X136's HHI — rank-weighted, sees
+    // the whole curve where HHI sees the top shares
+    "qc_gini" -> ((s, d) =>
+      Recon.giniAudit(Tables(s, d, "orders"),
+        Tables(s, d, "customer"), Tables(s, d, "nation"))),
+
+    // X161: numeric distribution drift between two year slices —
+    // exact cross-multiplied TV contributions per $20k bucket
+    "qc_value_drift" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      Recon.valueDrift(
+        o.filter(year(col("o_orderdate")) === 1995),
+        o.filter(year(col("o_orderdate")) === 1996),
+        "o_totalprice", bucketWidthCents = 2000000L)
+    }),
+
     // X158: order-independent table fingerprints — the cheap
     // cross-system equality screen over the same evolution pair; equal
     // buckets are untouched, differing ones bound the re-check
@@ -487,6 +503,57 @@ object ReconQueries {
         |o AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM e)
         |SELECT x.day FROM x LEFT JOIN o ON x.day = o.day
         |WHERE o.day IS NULL""".stripMargin,
+
+    // ascending rank by (cents, custkey); numerator provably >= 0 so
+    // the truncating div never sees a negative operand
+    "qc_gini" ->
+      """WITH mr AS (
+        |  SELECT n_name, o_custkey,
+        |    CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE)
+        |      * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+        |      AS BIGINT) // 100 AS dollars
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT n_name, dollars,
+        |    CAST(row_number() OVER (PARTITION BY n_name
+        |      ORDER BY dollars, o_custkey) AS BIGINT) AS rk
+        |  FROM mr)
+        |SELECT n_name,
+        |  CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  CAST(SUM(dollars) AS BIGINT) AS total_dollars,
+        |  CAST(((2 * SUM(rk * dollars)
+        |    - (COUNT(*) + 1) * SUM(dollars)) * 1000000)
+        |    // (COUNT(*) * SUM(dollars)) AS BIGINT) AS gini_e6
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // fixed cent-width buckets; |c1*N2 - c2*N1| is the exact-integer
+    // TV contribution (the X134 device on numeric buckets)
+    "qc_value_drift" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(CAST(o_totalprice AS DOUBLE)
+        |    * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    // 2000000 AS bucket
+        |  FROM orders WHERE year(o_orderdate) = 1995),
+        |a AS (
+        |  SELECT CAST(floor(CAST(o_totalprice AS DOUBLE)
+        |    * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    // 2000000 AS bucket
+        |  FROM orders WHERE year(o_orderdate) = 1996),
+        |cb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c1
+        |       FROM b GROUP BY 1),
+        |ca AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c2
+        |       FROM a GROUP BY 1),
+        |t AS (SELECT CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n1,
+        |             CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n2)
+        |SELECT COALESCE(cb.bucket, ca.bucket) AS bucket,
+        |  COALESCE(c1, 0) AS c1, COALESCE(c2, 0) AS c2, n1, n2,
+        |  CAST(abs(COALESCE(c1, 0) * n2 - COALESCE(c2, 0) * n1)
+        |    AS BIGINT) AS tv_contrib
+        |FROM cb FULL OUTER JOIN ca ON cb.bucket = ca.bucket
+        |CROSS JOIN t""".stripMargin,
 
     // the per-bucket SUM of row hashes is order/partition/engine
     // independent; (n, fp) travel together as the collision screen

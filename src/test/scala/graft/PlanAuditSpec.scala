@@ -318,6 +318,8 @@ class PlanAuditSpec extends SparkSpec {
       "events_kmv_setops",
       // the 3-row quantile list broadcast onto the tiny bucket frame
       "weighted_quantiles",
+      // two 1-row slice-total broadcasts onto the bucket frame
+      "qc_value_drift",
       // 1-row scalar broadcasts: basket total-order count, surprisal /
       // DSIR corpus totals, vocab-growth max doc id, seasonal totals
       "basket_rules", "text_surprisal", "text_dsir_weights",
