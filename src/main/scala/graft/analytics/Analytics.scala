@@ -1043,6 +1043,17 @@ object Analytics {
     val base = daily.groupBy(col("k"))
       .agg(count(lit(1)).cast("long").as("n_days"),
         sum(col("n") * col("n")).cast("long").as("energy"))
+      // second overflow gate: the ratio computes dot·10⁶, and
+      // dot ≤ energy (rearrangement inequality on the same series),
+      // so energy·10⁶ fitting Long bounds every lag's numerator; the
+      // per-day cap above bounds one term, not the SUM over many days
+      .select(col("k"),
+        expr("coalesce(cast(assert_true(" +
+          "energy <= 9223372036854775807 div 1000000," +
+          " 'autocorrelation energy exceeds the Long-exact e6 range:" +
+          " rescale counts or shorten the window') as bigint), 0)" +
+          " + n_days").as("n_days"),
+        col("energy"))
     lags.foldLeft(base) { (acc, lag) =>
       val dot = daily
         .join(daily.select(col("k"), (col("day") - lag).as("day"),

@@ -57,6 +57,17 @@ object Bootstrap {
     * seed); `cents` is the LONG measure. */
   def poissonBootstrap(df: DataFrame, group: String, rowKey: String,
       cents: String, replicates: Int = Replicates): DataFrame = {
+    // The draw seed is CAST(rk AS STRING): a silent lossy cast here
+    // (string id -> NULL long) would zero every Poisson count and
+    // report all-zero error bars instead of failing — require an
+    // integral key at plan time (the TopKPerKey device).
+    val rkType = df.schema(df.schema.fieldIndex(rowKey)).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(rkType),
+      s"poissonBootstrap: rowKey '$rowKey' must be an integral column " +
+        s"(got $rkType) — a lossy cast would silently zero every draw")
     val base = df.select(col(group).as("grp"),
       col(rowKey).cast("long").as("rk"), col(cents).as("v"))
     val exact = base.groupBy(col("grp"))

@@ -375,7 +375,9 @@ object Recon {
         sum(col("rk") * col("dollars")).cast("long").as("rank_weighted"))
       .select(col("n_name"), col("n_members"), col("total_dollars"),
         expr("coalesce(cast(assert_true(" +
-          "n_members <= 9223372036854775807 div " +
+          // the numerator multiplies (n_members + 1), not n_members —
+          // guard the actual factor or the product wraps just under 2^63
+          "(n_members + 1) <= 9223372036854775807 div " +
           "greatest(total_dollars, 1) and " +
           "rank_weighted <= 9223372036854775807 div 2 and " +
           "(2 * rank_weighted - (n_members + 1) * total_dollars) <= " +

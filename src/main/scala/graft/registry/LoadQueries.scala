@@ -23,8 +23,22 @@ object LoadQueries {
   private val bucketedBuilds =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
+  // Monotonic per-session id (identityHashCode can be reused after a
+  // session is GC'd, and can collide — a later session would be handed
+  // table names registered in a dead session's catalog): WeakHashMap so
+  // the id mapping itself never pins a session.
+  private val sessionIds =
+    new java.util.WeakHashMap[SparkSession, java.lang.Long]()
+  private val nextSessionId = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def sessionId(s: SparkSession): Long = sessionIds.synchronized {
+    Option(sessionIds.get(s)).map(_.longValue).getOrElse {
+      val id = nextSessionId.getAndIncrement()
+      sessionIds.put(s, java.lang.Long.valueOf(id)); id
+    }
+  }
+
   private def bucketedTables(s: SparkSession, d: String): (String, String) = {
-    val key = System.identityHashCode(s).toHexString + "|" + d
+    val key = sessionId(s).toString + "|" + d
     bucketedBuilds.computeIfAbsent(key, _ => {
       val suffix = java.lang.Integer.toHexString(key.hashCode & 0x7fffffff)
       val ordersT = s"graft_bkt_orders_$suffix"
@@ -39,10 +53,15 @@ object LoadQueries {
         Tables(s, d, "customer").select(col("c_custkey"),
           col("c_mktsegment")),
         customerT, s"$dir/customer", "c_custkey", 8)
+      // hold the session weakly: the hook must not pin a stopped
+      // session (and its executors) for the life of the JVM
+      val sessionRef = new java.lang.ref.WeakReference(s)
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         try {
-          s.sql(s"DROP TABLE IF EXISTS $ordersT")
-          s.sql(s"DROP TABLE IF EXISTS $customerT")
+          Option(sessionRef.get()).foreach { sess =>
+            sess.sql(s"DROP TABLE IF EXISTS $ordersT")
+            sess.sql(s"DROP TABLE IF EXISTS $customerT")
+          }
         } catch { case _: Throwable => () }
         try {
           import java.nio.file.{Files, Path}
