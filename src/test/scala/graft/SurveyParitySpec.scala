@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The coverage contract is only as good as the inventory: round 8
+  * shipped two oracle-green queries (`qc_gini`, `qc_value_drift`) that
+  * the SURVEY §2.11 table never listed, so the audit silently skipped
+  * them. This spec makes the drift impossible — SURVEY §2.12 carries a
+  * machine-parseable ledger of every query name, and the build fails
+  * unless ledger and live registry agree in BOTH directions. */
+class SurveyParitySpec extends AnyFunSuite {
+
+  private val SurveyPath = java.nio.file.Paths.get("SURVEY.md")
+
+  private def ledgerNames: Set[String] = {
+    val text = new String(java.nio.file.Files.readAllBytes(SurveyPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val begin = text.indexOf("<!-- QUERY_LEDGER_BEGIN -->")
+    val end = text.indexOf("<!-- QUERY_LEDGER_END -->")
+    assert(begin >= 0 && end > begin,
+      "SURVEY.md must carry the QUERY_LEDGER_BEGIN/END markers (§2.12)")
+    val block = text.substring(begin, end)
+    "`([a-z0-9_]+)`".r.findAllMatchIn(block).map(_.group(1)).toSet
+  }
+
+  test("every SparkEntry.queries key is inventoried in SURVEY §2.12") {
+    val missing = SparkEntry.queries.keySet -- ledgerNames
+    assert(missing.isEmpty,
+      s"queries missing from the SURVEY §2.12 ledger: " +
+        missing.toSeq.sorted.mkString(", "))
+  }
+
+  test("every SURVEY §2.12 ledger entry is a live registry query") {
+    val stale = ledgerNames -- SparkEntry.queries.keySet
+    assert(stale.isEmpty,
+      s"SURVEY §2.12 ledger names with no registry query (removed or " +
+        s"renamed?): " + stale.toSeq.sorted.mkString(", "))
+  }
+
+  test("every no-oracle query row is documented in specOnly") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val undocumented = noOracle -- SparkEntry.specOnly.keySet
+    assert(undocumented.isEmpty,
+      s"queries without an oracle AND without a specOnly entry: " +
+        undocumented.toSeq.sorted.mkString(", "))
+  }
+}
