@@ -21,7 +21,7 @@ object LoadQueries {
     * and a shutdown hook drops the tables and deletes the dir, so
     * nothing accumulates across sweeps or races across sessions. */
   private val bucketedBuilds =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
   // Monotonic per-session id (identityHashCode can be reused after a
   // session is GC'd, and can collide — a later session would be handed
@@ -37,30 +37,30 @@ object LoadQueries {
     }
   }
 
-  private def bucketedTables(s: SparkSession, d: String): (String, String) = {
-    val key = sessionId(s).toString + "|" + d
+  /** Generic memoized build of one bucketed-table family: each spec is
+    * (base table name, bucket column, frame to write). Families are
+    * memoized separately so a query only pays for the tables IT joins,
+    * not every bucketed fixture in the registry. */
+  private def bucketedFamily(s: SparkSession, d: String, family: String,
+      specs: Seq[(String, String, DataFrame)]): Seq[String] = {
+    val key = sessionId(s).toString + "|" + family + "|" + d
     bucketedBuilds.computeIfAbsent(key, _ => {
       val suffix = java.lang.Integer.toHexString(key.hashCode & 0x7fffffff)
-      val ordersT = s"graft_bkt_orders_$suffix"
-      val customerT = s"graft_bkt_customer_$suffix"
       val dirPath = java.nio.file.Files.createTempDirectory("graft_bucketed_")
       val dir = dirPath.toFile.getAbsolutePath
-      graft.load.Sinks.writeBucketedTable(
-        Tables(s, d, "orders").select(col("o_orderkey"),
-          col("o_custkey"), col("o_totalprice")),
-        ordersT, s"$dir/orders", "o_custkey", 8)
-      graft.load.Sinks.writeBucketedTable(
-        Tables(s, d, "customer").select(col("c_custkey"),
-          col("c_mktsegment")),
-        customerT, s"$dir/customer", "c_custkey", 8)
+      val names = specs.map { case (base, bucketCol, frame) =>
+        val t = s"graft_bkt_${base}_$suffix"
+        graft.load.Sinks.writeBucketedTable(
+          frame, t, s"$dir/$base", bucketCol, 8)
+        t
+      }
       // hold the session weakly: the hook must not pin a stopped
       // session (and its executors) for the life of the JVM
       val sessionRef = new java.lang.ref.WeakReference(s)
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         try {
           Option(sessionRef.get()).foreach { sess =>
-            sess.sql(s"DROP TABLE IF EXISTS $ordersT")
-            sess.sql(s"DROP TABLE IF EXISTS $customerT")
+            names.foreach(t => sess.sql(s"DROP TABLE IF EXISTS $t"))
           }
         } catch { case _: Throwable => () }
         try {
@@ -70,8 +70,40 @@ object LoadQueries {
             .foreach((p: Path) => Files.deleteIfExists(p))
         } catch { case _: Throwable => () }
       }))
-      (ordersT, customerT)
+      names
     })
+  }
+
+  private def bucketedTables(s: SparkSession, d: String): (String, String) = {
+    val Seq(ordersT, customerT) = bucketedFamily(s, d, "dim", Seq(
+      ("orders", "o_custkey",
+        Tables(s, d, "orders").select(col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))),
+      ("customer", "c_custkey",
+        Tables(s, d, "customer").select(col("c_custkey"),
+          col("c_mktsegment")))))
+    (ordersT, customerT)
+  }
+
+  /** The FACT-FACT pair (VERDICT r8 #3): at 100 TB the
+    * lineitem⋈orders join is THE expensive join — both sides huge, so
+    * neither broadcasts and a plain equi-join pays a full shuffle of
+    * each EVERY run. Bucketing BOTH on the order key makes the scan
+    * itself carry the join's required distribution: zero Exchange on
+    * either side (`BucketedJoinSpec` asserts it on these very
+    * tables), and the downstream per-order aggregate inherits the
+    * same distribution, so the whole query runs shuffle-free. */
+  private[graft] def bucketedFactTables(
+      s: SparkSession, d: String): (String, String) = {
+    val Seq(lineitemT, ordersT) = bucketedFamily(s, d, "fact", Seq(
+      ("lineitem", "l_orderkey",
+        Tables(s, d, "lineitem").select(col("l_orderkey"),
+          floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")
+            .as("ext_cents"))),
+      ("orders2", "o_orderkey",
+        Tables(s, d, "orders").select(col("o_orderkey"),
+          col("o_orderpriority")))))
+    (lineitemT, ordersT)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -134,6 +166,21 @@ object LoadQueries {
         .select(col("o_orderkey"), col("o_custkey"),
           round(col("o_totalprice"), 2).as("price"),
           col("c_mktsegment"))
+    }),
+
+    // X162: the bucketed FACT-FACT join (both sides bucketed on the
+    // order key, neither broadcastable at scale) — join AND the
+    // per-order rollup ride the scan's bucket distribution, so the
+    // whole plan is Exchange-free (BucketedJoinSpec asserts it);
+    // result-identical to the plain join+rollup, which is the oracle
+    "j_bucketed_factfact" -> ((s, d) => {
+      val (lineitemT, ordersT) = bucketedFactTables(s, d)
+      s.table(lineitemT)
+        .join(s.table(ordersT),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority"))
+        .agg(count(lit(1)).cast("long").as("n_lines"),
+          sum(col("ext_cents")).cast("long").as("revenue_cents"))
     }),
 
     // record linkage over the DISTINCT name domain (the part-name
@@ -363,6 +410,17 @@ object LoadQueries {
       """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price,
         |       c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    // the bucketed layout must be invisible in the answer: the oracle
+    // is the plain join + rollup over the raw tables
+    "j_bucketed_factfact" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE)
+        |    * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
 
     // same blocking (first name token) and the same one-hop
     // lexicographic-min rule; levenshtein is exact in both engines

@@ -38,4 +38,28 @@ class BucketedJoinSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_spec_dim")
     }
   }
+
+  test("fact-fact bucketed join + per-order rollup is Exchange-free " +
+    "end to end (the j_bucketed_factfact shape)") {
+    val (lineitemT, ordersT) =
+      graft.registry.LoadQueries.bucketedFactTables(spark, SfDir)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // at 100 TB neither fact side broadcasts — model that here
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = spark.table(lineitemT)
+        .join(spark.table(ordersT),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("ext_cents")).as("revenue_cents"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"not SMJ:\n$p")
+      // the bucket distribution must carry through the join AND the
+      // aggregate: no shuffle anywhere in the plan
+      assert(!p.contains("Exchange"), s"unexpected exchange:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
 }

@@ -334,6 +334,7 @@ class PlanAuditSpec extends SparkSpec {
   // training / count()s) — plan shape is audited by their own specs.
   private val ActionOnBuild =
     Set("j_bucketed_colocated", // writes the bucketed tables on build
+      "j_bucketed_factfact", // writes the bucketed fact tables on build
       "dedup_golden_record", // shared-cluster driver union-find on build
       "ml_stream_train", "sim_ivf_topk", "dedup_clusters",
       "dedup_canonical_reps", "dedup_cluster_sizes",
