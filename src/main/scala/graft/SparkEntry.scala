@@ -83,8 +83,9 @@ object SparkEntry {
     "X135_jsonl_quarantine" -> "ReadersSpec (file-based source op)",
     "X152_streaming_kmv_sketch" ->
       ("KmvStreamSpec (per-group sketch state; snapshot after any " +
-      "prefix ≡ batch kmvDistinct over it — the batch operator's " +
-      "oracle covers the arithmetic)"),
+      "prefix ≡ batch kmvDistinct over it) + the fold itself is now " +
+      "oracle-green as events_kmv_stream_snapshot (batch-mode run of " +
+      "the same flatMapGroupsWithState code path)"),
     "X13_video_decode_stub" ->
       ("documented stub (Multimodal.scala — no video codec in " +
       "container; PCM/PNG legs are real and oracle-green)"))

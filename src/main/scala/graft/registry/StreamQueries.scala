@@ -341,6 +341,21 @@ object StreamQueries {
       graft.operators.KmvSketch.kmvDistinct(Tables(s, d, "events"),
         "event_type", "user_id")),
 
+    // X152's batch mirror (the X70/X84 device): the REAL streaming
+    // sketch fold — flatMapGroupsWithState's merge-and-snapshot code
+    // path — run in batch mode (one group call, empty prior state), so
+    // the DuckDB rank-window replay oracles the very code the stream
+    // executes; KmvStreamSpec separately proves the stored state after
+    // ANY micro-batch prefix equals this same fold over the prefix
+    "events_kmv_stream_snapshot" -> ((s, d) => {
+      val snaps = graft.streaming.KmvStream.sketchStream(
+        graft.streaming.KmvStream.keyedHashes(
+          Tables(s, d, "events"), "event_type", "user_id"),
+        k = graft.operators.KmvSketch.K)
+      snaps.toDF().select(col("grp").as("event_type"), col("n_kept"),
+        col("kth_hash"), col("est_distinct"))
+    }),
+
     // X159: integer autocorrelation of the daily series — the weekly-
     // periodicity screen, transcendental-free by definition
     "events_autocorr" -> ((s, d) =>
@@ -798,6 +813,27 @@ object StreamQueries {
          |       ELSE $estNum // greatest(MAX(h), 1) END AS BIGINT)
          |    AS est_distinct
          |FROM u GROUP BY 1""".stripMargin
+    },
+
+    // the per-group half of the X144 replay (the streaming fold keeps
+    // no merged __all__ row — state is strictly per group)
+    "events_kmv_stream_snapshot" -> {
+      val k = graft.operators.KmvSketch.K
+      val estNum = (k - 1).toLong * graft.operators.KmvSketch.HashSpan
+      val h = OracleSql.hex8("md5(CAST(user_id AS VARCHAR))")
+      s"""WITH dh AS (
+         |  SELECT DISTINCT event_type AS grp, $h AS h FROM events),
+         |r AS (SELECT grp, h,
+         |        row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
+         |      FROM dh),
+         |kept AS (SELECT grp, h FROM r WHERE rk <= $k)
+         |SELECT grp AS event_type,
+         |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |  CAST(MAX(h) AS BIGINT) AS kth_hash,
+         |  CAST(CASE WHEN COUNT(*) < $k THEN COUNT(*)
+         |       ELSE $estNum // greatest(MAX(h), 1) END AS BIGINT)
+         |    AS est_distinct
+         |FROM kept GROUP BY 1""".stripMargin
     },
 
     // raw lag dot-products over the (key, day) series vs lag-0 energy;
