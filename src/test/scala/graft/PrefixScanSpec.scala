@@ -82,6 +82,44 @@ class PrefixScanSpec extends SparkSpec {
     assert(cums.max == 60L)
   }
 
+  test("adversarial skew: one order-key value holding 50% of rows " +
+    "still spreads across partitions and matches the naive window") {
+    // X141's claim is exactly "no single-task trap" — prove it under
+    // a skewed key, not just uniform fixtures: the tiebreak column
+    // (part of the UNIQUE total order the contract requires) lets the
+    // range partitioner split the hot value's run across boundaries
+    val n = 20000
+    val rows = (0 until n).map { i =>
+      val k = if (i % 2 == 0) 42L else (i * 131) % 1000L + 1000L
+      (k, i.toLong, (i % 7 + 1).toLong)
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(
+      scala.util.Random.shuffle(rows), 8)).toDF("k", "id", "v")
+    val parts = 8
+    val scanned = PrefixScan.prefixAgg(df, Seq("k", "id"), "v", "sum",
+      "cum", "cum_excl", numParts = parts)
+    // spread: re-derive the range placement the operator used and
+    // assert no partition got more than 2x the mean
+    val sizes = df.repartitionByRange(parts, col("k"), col("id"))
+      .select(org.apache.spark.sql.functions.spark_partition_id()
+        .as("p"))
+      .groupBy("p").count().as[(Int, Long)].collect().map(_._2)
+    val mean = sizes.sum.toDouble / sizes.length
+    assert(sizes.max <= 2 * mean,
+      s"skewed key collapsed the range partitioning: " +
+        s"sizes=${sizes.toSeq} mean=$mean")
+    // correctness under skew: equals the naive sequential scan
+    val got = scanned.select("id", "cum", "cum_excl")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, c, e) => id -> (c, e) }.toMap
+    graft.core.CacheBay.drain()
+    var acc = 0L
+    val want = rows.sortBy(r => (r._1, r._2)).map { case (_, id, v) =>
+      val e = acc; acc += v; id -> (acc, e)
+    }.toMap
+    assert(got === want)
+  }
+
   test("Skyline.frontier: hand case — dominated rows drop, equal " +
     "(price,size) duplicates both survive") {
     val part = Seq(
