@@ -341,6 +341,14 @@ object StreamQueries {
       graft.operators.KmvSketch.kmvDistinct(Tables(s, d, "events"),
         "event_type", "user_id")),
 
+    // X163: count-min sketch — the mergeable FREQUENCY estimator
+    // beside X144's cardinality one; d x w integer counters merge by
+    // cellwise add, estimates never undercount, and the deterministic
+    // md5 row-hashes make the whole sketch + audit DuckDB-replayable
+    "events_cms_estimate" -> ((s, d) =>
+      graft.operators.CmsSketch.estimateAll(
+        Tables(s, d, "events"), "user_id")),
+
     // X152's batch mirror (the X70/X84 device): the REAL streaming
     // sketch fold — flatMapGroupsWithState's merge-and-snapshot code
     // path — run in batch mode (one group call, empty prior state), so
@@ -813,6 +821,35 @@ object StreamQueries {
          |       ELSE $estNum // greatest(MAX(h), 1) END AS BIGINT)
          |    AS est_distinct
          |FROM u GROUP BY 1""".stripMargin
+    },
+
+    // the oracle replays the SKETCH itself: row-hash, counters,
+    // per-item min are all integer arithmetic
+    "events_cms_estimate" -> {
+      val d = graft.operators.CmsSketch.Depth
+      val w = graft.operators.CmsSketch.Width
+      val h = OracleSql.hex8(
+        "md5(CAST(j AS VARCHAR) || ':' || CAST(v AS VARCHAR))")
+      s"""WITH src AS (SELECT user_id AS v FROM events),
+         |js AS (SELECT unnest(range(0, $d)) AS j),
+         |counters AS (
+         |  SELECT j, $h % $w AS bucket,
+         |         CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM src CROSS JOIN js GROUP BY 1, 2),
+         |exact AS (
+         |  SELECT v, CAST(COUNT(*) AS BIGINT) AS exact_n
+         |  FROM src GROUP BY 1),
+         |probes AS (
+         |  SELECT v, j, $h % $w AS bucket
+         |  FROM exact CROSS JOIN js),
+         |est AS (
+         |  SELECT p.v, CAST(MIN(c.cnt) AS BIGINT) AS cms_est
+         |  FROM probes p JOIN counters c
+         |    ON p.j = c.j AND p.bucket = c.bucket
+         |  GROUP BY 1)
+         |SELECT exact.v AS user_id, exact_n, cms_est,
+         |  CAST(cms_est - exact_n AS BIGINT) AS over_n
+         |FROM exact JOIN est ON exact.v = est.v""".stripMargin
     },
 
     // the per-group half of the X144 replay (the streaming fold keeps

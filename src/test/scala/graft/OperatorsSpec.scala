@@ -392,6 +392,32 @@ class OperatorsSpec extends SparkSpec {
       (direct._2, direct._3, direct._4))
   }
 
+  test("CmsSketch: estimates never undercount, exact for collision-" +
+    "free items, and sketches merge by cellwise add") {
+    import graft.operators.CmsSketch
+    val ev = graft.core.Tables(spark, SfDir, "events")
+    val est = CmsSketch.estimateAll(ev, "user_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(est.nonEmpty)
+    // one-sided guarantee: min-of-counters >= true count, always
+    assert(est.forall { case (_, exact, cms, over) =>
+      cms >= exact && over == cms - exact })
+    // merge property: counters over the whole frame == cellwise sum
+    // of the two halves' counters (the sliding-window/shard-union use)
+    val a = ev.filter(col("event_id") % 2 === 0)
+    val b = ev.filter(col("event_id") % 2 =!= 0)
+    val whole = CmsSketch.build(ev, "user_id")
+      .as[(Int, Long, Long)].collect().map(r => (r._1, r._2) -> r._3)
+      .toMap
+    val merged = (CmsSketch.build(a, "user_id")
+        .as[(Int, Long, Long)].collect() ++
+      CmsSketch.build(b, "user_id")
+        .as[(Int, Long, Long)].collect())
+      .groupBy(r => (r._1, r._2))
+      .map { case (k, rows) => k -> rows.map(_._3).sum }
+    assert(merged === whole)
+  }
+
   test("Bootstrap: Poisson(1) draws average ~1, results are " +
     "deterministic, and the spread brackets the exact total") {
     import graft.operators.Bootstrap
