@@ -1186,4 +1186,43 @@ object Analytics {
       .agg(min(col("price_cents")).cast("long").as("wq_cents"),
         max(col("totw")).cast("long").as("total_weight_units"))
   }
+
+  /** Per-key OLS trend (X164) — "is this series growing or fading"
+    * over every key at once, the demand-planning screen a forecaster
+    * runs before choosing models: slope of y over x per key from the
+    * SUFFICIENT STATISTICS (n, Σx, Σy, Σxy, Σx²) — one
+    * map-side-combinable aggregate per key, no per-key sort, no
+    * per-key model fit. slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²),
+    * emitted in exact e6 integer units.
+    *
+    * Exactness devices: x re-bases to the key's own min (slope is
+    * shift-invariant, and small x keeps every product Long-exact —
+    * guard asserted); the numerator CAN be negative and truncating
+    * div differs cross-engine below zero, so the division is spelled
+    * sign·(|num|·10⁶ div den) — both engines agree on abs/sign/div of
+    * non-negatives. den = 0 (a single-x key) emits NULL.
+    *
+    * Input contract: `series` at (key, x) grain with LONG x and y. */
+  def trendByKey(series: DataFrame, key: String, x: String,
+      y: String): DataFrame = {
+    val based = series
+      .withColumn("_x", col(x) - min(col(x))
+        .over(Window.partitionBy(col(key))))
+    val st = based.groupBy(col(key))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("_x")).cast("long").as("sx"),
+        sum(col(y)).cast("long").as("sy"),
+        sum(col("_x") * col(y)).cast("long").as("sxy"),
+        sum(col("_x") * col("_x")).cast("long").as("sxx"))
+    st.select(col(key), col("n").as("n_points"),
+      expr("coalesce(cast(assert_true(" +
+        "abs(n * sxy - sx * sy) <= 9223372036854775807 div 1000000," +
+        " 'trend numerator exceeds the Long-exact e6 range: rescale " +
+        "y or re-base x') as bigint), 0) + " +
+        "(case when n * sxx - sx * sx = 0 then null else " +
+        "(case when n * sxy - sx * sy < 0 then -1 else 1 end) * " +
+        "((abs(n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx))" +
+        " end)").as("slope_e6"),
+      expr("sy div n").as("avg_y"))
+  }
 }

@@ -51,6 +51,19 @@ object AnalyticsQueries {
       Analytics.weightedMedian(graft.core.Tables(s, d, "lineitem"),
         graft.core.Tables(s, d, "part"))),
 
+    // X164: per-supplier monthly-quantity OLS trend from sufficient
+    // statistics — one aggregate per key, slope in exact e6 units
+    "supplier_qty_trend" -> ((s, d) => {
+      val monthly = graft.core.Tables(s, d, "lineitem")
+        .select(col("l_suppkey"),
+          (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+            .cast("long").as("m"),
+          floor(col("l_quantity") * 100.0 + 0.5).cast("long").as("qc"))
+        .groupBy(col("l_suppkey"), col("m"))
+        .agg(sum(col("qc")).cast("long").as("y"))
+      Analytics.trendByKey(monthly, "l_suppkey", "m", "y")
+    }),
+
     // X157: Poisson-bootstrap error bars — uncertainty for a grouped
     // sum in ONE scan (bounded xR explode), draws inverted from the
     // hash so the whole computation is deterministic and replayable
@@ -463,6 +476,35 @@ object AnalyticsQueries {
         |SELECT p_brand, MIN(price_cents) AS wmedian_cents,
         |       MAX(totw) AS total_weight_units
         |FROM c WHERE cumw >= (totw + 1) // 2 GROUP BY 1""".stripMargin,
+
+    // sign and div split apart because truncating division differs
+    // cross-engine below zero; x re-based per key (slope-invariant)
+    "supplier_qty_trend" ->
+      """WITH monthly AS (
+        |  SELECT l_suppkey,
+        |    CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)
+        |      AS m,
+        |    CAST(SUM(CAST(floor(CAST(l_quantity AS DOUBLE)
+        |      * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1, 2),
+        |cen AS (
+        |  SELECT l_suppkey,
+        |    m - MIN(m) OVER (PARTITION BY l_suppkey) AS x, y
+        |  FROM monthly),
+        |st AS (
+        |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM cen GROUP BY 1)
+        |SELECT l_suppkey, n AS n_points,
+        |  CAST(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |    ELSE (CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END)
+        |      * ((abs(n * sxy - sx * sy) * 1000000)
+        |         // (n * sxx - sx * sx)) END AS BIGINT) AS slope_e6,
+        |  CAST(sy // n AS BIGINT) AS avg_y
+        |FROM st""".stripMargin,
 
     // the CDF thresholds are generated from the SAME constant list as
     // the engine; only the hex8-of-md5 spelling differs per engine

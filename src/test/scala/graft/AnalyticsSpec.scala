@@ -558,4 +558,29 @@ class AnalyticsSpec extends SparkSpec {
       .toMap
     assert(got === naive)
   }
+
+  test("trendByKey: hand-exact slopes — rising, falling, flat, " +
+    "single-point NULL; shift-invariant re-basing") {
+    import spark.implicits._
+    val series = Seq(
+      // key "up": y = 10x + 5 at x = 100..103 -> slope_e6 = 10e6
+      ("up", 100L, 1005L), ("up", 101L, 1015L),
+      ("up", 102L, 1025L), ("up", 103L, 1035L),
+      // key "down": y = -3x + 50 at x = 0..2 -> slope_e6 = -3e6
+      ("down", 0L, 50L), ("down", 1L, 47L), ("down", 2L, 44L),
+      // key "flat": constant -> slope 0
+      ("flat", 7L, 9L), ("flat", 8L, 9L),
+      // key "one": single x -> NULL slope
+      ("one", 5L, 123L)
+    ).toDF("k", "x", "y")
+    val got = graft.analytics.Analytics
+      .trendByKey(series, "k", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getLong(3))).toMap
+    assert(got("up") === ((4L, Some(10000000L), 1020L)))
+    assert(got("down") === ((3L, Some(-3000000L), 47L)))
+    assert(got("flat") === ((2L, Some(0L), 9L)))
+    assert(got("one") === ((1L, None, 123L)))
+  }
 }
