@@ -1187,6 +1187,34 @@ object Analytics {
         max(col("totw")).cast("long").as("total_weight_units"))
   }
 
+  /** First-order Markov transition matrix (X165) — the
+    * sequence-modeling summary behind next-event prediction, funnel
+    * leak analysis and session synthesis: for each user's event
+    * stream in time order, count (state → next state) transitions
+    * and the row-normalized probability in exact e6 integer units
+    * (`p_e6 = n·10⁶ div row_total`).
+    *
+    * Scale: ONE shuffle on the sequence key for the lead() window
+    * (frames are per-user, bounded by a user's own history), then the
+    * transition aggregate is map-side combinable down to a
+    * |states|² frame — the row-total window runs on THAT tiny frame,
+    * never the events. Order ties are impossible by contract: the
+    * order columns must form a unique total order per key (event ids
+    * break ts ties here), else which event "follows" which is
+    * partition-order-dependent. */
+  def transitionMatrix(df: DataFrame, key: String,
+      orderCols: Seq[String], state: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(orderCols.map(col): _*)
+    df.withColumn("_next", lead(col(state), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col(state).as("from_state"), col("_next").as("to_state"))
+      .agg(count(lit(1)).cast("long").as("n_trans"))
+      .withColumn("from_total", sum(col("n_trans"))
+        .over(Window.partitionBy(col("from_state"))).cast("long"))
+      .withColumn("p_e6", expr("(n_trans * 1000000) div from_total"))
+  }
+
   /** Per-key OLS trend (X164) — "is this series growing or fading"
     * over every key at once, the demand-planning screen a forecaster
     * runs before choosing models: slope of y over x per key from the

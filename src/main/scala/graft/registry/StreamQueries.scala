@@ -341,6 +341,14 @@ object StreamQueries {
       graft.operators.KmvSketch.kmvDistinct(Tables(s, d, "events"),
         "event_type", "user_id")),
 
+    // X165: first-order Markov transitions over per-user event
+    // sequences — one user-key window shuffle, then everything runs
+    // at the |states|^2 grain; p in exact e6 integer units
+    "events_markov_transitions" -> ((s, d) =>
+      graft.analytics.Analytics.transitionMatrix(
+        Tables(s, d, "events"), "user_id", Seq("ts", "event_id"),
+        "event_type")),
+
     // X163: count-min sketch — the mergeable FREQUENCY estimator
     // beside X144's cardinality one; d x w integer counters merge by
     // cellwise add, estimates never undercount, and the deterministic
@@ -822,6 +830,26 @@ object StreamQueries {
          |    AS est_distinct
          |FROM u GROUP BY 1""".stripMargin
     },
+
+    // same unique (ts, event_id) order per user; row totals recompute
+    // from the transition counts, never the raw events
+    "events_markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_state
+        |  FROM events),
+        |t AS (
+        |  SELECT from_state, to_state,
+        |    CAST(COUNT(*) AS BIGINT) AS n_trans
+        |  FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_state, to_state, n_trans,
+        |  CAST(SUM(n_trans) OVER (PARTITION BY from_state) AS BIGINT)
+        |    AS from_total,
+        |  CAST((n_trans * 1000000) //
+        |    SUM(n_trans) OVER (PARTITION BY from_state) AS BIGINT)
+        |    AS p_e6
+        |FROM t""".stripMargin,
 
     // the oracle replays the SKETCH itself: row-hash, counters,
     // per-item min are all integer arithmetic

@@ -583,4 +583,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(got("flat") === ((2L, Some(0L), 9L)))
     assert(got("one") === ((1L, None, 123L)))
   }
+
+  test("transitionMatrix: hand-exact counts and e6 probabilities " +
+    "over interleaved user sequences") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(i: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$i%02d")
+    // user 1: A B A B ; user 2: A A C  (interleaved arrival order)
+    val ev = Seq(
+      (1L, ts(0), "A", 1L), (2L, ts(1), "A", 10L),
+      (1L, ts(2), "B", 2L), (2L, ts(3), "A", 11L),
+      (1L, ts(4), "A", 3L), (2L, ts(5), "C", 12L),
+      (1L, ts(6), "B", 4L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+      .repartition(3)
+    val got = graft.analytics.Analytics
+      .transitionMatrix(ev, "user_id", Seq("ts", "event_id"),
+        "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // from A: A->B twice (u1), A->A once, A->C once (u2) = total 4
+    assert(got(("A", "B")) === ((2L, 4L, 500000L)))
+    assert(got(("A", "A")) === ((1L, 4L, 250000L)))
+    assert(got(("A", "C")) === ((1L, 4L, 250000L)))
+    // from B: B->A once, total 1 (the final B has no successor)
+    assert(got(("B", "A")) === ((1L, 1L, 1000000L)))
+    assert(got.size === 4)
+  }
 }
