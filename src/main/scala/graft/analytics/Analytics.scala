@@ -1187,6 +1187,34 @@ object Analytics {
         max(col("totw")).cast("long").as("total_weight_units"))
   }
 
+  /** Exponentially time-decayed engagement score (X166) — the
+    * recency-weighted feature behind churn models and ranking
+    * freshness: recent activity counts fully, older activity
+    * geometrically less. The decay is a WEEKLY HALF-LIFE implemented
+    * as an integer shift — weight = 10⁶ >> age_weeks — because 2^-k
+    * is the one exponential both engines reproduce bit-for-bit
+    * (transcendental exp() would make the score un-hashable); weights
+    * bottom out at 0 past week 19, which IS the defined statistic
+    * (a year-old click contributes nothing, identically everywhere).
+    *
+    * The as-of anchor is the corpus' own max event date (the §7.4
+    * determinism rule — never wall-clock), a 1-row broadcast. Scale:
+    * map-only weighting + one keyed aggregate; everything exact
+    * integers (value in cents × e6 weight). */
+  def decayScores(events: DataFrame, key: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val asOf = events.agg(max(to_date(col(tsCol))).as("as_of"))
+    events.select(col(key), to_date(col(tsCol)).as("d"),
+        floor(col(valueCol) * 100.0 + 0.5).cast("long").as("cents"))
+      .crossJoin(broadcast(asOf))
+      .withColumn("w", expr("shiftright(1000000L, " +
+        "cast(least(datediff(as_of, d) div 7, 62) as int))"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(col("cents")).cast("long").as("raw_cents"),
+        sum(col("cents") * col("w")).cast("long").as("decayed_e6"))
+  }
+
   /** First-order Markov transition matrix (X165) — the
     * sequence-modeling summary behind next-event prediction, funnel
     * leak analysis and session synthesis: for each user's event

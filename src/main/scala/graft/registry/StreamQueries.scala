@@ -341,6 +341,13 @@ object StreamQueries {
       graft.operators.KmvSketch.kmvDistinct(Tables(s, d, "events"),
         "event_type", "user_id")),
 
+    // X166: exponentially time-decayed engagement score — weekly
+    // half-life as an integer shift (the one exponential both engines
+    // replay exactly), anchored at the corpus' own max date
+    "events_decay_score" -> ((s, d) =>
+      graft.analytics.Analytics.decayScores(
+        Tables(s, d, "events"), "user_id", "ts", "value")),
+
     // X165: first-order Markov transitions over per-user event
     // sequences — one user-key window shuffle, then everything runs
     // at the |states|^2 grain; p in exact e6 integer units
@@ -830,6 +837,24 @@ object StreamQueries {
          |    AS est_distinct
          |FROM u GROUP BY 1""".stripMargin
     },
+
+    // 1000000 >> weeks in both engines; DuckDB datediff('day', a, b)
+    // = Spark datediff(b, a)
+    "events_decay_score" ->
+      """WITH anchor AS (
+        |  SELECT MAX(CAST(ts AS DATE)) AS as_of FROM events),
+        |base AS (
+        |  SELECT user_id,
+        |    CAST(floor(CAST(value AS DOUBLE) * CAST(100 AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents,
+        |    (1000000 >> CAST(least(
+        |      datediff('day', CAST(ts AS DATE), as_of) // 7, 62)
+        |      AS INTEGER)) AS w
+        |  FROM events CROSS JOIN anchor)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(cents) AS BIGINT) AS raw_cents,
+        |  CAST(SUM(cents * w) AS BIGINT) AS decayed_e6
+        |FROM base GROUP BY 1""".stripMargin,
 
     // same unique (ts, event_id) order per user; row totals recompute
     // from the transition counts, never the raw events

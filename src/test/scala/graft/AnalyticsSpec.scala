@@ -610,4 +610,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(("B", "A")) === ((1L, 1L, 1000000L)))
     assert(got.size === 4)
   }
+
+  test("decayScores: hand-exact weekly halving — same-week full " +
+    "weight, each later week halves, deep past contributes zero") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(day: String) = Timestamp.valueOf(s"2024-$day 12:00:00")
+    val ev = Seq(
+      // user 1: 100 cents at as-of (w=1e6), 200 cents 7 days back
+      // (w=500000), 400 cents 21 days back (w=125000)
+      (1L, t("03-29"), 1.0), (1L, t("03-22"), 2.0),
+      (1L, t("03-08"), 4.0),
+      // user 2: one event 160 days back -> 22 weeks -> weight 0
+      (2L, t("03-29"), 5.0), (2L, Timestamp.valueOf(
+        "2023-10-21 12:00:00"), 9.0)
+    ).toDF("user_id", "ts", "value")
+    val got = graft.analytics.Analytics
+      .decayScores(ev, "user_id", "ts", "value")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) === ((3L, 700L,
+      100L * 1000000L + 200L * 500000L + 400L * 125000L)))
+    assert(got(2L) === ((2L, 1400L, 500L * 1000000L + 0L)))
+  }
 }
