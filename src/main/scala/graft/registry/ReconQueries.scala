@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Star, Tables}
 import graft.functions.GraftFunctions._
-import graft.qc.Recon
+import graft.qc.{Expectations, Recon}
 
 /** Registry: reconciliation aggregates + QC reports + scalar-date-function
   * coverage (SURVEY §2.4 A1/A7/A8, §2.3 J3/J4, §2.8 F13–F21/F23).
@@ -117,6 +117,13 @@ object ReconQueries {
     "qc_gini" -> ((s, d) =>
       Recon.giniAudit(Tables(s, d, "orders"),
         Tables(s, d, "customer"), Tables(s, d, "nation"))),
+
+    // X167: declarative data-contract audit — every predicate rule is
+    // a conditional sum in ONE aggregate (20 rules = one scan, where
+    // the reference's datavalidation loop rescans per check)
+    "qc_expectations" -> ((s, d) =>
+      Expectations.audit(Tables(s, d, "orders"),
+        Expectations.OrdersContract)),
 
     // X161: numeric distribution drift between two year slices —
     // exact cross-multiplied TV contributions per $20k bucket
@@ -503,6 +510,11 @@ object ReconQueries {
         |o AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM e)
         |SELECT x.day FROM x LEFT JOIN o ON x.day = o.day
         |WHERE o.day IS NULL""".stripMargin,
+
+    // generated from the SAME rule list as the engine plan (X153
+    // device) — query and oracle cannot drift
+    "qc_expectations" ->
+      Expectations.oracleSql("orders", Expectations.OrdersContract),
 
     // ascending rank by (cents, custkey); numerator provably >= 0 so
     // the truncating div never sees a negative operand

@@ -142,4 +142,39 @@ class ReconSpec extends SparkSpec {
     assert(r("B") == ((2L, 6000L, 500000L, 500000L)))
     assert(r("C") == ((2L, 10000L, 750000L, 625000L)))
   }
+
+  test("Expectations.audit: planted violations of every rule kind " +
+    "are counted; uniqueness sees duplicate keys") {
+    import spark.implicits._
+    import graft.qc.Expectations
+    import graft.qc.Expectations.Rule
+    val df = Seq(
+      (Some(1L), 10.0, "1-URGENT", "O", 100L),
+      (None, 20.0, "2-HIGH", "F", 101L),        // null custkey
+      (Some(3L), -5.0, "9-BOGUS", "X", 102L),   // range+regex+domain
+      (Some(4L), 400000.0, "5-LOW", "P", 100L)  // range viol, dup key
+    ).toDF("o_custkey", "o_totalprice", "o_orderpriority",
+      "o_orderstatus", "o_orderkey")
+    val got = Expectations.audit(df, Expectations.OrdersContract)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(6))).toMap
+    assert(got("custkey_not_null") === ((4L, 1L, 0L)))
+    assert(got("price_range") === ((4L, 2L, 0L)))
+    assert(got("priority_format") === ((4L, 1L, 0L)))
+    assert(got("status_domain") === ((4L, 1L, 0L)))
+    assert(got("orderkey_unique") === ((4L, 1L, 0L)))
+  }
+
+  test("Expectations.audit: a clean frame passes every rule") {
+    import spark.implicits._
+    import graft.qc.Expectations
+    val df = Seq((Some(1L), 10.0, "1-URGENT", "O", 1L),
+      (Some(2L), 20.0, "5-LOW", "F", 2L))
+      .toDF("o_custkey", "o_totalprice", "o_orderpriority",
+        "o_orderstatus", "o_orderkey")
+    val got = Expectations.audit(df, Expectations.OrdersContract)
+      .collect()
+    assert(got.length === 5 &&
+      got.forall(r => r.getLong(4) == 0L && r.getLong(6) == 1L))
+  }
 }
