@@ -92,6 +92,13 @@ object TextQueries {
     "text_vocab_topk" -> ((s, d) =>
       graft.text.CorpusStats.vocabTopK(Tables(s, d, "documents"))),
 
+    // X168: Gini-impurity class balance per corpus slice — the
+    // label-quality screen before training; transcendental-free by
+    // construction (the CART impurity, not entropy)
+    "text_class_balance" -> ((s, d) =>
+      graft.text.CorpusStats.classBalance(
+        Tables(s, d, "documents"), "source", "lang")),
+
     "text_tfidf_topk" -> ((s, d) =>
       graft.text.CorpusStats.tfIdfTopTerms(Tables(s, d, "documents"))),
 
@@ -614,6 +621,17 @@ object TextQueries {
          |    AS BIGINT) AS rank
          |FROM est""".stripMargin
     },
+
+    "text_class_balance" ->
+      """WITH cl AS (
+        |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(c) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(MAX(c) AS BIGINT) AS majority_n,
+        |  CAST(1000000 - (SUM(c * c) * 1000000)
+        |    // (SUM(c) * SUM(c)) AS BIGINT) AS impurity_e6
+        |FROM cl GROUP BY 1""".stripMargin,
 
     "text_vocab_topk" ->
       s"""WITH $TokCte,

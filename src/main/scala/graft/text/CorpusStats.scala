@@ -829,4 +829,35 @@ object CorpusStats {
       row_number().over(Window.orderBy(col("n").desc, col("token").asc))
         .cast("long"))
   }
+
+  /** Gini-impurity class-balance audit (X168) — the label-quality
+    * screen a curator runs per corpus slice before training on it: a
+    * slice whose language (or any label) distribution has collapsed
+    * to one class carries no signal for that dimension, and a nearly
+    * uniform one needs no rebalancing. Impurity = 1 − Σ(cᵢ/n)² in
+    * exact e6 integer units — `10⁶ − (Σcᵢ²·10⁶) div n²`, ONE
+    * truncating div over exact sums (entropy would drag in log; the
+    * Gini form is transcendental-free by construction, the reason
+    * CART uses it). 0 = single class, → (1−1/k)·10⁶ at uniform-k.
+    *
+    * Scale: a (group, label) aggregate rolled up to group grain —
+    * both map-side combinable; Long guard on Σcᵢ²·10⁶ asserted. */
+  def classBalance(df: DataFrame, group: String,
+      label: String): DataFrame = {
+    df.groupBy(col(group), col(label))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .groupBy(col(group))
+      .agg(count(lit(1)).cast("long").as("n_classes"),
+        sum(col("c")).cast("long").as("n_rows"),
+        max(col("c")).cast("long").as("majority_n"),
+        sum(col("c") * col("c")).cast("long").as("ss"))
+      .select(col(group), col("n_rows"), col("n_classes"),
+        col("majority_n"),
+        expr("coalesce(cast(assert_true(" +
+          "ss <= 9223372036854775807 div 1000000," +
+          " 'class-balance sum of squares exceeds the Long-exact e6 " +
+          "range: audit a finer slice') as bigint), 0) + " +
+          "(1000000 - (ss * 1000000) div (n_rows * n_rows))")
+          .as("impurity_e6"))
+  }
 }

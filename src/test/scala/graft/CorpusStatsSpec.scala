@@ -343,4 +343,23 @@ class CorpusStatsSpec extends SparkSpec {
     graft.core.CacheBay.drain()
     assert(r == Seq(("A", "B", 2L, 500000L)), r.toString)
   }
+
+  test("classBalance: hand-exact impurity — single class 0, uniform " +
+    "two-class 500000, skewed 3-1 landing at 375000") {
+    import spark.implicits._
+    val df = Seq(
+      ("solo", "en"), ("solo", "en"), ("solo", "en"),
+      ("even", "en"), ("even", "de"), ("even", "en"), ("even", "de"),
+      ("skew", "en"), ("skew", "en"), ("skew", "en"), ("skew", "de")
+    ).toDF("source", "lang")
+    val got = graft.text.CorpusStats
+      .classBalance(df, "source", "lang")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got("solo") === ((3L, 1L, 3L, 0L)))
+    assert(got("even") === ((4L, 2L, 2L, 500000L)))
+    // 1 - (9 + 1)/16 = 6/16 = 0.375
+    assert(got("skew") === ((4L, 2L, 3L, 375000L)))
+  }
 }
