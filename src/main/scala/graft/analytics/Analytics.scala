@@ -1187,6 +1187,34 @@ object Analytics {
         max(col("totw")).cast("long").as("total_weight_units"))
   }
 
+  /** Top-k frequent event paths (X169) — the sequential-pattern view
+    * one level up from [[transitionMatrix]]'s pairs: the most common
+    * n-event runs ("view > view > purchase") across every user's
+    * time-ordered stream, the input to funnel design and next-action
+    * models. Windowed lead()s stitch each position's n-gram — the
+    * same ONE sequence-key shuffle the transition matrix pays, no
+    * explode, no self-join — then the path counts aggregate map-side
+    * and only the global top-k survives a TakeOrdered (count desc,
+    * path asc: a deterministic total order, so rank is replayable).
+    * Order columns must form a unique per-key total order. */
+  def topPaths(df: DataFrame, key: String, orderCols: Seq[String],
+      state: String, n: Int = 3, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(orderCols.map(col): _*)
+    val steps = (0 until n).map(i =>
+      if (i == 0) col(state) else lead(col(state), i).over(w))
+    df.withColumn("_path", concat_ws(" > ", steps: _*))
+      .withColumn("_last", lead(col(state), n - 1).over(w))
+      .filter(col("_last").isNotNull)
+      .groupBy(col("_path").as("path"))
+      .agg(count(lit(1)).cast("long").as("n_paths"))
+      .orderBy(col("n_paths").desc, col("path").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_paths").desc, col("path").asc))
+        .cast("long"))
+  }
+
   /** Exponentially time-decayed engagement score (X166) — the
     * recency-weighted feature behind churn models and ranking
     * freshness: recent activity counts fully, older activity

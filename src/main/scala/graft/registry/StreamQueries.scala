@@ -341,6 +341,14 @@ object StreamQueries {
       graft.operators.KmvSketch.kmvDistinct(Tables(s, d, "events"),
         "event_type", "user_id")),
 
+    // X169: top-k frequent 3-event paths — the sequential-pattern
+    // view above the transition matrix; one sequence-key shuffle,
+    // path counts aggregate map-side, global top-k via TakeOrdered
+    "events_top_paths" -> ((s, d) =>
+      graft.analytics.Analytics.topPaths(
+        Tables(s, d, "events"), "user_id", Seq("ts", "event_id"),
+        "event_type")),
+
     // X166: exponentially time-decayed engagement score — weekly
     // half-life as an integer shift (the one exponential both engines
     // replay exactly), anchored at the corpus' own max date
@@ -837,6 +845,25 @@ object StreamQueries {
          |    AS est_distinct
          |FROM u GROUP BY 1""".stripMargin
     },
+
+    // same lead-stitched 3-grams; (count desc, path asc) is a
+    // deterministic total order so rank replays exactly
+    "events_top_paths" ->
+      """WITH seq AS (
+        |  SELECT event_type AS s0,
+        |    lead(event_type, 1) OVER w AS s1,
+        |    lead(event_type, 2) OVER w AS s2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (
+        |  SELECT s0 || ' > ' || s1 || ' > ' || s2 AS path,
+        |    CAST(COUNT(*) AS BIGINT) AS n_paths
+        |  FROM seq WHERE s2 IS NOT NULL GROUP BY 1
+        |  ORDER BY n_paths DESC, path ASC LIMIT 20)
+        |SELECT path, n_paths,
+        |  CAST(row_number() OVER (ORDER BY n_paths DESC, path ASC)
+        |    AS BIGINT) AS rank
+        |FROM p""".stripMargin,
 
     // 1000000 >> weeks in both engines; DuckDB datediff('day', a, b)
     // = Spark datediff(b, a)

@@ -633,4 +633,22 @@ class AnalyticsSpec extends SparkSpec {
       100L * 1000000L + 200L * 500000L + 400L * 125000L)))
     assert(got(2L) === ((2L, 1400L, 500L * 1000000L + 0L)))
   }
+
+  test("topPaths: hand-exact 3-gram counts with deterministic " +
+    "tie-break rank") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(i: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$i%02d")
+    // user 1: A B C D -> paths A>B>C, B>C>D ; user 2: A B C -> A>B>C
+    val ev = Seq(
+      (1L, t(0), "A", 1L), (1L, t(1), "B", 2L),
+      (1L, t(2), "C", 3L), (1L, t(3), "D", 4L),
+      (2L, t(0), "A", 5L), (2L, t(1), "B", 6L), (2L, t(2), "C", 7L)
+    ).toDF("user_id", "ts", "event_type", "event_id").repartition(3)
+    val got = graft.analytics.Analytics
+      .topPaths(ev, "user_id", Seq("ts", "event_id"), "event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("A > B > C", 2L, 1L),
+      ("B > C > D", 1L, 2L)))
+  }
 }
