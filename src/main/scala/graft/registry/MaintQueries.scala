@@ -50,6 +50,11 @@ object MaintQueries {
         graft.graph.Triangles.sharedUndirectedEdges(s, d))),
     "basket_rules" -> ((s, d) =>
       graft.analytics.Associations.basketRules(Tables(s, d, "lineitem"))),
+    // X170: common-neighbor link prediction — wedge join over the
+    // session edge cache, hub middles capped as part of the statistic
+    "graph_link_predict" -> ((s, d) =>
+      graft.graph.LinkPredict.commonNeighborTopK(
+        graft.graph.Triangles.sharedCoPurchaseEdges(s, d))),
     // X143: distributed connected components (min-label propagation to
     // fixpoint) over the support-filtered co-purchase graph
     "graph_components" -> ((s, d) =>
@@ -160,6 +165,39 @@ object MaintQueries {
         |tc AS (SELECT n, CAST(count(*) AS BIGINT) AS c FROM nodes GROUP BY 1)
         |SELECT d.u AS part, d.deg, CAST(COALESCE(tc.c, 0) AS BIGINT) AS n_tri
         |FROM deg d LEFT JOIN tc ON d.u = tc.n""".stripMargin,
+
+    // same wedge join with the same degree-capped middles; NOT EXISTS
+    // drops existing edges; (score desc, a, b) is a total order
+    "graph_link_predict" -> {
+      val cap = graft.graph.LinkPredict.MaxMidDegree
+      val k = graft.graph.LinkPredict.TopK
+      s"""WITH op AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+         |  FROM lineitem),
+         |e AS (
+         |  SELECT DISTINCT x.p AS a, y.p AS b
+         |  FROM op x JOIN op y ON x.ok = y.ok AND x.p < y.p),
+         |und AS (SELECT a AS m, b AS x FROM e
+         |        UNION ALL SELECT b, a FROM e),
+         |deg AS (SELECT m, CAST(count(*) AS BIGINT) AS deg
+         |        FROM und GROUP BY 1),
+         |nb AS (SELECT und.m, und.x FROM und
+         |       JOIN deg ON und.m = deg.m WHERE deg.deg <= $cap),
+         |cand AS (
+         |  SELECT p1.x AS a, p2.x AS b,
+         |         CAST(COUNT(*) AS BIGINT) AS n_common
+         |  FROM nb p1 JOIN nb p2 ON p1.m = p2.m AND p1.x < p2.x
+         |  GROUP BY 1, 2),
+         |nonedge AS (
+         |  SELECT * FROM cand c
+         |  WHERE NOT EXISTS (SELECT 1 FROM e
+         |                    WHERE e.a = c.a AND e.b = c.b)
+         |  ORDER BY n_common DESC, a ASC, b ASC LIMIT $k)
+         |SELECT a, b, n_common,
+         |  CAST(row_number() OVER (ORDER BY n_common DESC, a, b)
+         |    AS BIGINT) AS rank
+         |FROM nonedge""".stripMargin
+    },
 
     // synchronous LPA unrolled (MATERIALIZED per round — DuckDB inlines
     // chained CTEs otherwise); same deterministic rule as the engine:

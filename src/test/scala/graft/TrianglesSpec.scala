@@ -58,4 +58,22 @@ class TrianglesSpec extends SparkSpec {
     val e = Triangles.coPurchaseEdges(li).as[(Long, Long)].collect().sorted
     assert(e.toSeq == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
   }
+
+  test("LinkPredict: hand case — the open wedge pair scores its " +
+    "common neighbors, existing edges and hub middles are excluded") {
+    import spark.implicits._
+    // path graph 1-2, 2-3 -> candidate (1,3) with middle 2;
+    // square 4-5, 5-6, 6-7, 4-7 -> candidates (4,6) and (5,7), two
+    // middles each; hub 10 adjacent to 20..29 would make 45 wedge
+    // pairs, all suppressed by a cap below its degree
+    val edges = (Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (4L, 7L)) ++ (20L to 29L).map(x => (10L, x)))
+      .toDF("a", "b")
+    val got = graft.graph.LinkPredict
+      .commonNeighborTopK(edges, maxMidDegree = 5, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    graft.core.CacheBay.drain()
+    assert(got.toSeq === Seq((4L, 6L, 2L), (5L, 7L, 2L),
+      (1L, 3L, 1L)))
+  }
 }
