@@ -891,4 +891,37 @@ object Pipeline {
         (col("n_rows") - col("n_embargoed")).as("n_kept"),
         col("kept_min_day"), col("kept_max_day"))
   }
+
+  /** K-anonymity audit (X171) — the privacy gate beside the PII
+    * scrub ([[piiRedact]] removes direct identifiers; this measures
+    * QUASI-identifier risk): rows whose quasi-identifier combination
+    * is shared by fewer than k rows are re-identifiable by linkage
+    * (Sweeney 2002), and a training corpus carrying them leaks. The
+    * audit reports the equivalence-class landscape in three bands —
+    * unique (class size 1), below_k, at_or_above_k — with class and
+    * row counts and each band's row share in exact ppm.
+    *
+    * Scale: ONE aggregate to class grain (the only shuffle, on the
+    * quasi-identifier key), then banding and the ppm normalization
+    * run on the 3-row band frame (its empty-partition window is
+    * 3-row-bounded by construction). Release decisions
+    * (suppress/generalize) are the caller's policy — this is the
+    * measurement. */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+      k: Int = 10): DataFrame = {
+    val classes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("sz"))
+    val bands = classes
+      .select(when(col("sz") === 1L, "1_unique")
+        .when(col("sz") < k, "2_below_k")
+        .otherwise("3_at_or_above_k").as("band"), col("sz"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).cast("long").as("n_classes"),
+        sum(col("sz")).cast("long").as("n_rows"))
+    bands
+      .withColumn("total_rows", sum(col("n_rows"))
+        .over(Window.partitionBy()).cast("long"))
+      .withColumn("row_share_ppm",
+        expr("(n_rows * 1000000) div total_rows"))
+  }
 }

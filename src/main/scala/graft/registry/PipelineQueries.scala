@@ -28,6 +28,15 @@ object PipelineQueries {
       Pipeline.embargoSplit(graft.core.Tables(s, d, "events"))),
     "pipe_split_report" -> ((s, d) => Pipeline.splitReport(docs(s, d))),
     "pipe_pii_redact" -> ((s, d) => Pipeline.piiRedact(docs(s, d))),
+    // X171: k-anonymity audit over quasi-identifiers (nation, segment,
+    // $100 balance bucket) — one class-grain aggregate, then banding
+    // and ppm run on the 3-row band frame
+    "pipe_k_anonymity" -> ((s, d) =>
+      Pipeline.kAnonymityAudit(
+        graft.core.Tables(s, d, "customer")
+          .selectExpr("c_nationkey", "c_mktsegment",
+            "cast(floor(c_acctbal / 100.0) as long) as bal_bucket"),
+        Seq("c_nationkey", "c_mktsegment", "bal_bucket"))),
     "pipe_decontaminate" -> ((s, d) => Pipeline.decontaminate(docs(s, d))),
     "pipe_pack_sequences" -> ((s, d) => Pipeline.packSequences(docs(s, d))),
     "pipe_pack_report" -> ((s, d) => Pipeline.packReport(docs(s, d))),
@@ -243,6 +252,27 @@ object PipelineQueries {
          |SELECT split, lang, count(*) AS n_docs,
          |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          |FROM spl GROUP BY split, lang""".stripMargin,
+
+    "pipe_k_anonymity" ->
+      """WITH q AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 100.0) AS BIGINT) AS bal_bucket
+        |  FROM customer),
+        |cl AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS sz
+        |  FROM q GROUP BY c_nationkey, c_mktsegment, bal_bucket),
+        |b AS (
+        |  SELECT CASE WHEN sz = 1 THEN '1_unique'
+        |              WHEN sz < 10 THEN '2_below_k'
+        |              ELSE '3_at_or_above_k' END AS band,
+        |    CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |    CAST(SUM(sz) AS BIGINT) AS n_rows
+        |  FROM cl GROUP BY 1)
+        |SELECT band, n_classes, n_rows,
+        |  CAST(SUM(n_rows) OVER () AS BIGINT) AS total_rows,
+        |  CAST((n_rows * 1000000) // SUM(n_rows) OVER () AS BIGINT)
+        |    AS row_share_ppm
+        |FROM b""".stripMargin,
 
     "pipe_pii_redact" ->
       s"""SELECT doc_id,

@@ -400,4 +400,21 @@ class PipelineSpec extends SparkSpec {
     assert(r(0L) == ((7L, 2L, 5L, 1L, 5L)))
     assert(r(1L) == ((7L, 2L, 5L, 8L, 12L)))
   }
+
+  test("kAnonymityAudit: hand-exact bands — unique, below-k and " +
+    "safe classes land in the right buckets with exact ppm") {
+    import spark.implicits._
+    // class A: 12 rows (>= k); class B: 3 rows (< k); C, D: 1 each
+    val rows = Seq.fill(12)(("A", "x")) ++ Seq.fill(3)(("B", "x")) ++
+      Seq(("C", "x"), ("D", "y"))
+    val df = rows.toDF("qa", "qb")
+    val got = graft.pipeline.Pipeline
+      .kAnonymityAudit(df, Seq("qa", "qb"), k = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got("1_unique") === ((2L, 2L, 17L, 117647L)))
+    assert(got("2_below_k") === ((1L, 3L, 17L, 176470L)))
+    assert(got("3_at_or_above_k") === ((1L, 12L, 17L, 705882L)))
+  }
 }
