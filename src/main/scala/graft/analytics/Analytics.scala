@@ -1187,6 +1187,42 @@ object Analytics {
         max(col("totw")).cast("long").as("total_weight_units"))
   }
 
+  /** Regular-grid resample with forward fill (X172) — LOCF ("last
+    * observation carried forward"), the alignment step every
+    * time-series feature pipeline runs before lags/rolling windows
+    * make sense: a key that skipped a day must report its last known
+    * value on that day, not silently drop the row (which would shift
+    * every downstream lag). Input is an observation frame at
+    * `(key, day, cents)` grain; output is the DENSE per-key daily
+    * grid over the corpus' own [min, max] day span with
+    * `filled_cents` = the last observation at-or-before each grid
+    * day, `is_obs` / `is_filled` flags, and NULL before a key's first
+    * observation (LOCF has nothing to carry there — backfill is a
+    * different, future-leaking policy this operator deliberately
+    * refuses).
+    *
+    * Scale: the spine is |keys|·|days| rows — calendar-sized per key
+    * regardless of raw event volume (the X159 discipline); the span
+    * is a 1-row broadcast (JustifiedCross class), the fill one
+    * `last(ignoreNulls)` window per key partition. */
+  def locfDaily(obs: DataFrame): DataFrame = {
+    val span = obs.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = obs.select(col("key")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("key"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    spine.join(obs, Seq("key", "day"), "left")
+      .withColumn("filled_cents",
+        last(col("cents"), ignoreNulls = true)
+          .over(Window.partitionBy(col("key")).orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("key"), col("day"),
+        when(col("cents").isNotNull, 1L).otherwise(0L).as("is_obs"),
+        when(col("cents").isNull && col("filled_cents").isNotNull, 1L)
+          .otherwise(0L).as("is_filled"),
+        col("filled_cents"))
+  }
+
   /** Top-k frequent event paths (X169) — the sequential-pattern view
     * one level up from [[transitionMatrix]]'s pairs: the most common
     * n-event runs ("view > view > purchase") across every user's

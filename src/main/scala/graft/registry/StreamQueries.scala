@@ -341,6 +341,21 @@ object StreamQueries {
       graft.operators.KmvSketch.kmvDistinct(Tables(s, d, "events"),
         "event_type", "user_id")),
 
+    // X172: LOCF daily gap-fill — dense per-type daily grid over the
+    // corpus' own span, last observation carried forward; days 10-12
+    // deterministically blinded so the fill has gaps to close
+    "events_locf_daily" -> ((s, d) => {
+      val obs = Tables(s, d, "events")
+        .filter(!dayofmonth(col("ts")).isin(10, 11, 12))
+        .select(col("event_type").as("key"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("c"))
+        .groupBy(col("key"), col("day"))
+        .agg(sum(col("c")).cast("long").as("cents"))
+      graft.analytics.Analytics.locfDaily(obs)
+        .withColumnRenamed("key", "event_type")
+    }),
+
     // X169: top-k frequent 3-event paths — the sequential-pattern
     // view above the transition matrix; one sequence-key shuffle,
     // path counts aggregate map-side, global top-k via TakeOrdered
@@ -845,6 +860,37 @@ object StreamQueries {
          |    AS est_distinct
          |FROM u GROUP BY 1""".stripMargin
     },
+
+    // generate_series spine over the same span; last_value IGNORE
+    // NULLS is DuckDB's LOCF spelling
+    "events_locf_daily" ->
+      """WITH obs AS (
+        |  SELECT event_type AS key,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(SUM(CAST(floor(CAST(value AS DOUBLE)
+        |      * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE day(ts) NOT IN (10, 11, 12)
+        |  GROUP BY 1, 2),
+        |span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM obs),
+        |spine AS (
+        |  SELECT k.key, CAST(g.day AS BIGINT) AS day
+        |  FROM (SELECT DISTINCT key FROM obs) k
+        |  CROSS JOIN (SELECT unnest(generate_series(
+        |    (SELECT d0 FROM span), (SELECT d1 FROM span))) AS day) g)
+        |SELECT s.key AS event_type, s.day,
+        |  CAST(CASE WHEN o.cents IS NOT NULL THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_obs,
+        |  CAST(CASE WHEN o.cents IS NULL AND last_value(o.cents
+        |      IGNORE NULLS) OVER w IS NOT NULL THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_filled,
+        |  CAST(last_value(o.cents IGNORE NULLS) OVER w AS BIGINT)
+        |    AS filled_cents
+        |FROM spine s LEFT JOIN obs o
+        |  ON s.key = o.key AND s.day = o.day
+        |WINDOW w AS (PARTITION BY s.key ORDER BY s.day
+        |  ROWS UNBOUNDED PRECEDING)""".stripMargin,
 
     // same lead-stitched 3-grams; (count desc, path asc) is a
     // deterministic total order so rank replays exactly

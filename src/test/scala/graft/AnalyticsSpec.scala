@@ -651,4 +651,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.toSeq === Seq(("A > B > C", 2L, 1L),
       ("B > C > D", 1L, 2L)))
   }
+
+  test("locfDaily: gaps fill with the last observation, leading days " +
+    "stay NULL, observed days pass through") {
+    import spark.implicits._
+    // key A observed days 3 and 6 (span 1..6 set by key B)
+    val obs = Seq(("A", 3L, 30L), ("A", 6L, 60L),
+      ("B", 1L, 10L), ("B", 6L, 11L)).toDF("key", "day", "cents")
+    val got = graft.analytics.Analytics.locfDaily(obs)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(got.size === 12) // 2 keys x days 1..6
+    assert(got(("A", 1L)) === ((0L, 0L, None))) // before first obs
+    assert(got(("A", 2L)) === ((0L, 0L, None)))
+    assert(got(("A", 3L)) === ((1L, 0L, Some(30L))))
+    assert(got(("A", 4L)) === ((0L, 1L, Some(30L)))) // carried
+    assert(got(("A", 5L)) === ((0L, 1L, Some(30L))))
+    assert(got(("A", 6L)) === ((1L, 0L, Some(60L))))
+    assert(got(("B", 2L)) === ((0L, 1L, Some(10L))))
+    assert(got(("B", 6L)) === ((1L, 0L, Some(11L))))
+  }
 }

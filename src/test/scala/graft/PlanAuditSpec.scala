@@ -314,6 +314,8 @@ class PlanAuditSpec extends SparkSpec {
       "text_collocations", "pipe_split_drift",
       // 1-row as-of scalar broadcast (max event date)
       "events_decay_score",
+      // 1-row day-span broadcast building the calendar spine
+      "events_locf_daily",
       // four 1-row sketch aggregates assembled by broadcast cross join
       "events_kmv_setops",
       // the 3-row quantile list broadcast onto the tiny bucket frame
