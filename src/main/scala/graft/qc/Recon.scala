@@ -2,6 +2,7 @@ package graft.qc
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
 import graft.functions.GraftFunctions._
 
@@ -520,5 +521,49 @@ object Recon {
           " 'HHI share-square sum exceeds the Long-exact range: shard " +
           "the group or move to decimal(38)') as bigint), 0)" +
           " + (ssq div 1000000)").as("hhi_ppm"))
+  }
+
+  /** ID-space completeness audit (X173) — "did ingestion drop
+    * messages": over a key domain DECLARED dense (message offsets,
+    * sequence numbers, export row ids), report every missing RANGE
+    * `(gap_start, gap_end, n_missing)` between the observed min and
+    * max. Ranges, not ids: a million-row hole is one output row, so
+    * the report is sized by the number of incidents, never the
+    * damage.
+    *
+    * Scale shape — the naive spelling (lead() over ONE global id
+    * order) is the empty-PARTITION-BY single-task trap. Two levels
+    * instead: ids bucket by a fixed width, within-bucket gaps come
+    * from a BUCKET-partitioned lead (spreads over the cluster), and
+    * gaps that cross bucket boundaries (including whole empty
+    * buckets) come from a lead over the per-bucket min/max SUMMARY —
+    * |ids|/width rows, the calendar-sized-frame discipline; size
+    * `bucketWidth` ≈ √N (or recurse the same device once more) to
+    * keep that summary one-task-safe. Every gap between consecutive
+    * present ids is either intra-bucket or boundary-crossing, so the
+    * union is exact and disjoint. */
+  def idGapAudit(df: DataFrame, idCol: String,
+      bucketWidth: Long = 4096L): DataFrame = {
+    val ids = df.select(col(idCol).cast("long").as("id")).distinct()
+      .withColumn("bkt", expr(s"id div $bucketWidth"))
+    val wb = Window.partitionBy(col("bkt")).orderBy(col("id"))
+    val intra = ids
+      .withColumn("nxt", lead(col("id"), 1).over(wb))
+      .filter(col("nxt") - col("id") > 1)
+      .select((col("id") + 1).as("gap_start"),
+        (col("nxt") - 1).as("gap_end"))
+    val summary = ids.groupBy(col("bkt"))
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+    // |buckets|-row frame: the one place a no-partition window is the
+    // deliberate bounded structure (see scaladoc)
+    val inter = summary
+      .withColumn("nxt_mn", lead(col("mn"), 1)
+        .over(Window.orderBy(col("bkt"))))
+      .filter(col("nxt_mn") - col("mx") > 1)
+      .select((col("mx") + 1).as("gap_start"),
+        (col("nxt_mn") - 1).as("gap_end"))
+    intra.unionByName(inter)
+      .select(col("gap_start"), col("gap_end"),
+        (col("gap_end") - col("gap_start") + 1L).as("n_missing"))
   }
 }

@@ -118,6 +118,15 @@ object ReconQueries {
       Recon.giniAudit(Tables(s, d, "orders"),
         Tables(s, d, "customer"), Tables(s, d, "nation"))),
 
+    // X173: ID-space completeness audit — missing RANGES over a dense
+    // id domain via the two-level bucket device; single ids (every
+    // 97th) and a 100-wide block per 5000 are deterministically
+    // blinded so the report has both gap shapes to find at every SF
+    "qc_id_gaps" -> ((s, d) =>
+      Recon.idGapAudit(Tables(s, d, "events")
+        .filter(col("event_id") % 97 =!= 0 &&
+          expr("(event_id div 100) % 50") =!= 7), "event_id")),
+
     // X167: declarative data-contract audit — every predicate rule is
     // a conditional sum in ONE aggregate (20 rules = one scan, where
     // the reference's datavalidation loop rescans per check)
@@ -510,6 +519,19 @@ object ReconQueries {
         |o AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM e)
         |SELECT x.day FROM x LEFT JOIN o ON x.day = o.day
         |WHERE o.day IS NULL""".stripMargin,
+
+    // the oracle is the naive single-order lead — exactly what the
+    // two-level device must reproduce
+    "qc_id_gaps" ->
+      """WITH ids AS (
+        |  SELECT DISTINCT CAST(event_id AS BIGINT) AS id FROM events
+        |  WHERE event_id % 97 <> 0 AND (event_id // 100) % 50 <> 7),
+        |g AS (
+        |  SELECT id, lead(id) OVER (ORDER BY id) AS nxt FROM ids)
+        |SELECT CAST(id + 1 AS BIGINT) AS gap_start,
+        |  CAST(nxt - 1 AS BIGINT) AS gap_end,
+        |  CAST(nxt - id - 1 AS BIGINT) AS n_missing
+        |FROM g WHERE nxt - id > 1""".stripMargin,
 
     // generated from the SAME rule list as the engine plan (X153
     // device) — query and oracle cannot drift

@@ -177,4 +177,24 @@ class ReconSpec extends SparkSpec {
     assert(got.length === 5 &&
       got.forall(r => r.getLong(4) == 0L && r.getLong(6) == 1L))
   }
+
+  test("idGapAudit: intra-bucket, boundary-crossing and whole-empty-" +
+    "bucket gaps all reported exactly once; matches the naive lead") {
+    import spark.implicits._
+    // width 8: gap 3..5 intra-bucket; 14..18 crosses the 16 boundary;
+    // 24..39 spans two whole empty buckets (3 and 4)
+    val present = (Seq(0L, 1L, 2L, 6L, 7L, 8L, 13L, 19L, 23L) ++
+      (40L to 45L)).map(Tuple1(_))
+    val df = present.toDF("id").repartition(4)
+    val got = graft.qc.Recon.idGapAudit(df, "id", bucketWidth = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val sorted = present.map(_._1).sorted
+    val want = sorted.zip(sorted.tail).collect {
+      case (a, b) if b - a > 1 => (a + 1, b - 1, b - a - 1)
+    }.toSet
+    assert(got === want)
+    assert(want.contains((3L, 5L, 3L)) && want.contains((14L, 18L, 5L))
+      && want.contains((24L, 39L, 16L)))
+  }
 }
