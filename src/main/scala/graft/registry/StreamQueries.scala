@@ -341,6 +341,23 @@ object StreamQueries {
       graft.operators.KmvSketch.kmvDistinct(Tables(s, d, "events"),
         "event_type", "user_id")),
 
+    // X174: per-user inter-event cadence stats — gap percentiles are
+    // the burstiness/churn features regularity models consume; one
+    // sequence-key window + one keyed percentile aggregate
+    "events_gap_stats" -> ((s, d) => {
+      Tables(s, d, "events")
+        .withColumn("gap_s", expr(
+          "(unix_micros(ts) - lag(unix_micros(ts), 1) over " +
+            "(partition by user_id order by ts, event_id)) " +
+            "div 1000000"))
+        .filter(col("gap_s").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_gaps"),
+          round(expr("percentile(gap_s, 0.5)"), 6).as("p50_gap_s"),
+          round(expr("percentile(gap_s, 0.9)"), 6).as("p90_gap_s"),
+          max(col("gap_s")).cast("long").as("max_gap_s"))
+    }),
+
     // X172: LOCF daily gap-fill — dense per-type daily grid over the
     // corpus' own span, last observation carried forward; days 10-12
     // deterministically blinded so the fill has gaps to close
@@ -860,6 +877,21 @@ object StreamQueries {
          |    AS est_distinct
          |FROM u GROUP BY 1""".stripMargin
     },
+
+    // same lag window; quantile_cont is percentile()'s proven twin
+    // (events_percentiles), round 6 on both sides
+    "events_gap_stats" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id))
+        |      // 1000000 AS gap_s
+        |  FROM events)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |  round(quantile_cont(gap_s, 0.5), 6) AS p50_gap_s,
+        |  round(quantile_cont(gap_s, 0.9), 6) AS p90_gap_s,
+        |  CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+        |FROM g WHERE gap_s IS NOT NULL GROUP BY 1""".stripMargin,
 
     // generate_series spine over the same span; last_value IGNORE
     // NULLS is DuckDB's LOCF spelling
