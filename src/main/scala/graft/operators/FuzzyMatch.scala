@@ -78,4 +78,46 @@ object FuzzyMatch {
       .select(col("key"), col("nm"),
         coalesce(col("rep"), col("nm")).as("rep"))
   }
+
+  /** Weighted multi-field entity resolution (X175) — the
+    * Fellegi–Sunter shape record linkage actually ships: single-field
+    * edit distance ([[canonicalMap]], X149) cannot separate "same
+    * person, typo'd name" from "different person, similar name";
+    * agreement across SEVERAL fields, each weighted by how unlikely an
+    * agreement is by chance, can. Per blocked candidate pair the score
+    * sums integer field weights — name (exact outranks one
+    * edit-or-swap via the native `graft_dl` expression), nation,
+    * balance-within-a-dollar, segment — and pairs at or above the
+    * threshold keep their per-field agreement decomposition (the
+    * audit trail: WHY did these two link). Each left record keeps only
+    * its best match (score desc, right key asc — deterministic).
+    *
+    * Scale: same two structural bounds as [[canonicalMap]] — work
+    * confined to blocks, one window per left key for best-match; the
+    * expensive comparator (edit distance) runs only inside blocks.
+    * Weights are integers so the score replays exactly. */
+  def entityResolve(left: DataFrame, right: DataFrame,
+      threshold: Long = 50L): DataFrame = {
+    val cand = left.join(right, Seq("blk"))
+    val scored = cand.select(col("l_key"), col("r_key"),
+      when(col("l_nm") === col("r_nm"), 40L)
+        .when(graft.functions.StringExpressions
+          .damerauLevenshtein(col("l_nm"), col("r_nm")) <= 1, 25L)
+        .otherwise(0L).as("w_name"),
+      when(col("l_nat") === col("r_nat"), 20L).otherwise(0L)
+        .as("w_nation"),
+      when(abs(col("l_cents") - col("r_cents")) <= 100L, 15L)
+        .otherwise(0L).as("w_bal"),
+      when(col("l_seg") === col("r_seg"), 10L).otherwise(0L)
+        .as("w_seg"))
+      .withColumn("score",
+        col("w_name") + col("w_nation") + col("w_bal") + col("w_seg"))
+      .filter(col("score") >= threshold)
+    scored.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_key"))
+          .orderBy(col("score").desc, col("r_key").asc)))
+      .filter(col("rk") === 1)
+      .drop("rk")
+  }
 }

@@ -183,6 +183,38 @@ object LoadQueries {
           sum(col("ext_cents")).cast("long").as("revenue_cents"))
     }),
 
+    // X175: weighted multi-field entity resolution (Fellegi-Sunter
+    // shape) — a perturbed registry copy (every 3rd name
+    // adjacent-swapped, every 7th nation bumped, every 5th balance
+    // shifted $5) links back by blocked multi-field scoring; the
+    // swap-stable block is the last-4-digit name suffix
+    "j_entity_resolution" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+      def cents = floor(col("c_acctbal") * 100.0 + 0.5).cast("long")
+      val left = c.select(col("c_custkey").as("l_key"),
+        col("c_name").as("l_nm"),
+        col("c_nationkey").cast("long").as("l_nat"),
+        cents.as("l_cents"), col("c_mktsegment").as("l_seg"),
+        substring(col("c_name"), 15, 4).as("blk"))
+      val right = c.select((col("c_custkey") + 10000000L).as("r_key"),
+        when(col("c_custkey") % 11 === 0,
+          concat(lit("Account#"), substring(col("c_name"), 10, 9)))
+          .when(col("c_custkey") % 3 === 0,
+            concat(substring(col("c_name"), 1, 11),
+              substring(col("c_name"), 13, 1),
+              substring(col("c_name"), 12, 1),
+              substring(col("c_name"), 14, 5)))
+          .otherwise(col("c_name")).as("r_nm"),
+        (when(col("c_custkey") % 7 === 0,
+          (col("c_nationkey") + 1) % 25)
+          .otherwise(col("c_nationkey"))).cast("long").as("r_nat"),
+        when(col("c_custkey") % 5 === 0, cents + 500L)
+          .otherwise(cents).as("r_cents"),
+        col("c_mktsegment").as("r_seg"),
+        substring(col("c_name"), 15, 4).as("blk"))
+      graft.operators.FuzzyMatch.entityResolve(left, right)
+    }),
+
     // record linkage over the DISTINCT name domain (the part-name
     // variants): rep = lexicographic min over the close-edit
     // neighborhood, rows labeled back by an equi-join on name
@@ -410,6 +442,58 @@ object LoadQueries {
       """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price,
         |       c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    // same perturbation, blocking, integer weights and best-match
+    // window; DuckDB's damerau_levenshtein is the probed twin of
+    // graft_dl (see j_fuzzy_dl)
+    "j_entity_resolution" ->
+      """WITH cts AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+        |    CAST(floor(CAST(c_acctbal AS DOUBLE) * CAST(100 AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+        |  FROM customer),
+        |l AS (
+        |  SELECT c_custkey AS l_key, c_name AS l_nm,
+        |    CAST(c_nationkey AS BIGINT) AS l_nat, cents AS l_cents,
+        |    c_mktsegment AS l_seg, substr(c_name, 15, 4) AS blk
+        |  FROM cts),
+        |r AS (
+        |  SELECT c_custkey + 10000000 AS r_key,
+        |    CASE WHEN c_custkey % 11 = 0
+        |           THEN 'Account#' || substr(c_name, 10, 9)
+        |         WHEN c_custkey % 3 = 0
+        |           THEN substr(c_name, 1, 11) || substr(c_name, 13, 1)
+        |             || substr(c_name, 12, 1) || substr(c_name, 14, 5)
+        |         ELSE c_name END AS r_nm,
+        |    CAST(CASE WHEN c_custkey % 7 = 0
+        |         THEN (c_nationkey + 1) % 25
+        |         ELSE c_nationkey END AS BIGINT) AS r_nat,
+        |    CASE WHEN c_custkey % 5 = 0 THEN cents + 500
+        |         ELSE cents END AS r_cents,
+        |    c_mktsegment AS r_seg, substr(c_name, 15, 4) AS blk
+        |  FROM cts),
+        |sc AS (
+        |  SELECT l_key, r_key,
+        |    CAST(CASE WHEN l_nm = r_nm THEN 40
+        |         WHEN damerau_levenshtein(l_nm, r_nm) <= 1 THEN 25
+        |         ELSE 0 END AS BIGINT) AS w_name,
+        |    CAST(CASE WHEN l_nat = r_nat THEN 20 ELSE 0 END
+        |      AS BIGINT) AS w_nation,
+        |    CAST(CASE WHEN abs(l_cents - r_cents) <= 100 THEN 15
+        |         ELSE 0 END AS BIGINT) AS w_bal,
+        |    CAST(CASE WHEN l_seg = r_seg THEN 10 ELSE 0 END
+        |      AS BIGINT) AS w_seg
+        |  FROM l JOIN r ON l.blk = r.blk),
+        |th AS (
+        |  SELECT *, w_name + w_nation + w_bal + w_seg AS score
+        |  FROM sc WHERE w_name + w_nation + w_bal + w_seg >= 50),
+        |best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_key
+        |    ORDER BY score DESC, r_key ASC) AS rk
+        |  FROM th)
+        |SELECT l_key, r_key, w_name, w_nation, w_bal, w_seg,
+        |  CAST(score AS BIGINT) AS score
+        |FROM best WHERE rk = 1""".stripMargin,
 
     // the bucketed layout must be invisible in the answer: the oracle
     // is the plain join + rollup over the raw tables

@@ -49,4 +49,28 @@ class FuzzyMatchSpec extends SparkSpec {
         e.getCause.getMessage.contains("fuzzy blocking")),
       s"unexpected: $e")
   }
+
+  test("entityResolve: exact name outranks a swap, sub-threshold " +
+    "pairs drop, each left key keeps one best match") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "alpha corp", 5L, 1000L, "AUTO", "b1"),
+      (2L, "beta gmbh", 6L, 2000L, "RAIL", "b2"),
+      (3L, "gamma llc", 7L, 3000L, "SHIP", "b3")
+    ).toDF("l_key", "l_nm", "l_nat", "l_cents", "l_seg", "blk")
+    val right = Seq(
+      // exact twin of 1 (score 85) and a swapped variant (70):
+      // best-match keeps the exact one
+      (11L, "alpha corp", 5L, 1010L, "AUTO", "b1"),
+      (12L, "aplha corp", 5L, 1010L, "AUTO", "b1"),
+      // far name for 2: 0+20+15+10 = 45 < 50 -> dropped
+      (21L, "delta spa", 6L, 2010L, "RAIL", "b2"),
+      // swapped name for 3, nation off: 25+0+15+10 = 50 -> kept
+      (31L, "gamam llc", 8L, 3010L, "SHIP", "b3")
+    ).toDF("r_key", "r_nm", "r_nat", "r_cents", "r_seg", "blk")
+    val got = graft.operators.FuzzyMatch.entityResolve(left, right)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(6))).toMap
+    assert(got === Map(1L -> ((11L, 85L)), 3L -> ((31L, 50L))))
+  }
 }
