@@ -655,6 +655,52 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Asymmetric shingle CONTAINMENT pairs (X176) — the sub-document
+    * detector symmetric Jaccard is blind to: a short doc fully pasted
+    * inside a long one scores C(A→B) = |A∩B|/|A| ≈ 1 while the
+    * Jaccard |A∩B|/|A∪B| stays tiny (the union is dominated by B), so
+    * a Jaccard-threshold dedup keeps the copy. Quote/excerpt
+    * detection, license-text stripping and "is this doc subsumed"
+    * curation all need the directed form. Emits BOTH directions per
+    * intersecting pair (containment is not symmetric), in exact
+    * integer ppm — `(shared·10⁶) div n_src`.
+    *
+    * Scale: the SAME df-capped inverted-index equi-join as X5 (the
+    * hot-shingle cap is part of the statistic there and here), one
+    * extra projection to flip direction — no new joins; shares the
+    * session shingle cache. */
+  def containmentPairs(docs: DataFrame, n: Int = ShingleN,
+      minPpm: Long = 500000L, maxDf: Int = MaxShingleDf,
+      shingles: Option[DataFrame] = None): DataFrame = {
+    val ss = shingles.getOrElse(
+      graft.core.CacheBay.register(shingleSets(docs, n)))
+    val ex = ss.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val rare = ex.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("sh"))
+    val exF = graft.core.CacheBay.register(ex.join(rare, Seq("sh")))
+    val counts = exF.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_sh"))
+    val shared = exF.select(col("doc_id").as("a_id"), col("sh"))
+      .join(exF.select(col("doc_id").as("b_id"), col("sh")), Seq("sh"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).cast("long").as("shared"))
+    val directed = shared
+      .select(col("a_id").as("src_id"), col("b_id").as("dst_id"),
+        col("shared"))
+      .unionByName(shared.select(col("b_id").as("src_id"),
+        col("a_id").as("dst_id"), col("shared")))
+    directed
+      .join(counts.withColumnsRenamed(
+        Map("doc_id" -> "src_id", "n_sh" -> "n_src")), Seq("src_id"))
+      .select(col("src_id"), col("dst_id"), col("shared"),
+        col("n_src"),
+        expr("(shared * 1000000) div n_src").as("containment_ppm"))
+      .filter(col("containment_ppm") >= minPpm)
+  }
+
   /** Session-cached [[prefixFilterPairs]] output for the `documents`
     * table at `dir` — third tier of the dedup family cache: the exact
     * τ-Jaccard pair set feeds both the pair listing and the

@@ -37,6 +37,10 @@ object DedupQueries {
       Dedup.simhashPairs(docs(s, d), shingles = sh(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d), shingles = sh(s, d))),
+    // X176: directed containment — the sub-document detector Jaccard
+    // is blind to; same df-capped inverted index, both directions
+    "dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(docs(s, d), shingles = sh(s, d))),
     // X140: EXACT tau-Jaccard join — prefix filtering instead of the
     // df cap, so no shingle is dropped and the answer set is complete
     "dedup_ppjoin" -> ((s, d) => Dedup.sharedExactPairs(s, d)),
@@ -440,6 +444,28 @@ object DedupQueries {
     "dedup_ngram_jaccard" ->
       s"""WITH $ShinglesCte, $JaccardPairsCtes
          |SELECT a_id, b_id, jaccard FROM jp""".stripMargin,
+
+    // same df-capped inverted index, both directions, integer ppm
+    "dedup_containment" ->
+      s"""WITH $ShinglesCte,
+         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM shf),
+         |rare AS (SELECT s FROM ex GROUP BY s
+         |         HAVING count(*) <= $MaxShingleDf),
+         |exf AS (SELECT ex.doc_id, ex.s FROM ex
+         |        JOIN rare ON ex.s = rare.s),
+         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |        FROM exf GROUP BY 1),
+         |shared AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |         CAST(count(*) AS BIGINT) AS c
+         |  FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |dir AS (SELECT a_id AS src_id, b_id AS dst_id, c FROM shared
+         |        UNION ALL SELECT b_id, a_id, c FROM shared)
+         |SELECT src_id, dst_id, c AS shared, n AS n_src,
+         |  CAST((c * 1000000) // n AS BIGINT) AS containment_ppm
+         |FROM dir JOIN cnt ON src_id = cnt.doc_id
+         |WHERE (c * 1000000) // n >= 500000""".stripMargin,
 
     // the oracle is the brute-force inverted-index join with NO df cap
     // — prefix filtering is lossless, so the engine must reproduce the

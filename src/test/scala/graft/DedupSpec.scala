@@ -247,4 +247,26 @@ class DedupSpec extends SparkSpec {
     assert(got == want && want.nonEmpty,
       s"got ${got.size} pairs, want ${want.size}")
   }
+
+  test("containmentPairs: a short doc pasted inside a long one " +
+    "scores near-total containment in its direction only") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = short + " eta theta iota kappa lambda mu nu xi " +
+      "omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six seven eight nine ten"
+    val docs = Seq((1L, short), (2L, long),
+      (3L, "totally unrelated words appear in this document here"))
+      .toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.containmentPairs(docs, minPpm = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4))
+      .toMap
+    graft.core.CacheBay.drain()
+    // every shingle of doc 1 appears in doc 2 -> containment 1e6
+    assert(got((1L, 2L)) === 1000000L)
+    // the reverse direction is diluted by doc 2's extra shingles
+    assert(got((2L, 1L)) < 200000L)
+    // the unrelated doc intersects nothing
+    assert(!got.keySet.exists(k => k._1 == 3L || k._2 == 3L))
+  }
 }
