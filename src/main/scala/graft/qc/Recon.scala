@@ -523,6 +523,41 @@ object Recon {
           " + (ssq div 1000000)").as("hhi_ppm"))
   }
 
+  /** Join-cardinality preflight (X177) — "will this join explode",
+    * answered BEFORE paying for the join: the exact output
+    * cardinality of an equi-join is Σ_k cₐ(k)·c_b(k) over the key's
+    * value distribution, and both distributions are one keyed COUNT
+    * each — frames at key cardinality, joined at key grain, never the
+    * facts against each other. The report is the top-k hottest keys
+    * by predicted output rows plus an `__total__` row (the number the
+    * shuffle planner actually wants); a key whose product dwarfs the
+    * rest is the skew the salted join (X47) or AQE skew handling
+    * exists for — this query is how you FIND it.
+    *
+    * All integers; per-key products guarded against Long overflow
+    * (a guard firing IS the explosion warning at its loudest). */
+  def joinCardinalityPreflight(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String, k: Int = 10): DataFrame = {
+    val ca = left.groupBy(col(leftKey).as("key"))
+      .agg(count(lit(1)).cast("long").as("ca"))
+    val cb = right.groupBy(col(rightKey).as("key"))
+      .agg(count(lit(1)).cast("long").as("cb"))
+    val per = ca.join(cb, Seq("key"))
+      .select(col("key"), col("ca"), col("cb"),
+        expr("coalesce(cast(assert_true(" +
+          "ca <= 9223372036854775807 div greatest(cb, 1)," +
+          " 'predicted join output exceeds Long — this join explodes')" +
+          " as bigint), 0) + ca * cb").as("out_rows"))
+    val top = per
+      .orderBy(col("out_rows").desc, col("key").asc).limit(k)
+      .select(col("key").cast("string").as("key"), col("ca"),
+        col("cb"), col("out_rows"))
+    val total = per.agg(sum(col("out_rows")).cast("long").as("out_rows"))
+      .select(lit("__total__").as("key"), lit(-1L).as("ca"),
+        lit(-1L).as("cb"), col("out_rows"))
+    top.unionByName(total)
+  }
+
   /** ID-space completeness audit (X173) — "did ingestion drop
     * messages": over a key domain DECLARED dense (message offsets,
     * sequence numbers, export row ids), report every missing RANGE

@@ -118,6 +118,14 @@ object ReconQueries {
       Recon.giniAudit(Tables(s, d, "orders"),
         Tables(s, d, "customer"), Tables(s, d, "nation"))),
 
+    // X177: join-cardinality preflight — predict an equi-join's exact
+    // output size and its hottest keys from two keyed counts, before
+    // paying for the join; events x events on user_id has real skew
+    "qc_join_preflight" -> ((s, d) =>
+      Recon.joinCardinalityPreflight(
+        Tables(s, d, "events"), "user_id",
+        Tables(s, d, "events"), "user_id")),
+
     // X173: ID-space completeness audit — missing RANGES over a dense
     // id domain via the two-level bucket device; single ids (every
     // 97th) and a 100-wide block per 5000 are deterministically
@@ -519,6 +527,29 @@ object ReconQueries {
         |o AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM e)
         |SELECT x.day FROM x LEFT JOIN o ON x.day = o.day
         |WHERE o.day IS NULL""".stripMargin,
+
+    // same two keyed counts; ties break by key text
+    "qc_join_preflight" ->
+      """WITH ca AS (
+        |  SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS ca
+        |  FROM events GROUP BY 1),
+        |cb AS (
+        |  SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS cb
+        |  FROM events GROUP BY 1),
+        |per AS (
+        |  SELECT ca.key, ca.ca, cb.cb,
+        |    CAST(ca.ca * cb.cb AS BIGINT) AS out_rows
+        |  FROM ca JOIN cb ON ca.key = cb.key),
+        |top AS (
+        |  -- LIMIT before the VARCHAR cast: ORDER BY key must bind the
+        |  -- NUMERIC column, not a string output alias
+        |  SELECT key, ca, cb, out_rows
+        |  FROM per ORDER BY out_rows DESC, key ASC LIMIT 10)
+        |SELECT CAST(key AS VARCHAR) AS key, ca, cb, out_rows FROM top
+        |UNION ALL
+        |SELECT '__total__', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+        |  CAST(SUM(out_rows) AS BIGINT)
+        |FROM per""".stripMargin,
 
     // the oracle is the naive single-order lead — exactly what the
     // two-level device must reproduce

@@ -197,4 +197,23 @@ class ReconSpec extends SparkSpec {
     assert(want.contains((3L, 5L, 3L)) && want.contains((14L, 18L, 5L))
       && want.contains((24L, 39L, 16L)))
   }
+
+  test("joinCardinalityPreflight: hand-exact per-key products, hot " +
+    "key first, __total__ equals the real join's row count") {
+    import spark.implicits._
+    val l = (Seq.fill(5)(100L) ++ Seq.fill(2)(200L) ++ Seq(300L))
+      .map(Tuple1(_)).toDF("k")
+    val r = (Seq.fill(4)(100L) ++ Seq.fill(3)(200L) ++ Seq(400L))
+      .map(Tuple1(_)).toDF("k")
+    val got = graft.qc.Recon
+      .joinCardinalityPreflight(l, "k", r, "k", k = 5)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(got("100") === ((5L, 4L, 20L)))
+    assert(got("200") === ((2L, 3L, 6L)))
+    assert(got("__total__")._3 === 26L)
+    assert(got("__total__")._3 === l.join(r, Seq("k")).count())
+    // 300/400 never co-occur: absent from the report
+    assert(!got.contains("300") && !got.contains("400"))
+  }
 }
