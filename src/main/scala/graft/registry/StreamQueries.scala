@@ -341,6 +341,34 @@ object StreamQueries {
       graft.operators.KmvSketch.kmvDistinct(Tables(s, d, "events"),
         "event_type", "user_id")),
 
+    // X178: percent-rank (CDF) normalization of value per type — the
+    // rank-feature transform, via the X44 decomposition: the rank
+    // window runs over the DISTINCT-VALUE frame (domain-sized), never
+    // the rows, so a 20B-row group is not a single-task trap; rows
+    // get their rank back through one (type, cents) equi-join;
+    // rank() ≡ strictly-smaller count + 1, ppm by truncating div
+    "events_percent_rank" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("cents"))
+      val ev = Tables(s, d, "events")
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      val dist = ev.groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).cast("long").as("c"))
+        .withColumn("below", coalesce(sum(col("c")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)).cast("long"))
+        .withColumn("n", sum(col("c")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("event_type"))).cast("long"))
+      ev.join(dist.select(col("event_type"), col("cents"),
+          col("below"), col("n")), Seq("event_type", "cents"))
+        .select(col("event_id"), col("event_type"), col("cents"),
+          (col("below") + 1L).as("rnk"),
+          expr("(below * 1000000) div greatest(n - 1, 1)")
+            .as("pct_ppm"))
+    }),
+
     // X174: per-user inter-event cadence stats — gap percentiles are
     // the burstiness/churn features regularity models consume; one
     // sequence-key window + one keyed percentile aggregate
@@ -877,6 +905,23 @@ object StreamQueries {
          |    AS est_distinct
          |FROM u GROUP BY 1""".stripMargin
     },
+
+    // the naive per-row rank window — the spec the domain-frame
+    // decomposition must reproduce; rank() = strictly-below + 1
+    "events_percent_rank" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    CAST(floor(CAST(value AS DOUBLE) * CAST(100 AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT event_id, event_type, cents,
+        |  CAST(rank() OVER (PARTITION BY event_type ORDER BY cents)
+        |    AS BIGINT) AS rnk,
+        |  CAST(((rank() OVER (PARTITION BY event_type ORDER BY cents)
+        |    - 1) * 1000000)
+        |    // greatest(COUNT(*) OVER (PARTITION BY event_type) - 1, 1)
+        |    AS BIGINT) AS pct_ppm
+        |FROM ev""".stripMargin,
 
     // same lag window; quantile_cont is percentile()'s proven twin
     // (events_percentiles), round 6 on both sides
