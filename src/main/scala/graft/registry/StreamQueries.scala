@@ -341,6 +341,39 @@ object StreamQueries {
       graft.operators.KmvSketch.kmvDistinct(Tables(s, d, "events"),
         "event_type", "user_id")),
 
+    // X179: watermark-lateness audit — replay streaming watermark
+    // semantics in batch: the watermark before each arrival is the
+    // running MAX event time over arrival order (the X141 two-phase
+    // prefix scan — never a single-task global window), minus the
+    // allowed delay; rows classify on_time / late_accepted (inside
+    // the delay) / late_dropped (what the stream would discard)
+    "events_lateness_audit" -> ((s, d) => {
+      val delayUs = 3600L * 1000000L
+      // the fixture's event_ids are time-ordered, which would make
+      // every row trivially on_time; a deterministic md5 scramble of
+      // the id models a real out-of-order ingest sequence
+      val ev = Tables(s, d, "events")
+        .select(col("event_id"), col("event_type"),
+          expr("unix_micros(ts)").as("ts_us"),
+          expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), " +
+            "1, 8), 16, 10) AS BIGINT)").as("arr"))
+      val scanned = graft.operators.PrefixScan.prefixAgg(
+        ev, Seq("arr", "event_id"), "ts_us", "max",
+        "wm_incl", "wm_excl")
+      scanned
+        // floor the exclusive max at -1 (the scan's identity is
+        // Long.MinValue — subtracting the delay from it would wrap,
+        // and ANSI mode would throw; real event times are positive)
+        .withColumn("wm", greatest(col("wm_excl"), lit(-1L)))
+        .select(col("event_type"),
+          when(col("ts_us") >= col("wm"), "on_time")
+            .when(col("ts_us") >= col("wm") - delayUs,
+              "late_accepted")
+            .otherwise("late_dropped").as("lateness"))
+        .groupBy(col("event_type"), col("lateness"))
+        .agg(count(lit(1)).cast("long").as("n"))
+    }),
+
     // X178: percent-rank (CDF) normalization of value per type — the
     // rank-feature transform, via the X44 decomposition: the rank
     // window runs over the DISTINCT-VALUE frame (domain-sized), never
@@ -905,6 +938,26 @@ object StreamQueries {
          |    AS est_distinct
          |FROM u GROUP BY 1""".stripMargin
     },
+
+    // the naive single-order running max IS the oracle; the engine's
+    // two-phase scan must reproduce it exactly
+    "events_lateness_audit" ->
+      ("""WITH a AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us,
+        |    COALESCE(MAX(epoch_us(ts)) OVER (ORDER BY """ +
+        OracleSql.hex8("md5(CAST(event_id AS VARCHAR))") +
+        """, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      AS wm
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type,
+        |    CASE WHEN ts_us >= wm THEN 'on_time'
+        |         WHEN ts_us >= wm - 3600000000 THEN 'late_accepted'
+        |         ELSE 'late_dropped' END AS lateness
+        |  FROM a)
+        |SELECT event_type, lateness, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM c GROUP BY 1, 2""").stripMargin,
 
     // the naive per-row rank window — the spec the domain-frame
     // decomposition must reproduce; rank() = strictly-below + 1

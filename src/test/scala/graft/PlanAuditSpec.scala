@@ -352,6 +352,8 @@ class PlanAuditSpec extends SparkSpec {
       // build (≤ numPartitions rows); plan shape audited by
       // PrefixScanSpec (no global window, no full-frame hash exchange)
       "scan_running_total", "pareto_frontier",
+      // prefix-scan composition: bounded per-partition totals collect
+      "events_lateness_audit",
       // Bloom filter words collect on build (≤ bits/64 = 1024 rows)
       "j_bloom_prune")
 
