@@ -92,6 +92,13 @@ object TextQueries {
     "text_vocab_topk" -> ((s, d) =>
       graft.text.CorpusStats.vocabTopK(Tables(s, d, "documents"))),
 
+    // X180: pairwise source-vocabulary overlap — the domain-
+    // similarity matrix behind mixture-weight decisions; vocabulary-
+    // sized frames, token-keyed intersection join
+    "text_source_overlap" -> ((s, d) =>
+      graft.text.CorpusStats.sourceVocabOverlap(
+        Tables(s, d, "documents"))),
+
     // X168: Gini-impurity class balance per corpus slice — the
     // label-quality screen before training; transcendental-free by
     // construction (the CART impurity, not entropy)
@@ -621,6 +628,26 @@ object TextQueries {
          |    AS BIGINT) AS rank
          |FROM est""".stripMargin
     },
+
+    "text_source_overlap" ->
+      s"""WITH $TokCte,
+         |sv AS (SELECT DISTINCT d.source, t.tok AS token
+         |       FROM tw
+         |       JOIN documents d ON tw.doc_id = d.doc_id,
+         |       unnest(tw.w) AS t(tok)),
+         |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS v
+         |          FROM sv GROUP BY 1),
+         |inter AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |         CAST(COUNT(*) AS BIGINT) AS n_common
+         |  FROM sv a JOIN sv b
+         |    ON a.token = b.token AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_common, sa.v AS va, sb.v AS vb,
+         |  CAST((n_common * 1000000) // (sa.v + sb.v - n_common)
+         |    AS BIGINT) AS jaccard_ppm
+         |FROM inter JOIN sizes sa ON src_a = sa.source
+         |           JOIN sizes sb ON src_b = sb.source""".stripMargin,
 
     "text_class_balance" ->
       """WITH cl AS (

@@ -830,6 +830,43 @@ object CorpusStats {
         .cast("long"))
   }
 
+  /** Pairwise source-vocabulary overlap (X180) — the domain-
+    * similarity matrix a mixture designer reads before setting
+    * per-source sampling weights (two sources with near-identical
+    * vocabularies are redundant; a vocabulary-disjoint source adds
+    * coverage): per source pair, |V_a ∩ V_b| with both vocabulary
+    * sizes and the Jaccard in exact ppm.
+    *
+    * Scale: the (source, token) DISTINCT frame is vocabulary-sized
+    * per source, never corpus-sized; the pair intersection is a
+    * token-keyed equi-join of that frame with itself (the inverted-
+    * index shape — a token contributes |sources-containing-it|²
+    * pairs, bounded by the SOURCE count squared, not by df). Output
+    * is |sources|² rows. */
+  def sourceVocabOverlap(docs: DataFrame): DataFrame = {
+    val sv = graft.core.CacheBay.register(
+      docs.select(col("source"),
+          explode(tokenArray(col("text"))).as("token"))
+        .distinct())
+    val sizes = sv.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("v"))
+    val inter = sv.select(col("source").as("src_a"), col("token"))
+      .join(sv.select(col("source").as("src_b"), col("token")),
+        Seq("token"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).cast("long").as("n_common"))
+    inter
+      .join(sizes.withColumnsRenamed(
+        Map("source" -> "src_a", "v" -> "va")), Seq("src_a"))
+      .join(sizes.withColumnsRenamed(
+        Map("source" -> "src_b", "v" -> "vb")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        col("va"), col("vb"),
+        expr("(n_common * 1000000) div (va + vb - n_common)")
+          .as("jaccard_ppm"))
+  }
+
   /** Gini-impurity class-balance audit (X168) — the label-quality
     * screen a curator runs per corpus slice before training on it: a
     * slice whose language (or any label) distribution has collapsed

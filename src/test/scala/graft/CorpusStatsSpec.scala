@@ -362,4 +362,23 @@ class CorpusStatsSpec extends SparkSpec {
     // 1 - (9 + 1)/16 = 6/16 = 0.375
     assert(got("skew") === ((4L, 2L, 3L, 375000L)))
   }
+
+  test("sourceVocabOverlap: hand-exact intersection and Jaccard ppm") {
+    import spark.implicits._
+    val docs = Seq(
+      ("w1", "alpha beta gamma"), ("w1", "beta delta"),
+      ("w2", "beta gamma epsilon"),
+      ("w3", "zeta eta")
+    ).toDF("source", "text")
+    val got = graft.text.CorpusStats.sourceVocabOverlap(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    graft.core.CacheBay.drain()
+    // V(w1)={alpha,beta,gamma,delta} V(w2)={beta,gamma,epsilon}
+    // inter=2, union=5 -> 400000 ppm
+    assert(got(("w1", "w2")) === ((2L, 4L, 3L, 400000L)))
+    // w3 is disjoint from both: no rows (inner intersection join)
+    assert(got.size === 1)
+  }
 }
