@@ -52,6 +52,10 @@ object SimilarityQueries {
       Similarity.labelCentroids(emb(s, d))),
     "sim_centroid_outliers" -> ((s, d) =>
       Similarity.centroidOutliers(emb(s, d))),
+    // X181: cross-label centroid distance matrix — confusable-class
+    // review; taxonomy-sized frames, exact integer distances
+    "sim_centroid_distances" -> ((s, d) =>
+      Similarity.centroidDistances(emb(s, d))),
     "sim_semantic_dedup" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.semanticDedup(e, nBits = scaledNBits(e.count()))
@@ -347,6 +351,26 @@ object SimilarityQueries {
         |  CAST(CASE WHEN dist2 > 2 * mean_d2 THEN 1 ELSE 0 END AS BIGINT)
         |    AS is_outlier
         |FROM pv JOIN pl USING (label)""".stripMargin,
+
+    "sim_centroid_distances" ->
+      """WITH ex AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |         unnest(range(0, len(embedding))) AS dim,
+        |         unnest(embedding) AS x
+        |  FROM embeddings),
+        |q AS (SELECT label, CAST(dim AS BIGINT) AS dim,
+        |        CAST(floor(CAST(x AS DOUBLE) * CAST(1000000 AS DOUBLE)
+        |          + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qv
+        |      FROM ex),
+        |c AS (SELECT label, dim,
+        |        CAST(floor(CAST(SUM(qv) AS DOUBLE) / count(*))
+        |          AS BIGINT) AS ce
+        |      FROM q GROUP BY 1, 2)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  CAST(SUM((a.ce - b.ce) * (a.ce - b.ce)) AS BIGINT)
+        |    AS dist2_e12
+        |FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+        |GROUP BY 1, 2""".stripMargin,
 
     "sim_label_centroids" ->
       """WITH ex AS (

@@ -500,6 +500,31 @@ object Similarity {
         floor(col("sum_q").cast("double") / col("n")).cast("long")
           .as("centroid_e6"))
 
+  /** Cross-label centroid distance matrix (X181) — which classes are
+    * CONFUSABLE in embedding space: two labels whose prototypes sit
+    * close will trade members under any nearest-centroid rule, so
+    * this matrix is the label-taxonomy review (merge candidates,
+    * mislabel hotspots) and the IVF/routing sanity check. Exact
+    * integer arithmetic on [[labelCentroids]]' e6 micro-unit
+    * components: per-dim diff, squared, summed — order-free, so the
+    * SQL replay is bit-identical.
+    *
+    * Shape: the centroid frame is |labels|·dim rows; the pair matrix
+    * is its dim-keyed self-join (|labels|²·dim intermediate — label
+    * counts are taxonomy-sized, never corpus-sized). */
+  def centroidDistances(emb: DataFrame): DataFrame = {
+    val c = graft.core.CacheBay.register(labelCentroids(emb)
+      .select(col("label"), col("dim"), col("centroid_e6")))
+    c.select(col("label").as("label_a"), col("dim"),
+        col("centroid_e6").as("ca"))
+      .join(c.select(col("label").as("label_b"), col("dim"),
+        col("centroid_e6").as("cb")), Seq("dim"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum((col("ca") - col("cb")) * (col("ca") - col("cb")))
+        .cast("long").as("dist2_e12"))
+  }
+
   /** Per-vector squared distance to its label centroid, with a
     * per-label outlier flag — mislabeled-example / embedding-drift
     * detection (the vector sits far from its class prototype). Builds
