@@ -1307,6 +1307,41 @@ object Analytics {
       .withColumn("p_e6", expr("(n_trans * 1000000) div from_total"))
   }
 
+  /** Per-key Theil–Sen robust trend (X182) — the median of all
+    * pairwise slopes, the robust companion to [[trendByKey]]'s OLS:
+    * one wild month (a strike, a data glitch) swings a least-squares
+    * slope arbitrarily but moves the pairwise-slope MEDIAN almost
+    * nothing (breakdown point ~29%). The screen to trust when series
+    * quality is suspect — and disagreement between the two slopes is
+    * itself an outlier alarm.
+    *
+    * Scale: pairs are generated per key (one keyed self-join) and the
+    * pair count is quadratic in the key's SERIES length — calendar-
+    * bounded (120 months → ≤7140 pairs), never row-bounded, and a
+    * filter-borne assert caps series length loudly rather than
+    * letting a mis-grained input go quadratic in rows. Slope is one
+    * IEEE double division (bit-identical cross-engine); the median is
+    * `percentile` ≡ `quantile_cont` (X26), round-6. */
+  def theilSenByKey(series: DataFrame, key: String, x: String,
+      y: String, maxPoints: Int = 1000): DataFrame = {
+    val counted = series.withColumn("_np",
+      count(lit(1)).over(Window.partitionBy(col(key))))
+    val guarded = counted.filter(
+      expr(s"coalesce(assert_true(_np <= $maxPoints, " +
+        "'theil-sen series too long: the pair set is quadratic in " +
+        "series length — aggregate to a coarser grain'), true)"))
+    val a = guarded.select(col(key), col(x).as("x1"), col(y).as("y1"))
+    val b = guarded.select(col(key), col(x).as("x2"), col(y).as("y2"))
+    a.join(b, Seq(key))
+      .filter(col("x1") < col("x2"))
+      .withColumn("slope",
+        (col("y2") - col("y1")).cast("double") /
+          (col("x2") - col("x1")).cast("double"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        round(expr("percentile(slope, 0.5)"), 6).as("ts_slope"))
+  }
+
   /** Per-key OLS trend (X164) — "is this series growing or fading"
     * over every key at once, the demand-planning screen a forecaster
     * runs before choosing models: slope of y over x per key from the

@@ -64,6 +64,19 @@ object AnalyticsQueries {
       Analytics.trendByKey(monthly, "l_suppkey", "m", "y")
     }),
 
+    // X182: the robust companion over the same monthly series —
+    // median of pairwise slopes, calendar-bounded pair set
+    "supplier_theilsen_trend" -> ((s, d) => {
+      val monthly = graft.core.Tables(s, d, "lineitem")
+        .select(col("l_suppkey"),
+          (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+            .cast("long").as("m"),
+          floor(col("l_quantity") * 100.0 + 0.5).cast("long").as("qc"))
+        .groupBy(col("l_suppkey"), col("m"))
+        .agg(sum(col("qc")).cast("long").as("y"))
+      Analytics.theilSenByKey(monthly, "l_suppkey", "m", "y")
+    }),
+
     // X157: Poisson-bootstrap error bars — uncertainty for a grouped
     // sum in ONE scan (bounded xR explode), draws inverted from the
     // hash so the whole computation is deterministic and replayable
@@ -505,6 +518,27 @@ object AnalyticsQueries {
         |         // (n * sxx - sx * sx)) END AS BIGINT) AS slope_e6,
         |  CAST(sy // n AS BIGINT) AS avg_y
         |FROM st""".stripMargin,
+
+    // same monthly series, same pair set; quantile_cont is
+    // percentile's proven twin, slope one IEEE double division
+    "supplier_theilsen_trend" ->
+      """WITH monthly AS (
+        |  SELECT l_suppkey,
+        |    CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)
+        |      AS m,
+        |    CAST(SUM(CAST(floor(CAST(l_quantity AS DOUBLE)
+        |      * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.l_suppkey,
+        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.m - a.m AS DOUBLE)
+        |      AS slope
+        |  FROM monthly a JOIN monthly b
+        |    ON a.l_suppkey = b.l_suppkey AND a.m < b.m)
+        |SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  round(quantile_cont(slope, 0.5), 6) AS ts_slope
+        |FROM p GROUP BY 1""".stripMargin,
 
     // the CDF thresholds are generated from the SAME constant list as
     // the engine; only the hex8-of-md5 spelling differs per engine

@@ -672,4 +672,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(("B", 2L)) === ((0L, 1L, Some(10L))))
     assert(got(("B", 6L)) === ((1L, 0L, Some(11L))))
   }
+
+  test("theilSenByKey: robust to one wild point where OLS is not; " +
+    "over-long series fail loudly") {
+    import spark.implicits._
+    // y = 2x except one wild outlier at x=5 (y=1000)
+    val series = (Seq((0L, 0L), (1L, 2L), (2L, 4L), (3L, 6L),
+      (4L, 8L), (5L, 1000L), (6L, 12L), (7L, 14L))
+      .map { case (x, y) => ("k", x, y) }).toDF("k", "x", "y")
+    val ts = graft.analytics.Analytics
+      .theilSenByKey(series, "k", "x", "y")
+      .collect().head
+    assert(ts.getLong(1) === 28L) // 8 choose 2
+    assert(math.abs(ts.getDouble(2) - 2.0) < 0.5) // median near 2
+    val ols = graft.analytics.Analytics
+      .trendByKey(series, "k", "x", "y").collect().head
+    assert(math.abs(ols.getLong(2)) > 10000000L) // OLS blown > 10
+    val long = (1 to 1500).map(i => ("k", i.toLong, i.toLong))
+      .toDF("k", "x", "y")
+    val e = intercept[Exception] {
+      graft.analytics.Analytics.theilSenByKey(long, "k", "x", "y")
+        .collect()
+    }
+    assert(e.getMessage.contains("series too long") ||
+      e.getCause != null)
+  }
 }
