@@ -28,6 +28,31 @@ object PipelineQueries {
       Pipeline.embargoSplit(graft.core.Tables(s, d, "events"))),
     "pipe_split_report" -> ((s, d) => Pipeline.splitReport(docs(s, d))),
     "pipe_pii_redact" -> ((s, d) => Pipeline.piiRedact(docs(s, d))),
+    // X183: effective dataset size per source — how many of a
+    // source's tokens survive exact dedup (keeper = global min doc_id
+    // per content fingerprint); the duplicated-token ppm is the
+    // "paying for the same data twice" number a mixture budget reads
+    "pipe_effective_tokens" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.text.TextAnalysis
+      val t = docs(s, d).select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"),
+        TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+      val keep = t.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"))
+      t.join(keep, Seq("fp"))
+        .withColumn("is_keeper",
+          when(col("doc_id") === col("keep_id"), 1L).otherwise(0L))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("is_keeper")).cast("long").as("n_unique_docs"),
+          sum(col("n_tok")).cast("long").as("tokens_total"),
+          sum(col("n_tok") * col("is_keeper")).cast("long")
+            .as("tokens_unique"))
+        .withColumn("dup_token_ppm", expr(
+          "((tokens_total - tokens_unique) * 1000000) " +
+            "div greatest(tokens_total, 1)"))
+    }),
     // X171: k-anonymity audit over quasi-identifiers (nation, segment,
     // $100 balance bucket) — one class-grain aggregate, then banding
     // and ppm run on the 3-row band frame
@@ -252,6 +277,31 @@ object PipelineQueries {
          |SELECT split, lang, count(*) AS n_docs,
          |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          |FROM spl GROUP BY split, lang""".stripMargin,
+
+    "pipe_effective_tokens" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id,
+         |    CASE WHEN trim(text) = '' THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+'))
+         |    END AS n_tok,
+         |    md5(${DedupQueries.normSql}) AS fp
+         |  FROM documents),
+         |keep AS (SELECT fp, min(doc_id) AS keep_id FROM t GROUP BY 1),
+         |k AS (
+         |  SELECT t.source, t.n_tok,
+         |    CASE WHEN t.doc_id = keep.keep_id THEN 1 ELSE 0 END AS isk
+         |  FROM t JOIN keep ON t.fp = keep.fp),
+         |agg AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(isk) AS BIGINT) AS n_unique_docs,
+         |    CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+         |    CAST(SUM(n_tok * isk) AS BIGINT) AS tokens_unique
+         |  FROM k GROUP BY 1)
+         |SELECT source, n_docs, n_unique_docs, tokens_total,
+         |  tokens_unique,
+         |  CAST(((tokens_total - tokens_unique) * 1000000)
+         |    // greatest(tokens_total, 1) AS BIGINT) AS dup_token_ppm
+         |FROM agg""".stripMargin,
 
     "pipe_k_anonymity" ->
       """WITH q AS (
