@@ -118,6 +118,46 @@ object PageRank {
           .cast("long").as("pr"))
   }
 
+  /** Personalized PageRank (X184) — authority RELATIVE TO A SEED SET:
+    * the restart mass lands only on seed nodes, so scores answer
+    * "how reachable is v from the seeds" — the recommendation /
+    * related-entity primitive (seeds = a user's purchases → ranked
+    * related suppliers), where global PageRank answers "how central
+    * is v overall". Same integer micro-unit discipline as the base
+    * operator: r'(v) = restart(v) + d·Σ(r(u) div outdeg(u)), with
+    * restart(v) = (1−d)·10⁶ on seeds and 0 elsewhere, r₀ = restart —
+    * every value replayable by floor-division arithmetic in any
+    * engine. Non-seed nodes with no inbound seed-reachable mass stay
+    * at 0 (correctly: they are unreachable from the seeds).
+    *
+    * Same per-iteration cost class as [[purchaseRanks]] (one join +
+    * one keyed sum over the cached edge list); the seed predicate is
+    * a map-side flag, never a collected set. */
+  def personalizedRanks(orders: DataFrame, lineitem: DataFrame,
+      iters: Int = Iters): DataFrame = {
+    val (edges, deg) = purchaseGraph(orders, lineitem)
+    // seeds: every 10th supplier — deterministic and SF-invariant
+    val restart = graft.core.CacheBay.register(
+      deg.select(col("src").as("node"),
+        when(col("src") % 2 === 1 && expr("(src div 2) % 10") === 0,
+          lit(RestartE6)).otherwise(lit(0L)).cast("long").as("restart")))
+    var rank = restart.select(col("node"), col("restart").as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(deg, Seq("src"))
+        .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("pr div outdeg")).cast("long").as("c"))
+      rank = restart
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (col("restart") +
+            expr(s"($DampNum * coalesce(c, cast(0 as bigint))) " +
+              s"div $DampDen")).cast("long").as("pr"))
+    }
+    present(rank)
+  }
+
   private def present(rank: DataFrame): DataFrame =
     rank.select(
       when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))

@@ -32,6 +32,12 @@ object MaintQueries {
     "graph_pagerank" -> ((s, d) =>
       PageRank.purchaseRanks(Tables(s, d, "orders"),
         Tables(s, d, "lineitem"))),
+    // X184: personalized PageRank — restart mass only on the seed
+    // suppliers, scores = reachability from the seeds (the
+    // recommendation primitive); same integer-exact arithmetic
+    "graph_ppr" -> ((s, d) =>
+      PageRank.personalizedRanks(Tables(s, d, "orders"),
+        Tables(s, d, "lineitem"))),
     "maint_compaction_plan" -> ((s, d) =>
       Maintenance.compactionPlan(
         Tables(s, d, "documents").select(col("source"), col("doc_id"),
@@ -82,6 +88,16 @@ object MaintQueries {
         graft.graph.Triangles.sharedCoPurchaseEdges(s, d))))
 
   /** One PageRank step as a CTE, from the same constants. */
+  private def pprStep(prev: String, curr: String): String =
+    s"""$curr AS MATERIALIZED (SELECT rs.node,
+       |  CAST(rs.restart + (${PageRank.DampNum} *
+       |    COALESCE(s.c, 0)) // ${PageRank.DampDen} AS BIGINT) AS pr
+       |FROM rs LEFT JOIN (
+       |  SELECT e.dst, CAST(SUM(r.pr // g.outdeg) AS BIGINT) AS c
+       |  FROM e JOIN deg g ON e.src = g.src
+       |       JOIN $prev r ON e.src = r.node
+       |  GROUP BY 1) s ON rs.node = s.dst)""".stripMargin
+
   private def prStep(prev: String, curr: String): String =
     s"""$curr AS (SELECT d.src AS node,
        |  CAST(${PageRank.RestartE6} + (${PageRank.DampNum} *
@@ -104,6 +120,27 @@ object MaintQueries {
          |r0 AS (SELECT src AS node, CAST(${PageRank.BaseE6} AS BIGINT)
          |         AS pr FROM deg),
          |${(1 to PageRank.Iters).map(i => prStep(s"r${i - 1}", s"r$i"))
+            .mkString(",\n")}
+         |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |    AS kind,
+         |  CAST(node // 2 AS BIGINT) AS id, pr AS rank_e6
+         |FROM r${PageRank.Iters}""".stripMargin,
+
+    "graph_ppr" ->
+      s"""WITH cs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (SELECT src, dst FROM cs
+         |      UNION ALL SELECT dst AS src, src AS dst FROM cs),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+         |        FROM e GROUP BY 1),
+         |rs AS (SELECT src AS node,
+         |         CAST(CASE WHEN src % 2 = 1 AND (src // 2) % 10 = 0
+         |              THEN ${PageRank.RestartE6} ELSE 0 END AS BIGINT)
+         |           AS restart
+         |       FROM deg),
+         |r0 AS (SELECT node, restart AS pr FROM rs),
+         |${(1 to PageRank.Iters).map(i => pprStep(s"r${i - 1}", s"r$i"))
             .mkString(",\n")}
          |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
          |    AS kind,
