@@ -341,6 +341,29 @@ object StreamQueries {
       graft.operators.KmvSketch.kmvDistinct(Tables(s, d, "events"),
         "event_type", "user_id")),
 
+    // X185: conversion by session depth — "do longer sessions
+    // convert more": gap-sessionize (the X23 operator), flag sessions
+    // containing a purchase, roll up conversion ppm per size band;
+    // band + ppm run on the session-grain frame, never raw events
+    "events_session_conversion" -> ((s, d) => {
+      val sess = Tables(s, d, "events")
+        .groupBy(col("user_id"), session_window(col("ts"),
+          graft.operators.Sessionize.DefaultGap))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          max(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).cast("long").as("converted"))
+      sess
+        .select(when(col("n_events") === 1L, "1_single")
+          .when(col("n_events") <= 4L, "2_short")
+          .when(col("n_events") <= 9L, "3_medium")
+          .otherwise("4_long").as("depth_band"), col("converted"))
+        .groupBy(col("depth_band"))
+        .agg(count(lit(1)).cast("long").as("n_sessions"),
+          sum(col("converted")).cast("long").as("n_converted"))
+        .withColumn("conv_ppm",
+          expr("(n_converted * 1000000) div n_sessions"))
+    }),
+
     // X179: watermark-lateness audit — replay streaming watermark
     // semantics in batch: the watermark before each arrival is the
     // running MAX event time over arrival order (the X141 two-phase
@@ -638,6 +661,38 @@ object StreamQueries {
          |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
          |         AS value_cents
          |FROM s GROUP BY user_id, sid""".stripMargin
+    },
+
+    "events_session_conversion" -> {
+      val g = graft.operators.Sessionize.DefaultGapHours
+      s"""WITH x AS (
+         |  SELECT user_id, ts, event_type,
+         |         CASE WHEN lag(ts) OVER w IS NULL
+         |                OR ts - lag(ts) OVER w > INTERVAL $g HOUR
+         |              THEN 1 ELSE 0 END AS brk
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         |), s AS (
+         |  SELECT user_id, ts, event_type,
+         |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS sid
+         |  FROM x),
+         |sess AS (
+         |  SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1
+         |             ELSE 0 END) AS BIGINT) AS converted
+         |  FROM s GROUP BY 1, 2),
+         |b AS (
+         |  SELECT CASE WHEN n_events = 1 THEN '1_single'
+         |              WHEN n_events <= 4 THEN '2_short'
+         |              WHEN n_events <= 9 THEN '3_medium'
+         |              ELSE '4_long' END AS depth_band, converted
+         |  FROM sess)
+         |SELECT depth_band, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         |  CAST(SUM(converted) AS BIGINT) AS n_converted,
+         |  CAST((SUM(converted) * 1000000) // COUNT(*) AS BIGINT)
+         |    AS conv_ppm
+         |FROM b GROUP BY 1""".stripMargin
     },
 
     "asof_last_milestone" ->
