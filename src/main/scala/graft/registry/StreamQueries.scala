@@ -341,6 +341,14 @@ object StreamQueries {
       graft.operators.KmvSketch.kmvDistinct(Tables(s, d, "events"),
         "event_type", "user_id")),
 
+    // X186: burst-collapse debounce — retry storms / double-clicks
+    // collapse to one keeper per burst (gaps-and-islands, one key
+    // shuffle); gap compare and span are exact integer micros
+    "events_debounce" -> ((s, d) =>
+      graft.operators.Debounce.bursts(Tables(s, d, "events"),
+        "user_id", "ts", "event_id",
+        graft.operators.Debounce.DefaultGapSeconds)),
+
     // X185: conversion by session depth — "do longer sessions
     // convert more": gap-sessionize (the X23 operator), flag sessions
     // containing a purchase, roll up conversion ppm per size band;
@@ -661,6 +669,31 @@ object StreamQueries {
          |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
          |         AS value_cents
          |FROM s GROUP BY user_id, sid""".stripMargin
+    },
+
+    "events_debounce" -> {
+      val g = graft.operators.Debounce.DefaultGapSeconds
+      s"""WITH x AS (
+         |  SELECT user_id, event_id, ts,
+         |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+         |              > ${g}000000 THEN 1 ELSE 0 END AS brk
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), s AS (
+         |  SELECT user_id, event_id, ts,
+         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS burst_id
+         |  FROM x)
+         |SELECT user_id, CAST(burst_id AS BIGINT) AS burst_id,
+         |  CAST(MIN(event_id) AS BIGINT) AS keeper_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  MIN(ts) AS burst_start,
+         |  CAST((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000
+         |    AS BIGINT) AS span_s
+         |FROM s GROUP BY 1, 2""".stripMargin
     },
 
     "events_session_conversion" -> {

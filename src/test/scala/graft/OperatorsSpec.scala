@@ -523,4 +523,35 @@ class OperatorsSpec extends SparkSpec {
       ("b", 1L, "2024-01-01", 2L),
       ("c", 1L, "2024-01-01", 2L)))
   }
+  test("debounce: bursts chain transitively; boundary gap stays merged") {
+    def t(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    // u1: 00:00, 02:00 (gap == 7200 s, stays), 04:00 (chained — total
+    // span 4 h exceeds the gap, proving transitivity), then 14:00
+    // breaks; u2: a lone event; u3: gap 7200 s + 1 breaks
+    val ev = Seq(
+      (1L, t("00:00:00"), 10L), (1L, t("02:00:00"), 11L),
+      (1L, t("04:00:00"), 12L), (1L, t("14:00:00"), 13L),
+      (2L, t("09:00:00"), 20L),
+      (3L, t("00:00:00"), 30L), (3L, t("02:00:01"), 31L))
+      .toDF("user_id", "ts", "event_id")
+    val got = graft.operators.Debounce
+      .bursts(ev, "user_id", "ts", "event_id", 7200L)
+      .orderBy("user_id", "burst_id")
+      .select($"user_id", $"keeper_id", $"n_events", $"span_s")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 10L, 3L, 14400L), (1L, 13L, 1L, 0L),
+      (2L, 20L, 1L, 0L),
+      (3L, 30L, 1L, 0L), (3L, 31L, 1L, 0L)))
+  }
+
+  test("debounce: conservation — burst event counts sum to input rows") {
+    val ev = graft.core.Tables(spark, SfDir, "events")
+    val r = graft.operators.Debounce.bursts(ev, "user_id", "ts",
+      "event_id", graft.operators.Debounce.DefaultGapSeconds)
+    val total = r.agg(sum($"n_events")).as[Long].head()
+    assert(total == ev.count())
+    // the threshold actually collapses something at fixture geometry
+    assert(r.count() < ev.count())
+  }
 }
