@@ -341,6 +341,41 @@ object StreamQueries {
       graft.operators.KmvSketch.kmvDistinct(Tables(s, d, "events"),
         "event_type", "user_id")),
 
+    // X187: session entry/exit flow matrix — which event type OPENS
+    // a session, which CLOSES it, and how often a session is a
+    // single-event bounce; the landing-page/exit-page rollup. The
+    // islands form of X23's sessionizer (same gap constant, same
+    // boundary semantics) so entry/exit picks ride the one user-key
+    // window ordering; entry/exit = struct-min/max over the unique
+    // (ts, id) total order, never an arbitrary first(); matrix grain
+    // = |types|², corpus-size-independent
+    "events_entry_exit" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val gapUs = graft.operators.Sessionize.DefaultGapHours *
+        3600L * 1000000L
+      val byU = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val sess = Tables(s, d, "events")
+        .withColumn("tus", expr("unix_micros(ts)"))
+        .withColumn("brk", when(lag(col("tus"), 1).over(byU).isNull ||
+          col("tus") - lag(col("tus"), 1).over(byU) > gapUs, 1L)
+          .otherwise(0L))
+        .withColumn("sid", sum(col("brk")).over(byU.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(struct(col("tus"), col("event_id"), col("event_type")))
+          .getField("event_type").as("entry_type"),
+          max(struct(col("tus"), col("event_id"), col("event_type")))
+            .getField("event_type").as("exit_type"),
+          count(lit(1)).cast("long").as("n_events"))
+      sess.groupBy(col("entry_type"), col("exit_type"))
+        .agg(count(lit(1)).cast("long").as("n_sessions"),
+          sum(when(col("n_events") === 1L, 1L).otherwise(0L))
+            .cast("long").as("n_single"))
+        .withColumn("single_ppm",
+          expr("(n_single * 1000000) div n_sessions"))
+    }),
+
     // X186: burst-collapse debounce — retry storms / double-clicks
     // collapse to one keeper per burst (gaps-and-islands, one key
     // shuffle); gap compare and span are exact integer micros
@@ -669,6 +704,43 @@ object StreamQueries {
          |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
          |         AS value_cents
          |FROM s GROUP BY user_id, sid""".stripMargin
+    },
+
+    "events_entry_exit" -> {
+      val g = graft.operators.Sessionize.DefaultGapHours
+      s"""WITH x AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR ts - lag(ts) OVER w > INTERVAL $g HOUR
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), s AS (
+         |  SELECT *, SUM(brk) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM x
+         |), r AS (
+         |  SELECT user_id, sid, event_type,
+         |    row_number() OVER (PARTITION BY user_id, sid
+         |      ORDER BY ts, event_id) AS ra,
+         |    row_number() OVER (PARTITION BY user_id, sid
+         |      ORDER BY ts DESC, event_id DESC) AS rd,
+         |    COUNT(*) OVER (PARTITION BY user_id, sid) AS n_events
+         |  FROM s
+         |), sess AS (
+         |  SELECT user_id, sid,
+         |    MAX(CASE WHEN ra = 1 THEN event_type END) AS entry_type,
+         |    MAX(CASE WHEN rd = 1 THEN event_type END) AS exit_type,
+         |    MAX(n_events) AS n_events
+         |  FROM r GROUP BY 1, 2)
+         |SELECT entry_type, exit_type,
+         |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_single,
+         |  CAST((SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+         |    * 1000000) // COUNT(*) AS BIGINT) AS single_ppm
+         |FROM sess GROUP BY 1, 2""".stripMargin
     },
 
     "events_debounce" -> {
