@@ -63,6 +63,8 @@ object Bench {
         graft.graph.Triangles.sharedUndirectedEdges(spark, sfDir).count())
       tier("multimodal.imgtable")(
         graft.multimodal.Multimodal.sharedImageTable(spark, sfDir).count())
+      tier("sessions")(
+        graft.operators.Sessionize.sharedSessions(spark, sfDir).count())
     }
     val cacheBuild = (System.nanoTime() - tc) / 1e9
     System.err.println(f"[bench] [cache-build]${""}%15s $cacheBuild%8.2f s")

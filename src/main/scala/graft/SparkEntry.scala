@@ -32,14 +32,26 @@ object SparkEntry {
     (LoadQueries.queries, LoadQueries.oracles),
     (MaintQueries.queries, MaintQueries.oracles))
 
+  /** Within-registry duplicates die at `Reg.strict`; this closes the
+    * remaining hole — the same name bound in TWO registries would
+    * still silently shadow through a plain `reduce(_ ++ _)`
+    * (VERDICT r9 #1 class). */
+  private def mergeStrict[V](maps: Seq[Map[String, V]]): Map[String, V] = {
+    val dups = maps.flatMap(_.keys).groupBy(identity)
+      .collect { case (k, vs) if vs.sizeIs > 1 => k }
+    require(dups.isEmpty, "query name bound in multiple registries: " +
+      dups.toSeq.sorted.mkString(", "))
+    maps.reduce(_ ++ _)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    registries.map(_._1).reduce(_ ++ _)
+    mergeStrict(registries.map(_._1))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    registries.map(_._2).reduce(_ ++ _)
+    mergeStrict(registries.map(_._2))
 
   /** Every declared surface WITHOUT a batch DuckDB oracle, with the
     * suite that carries its evidence (VERDICT r7 #7): the correctness

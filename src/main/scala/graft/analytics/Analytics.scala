@@ -1378,6 +1378,9 @@ object Analytics {
         "(case when n * sxy - sx * sy < 0 then -1 else 1 end) * " +
         "((abs(n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx))" +
         " end)").as("slope_e6"),
-      expr("sy div n").as("avg_y"))
+      // same sign-split as slope_e6: truncating `div` and flooring `//`
+      // disagree below zero, and sy CAN be negative (returns, credits)
+      expr("(case when sy < 0 then -1 else 1 end) * (abs(sy) div n)")
+        .as("avg_y"))
   }
 }

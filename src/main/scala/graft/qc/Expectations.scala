@@ -74,7 +74,9 @@ object Expectations {
       .select(col("r.rule_id"), col("r.column_name"),
         col("r.rule_kind"), col("r.n_rows"), col("r.n_violations"))
       .withColumn("viol_ppm",
-        expr("(n_violations * 1000000) div n_rows"))
+        // greatest(n,1): on an empty table Spark's non-ANSI div yields
+        // NULL while DuckDB errors — 0 violations / 0 rows reads as 0
+        expr("(n_violations * 1000000) div greatest(n_rows, 1)"))
       .withColumn("pass_flag",
         when(col("n_violations") === 0L, 1L).otherwise(0L))
   }
@@ -96,7 +98,8 @@ object Expectations {
       s"""SELECT '${r.id}' AS rule_id, '${r.column}' AS column_name,
          |  '${r.kind}' AS rule_kind, n AS n_rows,
          |  CAST($viol AS BIGINT) AS n_violations,
-         |  CAST((($viol) * 1000000) // n AS BIGINT) AS viol_ppm,
+         |  CAST((($viol) * 1000000) // greatest(n, 1) AS BIGINT)
+         |    AS viol_ppm,
          |  CAST(CASE WHEN ($viol) = 0 THEN 1 ELSE 0 END AS BIGINT)
          |    AS pass_flag
          |FROM s""".stripMargin

@@ -552,9 +552,20 @@ object Recon {
       .orderBy(col("out_rows").desc, col("key").asc).limit(k)
       .select(col("key").cast("string").as("key"), col("ca"),
         col("cb"), col("out_rows"))
-    val total = per.agg(sum(col("out_rows")).cast("long").as("out_rows"))
+    // The __total__ fold needs its own guard: each product fits a
+    // Long, but their SUM can still wrap silently under non-ANSI
+    // arithmetic. A parallel double-precision sum detects the breach
+    // (53-bit mantissa is ample at the 9e18 detection threshold) and
+    // fails loudly — mirroring the oracle, where DuckDB's HUGEINT sum
+    // errors on the BIGINT cast in the same circumstance.
+    val total = per
+      .agg(sum(col("out_rows")).cast("long").as("s"),
+        sum(col("out_rows").cast("double")).as("sd"))
       .select(lit("__total__").as("key"), lit(-1L).as("ca"),
-        lit(-1L).as("cb"), col("out_rows"))
+        lit(-1L).as("cb"),
+        expr("coalesce(cast(assert_true(sd <= 9.0e18," +
+          " 'total predicted join output exceeds Long — this join " +
+          "explodes') as bigint), 0) + s").as("out_rows"))
     top.unionByName(total)
   }
 

@@ -9,7 +9,7 @@ import graft.analytics.Analytics
   */
 object AnalyticsQueries {
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Reg.strict(
     "abc_classification" -> ((s, d) => Analytics.abcClassification(s, d)),
     "xyz_classification" -> ((s, d) => Analytics.xyzClassification(s, d)),
     "fca_forecast_accuracy" -> ((s, d) => Analytics.forecastAccuracy(s, d)),
@@ -118,7 +118,7 @@ object AnalyticsQueries {
 
   private val segs = Analytics.Segments
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = Reg.strict(
     // the C->B promotion threshold is interpolated from the SAME Scala
     // double the Spark side compares against (0.95 - 0.8 evaluates to
     // 0.15000000000000002 in IEEE doubles but to exactly 0.15 in
@@ -516,7 +516,8 @@ object AnalyticsQueries {
         |    ELSE (CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END)
         |      * ((abs(n * sxy - sx * sy) * 1000000)
         |         // (n * sxx - sx * sx)) END AS BIGINT) AS slope_e6,
-        |  CAST(sy // n AS BIGINT) AS avg_y
+        |  CAST((CASE WHEN sy < 0 THEN -1 ELSE 1 END)
+        |    * (abs(sy) // n) AS BIGINT) AS avg_y
         |FROM st""".stripMargin,
 
     // same monthly series, same pair set; quantile_cont is

@@ -21,7 +21,7 @@ object DedupQueries {
   private def sh(s: SparkSession, d: String): Option[DataFrame] =
     Some(Dedup.sharedShingles(s, d))
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Reg.strict(
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(docs(s, d))),
     "dedup_clusters" -> ((s, d) =>
       Dedup.nearDupClusters(docs(s, d),
@@ -229,7 +229,7 @@ object DedupQueries {
        |         LEAST(d.doc_id, COALESCE(mins.m, d.doc_id)) AS cluster_id
        |       FROM documents d LEFT JOIN mins ON d.doc_id = mins.doc_id)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = Reg.strict(
     "dedup_exact" ->
       s"""SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies
          |FROM (SELECT doc_id, md5($normSql) AS fp FROM documents)

@@ -25,7 +25,7 @@ object ExtractQueries {
     d.getYear * 100L + d.getMonthValue
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Reg.strict(
     "act_demand_blank" -> ((s, d) => Extracts.actDemandBlank(s, d)),
     "act_demand_nonblank_1" -> ((s, d) =>
       Extracts.demandWindow(s, d, -6, Some(0))),
@@ -112,7 +112,7 @@ object ExtractQueries {
        |      OR month_year IS NOT NULL OR month_sort IS NOT NULL""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = Reg.strict(
     "act_demand_blank" -> windowedSql(blank = true, -12, Some(0)),
     "act_demand_nonblank_1" -> windowedSql(blank = false, -6, Some(0)),
     "act_demand_nonblank_2" -> windowedSql(blank = false, -12, Some(-6)),

@@ -30,6 +30,7 @@ object LoadQueries {
   private val sessionIds =
     new java.util.WeakHashMap[SparkSession, java.lang.Long]()
   private val nextSessionId = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val nextBuildOrdinal = new java.util.concurrent.atomic.AtomicLong(0L)
   private def sessionId(s: SparkSession): Long = sessionIds.synchronized {
     Option(sessionIds.get(s)).map(_.longValue).getOrElse {
       val id = nextSessionId.getAndIncrement()
@@ -45,7 +46,13 @@ object LoadQueries {
       specs: Seq[(String, String, DataFrame)]): Seq[String] = {
     val key = sessionId(s).toString + "|" + family + "|" + d
     bucketedBuilds.computeIfAbsent(key, _ => {
-      val suffix = java.lang.Integer.toHexString(key.hashCode & 0x7fffffff)
+      // suffix from collision-free components, never key.hashCode:
+      // two distinct (session, family, dir) keys hashing alike would
+      // both build and the second saveAsTable would hit a registered
+      // name. computeIfAbsent runs once per key, so the ordinal is
+      // unique per build; dir (not table-name-safe) is covered by it.
+      val suffix =
+        s"${sessionId(s)}_${family}_${nextBuildOrdinal.getAndIncrement()}"
       val dirPath = java.nio.file.Files.createTempDirectory("graft_bucketed_")
       val dir = dirPath.toFile.getAbsolutePath
       val names = specs.map { case (base, bucketCol, frame) =>
@@ -106,7 +113,7 @@ object LoadQueries {
     (lineitemT, ordersT)
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Reg.strict(
     // the salted-join rewrite must be RESULT-IDENTICAL to the plain
     // equi-join (the salt only spreads a hot key's rows); the oracle
     // is that plain join
@@ -414,7 +421,7 @@ object LoadQueries {
       |    '%m/%d/%Y') AS DATE) AS snapshot
       |FROM orders""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = Reg.strict(
     "j_salted_join" ->
       """SELECT o_orderkey, o_custkey AS c_custkey, o_totalprice,
         |       c_mktsegment

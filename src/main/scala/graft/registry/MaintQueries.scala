@@ -28,7 +28,7 @@ object MaintQueries {
     "supp_nullable" -> ("CASE WHEN l_suppkey % 10 = 0 THEN NULL " +
       "ELSE l_suppkey END"))
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Reg.strict(
     "graph_pagerank" -> ((s, d) =>
       PageRank.purchaseRanks(Tables(s, d, "orders"),
         Tables(s, d, "lineitem"))),
@@ -108,7 +108,7 @@ object MaintQueries {
        |       JOIN $prev r ON e.src = r.node
        |  GROUP BY 1) s ON d.src = s.dst)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = Reg.strict(
     "graph_pagerank" ->
       s"""WITH cs AS (
          |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst

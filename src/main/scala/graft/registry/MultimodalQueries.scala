@@ -11,7 +11,7 @@ import graft.multimodal.Multimodal
   */
 object MultimodalQueries {
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Reg.strict(
     "multimodal_features" -> ((s, d) => Multimodal.mediaFeatures(s, d)),
     "multimodal_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, d)),
     "multimodal_pcm_decode" -> ((s, d) => Multimodal.pcmFeatures(s, d)),
@@ -25,7 +25,7 @@ object MultimodalQueries {
     "multimodal_ahash_pairs" -> ((s, d) =>
       Multimodal.ahashPairs(Multimodal.imageHashes(s, d))))
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = Reg.strict(
     "multimodal_features" ->
       """WITH c AS (
         |  SELECT doc_id, 'img/' || source AS media_type, text,

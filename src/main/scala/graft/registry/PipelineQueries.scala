@@ -18,7 +18,7 @@ object PipelineQueries {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Reg.strict(
     "pipe_hash_split" -> ((s, d) => Pipeline.hashSplit(docs(s, d))),
 
     // X139: purged temporal split — weekly folds over the events
@@ -198,7 +198,7 @@ object PipelineQueries {
       | || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
       | || '.7'""".stripMargin.replace("\n", "")
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = Reg.strict(
     // same start-position arithmetic; DuckDB list slicing clamps at
     // len(w) exactly like Spark slice
     "pipe_chunk_overlap" -> {

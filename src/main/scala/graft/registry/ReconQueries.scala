@@ -11,7 +11,7 @@ import graft.qc.{Expectations, Recon}
   */
 object ReconQueries {
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Reg.strict(
     "a1_bu_sum_count" -> ((s, d) => Recon.buAggregate(s, d)),
     "a7_latest_snapshot" -> ((s, d) =>
       Tables(s, d, "orders").agg(
@@ -269,7 +269,7 @@ object ReconQueries {
        |     ELSE CAST(CAST(ROUND($v, 1) AS DECIMAL(28,1)) AS VARCHAR)
        |END""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = Reg.strict(
     "f_display_functions" ->
       s"""WITH g AS (
          |  SELECT o_orderpriority AS priority,

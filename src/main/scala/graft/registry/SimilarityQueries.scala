@@ -17,7 +17,7 @@ object SimilarityQueries {
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "embeddings")
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Reg.strict(
     "sim_bruteforce_topk" -> ((s, d) => Similarity.bruteForceTopK(emb(s, d))),
     "sim_lsh_topk" -> ((s, d) => {
       val e = emb(s, d)
@@ -147,7 +147,7 @@ object SimilarityQueries {
        |      FROM ad)""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = Reg.strict(
     "sim_bruteforce_topk" ->
       s"""WITH $ECte,
          |q AS (SELECT vec_id AS q_id, v AS qv FROM e

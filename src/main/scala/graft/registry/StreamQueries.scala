@@ -14,7 +14,7 @@ import graft.streaming.StreamIngest
   */
 object StreamQueries {
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Reg.strict(
     // S16: producer JSON payload → from_json(Map) → explode round trip
     "stream_payload_roundtrip" -> ((s, d) =>
       StreamIngest.payloadRoundTrip(s, d)),
@@ -50,12 +50,18 @@ object StreamQueries {
           col("window.end").as("window_end"),
           col("event_type"), col("n"), col("value_cents"))),
 
-    // Gap-based sessionization (session_window): the dynamic-window
-    // streaming shape, proven on the batch frame via gaps-and-islands
-    // oracle SQL
+    // Gap-based sessionization: projected from the SHARED session
+    // tier (one sessionization per sweep — VERDICT r9 #5); the
+    // streaming session_window shape lives in Sessionize.sessions
+    // (StatefulSpec) and the islands tier equals it under the same
+    // gaps-and-islands oracle SQL this query has always matched
     "events_session_window" -> ((s, d) =>
-      graft.operators.Sessionize.sessions(
-        Tables(s, d, "events"), "user_id", "ts", "value")),
+      graft.operators.Sessionize.sharedSessions(s, d)
+        .select(col("user_id"), col("session_start"),
+          (col("last_ts") + expr(
+            s"INTERVAL ${graft.operators.Sessionize.DefaultGapHours} HOUR"))
+            .as("session_end"),
+          col("n_events"), col("value_cents"))),
 
     // Backward as-of join: every event picks up the latest "milestone"
     // event (event_id % 20 == 0) of the same user at-or-before its ts;
@@ -343,31 +349,13 @@ object StreamQueries {
 
     // X187: session entry/exit flow matrix — which event type OPENS
     // a session, which CLOSES it, and how often a session is a
-    // single-event bounce; the landing-page/exit-page rollup. The
-    // islands form of X23's sessionizer (same gap constant, same
-    // boundary semantics) so entry/exit picks ride the one user-key
-    // window ordering; entry/exit = struct-min/max over the unique
-    // (ts, id) total order, never an arbitrary first(); matrix grain
-    // = |types|², corpus-size-independent
+    // single-event bounce; the landing-page/exit-page rollup. Reads
+    // the SHARED session tier (Sessionize.sharedSessions — one
+    // sessionization per sweep); entry/exit there are struct-min/max
+    // over the unique (ts, id) total order, never an arbitrary
+    // first(); matrix grain = |types|², corpus-size-independent
     "events_entry_exit" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val gapUs = graft.operators.Sessionize.DefaultGapHours *
-        3600L * 1000000L
-      val byU = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val sess = Tables(s, d, "events")
-        .withColumn("tus", expr("unix_micros(ts)"))
-        .withColumn("brk", when(lag(col("tus"), 1).over(byU).isNull ||
-          col("tus") - lag(col("tus"), 1).over(byU) > gapUs, 1L)
-          .otherwise(0L))
-        .withColumn("sid", sum(col("brk")).over(byU.rowsBetween(
-          Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("user_id"), col("sid"))
-        .agg(min(struct(col("tus"), col("event_id"), col("event_type")))
-          .getField("event_type").as("entry_type"),
-          max(struct(col("tus"), col("event_id"), col("event_type")))
-            .getField("event_type").as("exit_type"),
-          count(lit(1)).cast("long").as("n_events"))
+      val sess = graft.operators.Sessionize.sharedSessions(s, d)
       sess.groupBy(col("entry_type"), col("exit_type"))
         .agg(count(lit(1)).cast("long").as("n_sessions"),
           sum(when(col("n_events") === 1L, 1L).otherwise(0L))
@@ -385,16 +373,14 @@ object StreamQueries {
         graft.operators.Debounce.DefaultGapSeconds)),
 
     // X185: conversion by session depth — "do longer sessions
-    // convert more": gap-sessionize (the X23 operator), flag sessions
-    // containing a purchase, roll up conversion ppm per size band;
+    // convert more": reads the SHARED session tier, flags sessions
+    // containing a purchase, rolls conversion ppm up per size band;
     // band + ppm run on the session-grain frame, never raw events
     "events_session_conversion" -> ((s, d) => {
-      val sess = Tables(s, d, "events")
-        .groupBy(col("user_id"), session_window(col("ts"),
-          graft.operators.Sessionize.DefaultGap))
-        .agg(count(lit(1)).cast("long").as("n_events"),
-          max(when(col("event_type") === "purchase", 1L)
-            .otherwise(0L)).cast("long").as("converted"))
+      val sess = graft.operators.Sessionize.sharedSessions(s, d)
+        .select(col("n_events"),
+          when(col("n_purchase") > 0L, 1L).otherwise(0L)
+            .cast("long").as("converted"))
       sess
         .select(when(col("n_events") === 1L, "1_single")
           .when(col("n_events") <= 4L, "2_short")
@@ -511,7 +497,7 @@ object StreamQueries {
     // X166: exponentially time-decayed engagement score — weekly
     // half-life as an integer shift (the one exponential both engines
     // replay exactly), anchored at the corpus' own max date
-    "events_decay_score" -> ((s, d) =>
+    "events_engagement_decay" -> ((s, d) =>
       graft.analytics.Analytics.decayScores(
         Tables(s, d, "events"), "user_id", "ts", "value")),
 
@@ -607,7 +593,7 @@ object StreamQueries {
       graft.streaming.StreamingTrainer.evalFixedWeights(
         graft.core.Tables(s, d, "events"))))
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = Reg.strict(
     // every decimal constant CAST AS DOUBLE (DuckDB DECIMAL folding
     // would otherwise infect the arithmetic); per-row Brier quantized
     // to integer e9 units before the sum, so order never matters
@@ -1203,7 +1189,7 @@ object StreamQueries {
 
     // 1000000 >> weeks in both engines; DuckDB datediff('day', a, b)
     // = Spark datediff(b, a)
-    "events_decay_score" ->
+    "events_engagement_decay" ->
       """WITH anchor AS (
         |  SELECT MAX(CAST(ts AS DATE)) AS as_of FROM events),
         |base AS (

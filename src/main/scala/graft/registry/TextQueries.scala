@@ -34,7 +34,7 @@ object TextQueries {
       graft.core.SessionCache.cached(s, s"bpesyms:$d")(trained._2))
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Reg.strict(
     "text_token_counts" -> ((s, d) => docs(s, d).select(
       col("doc_id"),
       tokenCount(col("text")).as("n_tokens"),
@@ -95,7 +95,7 @@ object TextQueries {
     // X180: pairwise source-vocabulary overlap — the domain-
     // similarity matrix behind mixture-weight decisions; vocabulary-
     // sized frames, token-keyed intersection join
-    "text_source_overlap" -> ((s, d) =>
+    "text_source_vocab_overlap" -> ((s, d) =>
       graft.text.CorpusStats.sourceVocabOverlap(
         Tables(s, d, "documents"))),
 
@@ -224,7 +224,7 @@ object TextQueries {
        |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = Reg.strict(
     "text_token_counts" ->
       s"""SELECT doc_id,
          |  CASE WHEN trim(text) = '' THEN 0
@@ -629,7 +629,7 @@ object TextQueries {
          |FROM est""".stripMargin
     },
 
-    "text_source_overlap" ->
+    "text_source_vocab_overlap" ->
       s"""WITH $TokCte,
          |sv AS (SELECT DISTINCT d.source, t.tok AS token
          |       FROM tw

@@ -890,10 +890,13 @@ object CorpusStats {
         sum(col("c") * col("c")).cast("long").as("ss"))
       .select(col(group), col("n_rows"), col("n_classes"),
         col("majority_n"),
+        // two overflow surfaces: ss·10⁶ AND n²; a slice above
+        // ~3.04e9 rows (√Long.Max) wraps the denominator silently
         expr("coalesce(cast(assert_true(" +
-          "ss <= 9223372036854775807 div 1000000," +
-          " 'class-balance sum of squares exceeds the Long-exact e6 " +
-          "range: audit a finer slice') as bigint), 0) + " +
+          "ss <= 9223372036854775807 div 1000000 and " +
+          "n_rows <= 3037000499," +
+          " 'class-balance sums exceed the Long-exact e6 range: " +
+          "audit a finer slice') as bigint), 0) + " +
           "(1000000 - (ss * 1000000) div (n_rows * n_rows))")
           .as("impurity_e6"))
   }

@@ -312,8 +312,9 @@ class PlanAuditSpec extends SparkSpec {
       "sim_ivf_recall", "sim_pq_recall",
       // 1-row corpus-totals broadcast (same class as tf-idf's n_docs)
       "text_collocations", "pipe_split_drift",
-      // 1-row as-of scalar broadcast (max event date)
-      "events_decay_score",
+      // 1-row as-of scalar broadcast (max event date) — both decay
+      // variants (X97 freshness ladder, X166 engagement) anchor there
+      "events_decay_score", "events_engagement_decay",
       // 1-row day-span broadcast building the calendar spine
       "events_locf_daily",
       // four 1-row sketch aggregates assembled by broadcast cross join

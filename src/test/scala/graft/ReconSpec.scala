@@ -198,6 +198,44 @@ class ReconSpec extends SparkSpec {
       && want.contains((24L, 39L, 16L)))
   }
 
+  test("idGapAudit property: random id sets under adversarial bucket " +
+    "occupancy equal the naive global lead (incl. one-bucket case)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    // adversarial occupancy shapes: dense runs, sparse scatter, and
+    // cluster-per-bucket-boundary ids; duplicates included on purpose
+    // (the operator distincts)
+    val idGen: Gen[List[Long]] = Gen.oneOf(
+      Gen.chooseNum(1, 60).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(0L, 200L))),          // scatter
+      Gen.chooseNum(1, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(0L, 20L).map(_ * 8L))
+          .map(_.flatMap(base => (base to base + 3L).toList))), // runs
+      Gen.chooseNum(1, 10).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(0L, 24L)
+          .map(k => k * 8L + 7L))))                        // boundaries
+    (1L to 12L).foreach { seed =>
+      val ids = sample(idGen, seed)
+      val df = ids.map(Tuple1(_)).toDF("id").repartition(3)
+      val sorted = ids.distinct.sorted
+      val want = sorted.zip(sorted.drop(1)).collect {
+        case (a, b) if b - a > 1 => (a + 1, b - 1, b - a - 1)
+      }.toSet
+      // width 8 spreads over many buckets; width 1L<<40 forces the
+      // degenerate all-ids-in-one-bucket shape (1-row summary frame)
+      Seq(8L, 1L << 40).foreach { w =>
+        val got = graft.qc.Recon.idGapAudit(df, "id", bucketWidth = w)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got === want,
+          s"seed=$seed width=$w ids=${sorted.mkString(",")}")
+      }
+    }
+  }
+
   test("joinCardinalityPreflight: hand-exact per-key products, hot " +
     "key first, __total__ equals the real join's row count") {
     import spark.implicits._

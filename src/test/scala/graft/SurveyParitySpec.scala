@@ -37,6 +37,23 @@ class SurveyParitySpec extends AnyFunSuite {
         s"renamed?): " + stale.toSeq.sorted.mkString(", "))
   }
 
+  test("the SURVEY §2.12 ledger lists every query exactly once") {
+    // A name appearing twice in the ledger was the visible fingerprint
+    // of round 9's Map-literal key collision (set-based compares are
+    // blind to it) — fail on ANY repeated occurrence.
+    val text = new String(java.nio.file.Files.readAllBytes(SurveyPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val begin = text.indexOf("<!-- QUERY_LEDGER_BEGIN -->")
+    val end = text.indexOf("<!-- QUERY_LEDGER_END -->")
+    val block = text.substring(begin, end)
+    val all = "`([a-z0-9_]+)`".r.findAllMatchIn(block).map(_.group(1)).toSeq
+    val dups = all.groupBy(identity).collect {
+      case (k, vs) if vs.sizeIs > 1 => k
+    }
+    assert(dups.isEmpty, "ledger names listed more than once: " +
+      dups.toSeq.sorted.mkString(", "))
+  }
+
   test("every no-oracle query row is documented in specOnly") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val undocumented = noOracle -- SparkEntry.specOnly.keySet
