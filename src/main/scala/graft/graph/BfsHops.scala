@@ -1,0 +1,66 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Seed-set BFS hop distance — the reachability DEPTH primitive the
+  * graph family was missing: rank (PageRank/X184), cohesion (k-core),
+  * structure (triangles/communities) and density (assortativity) exist,
+  * but "which customers sit within k hops of this supplier set"
+  * (crawl-depth labeling, blast-radius analysis, recall-set expansion)
+  * needs the minimum hop count itself, not a damped mass.
+  *
+  * Frontier-based distributed BFS, the scale-correct form: round i
+  * joins the EDGES with only the round-(i−1) frontier (nodes first
+  * discovered last round), so across the whole run each edge is
+  * traversed once per discovery of its source — never |E| work per
+  * round the way full-relaxation (`dist ⋈ edges` every round) pays.
+  * The anti-join against the settled set is what keeps hops minimal:
+  * a node re-reached later is already in `dist` and is dropped. Fixed
+  * round count (the graph is bipartite customer↔supplier, so 4 rounds
+  * reach both sides twice — diameter-covering on the fixture), with
+  * `localCheckpoint` per round truncating the growing lineage (the
+  * [[graft.dedup.Dedup]] CC-loop discipline). Hop values are assigned
+  * from the round counter — pure integers, no tie-breaking needed,
+  * identical in any engine — so the DuckDB oracle replays the exact
+  * frontier sequence as unrolled MATERIALIZED CTEs (the X184 device).
+  *
+  * Reference-free addition (SURVEY §2.11 X188): the reference has no
+  * graph operator; this is the training-data-pipeline reachability
+  * signal re-expressed Spark-first.
+  */
+object BfsHops {
+
+  /** Fixed BFS depth — interpolated into the oracle SQL so both
+    * engines unroll the identical round count. */
+  val Rounds = 4
+
+  /** Seed set: every 10th supplier (X184's deterministic, SF-invariant
+    * seed predicate — a map-side flag, never a collected list). Output
+    * is one row per REACHED node: (kind, id, hops), hops = 0 on seeds.
+    * Unreached nodes are absent (correctly: their distance is ∞). */
+  def seedHops(orders: DataFrame, lineitem: DataFrame,
+      rounds: Int = Rounds): DataFrame = {
+    val (edges, deg) = PageRank.purchaseGraph(orders, lineitem)
+    var dist = deg.select(col("src").as("node"))
+      .filter(col("node") % 2 === 1 && expr("(node div 2) % 10") === 0)
+      .withColumn("hops", lit(0L))
+      .localCheckpoint()
+    var frontier = dist.select(col("node"))
+    for (i <- 1 to rounds) {
+      val reached = edges
+        .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("hops", lit(i.toLong))
+        .localCheckpoint()
+      dist = dist.unionByName(reached).localCheckpoint()
+      frontier = reached.select(col("node"))
+    }
+    dist.select(
+      when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+        .as("kind"),
+      expr("node div 2").cast("long").as("id"),
+      col("hops").cast("long").as("hops"))
+  }
+}

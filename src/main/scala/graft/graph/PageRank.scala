@@ -87,7 +87,7 @@ object PageRank {
     (present(rank), deltas.toSeq)
   }
 
-  private def purchaseGraph(orders: DataFrame,
+  private[graph] def purchaseGraph(orders: DataFrame,
       lineitem: DataFrame): (DataFrame, DataFrame) = {
     val cs = lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))

@@ -80,6 +80,11 @@ object MaintQueries {
     "maint_pruning_audit" -> ((s, d) =>
       Maintenance.pruningAudit(Tables(s, d, "lineitem"),
         "l_partkey", "l_suppkey", "l_orderkey")),
+    // X188: seed-set BFS hop distance — frontier-based, each edge
+    // traversed once per source discovery, anti-join keeps hops minimal
+    "graph_bfs_hops" -> ((s, d) =>
+      graft.graph.BfsHops.seedHops(Tables(s, d, "orders"),
+        Tables(s, d, "lineitem"))),
     // X146: exact integer degree-assortativity moments (Newman r's
     // numerator/denominator; the sqrt-and-signed-division stays with
     // the consumer — the X129 mergeable-moments discipline)
@@ -146,6 +151,38 @@ object MaintQueries {
          |    AS kind,
          |  CAST(node // 2 AS BIGINT) AS id, pr AS rank_e6
          |FROM r${PageRank.Iters}""".stripMargin,
+
+    // same frontier sequence unrolled (MATERIALIZED per round); the
+    // NOT EXISTS against the settled set is the minimal-hop guarantee
+    "graph_bfs_hops" -> {
+      def round(i: Int): String =
+        s"""f$i AS MATERIALIZED (
+           |  SELECT DISTINCT e.dst AS node
+           |  FROM e JOIN f${i - 1} f ON e.src = f.node
+           |  WHERE NOT EXISTS (SELECT 1 FROM d${i - 1} s
+           |                    WHERE s.node = e.dst)),
+           |d$i AS MATERIALIZED (
+           |  SELECT node, hops FROM d${i - 1}
+           |  UNION ALL
+           |  SELECT node, CAST($i AS BIGINT) AS hops FROM f$i)""".stripMargin
+      val r = graft.graph.BfsHops.Rounds
+      s"""WITH cs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS MATERIALIZED (SELECT src, dst FROM cs
+         |      UNION ALL SELECT dst AS src, src AS dst FROM cs),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+         |        FROM e GROUP BY 1),
+         |d0 AS MATERIALIZED (
+         |  SELECT src AS node, CAST(0 AS BIGINT) AS hops FROM deg
+         |  WHERE src % 2 = 1 AND (src // 2) % 10 = 0),
+         |f0 AS MATERIALIZED (SELECT node FROM d0),
+         |${(1 to r).map(round).mkString(",\n")}
+         |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |    AS kind,
+         |  CAST(node // 2 AS BIGINT) AS id, hops
+         |FROM d$r""".stripMargin
+    },
 
     "maint_compaction_plan" ->
       s"""WITH m AS (
