@@ -98,6 +98,10 @@ object SparkEntry {
       "prefix ≡ batch kmvDistinct over it) + the fold itself is now " +
       "oracle-green as events_kmv_stream_snapshot (batch-mode run of " +
       "the same flatMapGroupsWithState code path)"),
+    "X189_streaming_debounce" ->
+      ("StreamDebounceSpec (append-only burst ledger; batch mirror " +
+      "oracle-green as events_debounce — the 3-batch fixture fold is " +
+      "asserted row-identical to Debounce.bursts)"),
     "X13_video_decode_stub" ->
       ("documented stub (Multimodal.scala — no video codec in " +
       "container; PCM/PNG legs are real and oracle-green)"))
