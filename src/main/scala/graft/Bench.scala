@@ -36,7 +36,10 @@ object Bench {
     // dedup shingles) and report their cost as its OWN line: otherwise
     // the alphabetically-first query of each family absorbs the
     // first-touch materialization and per-query numbers stop being
-    // attributable (VERDICT r4 #7). Skipped under a name filter.
+    // attributable (VERDICT r4 #7). Skipped under a name filter
+    // unless SPARK_GRAFT_TIERS=1 forces them (so a tier-backed family
+    // can be re-measured in isolation with the same cost attribution
+    // as a full sweep).
     val tc = System.nanoTime()
     def tier(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -47,7 +50,7 @@ object Bench {
       System.err.println(
         f"[bench] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
-    if (only.isEmpty) {
+    if (only.isEmpty || sys.env.contains("SPARK_GRAFT_TIERS")) {
       tier("star.siop")(graft.core.Star.siop(spark, sfDir).count())
       tier("star.calendar")(graft.core.Star.calendar(spark, sfDir).count())
       tier("dedup.shingles")(graft.dedup.Dedup.sharedShingles(spark, sfDir).count())

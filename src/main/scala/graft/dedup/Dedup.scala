@@ -923,4 +923,49 @@ object Dedup {
       .agg(count(lit(1)).cast("long").as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Seed predicate for [[labelSpread]]: doc_id ≡ 0 (mod 10) —
+    * deterministic and SF-invariant. */
+  val LabelSeedMod = 10L
+
+  /** Semi-supervised label densification over near-dup clusters
+    * (X193) — the cheap label-multiplication step a curation pipeline
+    * runs when labels are expensive (human review, an LLM judge) and
+    * near-duplicates are plentiful: a label paid for ONCE on a seed
+    * doc spreads to the seed's whole near-dup cluster, since
+    * near-identical text deserves a near-identical label. Seeds keep
+    * their own label; unlabeled docs take the majority seed label of
+    * their cluster (ties → lexicographically smallest — deterministic
+    * in any engine); docs in clusters with no seed stay `unlabeled`.
+    *
+    * Scale shape: the vote aggregate is cluster-grain (map-side
+    * combinable), the winner pick is one window over the cluster-grain
+    * votes (never the corpus), and both joins are key equi-joins
+    * against the session-shared cluster labels — the expensive part
+    * (LSH + connected components) is [[sharedClusters]], materialized
+    * once per session and reused by four queries. */
+  def labelSpread(docs: DataFrame, clusterLabels: DataFrame,
+      seedMod: Long = LabelSeedMod): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seeds = docs.filter(col("doc_id") % seedMod === 0)
+      .select(col("doc_id"), col("source").as("seed_label"))
+    val withSeed = clusterLabels.select(col("doc_id"), col("cluster_id"))
+      .join(seeds, Seq("doc_id"), "left")
+    val votes = withSeed.filter(col("seed_label").isNotNull)
+      .groupBy(col("cluster_id"), col("seed_label"))
+      .agg(count(lit(1)).cast("long").as("n_votes"))
+    val winner = votes.withColumn("rk", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(desc("n_votes"), asc("seed_label"))))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("seed_label").as("maj_label"),
+        col("n_votes"))
+    withSeed.join(winner, Seq("cluster_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        coalesce(col("seed_label"), col("maj_label"), lit("unlabeled"))
+          .as("label"),
+        when(col("seed_label").isNotNull, 1L).otherwise(0L)
+          .cast("long").as("is_seed"),
+        coalesce(col("n_votes"), lit(0L)).cast("long").as("maj_votes"))
+  }
 }

@@ -333,6 +333,60 @@ object Recon {
           " + abs(c1 * n2 - c2 * n1)").as("tv_contrib"))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov drift (X200) — the companion
+    * to [[valueDrift]]'s bucketed TV distance: TV over fixed buckets
+    * answers "which range moved"; KS is the classic distribution-shift
+    * TEST STATISTIC, `sup |F₁ − F₂|` over the EXACT merged support
+    * (no bucketing to hide a shift inside one bucket). Everything is
+    * integer: values quantize to cents, and the supremum runs on the
+    * cross-multiplied deviation `|F₁·n₂ − F₂·n₁|` (÷ n₁·n₂ would be
+    * float), using the identity that the running sum of the per-value
+    * signed delta `c₁·n₂ − c₂·n₁` over ascending value order IS
+    * `F₁·n₂ − F₂·n₁` — so ONE distributed prefix scan
+    * ([[graft.operators.PrefixScan]], never an empty-key window)
+    * yields the whole deviation curve at distinct-VALUE grain.
+    *
+    * Output (1 row): side sizes, the raw max deviation, its ppm form
+    * (spelled `dev div greatest((n₁·n₂) div 10⁶, 1)` — divide-first
+    * because `dev·10⁶` overflows Long at n₁·n₂ > ~9·10¹², and the
+    * identical spelling in both engines is the determinism contract),
+    * and the smallest value where the supremum is attained. Long
+    * bounds on the cross products asserted at both sides ≤ 3.03·10⁹
+    * rows (sqrt of Long.MaxValue — the repo's standard guard). */
+  def ksDrift(before: DataFrame, after: DataFrame,
+      valueCol: String): DataFrame = {
+    def side(df: DataFrame, n: String) = df
+      .select(floor(col(valueCol) * 100.0 + 0.5).cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).cast("long").as(n))
+    val merged = side(before, "c1")
+      .join(side(after, "c2"), Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+      .crossJoin(broadcast(side(before, "x")
+        .agg(sum(col("x")).cast("long").as("n1"))))
+      .crossJoin(broadcast(side(after, "x")
+        .agg(sum(col("x")).cast("long").as("n2"))))
+      .select(col("v"), col("n1"), col("n2"),
+        expr("coalesce(cast(assert_true(" +
+          "n1 <= 3037000499 and n2 <= 3037000499, " +
+          "'KS cross products exceed the Long-exact range: move to " +
+          "decimal(38)') as bigint), 0) + c1 * n2 - c2 * n1").as("d"))
+    val scanned = graft.core.CacheBay.register(
+      graft.operators.PrefixScan
+        .prefixAgg(merged, Seq("v"), "d", "sum", "cum", "cum_x")
+        .select(col("v"), col("n1"), col("n2"),
+          abs(col("cum")).as("adev")))
+    val mx = scanned.agg(max(col("adev")).as("ks_dev"))
+    scanned.crossJoin(broadcast(mx))
+      .filter(col("adev") === col("ks_dev"))
+      .groupBy(col("n1"), col("n2"), col("ks_dev"))
+      .agg(min(col("v")).cast("long").as("at_cents"))
+      .select(col("n1"), col("n2"), col("ks_dev").cast("long"),
+        expr("ks_dev div greatest((n1 * n2) div 1000000, 1)")
+          .cast("long").as("ks_ppm"),
+        col("at_cents"))
+  }
+
   /** Gini coefficient of revenue across members per group — the
     * rank-weighted inequality measure beside [[concentrationAudit]]'s
     * HHI (HHI is dominated by the top shares; Gini sees the whole

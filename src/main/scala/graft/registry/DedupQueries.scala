@@ -67,6 +67,10 @@ object DedupQueries {
     "dedup_canonical_reps" -> ((s, d) =>
       Dedup.canonicalReps(docs(s, d),
         clusterLabels = Some(Dedup.sharedClusters(s, d)))),
+    // X193: semi-supervised label densification — seed labels spread
+    // to their near-dup cluster by deterministic majority vote
+    "dedup_label_spread" -> ((s, d) =>
+      Dedup.labelSpread(docs(s, d), Dedup.sharedClusters(s, d))),
     "dedup_lsh_audit" -> ((s, d) =>
       Dedup.lshAudit(docs(s, d), shingles = sh(s, d),
         pairs = Some(Dedup.sharedPairs(s, d)))),
@@ -322,6 +326,30 @@ object DedupQueries {
          |SELECT doc_id, cluster_id, quality,
          |  CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_rep
          |FROM j""".stripMargin,
+
+    // the same recursive-closure cluster labels; seeds keep their own
+    // label, the majority pick is deterministic (votes desc, label asc)
+    "dedup_label_spread" ->
+      s"""WITH RECURSIVE $ClusterCtes,
+         |sd AS (SELECT doc_id, source AS seed_label FROM documents
+         |       WHERE doc_id % ${Dedup.LabelSeedMod} = 0),
+         |ws AS (SELECT cl.doc_id, cl.cluster_id, sd.seed_label
+         |       FROM cl LEFT JOIN sd USING (doc_id)),
+         |v AS (SELECT cluster_id, seed_label,
+         |        CAST(count(*) AS BIGINT) AS n_votes
+         |      FROM ws WHERE seed_label IS NOT NULL GROUP BY 1, 2),
+         |w AS (SELECT cluster_id, seed_label AS maj_label, n_votes
+         |      FROM (SELECT cluster_id, seed_label, n_votes,
+         |              row_number() OVER (PARTITION BY cluster_id
+         |                ORDER BY n_votes DESC, seed_label) AS rk
+         |            FROM v)
+         |      WHERE rk = 1)
+         |SELECT ws.doc_id, ws.cluster_id,
+         |  COALESCE(ws.seed_label, w.maj_label, 'unlabeled') AS label,
+         |  CAST(CASE WHEN ws.seed_label IS NOT NULL THEN 1 ELSE 0 END
+         |    AS BIGINT) AS is_seed,
+         |  CAST(COALESCE(w.n_votes, 0) AS BIGINT) AS maj_votes
+         |FROM ws LEFT JOIN w USING (cluster_id)""".stripMargin,
 
     // incoming docs banded against the existing side only (bands/sig
     // CTEs over ALL docs, split by the %4 rule — signatures are

@@ -85,6 +85,12 @@ object MaintQueries {
     "graph_bfs_hops" -> ((s, d) =>
       graft.graph.BfsHops.seedHops(Tables(s, d, "orders"),
         Tables(s, d, "lineitem"))),
+    // X191: seed-set cheapest-path cost — Bellman-Ford min-plus over
+    // inverse-support edge costs; full-table relaxation per round (a
+    // settled node can still improve, so no frontier shortcut)
+    "graph_cheapest_path" -> ((s, d) =>
+      graft.graph.CheapestPath.seedCosts(
+        graft.graph.Triangles.sharedWeightedEdges(s, d))),
     // X146: exact integer degree-assortativity moments (Newman r's
     // numerator/denominator; the sqrt-and-signed-division stays with
     // the consumer — the X129 mergeable-moments discipline)
@@ -182,6 +188,37 @@ object MaintQueries {
          |    AS kind,
          |  CAST(node // 2 AS BIGINT) AS id, hops
          |FROM d$r""".stripMargin
+    },
+
+    // same min-plus relaxation unrolled (MATERIALIZED per round) over
+    // the same integer floor-divided edge costs
+    "graph_cheapest_path" -> {
+      def round(i: Int): String =
+        s"""d$i AS MATERIALIZED (
+           |  SELECT node, CAST(MIN(cost_e6) AS BIGINT) AS cost_e6 FROM (
+           |    SELECT node, cost_e6 FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT e.v AS node, d.cost_e6 + e.cost AS cost_e6
+           |    FROM e JOIN d${i - 1} d ON e.u = d.node)
+           |  GROUP BY 1)""".stripMargin
+      import graft.graph.CheapestPath.{CostScale, Rounds, SeedMod}
+      s"""WITH op AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+         |  FROM lineitem),
+         |w AS (
+         |  SELECT x.p AS a, y.p AS b, CAST(count(*) AS BIGINT) AS w
+         |  FROM op x JOIN op y ON x.ok = y.ok AND x.p < y.p
+         |  GROUP BY 1, 2),
+         |e AS MATERIALIZED (
+         |  SELECT a AS u, b AS v, CAST($CostScale // w AS BIGINT) AS cost
+         |  FROM w
+         |  UNION ALL
+         |  SELECT b, a, CAST($CostScale // w AS BIGINT) FROM w),
+         |d0 AS MATERIALIZED (
+         |  SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS cost_e6
+         |  FROM e WHERE u % $SeedMod = 0),
+         |${(1 to Rounds).map(round).mkString(",\n")}
+         |SELECT node AS part, cost_e6 FROM d$Rounds""".stripMargin
     },
 
     "maint_compaction_plan" ->

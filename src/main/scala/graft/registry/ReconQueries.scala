@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Star, Tables}
 import graft.functions.GraftFunctions._
-import graft.qc.{Expectations, Recon}
+import graft.qc.{Expectations, FdAudit, IndAudit, Recon}
 
 /** Registry: reconciliation aggregates + QC reports + scalar-date-function
   * coverage (SURVEY §2.4 A1/A7/A8, §2.3 J3/J4, §2.8 F13–F21/F23).
@@ -141,6 +141,27 @@ object ReconQueries {
     "qc_expectations" -> ((s, d) =>
       Expectations.audit(Tables(s, d, "orders"),
         Expectations.OrdersContract)),
+
+    // X190: approximate-FD audit — all declared FDs in ONE scan via a
+    // bounded unpivot + a two-level map-side-combinable agg chain
+    "qc_fd_audit" -> ((s, d) =>
+      FdAudit.audit(Tables(s, d, "part"), FdAudit.PartContract)),
+
+    // X194: inclusion-dependency audit — FK discovery at distinct-
+    // VALUE grain: one scan per referenced table regardless of how
+    // many candidates cite it, verdict join carries value domains
+    "qc_ind_audit" -> ((s, d) => IndAudit.audit(s, d)),
+
+    // X200: exact two-sample KS drift between the same year slices —
+    // sup |F1·n2 − F2·n1| over the exact merged cent support via ONE
+    // distributed prefix scan of the signed per-value delta
+    "qc_ks_drift" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      Recon.ksDrift(
+        o.filter(year(col("o_orderdate")) === 1995),
+        o.filter(year(col("o_orderdate")) === 1996),
+        "o_totalprice")
+    }),
 
     // X161: numeric distribution drift between two year slices —
     // exact cross-multiplied TV contributions per $20k bucket
@@ -569,6 +590,13 @@ object ReconQueries {
     "qc_expectations" ->
       Expectations.oracleSql("orders", Expectations.OrdersContract),
 
+    // generated from the SAME FD list as the engine plan
+    "qc_fd_audit" ->
+      FdAudit.oracleSql("part", FdAudit.PartContract),
+
+    // generated from the SAME candidate list as the engine plan
+    "qc_ind_audit" -> IndAudit.oracleSql(),
+
     // ascending rank by (cents, custkey); numerator provably >= 0 so
     // the truncating div never sees a negative operand
     "qc_gini" ->
@@ -596,6 +624,44 @@ object ReconQueries {
 
     // fixed cent-width buckets; |c1*N2 - c2*N1| is the exact-integer
     // TV contribution (the X134 device on numeric buckets)
+    // the same signed-delta running sum, as a plain ordered window
+    // (DuckDB's window is fine single-node; the engine side uses the
+    // two-phase scan for the same values); dev/ppm spellings identical
+    "qc_ks_drift" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(CAST(o_totalprice AS DOUBLE)
+        |    * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS v
+        |  FROM orders WHERE year(o_orderdate) = 1995),
+        |a AS (
+        |  SELECT CAST(floor(CAST(o_totalprice AS DOUBLE)
+        |    * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS v
+        |  FROM orders WHERE year(o_orderdate) = 1996),
+        |cb AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c1
+        |       FROM b GROUP BY 1),
+        |ca AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c2
+        |       FROM a GROUP BY 1),
+        |t AS (SELECT CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n1,
+        |             CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n2),
+        |m AS (
+        |  SELECT COALESCE(cb.v, ca.v) AS v,
+        |    COALESCE(c1, 0) AS c1, COALESCE(c2, 0) AS c2
+        |  FROM cb FULL OUTER JOIN ca ON cb.v = ca.v),
+        |s AS (
+        |  SELECT v, n1, n2,
+        |    abs(SUM(c1 * n2 - c2 * n1) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |      AS adev
+        |  FROM m CROSS JOIN t),
+        |mx AS (SELECT CAST(MAX(adev) AS BIGINT) AS ks_dev FROM s)
+        |SELECT n1, n2, ks_dev,
+        |  CAST(ks_dev // greatest((n1 * n2) // 1000000, 1) AS BIGINT)
+        |    AS ks_ppm,
+        |  CAST(MIN(v) AS BIGINT) AS at_cents
+        |FROM s CROSS JOIN mx WHERE adev = ks_dev
+        |GROUP BY 1, 2, 3""".stripMargin,
+
     "qc_value_drift" ->
       """WITH b AS (
         |  SELECT CAST(floor(CAST(o_totalprice AS DOUBLE)

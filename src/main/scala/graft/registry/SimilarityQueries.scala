@@ -35,6 +35,10 @@ object SimilarityQueries {
     // the X45-pattern audit: deterministic seed centers make the whole
     // IVF pipeline + its recall-vs-brute-force SQL-recomputable
     "sim_ivf_recall" -> ((s, d) => Similarity.ivfRecallAudit(emb(s, d))),
+    // X192: Matryoshka-truncation recall — rank on the first quarter
+    // of the embedding, judge against full-dimension ground truth
+    "sim_matryoshka_recall" -> ((s, d) =>
+      Similarity.matryoshkaRecallAudit(emb(s, d))),
     "sim_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(emb(s, d))),
     // PQ/ADC over the scaled LSH candidate buckets: codebook, encode,
     // and ranking all deterministic — fully oracle-replayed
@@ -241,6 +245,37 @@ object SimilarityQueries {
          |  (CAST(SUM(CASE WHEN i.nn_id IS NOT NULL THEN 1 ELSE 0 END)
          |    AS BIGINT) * 1000000) // $TopK AS recall_ppm
          |FROM btop b LEFT JOIN itop i
+         |  ON b.q_id = i.q_id AND b.nn_id = i.nn_id
+         |GROUP BY b.q_id""".stripMargin,
+
+    // prefix-slice ranking vs full-dimension ground truth; DuckDB's
+    // 1-based inclusive list slice v[1:P] mirrors Spark's slice(v,1,P)
+    "sim_matryoshka_recall" ->
+      s"""WITH $ECte,
+         |t AS (SELECT vec_id, v[1:${Similarity.MatryoshkaDims}] AS tv
+         |      FROM e),
+         |tp AS (SELECT q.vec_id AS q_id, b.vec_id AS nn_id,
+         |         ${cosSql("q.tv", "b.tv")} AS cos
+         |       FROM t q JOIN t b
+         |         ON q.vec_id % $QueryMod = 0 AND q.vec_id <> b.vec_id),
+         |tr AS (SELECT q_id, nn_id, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rank
+         |       FROM tp),
+         |ttop AS (SELECT q_id, nn_id FROM tr WHERE rank <= $TopK),
+         |bp AS (SELECT q.vec_id AS q_id, b.vec_id AS nn_id,
+         |         ${cosSql("q.v", "b.v")} AS cos
+         |       FROM e q JOIN e b
+         |         ON q.vec_id % $QueryMod = 0 AND q.vec_id <> b.vec_id),
+         |bt AS (SELECT q_id, nn_id, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rank
+         |       FROM bp),
+         |btop AS (SELECT q_id, nn_id FROM bt WHERE rank <= $TopK)
+         |SELECT b.q_id,
+         |  CAST(SUM(CASE WHEN i.nn_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hits,
+         |  (CAST(SUM(CASE WHEN i.nn_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) * 1000000) // $TopK AS recall_ppm
+         |FROM btop b LEFT JOIN ttop i
          |  ON b.q_id = i.q_id AND b.nn_id = i.nn_id
          |GROUP BY b.q_id""".stripMargin,
 

@@ -372,6 +372,12 @@ object StreamQueries {
         "user_id", "ts", "event_id",
         graft.operators.Debounce.DefaultGapSeconds)),
 
+    // X197: multi-touch conversion attribution — linear credit split
+    // (exact integer ppm) plus first/last-touch counts over the X23
+    // islands sessions; every window keys on the user/session prefix
+    "events_attribution" -> ((s, d) =>
+      graft.analytics.Attribution.multiTouch(Tables(s, d, "events"))),
+
     // X185: conversion by session depth — "do longer sessions
     // convert more": reads the SHARED session tier, flags sessions
     // containing a purchase, rolls conversion ppm up per size band;
@@ -753,6 +759,10 @@ object StreamQueries {
          |    AS BIGINT) AS span_s
          |FROM s GROUP BY 1, 2""".stripMargin
     },
+
+    // same windows replayed; the sessionizer, purchase pick and touch
+    // ranks all ride the unique (tus, event_id) total order
+    "events_attribution" -> graft.analytics.Attribution.oracleSql(),
 
     "events_session_conversion" -> {
       val g = graft.operators.Sessionize.DefaultGapHours

@@ -393,15 +393,20 @@ object Similarity {
           l2Norm(asDouble(col("embedding"))).as("nrm")))
     val ivf = ivfTopKFromCenters(feat, seedCenters(emb, nCells), k,
       queryMod, nProbe)
-    val bf = bruteForceTopK(emb, k, queryMod)
-    bf.select(col("q_id"), col("nn_id"))
-      .join(ivf.select(col("q_id"), col("nn_id"), lit(1L).as("hit")),
+    recallOf(bruteForceTopK(emb, k, queryMod), ivf, k)
+  }
+
+  /** Per-query recall@k of `approx` against the `exact` ground truth,
+    * as integer ppm — the shared audit tail of every recall query. */
+  private def recallOf(exact: DataFrame, approx: DataFrame,
+      k: Int): DataFrame =
+    exact.select(col("q_id"), col("nn_id"))
+      .join(approx.select(col("q_id"), col("nn_id"), lit(1L).as("hit")),
         Seq("q_id", "nn_id"), "left")
       .groupBy(col("q_id"))
       .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"))
       .select(col("q_id"), col("n_hits"),
         expr(s"(n_hits * 1000000) div $k").as("recall_ppm"))
-  }
 
   /** PQ recall audit (the [[ivfRecallAudit]] pattern applied to
     * [[pqTopK]]): join the PQ/ADC top-k against [[bruteForceTopK]]
@@ -414,14 +419,39 @@ object Similarity {
       queryMod: Int = QueryMod,
       nBits: Int = NumHyperplanes): DataFrame = {
     val pq = pqTopK(emb, k, queryMod, nBits = nBits)
-    val bf = bruteForceTopK(emb, k, queryMod)
-    bf.select(col("q_id"), col("nn_id"))
-      .join(pq.select(col("q_id"), col("nn_id"), lit(1L).as("hit")),
-        Seq("q_id", "nn_id"), "left")
-      .groupBy(col("q_id"))
-      .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"))
-      .select(col("q_id"), col("n_hits"),
-        expr(s"(n_hits * 1000000) div $k").as("recall_ppm"))
+    recallOf(bruteForceTopK(emb, k, queryMod), pq, k)
+  }
+
+  /** Matryoshka prefix dimensionality for [[matryoshkaRecallAudit]]:
+    * the first quarter of the embedding (64 → 16 dims). */
+  val MatryoshkaDims = 16
+
+  /** Matryoshka-truncation recall audit (X192) — how much top-k
+    * quality survives ranking on only the first [[MatryoshkaDims]]
+    * embedding components (the matryoshka-representation-learning
+    * deployment question: a 4× dimension cut is a 4× cut in dot-product
+    * flops, shuffle bytes, and index memory for EVERY downstream ANN
+    * pass, if recall holds). Candidate ranking is brute-force cosine
+    * over the PREFIX slice, judged against full-dimension
+    * [[bruteForceTopK]] ground truth via the shared per-query ppm
+    * audit. Deterministic end to end — the truncation is a `slice`,
+    * the cosine is the same codegen'd dot product — so the DuckDB
+    * oracle recomputes the full audit from the raw embeddings. */
+  def matryoshkaRecallAudit(emb: DataFrame, k: Int = TopK,
+      queryMod: Int = QueryMod,
+      prefixDims: Int = MatryoshkaDims): DataFrame = {
+    val feat = graft.core.CacheBay.register(
+      graft.core.Spread(emb)
+        .select(col("vec_id"),
+          slice(asDouble(col("embedding")), 1, prefixDims).as("tv")))
+    val q = feat.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("tv").as("q_emb"),
+        l2Norm(col("tv")).as("q_norm"))
+    val c = feat.select(col("vec_id").as("nn_id"), col("tv").as("c_emb"),
+      l2Norm(col("tv")).as("c_norm"))
+    val pairs = broadcast(q).join(c, col("q_id") =!= col("nn_id"))
+      .select(col("q_id"), col("nn_id"), pairCos.as("cos"))
+    recallOf(bruteForceTopK(emb, k, queryMod), topKOf(pairs, k), k)
   }
 
   /** Johnson–Lindenstrauss random projection of the embedding column

@@ -269,4 +269,30 @@ class DedupSpec extends SparkSpec {
     // the unrelated doc intersects nothing
     assert(!got.keySet.exists(k => k._1 == 3L || k._2 == 3L))
   }
+
+  test("labelSpread: majority spread, seed self-label priority, " +
+    "deterministic tie, unlabeled cluster") {
+    val docs = Seq(
+      (1L, "x"), (10L, "srcA"), (20L, "srcA"),   // cluster 1: maj srcA
+      (2L, "y"), (3L, "z"),                      // cluster 2: no seed
+      (30L, "srcB"), (31L, "w"),                 // cluster 30
+      (40L, "srcC"), (50L, "srcA"), (41L, "v"))  // cluster 40: tie
+      .toDF("doc_id", "source")
+    val cl = Seq((1L, 1L), (10L, 1L), (20L, 1L), (2L, 2L), (3L, 2L),
+      (30L, 30L), (31L, 30L), (40L, 40L), (50L, 40L), (41L, 40L))
+      .toDF("doc_id", "cluster_id")
+    val got = graft.dedup.Dedup.labelSpread(docs, cl)
+      .as[(Long, Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    // non-seed inherits the cluster majority
+    assert(got(1L) === (("srcA", 0L)))
+    // no seed in the cluster -> unlabeled
+    assert(got(2L) === (("unlabeled", 0L)) && got(3L)._1 == "unlabeled")
+    // spread from a single seed
+    assert(got(30L) === (("srcB", 1L)) && got(31L) === (("srcB", 0L)))
+    // 1-1 tie -> lexicographically smallest label for the non-seed,
+    // but each seed keeps its OWN label
+    assert(got(41L) === (("srcA", 0L)))
+    assert(got(40L) === (("srcC", 1L)) && got(50L) === (("srcA", 1L)))
+  }
 }

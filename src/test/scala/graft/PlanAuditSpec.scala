@@ -308,8 +308,10 @@ class PlanAuditSpec extends SparkSpec {
       "events_key_skew", "qc_referential",
       // recall audits: the IVF/PQ side is a bucket equi-join; the BNLJ
       // is the brute-force ground-truth side (same shape as
-      // sim_bruteforce_topk, bounded query subset)
-      "sim_ivf_recall", "sim_pq_recall",
+      // sim_bruteforce_topk, bounded query subset); matryoshka ALSO
+      // brute-forces its prefix-slice candidate ranking — two bounded
+      // all-pairs scans by design
+      "sim_ivf_recall", "sim_pq_recall", "sim_matryoshka_recall",
       // 1-row corpus-totals broadcast (same class as tf-idf's n_docs)
       "text_collocations", "pipe_split_drift",
       // 1-row as-of scalar broadcast (max event date) — both decay
@@ -354,7 +356,7 @@ class PlanAuditSpec extends SparkSpec {
       // PrefixScanSpec (no global window, no full-frame hash exchange)
       "scan_running_total", "pareto_frontier",
       // prefix-scan composition: bounded per-partition totals collect
-      "events_lateness_audit",
+      "events_lateness_audit", "qc_ks_drift",
       // Bloom filter words collect on build (≤ bits/64 = 1024 rows)
       "j_bloom_prune")
 

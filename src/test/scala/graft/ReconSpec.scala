@@ -254,4 +254,41 @@ class ReconSpec extends SparkSpec {
     // 300/400 never co-occur: absent from the report
     assert(!got.contains("300") && !got.contains("400"))
   }
+
+  test("ksDrift: hand-computed supremum on a tiny fixture") {
+    import spark.implicits._
+    val before = Seq(1.0, 1.0, 2.0).toDF("x")
+    val after = Seq(2.0, 3.0).toDF("x")
+    val r = graft.qc.Recon.ksDrift(before, after, "x")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    graft.core.CacheBay.drain()
+    // F1 jumps to 2/3 at v=100 cents while F2 is still 0:
+    // dev = |2*2 - 0*3| = 4 of n1*n2 = 6 (KS = 2/3), attained at 100
+    assert(r === Array((3L, 2L, 4L, 4L, 100L)))
+  }
+
+  test("ksDrift matches a scalar exact-KS recompute on the fixture " +
+    "year slices") {
+    import org.apache.spark.sql.functions._
+    val o = graft.core.Tables(spark, SfDir, "orders")
+    def slice(y: Int) = o.filter(year(col("o_orderdate")) === y)
+    val got = graft.qc.Recon.ksDrift(slice(1995), slice(1996),
+      "o_totalprice").as[(Long, Long, Long, Long, Long)].collect()
+    graft.core.CacheBay.drain()
+    assert(got.length == 1)
+    val (n1, n2, dev, ppm, at) = got.head
+    def cents(y: Int) = slice(y).select(col("o_totalprice"))
+      .collect().map(r => math.floor(r.getDouble(0) * 100 + 0.5).toLong)
+    val s1 = cents(1995).sorted
+    val s2 = cents(1996).sorted
+    assert(n1 == s1.length && n2 == s2.length)
+    // exact scalar KS over the merged support, cross-multiplied
+    val support = (s1 ++ s2).distinct.sorted
+    def le(s: Array[Long], v: Long) = s.count(_ <= v).toLong
+    val devs = support.map(v => (math.abs(le(s1, v) * n2 - le(s2, v) * n1), v))
+    val best = devs.map(_._1).max
+    assert(dev == best)
+    assert(at == devs.filter(_._1 == best).map(_._2).min)
+    assert(ppm == dev / math.max(n1 * n2 / 1000000L, 1L))
+  }
 }

@@ -219,6 +219,28 @@ class SimilaritySpec extends SparkSpec {
     assert(c1 == c2)
   }
 
+  test("matryoshkaRecallAudit: identity at full dimension; bounded " +
+    "ppm at the quarter prefix") {
+    val emb = graft.core.Tables(spark, SfDir, "embeddings")
+    // truncation to the FULL dimension is the identity ranking —
+    // recall must be exactly 1e6 for every query
+    val full = Similarity.matryoshkaRecallAudit(emb,
+      prefixDims = Similarity.Dim).as[(Long, Long, Long)].collect()
+    graft.core.CacheBay.drain()
+    assert(full.nonEmpty)
+    full.foreach { case (_, hits, ppm) =>
+      assert(hits == Similarity.TopK && ppm == 1000000L)
+    }
+    val quarter = Similarity.matryoshkaRecallAudit(emb)
+      .as[(Long, Long, Long)].collect()
+    graft.core.CacheBay.drain()
+    assert(quarter.length == full.length)
+    quarter.foreach { case (_, hits, ppm) =>
+      assert(hits >= 0 && hits <= Similarity.TopK)
+      assert(ppm == hits * 1000000L / Similarity.TopK)
+    }
+  }
+
   test("centroidOutliers flags the planted far vector only") {
     import spark.implicits._
     // label 0: four vectors tight around (1, 0) plus one at (-40, 0);
