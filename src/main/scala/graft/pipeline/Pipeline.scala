@@ -76,6 +76,53 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"))
 
+  /** Sample-ratio-mismatch audit (X198) — the A/B-testing guard
+    * applied to the deterministic hash split: a biased assignment
+    * (skewed hash, filtered upstream, collided buckets) silently
+    * invalidates every downstream eval, and the standard detector is
+    * the SRM chi-square over observed vs declared split counts. All
+    * integer: per split, `d = 100·n_obs − n_total·pct` is the exact
+    * scaled deviation from expectation, `dev_ppm = |d|·10⁶ div
+    * (n_total·pct)` the relative miss, and the chi-square contribution
+    * `(obs−e)²/e = d²/(100·n·pct)` is emitted in e6 units via the
+    * divide-first spelling `d² div ((100·n·pct) div 10⁶)` (multiplying
+    * d² by 10⁶ first would overflow Long immediately). Long-exactness
+    * asserted: `|d| ≤ 3.03·10⁹` — past that (a >30% miss on a 10⁹-row
+    * split) the audit has long since failed anyway.
+    *
+    * Scale shape: one map-side-combinable count at split grain (3
+    * rows), a broadcast of the 3-row declared-ratio frame, one 1-row
+    * total broadcast. The split assignment is the same
+    * [[hashBucket]] every other split consumer shares. */
+  def srmAudit(docs: DataFrame, trainPct: Int = TrainPct,
+      validPct: Int = ValidPct): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = hashSplit(docs, trainPct, validPct)
+      .groupBy(col("split")).agg(count(lit(1)).cast("long").as("n_obs"))
+    val meta = broadcast(Seq(("train", trainPct.toLong),
+        ("valid", validPct.toLong),
+        ("test", (100 - trainPct - validPct).toLong))
+      .toDF("split", "expected_pct"))
+    meta.join(counts, Seq("split"), "left")
+      .select(col("split"), col("expected_pct"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+      .crossJoin(broadcast(counts
+        .agg(sum(col("n_obs")).cast("long").as("n_total"))))
+      .withColumn("d", expr(
+        "100 * n_obs - n_total * expected_pct"))
+      .select(col("split"), col("expected_pct"), col("n_obs"),
+        col("n_total"),
+        expr("coalesce(cast(assert_true(abs(d) <= 3037000499, " +
+          "'SRM deviation exceeds the Long-exact chi-square range: " +
+          "move to decimal(38)') as bigint), 0) + " +
+          "(abs(d) * 1000000) div greatest(n_total * expected_pct, 1)")
+          .cast("long").as("dev_ppm"),
+        expr("(d * d) div greatest(" +
+          "(100 * n_total * expected_pct) div 1000000, 1)")
+          .cast("long").as("chi2_e6"))
+  }
+
   /** Per-language keep-rates (percent of the 0-99 bucket) for
     * stratified sampling — the language-rebalancing knob multilingual
     * corpus curation turns (downsample the dominant language, keep the

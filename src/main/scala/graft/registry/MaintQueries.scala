@@ -91,6 +91,15 @@ object MaintQueries {
     "graph_cheapest_path" -> ((s, d) =>
       graft.graph.CheapestPath.seedCosts(
         graft.graph.Triangles.sharedWeightedEdges(s, d))),
+    // X199: item-item co-purchase cosine neighborhoods — candidates
+    // are exactly the shared weighted edge list (never all-pairs),
+    // sim² as exact integer ppm so no sqrt crosses engines
+    "graph_item_neighbors" -> ((s, d) =>
+      graft.graph.ItemSim.itemNeighbors(
+        graft.graph.Triangles.sharedWeightedEdges(s, d),
+        Tables(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .distinct())),
     // X146: exact integer degree-assortativity moments (Newman r's
     // numerator/denominator; the sqrt-and-signed-division stays with
     // the consumer — the X129 mergeable-moments discipline)
@@ -188,6 +197,39 @@ object MaintQueries {
          |    AS kind,
          |  CAST(node // 2 AS BIGINT) AS id, hops
          |FROM d$r""".stripMargin
+    },
+
+    // same incidence/edge derivation; sim² ppm and the (ppm, w, nbr)
+    // tie-break replayed exactly
+    "graph_item_neighbors" -> {
+      import graft.graph.ItemSim.TopK
+      s"""WITH op AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+         |  FROM lineitem),
+         |w AS (
+         |  SELECT x.p AS a, y.p AS b, CAST(count(*) AS BIGINT) AS w
+         |  FROM op x JOIN op y ON x.ok = y.ok AND x.p < y.p
+         |  GROUP BY 1, 2),
+         |deg AS (
+         |  SELECT p, CAST(count(*) AS BIGINT) AS deg FROM op
+         |  GROUP BY 1),
+         |sym AS (
+         |  SELECT a AS part, b AS nbr, w FROM w
+         |  UNION ALL
+         |  SELECT b, a, w FROM w),
+         |sc AS (
+         |  SELECT s.part, s.nbr, s.w,
+         |    (s.w * s.w * 1000000) // (da.deg * db.deg) AS sim2_ppm
+         |  FROM sym s
+         |  JOIN deg da ON s.part = da.p
+         |  JOIN deg db ON s.nbr = db.p),
+         |r AS (
+         |  SELECT part, nbr, w, CAST(sim2_ppm AS BIGINT) AS sim2_ppm,
+         |    row_number() OVER (PARTITION BY part
+         |      ORDER BY sim2_ppm DESC, w DESC, nbr) AS rank
+         |  FROM sc)
+         |SELECT part, CAST(rank AS BIGINT) AS rank, nbr, w, sim2_ppm
+         |FROM r WHERE rank <= $TopK""".stripMargin
     },
 
     // same min-plus relaxation unrolled (MATERIALIZED per round) over

@@ -20,6 +20,9 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Reg.strict(
     "pipe_hash_split" -> ((s, d) => Pipeline.hashSplit(docs(s, d))),
+    // X198: sample-ratio-mismatch audit — exact integer SRM chi-square
+    // over observed vs declared split counts
+    "pipe_srm_audit" -> ((s, d) => Pipeline.srmAudit(docs(s, d))),
 
     // X139: purged temporal split — weekly folds over the events
     // timeline, rows within the embargo gap of a fold edge assigned to
@@ -271,6 +274,32 @@ object PipelineQueries {
     "pipe_hash_split" ->
       s"""WITH $SplitCte
          |SELECT doc_id, lang, n_chars, bucket, split FROM spl""".stripMargin,
+
+    // same split counts; deviation d, ppm and the divide-first
+    // chi-square spelling replayed exactly
+    "pipe_srm_audit" ->
+      s"""WITH $SplitCte,
+         |c AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_obs
+         |      FROM spl GROUP BY 1),
+         |m(split, expected_pct) AS (VALUES
+         |    ('train', ${Pipeline.TrainPct}::BIGINT),
+         |    ('valid', ${Pipeline.ValidPct}::BIGINT),
+         |    ('test',
+         |     ${100 - Pipeline.TrainPct - Pipeline.ValidPct}::BIGINT)),
+         |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM c),
+         |j AS (SELECT m.split, m.expected_pct,
+         |        COALESCE(c.n_obs, 0) AS n_obs, t.n_total,
+         |        100 * COALESCE(c.n_obs, 0)
+         |          - t.n_total * m.expected_pct AS d
+         |      FROM m LEFT JOIN c ON m.split = c.split CROSS JOIN t)
+         |SELECT split, expected_pct, n_obs, n_total,
+         |  CAST((abs(d) * 1000000)
+         |    // greatest(n_total * expected_pct, 1) AS BIGINT)
+         |    AS dev_ppm,
+         |  CAST((d * d) // greatest(
+         |    (100 * n_total * expected_pct) // 1000000, 1) AS BIGINT)
+         |    AS chi2_e6
+         |FROM j""".stripMargin,
 
     "pipe_split_report" ->
       s"""WITH $SplitCte

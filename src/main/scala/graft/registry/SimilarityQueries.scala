@@ -39,6 +39,10 @@ object SimilarityQueries {
     // of the embedding, judge against full-dimension ground truth
     "sim_matryoshka_recall" -> ((s, d) =>
       Similarity.matryoshkaRecallAudit(emb(s, d))),
+    // X195: reciprocal-rank fusion of the three compressed rankings
+    // (matryoshka prefix / int8 / JL) — rank-only hybrid combiner,
+    // integer-exact after the per-list ranks
+    "sim_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(emb(s, d))),
     "sim_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(emb(s, d))),
     // PQ/ADC over the scaled LSH candidate buckets: codebook, encode,
     // and ranking all deterministic — fully oracle-replayed
@@ -278,6 +282,58 @@ object SimilarityQueries {
          |FROM btop b LEFT JOIN ttop i
          |  ON b.q_id = i.q_id AND b.nn_id = i.nn_id
          |GROUP BY b.q_id""".stripMargin,
+
+    // three compressed rankings replayed (prefix slice / int8 floor
+    // quantization / JL micro-unit components), fused by the same
+    // integer 10^6 // (60 + rank) contributions and re-ranked
+    "sim_rrf_fusion" -> {
+      def leg(i: Int, src: String): String =
+        s"""p$i AS (SELECT q.vec_id AS q_id, b.vec_id AS nn_id,
+           |    ${cosSql("q.fv", "b.fv")} AS cos
+           |  FROM $src q JOIN $src b
+           |    ON q.vec_id % $QueryMod = 0 AND q.vec_id <> b.vec_id),
+           |c$i AS (SELECT q_id, nn_id,
+           |    1000000 // (${Similarity.RrfC} + rank) AS rrf
+           |  FROM (SELECT q_id, nn_id, row_number() OVER (
+           |          PARTITION BY q_id ORDER BY cos DESC, nn_id)
+           |          AS rank
+           |        FROM p$i)
+           |  WHERE rank <= $TopK)""".stripMargin
+      val jlComps = (0 until 8).map { j =>
+        s"""CAST(CAST(floor(list_sum(list_transform(
+           |      range(1, len(v) + 1), d ->
+           |      v[d] * (((${j} * $Dim + d) * 2654435761 % 1000003)
+           |              / 1000003.0 - 0.5))) * 1000000 + 0.5)
+           |    AS BIGINT) AS DOUBLE)""".stripMargin
+      }.mkString(",\n    ")
+      s"""WITH $ECte,
+         |pf AS (SELECT vec_id, v[1:${Similarity.MatryoshkaDims}] AS fv
+         |       FROM e),
+         |i8 AS (SELECT vec_id, list_transform(v, x ->
+         |         CAST(floor(x * (CASE WHEN mx > 0 THEN 127.0 / mx
+         |                              ELSE 1.0 END) + 0.5) AS DOUBLE))
+         |         AS fv
+         |       FROM (SELECT vec_id, v,
+         |               list_max(list_transform(v, x -> abs(x))) AS mx
+         |             FROM e)),
+         |jl AS (SELECT vec_id, [
+         |    $jlComps] AS fv FROM e),
+         |${leg(1, "pf")},
+         |${leg(2, "i8")},
+         |${leg(3, "jl")},
+         |u AS (SELECT * FROM c1 UNION ALL
+         |      SELECT * FROM c2 UNION ALL
+         |      SELECT * FROM c3),
+         |g AS (SELECT q_id, nn_id, CAST(SUM(rrf) AS BIGINT) AS rrf_e6,
+         |        CAST(COUNT(*) AS BIGINT) AS n_lists
+         |      FROM u GROUP BY 1, 2),
+         |f AS (SELECT q_id, nn_id, rrf_e6, n_lists, row_number() OVER (
+         |        PARTITION BY q_id ORDER BY rrf_e6 DESC, nn_id) AS rank
+         |      FROM g)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, nn_id, rrf_e6,
+         |  n_lists
+         |FROM f WHERE rank <= $TopK""".stripMargin
+    },
 
     // JL projection: the SAME hyperplane family as the LSH bucketer
     // (an LSH bit is the sign of one component), quantized via the

@@ -443,15 +443,88 @@ object Similarity {
     val feat = graft.core.CacheBay.register(
       graft.core.Spread(emb)
         .select(col("vec_id"),
-          slice(asDouble(col("embedding")), 1, prefixDims).as("tv")))
+          slice(asDouble(col("embedding")), 1, prefixDims).as("fv")))
+    recallOf(bruteForceTopK(emb, k, queryMod),
+      featureTopK(feat, k, queryMod), k)
+  }
+
+  /** One ranked candidate list from a derived feature frame
+    * `(vec_id, fv: array<double>)`: all-pairs cosine over the bounded
+    * query subset (the [[bruteForceTopK]] shape), ranked per query by
+    * `(cos desc, nn_id)`. Shared by the matryoshka audit and every
+    * [[rrfFusion]] leg. */
+  private[graft] def featureTopK(feat: DataFrame, k: Int,
+      queryMod: Int): DataFrame = {
     val q = feat.filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("q_id"), col("tv").as("q_emb"),
-        l2Norm(col("tv")).as("q_norm"))
-    val c = feat.select(col("vec_id").as("nn_id"), col("tv").as("c_emb"),
-      l2Norm(col("tv")).as("c_norm"))
-    val pairs = broadcast(q).join(c, col("q_id") =!= col("nn_id"))
-      .select(col("q_id"), col("nn_id"), pairCos.as("cos"))
-    recallOf(bruteForceTopK(emb, k, queryMod), topKOf(pairs, k), k)
+      .select(col("vec_id").as("q_id"), col("fv").as("q_emb"),
+        l2Norm(col("fv")).as("q_norm"))
+    val c = feat.select(col("vec_id").as("nn_id"), col("fv").as("c_emb"),
+      l2Norm(col("fv")).as("c_norm"))
+    topKOf(broadcast(q).join(c, col("q_id") =!= col("nn_id"))
+      .select(col("q_id"), col("nn_id"), pairCos.as("cos")), k)
+  }
+
+  /** Reciprocal-rank-fusion constant (Cormack et al. 2009's k=60). */
+  val RrfC = 60
+
+  /** The matryoshka prefix / int8-quantized / JL-projected feature
+    * frames [[rrfFusion]] ranks over — session-transient, registered
+    * with [[graft.core.CacheBay]] so the three ranking legs don't
+    * re-derive them. */
+  private def fusionFeatures(emb: DataFrame): Seq[DataFrame] = {
+    val base = graft.core.Spread(emb)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    Seq(
+      base.select(col("vec_id"),
+        slice(col("v"), 1, MatryoshkaDims).as("fv")),
+      base
+        .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+        .withColumn("scale", when(col("mx") > 0, lit(127.0) / col("mx"))
+          .otherwise(lit(1.0)))
+        .select(col("vec_id"),
+          transform(col("v"), x => floor(x * col("scale") + 0.5))
+            .cast("array<double>").as("fv")),
+      randomProjection(emb).select(col("vec_id"),
+        array((0 until 8).map(j => col(s"p$j").cast("double")): _*)
+          .as("fv"))
+    ).map(graft.core.CacheBay.register(_))
+  }
+
+  /** Reciprocal-rank fusion of compressed retrieval rankings (X195) —
+    * the hybrid-retrieval combiner (Cormack/Clarke/Büttcher 2009)
+    * applied to the deployment question "which COMPRESSED index do I
+    * trust": the matryoshka prefix (X192), int8 quantization (X27) and
+    * JL projection (X75) each produce a cheap ranking with a different
+    * error profile; RRF fuses them with NO scores crossing lists —
+    * only ranks — so the fusion is scale-free and integer-exact:
+    * contribution = `10⁶ div (60 + rank)`, summed per candidate,
+    * re-ranked by `(Σ desc, nn_id)`. A candidate surfaced by all
+    * three compressions outranks one a single compression favored —
+    * the standard robustness argument for hybrid retrieval.
+    *
+    * Scale shape: three bounded all-pairs legs (the documented
+    * [[bruteForceTopK]] shape over the query subset — in production
+    * each leg would be that index's ANN lookup; the FUSION math is
+    * identical either way), then one `(q, candidate)` grain aggregate
+    * (map-side combinable, ≤ 3k rows per query) and one per-query
+    * window over ≤ 3k candidates. All integers after the per-list
+    * ranks, so the oracle replays every step. */
+  def rrfFusion(emb: DataFrame, k: Int = TopK,
+      queryMod: Int = QueryMod): DataFrame = {
+    val contrib = fusionFeatures(emb)
+      .map(f => featureTopK(f, k, queryMod)
+        .select(col("q_id"), col("nn_id"),
+          expr(s"1000000 div ($RrfC + rank)").cast("long").as("rrf")))
+      .reduce(_ unionByName _)
+    contrib.groupBy(col("q_id"), col("nn_id"))
+      .agg(sum(col("rrf")).cast("long").as("rrf_e6"),
+        count(lit(1)).cast("long").as("n_lists"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(desc("rrf_e6"), asc("nn_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("nn_id"), col("rrf_e6"), col("n_lists"))
   }
 
   /** Johnson–Lindenstrauss random projection of the embedding column

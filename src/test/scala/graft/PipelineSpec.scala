@@ -417,4 +417,33 @@ class PipelineSpec extends SparkSpec {
     assert(got("2_below_k") === ((1L, 3L, 17L, 176470L)))
     assert(got("3_at_or_above_k") === ((1L, 12L, 17L, 705882L)))
   }
+
+  test("srmAudit fields match the scalar SRM formulae on the fixture " +
+    "split, and a 100/0/0 declaration zeroes the train deviation") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables(spark, SfDir, "documents")
+    val got = graft.pipeline.Pipeline.srmAudit(docs)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet === Set("train", "valid", "test"))
+    val obs = graft.pipeline.Pipeline.hashSplit(docs)
+      .groupBy(col("split")).count()
+      .as[(String, Long)].collect().toMap
+    val n = obs.values.sum
+    for ((split, pct) <- Seq(("train", 80L), ("valid", 10L),
+        ("test", 10L))) {
+      val (_, ep, nObs, nTot, dev, chi2) = got(split)
+      assert(ep == pct && nTot == n)
+      assert(nObs == obs.getOrElse(split, 0L))
+      val d = 100L * nObs - n * pct
+      assert(dev == math.abs(d) * 1000000L / math.max(n * pct, 1L))
+      assert(chi2 == d * d / math.max(100L * n * pct / 1000000L, 1L))
+    }
+    // a declaration matching reality exactly: everything in train
+    val perfect = graft.pipeline.Pipeline.srmAudit(docs,
+      trainPct = 100, validPct = 0)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(perfect("train") == 0L)
+  }
 }

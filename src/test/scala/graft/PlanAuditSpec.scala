@@ -312,8 +312,12 @@ class PlanAuditSpec extends SparkSpec {
       // brute-forces its prefix-slice candidate ranking — two bounded
       // all-pairs scans by design
       "sim_ivf_recall", "sim_pq_recall", "sim_matryoshka_recall",
+      // three bounded all-pairs ranking legs feeding the rank fusion
+      "sim_rrf_fusion",
       // 1-row corpus-totals broadcast (same class as tf-idf's n_docs)
       "text_collocations", "pipe_split_drift",
+      // 1-row split-total broadcast onto the 3-row declared-ratio frame
+      "pipe_srm_audit",
       // 1-row as-of scalar broadcast (max event date) — both decay
       // variants (X97 freshness ladder, X166 engagement) anchor there
       "events_decay_score", "events_engagement_decay",

@@ -241,6 +241,50 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("rrfFusion equals a scalar RRF recompute from the three " +
+    "collected per-list rankings") {
+    val emb = graft.core.Tables(spark, SfDir, "embeddings")
+    val got = Similarity.rrfFusion(emb)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._3) -> ((r._2, r._4, r._5))).toMap
+    // recompute: collect each leg's ranking and fold RRF by hand
+    import org.apache.spark.sql.functions._
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    def rankOf(feat: org.apache.spark.sql.DataFrame) =
+      Similarity.featureTopK(
+        feat.withColumnRenamed("f", "fv"), Similarity.TopK,
+        Similarity.QueryMod)
+        .select(col("q_id"), col("nn_id"), col("rank"))
+        .as[(Long, Long, Long)].collect()
+    val l1 = rankOf(base.select(col("vec_id"),
+      slice(col("v"), 1, Similarity.MatryoshkaDims).as("f")))
+    val l2 = rankOf(base
+      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("sc", when(col("mx") > 0, lit(127.0) / col("mx"))
+        .otherwise(lit(1.0)))
+      .select(col("vec_id"), transform(col("v"),
+        x => floor(x * col("sc") + 0.5)).cast("array<double>").as("f")))
+    val l3 = rankOf(Similarity.randomProjection(emb)
+      .select(col("vec_id"), array((0 until 8).map(j =>
+        col(s"p$j").cast("double")): _*).as("f")))
+    graft.core.CacheBay.drain()
+    val contribs = (l1 ++ l2 ++ l3).groupBy(t => (t._1, t._2))
+      .map { case (k, xs) =>
+        k -> ((xs.map(t => 1000000L / (Similarity.RrfC + t._3)).sum,
+          xs.size.toLong)) }
+    val want = contribs.groupBy(_._1._1).flatMap { case (_, perQ) =>
+      perQ.toSeq
+        .sortBy { case ((_, nn), (rrf, _)) => (-rrf, nn) }
+        .zipWithIndex.take(Similarity.TopK)
+        .map { case (((q, nn), (rrf, nl)), i) =>
+          (q, nn) -> ((i + 1L, rrf, nl)) }
+    }
+    assert(got === want)
+    // at least one fixture candidate is corroborated by 2+ lists
+    assert(got.values.exists(_._3 >= 2L))
+  }
+
   test("centroidOutliers flags the planted far vector only") {
     import spark.implicits._
     // label 0: four vectors tight around (1, 0) plus one at (-40, 0);
