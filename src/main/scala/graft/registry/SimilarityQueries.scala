@@ -43,6 +43,10 @@ object SimilarityQueries {
     // (matryoshka prefix / int8 / JL) — rank-only hybrid combiner,
     // integer-exact after the per-list ranks
     "sim_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(emb(s, d))),
+    // X196: MMR diversified top-k — greedy λ·rel − (1−λ)·maxsim
+    // re-ranking over the bounded candidate pool, integer-quantized
+    // scores so the greedy trajectory replays anywhere
+    "sim_mmr_topk" -> ((s, d) => Similarity.mmrTopK(emb(s, d))),
     "sim_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(emb(s, d))),
     // PQ/ADC over the scaled LSH candidate buckets: codebook, encode,
     // and ranking all deterministic — fully oracle-replayed
@@ -282,6 +286,61 @@ object SimilarityQueries {
          |FROM btop b LEFT JOIN ttop i
          |  ON b.q_id = i.q_id AND b.nn_id = i.nn_id
          |GROUP BY b.q_id""".stripMargin,
+
+    // the greedy MMR trajectory unrolled round by round (MATERIALIZED
+    // per round — the X184 device): same quantized rel/sim micro-units,
+    // same integer λ mix, same id tie-break
+    "sim_mmr_topk" -> {
+      val lam = Similarity.MmrLambdaNum
+      def round(r: Int): String =
+        s"""s$r AS MATERIALIZED (
+           |  SELECT q_id, nn_id, rel_e6, CAST($r AS BIGINT) AS rank
+           |  FROM (
+           |    SELECT c.q_id, c.nn_id, c.rel_e6, row_number() OVER (
+           |        PARTITION BY c.q_id
+           |        ORDER BY $lam * c.rel_e6 - ${10 - lam} * mx.m DESC,
+           |          c.nn_id) AS rn
+           |    FROM cand c
+           |    JOIN (SELECT cc.q_id, cc.a_id,
+           |            CAST(MAX(cc.sim_e6) AS BIGINT) AS m
+           |          FROM cc JOIN sel${r - 1} s
+           |            ON cc.q_id = s.q_id AND cc.b_id = s.nn_id
+           |          GROUP BY 1, 2) mx
+           |      ON c.q_id = mx.q_id AND c.nn_id = mx.a_id
+           |    LEFT JOIN sel${r - 1} d
+           |      ON d.q_id = c.q_id AND d.nn_id = c.nn_id
+           |    WHERE d.nn_id IS NULL)
+           |  WHERE rn = 1),
+           |sel$r AS (SELECT * FROM sel${r - 1}
+           |          UNION ALL SELECT * FROM s$r)""".stripMargin
+      s"""WITH $ECte,
+         |cp AS (SELECT q.vec_id AS q_id, b.vec_id AS nn_id,
+         |    CAST(floor(${cosSql("q.v", "b.v")} * 1000000 + 0.5)
+         |      AS BIGINT) AS rel_e6
+         |  FROM e q JOIN e b
+         |    ON q.vec_id % $QueryMod = 0 AND q.vec_id <> b.vec_id),
+         |cand AS MATERIALIZED (
+         |  SELECT q_id, nn_id, rel_e6 FROM (
+         |    SELECT cp.*, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY rel_e6 DESC, nn_id) AS rn FROM cp)
+         |  WHERE rn <= ${Similarity.MmrCand}),
+         |cc AS MATERIALIZED (
+         |  SELECT a.q_id, a.nn_id AS a_id, b.nn_id AS b_id,
+         |    CAST(floor(${cosSql("ea.v", "eb.v")} * 1000000 + 0.5)
+         |      AS BIGINT) AS sim_e6
+         |  FROM cand a
+         |  JOIN cand b ON a.q_id = b.q_id AND a.nn_id <> b.nn_id
+         |  JOIN e ea ON ea.vec_id = a.nn_id
+         |  JOIN e eb ON eb.vec_id = b.nn_id),
+         |s1 AS MATERIALIZED (
+         |  SELECT q_id, nn_id, rel_e6, CAST(1 AS BIGINT) AS rank
+         |  FROM (SELECT cand.*, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY rel_e6 DESC, nn_id) AS rn FROM cand)
+         |  WHERE rn = 1),
+         |sel1 AS (SELECT * FROM s1),
+         |${(2 to TopK).map(round).mkString(",\n")}
+         |SELECT q_id, rank, nn_id, rel_e6 FROM sel$TopK""".stripMargin
+    },
 
     // three compressed rankings replayed (prefix slice / int8 floor
     // quantization / JL micro-unit components), fused by the same

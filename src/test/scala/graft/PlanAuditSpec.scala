@@ -355,6 +355,9 @@ class PlanAuditSpec extends SparkSpec {
       // fixpoint min-label loop: localCheckpoint + label-sum action
       // per round on build
       "graph_components",
+      // greedy MMR rounds: eager localCheckpoint per pick on build
+      // (candidate-pool BNLJ is the documented brute-force shape)
+      "sim_mmr_topk",
       // two-phase prefix scan: bounded per-partition-totals collect on
       // build (≤ numPartitions rows); plan shape audited by
       // PrefixScanSpec (no global window, no full-frame hash exchange)

@@ -285,6 +285,42 @@ class SimilaritySpec extends SparkSpec {
     assert(got.values.exists(_._3 >= 2L))
   }
 
+  test("mmrTopK: diversity beats raw relevance on a planted " +
+    "near-duplicate — the greedy flip case") {
+    // q=(1,0,0); a is closest, b is a near-duplicate of a with the
+    // 2nd-best relevance, c is less relevant but diverse. Pure
+    // relevance ranks a,b,c; MMR at λ=0.5 must pick a, then c
+    // (b's maxsim-to-a penalty ≈ its relevance), then b.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.99f, 0.1f, 0.0f)),
+      (2L, Seq(0.99f, 0.12f, 0.0f)),
+      (3L, Seq(0.7f, 0.0f, 0.7f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrTopK(emb)
+      .as[(Long, Long, Long, Long)].collect()
+      .sortBy(_._2).map(r => (r._2, r._3))
+    graft.core.CacheBay.drain()
+    assert(got.toList === List((1L, 1L), (2L, 3L), (3L, 2L)))
+  }
+
+  test("mmrTopK on the fixture: contiguous ranks, duplicate-free " +
+    "pool-bounded selections, rank 1 = max quantized relevance") {
+    val emb = graft.core.Tables(spark, SfDir, "embeddings")
+    val rows = Similarity.mmrTopK(emb)
+      .as[(Long, Long, Long, Long)].collect()
+    graft.core.CacheBay.drain()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, xs) =>
+      assert(xs.map(_._2).sorted.toList === (1L to xs.length).toList)
+      assert(xs.map(_._3).distinct.length == xs.length)
+      assert(xs.length <= Similarity.TopK)
+      val r1 = xs.find(_._2 == 1L).get
+      // the first pick is pure relevance
+      assert(r1._4 == xs.map(_._4).max)
+    }
+  }
+
   test("centroidOutliers flags the planted far vector only") {
     import spark.implicits._
     // label 0: four vectors tight around (1, 0) plus one at (-40, 0);
