@@ -64,6 +64,10 @@ object Bench {
         graft.graph.Triangles.sharedCoPurchaseEdges(spark, sfDir).count())
       tier("graph.und")(
         graft.graph.Triangles.sharedUndirectedEdges(spark, sfDir).count())
+      tier("graph.purchase") {
+        val (e, g) = graft.graph.PageRank.sharedPurchaseGraph(spark, sfDir)
+        e.count() + g.count()
+      }
       tier("multimodal.imgtable")(
         graft.multimodal.Multimodal.sharedImageTable(spark, sfDir).count())
       tier("sessions")(

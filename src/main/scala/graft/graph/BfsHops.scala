@@ -40,8 +40,10 @@ object BfsHops {
     * is one row per REACHED node: (kind, id, hops), hops = 0 on seeds.
     * Unreached nodes are absent (correctly: their distance is ∞). */
   def seedHops(orders: DataFrame, lineitem: DataFrame,
-      rounds: Int = Rounds): DataFrame = {
-    val (edges, deg) = PageRank.purchaseGraph(orders, lineitem)
+      rounds: Int = Rounds,
+      graph: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val (edges, deg) = graph.getOrElse(
+      PageRank.purchaseGraph(orders, lineitem))
     var dist = deg.select(col("src").as("node"))
       .filter(col("node") % 2 === 1 && expr("(node div 2) % 10") === 0)
       .withColumn("hops", lit(0L))
@@ -54,7 +56,9 @@ object BfsHops {
         .join(dist, Seq("node"), "left_anti")
         .withColumn("hops", lit(i.toLong))
         .localCheckpoint()
-      dist = dist.unionByName(reached).localCheckpoint()
+      // dist is a union of ALREADY-checkpointed rounds — flat lineage
+      // without a second eager materialization per round
+      dist = dist.unionByName(reached)
       frontier = reached.select(col("node"))
     }
     dist.select(

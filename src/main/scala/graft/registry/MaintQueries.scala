@@ -31,13 +31,15 @@ object MaintQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Reg.strict(
     "graph_pagerank" -> ((s, d) =>
       PageRank.purchaseRanks(Tables(s, d, "orders"),
-        Tables(s, d, "lineitem"))),
+        Tables(s, d, "lineitem"),
+        graph = Some(PageRank.sharedPurchaseGraph(s, d)))),
     // X184: personalized PageRank — restart mass only on the seed
     // suppliers, scores = reachability from the seeds (the
     // recommendation primitive); same integer-exact arithmetic
     "graph_ppr" -> ((s, d) =>
       PageRank.personalizedRanks(Tables(s, d, "orders"),
-        Tables(s, d, "lineitem"))),
+        Tables(s, d, "lineitem"),
+        graph = Some(PageRank.sharedPurchaseGraph(s, d)))),
     "maint_compaction_plan" -> ((s, d) =>
       Maintenance.compactionPlan(
         Tables(s, d, "documents").select(col("source"), col("doc_id"),
@@ -84,7 +86,8 @@ object MaintQueries {
     // traversed once per source discovery, anti-join keeps hops minimal
     "graph_bfs_hops" -> ((s, d) =>
       graft.graph.BfsHops.seedHops(Tables(s, d, "orders"),
-        Tables(s, d, "lineitem"))),
+        Tables(s, d, "lineitem"),
+        graph = Some(PageRank.sharedPurchaseGraph(s, d)))),
     // X191: seed-set cheapest-path cost — Bellman-Ford min-plus over
     // inverse-support edge costs; full-table relaxation per round (a
     // settled node can still improve, so no frontier shortcut)
