@@ -1307,6 +1307,59 @@ object Analytics {
       .withColumn("p_e6", expr("(n_trans * 1000000) div from_total"))
   }
 
+  /** Markov next-event prediction accuracy (X201) — the EVAL half of
+    * [[transitionMatrix]] (X165): a first-order transition matrix is
+    * only useful if it predicts, so train the argmax predictor on one
+    * user cohort and measure top-1 hit rate on the other — the
+    * in-engine model-eval loop (fit on split A, score on split B)
+    * every curation pipeline runs before trusting a behavioral model.
+    * Split is user-hash parity (`key % 2` — deterministic,
+    * SF-invariant, and GROUP-disjoint: a user's whole sequence lands
+    * on one side, so no transition leaks between train and eval).
+    * Predictor: per from-state, the argmax-count next state, ties →
+    * lexicographically smallest (deterministic in any engine). Eval
+    * states unseen in training predict nothing and score 0 hits.
+    *
+    * Scale shape: transitions come from one user-key window (the X165
+    * pass), training counts are a \|types\|²-grain map-side-combinable
+    * aggregate, the predictor is a \|types\|-row broadcast, and the
+    * verdict is one more \|types\|-grain aggregate — nothing beyond
+    * the window touches row grain twice. */
+  def markovEval(df: DataFrame, key: String, orderCols: Seq[String],
+      state: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(orderCols.map(col): _*)
+    val pairs = df.withColumn("_next", lead(col(state), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .select(col(key).as("k"), col(state).as("from_state"),
+        col("_next").as("to_state"))
+    val pred = pairs.filter(col("k") % 2 === 0)
+      .groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("from_state"))
+          .orderBy(desc("n"), asc("to_state"))))
+      .filter(col("rn") === 1)
+      .select(col("from_state"), col("to_state").as("predicted"))
+    val per = pairs.filter(col("k") % 2 === 1)
+      .join(broadcast(pred), Seq("from_state"), "left")
+      .groupBy(col("from_state"))
+      .agg(max(col("predicted")).as("predicted"),
+        count(lit(1)).cast("long").as("n_eval"),
+        sum(when(col("to_state") === col("predicted"), 1L)
+          .otherwise(0L)).cast("long").as("n_hits"))
+    per.unionByName(per.agg(
+        sum(col("n_eval")).cast("long").as("n_eval"),
+        sum(col("n_hits")).cast("long").as("n_hits"))
+      .select(lit("__all__").as("from_state"),
+        lit(null).cast("string").as("predicted"),
+        col("n_eval"), col("n_hits")))
+      .select(col("from_state"), col("predicted"), col("n_eval"),
+        col("n_hits"),
+        expr("(n_hits * 1000000) div greatest(n_eval, 1)")
+          .cast("long").as("hit_ppm"))
+  }
+
   /** Per-key Theil–Sen robust trend (X182) — the median of all
     * pairwise slopes, the robust companion to [[trendByKey]]'s OLS:
     * one wild month (a strike, a data glitch) swings a least-squares

@@ -515,6 +515,21 @@ object StreamQueries {
         Tables(s, d, "events"), "user_id", Seq("ts", "event_id"),
         "event_type")),
 
+    // X201: Markov next-event prediction accuracy — argmax predictor
+    // trained on even-parity users, top-1 hit rate on odd-parity
+    // users; the in-engine eval loop for the X165 matrix
+    "events_markov_eval" -> ((s, d) =>
+      graft.analytics.Analytics.markovEval(
+        Tables(s, d, "events"), "user_id", Seq("ts", "event_id"),
+        "event_type")),
+
+    // X203: two-pass exact heavy hitters — per-partition Misra-Gries
+    // summaries prune the shuffle to a candidate superset, exact
+    // refinement makes the output identical to naive GROUP BY+HAVING
+    "events_heavy_users" -> ((s, d) =>
+      graft.operators.MisraGries.exactHeavyHitters(
+        Tables(s, d, "events"), "user_id")),
+
     // X163: count-min sketch — the mergeable FREQUENCY estimator
     // beside X144's cardinality one; d x w integer counters merge by
     // cellwise add, estimates never undercount, and the deterministic
@@ -1217,6 +1232,55 @@ object StreamQueries {
 
     // same unique (ts, event_id) order per user; row totals recompute
     // from the transition counts, never the raw events
+    // same parity split, same (n desc, to_state) argmax tie-break,
+    // same __all__ rollup
+    "events_markov_eval" ->
+      """WITH seq AS (
+        |  SELECT user_id AS k, event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_state
+        |  FROM events),
+        |p AS (SELECT k, from_state, to_state FROM seq
+        |      WHERE to_state IS NOT NULL),
+        |pr AS (
+        |  SELECT from_state, to_state AS predicted FROM (
+        |    SELECT from_state, to_state,
+        |      row_number() OVER (PARTITION BY from_state
+        |        ORDER BY COUNT(*) DESC, to_state) AS rn
+        |    FROM p WHERE k % 2 = 0 GROUP BY 1, 2)
+        |  WHERE rn = 1),
+        |ev AS (
+        |  SELECT p.from_state, pr.predicted,
+        |    CAST(COUNT(*) AS BIGINT) AS n_eval,
+        |    CAST(SUM(CASE WHEN p.to_state = pr.predicted THEN 1
+        |             ELSE 0 END) AS BIGINT) AS n_hits
+        |  FROM p LEFT JOIN pr ON p.from_state = pr.from_state
+        |  WHERE p.k % 2 = 1 GROUP BY 1, 2),
+        |u AS (
+        |  SELECT from_state, predicted, n_eval, n_hits FROM ev
+        |  UNION ALL
+        |  SELECT '__all__', CAST(NULL AS VARCHAR),
+        |    CAST(SUM(n_eval) AS BIGINT), CAST(SUM(n_hits) AS BIGINT)
+        |  FROM ev)
+        |SELECT from_state, predicted, n_eval, n_hits,
+        |  CAST((n_hits * 1000000) // greatest(n_eval, 1) AS BIGINT)
+        |    AS hit_ppm
+        |FROM u""".stripMargin,
+
+    // the naive one-pass form IS the oracle — result identity with
+    // the MG-pruned two-pass plan is the operator's contract
+    "events_heavy_users" -> {
+      import graft.operators.MisraGries.K
+      s"""WITH k AS (SELECT CAST(user_id AS VARCHAR) AS key
+         |           FROM events WHERE user_id IS NOT NULL),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM k),
+         |c AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS cnt FROM k
+         |      GROUP BY 1)
+         |SELECT key, cnt, n_total,
+         |  CAST((cnt * 1000000) // n_total AS BIGINT) AS freq_ppm
+         |FROM c CROSS JOIN t WHERE cnt * $K > n_total""".stripMargin
+    },
+
     "events_markov_transitions" ->
       """WITH seq AS (
         |  SELECT event_type AS from_state,

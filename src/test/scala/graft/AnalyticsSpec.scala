@@ -697,4 +697,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(e.getMessage.contains("series too long") ||
       e.getCause != null)
   }
+
+  test("markovEval: parity-split argmax predictor, per-state and " +
+    "__all__ hit rates on a hand fixture") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-04-01 10:$m%02d:00")
+    // user 2 (train) sequence a,b,a,b,a,c,b,a gives transitions
+    // a->b x2, a->c, b->a x3, c->b => pred(a)=b, pred(b)=a, pred(c)=b
+    // user 1 (eval): a->b (hit), b->c (miss)
+    // user 3 (eval): a->c (miss), c->a (miss)
+    val ev = Seq(
+      (2L, 1L, "a", ts(0)), (2L, 2L, "b", ts(1)), (2L, 3L, "a", ts(2)),
+      (2L, 4L, "b", ts(3)), (2L, 5L, "a", ts(4)), (2L, 6L, "c", ts(5)),
+      (2L, 7L, "b", ts(6)), (2L, 8L, "a", ts(7)),
+      (1L, 10L, "a", ts(0)), (1L, 11L, "b", ts(1)), (1L, 12L, "c", ts(2)),
+      (3L, 20L, "a", ts(0)), (3L, 21L, "c", ts(1)), (3L, 22L, "a", ts(2)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = graft.analytics.Analytics.markovEval(ev, "user_id",
+      Seq("ts", "event_id"), "event_type")
+      .as[(String, Option[String], Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("a") === ((Some("b"), 2L, 1L, 500000L)))
+    assert(got("b") === ((Some("a"), 1L, 0L, 0L)))
+    assert(got("c") === ((Some("b"), 1L, 0L, 0L)))
+    assert(got("__all__") === ((None, 4L, 1L, 250000L)))
+  }
 }

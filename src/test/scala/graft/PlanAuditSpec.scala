@@ -318,6 +318,8 @@ class PlanAuditSpec extends SparkSpec {
       "text_collocations", "pipe_split_drift",
       // 1-row split-total broadcast onto the 3-row declared-ratio frame
       "pipe_srm_audit",
+      // 1-row corpus-total broadcast onto the pruned candidate counts
+      "events_heavy_users",
       // 1-row as-of scalar broadcast (max event date) — both decay
       // variants (X97 freshness ladder, X166 engagement) anchor there
       "events_decay_score", "events_engagement_decay",
