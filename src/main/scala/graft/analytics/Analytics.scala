@@ -1307,6 +1307,60 @@ object Analytics {
       .withColumn("p_e6", expr("(n_trans * 1000000) div from_total"))
   }
 
+  /** Kaplan–Meier lifetable for view→purchase conversion delay
+    * (X209) — the right-censoring-aware form of "how long until a
+    * user converts": a plain average over converters only is
+    * survivorship-biased (users who never purchased carry
+    * information — they survived AT LEAST their observation span).
+    * The lifetable emits, per whole-day duration, the risk set
+    * (users still unconverted and observed), conversions, censorings
+    * (last event reached without purchase) and the exact integer
+    * hazard `d·10⁶ div n_risk` — the KM estimator's INPUT moments
+    * (the X129/X146 discipline: the telescoping survival product is
+    * float, so it stays with the consumer; every emitted number is
+    * an exact count or a floor-divided ppm).
+    *
+    * Convention: duration = first purchase at-or-after the first
+    * view, in floor days; censored users contribute their observed
+    * span; same-day censorings remain in that day's risk set.
+    *
+    * Scale shape: two user-grain aggregates and one key equi-join
+    * build the duration frame; the lifetable is DAY-grain, so the
+    * descending risk cumsum is a window over the bounded duration
+    * domain (the calendar-sized-frame discipline — |days| rows,
+    * deliberately partitionless). */
+  def lifetable(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy(col("user_id")).agg(
+      min(when(col("event_type") === "view", expr("unix_micros(ts)")))
+        .as("t0"),
+      max(expr("unix_micros(ts)")).as("t_last"))
+    val firstPur = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_micros(ts)").as("tp"))
+      .join(perUser.select(col("user_id"), col("t0")), Seq("user_id"))
+      .filter(col("t0").isNotNull && col("tp") >= col("t0"))
+      .groupBy(col("user_id")).agg(min(col("tp")).as("tp"))
+    val durations = perUser.filter(col("t0").isNotNull)
+      .join(firstPur, Seq("user_id"), "left")
+      .select(
+        when(col("tp").isNotNull, expr("(tp - t0) div 86400000000"))
+          .otherwise(expr("(t_last - t0) div 86400000000"))
+          .cast("long").as("t_days"),
+        when(col("tp").isNotNull, 1L).otherwise(0L).cast("long")
+          .as("is_event"))
+    val byDay = durations.groupBy(col("t_days")).agg(
+      sum(col("is_event")).cast("long").as("n_events"),
+      sum(lit(1L) - col("is_event")).cast("long").as("n_censored"))
+    byDay
+      .withColumn("n_risk",
+        sum(col("n_events") + col("n_censored")).over(
+          Window.orderBy(desc("t_days")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .select(col("t_days"), col("n_risk"), col("n_events"),
+        col("n_censored"),
+        expr("(n_events * 1000000) div n_risk").cast("long")
+          .as("hazard_ppm"))
+  }
+
   /** Markov next-event prediction accuracy (X201) — the EVAL half of
     * [[transitionMatrix]] (X165): a first-order transition matrix is
     * only useful if it predicts, so train the argmax predictor on one

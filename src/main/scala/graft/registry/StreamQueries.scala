@@ -515,6 +515,13 @@ object StreamQueries {
         Tables(s, d, "events"), "user_id", Seq("ts", "event_id"),
         "event_type")),
 
+    // X209: Kaplan-Meier lifetable for view->purchase delay — risk
+    // set, conversions, censorings and exact integer hazard per day;
+    // the survival product stays with the consumer (moments
+    // discipline)
+    "events_lifetable" -> ((s, d) =>
+      graft.analytics.Analytics.lifetable(Tables(s, d, "events"))),
+
     // X201: Markov next-event prediction accuracy — argmax predictor
     // trained on even-parity users, top-1 hit rate on odd-parity
     // users; the in-engine eval loop for the X165 matrix
@@ -1232,6 +1239,43 @@ object StreamQueries {
 
     // same unique (ts, event_id) order per user; row totals recompute
     // from the transition counts, never the raw events
+    // same first-view/first-purchase-after convention, same floor-day
+    // quantization, same descending risk cumsum
+    "events_lifetable" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |      AS t0,
+        |    MAX(epoch_us(ts)) AS t_last
+        |  FROM events GROUP BY 1),
+        |fp AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS tp
+        |  FROM events e JOIN pu ON e.user_id = pu.user_id
+        |  WHERE e.event_type = 'purchase' AND pu.t0 IS NOT NULL
+        |    AND epoch_us(e.ts) >= pu.t0
+        |  GROUP BY 1),
+        |dur AS (
+        |  SELECT CAST(CASE WHEN fp.tp IS NOT NULL
+        |           THEN (fp.tp - pu.t0) // 86400000000
+        |           ELSE (pu.t_last - pu.t0) // 86400000000 END
+        |         AS BIGINT) AS t_days,
+        |    CASE WHEN fp.tp IS NOT NULL THEN 1 ELSE 0 END AS is_event
+        |  FROM pu LEFT JOIN fp ON pu.user_id = fp.user_id
+        |  WHERE pu.t0 IS NOT NULL),
+        |d AS (
+        |  SELECT t_days, CAST(SUM(is_event) AS BIGINT) AS n_events,
+        |    CAST(SUM(1 - is_event) AS BIGINT) AS n_censored
+        |  FROM dur GROUP BY 1),
+        |r AS (
+        |  SELECT t_days, n_events, n_censored,
+        |    CAST(SUM(n_events + n_censored) OVER (ORDER BY t_days DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS n_risk
+        |  FROM d)
+        |SELECT t_days, n_risk, n_events, n_censored,
+        |  CAST((n_events * 1000000) // n_risk AS BIGINT) AS hazard_ppm
+        |FROM r""".stripMargin,
+
     // same parity split, same (n desc, to_state) argmax tie-break,
     // same __all__ rollup
     "events_markov_eval" ->

@@ -92,6 +92,11 @@ object TextQueries {
     "text_vocab_topk" -> ((s, d) =>
       graft.text.CorpusStats.vocabTopK(Tables(s, d, "documents"))),
 
+    // X202: per-source Zipf rank-frequency slope — integer-bits OLS
+    // through the X164 trend; slope near -1e6 = natural-language shape
+    "text_zipf_slope" -> ((s, d) =>
+      graft.text.CorpusStats.zipfSlope(Tables(s, d, "documents"))),
+
     // X180: pairwise source-vocabulary overlap — the domain-
     // similarity matrix behind mixture-weight decisions; vocabulary-
     // sized frames, token-keyed intersection join
@@ -372,6 +377,42 @@ object TextQueries {
     },
 
     // the text_surprisal chain + per-lang tercile of bits-per-token
+    // same bits device (length(format('{:b}', x)) ≡ Spark length(bin)),
+    // same trend-moment spelling as supplier_qty_trend
+    "text_zipf_slope" ->
+      s"""WITH tws AS (
+         |  SELECT source,
+         |    CASE WHEN ${normSql("text")} = ''
+         |         THEN CAST([] AS VARCHAR[])
+         |         ELSE string_split(${normSql("text")}, ' ') END AS w
+         |  FROM documents),
+         |ex AS (SELECT source, unnest(w) AS token FROM tws),
+         |c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n
+         |      FROM ex GROUP BY 1, 2),
+         |b AS (SELECT source,
+         |        CAST(length(format('{:b}',
+         |          row_number() OVER (PARTITION BY source
+         |            ORDER BY n DESC, token))) AS BIGINT) AS x0,
+         |        CAST(length(format('{:b}', n)) AS BIGINT) AS y
+         |      FROM c),
+         |cen AS (SELECT source,
+         |          x0 - MIN(x0) OVER (PARTITION BY source) AS x, y
+         |        FROM b),
+         |st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(x) AS BIGINT) AS sx,
+         |         CAST(SUM(y) AS BIGINT) AS sy,
+         |         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |         CAST(SUM(x * x) AS BIGINT) AS sxx
+         |       FROM cen GROUP BY 1)
+         |SELECT source, n AS n_points,
+         |  CAST(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+         |    ELSE (CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END)
+         |      * ((abs(n * sxy - sx * sy) * 1000000)
+         |         // (n * sxx - sx * sx)) END AS BIGINT) AS slope_e6,
+         |  CAST((CASE WHEN sy < 0 THEN -1 ELSE 1 END)
+         |    * (abs(sy) // n) AS BIGINT) AS avg_y
+         |FROM st""".stripMargin,
+
     "text_ppl_buckets" ->
       s"""WITH $TokCte,
          |ex AS (SELECT doc_id, unnest(w) AS tok FROM tw),

@@ -352,6 +352,36 @@ object CorpusStats {
         .cast("long"))
   }
 
+  /** Zipf rank-frequency slope per source (X202) — the corpus-health
+    * diagnostic behind "does this source look like natural language":
+    * natural text follows Zipf's law (frequency ∝ 1/rank, log-log
+    * slope ≈ −1); templated/boilerplate-heavy or synthetic sources
+    * bend the curve, and the fitted slope is the one-number screen.
+    * Fit is OLS over INTEGER BITS (`length(bin(x))` = ⌊log2⌋+1 — the
+    * X110 integer-log device) of rank and count, through the X164
+    * sufficient-stats trend ([[graft.analytics.Analytics.trendByKey]]
+    * — same spelling, same overflow guard, same sign-split), so the
+    * whole fit is exact-integer and engine-replayable: a bits-vs-bits
+    * slope near −10⁶ (e6 units) is the Zipf-consistent signature.
+    *
+    * Scale shape: one token-grain aggregate, one per-source rank
+    * window over the VOCABULARY frame (not the corpus), then
+    * per-source moments — bits values are ≤ 64 so every moment sum is
+    * linear in vocabulary with tiny constants. */
+  def zipfSlope(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("source"), explode(tokenArray(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val bits = counts.withColumn("rank", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(desc("n"), asc("token"))).cast("long"))
+      .select(col("source"),
+        length(bin(col("rank"))).cast("long").as("xb"),
+        length(bin(col("n"))).cast("long").as("yb"))
+    graft.analytics.Analytics.trendByKey(bits, "source", "xb", "yb")
+  }
+
   /** Count-min sketch geometry: depth (independent hash rows) and
     * width (buckets per row). Error bound: est − true ≤ 2N/w with
     * probability 1 − (1/2)^d over the hash draw; at w = 8192 a

@@ -722,4 +722,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(got("c") === ((Some("b"), 1L, 0L, 0L)))
     assert(got("__all__") === ((None, 4L, 1L, 250000L)))
   }
+
+  test("lifetable: events, censorings, risk sets and hazards on a " +
+    "hand fixture with pre-view purchases excluded") {
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2024-06-${d + 1}%02d 12:00:00")
+    val ev = Seq(
+      (1L, 1L, "view", ts(0)), (1L, 2L, "purchase", ts(2)),   // event t=2
+      (2L, 3L, "view", ts(0)), (2L, 4L, "click", ts(5)),      // cens t=5
+      (3L, 5L, "purchase", ts(0)),                            // no view
+      (4L, 6L, "view", ts(0)), (4L, 7L, "purchase", ts(0)),   // event t=0
+      (5L, 8L, "view", ts(3)))                                // cens t=0
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = graft.analytics.Analytics.lifetable(ev)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got === Map(
+      0L -> ((4L, 1L, 1L, 250000L)),
+      2L -> ((2L, 1L, 0L, 500000L)),
+      5L -> ((1L, 0L, 1L, 0L))))
+  }
 }

@@ -381,4 +381,30 @@ class CorpusStatsSpec extends SparkSpec {
     // w3 is disjoint from both: no rows (inner intersection join)
     assert(got.size === 1)
   }
+
+  test("zipfSlope: hand-computed bits-OLS on an engineered " +
+    "rank-frequency ladder") {
+    // counts a:8 b:4 c:2 d:1 -> ranks 1..4; xb = bits(rank) 1,2,2,3;
+    // yb = bits(n) 4,3,2,1; rebased x 0,1,1,2:
+    // n=4 sx=4 sy=10 sxy=7 sxx=6 -> slope = (4*7-4*10)/(4*6-16)
+    //                                      = -12/8 -> -1500000 e6
+    val docs = Seq(("s1", 1L, "a a a a a a a a b b b b c c d"))
+      .toDF("source", "doc_id", "text")
+    val got = graft.text.CorpusStats.zipfSlope(docs)
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(got === List(("s1", 4L, -1500000L, 2L)))
+  }
+
+  test("zipfSlope on the fixture: every source fits a negative slope") {
+    val docs = graft.core.Tables(spark, SfDir, "documents")
+    val got = graft.text.CorpusStats.zipfSlope(docs)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (src, n, slope, avg) =>
+      assert(n > 10, s"$src vocabulary too small")
+      // tiny smoke-SF sources can be all-singleton (flat bits -> 0)
+      assert(slope <= 0L, s"$src slope should be <= 0, got $slope")
+      assert(avg >= 1L)
+    }
+  }
 }
