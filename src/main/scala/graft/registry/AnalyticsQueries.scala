@@ -10,6 +10,14 @@ import graft.analytics.Analytics
 object AnalyticsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Reg.strict(
+    // X208: exact CART best split — every distinct price cent is a
+    // candidate threshold; purity score via two prefix scans over the
+    // value domain, argmax with smallest-threshold tie-break
+    "orders_best_split" -> ((s, d) =>
+      graft.analytics.BestSplit.bestSplit(
+        graft.core.Tables(s, d, "orders"),
+        floor(col("o_totalprice") * 100.0 + 0.5),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L))),
     "abc_classification" -> ((s, d) => Analytics.abcClassification(s, d)),
     "xyz_classification" -> ((s, d) => Analytics.xyzClassification(s, d)),
     "fca_forecast_accuracy" -> ((s, d) => Analytics.forecastAccuracy(s, d)),
@@ -119,6 +127,44 @@ object AnalyticsQueries {
   private val segs = Analytics.Segments
 
   val oracles: Map[String, String] = Reg.strict(
+    // same value-grain cumulatives (plain ordered window here — the
+    // engine side uses the two-phase scan for the same values), same
+    // floor-divided purity score and smallest-threshold tie-break
+    "orders_best_split" ->
+      """WITH f AS (
+        |  SELECT CAST(floor(CAST(o_totalprice AS DOUBLE)
+        |      * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |      AS v,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |bv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS a,
+        |         CAST(SUM(y) AS BIGINT) AS a1
+        |       FROM f GROUP BY 1),
+        |t AS (SELECT CAST(SUM(a) AS BIGINT) AS n,
+        |        CAST(SUM(a1) AS BIGINT) AS n1 FROM bv),
+        |c AS (SELECT v,
+        |        CAST(SUM(a) OVER w AS BIGINT) AS nl,
+        |        CAST(SUM(a1) OVER w AS BIGINT) AS l1
+        |      FROM bv WINDOW w AS (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT v, nl, l1, n, n1,
+        |        ((nl - l1) * (nl - l1) + l1 * l1) // nl
+        |        + ((n - n1 - nl + l1) * (n - n1 - nl + l1)
+        |           + (n1 - l1) * (n1 - l1)) // (n - nl) AS score
+        |      FROM c CROSS JOIN t WHERE nl < n),
+        |m AS (SELECT CAST(MAX(score) AS BIGINT) AS best FROM s),
+        |b AS (SELECT MIN(v) AS bv FROM s CROSS JOIN m
+        |      WHERE score = best)
+        |SELECT CAST(s.v AS BIGINT) AS split_at,
+        |  CAST(s.nl AS BIGINT) AS n_left,
+        |  CAST(s.n - s.nl AS BIGINT) AS n_right,
+        |  CAST(s.score AS BIGINT) AS score,
+        |  CAST(((s.n - s.n1) * (s.n - s.n1) + s.n1 * s.n1) // s.n
+        |    AS BIGINT) AS parent_score,
+        |  CAST(s.score - ((s.n - s.n1) * (s.n - s.n1) + s.n1 * s.n1)
+        |    // s.n AS BIGINT) AS gain
+        |FROM s JOIN b ON s.v = b.bv""".stripMargin,
+
     // the C->B promotion threshold is interpolated from the SAME Scala
     // double the Spark side compares against (0.95 - 0.8 evaluates to
     // 0.15000000000000002 in IEEE doubles but to exactly 0.15 in

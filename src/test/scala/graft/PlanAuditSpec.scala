@@ -365,7 +365,7 @@ class PlanAuditSpec extends SparkSpec {
       // PrefixScanSpec (no global window, no full-frame hash exchange)
       "scan_running_total", "pareto_frontier",
       // prefix-scan composition: bounded per-partition totals collect
-      "events_lateness_audit", "qc_ks_drift",
+      "events_lateness_audit", "qc_ks_drift", "orders_best_split",
       // Bloom filter words collect on build (≤ bits/64 = 1024 rows)
       "j_bloom_prune")
 
