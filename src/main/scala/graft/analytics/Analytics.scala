@@ -1307,6 +1307,43 @@ object Analytics {
       .withColumn("p_e6", expr("(n_trans * 1000000) div from_total"))
   }
 
+  /** Order statistics kept by [[tailIndexBits]]. */
+  val HillK = 100
+
+  /** Heavy-tail (Hill) index in integer bits (X223) — "how heavy is
+    * the customer-spend tail": the Hill estimator (Hill 1975,
+    * `H = (1/k)·Σ ln(x_i / x_{k+1})` over the top-k order statistics)
+    * computed in floor-log2 BITS (the X110 integer-log device), so
+    * every term is an exact small integer and the statistic — defined
+    * AS its bits form — replays identically in any engine. `α ≈ 1/H`
+    * is the Pareto tail exponent: small H / large α = thin tail,
+    * H ≈ 1 bit ≈ α 1 = extreme concentration. Boundary ties are
+    * harmless by construction: a tied row's `bits(x) − bits(x_ref)`
+    * is 0, so WHICH tied rows the limit keeps cannot change the sum.
+    *
+    * Scale shape: the member-grain aggregate reduces rows to the
+    * entity domain; `orderBy(desc).limit(k+1)` plans as TakeOrdered
+    * (per-partition top-k + a k-sized driver merge — no global sort,
+    * the X37 discipline); everything after runs on ≤ k+1 rows. */
+  def tailIndexBits(values: DataFrame, valueCol: String,
+      k: Int = HillK): DataFrame = {
+    val top = graft.core.CacheBay.register(
+      values.select(col(valueCol).cast("long").as("x"))
+        .filter(col("x") > 0)
+        .orderBy(desc("x")).limit(k + 1))
+    top.crossJoin(broadcast(top.agg(min(col("x")).as("xref"),
+        count(lit(1)).cast("long").as("m"))))
+      .agg(max(col("m")).as("m"),
+        sum(length(bin(col("x"))) - length(bin(col("xref"))))
+          .cast("long").as("sum_bits"))
+      .select((col("m") - 1L).cast("long").as("k_used"),
+        col("sum_bits"),
+        expr("(sum_bits * 1000000) div greatest(m - 1, 1)")
+          .cast("long").as("hill_bits_e6"),
+        expr("((m - 1) * 1000000) div greatest(sum_bits, 1)")
+          .cast("long").as("alpha_e6"))
+  }
+
   /** Kaplan–Meier lifetable for view→purchase conversion delay
     * (X209) — the right-censoring-aware form of "how long until a
     * user converts": a plain average over converters only is

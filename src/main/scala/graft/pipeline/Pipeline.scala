@@ -123,6 +123,60 @@ object Pipeline {
           .cast("long").as("chi2_e6"))
   }
 
+  /** Resharding schemes compared by [[shardMoveAudit]]. */
+  val ShardsFrom = 8
+  val ShardsTo = 10
+
+  /** Consistent-hash resharding audit (X210) — "what does growing
+    * 8 → 10 shards cost": under mod-hashing (`h % n`) almost every
+    * key moves when n changes; under rendezvous hashing (HRW,
+    * Thaler & Ravishankar 1998 — each key goes to the shard with the
+    * highest per-(key, shard) hash) only the keys the NEW shards win
+    * move, ≈ (m−n)/m. The audit computes both movement fractions
+    * EXACTLY over the real key domain, which is the number a platform
+    * team needs before a shard split (cache invalidation volume,
+    * rebalance traffic).
+    *
+    * Determinism device: the rendezvous argmax is encoded into one
+    * integer — `score = h·16 + (15 − s)` (unique per (h, s), max
+    * picks highest hash then SMALLEST shard) — so both engines argmax
+    * with a plain integer MAX and recover `s = 15 − score mod 16`;
+    * no struct aggregates, no unspecified arg_max tie semantics.
+    * Requires m ≤ 16 (the 4-bit tiebreak field).
+    *
+    * Scale shape: pure map work over the distinct key domain plus a
+    * bounded ×m explode for the rendezvous scores, one key-grain
+    * aggregate, and a 2-row verdict. */
+  def shardMoveAudit(df: DataFrame, keyCol: String,
+      nFrom: Int = ShardsFrom, nTo: Int = ShardsTo): DataFrame = {
+    require(nTo <= 16 && nFrom < nTo, "score tiebreak field is 4 bits")
+    val keys = df.select(col(keyCol).cast("string").as("key"))
+      .filter(col("key").isNotNull).distinct()
+    def h(c: Column): Column =
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    def verdict(name: String, fr: Column, to: Column)(src: DataFrame) =
+      src.select(when(fr =!= to, 1L).otherwise(0L).as("moved"))
+        .agg(count(lit(1)).cast("long").as("n_keys"),
+          sum(col("moved")).cast("long").as("n_moved"))
+        .select(lit(name).as("scheme"), col("n_keys"), col("n_moved"),
+          expr("(n_moved * 1000000) div greatest(n_keys, 1)")
+            .cast("long").as("moved_ppm"))
+    val mod = verdict("mod", col("hk") % nFrom, col("hk") % nTo)(
+      keys.select(h(col("key")).as("hk")))
+    val rdv = verdict("rendezvous",
+      lit(15L) - col("cf") % 16, lit(15L) - col("ct") % 16)(
+      keys
+        .select(col("key"),
+          explode(array((0 until nTo).map(lit): _*)).as("s"))
+        .select(col("key"), col("s"),
+          (h(concat(col("key"), lit("|"), col("s"))) * 16 +
+            (lit(15) - col("s"))).as("score"))
+        .groupBy(col("key"))
+        .agg(max(when(col("s") < nFrom, col("score"))).as("cf"),
+          max(col("score")).as("ct")))
+    mod.unionByName(rdv)
+  }
+
   /** Per-language keep-rates (percent of the 0-99 bucket) for
     * stratified sampling — the language-rebalancing knob multilingual
     * corpus curation turns (downsample the dominant language, keep the

@@ -18,6 +18,13 @@ object AnalyticsQueries {
         graft.core.Tables(s, d, "orders"),
         floor(col("o_totalprice") * 100.0 + 0.5),
         when(col("o_orderstatus") === "F", 1L).otherwise(0L))),
+    // X223: Hill heavy-tail index in integer bits over customer spend
+    "orders_tail_index" -> ((s, d) =>
+      graft.analytics.Analytics.tailIndexBits(
+        graft.core.Tables(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")).as("cents")), "cents")),
     "abc_classification" -> ((s, d) => Analytics.abcClassification(s, d)),
     "xyz_classification" -> ((s, d) => Analytics.xyzClassification(s, d)),
     "fca_forecast_accuracy" -> ((s, d) => Analytics.forecastAccuracy(s, d)),
@@ -127,6 +134,32 @@ object AnalyticsQueries {
   private val segs = Analytics.Segments
 
   val oracles: Map[String, String] = Reg.strict(
+    // same top-(k+1) frame (ties are bits-invariant), same bits device
+    "orders_tail_index" -> {
+      val k1 = graft.analytics.Analytics.HillK + 1
+      s"""WITH sp AS (
+         |  SELECT o_custkey,
+         |    CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE)
+         |      * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+         |      AS BIGINT) AS x
+         |  FROM orders GROUP BY 1),
+         |t AS (SELECT x FROM sp WHERE x > 0
+         |      ORDER BY x DESC LIMIT $k1),
+         |r AS (SELECT CAST(MIN(x) AS BIGINT) AS xref,
+         |        CAST(COUNT(*) AS BIGINT) AS m FROM t),
+         |s AS (SELECT MAX(m) AS m,
+         |        CAST(SUM(length(format('{:b}', x))
+         |          - length(format('{:b}', xref))) AS BIGINT)
+         |          AS sum_bits
+         |      FROM t CROSS JOIN r)
+         |SELECT CAST(m - 1 AS BIGINT) AS k_used, sum_bits,
+         |  CAST((sum_bits * 1000000) // greatest(m - 1, 1) AS BIGINT)
+         |    AS hill_bits_e6,
+         |  CAST(((m - 1) * 1000000) // greatest(sum_bits, 1) AS BIGINT)
+         |    AS alpha_e6
+         |FROM s""".stripMargin
+    },
+
     // same value-grain cumulatives (plain ordered window here — the
     // engine side uses the two-phase scan for the same values), same
     // floor-divided purity score and smallest-threshold tie-break

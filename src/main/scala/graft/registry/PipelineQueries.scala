@@ -23,6 +23,10 @@ object PipelineQueries {
     // X198: sample-ratio-mismatch audit — exact integer SRM chi-square
     // over observed vs declared split counts
     "pipe_srm_audit" -> ((s, d) => Pipeline.srmAudit(docs(s, d))),
+    // X210: consistent-hash resharding audit — exact key-movement
+    // fractions for mod vs rendezvous hashing when 8 shards become 10
+    "pipe_shard_moves" -> ((s, d) =>
+      Pipeline.shardMoveAudit(docs(s, d), "doc_id")),
 
     // X139: purged temporal split — weekly folds over the events
     // timeline, rows within the embargo gap of a fold edge assigned to
@@ -274,6 +278,39 @@ object PipelineQueries {
     "pipe_hash_split" ->
       s"""WITH $SplitCte
          |SELECT doc_id, lang, n_chars, bucket, split FROM spl""".stripMargin,
+
+    // same hex8 hash, same score = h*16 + (15 - s) argmax encoding
+    "pipe_shard_moves" -> {
+      import Pipeline.{ShardsFrom, ShardsTo}
+      s"""WITH k AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS key
+         |           FROM documents WHERE doc_id IS NOT NULL),
+         |md AS (
+         |  SELECT 'mod' AS scheme, CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |    CAST(SUM(CASE WHEN hk % $ShardsFrom <> hk % $ShardsTo
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+         |  FROM (SELECT ${hex8Sql("md5(key)")} AS hk FROM k)),
+         |sc AS (
+         |  SELECT key, s,
+         |    ${hex8Sql("md5(key || '|' || CAST(s AS VARCHAR))")} * 16
+         |      + (15 - s) AS score
+         |  FROM k CROSS JOIN (SELECT unnest(range(0, $ShardsTo)) AS s)),
+         |ag AS (
+         |  SELECT key,
+         |    MAX(CASE WHEN s < $ShardsFrom THEN score END) AS cf,
+         |    MAX(score) AS ct
+         |  FROM sc GROUP BY 1),
+         |rv AS (
+         |  SELECT 'rendezvous' AS scheme,
+         |    CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |    CAST(SUM(CASE WHEN 15 - cf % 16 <> 15 - ct % 16
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+         |  FROM ag),
+         |u AS (SELECT * FROM md UNION ALL SELECT * FROM rv)
+         |SELECT scheme, n_keys, n_moved,
+         |  CAST((n_moved * 1000000) // greatest(n_keys, 1) AS BIGINT)
+         |    AS moved_ppm
+         |FROM u""".stripMargin
+    },
 
     // same split counts; deviation d, ppm and the divide-first
     // chi-square spelling replayed exactly

@@ -742,4 +742,20 @@ class AnalyticsSpec extends SparkSpec {
       2L -> ((2L, 1L, 0L, 500000L)),
       5L -> ((1L, 0L, 1L, 0L))))
   }
+
+  test("tailIndexBits: powers-of-two ladder and boundary-tie " +
+    "invariance") {
+    val v = Seq(512L, 256L, 128L, 64L, 32L, 16L, 8L).toDF("x")
+    val got = graft.analytics.Analytics.tailIndexBits(v, "x", k = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    graft.core.CacheBay.drain()
+    // top-5: 512..32, ref 32 (6 bits): diffs 4+3+2+1+0 = 10
+    assert(got.toList === List((4L, 10L, 2500000L, 400000L)))
+    // tie at the k+1 boundary: which 4 is kept cannot matter
+    val t = Seq(16L, 8L, 4L, 4L, 4L).toDF("x")
+    val got2 = graft.analytics.Analytics.tailIndexBits(t, "x", k = 2)
+      .as[(Long, Long, Long, Long)].collect()
+    graft.core.CacheBay.drain()
+    assert(got2.toList === List((2L, 3L, 1500000L, 666666L)))
+  }
 }

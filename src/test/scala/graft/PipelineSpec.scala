@@ -446,4 +446,36 @@ class PipelineSpec extends SparkSpec {
       .map(r => r._1 -> r._5).toMap
     assert(perfect("train") == 0L)
   }
+
+  test("shardMoveAudit: rendezvous moves far fewer keys than mod, " +
+    "and both match a scalar md5 recompute") {
+    val docs = graft.core.Tables(spark, SfDir, "documents")
+    val got = graft.pipeline.Pipeline.shardMoveAudit(docs, "doc_id")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet === Set("mod", "rendezvous"))
+    val (nk, nmMod, ppmMod) = got("mod")
+    val (nk2, nmRdv, ppmRdv) = got("rendezvous")
+    assert(nk == nk2 && nk > 0)
+    // ~80% of keys move under mod 8->10; ~20% under rendezvous
+    assert(ppmMod > 600000L && ppmRdv < 350000L && ppmRdv < ppmMod)
+    // scalar recompute with the same md5/hex8 derivation
+    def hex8(sin: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(sin.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val keys = docs.select(org.apache.spark.sql.functions
+      .col("doc_id").cast("string")).distinct()
+      .as[String].collect()
+    val modMoved = keys.count(k => hex8(k) % 8 != hex8(k) % 10)
+    def shard(k: String, n: Int): Long = {
+      val scored = (0 until n).map(st =>
+        (hex8(s"$k|$st") * 16 + (15 - st), st.toLong))
+      scored.maxBy(_._1)._2
+    }
+    val rdvMoved = keys.count(k => shard(k, 8) != shard(k, 10))
+    assert(nmMod == modMoved && nmRdv == rdvMoved)
+  }
 }
