@@ -76,6 +76,19 @@ object SimilarityQueries {
     "sim_hard_negatives" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.hardNegatives(e, nBits = scaledNBits(e.count()))
+    }),
+    // X206: kNN label-disagreement audit — confident-learning-style
+    // label-error screen over the exact top-k neighborhood
+    "sim_knn_label_audit" -> ((s, d) =>
+      Similarity.knnLabelAudit(emb(s, d))),
+    // X207: IVF cell-occupancy balance — ANN index-health audit over
+    // the deterministic seed-center assignment
+    "sim_ivf_balance" -> ((s, d) => Similarity.ivfBalanceAudit(emb(s, d))),
+    // X211: semantic-dedup threshold calibration sweep over the
+    // bounded keeper-star candidate pairs
+    "sim_threshold_calibration" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.thresholdCalibration(e, nBits = scaledNBits(e.count()))
     }))
 
   // ---- DuckDB SQL (same constants, same math) ----
@@ -255,6 +268,87 @@ object SimilarityQueries {
          |FROM btop b LEFT JOIN itop i
          |  ON b.q_id = i.q_id AND b.nn_id = i.nn_id
          |GROUP BY b.q_id""".stripMargin,
+
+    // same exact top-k frame as sim_bruteforce_topk, plus the two
+    // label joins and the integer majority verdict
+    "sim_knn_label_audit" ->
+      s"""WITH $ECte,
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+         |      WHERE vec_id % $QueryMod = 0),
+         |p AS (SELECT q_id, b.vec_id AS nn_id,
+         |        ${cosSql("qv", "b.v")} AS cos
+         |      FROM q JOIN e b ON q_id <> b.vec_id),
+         |r AS (SELECT q_id, nn_id, row_number() OVER (
+         |        PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rank
+         |      FROM p),
+         |t AS (SELECT q_id, nn_id FROM r WHERE rank <= $TopK),
+         |lb AS (SELECT vec_id, CAST(label AS BIGINT) AS lab
+         |       FROM embeddings),
+         |ag AS (SELECT t.q_id, ql.lab AS q_label,
+         |         CAST(count(*) AS BIGINT) AS k_used,
+         |         CAST(SUM(CASE WHEN nl.lab <> ql.lab THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_disagree
+         |       FROM t JOIN lb ql ON t.q_id = ql.vec_id
+         |              JOIN lb nl ON t.nn_id = nl.vec_id
+         |       GROUP BY 1, 2)
+         |SELECT q_id, q_label, k_used, n_disagree,
+         |  CAST((n_disagree * 1000000) // greatest(k_used, 1) AS BIGINT)
+         |    AS disagree_ppm,
+         |  CAST(CASE WHEN n_disagree * 2 > k_used THEN 1 ELSE 0 END
+         |    AS BIGINT) AS is_suspect
+         |FROM ag""".stripMargin,
+
+    // same seed-center assignment chain as sim_ivf_recall (ties →
+    // lowest cell), occupancy rollup + the 2×-uniform hot flag
+    "sim_ivf_balance" ->
+      s"""WITH $ECte,
+         |c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+         |               AS INT) AS cell, v AS cv
+         |      FROM (SELECT vec_id, v FROM e WHERE vec_id % 5 = 2
+         |            ORDER BY vec_id LIMIT 16)),
+         |dd AS (SELECT e.vec_id, c.cell,
+         |         list_sum(list_transform(cv, x -> x * x))
+         |           - 2.0 * ${dotSql("v", "cv")} AS d
+         |       FROM e CROSS JOIN c),
+         |rk AS (SELECT vec_id, cell, row_number() OVER (
+         |         PARTITION BY vec_id ORDER BY d, cell) AS r
+         |       FROM dd),
+         |occ AS (SELECT CAST(cell AS BIGINT) AS cell,
+         |          CAST(count(*) AS BIGINT) AS n_vecs
+         |        FROM rk WHERE r = 1 GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total FROM occ)
+         |SELECT cell, n_vecs,
+         |  CAST((n_vecs * 1000000) // greatest(n_total, 1) AS BIGINT)
+         |    AS share_ppm,
+         |  CAST(CASE WHEN n_vecs * 16 > 2 * n_total THEN 1 ELSE 0 END
+         |    AS BIGINT) AS is_hot
+         |FROM occ CROSS JOIN tot""".stripMargin,
+
+    // same keeper-star candidate pairs as sim_semantic_dedup, same
+    // µunit quantization, bounded threshold-ladder cross join
+    "sim_threshold_calibration" -> {
+      val ladder = Similarity.CalibThresholdsE6.mkString("[", ", ", "]")
+      s"""WITH $ECte, $NbCte, $BucketCte,
+         |kp AS (SELECT bucket, MIN(vec_id) AS keeper_id
+         |       FROM bk GROUP BY 1),
+         |pr AS (SELECT CAST(floor(${cosSql("m.v", "kv.v")} * 1000000
+         |         + 0.5) AS BIGINT) AS cos_e6
+         |       FROM bk m
+         |       JOIN kp ON m.bucket = kp.bucket
+         |       JOIN bk kv ON kv.vec_id = kp.keeper_id
+         |       WHERE m.vec_id <> kp.keeper_id),
+         |th AS (SELECT CAST(unnest($ladder) AS BIGINT) AS threshold_e6),
+         |ag AS (SELECT threshold_e6,
+         |         CAST(SUM(CASE WHEN cos_e6 >= threshold_e6
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pairs
+         |       FROM pr CROSS JOIN th GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total
+         |        FROM embeddings)
+         |SELECT threshold_e6, n_dup_pairs,
+         |  CAST((n_dup_pairs * 1000000) // greatest(n_total, 1)
+         |    AS BIGINT) AS drop_ppm
+         |FROM ag CROSS JOIN tot""".stripMargin
+    },
 
     // prefix-slice ranking vs full-dimension ground truth; DuckDB's
     // 1-based inclusive list slice v[1:P] mirrors Spark's slice(v,1,P)

@@ -111,6 +111,19 @@ object TextQueries {
       graft.text.CorpusStats.classBalance(
         Tables(s, d, "documents"), "source", "lang")),
 
+    // X204: per-source hapax/type-token profile — vocabulary-health
+    // screen beside the Zipf slope (templated sources collapse the
+    // hapax tail; OCR noise inflates it)
+    "text_hapax_rate" -> ((s, d) =>
+      graft.text.CorpusStats.hapaxProfile(Tables(s, d, "documents"))),
+
+    // X205: per-source unigram entropy in integer bits — the
+    // transcendental-free information-density screen (the bits form
+    // IS the contract, same device as the Zipf/Hill statistics)
+    "text_token_entropy" -> ((s, d) =>
+      graft.text.CorpusStats.tokenEntropyBits(
+        Tables(s, d, "documents"))),
+
     "text_tfidf_topk" -> ((s, d) =>
       graft.text.CorpusStats.tfIdfTopTerms(Tables(s, d, "documents"))),
 
@@ -333,6 +346,54 @@ object TextQueries {
          |    AS BIGINT) AS top_bigram_frac_e6
          |FROM documents d
          |LEFT JOIN us USING (doc_id) LEFT JOIN bs USING (doc_id)""".stripMargin,
+
+    // same (source, token)-grain counts; ratios as integer ppm via //
+    // (values non-negative, so // ≡ div)
+    "text_hapax_rate" ->
+      s"""WITH tw AS (
+         |  SELECT source,
+         |         CASE WHEN ${normSql("text")} = ''
+         |              THEN CAST([] AS VARCHAR[])
+         |              ELSE string_split(${normSql("text")}, ' ') END AS w
+         |  FROM documents),
+         |ex AS (SELECT source, unnest(w) AS tok FROM tw),
+         |tc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+         |       FROM ex GROUP BY 1, 2),
+         |ag AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |              CAST(count(*) AS BIGINT) AS vocab,
+         |              CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+         |                AS BIGINT) AS hapax
+         |       FROM tc GROUP BY 1)
+         |SELECT source, n_tokens, vocab, hapax,
+         |  CAST((hapax * 1000000) // greatest(vocab, 1) AS BIGINT)
+         |    AS hapax_frac_e6,
+         |  CAST((vocab * 1000000) // greatest(n_tokens, 1) AS BIGINT)
+         |    AS ttr_e6
+         |FROM ag""".stripMargin,
+
+    // same bits device (length of the binary form), same telescoped
+    // n·bits(n) − Σ c·bits(c) identity
+    "text_token_entropy" ->
+      s"""WITH tw AS (
+         |  SELECT source,
+         |         CASE WHEN ${normSql("text")} = ''
+         |              THEN CAST([] AS VARCHAR[])
+         |              ELSE string_split(${normSql("text")}, ' ') END AS w
+         |  FROM documents),
+         |ex AS (SELECT source, unnest(w) AS tok FROM tw),
+         |tc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+         |       FROM ex GROUP BY 1, 2),
+         |ag AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |              CAST(count(*) AS BIGINT) AS vocab,
+         |              CAST(SUM(c * length(format('{:b}', c)))
+         |                AS BIGINT) AS sum_cb
+         |       FROM tc GROUP BY 1)
+         |SELECT source, n_tokens, vocab,
+         |  CAST(((n_tokens * length(format('{:b}', n_tokens)) - sum_cb)
+         |    * 1000000) // greatest(n_tokens, 1) AS BIGINT) AS h_bits_e6,
+         |  CAST(length(format('{:b}', greatest(vocab, 1))) * 1000000
+         |    AS BIGINT) AS max_bits_e6
+         |FROM ag""".stripMargin,
 
     "text_token_rarity" ->
       s"""WITH $TokCte,

@@ -796,6 +796,118 @@ object Similarity {
           .otherwise(0L).as("is_semantic_dup"))
   }
 
+  /** kNN label-disagreement audit (X206) — the confident-learning
+    * label-error screen (Northcutt et al. 2021's intuition, kNN form):
+    * an example whose nearest neighbors mostly carry a DIFFERENT
+    * label is either mislabeled or sits on a class boundary; both are
+    * what a curator reviews before training. Per query vector: its
+    * exact top-k cosine neighbors' labels, the disagreement count,
+    * integer-ppm disagreement rate, and a majority-vote suspect flag.
+    *
+    * Scale shape: rides [[bruteForceTopK]] unchanged (broadcast query
+    * subset, corpus-partition scan, per-query top-k) plus two
+    * label equi-joins on the k·|q|-row result — at index scale swap
+    * the exact top-k for [[lshTopK]]/[[ivfTopKFromCenters]] and the
+    * audit tail is identical. Integer verdicts only: the float cosine
+    * decides RANKING (already oracle-replayable), never the flag. */
+  def knnLabelAudit(emb: DataFrame, k: Int = TopK,
+      queryMod: Int = QueryMod): DataFrame = {
+    val lab = emb.select(col("vec_id"), col("label").cast("long"))
+    val top = bruteForceTopK(emb, k, queryMod)
+      .join(lab.withColumnsRenamed(
+        Map("vec_id" -> "nn_id", "label" -> "nn_label")), Seq("nn_id"))
+    top.join(broadcast(lab.withColumnsRenamed(
+        Map("vec_id" -> "q_id", "label" -> "q_label"))), Seq("q_id"))
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(count(lit(1)).cast("long").as("k_used"),
+        sum(when(col("nn_label") =!= col("q_label"), 1L).otherwise(0L))
+          .cast("long").as("n_disagree"))
+      .select(col("q_id"), col("q_label"), col("k_used"),
+        col("n_disagree"),
+        expr("(n_disagree * 1000000) div greatest(k_used, 1)")
+          .cast("long").as("disagree_ppm"),
+        when(col("n_disagree") * 2L > col("k_used"), 1L).otherwise(0L)
+          .as("is_suspect"))
+  }
+
+  /** IVF cell-occupancy balance audit (X207) — the index-health
+    * number an ANN operator watches: a lopsided inverted file (one
+    * cell holding half the corpus) makes probe cost unpredictable and
+    * recall uneven; re-train the quantizer when the hot cell exceeds
+    * a few multiples of the uniform share. Per cell of the
+    * deterministic [[seedCenters]] assignment (ties → lowest cell,
+    * both engines): occupancy, integer-ppm share, and a hot flag at
+    * 2× the uniform share.
+    *
+    * Scale shape: one broadcast-sized center set against a linear
+    * corpus scan (nearest-center argmin is map work), one cell-grain
+    * aggregate, |cells| output rows; the 1-row corpus total joins
+    * back by broadcast. */
+  def ivfBalanceAudit(emb: DataFrame, nCells: Int = 16): DataFrame = {
+    val centers = seedCenters(emb, nCells)
+    // the hot bar is vs the UniformShare over cells that exist — the
+    // collected count, not the requested one (small corpora yield
+    // fewer than nCells seeds)
+    val mCells = centers.length.toLong
+    val sorted = array_sort(array(centerDistStructs(centers): _*))
+    val assigned = graft.core.Spread(emb)
+      .select(asDouble(col("embedding")).as("v"))
+      .select(sorted.getItem(0).getField("cell").cast("long").as("cell"))
+    val occ = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"))
+    occ.crossJoin(broadcast(
+        occ.agg(sum(col("n_vecs")).cast("long").as("n_total"))))
+      .select(col("cell"), col("n_vecs"),
+        expr("(n_vecs * 1000000) div greatest(n_total, 1)")
+          .cast("long").as("share_ppm"),
+        when(col("n_vecs") * lit(mCells) >
+          lit(2L) * col("n_total"), 1L).otherwise(0L).as("is_hot"))
+  }
+
+  /** The semantic-dedup threshold ladder swept by
+    * [[thresholdCalibration]] (cosine µunits). */
+  val CalibThresholdsE6: Seq[Long] =
+    Seq(800000L, 850000L, 900000L, 925000L, 950000L, 975000L, 990000L)
+
+  /** Dedup-threshold calibration curve (X211) — the knob-setting
+    * sweep run BEFORE committing to a [[SemDupMinCosE6]]: for each
+    * candidate threshold, how many keeper-star pairs would merge and
+    * what fraction of the corpus would drop. The pair frame is the
+    * SAME bounded candidate set as [[semanticDedup]] (bucket members
+    * vs their keeper — linear, never all-pairs), quantized once to
+    * integer µunits; the ladder is a bounded ×|thresholds| explode
+    * over the |members|-row frame. Monotone by construction:
+    * n_dup_pairs decreases as the threshold rises, which is the curve
+    * a curator reads the elbow off. */
+  def thresholdCalibration(emb: DataFrame,
+      nBits: Int = NumHyperplanes,
+      thresholds: Seq[Long] = CalibThresholdsE6): DataFrame = {
+    val coded = graft.core.CacheBay.register(
+      graft.core.Spread(emb)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("bucket", lshBucket(col("v"), nBits)))
+    val keepers = coded.groupBy(col("bucket"))
+      .agg(min(col("vec_id")).as("keeper_id"))
+    val kv = coded.select(col("vec_id").as("keeper_id"),
+      col("v").as("kv"))
+    val cosK = dotProduct(col("v"), col("kv")) /
+      (l2Norm(col("v")) * l2Norm(col("kv")))
+    val pairs = coded.join(keepers, Seq("bucket"))
+      .join(kv, Seq("keeper_id"))
+      .filter(col("vec_id") =!= col("keeper_id"))
+      .select(floor(cosK * 1000000.0 + 0.5).cast("long").as("cos_e6"))
+    val n = emb.agg(count(lit(1)).cast("long").as("n_total"))
+    pairs.select(col("cos_e6"),
+        explode(array(thresholds.map(lit): _*)).as("threshold_e6"))
+      .groupBy(col("threshold_e6"))
+      .agg(sum(when(col("cos_e6") >= col("threshold_e6"), 1L)
+        .otherwise(0L)).cast("long").as("n_dup_pairs"))
+      .crossJoin(broadcast(n))
+      .select(col("threshold_e6"), col("n_dup_pairs"),
+        expr("(n_dup_pairs * 1000000) div greatest(n_total, 1)")
+          .cast("long").as("drop_ppm"))
+  }
+
   /** Exact per-vector NN by brute force — O(n²): the TEST ORACLE for
     * [[nearestNeighbor]] on sampled subsets, never the production path
     * (a corpus broadcast is unbroadcastable and the pair count

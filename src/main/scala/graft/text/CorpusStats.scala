@@ -930,4 +930,67 @@ object CorpusStats {
           "(1000000 - (ss * 1000000) div (n_rows * n_rows))")
           .as("impurity_e6"))
   }
+
+  /** Per-source hapax-legomena / type-token profile (X204) — the
+    * vocabulary-health screen beside the Zipf slope (X202): natural
+    * text keeps a large once-only tail (hapax ≈ 40–60% of vocabulary,
+    * Zipf's corollary), while templated or machine-generated sources
+    * collapse it (few hapaxes, low type-token ratio) and OCR-noise
+    * sources inflate it (every garble is a new "word"). Both
+    * deviations are standard pre-training drop signals; ratios are
+    * exact integer ppm, never float division.
+    *
+    * Scale shape: one explode → (source, token)-grain count (map-side
+    * combinable) → source-grain rollup. The corpus-sized frame exists
+    * only between the two partial aggregates of one shuffle; output
+    * is |sources| rows. */
+  def hapaxProfile(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(tokenArray(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("vocab"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).cast("long")
+          .as("hapax"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+        expr("(hapax * 1000000) div greatest(vocab, 1)").cast("long")
+          .as("hapax_frac_e6"),
+        expr("(vocab * 1000000) div greatest(n_tokens, 1)").cast("long")
+          .as("ttr_e6"))
+
+  /** Per-source unigram entropy in integer BITS (X205) — the
+    * "information density" screen: Shannon entropy of the source's
+    * token distribution computed with the floor-log2 device (X110,
+    * `bits(x) = ⌊log2 x⌋ + 1`), so the statistic — DEFINED as its
+    * bits form, `H ≈ (n·bits(n) − Σ cᵢ·bits(cᵢ)) / n` via the
+    * telescoped identity Σ cᵢ·(bits(n) − bits(cᵢ)) — is exact
+    * integer arithmetic and replays identically in any engine.
+    * Near-zero = one token dominates (degenerate/boilerplate source);
+    * high relative to bits(vocab) = near-uniform usage. Entropy needs
+    * log; the bits form is the transcendental-free contract the same
+    * way Gini is for [[classBalance]].
+    *
+    * Scale shape: same two-level aggregate as [[hapaxProfile]] —
+    * (source, token) grain then source grain, both map-side
+    * combinable. Overflow: Σ cᵢ·bits(cᵢ) ≤ 64n and the e6 scaling of
+    * the ≤ 64n difference wraps past n ≈ 1.4·10¹¹ rows per source —
+    * asserted, not silently wrapped (the X168 discipline). */
+  def tokenEntropyBits(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(tokenArray(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("vocab"),
+        sum(col("c") * length(bin(col("c")))).cast("long").as("sum_cb"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        expr("coalesce(cast(assert_true(" +
+          "n_tokens <= 144115188075, " +
+          "'entropy-bits e6 scaling exceeds the Long-exact range: " +
+          "audit a finer slice') as bigint), 0) + " +
+          "((n_tokens * length(bin(n_tokens)) - sum_cb) * 1000000) " +
+          "div greatest(n_tokens, 1)").cast("long").as("h_bits_e6"),
+        expr("(length(bin(greatest(vocab, 1))) * 1000000)")
+          .cast("long").as("max_bits_e6"))
 }

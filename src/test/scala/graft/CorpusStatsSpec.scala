@@ -407,4 +407,31 @@ class CorpusStatsSpec extends SparkSpec {
       assert(avg >= 1L)
     }
   }
+
+  test("hapaxProfile: exact hapax and type-token ratios per source") {
+    val docs = Seq(
+      (1L, "a a b c", "s1"),   // s1 tokens: a a b c d -> V=4, hapax b,c,d
+      (2L, "d", "s1"),
+      (3L, "x x x x", "s2"))   // s2: V=1, hapax 0
+      .toDF("doc_id", "text", "source")
+    val r = CorpusStats.hapaxProfile(docs).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+          x.getLong(5)))).toMap
+    assert(r("s1") == ((5L, 4L, 3L, 750000L, 800000L)))
+    assert(r("s2") == ((4L, 1L, 0L, 0L, 250000L)))
+  }
+
+  test("tokenEntropyBits: degenerate source scores 0; mixed source " +
+    "matches the telescoped bits identity") {
+    val docs = Seq(
+      (1L, "x x x x", "mono"),  // c=4: 4*bits(4)-4*bits(4) = 0
+      (2L, "a a b c", "mix"))   // n=4,bits=3; sum_cb=2*2+1+1=6 -> (12-6)/4
+      .toDF("doc_id", "text", "source")
+    val r = CorpusStats.tokenEntropyBits(docs).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r("mono") == ((4L, 1L, 0L, 1000000L)))
+    assert(r("mix") == ((4L, 3L, 1500000L, 2000000L)))
+  }
 }

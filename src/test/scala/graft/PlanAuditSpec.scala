@@ -312,6 +312,11 @@ class PlanAuditSpec extends SparkSpec {
       // brute-forces its prefix-slice candidate ranking — two bounded
       // all-pairs scans by design
       "sim_ivf_recall", "sim_pq_recall", "sim_matryoshka_recall",
+      // brute-force ground-truth side again (the label-audit tail is
+      // two equi-joins on top of the bounded all-pairs scan)
+      "sim_knn_label_audit",
+      // 1-row corpus-total broadcasts onto |cells| / |thresholds| rows
+      "sim_ivf_balance", "sim_threshold_calibration",
       // three bounded all-pairs ranking legs feeding the rank fusion
       "sim_rrf_fusion",
       // 1-row corpus-totals broadcast (same class as tf-idf's n_docs)
@@ -320,6 +325,8 @@ class PlanAuditSpec extends SparkSpec {
       "pipe_srm_audit",
       // 1-row corpus-total broadcast onto the pruned candidate counts
       "events_heavy_users",
+      // 1-row (xref, m) broadcast onto the k+1-row TakeOrdered frame
+      "orders_tail_index",
       // 1-row as-of scalar broadcast (max event date) — both decay
       // variants (X97 freshness ladder, X166 engagement) anchor there
       "events_decay_score", "events_engagement_decay",

@@ -355,4 +355,68 @@ class SimilaritySpec extends SparkSpec {
     graft.core.CacheBay.drain()
     assert(r(0L) == ((50L, 1L)), r.toString)
   }
+
+  test("knnLabelAudit flags the planted mislabel and only it") {
+    // cluster at (1, ~0): v0/v1 label 1, v2 label 2 (mislabeled);
+    // v3 orthogonal, label 2. k=2, every vector a query
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 1),
+      (1L, Seq(0.9f, 0.1f), 1),
+      (2L, Seq(0.95f, 0.05f), 2), // planted mislabel
+      (3L, Seq(0.0f, 1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.knnLabelAudit(emb, k = 2, queryMod = 1)
+      .select("q_id", "n_disagree", "disagree_ppm", "is_suspect")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    assert(r(2L) == ((2L, 1000000L, 1L)), s"mislabel: ${r(2L)}")
+    assert(Seq(0L, 1L, 3L).forall(r(_)._3 == 0L),
+      s"false suspects in $r")
+  }
+
+  test("ivfBalanceAudit: exact occupancy and shares; hot flag fires " +
+    "past 2x the uniform share and only there") {
+    // seeds are ids % 5 == 2 → cells from v2/v7/v12/v17 (4 poles);
+    // everything except v7, v3 and v17 clusters on the x-axis pole →
+    // cell 0 holds 17/20 (17·4 > 2·20 → hot), the rest stay cold
+    val emb = ((0L to 19L).map {
+      case i @ (7L | 3L) => (i, Seq(0.0f, 1.0f, 0.0f))
+      case i @ 17L => (i, Seq(0.0f, 0.0f, 1.0f))
+      case i @ 12L => (i, Seq(1.0f, 0.02f, 0.0f))
+      case i => (i, Seq(1.0f, 0.0f, 0.001f * i))
+    }).toDF("vec_id", "embedding")
+    val r = Similarity.ivfBalanceAudit(emb, nCells = 4)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    assert(r.values.map(_._1).sum == 20L)
+    assert(r(1L) == ((2L, 100000L, 0L)), s"y-cell: ${r.get(1L)}")
+    assert(r(3L) == ((1L, 50000L, 0L)), s"z-cell: ${r.get(3L)}")
+    val hot = (r(0L)._1 + r(2L)._1, r(0L)._3.max(r(2L)._3))
+    assert(hot._1 == 17L && hot._2 == 1L, s"x cells: $r")
+  }
+
+  test("thresholdCalibration: scaled copies count at every rung; " +
+    "ladder counts are monotone non-increasing") {
+    // v1/v2 are scaled copies of keeper v0 (cos exactly 1 → one
+    // bucket, two keeper-star pairs at every threshold); v3 far off
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(2.0f, 0.0f)),
+      (2L, Seq(0.5f, 0.0f)), (3L, Seq(-1.0f, -5.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.thresholdCalibration(emb, nBits = 4,
+        thresholds = Seq(900000L, 990000L))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    graft.core.CacheBay.drain()
+    assert(r.toList == List((900000L, 2L, 500000L),
+      (990000L, 2L, 500000L)), r.toList.toString)
+    // fixture: counts never increase as the threshold rises
+    val fix = Similarity.thresholdCalibration(
+      graft.core.Tables(spark, SfDir, "embeddings"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    graft.core.CacheBay.drain()
+    assert(fix.map(_._1).toSeq ==
+      Similarity.CalibThresholdsE6.sorted)
+    assert(fix.sliding(2).forall(p => p(0)._2 >= p(1)._2),
+      fix.toList.toString)
+  }
 }
