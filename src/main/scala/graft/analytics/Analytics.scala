@@ -1223,6 +1223,54 @@ object Analytics {
         col("filled_cents"))
   }
 
+  /** Regular-grid resample with LINEAR interpolation (X214) — the
+    * smooth-fill companion to [[locfDaily]]: where LOCF holds the last
+    * value flat (right for state-like series — a price stays the
+    * price), linear interpolation draws the straight line between the
+    * surrounding observations (right for flow-like series — volume,
+    * temperature). Same dense per-key daily spine; `interp_cents` is
+    * exact integer arithmetic — `pv + (nv−pv)·(day−pd) div (nd−pd)`
+    * with the sign-split spelling (truncating `div` and flooring `//`
+    * disagree below zero, and a falling series makes the numerator
+    * negative) — and NULL outside the key's [first, last] observation
+    * span (extrapolation invents trend; this operator refuses, the
+    * same contract as LOCF's no-backfill rule).
+    *
+    * Scale: spine is |keys|·|days| (calendar-sized per key, X159);
+    * four `last/first(ignoreNulls)` passes over ONE key-partition
+    * window pair; numerator overflow asserted against the span. */
+  def interpDaily(obs: DataFrame): DataFrame = {
+    val span = obs.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = obs.select(col("key")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("key"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val wPrev = Window.partitionBy(col("key")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("key")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(obs, Seq("key", "day"), "left")
+      .withColumn("pv", last(col("cents"), ignoreNulls = true).over(wPrev))
+      .withColumn("pd", last(when(col("cents").isNotNull, col("day")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("cents"), ignoreNulls = true).over(wNext))
+      .withColumn("nd", first(when(col("cents").isNotNull, col("day")),
+        ignoreNulls = true).over(wNext))
+      .select(col("key"), col("day"),
+        when(col("cents").isNotNull, 1L).otherwise(0L).as("is_obs"),
+        when(col("pv").isNull || col("nv").isNull,
+          lit(null).cast("long"))
+          .when(col("nd") === col("pd"), col("pv"))
+          .otherwise(expr(
+            // |nv−pv|·(day−pd) must stay Long-exact across the gap
+            "coalesce(cast(assert_true(abs(nv - pv) <= " +
+              "9223372036854775807 div greatest(nd - pd, 1), " +
+              "'interp numerator exceeds the Long-exact range') " +
+              "as bigint), 0) + pv + " +
+              "(case when nv < pv then -1 else 1 end) * " +
+              "(abs((nv - pv) * (day - pd)) div (nd - pd))"))
+          .cast("long").as("interp_cents"))
+  }
+
   /** Top-k frequent event paths (X169) — the sequential-pattern view
     * one level up from [[transitionMatrix]]'s pairs: the most common
     * n-event runs ("view > view > purchase") across every user's
@@ -1526,5 +1574,72 @@ object Analytics {
       // disagree below zero, and sy CAN be negative (returns, credits)
       expr("(case when sy < 0 then -1 else 1 end) * (abs(sy) div n)")
         .as("avg_y"))
+  }
+
+  /** Cohort lifetime-value curve (X213) — the acquisition-quality
+    * read every subscription/commerce planner runs: customers are
+    * grouped by FIRST-purchase month, and each cohort's cumulative
+    * revenue per customer is tracked by age-in-months, so cohorts of
+    * different vintages compare on the same axis ("is the March
+    * cohort monetizing faster than January's?"). Exact integer cents
+    * end to end; months as the linear index `year·12 + month − 1` so
+    * age is plain subtraction across year boundaries; per-customer
+    * LTV via one truncating div over non-negative sums.
+    *
+    * Scale shape: one customer-grain aggregate (first month), joined
+    * back by customer key (hash equi-join at fact grain), one
+    * (cohort, age) aggregate — output is months² rows at most — and
+    * a cumulative window whose partitions are single cohorts
+    * (calendar-bounded frames, the X159 discipline). */
+  def cohortLtv(orders: DataFrame): DataFrame = {
+    val om = orders.select(col("o_custkey").as("cust"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+        .cast("long").as("m"),
+      floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+    val cohort = graft.core.CacheBay.register(
+      om.groupBy(col("cust")).agg(min(col("m")).as("m0")))
+    val sizes = cohort.groupBy(col("m0").as("cohort_month"))
+      .agg(count(lit(1)).cast("long").as("n_custs"))
+    val rev = om.join(cohort, Seq("cust"))
+      .select(col("m0").as("cohort_month"),
+        (col("m") - col("m0")).as("age_months"), col("cents"))
+      .groupBy(col("cohort_month"), col("age_months"))
+      .agg(sum(col("cents")).cast("long").as("cents"))
+    val cum = Window.partitionBy(col("cohort_month"))
+      .orderBy(col("age_months"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.join(sizes, Seq("cohort_month"))
+      .withColumn("cum_cents", sum(col("cents")).over(cum).cast("long"))
+      .select(col("cohort_month"), col("age_months"), col("n_custs"),
+        col("cents"), col("cum_cents"),
+        expr("cum_cents div n_custs").cast("long").as("ltv_cents"))
+  }
+
+  /** ABC×XYZ cross matrix (X215) — the 9-cell planning grid the two
+    * classifications exist to feed: revenue class (A/B/C) crossed
+    * with demand-variability class (X/Y/Z) tells a planner which
+    * parts get safety stock (AX: high value, stable — automate),
+    * which get review (AZ: high value, erratic — human forecast) and
+    * which get dropped (CZ). Counts and integer-ppm shares over the
+    * part domain; both class legs are the EXACT [[abcClassification]]
+    * / [[xyzClassification]] operators, so the matrix inherits their
+    * oracle-proven edge rules verbatim.
+    *
+    * Scale: both legs aggregate to part grain before the 1:1 part-key
+    * equi-join (a part has one brand, so ABC grain is part grain);
+    * the matrix is a ≤9-row aggregate; the 1-row total broadcasts. */
+  def abcXyzMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val abc = abcClassification(spark, dir)
+      .select(col("l_partkey"), col("abc_class"))
+    val xyz = xyzClassification(spark, dir)
+      .select(col("l_partkey"), col("xyz_class"))
+    val cells = abc.join(xyz, Seq("l_partkey"))
+      .groupBy(col("abc_class"), col("xyz_class"))
+      .agg(count(lit(1)).cast("long").as("n_parts"))
+    cells.crossJoin(broadcast(
+        cells.agg(sum(col("n_parts")).cast("long").as("n_total"))))
+      .select(col("abc_class"), col("xyz_class"), col("n_parts"),
+        expr("(n_parts * 1000000) div greatest(n_total, 1)")
+          .cast("long").as("share_ppm"))
   }
 }

@@ -116,4 +116,29 @@ object Triangles {
       .select(col("u").as("part"), col("deg"),
         coalesce(col("c"), lit(0L)).as("n_tri"))
   }
+
+  /** Per-node local clustering coefficient (X212, Watts & Strogatz
+    * 1998) — how much of each node's neighborhood closes into
+    * triangles: `cc = 2·tri / (deg·(deg−1))`, in exact integer ppm.
+    * The per-node read of the same statistic [[triangleCounts]]
+    * computes globally: cc ≈ 1 = tight community member, cc ≈ 0 at
+    * high degree = a hub wiring strangers together (the spam-farm /
+    * aggregator-page signature in link-graph curation). Degree-1
+    * nodes have no wedge to close and report 0 by convention.
+    *
+    * Scale: one projection over [[triangleCounts]]' m^(3/2)-bounded
+    * frame — no new joins; the 2·10⁶·tri scaling and the deg² lower
+    * term are both Long-guarded at the ~10⁹-degree hub scale where
+    * they'd silently wrap. */
+  def clusteringCoefficients(edges: DataFrame): DataFrame =
+    triangleCounts(edges)
+      .select(col("part"), col("deg"), col("n_tri"),
+        when(col("deg") < 2L, lit(0L))
+          .otherwise(expr(
+            "coalesce(cast(assert_true(" +
+              "n_tri <= 4611686018427387 and deg <= 3037000499, " +
+              "'clustering-coefficient terms exceed the Long-exact " +
+              "range') as bigint), 0) + " +
+              "(n_tri * 2000000) div (deg * (deg - 1))"))
+          .cast("long").as("cc_e6"))
 }

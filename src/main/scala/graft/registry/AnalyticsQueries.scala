@@ -27,6 +27,13 @@ object AnalyticsQueries {
             .cast("long")).as("cents")), "cents")),
     "abc_classification" -> ((s, d) => Analytics.abcClassification(s, d)),
     "xyz_classification" -> ((s, d) => Analytics.xyzClassification(s, d)),
+    // X215: ABC×XYZ 9-cell planning matrix — both class legs are the
+    // oracle-proven classifications, joined 1:1 at part grain
+    "abc_xyz_matrix" -> ((s, d) => Analytics.abcXyzMatrix(s, d)),
+    // X213: cohort lifetime-value curve — first-purchase-month
+    // cohorts tracked by age in months, exact integer cents
+    "orders_cohort_ltv" -> ((s, d) =>
+      Analytics.cohortLtv(graft.core.Tables(s, d, "orders"))),
     "fca_forecast_accuracy" -> ((s, d) => Analytics.forecastAccuracy(s, d)),
     "uom_conversion" -> ((s, d) => Analytics.uomConversion(s, d)),
     "delta_detect" -> ((s, d) => Analytics.deltaDetect(s, d)),
@@ -252,6 +259,90 @@ object AnalyticsQueries {
         |       WHEN cov > 0.5 AND cov <= 1.0 THEN 'Y'
         |       ELSE 'Z' END AS xyz_class
         |FROM st""".stripMargin,
+
+    // both class CTE chains verbatim from the two oracles above,
+    // joined 1:1 at part grain, 9-cell rollup + ppm share
+    "abc_xyz_matrix" ->
+      s"""WITH rev AS (
+         |  SELECT p_brand, l_partkey,
+         |         greatest(ROUND(SUM(l_extendedprice), 2), 0.0) AS revenue
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  GROUP BY 1, 2),
+         |abc AS (
+         |  SELECT l_partkey,
+         |    CASE WHEN revenue > 0 AND revenue = cum_sum THEN 'A'
+         |         WHEN cum_share > 0 AND cum_share <= 0.8 THEN 'A'
+         |         WHEN cum_share > 0.8 AND cum_share <= 0.95 THEN 'B'
+         |         WHEN share >= ${0.95 - 0.8} THEN 'B'
+         |         ELSE 'C' END AS abc_class
+         |  FROM (
+         |    SELECT *,
+         |      ROUND(SUM(revenue) OVER (PARTITION BY p_brand
+         |        ORDER BY revenue DESC, l_partkey
+         |        ROWS UNBOUNDED PRECEDING), 2) AS cum_sum,
+         |      ROUND(revenue
+         |        / SUM(revenue) OVER (PARTITION BY p_brand), 6) AS share,
+         |      ROUND(
+         |      SUM(revenue) OVER (PARTITION BY p_brand
+         |        ORDER BY revenue DESC, l_partkey ROWS UNBOUNDED PRECEDING)
+         |      / SUM(revenue) OVER (PARTITION BY p_brand), 6) AS cum_share
+         |    FROM rev)),
+         |m AS (
+         |  SELECT l_partkey,
+         |         year(l_shipdate) * 100 + month(l_shipdate) AS month_key,
+         |         SUM(l_quantity) AS qty
+         |  FROM lineitem GROUP BY 1, 2),
+         |xyz AS (
+         |  SELECT l_partkey,
+         |    CASE WHEN cov > 0 AND cov <= 0.5 THEN 'X'
+         |         WHEN cov > 0.5 AND cov <= 1.0 THEN 'Y'
+         |         ELSE 'Z' END AS xyz_class
+         |  FROM (
+         |    SELECT l_partkey,
+         |      CASE WHEN ROUND(AVG(qty), 6) > 0
+         |           THEN ROUND(ROUND(sqrt(greatest(
+         |             AVG(qty * qty) - AVG(qty) * AVG(qty), 0.0)), 6)
+         |             / ROUND(AVG(qty), 6), 6)
+         |           ELSE 9.0 END AS cov
+         |    FROM m GROUP BY 1)),
+         |cells AS (
+         |  SELECT abc_class, xyz_class, CAST(count(*) AS BIGINT)
+         |           AS n_parts
+         |  FROM abc JOIN xyz USING (l_partkey) GROUP BY 1, 2),
+         |tot AS (SELECT CAST(SUM(n_parts) AS BIGINT) AS n_total
+         |        FROM cells)
+         |SELECT abc_class, xyz_class, n_parts,
+         |  CAST((n_parts * 1000000) // greatest(n_total, 1) AS BIGINT)
+         |    AS share_ppm
+         |FROM cells CROSS JOIN tot""".stripMargin,
+
+    // same month index (year·12 + month − 1), same customer-grain
+    // first-month, (cohort, age) rollup and cohort-partition cumsum
+    "orders_cohort_ltv" ->
+      """WITH om AS (
+        |  SELECT o_custkey AS cust,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+        |      AS BIGINT) AS m,
+        |    CAST(floor(CAST(o_totalprice AS DOUBLE)
+        |      * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |co AS (SELECT cust, MIN(m) AS m0 FROM om GROUP BY 1),
+        |sz AS (SELECT m0 AS cohort_month,
+        |              CAST(count(*) AS BIGINT) AS n_custs
+        |       FROM co GROUP BY 1),
+        |rv AS (SELECT co.m0 AS cohort_month, om.m - co.m0 AS age_months,
+        |              CAST(SUM(cents) AS BIGINT) AS cents
+        |       FROM om JOIN co USING (cust) GROUP BY 1, 2),
+        |cm AS (SELECT cohort_month, age_months, cents,
+        |         CAST(SUM(cents) OVER (PARTITION BY cohort_month
+        |           ORDER BY age_months ROWS UNBOUNDED PRECEDING)
+        |           AS BIGINT) AS cum_cents
+        |       FROM rv)
+        |SELECT cm.cohort_month, cm.age_months, sz.n_custs, cm.cents,
+        |  cm.cum_cents,
+        |  CAST(cm.cum_cents // sz.n_custs AS BIGINT) AS ltv_cents
+        |FROM cm JOIN sz USING (cohort_month)""".stripMargin,
 
     "fca_forecast_accuracy" ->
       """WITH j AS (

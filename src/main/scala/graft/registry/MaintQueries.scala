@@ -50,6 +50,12 @@ object MaintQueries {
     "graph_triangles" -> ((s, d) =>
       graft.graph.Triangles.triangleCounts(
         graft.graph.Triangles.sharedCoPurchaseEdges(s, d))),
+    // X212: per-node local clustering coefficient — one ppm
+    // projection over the m^(3/2)-bounded triangle frame; shares the
+    // session co-purchase edge cache
+    "graph_clustering_coeff" -> ((s, d) =>
+      graft.graph.Triangles.clusteringCoefficients(
+        graft.graph.Triangles.sharedCoPurchaseEdges(s, d))),
     "graph_communities" -> ((s, d) =>
       graft.graph.Communities.labelPropagationUnd(
         graft.graph.Triangles.sharedUndirectedEdges(s, d))),
@@ -320,6 +326,34 @@ object MaintQueries {
         |          UNION ALL SELECT z FROM tri),
         |tc AS (SELECT n, CAST(count(*) AS BIGINT) AS c FROM nodes GROUP BY 1)
         |SELECT d.u AS part, d.deg, CAST(COALESCE(tc.c, 0) AS BIGINT) AS n_tri
+        |FROM deg d LEFT JOIN tc ON d.u = tc.n""".stripMargin,
+
+    // same canonical triangle enumeration; cc = 2e6·tri // deg·(deg−1)
+    // (non-negative, so // ≡ div), degree-1 nodes 0 by convention
+    "graph_clustering_coeff" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM op x JOIN op y ON x.ok = y.ok AND x.p < y.p),
+        |und AS (SELECT a AS u, b AS v FROM e
+        |        UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+        |        FROM und GROUP BY 1),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |nodes AS (SELECT x AS n FROM tri
+        |          UNION ALL SELECT y FROM tri
+        |          UNION ALL SELECT z FROM tri),
+        |tc AS (SELECT n, CAST(count(*) AS BIGINT) AS c FROM nodes GROUP BY 1)
+        |SELECT d.u AS part, d.deg,
+        |  CAST(COALESCE(tc.c, 0) AS BIGINT) AS n_tri,
+        |  CAST(CASE WHEN d.deg < 2 THEN 0
+        |       ELSE (COALESCE(tc.c, 0) * 2000000)
+        |            // (d.deg * (d.deg - 1)) END AS BIGINT) AS cc_e6
         |FROM deg d LEFT JOIN tc ON d.u = tc.n""".stripMargin,
 
     // same wedge join with the same degree-capped middles; NOT EXISTS

@@ -492,6 +492,20 @@ object StreamQueries {
         .withColumnRenamed("key", "event_type")
     }),
 
+    // X214: linear-interpolation resample — the smooth-fill companion
+    // to LOCF over the same punched-out daily observation frame
+    "events_interp_daily" -> ((s, d) => {
+      val obs = Tables(s, d, "events")
+        .filter(!dayofmonth(col("ts")).isin(10, 11, 12))
+        .select(col("event_type").as("key"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("c"))
+        .groupBy(col("key"), col("day"))
+        .agg(sum(col("c")).cast("long").as("cents"))
+      graft.analytics.Analytics.interpDaily(obs)
+        .withColumnRenamed("key", "event_type")
+    }),
+
     // X169: top-k frequent 3-event paths — the sequential-pattern
     // view above the transition matrix; one sequence-key shuffle,
     // path counts aggregate map-side, global top-k via TakeOrdered
@@ -1199,6 +1213,50 @@ object StreamQueries {
         |  ON s.key = o.key AND s.day = o.day
         |WINDOW w AS (PARTITION BY s.key ORDER BY s.day
         |  ROWS UNBOUNDED PRECEDING)""".stripMargin,
+
+    // same spine; prev/next observation via the paired windows, the
+    // sign-split interpolation spelling (day−pd ≥ 0, so the numerator
+    // sign is nv−pv's), NULL outside the [first, last] span
+    "events_interp_daily" ->
+      """WITH obs AS (
+        |  SELECT event_type AS key,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(SUM(CAST(floor(CAST(value AS DOUBLE)
+        |      * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE day(ts) NOT IN (10, 11, 12)
+        |  GROUP BY 1, 2),
+        |span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM obs),
+        |spine AS (
+        |  SELECT k.key, CAST(g.day AS BIGINT) AS day
+        |  FROM (SELECT DISTINCT key FROM obs) k
+        |  CROSS JOIN (SELECT unnest(generate_series(
+        |    (SELECT d0 FROM span), (SELECT d1 FROM span))) AS day) g),
+        |f AS (
+        |  SELECT s.key, s.day, o.cents,
+        |    last_value(o.cents IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN o.cents IS NOT NULL THEN s.day END
+        |      IGNORE NULLS) OVER wp AS pd,
+        |    first_value(o.cents IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN o.cents IS NOT NULL THEN s.day END
+        |      IGNORE NULLS) OVER wn AS nd
+        |  FROM spine s LEFT JOIN obs o
+        |    ON s.key = o.key AND s.day = o.day
+        |  WINDOW wp AS (PARTITION BY s.key ORDER BY s.day
+        |    ROWS UNBOUNDED PRECEDING),
+        |  wn AS (PARTITION BY s.key ORDER BY s.day
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT key AS event_type, day,
+        |  CAST(CASE WHEN cents IS NOT NULL THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_obs,
+        |  CAST(CASE
+        |    WHEN pv IS NULL OR nv IS NULL THEN NULL
+        |    WHEN nd = pd THEN pv
+        |    ELSE pv + (CASE WHEN nv < pv THEN -1 ELSE 1 END)
+        |         * (abs((nv - pv) * (day - pd)) // (nd - pd))
+        |  END AS BIGINT) AS interp_cents
+        |FROM f""".stripMargin,
 
     // same lead-stitched 3-grams; (count desc, path asc) is a
     // deterministic total order so rank replays exactly

@@ -758,4 +758,58 @@ class AnalyticsSpec extends SparkSpec {
     graft.core.CacheBay.drain()
     assert(got2.toList === List((2L, 3L, 1500000L, 666666L)))
   }
+
+  test("interpDaily: rising and falling gaps interpolate exactly; " +
+    "no extrapolation outside a key's observed span") {
+    val obs = Seq(("a", 0L, 100L), ("a", 4L, 300L),
+      ("b", 0L, 100L), ("b", 2L, 1L), ("c", 2L, 50L))
+      .toDF("key", "day", "cents")
+    val got = graft.analytics.Analytics.interpDaily(obs)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+      .toMap
+    assert(got.size == 15) // 3 keys x global span 0..4
+    assert(got(("a", 1L)) == ((0L, Some(150L))))
+    assert(got(("a", 2L)) == ((0L, Some(200L))))
+    assert(got(("a", 3L)) == ((0L, Some(250L))))
+    assert(got(("a", 4L)) == ((1L, Some(300L))))
+    // falling series: 100 + (-1) * (99 * 1 div 2) = 51 (truncating)
+    assert(got(("b", 1L)) == ((0L, Some(51L))))
+    assert(got(("b", 3L)) == ((0L, None)) && got(("b", 4L))._2.isEmpty)
+    assert(got(("c", 0L))._2.isEmpty && got(("c", 1L))._2.isEmpty)
+    assert(got(("c", 2L)) == ((1L, Some(50L))))
+    assert(got(("c", 3L))._2.isEmpty)
+  }
+
+  test("cohortLtv: exact cents cumulative per cohort age") {
+    val d = java.sql.Date.valueOf(_: String)
+    val orders = Seq(
+      (1L, d("1995-01-10"), 10.00), (1L, d("1995-03-05"), 20.00),
+      (2L, d("1995-01-20"), 5.00), (3L, d("1995-03-15"), 7.00))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val got = graft.analytics.Analytics.cohortLtv(orders)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    graft.core.CacheBay.drain()
+    val jan = 1995L * 12 + 0 // 1995-01 as year*12 + month - 1
+    assert(got((jan, 0L)) == ((2L, 1500L, 1500L, 750L)))
+    assert(got((jan, 2L)) == ((2L, 2000L, 3500L, 1750L)))
+    assert(got((jan + 2, 0L)) == ((1L, 700L, 700L, 700L)))
+    assert(got.size == 3)
+  }
+
+  test("abcXyzMatrix on the fixture: cells partition the part " +
+    "domain, shares sum to ~1e6, classes well-formed") {
+    val got = graft.analytics.Analytics.abcXyzMatrix(spark, SfDir)
+      .as[(String, String, Long, Long)].collect()
+    graft.core.CacheBay.drain()
+    assert(got.nonEmpty && got.length <= 9)
+    assert(got.forall(c => Set("A", "B", "C")(c._1) &&
+      Set("X", "Y", "Z")(c._2)))
+    val nParts = graft.core.Tables(spark, SfDir, "lineitem")
+      .select(col("l_partkey")).distinct().count()
+    assert(got.map(_._3).sum == nParts)
+    val shareSum = got.map(_._4).sum
+    assert(shareSum > 999900L && shareSum <= 1000000L, shareSum.toString)
+  }
 }

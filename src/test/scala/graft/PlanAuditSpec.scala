@@ -331,7 +331,9 @@ class PlanAuditSpec extends SparkSpec {
       // variants (X97 freshness ladder, X166 engagement) anchor there
       "events_decay_score", "events_engagement_decay",
       // 1-row day-span broadcast building the calendar spine
-      "events_locf_daily",
+      "events_locf_daily", "events_interp_daily",
+      // 1-row part-total broadcast onto the ≤9-cell matrix
+      "abc_xyz_matrix",
       // four 1-row sketch aggregates assembled by broadcast cross join
       "events_kmv_setops",
       // the 3-row quantile list broadcast onto the tiny bucket frame

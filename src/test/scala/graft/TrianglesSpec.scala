@@ -76,4 +76,21 @@ class TrianglesSpec extends SparkSpec {
     assert(got.toSeq === Seq((4L, 6L, 2L), (5L, 7L, 2L),
       (1L, 3L, 1L)))
   }
+
+  test("clusteringCoefficients: triangle corners close fully, the " +
+    "bridge node partially, pendants zero") {
+    import spark.implicits._
+    // triangle 1-2-3 with pendant edge 3-4: nodes 1/2 have deg 2 and
+    // one closed wedge (cc 1e6); node 3 deg 3, one of three wedges
+    // closed (2e6/6); node 4 deg 1 (no wedge, 0 by convention)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = graft.graph.Triangles.clusteringCoefficients(edges)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    graft.core.CacheBay.drain()
+    assert(got(1L) == ((2L, 1L, 1000000L)))
+    assert(got(2L) == ((2L, 1L, 1000000L)))
+    assert(got(3L) == ((3L, 1L, 333333L)))
+    assert(got(4L) == ((1L, 0L, 0L)))
+  }
 }
