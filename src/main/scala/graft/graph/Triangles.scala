@@ -128,15 +128,18 @@ object Triangles {
     *
     * Scale: one projection over [[triangleCounts]]' m^(3/2)-bounded
     * frame — no new joins; the 2·10⁶·tri scaling and the deg² lower
-    * term are both Long-guarded at the ~10⁹-degree hub scale where
-    * they'd silently wrap. */
+    * term are both Long-guarded: n_tri must stay ≤
+    * Long.MaxValue div 2·10⁶ = 4 611 686 018 427 so `n_tri * 2000000`
+    * is Long-exact (a ~3·10⁶-degree hub with dense closure trips the
+    * assert loudly rather than wrapping), and deg ≤ 3 037 000 499
+    * keeps `deg·(deg−1)` exact. */
   def clusteringCoefficients(edges: DataFrame): DataFrame =
     triangleCounts(edges)
       .select(col("part"), col("deg"), col("n_tri"),
         when(col("deg") < 2L, lit(0L))
           .otherwise(expr(
             "coalesce(cast(assert_true(" +
-              "n_tri <= 4611686018427387 and deg <= 3037000499, " +
+              "n_tri <= 4611686018427 and deg <= 3037000499, " +
               "'clustering-coefficient terms exceed the Long-exact " +
               "range') as bigint), 0) + " +
               "(n_tri * 2000000) div (deg * (deg - 1))"))

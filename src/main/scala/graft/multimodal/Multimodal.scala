@@ -23,6 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache is DISK-backed: every
+  // ImageIO.read/write over an in-memory stream round-trips a temp
+  // FILE, so the decode seam becomes disk-latency-bound (one temp
+  // file per record — at fleet scale that's a file create/delete per
+  // image, and on a shared box it inherits every neighbor's IO
+  // stall). All payloads here are ByteArray streams; cache in memory.
+  // Object-body init so it runs once per executor JVM the moment any
+  // decode closure first touches the object.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** An opaque media row: payload + typed metadata. */
   case class MediaRecord(doc_id: Long, media_type: String,
     payload: Array[Byte], width: Int, height: Int)

@@ -316,13 +316,14 @@ object SimilarityQueries {
          |occ AS (SELECT CAST(cell AS BIGINT) AS cell,
          |          CAST(count(*) AS BIGINT) AS n_vecs
          |        FROM rk WHERE r = 1 GROUP BY 1),
-         |tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total FROM occ)
+         |tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total FROM occ),
+         |mc AS (SELECT CAST(count(*) AS BIGINT) AS m_cells FROM c)
          |SELECT cell, n_vecs,
          |  CAST((n_vecs * 1000000) // greatest(n_total, 1) AS BIGINT)
          |    AS share_ppm,
-         |  CAST(CASE WHEN n_vecs * 16 > 2 * n_total THEN 1 ELSE 0 END
-         |    AS BIGINT) AS is_hot
-         |FROM occ CROSS JOIN tot""".stripMargin,
+         |  CAST(CASE WHEN n_vecs * m_cells > 2 * n_total THEN 1 ELSE 0
+         |    END AS BIGINT) AS is_hot
+         |FROM occ CROSS JOIN tot CROSS JOIN mc""".stripMargin,
 
     // same keeper-star candidate pairs as sim_semantic_dedup, same
     // µunit quantization, bounded threshold-ladder cross join

@@ -816,8 +816,12 @@ object Similarity {
     val top = bruteForceTopK(emb, k, queryMod)
       .join(lab.withColumnsRenamed(
         Map("vec_id" -> "nn_id", "label" -> "nn_label")), Seq("nn_id"))
-    top.join(broadcast(lab.withColumnsRenamed(
-        Map("vec_id" -> "q_id", "label" -> "q_label"))), Seq("q_id"))
+    // broadcast only the |q|-row query-subset labels (vec_id %
+    // queryMod == 0, the same predicate bruteForceTopK selects on) —
+    // never the corpus-sized label frame
+    top.join(broadcast(lab.filter(col("vec_id") % queryMod === 0)
+        .withColumnsRenamed(
+          Map("vec_id" -> "q_id", "label" -> "q_label"))), Seq("q_id"))
       .groupBy(col("q_id"), col("q_label"))
       .agg(count(lit(1)).cast("long").as("k_used"),
         sum(when(col("nn_label") =!= col("q_label"), 1L).otherwise(0L))
