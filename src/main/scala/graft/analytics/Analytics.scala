@@ -37,6 +37,17 @@ object Analytics {
       .groupBy(col("p_brand"), col("l_partkey"))
       .agg(greatest(round(sum(col("l_extendedprice")), 2), lit(0.0))
         .as("revenue"))
+    abcOn(rev, aCut, bCut)
+  }
+
+  /** The ABC classification tail shared verbatim by
+    * [[abcClassification]] and both period legs of [[abcMigration]]:
+    * given the (p_brand, l_partkey, revenue) frame, attach the
+    * cumulative/share columns and the A/B/C class. Windows partition
+    * by brand — a bounded key after one hash aggregate, never a
+    * global unpartitioned window over fact-sized data. */
+  private def abcOn(rev: DataFrame, aCut: Double,
+      bCut: Double): DataFrame = {
     val w = Window.partitionBy(col("p_brand"))
       .orderBy(desc("revenue"), asc("l_partkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -53,6 +64,96 @@ object Analytics {
           .when(col("cum_share") > aCut && col("cum_share") <= bCut, "B")
           .when(col("share") >= bCut - aCut, "B")
           .otherwise("C"))
+  }
+
+  /** ABC class-migration matrix (X216) — the "class drift" read a
+    * planner runs between planning cycles: each part is ABC-classified
+    * on the EARLY half of history and again on the LATE half, and the
+    * 4×4 transition matrix (including 'N' = absent from a period —
+    * new or discontinued parts) says how stable the portfolio ranking
+    * is. A part that migrated A→C is a demand collapse to review; a
+    * heavy diagonal means last cycle's stocking policy still holds.
+    * Both class legs are the EXACT [[abcClassification]] tail
+    * ([[abcOn]]) over period-filtered revenue, so the matrix inherits
+    * its oracle-proven edge rules verbatim.
+    *
+    * Scale: the shipdate filter pushes to the parquet scan; each leg
+    * is one part-grain hash aggregate + the brand-partitioned
+    * classification window; the full-outer join is 1:1 at part grain
+    * (a part has one brand); the matrix is a ≤16-row aggregate and
+    * the 1-row total broadcasts. */
+  def abcMigration(spark: SparkSession, dir: String,
+      splitDate: String = "1998-07-01"): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val p = Tables(spark, dir, "part")
+    def leg(pred: org.apache.spark.sql.Column, as: String): DataFrame =
+      abcOn(li.filter(pred)
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("l_partkey"))
+        .agg(greatest(round(sum(col("l_extendedprice")), 2), lit(0.0))
+          .as("revenue")), 0.8, 0.95)
+        .select(col("l_partkey"), col("abc_class").as(as))
+    val early = leg(col("l_shipdate") < lit(splitDate), "abc_early")
+    val late = leg(col("l_shipdate") >= lit(splitDate), "abc_late")
+    val cells = early.join(late, Seq("l_partkey"), "full_outer")
+      .select(coalesce(col("abc_early"), lit("N")).as("abc_early"),
+        coalesce(col("abc_late"), lit("N")).as("abc_late"))
+      .groupBy(col("abc_early"), col("abc_late"))
+      .agg(count(lit(1)).cast("long").as("n_parts"))
+    cells.crossJoin(broadcast(
+        cells.agg(sum(col("n_parts")).cast("long").as("n_total"))))
+      .select(col("abc_early"), col("abc_late"), col("n_parts"),
+        expr("(n_parts * 1000000) div greatest(n_total, 1)")
+          .cast("long").as("share_ppm"))
+  }
+
+  /** Seasonal-naive MASE backtest (X217, Hyndman & Koehler 2006) —
+    * the scale-free forecastability screen run BEFORE choosing a
+    * forecasting method: per part, the lag-12 (seasonal-naive)
+    * forecast's summed absolute error over the common eval window,
+    * scaled by the lag-1 naive's — `mase_ppm < 10⁶` means last year's
+    * month beats last month, i.e. the series has exploitable
+    * seasonality; `≫ 10⁶` means season-blind smoothing wins. Demand
+    * semantics: the per-part series is DENSE over the global month
+    * span with absent months = 0 (no shipment IS zero demand — the
+    * same contract as the intermittency classifier). Quantities are
+    * integer-valued, so both error sums are exact Longs and the ratio
+    * is one truncating div over non-negative sums (NULL when the
+    * lag-1 denominator is 0 — a constant series has no scale).
+    *
+    * Scale: one fact-grain hash aggregate to (part, month), a
+    * bounded ×|months| spine (the X159/X172 calendar discipline, the
+    * 1-row span broadcasts), TWO lags over ONE part-partition window
+    * pass, one part-grain aggregate. */
+  def seasonalNaiveMase(li: DataFrame): DataFrame = {
+    val obs = li.groupBy(col("l_partkey"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)
+          .cast("long").as("m"))
+      .agg(sum(col("l_quantity").cast("long")).cast("long").as("qty"))
+    val span = obs.agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+    val spine = obs.select(col("l_partkey")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("l_partkey"),
+        explode(sequence(col("m0"), col("m1"))).as("m"))
+    val dense = spine.join(obs, Seq("l_partkey", "m"), "left")
+      .select(col("l_partkey"), col("m"),
+        coalesce(col("qty"), lit(0L)).as("qty"))
+    val w = Window.partitionBy(col("l_partkey")).orderBy(col("m"))
+    dense
+      .withColumn("lag1", lag(col("qty"), 1).over(w))
+      .withColumn("lag12", lag(col("qty"), 12).over(w))
+      // eval window: the months where the seasonal forecast exists
+      // (m ≥ m0+12); lag1 is defined a fortiori on every such row
+      .filter(col("lag12").isNotNull)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).cast("long").as("n_eval"),
+        sum(abs(col("qty") - col("lag12"))).cast("long")
+          .as("sae_seasonal"),
+        sum(abs(col("qty") - col("lag1"))).cast("long").as("sae_naive1"))
+      .select(col("l_partkey"), col("n_eval"), col("sae_seasonal"),
+        col("sae_naive1"),
+        expr("(sae_seasonal * 1000000) div nullif(sae_naive1, 0)")
+          .cast("long").as("mase_ppm"))
   }
 
   /** A13 (`myConversionsClass.py:214-225` calcXYZ): per-part monthly

@@ -968,4 +968,43 @@ object Dedup {
           .cast("long").as("is_seed"),
         coalesce(col("n_votes"), lit(0L)).cast("long").as("maj_votes"))
   }
+
+  /** Cross-source duplicate-flow matrix (X218) — the provenance read
+    * a corpus curator runs off the near-dup pair set: aggregating the
+    * MinHash-LSH pairs by their endpoints' (source, source) tells you
+    * which feeds copy which ("crawl-B is mostly mirrors of crawl-A")
+    * and how much of the duplication is intra-source boilerplate vs
+    * cross-source syndication — the number that decides whether to
+    * drop a whole source before paying for per-document dedup. Source
+    * pairs are canonicalized unordered (least, greatest) so A→B and
+    * B→A aggregate into one cell; `is_intra` flags the diagonal.
+    *
+    * Scale shape: two doc-key equi-joins at PAIR grain (the LSH pair
+    * set is the bounded candidate output, never all-pairs) against
+    * the corpus-sized (doc_id, source) projection — hash joins on the
+    * doc key, no broadcast of anything corpus-sized; then one
+    * aggregate to the ≤|sources|² matrix and a 1-row broadcast total.
+    * The expensive half (shingle→signature→band→bucket-join) is
+    * [[sharedPairs]], materialized once per session. */
+  def sourceDupMatrix(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val src = graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val cells = sharedPairs(spark, dir)
+      .join(src.withColumnsRenamed(
+        Map("doc_id" -> "a_id", "source" -> "src_a")), Seq("a_id"))
+      .join(src.withColumnsRenamed(
+        Map("doc_id" -> "b_id", "source" -> "src_b")), Seq("b_id"))
+      .select(least(col("src_a"), col("src_b")).as("source_lo"),
+        greatest(col("src_a"), col("src_b")).as("source_hi"))
+      .groupBy(col("source_lo"), col("source_hi"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
+    cells.crossJoin(broadcast(
+        cells.agg(sum(col("n_pairs")).cast("long").as("n_total"))))
+      .select(col("source_lo"), col("source_hi"), col("n_pairs"),
+        expr("(n_pairs * 1000000) div greatest(n_total, 1)")
+          .cast("long").as("share_ppm"),
+        when(col("source_lo") === col("source_hi"), 1L).otherwise(0L)
+          .as("is_intra"))
+  }
 }

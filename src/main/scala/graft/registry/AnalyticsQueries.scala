@@ -30,6 +30,13 @@ object AnalyticsQueries {
     // X215: ABC×XYZ 9-cell planning matrix — both class legs are the
     // oracle-proven classifications, joined 1:1 at part grain
     "abc_xyz_matrix" -> ((s, d) => Analytics.abcXyzMatrix(s, d)),
+    // X216: ABC class-migration matrix between the two halves of
+    // history — both legs are the exact classification tail
+    "abc_migration" -> ((s, d) => Analytics.abcMigration(s, d)),
+    // X217: seasonal-naive MASE backtest — lag-12 vs lag-1 absolute
+    // error over the dense per-part month spine, exact integer units
+    "fca_mase" -> ((s, d) => Analytics.seasonalNaiveMase(
+      graft.core.Tables(s, d, "lineitem"))),
     // X213: cohort lifetime-value curve — first-purchase-month
     // cohorts tracked by age in months, exact integer cents
     "orders_cohort_ltv" -> ((s, d) =>
@@ -139,6 +146,31 @@ object AnalyticsQueries {
       graft.operators.Skyline.frontier(graft.core.Tables(s, d, "part"))))
 
   private val segs = Analytics.Segments
+
+  /** The ABC class CASE and its windowed-share subquery, verbatim from
+    * the `abc_classification` oracle, parameterized by the revenue CTE
+    * so the migration oracle's two period legs reuse the proven rules
+    * (the C→B promotion threshold interpolates the SAME Scala double
+    * the engine compares against — see the abc_classification note). */
+  private val abcClassCase: String =
+    s"""CASE WHEN revenue > 0 AND revenue = cum_sum THEN 'A'
+       |         WHEN cum_share > 0 AND cum_share <= 0.8 THEN 'A'
+       |         WHEN cum_share > 0.8 AND cum_share <= 0.95 THEN 'B'
+       |         WHEN share >= ${0.95 - 0.8} THEN 'B'
+       |         ELSE 'C' END""".stripMargin
+
+  private def abcWindowed(revCte: String): String =
+    s"""SELECT *,
+       |      ROUND(SUM(revenue) OVER (PARTITION BY p_brand
+       |        ORDER BY revenue DESC, l_partkey
+       |        ROWS UNBOUNDED PRECEDING), 2) AS cum_sum,
+       |      ROUND(revenue
+       |        / SUM(revenue) OVER (PARTITION BY p_brand), 6) AS share,
+       |      ROUND(
+       |      SUM(revenue) OVER (PARTITION BY p_brand
+       |        ORDER BY revenue DESC, l_partkey ROWS UNBOUNDED PRECEDING)
+       |      / SUM(revenue) OVER (PARTITION BY p_brand), 6) AS cum_share
+       |    FROM $revCte""".stripMargin
 
   val oracles: Map[String, String] = Reg.strict(
     // same top-(k+1) frame (ties are bits-invariant), same bits device
@@ -315,6 +347,68 @@ object AnalyticsQueries {
          |  CAST((n_parts * 1000000) // greatest(n_total, 1) AS BIGINT)
          |    AS share_ppm
          |FROM cells CROSS JOIN tot""".stripMargin,
+
+    // both period legs run the classification subquery verbatim from
+    // the abc_classification oracle over date-filtered revenue; parts
+    // absent from a period coalesce to 'N'
+    "abc_migration" ->
+      s"""WITH rev_e AS (
+         |  SELECT p_brand, l_partkey,
+         |         greatest(ROUND(SUM(l_extendedprice), 2), 0.0) AS revenue
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate < TIMESTAMP '1998-07-01 00:00:00'
+         |  GROUP BY 1, 2),
+         |rev_l AS (
+         |  SELECT p_brand, l_partkey,
+         |         greatest(ROUND(SUM(l_extendedprice), 2), 0.0) AS revenue
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1998-07-01 00:00:00'
+         |  GROUP BY 1, 2),
+         |ce AS (SELECT l_partkey, ${abcClassCase} AS abc_early
+         |       FROM (${abcWindowed("rev_e")})),
+         |cl AS (SELECT l_partkey, ${abcClassCase} AS abc_late
+         |       FROM (${abcWindowed("rev_l")})),
+         |fj AS (SELECT COALESCE(ce.abc_early, 'N') AS abc_early,
+         |         COALESCE(cl.abc_late, 'N') AS abc_late
+         |       FROM ce FULL OUTER JOIN cl USING (l_partkey)),
+         |m AS (SELECT abc_early, abc_late,
+         |        CAST(count(*) AS BIGINT) AS n_parts
+         |      FROM fj GROUP BY 1, 2),
+         |tot AS (SELECT CAST(SUM(n_parts) AS BIGINT) AS n_total FROM m)
+         |SELECT abc_early, abc_late, n_parts,
+         |  CAST((n_parts * 1000000) // greatest(n_total, 1) AS BIGINT)
+         |    AS share_ppm
+         |FROM m CROSS JOIN tot""".stripMargin,
+
+    // the same dense month spine (scalar-list range over the 1-row
+    // global span — never the lateral table function), the same two
+    // lags over one part-partition window, integer-exact error sums
+    "fca_mase" ->
+      """WITH obs AS (
+        |  SELECT l_partkey,
+        |    CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1
+        |      AS BIGINT) AS m,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |sp AS (SELECT MIN(m) AS m0, MAX(m) AS m1 FROM obs),
+        |spine AS (SELECT l_partkey, unnest(range(m0, m1 + 1)) AS m
+        |          FROM (SELECT DISTINCT l_partkey FROM obs)
+        |          CROSS JOIN sp),
+        |dense AS (SELECT s.l_partkey, s.m, COALESCE(o.qty, 0) AS qty
+        |          FROM spine s LEFT JOIN obs o
+        |            ON s.l_partkey = o.l_partkey AND s.m = o.m),
+        |lg AS (SELECT l_partkey, qty,
+        |         lag(qty, 1) OVER (PARTITION BY l_partkey ORDER BY m)
+        |           AS lag1,
+        |         lag(qty, 12) OVER (PARTITION BY l_partkey ORDER BY m)
+        |           AS lag12
+        |       FROM dense)
+        |SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_eval,
+        |  CAST(SUM(abs(qty - lag12)) AS BIGINT) AS sae_seasonal,
+        |  CAST(SUM(abs(qty - lag1)) AS BIGINT) AS sae_naive1,
+        |  CAST((SUM(abs(qty - lag12)) * 1000000)
+        |    // nullif(SUM(abs(qty - lag1)), 0) AS BIGINT) AS mase_ppm
+        |FROM lg WHERE lag12 IS NOT NULL GROUP BY 1""".stripMargin,
 
     // same month index (year·12 + month − 1), same customer-grain
     // first-month, (cohort, age) rollup and cohort-partition cumsum

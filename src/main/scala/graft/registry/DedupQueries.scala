@@ -31,6 +31,9 @@ object DedupQueries {
         .select(col("doc_id"),
           array_join(col("sig").cast("array<string>"), ",").as("sig_str"))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.sharedPairs(s, d)),
+    // X218: cross-source duplicate-flow matrix — the LSH pair set
+    // aggregated by canonical (source, source) endpoint pair
+    "dedup_source_matrix" -> ((s, d) => Dedup.sourceDupMatrix(s, d)),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(docs(s, d), shingles = sh(s, d))),
     "dedup_simhash_pairs" -> ((s, d) =>
@@ -518,6 +521,26 @@ object DedupQueries {
          |       FROM sym)
          |SELECT doc_id, neighbor, jac_e6, rk FROM rk
          |WHERE rk <= 3""".stripMargin,
+
+    // the same LSH pair CTEs, endpoints joined to their sources,
+    // canonical unordered (least, greatest) cell + ppm share
+    "dedup_source_matrix" ->
+      s"""WITH $ShinglesCte, $SigCte, $LshBandCtes,
+         |lp AS ($LshPairsSelect),
+         |sj AS (SELECT least(da.source, db.source) AS source_lo,
+         |         greatest(da.source, db.source) AS source_hi
+         |       FROM lp JOIN documents da ON lp.a_id = da.doc_id
+         |               JOIN documents db ON lp.b_id = db.doc_id),
+         |cl AS (SELECT source_lo, source_hi,
+         |         CAST(count(*) AS BIGINT) AS n_pairs
+         |       FROM sj GROUP BY 1, 2),
+         |tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS n_total FROM cl)
+         |SELECT source_lo, source_hi, n_pairs,
+         |  CAST((n_pairs * 1000000) // greatest(n_total, 1) AS BIGINT)
+         |    AS share_ppm,
+         |  CAST(CASE WHEN source_lo = source_hi THEN 1 ELSE 0 END
+         |    AS BIGINT) AS is_intra
+         |FROM cl CROSS JOIN tot""".stripMargin,
 
     // full-outer pair-key join of the LSH candidates and the exact
     // (df-capped) Jaccard pairs; -1 marks the absent side

@@ -812,4 +812,52 @@ class AnalyticsSpec extends SparkSpec {
     val shareSum = got.map(_._4).sum
     assert(shareSum > 999900L && shareSum <= 1000000L, shareSum.toString)
   }
+
+  test("abcMigration on the fixture: every part counted once, classes " +
+    "well-formed, shares sum to ~1e6") {
+    val got = graft.analytics.Analytics.abcMigration(spark, SfDir)
+      .as[(String, String, Long, Long)].collect()
+    graft.core.CacheBay.drain()
+    val classes = Set("A", "B", "C", "N")
+    assert(got.nonEmpty && got.length <= 16)
+    assert(got.forall(c => classes(c._1) && classes(c._2)))
+    // the (N, N) cell cannot exist: a part absent from BOTH periods
+    // never enters either leg
+    assert(!got.exists(c => c._1 == "N" && c._2 == "N"))
+    val nParts = graft.core.Tables(spark, SfDir, "lineitem")
+      .select(col("l_partkey")).distinct().count()
+    assert(got.map(_._3).sum == nParts)
+    val shareSum = got.map(_._4).sum
+    assert(shareSum > 999900L && shareSum <= 1000000L, shareSum.toString)
+  }
+
+  test("seasonalNaiveMase: a perfectly seasonal series scores 0, a " +
+    "constant series has no scale (NULL), hand case exact") {
+    val d = java.sql.Date.valueOf(_: String)
+    def yearRows(part: Long, y: Int, qs: Seq[Int]) =
+      qs.zipWithIndex.map { case (q, i) =>
+        (part, d(f"$y-${i + 1}%02d-15"), q.toDouble) }
+    val li = (
+      // part 1: same 12-month profile both years → seasonal error 0
+      yearRows(1L, 1995, 1 to 12) ++ yearRows(1L, 1996, 1 to 12) ++
+      // part 2: constant 5 → both error sums 0, mase undefined
+      yearRows(2L, 1995, Seq.fill(12)(5)) ++
+        yearRows(2L, 1996, Seq.fill(12)(5)) ++
+      // part 3: year2 = year1 + 2 per month → sae12 = 24;
+      // lag-1 diffs equal part 1's within-year walk
+      yearRows(3L, 1995, 1 to 12) ++ yearRows(3L, 1996, 3 to 14))
+      .toDF("l_partkey", "l_shipdate", "l_quantity")
+    val got = graft.analytics.Analytics.seasonalNaiveMase(li)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    // eval window = months 13..24 of the global span, for every part
+    assert(got(1L)._1 == 12L && got(2L)._1 == 12L && got(3L)._1 == 12L)
+    // part 1: seasonal naive is perfect; lag-1 walk = |1-12| + 11×1
+    assert(got(1L) == ((12L, 0L, 22L, 0L)))
+    // part 2: constant — no scale, NULL mase
+    assert(got(2L) == ((12L, 0L, 0L, -1L)))
+    // part 3: +2 every month vs last year; lag-1: |3-12|=9 + 11×1=20
+    assert(got(3L) == ((12L, 24L, 20L, 24L * 1000000L / 20L)))
+  }
 }

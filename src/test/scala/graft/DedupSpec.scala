@@ -295,4 +295,26 @@ class DedupSpec extends SparkSpec {
     assert(got(41L) === (("srcA", 0L)))
     assert(got(40L) === (("srcC", 1L)) && got(50L) === (("srcA", 1L)))
   }
+
+  test("sourceDupMatrix: cells equal an independent recount of the " +
+    "shared pair set, canonical order, intra flag, ppm shares") {
+    val pairs = Dedup.sharedPairs(spark, SfDir)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    val srcOf = graft.core.Tables(spark, SfDir, "documents")
+      .select(col("doc_id"), col("source")).as[(Long, String)]
+      .collect().toMap
+    val expected = pairs
+      .map { case (a, b) =>
+        val (sa, sb) = (srcOf(a), srcOf(b))
+        (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = Dedup.sourceDupMatrix(spark, SfDir)
+      .as[(String, String, Long, Long, Long)].collect()
+    graft.core.CacheBay.drain()
+    assert(got.map(c => (c._1, c._2) -> c._3).toMap == expected)
+    assert(got.forall(c => c._1 <= c._2))
+    assert(got.forall(c => (c._5 == 1L) == (c._1 == c._2)))
+    val total = got.map(_._3).sum
+    assert(got.forall(c => c._4 == c._3 * 1000000L / total))
+  }
 }

@@ -334,6 +334,12 @@ class PlanAuditSpec extends SparkSpec {
       "events_locf_daily", "events_interp_daily",
       // 1-row part-total broadcast onto the ≤9-cell matrix
       "abc_xyz_matrix",
+      // 1-row part-total broadcast onto the ≤16-cell migration matrix
+      "abc_migration",
+      // 1-row month-span broadcast building the month spine
+      "fca_mase",
+      // 1-row pair-total broadcast onto the ≤|sources|² matrix
+      "dedup_source_matrix",
       // four 1-row sketch aggregates assembled by broadcast cross join
       "events_kmv_setops",
       // the 3-row quantile list broadcast onto the tiny bucket frame
