@@ -1677,6 +1677,41 @@ object Analytics {
         .as("avg_y"))
   }
 
+  /** Daily activity streaks per user (X220) — the gaps-and-islands
+    * read behind every "N-day streak" retention metric: consecutive
+    * active DAYS group into islands via the anchor device (day minus
+    * per-user day rank is constant exactly within a run), giving per
+    * user the active-day count, streak count, longest streak, and the
+    * CURRENT streak (the island ending on the corpus' last observed
+    * day, else 0 — a streak is "current" relative to when the data
+    * ends, not the wall clock, so the result replays). Day grain, not
+    * session grain: two visits one day are one streak day, and the
+    * engagement ladder (streak freezes, re-engagement nudges) keys on
+    * exactly this number.
+    *
+    * Scale: one distinct to (user, day) grain — the only fact-sized
+    * shuffle; the rank window and the island rollup both partition by
+    * user; output is user grain; the 1-row last-day scalar joins by
+    * broadcast. */
+  def activityStreaks(events: DataFrame): DataFrame = {
+    val days = events.select(col("user_id"),
+      to_date(col("ts")).as("day")).distinct()
+    val streaks = days
+      .withColumn("anchor", expr("date_sub(day, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY day))"))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).cast("long").as("len"),
+        max(col("day")).as("end_day"))
+    val lastDay = days.agg(max(col("day")).as("max_day"))
+    streaks.crossJoin(broadcast(lastDay))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).cast("long").as("n_active_days"),
+        count(lit(1)).cast("long").as("n_streaks"),
+        max(col("len")).cast("long").as("longest_streak"),
+        coalesce(max(when(col("end_day") === col("max_day"),
+          col("len"))), lit(0L)).cast("long").as("current_streak"))
+  }
+
   /** Cohort lifetime-value curve (X213) — the acquisition-quality
     * read every subscription/commerce planner runs: customers are
     * grouped by FIRST-purchase month, and each cohort's cumulative

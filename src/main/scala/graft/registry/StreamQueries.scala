@@ -461,6 +461,10 @@ object StreamQueries {
     }),
 
     // X174: per-user inter-event cadence stats — gap percentiles are
+    // X220: daily activity streaks — gaps-and-islands at day grain,
+    // longest + current streak per user
+    "events_streaks" -> ((s, d) =>
+      graft.analytics.Analytics.activityStreaks(Tables(s, d, "events"))),
     // the burstiness/churn features regularity models consume; one
     // sequence-key window + one keyed percentile aggregate
     "events_gap_stats" -> ((s, d) => {
@@ -1182,6 +1186,26 @@ object StreamQueries {
         |  round(quantile_cont(gap_s, 0.9), 6) AS p90_gap_s,
         |  CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
         |FROM g WHERE gap_s IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // the same anchor device (day minus per-user day rank), island
+    // rollup, 1-row last-day scalar for the current-streak flag
+    "events_streaks" ->
+      """WITH dd AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |            FROM events),
+        |rn AS (SELECT user_id, day, row_number() OVER (
+        |         PARTITION BY user_id ORDER BY day) AS rn
+        |       FROM dd),
+        |st AS (SELECT user_id, day - CAST(rn AS INT) AS anchor,
+        |         CAST(count(*) AS BIGINT) AS len, MAX(day) AS end_day
+        |       FROM rn GROUP BY 1, 2),
+        |mx AS (SELECT MAX(day) AS max_day FROM dd)
+        |SELECT user_id,
+        |  CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |  CAST(count(*) AS BIGINT) AS n_streaks,
+        |  CAST(MAX(len) AS BIGINT) AS longest_streak,
+        |  CAST(COALESCE(MAX(CASE WHEN end_day = max_day THEN len END),
+        |    0) AS BIGINT) AS current_streak
+        |FROM st CROSS JOIN mx GROUP BY 1""".stripMargin,
 
     // generate_series spine over the same span; last_value IGNORE
     // NULLS is DuckDB's LOCF spelling

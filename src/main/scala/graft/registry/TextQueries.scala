@@ -64,6 +64,10 @@ object TextQueries {
 
     "text_surprisal" -> ((s, d) =>
       graft.text.CorpusStats.surprisalScores(docs(s, d))),
+    // X219: bigram conditional surprisal — the word-order-sensitive
+    // second-order leg of the perplexity quality filter
+    "text_bigram_surprisal" -> ((s, d) =>
+      graft.text.CorpusStats.bigramSurprisalScores(docs(s, d))),
     "text_vocab_growth" -> ((s, d) =>
       graft.text.CorpusStats.vocabGrowth(docs(s, d))),
     "text_dsir_weights" -> ((s, d) =>
@@ -616,6 +620,32 @@ object TextQueries {
          |  COALESCE(a.total_bits, 0) AS total_bits,
          |  CAST(COALESCE((a.total_bits * 1000000) // a.n_tokens, 0)
          |    AS BIGINT) AS bits_per_token_e6
+         |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
+
+    // same bigram extraction as text_collocations, bits at bigram-TYPE
+    // grain conditioned on the head's bigram count, instance rollup
+    "text_bigram_surprisal" ->
+      s"""WITH $TokCte,
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+         |         i -> w[i] || ' ' || w[i + 1])) AS bigram
+         |       FROM tw),
+         |bi AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n_ab
+         |       FROM bg GROUP BY 1),
+         |hd AS (SELECT string_split(bigram, ' ')[1] AS a,
+         |         CAST(SUM(n_ab) AS BIGINT) AS n_a
+         |       FROM bi GROUP BY 1),
+         |ty AS (SELECT bigram,
+         |         CAST(length(format('{:b}', n_a // n_ab)) AS BIGINT)
+         |           AS bits
+         |       FROM bi JOIN hd ON string_split(bigram, ' ')[1] = hd.a),
+         |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |        CAST(SUM(bits) AS BIGINT) AS total_bits
+         |      FROM bg JOIN ty USING (bigram) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(a.n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(a.total_bits, 0) AS total_bits,
+         |  CAST(COALESCE((a.total_bits * 1000000) // a.n_bigrams, 0)
+         |    AS BIGINT) AS bits_per_bigram_e6
          |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
 
     // integer tf-idf score: (tf · 1e6 · n_docs) // (df · dl) — exact

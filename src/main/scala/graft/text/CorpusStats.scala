@@ -143,6 +143,52 @@ object CorpusStats {
           .as("bits_per_token_e6"))
   }
 
+  /** Integer bits-per-bigram CONDITIONAL perplexity proxy (X219) —
+    * the second-order CCNet-style quality filter [[surprisalScores]]
+    * can't be: a unigram LM scores scrambled word order identically
+    * to fluent text, while the conditional surprisal of w₂ given w₁,
+    * −log2(c(w₁w₂)/c_head(w₁)), spikes on unseen-order token soup.
+    * Same floor-bits device as the unigram filter: `bits =
+    * bit_length(c_head div c_ab)` ∈ [surprisal, surprisal+1) — an
+    * integer both engines compute identically, so the per-doc sum
+    * never hits float accumulation-order drift. c_head(w₁) is w₁'s
+    * count as a bigram HEAD (non-final positions), so probabilities
+    * condition on exactly the events being scored and Σp(·|w₁) = 1.
+    *
+    * Shape: bigram instances explode once (linear in tokens); counts
+    * aggregate at bigram-TYPE grain; the head rollup derives from the
+    * type frame (vocabulary-sized, not instance-sized); bits attach
+    * at type grain and ONE bigram-keyed equi-join streams instances
+    * past them — no broadcast of anything vocabulary-sized. */
+  def bigramSurprisalScores(docs: DataFrame): DataFrame = {
+    val t = graft.core.CacheBay.register(
+      docs.select(col("doc_id"), tokenArray(col("text")).as("w")))
+    val exb = graft.core.CacheBay.register(
+      t.select(col("doc_id"),
+        explode(wordShinglesOf(col("w"), 2)).as("bigram")))
+    val bi = graft.core.CacheBay.register(
+      exb.groupBy(col("bigram"))
+        .agg(count(lit(1)).cast("long").as("n_ab")))
+    val heads = bi
+      .withColumn("a", split(col("bigram"), " ").getItem(0))
+      .groupBy(col("a")).agg(sum(col("n_ab")).cast("long").as("n_a"))
+    val types = bi
+      .withColumn("a", split(col("bigram"), " ").getItem(0))
+      .join(heads, Seq("a"))
+      .select(col("bigram"),
+        length(bin(expr("n_a div n_ab"))).cast("long").as("bits"))
+    val agg = exb.join(types, Seq("bigram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(col("bits")).cast("long").as("total_bits"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("total_bits"), lit(0L)).as("total_bits"),
+        coalesce(expr("(total_bits * 1000000) div n_bigrams"), lit(0L))
+          .as("bits_per_bigram_e6"))
+  }
+
   val TfIdfK = 3
 
   /** Top-k TF-IDF terms per document — the per-doc keyword extractor

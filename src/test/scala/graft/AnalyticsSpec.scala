@@ -831,6 +831,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(shareSum > 999900L && shareSum <= 1000000L, shareSum.toString)
   }
 
+  test("activityStreaks: islands split on missing days, current " +
+    "streak only for runs ending on the last observed day") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val events = Seq(
+      // user 1: Jan 1-3, Jan 5, Jan 7-8 (8th = corpus last day);
+      // two events on Jan 2 must collapse to one streak day
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-02 09:00:00")),
+      (1L, ts("2024-01-02 23:00:00")), (1L, ts("2024-01-03 01:00:00")),
+      (1L, ts("2024-01-05 12:00:00")), (1L, ts("2024-01-07 08:00:00")),
+      (1L, ts("2024-01-08 20:00:00")),
+      // user 2: Jan 1-2 only — streak does not reach the last day
+      (2L, ts("2024-01-01 11:00:00")), (2L, ts("2024-01-02 11:00:00")))
+      .toDF("user_id", "ts")
+    val got = graft.analytics.Analytics.activityStreaks(events)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((6L, 3L, 3L, 2L)))
+    assert(got(2L) == ((2L, 1L, 2L, 0L)))
+  }
+
   test("seasonalNaiveMase: a perfectly seasonal series scores 0, a " +
     "constant series has no scale (NULL), hand case exact") {
     val d = java.sql.Date.valueOf(_: String)

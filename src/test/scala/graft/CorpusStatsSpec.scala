@@ -434,4 +434,23 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r("mono") == ((4L, 1L, 0L, 1000000L)))
     assert(r("mix") == ((4L, 3L, 1500000L, 2000000L)))
   }
+
+  test("bigramSurprisalScores: conditional bits exact; no-bigram docs " +
+    "report zeros") {
+    val docs = Seq(
+      (0L, "a b a b a b"), // bigrams: "a b"×3, "b a"×2
+      (1L, "a c"),         // "a c"×1
+      (2L, "z"))           // one token, no bigrams
+      .toDF("doc_id", "text")
+    val got = CorpusStats.bigramSurprisalScores(docs)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    graft.core.CacheBay.drain()
+    // heads: c_head(a)=4, c_head(b)=2
+    // bits("a b") = bitlen(4 div 3) = 1; bits("b a") = bitlen(2 div 2)
+    // = 1; bits("a c") = bitlen(4 div 1) = 3
+    assert(got(0L) == ((5L, 5L, 1000000L)))
+    assert(got(1L) == ((1L, 3L, 3000000L)))
+    assert(got(2L) == ((0L, 0L, 0L)))
+  }
 }

@@ -338,6 +338,8 @@ class PlanAuditSpec extends SparkSpec {
       "abc_migration",
       // 1-row month-span broadcast building the month spine
       "fca_mase",
+      // 1-row last-day scalar broadcast for the current-streak flag
+      "events_streaks",
       // 1-row pair-total broadcast onto the ≤|sources|² matrix
       "dedup_source_matrix",
       // four 1-row sketch aggregates assembled by broadcast cross join
