@@ -969,6 +969,44 @@ object Dedup {
         coalesce(col("n_votes"), lit(0L)).cast("long").as("maj_votes"))
   }
 
+  /** Post-dedup source-mix shift (X222) — the composition check run
+    * AFTER near-dup dedup and BEFORE training: keeping one canonical
+    * representative per cluster changes the SOURCE MIX (a heavily
+    * self-duplicating feed shrinks, a clean feed's share grows), and
+    * a mix that silently moved is a training-distribution change the
+    * curator must sign off on. Per source: docs before, canonical
+    * reps kept, integer-ppm drop rate, and the corpus mix share
+    * before vs after — the before/after delta IS the distribution
+    * shift. Singleton docs are their own cluster's rep, so every doc
+    * is counted exactly once on each side.
+    *
+    * Scale shape: one doc-key equi-join of the (doc_id, source)
+    * projection against the rep flags, one source-grain aggregate,
+    * 1-row totals broadcast onto the ≤|sources| frame; the expensive
+    * LSH + connected-components half is [[sharedClusters]],
+    * materialized once per session. */
+  def dedupMixShift(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.core.Tables(spark, dir, "documents")
+    val reps = canonicalReps(docs,
+      clusterLabels = Some(sharedClusters(spark, dir)))
+    val per = docs.select(col("doc_id"), col("source"))
+      .join(reps.select(col("doc_id"), col("is_rep")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("docs_before"),
+        sum(col("is_rep")).cast("long").as("docs_kept"))
+    per.crossJoin(broadcast(per.agg(
+        sum(col("docs_before")).cast("long").as("t_before"),
+        sum(col("docs_kept")).cast("long").as("t_kept"))))
+      .select(col("source"), col("docs_before"), col("docs_kept"),
+        expr("((docs_before - docs_kept) * 1000000) div docs_before")
+          .cast("long").as("drop_ppm"),
+        expr("(docs_before * 1000000) div greatest(t_before, 1)")
+          .cast("long").as("mix_before_ppm"),
+        expr("(docs_kept * 1000000) div greatest(t_kept, 1)")
+          .cast("long").as("mix_after_ppm"))
+  }
+
   /** Cross-source duplicate-flow matrix (X218) — the provenance read
     * a corpus curator runs off the near-dup pair set: aggregating the
     * MinHash-LSH pairs by their endpoints' (source, source) tells you

@@ -34,6 +34,9 @@ object DedupQueries {
     // X218: cross-source duplicate-flow matrix — the LSH pair set
     // aggregated by canonical (source, source) endpoint pair
     "dedup_source_matrix" -> ((s, d) => Dedup.sourceDupMatrix(s, d)),
+    // X222: post-dedup source-mix shift — per-source keep rate and
+    // the corpus mix before vs after canonical-rep dedup
+    "dedup_mix_shift" -> ((s, d) => Dedup.dedupMixShift(s, d)),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(docs(s, d), shingles = sh(s, d))),
     "dedup_simhash_pairs" -> ((s, d) =>
@@ -521,6 +524,33 @@ object DedupQueries {
          |       FROM sym)
          |SELECT doc_id, neighbor, jac_e6, rk FROM rk
          |WHERE rk <= 3""".stripMargin,
+
+    // the same recursive-closure cluster labels + quality-ranked rep
+    // pick as dedup_canonical_reps, rolled up to source grain
+    "dedup_mix_shift" ->
+      s"""WITH RECURSIVE $ClusterCtes,
+         |q AS (SELECT doc_id, ${TextQueries.qualitySql} AS quality
+         |      FROM documents),
+         |j AS (SELECT cl.doc_id, cl.cluster_id, q.quality,
+         |        row_number() OVER (PARTITION BY cl.cluster_id
+         |          ORDER BY q.quality DESC, cl.doc_id) AS rk
+         |      FROM cl JOIN q USING (doc_id)),
+         |rp AS (SELECT doc_id, CASE WHEN rk = 1 THEN 1 ELSE 0 END
+         |         AS is_rep FROM j),
+         |per AS (SELECT d.source,
+         |          CAST(count(*) AS BIGINT) AS docs_before,
+         |          CAST(SUM(is_rep) AS BIGINT) AS docs_kept
+         |        FROM documents d JOIN rp USING (doc_id) GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(docs_before) AS BIGINT) AS t_before,
+         |          CAST(SUM(docs_kept) AS BIGINT) AS t_kept FROM per)
+         |SELECT source, docs_before, docs_kept,
+         |  CAST(((docs_before - docs_kept) * 1000000) // docs_before
+         |    AS BIGINT) AS drop_ppm,
+         |  CAST((docs_before * 1000000) // greatest(t_before, 1)
+         |    AS BIGINT) AS mix_before_ppm,
+         |  CAST((docs_kept * 1000000) // greatest(t_kept, 1)
+         |    AS BIGINT) AS mix_after_ppm
+         |FROM per CROSS JOIN tot""".stripMargin,
 
     // the same LSH pair CTEs, endpoints joined to their sources,
     // canonical unordered (least, greatest) cell + ppm share

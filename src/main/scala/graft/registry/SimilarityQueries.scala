@@ -84,6 +84,9 @@ object SimilarityQueries {
     // X207: IVF cell-occupancy balance — ANN index-health audit over
     // the deterministic seed-center assignment
     "sim_ivf_balance" -> ((s, d) => Similarity.ivfBalanceAudit(emb(s, d))),
+    // X221: IVF cell label purity — the clustering-eval purity metric
+    // per cell of the same deterministic assignment
+    "sim_cell_purity" -> ((s, d) => Similarity.cellPurityAudit(emb(s, d))),
     // X211: semantic-dedup threshold calibration sweep over the
     // bounded keeper-star candidate pairs
     "sim_threshold_calibration" -> ((s, d) => {
@@ -324,6 +327,38 @@ object SimilarityQueries {
          |  CAST(CASE WHEN n_vecs * m_cells > 2 * n_total THEN 1 ELSE 0
          |    END AS BIGINT) AS is_hot
          |FROM occ CROSS JOIN tot CROSS JOIN mc""".stripMargin,
+
+    // the same seed-center assignment chain as sim_ivf_balance, label
+    // joined at vec grain, majority pick ties -> lowest label
+    "sim_cell_purity" ->
+      s"""WITH $ECte,
+         |c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+         |               AS INT) AS cell, v AS cv
+         |      FROM (SELECT vec_id, v FROM e WHERE vec_id % 5 = 2
+         |            ORDER BY vec_id LIMIT 16)),
+         |dd AS (SELECT e.vec_id, c.cell,
+         |         list_sum(list_transform(cv, x -> x * x))
+         |           - 2.0 * ${dotSql("v", "cv")} AS d
+         |       FROM e CROSS JOIN c),
+         |rk AS (SELECT vec_id, cell, row_number() OVER (
+         |         PARTITION BY vec_id ORDER BY d, cell) AS r
+         |       FROM dd),
+         |asg AS (SELECT rk.vec_id, CAST(rk.cell AS BIGINT) AS cell,
+         |          CAST(em.label AS BIGINT) AS label
+         |        FROM rk JOIN embeddings em ON rk.vec_id = em.vec_id
+         |        WHERE rk.r = 1),
+         |bl AS (SELECT cell, label, CAST(count(*) AS BIGINT) AS n_lab
+         |       FROM asg GROUP BY 1, 2),
+         |wn AS (SELECT cell, label, n_lab,
+         |         CAST(SUM(n_lab) OVER (PARTITION BY cell) AS BIGINT)
+         |           AS n_vecs,
+         |         row_number() OVER (PARTITION BY cell
+         |           ORDER BY n_lab DESC, label) AS rk2
+         |       FROM bl)
+         |SELECT cell, n_vecs, label AS maj_label, n_lab AS n_maj,
+         |  CAST((n_lab * 1000000) // greatest(n_vecs, 1) AS BIGINT)
+         |    AS purity_ppm
+         |FROM wn WHERE rk2 = 1""".stripMargin,
 
     // same keeper-star candidate pairs as sim_semantic_dedup, same
     // µunit quantization, bounded threshold-ladder cross join

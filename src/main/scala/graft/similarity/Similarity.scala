@@ -870,6 +870,44 @@ object Similarity {
 
   /** The semantic-dedup threshold ladder swept by
     * [[thresholdCalibration]] (cosine µunits). */
+  /** IVF cell label-purity audit (X221) — the clustering-eval purity
+    * metric read per index cell: a cell whose members mostly share
+    * one label is coherent (probes inside it return same-class
+    * neighbors); low-purity cells mark boundary regions where ANN
+    * recall decays into wrong-class results — together with
+    * [[ivfBalanceAudit]] this is the retrain-the-quantizer dashboard.
+    * Per cell of the deterministic [[seedCenters]] assignment (ties →
+    * lowest cell, both engines): occupancy, majority label (ties →
+    * lowest label), majority count, integer-ppm purity.
+    *
+    * Scale shape: the broadcast-sized center set against a linear
+    * corpus scan (argmin is map work), one (cell, label) aggregate,
+    * one cell-partitioned window over the ≤ cells·labels grain —
+    * nothing corpus-sized shuffles twice. */
+  def cellPurityAudit(emb: DataFrame, nCells: Int = 16): DataFrame = {
+    val centers = seedCenters(emb, nCells)
+    val sorted = array_sort(array(centerDistStructs(centers): _*))
+    val assigned = graft.core.Spread(emb)
+      .select(col("label").cast("long").as("label"),
+        asDouble(col("embedding")).as("v"))
+      .select(col("label"),
+        sorted.getItem(0).getField("cell").cast("long").as("cell"))
+    val byLab = assigned.groupBy(col("cell"), col("label"))
+      .agg(count(lit(1)).cast("long").as("n_lab"))
+    import org.apache.spark.sql.expressions.Window
+    byLab
+      .withColumn("n_vecs",
+        sum(col("n_lab")).over(Window.partitionBy(col("cell")))
+          .cast("long"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("cell"))
+        .orderBy(desc("n_lab"), asc("label"))))
+      .filter(col("rk") === 1)
+      .select(col("cell"), col("n_vecs"), col("label").as("maj_label"),
+        col("n_lab").as("n_maj"),
+        expr("(n_lab * 1000000) div greatest(n_vecs, 1)")
+          .cast("long").as("purity_ppm"))
+  }
+
   val CalibThresholdsE6: Seq[Long] =
     Seq(800000L, 850000L, 900000L, 925000L, 950000L, 975000L, 990000L)
 

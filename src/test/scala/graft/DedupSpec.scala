@@ -296,6 +296,25 @@ class DedupSpec extends SparkSpec {
     assert(got(40L) === (("srcC", 1L)) && got(50L) === (("srcA", 1L)))
   }
 
+  test("dedupMixShift: before counts match the raw source histogram, " +
+    "kept totals the cluster count, ppm arithmetic exact") {
+    val docsT = graft.core.Tables(spark, SfDir, "documents")
+    val before = docsT.groupBy(col("source")).count()
+      .as[(String, Long)].collect().toMap
+    val nClusters = Dedup.sharedClusters(spark, SfDir)
+      .select(col("cluster_id")).distinct().count()
+    val got = Dedup.dedupMixShift(spark, SfDir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    graft.core.CacheBay.drain()
+    assert(got.map(r => r._1 -> r._2).toMap == before)
+    assert(got.map(_._3).sum == nClusters)
+    val (tb, tk) = (got.map(_._2).sum, got.map(_._3).sum)
+    assert(got.forall(r => r._3 <= r._2))
+    assert(got.forall(r => r._4 == (r._2 - r._3) * 1000000L / r._2))
+    assert(got.forall(r => r._5 == r._2 * 1000000L / tb &&
+      r._6 == r._3 * 1000000L / tk))
+  }
+
   test("sourceDupMatrix: cells equal an independent recount of the " +
     "shared pair set, canonical order, intra flag, ppm shares") {
     val pairs = Dedup.sharedPairs(spark, SfDir)

@@ -342,6 +342,8 @@ class PlanAuditSpec extends SparkSpec {
       "events_streaks",
       // 1-row pair-total broadcast onto the ≤|sources|² matrix
       "dedup_source_matrix",
+      // 1-row before/after totals broadcast onto the ≤|sources| frame
+      "dedup_mix_shift",
       // four 1-row sketch aggregates assembled by broadcast cross join
       "events_kmv_setops",
       // the 3-row quantile list broadcast onto the tiny bucket frame

@@ -395,6 +395,29 @@ class SimilaritySpec extends SparkSpec {
     assert(hot._1 == 17L && hot._2 == 1L, s"x cells: $r")
   }
 
+  test("cellPurityAudit: pure cells score 1e6, a tied cell picks the " +
+    "lowest label at half purity, occupancies total the corpus") {
+    // same pole geometry as the balance spec; labels: all 1 except
+    // the y-cell pair {3, 7} which splits {5, 9} — a tie, so the
+    // majority pick must take label 5 at purity 500000
+    val emb = ((0L to 19L).map {
+      case i @ (7L | 3L) =>
+        (i, Seq(0.0f, 1.0f, 0.0f), if (i == 3L) 5L else 9L)
+      case i @ 17L => (i, Seq(0.0f, 0.0f, 1.0f), 1L)
+      case i @ 12L => (i, Seq(1.0f, 0.02f, 0.0f), 1L)
+      case i => (i, Seq(1.0f, 0.0f, 0.001f * i), 1L)
+    }).toDF("vec_id", "embedding", "label")
+    val r = Similarity.cellPurityAudit(emb, nCells = 4)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4, x._5))).toMap
+    assert(r.values.map(_._1).sum == 20L)
+    assert(r(1L) == ((2L, 5L, 1L, 500000L)), s"y-cell: ${r.get(1L)}")
+    assert(r(3L) == ((1L, 1L, 1L, 1000000L)), s"z-cell: ${r.get(3L)}")
+    // every x-pole member is label 1 → both x cells are pure
+    assert(r(0L)._2 == 1L && r(0L)._4 == 1000000L)
+    assert(r(2L)._2 == 1L && r(2L)._4 == 1000000L)
+  }
+
   test("thresholdCalibration: scaled copies count at every rung; " +
     "ladder counts are monotone non-increasing") {
     // v1/v2 are scaled copies of keeper v0 (cos exactly 1 → one
