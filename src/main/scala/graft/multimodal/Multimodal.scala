@@ -168,6 +168,56 @@ object Multimodal {
       }
     }
 
+  /** |sample| at or above this counts as clipped — just under PCM16
+    * full scale, the loudness-war / hot-mic territory a recording
+    * audit flags. */
+  val ClipThreshold = 30000L
+
+  /** A clip is declared when more than 1% of samples sit at the rail. */
+  val ClipPpmBar = 10000L
+
+  case class PcmClipping(doc_id: Long, n_samples: Long, n_clipped: Long,
+    clip_ppm: Long, is_clipped: Long)
+
+  /** Clipping-rate audit over the same PCM16LE decode (X225) — the
+    * audio-QC screen run before feature extraction: a waveform pinned
+    * at the amplitude rail is distorted at the SOURCE, and no
+    * downstream normalization recovers it, so clipped clips are
+    * quarantined (or gain-staged) before training the audio tower.
+    * Per clip: sample count, samples at |s| ≥ [[ClipThreshold]],
+    * integer-ppm clip rate, and the quarantine flag at
+    * [[ClipPpmBar]]. All integer comparisons on the exact decoded
+    * samples, so the audit hash-matches the SQL replay (the X13
+    * oracle device). Same batched `mapPartitions` seam as
+    * [[decodePcm16]]. */
+  def decodePcmClipping(batch: Seq[MediaRecord],
+      threshold: Long = ClipThreshold): Seq[PcmClipping] =
+    batch.flatMap { r =>
+      val b = r.payload
+      val n = b.length / 2
+      if (n == 0) None
+      else {
+        var i = 0; var clipped = 0L
+        while (i < n) {
+          val s = (b(2 * i + 1).toInt << 8) | (b(2 * i) & 0xff)
+          if (math.abs(s.toLong) >= threshold) clipped += 1
+          i += 1
+        }
+        val ppm = clipped * 1000000L / n
+        Some(PcmClipping(r.doc_id, n.toLong, clipped, ppm,
+          if (ppm > ClipPpmBar) 1L else 0L))
+      }
+    }
+
+  /** Clipping-audit query over the media table. */
+  def pcmClipping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .mapPartitions(_.grouped(DecodeBatchSize)
+        .flatMap(b => decodePcmClipping(b)))
+      .toDF()
+  }
+
   /** Short-time-energy query over the media table. */
   def pcmWindowEnergy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

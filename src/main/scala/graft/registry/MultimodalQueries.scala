@@ -20,6 +20,10 @@ object MultimodalQueries {
     // to end, so the real decode hash-matches the SQL replay
     "multimodal_pcm_energy" -> ((s, d) =>
       Multimodal.pcmWindowEnergy(s, d)),
+    // X225: clipping-rate audit over the same PCM decode — integer
+    // rail comparisons, quarantine flag past 1% of samples
+    "multimodal_pcm_clipping" -> ((s, d) =>
+      Multimodal.pcmClipping(s, d)),
     "multimodal_image_decode" -> ((s, d) => Multimodal.imageFeatures(s, d)),
     "multimodal_ahash" -> ((s, d) => Multimodal.imageHashes(s, d)),
     "multimodal_ahash_pairs" -> ((s, d) =>
@@ -90,6 +94,31 @@ object MultimodalQueries {
         |    i -> CASE WHEN (smp[i] >= 0) <> (smp[i-1] >= 0)
         |              THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_cross
         |FROM s""".stripMargin,
+
+    // same sample decode, rail count via list_filter, ppm + 1% flag
+    "multimodal_pcm_clipping" -> {
+      val th = Multimodal.ClipThreshold
+      val bar = Multimodal.ClipPpmBar
+      s"""WITH m AS (
+         |  SELECT doc_id, text FROM documents WHERE length(text) >= 2),
+         |s AS (
+         |  SELECT doc_id, list_transform(range(1, length(text)//2 + 1),
+         |    i -> CASE WHEN ascii(text[2*i:2*i]) >= 128
+         |              THEN ascii(text[2*i-1:2*i-1])
+         |                   + ascii(text[2*i:2*i]) * 256 - 65536
+         |              ELSE ascii(text[2*i-1:2*i-1])
+         |                   + ascii(text[2*i:2*i]) * 256 END) AS smp
+         |  FROM m),
+         |a AS (SELECT doc_id, CAST(len(smp) AS BIGINT) AS n_samples,
+         |        CAST(len(list_filter(smp, x -> abs(x) >= $th))
+         |          AS BIGINT) AS n_clipped
+         |      FROM s)
+         |SELECT doc_id, n_samples, n_clipped,
+         |  CAST((n_clipped * 1000000) // n_samples AS BIGINT) AS clip_ppm,
+         |  CAST(CASE WHEN (n_clipped * 1000000) // n_samples > $bar
+         |    THEN 1 ELSE 0 END AS BIGINT) AS is_clipped
+         |FROM a""".stripMargin
+    },
 
     // same sample decode, grouped to the fixed analysis window; the
     // struct-unnest carries each sample's ordinal so the window id is

@@ -87,6 +87,9 @@ object SimilarityQueries {
     // X221: IVF cell label purity — the clustering-eval purity metric
     // per cell of the same deterministic assignment
     "sim_cell_purity" -> ((s, d) => Similarity.cellPurityAudit(emb(s, d))),
+    // X224: per-dimension moment screen — the dead/collapsed
+    // dimension audit in exact quantized integers
+    "sim_dim_stats" -> ((s, d) => Similarity.dimStats(emb(s, d))),
     // X211: semantic-dedup threshold calibration sweep over the
     // bounded keeper-star candidate pairs
     "sim_threshold_calibration" -> ((s, d) => {
@@ -327,6 +330,37 @@ object SimilarityQueries {
          |  CAST(CASE WHEN n_vecs * m_cells > 2 * n_total THEN 1 ELSE 0
          |    END AS BIGINT) AS is_hot
          |FROM occ CROSS JOIN tot CROSS JOIN mc""".stripMargin,
+
+    // µunit quantization before any sum (exact Longs), floor-division
+    // mean (DuckDB // ≡ floor(double div), both engines), floor-
+    // quantized population variance clamped at 0
+    "sim_dim_stats" -> {
+      val bar = Similarity.LowVarE12
+      s"""WITH q AS (
+         |  SELECT unnest(list_transform(range(1, len(embedding) + 1),
+         |    i -> {'dim': i - 1,
+         |          'v': CAST(floor(CAST(embedding[i] AS DOUBLE)
+         |                 * 1000000 + 0.5) AS BIGINT)})) AS t
+         |  FROM embeddings),
+         |g AS (SELECT CAST(t.dim AS BIGINT) AS dim,
+         |        CAST(count(*) AS BIGINT) AS n,
+         |        CAST(SUM(t.v) AS BIGINT) AS sum_e6,
+         |        CAST(SUM(t.v * t.v) AS BIGINT) AS sumsq_e12
+         |      FROM q GROUP BY 1),
+         |g2 AS (SELECT dim, n, sum_e6,
+         |         CAST(floor(CAST(sum_e6 AS DOUBLE) / n) AS BIGINT)
+         |           AS mean_e6,
+         |         sumsq_e12
+         |       FROM g),
+         |g3 AS (SELECT dim, n, sum_e6, mean_e6,
+         |         CAST(greatest((sumsq_e12 // n) - mean_e6 * mean_e6,
+         |           0) AS BIGINT) AS varq_e12
+         |       FROM g2)
+         |SELECT dim, n, sum_e6, mean_e6, varq_e12,
+         |  CAST(CASE WHEN varq_e12 <= $bar THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_low_var
+         |FROM g3""".stripMargin
+    },
 
     // the same seed-center assignment chain as sim_ivf_balance, label
     // joined at vec grain, majority pick ties -> lowest label

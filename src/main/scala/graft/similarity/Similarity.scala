@@ -870,6 +870,51 @@ object Similarity {
 
   /** The semantic-dedup threshold ladder swept by
     * [[thresholdCalibration]] (cosine µunits). */
+  /** varq_e12 at or below this flags a low-variance dimension
+    * (≈ var < 10⁻³ in original units at the µunit² scale). */
+  val LowVarE12 = 1000000000L
+
+  /** Per-dimension embedding moment screen (X224) — the dead/collapsed
+    * dimension audit run before trusting an embedding space: a
+    * dimension whose variance is ~0 carries no information (an
+    * encoder bug, a truncated export, or dimension collapse from
+    * under-trained contrastive heads) yet still costs its share of
+    * every dot product and index byte; the screen says which
+    * dimensions to slice off (the Matryoshka-prefix decision, X-row
+    * `sim_matryoshka_recall`, assumes exactly this check ran). Values
+    * quantize ONCE to integer µunits (the X9 device) so the sums are
+    * exact Longs replayable in any engine; the mean is the FLOOR
+    * division (both engines floor: `floor(sum/n)` ≡ DuckDB `//`) and
+    * `varq_e12 = max(sumsq div n − mean², 0)` is the defined
+    * floor-quantized population variance — every verdict is integer.
+    *
+    * Scale: one posexplode (linear, ×dims), one dim-grain map-side-
+    * combinable aggregate, |dims| output rows. The µunit sum stays
+    * double-exact below 2⁵³ — asserted per dim, never silent. */
+  def dimStats(emb: DataFrame, lowVarE12: Long = LowVarE12): DataFrame = {
+    val q = graft.core.Spread(emb)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        floor(col("x").cast("double") * 1000000.0 + 0.5)
+          .cast("long").as("v"))
+    q.groupBy(col("dim"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("v")).cast("long").as("sum_e6"),
+        sum(col("v") * col("v")).cast("long").as("sumsq_e12"))
+      .select(col("dim"), col("n"), col("sum_e6"),
+        expr("coalesce(cast(assert_true(" +
+          "abs(sum_e6) <= 9007199254740992 and sumsq_e12 >= 0, " +
+          "'dim-stats sums exceed the double-exact / Long range') " +
+          "as bigint), 0) + cast(floor(sum_e6 / n) as bigint)")
+          .as("mean_e6"),
+        expr("greatest((sumsq_e12 div n) - " +
+          "cast(floor(sum_e6 / n) as bigint) * " +
+          "cast(floor(sum_e6 / n) as bigint), 0)")
+          .cast("long").as("varq_e12"))
+      .withColumn("is_low_var",
+        when(col("varq_e12") <= lowVarE12, 1L).otherwise(0L))
+  }
+
   /** IVF cell label-purity audit (X221) — the clustering-eval purity
     * metric read per index cell: a cell whose members mostly share
     * one label is coherent (probes inside it return same-class

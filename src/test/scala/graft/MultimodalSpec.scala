@@ -64,6 +64,23 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.MediaRecord(2L, "audio/pcm", Array[Byte](1), 1, 1))).isEmpty)
   }
 
+  test("decodePcmClipping: rail samples counted on both signs, ppm " +
+    "exact, flag past the 1% bar, empty payload drops") {
+    // samples: 31232 (clipped), 4096, -32752 (clipped) -> 2/3 clipped
+    val hot = Array[Byte](0x00, 0x7A, 0x00, 0x10, 0x10, 0x80.toByte)
+    // 1 of 1 below rail
+    val calm = Array[Byte](0x00, 0x10)
+    val r = Multimodal.decodePcmClipping(Seq(
+      Multimodal.MediaRecord(1L, "audio/pcm", hot, 1, 1),
+      Multimodal.MediaRecord(2L, "audio/pcm", calm, 1, 1),
+      Multimodal.MediaRecord(3L, "audio/pcm", Array[Byte](), 1, 1)))
+      .map(c => c.doc_id -> ((c.n_samples, c.n_clipped, c.clip_ppm,
+        c.is_clipped))).toMap
+    assert(r(1L) == ((3L, 2L, 666666L, 1L)))
+    assert(r(2L) == ((1L, 0L, 0L, 0L)))
+    assert(!r.contains(3L))
+  }
+
   test("decodePcmWindows: exact per-window energies, short final " +
     "window, window boundary at exactly W samples") {
     // 3 samples with window=2: win0 = {256, -1}, win1 = {-32752}

@@ -395,6 +395,27 @@ class SimilaritySpec extends SparkSpec {
     assert(hot._1 == 17L && hot._2 == 1L, s"x cells: $r")
   }
 
+  test("dimStats: constant dims flag low-var, mean uses FLOOR " +
+    "division on negative sums, variance exact in quantized units") {
+    // all values exactly representable in binary floats
+    val emb = Seq(
+      (0L, Seq(0.5f, 1.0f, 0.25f, -0.75f)),
+      (1L, Seq(0.5f, -1.0f, 0.25f, -0.75f)),
+      (2L, Seq(0.5f, 1.0f, -0.75f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.dimStats(emb)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4, x._5, x._6))).toMap
+    // dim 0: constant 0.5 → zero variance, flagged
+    assert(r(0L) == ((3L, 1500000L, 500000L, 0L, 1L)))
+    // dim 3: sum −10⁶ over 3 → floor(−333333.3) = −333334, NOT the
+    // truncated −333333; varq = 1375e9 div 3 − 333334²
+    assert(r(3L) == ((3L, -1000000L, -333334L,
+      458333333333L - 333334L * 333334L, 0L)))
+    // dims 1/2: high variance, not flagged
+    assert(r(1L)._5 == 0L && r(2L)._5 == 0L)
+  }
+
   test("cellPurityAudit: pure cells score 1e6, a tied cell picks the " +
     "lowest label at half purity, occupancies total the corpus") {
     // same pole geometry as the balance spec; labels: all 1 except
