@@ -79,4 +79,41 @@ object BloomPrune {
     bloomFilteredFact(fact, factKey, dim, dimKey, bits, hashes)
       .join(dim.select(col(dimKey).as(factKey)).distinct(),
         Seq(factKey), "left_semi")
+
+  /** Measured false-positive-rate audit of the Bloom pre-filter
+    * (X226) — the number that says whether the filter is SIZED right:
+    * the theoretical FPR formula assumes ideal hashes, but what a
+    * capacity planner needs is the measured rate on the real key
+    * domain ("this filter passes 40% of non-matching keys — the
+    * pre-shuffle reduction we're paying for isn't happening; grow m
+    * or drop the filter"). Over the DISTINCT fact-key domain: total
+    * keys, true members, Bloom passes, false positives (passes minus
+    * members — false negatives are impossible by construction) and
+    * the integer-ppm FPR among the non-member keys.
+    *
+    * Scale shape: one distinct to key grain (the only fact-sized
+    * shuffle, reused by all three counts via the per-query cache),
+    * the same bounded m/64-word filter build as
+    * [[bloomFilteredFact]], one exact semi-join for ground truth,
+    * three 1-row aggregates assembled by broadcast cross join. */
+  def bloomFprAudit(fact: DataFrame, factKey: String, dim: DataFrame,
+      dimKey: String, bits: Int = FilterBits,
+      hashes: Int = NumHashes): DataFrame = {
+    val keys = graft.core.CacheBay.register(
+      fact.select(col(factKey)).distinct())
+    val passed = bloomFilteredFact(keys, factKey, dim, dimKey,
+      bits, hashes)
+    val members = keys.join(
+      dim.select(col(dimKey).as(factKey)).distinct(),
+      Seq(factKey), "left_semi")
+    keys.agg(count(lit(1)).cast("long").as("n_keys"))
+      .crossJoin(broadcast(
+        members.agg(count(lit(1)).cast("long").as("n_true"))))
+      .crossJoin(broadcast(
+        passed.agg(count(lit(1)).cast("long").as("n_pass"))))
+      .select(col("n_keys"), col("n_true"), col("n_pass"),
+        (col("n_pass") - col("n_true")).cast("long").as("n_fp"),
+        expr("((n_pass - n_true) * 1000000) div " +
+          "greatest(n_keys - n_true, 1)").cast("long").as("fpr_ppm"))
+  }
 }

@@ -157,6 +157,14 @@ object LoadQueries {
             .cast("long").as("cents"))
     }),
 
+    // X226: measured Bloom FPR over the distinct fact-key domain —
+    // the filter-sizing number; hashes replay via the hex8 oracle
+    "maint_bloom_fpr" -> ((s, d) =>
+      graft.operators.BloomPrune.bloomFprAudit(
+        Tables(s, d, "lineitem"), "l_partkey",
+        Tables(s, d, "part").filter(col("p_brand") === "Brand#23"),
+        "p_partkey")),
+
     // both sides bucketed on the join key with the same bucket count:
     // the scan IS the join distribution — zero Exchange, spec-asserted
     // (BucketedJoinSpec); result-identity to the plain join is this
@@ -449,6 +457,36 @@ object LoadQueries {
       """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price,
         |       c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    // the filter's shared bit array reduces to position-set
+    // membership: a fact key passes iff EVERY per-hash position is
+    // some dim key's position (any hash index may have set the bit)
+    "maint_bloom_fpr" -> {
+      val bits = graft.operators.BloomPrune.FilterBits
+      val nH = graft.operators.BloomPrune.NumHashes
+      val hs = (0 until nH).mkString("[", ", ", "]")
+      def pos(key: String) = "(" + OracleSql.hex8(
+        s"md5(CAST($key AS VARCHAR) || ':' || CAST(j AS VARCHAR))") +
+        s" % $bits)"
+      s"""WITH k AS (SELECT DISTINCT l_partkey AS key FROM lineitem),
+         |d AS (SELECT DISTINCT p_partkey AS dkey FROM part
+         |      WHERE p_brand = 'Brand#23'),
+         |js AS (SELECT unnest($hs) AS j),
+         |dp AS (SELECT DISTINCT ${pos("dkey")} AS pos
+         |       FROM d CROSS JOIN js),
+         |fp AS (SELECT key, ${pos("key")} AS pos FROM k CROSS JOIN js),
+         |ps AS (SELECT key FROM fp JOIN dp USING (pos)
+         |       GROUP BY 1 HAVING count(*) = $nH),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_keys FROM k),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_true
+         |      FROM k JOIN d ON key = dkey),
+         |p AS (SELECT CAST(count(*) AS BIGINT) AS n_pass FROM ps)
+         |SELECT n_keys, n_true, n_pass,
+         |  CAST(n_pass - n_true AS BIGINT) AS n_fp,
+         |  CAST(((n_pass - n_true) * 1000000)
+         |    // greatest(n_keys - n_true, 1) AS BIGINT) AS fpr_ppm
+         |FROM a CROSS JOIN t CROSS JOIN p""".stripMargin
+    },
 
     // same perturbation, blocking, integer weights and best-match
     // window; DuckDB's damerau_levenshtein is the probed twin of

@@ -90,6 +90,9 @@ object SimilarityQueries {
     // X224: per-dimension moment screen — the dead/collapsed
     // dimension audit in exact quantized integers
     "sim_dim_stats" -> ((s, d) => Similarity.dimStats(emb(s, d))),
+    // X227: norm-collapse screen — squared norms in exact quantized
+    // integers, bucketed by the floor-log2 device
+    "sim_norm_profile" -> ((s, d) => Similarity.normProfile(emb(s, d))),
     // X211: semantic-dedup threshold calibration sweep over the
     // bounded keeper-star candidate pairs
     "sim_threshold_calibration" -> ((s, d) => {
@@ -330,6 +333,25 @@ object SimilarityQueries {
          |  CAST(CASE WHEN n_vecs * m_cells > 2 * n_total THEN 1 ELSE 0
          |    END AS BIGINT) AS is_hot
          |FROM occ CROSS JOIN tot CROSS JOIN mc""".stripMargin,
+
+    // per-element µunit quantization, exact integer Σv², floor-log2
+    // bucket via the binary-string length both engines share
+    "sim_norm_profile" ->
+      s"""WITH q AS (
+         |  SELECT list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+         |           AS BIGINT)) AS vq
+         |  FROM embeddings),
+         |s AS (SELECT CAST(list_sum(list_transform(vq, v -> v * v))
+         |        AS BIGINT) AS sumsq_e12 FROM q),
+         |b AS (SELECT CAST(length(format('{:b}', sumsq_e12)) AS BIGINT)
+         |        AS bucket, CAST(count(*) AS BIGINT) AS n_vecs
+         |      FROM s GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total FROM b)
+         |SELECT bucket, n_vecs,
+         |  CAST((n_vecs * 1000000) // greatest(n_total, 1) AS BIGINT)
+         |    AS share_ppm
+         |FROM b CROSS JOIN tot""".stripMargin,
 
     // µunit quantization before any sum (exact Longs), floor-division
     // mean (DuckDB // ≡ floor(double div), both engines), floor-

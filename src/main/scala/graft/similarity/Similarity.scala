@@ -915,6 +915,38 @@ object Similarity {
         when(col("varq_e12") <= lowVarE12, 1L).otherwise(0L))
   }
 
+  /** Embedding norm profile in power-of-2 buckets (X227) — the norm-
+    * collapse companion to [[dimStats]]: cosine retrieval is norm-
+    * blind but dot-product retrieval and most index pruning bounds
+    * are not, and a corpus whose squared norms span many octaves
+    * (mixed encoders, missing normalization, fp16 underflow) breaks
+    * both. Each vector's squared norm is summed in exact quantized
+    * integers (per-element µunit floor, then Σv², the X9 device) and
+    * bucketed by bit_length — the X110 floor-log2 device, so the
+    * histogram replays bit-identically in any engine. One spike =
+    * normalized corpus; a smear = mixed provenance to investigate.
+    *
+    * Scale: one linear pass (the per-element HOF fold is the
+    * interpreted tier — at index scale this becomes a native
+    * expression like DotProduct), one bucket-grain aggregate,
+    * ≤64 output rows, 1-row total broadcast. */
+  def normProfile(emb: DataFrame): DataFrame = {
+    val sq = graft.core.Spread(emb)
+      .select(aggregate(
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000.0 + 0.5).cast("long")),
+        lit(0L), (acc, v) => acc + v * v).as("sumsq_e12"))
+    val buckets = sq
+      .select(length(bin(col("sumsq_e12"))).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"))
+    buckets.crossJoin(broadcast(
+        buckets.agg(sum(col("n_vecs")).cast("long").as("n_total"))))
+      .select(col("bucket"), col("n_vecs"),
+        expr("(n_vecs * 1000000) div greatest(n_total, 1)")
+          .cast("long").as("share_ppm"))
+  }
+
   /** IVF cell label-purity audit (X221) — the clustering-eval purity
     * metric read per index cell: a cell whose members mostly share
     * one label is coherent (probes inside it return same-class

@@ -50,4 +50,28 @@ class BloomPruneSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(passed.contains(probe.get))
   }
+
+  test("bloomFprAudit: counts match an independent MessageDigest " +
+    "replay of the position-membership model") {
+    val fact = (1L to 400L).toDF("k")
+    val dim = (1L to 12L).toDF("k")
+    val r = BloomPrune.bloomFprAudit(fact, "k", dim, "k",
+      bits = 64, hashes = 3) // tiny filter so FPs are guaranteed
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    graft.core.CacheBay.drain()
+    // independent replay: md5 via MessageDigest, first 8 hex digits,
+    // position-set membership for all 3 hashes
+    def pos(key: Long, j: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$key:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    val dpos = (for (k <- 1L to 12L; j <- 0 until 3) yield pos(k, j)).toSet
+    val nPass = (1L to 400L).count(k =>
+      (0 until 3).forall(j => dpos(pos(k, j)))).toLong
+    assert(r == ((400L, 12L, nPass, nPass - 12L,
+      (nPass - 12L) * 1000000L / 388L)))
+    assert(nPass > 12L, "fixture produced no false positives")
+  }
 }

@@ -344,6 +344,10 @@ class PlanAuditSpec extends SparkSpec {
       "dedup_source_matrix",
       // 1-row before/after totals broadcast onto the ≤|sources| frame
       "dedup_mix_shift",
+      // three 1-row count aggregates assembled by broadcast cross join
+      "maint_bloom_fpr",
+      // 1-row corpus-total broadcast onto the ≤64-bucket histogram
+      "sim_norm_profile",
       // four 1-row sketch aggregates assembled by broadcast cross join
       "events_kmv_setops",
       // the 3-row quantile list broadcast onto the tiny bucket frame

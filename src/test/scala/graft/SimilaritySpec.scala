@@ -395,6 +395,20 @@ class SimilaritySpec extends SparkSpec {
     assert(hot._1 == 17L && hot._2 == 1L, s"x cells: $r")
   }
 
+  test("normProfile: known squared norms land in exact log2 buckets, " +
+    "zero vector in bucket 1, shares ppm-exact") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),  // Σv² = 1e12  → bit_length 40
+      (1L, Seq(2.0f, 0.0f)),  // Σv² = 4e12  → bit_length 42
+      (2L, Seq(0.0f, 0.0f)))  // Σv² = 0     → bin(0) = "0", length 1
+      .toDF("vec_id", "embedding")
+    val r = Similarity.normProfile(emb)
+      .as[(Long, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(r == Map(40L -> ((1L, 333333L)), 42L -> ((1L, 333333L)),
+      1L -> ((1L, 333333L))))
+  }
+
   test("dimStats: constant dims flag low-var, mean uses FLOOR " +
     "division on negative sums, variance exact in quantized units") {
     // all values exactly representable in binary floats
