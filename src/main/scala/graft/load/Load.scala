@@ -107,6 +107,38 @@ object Load {
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls")) :+
       count(lit(1)).as("n_rows"): _*)
 
+  /** Null-pattern histogram (X228) — the step past the per-column
+    * rates of [[nullAudit]]: which null COMBINATIONS co-occur. A
+    * feed where `value` and `status` are always null TOGETHER is one
+    * broken upstream join; independent scatter is entry noise — the
+    * pattern histogram distinguishes the two, which decides whether
+    * the fix is a join repair or row-level cleaning. Per pattern: a
+    * stable bitmask (column i of the declared list gets bit
+    * 2^(n−1−i)), the readable null-column list, row count and
+    * integer-ppm share.
+    *
+    * Scale: one map-side-combinable aggregate over the ≤2^n pattern
+    * key (n = the handful of declared columns, never the full
+    * schema); 1-row total broadcast. */
+  def nullPatterns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && cols.size <= 62,
+      "nullPatterns: 1..62 declared columns")
+    val mask = cols.zipWithIndex.map { case (c, i) =>
+      when(col(c).isNull, lit(1L << (cols.size - 1 - i)))
+        .otherwise(0L) }.reduce(_ + _)
+    val pattern = concat_ws(",",
+      cols.map(c => when(col(c).isNull, lit(c))): _*)
+    val cells = df
+      .select(mask.cast("long").as("mask"), pattern.as("null_cols"))
+      .groupBy(col("mask"), col("null_cols"))
+      .agg(count(lit(1)).cast("long").as("n_rows"))
+    cells.crossJoin(broadcast(
+        cells.agg(sum(col("n_rows")).cast("long").as("n_total"))))
+      .select(col("mask"), col("null_cols"), col("n_rows"),
+        expr("(n_rows * 1000000) div greatest(n_total, 1)")
+          .cast("long").as("share_ppm"))
+  }
+
   /** O2/§3.2: upload preview — `TOP(n) ORDER BY TRY_CONVERT(date, …)
     * DESC` (reference `SqlUpload.py:107-123`): lenient date parse as
     * the sort key, nulls last. */

@@ -326,6 +326,10 @@ object LoadQueries {
     // was dirtied to "nan" -> NULL, so the audit has real counts
     "qc_null_audit" -> ((s, d) => Load.nullAudit(coerced(s, d),
       Seq("key", "value", "status", "snapshot"))),
+    // X228: null-pattern histogram over the same coerced feed — which
+    // null combinations co-occur (joint breakage vs entry noise)
+    "qc_null_patterns" -> ((s, d) => Load.nullPatterns(coerced(s, d),
+      Seq("key", "value", "status", "snapshot"))),
 
     // S13 partition-granular MERGE (VERDICT r4 #6): seed a
     // hive-partitioned target from orders, upsert a delta touching two
@@ -662,6 +666,32 @@ object LoadQueries {
          |    AS BIGINT) AS snapshot_nulls,
          |  COUNT(*) AS n_rows
          |FROM c""".stripMargin,
+
+    // bit weights: key=8, value=4, status=2, snapshot=1 (declared
+    // order); concat_ws skips NULLs in both engines
+    "qc_null_patterns" ->
+      s"""WITH c AS ($CoerceSql),
+         |m AS (SELECT
+         |  CAST(CASE WHEN key IS NULL THEN 8 ELSE 0 END
+         |     + CASE WHEN value IS NULL THEN 4 ELSE 0 END
+         |     + CASE WHEN status IS NULL THEN 2 ELSE 0 END
+         |     + CASE WHEN snapshot IS NULL THEN 1 ELSE 0 END
+         |    AS BIGINT) AS mask,
+         |  concat_ws(',',
+         |    CASE WHEN key IS NULL THEN 'key' END,
+         |    CASE WHEN value IS NULL THEN 'value' END,
+         |    CASE WHEN status IS NULL THEN 'status' END,
+         |    CASE WHEN snapshot IS NULL THEN 'snapshot' END)
+         |    AS null_cols
+         |  FROM c),
+         |g AS (SELECT mask, null_cols, CAST(count(*) AS BIGINT)
+         |        AS n_rows
+         |      FROM m GROUP BY 1, 2),
+         |tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS n_total FROM g)
+         |SELECT mask, null_cols, n_rows,
+         |  CAST((n_rows * 1000000) // greatest(n_total, 1) AS BIGINT)
+         |    AS share_ppm
+         |FROM g CROSS JOIN tot""".stripMargin,
 
     // the expected post-upsert state recomputed directly: delta rows
     // win on their pk; everything else survives untouched

@@ -93,6 +93,10 @@ object SimilarityQueries {
     // X227: norm-collapse screen — squared norms in exact quantized
     // integers, bucketed by the floor-log2 device
     "sim_norm_profile" -> ((s, d) => Similarity.normProfile(emb(s, d))),
+    // X229: embedding-level train/eval contamination — hash split,
+    // LSH-bucket candidates, best-cosine leak flag per eval vector
+    "sim_split_leakage" -> ((s, d) =>
+      Similarity.splitLeakageAudit(emb(s, d))),
     // X211: semantic-dedup threshold calibration sweep over the
     // bounded keeper-star candidate pairs
     "sim_threshold_calibration" -> ((s, d) => {
@@ -333,6 +337,38 @@ object SimilarityQueries {
          |  CAST(CASE WHEN n_vecs * m_cells > 2 * n_total THEN 1 ELSE 0
          |    END AS BIGINT) AS is_hot
          |FROM occ CROSS JOIN tot CROSS JOIN mc""".stripMargin,
+
+    // same bucket CTEs as the calibration sweep + the hex8 split
+    // device; best pick ties -> lowest train id; bucketless eval
+    // vectors left-join to 0/NULL/0
+    "sim_split_leakage" -> {
+      val split = OracleSql.hex8("md5(CAST(vec_id AS VARCHAR))")
+      s"""WITH $ECte, $NbCte, $BucketCte,
+         |sp AS (SELECT vec_id, v, bucket,
+         |         ($split % 100 < 80) AS is_train
+         |       FROM bk),
+         |ev AS (SELECT vec_id, v, bucket FROM sp WHERE NOT is_train),
+         |tr AS (SELECT vec_id AS train_id, v AS tv, bucket
+         |       FROM sp WHERE is_train),
+         |cd AS (SELECT ev.vec_id, tr.train_id,
+         |         CAST(floor(${cosSql("ev.v", "tr.tv")} * 1000000
+         |           + 0.5) AS BIGINT) AS cos_e6
+         |       FROM ev JOIN tr USING (bucket)),
+         |bs AS (SELECT vec_id, train_id, cos_e6,
+         |         CAST(count(*) OVER (PARTITION BY vec_id) AS BIGINT)
+         |           AS n_cands,
+         |         row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY cos_e6 DESC, train_id) AS rk
+         |       FROM cd)
+         |SELECT ev.vec_id,
+         |  COALESCE(b1.n_cands, 0) AS n_train_cands,
+         |  b1.train_id AS best_train_id,
+         |  b1.cos_e6 AS best_cos_e6,
+         |  CAST(CASE WHEN b1.cos_e6 >= ${Similarity.SemDupMinCosE6}
+         |    THEN 1 ELSE 0 END AS BIGINT) AS is_leak
+         |FROM ev LEFT JOIN (SELECT * FROM bs WHERE rk = 1) b1
+         |  USING (vec_id)""".stripMargin
+    },
 
     // per-element µunit quantization, exact integer Σv², floor-log2
     // bucket via the binary-string length both engines share

@@ -915,6 +915,60 @@ object Similarity {
         when(col("varq_e12") <= lowVarE12, 1L).otherwise(0L))
   }
 
+  /** Semantic train/eval split-leakage audit (X229) — the embedding-
+    * level contamination check the n-gram decontaminator cannot run:
+    * a paraphrased benchmark item shares no 8-gram with its training
+    * twin but sits at cosine ≈ 1 next to it, silently inflating eval.
+    * Vectors hash-split 80/20 (the same md5-hex8 device as the doc
+    * splitter, so assignment replays anywhere); each EVAL vector
+    * meets only its LSH-bucket-mates on the TRAIN side (the bounded
+    * candidate join, never all-pairs), and reports its candidate
+    * count, best train partner (ties → lowest id), best cosine in
+    * exact µunits, and the leak flag at the semantic-dup threshold.
+    * Eval vectors with no bucket-mates report 0/NULL/0 — "not leaked
+    * as far as this index can see", the same contract an ANN-backed
+    * production scan gives.
+    *
+    * Scale shape: one linear bucket+split pass (cached), one bucket
+    * equi-join, one eval-partitioned window, one eval-key left join.
+    * At index scale the bucket join swaps for the IVF probe and the
+    * audit tail is unchanged. */
+  def splitLeakageAudit(emb: DataFrame, nBits: Int = NumHyperplanes,
+      minCosE6: Long = SemDupMinCosE6, trainPct: Int = 80): DataFrame = {
+    val coded = graft.core.CacheBay.register(
+      graft.core.Spread(emb)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("bucket", lshBucket(col("v"), nBits))
+        .withColumn("is_train",
+          expr("CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 8)," +
+            s" 16, 10) AS BIGINT) % 100 < $trainPct")))
+    val eval = coded.filter(!col("is_train"))
+      .select(col("vec_id"), col("v"), col("bucket"))
+    val train = coded.filter(col("is_train"))
+      .select(col("vec_id").as("train_id"), col("v").as("tv"),
+        col("bucket"))
+    val cos = dotProduct(col("v"), col("tv")) /
+      (l2Norm(col("v")) * l2Norm(col("tv")))
+    val cands = eval.join(train, Seq("bucket"))
+      .select(col("vec_id"), col("train_id"),
+        floor(cos * 1000000.0 + 0.5).cast("long").as("cos_e6"))
+    import org.apache.spark.sql.expressions.Window
+    val byEval = Window.partitionBy(col("vec_id"))
+    val best = cands
+      .withColumn("n_cands", count(lit(1)).over(byEval).cast("long"))
+      .withColumn("rk", row_number().over(
+        byEval.orderBy(desc("cos_e6"), asc("train_id"))))
+      .filter(col("rk") === 1)
+    eval.select(col("vec_id"))
+      .join(best.select(col("vec_id"), col("n_cands"),
+        col("train_id"), col("cos_e6")), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_cands"), lit(0L)).as("n_train_cands"),
+        col("train_id").as("best_train_id"),
+        col("cos_e6").as("best_cos_e6"),
+        when(col("cos_e6") >= minCosE6, 1L).otherwise(0L).as("is_leak"))
+  }
+
   /** Embedding norm profile in power-of-2 buckets (X227) — the norm-
     * collapse companion to [[dimStats]]: cosine retrieval is norm-
     * blind but dot-product retrieval and most index pruning bounds

@@ -851,6 +851,81 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(2L) == ((2L, 1L, 2L, 0L)))
   }
 
+  test("activityStreaks property: random day sets equal a naive " +
+    "run-length recompute (incl. duplicate events per day)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val gen: Gen[List[(Long, Int)]] = Gen.chooseNum(1, 50).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(1L, 4L),
+        Gen.chooseNum(0, 30))))
+    (1L to 10L).foreach { seed =>
+      val evs = sample(gen, seed)
+      val events = evs.map { case (u, d) =>
+        (u, java.sql.Timestamp.valueOf(
+          f"2024-01-${d + 1}%02d ${(d * 7) % 24}%02d:00:00")) }
+        .toDF("user_id", "ts")
+      val got = graft.analytics.Analytics.activityStreaks(events)
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      // naive: per user, sort distinct days, split runs on gaps
+      val byUser = evs.groupBy(_._1).view
+        .mapValues(_.map(_._2).distinct.sorted).toMap
+      val lastDay = evs.map(_._2).max
+      val want = byUser.map { case (u, days) =>
+        val runs = days.foldLeft(List.empty[List[Int]]) {
+          case (acc, d) if acc.nonEmpty && acc.head.head == d - 1 =>
+            (d :: acc.head) :: acc.tail
+          case (acc, d) => List(d) :: acc
+        }
+        u -> ((days.size.toLong, runs.size.toLong,
+          runs.map(_.size).max.toLong,
+          runs.find(_.head == lastDay).map(_.size.toLong).getOrElse(0L)))
+      }
+      assert(got == want, s"seed=$seed events=$evs")
+    }
+  }
+
+  test("seasonalNaiveMase property: random sparse monthly series " +
+    "equal a naive dense-lag recompute") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val gen: Gen[List[(Long, Int, Int)]] = Gen.chooseNum(5, 60)
+      .flatMap(n => Gen.listOfN(n, Gen.zip(Gen.chooseNum(1L, 3L),
+        Gen.chooseNum(0, 35), Gen.chooseNum(1, 50))))
+    (1L to 8L).foreach { seed =>
+      val obs = sample(gen, seed) // (part, monthOffset from 1995-01, qty)
+      val li = obs.map { case (p, m, q) =>
+        (p, java.sql.Date.valueOf(
+          f"${1995 + m / 12}-${m % 12 + 1}%02d-15"), q.toDouble) }
+        .toDF("l_partkey", "l_shipdate", "l_quantity")
+      val got = graft.analytics.Analytics.seasonalNaiveMase(li)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3),
+            if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+      // naive: dense per-part series over the GLOBAL month span
+      val m0 = obs.map(_._2).min
+      val m1 = obs.map(_._2).max
+      val parts = obs.map(_._1).distinct
+      val want = parts.map { p =>
+        val q = (m0 to m1).map(m =>
+          obs.filter(o => o._1 == p && o._2 == m).map(_._3.toLong).sum)
+        val evalIdx = 12 to (m1 - m0)
+        val sae12 = evalIdx.map(i => math.abs(q(i) - q(i - 12))).sum
+        val sae1 = evalIdx.map(i => math.abs(q(i) - q(i - 1))).sum
+        p -> ((evalIdx.size.toLong, sae12, sae1,
+          if (sae1 == 0) -1L else sae12 * 1000000L / sae1))
+      }.toMap
+      // parts drop out when the eval window is empty (span < 13 months)
+      val wantKept = if (m1 - m0 >= 12) want else Map.empty[Long,
+        (Long, Long, Long, Long)]
+      assert(got == wantKept, s"seed=$seed span=${m1 - m0}")
+    }
+  }
+
   test("seasonalNaiveMase: a perfectly seasonal series scores 0, a " +
     "constant series has no scale (NULL), hand case exact") {
     val d = java.sql.Date.valueOf(_: String)

@@ -554,4 +554,23 @@ class OperatorsSpec extends SparkSpec {
     // the threshold actually collapses something at fixture geometry
     assert(r.count() < ev.count())
   }
+
+  test("nullPatterns: co-occurring null combinations group into one " +
+    "pattern row with stable bitmask and readable column list") {
+    val df = Seq[(Option[String], Option[String], Option[String],
+        Option[String])](
+      (None, None, Some("s"), Some("x")),
+      (None, None, Some("s2"), Some("x2")),
+      (Some("k"), None, None, Some("x")),
+      (Some("k"), Some("v"), Some("s"), Some("x")))
+      .toDF("key", "value", "status", "snapshot")
+    val r = graft.load.Load.nullPatterns(df,
+        Seq("key", "value", "status", "snapshot"))
+      .as[(Long, String, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    assert(r(12L) == (("key,value", 2L, 500000L)))
+    assert(r(6L) == (("value,status", 1L, 250000L)))
+    assert(r(0L) == (("", 1L, 250000L)))
+    assert(r.size == 3)
+  }
 }

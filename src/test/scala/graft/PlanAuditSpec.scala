@@ -348,6 +348,8 @@ class PlanAuditSpec extends SparkSpec {
       "maint_bloom_fpr",
       // 1-row corpus-total broadcast onto the ≤64-bucket histogram
       "sim_norm_profile",
+      // 1-row total broadcast onto the ≤2^n pattern histogram
+      "qc_null_patterns",
       // four 1-row sketch aggregates assembled by broadcast cross join
       "events_kmv_setops",
       // the 3-row quantile list broadcast onto the tiny bucket frame

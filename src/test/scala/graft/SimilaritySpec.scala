@@ -395,6 +395,31 @@ class SimilaritySpec extends SparkSpec {
     assert(hot._1 == 17L && hot._2 == 1L, s"x cells: $r")
   }
 
+  test("splitLeakageAudit: a planted eval twin of a train vector " +
+    "flags as a leak with exact cosine; output covers the eval set") {
+    // replay the md5-hex8 split in the test to find one train id and
+    // one eval id, then plant identical vectors on them
+    def isTrain(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 100 < 80
+    }
+    val ids = 0L until 60L
+    val t = ids.find(isTrain).get
+    val e = ids.find(!isTrain(_)).get
+    val emb = ids.map { i =>
+      (i, if (i == t || i == e) Seq(1.0f, 0.0f) else Seq(0.0f, 1.0f))
+    }.toDF("vec_id", "embedding")
+    val rows = Similarity.splitLeakageAudit(emb).collect()
+    graft.core.CacheBay.drain()
+    assert(rows.map(_.getLong(0)).toSet == ids.filter(!isTrain(_)).toSet)
+    val er = rows.find(_.getLong(0) == e).get
+    assert(er.getLong(1) >= 1L, "twin not found as candidate")
+    assert(er.getLong(2) == t && er.getLong(3) == 1000000L &&
+      er.getLong(4) == 1L, er.toString)
+  }
+
   test("normProfile: known squared norms land in exact log2 buckets, " +
     "zero vector in bucket 1, shares ppm-exact") {
     val emb = Seq(
