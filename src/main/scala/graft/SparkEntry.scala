@@ -69,6 +69,9 @@ object SparkEntry {
       "oracle-green as sim_ivf_recall"),
     // operator surfaces with no queries entry (side-effecting /
     // driver-side / streaming-state semantics)
+    "X230_stream_static_enrichment" -> ("StreamEnrichSpec — " +
+      "per-micro-batch dimension lookup; streamed result row-equals " +
+      "the batch mirror, broadcast plan asserted"),
     "S1_S3_S4_csv_folder_latest" -> "ReadersSpec",
     "S5_S6_S8_S12_jdbc" -> "JdbcSpec (DuckDB-JDBC round-trip)",
     "S10_S14_S15_sinks" -> "SinksSpec (side-effecting writes)",

@@ -97,6 +97,12 @@ object SimilarityQueries {
     // LSH-bucket candidates, best-cosine leak flag per eval vector
     "sim_split_leakage" -> ((s, d) =>
       Similarity.splitLeakageAudit(emb(s, d))),
+    // X231: recall@k curve for LSH vs brute force — one ranking pass
+    // at max(k), bounded ladder explode over the hit pairs
+    "sim_recall_curve" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.recallCurve(e, nBits = scaledNBits(e.count()))
+    }),
     // X211: semantic-dedup threshold calibration sweep over the
     // bounded keeper-star candidate pairs
     "sim_threshold_calibration" -> ((s, d) => {
@@ -337,6 +343,45 @@ object SimilarityQueries {
          |  CAST(CASE WHEN n_vecs * m_cells > 2 * n_total THEN 1 ELSE 0
          |    END AS BIGINT) AS is_hot
          |FROM occ CROSS JOIN tot CROSS JOIN mc""".stripMargin,
+
+    // brute-force and LSH rankings at max(k) (the two proven chains),
+    // hit iff both ranks <= k, ladder cross join, zero-hit grid rows
+    "sim_recall_curve" -> {
+      val maxK = Similarity.RecallKs.max
+      val kList = Similarity.RecallKs.mkString("[", ", ", "]")
+      s"""WITH $ECte, $NbCte, $BucketCte,
+         |qq AS (SELECT vec_id AS q_id, v AS qv, bucket FROM bk
+         |       WHERE vec_id % $QueryMod = 0),
+         |ep AS (SELECT q_id, b.vec_id AS nn_id,
+         |         ${cosSql("qv", "b.v")} AS cos
+         |       FROM qq JOIN e b ON q_id <> b.vec_id),
+         |er AS (SELECT q_id, nn_id, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY cos DESC, nn_id) AS e_rank
+         |       FROM ep),
+         |et AS (SELECT q_id, nn_id, e_rank FROM er
+         |       WHERE e_rank <= $maxK),
+         |ap AS (SELECT q_id, b.vec_id AS nn_id,
+         |         ${cosSql("qv", "b.v")} AS cos
+         |       FROM qq JOIN bk b ON qq.bucket = b.bucket
+         |       WHERE q_id <> b.vec_id),
+         |ar AS (SELECT q_id, nn_id, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY cos DESC, nn_id) AS a_rank
+         |       FROM ap),
+         |at2 AS (SELECT q_id, nn_id, a_rank FROM ar
+         |        WHERE a_rank <= $maxK),
+         |hr AS (SELECT et.q_id, greatest(e_rank, a_rank) AS r
+         |       FROM et JOIN at2 ON et.q_id = at2.q_id
+         |         AND et.nn_id = at2.nn_id),
+         |ks AS (SELECT CAST(unnest($kList) AS BIGINT) AS k),
+         |h AS (SELECT q_id, k, CAST(count(*) AS BIGINT) AS n_hits
+         |      FROM hr CROSS JOIN ks WHERE r <= k GROUP BY 1, 2),
+         |g AS (SELECT DISTINCT q_id FROM qq)
+         |SELECT g.q_id, ks.k, COALESCE(h.n_hits, 0) AS n_hits,
+         |  CAST((COALESCE(h.n_hits, 0) * 1000000) // ks.k AS BIGINT)
+         |    AS recall_ppm
+         |FROM g CROSS JOIN ks
+         |LEFT JOIN h ON g.q_id = h.q_id AND ks.k = h.k""".stripMargin
+    },
 
     // same bucket CTEs as the calibration sweep + the hex8 split
     // device; best pick ties -> lowest train id; bucketless eval

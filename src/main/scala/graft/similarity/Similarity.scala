@@ -396,6 +396,52 @@ object Similarity {
     recallOf(bruteForceTopK(emb, k, queryMod), ivf, k)
   }
 
+  /** The k ladder [[recallCurve]] sweeps. */
+  val RecallKs: Seq[Long] = Seq(1L, 3L, 5L, 10L)
+
+  /** Recall@k CURVE for LSH vs brute force (X231) — the fixed-k
+    * recall audits answer "is the index OK at the k we run"; the
+    * curve answers the tuning question "WHERE does it degrade" (high
+    * recall@1 with collapsing recall@10 = buckets too small — raise
+    * probes or lower bits; uniformly low = the hash family doesn't
+    * fit the geometry). Both rankings compute ONCE at max(k); a hit
+    * counts at rung k iff max(exact_rank, approx_rank) ≤ k, so the
+    * ladder is a bounded ×|ks| explode over the hit pairs — never a
+    * per-k recompute. Query grid = the deterministic query subset, so
+    * zero-hit queries report 0, not absence.
+    *
+    * Scale shape: one brute-force ground truth (broadcast query
+    * subset, the documented bounded all-pairs leg every recall audit
+    * pays), one LSH bucket join, one pair-key equi-join, two
+    * broadcast crosses against the |ks|-row ladder. */
+  def recallCurve(emb: DataFrame, ks: Seq[Long] = RecallKs,
+      queryMod: Int = QueryMod,
+      nBits: Int = NumHyperplanes): DataFrame = {
+    import emb.sparkSession.implicits._
+    val maxK = ks.max.toInt
+    val exact = graft.core.CacheBay.register(
+      bruteForceTopK(emb, maxK, queryMod)
+        .select(col("q_id"), col("nn_id"), col("rank").as("e_rank")))
+    val approx = lshTopK(emb, maxK, queryMod, nBits)
+      .select(col("q_id"), col("nn_id"), col("rank").as("a_rank"))
+    val hitAt = exact.join(approx, Seq("q_id", "nn_id"))
+      .select(col("q_id"),
+        greatest(col("e_rank"), col("a_rank")).as("r"))
+    val kFrame = ks.toDF("k")
+    val hits = hitAt.crossJoin(broadcast(kFrame))
+      .filter(col("r") <= col("k"))
+      .groupBy(col("q_id"), col("k"))
+      .agg(count(lit(1)).cast("long").as("h"))
+    emb.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"))
+      .crossJoin(broadcast(kFrame))
+      .join(hits, Seq("q_id", "k"), "left")
+      .select(col("q_id"), col("k"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        expr("(coalesce(h, 0) * 1000000) div k")
+          .cast("long").as("recall_ppm"))
+  }
+
   /** Per-query recall@k of `approx` against the `exact` ground truth,
     * as integer ppm — the shared audit tail of every recall query. */
   private def recallOf(exact: DataFrame, approx: DataFrame,

@@ -31,4 +31,27 @@ object StreamJoins {
         col(rightTs) >= col(leftTs) - expr(s"interval $tolerance") &&
         col(rightTs) <= col(leftTs) + expr(s"interval $tolerance"))
       .drop(right(key))
+
+  /** Stream-static enrichment join (X230) — the dimension lookup a
+    * live feed runs per micro-batch: the static side BROADCASTS (it
+    * must — a shuffle against an unbounded stream has no barrier to
+    * wait on), the join is LEFT so an unknown key never drops an
+    * event, and `is_enriched` carries the J2 guarded-lookup verdict
+    * so the unmatched side-output (the J7 error feed) is one filter
+    * away. The same expression runs identically on batch frames —
+    * the shared batch/stream-transform discipline; the MemoryStream
+    * spec asserts the per-micro-batch result row-equals the batch
+    * mirror, including a dim key arriving in no event and an event
+    * key missing from the dim.
+    *
+    * Scale: the dim re-broadcasts per micro-batch at current Spark
+    * semantics — size it like any broadcast dim (small, or pre-filter
+    * to the active key range); the stream side never shuffles. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame = {
+    val dimCols = dim.columns.filter(_ != key)
+    require(dimCols.nonEmpty, "enrich: dim carries only the key")
+    stream.join(broadcast(dim), Seq(key), "left")
+      .withColumn("is_enriched",
+        when(col(dimCols.head).isNotNull, 1L).otherwise(0L))
+  }
 }

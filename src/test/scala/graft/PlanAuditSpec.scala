@@ -315,6 +315,8 @@ class PlanAuditSpec extends SparkSpec {
       // brute-force ground-truth side again (the label-audit tail is
       // two equi-joins on top of the bounded all-pairs scan)
       "sim_knn_label_audit",
+      // brute-force ground truth + the |ks|-row ladder broadcasts
+      "sim_recall_curve",
       // 1-row corpus-total broadcasts onto |cells| / |thresholds| rows
       "sim_ivf_balance", "sim_threshold_calibration",
       // three bounded all-pairs ranking legs feeding the rank fusion

@@ -395,6 +395,35 @@ class SimilaritySpec extends SparkSpec {
     assert(hot._1 == 17L && hot._2 == 1L, s"x cells: $r")
   }
 
+  test("recallCurve: ladder equals an independent recount from the " +
+    "two collected rankings; zero-hit queries report 0 rows not gaps") {
+    val emb = ((0L to 19L).map {
+      case i @ (7L | 3L) => (i, Seq(0.0f, 1.0f, 0.0f))
+      case i @ 17L => (i, Seq(0.0f, 0.0f, 1.0f))
+      case i => (i, Seq(1.0f, 0.0f, 0.001f * i))
+    }).toDF("vec_id", "embedding")
+    val ks = Seq(1L, 3L, 5L, 10L)
+    val got = Similarity.recallCurve(emb, ks, queryMod = 5, nBits = 4)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    graft.core.CacheBay.drain()
+    val ex = Similarity.bruteForceTopK(emb, 10, queryMod = 5)
+      .select("q_id", "nn_id", "rank").as[(Long, Long, Long)].collect()
+    graft.core.CacheBay.drain()
+    val ap = Similarity.lshTopK(emb, 10, queryMod = 5, nBits = 4)
+      .select("q_id", "nn_id", "rank").as[(Long, Long, Long)].collect()
+    graft.core.CacheBay.drain()
+    val aRank = ap.map(t => (t._1, t._2) -> t._3).toMap
+    val queries = (0L to 19L).filter(_ % 5 == 0)
+    val want = (for (q <- queries; k <- ks) yield (q, k) -> {
+      val h = ex.count(t => t._1 == q && t._3 <= k &&
+        aRank.get((t._1, t._2)).exists(_ <= k)).toLong
+      (h, h * 1000000L / k)
+    }).toMap
+    assert(got == want)
+    assert(got.size == queries.size * ks.size)
+  }
+
   test("splitLeakageAudit: a planted eval twin of a train vector " +
     "flags as a leak with exact cosine; output covers the eval set") {
     // replay the md5-hex8 split in the test to find one train id and
