@@ -445,6 +445,31 @@ object Multimodal {
     * on the hex image of the payload (2 chars/byte) so the identical
     * frames are reproducible in the SQL oracle; a codec-enabled build
     * would slice the binary directly with the same plan shape. */
+  /** Cross-document duplicate-frame ledger (X232) — the video/audio
+    * dedup primitive the doc-level near-dup misses: clip REUSE shows
+    * up as identical sampled frames across different payloads (the
+    * same intro sting, the same stock footage) long before whole-file
+    * hashes agree. Per duplicated frame fingerprint: total
+    * occurrences, distinct carrying docs, and the canonical keeper
+    * occurrence — the struct-min over the unique (doc, frame) total
+    * order, never `first()`. Fingerprints occurring once drop out
+    * (the ledger is the DUP set; at 100 TB you persist exactly this).
+    *
+    * Scale: rides [[sampleFrames]] (linear explode, every-kth kept);
+    * one fingerprint-grain map-side-combinable aggregate — the same
+    * shuffle shape as exact doc dedup, at frame grain. */
+  def frameDups(spark: SparkSession, dir: String,
+      frameBytes: Int = FrameBytes, every: Int = FrameEvery): DataFrame =
+    sampleFrames(spark, dir, frameBytes, every)
+      .groupBy(col("frame_md5"))
+      .agg(count(lit(1)).cast("long").as("n_frames"),
+        countDistinct(col("doc_id")).cast("long").as("n_docs"),
+        min(struct(col("doc_id"), col("frame_index"))).as("keep"))
+      .filter(col("n_frames") >= 2)
+      .select(col("frame_md5"), col("n_frames"), col("n_docs"),
+        col("keep.doc_id").as("keeper_doc"),
+        col("keep.frame_index").as("keeper_frame"))
+
   def sampleFrames(spark: SparkSession, dir: String,
       frameBytes: Int = FrameBytes, every: Int = FrameEvery): DataFrame = {
     val w = frameBytes * 2

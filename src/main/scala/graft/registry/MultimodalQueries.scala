@@ -14,6 +14,9 @@ object MultimodalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Reg.strict(
     "multimodal_features" -> ((s, d) => Multimodal.mediaFeatures(s, d)),
     "multimodal_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, d)),
+    // X232: cross-document duplicate-frame ledger — clip-reuse dedup
+    // at sampled-frame grain, struct-min keeper
+    "multimodal_frame_dups" -> ((s, d) => Multimodal.frameDups(s, d)),
     "multimodal_pcm_decode" -> ((s, d) => Multimodal.pcmFeatures(s, d)),
     // X155: short-time energy per fixed sample window — the audio
     // frame grain VAD/silence-trim/loudness consume; exact Longs end
@@ -69,6 +72,44 @@ object MultimodalQueries {
          |  length(substring(hx, CAST(frame_index * $w + 1 AS INT), $w)) // 2
          |    AS n_bytes
          |FROM fr""".stripMargin
+    },
+
+    // same frame extraction, fingerprint-grain rollup, keeper = the
+    // lexicographic-min (doc, frame) occurrence via row_number
+    "multimodal_frame_dups" -> {
+      val w = Multimodal.FrameBytes * 2
+      val k = Multimodal.FrameEvery
+      s"""WITH m AS (
+         |  SELECT doc_id, hex(text) AS hx
+         |  FROM documents WHERE length(text) > 0
+         |),
+         |fr AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(
+         |      range(0, CAST(ceil(length(hx) / $w.0) AS INT)),
+         |      i -> i % $k = 0)) AS frame_index,
+         |    hx
+         |  FROM m
+         |),
+         |fm AS (
+         |  SELECT doc_id, CAST(frame_index AS BIGINT) AS frame_index,
+         |    md5(substring(hx, CAST(frame_index * $w + 1 AS INT), $w))
+         |      AS frame_md5
+         |  FROM fr
+         |),
+         |rk AS (
+         |  SELECT frame_md5, doc_id, frame_index,
+         |    row_number() OVER (PARTITION BY frame_md5
+         |      ORDER BY doc_id, frame_index) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY frame_md5) AS BIGINT)
+         |      AS n_frames,
+         |    CAST(count(DISTINCT doc_id) OVER (PARTITION BY frame_md5)
+         |      AS BIGINT) AS n_docs
+         |  FROM fm
+         |)
+         |SELECT frame_md5, n_frames, n_docs, doc_id AS keeper_doc,
+         |  frame_index AS keeper_frame
+         |FROM rk WHERE rn = 1 AND n_frames >= 2""".stripMargin
     },
 
     // PCM16LE: byte pairs are samples — the oracle replays the exact

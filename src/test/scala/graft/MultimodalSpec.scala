@@ -64,6 +64,24 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.MediaRecord(2L, "audio/pcm", Array[Byte](1), 1, 1))).isEmpty)
   }
 
+  test("frameDups: repeated sampled frames ledger with struct-min " +
+    "keeper; singleton fingerprints drop out") {
+    val r = graft.multimodal.Multimodal.frameDups(spark, SfDir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    // independent recount from the sampled-frame table itself
+    val frames = graft.multimodal.Multimodal.sampleFrames(spark, SfDir)
+      .select("frame_md5", "doc_id", "frame_index")
+      .as[(String, Long, Long)].collect()
+    val want = frames.groupBy(_._1).collect {
+      case (fp, occ) if occ.length >= 2 =>
+        val keep = occ.map(o => (o._2, o._3)).min
+        fp -> ((occ.length.toLong, occ.map(_._2).distinct.length.toLong,
+          keep._1, keep._2))
+    }
+    assert(r.map(x => x._1 -> ((x._2, x._3, x._4, x._5))).toMap == want)
+    assert(r.nonEmpty, "fixture has no duplicated frames")
+  }
+
   test("decodePcmClipping: rail samples counted on both signs, ppm " +
     "exact, flag past the 1% bar, empty payload drops") {
     // samples: 31232 (clipped), 4096, -32752 (clipped) -> 2/3 clipped
