@@ -1712,6 +1712,48 @@ object Analytics {
           col("len"))), lit(0L)).cast("long").as("current_streak"))
   }
 
+  /** Weekly growth accounting (X233) — the new / retained /
+    * resurrected / churned decomposition every growth dashboard
+    * leads with: WAU movement is meaningless until split into who
+    * ARRIVED, who STAYED, who CAME BACK and who LEFT, because "flat"
+    * can hide equal-and-opposite churn and resurrection. Per active
+    * (user, week): `new` (first week ever), `retained` (active the
+    * previous week), `resurrected` (a gap ≥ 1 week); `churned` is
+    * counted in week w+1 for users active in w but not w+1 — and
+    * never past the corpus' last observed week, where churn is
+    * unknowable (the replayable-data contract, as in X220's CURRENT
+    * streak). Weeks on the epoch-week integer index (`µs div 86400e6
+    * div 7` — the X172 day-index device) so adjacency is plain
+    * subtraction, timezone-free.
+    *
+    * Scale: one distinct to (user, week) grain — the only fact-sized
+    * shuffle; one user-partitioned window pass serves both the lag
+    * classification and the lead churn probe; output is
+    * (week, status) grain; the 1-row last-week scalar broadcasts. */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val um = events.select(col("user_id"),
+      expr("unix_micros(ts) div 86400000000 div 7").cast("long")
+        .as("wk"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+    val stamped = um
+      .withColumn("prev_w", lag(col("wk"), 1).over(w))
+      .withColumn("next_w", lead(col("wk"), 1).over(w))
+    val classified = stamped.select(col("wk"),
+      when(col("prev_w").isNull, "new")
+        .when(col("wk") - col("prev_w") === 1L, "retained")
+        .otherwise("resurrected").as("status"))
+    val churned = stamped
+      .filter(col("next_w").isNull || col("next_w") =!= col("wk") + 1)
+      .select((col("wk") + 1L).as("wk"), lit("churned").as("status"))
+    val lastW = um.agg(max(col("wk")).as("mx"))
+    classified.unionByName(churned)
+      .crossJoin(broadcast(lastW))
+      .filter(col("wk") <= col("mx"))
+      .groupBy(col("wk"), col("status"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+  }
+
   /** Cohort lifetime-value curve (X213) — the acquisition-quality
     * read every subscription/commerce planner runs: customers are
     * grouped by FIRST-purchase month, and each cohort's cumulative

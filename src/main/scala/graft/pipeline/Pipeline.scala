@@ -553,6 +553,33 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("pack_tokens"))
 
+  /** Per-document token offsets inside each packed sequence (X234) —
+    * the attention-boundary table that makes [[packSequences]]'s
+    * output actually trainable: packed-sequence training needs the
+    * block-diagonal attention mask (and the loss mask over boundary
+    * tokens), and both derive from exactly these spans — `[tok_start,
+    * tok_end)` per document within its pack, documents in the pack's
+    * deterministic doc-id order, plus the first-in-pack flag the
+    * resetting position-id column keys on. Emitting spans instead of
+    * per-token rows keeps the table |docs|-sized, not |tokens|-sized
+    * — the only shape that survives a 100 TB corpus.
+    *
+    * Scale: one window over (pack_id) ordered by doc_id — pack-sized
+    * partitions by construction (the budget bounds them); everything
+    * upstream is [[packSequences]]' partition-scoped machinery. */
+  def packOffsets(docs: DataFrame, budget: Long = PackBudget,
+      nParts: Int = PackParts): DataFrame = {
+    val w = Window.partitionBy(col("pack_id")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packSequences(docs, budget, nParts)
+      .withColumn("tok_end", sum(col("n_tokens")).over(w).cast("long"))
+      .select(col("doc_id"), col("pack_id"), col("n_tokens"),
+        (col("tok_end") - col("n_tokens")).cast("long").as("tok_start"),
+        col("tok_end"),
+        when(col("tok_end") === col("n_tokens"), 1L).otherwise(0L)
+          .as("is_first_in_pack"))
+  }
+
   // ---- deterministic pre-training shuffle ----
 
   val ShuffleSeed = "graft-r3"

@@ -72,6 +72,9 @@ object PipelineQueries {
     "pipe_decontaminate" -> ((s, d) => Pipeline.decontaminate(docs(s, d))),
     "pipe_pack_sequences" -> ((s, d) => Pipeline.packSequences(docs(s, d))),
     "pipe_pack_report" -> ((s, d) => Pipeline.packReport(docs(s, d))),
+    // X234: per-doc token spans inside each pack — the attention-
+    // boundary / loss-mask table packed training derives masks from
+    "pipe_pack_offsets" -> ((s, d) => Pipeline.packOffsets(docs(s, d))),
     "pipe_shuffle_shards" -> ((s, d) => Pipeline.shuffleShards(docs(s, d))),
     "pipe_stratified_sample" -> ((s, d) =>
       Pipeline.stratifiedSample(docs(s, d))),
@@ -419,6 +422,21 @@ object PipelineQueries {
          |SELECT part, pack_id, count(*) AS n_docs,
          |       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
          |FROM p GROUP BY part, pack_id""".stripMargin,
+
+    // same pack CTEs + one pack-partitioned running sum = the spans
+    "pipe_pack_offsets" ->
+      s"""WITH $PackCtes,
+         |o AS (
+         |  SELECT doc_id, pack_id, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY pack_id
+         |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |      CURRENT ROW) AS BIGINT) AS tok_end
+         |  FROM p)
+         |SELECT doc_id, pack_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(tok_end - n_tokens AS BIGINT) AS tok_start, tok_end,
+         |  CAST(CASE WHEN tok_end = n_tokens THEN 1 ELSE 0 END
+         |    AS BIGINT) AS is_first_in_pack
+         |FROM o""".stripMargin,
 
     "pipe_shuffle_shards" ->
       s"""WITH k AS (

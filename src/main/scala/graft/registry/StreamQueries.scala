@@ -465,6 +465,10 @@ object StreamQueries {
     // longest + current streak per user
     "events_streaks" -> ((s, d) =>
       graft.analytics.Analytics.activityStreaks(Tables(s, d, "events"))),
+    // X233: monthly growth accounting — new / retained / resurrected
+    // / churned decomposition, churn never past the last month
+    "events_growth_accounting" -> ((s, d) =>
+      graft.analytics.Analytics.growthAccounting(Tables(s, d, "events"))),
     // the burstiness/churn features regularity models consume; one
     // sequence-key window + one keyed percentile aggregate
     "events_gap_stats" -> ((s, d) => {
@@ -1186,6 +1190,27 @@ object StreamQueries {
         |  round(quantile_cont(gap_s, 0.9), 6) AS p90_gap_s,
         |  CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
         |FROM g WHERE gap_s IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // one user-partition window pass serves the lag classification
+    // and the lead churn probe; churn capped at the last month
+    "events_growth_accounting" ->
+      """WITH um AS (SELECT DISTINCT user_id,
+        |    CAST(epoch_us(ts) // 86400000000 // 7 AS BIGINT) AS wk
+        |  FROM events),
+        |st AS (SELECT user_id, wk,
+        |    lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_w,
+        |    lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_w
+        |  FROM um),
+        |cl AS (SELECT wk, CASE WHEN prev_w IS NULL THEN 'new'
+        |           WHEN wk - prev_w = 1 THEN 'retained'
+        |           ELSE 'resurrected' END AS status
+        |       FROM st
+        |  UNION ALL
+        |  SELECT wk + 1 AS wk, 'churned' AS status FROM st
+        |  WHERE next_w IS NULL OR next_w <> wk + 1),
+        |mx AS (SELECT MAX(wk) AS mx FROM um)
+        |SELECT wk, status, CAST(count(*) AS BIGINT) AS n_users
+        |FROM cl CROSS JOIN mx WHERE wk <= mx GROUP BY 1, 2""".stripMargin,
 
     // the same anchor device (day minus per-user day rank), island
     // rollup, 1-row last-day scalar for the current-streak flag

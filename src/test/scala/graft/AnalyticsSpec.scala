@@ -851,6 +851,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(2L) == ((2L, 1L, 2L, 0L)))
   }
 
+  test("growthAccounting: all four statuses exact; churn capped at " +
+    "the last observed week") {
+    def at(wk: Long) = new java.sql.Timestamp(wk * 604800000L)
+    val w0 = 2818L
+    val events = Seq(
+      // u1: W, W+1, W+3 → new, retained, resurrected; churned at W+2
+      (1L, at(w0)), (1L, at(w0 + 1)), (1L, at(w0 + 3)),
+      // u2: W only → new; churned at W+1
+      (2L, at(w0)),
+      // u3: W+3 only (sets the last week) → new; churn at W+4 capped
+      (3L, at(w0 + 3)))
+      .toDF("user_id", "ts")
+    val got = graft.analytics.Analytics.growthAccounting(events)
+      .as[(Long, String, Long)].collect()
+      .map(r => (r._1 - w0, r._2) -> r._3).toMap
+    val want = Map(
+      (0L, "new") -> 2L, (1L, "retained") -> 1L, (1L, "churned") -> 1L,
+      (2L, "churned") -> 1L, (3L, "resurrected") -> 1L,
+      (3L, "new") -> 1L)
+    assert(got == want, got.toString)
+  }
+
   test("activityStreaks property: random day sets equal a naive " +
     "run-length recompute (incl. duplicate events per day)") {
     import org.scalacheck.Gen

@@ -77,6 +77,23 @@ class PipelineSpec extends SparkSpec {
     assert(viol == 0)
   }
 
+  test("packOffsets: spans tile each pack exactly — contiguous, " +
+    "non-overlapping, first span flagged, widths equal token counts") {
+    val o = Pipeline.packOffsets(docs)
+      .select($"doc_id", $"pack_id", $"n_tokens", $"tok_start",
+        $"tok_end", $"is_first_in_pack")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(o.length == docs.count())
+    o.groupBy(_._2).foreach { case (_, spans) =>
+      val s = spans.sortBy(_._1) // pack order is doc_id order
+      assert(s.head._4 == 0L && s.head._6 == 1L)
+      assert(s.tail.forall(_._6 == 0L))
+      s.zip(s.tail).foreach { case (a, b) =>
+        assert(b._4 == a._5, s"gap between spans: $a -> $b") }
+      assert(s.forall(x => x._5 - x._4 == x._3))
+    }
+  }
+
   test("stratifiedSample: per-lang rates honored, subset of hashSplit") {
     val s = Pipeline.stratifiedSample(docs).cache()
     assert(s.filter($"bucket" >= $"keep_rate").count() == 0)

@@ -342,6 +342,8 @@ class PlanAuditSpec extends SparkSpec {
       "fca_mase",
       // 1-row last-day scalar broadcast for the current-streak flag
       "events_streaks",
+      // 1-row last-week scalar broadcast capping the churn rows
+      "events_growth_accounting",
       // 1-row pair-total broadcast onto the ≤|sources|² matrix
       "dedup_source_matrix",
       // 1-row before/after totals broadcast onto the ≤|sources| frame
