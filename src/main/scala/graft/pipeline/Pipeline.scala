@@ -678,6 +678,57 @@ object Pipeline {
         (expr(s"((global_rank - 1) * $k) div n_total") + 1L).as("tile"))
   }
 
+  /** Curriculum phases (easy → hard) for [[curriculumOrder]]. */
+  val CurriculumPhases = 3
+
+  /** Deterministic curriculum training order (X236) — the artifact a
+    * curriculum run actually consumes: documents split into quality
+    * PHASES (phase 1 = cleanest — the easy-first schedule), and
+    * within each phase the seed-reproducible shard shuffle (X-shuffle
+    * device) so readers stream phase by phase, interleaving shards.
+    * Phases are DISTRIBUTION-relative (exact global rank terciles via
+    * the [[lengthDeciles]] value-decomposition — never a fixed score
+    * band that silently empties on a clean corpus); a tie group
+    * straddling a tercile boundary splits deterministically by
+    * doc_id, so phase quality ranges can touch but never invert.
+    *
+    * Scale: the value-decomposition bounds the unpartitioned work to
+    * the quality-score VALUE domain (≤ 10⁶+1 rows, data-independent);
+    * row-level windows partition on (quality) then (phase, shard);
+    * no global sort anywhere. */
+  def curriculumOrder(docs: DataFrame, phases: Int = CurriculumPhases,
+      seed: String = ShuffleSeed, nShards: Int = NumShards): DataFrame = {
+    val base = graft.core.CacheBay.register(
+      qualityScored(docs).select(col("doc_id"), col("quality_e6")))
+    val off = base.groupBy(col("quality_e6"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum(col("c")).over(Window.orderBy(desc("quality_e6"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("quality_e6"), col("off"))
+    val nd = base.agg(count(lit(1)).as("n_total"))
+    val phased = base.join(broadcast(off), Seq("quality_e6"))
+      .withColumn("global_rank",
+        (col("off") + row_number().over(
+          Window.partitionBy(col("quality_e6")).orderBy(col("doc_id"))))
+          .cast("long"))
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("quality_e6"),
+        (expr(s"((global_rank - 1) * $phases) div n_total") + 1L)
+          .as("phase"))
+    val key = md5(concat(lit(seed), lit("-"),
+      col("doc_id").cast("string")))
+    phased.withColumn("shuffle_key", key)
+      .withColumn("shard",
+        conv(substring(col("shuffle_key"), 1, 8), 16, 10)
+          .cast("long") % nShards)
+      .withColumn("rank_in_shard", row_number().over(
+        Window.partitionBy(col("phase"), col("shard"))
+          .orderBy(col("shuffle_key"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("quality_e6"), col("phase"),
+        col("shard"), col("rank_in_shard"))
+  }
+
   val BalancedK = 50
 
   /** Exact-k-per-group deterministic sample: rank documents within

@@ -666,4 +666,41 @@ object Recon {
       .select(col("gap_start"), col("gap_end"),
         (col("gap_end") - col("gap_start") + 1L).as("n_missing"))
   }
+
+  /** A level below this many ppm of its column is rare. */
+  val RareLevelPpm = 2000L
+
+  /** Rare-level screen over declared categorical columns (X235) —
+    * the pre-encoding audit every feature pipeline runs: a level
+    * seen a handful of times gives one-hot a useless column,
+    * target-encoding an overfit cell, and a GROUP BY report a long
+    * tail of noise rows — the standard fix (fold rare levels into
+    * OTHER) needs exactly this list. Per (column, level): count,
+    * integer-ppm share of the column, and the rare flag at
+    * [[RareLevelPpm]]. NULL is a level like any other (its rate is a
+    * data-quality fact, not a special case).
+    *
+    * Scale: one bounded ×|cols| struct explode (linear), one
+    * (column, level)-grain map-side-combinable aggregate, a
+    * column-grain totals join at level grain — the totals frame is
+    * |cols| rows but joined by key, never crossed. */
+  def rareLevels(df: DataFrame, cols: Seq[String],
+      minPpm: Long = RareLevelPpm): DataFrame = {
+    require(cols.nonEmpty, "rareLevels: at least one declared column")
+    val lv = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column_name"),
+          col(c).cast("string").as("level"))): _*)).as("t"))
+      .select(col("t.column_name").as("column_name"),
+        col("t.level").as("level"))
+    val counts = lv.groupBy(col("column_name"), col("level"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val totals = counts.groupBy(col("column_name"))
+      .agg(sum(col("n")).cast("long").as("n_col"))
+    counts.join(totals, Seq("column_name"))
+      .select(col("column_name"), col("level"), col("n"),
+        expr("(n * 1000000) div greatest(n_col, 1)")
+          .cast("long").as("ppm"),
+        when(expr("(n * 1000000) div greatest(n_col, 1)") < minPpm, 1L)
+          .otherwise(0L).as("is_rare"))
+  }
 }

@@ -82,6 +82,10 @@ object PipelineQueries {
       Pipeline.temperatureSample(docs(s, d))),
     "pipe_curated_corpus" -> ((s, d) => Pipeline.curatedCorpus(docs(s, d))),
     "pipe_length_deciles" -> ((s, d) => Pipeline.lengthDeciles(docs(s, d))),
+    // X236: curriculum training order — exact quality terciles via the
+    // value decomposition, seed-reproducible shard shuffle per phase
+    "pipe_curriculum_order" -> ((s, d) =>
+      Pipeline.curriculumOrder(docs(s, d))),
     "pipe_chunk_overlap" -> ((s, d) => Pipeline.chunkWithOverlap(docs(s, d))),
     "pipe_token_budget" -> ((s, d) =>
       Pipeline.tokenBudgetSelect(docs(s, d))),
@@ -422,6 +426,40 @@ object PipelineQueries {
          |SELECT part, pack_id, count(*) AS n_docs,
          |       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
          |FROM p GROUP BY part, pack_id""".stripMargin,
+
+    // the quality CTEs + the length-deciles value decomposition over
+    // the score domain (DESC — phase 1 = cleanest), then the shuffle
+    // device keyed per (phase, shard)
+    "pipe_curriculum_order" -> {
+      val ph = Pipeline.CurriculumPhases
+      s"""WITH $QualityCte,
+         |off AS (SELECT quality_e6,
+         |          COALESCE(SUM(count(*)) OVER (ORDER BY quality_e6
+         |            DESC ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |            1 PRECEDING), 0) AS off
+         |        FROM sc GROUP BY quality_e6),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM sc),
+         |ph AS (SELECT doc_id, s.quality_e6,
+         |         off + row_number() OVER (PARTITION BY s.quality_e6
+         |           ORDER BY doc_id) AS global_rank
+         |       FROM sc s JOIN off USING (quality_e6)),
+         |p2 AS (SELECT doc_id, quality_e6,
+         |         CAST(((global_rank - 1) * $ph) // n_total + 1
+         |           AS BIGINT) AS phase
+         |       FROM ph CROSS JOIN nd),
+         |k AS (SELECT doc_id, quality_e6, phase,
+         |        md5('${Pipeline.ShuffleSeed}-'
+         |          || CAST(doc_id AS VARCHAR)) AS sk
+         |      FROM p2),
+         |s2 AS (SELECT doc_id, quality_e6, phase, sk,
+         |         CAST(${hex8Sql("sk")} % ${Pipeline.NumShards}
+         |           AS BIGINT) AS shard
+         |       FROM k)
+         |SELECT doc_id, quality_e6, phase, shard,
+         |  CAST(row_number() OVER (PARTITION BY phase, shard
+         |    ORDER BY sk, doc_id) AS BIGINT) AS rank_in_shard
+         |FROM s2""".stripMargin
+    },
 
     // same pack CTEs + one pack-partitioned running sum = the spans
     "pipe_pack_offsets" ->

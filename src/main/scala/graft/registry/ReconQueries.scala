@@ -118,6 +118,12 @@ object ReconQueries {
       Recon.giniAudit(Tables(s, d, "orders"),
         Tables(s, d, "customer"), Tables(s, d, "nation"))),
 
+    // X235: rare-level screen over part's categorical columns — the
+    // pre-encoding fold-into-OTHER list; NULL is a level
+    "qc_rare_levels" -> ((s, d) =>
+      Recon.rareLevels(Tables(s, d, "part"),
+        Seq("p_brand", "p_type", "p_size"))),
+
     // X177: join-cardinality preflight — predict an equi-join's exact
     // output size and its hottest keys from two keyed counts, before
     // paying for the join; events x events on user_id has real skew
@@ -596,6 +602,30 @@ object ReconQueries {
 
     // generated from the SAME candidate list as the engine plan
     "qc_ind_audit" -> IndAudit.oracleSql(),
+
+    // declared columns unioned to (column, level) grain, column
+    // totals joined back at level grain
+    "qc_rare_levels" -> {
+      val bar = graft.qc.Recon.RareLevelPpm
+      """WITH lv AS (
+        |  SELECT 'p_brand' AS column_name,
+        |         CAST(p_brand AS VARCHAR) AS level FROM part
+        |  UNION ALL
+        |  SELECT 'p_type', CAST(p_type AS VARCHAR) FROM part
+        |  UNION ALL
+        |  SELECT 'p_size', CAST(p_size AS VARCHAR) FROM part),
+        |c AS (SELECT column_name, level, CAST(count(*) AS BIGINT) AS n
+        |      FROM lv GROUP BY 1, 2),
+        |t AS (SELECT column_name, CAST(SUM(n) AS BIGINT) AS n_col
+        |      FROM c GROUP BY 1)
+        |SELECT c.column_name, c.level, c.n,
+        |  CAST((c.n * 1000000) // greatest(t.n_col, 1) AS BIGINT)
+        |    AS ppm,
+        |  CAST(CASE WHEN (c.n * 1000000) // greatest(t.n_col, 1)
+        |""".stripMargin +
+      s"        < $bar THEN 1 ELSE 0 END AS BIGINT) AS is_rare\n" +
+      "FROM c JOIN t USING (column_name)"
+    },
 
     // ascending rank by (cents, custkey); numerator provably >= 0 so
     // the truncating div never sees a negative operand

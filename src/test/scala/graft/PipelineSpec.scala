@@ -77,6 +77,27 @@ class PipelineSpec extends SparkSpec {
     assert(viol == 0)
   }
 
+  test("curriculumOrder: phases are rank terciles (quality ranges " +
+    "never invert), ranks contiguous per (phase, shard)") {
+    val o = Pipeline.curriculumOrder(docs)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    graft.core.CacheBay.drain()
+    assert(o.length == docs.count())
+    assert(o.map(_._1).distinct.length == o.length)
+    assert(o.forall(r => r._3 >= 1L && r._3 <= 3L))
+    // phase 1 = cleanest: quality ranges ordered, touching allowed
+    val byPhase = o.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    for (p <- byPhase.keys; q <- byPhase.keys if p < q)
+      assert(byPhase(p).min >= byPhase(q).max,
+        s"phase $p range inverts vs $q")
+    // tercile sizes differ by at most 1 (rank split, ties split too)
+    val sizes = byPhase.values.map(_.size).toSeq
+    assert(sizes.max - sizes.min <= 1, sizes.toString)
+    o.groupBy(r => (r._3, r._4)).values.foreach { g =>
+      assert(g.map(_._5).sorted.toSeq == (1L to g.size).toSeq)
+    }
+  }
+
   test("packOffsets: spans tile each pack exactly — contiguous, " +
     "non-overlapping, first span flagged, widths equal token counts") {
     val o = Pipeline.packOffsets(docs)

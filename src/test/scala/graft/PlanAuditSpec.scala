@@ -304,7 +304,8 @@ class PlanAuditSpec extends SparkSpec {
   // query's n_total). Everything else must be equi-joined.
   private val JustifiedCross =
     Set("j8_region_backfill", "text_bm25", "sim_bruteforce_topk",
-      "text_tfidf_topk", "pipe_length_deciles", "events_calibration",
+      "text_tfidf_topk", "pipe_length_deciles", "pipe_curriculum_order",
+      "events_calibration",
       "events_key_skew", "qc_referential",
       // recall audits: the IVF/PQ side is a bucket equi-join; the BNLJ
       // is the brute-force ground-truth side (same shape as

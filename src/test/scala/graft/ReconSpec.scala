@@ -198,6 +198,24 @@ class ReconSpec extends SparkSpec {
       && want.contains((24L, 39L, 16L)))
   }
 
+  test("rareLevels: per-column ppm exact, NULL is a level, rare flag " +
+    "at the declared bar") {
+    val df = Seq(
+      (Some("red"), Some("S")), (Some("red"), Some("S")),
+      (Some("red"), Some("S")), (Some("red"), None),
+      (Some("red"), None), (Some("blue"), None))
+      .toDF("color", "size")
+    val got = graft.qc.Recon.rareLevels(df, Seq("color", "size"),
+        minPpm = 200000L)
+      .as[(String, Option[String], Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got(("color", Some("red"))) == ((5L, 833333L, 0L)))
+    assert(got(("color", Some("blue"))) == ((1L, 166666L, 1L)))
+    assert(got(("size", Some("S"))) == ((3L, 500000L, 0L)))
+    assert(got(("size", None)) == ((3L, 500000L, 0L)))
+    assert(got.size == 4)
+  }
+
   test("idGapAudit property: random id sets under adversarial bucket " +
     "occupancy equal the naive global lead (incl. one-bucket case)") {
     import spark.implicits._
