@@ -1712,6 +1712,34 @@ object Analytics {
           col("len"))), lit(0L)).cast("long").as("current_streak"))
   }
 
+  /** Backlog aging report (X237) — the ops read behind every
+    * "aged open orders" escalation: orders still open (status O or P)
+    * as of the planning date, bucketed by days open and crossed with
+    * priority, with order counts and exact cents exposure per cell.
+    * An aging 1-URGENT backlog is an expedite list; a fat 181+ bucket
+    * at any priority is stuck demand the S&OP meeting reads first.
+    * Buckets 0–30 / 31–90 / 91–180 / 181+ days as-of [[Star.AsOf]]
+    * (inclusive day arithmetic on DATE subtraction, timezone-free).
+    *
+    * Scale: the status + date filters push to the scan; one
+    * (priority, bucket)-grain map-side-combinable aggregate; output
+    * is ≤ |priorities|·4 rows. */
+  def backlogAging(orders: DataFrame,
+      asOf: String = graft.core.Star.AsOf): DataFrame = {
+    val age = datediff(lit(asOf).cast("date"),
+      col("o_orderdate").cast("date"))
+    orders
+      .filter(col("o_orderstatus").isin("O", "P") &&
+        col("o_orderdate") < lit(asOf))
+      .select(col("o_orderpriority"),
+        when(age <= 30, "0-30").when(age <= 90, "31-90")
+          .when(age <= 180, "91-180").otherwise("181+").as("age_bucket"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy(col("o_orderpriority"), col("age_bucket"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        sum(col("cents")).cast("long").as("cents"))
+  }
+
   /** Weekly growth accounting (X233) — the new / retained /
     * resurrected / churned decomposition every growth dashboard
     * leads with: WAU movement is meaningless until split into who

@@ -445,6 +445,39 @@ object Multimodal {
     * on the hex image of the payload (2 chars/byte) so the identical
     * frames are reproducible in the SQL oracle; a codec-enabled build
     * would slice the binary directly with the same plan shape. */
+  /** Aspect ratio above this (or below its reciprocal) flags an
+    * extreme-geometry asset (banners, separators, tracking pixels). */
+  val ExtremeAspectE6 = 3000000L
+
+  /** Fewer pixels than this flags a thumbnail/tracking-pixel asset. */
+  val TinyPixels = 256L
+
+  /** Image-geometry curation profile (X238) — the dimension screen a
+    * vision-data pipeline runs BEFORE paying for decode: extreme
+    * aspect ratios are banners / separators / tracking pixels (spam
+    * geometry, not photographs), tiny assets carry no trainable
+    * signal, and both verdicts come free from the METADATA columns —
+    * no codec in the loop, which is the point: the screen prunes the
+    * decode queue. Per asset: dimensions, pixel count, integer-ppm
+    * aspect (w·10⁶ div h) and the two quarantine flags.
+    *
+    * Scale: pure map work over the media table's typed metadata —
+    * no shuffle at all; the decode seam never runs for pruned rows. */
+  def dimProfile(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir).toDF()
+      .select(col("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        (col("width").cast("long") * col("height")).as("n_pixels"),
+        expr("(cast(width as bigint) * 1000000) div height")
+          .cast("long").as("aspect_ppm"))
+      .withColumn("is_extreme",
+        when(col("aspect_ppm") > ExtremeAspectE6 ||
+          col("aspect_ppm") < 1000000000000L / ExtremeAspectE6, 1L)
+          .otherwise(0L))
+      .withColumn("is_tiny",
+        when(col("n_pixels") < TinyPixels, 1L).otherwise(0L))
+
   /** Cross-document duplicate-frame ledger (X232) — the video/audio
     * dedup primitive the doc-level near-dup misses: clip REUSE shows
     * up as identical sampled frames across different payloads (the

@@ -42,6 +42,10 @@ object AnalyticsQueries {
     "orders_cohort_ltv" -> ((s, d) =>
       Analytics.cohortLtv(graft.core.Tables(s, d, "orders"))),
     "fca_forecast_accuracy" -> ((s, d) => Analytics.forecastAccuracy(s, d)),
+    // X237: aged open-order backlog by priority — pushed status/date
+    // filters, (priority, bucket)-grain aggregate, exact cents
+    "supplier_backlog_aging" -> ((s, d) =>
+      Analytics.backlogAging(graft.core.Tables(s, d, "orders"))),
     "uom_conversion" -> ((s, d) => Analytics.uomConversion(s, d)),
     "delta_detect" -> ((s, d) => Analytics.deltaDetect(s, d)),
     "groupwise_max" -> ((s, d) => Analytics.groupwiseMax(s, d)),
@@ -347,6 +351,26 @@ object AnalyticsQueries {
          |  CAST((n_parts * 1000000) // greatest(n_total, 1) AS BIGINT)
          |    AS share_ppm
          |FROM cells CROSS JOIN tot""".stripMargin,
+
+    // same bucket thresholds on DATE-subtraction day counts
+    "supplier_backlog_aging" ->
+      s"""WITH o AS (
+         |  SELECT o_orderpriority,
+         |    date_diff('day', CAST(o_orderdate AS DATE),
+         |      DATE '${graft.core.Star.AsOf}') AS age,
+         |    CAST(floor(CAST(o_totalprice AS DOUBLE)
+         |      * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+         |      AS cents
+         |  FROM orders
+         |  WHERE o_orderstatus IN ('O', 'P')
+         |    AND o_orderdate < TIMESTAMP '${graft.core.Star.AsOf} 00:00:00')
+         |SELECT o_orderpriority,
+         |  CASE WHEN age <= 30 THEN '0-30' WHEN age <= 90 THEN '31-90'
+         |       WHEN age <= 180 THEN '91-180' ELSE '181+' END
+         |    AS age_bucket,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(SUM(cents) AS BIGINT) AS cents
+         |FROM o GROUP BY 1, 2""".stripMargin,
 
     // both period legs run the classification subquery verbatim from
     // the abc_classification oracle over date-filtered revenue; parts

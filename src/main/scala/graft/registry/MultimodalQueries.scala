@@ -27,6 +27,9 @@ object MultimodalQueries {
     // rail comparisons, quarantine flag past 1% of samples
     "multimodal_pcm_clipping" -> ((s, d) =>
       Multimodal.pcmClipping(s, d)),
+    // X238: image-geometry curation profile — metadata-only screen
+    // that prunes the decode queue (extreme aspect / tiny assets)
+    "multimodal_dim_profile" -> ((s, d) => Multimodal.dimProfile(s, d)),
     "multimodal_image_decode" -> ((s, d) => Multimodal.imageFeatures(s, d)),
     "multimodal_ahash" -> ((s, d) => Multimodal.imageHashes(s, d)),
     "multimodal_ahash_pairs" -> ((s, d) =>
@@ -135,6 +138,30 @@ object MultimodalQueries {
         |    i -> CASE WHEN (smp[i] >= 0) <> (smp[i-1] >= 0)
         |              THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_cross
         |FROM s""".stripMargin,
+
+    // the %64/%48 metadata rule replayed from n_chars; div vs // safe
+    // (all operands non-negative)
+    "multimodal_dim_profile" -> {
+      val ex = Multimodal.ExtremeAspectE6
+      val lo = 1000000000000L / Multimodal.ExtremeAspectE6
+      val tiny = Multimodal.TinyPixels
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(n_chars % 64 + 1 AS BIGINT) AS width,
+         |    CAST(n_chars % 48 + 1 AS BIGINT) AS height
+         |  FROM documents),
+         |p AS (SELECT doc_id, width, height,
+         |        width * height AS n_pixels,
+         |        (width * 1000000) // height AS aspect_ppm
+         |      FROM m)
+         |SELECT doc_id, width, height, n_pixels,
+         |  CAST(aspect_ppm AS BIGINT) AS aspect_ppm,
+         |  CAST(CASE WHEN aspect_ppm > $ex OR aspect_ppm < $lo
+         |    THEN 1 ELSE 0 END AS BIGINT) AS is_extreme,
+         |  CAST(CASE WHEN n_pixels < $tiny THEN 1 ELSE 0 END
+         |    AS BIGINT) AS is_tiny
+         |FROM p""".stripMargin
+    },
 
     // same sample decode, rail count via list_filter, ppm + 1% flag
     "multimodal_pcm_clipping" -> {

@@ -851,6 +851,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(2L) == ((2L, 1L, 2L, 0L)))
   }
 
+  test("backlogAging: bucket boundaries inclusive at 30/90/180 days, " +
+    "closed and post-asof orders excluded, cents exact") {
+    val d = java.sql.Date.valueOf(_: String)
+    // as-of 1997-06-01: ages 30 / 31 / 180 / 181; one F closed, one
+    // O order placed ON the as-of date excluded by the strict filter
+    val orders = Seq(
+      ("1-URGENT", "O", d("1997-05-02"), 10.00),  // age 30  -> 0-30
+      ("1-URGENT", "P", d("1997-05-01"), 20.00),  // age 31  -> 31-90
+      ("2-HIGH", "O", d("1996-12-03"), 30.00),    // age 180 -> 91-180
+      ("2-HIGH", "O", d("1996-12-02"), 40.00),    // age 181 -> 181+
+      ("2-HIGH", "F", d("1996-12-02"), 99.00),    // closed: excluded
+      ("3-MEDIUM", "O", d("1997-06-01"), 5.00))   // on as-of: excluded
+      .toDF("o_orderpriority", "o_orderstatus", "o_orderdate",
+        "o_totalprice")
+    val got = graft.analytics.Analytics.backlogAging(orders)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got == Map(
+      ("1-URGENT", "0-30") -> ((1L, 1000L)),
+      ("1-URGENT", "31-90") -> ((1L, 2000L)),
+      ("2-HIGH", "91-180") -> ((1L, 3000L)),
+      ("2-HIGH", "181+") -> ((1L, 4000L))), got.toString)
+  }
+
   test("growthAccounting: all four statuses exact; churn capped at " +
     "the last observed week") {
     def at(wk: Long) = new java.sql.Timestamp(wk * 604800000L)

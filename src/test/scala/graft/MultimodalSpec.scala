@@ -64,6 +64,19 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.MediaRecord(2L, "audio/pcm", Array[Byte](1), 1, 1))).isEmpty)
   }
 
+  test("dimProfile: aspect ppm exact from metadata, extreme and tiny " +
+    "flags match a direct recompute") {
+    val r = graft.multimodal.Multimodal.dimProfile(spark, SfDir)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (_, w, h, px, asp, ext, tiny) =>
+      assert(px == w * h)
+      assert(asp == w * 1000000L / h)
+      assert(ext == (if (asp > 3000000L || asp < 333333L) 1L else 0L))
+      assert(tiny == (if (px < 256L) 1L else 0L))
+    }
+  }
+
   test("frameDups: repeated sampled frames ledger with struct-min " +
     "keeper; singleton fingerprints drop out") {
     val r = graft.multimodal.Multimodal.frameDups(spark, SfDir)
