@@ -1712,6 +1712,31 @@ object Analytics {
           col("len"))), lit(0L)).cast("long").as("current_streak"))
   }
 
+  /** Reorder-cycle profile (X239) — the replenishment-cadence read a
+    * planner keys safety stock and churn outreach on: per customer
+    * the gaps between consecutive orders in whole days, summarized as
+    * count, median, p90 and max. The p90/median RATIO is the
+    * regularity signal (≈1 = subscription-like cadence, large = bursty
+    * one-off buying), and a max far above p90 is a dormancy already
+    * ended — the same percentile device as the event-gap stats,
+    * applied at order grain.
+    *
+    * Scale: one window over (customer) ordered by (date, key) — the
+    * same shuffle as any per-customer sequence op; one keyed
+    * percentile aggregate. */
+  def reorderCycle(orders: DataFrame): DataFrame =
+    orders
+      .withColumn("gap_d", expr(
+        "datediff(cast(o_orderdate as date), " +
+          "lag(cast(o_orderdate as date), 1) over " +
+          "(partition by o_custkey order by o_orderdate, o_orderkey))"))
+      .filter(col("gap_d").isNotNull)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).cast("long").as("n_gaps"),
+        round(expr("percentile(gap_d, 0.5)"), 6).as("p50_gap_d"),
+        round(expr("percentile(gap_d, 0.9)"), 6).as("p90_gap_d"),
+        max(col("gap_d")).cast("long").as("max_gap_d"))
+
   /** Backlog aging report (X237) — the ops read behind every
     * "aged open orders" escalation: orders still open (status O or P)
     * as of the planning date, bucketed by days open and crossed with

@@ -46,6 +46,10 @@ object AnalyticsQueries {
     // filters, (priority, bucket)-grain aggregate, exact cents
     "supplier_backlog_aging" -> ((s, d) =>
       Analytics.backlogAging(graft.core.Tables(s, d, "orders"))),
+    // X239: per-customer reorder-cycle percentiles — the event-gap
+    // device at order grain
+    "orders_reorder_cycle" -> ((s, d) =>
+      Analytics.reorderCycle(graft.core.Tables(s, d, "orders"))),
     "uom_conversion" -> ((s, d) => Analytics.uomConversion(s, d)),
     "delta_detect" -> ((s, d) => Analytics.deltaDetect(s, d)),
     "groupwise_max" -> ((s, d) => Analytics.groupwiseMax(s, d)),
@@ -351,6 +355,23 @@ object AnalyticsQueries {
          |  CAST((n_parts * 1000000) // greatest(n_total, 1) AS BIGINT)
          |    AS share_ppm
          |FROM cells CROSS JOIN tot""".stripMargin,
+
+    // same day-gap lag and quantile_cont/round pairing as
+    // events_gap_stats, at (customer, order) grain
+    "orders_reorder_cycle" ->
+      """WITH g AS (
+        |  SELECT o_custkey,
+        |    date_diff('day',
+        |      lag(CAST(o_orderdate AS DATE)) OVER (
+        |        PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey),
+        |      CAST(o_orderdate AS DATE)) AS gap_d
+        |  FROM orders)
+        |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  round(quantile_cont(gap_d, 0.5), 6) AS p50_gap_d,
+        |  round(quantile_cont(gap_d, 0.9), 6) AS p90_gap_d,
+        |  CAST(MAX(gap_d) AS BIGINT) AS max_gap_d
+        |FROM g WHERE gap_d IS NOT NULL GROUP BY 1""".stripMargin,
 
     // same bucket thresholds on DATE-subtraction day counts
     "supplier_backlog_aging" ->

@@ -103,6 +103,10 @@ object SimilarityQueries {
       val e = emb(s, d)
       Similarity.recallCurve(e, nBits = scaledNBits(e.count()))
     }),
+    // X240: PQ codebook-usage balance — the IVF balance read on the
+    // quantizer's other half; dead sub-spaces and hot codes
+    "sim_pq_code_balance" -> ((s, d) =>
+      Similarity.pqCodeBalance(emb(s, d))),
     // X211: semantic-dedup threshold calibration sweep over the
     // bounded keeper-star candidate pairs
     "sim_threshold_calibration" -> ((s, d) => {
@@ -142,7 +146,10 @@ object SimilarityQueries {
     * [[graft.functions.PqEncode]]/[[graft.functions.PqAdc]]: identical
     * ascending-(s, d) accumulation order, `ORDER BY dd, j` = the
     * lowest-code tie-break. */
-  private val PqCtes: String = {
+  /** The PQ code-ASSIGNMENT chain (seeds → per-subspace distances →
+    * rank-1 pick), shared by the full PQ oracles and the code-balance
+    * audit. */
+  private val PqAssignCtes: String = {
     val m = Similarity.PqM
     val sub = Similarity.Dim / Similarity.PqM
     s"""seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
@@ -158,7 +165,13 @@ object SimilarityQueries {
        |       FROM e, range(0, $m) t(s), seeds c),
        |cd AS (SELECT vec_id, s, j, row_number() OVER (
        |         PARTITION BY vec_id, s ORDER BY dd, j) AS rn
-       |       FROM dd),
+       |       FROM dd)""".stripMargin
+  }
+
+  private val PqCtes: String = {
+    val m = Similarity.PqM
+    val sub = Similarity.Dim / Similarity.PqM
+    s"""$PqAssignCtes,
        |cl AS (SELECT vec_id, list(j ORDER BY s) AS codes
        |       FROM cd WHERE rn = 1 GROUP BY vec_id),
        |cbn AS (SELECT list(sv ORDER BY j) AS cbv FROM seeds),
@@ -343,6 +356,26 @@ object SimilarityQueries {
          |  CAST(CASE WHEN n_vecs * m_cells > 2 * n_total THEN 1 ELSE 0
          |    END AS BIGINT) AS is_hot
          |FROM occ CROSS JOIN tot CROSS JOIN mc""".stripMargin,
+
+    // the PQ assignment chain (seeds -> dd -> cd, ties -> lowest
+    // code), (subspace, code) rollup, hot bar vs codes that exist
+    "sim_pq_code_balance" ->
+      s"""WITH $ECte,
+         |$PqAssignCtes,
+         |asg AS (SELECT CAST(s AS BIGINT) AS subspace,
+         |          CAST(j AS BIGINT) AS code
+         |        FROM cd WHERE rn = 1),
+         |g AS (SELECT subspace, code, CAST(count(*) AS BIGINT)
+         |        AS n_vecs
+         |      FROM asg GROUP BY 1, 2),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM e),
+         |mc AS (SELECT CAST(count(*) AS BIGINT) AS m_codes FROM seeds)
+         |SELECT subspace, code, n_vecs,
+         |  CAST((n_vecs * 1000000) // greatest(n_total, 1) AS BIGINT)
+         |    AS share_ppm,
+         |  CAST(CASE WHEN n_vecs * m_codes > 2 * n_total THEN 1 ELSE 0
+         |    END AS BIGINT) AS is_hot
+         |FROM g CROSS JOIN tot CROSS JOIN mc""".stripMargin,
 
     // brute-force and LSH rankings at max(k) (the two proven chains),
     // hit iff both ranks <= k, ladder cross join, zero-hit grid rows

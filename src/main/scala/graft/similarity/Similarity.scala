@@ -369,6 +369,43 @@ object Similarity {
         col("nn_id"), round(col("adc"), 6).as("adc"))
   }
 
+  /** PQ codebook-usage balance audit (X240) — [[ivfBalanceAudit]]'s
+    * read applied to the quantizer's OTHER half: a sub-space whose
+    * vectors all map to one code contributes zero bits to the ADC
+    * distance (that sub-space is dead weight in every code byte), and
+    * a hot code is the PQ analogue of a hot IVF cell — both say
+    * re-train the codebook. Per (subspace, code) of the deterministic
+    * [[seedCenters]]-sliced codebook (encoding ties → lowest code,
+    * both engines): occupancy, integer-ppm share of the sub-space
+    * (every vector emits exactly one code per sub-space, so the
+    * sub-space total IS the corpus count), and the hot flag at 2× the
+    * uniform share of the codes that exist.
+    *
+    * Scale: one linear encode pass (the native PqEncode expression),
+    * a bounded ×m posexplode, one (subspace, code)-grain map-side-
+    * combinable aggregate, ≤ m·k output rows, 1-row total broadcast. */
+  def pqCodeBalance(emb: DataFrame, m: Int = PqM,
+      kCodes: Int = PqCodes): DataFrame = {
+    val seeds = seedCenters(emb, kCodes)
+    require(seeds.nonEmpty && seeds.head.length % m == 0,
+      s"pqCodeBalance: dim must divide into $m sub-spaces")
+    val mCodes = seeds.length.toLong
+    val g = graft.core.Spread(emb)
+      .select(posexplode(graft.functions.VectorExpressions.pqEncode(
+        asDouble(col("embedding")), seeds, m)).as(Seq("sub", "cd")))
+      .select(col("sub").cast("long").as("subspace"),
+        col("cd").cast("long").as("code"))
+      .groupBy(col("subspace"), col("code"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"))
+    g.crossJoin(broadcast(
+        emb.agg(count(lit(1)).cast("long").as("n_total"))))
+      .select(col("subspace"), col("code"), col("n_vecs"),
+        expr("(n_vecs * 1000000) div greatest(n_total, 1)")
+          .cast("long").as("share_ppm"),
+        when(col("n_vecs") * lit(mCodes) > lit(2L) * col("n_total"), 1L)
+          .otherwise(0L).as("is_hot"))
+  }
+
   /** Deterministic seed centers: the embeddings of the first nCells
     * vectors with vec_id ≡ 2 (mod 5), in vec_id order — a bounded
     * nCells-row collect (16 vectors, not data-dependent), replayable

@@ -851,6 +851,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(2L) == ((2L, 1L, 2L, 0L)))
   }
 
+  test("reorderCycle: hand-exact gap percentiles with interpolation, " +
+    "single-order customers drop out") {
+    val d = java.sql.Date.valueOf(_: String)
+    val orders = Seq(
+      (1L, 10L, d("1995-01-01")), (1L, 11L, d("1995-01-03")),
+      (1L, 12L, d("1995-01-10")), (1L, 13L, d("1995-01-11")),
+      (2L, 20L, d("1995-02-01"))) // one order: no gap, no row
+      .toDF("o_custkey", "o_orderkey", "o_orderdate")
+    val got = graft.analytics.Analytics.reorderCycle(orders)
+      .as[(Long, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // gaps [2, 7, 1] → p50 = 2.0; p90 interpolates 2 + 0.8·(7−2) = 6
+    assert(got(1L) == ((3L, 2.0, 6.0, 7L)))
+    assert(!got.contains(2L))
+  }
+
   test("backlogAging: bucket boundaries inclusive at 30/90/180 days, " +
     "closed and post-asof orders excluded, cents exact") {
     val d = java.sql.Date.valueOf(_: String)

@@ -351,6 +351,8 @@ class PlanAuditSpec extends SparkSpec {
       "dedup_mix_shift",
       // three 1-row count aggregates assembled by broadcast cross join
       "maint_bloom_fpr",
+      // 1-row corpus-total broadcast onto the ≤m·k code histogram
+      "sim_pq_code_balance",
       // 1-row corpus-total broadcast onto the ≤64-bucket histogram
       "sim_norm_profile",
       // 1-row total broadcast onto the ≤2^n pattern histogram

@@ -395,6 +395,26 @@ class SimilaritySpec extends SparkSpec {
     assert(hot._1 == 17L && hot._2 == 1L, s"x cells: $r")
   }
 
+  test("pqCodeBalance: every subspace accounts the whole corpus, " +
+    "shares and hot flags arithmetic-exact") {
+    def v(i: Long): Seq[Float] =
+      (1 to 64).map(d => (((i * 64 + d) * 131) % 997).toFloat / 997f)
+    val emb = (0L until 80L).map(i => (i, v(i)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.pqCodeBalance(emb)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    graft.core.CacheBay.drain()
+    val bySub = r.groupBy(_._1)
+    assert(bySub.keySet == (0L until 8L).toSet)
+    bySub.values.foreach { g =>
+      assert(g.map(_._3).sum == 80L)
+      g.foreach { case (_, _, n, ppm, hot) =>
+        assert(ppm == n * 1000000L / 80L)
+        assert(hot == (if (n * 16L > 160L) 1L else 0L))
+      }
+    }
+  }
+
   test("recallCurve: ladder equals an independent recount from the " +
     "two collected rankings; zero-hit queries report 0 rows not gaps") {
     val emb = ((0L to 19L).map {
