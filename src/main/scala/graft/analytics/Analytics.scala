@@ -1712,6 +1712,73 @@ object Analytics {
           col("len"))), lit(0L)).cast("long").as("current_streak"))
   }
 
+  /** Day-of-week × hour activity heatmap (X241) — the "when is the
+    * system busy" contingency every ops/capacity review starts from:
+    * per (dow, hour) cell the event count and integer-ppm share.
+    * Off-pattern cells are the anomalies worth chasing (weekend-night
+    * spikes = batch jobs or abuse, a dead business-hours cell = a
+    * broken collector in one region). Sunday = 1 (Spark's dayofweek
+    * convention; the oracle shifts DuckDB's 0-based week to match);
+    * hours in the session's UTC clock, so the heatmap replays.
+    *
+    * Scale: one map-side-combinable aggregate onto the ≤168-cell
+    * grid; 1-row total broadcast. */
+  def dowHourHeatmap(events: DataFrame): DataFrame = {
+    val cells = events
+      .select(dayofweek(col("ts")).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hour"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).cast("long").as("n_events"))
+    cells.crossJoin(broadcast(
+        cells.agg(sum(col("n_events")).cast("long").as("n_total"))))
+      .select(col("dow"), col("hour"), col("n_events"),
+        expr("(n_events * 1000000) div greatest(n_total, 1)")
+          .cast("long").as("share_ppm"))
+  }
+
+  /** Peak concurrent sessions per day (X242) — the capacity number a
+    * serving team provisions against: the X137 sweep-line device at
+    * MINUTE grain over the session frame (two deltas per session —
+    * entry at its start minute, exit after its inclusive last-event
+    * minute — one (day, minute) aggregate, a day-partitioned running
+    * sum, never a calendar explode). A session counts on its START
+    * day's timeline (sessions are gap-bounded and short; the
+    * convention is documented, deterministic, and replayable). Emits
+    * per day the peak, the FIRST minute it was reached, and the
+    * session count.
+    *
+    * Scale: deltas are 2 rows per session; the scan partitions by
+    * day; output is day grain. The expensive sessionization is the
+    * shared session tier, paid once per session. */
+  def sessionPeakConcurrency(sessions: DataFrame): DataFrame = {
+    val day = expr("unix_micros(session_start) div 86400000000")
+      .cast("long")
+    val stMin = expr("unix_micros(session_start) div 60000000")
+      .cast("long")
+    val enMin = expr("unix_micros(last_ts) div 60000000").cast("long")
+    val deltas = sessions
+      .select(day.as("day"), stMin.as("minute"), lit(1L).as("delta"))
+      .unionByName(sessions.select(day.as("day"),
+        (enMin + 1L).as("minute"), lit(-1L).as("delta")))
+      .groupBy(col("day"), col("minute"))
+      .agg(sum(col("delta")).cast("long").as("net"))
+    val scan = Window.partitionBy(col("day")).orderBy(col("minute"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peaks = deltas
+      .withColumn("open_cnt", sum(col("net")).over(scan).cast("long"))
+      .withColumn("peak", max(col("open_cnt"))
+        .over(Window.partitionBy(col("day"))).cast("long"))
+      .filter(col("open_cnt") === col("peak"))
+      .groupBy(col("day"))
+      .agg(min(col("minute")).as("peak_minute"),
+        max(col("peak")).as("peak_concurrent"))
+    peaks.join(
+        sessions.groupBy(day.as("day"))
+          .agg(count(lit(1)).cast("long").as("n_sessions")), Seq("day"))
+      .select(col("day"), col("peak_concurrent"), col("peak_minute"),
+        col("n_sessions"))
+  }
+
   /** Reorder-cycle profile (X239) — the replenishment-cadence read a
     * planner keys safety stock and churn outreach on: per customer
     * the gaps between consecutive orders in whole days, summarized as

@@ -469,6 +469,14 @@ object StreamQueries {
     // / churned decomposition, churn never past the last month
     "events_growth_accounting" -> ((s, d) =>
       graft.analytics.Analytics.growthAccounting(Tables(s, d, "events"))),
+    // X241: dow × hour activity heatmap — the ≤168-cell busy grid
+    "events_dow_hour_heatmap" -> ((s, d) =>
+      graft.analytics.Analytics.dowHourHeatmap(Tables(s, d, "events"))),
+    // X242: peak concurrent sessions per day — the X137 sweep line at
+    // minute grain over the shared session tier
+    "events_peak_concurrency" -> ((s, d) =>
+      graft.analytics.Analytics.sessionPeakConcurrency(
+        graft.operators.Sessionize.sharedSessions(s, d))),
     // the burstiness/churn features regularity models consume; one
     // sequence-key window + one keyed percentile aggregate
     "events_gap_stats" -> ((s, d) => {
@@ -1190,6 +1198,75 @@ object StreamQueries {
         |  round(quantile_cont(gap_s, 0.9), 6) AS p90_gap_s,
         |  CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
         |FROM g WHERE gap_s IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // DuckDB's 0-based Sunday week shifted to Spark's 1-based
+    "events_dow_hour_heatmap" ->
+      """WITH c AS (
+        |  SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+        |         CAST(hour(ts) AS BIGINT) AS hour,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS n_total FROM c)
+        |SELECT dow, hour, n_events,
+        |  CAST((n_events * 1000000) // greatest(n_total, 1) AS BIGINT)
+        |    AS share_ppm
+        |FROM c CROSS JOIN tot""".stripMargin,
+
+    // the shared session boundary replay + the sweep-line deltas at
+    // minute grain, day-partitioned running sum
+    "events_peak_concurrency" -> {
+      val g = graft.operators.Sessionize.DefaultGapHours
+      s"""WITH x AS (
+         |  SELECT user_id, ts, event_id,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR ts - lag(ts) OVER w > INTERVAL $g HOUR
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), s AS (
+         |  SELECT *, SUM(brk) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM x
+         |), sess AS (
+         |  SELECT user_id, sid, MIN(ts) AS session_start,
+         |         MAX(ts) AS last_ts
+         |  FROM s GROUP BY 1, 2
+         |), dl AS (
+         |  SELECT epoch_us(session_start) // 86400000000 AS day,
+         |         epoch_us(session_start) // 60000000 AS minute,
+         |         1 AS delta
+         |  FROM sess
+         |  UNION ALL
+         |  SELECT epoch_us(session_start) // 86400000000,
+         |         epoch_us(last_ts) // 60000000 + 1, -1
+         |  FROM sess
+         |), nt AS (
+         |  SELECT day, minute, CAST(SUM(delta) AS BIGINT) AS net
+         |  FROM dl GROUP BY 1, 2
+         |), oc AS (
+         |  SELECT day, minute,
+         |    SUM(net) OVER (PARTITION BY day ORDER BY minute
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS open_cnt
+         |  FROM nt
+         |), pk AS (
+         |  SELECT day, minute, open_cnt,
+         |    MAX(open_cnt) OVER (PARTITION BY day) AS peak
+         |  FROM oc
+         |), pr AS (
+         |  SELECT day, MIN(minute) AS peak_minute,
+         |         MAX(peak) AS peak_concurrent
+         |  FROM pk WHERE open_cnt = peak GROUP BY 1
+         |), ns AS (
+         |  SELECT epoch_us(session_start) // 86400000000 AS day,
+         |         CAST(count(*) AS BIGINT) AS n_sessions
+         |  FROM sess GROUP BY 1)
+         |SELECT CAST(pr.day AS BIGINT) AS day,
+         |  CAST(peak_concurrent AS BIGINT) AS peak_concurrent,
+         |  CAST(peak_minute AS BIGINT) AS peak_minute, ns.n_sessions
+         |FROM pr JOIN ns ON pr.day = ns.day""".stripMargin
+    },
 
     // one user-partition window pass serves the lag classification
     // and the lead churn probe; churn capped at the last month

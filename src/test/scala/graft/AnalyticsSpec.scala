@@ -851,6 +851,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(2L) == ((2L, 1L, 2L, 0L)))
   }
 
+  test("dowHourHeatmap: cells land on Spark's 1-based Sunday week, " +
+    "ppm shares exact") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // 2024-01-01 is a Monday (dow 2); 2024-01-02 a Tuesday (dow 3)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:15:00")), (2L, ts("2024-01-01 10:45:00")),
+      (3L, ts("2024-01-02 23:05:00")))
+      .toDF("user_id", "ts")
+    val got = graft.analytics.Analytics.dowHourHeatmap(events)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got == Map((2L, 10L) -> ((2L, 666666L)),
+      (3L, 23L) -> ((1L, 333333L))))
+  }
+
+  test("sessionPeakConcurrency: overlapping sessions peak at the " +
+    "first overlap minute; days independent") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val sessions = Seq(
+      (ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00")),
+      (ts("2024-01-01 10:03:00"), ts("2024-01-01 10:10:00")),
+      (ts("2024-01-01 10:20:00"), ts("2024-01-01 10:25:00")),
+      (ts("2024-01-02 08:00:00"), ts("2024-01-02 08:01:00")))
+      .toDF("session_start", "last_ts")
+    val got = graft.analytics.Analytics
+      .sessionPeakConcurrency(sessions)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val day0 = ts("2024-01-01 00:00:00").getTime / 86400000L
+    val min1003 = ts("2024-01-01 10:03:00").getTime / 60000L
+    val min0800 = ts("2024-01-02 08:00:00").getTime / 60000L
+    assert(got(day0) == ((2L, min1003, 3L)), got.toString)
+    assert(got(day0 + 1) == ((1L, min0800, 1L)))
+  }
+
   test("reorderCycle: hand-exact gap percentiles with interpolation, " +
     "single-order customers drop out") {
     val d = java.sql.Date.valueOf(_: String)

@@ -345,6 +345,8 @@ class PlanAuditSpec extends SparkSpec {
       "events_streaks",
       // 1-row last-week scalar broadcast capping the churn rows
       "events_growth_accounting",
+      // 1-row total broadcast onto the ≤168-cell heatmap grid
+      "events_dow_hour_heatmap",
       // 1-row pair-total broadcast onto the ≤|sources|² matrix
       "dedup_source_matrix",
       // 1-row before/after totals broadcast onto the ≤|sources| frame
