@@ -667,6 +667,37 @@ object Recon {
         (col("gap_end") - col("gap_start") + 1L).as("n_missing"))
   }
 
+  /** Event-order consistency audit (X243) — the ingestion sanity
+    * check behind every "replay by id" assumption: if event ids are
+    * assigned in arrival order, then along each user's id-ordered
+    * sequence the timestamps should be non-decreasing; inversions
+    * mean collector clock skew, buffered batches flushed out of
+    * order, or id reuse — and any pipeline that WINDOWS BY ID while
+    * MEANING time silently corrupts on exactly those rows. Per user:
+    * adjacent id-ordered pairs, timestamp inversions, integer-ppm
+    * inversion rate, and the worst backward jump in microseconds.
+    *
+    * Scale: one (user)-partitioned window ordered by id — the same
+    * shuffle as any per-user sequence op; one keyed aggregate. */
+  def eventOrderAudit(events: DataFrame): DataFrame =
+    events
+      .withColumn("prev_us", expr(
+        "lag(unix_micros(ts), 1) over " +
+          "(partition by user_id order by event_id)"))
+      .filter(col("prev_us").isNotNull)
+      .select(col("user_id"),
+        (expr("unix_micros(ts)") - col("prev_us")).as("step_us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum(when(col("step_us") < 0, 1L).otherwise(0L)).cast("long")
+          .as("n_inversions"),
+        greatest(-min(col("step_us")), lit(0L)).cast("long")
+          .as("worst_backstep_us"))
+      .select(col("user_id"), col("n_pairs"), col("n_inversions"),
+        expr("(n_inversions * 1000000) div n_pairs").cast("long")
+          .as("inversion_ppm"),
+        col("worst_backstep_us"))
+
   /** A level below this many ppm of its column is rare. */
   val RareLevelPpm = 2000L
 

@@ -124,6 +124,11 @@ object ReconQueries {
       Recon.rareLevels(Tables(s, d, "part"),
         Seq("p_brand", "p_type", "p_size"))),
 
+    // X243: id-order vs time-order consistency — the replay-by-id
+    // ingestion audit; a clean corpus reporting all-zero IS the check
+    "qc_event_order" -> ((s, d) =>
+      Recon.eventOrderAudit(Tables(s, d, "events"))),
+
     // X177: join-cardinality preflight — predict an equi-join's exact
     // output size and its hottest keys from two keyed counts, before
     // paying for the join; events x events on user_id has real skew
@@ -602,6 +607,22 @@ object ReconQueries {
 
     // generated from the SAME candidate list as the engine plan
     "qc_ind_audit" -> IndAudit.oracleSql(),
+
+    // same id-ordered lag, microsecond steps, ppm + worst backstep
+    "qc_event_order" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY event_id) AS step_us
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CASE WHEN step_us < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_inversions,
+        |  CAST((SUM(CASE WHEN step_us < 0 THEN 1 ELSE 0 END) * 1000000)
+        |    // count(*) AS BIGINT) AS inversion_ppm,
+        |  CAST(greatest(-MIN(step_us), 0) AS BIGINT)
+        |    AS worst_backstep_us
+        |FROM g WHERE step_us IS NOT NULL GROUP BY 1""".stripMargin,
 
     // declared columns unioned to (column, level) grain, column
     // totals joined back at level grain

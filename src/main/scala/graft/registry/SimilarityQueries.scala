@@ -107,6 +107,10 @@ object SimilarityQueries {
     // quantizer's other half; dead sub-spaces and hot codes
     "sim_pq_code_balance" -> ((s, d) =>
       Similarity.pqCodeBalance(emb(s, d))),
+    // X244: assignment-margin screen — silhouette-lite confidence per
+    // vector over the same seed-center assignment
+    "sim_center_margin" -> ((s, d) =>
+      Similarity.centerMarginAudit(emb(s, d))),
     // X211: semantic-dedup threshold calibration sweep over the
     // bounded keeper-star candidate pairs
     "sim_threshold_calibration" -> ((s, d) => {
@@ -356,6 +360,31 @@ object SimilarityQueries {
          |  CAST(CASE WHEN n_vecs * m_cells > 2 * n_total THEN 1 ELSE 0
          |    END AS BIGINT) AS is_hot
          |FROM occ CROSS JOIN tot CROSS JOIN mc""".stripMargin,
+
+    // the seed-center distance chain with rank <= 2 kept; the margin
+    // rounds the RAW difference (never the rounded operands)
+    "sim_center_margin" ->
+      s"""WITH $ECte,
+         |c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+         |               AS INT) AS cell, v AS cv
+         |      FROM (SELECT vec_id, v FROM e WHERE vec_id % 5 = 2
+         |            ORDER BY vec_id LIMIT 16)),
+         |dd AS (SELECT e.vec_id, c.cell,
+         |         list_sum(list_transform(cv, x -> x * x))
+         |           - 2.0 * ${dotSql("v", "cv")} AS d
+         |       FROM e CROSS JOIN c),
+         |rk AS (SELECT vec_id, cell, d, row_number() OVER (
+         |         PARTITION BY vec_id ORDER BY d, cell) AS r
+         |       FROM dd),
+         |tw AS (SELECT vec_id,
+         |         MAX(CASE WHEN r = 1 THEN cell END) AS cell,
+         |         MAX(CASE WHEN r = 1 THEN d END) AS d1,
+         |         MAX(CASE WHEN r = 2 THEN d END) AS d2
+         |       FROM rk WHERE r <= 2 GROUP BY 1)
+         |SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+         |  ROUND(d1, 6) AS d_best, ROUND(d2, 6) AS d_second,
+         |  ROUND(d2 - d1, 6) AS margin
+         |FROM tw""".stripMargin,
 
     // the PQ assignment chain (seeds -> dd -> cd, ties -> lowest
     // code), (subspace, code) rollup, hot bar vs codes that exist

@@ -369,6 +369,34 @@ object Similarity {
         col("nn_id"), round(col("adc"), 6).as("adc"))
   }
 
+  /** Assignment-margin screen (X244) — the silhouette-lite clustering
+    * confidence read per vector: the gap between the squared distance
+    * to the nearest and second-nearest center. A thin margin means
+    * the assignment is arbitrary (boundary vector — IVF must probe
+    * more cells to find its true neighbors; a k-means iteration would
+    * flip it), so the corpus-wide margin distribution is the "trust
+    * the cells?" dashboard next to [[ivfBalanceAudit]] /
+    * [[cellPurityAudit]]. Per vector: its cell (ties → lowest), both
+    * distances rounded to 6 decimals (the float-emission contract the
+    * ranked-distance family already uses), and the rounded margin.
+    *
+    * Scale: the same broadcast-center linear scan as every seed-IVF
+    * audit — sorting a 16-element literal struct array per row is map
+    * work; no shuffle at all (output is vector grain). */
+  def centerMarginAudit(emb: DataFrame, nCells: Int = 16): DataFrame = {
+    val centers = seedCenters(emb, nCells)
+    require(centers.length >= 2, "centerMarginAudit: need >= 2 centers")
+    val sorted = array_sort(array(centerDistStructs(centers): _*))
+    graft.core.Spread(emb)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"),
+        sorted.getItem(0).getField("cell").cast("long").as("cell"),
+        round(sorted.getItem(0).getField("d"), 6).as("d_best"),
+        round(sorted.getItem(1).getField("d"), 6).as("d_second"),
+        round(sorted.getItem(1).getField("d") -
+          sorted.getItem(0).getField("d"), 6).as("margin"))
+  }
+
   /** PQ codebook-usage balance audit (X240) — [[ivfBalanceAudit]]'s
     * read applied to the quantizer's OTHER half: a sub-space whose
     * vectors all map to one code contributes zero bits to the ADC

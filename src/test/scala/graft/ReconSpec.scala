@@ -198,6 +198,26 @@ class ReconSpec extends SparkSpec {
       && want.contains((24L, 39L, 16L)))
   }
 
+  test("eventOrderAudit: inversions counted along the id order, " +
+    "worst backstep exact, clean users report zero") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val events = Seq(
+      // user 1: ids 1..4 but event 3's ts jumps BACK 90s
+      (1L, 1L, ts("2024-01-01 10:00:00")),
+      (1L, 2L, ts("2024-01-01 10:01:00")),
+      (1L, 3L, ts("2024-01-01 09:59:30")),
+      (1L, 4L, ts("2024-01-01 10:02:00")),
+      // user 2: clean
+      (2L, 5L, ts("2024-01-01 11:00:00")),
+      (2L, 6L, ts("2024-01-01 11:05:00")))
+      .toDF("user_id", "event_id", "ts")
+    val got = graft.qc.Recon.eventOrderAudit(events)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((3L, 1L, 333333L, 90000000L)), got.toString)
+    assert(got(2L) == ((1L, 0L, 0L, 0L)))
+  }
+
   test("rareLevels: per-column ppm exact, NULL is a level, rare flag " +
     "at the declared bar") {
     val df = Seq(

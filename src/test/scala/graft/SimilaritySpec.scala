@@ -395,6 +395,25 @@ class SimilaritySpec extends SparkSpec {
     assert(hot._1 == 17L && hot._2 == 1L, s"x cells: $r")
   }
 
+  test("centerMarginAudit: a vector ON a center has d_best 0 and " +
+    "margin = inter-center distance; boundary vector margin ~0") {
+    // seeds (ids % 5 == 2): v2 = x-pole, v7 = y-pole
+    val emb = ((0L to 9L).map {
+      case i @ 2L => (i, Seq(1.0f, 0.0f))
+      case i @ 7L => (i, Seq(0.0f, 1.0f))
+      case i @ 4L => (i, Seq(1.0f, 1.0f)) // equidistant boundary
+      case i => (i, Seq(1.0f, 0.0f))      // x-pole duplicates
+    }).toDF("vec_id", "embedding")
+    val r = Similarity.centerMarginAudit(emb, nCells = 4)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4, x._5))).toMap
+    // v2 sits on center 0: d = |c|² − 2vc → −1; second = y-pole at 1
+    assert(r(2L) == ((0L, -1.0, 1.0, 2.0)))
+    // the (1,1) vector is equidistant: margin exactly 0, lowest cell
+    assert(r(4L)._1 == 0L && r(4L)._4 == 0.0)
+    assert(r.size == 10)
+  }
+
   test("pqCodeBalance: every subspace accounts the whole corpus, " +
     "shares and hot flags arithmetic-exact") {
     def v(i: Long): Seq[Float] =
