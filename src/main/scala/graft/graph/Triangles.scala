@@ -117,6 +117,31 @@ object Triangles {
         coalesce(col("c"), lit(0L)).as("n_tri"))
   }
 
+  /** Degree histogram in power-of-2 buckets (X246) — the graph-side
+    * Zipf read: real co-occurrence graphs are heavy-tailed, and the
+    * log-bucketed degree histogram is the one-glance check that the
+    * graph still LOOKS like one (a missing tail = over-aggressive
+    * edge support filtering; a fat head = a hub explosion that will
+    * dominate every triangle/path query downstream). Buckets by
+    * bit_length (the X110 floor-log2 device) so the histogram replays
+    * bit-identically; counts + integer-ppm node share.
+    *
+    * Scale: one degree aggregate over the undirected expansion (the
+    * same map-side-combinable shuffle every graph query starts with),
+    * one ≤64-bucket rollup, 1-row total broadcast. */
+  def degreeHistogram(edges: DataFrame): DataFrame = {
+    val b = undirected(edges)
+      .groupBy(col("u")).agg(count(lit(1)).cast("long").as("deg"))
+      .select(length(bin(col("deg"))).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_nodes"))
+    b.crossJoin(broadcast(
+        b.agg(sum(col("n_nodes")).cast("long").as("n_total"))))
+      .select(col("bucket"), col("n_nodes"),
+        expr("(n_nodes * 1000000) div greatest(n_total, 1)")
+          .cast("long").as("share_ppm"))
+  }
+
   /** Per-node local clustering coefficient (X212, Watts & Strogatz
     * 1998) — how much of each node's neighborhood closes into
     * triangles: `cc = 2·tri / (deg·(deg−1))`, in exact integer ppm.

@@ -729,6 +729,30 @@ object Pipeline {
         col("shard"), col("rank_in_shard"))
   }
 
+  /** Quality–length moment screen (X245) — the "is my quality score
+    * just measuring length?" audit run before trusting a quality
+    * filter: if quality correlates ~1 with token count, the filter is
+    * a length filter wearing a costume, and its corpus will skew long
+    * regardless of content. Emits the EXACT integer moments (n, Σx,
+    * Σy, Σxy, Σx², Σy²) over (n_tokens, milli-quality) — the
+    * X129/X146 discipline: the float correlation/slope step belongs
+    * to the consumer, the engine's job is exact replayable sums.
+    * Quality quantizes to milli-units (q3 = quality_e6 div 1000 ≤
+    * 10³) so Σy² stays Long-exact past 10¹² documents.
+    *
+    * Scale: one linear pass over the integer quality frame, one 1-row
+    * map-side-combinable aggregate. */
+  def qualityLengthCorr(docs: DataFrame): DataFrame =
+    qualityScored(docs)
+      .select(col("n_tokens"),
+        expr("quality_e6 div 1000").cast("long").as("q3"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"),
+        sum(col("q3")).cast("long").as("sum_q3"),
+        sum(col("n_tokens") * col("q3")).cast("long").as("sum_tq"),
+        sum(col("n_tokens") * col("n_tokens")).cast("long").as("sum_t2"),
+        sum(col("q3") * col("q3")).cast("long").as("sum_q3_2"))
+
   val BalancedK = 50
 
   /** Exact-k-per-group deterministic sample: rank documents within

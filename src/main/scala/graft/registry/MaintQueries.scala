@@ -56,6 +56,10 @@ object MaintQueries {
     "graph_clustering_coeff" -> ((s, d) =>
       graft.graph.Triangles.clusteringCoefficients(
         graft.graph.Triangles.sharedCoPurchaseEdges(s, d))),
+    // X246: power-of-2 degree histogram — the heavy-tail sanity read
+    "graph_degree_histogram" -> ((s, d) =>
+      graft.graph.Triangles.degreeHistogram(
+        graft.graph.Triangles.sharedCoPurchaseEdges(s, d))),
     "graph_communities" -> ((s, d) =>
       graft.graph.Communities.labelPropagationUnd(
         graft.graph.Triangles.sharedUndirectedEdges(s, d))),
@@ -300,6 +304,25 @@ object MaintQueries {
          |  MIN(x) AS x_min, MAX(x) AS x_max,
          |  MIN(y) AS y_min, MAX(y) AS y_max
          |FROM z GROUP BY 1""".stripMargin,
+
+    // same co-purchase edges + undirected degrees, floor-log2 buckets
+    "graph_degree_histogram" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM op x JOIN op y ON x.ok = y.ok AND x.p < y.p),
+        |und AS (SELECT a AS u FROM e UNION ALL SELECT b FROM e),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+        |        FROM und GROUP BY 1),
+        |b AS (SELECT CAST(length(format('{:b}', deg)) AS BIGINT)
+        |        AS bucket, CAST(count(*) AS BIGINT) AS n_nodes
+        |      FROM deg GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_nodes) AS BIGINT) AS n_total FROM b)
+        |SELECT bucket, n_nodes,
+        |  CAST((n_nodes * 1000000) // greatest(n_total, 1) AS BIGINT)
+        |    AS share_ppm
+        |FROM b CROSS JOIN tot""".stripMargin,
 
     // the oracle enumerates each triangle once in canonical id order
     // (a<b<c via the e1-e2-e3 triple join); the engine enumerates via

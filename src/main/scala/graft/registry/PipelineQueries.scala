@@ -86,6 +86,10 @@ object PipelineQueries {
     // value decomposition, seed-reproducible shard shuffle per phase
     "pipe_curriculum_order" -> ((s, d) =>
       Pipeline.curriculumOrder(docs(s, d))),
+    // X245: quality–length moment screen — exact integer (n, Σx, Σy,
+    // Σxy, Σx², Σy²); "is my quality filter a length filter?"
+    "pipe_quality_length_corr" -> ((s, d) =>
+      Pipeline.qualityLengthCorr(docs(s, d))),
     "pipe_chunk_overlap" -> ((s, d) => Pipeline.chunkWithOverlap(docs(s, d))),
     "pipe_token_budget" -> ((s, d) =>
       Pipeline.tokenBudgetSelect(docs(s, d))),
@@ -426,6 +430,20 @@ object PipelineQueries {
          |SELECT part, pack_id, count(*) AS n_docs,
          |       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
          |FROM p GROUP BY part, pack_id""".stripMargin,
+
+    // the quality CTEs reduced to one exact moment row; q3 quantizes
+    // BEFORE any product so every sum is Long-exact
+    "pipe_quality_length_corr" ->
+      s"""WITH $QualityCte
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(SUM(quality_e6 // 1000) AS BIGINT) AS sum_q3,
+         |  CAST(SUM(n_tokens * (quality_e6 // 1000)) AS BIGINT)
+         |    AS sum_tq,
+         |  CAST(SUM(n_tokens * n_tokens) AS BIGINT) AS sum_t2,
+         |  CAST(SUM((quality_e6 // 1000) * (quality_e6 // 1000))
+         |    AS BIGINT) AS sum_q3_2
+         |FROM sc""".stripMargin,
 
     // the quality CTEs + the length-deciles value decomposition over
     // the score domain (DESC — phase 1 = cleanest), then the shuffle

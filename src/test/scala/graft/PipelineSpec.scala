@@ -77,6 +77,24 @@ class PipelineSpec extends SparkSpec {
     assert(viol == 0)
   }
 
+  test("qualityLengthCorr: moments equal a driver-side recompute " +
+    "from the scored frame") {
+    val r = Pipeline.qualityLengthCorr(docs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    // independent recompute off the per-doc curriculum inputs: token
+    // counts from the packing frame, quality from curriculumOrder
+    val toks = Pipeline.packSequences(docs)
+      .select($"doc_id", $"n_tokens").as[(Long, Long)].collect().toMap
+    val q3 = Pipeline.curriculumOrder(docs)
+      .select($"doc_id", $"quality_e6").as[(Long, Long)].collect()
+      .map { case (id, q) => id -> q / 1000L }.toMap
+    graft.core.CacheBay.drain()
+    val xs = toks.keys.toSeq.map(id => (toks(id), q3(id)))
+    assert(r == ((xs.size.toLong, xs.map(_._1).sum, xs.map(_._2).sum,
+      xs.map(p => p._1 * p._2).sum, xs.map(p => p._1 * p._1).sum,
+      xs.map(p => p._2 * p._2).sum)))
+  }
+
   test("curriculumOrder: phases are rank terciles (quality ranges " +
     "never invert), ranks contiguous per (phase, shard)") {
     val o = Pipeline.curriculumOrder(docs)

@@ -347,6 +347,8 @@ class PlanAuditSpec extends SparkSpec {
       "events_growth_accounting",
       // 1-row total broadcast onto the ≤168-cell heatmap grid
       "events_dow_hour_heatmap",
+      // 1-row total broadcast onto the ≤64-bucket degree histogram
+      "graph_degree_histogram",
       // 1-row pair-total broadcast onto the ≤|sources|² matrix
       "dedup_source_matrix",
       // 1-row before/after totals broadcast onto the ≤|sources| frame

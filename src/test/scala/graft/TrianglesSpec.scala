@@ -77,6 +77,19 @@ class TrianglesSpec extends SparkSpec {
       (1L, 3L, 1L)))
   }
 
+  test("degreeHistogram: known degrees land in exact log2 buckets, " +
+    "shares ppm-exact") {
+    import spark.implicits._
+    // star: hub 0 with leaves 1..4 → hub deg 4 (bucket 3), leaves
+    // deg 1 (bucket 1); plus edge (5,6): both deg 1
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (5L, 6L))
+      .toDF("a", "b")
+    val got = graft.graph.Triangles.degreeHistogram(edges)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(3L -> ((1L, 142857L)), 1L -> ((6L, 857142L))))
+  }
+
   test("clusteringCoefficients: triangle corners close fully, the " +
     "bridge node partially, pendants zero") {
     import spark.implicits._
