@@ -435,6 +435,41 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r("mix") == ((4L, 3L, 1500000L, 2000000L)))
   }
 
+  test("bigramSurprisalScores property: random small-vocab corpora " +
+    "equal a naive recompute of the conditional floor-bits") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val docGen: Gen[List[String]] = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 9).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d"))
+          .map(_.mkString(" ")))))
+    (1L to 8L).foreach { seed =>
+      val texts = sample(docGen, seed)
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = CorpusStats.bigramSurprisalScores(docs)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      graft.core.CacheBay.drain()
+      // naive: corpus bigram counts, head counts, floor-bits per doc
+      val docToks = texts.map(_.split("\\s+").filter(_.nonEmpty).toSeq)
+      val allBi = docToks.flatMap(ts => ts.zip(ts.drop(1)))
+      val cAb = allBi.groupBy(identity).view.mapValues(_.size.toLong)
+      val cHead = allBi.groupBy(_._1).view.mapValues(_.size.toLong)
+      val want = docToks.zipWithIndex.map { case (ts, i) =>
+        val bi = ts.zip(ts.drop(1))
+        val bits = bi.map(b =>
+          java.lang.Long.toBinaryString(cHead(b._1) / cAb(b)).length
+            .toLong).sum
+        i.toLong -> ((bi.size.toLong, bits,
+          if (bi.isEmpty) 0L else bits * 1000000L / bi.size))
+      }.toMap
+      assert(got == want, s"seed=$seed texts=$texts")
+    }
+  }
+
   test("bigramSurprisalScores: conditional bits exact; no-bigram docs " +
     "report zeros") {
     val docs = Seq(

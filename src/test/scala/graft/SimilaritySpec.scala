@@ -502,6 +502,37 @@ class SimilaritySpec extends SparkSpec {
       1L -> ((1L, 333333L))))
   }
 
+  test("dimStats property: random exact-representable vectors equal " +
+    "a naive floor-semantics recompute") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    // values k/8 are exact in binary floats, incl. negatives
+    val vecGen: Gen[List[Seq[Float]]] = Gen.chooseNum(2, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.listOfN(3,
+        Gen.chooseNum(-16, 16).map(_ / 8.0f)).map(_.toSeq)))
+    (1L to 8L).foreach { seed =>
+      val vs = sample(vecGen, seed)
+      val emb = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val got = Similarity.dimStats(emb)
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+        .map(x => x._1 -> ((x._2, x._3, x._4, x._5, x._6))).toMap
+      val want = (0 until 3).map { d =>
+        val q = vs.map(v => math.floor(v(d).toDouble * 1e6 + 0.5).toLong)
+        val n = q.size.toLong
+        val s = q.sum
+        val s2 = q.map(x => x * x).sum
+        val mean = math.floor(s.toDouble / n).toLong
+        val varq = math.max(s2 / n - mean * mean, 0L)
+        d.toLong -> ((n, s, mean, varq,
+          if (varq <= Similarity.LowVarE12) 1L else 0L))
+      }.toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("dimStats: constant dims flag low-var, mean uses FLOOR " +
     "division on negative sums, variance exact in quantized units") {
     // all values exactly representable in binary floats
