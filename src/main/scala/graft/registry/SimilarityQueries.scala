@@ -111,6 +111,12 @@ object SimilarityQueries {
     // vector over the same seed-center assignment
     "sim_center_margin" -> ((s, d) =>
       Similarity.centerMarginAudit(emb(s, d))),
+    // X248: LSH bucket-occupancy profile — the hash-side index-health
+    // read (mega-bucket vs shatter)
+    "sim_lsh_bucket_profile" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.lshBucketProfile(e, nBits = scaledNBits(e.count()))
+    }),
     // X211: semantic-dedup threshold calibration sweep over the
     // bounded keeper-star candidate pairs
     "sim_threshold_calibration" -> ((s, d) => {
@@ -360,6 +366,22 @@ object SimilarityQueries {
          |  CAST(CASE WHEN n_vecs * m_cells > 2 * n_total THEN 1 ELSE 0
          |    END AS BIGINT) AS is_hot
          |FROM occ CROSS JOIN tot CROSS JOIN mc""".stripMargin,
+
+    // the bucket CTEs + occupancy rollup into floor-log2 size classes
+    "sim_lsh_bucket_profile" ->
+      s"""WITH $ECte, $NbCte, $BucketCte,
+         |occ AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n
+         |        FROM bk GROUP BY 1),
+         |cls AS (SELECT CAST(length(format('{:b}', n)) AS BIGINT)
+         |          AS size_class,
+         |          CAST(count(*) AS BIGINT) AS n_buckets,
+         |          CAST(SUM(n) AS BIGINT) AS n_vecs
+         |        FROM occ GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total FROM cls)
+         |SELECT size_class, n_buckets, n_vecs,
+         |  CAST((n_vecs * 1000000) // greatest(n_total, 1) AS BIGINT)
+         |    AS share_ppm
+         |FROM cls CROSS JOIN tot""".stripMargin,
 
     // the seed-center distance chain with rank <= 2 kept; the margin
     // rounds the RAW difference (never the rounded operands)

@@ -68,6 +68,10 @@ object TextQueries {
     // second-order leg of the perplexity quality filter
     "text_bigram_surprisal" -> ((s, d) =>
       graft.text.CorpusStats.bigramSurprisalScores(docs(s, d))),
+    // X247: Church-Gale term burstiness — topical vs function-word
+    // separation from the tf/df ratio
+    "text_term_burstiness" -> ((s, d) =>
+      graft.text.CorpusStats.termBurstiness(docs(s, d))),
     "text_vocab_growth" -> ((s, d) =>
       graft.text.CorpusStats.vocabGrowth(docs(s, d))),
     "text_dsir_weights" -> ((s, d) =>
@@ -621,6 +625,20 @@ object TextQueries {
          |  CAST(COALESCE((a.total_bits * 1000000) // a.n_tokens, 0)
          |    AS BIGINT) AS bits_per_token_e6
          |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
+
+    // (doc, term) tf rollup then term grain — df is a plain row count
+    "text_term_burstiness" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, unnest(w) AS term FROM tw),
+         |dt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf_doc
+         |       FROM tf GROUP BY 1, 2),
+         |g AS (SELECT term, CAST(SUM(tf_doc) AS BIGINT) AS tf,
+         |        CAST(count(*) AS BIGINT) AS df
+         |      FROM dt GROUP BY 1)
+         |SELECT term, tf, df,
+         |  CAST((tf * 1000000) // df AS BIGINT) AS burst_ppm
+         |FROM g WHERE df >= ${graft.text.CorpusStats.BurstMinDf}"""
+        .stripMargin,
 
     // same bigram extraction as text_collocations, bits at bigram-TYPE
     // grain conditioned on the head's bigram count, instance rollup

@@ -369,6 +369,38 @@ object Similarity {
         col("nn_id"), round(col("adc"), 6).as("adc"))
   }
 
+  /** LSH bucket-occupancy profile (X248) — the index-health read for
+    * the HASH side of the ANN family (X207 covers the IVF side): the
+    * bucket-size distribution in power-of-2 buckets says whether the
+    * hyperplane family actually splits the corpus (one mega-bucket =
+    * the vectors are collinear along the hyperplanes — candidate
+    * generation degenerates toward all-pairs) or shatters it (all
+    * singletons = no candidate ever found; lower the bit count). Per
+    * size class (bit_length of the bucket's occupancy, the X110
+    * device): number of buckets, vectors carried, integer-ppm vector
+    * share.
+    *
+    * Scale: one bucket aggregate over the linear bucket pass, one
+    * ≤64-row rollup, 1-row total broadcast. */
+  def lshBucketProfile(emb: DataFrame,
+      nBits: Int = NumHyperplanes): DataFrame = {
+    val occ = graft.core.Spread(emb)
+      .select(lshBucket(asDouble(col("embedding")), nBits).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val cls = occ
+      .select(length(bin(col("n"))).cast("long").as("size_class"),
+        col("n"))
+      .groupBy(col("size_class"))
+      .agg(count(lit(1)).cast("long").as("n_buckets"),
+        sum(col("n")).cast("long").as("n_vecs"))
+    cls.crossJoin(broadcast(
+        cls.agg(sum(col("n_vecs")).cast("long").as("n_total"))))
+      .select(col("size_class"), col("n_buckets"), col("n_vecs"),
+        expr("(n_vecs * 1000000) div greatest(n_total, 1)")
+          .cast("long").as("share_ppm"))
+  }
+
   /** Assignment-margin screen (X244) — the silhouette-lite clustering
     * confidence read per vector: the gap between the squared distance
     * to the nearest and second-nearest center. A thin margin means

@@ -189,6 +189,35 @@ object CorpusStats {
           .as("bits_per_bigram_e6"))
   }
 
+  /** Terms below this document frequency are noise for the
+    * burstiness read. */
+  val BurstMinDf = 2L
+
+  /** Term burstiness profile (X247, Church & Gale 1995) — the
+    * topical-vs-function-word separator TF-IDF's df alone can't see:
+    * a term whose corpus tf is MUCH larger than its df is BURSTY
+    * (when it appears, it appears many times — a topic word, a
+    * template artifact, spam anchor text), while tf ≈ df is evenly
+    * sprinkled (function words, boilerplate glue). Per term with
+    * df ≥ [[BurstMinDf]]: tf, df, and the mean within-document burst
+    * `tf·10⁶ div df` (≥ 10⁶ by construction; sorted consumers read
+    * the topical tail straight off it).
+    *
+    * Scale: one (doc, term) aggregate (tf per doc), then one term
+    * aggregate summing tf and counting rows (the rows ARE distinct
+    * docs, so df is a count, never a count-distinct) — the TF-IDF
+    * topology without the per-doc window. */
+  def termBurstiness(docs: DataFrame, minDf: Long = BurstMinDf): DataFrame =
+    docs.select(col("doc_id"), explode(tokenArray(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf_doc"))
+      .groupBy(col("term"))
+      .agg(sum(col("tf_doc")).cast("long").as("tf"),
+        count(lit(1)).cast("long").as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("term"), col("tf"), col("df"),
+        expr("(tf * 1000000) div df").cast("long").as("burst_ppm"))
+
   val TfIdfK = 3
 
   /** Top-k TF-IDF terms per document — the per-doc keyword extractor

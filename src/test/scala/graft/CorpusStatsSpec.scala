@@ -435,6 +435,21 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r("mix") == ((4L, 3L, 1500000L, 2000000L)))
   }
 
+  test("termBurstiness: bursty vs sprinkled terms exact; df floor " +
+    "drops singletons") {
+    val docs = Seq(
+      (0L, "spam spam spam a"), // spam: tf 3 in one doc
+      (1L, "spam a b"),
+      (2L, "a b"))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.termBurstiness(docs)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // spam: tf 4, df 2 → burst 2e6; a: 3/3 → 1e6; b: 2/2 → 1e6
+    assert(got == Map("spam" -> ((4L, 2L, 2000000L)),
+      "a" -> ((3L, 3L, 1000000L)), "b" -> ((2L, 2L, 1000000L))))
+  }
+
   test("bigramSurprisalScores property: random small-vocab corpora " +
     "equal a naive recompute of the conditional floor-bits") {
     import org.scalacheck.Gen

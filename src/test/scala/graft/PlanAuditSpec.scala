@@ -349,6 +349,8 @@ class PlanAuditSpec extends SparkSpec {
       "events_dow_hour_heatmap",
       // 1-row total broadcast onto the ≤64-bucket degree histogram
       "graph_degree_histogram",
+      // 1-row total broadcast onto the ≤64-row size-class rollup
+      "sim_lsh_bucket_profile",
       // 1-row pair-total broadcast onto the ≤|sources|² matrix
       "dedup_source_matrix",
       // 1-row before/after totals broadcast onto the ≤|sources| frame

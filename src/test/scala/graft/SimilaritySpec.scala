@@ -502,6 +502,28 @@ class SimilaritySpec extends SparkSpec {
       1L -> ((1L, 333333L))))
   }
 
+  test("lshBucketProfile: size classes recount from the bucket " +
+    "occupancies, vectors fully accounted") {
+    val emb = ((0L to 19L).map {
+      case i @ (7L | 3L) => (i, Seq(0.0f, 1.0f, 0.0f))
+      case i @ 17L => (i, Seq(0.0f, 0.0f, 1.0f))
+      case i => (i, Seq(1.0f, 0.0f, 0.001f * i))
+    }).toDF("vec_id", "embedding")
+    val got = Similarity.lshBucketProfile(emb, nBits = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    graft.core.CacheBay.drain()
+    assert(got.map(_._3).sum == 20L)
+    val total = 20L
+    got.foreach { case (cls, nb, nv, ppm) =>
+      assert(cls >= 1L && nb >= 1L && nv >= nb)
+      assert(ppm == nv * 1000000L / total)
+      // every bucket in this class has bit_length(size) == cls, i.e.
+      // size ∈ [2^(cls−1), 2^cls − 1] — bound nv on both sides
+      assert(nv <= nb * ((1L << cls) - 1))
+      assert(nv >= nb * (1L << (cls - 1)))
+    }
+  }
+
   test("dimStats property: random exact-representable vectors equal " +
     "a naive floor-semantics recompute") {
     import org.scalacheck.Gen
