@@ -1712,6 +1712,36 @@ object Analytics {
           col("len"))), lit(0L)).cast("long").as("current_streak"))
   }
 
+  /** A/B conversion read-out (X249) — the experiment summary every
+    * feature launch ends with: users hash-split 50/50 into arms (the
+    * md5-hex8 device, so assignment replays anywhere and pairs with
+    * the X198 SRM guard), conversion = at least one purchase event,
+    * and per arm the exact user / converter counts and integer-ppm
+    * conversion rate. The engine emits the MOMENTS (the X129
+    * discipline) — the z-test / CI float step belongs to the consumer;
+    * these two rows are everything it needs.
+    *
+    * Scale: one distinct to user grain (the only fact-sized shuffle,
+    * shared by both legs), one filtered distinct for converters, a
+    * user-key left join, a 2-row aggregate. */
+  def abLift(events: DataFrame): DataFrame = {
+    val arms = events.select(col("user_id")).distinct()
+      .withColumn("arm",
+        when(expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), " +
+          "1, 8), 16, 10) AS BIGINT) % 2 = 0"), "A").otherwise("B"))
+    val conv = events.filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct()
+      .withColumn("is_conv", lit(1L))
+    arms.join(conv, Seq("user_id"), "left")
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).cast("long").as("n_users"),
+        sum(coalesce(col("is_conv"), lit(0L))).cast("long")
+          .as("n_converters"))
+      .select(col("arm"), col("n_users"), col("n_converters"),
+        expr("(n_converters * 1000000) div greatest(n_users, 1)")
+          .cast("long").as("conv_ppm"))
+  }
+
   /** Day-of-week × hour activity heatmap (X241) — the "when is the
     * system busy" contingency every ops/capacity review starts from:
     * per (dow, hour) cell the event count and integer-ppm share.

@@ -117,6 +117,12 @@ object SimilarityQueries {
       val e = emb(s, d)
       Similarity.lshBucketProfile(e, nBits = scaledNBits(e.count()))
     }),
+    // X250: mutual-nearest-neighbor rate — the hubness screen over
+    // the multi-probe top-1 frame
+    "sim_mutual_neighbor_rate" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.mutualNeighborRate(e, nBits = scaledNBits(e.count()))
+    }),
     // X211: semantic-dedup threshold calibration sweep over the
     // bounded keeper-star candidate pairs
     "sim_threshold_calibration" -> ((s, d) => {
@@ -156,6 +162,28 @@ object SimilarityQueries {
     * [[graft.functions.PqEncode]]/[[graft.functions.PqAdc]]: identical
     * ascending-(s, d) accumulation order, `ORDER BY dd, j` = the
     * lowest-code tie-break. */
+  /** The multi-probe top-1 chain (probe keys → bucket join → rank),
+    * ending in `r` — shared by the nearest-neighbor oracle and the
+    * mutual-rate audit. */
+  private val NnCtes: String =
+    s"""pr AS (
+       |  SELECT vec_id AS q_id, v AS qv, unnest(list_prepend(bucket,
+       |    list_transform(range(0, (SELECT nbits FROM nb)), j ->
+       |      substring(bucket, 1, CAST(j AS INT)) ||
+       |      (CASE WHEN substring(bucket, CAST(j AS INT) + 1, 1) = '1'
+       |            THEN '0' ELSE '1' END) ||
+       |      substring(bucket, CAST(j AS INT) + 2,
+       |        length(bucket) - CAST(j AS INT) - 1))))
+       |    AS bucket
+       |  FROM bk),
+       |p AS (SELECT q_id, b.vec_id AS nn_id,
+       |        ${cosSql("qv", "b.v")} AS cos
+       |      FROM pr JOIN bk b ON pr.bucket = b.bucket
+       |      WHERE q_id <> b.vec_id),
+       |r AS (SELECT q_id, nn_id, cos, row_number() OVER (
+       |        PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rank
+       |      FROM p)""".stripMargin
+
   /** The PQ code-ASSIGNMENT chain (seeds → per-subspace distances →
     * rank-1 pick), shared by the full PQ oracles and the code-balance
     * audit. */
@@ -247,25 +275,24 @@ object SimilarityQueries {
     // Spark plan — no all-pairs join anywhere)
     "sim_nearest_neighbor" ->
       s"""WITH $ECte, $NbCte, $BucketCte,
-         |pr AS (
-         |  SELECT vec_id AS q_id, v AS qv, unnest(list_prepend(bucket,
-         |    list_transform(range(0, (SELECT nbits FROM nb)), j ->
-         |      substring(bucket, 1, CAST(j AS INT)) ||
-         |      (CASE WHEN substring(bucket, CAST(j AS INT) + 1, 1) = '1'
-         |            THEN '0' ELSE '1' END) ||
-         |      substring(bucket, CAST(j AS INT) + 2,
-         |        length(bucket) - CAST(j AS INT) - 1))))
-         |    AS bucket
-         |  FROM bk),
-         |p AS (SELECT q_id, b.vec_id AS nn_id,
-         |        ${cosSql("qv", "b.v")} AS cos
-         |      FROM pr JOIN bk b ON pr.bucket = b.bucket
-         |      WHERE q_id <> b.vec_id),
-         |r AS (SELECT q_id, nn_id, cos, row_number() OVER (
-         |        PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rank
-         |      FROM p)
+         |$NnCtes
          |SELECT q_id, nn_id, ROUND(cos, 6) AS cos
          |FROM r WHERE rank = 1""".stripMargin,
+
+    // the same multi-probe top-1 chain, self-joined on the reversed
+    // pair key; two 1-row counts
+    "sim_mutual_neighbor_rate" ->
+      s"""WITH $ECte, $NbCte, $BucketCte,
+         |$NnCtes,
+         |nn AS (SELECT q_id, nn_id FROM r WHERE rank = 1),
+         |mu AS (SELECT a.q_id FROM nn a
+         |       JOIN nn b ON a.q_id = b.nn_id AND a.nn_id = b.q_id),
+         |cv AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM nn),
+         |cm AS (SELECT CAST(count(*) AS BIGINT) AS n_mutual FROM mu)
+         |SELECT n_vectors, n_mutual,
+         |  CAST((n_mutual * 1000000) // greatest(n_vectors, 1)
+         |    AS BIGINT) AS mutual_ppm
+         |FROM cv CROSS JOIN cm""".stripMargin,
 
     // full IVF audit replay: seed centers (same ORDER BY/LIMIT rule),
     // nearest-center assignment (d = |c|² − 2v·c, ties → lowest cell),

@@ -472,6 +472,10 @@ object StreamQueries {
     // X241: dow × hour activity heatmap — the ≤168-cell busy grid
     "events_dow_hour_heatmap" -> ((s, d) =>
       graft.analytics.Analytics.dowHourHeatmap(Tables(s, d, "events"))),
+    // X249: A/B conversion read-out — hash-split arms, purchase
+    // conversion, exact per-arm moments
+    "events_ab_lift" -> ((s, d) =>
+      graft.analytics.Analytics.abLift(Tables(s, d, "events"))),
     // X242: peak concurrent sessions per day — the X137 sweep line at
     // minute grain over the shared session tier
     "events_peak_concurrency" -> ((s, d) =>
@@ -1198,6 +1202,26 @@ object StreamQueries {
         |  round(quantile_cont(gap_s, 0.9), 6) AS p90_gap_s,
         |  CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
         |FROM g WHERE gap_s IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // hex8 % 2 arm assignment, distinct converters, user-key left join
+    "events_ab_lift" -> {
+      val split = OracleSql.hex8("md5(CAST(user_id AS VARCHAR))")
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |a AS (SELECT user_id,
+         |        CASE WHEN $split % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+         |      FROM u),
+         |c AS (SELECT DISTINCT user_id FROM events
+         |      WHERE event_type = 'purchase'),
+         |j AS (SELECT a.arm,
+         |        CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+         |          AS is_conv
+         |      FROM a LEFT JOIN c ON a.user_id = c.user_id)
+         |SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         |  CAST(SUM(is_conv) AS BIGINT) AS n_converters,
+         |  CAST((SUM(is_conv) * 1000000) // greatest(count(*), 1)
+         |    AS BIGINT) AS conv_ppm
+         |FROM j GROUP BY 1""".stripMargin
+    },
 
     // DuckDB's 0-based Sunday week shifted to Spark's 1-based
     "events_dow_hour_heatmap" ->

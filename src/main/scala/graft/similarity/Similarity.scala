@@ -369,6 +369,36 @@ object Similarity {
         col("nn_id"), round(col("adc"), 6).as("adc"))
   }
 
+  /** Mutual-nearest-neighbor rate (X250) — the HUBNESS screen for an
+    * embedding space: in a healthy space most top-1 relations are
+    * symmetric (my nearest neighbor's nearest neighbor is me); a low
+    * mutual rate means a few hub vectors are everyone's neighbor
+    * while being close to none of them — the high-dimensional
+    * pathology that silently poisons kNN labels, dedup keeper picks
+    * and retrieval ranking (Radovanović et al. 2010). One number over
+    * the existing multi-probe top-1 frame: vectors with a top-1, the
+    * mutual pairs among them, integer-ppm mutual rate. Vectors whose
+    * probes found no candidate carry no top-1 row — the same contract
+    * the top-1 query itself has.
+    *
+    * Scale shape: rides [[nearestNeighbor]] unchanged, then ONE
+    * self-equi-join of the |V|-row top-1 frame on the reversed pair
+    * key and two 1-row counts — no new corpus work. */
+  def mutualNeighborRate(emb: DataFrame,
+      nBits: Int = NumHyperplanes): DataFrame = {
+    val nn = graft.core.CacheBay.register(
+      nearestNeighbor(emb, nBits).select(col("q_id"), col("nn_id")))
+    val mutual = nn.join(
+      nn.select(col("nn_id").as("q_id"), col("q_id").as("nn_id")),
+      Seq("q_id", "nn_id"), "left_semi")
+    nn.agg(count(lit(1)).cast("long").as("n_vectors"))
+      .crossJoin(broadcast(
+        mutual.agg(count(lit(1)).cast("long").as("n_mutual"))))
+      .select(col("n_vectors"), col("n_mutual"),
+        expr("(n_mutual * 1000000) div greatest(n_vectors, 1)")
+          .cast("long").as("mutual_ppm"))
+  }
+
   /** LSH bucket-occupancy profile (X248) — the index-health read for
     * the HASH side of the ANN family (X207 covers the IVF side): the
     * bucket-size distribution in power-of-2 buckets says whether the

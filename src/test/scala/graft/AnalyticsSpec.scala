@@ -851,6 +851,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(2L) == ((2L, 1L, 2L, 0L)))
   }
 
+  test("abLift: arms replay the md5 split, converters counted once " +
+    "per user, ppm exact") {
+    def armOf(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) "A" else "B"
+    }
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val ids = 0L until 40L
+    // users ≡ 0 (mod 4) purchase (twice — must count once); rest view
+    val events = ids.flatMap { u =>
+      if (u % 4 == 0) Seq((u, ts, "purchase"), (u, ts, "purchase"))
+      else Seq((u, ts, "view"))
+    }.toDF("user_id", "ts", "event_type")
+    val got = graft.analytics.Analytics.abLift(events)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val want = ids.groupBy(armOf).map { case (arm, us) =>
+      val conv = us.count(_ % 4 == 0).toLong
+      arm -> ((us.size.toLong, conv, conv * 1000000L / us.size))
+    }
+    assert(got == want, got.toString)
+  }
+
   test("dowHourHeatmap: cells land on Spark's 1-based Sunday week, " +
     "ppm shares exact") {
     val ts = java.sql.Timestamp.valueOf(_: String)

@@ -351,6 +351,8 @@ class PlanAuditSpec extends SparkSpec {
       "graph_degree_histogram",
       // 1-row total broadcast onto the ≤64-row size-class rollup
       "sim_lsh_bucket_profile",
+      // two 1-row counts assembled by broadcast cross join
+      "sim_mutual_neighbor_rate",
       // 1-row pair-total broadcast onto the ≤|sources|² matrix
       "dedup_source_matrix",
       // 1-row before/after totals broadcast onto the ≤|sources| frame

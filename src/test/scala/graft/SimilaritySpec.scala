@@ -502,6 +502,28 @@ class SimilaritySpec extends SparkSpec {
       1L -> ((1L, 333333L))))
   }
 
+  test("mutualNeighborRate: rate equals an independent recount of " +
+    "symmetric pairs in the top-1 frame; identical twins are mutual") {
+    val emb = ((0L to 19L).map {
+      case i @ (7L | 3L) => (i, Seq(0.0f, 1.0f, 0.0f))
+      case i @ 17L => (i, Seq(0.0f, 0.0f, 1.0f))
+      case i => (i, Seq(1.0f, 0.0f, 0.001f * i))
+    }).toDF("vec_id", "embedding")
+    val got = Similarity.mutualNeighborRate(emb, nBits = 4)
+      .as[(Long, Long, Long)].collect().head
+    graft.core.CacheBay.drain()
+    val nn = Similarity.nearestNeighbor(emb, nBits = 4)
+      .select("q_id", "nn_id").as[(Long, Long)].collect()
+    graft.core.CacheBay.drain()
+    val pairs = nn.toSet
+    val nMutual = nn.count(p => pairs.contains((p._2, p._1))).toLong
+    assert(got == ((nn.length.toLong, nMutual,
+      nMutual * 1000000L / nn.length)))
+    // the y-pole twins (3, 7) are each other's only close neighbor
+    assert(pairs.contains((3L, 7L)) && pairs.contains((7L, 3L)))
+    assert(nMutual >= 2L)
+  }
+
   test("lshBucketProfile: size classes recount from the bucket " +
     "occupancies, vectors fully accounted") {
     val emb = ((0L to 19L).map {
