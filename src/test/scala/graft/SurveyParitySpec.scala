@@ -61,4 +61,30 @@ class SurveyParitySpec extends AnyFunSuite {
       s"queries without an oracle AND without a specOnly entry: " +
         undocumented.toSeq.sorted.mkString(", "))
   }
+
+  test("every §2.11 X-row's query-name column references live " +
+    "registry queries (or is an explicit spec-only marker)") {
+    // The §2.12 ledger is machine-checked, but the X-rows' last
+    // column was only prose — exactly where the r9 key-collision hid
+    // (X97/X123 claimed query names whose bindings were dead). Parse
+    // each `| Xnnn | ... |` row; every backticked name in its LAST
+    // cell must be a live query. Rows whose last cell carries no
+    // backticks are the documented spec-only/audited exceptions.
+    val text = new String(java.nio.file.Files.readAllBytes(SurveyPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val rows = text.linesIterator.filter(_.matches("^\\| X\\d+ \\|.*"))
+      .toSeq
+    assert(rows.nonEmpty, "no §2.11 X-rows found")
+    val bad = rows.flatMap { r =>
+      val cells = r.split("(?<!\\\\)\\|").map(_.trim).filter(_.nonEmpty)
+      val xid = cells.head.takeWhile(_ != ' ')
+      val last = cells.last
+      "`([a-z0-9_]+)`".r.findAllMatchIn(last).map(_.group(1))
+        .filterNot(SparkEntry.queries.contains)
+        .map(n => s"$xid -> $n").toSeq
+    }
+    assert(bad.isEmpty,
+      "X-rows naming queries that do not exist in the registry: " +
+        bad.sorted.mkString(", "))
+  }
 }
