@@ -1712,6 +1712,34 @@ object Analytics {
           col("len"))), lit(0L)).cast("long").as("current_streak"))
   }
 
+  /** Basket-size profile (X251) — the merchandising read behind
+    * bundle and free-shipping-threshold decisions: how many line
+    * items an order carries, how many orders sit at each size, and
+    * how much revenue each size class moves (the single-line tail is
+    * usually most ORDERS, the mid sizes most REVENUE — the exact
+    * split this profile shows). Per basket size: order count, exact
+    * cents revenue, and both integer-ppm shares.
+    *
+    * Scale: one order-grain aggregate (count + cents in the same
+    * pass), one ≤|max-size| rollup, 1-row totals broadcast. */
+  def basketProfile(lineitem: DataFrame): DataFrame = {
+    val perOrder = lineitem.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).cast("long").as("n_items"),
+        sum(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long"))
+          .cast("long").as("cents"))
+    val cells = perOrder.groupBy(col("n_items"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        sum(col("cents")).cast("long").as("cents"))
+    cells.crossJoin(broadcast(cells.agg(
+        sum(col("n_orders")).cast("long").as("t_orders"),
+        sum(col("cents")).cast("long").as("t_cents"))))
+      .select(col("n_items"), col("n_orders"), col("cents"),
+        expr("(n_orders * 1000000) div greatest(t_orders, 1)")
+          .cast("long").as("order_share_ppm"),
+        expr("(cents * 1000000) div greatest(t_cents, 1)")
+          .cast("long").as("revenue_share_ppm"))
+  }
+
   /** A/B conversion read-out (X249) — the experiment summary every
     * feature launch ends with: users hash-split 50/50 into arms (the
     * md5-hex8 device, so assignment replays anywhere and pairs with

@@ -50,6 +50,10 @@ object AnalyticsQueries {
     // device at order grain
     "orders_reorder_cycle" -> ((s, d) =>
       Analytics.reorderCycle(graft.core.Tables(s, d, "orders"))),
+    // X251: basket-size profile — orders and exact revenue per line
+    // count, both ppm shares
+    "orders_basket_profile" -> ((s, d) =>
+      Analytics.basketProfile(graft.core.Tables(s, d, "lineitem"))),
     "uom_conversion" -> ((s, d) => Analytics.uomConversion(s, d)),
     "delta_detect" -> ((s, d) => Analytics.deltaDetect(s, d)),
     "groupwise_max" -> ((s, d) => Analytics.groupwiseMax(s, d)),
@@ -355,6 +359,26 @@ object AnalyticsQueries {
          |  CAST((n_parts * 1000000) // greatest(n_total, 1) AS BIGINT)
          |    AS share_ppm
          |FROM cells CROSS JOIN tot""".stripMargin,
+
+    // order-grain rollup then size-class rollup, exact cents
+    "orders_basket_profile" ->
+      """WITH po AS (
+        |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE)
+        |      * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT n_items, CAST(count(*) AS BIGINT) AS n_orders,
+        |        CAST(SUM(cents) AS BIGINT) AS cents
+        |      FROM po GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS t_orders,
+        |        CAST(SUM(cents) AS BIGINT) AS t_cents FROM c)
+        |SELECT n_items, n_orders, cents,
+        |  CAST((n_orders * 1000000) // greatest(t_orders, 1) AS BIGINT)
+        |    AS order_share_ppm,
+        |  CAST((cents * 1000000) // greatest(t_cents, 1) AS BIGINT)
+        |    AS revenue_share_ppm
+        |FROM c CROSS JOIN t""".stripMargin,
 
     // same day-gap lag and quantile_cont/round pairing as
     // events_gap_stats, at (customer, order) grain

@@ -851,6 +851,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(2L) == ((2L, 1L, 2L, 0L)))
   }
 
+  test("basketProfile: size classes exact, shares partition orders " +
+    "and cents") {
+    val li = Seq(
+      (1L, 10.00), (1L, 5.00),   // order 1: 2 items, 1500c
+      (2L, 1.00),                // order 2: 1 item, 100c
+      (3L, 2.00),                // order 3: 1 item, 200c
+      (4L, 3.00), (4L, 3.00), (4L, 4.00)) // order 4: 3 items, 1000c
+      .toDF("l_orderkey", "l_extendedprice")
+    val got = graft.analytics.Analytics.basketProfile(li)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      2L -> ((1L, 1500L, 250000L, 1500L * 1000000L / 2800L)),
+      1L -> ((2L, 300L, 500000L, 300L * 1000000L / 2800L)),
+      3L -> ((1L, 1000L, 250000L, 1000L * 1000000L / 2800L))))
+  }
+
   test("abLift: arms replay the md5 split, converters counted once " +
     "per user, ppm exact") {
     def armOf(id: Long): String = {

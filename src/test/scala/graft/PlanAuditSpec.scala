@@ -353,6 +353,8 @@ class PlanAuditSpec extends SparkSpec {
       "sim_lsh_bucket_profile",
       // two 1-row counts assembled by broadcast cross join
       "sim_mutual_neighbor_rate",
+      // 1-row totals broadcast onto the ≤|max-size| size classes
+      "orders_basket_profile",
       // 1-row pair-total broadcast onto the ≤|sources|² matrix
       "dedup_source_matrix",
       // 1-row before/after totals broadcast onto the ≤|sources| frame
