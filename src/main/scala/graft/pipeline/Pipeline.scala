@@ -740,6 +740,13 @@ object Pipeline {
     * Quality quantizes to milli-units (q3 = quality_e6 div 1000 ≤
     * 10³) so Σy² stays Long-exact past 10¹² documents.
     *
+    * Σt² is the one sum that can wrap a Long on a very-long-document
+    * corpus (Spark wraps silently where DuckDB's HUGEINT CAST would
+    * error), so the dimStats guard applies here too: assert
+    * n·max_t² ≤ 2⁶³ in double space — a sound upper bound on Σt²,
+    * and (q3 ≤ 10³ ≤ max_t for any corpus where overflow is even
+    * conceivable) on Σtq — and trip loudly instead of diverging.
+    *
     * Scale: one linear pass over the integer quality frame, one 1-row
     * map-side-combinable aggregate. */
   def qualityLengthCorr(docs: DataFrame): DataFrame =
@@ -751,7 +758,15 @@ object Pipeline {
         sum(col("q3")).cast("long").as("sum_q3"),
         sum(col("n_tokens") * col("q3")).cast("long").as("sum_tq"),
         sum(col("n_tokens") * col("n_tokens")).cast("long").as("sum_t2"),
-        sum(col("q3") * col("q3")).cast("long").as("sum_q3_2"))
+        sum(col("q3") * col("q3")).cast("long").as("sum_q3_2"),
+        max(col("n_tokens")).cast("long").as("__max_t"))
+      .select(col("n"), col("sum_tokens"), col("sum_q3"),
+        expr("coalesce(cast(assert_true(" +
+          "cast(n as double) * cast(__max_t as double) * " +
+          "cast(__max_t as double) <= 9.0e18, " +
+          "'quality-length moments exceed the Long-exact range') " +
+          "as bigint), 0) + sum_tq").cast("long").as("sum_tq"),
+        col("sum_t2"), col("sum_q3_2"))
 
   val BalancedK = 50
 

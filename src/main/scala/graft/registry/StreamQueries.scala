@@ -465,8 +465,9 @@ object StreamQueries {
     // longest + current streak per user
     "events_streaks" -> ((s, d) =>
       graft.analytics.Analytics.activityStreaks(Tables(s, d, "events"))),
-    // X233: monthly growth accounting — new / retained / resurrected
-    // / churned decomposition, churn never past the last month
+    // X233: weekly growth accounting — new / retained / resurrected
+    // / churned decomposition at epoch-week grain, churn never past
+    // the last observed week
     "events_growth_accounting" -> ((s, d) =>
       graft.analytics.Analytics.growthAccounting(Tables(s, d, "events"))),
     // X241: dow × hour activity heatmap — the ≤168-cell busy grid

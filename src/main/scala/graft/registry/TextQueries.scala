@@ -34,6 +34,20 @@ object TextQueries {
       graft.core.SessionCache.cached(s, s"bpesyms:$d")(trained._2))
   }
 
+  /** Shared per-doc frame of X252/X253 — map-only, zero shuffle. */
+  private def encodingQc(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+        col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("char_len"),
+        replacementCount(col("text")).as("repl_count"),
+        ctrlCount(col("text")).as("ctrl_count"))
+      .withColumn("ctrl_ppm",
+        expr("ctrl_count * 1000000 div greatest(char_len, 1)"))
+      .withColumn("is_quarantined",
+        when(col("repl_count") > 0 ||
+          col("ctrl_ppm") >= graft.text.TextAnalysis.CtrlPpmQuarantine,
+          1L).otherwise(0L))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Reg.strict(
     "text_token_counts" -> ((s, d) => docs(s, d).select(
       col("doc_id"),
@@ -55,6 +69,21 @@ object TextQueries {
       col("doc_id"),
       fingerprintMd5(col("text")).as("fp_md5"),
       rollingFingerprint(col("text")).as("fp_rolling"))),
+
+    // X252: encoding/mojibake ingest QC — per-doc U+FFFD count, C0/C1
+    // control ppm, quarantine verdict (see TextAnalysis scaladoc)
+    "text_encoding_qc" -> ((s, d) => encodingQc(s, d)),
+    // X253: the per-source rollup of X252 — the "which feed is
+    // transcoding garbage" triage view
+    "text_encoding_by_source" -> ((s, d) => encodingQc(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("is_quarantined")).cast("long").as("n_quarantined"),
+        sum(col("repl_count")).cast("long").as("repl_total"),
+        sum(col("ctrl_count")).cast("long").as("ctrl_total"),
+        sum(col("char_len")).cast("long").as("char_total"))
+      .withColumn("ctrl_ppm",
+        expr("ctrl_total * 1000000 div greatest(char_total, 1)"))),
 
     "text_bm25" -> ((s, d) =>
       graft.text.Bm25.score(Tables(s, d, "documents"))),
@@ -250,6 +279,29 @@ object TextQueries {
        |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
   }
 
+  /** Shared per-doc CTE of the X252/X253 oracles — the control-char
+    * class and quarantine threshold interpolate from the SAME Scala
+    * constants as the Spark expressions (DuckDB string literals do not
+    * process backslashes, so the regex engine receives the class
+    * verbatim; 'g' flag = Spark's replace-all). */
+  private val EncodingQcCte: String = {
+    import graft.text.TextAnalysis.{CtrlPattern, CtrlPpmQuarantine}
+    s"""e AS (
+       |  SELECT doc_id, source,
+       |    CAST(length(text) AS BIGINT) AS char_len,
+       |    CAST(length(text) - length(replace(text, chr(65533), ''))
+       |      AS BIGINT) AS repl_count,
+       |    CAST(length(text) -
+       |      length(regexp_replace(text, '$CtrlPattern', '', 'g'))
+       |      AS BIGINT) AS ctrl_count
+       |  FROM documents),
+       |p AS (SELECT *, CAST((ctrl_count * 1000000) //
+       |        greatest(char_len, 1) AS BIGINT) AS ctrl_ppm FROM e),
+       |q AS (SELECT *, CAST(CASE WHEN repl_count > 0
+       |        OR ctrl_ppm >= $CtrlPpmQuarantine THEN 1 ELSE 0 END
+       |        AS BIGINT) AS is_quarantined FROM p)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Reg.strict(
     "text_token_counts" ->
       s"""SELECT doc_id,
@@ -281,6 +333,24 @@ object TextQueries {
          |       ELSE 'und' END AS lang_pred
          |FROM (SELECT doc_id, lang, text, $best AS best FROM documents)""".stripMargin
     },
+
+    "text_encoding_qc" ->
+      s"""WITH $EncodingQcCte
+         |SELECT doc_id, source, char_len, repl_count, ctrl_count,
+         |  ctrl_ppm, is_quarantined
+         |FROM q""".stripMargin,
+
+    "text_encoding_by_source" ->
+      s"""WITH $EncodingQcCte
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(is_quarantined) AS BIGINT) AS n_quarantined,
+         |  CAST(sum(repl_count) AS BIGINT) AS repl_total,
+         |  CAST(sum(ctrl_count) AS BIGINT) AS ctrl_total,
+         |  CAST(sum(char_len) AS BIGINT) AS char_total,
+         |  CAST((sum(ctrl_count) * 1000000) // greatest(sum(char_len), 1)
+         |    AS BIGINT) AS ctrl_ppm
+         |FROM q GROUP BY source""".stripMargin,
 
     "text_fingerprints" -> {
       val t = s"substring(${normSql("text")}, 1, 64)"

@@ -50,8 +50,14 @@ object StreamJoins {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame = {
     val dimCols = dim.columns.filter(_ != key)
     require(dimCols.nonEmpty, "enrich: dim carries only the key")
-    stream.join(broadcast(dim), Seq(key), "left")
+    // is_enriched comes from a synthetic always-non-null marker on the
+    // dim side, not from dim attribute nullability — a matched key
+    // whose first attribute is legitimately NULL is still enriched,
+    // and the verdict never depends on dim column ordering.
+    stream.join(broadcast(dim.withColumn("__hit", lit(1L))),
+        Seq(key), "left")
       .withColumn("is_enriched",
-        when(col(dimCols.head).isNotNull, 1L).otherwise(0L))
+        when(col("__hit").isNotNull, 1L).otherwise(0L))
+      .drop("__hit")
   }
 }

@@ -129,4 +129,31 @@ object TextAnalysis {
     * [[wordShinglesOf]]. */
   def wordShingles(text: Column, n: Int): Column =
     wordShinglesOf(split(normalize(text), " "), n)
+
+  /** Encoding/mojibake ingest QC (X252) — the pre-LM screen a
+    * CCNet/C4-style pipeline runs FIRST: a document whose bytes were
+    * decoded with the wrong charset surfaces as U+FFFD replacement
+    * characters and stray C0/C1 control characters, and feeding it to
+    * a tokenizer just trains the model on transcoding noise. The C0
+    * class excludes TAB/LF/CR (legitimate whitespace); DEL (U+007F)
+    * and the full C1 block (U+0080–U+009F, the classic latin-1-vs-
+    * cp1252 mojibake residue) are included. Counts are computed as
+    * length(text) − length(strip(text)) — a single-pass codegen'd
+    * regexp_replace, no UDF — and the same class expression (shared
+    * constant) drives the DuckDB oracle, so the two engines cannot
+    * drift. A document is quarantined when it carries ANY replacement
+    * character or ≥ [[CtrlPpmQuarantine]] ppm control characters.
+    *
+    * Scale: pure map work, zero shuffle; the per-source rollup is one
+    * map-side-combinable aggregate at |sources| grain. */
+  val CtrlPattern = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]"
+  val CtrlPpmQuarantine = 1000L
+
+  /** Count of U+FFFD replacement characters. */
+  def replacementCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "\\uFFFD", ""))).cast("long")
+
+  /** Count of disallowed C0/C1 control characters (see [[CtrlPattern]]). */
+  def ctrlCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, CtrlPattern, ""))).cast("long")
 }

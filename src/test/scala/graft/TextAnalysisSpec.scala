@@ -60,4 +60,45 @@ class TextAnalysisSpec extends SparkSpec {
       .collect()
     assert(r(0) == r(1))
   }
+
+  test("encoding QC: U+FFFD and C0/C1 counts; TAB/LF/CR exempt") {
+    // same dirty string probed against DuckDB by hand:
+    // 'ab' || chr(65533) || chr(7) || chr(9) || chr(155) || 'c'
+    // -> length 7, repl 1, ctrl 2 (BEL + C1 U+009B; TAB exempt)
+    val dirty = "ab\uFFFD\u0007\t\u009Bc"
+    val r = one(dirty).select(
+      length($"text").cast("long"),
+      replacementCount($"text"), ctrlCount($"text")).collect()(0)
+    assert(r.getLong(0) == 7L && r.getLong(1) == 1L && r.getLong(2) == 2L)
+    // clean prose with legitimate whitespace: zero on both counters
+    val clean = one("line one\nline\ttwo\r\nend").select(
+      replacementCount($"text"), ctrlCount($"text")).collect()(0)
+    assert(clean.getLong(0) == 0L && clean.getLong(1) == 0L)
+    // NUL and DEL are in the control class
+    val nulDel = one("a\u0000b\u007Fc").select(ctrlCount($"text"))
+      .as[Long].head()
+    assert(nulDel == 2L)
+  }
+
+  test("encoding QC registry query quarantines mojibake, not prose") {
+    val dir = java.nio.file.Files.createTempDirectory("encqc").toString
+    Seq(
+      (1L, "perfectly ordinary prose with\na newline", "en", "srcA", 0L),
+      (2L, "bro\uFFFDken transcode \uFFFD residue", "en", "srcB", 0L),
+      (3L, "control\u0001\u0002\u0003\u0004heavy", "en", "srcB", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val q = graft.registry.TextQueries.queries("text_encoding_qc")(
+      spark, dir).orderBy($"doc_id").collect()
+    assert(q.map(_.getAs[Long]("is_quarantined")).toSeq == Seq(0L, 1L, 1L))
+    assert(q(1).getAs[Long]("repl_count") == 2L)
+    assert(q(2).getAs[Long]("ctrl_count") == 4L)
+    // doc 3: 16 chars, 4 ctrl -> 250000 ppm, over the 1000 ppm bar
+    assert(q(2).getAs[Long]("ctrl_ppm") == 4L * 1000000L / 16L)
+    val roll = graft.registry.TextQueries.queries("text_encoding_by_source")(
+      spark, dir).orderBy($"source").collect()
+    assert(roll.map(r => (r.getAs[String]("source"),
+      r.getAs[Long]("n_docs"), r.getAs[Long]("n_quarantined"))).toSeq ==
+      Seq(("srcA", 1L, 0L), ("srcB", 2L, 2L)))
+  }
 }

@@ -17,6 +17,13 @@ A query is flagged iff  cur > factor * base  AND  cur - base > min_abs
 tripping a 2x factor). New queries (absent from baseline) and removed
 ones are reported informationally, never flagged. Exit 1 iff any query
 is flagged.
+
+BASELINE DISCIPLINE (VERDICT r11 #1): a committed bench snapshot must
+be ONE fresh graft.Bench run (min-of-N passes within that single
+invocation) at a stated HEAD. Never fold per-query minima across
+separate runs or commits into a committed artifact — in a min-merged
+baseline a per-query regression is invisible by construction. Noise
+absorption is THIS gate's job (factor + floor), not the artifact's.
 """
 import json
 import sys
