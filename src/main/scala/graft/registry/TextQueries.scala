@@ -85,6 +85,54 @@ object TextQueries {
       .withColumn("ctrl_ppm",
         expr("ctrl_total * 1000000 div greatest(char_total, 1)"))),
 
+    // X254: Gopher-rule structural screen — published thresholds as
+    // shared constants, all-integer verdict (see TextAnalysis scaladoc)
+    "text_gopher_screen" -> ((s, d) => {
+      import graft.text.TextAnalysis._
+      docs(s, d).select(col("doc_id"),
+          tokenCount(col("text")).as("n_words"),
+          wordChars(col("text")).as("word_chars"),
+          alphaWordCount(col("text")).as("alpha_words"),
+          stopwordHits(col("text")).as("stop_hits"),
+          symbolCount(col("text")).as("sym_count"))
+        .withColumn("mean_wlen_e6",
+          expr("word_chars * 1000000 div greatest(n_words, 1)"))
+        .withColumn("alpha_ppm",
+          expr("alpha_words * 1000000 div greatest(n_words, 1)"))
+        .withColumn("sym_ppm",
+          expr("sym_count * 1000000 div greatest(n_words, 1)"))
+        .withColumn("passes_gopher",
+          when(col("n_words").between(GopherMinWords, GopherMaxWords) &&
+            col("mean_wlen_e6")
+              .between(GopherMinWlenE6, GopherMaxWlenE6) &&
+            col("alpha_ppm") >= GopherMinAlphaPpm &&
+            col("stop_hits") >= GopherMinStopHits &&
+            col("sym_ppm") <= GopherMaxSymPpm, 1L).otherwise(0L))
+        .drop("word_chars", "alpha_words", "sym_count")
+    }),
+
+    // X256: markup-density / boilerplate screen — tag ppm, anchor-text
+    // link ppm over visible chars, jusText-style verdict (see
+    // TextAnalysis scaladoc)
+    "text_markup_density" -> ((s, d) => {
+      import graft.text.TextAnalysis._
+      docs(s, d).select(col("doc_id"),
+          length(col("text")).cast("long").as("char_len"),
+          tagCount(col("text")).as("tag_count"),
+          tagChars(col("text")).as("tag_chars"),
+          linkChars(col("text")).as("link_chars"))
+        .withColumn("visible_chars",
+          (col("char_len") - col("tag_chars")).cast("long"))
+        .withColumn("tag_ppm",
+          expr("tag_chars * 1000000 div greatest(char_len, 1)"))
+        .withColumn("link_ppm",
+          expr("link_chars * 1000000 div greatest(visible_chars, 1)"))
+        .withColumn("is_boilerplate",
+          when(col("tag_ppm") >= TagPpmBoiler ||
+            col("link_ppm") >= LinkPpmBoiler, 1L).otherwise(0L))
+        .drop("tag_chars", "link_chars")
+    }),
+
     "text_bm25" -> ((s, d) =>
       graft.text.Bm25.score(Tables(s, d, "documents"))),
 
@@ -332,6 +380,85 @@ object TextQueries {
          |       $cases
          |       ELSE 'und' END AS lang_pred
          |FROM (SELECT doc_id, lang, text, $best AS best FROM documents)""".stripMargin
+    },
+
+    "text_gopher_screen" -> {
+      import graft.text.TextAnalysis._
+      val stopSum = LangMarkers.head._2.map(m =>
+        s"(CASE WHEN list_contains(wl, '$m') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    CAST(CASE WHEN trim(text) = '' THEN 0
+         |         ELSE len(${toksSql("text")}) END AS BIGINT) AS n_words,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g'))
+         |      AS BIGINT) AS word_chars,
+         |    ${toksSql("text")} AS w,
+         |    ${toksSql("lower(text)")} AS wl
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, n_words, word_chars,
+         |    CAST(CASE WHEN n_words = 0 THEN 0
+         |      ELSE len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+         |      END AS BIGINT) AS alpha_words,
+         |    CAST($stopSum AS BIGINT) AS stop_hits,
+         |    CAST(length(text) - length(regexp_replace(text, '#', '', 'g'))
+         |      + (length(text) -
+         |         length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) // 3
+         |      AS BIGINT) AS sym_count
+         |  FROM t),
+         |r AS (
+         |  SELECT doc_id, n_words, stop_hits,
+         |    CAST(word_chars * 1000000 // greatest(n_words, 1)
+         |      AS BIGINT) AS mean_wlen_e6,
+         |    CAST(alpha_words * 1000000 // greatest(n_words, 1)
+         |      AS BIGINT) AS alpha_ppm,
+         |    CAST(sym_count * 1000000 // greatest(n_words, 1)
+         |      AS BIGINT) AS sym_ppm
+         |  FROM m)
+         |SELECT doc_id, n_words, stop_hits, mean_wlen_e6, alpha_ppm,
+         |  sym_ppm,
+         |  CAST(CASE WHEN n_words BETWEEN $GopherMinWords
+         |         AND $GopherMaxWords
+         |       AND mean_wlen_e6 BETWEEN $GopherMinWlenE6
+         |         AND $GopherMaxWlenE6
+         |       AND alpha_ppm >= $GopherMinAlphaPpm
+         |       AND stop_hits >= $GopherMinStopHits
+         |       AND sym_ppm <= $GopherMaxSymPpm
+         |       THEN 1 ELSE 0 END AS BIGINT) AS passes_gopher
+         |FROM r""".stripMargin
+    },
+
+    "text_markup_density" -> {
+      import graft.text.TextAnalysis._
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS char_len,
+         |    CAST(len(regexp_extract_all(text, '$TagPattern'))
+         |      AS BIGINT) AS tag_count,
+         |    CAST(length(text) -
+         |      length(regexp_replace(text, '$TagPattern', '', 'g'))
+         |      AS BIGINT) AS tag_chars,
+         |    -- array_to_string([]) is NULL in DuckDB (Spark's
+         |    -- array_join gives ''), hence the coalesce
+         |    CAST(coalesce(length(array_to_string(
+         |      regexp_extract_all(text, '$AnchorPattern', 1), '')), 0)
+         |      AS BIGINT) AS link_chars
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, char_len, tag_count,
+         |    CAST(char_len - tag_chars AS BIGINT) AS visible_chars,
+         |    CAST(tag_chars * 1000000 // greatest(char_len, 1)
+         |      AS BIGINT) AS tag_ppm,
+         |    CAST(link_chars * 1000000 //
+         |      greatest(char_len - tag_chars, 1) AS BIGINT) AS link_ppm
+         |  FROM m)
+         |SELECT doc_id, char_len, tag_count, visible_chars, tag_ppm,
+         |  link_ppm,
+         |  CAST(CASE WHEN tag_ppm >= $TagPpmBoiler
+         |       OR link_ppm >= $LinkPpmBoiler THEN 1 ELSE 0 END
+         |    AS BIGINT) AS is_boilerplate
+         |FROM r""".stripMargin
     },
 
     "text_encoding_qc" ->

@@ -156,4 +156,88 @@ object TextAnalysis {
   /** Count of disallowed C0/C1 control characters (see [[CtrlPattern]]). */
   def ctrlCount(text: Column): Column =
     (length(text) - length(regexp_replace(text, CtrlPattern, ""))).cast("long")
+
+  /** Gopher-rule document screen (X254) — the published repertoire of
+    * cheap structural filters (Rae et al. 2021, "Scaling Language
+    * Models: ... Gopher", Table A1): word-count bounds, mean-word-
+    * length band, minimum share of words containing an alphabetic
+    * character, minimum distinct stopword hits, and a symbol-to-word
+    * cap for '#' and '...' (the scraped-markup tell). All measures are
+    * integer (ppm / µchars via `x·10⁶ div words`) so the verdict
+    * replays bit-identically in the oracle; the float-free verdict is
+    * the point — a quality GATE must not flap on summation order.
+    * Thresholds are the published Gopher values, shared constants
+    * driving both engines. Pure map work, zero shuffle. */
+  val GopherMinWords = 50L
+  val GopherMaxWords = 100000L
+  val GopherMinWlenE6 = 3000000L
+  val GopherMaxWlenE6 = 10000000L
+  val GopherMinAlphaPpm = 800000L
+  val GopherMinStopHits = 2L
+  val GopherMaxSymPpm = 100000L
+
+  /** Total non-whitespace characters (= summed word lengths). */
+  def wordChars(text: Column): Column =
+    length(regexp_replace(text, "\\s", "")).cast("long")
+
+  /** Count of whitespace words containing at least one ASCII letter. */
+  def alphaWordCount(text: Column): Column =
+    when(trim(text) === "", lit(0L)).otherwise(
+      size(filter(tokens(text), t => t.rlike("[A-Za-z]"))).cast("long"))
+
+  /** Distinct hits against the English marker list (0..8). */
+  def stopwordHits(text: Column): Column = {
+    val toks = tokens(lower(text))
+    LangMarkers.head._2
+      .map(m => when(array_contains(toks, m), 1L).otherwise(0L))
+      .reduce(_ + _)
+  }
+
+  /** Occurrences of '#' plus non-overlapping '...' runs. */
+  def symbolCount(text: Column): Column =
+    ((length(text) - length(regexp_replace(text, "#", ""))) +
+      (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3)
+      .cast("long")
+
+  /** Markup-density / boilerplate screen (X256) — the jusText/
+    * trafilatura-style structural read the quality trio (X10) is blind
+    * to: a document that is 80% HTML tags scores as "punctuation-heavy
+    * prose" under char-class ratios, and scraped link farms pass a
+    * stopword check on their anchor text alone. Three integer signals
+    * per document, all from single-pass codegen'd regexes whose
+    * pattern constants drive BOTH engines:
+    *
+    *  - tag ppm: characters consumed by `<...>` tag spans
+    *    ([[TagPattern]]) over total characters — the raw markup load;
+    *  - link ppm: characters of anchor INNER text ([[AnchorPattern]]
+    *    group 1, concatenated) over tag-stripped visible characters —
+    *    jusText's link-density signal (its published
+    *    MAX_LINK_DENSITY = 0.2 is [[LinkPpmBoiler]]);
+    *  - the boilerplate verdict: tag ppm ≥ [[TagPpmBoiler]] OR link
+    *    ppm ≥ [[LinkPpmBoiler]].
+    *
+    * Anchor inner text that itself contains markup counts toward both
+    * signals — deterministic and identical in both engines, and the
+    * conservative direction for a quarantine screen. All ratios are
+    * integer (`x·10⁶ div chars`) so the GATE cannot flap on float
+    * order. Pure map work, zero shuffle. */
+  val TagPattern = "<[^>]*>"
+  // explicit whitespace class, not \s: Java's \s includes \x0B where
+  // RE2's does not, and the fixture deliberately plants control chars
+  val AnchorPattern = "(?si)<a(?:[ \\t\\n\\r][^>]*)?>(.*?)</a>"
+  val TagPpmBoiler = 300000L
+  val LinkPpmBoiler = 200000L
+
+  /** Characters consumed by `<...>` tag spans. */
+  def tagChars(text: Column): Column =
+    (length(text) - length(regexp_replace(text, TagPattern, ""))).cast("long")
+
+  /** Count of `<...>` tag spans. */
+  def tagCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(TagPattern), lit(0))).cast("long")
+
+  /** Total characters of anchor inner text (all `<a>...</a>` spans). */
+  def linkChars(text: Column): Column =
+    length(array_join(
+      regexp_extract_all(text, lit(AnchorPattern), lit(1)), "")).cast("long")
 }

@@ -503,4 +503,44 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got(1L) == ((1L, 3L, 3000000L)))
     assert(got(2L) == ((0L, 0L, 0L)))
   }
+
+  test("markup density: planted HTML spam is boilerplate on both " +
+    "signals, clean prose is not, counts hand-exact") {
+    val dir = java.nio.file.Files.createTempDirectory("markup").toString
+    // doc 1: clean prose — zero tags, zero links
+    // doc 2: link farm — short visible text, almost all of it anchors
+    // doc 3: tag-heavy template — markup dominates, no anchors
+    // doc 4: prose with ONE modest link — neither verdict trips
+    val farm = "<ul>" +
+      (1 to 6).map(i => s"""<li><a href="/p$i">buy product $i</a></li>""")
+        .mkString + "</ul>"
+    val template = "<div class='x'><span></span></div>".repeat(8) + "hi"
+    val prose = "the quick brown fox jumps over the lazy dog " * 5
+    val linked = prose + """see <a href="/doc">the appendix</a> """ + prose
+    Seq((1L, prose), (2L, farm), (3L, template), (4L, linked))
+      .map { case (i, t) => (i, t, "en", "srcA", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.registry.TextQueries.queries("text_markup_density")(
+      spark, dir).orderBy($"doc_id").collect()
+    assert(r.map(_.getAs[Long]("is_boilerplate")).toSeq ==
+      Seq(0L, 1L, 1L, 0L))
+    // doc 1 hand-exact: no markup at all
+    assert(r(0).getAs[Long]("tag_count") == 0L &&
+      r(0).getAs[Long]("tag_ppm") == 0L &&
+      r(0).getAs[Long]("link_ppm") == 0L)
+    // doc 2 hand-exact: 2 ul + 6×(li+a+/a+/li) = 26 tags; anchor inner
+    // text = "buy product N"×6 = 78 visible chars, all of them links
+    assert(r(1).getAs[Long]("tag_count") == 26L)
+    val vis2 = r(1).getAs[Long]("visible_chars")
+    assert(r(1).getAs[Long]("link_ppm") == 78L * 1000000L / vis2)
+    // doc 3: tag chars dominate but zero anchors — tag verdict only
+    assert(r(2).getAs[Long]("link_ppm") == 0L &&
+      r(2).getAs[Long]("tag_ppm") >=
+        graft.text.TextAnalysis.TagPpmBoiler)
+    // doc 4: one 12-char anchor inside ~460 visible chars — both
+    // signals present but below threshold
+    assert(r(3).getAs[Long]("tag_count") == 2L &&
+      r(3).getAs[Long]("link_ppm") > 0L)
+  }
 }

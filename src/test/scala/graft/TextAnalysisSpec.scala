@@ -80,6 +80,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(nulDel == 2L)
   }
 
+  test("gopher screen: stopword-rich prose passes, short or symbol-" +
+    "heavy docs fail, measures are exact integers") {
+    val dir = java.nio.file.Files.createTempDirectory("gopher").toString
+    // 17 words × 4 = 68 words, mean word length ≈ 4.3 (inside 3..10)
+    val prose = (("the handsome wizard and a curious dragon wandered " +
+      "in the valley of stars to discuss it is ") * 4).trim
+    Seq(
+      (1L, prose),
+      (2L, "too few words here"),
+      (3L, prose + " " + "### ### ### ### ### ### ### ###"), // sym-heavy
+      (4L, ("zz " * 60).trim)) // no stopwords, still 60 words
+      .map { case (i, t) => (i, t, "en", "srcA", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.registry.TextQueries.queries("text_gopher_screen")(
+      spark, dir).orderBy($"doc_id").collect()
+    assert(r.map(_.getAs[Long]("passes_gopher")).toSeq ==
+      Seq(1L, 0L, 0L, 0L))
+    // doc 1: 68 words, word chars = len w/o spaces; exact mean e6
+    val wc = prose.replaceAll("\\s", "").length.toLong
+    assert(r(0).getAs[Long]("n_words") == 68L)
+    assert(r(0).getAs[Long]("mean_wlen_e6") == wc * 1000000L / 68L)
+    assert(r(0).getAs[Long]("stop_hits") == 8L)
+  }
+
   test("encoding QC registry query quarantines mojibake, not prose") {
     val dir = java.nio.file.Files.createTempDirectory("encqc").toString
     Seq(
