@@ -19,6 +19,9 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Reg.strict(
     "sim_bruteforce_topk" -> ((s, d) => Similarity.bruteForceTopK(emb(s, d))),
+    // X255: TwoNN intrinsic-dimension evidence — exact 2-NN per query
+    // point, e6-quantized cosine distances, ratio in integer ppm
+    "sim_twonn_intrinsic" -> ((s, d) => Similarity.twoNNProfile(emb(s, d))),
     "sim_lsh_topk" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.lshTopK(e, nBits = scaledNBits(e.count()))
@@ -255,6 +258,33 @@ object SimilarityQueries {
          |      FROM p)
          |SELECT q_id, rank, nn_id, ROUND(cos, 6) AS cos
          |FROM r WHERE rank <= $TopK""".stripMargin,
+
+    // rank on the QUANTIZED distance (asc, nn_id) — same total order
+    // as the Spark window, so picked neighbors replay exactly
+    "sim_twonn_intrinsic" ->
+      s"""WITH $ECte,
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+         |      WHERE vec_id % $QueryMod = 0),
+         |p AS (SELECT q_id, b.vec_id AS nn_id,
+         |        CAST(floor((1.0 - ${cosSql("qv", "b.v")}) * 1000000.0
+         |          + 0.5) AS BIGINT) AS d_e6
+         |      FROM q JOIN e b ON q_id <> b.vec_id),
+         |r AS (SELECT q_id, nn_id, d_e6, row_number() OVER (
+         |        PARTITION BY q_id ORDER BY d_e6, nn_id) AS rk
+         |      FROM p),
+         |g AS (SELECT q_id,
+         |        CAST(min(CASE WHEN rk = 1 THEN nn_id END) AS BIGINT)
+         |          AS nn1_id,
+         |        CAST(min(CASE WHEN rk = 1 THEN d_e6 END) AS BIGINT)
+         |          AS d1_e6,
+         |        CAST(min(CASE WHEN rk = 2 THEN nn_id END) AS BIGINT)
+         |          AS nn2_id,
+         |        CAST(min(CASE WHEN rk = 2 THEN d_e6 END) AS BIGINT)
+         |          AS d2_e6
+         |      FROM r WHERE rk <= 2 GROUP BY q_id)
+         |SELECT q_id, nn1_id, d1_e6, nn2_id, d2_e6,
+         |  CAST(d2_e6 * 1000000 // greatest(d1_e6, 1) AS BIGINT) AS mu_ppm
+         |FROM g""".stripMargin,
 
     "sim_lsh_topk" ->
       s"""WITH $ECte, $NbCte, $BucketCte,

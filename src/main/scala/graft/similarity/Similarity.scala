@@ -114,6 +114,50 @@ object Similarity {
     topKOf(pairs, k)
   }
 
+  /** TwoNN intrinsic-dimension profile (X255, Facco et al. 2017,
+    * Scientific Reports — "Estimating the intrinsic dimension of
+    * datasets by a minimal neighborhood information"): the effective
+    * dimensionality an embedding space ACTUALLY uses, from nothing but
+    * each point's two nearest neighbors. Under a locally-uniform
+    * density the ratio µ = d₂/d₁ follows P(µ) = d·µ^−(d+1), so the
+    * MLE is d = N / Σ ln µ — an anisotropic, curved manifold of
+    * intrinsic dim 8 embedded in 512-d reports ≈ 8. A LOW estimate on
+    * a high-d embedding column means the model collapsed dimensions
+    * (the sibling read to [[dimStats]]' per-dim variance: TwoNN sees
+    * nonlinear collapse that per-dim variance can't); an estimate near
+    * the ambient dim means distance concentration and every ANN index
+    * degrades. The engine emits the per-point EXACT integer evidence —
+    * cosine distances quantized e6 (`floor((1−cos)·10⁶+0.5)`, the
+    * shared device) and µ_ppm = d₂·10⁶ div max(d₁,1) — the float
+    * ln/MLE step belongs to the consumer (X129 moments discipline).
+    * Ranking happens ON the quantized distance (asc, nn_id tiebreak),
+    * so the picked neighbors replay bit-identically in the oracle.
+    *
+    * Scale: the exact-2-NN pass shares [[bruteForceTopK]]'s shape —
+    * broadcast query subset (|Q| = n/queryMod) against the corpus,
+    * corpus never shuffled; at 100 TB swap the candidate generator for
+    * the multi-probe LSH / IVF tier (top-2 of candidates) exactly as
+    * the top-k family documents — the µ math is identical. */
+  def twoNNProfile(emb: DataFrame, queryMod: Int = QueryMod): DataFrame = {
+    val q = withNorm(emb.filter(col("vec_id") % queryMod === 0),
+      "q_id", "q_emb", "q_norm")
+    val c = withNorm(emb, "nn_id", "c_emb", "c_norm")
+    val pairs = broadcast(q).join(c, col("q_id") =!= col("nn_id"))
+      .select(col("q_id"), col("nn_id"),
+        floor((lit(1.0) - pairCos) * 1000000.0 + 0.5)
+          .cast("long").as("d_e6"))
+    val ranked = pairs.withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(asc("d_e6"), asc("nn_id"))))
+      .filter(col("rk") <= 2)
+    ranked.groupBy(col("q_id"))
+      .agg(min(when(col("rk") === 1, col("nn_id"))).as("nn1_id"),
+        min(when(col("rk") === 1, col("d_e6"))).as("d1_e6"),
+        min(when(col("rk") === 2, col("nn_id"))).as("nn2_id"),
+        min(when(col("rk") === 2, col("d_e6"))).as("d2_e6"))
+      .withColumn("mu_ppm", expr("d2_e6 * 1000000 div greatest(d1_e6, 1)"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates share the query's
     * bucket; ranking identical to brute force within the bucket. */
   def lshTopK(emb: DataFrame, k: Int = TopK, queryMod: Int = QueryMod,
