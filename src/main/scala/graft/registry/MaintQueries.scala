@@ -40,6 +40,13 @@ object MaintQueries {
       PageRank.personalizedRanks(Tables(s, d, "orders"),
         Tables(s, d, "lineitem"),
         graph = Some(PageRank.sharedPurchaseGraph(s, d)))),
+    // X257: integer-exact HITS hubs/authorities — the DIRECTED
+    // customer→supplier half of the shared edge cache; per-round
+    // max-normalization in floor arithmetic (see Hits scaladoc)
+    "graph_hits" -> ((s, d) =>
+      graft.graph.Hits.purchaseHits(
+        PageRank.sharedPurchaseGraph(s, d)._1
+          .filter(col("src") % 2 === 0))),
     "maint_compaction_plan" -> ((s, d) =>
       Maintenance.compactionPlan(
         Tables(s, d, "documents").select(col("source"), col("doc_id"),
@@ -179,6 +186,38 @@ object MaintQueries {
          |    AS kind,
          |  CAST(node // 2 AS BIGINT) AS id, pr AS rank_e6
          |FROM r${PageRank.Iters}""".stripMargin,
+
+    // same alternating auth/hub rounds unrolled (MATERIALIZED per
+    // round) with the same floor-div max-normalization constants
+    "graph_hits" -> {
+      import graft.graph.Hits.{BaseE6, Iters}
+      def round(i: Int): String =
+        s"""ar$i AS MATERIALIZED (
+           |  SELECT cs.dst AS node, CAST(SUM(h.s) AS BIGINT) AS raw
+           |  FROM cs JOIN h${i - 1} h ON cs.src = h.node GROUP BY 1),
+           |a$i AS MATERIALIZED (
+           |  SELECT node, CAST(raw * 1000000 // greatest(
+           |    (SELECT MAX(raw) FROM ar$i), 1) AS BIGINT) AS s
+           |  FROM ar$i),
+           |hr$i AS MATERIALIZED (
+           |  SELECT cs.src AS node, CAST(SUM(a.s) AS BIGINT) AS raw
+           |  FROM cs JOIN a$i a ON cs.dst = a.node GROUP BY 1),
+           |h$i AS MATERIALIZED (
+           |  SELECT node, CAST(raw * 1000000 // greatest(
+           |    (SELECT MAX(raw) FROM hr$i), 1) AS BIGINT) AS s
+           |  FROM hr$i)""".stripMargin
+      s"""WITH cs AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |h0 AS (SELECT DISTINCT src AS node,
+         |         CAST($BaseE6 AS BIGINT) AS s FROM cs),
+         |${(1 to Iters).map(round).mkString(",\n")}
+         |SELECT 'customer' AS kind, CAST(node // 2 AS BIGINT) AS id,
+         |  s AS hub_e6, CAST(0 AS BIGINT) AS auth_e6 FROM h$Iters
+         |UNION ALL
+         |SELECT 'supplier', CAST(node // 2 AS BIGINT), CAST(0 AS BIGINT),
+         |  s FROM a$Iters""".stripMargin
+    },
 
     // same frontier sequence unrolled (MATERIALIZED per round); the
     // NOT EXISTS against the settled set is the minimal-hop guarantee

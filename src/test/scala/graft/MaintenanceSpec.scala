@@ -49,6 +49,42 @@ class MaintenanceSpec extends SparkSpec {
     assert(got == unrolled)
   }
 
+  test("purchaseHits: shared supplier is the top authority, its " +
+    "multi-supplier buyer the top hub; values replay an independent " +
+    "integer reference loop") {
+    // directed bipartite: c1→{s1,s2}, c2→{s1} (node encoding 2k/2k+1)
+    val cs = Seq((2L, 3L), (2L, 5L), (4L, 3L)).toDF("src", "dst")
+    val got = graft.graph.Hits.purchaseHits(cs)
+      .select($"kind", $"id", $"hub_e6", $"auth_e6")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // independent reference: the same alternating max-normalized
+    // floor-arithmetic rounds in plain Scala Longs
+    val edges = Seq((2L, 3L), (2L, 5L), (4L, 3L))
+    var hub = edges.map(_._1).distinct.map(_ -> 1000000L).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to graft.graph.Hits.Iters) {
+      val ar = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => hub(e._1)).sum }
+      val am = math.max(ar.values.max, 1L)
+      auth = ar.map { case (v, r) => v -> r * 1000000L / am }
+      val hr = edges.groupBy(_._1).map { case (u, es) =>
+        u -> es.map(e => auth(e._2)).sum }
+      val hm = math.max(hr.values.max, 1L)
+      hub = hr.map { case (u, r) => u -> r * 1000000L / hm }
+    }
+    val want = hub.map { case (n, s) =>
+      ("customer", n / 2) -> ((s, 0L)) } ++
+      auth.map { case (n, s) => ("supplier", n / 2) -> ((0L, s)) }
+    assert(got == want, s"got=$got want=$want")
+    // the structural read: s1 (shared) is the max authority, c1 (the
+    // two-supplier buyer) the max hub, and both dominate strictly
+    assert(got(("supplier", 1L))._2 == 1000000L &&
+      got(("supplier", 2L))._2 < 1000000L)
+    assert(got(("customer", 1L))._1 == 1000000L &&
+      got(("customer", 2L))._1 < 1000000L)
+  }
+
   test("compactionPlan: start-offset binning on a hand fixture") {
     val m = Seq(("p", 1L, 3000L), ("p", 2L, 3000L), ("p", 3L, 3000L),
       ("q", 9L, 100L)).toDF("source", "doc_id", "bytes")
