@@ -50,4 +50,34 @@ object RangeJoin {
       .filter(col(pointTs) >= col(startTs) && col(pointTs) <= col(endTs))
       .drop("__b")
   }
+
+  /** LEFT OUTER point-in-interval range join (X258's batch face): every
+    * point row emits — matched pairs exactly as [[pointInRange]], and
+    * points inside NO interval once, null-padded on the interval side.
+    * The outer form cannot ride the bucket equi-join directly (a point
+    * matching no interval in ONE bucket is not yet globally unmatched),
+    * so the standard decomposition applies: the bucketed INNER join
+    * finds all pairs, a LEFT ANTI join on the point identity (all point
+    * columns — they must be non-null; exact duplicate point rows each
+    * emit their own null row, ordinary left-join multiplicity) finds
+    * the never-matched points, and the union is the left-outer result.
+    * Both legs are hash equi-joins — still no nested loop anywhere.
+    *
+    * Cost: the inner join as before, plus one anti-join shuffle on the
+    * point identity — linear in |points| + |pairs|, the price of the
+    * global "no match anywhere" verdict. */
+  def pointInRangeLeft(points: DataFrame, intervals: DataFrame,
+      keys: Seq[String], pointTs: String, startTs: String, endTs: String,
+      bucketSeconds: Long = 86400L,
+      maxBucketsPerInterval: Long = 100000L): DataFrame = {
+    val matched = pointInRange(points, intervals, keys, pointTs,
+      startTs, endTs, bucketSeconds, maxBucketsPerInterval)
+    val pointCols = points.columns.toSeq
+    val unmatched = points.join(
+      matched.select(pointCols.map(col): _*), pointCols, "left_anti")
+    val padded = matched.columns.filterNot(pointCols.contains)
+      .foldLeft(unmatched)((df, c) =>
+        df.withColumn(c, lit(null).cast(matched.schema(c).dataType)))
+    matched.unionByName(padded)
+  }
 }

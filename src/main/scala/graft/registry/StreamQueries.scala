@@ -95,6 +95,25 @@ object StreamQueries {
           col("m_event_id"))
     }),
 
+    // X258's batch face: the LEFT OUTER range join — every event
+    // emits, milestone-matched or null-padded ("views with NO purchase
+    // within the bound"); inner bucketed equi-join + anti-join union,
+    // never a nested loop
+    "events_range_join_left" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      val m = ev.filter(col("event_id") % 20 === 0)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("m_event_id"))
+        .select(col("user_id"), col("ts").as("m_start"),
+          (col("ts") + expr("interval 2 days")).as("m_end"),
+          col("m_event_id"))
+      graft.operators.RangeJoin.pointInRangeLeft(
+        ev.select(col("event_id"), col("user_id"), col("ts")), m,
+        Seq("user_id"), "ts", "m_start", "m_end")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("m_event_id"))
+    }),
+
     // The SAME range join written NAIVELY (raw theta condition, the
     // shape Spark plans as a nested loop) — the RangeJoinRewrite
     // optimizer rule turns it into the bucketed equi-join; the oracle
@@ -869,6 +888,19 @@ object StreamQueries {
         |  FROM events WHERE event_id % 20 = 0 GROUP BY 1, 2)
         |SELECT e.event_id, e.user_id, e.ts, m.m_event_id
         |FROM events e JOIN m
+        |  ON e.user_id = m.user_id
+        | AND e.ts >= m.m_start AND e.ts <= m.m_end""".stripMargin,
+
+    // the LEFT variant: the oracle is the plain left theta join; the
+    // engine's inner-plus-anti decomposition must reproduce it exactly,
+    // including null-padded multiplicity for duplicate-free events
+    "events_range_join_left" ->
+      """WITH m AS (
+        |  SELECT user_id, ts AS m_start, ts + INTERVAL 2 DAY AS m_end,
+        |         MAX(event_id) AS m_event_id
+        |  FROM events WHERE event_id % 20 = 0 GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts, m.m_event_id
+        |FROM events e LEFT JOIN m
         |  ON e.user_id = m.user_id
         | AND e.ts >= m.m_start AND e.ts <= m.m_end""".stripMargin,
 

@@ -26,10 +26,33 @@ object StreamJoins {
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
       tolerance: String = "30 minutes"): DataFrame =
+    joined(left, right, key, leftTs, rightTs, tolerance, "inner")
+
+  /** LEFT OUTER interval join (X258) — the production shape is "views
+    * with NO purchase within the bound": a left row that finds no
+    * partner inside the tolerance window still emits, null-padded on
+    * the right. On streams this is exactly the state-EVICTION
+    * semantics worth proving: the engine can only declare a left row
+    * unmatched once the (min-across-sources) watermark passes
+    * `leftTs + tolerance` — no right partner can arrive anymore — so
+    * null-padded rows surface on watermark advance, never eagerly.
+    * Same two-sided bound, same per-side state eviction rule as the
+    * inner form; identical expression on batch frames, where it plans
+    * as an ordinary left join (`events_range_join_left` is the
+    * oracle-checked batch proof). */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      tolerance: String = "30 minutes"): DataFrame =
+    joined(left, right, key, leftTs, rightTs, tolerance, "left_outer")
+
+  private def joined(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, tolerance: String,
+      how: String): DataFrame =
     left.join(right,
       left(key) === right(key) &&
         col(rightTs) >= col(leftTs) - expr(s"interval $tolerance") &&
-        col(rightTs) <= col(leftTs) + expr(s"interval $tolerance"))
+        col(rightTs) <= col(leftTs) + expr(s"interval $tolerance"),
+      how)
       .drop(right(key))
 
   /** Stream-static enrichment join (X230) — the dimension lookup a

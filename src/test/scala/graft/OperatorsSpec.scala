@@ -274,6 +274,82 @@ class OperatorsSpec extends SparkSpec {
     assert(batch == Set((1L, 1.0, 10.0)))
   }
 
+  test("stream-stream LEFT OUTER interval join: null-padded rows " +
+    "emit only after the watermark passes the bound; batch mirrors") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def mk() = MemoryStream[(Long, Timestamp, Double)](
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.TIMESTAMP,
+        org.apache.spark.sql.Encoders.scalaDouble), spark.sqlContext)
+    val (la, rb) = (mk(), mk())
+    val left = la.toDF().toDF("user_id", "a_ts", "a_val")
+      .withWatermark("a_ts", "1 hour")
+    val right = rb.toDF().toDF("user_id", "b_ts", "b_val")
+      .withWatermark("b_ts", "1 hour")
+    val q = graft.streaming.StreamJoins
+      .intervalJoinLeftOuter(left, right, "user_id", "a_ts", "b_ts",
+        "2 hours")
+      .select($"user_id", $"a_val", $"b_val")
+      .writeStream.format("memory").queryName("ssjl")
+      .outputMode("append").start()
+    try {
+      // 1L matches; 2L never will — but its bound (3h + 2h tolerance
+      // + 1h watermark delay) has not passed, so NO null row yet
+      la.addData((1L, ts(3), 1.0), (2L, ts(3), 2.0))
+      rb.addData((1L, ts(4), 10.0))
+      q.processAllAvailable()
+      val early = spark.table("ssjl")
+        .select($"user_id", $"a_val", $"b_val")
+        .as[(Long, Double, Option[Double])].collect().toSet
+      assert(early == Set((1L, 1.0, Some(10.0))),
+        s"null row emitted before watermark passed the bound: $early")
+      // advance BOTH watermarks past 3h + 2h (global watermark = min
+      // across sources); the next micro-batch evicts 2L's state and
+      // emits it null-padded. The 9L pair matches and also emits.
+      la.addData((9L, ts(20), 0.0))
+      rb.addData((9L, ts(20), 0.0))
+      q.processAllAvailable()
+      // one more micro-batch: eviction runs against the watermark set
+      // at the END of the previous batch
+      la.addData((8L, ts(21), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ssjl")
+        .select($"user_id", $"a_val", $"b_val")
+        .as[(Long, Double, Option[Double])].collect().toSet
+      assert(got.contains((2L, 2.0, None)),
+        s"unmatched left row never emitted null-padded: $got")
+      assert(got.contains((9L, 0.0, Some(0.0))))
+    } finally q.stop()
+    // batch mirror: identical call on static frames plans as a plain
+    // left join with the same rows
+    val bl = Seq((1L, ts(3), 1.0), (2L, ts(3), 2.0))
+      .toDF("user_id", "a_ts", "a_val")
+    val br = Seq((1L, ts(4), 10.0)).toDF("user_id", "b_ts", "b_val")
+    val batch = graft.streaming.StreamJoins
+      .intervalJoinLeftOuter(bl, br, "user_id", "a_ts", "b_ts", "2 hours")
+      .select($"user_id", $"a_val", $"b_val")
+      .as[(Long, Double, Option[Double])].collect().toSet
+    assert(batch == Set((1L, 1.0, Some(10.0)), (2L, 2.0, None)))
+  }
+
+  test("pointInRangeLeft: matched pairs identical to the inner form; " +
+    "never-matched points emit exactly once, null-padded") {
+    val points = Seq((1L, 10L, ts(1)), (2L, 10L, ts(6)), (3L, 20L, ts(1)))
+      .toDF("event_id", "user_id", "pts")
+    val ivals = Seq((10L, ts(0), ts(2), 100L), (10L, ts(1), ts(3), 101L))
+      .toDF("user_id", "i_start", "i_end", "ival_id")
+    val r = graft.operators.RangeJoin.pointInRangeLeft(points, ivals,
+        Seq("user_id"), "pts", "i_start", "i_end", bucketSeconds = 3600L)
+      .select($"event_id", $"ival_id")
+      .as[(Long, Option[Long])].collect().toSeq
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // point 1 matches both intervals; 2 (same key, out of range) and
+    // 3 (absent key) each emit once, null-padded
+    assert(r(1L) == Set(Some(100L), Some(101L)))
+    assert(r(2L) == Set(None) && r(3L) == Set(None))
+  }
+
   test("bm25: tf saturation and rarity ordering; misses drop out") {
     val docs = Seq(
       (1L, "spark spark spark stream alpha beta gamma"),
