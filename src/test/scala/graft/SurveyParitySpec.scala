@@ -62,6 +62,53 @@ class SurveyParitySpec extends AnyFunSuite {
         undocumented.toSeq.sorted.mkString(", "))
   }
 
+  test("every spec class cited in SURVEY or SparkEntry.specOnly " +
+    "exists on the test classpath") {
+    // Spec-only rows were still prose: a row could cite `FooSpec` that
+    // was renamed or never written and nothing would fail. Every
+    // CamelCase *Spec token in SURVEY and in the specOnly evidence map
+    // must resolve as a class in this package.
+    val text = new String(java.nio.file.Files.readAllBytes(SurveyPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val cited =
+      ("""\b([A-Z][A-Za-z0-9]*Spec)\b""".r.findAllMatchIn(text) ++
+        SparkEntry.specOnly.values.flatMap(
+          """\b([A-Z][A-Za-z0-9]*Spec)\b""".r.findAllMatchIn(_)))
+        .map(_.group(1)).toSet
+    assert(cited.nonEmpty, "no spec citations found — parser broken?")
+    val missing = cited.filter { name =>
+      try { Class.forName(s"graft.$name"); false }
+      catch { case _: ClassNotFoundException => true }
+    }
+    assert(missing.isEmpty,
+      "cited spec classes that do not exist on the test classpath: " +
+        missing.toSeq.sorted.mkString(", "))
+  }
+
+  test("every SparkEntry.specOnly key maps back to a SURVEY row or a " +
+    "live query") {
+    // The reverse direction: a specOnly entry whose X/S ids vanished
+    // from SURVEY (renumbered, dropped) is evidence pointing nowhere.
+    // Keys carry either leading X/S row ids (X39_..., S1_S3_S4_...) —
+    // each id must head a `| Xnnn |`/`| Snn |` row — or are plain
+    // query names, which must be live registry keys.
+    val text = new String(java.nio.file.Files.readAllBytes(SurveyPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val rowIds = text.linesIterator
+      .collect { case l if l.matches("^\\| [XS]\\d+ \\|.*") =>
+        l.drop(2).takeWhile(_ != ' ') }
+      .toSet
+    val bad = SparkEntry.specOnly.keySet.flatMap { key =>
+      val ids = key.split("_").takeWhile(_.matches("[XS]\\d+")).toSeq
+      if (ids.nonEmpty) ids.filterNot(rowIds).map(id => s"$key -> $id")
+      else if (!SparkEntry.queries.contains(key)) Seq(s"$key (no query)")
+      else Nil
+    }
+    assert(bad.isEmpty,
+      "specOnly entries whose SURVEY row id or query is gone: " +
+        bad.toSeq.sorted.mkString(", "))
+  }
+
   test("every §2.11 X-row's query-name column references live " +
     "registry queries (or is an explicit spec-only marker)") {
     // The §2.12 ledger is machine-checked, but the X-rows' last
