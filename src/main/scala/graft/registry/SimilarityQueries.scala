@@ -93,6 +93,10 @@ object SimilarityQueries {
     // X224: per-dimension moment screen — the dead/collapsed
     // dimension audit in exact quantized integers
     "sim_dim_stats" -> ((s, d) => Similarity.dimStats(emb(s, d))),
+    // X259: cross-dimension covariance moments — the whitening /
+    // effective-rank evidence; diagonal reproduces X224's varq_e12
+    "sim_covariance_moments" -> ((s, d) =>
+      Similarity.covarianceMoments(emb(s, d))),
     // X227: norm-collapse screen — squared norms in exact quantized
     // integers, bucketed by the floor-log2 device
     "sim_norm_profile" -> ((s, d) => Similarity.normProfile(emb(s, d))),
@@ -605,6 +609,34 @@ object SimilarityQueries {
          |    AS is_low_var
          |FROM g3""".stripMargin
     },
+
+    // same quantize-once device; upper-triangle pairs from a nested
+    // scalar range; floor covariance via DOUBLE division in both
+    // engines (Spark div truncates toward zero on negative sums)
+    "sim_covariance_moments" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding, x ->
+        |    CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+        |    AS v
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT unnest(flatten(list_transform(range(1, len(v) + 1),
+        |    i -> list_transform(range(i, len(v) + 1),
+        |      j -> {'i': i - 1, 'j': j - 1,
+        |            'vi': v[i], 'vj': v[j]})))) AS t
+        |  FROM q),
+        |g AS (SELECT CAST(t.i AS BIGINT) AS i, CAST(t.j AS BIGINT) AS j,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(t.vi) AS BIGINT) AS sum_i_e6,
+        |    CAST(SUM(t.vj) AS BIGINT) AS sum_j_e6,
+        |    CAST(SUM(t.vi * t.vj) AS BIGINT) AS sum_ij_e12
+        |  FROM p GROUP BY 1, 2)
+        |SELECT i, j, n, sum_i_e6, sum_j_e6, sum_ij_e12,
+        |  CAST(floor(CAST(sum_ij_e12 AS DOUBLE) / n) AS BIGINT)
+        |    - CAST(floor(CAST(sum_i_e6 AS DOUBLE) / n) AS BIGINT)
+        |      * CAST(floor(CAST(sum_j_e6 AS DOUBLE) / n) AS BIGINT)
+        |    AS covq_e12
+        |FROM g""".stripMargin,
 
     // the same seed-center assignment chain as sim_ivf_balance, label
     // joined at vec grain, majority pick ties -> lowest label

@@ -1132,6 +1132,60 @@ object Similarity {
         when(col("varq_e12") <= lowVarE12, 1L).otherwise(0L))
   }
 
+  /** Cross-dimension covariance moments (X259) — the WHITENING
+    * evidence [[dimStats]]' per-dim marginals cannot carry: an
+    * embedding space whose dimensions covary strongly has an effective
+    * rank far below its width (anisotropy — the known failure mode of
+    * contrastive encoders), retrieval improves after whitening, and
+    * the whitening transform is computed FROM exactly this matrix.
+    * Emits the exact integer moments per upper-triangle dim pair
+    * (i ≤ j): n, Σvᵢ, Σvⱼ (e6 µunits, the X224 quantize-once device)
+    * and Σvᵢvⱼ (e12), plus the floor-quantized covariance
+    * `covq_e12 = floor(Σvᵢvⱼ/n) − floor(Σvᵢ/n)·floor(Σvⱼ/n)` — on the
+    * diagonal this reproduces X224's `varq_e12` exactly (the spec's
+    * consistency assertion). The float eigen/whitening step belongs to
+    * the consumer (X129 moments discipline). Floor via DOUBLE division
+    * in BOTH engines (Spark's integer `div` truncates toward zero on
+    * negative cross-sums where DuckDB `//` floors); double-exactness
+    * of every sum is asserted, never silent.
+    *
+    * Scale: two native Generates (posexplode + per-row tail slice —
+    * no interpreted lambda anywhere), ×d²/2 row expansion, then ONE
+    * map-side-combinable aggregate at the d²/2 pair grain (2 080 rows
+    * at d = 64) — zero shuffle before it, |pairs| rows after. */
+  def covarianceMoments(emb: DataFrame): DataFrame = {
+    val e = graft.core.Spread(emb)
+      .select(col("embedding"), posexplode(col("embedding"))
+        .as(Seq("i", "x")))
+      .select(col("i"),
+        floor(col("x").cast("double") * 1000000.0 + 0.5)
+          .cast("long").as("vi"),
+        expr("slice(embedding, i + 1, size(embedding) - i)").as("rest"))
+    val pairs = e.select(col("i"), col("vi"),
+        posexplode(col("rest")).as(Seq("p", "y")))
+      .select(col("i").cast("long").as("i"),
+        (col("i") + col("p")).cast("long").as("j"), col("vi"),
+        floor(col("y").cast("double") * 1000000.0 + 0.5)
+          .cast("long").as("vj"))
+    pairs.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("vi")).cast("long").as("sum_i_e6"),
+        sum(col("vj")).cast("long").as("sum_j_e6"),
+        sum(col("vi") * col("vj")).cast("long").as("sum_ij_e12"))
+      .select(col("i"), col("j"), col("n"),
+        col("sum_i_e6"), col("sum_j_e6"),
+        expr("coalesce(cast(assert_true(" +
+          "abs(sum_ij_e12) <= 9007199254740992 and " +
+          "abs(sum_i_e6) <= 9007199254740992 and " +
+          "abs(sum_j_e6) <= 9007199254740992, " +
+          "'covariance sums exceed the double-exact range') " +
+          "as bigint), 0) + sum_ij_e12").cast("long").as("sum_ij_e12"),
+        (expr("cast(floor(sum_ij_e12 / n) as bigint)") -
+          expr("cast(floor(sum_i_e6 / n) as bigint)") *
+          expr("cast(floor(sum_j_e6 / n) as bigint)"))
+          .cast("long").as("covq_e12"))
+  }
+
   /** Semantic train/eval split-leakage audit (X229) — the embedding-
     * level contamination check the n-gram decontaminator cannot run:
     * a paraphrased benchmark item shares no 8-gram with its training

@@ -646,6 +646,34 @@ class SimilaritySpec extends SparkSpec {
       fix.toList.toString)
   }
 
+  test("covarianceMoments: hand-exact moments, diagonal reproduces " +
+    "dimStats varq, negative cross-sum FLOORS (never truncates)") {
+    val emb = Seq((0L, Seq(1.0f, 2.0f)), (1L, Seq(3.0f, 6.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.covarianceMoments(emb).orderBy($"i", $"j")
+      .select($"i", $"j", $"n", $"sum_ij_e12", $"covq_e12")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // quantized rows: (1e6,2e6),(3e6,6e6) — all moments hand-exact
+    assert(r == Seq(
+      (0L, 0L, 2L, 10000000000000L, 1000000000000L),
+      (0L, 1L, 2L, 20000000000000L, 2000000000000L),
+      (1L, 1L, 2L, 40000000000000L, 4000000000000L)))
+    // diagonal ≡ dimStats varq_e12 on the same frame
+    val varq = Similarity.dimStats(emb)
+      .select($"dim", $"varq_e12").as[(Long, Long)].collect().toMap
+    assert(r.filter(p => p._1 == p._2)
+      .forall(p => varq(p._1) == p._5), s"diag != varq: $r vs $varq")
+    // negative cross-sum: -1e12 over n=3 must FLOOR to -333333333334
+    // (Spark's integer div would truncate to ...333 — the cross-engine
+    // divergence this operator's double-division floor avoids)
+    val neg = Seq((0L, Seq(1.0f, -1.0f)), (1L, Seq(0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val c01 = Similarity.covarianceMoments(neg)
+      .filter($"i" === 0 && $"j" === 1)
+      .select($"covq_e12").as[Long].head()
+    assert(c01 == -333333333334L, s"floor semantics broken: $c01")
+  }
+
   test("twoNNProfile: picks the two true nearest, mu >= 1e6, and a " +
     "planted equidistant tie breaks by nn_id") {
     // queryMod=1 so every vector is a query. Vector 0 has nn1 = 1

@@ -8,6 +8,11 @@ self-serve distinguishable from machine-contention noise WITHOUT a
 judge rerun. Both inputs should be min-of-N quiet numbers (Bench
 records the per-query min across SPARK_GRAFT_PASSES).
 
+BASELINE must be ONE fresh Bench run at a single commit — never a
+per-query min folded across runs or commits (a merged baseline hides
+regressions by construction; VERDICT r11 #1). Noise absorption is THIS
+gate's job, via the factor and floor.
+
 Usage:
   python3 tools/perfgate.py CURRENT.json BASELINE.json [factor] [min_abs]
   python3 tools/perfgate.py --self-test
