@@ -399,6 +399,47 @@ object Analytics {
         col("valid_to"), col("n_months"))
   }
 
+  /** Temporal-interval integrity audit (X260) — the validity-range
+    * contract check every warehouse runs on its SCD2 / valid-time
+    * tables (Snodgrass's sequenced-integrity conditions, the dbt
+    * valid-at test): per key, inclusive [from, to] DATE ranges must
+    * not overlap, must not run backwards, and ideally tile their span.
+    * Overlap detection is the sweep form — a row overlaps iff its
+    * start ≤ the running MAX of all PRIOR ends (ordered by start, end;
+    * `lag` alone misses an interval swallowed by an earlier long one).
+    * Gap evidence is integer day arithmetic: `gap_days =
+    * span − Σ lengths` — exact when no overlaps (double-counting makes
+    * it a lower bound otherwise, and the verdict has already failed).
+    * `is_consistent` = no overlaps AND no backwards ranges.
+    *
+    * Scale: the window and the final rollup share ONE (key) hash
+    * partitioning — a single exchange; per-key state is the running
+    * max, O(1). */
+  def intervalAudit(iv: DataFrame, key: String = "o_custkey",
+      from: String = "valid_from", to: String = "valid_to"): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("f"), col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    iv.select(col(key).as("k"), col(from).as("f"), col(to).as("t"))
+      .withColumn("pmax", max(col("t")).over(w))
+      .withColumn("is_overlap",
+        when(col("pmax").isNotNull && col("f") <= col("pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("is_bad", when(col("t") < col("f"), 1L).otherwise(0L))
+      .groupBy(col("k").as(key))
+      .agg(count(lit(1)).cast("long").as("n_ranges"),
+        sum(col("is_overlap")).cast("long").as("n_overlaps"),
+        sum(col("is_bad")).cast("long").as("n_bad_duration"),
+        (datediff(max(col("t")), min(col("f"))) + 1)
+          .cast("long").as("span_days"),
+        sum(datediff(col("t"), col("f")) + 1)
+          .cast("long").as("len_days"))
+      .withColumn("gap_days",
+        greatest(col("span_days") - col("len_days"), lit(0L)))
+      .withColumn("is_consistent",
+        when(col("n_overlaps") === 0 && col("n_bad_duration") === 0, 1L)
+          .otherwise(0L))
+  }
+
   /** Rolling event-time window aggregate: per user, the count and
     * exact-cents sum of that user's events in the trailing `days`-day
     * window ENDING at each event (inclusive RANGE frame over event

@@ -64,6 +64,10 @@ object AnalyticsQueries {
     "weekly_disaggregation" -> ((s, d) => Analytics.weeklyDisaggregation(s, d)),
     "running_totals" -> ((s, d) => Analytics.runningTotals(s, d)),
     "scd2_history" -> ((s, d) => Analytics.scd2History(s, d)),
+    // X260: temporal-interval integrity audit chained over the SCD2
+    // history — sweep-form overlap detection, integer day-gap evidence
+    "qc_interval_audit" -> ((s, d) =>
+      Analytics.intervalAudit(Analytics.scd2History(s, d))),
     "a_cube_totals" -> ((s, d) => Analytics.cubeTotals(s, d)),
     "demand_intermittency" -> ((s, d) =>
       Analytics.intermittencyClassification(
@@ -183,6 +187,29 @@ object AnalyticsQueries {
        |        ORDER BY revenue DESC, l_partkey ROWS UNBOUNDED PRECEDING)
        |      / SUM(revenue) OVER (PARTITION BY p_brand), 6) AS cum_share
        |    FROM $revCte""".stripMargin
+
+  /** SCD2 validity-range derivation as a CTE — shared verbatim by the
+    * `scd2_history` oracle and the `qc_interval_audit` oracle so the
+    * audit provably runs over the exact history the X-row publishes. */
+  private val Scd2Cte: String =
+    """snap AS (
+      |  SELECT o_custkey,
+      |         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |         arg_max(o_orderpriority, o_orderkey) AS attr
+      |  FROM orders GROUP BY 1, 2),
+      |x AS (
+      |  SELECT *, CASE WHEN lag(attr) OVER w IS NULL
+      |                   OR lag(attr) OVER w <> attr
+      |                 THEN 1 ELSE 0 END AS chg
+      |  FROM snap WINDOW w AS (PARTITION BY o_custkey ORDER BY month)),
+      |i AS (
+      |  SELECT *, SUM(chg) OVER (PARTITION BY o_custkey ORDER BY month
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM x),
+      |scd2 AS (
+      |  SELECT o_custkey, attr, MIN(month) AS valid_from,
+      |         MAX(month) AS valid_to, COUNT(*) AS n_months
+      |  FROM i GROUP BY o_custkey, island, attr)""".stripMargin
 
   val oracles: Map[String, String] = Reg.strict(
     // same top-(k+1) frame (ties are bits-invariant), same bits device
@@ -630,23 +657,37 @@ object AnalyticsQueries {
     // gaps-and-islands: a new validity range opens when the observed
     // attribute differs from the previous observation's
     "scd2_history" ->
-      """WITH snap AS (
-        |  SELECT o_custkey,
-        |         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-        |         arg_max(o_orderpriority, o_orderkey) AS attr
-        |  FROM orders GROUP BY 1, 2),
-        |x AS (
-        |  SELECT *, CASE WHEN lag(attr) OVER w IS NULL
-        |                   OR lag(attr) OVER w <> attr
-        |                 THEN 1 ELSE 0 END AS chg
-        |  FROM snap WINDOW w AS (PARTITION BY o_custkey ORDER BY month)),
-        |i AS (
-        |  SELECT *, SUM(chg) OVER (PARTITION BY o_custkey ORDER BY month
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-        |  FROM x)
-        |SELECT o_custkey, attr, MIN(month) AS valid_from,
-        |       MAX(month) AS valid_to, COUNT(*) AS n_months
-        |FROM i GROUP BY o_custkey, island, attr""".stripMargin,
+      s"""WITH $Scd2Cte
+         |SELECT o_custkey, attr, valid_from, valid_to, n_months
+         |FROM scd2""".stripMargin,
+
+    // sweep-form overlap (running max of PRIOR ends), backwards-range
+    // count, integer day-span vs summed lengths for gap evidence
+    "qc_interval_audit" ->
+      s"""WITH $Scd2Cte,
+         |v AS (
+         |  SELECT o_custkey AS k, valid_from AS f, valid_to AS t,
+         |    max(valid_to) OVER (PARTITION BY o_custkey
+         |      ORDER BY valid_from, valid_to
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         |  FROM scd2),
+         |g AS (
+         |  SELECT k AS o_custkey,
+         |    CAST(count(*) AS BIGINT) AS n_ranges,
+         |    CAST(SUM(CASE WHEN pmax IS NOT NULL AND f <= pmax
+         |         THEN 1 ELSE 0 END) AS BIGINT) AS n_overlaps,
+         |    CAST(SUM(CASE WHEN t < f THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_bad_duration,
+         |    CAST(date_diff('day', MIN(f), MAX(t)) + 1 AS BIGINT)
+         |      AS span_days,
+         |    CAST(SUM(date_diff('day', f, t) + 1) AS BIGINT) AS len_days
+         |  FROM v GROUP BY 1)
+         |SELECT o_custkey, n_ranges, n_overlaps, n_bad_duration,
+         |  span_days, len_days,
+         |  CAST(greatest(span_days - len_days, 0) AS BIGINT) AS gap_days,
+         |  CAST(CASE WHEN n_overlaps = 0 AND n_bad_duration = 0
+         |       THEN 1 ELSE 0 END AS BIGINT) AS is_consistent
+         |FROM g""".stripMargin,
 
     // one pass over all four grouping-sets planes; GROUPING() flags
     // disambiguate subtotal NULLs; integer cents keep every plane

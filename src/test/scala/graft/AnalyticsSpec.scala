@@ -8,6 +8,36 @@ import graft.analytics.Analytics
 class AnalyticsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("intervalAudit: sweep catches the swallowed interval lag would " +
+    "miss; backwards range flagged; gap days exact; clean key clean") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val iv = Seq(
+      // A: contiguous, clean (2024 is a leap year: 31+44 = span 75)
+      (1L, d("2024-01-01"), d("2024-01-31")),
+      (1L, d("2024-02-01"), d("2024-03-15")),
+      // B: (01-02,01-03) is SWALLOWED by (01-01,01-10) — its end is
+      // before the next row's start, so lag(end) alone would pass
+      // (01-05,01-20); the running max must flag BOTH as overlaps
+      (2L, d("2024-01-01"), d("2024-01-10")),
+      (2L, d("2024-01-02"), d("2024-01-03")),
+      (2L, d("2024-01-05"), d("2024-01-20")),
+      // C: backwards range
+      (3L, d("2024-02-10"), d("2024-02-01")),
+      // D: a 4-day hole — gap evidence, still consistent
+      (4L, d("2024-01-01"), d("2024-01-05")),
+      (4L, d("2024-01-10"), d("2024-01-12")))
+      .toDF("o_custkey", "valid_from", "valid_to")
+    val r = Analytics.intervalAudit(iv).collect()
+      .map(x => x.getAs[Long]("o_custkey") ->
+        ((x.getAs[Long]("n_overlaps"), x.getAs[Long]("n_bad_duration"),
+          x.getAs[Long]("gap_days"), x.getAs[Long]("is_consistent"))))
+      .toMap
+    assert(r(1L) == ((0L, 0L, 0L, 1L)), s"clean key: ${r(1L)}")
+    assert(r(2L)._1 == 2L && r(2L)._4 == 0L, s"sweep overlap: ${r(2L)}")
+    assert(r(3L) == ((0L, 1L, 0L, 0L)), s"backwards: ${r(3L)}")
+    assert(r(4L) == ((0L, 0L, 4L, 1L)), s"gap: ${r(4L)}")
+  }
+
   test("ABC: classes partition rows, cum_share monotone within brand") {
     val r = Analytics.abcClassification(spark, SfDir)
     assert(r.filter(!col("abc_class").isin("A", "B", "C")).count() == 0)
