@@ -65,6 +65,21 @@ object TextQueries {
       col("doc_id"), col("lang"),
       langId(col("text")).as("lang_pred"))),
 
+    // X261: lang-ID confusion matrix — the eval read for the X7 leg:
+    // per (tagged, predicted) cell the count and row-normalized ppm
+    // (the diagonal's share_ppm IS per-lang recall); |langs|²-grain
+    // map-side-combinable aggregates + one broadcast row-total join
+    "text_langid_confusion" -> ((s, d) => {
+      val cm = docs(s, d)
+        .select(col("lang"), langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val tot = cm.groupBy(col("lang"))
+        .agg(sum(col("n")).cast("long").as("n_true"))
+      cm.join(broadcast(tot), Seq("lang"))
+        .withColumn("share_ppm", expr("n * 1000000 div n_true"))
+    }),
+
     "text_fingerprints" -> ((s, d) => docs(s, d).select(
       col("doc_id"),
       fingerprintMd5(col("text")).as("fp_md5"),
@@ -246,6 +261,26 @@ object TextQueries {
     s"CAST(len(list_filter($toks, t -> list_contains($list, t))) AS DOUBLE)"
   }
 
+  /** Per-doc (doc_id, lang, lang_pred) lang-ID SELECT — shared
+    * verbatim by the `text_lang_id` oracle and the confusion-matrix
+    * oracle; the CASE order is the Spark foldLeft priority order, so
+    * ties resolve identically in both engines. */
+  private def langPredSql: String = {
+    val toks = s"${toksSql("lower(text)")}"
+    val scores = graft.text.TextAnalysis.LangMarkers.map { case (l, ms) =>
+      l -> markerHitsSql(toks, ms)
+    }
+    val best = scores.map(_._2).mkString("greatest(", ", ", ")")
+    val cases = scores.map { case (l, s) =>
+      s"WHEN $s = best THEN '$l'"
+    }.mkString("\n         ")
+    s"""SELECT doc_id, lang,
+       |  CASE WHEN best = 0 THEN 'und'
+       |       $cases
+       |       ELSE 'und' END AS lang_pred
+       |FROM (SELECT doc_id, lang, text, $best AS best FROM documents)""".stripMargin
+  }
+
   /** Shared with [[PipelineQueries]] (curation-composite oracle). */
   private[registry] val punctSql =
     """CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0 THEN 0.0
@@ -366,21 +401,18 @@ object TextQueries {
          |  $qualitySql AS quality
          |FROM documents""".stripMargin,
 
-    "text_lang_id" -> {
-      val toks = s"${toksSql("lower(text)")}"
-      val scores = graft.text.TextAnalysis.LangMarkers.map { case (l, ms) =>
-        l -> markerHitsSql(toks, ms)
-      }
-      val best = scores.map(_._2).mkString("greatest(", ", ", ")")
-      val cases = scores.map { case (l, s) =>
-        s"WHEN $s = best THEN '$l'"
-      }.mkString("\n         ")
-      s"""SELECT doc_id, lang,
-         |  CASE WHEN best = 0 THEN 'und'
-         |       $cases
-         |       ELSE 'und' END AS lang_pred
-         |FROM (SELECT doc_id, lang, text, $best AS best FROM documents)""".stripMargin
-    },
+    "text_lang_id" -> langPredSql,
+
+    // the same shared lang-pred SELECT, aggregated to cells
+    "text_langid_confusion" ->
+      s"""WITH p AS ($langPredSql),
+         |cm AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+         |       FROM p GROUP BY 1, 2),
+         |t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_true
+         |      FROM cm GROUP BY 1)
+         |SELECT cm.lang, cm.lang_pred, cm.n, t.n_true,
+         |  CAST(cm.n * 1000000 // t.n_true AS BIGINT) AS share_ppm
+         |FROM cm JOIN t ON cm.lang = t.lang""".stripMargin,
 
     "text_gopher_screen" -> {
       import graft.text.TextAnalysis._

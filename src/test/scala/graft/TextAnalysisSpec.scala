@@ -105,6 +105,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(0).getAs[Long]("stop_hits") == 8L)
   }
 
+  test("langid confusion: planted mislabel lands off-diagonal; " +
+    "share ppm row-normalized and exact") {
+    val dir = java.nio.file.Files.createTempDirectory("cm").toString
+    Seq(
+      (1L, "the cat and the dog is in it", "en"),
+      (2L, "a tale of the sea and the sky", "en"),
+      (3L, "der hund und die katze ist nicht", "en"), // mislabeled
+      (4L, "el perro y la casa es de los", "es"))
+      .map { case (i, t, l) => (i, t, l, "srcA", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.registry.TextQueries.queries("text_langid_confusion")(
+      spark, dir).collect()
+      .map(x => (x.getAs[String]("lang"), x.getAs[String]("lang_pred")) ->
+        ((x.getAs[Long]("n"), x.getAs[Long]("share_ppm")))).toMap
+    assert(r(("en", "en")) == ((2L, 666666L)))
+    assert(r(("en", "de")) == ((1L, 333333L)))
+    assert(r(("es", "es")) == ((1L, 1000000L)))
+    assert(r.size == 3)
+  }
+
   test("encoding QC registry query quarantines mojibake, not prose") {
     val dir = java.nio.file.Files.createTempDirectory("encqc").toString
     Seq(
