@@ -838,6 +838,46 @@ object Analytics {
           " - 1000000").as("mean_lag_d"))
   }
 
+  /** Robotic-cadence screen (X263) — the bot filter run before any
+    * behavioral read trusts per-user counts: a scripted client fires
+    * at a FIXED cadence, so one inter-event gap value dominates its
+    * gap distribution, where human activity spreads. Per user: event
+    * and gap counts, distinct gap values, the modal gap's exact count
+    * and integer share (`modal_cnt·10⁶ div n_gaps`), and the verdict
+    * at [[BotModalSharePpm]] with a [[BotMinGaps]] support floor (a
+    * 3-event user is never judged). Emits the modal SHARE, not the
+    * modal gap value — the share is tie-invariant, so no cross-engine
+    * argmax tie-break is ever needed. Different question from the
+    * gap-percentile profile: percentiles measure pace, modality
+    * measures REGULARITY.
+    *
+    * Scale: the lag window, the (user, gap) count and the user rollup
+    * all share ONE user-key hash partitioning — a single exchange. */
+  val BotModalSharePpm = 500000L
+  val BotMinGaps = 5L
+
+  def botScreen(events: DataFrame): DataFrame = {
+    // the X174 gap device: micro-diff floor-divided to whole seconds
+    val gaps = events
+      .withColumn("gap_s", expr(
+        "(unix_micros(ts) - lag(unix_micros(ts), 1) over " +
+          "(partition by user_id order by ts, event_id)) " +
+          "div 1000000"))
+      .filter(col("gap_s").isNotNull)
+      .groupBy(col("user_id"), col("gap_s"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    gaps.groupBy(col("user_id"))
+      .agg((sum(col("cnt")) + 1).cast("long").as("n_events"),
+        sum(col("cnt")).cast("long").as("n_gaps"),
+        count(lit(1)).cast("long").as("n_distinct_gaps"),
+        max(col("cnt")).cast("long").as("modal_cnt"))
+      .withColumn("modal_share_ppm",
+        expr("(modal_cnt * 1000000) div n_gaps"))
+      .withColumn("is_robotic",
+        when(col("n_gaps") >= BotMinGaps &&
+          col("modal_share_ppm") >= BotModalSharePpm, 1L).otherwise(0L))
+  }
+
   /** Cross-series correlation over the zero-filled daily type counts —
     * which event types move TOGETHER day to day (shared upstream
     * driver, mirrored instrumentation) and which are independent. The

@@ -484,6 +484,11 @@ object StreamQueries {
     // longest + current streak per user
     "events_streaks" -> ((s, d) =>
       graft.analytics.Analytics.activityStreaks(Tables(s, d, "events"))),
+    // X263: robotic-cadence screen — modal inter-event-gap share as
+    // the regularity verdict (single-event users carry no cadence
+    // evidence and emit no row — the top-1 probe contract)
+    "events_bot_screen" -> ((s, d) =>
+      graft.analytics.Analytics.botScreen(Tables(s, d, "events"))),
     // X233: weekly growth accounting — new / retained / resurrected
     // / churned decomposition at epoch-week grain, churn never past
     // the last observed week
@@ -1223,6 +1228,33 @@ object StreamQueries {
 
     // same lag window; quantile_cont is percentile()'s proven twin
     // (events_percentiles), round 6 on both sides
+    // the same gap device, counted per (user, gap) then rolled up; the
+    // modal SHARE is tie-invariant so no argmax tie-break is needed
+    "events_bot_screen" -> {
+      import graft.analytics.Analytics.{BotMinGaps, BotModalSharePpm}
+      s"""WITH g AS (
+         |  SELECT user_id,
+         |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+         |      PARTITION BY user_id ORDER BY ts, event_id))
+         |      // 1000000 AS gap_s
+         |  FROM events),
+         |c AS (SELECT user_id, gap_s, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM g WHERE gap_s IS NOT NULL GROUP BY 1, 2),
+         |u AS (SELECT user_id,
+         |        CAST(SUM(cnt) + 1 AS BIGINT) AS n_events,
+         |        CAST(SUM(cnt) AS BIGINT) AS n_gaps,
+         |        CAST(count(*) AS BIGINT) AS n_distinct_gaps,
+         |        CAST(MAX(cnt) AS BIGINT) AS modal_cnt
+         |      FROM c GROUP BY 1)
+         |SELECT user_id, n_events, n_gaps, n_distinct_gaps, modal_cnt,
+         |  CAST(modal_cnt * 1000000 // n_gaps AS BIGINT)
+         |    AS modal_share_ppm,
+         |  CAST(CASE WHEN n_gaps >= $BotMinGaps
+         |       AND modal_cnt * 1000000 // n_gaps >= $BotModalSharePpm
+         |       THEN 1 ELSE 0 END AS BIGINT) AS is_robotic
+         |FROM u""".stripMargin
+    },
+
     "events_gap_stats" ->
       """WITH g AS (
         |  SELECT user_id,

@@ -38,6 +38,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(r(4L) == ((0L, 0L, 4L, 1L)), s"gap: ${r(4L)}")
   }
 
+  test("botScreen: fixed cadence is robotic, spread gaps are not, " +
+    "support floor spares tiny users, single-event user emits no row") {
+    def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val ev =
+      ((1 to 6).map(i => (100L + i, 1L, t(i * 10L))) ++     // 5 gaps ×10s
+        Seq(0L, 10L, 30L, 60L, 100L, 155L).zipWithIndex
+          .map { case (s, i) => (200L + i, 2L, t(s)) } ++   // all distinct
+        Seq((301L, 3L, t(0L)), (302L, 3L, t(10L))) ++       // 1 gap only
+        Seq((401L, 4L, t(0L))))                             // no gap
+        .toDF("event_id", "user_id", "ts")
+    val r = graft.analytics.Analytics.botScreen(ev).collect()
+      .map(x => x.getAs[Long]("user_id") ->
+        ((x.getAs[Long]("n_gaps"), x.getAs[Long]("modal_share_ppm"),
+          x.getAs[Long]("is_robotic")))).toMap
+    assert(r(1L) == ((5L, 1000000L, 1L)), s"bot: ${r(1L)}")
+    assert(r(2L) == ((5L, 200000L, 0L)), s"human: ${r(2L)}")
+    assert(r(3L) == ((1L, 1000000L, 0L)), s"tiny user judged: ${r(3L)}")
+    assert(!r.contains(4L), "single-event user must emit no row")
+  }
+
   test("ABC: classes partition rows, cum_share monotone within brand") {
     val r = Analytics.abcClassification(spark, SfDir)
     assert(r.filter(!col("abc_class").isin("A", "B", "C")).count() == 0)
