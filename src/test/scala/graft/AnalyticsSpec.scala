@@ -38,6 +38,44 @@ class AnalyticsSpec extends SparkSpec {
     assert(r(4L) == ((0L, 0L, 4L, 1L)), s"gap: ${r(4L)}")
   }
 
+  test("property: intervalAudit matches a plain-Scala sweep reference " +
+    "on random interval sets") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: org.scalacheck.Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val base = java.time.LocalDate.of(2024, 1, 1)
+    (1L to 3L).foreach { seed =>
+      val iv = sample(Gen.listOfN(120, Gen.zip(
+        Gen.chooseNum(1L, 6L),            // key
+        Gen.chooseNum(0L, 60L),           // start day offset
+        Gen.chooseNum(-3L, 20L))), seed)  // signed length-1
+        .map { case (k, s, l) => (k, base.plusDays(s), base.plusDays(s + l)) }
+      val got = Analytics.intervalAudit(
+        iv.map { case (k, f, t) =>
+          (k, java.sql.Date.valueOf(f), java.sql.Date.valueOf(t)) }
+          .toDF("o_custkey", "valid_from", "valid_to")).collect()
+        .map(x => x.getAs[Long]("o_custkey") ->
+          ((x.getAs[Long]("n_overlaps"), x.getAs[Long]("n_bad_duration"),
+            x.getAs[Long]("span_days"), x.getAs[Long]("len_days"),
+            x.getAs[Long]("gap_days")))).toMap
+      val want = iv.groupBy(_._1).map { case (k, rows) =>
+        val s = rows.map(r => (r._2.toEpochDay, r._3.toEpochDay)).sorted
+        var pmax = Long.MinValue
+        var overlaps = 0L
+        s.foreach { case (f, t) =>
+          if (pmax != Long.MinValue && f <= pmax) overlaps += 1
+          pmax = math.max(pmax, t)
+        }
+        val span = s.map(_._2).max - s.map(_._1).min + 1
+        val len = s.map(r => r._2 - r._1 + 1).sum
+        k -> ((overlaps, s.count(r => r._2 < r._1).toLong, span, len,
+          math.max(span - len, 0L)))
+      }
+      assert(got == want, s"seed=$seed got=$got want=$want")
+    }
+  }
+
   test("botScreen: fixed cadence is robotic, spread gaps are not, " +
     "support floor spares tiny users, single-event user emits no row") {
     def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)

@@ -674,6 +674,39 @@ class SimilaritySpec extends SparkSpec {
     assert(c01 == -333333333334L, s"floor semantics broken: $c01")
   }
 
+  test("property: covarianceMoments matches a plain-Scala integer " +
+    "reference on random vectors") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: org.scalacheck.Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    (1L to 3L).foreach { seed =>
+      val d = 5
+      val vecs = sample(Gen.listOfN(17,
+        Gen.listOfN(d, Gen.chooseNum(-2000000, 2000000)
+          .map(_ / 1000000.0f))), seed)
+      val got = Similarity.covarianceMoments(
+        vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("vec_id", "embedding")).collect()
+        .map(x => (x.getAs[Long]("i"), x.getAs[Long]("j")) ->
+          ((x.getAs[Long]("sum_i_e6"), x.getAs[Long]("sum_j_e6"),
+            x.getAs[Long]("sum_ij_e12"), x.getAs[Long]("covq_e12"))))
+        .toMap
+      val q = vecs.map(_.map(x =>
+        math.floor(x.toDouble * 1000000.0 + 0.5).toLong))
+      val n = q.size.toLong
+      val want = (for { i <- 0 until d; j <- i until d } yield {
+        val si = q.map(_(i)).sum
+        val sj = q.map(_(j)).sum
+        val sij = q.map(v => v(i) * v(j)).sum
+        def fdiv(a: Long) = math.floor(a.toDouble / n).toLong
+        (i.toLong, j.toLong) ->
+          ((si, sj, sij, fdiv(sij) - fdiv(si) * fdiv(sj)))
+      }).toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("twoNNProfile: picks the two true nearest, mu >= 1e6, and a " +
     "planted equidistant tie breaks by nn_id") {
     // queryMod=1 so every vector is a query. Vector 0 has nn1 = 1
