@@ -1125,6 +1125,37 @@ object Pipeline {
     * 3-row-bounded by construction). Release decisions
     * (suppress/generalize) are the caller's policy — this is the
     * measurement. */
+  /** l-diversity audit (X264, Machanavajjhala et al. 2007) — the
+    * HOMOGENEITY-attack companion to [[kAnonymityAudit]]: a class can
+    * be safely large (k-anonymous) yet carry ONE sensitive value, so
+    * membership alone discloses it. Per quasi-identifier class the
+    * exact distinct-sensitive-value count l, banded at the shared
+    * [[LDiversityL]]: `1_homogeneous` (l = 1, disclosure),
+    * `2_below_l`, `3_at_or_above_l`; per band the class/row counts and
+    * integer row share. Same shape and scale story as the k-audit:
+    * one class-grain aggregate (the exact per-class distinct is
+    * bounded by the class size), a ≤3-row banding rollup, one 1-row
+    * total broadcast. */
+  val LDiversityL = 3
+
+  def lDiversityAudit(df: DataFrame, quasiCols: Seq[String],
+      sensitive: String, l: Int = LDiversityL): DataFrame = {
+    val classes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("sz"),
+        countDistinct(col(sensitive)).cast("long").as("l_div"))
+    classes
+      .select(when(col("l_div") === 1L, "1_homogeneous")
+        .when(col("l_div") < l, "2_below_l")
+        .otherwise("3_at_or_above_l").as("band"), col("sz"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).cast("long").as("n_classes"),
+        sum(col("sz")).cast("long").as("n_rows"))
+      .withColumn("total_rows", sum(col("n_rows"))
+        .over(Window.partitionBy()).cast("long"))
+      .withColumn("row_share_ppm",
+        expr("(n_rows * 1000000) div total_rows"))
+  }
+
   def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
       k: Int = 10): DataFrame = {
     val classes = df.groupBy(quasiCols.map(col): _*)

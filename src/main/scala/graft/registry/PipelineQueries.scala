@@ -69,6 +69,15 @@ object PipelineQueries {
           .selectExpr("c_nationkey", "c_mktsegment",
             "cast(floor(c_acctbal / 100.0) as long) as bal_bucket"),
         Seq("c_nationkey", "c_mktsegment", "bal_bucket"))),
+    // X264: l-diversity — the homogeneity-attack companion; quasi =
+    // (nation, balance bucket) so sparse classes exist, sensitive =
+    // market segment (the 5-value attribute membership would disclose)
+    "pipe_l_diversity" -> ((s, d) =>
+      Pipeline.lDiversityAudit(
+        graft.core.Tables(s, d, "customer")
+          .selectExpr("c_nationkey", "c_mktsegment",
+            "cast(floor(c_acctbal / 100.0) as long) as bal_bucket"),
+        Seq("c_nationkey", "bal_bucket"), "c_mktsegment")),
     "pipe_decontaminate" -> ((s, d) => Pipeline.decontaminate(docs(s, d))),
     "pipe_pack_sequences" -> ((s, d) => Pipeline.packSequences(docs(s, d))),
     "pipe_pack_report" -> ((s, d) => Pipeline.packReport(docs(s, d))),
@@ -379,6 +388,32 @@ object PipelineQueries {
          |  CAST(((tokens_total - tokens_unique) * 1000000)
          |    // greatest(tokens_total, 1) AS BIGINT) AS dup_token_ppm
          |FROM agg""".stripMargin,
+
+    // same class derivation, exact distinct of the sensitive column,
+    // banded at the shared L constant
+    "pipe_l_diversity" -> {
+      val l = graft.pipeline.Pipeline.LDiversityL
+      s"""WITH q AS (
+         |  SELECT c_nationkey, c_mktsegment,
+         |    CAST(floor(c_acctbal / 100.0) AS BIGINT) AS bal_bucket
+         |  FROM customer),
+         |cl AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS sz,
+         |    CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_div
+         |  FROM q GROUP BY c_nationkey, bal_bucket),
+         |b AS (
+         |  SELECT CASE WHEN l_div = 1 THEN '1_homogeneous'
+         |              WHEN l_div < $l THEN '2_below_l'
+         |              ELSE '3_at_or_above_l' END AS band,
+         |    CAST(COUNT(*) AS BIGINT) AS n_classes,
+         |    CAST(SUM(sz) AS BIGINT) AS n_rows
+         |  FROM cl GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows FROM b)
+         |SELECT band, n_classes, n_rows, t.total_rows,
+         |  CAST(n_rows * 1000000 // t.total_rows AS BIGINT)
+         |    AS row_share_ppm
+         |FROM b CROSS JOIN t""".stripMargin
+    },
 
     "pipe_k_anonymity" ->
       """WITH q AS (

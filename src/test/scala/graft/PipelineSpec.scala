@@ -474,6 +474,25 @@ class PipelineSpec extends SparkSpec {
     assert(got("3_at_or_above_k") === ((1L, 12L, 17L, 705882L)))
   }
 
+  test("lDiversityAudit: a large-but-homogeneous class is flagged " +
+    "where the k-audit would pass it; bands and ppm hand-exact") {
+    import spark.implicits._
+    // class A: 12 rows, ONE sensitive value — k-safe, l-homogeneous;
+    // class B: 4 rows, 2 values (< 3); class C: 3 rows, 3 values
+    val rows = Seq.fill(12)(("A", 1L)) ++
+      Seq(("B", 1L), ("B", 1L), ("B", 2L), ("B", 2L)) ++
+      Seq(("C", 1L), ("C", 2L), ("C", 3L))
+    val df = rows.toDF("qa", "s")
+    val got = graft.pipeline.Pipeline
+      .lDiversityAudit(df, Seq("qa"), "s")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got("1_homogeneous") === ((1L, 12L, 19L, 631578L)))
+    assert(got("2_below_l") === ((1L, 4L, 19L, 210526L)))
+    assert(got("3_at_or_above_l") === ((1L, 3L, 19L, 157894L)))
+  }
+
   test("srmAudit fields match the scalar SRM formulae on the fixture " +
     "split, and a 100/0/0 declaration zeroes the train deviation") {
     import org.apache.spark.sql.functions.col
