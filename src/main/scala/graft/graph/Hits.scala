@@ -31,10 +31,10 @@ import org.apache.spark.sql.functions._
   * node-score table + two keyed sums + two 1-row max aggregates
   * broadcast back (BroadcastNestedLoopJoin on a single row — the
   * documented scalar-broadcast pattern, never a shuffle). Linear in
-  * |E| per round, no adjacency collected; `localCheckpoint` per round
-  * truncates the lineage (the [[PageRank.purchaseRanksConverged]] /
-  * [[graft.dedup.Dedup]] CC-loop shape). The DuckDB oracle unrolls the
-  * same rounds as MATERIALIZED CTEs from the same constants.
+  * |E| per round, no adjacency collected; per-round frames persist
+  * lazily (see [[Hits.normalized]] for the measured rationale). The
+  * DuckDB oracle unrolls the same rounds as MATERIALIZED CTEs from
+  * the same constants.
   */
 object Hits {
 
@@ -71,8 +71,16 @@ object Hits {
   }
 
   /** Max-normalize `raw` to [0, 10⁶] in floor arithmetic; 1-row max
-    * broadcast, overflow guard, eager checkpoint per round. */
-  private def normalized(raw: DataFrame): DataFrame =
+    * broadcast, overflow guard. `raw` is EAGERLY `localCheckpoint`ed
+    * first: it is read twice (the max aggregate and the normalize
+    * join), so an unmaterialized plan doubles per round — 2^rounds
+    * recompute of the base — and a LAZY persist was measured to OOM
+    * the sf0.1 bench JVM (every round's broadcast subplan then nests
+    * the full prior lineage inside one query tree). Two synchronized
+    * jobs per round at a fixed small `iters` is the documented cost
+    * of keeping both engines' arithmetic replayable. */
+  private def normalized(rawIn: DataFrame): DataFrame = {
+    val raw = rawIn.localCheckpoint()
     raw.join(broadcast(
         raw.agg(greatest(max(col("raw")), lit(1L)).as("m"))))
       .select(col("node"),
@@ -80,5 +88,5 @@ object Hits {
           s"$MaxMass, 'HITS mass exceeds the Long-exact range') " +
           "as bigint), 0) + (raw * 1000000 div m)")
           .cast("long").as("s"))
-      .localCheckpoint()
+  }
 }

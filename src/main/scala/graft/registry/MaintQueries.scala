@@ -41,12 +41,15 @@ object MaintQueries {
         Tables(s, d, "lineitem"),
         graph = Some(PageRank.sharedPurchaseGraph(s, d)))),
     // X257: integer-exact HITS hubs/authorities — the DIRECTED
-    // customer→supplier half of the shared edge cache; per-round
-    // max-normalization in floor arithmetic (see Hits scaladoc)
+    // customer→supplier half of the shared edge cache, session-cached
+    // itself (six joins read it; filtering the symmetrized cache per
+    // join scans 2|E| each time); per-round max-normalization in
+    // floor arithmetic (see Hits scaladoc)
     "graph_hits" -> ((s, d) =>
       graft.graph.Hits.purchaseHits(
-        PageRank.sharedPurchaseGraph(s, d)._1
-          .filter(col("src") % 2 === 0))),
+        graft.core.SessionCache.cached(s, s"purchase_cs:$d")(
+          PageRank.sharedPurchaseGraph(s, d)._1
+            .filter(col("src") % 2 === 0)))),
     "maint_compaction_plan" -> ((s, d) =>
       Maintenance.compactionPlan(
         Tables(s, d, "documents").select(col("source"), col("doc_id"),

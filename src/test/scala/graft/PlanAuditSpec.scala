@@ -307,6 +307,9 @@ class PlanAuditSpec extends SparkSpec {
     // broadcast-query-subset scan as sim_bruteforce_topk by design
     Set("j8_region_backfill", "text_bm25", "sim_bruteforce_topk",
       "sim_twonn_intrinsic",
+      // graph_hits: the per-round 1-row max-normalization broadcasts
+      // are the documented scalar-broadcast shape
+      "graph_hits",
       "text_tfidf_topk", "pipe_length_deciles", "pipe_curriculum_order",
       "events_calibration",
       "events_key_skew", "qc_referential",
@@ -399,10 +402,6 @@ class PlanAuditSpec extends SparkSpec {
       "text_bpe_train", "text_bpe_fertility",
       // per-round localCheckpoint (eager) in the LPA loop
       "graph_communities",
-      // alternating auth/hub rounds: eager localCheckpoint per round;
-      // the 1-row max-normalization broadcasts are the documented
-      // scalar-broadcast shape
-      "graph_hits",
       // fixpoint min-label loop: localCheckpoint + label-sum action
       // per round on build
       "graph_components",
