@@ -227,6 +227,46 @@ object Multimodal {
       .toDF()
   }
 
+  /** Activity gate for [[pcmSilenceTrim]]: a window is ACTIVE iff its
+    * mean square `energy/n ≥ floor`, compared in exact integer form
+    * (`energy ≥ floor·n`). The floor sits at the fixture waveform's
+    * median window mean-square so both trim branches exercise; a real
+    * deployment sets it from its noise floor. */
+  val ActiveMsFloor = 650000000L
+
+  /** Leading/trailing silence trim (X265) — the voice-activity
+    * trimming every audio-training pipeline runs before windowing
+    * features: per clip, how many LEADING and TRAILING windows fall
+    * below the activity floor, and the kept span between the first
+    * and last active window (interior quiet windows are kept —
+    * trimming is an endpoint operation, not a filter). An all-quiet
+    * clip keeps nothing and reports `lead_trim = n_windows` — the
+    * drop-this-clip signal. Pure composition over the X13 window-
+    * energy frame: one doc-grain aggregate of min/max-active-window,
+    * no new decode pass, all integer. */
+  def pcmSilenceTrim(spark: SparkSession, dir: String): DataFrame = {
+    val we = pcmWindowEnergy(spark, dir)
+      .withColumn("is_active",
+        when(col("energy") >= lit(ActiveMsFloor) * col("n_samples"), 1L)
+          .otherwise(0L))
+    we.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_windows"),
+        sum(col("is_active")).cast("long").as("n_active"),
+        min(when(col("is_active") === 1, col("win"))).as("first_active"),
+        max(when(col("is_active") === 1, col("win"))).as("last_active"))
+      .select(col("doc_id"), col("n_windows"), col("n_active"),
+        when(col("n_active") === 0, col("n_windows"))
+          .otherwise(col("first_active")).cast("long").as("lead_trim"),
+        when(col("n_active") === 0, 0L)
+          .otherwise(col("n_windows") - 1 - col("last_active"))
+          .cast("long").as("tail_trim"),
+        when(col("n_active") === 0, 0L)
+          .otherwise(col("last_active") - col("first_active") + 1)
+          .cast("long").as("kept_windows"))
+      .withColumn("kept_ppm",
+        expr("kept_windows * 1000000 div n_windows"))
+  }
+
   /** PCM16 waveform-feature query over the media table (payload bytes
     * interpreted as raw PCM16LE — the audio leg of the pipeline). */
   def pcmFeatures(spark: SparkSession, dir: String): DataFrame = {

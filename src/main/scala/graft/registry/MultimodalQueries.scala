@@ -27,6 +27,10 @@ object MultimodalQueries {
     // rail comparisons, quarantine flag past 1% of samples
     "multimodal_pcm_clipping" -> ((s, d) =>
       Multimodal.pcmClipping(s, d)),
+    // X265: leading/trailing silence trim — endpoint voice-activity
+    // trim over the X13 window-energy frame, no new decode pass
+    "multimodal_pcm_trim" -> ((s, d) =>
+      Multimodal.pcmSilenceTrim(s, d)),
     // X238: image-geometry curation profile — metadata-only screen
     // that prunes the decode queue (extreme aspect / tiny assets)
     "multimodal_dim_profile" -> ((s, d) => Multimodal.dimProfile(s, d)),
@@ -34,6 +38,33 @@ object MultimodalQueries {
     "multimodal_ahash" -> ((s, d) => Multimodal.imageHashes(s, d)),
     "multimodal_ahash_pairs" -> ((s, d) =>
       Multimodal.ahashPairs(Multimodal.imageHashes(s, d))))
+
+  /** PCM16LE byte→sample decode + short-time window energy as a CTE
+    * (`we(doc_id, win, n_samples, energy)`) — shared verbatim by the
+    * energy oracle and the silence-trim oracle so the trim provably
+    * reads the published window frame. */
+  private val PcmEnergyCte: String = {
+    val w = Multimodal.PcmWindow
+    s"""m AS (
+       |  SELECT doc_id, text FROM documents WHERE length(text) >= 2),
+       |s AS (
+       |  SELECT doc_id, list_transform(range(1, length(text)//2 + 1),
+       |    i -> CASE WHEN ascii(text[2*i:2*i]) >= 128
+       |              THEN ascii(text[2*i-1:2*i-1])
+       |                   + ascii(text[2*i:2*i]) * 256 - 65536
+       |              ELSE ascii(text[2*i-1:2*i-1])
+       |                   + ascii(text[2*i:2*i]) * 256 END) AS smp
+       |  FROM m),
+       |u AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(smp) + 1),
+       |    i -> {'i': i, 'v': smp[i]})) AS t
+       |  FROM s),
+       |we AS (
+       |  SELECT doc_id, CAST((t.i - 1) // $w AS BIGINT) AS win,
+       |    CAST(COUNT(*) AS BIGINT) AS n_samples,
+       |    CAST(SUM(t.v * t.v) AS BIGINT) AS energy
+       |  FROM u GROUP BY 1, 2)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Reg.strict(
     "multimodal_features" ->
@@ -191,26 +222,40 @@ object MultimodalQueries {
     // same sample decode, grouped to the fixed analysis window; the
     // struct-unnest carries each sample's ordinal so the window id is
     // (i-1) div W in both engines
-    "multimodal_pcm_energy" -> {
-      val w = Multimodal.PcmWindow
-      s"""WITH m AS (
-         |  SELECT doc_id, text FROM documents WHERE length(text) >= 2),
-         |s AS (
-         |  SELECT doc_id, list_transform(range(1, length(text)//2 + 1),
-         |    i -> CASE WHEN ascii(text[2*i:2*i]) >= 128
-         |              THEN ascii(text[2*i-1:2*i-1])
-         |                   + ascii(text[2*i:2*i]) * 256 - 65536
-         |              ELSE ascii(text[2*i-1:2*i-1])
-         |                   + ascii(text[2*i:2*i]) * 256 END) AS smp
-         |  FROM m),
-         |u AS (
-         |  SELECT doc_id, unnest(list_transform(range(1, len(smp) + 1),
-         |    i -> {'i': i, 'v': smp[i]})) AS t
-         |  FROM s)
-         |SELECT doc_id, CAST((t.i - 1) // $w AS BIGINT) AS win,
-         |  CAST(COUNT(*) AS BIGINT) AS n_samples,
-         |  CAST(SUM(t.v * t.v) AS BIGINT) AS energy
-         |FROM u GROUP BY 1, 2""".stripMargin
+    "multimodal_pcm_energy" ->
+      s"""WITH $PcmEnergyCte
+         |SELECT doc_id, win, n_samples, energy FROM we""".stripMargin,
+
+    // the same window-energy CTE, gated at the shared activity floor
+    // and reduced to endpoint trim offsets
+    "multimodal_pcm_trim" -> {
+      val f = Multimodal.ActiveMsFloor
+      s"""WITH $PcmEnergyCte,
+         |a AS (SELECT doc_id, win,
+         |        CASE WHEN energy >= $f * n_samples
+         |             THEN 1 ELSE 0 END AS is_active
+         |      FROM we),
+         |g AS (SELECT doc_id,
+         |        CAST(count(*) AS BIGINT) AS n_windows,
+         |        CAST(SUM(is_active) AS BIGINT) AS n_active,
+         |        MIN(CASE WHEN is_active = 1 THEN win END)
+         |          AS first_active,
+         |        MAX(CASE WHEN is_active = 1 THEN win END)
+         |          AS last_active
+         |      FROM a GROUP BY 1)
+         |SELECT doc_id, n_windows, n_active,
+         |  CAST(CASE WHEN n_active = 0 THEN n_windows
+         |       ELSE first_active END AS BIGINT) AS lead_trim,
+         |  CAST(CASE WHEN n_active = 0 THEN 0
+         |       ELSE n_windows - 1 - last_active END AS BIGINT)
+         |    AS tail_trim,
+         |  CAST(CASE WHEN n_active = 0 THEN 0
+         |       ELSE last_active - first_active + 1 END AS BIGINT)
+         |    AS kept_windows,
+         |  CAST((CASE WHEN n_active = 0 THEN 0
+         |        ELSE last_active - first_active + 1 END) * 1000000
+         |    // n_windows AS BIGINT) AS kept_ppm
+         |FROM g""".stripMargin
     },
 
     // PNG is lossless, so the REAL encode→decode round trip through

@@ -64,6 +64,27 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.MediaRecord(2L, "audio/pcm", Array[Byte](1), 1, 1))).isEmpty)
   }
 
+  test("pcmSilenceTrim: planted quiet-loud-quiet clip trims both " +
+    "endpoints, keeps the interior; all-quiet clip keeps nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("pcmtrim").toString
+    // PcmWindow=64 samples = 128 chars/window; uniform char c decodes
+    // to sample c·257: ' ' → 8224 (ms 6.8e7, quiet), '~' → 32382
+    // (ms 1.05e9, active vs the 6.5e8 floor). 512 chars = 4 windows.
+    val quiet = " " * 512
+    val loud = "~" * 512
+    Seq((1L, quiet + loud + quiet), (2L, quiet))
+      .map { case (i, t) => (i, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Multimodal.pcmSilenceTrim(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_windows"), x.getAs[Long]("lead_trim"),
+          x.getAs[Long]("tail_trim"), x.getAs[Long]("kept_windows"),
+          x.getAs[Long]("kept_ppm")))).toMap
+    assert(r(1L) == ((12L, 4L, 4L, 4L, 333333L)), s"trim: ${r(1L)}")
+    assert(r(2L) == ((4L, 4L, 0L, 0L, 0L)), s"all-quiet: ${r(2L)}")
+  }
+
   test("dimProfile: aspect ppm exact from metadata, extreme and tiny " +
     "flags match a direct recompute") {
     val r = graft.multimodal.Multimodal.dimProfile(spark, SfDir)
