@@ -878,6 +878,47 @@ object Analytics {
           col("modal_share_ppm") >= BotModalSharePpm, 1L).otherwise(0L))
   }
 
+  /** Time-weighted average moments (X266) — the TWAP/LOCF-weighted
+    * mean every finance and sensor pipeline computes over IRREGULAR
+    * samples, where the arithmetic mean over-weights bursts: each
+    * observation's value holds until the next observation (LOCF), so
+    * it is weighted by that duration. Per user the exact integer
+    * moments — Σ cents·seconds (the value-time mass) and Σ seconds —
+    * plus `twap_cents = mass div duration` (floor; both non-negative).
+    * The LAST observation carries no duration and contributes only to
+    * `n_obs` — the standard half-open-interval convention; single-
+    * event users report zero duration and a NULL-free zero TWAP.
+    * Values quantize to cents once (the house device), gaps ride the
+    * X174 micro-diff device, so the mass is a replayable Long (≈10⁴
+    * cents · 10⁷ s per user — asserted under the Long-exact bar in
+    * double space like every guarded sum).
+    *
+    * Scale: the lead window and the user rollup share ONE user-key
+    * hash partitioning — a single exchange, O(1) window state. */
+  def twapByUser(events: DataFrame): DataFrame = {
+    events.select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      // the X174 micro-diff device, forward: duration to the NEXT obs
+      .withColumn("dur_s", expr(
+        "(unix_micros(lead(ts, 1) over " +
+          "(partition by user_id order by ts, event_id)) " +
+          "- unix_micros(ts)) div 1000000"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_obs"),
+        sum(expr("cents * coalesce(dur_s, 0)"))
+          .cast("long").as("mass_cents_s"),
+        sum(expr("coalesce(dur_s, 0)"))
+          .cast("long").as("dur_total_s"))
+      .select(col("user_id"), col("n_obs"),
+        expr("coalesce(cast(assert_true(" +
+          "cast(mass_cents_s as double) <= 9.0e18, " +
+          "'TWAP mass exceeds the Long-exact range') as bigint), 0) " +
+          "+ mass_cents_s").cast("long").as("mass_cents_s"),
+        col("dur_total_s"),
+        expr("mass_cents_s div greatest(dur_total_s, 1)")
+          .cast("long").as("twap_cents"))
+  }
+
   /** Cross-series correlation over the zero-filled daily type counts —
     * which event types move TOGETHER day to day (shared upstream
     * driver, mirrored instrumentation) and which are independent. The

@@ -489,6 +489,10 @@ object StreamQueries {
     // evidence and emit no row — the top-1 probe contract)
     "events_bot_screen" -> ((s, d) =>
       graft.analytics.Analytics.botScreen(Tables(s, d, "events"))),
+    // X266: time-weighted average (TWAP) — LOCF-duration-weighted
+    // value moments per user, exact integer cents·seconds
+    "events_twap" -> ((s, d) =>
+      graft.analytics.Analytics.twapByUser(Tables(s, d, "events"))),
     // X233: weekly growth accounting — new / retained / resurrected
     // / churned decomposition at epoch-week grain, churn never past
     // the last observed week
@@ -1228,6 +1232,27 @@ object StreamQueries {
 
     // same lag window; quantile_cont is percentile()'s proven twin
     // (events_percentiles), round 6 on both sides
+    // forward micro-diff durations, cents quantized once, floor TWAP
+    "events_twap" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)
+        |      AS cents,
+        |    (lead(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id)
+        |      - epoch_us(ts)) // 1000000 AS dur_s
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+        |    CAST(SUM(cents * COALESCE(dur_s, 0)) AS BIGINT)
+        |      AS mass_cents_s,
+        |    CAST(SUM(COALESCE(dur_s, 0)) AS BIGINT) AS dur_total_s
+        |  FROM g GROUP BY 1)
+        |SELECT user_id, n_obs, mass_cents_s, dur_total_s,
+        |  CAST(mass_cents_s // greatest(dur_total_s, 1) AS BIGINT)
+        |    AS twap_cents
+        |FROM u""".stripMargin,
+
     // the same gap device, counted per (user, gap) then rolled up; the
     // modal SHARE is tie-invariant so no argmax tie-break is needed
     "events_bot_screen" -> {

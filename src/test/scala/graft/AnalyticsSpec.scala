@@ -76,6 +76,25 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("twapByUser: LOCF durations weight values exactly; last obs " +
+    "carries none; single-event user reports zero without NULLs") {
+    def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val ev = Seq(
+      (1L, 1L, t(0L), 1.0),   // holds 10 s at 100 c
+      (2L, 1L, t(10L), 3.0),  // holds 20 s at 300 c
+      (3L, 1L, t(30L), 2.0),  // last: no duration
+      (4L, 2L, t(5L), 9.0))   // single event
+      .toDF("event_id", "user_id", "ts", "value")
+    val r = Analytics.twapByUser(ev).collect()
+      .map(x => x.getAs[Long]("user_id") ->
+        ((x.getAs[Long]("n_obs"), x.getAs[Long]("mass_cents_s"),
+          x.getAs[Long]("dur_total_s"), x.getAs[Long]("twap_cents"))))
+      .toMap
+    // mass = 100·10 + 300·20 = 7000 over 30 s → floor 233 c
+    assert(r(1L) == ((3L, 7000L, 30L, 233L)), s"twap: ${r(1L)}")
+    assert(r(2L) == ((1L, 0L, 0L, 0L)), s"single: ${r(2L)}")
+  }
+
   test("botScreen: fixed cadence is robotic, spread gaps are not, " +
     "support floor spares tiny users, single-event user emits no row") {
     def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
