@@ -320,6 +320,13 @@ class OperatorsSpec extends SparkSpec {
       assert(got.contains((2L, 2.0, None)),
         s"unmatched left row never emitted null-padded: $got")
       assert(got.contains((9L, 0.0, Some(0.0))))
+      // hard eviction evidence: the join's state store must have
+      // RETIRED the early rows, not only emitted them — total state
+      // rows stay below everything ever buffered (4 left + 2 right)
+      val stateRows = q.lastProgress.stateOperators
+        .map(_.numRowsTotal).sum
+      assert(stateRows < 6,
+        s"state not evicted after watermark passed: $stateRows rows")
     } finally q.stop()
     // batch mirror: identical call on static frames plans as a plain
     // left join with the same rows
