@@ -878,6 +878,70 @@ object Analytics {
           col("modal_share_ppm") >= BotModalSharePpm, 1L).otherwise(0L))
   }
 
+  /** Discount-lift read (X267) — the merchandising question behind
+    * every promo decision: does a deeper discount actually MOVE
+    * volume, per brand? Lines bucket into integer discount tiers
+    * (percent = `floor(discount·100 + 0.5)`, tier = percent div
+    * [[DiscountTierPct]]); per (brand, tier) the exact line count,
+    * quantity units (×100) and revenue cents, plus the floor mean
+    * quantity per line — the within-brand tier-over-tier comparison
+    * IS the lift read, left as exact evidence (the X129 moments
+    * discipline; a regression slope would hide the non-monotone
+    * middle tiers every real curve has).
+    *
+    * Scale: one broadcast dim join (part is the small side), one
+    * (brand, tier)-grain map-side-combinable aggregate — \|brands\|×4
+    * output rows. */
+  val DiscountTierPct = 3L
+
+  def discountLift(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_partkey"),
+      floor(col("l_discount") * 100.0 + 0.5).cast("long").as("disc_pct"),
+      floor(col("l_quantity") * 100.0 + 0.5).cast("long").as("qty_u"),
+      floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")
+        .as("cents"))
+    li.join(broadcast(part.select(col("p_partkey").as("l_partkey"),
+        col("p_brand"))), Seq("l_partkey"))
+      .withColumn("tier", expr(s"disc_pct div $DiscountTierPct"))
+      .groupBy(col("p_brand"), col("tier"))
+      .agg(count(lit(1)).cast("long").as("n_lines"),
+        sum(col("qty_u")).cast("long").as("qty_units"),
+        sum(col("cents")).cast("long").as("rev_cents"))
+      .withColumn("mean_qty_u", expr("qty_units div n_lines"))
+  }
+
+  /** Per-type dwell time (X268) — the "time spent on this step" read
+    * product analytics derives for every event type: the FORWARD gap
+    * from each event to the user's next event (any type), attributed
+    * to the CURRENT event's type. The last event of a user has no
+    * forward gap and is excluded — with its count reported as
+    * `n_last` per type so the exclusion is visible, not silent.
+    * Exact integer moments (n, Σs, Σs², floor mean) per type; the
+    * percentile read stays with the per-user gap profile (X174) —
+    * this is the type-grain aggregation it cannot express.
+    *
+    * Scale: the lead window shuffles on the user key, the final
+    * aggregate on the \|types\|-grain — map-side combinable. Σs² is
+    * asserted under the Long-exact bar. */
+  def dwellByType(events: DataFrame): DataFrame =
+    events
+      .withColumn("dwell_s", expr(
+        "(unix_micros(lead(ts, 1) over " +
+          "(partition by user_id order by ts, event_id)) " +
+          "- unix_micros(ts)) div 1000000"))
+      .groupBy(col("event_type"))
+      .agg(count(when(col("dwell_s").isNotNull, 1L)).cast("long").as("n"),
+        count(when(col("dwell_s").isNull, 1L)).cast("long").as("n_last"),
+        sum(col("dwell_s")).cast("long").as("sum_s"),
+        sum(col("dwell_s") * col("dwell_s")).cast("long").as("sum_s2"))
+      .select(col("event_type"), col("n"), col("n_last"),
+        col("sum_s"),
+        expr("coalesce(cast(assert_true(" +
+          "coalesce(cast(sum_s2 as double), 0.0) <= 9.0e18, " +
+          "'dwell sum of squares exceeds the Long-exact range') " +
+          "as bigint), 0) + sum_s2").cast("long").as("sum_s2"),
+        expr("sum_s div greatest(n, 1)").cast("long").as("mean_s"))
+
   /** Time-weighted average moments (X266) — the TWAP/LOCF-weighted
     * mean every finance and sensor pipeline computes over IRREGULAR
     * samples, where the arithmetic mean over-weights bursts: each

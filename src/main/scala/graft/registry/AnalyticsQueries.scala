@@ -54,6 +54,11 @@ object AnalyticsQueries {
     // count, both ppm shares
     "orders_basket_profile" -> ((s, d) =>
       Analytics.basketProfile(graft.core.Tables(s, d, "lineitem"))),
+    // X267: discount-lift read — per (brand, discount tier) exact
+    // volume/revenue moments; broadcast dim join, small-grain output
+    "orders_discount_lift" -> ((s, d) =>
+      Analytics.discountLift(graft.core.Tables(s, d, "lineitem"),
+        graft.core.Tables(s, d, "part"))),
     "uom_conversion" -> ((s, d) => Analytics.uomConversion(s, d)),
     "delta_detect" -> ((s, d) => Analytics.deltaDetect(s, d)),
     "groupwise_max" -> ((s, d) => Analytics.groupwiseMax(s, d)),
@@ -754,6 +759,30 @@ object AnalyticsQueries {
         |FROM m CROSS JOIN t""".stripMargin,
 
     // same day-lag arithmetic and offset-div mean; SLA ppm integer
+    // same integer tiering and quantize-once units as the engine
+    "orders_discount_lift" -> {
+      val t = Analytics.DiscountTierPct
+      s"""WITH li AS (
+         |  SELECT l_partkey,
+         |    CAST(floor(CAST(l_discount AS DOUBLE) * 100 + 0.5)
+         |      AS BIGINT) // $t AS tier,
+         |    CAST(floor(CAST(l_quantity AS DOUBLE) * 100 + 0.5)
+         |      AS BIGINT) AS qty_u,
+         |    CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5)
+         |      AS BIGINT) AS cents
+         |  FROM lineitem),
+         |g AS (
+         |  SELECT p.p_brand, li.tier,
+         |    CAST(count(*) AS BIGINT) AS n_lines,
+         |    CAST(SUM(qty_u) AS BIGINT) AS qty_units,
+         |    CAST(SUM(cents) AS BIGINT) AS rev_cents
+         |  FROM li JOIN part p ON li.l_partkey = p.p_partkey
+         |  GROUP BY 1, 2)
+         |SELECT p_brand, tier, n_lines, qty_units, rev_cents,
+         |  CAST(qty_units // n_lines AS BIGINT) AS mean_qty_u
+         |FROM g""".stripMargin
+    },
+
     "supplier_lead_time" -> {
       val sla = Analytics.LeadTimeSlaDays
       s"""WITH j AS (

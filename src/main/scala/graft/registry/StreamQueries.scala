@@ -493,6 +493,10 @@ object StreamQueries {
     // value moments per user, exact integer cents·seconds
     "events_twap" -> ((s, d) =>
       graft.analytics.Analytics.twapByUser(Tables(s, d, "events"))),
+    // X268: per-type dwell-time moments — forward gap attributed to
+    // the CURRENT event's type; last events excluded but counted
+    "events_dwell_time" -> ((s, d) =>
+      graft.analytics.Analytics.dwellByType(Tables(s, d, "events"))),
     // X233: weekly growth accounting — new / retained / resurrected
     // / churned decomposition at epoch-week grain, churn never past
     // the last observed week
@@ -1232,6 +1236,24 @@ object StreamQueries {
 
     // same lag window; quantile_cont is percentile()'s proven twin
     // (events_percentiles), round 6 on both sides
+    // forward micro-diff gaps grouped by the CURRENT event's type;
+    // NULL last gaps counted, never summed
+    "events_dwell_time" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    (lead(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id)
+        |      - epoch_us(ts)) // 1000000 AS dwell_s
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(COUNT(dwell_s) AS BIGINT) AS n,
+        |  CAST(COUNT(*) - COUNT(dwell_s) AS BIGINT) AS n_last,
+        |  CAST(SUM(dwell_s) AS BIGINT) AS sum_s,
+        |  CAST(SUM(dwell_s * dwell_s) AS BIGINT) AS sum_s2,
+        |  CAST(CAST(SUM(dwell_s) AS BIGINT)
+        |    // greatest(COUNT(dwell_s), 1) AS BIGINT) AS mean_s
+        |FROM g GROUP BY 1""".stripMargin,
+
     // forward micro-diff durations, cents quantized once, floor TWAP
     "events_twap" ->
       """WITH g AS (

@@ -76,6 +76,48 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("discountLift: integer tiers partition the discount domain; " +
+    "per (brand, tier) moments hand-exact") {
+    val part = Seq((1L, "Brand#A"), (2L, "Brand#B"))
+      .toDF("p_partkey", "p_brand")
+    val li = Seq(
+      (1L, 0.00, 1.0, 10.0), (1L, 0.04, 3.0, 9.0),
+      (1L, 0.05, 5.0, 8.0), (2L, 0.10, 2.0, 7.0))
+      .toDF("l_partkey", "l_discount", "l_quantity", "l_extendedprice")
+    val r = Analytics.discountLift(li, part).collect()
+      .map(x => (x.getAs[String]("p_brand"), x.getAs[Long]("tier")) ->
+        ((x.getAs[Long]("n_lines"), x.getAs[Long]("qty_units"),
+          x.getAs[Long]("rev_cents"), x.getAs[Long]("mean_qty_u"))))
+      .toMap
+    // pct div 3: 0→tier0; 4,5→tier1; 10→tier3
+    assert(r(("Brand#A", 0L)) == ((1L, 100L, 1000L, 100L)))
+    assert(r(("Brand#A", 1L)) == ((2L, 800L, 1700L, 400L)))
+    assert(r(("Brand#B", 3L)) == ((1L, 200L, 700L, 200L)))
+    assert(r.size == 3)
+  }
+
+  test("dwellByType: forward gap lands on the CURRENT type; last " +
+    "events counted but never summed; all-last type stays NULL") {
+    def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val ev = Seq(
+      (1L, 1L, t(0L), "view"), (2L, 1L, t(10L), "click"),
+      (3L, 1L, t(30L), "purchase"),
+      (4L, 2L, t(0L), "view"), (5L, 2L, t(7L), "view"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val rows = Analytics.dwellByType(ev).collect()
+      .map(x => x.getAs[String]("event_type") -> x).toMap
+    val v = rows("view")
+    assert(v.getAs[Long]("n") == 2L && v.getAs[Long]("n_last") == 1L &&
+      v.getAs[Long]("sum_s") == 17L && v.getAs[Long]("sum_s2") == 149L &&
+      v.getAs[Long]("mean_s") == 8L)
+    val c = rows("click")
+    assert(c.getAs[Long]("n") == 1L && c.getAs[Long]("sum_s") == 20L)
+    val p = rows("purchase")
+    assert(p.getAs[Long]("n") == 0L && p.getAs[Long]("n_last") == 1L &&
+      p.isNullAt(p.fieldIndex("sum_s")) &&
+      p.isNullAt(p.fieldIndex("mean_s")))
+  }
+
   test("twapByUser: LOCF durations weight values exactly; last obs " +
     "carries none; single-event user reports zero without NULLs") {
     def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
