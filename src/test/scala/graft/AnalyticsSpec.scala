@@ -157,6 +157,60 @@ class AnalyticsSpec extends SparkSpec {
     assert(!r.contains(4L), "single-event user must emit no row")
   }
 
+  test("property: twapByUser and botScreen match naive references on " +
+    "random event streams") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: org.scalacheck.Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    (1L to 3L).foreach { seed =>
+      val raw = sample(Gen.listOfN(150, Gen.zip(
+        Gen.chooseNum(1L, 5L),       // user
+        Gen.chooseNum(0L, 5000L),    // seconds offset
+        Gen.chooseNum(0L, 9999L))),  // cents
+        seed).zipWithIndex.map { case ((u, s, c), i) =>
+        (i.toLong, u, s, c)
+      }
+      val ev = raw.map { case (id, u, s, c) =>
+        (id, u, new java.sql.Timestamp(1700000000000L + s * 1000L),
+          c.toDouble / 100.0)
+      }.toDF("event_id", "user_id", "ts", "value")
+      // naive per-user ordered fold
+      val byUser = raw.groupBy(_._2).view.mapValues(
+        _.sortBy(r => (r._3, r._1))).toMap
+      val twapWant = byUser.map { case (u, rows) =>
+        val durs = rows.zip(rows.drop(1)).map { case (a, b) => b._3 - a._3 }
+        val mass = rows.zip(durs).map { case (r, d) => r._4 * d }.sum
+        val dur = durs.sum
+        u -> ((rows.size.toLong, mass, dur,
+          mass / math.max(dur, 1L)))
+      }
+      val twapGot = Analytics.twapByUser(ev).collect()
+        .map(x => x.getAs[Long]("user_id") ->
+          ((x.getAs[Long]("n_obs"), x.getAs[Long]("mass_cents_s"),
+            x.getAs[Long]("dur_total_s"), x.getAs[Long]("twap_cents"))))
+        .toMap
+      assert(twapGot == twapWant, s"twap seed=$seed")
+      val botWant = byUser.flatMap { case (u, rows) =>
+        val gaps = rows.zip(rows.drop(1)).map { case (a, b) => b._3 - a._3 }
+        if (gaps.isEmpty) None
+        else {
+          val cnt = gaps.groupBy(identity).view.mapValues(_.size.toLong)
+          val modal = cnt.values.max
+          val share = modal * 1000000L / gaps.size
+          Some(u -> ((gaps.size.toLong, cnt.size.toLong, modal, share,
+            if (gaps.size >= 5 && share >= 500000L) 1L else 0L)))
+        }
+      }
+      val botGot = Analytics.botScreen(ev).collect()
+        .map(x => x.getAs[Long]("user_id") ->
+          ((x.getAs[Long]("n_gaps"), x.getAs[Long]("n_distinct_gaps"),
+            x.getAs[Long]("modal_cnt"), x.getAs[Long]("modal_share_ppm"),
+            x.getAs[Long]("is_robotic")))).toMap
+      assert(botGot == botWant, s"bot seed=$seed")
+    }
+  }
+
   test("ABC: classes partition rows, cum_share monotone within brand") {
     val r = Analytics.abcClassification(spark, SfDir)
     assert(r.filter(!col("abc_class").isin("A", "B", "C")).count() == 0)
