@@ -878,6 +878,35 @@ object Analytics {
           col("modal_share_ppm") >= BotModalSharePpm, 1L).otherwise(0L))
   }
 
+  /** Revenue margin waterfall (X269) — the P&L bridge the reference's
+    * own subsystem name ("DP Waterfall") points at: gross → −discount
+    * → +tax → charged, decomposed per (returnflag, linestatus) in
+    * EXACT integer arithmetic. The float form
+    * `price·(1−disc)·(1+tax)` reassociates differently per engine;
+    * here the percent columns quantize to integers once
+    * (`floor(x·100 + 0.5)`, the fixture's discounts/taxes are exact
+    * hundredths) and each bridge step is a defined rational floor:
+    * `disc_c = gross_c·dpct div 100`, `tax_c = (gross_c − disc_c)
+    * ·tpct div 100`, `charged_c = gross_c − disc_c + tax_c` — so the
+    * waterfall ADDS UP row by row and replays bit-identically in any
+    * engine. One small-grain map-side-combinable aggregate, no joins
+    * (the TPC-H Q1 shape). */
+  def marginWaterfall(lineitem: DataFrame): DataFrame =
+    lineitem.select(col("l_returnflag"), col("l_linestatus"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")
+          .as("gross_c"),
+        floor(col("l_discount") * 100.0 + 0.5).cast("long").as("dpct"),
+        floor(col("l_tax") * 100.0 + 0.5).cast("long").as("tpct"))
+      .withColumn("disc_c", expr("(gross_c * dpct) div 100"))
+      .withColumn("tax_c", expr("((gross_c - disc_c) * tpct) div 100"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).cast("long").as("n_lines"),
+        sum(col("gross_c")).cast("long").as("gross_cents"),
+        sum(col("disc_c")).cast("long").as("disc_cents"),
+        sum(col("tax_c")).cast("long").as("tax_cents"))
+      .withColumn("charged_cents",
+        expr("gross_cents - disc_cents + tax_cents"))
+
   /** Discount-lift read (X267) — the merchandising question behind
     * every promo decision: does a deeper discount actually MOVE
     * volume, per brand? Lines bucket into integer discount tiers

@@ -59,6 +59,10 @@ object AnalyticsQueries {
     "orders_discount_lift" -> ((s, d) =>
       Analytics.discountLift(graft.core.Tables(s, d, "lineitem"),
         graft.core.Tables(s, d, "part"))),
+    // X269: revenue margin waterfall — gross/−discount/+tax bridge in
+    // exact rational floors, the Q1-shape small-grain aggregate
+    "orders_margin_waterfall" -> ((s, d) =>
+      Analytics.marginWaterfall(graft.core.Tables(s, d, "lineitem"))),
     "uom_conversion" -> ((s, d) => Analytics.uomConversion(s, d)),
     "delta_detect" -> ((s, d) => Analytics.deltaDetect(s, d)),
     "groupwise_max" -> ((s, d) => Analytics.groupwiseMax(s, d)),
@@ -759,6 +763,31 @@ object AnalyticsQueries {
         |FROM m CROSS JOIN t""".stripMargin,
 
     // same day-lag arithmetic and offset-div mean; SLA ppm integer
+    // the same rational-floor bridge steps; the waterfall adds up
+    "orders_margin_waterfall" ->
+      """WITH l AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5)
+        |      AS BIGINT) AS gross_c,
+        |    CAST(floor(CAST(l_discount AS DOUBLE) * 100 + 0.5)
+        |      AS BIGINT) AS dpct,
+        |    CAST(floor(CAST(l_tax AS DOUBLE) * 100 + 0.5)
+        |      AS BIGINT) AS tpct
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT l_returnflag, l_linestatus, gross_c,
+        |    (gross_c * dpct) // 100 AS disc_c,
+        |    ((gross_c - (gross_c * dpct) // 100) * tpct) // 100 AS tax_c
+        |  FROM l)
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(gross_c) AS BIGINT) AS gross_cents,
+        |  CAST(SUM(disc_c) AS BIGINT) AS disc_cents,
+        |  CAST(SUM(tax_c) AS BIGINT) AS tax_cents,
+        |  CAST(SUM(gross_c) - SUM(disc_c) + SUM(tax_c) AS BIGINT)
+        |    AS charged_cents
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
     // same integer tiering and quantize-once units as the engine
     "orders_discount_lift" -> {
       val t = Analytics.DiscountTierPct

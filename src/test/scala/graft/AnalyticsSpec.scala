@@ -76,6 +76,28 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("marginWaterfall: rational-floor bridge steps add up exactly " +
+    "and match the hand computation") {
+    val li = Seq(
+      // gross 1000c, 5% disc → 50c, tax 8% of 950 → 76c, charged 1026
+      ("N", "O", 10.00, 0.05, 0.08),
+      // gross 333c, 3% disc → floor 9c, tax 7% of 324 → floor 22c
+      ("N", "O", 3.33, 0.03, 0.07),
+      ("R", "F", 5.00, 0.00, 0.00))
+      .toDF("l_returnflag", "l_linestatus", "l_extendedprice",
+        "l_discount", "l_tax")
+    val r = Analytics.marginWaterfall(li).collect()
+      .map(x => (x.getAs[String]("l_returnflag"),
+        x.getAs[String]("l_linestatus")) ->
+        ((x.getAs[Long]("gross_cents"), x.getAs[Long]("disc_cents"),
+          x.getAs[Long]("tax_cents"), x.getAs[Long]("charged_cents"))))
+      .toMap
+    assert(r(("N", "O")) == ((1333L, 59L, 98L, 1372L)), s"${r(("N", "O"))}")
+    assert(r(("R", "F")) == ((500L, 0L, 0L, 500L)))
+    // the bridge identity holds on every row
+    r.values.foreach { case (g, d, t, c) => assert(c == g - d + t) }
+  }
+
   test("discountLift: integer tiers partition the discount domain; " +
     "per (brand, tier) moments hand-exact") {
     val part = Seq((1L, "Brand#A"), (2L, "Brand#B"))
