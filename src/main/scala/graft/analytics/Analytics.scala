@@ -962,12 +962,18 @@ object Analytics {
       .agg(count(when(col("dwell_s").isNotNull, 1L)).cast("long").as("n"),
         count(when(col("dwell_s").isNull, 1L)).cast("long").as("n_last"),
         sum(col("dwell_s")).cast("long").as("sum_s"),
-        sum(col("dwell_s") * col("dwell_s")).cast("long").as("sum_s2"))
+        sum(col("dwell_s") * col("dwell_s")).cast("long").as("sum_s2"),
+        max(abs(col("dwell_s"))).as("max_abs_s"))
       .select(col("event_type"), col("n"), col("n_last"),
         col("sum_s"),
+        // Pre-overflow witness (the qualityLengthCorr pattern): bound
+        // the sum BEFORE it can wrap — n · max(|s|)² in double space.
+        // Asserting on the summed Long itself cannot work: a wrap
+        // lands negative and sails under a one-sided bound.
         expr("coalesce(cast(assert_true(" +
-          "coalesce(cast(sum_s2 as double), 0.0) <= 9.0e18, " +
-          "'dwell sum of squares exceeds the Long-exact range') " +
+          "coalesce(cast(n as double) * cast(max_abs_s as double) " +
+          "* cast(max_abs_s as double), 0.0) <= 9.0e18, " +
+          "'dwell sum of squares may exceed the Long-exact range') " +
           "as bigint), 0) + sum_s2").cast("long").as("sum_s2"),
         expr("sum_s div greatest(n, 1)").cast("long").as("mean_s"))
 
@@ -1001,11 +1007,19 @@ object Analytics {
         sum(expr("cents * coalesce(dur_s, 0)"))
           .cast("long").as("mass_cents_s"),
         sum(expr("coalesce(dur_s, 0)"))
-          .cast("long").as("dur_total_s"))
+          .cast("long").as("dur_total_s"),
+        max(abs(col("cents"))).as("max_abs_cents"),
+        max(expr("abs(coalesce(dur_s, 0))")).as("max_abs_dur"))
       .select(col("user_id"), col("n_obs"),
+        // Pre-overflow witness: n · max(|cents|) · max(|dur|) bounds
+        // every partial AND the final sum in double space before a
+        // Long wrap can occur — two-sided by construction (abs), and
+        // NULL-coalesced so an all-NULL value column emits its NULL
+        // mass row (matching the oracle) instead of throwing.
         expr("coalesce(cast(assert_true(" +
-          "cast(mass_cents_s as double) <= 9.0e18, " +
-          "'TWAP mass exceeds the Long-exact range') as bigint), 0) " +
+          "coalesce(cast(n_obs as double) * cast(max_abs_cents as double)" +
+          " * cast(max_abs_dur as double), 0.0) <= 9.0e18, " +
+          "'TWAP mass may exceed the Long-exact range') as bigint), 0) " +
           "+ mass_cents_s").cast("long").as("mass_cents_s"),
         col("dur_total_s"),
         expr("mass_cents_s div greatest(dur_total_s, 1)")

@@ -128,6 +128,51 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"),
         count(lit(1)).as("n_copies"))
 
+  /** The planted repeated-boilerplate paragraph — the same device as
+    * the synthetic PII/URL fixtures: the corpus has no `\n\n`
+    * structure, so each doc gets a per-SOURCE boilerplate paragraph
+    * appended (identical expression in the oracle SQL), giving the
+    * paragraph rule cross-doc duplicates it demonstrably removes. */
+  def withBoilerplate(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"), lit("\n\nSubscribe to the "), col("source"),
+        lit(" newsletter today.")).as("ptext"))
+
+  /** Paragraph-grain dedup (the C4 rule, X273) — the curation
+    * mid-grain between whole-document exact dedup (X1) and
+    * cross-doc 5-gram span excision (X41): documents split on blank
+    * lines, each paragraph deduplicated EXACTLY across the whole
+    * corpus (first occurrence in (doc_id, pos) order is kept, every
+    * later copy cut), survivors reassembled in original order. Kills
+    * the repeated boilerplate (headers, footers, subscribe blocks)
+    * that whole-doc hashing never sees and span excision
+    * over-fragments.
+    *
+    * Per doc: paragraph count, kept count, and the reassembled
+    * `clean_text` (empty when every paragraph was someone else's
+    * first). Scale shape: one `posexplode` (bounded ×paragraphs, a
+    * narrow Generate), the first-occurrence verdict is a rank window
+    * partitioned by the paragraph hash (partition size = duplicate
+    * count, bounded), reassembly is the X41 device —
+    * `array_sort(collect_list(struct(pos, para)))` per doc, never a
+    * global sort. Two shuffles total (paragraph key, doc key). */
+  def paragraphDedup(docs: DataFrame): DataFrame = {
+    val paras = withBoilerplate(docs).select(col("doc_id"),
+      posexplode(split(col("ptext"), "\n\n")).as(Seq("pos", "para")))
+    val ranked = paras
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("para")))
+          .orderBy(col("doc_id"), col("pos"))))
+      .withColumn("kept", when(col("rk") === 1, 1L).otherwise(0L))
+    ranked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_paras"),
+        sum(col("kept")).cast("long").as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          when(col("kept") === 1L, struct(col("pos"), col("para"))))),
+          x => x.getField("para")), "\n\n").as("clean_text"))
+  }
+
   /** MinHash permutation modulus (prime, 2^31-1) and mixers: with p
     * prime and a_j ≢ 0, h ↦ (a_j·h + b_j) mod p is a bijection. */
   val P = 2147483647L

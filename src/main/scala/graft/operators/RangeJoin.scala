@@ -57,14 +57,28 @@ object RangeJoin {
     * The outer form cannot ride the bucket equi-join directly (a point
     * matching no interval in ONE bucket is not yet globally unmatched),
     * so the standard decomposition applies: the bucketed INNER join
-    * finds all pairs, a LEFT ANTI join on the point identity (all point
-    * columns — they must be non-null; exact duplicate point rows each
-    * emit their own null row, ordinary left-join multiplicity) finds
-    * the never-matched points, and the union is the left-outer result.
-    * Both legs are hash equi-joins — still no nested loop anywhere.
+    * finds all pairs, a LEFT ANTI join on a synthetic row id captured
+    * BEFORE the inner leg finds the never-matched points, and the
+    * union is the left-outer result. Both legs are hash equi-joins —
+    * still no nested loop anywhere.
+    *
+    * The anti-join uses NULL-SAFE equality (`<=>`) over every point
+    * column: null-unsafe equality would count a matched point row
+    * carrying a null attribute as "globally unmatched" too — a
+    * spurious null-padded duplicate (the r12 verdict bug). A synthetic
+    * `monotonically_increasing_id` is deliberately NOT used: the id is
+    * recomputed independently by the matched leg and the anti leg, and
+    * above an AQE-coalesced shuffle the two recomputations can assign
+    * DIFFERENT ids to the same row (observed at sf0.1), silently
+    * corrupting the verdict unless the stamped frame is materialized —
+    * a full-input persist this operator must not impose at 100 TB.
+    * Null-safe equality is deterministic by construction, stays a hash
+    * equi-join, and multiplicity is exact: value-identical point rows
+    * necessarily share one match status, so unmatched duplicates each
+    * emit their own null row and matched ones each emit their pairs.
     *
     * Cost: the inner join as before, plus one anti-join shuffle on the
-    * point identity — linear in |points| + |pairs|, the price of the
+    * point columns — linear in |points| + |pairs|, the price of the
     * global "no match anywhere" verdict. */
   def pointInRangeLeft(points: DataFrame, intervals: DataFrame,
       keys: Seq[String], pointTs: String, startTs: String, endTs: String,
@@ -72,12 +86,52 @@ object RangeJoin {
       maxBucketsPerInterval: Long = 100000L): DataFrame = {
     val matched = pointInRange(points, intervals, keys, pointTs,
       startTs, endTs, bucketSeconds, maxBucketsPerInterval)
-    val pointCols = points.columns.toSeq
-    val unmatched = points.join(
-      matched.select(pointCols.map(col): _*), pointCols, "left_anti")
-    val padded = matched.columns.filterNot(pointCols.contains)
+    val unmatched = antiOnAllColumns(points, matched)
+    val padded = matched.columns.filterNot(points.columns.contains)
       .foldLeft(unmatched)((df, c) =>
         df.withColumn(c, lit(null).cast(matched.schema(c).dataType)))
     matched.unionByName(padded)
+  }
+
+  /** `own LEFT ANTI matchedProjection` on ALL of `own`'s columns with
+    * null-safe equality; the matched side is renamed first so the
+    * shared lineage cannot trip self-join ambiguity. */
+  private def antiOnAllColumns(own: DataFrame,
+      matched: DataFrame): DataFrame = {
+    val cols = own.columns.toSeq
+    val m = matched.select(cols.map(c => col(c).as(s"__m_$c")): _*)
+    own.join(m, cols.map(c => col(c) <=> col(s"__m_$c")).reduce(_ && _),
+      "left_anti")
+  }
+
+  /** FULL OUTER point-in-interval range join (X270's batch face):
+    * matched pairs exactly as [[pointInRange]], points inside NO
+    * interval once (interval side null-padded), AND intervals covering
+    * NO point once (point side null-padded) — "purchases with no view
+    * AND views with no purchase" in one frame. Same decomposition as
+    * [[pointInRangeLeft]] with the symmetric right-anti leg: each
+    * side's anti-join runs null-safe over that side's own columns
+    * (see [[pointInRangeLeft]] for why not a synthetic row id). Three
+    * hash equi-joins total, all linear — no nested loop.
+    *
+    * Note the interval-side anti leg reuses [[pointInRange]]'s
+    * dirty-data stance: an `end < start` interval matches nothing, so
+    * it emits on the unmatched-interval leg (it IS an interval row,
+    * just an empty one) — it is dropped only from pair finding. */
+  def pointInRangeFull(points: DataFrame, intervals: DataFrame,
+      keys: Seq[String], pointTs: String, startTs: String, endTs: String,
+      bucketSeconds: Long = 86400L,
+      maxBucketsPerInterval: Long = 100000L): DataFrame = {
+    val matched = pointInRange(points, intervals, keys, pointTs,
+      startTs, endTs, bucketSeconds, maxBucketsPerInterval)
+    def pad(df: DataFrame, ownCols: Seq[String]): DataFrame =
+      matched.columns.filterNot(ownCols.contains)
+        .foldLeft(df)((d, c) =>
+          d.withColumn(c, lit(null).cast(matched.schema(c).dataType)))
+    val noInterval = pad(antiOnAllColumns(points, matched),
+      points.columns.toSeq)
+    val noPoint = pad(antiOnAllColumns(intervals, matched),
+      intervals.columns.toSeq)
+    matched.unionByName(noInterval).unionByName(noPoint)
   }
 }

@@ -1156,6 +1156,133 @@ object Pipeline {
         expr("(n_rows * 1000000) div total_rows"))
   }
 
+  // ---- web-curation URL/domain layer ----
+
+  /** Per-registered-domain token-share cap (ppm): a domain carrying
+    * more than this share of corpus tokens is flagged — the
+    * RefinedWeb/C4-style per-domain cap every CC-scale pipeline
+    * applies so one boilerplate-heavy site cannot dominate the mix. */
+  val DomainCapPpm = 300000L
+
+  /** Deterministic synthetic URL from (source, doc_id) — the same
+    * device as [[withSyntheticPii]]: the corpus carries no URLs, so
+    * one is derived with the identical expression in both engines,
+    * deliberately messy so every canonicalization rule demonstrably
+    * fires: scheme/host case noise, an optional `WWW.` prefix, an
+    * optional default `:443` port, a trailing slash on odd ids, query
+    * params in id-dependent order, and an occasional `#top` fragment.
+    * Everything identity-bearing depends on `doc_id div 2`, so id
+    * pairs sharing a source collapse to ONE canonical URL — the
+    * planted exact-URL duplicates. Pure map work. */
+  def withSyntheticUrl(docs: DataFrame): DataFrame = {
+    val g = expr("doc_id div 2")
+    docs.select(col("doc_id"), col("source"), col("text"),
+      concat(
+        when(col("doc_id") % 2 === 0, "https").otherwise("HTTPS"),
+        lit("://"),
+        when(col("doc_id") % 3 === 0, "WWW.").otherwise(""),
+        when(col("doc_id") % 4 === 0, upper(col("source")))
+          .otherwise(col("source")),
+        (g % 7).cast("string"), lit(".com"),
+        when(col("doc_id") % 5 === 0, ":443").otherwise(""),
+        lit("/doc/"), g.cast("string"),
+        when(col("doc_id") % 2 === 1, "/").otherwise(""),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("?a="), (g % 10).cast("string"),
+            lit("&b="), (g % 3).cast("string")))
+          .otherwise(concat(lit("?b="), (g % 3).cast("string"),
+            lit("&a="), (g % 10).cast("string"))),
+        when(col("doc_id") % 6 === 0, "#top").otherwise("")
+      ).as("url_raw"))
+  }
+
+  /** URL canonicalization — the standard normal form before exact URL
+    * dedup (RFC 3986 syntax-based normalization plus the usual crawl
+    * conventions): lowercase scheme and host, strip the scheme's
+    * default port (`:80`/`:443`), strip a leading `www.`, drop the
+    * fragment, collapse trailing slashes on the path (root stays
+    * `/`), and sort query parameters so param order is identityless.
+    * Pure string built-ins (regexp_extract/replace + array_sort) with
+    * character-identical patterns in the DuckDB oracle — no UDF, no
+    * URL library. */
+  def canonicalUrl(url: Column): Column = {
+    val sch = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+    val rest = regexp_replace(url, "^[A-Za-z]+://", "")
+    val hostport = lower(regexp_extract(rest, "^([^/?#]+)", 1))
+    val noPort = when(sch === "https",
+        regexp_replace(hostport, ":443$", ""))
+      .when(sch === "http", regexp_replace(hostport, ":80$", ""))
+      .otherwise(hostport)
+    val host = regexp_replace(noPort, "^www\\.", "")
+    val pathqf = regexp_replace(rest, "^[^/?#]+", "")
+    val trimmed = regexp_replace(
+      regexp_extract(pathqf, "^([^?#]*)", 1), "/+$", "")
+    val path = when(trimmed === "", "/").otherwise(trimmed)
+    val q = regexp_extract(pathqf, "\\?([^#]*)", 1)
+    val qs = when(q === "", "").otherwise(
+      concat(lit("?"), array_join(array_sort(split(q, "&")), "&")))
+    concat(sch, lit("://"), host, path, qs)
+  }
+
+  /** Registered domain of a canonical URL — the last two host labels
+    * (the per-site aggregation grain CC pipelines cap and audit by;
+    * a public-suffix list would refine multi-label TLDs, but the
+    * synthetic hosts are all `name.com`). */
+  def registeredDomain(canonUrl: Column): Column =
+    regexp_extract(
+      regexp_extract(canonUrl, "^[a-z]+://([^/?#]+)", 1),
+      "([^.]+\\.[^.]+)$", 1)
+
+  /** Canonicalize + exact URL dedup: each doc's raw and canonical
+    * URL, its registered domain, and the exact-URL keeper verdict
+    * (keeper = min doc_id per canonical URL — the crawl-dedup rule
+    * "one document per URL"). One groupBy on the canonical URL (the
+    * only shuffle besides the join back). */
+  def urlCanonical(docs: DataFrame): DataFrame = {
+    val u = withSyntheticUrl(docs)
+      .select(col("doc_id"), col("url_raw"))
+      .withColumn("url_canon", canonicalUrl(col("url_raw")))
+      .withColumn("domain", registeredDomain(col("url_canon")))
+    val keep = u.groupBy(col("url_canon"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    u.join(keep, Seq("url_canon"))
+      .select(col("doc_id"), col("url_raw"), col("url_canon"),
+        col("domain"), col("keep_id"),
+        when(col("doc_id") === col("keep_id"), 0L).otherwise(1L)
+          .as("is_url_dup"))
+  }
+
+  /** Per-registered-domain doc/URL/token rollup with the cap verdict:
+    * n_docs, distinct canonical URLs, total whitespace tokens, the
+    * domain's exact-integer token share of the corpus (ppm), and
+    * `over_cap` against [[DomainCapPpm]]. ONE domain-grain aggregate
+    * (map-side combinable) + a 1-row grand-total broadcast — the
+    * domain count is bounded by the web, not the corpus, so the
+    * rollup frame stays tiny at any SF. Corpus total guarded under
+    * the ×10⁶ Long-exact bar BEFORE the multiply. */
+  def domainCap(docs: DataFrame, capPpm: Long = DomainCapPpm): DataFrame = {
+    val d0 = withSyntheticUrl(docs).select(col("doc_id"),
+        canonicalUrl(col("url_raw")).as("url_canon"),
+        tokenCount(col("text")).as("n_tok"))
+      .withColumn("domain", registeredDomain(col("url_canon")))
+    val agg = d0.groupBy(col("domain"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        countDistinct(col("url_canon")).cast("long").as("n_urls"),
+        sum(col("n_tok")).cast("long").as("tok_total"))
+    val grand = agg.agg(sum(col("tok_total")).cast("long")
+      .as("corpus_tok"))
+    agg.crossJoin(broadcast(grand))
+      .select(col("domain"), col("n_docs"), col("n_urls"),
+        col("tok_total"),
+        expr("(tok_total * 1000000 + coalesce(cast(assert_true(" +
+          "coalesce(cast(corpus_tok as double), 0.0) <= 9.0e12, " +
+          "'domain cap: corpus token total exceeds the ppm " +
+          "Long-exact range') as bigint), 0)) div corpus_tok")
+          .as("tok_share_ppm"))
+      .withColumn("over_cap",
+        when(col("tok_share_ppm") > capPpm, 1L).otherwise(0L))
+  }
+
   def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
       k: Int = 10): DataFrame = {
     val classes = df.groupBy(quasiCols.map(col): _*)

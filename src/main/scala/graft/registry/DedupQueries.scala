@@ -23,6 +23,10 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Reg.strict(
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(docs(s, d))),
+    // X273: paragraph-grain dedup (the C4 rule) — blank-line split,
+    // exact cross-doc paragraph dedup (first (doc_id, pos) occurrence
+    // kept), in-order reassembly; planted per-source boilerplate
+    "dedup_paragraphs" -> ((s, d) => Dedup.paragraphDedup(docs(s, d))),
     "dedup_clusters" -> ((s, d) =>
       Dedup.nearDupClusters(docs(s, d),
         pairs = Some(Dedup.sharedPairs(s, d)))),
@@ -244,6 +248,34 @@ object DedupQueries {
       s"""SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies
          |FROM (SELECT doc_id, md5($normSql) AS fp FROM documents)
          |GROUP BY fp""".stripMargin,
+
+    // paragraph split via chr(10) so no engine-side escape processing
+    // is involved; rank window mirrors the Spark first-occurrence rule
+    "dedup_paragraphs" ->
+      """WITH t AS (
+        |  SELECT doc_id, text || chr(10) || chr(10) ||
+        |    'Subscribe to the ' || source || ' newsletter today.'
+        |    AS ptext
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |        string_split(ptext, chr(10) || chr(10)) AS parts
+        |      FROM t),
+        |p AS (SELECT doc_id,
+        |        CAST(unnest(range(0, len(parts))) AS BIGINT) AS pos,
+        |        parts
+        |      FROM s),
+        |x AS (SELECT doc_id, pos, parts[CAST(pos + 1 AS INT)] AS para
+        |      FROM p),
+        |r AS (SELECT doc_id, pos, para,
+        |        row_number() OVER (PARTITION BY md5(para)
+        |          ORDER BY doc_id, pos) AS rk
+        |      FROM x)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+        |  CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  COALESCE(string_agg(CASE WHEN rk = 1 THEN para END,
+        |    chr(10) || chr(10) ORDER BY pos), '') AS clean_text
+        |FROM r GROUP BY doc_id""".stripMargin,
 
     // survivorship over the same recursive-closure cluster labels as
     // dedup_clusters: order-free min/max/count/sum field rules

@@ -35,6 +35,13 @@ object PipelineQueries {
       Pipeline.embargoSplit(graft.core.Tables(s, d, "events"))),
     "pipe_split_report" -> ((s, d) => Pipeline.splitReport(docs(s, d))),
     "pipe_pii_redact" -> ((s, d) => Pipeline.piiRedact(docs(s, d))),
+    // X271: URL canonicalization + exact URL dedup over the
+    // deterministic synthetic URL (scheme/host case, www, default
+    // port, trailing slash, param order, fragment all canonicalized)
+    "pipe_url_canonical" -> ((s, d) => Pipeline.urlCanonical(docs(s, d))),
+    // X272: per-registered-domain doc/URL/token rollup + cap verdict
+    // (the RefinedWeb/C4 per-domain cap)
+    "pipe_domain_cap" -> ((s, d) => Pipeline.domainCap(docs(s, d))),
     // X183: effective dataset size per source — how many of a
     // source's tokens survive exact dedup (keeper = global min doc_id
     // per content fingerprint); the duplicated-token ppm is the
@@ -225,7 +232,101 @@ object PipelineQueries {
       | || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
       | || '.7'""".stripMargin.replace("\n", "")
 
+  /** The synthetic-URL composition + canonicalization CTE chain —
+    * identical constants and character-identical regex patterns to
+    * [[Pipeline.withSyntheticUrl]] / [[Pipeline.canonicalUrl]] /
+    * [[Pipeline.registeredDomain]]. Ends in
+    * `curl(doc_id, text, url_raw, url_canon, domain)`. */
+  private val UrlCtes =
+    // NOTE: this fragment is re-embedded in stripMargin'd oracle
+    // strings, so no line may START with `|` (a leading `||` concat
+    // would lose a pipe to the outer stripMargin) — every concat
+    // operator sits at line END
+    s"""u AS (
+       |  SELECT doc_id, text,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) ||
+       |    '://' ||
+       |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 4 = 0 THEN upper(source)
+       |          ELSE source END) ||
+       |    CAST((doc_id // 2) % 7 AS VARCHAR) || '.com' ||
+       |    (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+       |    '/doc/' || CAST(doc_id // 2 AS VARCHAR) ||
+       |    (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 2 = 0
+       |          THEN '?a=' || CAST((doc_id // 2) % 10 AS VARCHAR) ||
+       |               '&b=' || CAST((doc_id // 2) % 3 AS VARCHAR)
+       |          ELSE '?b=' || CAST((doc_id // 2) % 3 AS VARCHAR) ||
+       |               '&a=' || CAST((doc_id // 2) % 10 AS VARCHAR)
+       |          END) ||
+       |    (CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END)
+       |    AS url_raw
+       |  FROM documents),
+       |cparts AS (
+       |  SELECT doc_id, text, url_raw,
+       |    lower(regexp_extract(url_raw, '^([A-Za-z]+)://', 1)) AS sch,
+       |    regexp_replace(url_raw, '^[A-Za-z]+://', '') AS rest
+       |  FROM u),
+       |chost AS (
+       |  SELECT doc_id, text, url_raw, sch,
+       |    lower(regexp_extract(rest, '^([^/?#]+)', 1)) AS hostport,
+       |    regexp_replace(rest, '^[^/?#]+', '') AS pathqf
+       |  FROM cparts),
+       |cbits AS (
+       |  SELECT doc_id, text, url_raw, sch,
+       |    regexp_replace(
+       |      CASE WHEN sch = 'https'
+       |             THEN regexp_replace(hostport, ':443$$', '')
+       |           WHEN sch = 'http'
+       |             THEN regexp_replace(hostport, ':80$$', '')
+       |           ELSE hostport END, '^www\\.', '') AS host,
+       |    regexp_replace(regexp_extract(pathqf, '^([^?#]*)', 1),
+       |      '/+$$', '') AS ptrim,
+       |    regexp_extract(pathqf, '\\?([^#]*)', 1) AS q
+       |  FROM chost),
+       |curl AS (
+       |  SELECT doc_id, text, url_raw,
+       |    sch || '://' || host ||
+       |    (CASE WHEN ptrim = '' THEN '/' ELSE ptrim END) ||
+       |    (CASE WHEN q = '' THEN ''
+       |          ELSE '?' || array_to_string(
+       |            list_sort(string_split(q, '&')), '&') END)
+       |    AS url_canon,
+       |    regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain
+       |  FROM cbits)""".stripMargin
+
   val oracles: Map[String, String] = Reg.strict(
+    "pipe_url_canonical" ->
+      s"""WITH $UrlCtes
+         |SELECT c.doc_id, c.url_raw, c.url_canon, c.domain, k.keep_id,
+         |  CAST(CASE WHEN c.doc_id = k.keep_id THEN 0 ELSE 1 END
+         |    AS BIGINT) AS is_url_dup
+         |FROM curl c JOIN (SELECT url_canon, MIN(doc_id) AS keep_id
+         |                  FROM curl GROUP BY 1) k
+         |  USING (url_canon)""".stripMargin,
+
+    "pipe_domain_cap" ->
+      s"""WITH $UrlCtes,
+         |d AS (
+         |  SELECT domain, url_canon,
+         |    CASE WHEN trim(text) = '' THEN 0
+         |         ELSE CAST(len(string_split_regex(trim(text), '\\s+'))
+         |           AS BIGINT) END AS n_tok
+         |  FROM curl),
+         |agg AS (
+         |  SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(COUNT(DISTINCT url_canon) AS BIGINT) AS n_urls,
+         |    CAST(SUM(n_tok) AS BIGINT) AS tok_total
+         |  FROM d GROUP BY 1)
+         |SELECT domain, n_docs, n_urls, tok_total,
+         |  CAST((tok_total * 1000000) // CAST(SUM(tok_total) OVER ()
+         |    AS BIGINT) AS BIGINT) AS tok_share_ppm,
+         |  CAST(CASE WHEN (tok_total * 1000000) //
+         |      CAST(SUM(tok_total) OVER () AS BIGINT)
+         |      > ${Pipeline.DomainCapPpm} THEN 1 ELSE 0 END AS BIGINT)
+         |    AS over_cap
+         |FROM agg""".stripMargin,
+
     // same start-position arithmetic; DuckDB list slicing clamps at
     // len(w) exactly like Spark slice
     "pipe_chunk_overlap" -> {

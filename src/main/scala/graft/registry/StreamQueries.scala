@@ -114,6 +114,26 @@ object StreamQueries {
           col("m_event_id"))
     }),
 
+    // X270's batch face: the FULL OUTER range join — purchases with no
+    // covering milestone window AND milestone windows covering no
+    // purchase, in one frame; inner bucketed equi-join + two anti-join
+    // legs on pre-captured row ids, never a nested loop
+    "events_range_join_full" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val m = ev.filter(col("event_id") % 20 === 0)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("m_event_id"))
+        .select(col("user_id"), col("ts").as("m_start"),
+          (col("ts") + expr("interval 2 days")).as("m_end"),
+          col("m_event_id"))
+      graft.operators.RangeJoin.pointInRangeFull(
+        p, m, Seq("user_id"), "ts", "m_start", "m_end")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("m_event_id"), col("m_start"))
+    }),
+
     // The SAME range join written NAIVELY (raw theta condition, the
     // shape Spark plans as a nested loop) — the RangeJoinRewrite
     // optimizer rule turns it into the bucketed equi-join; the oracle
@@ -916,6 +936,22 @@ object StreamQueries {
         |FROM events e LEFT JOIN m
         |  ON e.user_id = m.user_id
         | AND e.ts >= m.m_start AND e.ts <= m.m_end""".stripMargin,
+
+    // the FULL variant: the oracle is the plain full theta join over
+    // purchases vs milestone windows; the engine's inner-plus-two-anti
+    // decomposition must reproduce it exactly, both null-padded sides
+    "events_range_join_full" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT user_id, ts AS m_start, ts + INTERVAL 2 DAY AS m_end,
+        |         MAX(event_id) AS m_event_id
+        |  FROM events WHERE event_id % 20 = 0 GROUP BY 1, 2)
+        |SELECT COALESCE(p.user_id, m.user_id) AS user_id,
+        |       p.event_id, p.ts, m.m_event_id, m.m_start
+        |FROM p FULL JOIN m
+        |  ON p.user_id = m.user_id
+        | AND p.ts >= m.m_start AND p.ts <= m.m_end""".stripMargin,
 
     // identical semantics to events_range_join — the engine side is
     // the NAIVE theta join rewritten by the optimizer rule, so equality

@@ -423,7 +423,7 @@ object TextQueries {
          |  SELECT doc_id, text,
          |    CAST(CASE WHEN trim(text) = '' THEN 0
          |         ELSE len(${toksSql("text")}) END AS BIGINT) AS n_words,
-         |    CAST(length(regexp_replace(text, '\\s', '', 'g'))
+         |    CAST(length(regexp_replace(text, '$WsClassPattern', '', 'g'))
          |      AS BIGINT) AS word_chars,
          |    ${toksSql("text")} AS w,
          |    ${toksSql("lower(text)")} AS wl

@@ -45,6 +45,32 @@ object StreamJoins {
       tolerance: String = "30 minutes"): DataFrame =
     joined(left, right, key, leftTs, rightTs, tolerance, "left_outer")
 
+  /** FULL OUTER interval join (X270) — both production questions in
+    * one frame: "views with NO purchase within the bound" AND
+    * "purchases with NO view" (orphan conversions — attribution bugs,
+    * lost impressions). The two-sided eviction is the strictly
+    * stronger state proof over X258: EACH side's rows emit null-padded
+    * only once the global watermark passes that row's own
+    * `ts + tolerance` bound, and each store retires its rows
+    * independently. The key column survives from whichever side is
+    * present (`coalesce`), since either side may be the null-padded
+    * one. Identical expression on batch frames, where it plans as an
+    * ordinary full join (`events_range_join_full` is the oracle-checked
+    * batch proof via [[graft.operators.RangeJoin.pointInRangeFull]]'s
+    * equivalent decomposition). */
+  def intervalJoinFullOuter(left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      tolerance: String = "30 minutes"): DataFrame = {
+    val j = left.join(right,
+      left(key) === right(key) &&
+        col(rightTs) >= col(leftTs) - expr(s"interval $tolerance") &&
+        col(rightTs) <= col(leftTs) + expr(s"interval $tolerance"),
+      "full_outer")
+    val rest = left.columns.filter(_ != key).map(left(_)) ++
+      right.columns.filter(_ != key).map(right(_))
+    j.select(coalesce(left(key), right(key)).as(key) +: rest.toSeq: _*)
+  }
+
   private def joined(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, tolerance: String,
       how: String): DataFrame =

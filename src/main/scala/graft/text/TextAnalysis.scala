@@ -176,9 +176,18 @@ object TextAnalysis {
   val GopherMinStopHits = 2L
   val GopherMaxSymPpm = 100000L
 
+  /** Explicit ASCII whitespace class shared by BOTH engines. Java's
+    * `\s` includes U+000B (vertical tab); RE2/DuckDB's excludes it —
+    * the exact cross-engine divergence [[AnchorPattern]] documents. An
+    * explicit class interpolated into both the Spark expression and
+    * the oracle SQL makes the two regexes character-identical, so a
+    * document carrying a vertical tab scores the same word_chars on
+    * both sides. */
+  val WsClassPattern = "[ \\t\\n\\x0B\\f\\r]"
+
   /** Total non-whitespace characters (= summed word lengths). */
   def wordChars(text: Column): Column =
-    length(regexp_replace(text, "\\s", "")).cast("long")
+    length(regexp_replace(text, WsClassPattern, "")).cast("long")
 
   /** Count of whitespace words containing at least one ASCII letter. */
   def alphaWordCount(text: Column): Column =

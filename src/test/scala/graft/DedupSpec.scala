@@ -20,6 +20,29 @@ class DedupSpec extends SparkSpec {
     assert(r == Seq((0L, 2L), (2L, 1L), (3L, 1L)))
   }
 
+  test("paragraphDedup: first (doc_id,pos) occurrence survives, later " +
+    "copies cut, survivors reassembled in order") {
+    val d = Seq(
+      (0L, "unique zero\n\nshared body", "web"),
+      (1L, "shared body\n\nunique one", "web"),
+      (2L, "unique two", "books"))
+      .toDF("doc_id", "text", "source")
+    val r = Dedup.paragraphDedup(d)
+      .select($"doc_id", $"n_paras", $"n_kept", $"clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(x => x._1 -> x).toMap
+    // doc 0: all three paragraphs (incl. the web boilerplate) are
+    // first occurrences
+    assert(r(0L) == (0L, 3L, 3L, "unique zero\n\nshared body\n\n" +
+      "Subscribe to the web newsletter today."))
+    // doc 1: 'shared body' and the web boilerplate were doc 0's —
+    // only the middle paragraph survives, order preserved
+    assert(r(1L) == (1L, 3L, 1L, "unique one"))
+    // doc 2: different source -> its boilerplate is a first occurrence
+    assert(r(2L) == (2L, 2L, 2L, "unique two\n\n" +
+      "Subscribe to the books newsletter today."))
+  }
+
   test("minhash LSH finds exact and near pairs, not unrelated ones") {
     val pairs = Dedup.minhashLshPairs(docs)
       .select("a_id", "b_id", "est_jaccard")

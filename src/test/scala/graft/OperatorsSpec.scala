@@ -357,6 +357,120 @@ class OperatorsSpec extends SparkSpec {
     assert(r(2L) == Set(None) && r(3L) == Set(None))
   }
 
+  test("pointInRangeLeft: a null point ATTRIBUTE never yields a " +
+    "spurious null-padded duplicate (null-safe anti-join)") {
+    // the r12 verdict case: anti-joining with null-UNSAFE equality made
+    // a matched point carrying a null attribute also count as
+    // "globally unmatched" and emit twice
+    val points = Seq(
+      (1L, 10L, ts(1), Option.empty[String]),  // matches, null attr
+      (2L, 10L, ts(6), Option.empty[String]),  // no match, null attr
+      (3L, 10L, ts(1), Some("x")))             // matches, non-null
+      .toDF("event_id", "user_id", "pts", "tag")
+    val ivals = Seq((10L, ts(0), ts(2), 100L))
+      .toDF("user_id", "i_start", "i_end", "ival_id")
+    val r = graft.operators.RangeJoin.pointInRangeLeft(points, ivals,
+        Seq("user_id"), "pts", "i_start", "i_end", bucketSeconds = 3600L)
+      .select($"event_id", $"ival_id")
+      .as[(Long, Option[Long])].collect().toSeq
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(r(1L) == Seq(Some(100L)),
+      s"null-attr matched point must emit exactly its match: ${r(1L)}")
+    assert(r(2L) == Seq(None))
+    assert(r(3L) == Seq(Some(100L)))
+  }
+
+  test("pointInRangeFull: matched pairs + both unmatched sides exactly " +
+    "once; an end<start interval emits on the unmatched-interval leg") {
+    val points = Seq((1L, 10L, ts(1)), (2L, 10L, ts(6)), (3L, 20L, ts(1)))
+      .toDF("event_id", "user_id", "pts")
+    val ivals = Seq(
+      (10L, ts(0), ts(2), 100L),  // covers point 1
+      (10L, ts(8), ts(9), 101L),  // covers nothing
+      (30L, ts(0), ts(9), 102L),  // absent key
+      (10L, ts(5), ts(3), 103L))  // end < start: pair-finding drops it
+      .toDF("user_id", "i_start", "i_end", "ival_id")
+    val rows = graft.operators.RangeJoin.pointInRangeFull(points, ivals,
+        Seq("user_id"), "pts", "i_start", "i_end", bucketSeconds = 3600L)
+      .select($"event_id", $"ival_id")
+      .as[(Option[Long], Option[Long])].collect().toSeq
+    assert(rows.count(_ == (Some(1L), Some(100L))) == 1)
+    // unmatched points null-padded once each
+    assert(rows.count(_ == (Some(2L), None)) == 1)
+    assert(rows.count(_ == (Some(3L), None)) == 1)
+    // unmatched intervals null-padded once each — including the
+    // degenerate end<start row (it IS an interval row, just empty)
+    for (iv <- Seq(101L, 102L, 103L))
+      assert(rows.count(_ == (None, Some(iv))) == 1, s"ival $iv")
+    assert(rows.size == 6)
+  }
+
+  test("stream-stream FULL OUTER interval join: null-padded rows on " +
+    "BOTH sides only after the watermark; two-sided eviction; batch " +
+    "mirrors") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def mk() = MemoryStream[(Long, Timestamp, Double)](
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.TIMESTAMP,
+        org.apache.spark.sql.Encoders.scalaDouble), spark.sqlContext)
+    val (la, rb) = (mk(), mk())
+    val left = la.toDF().toDF("user_id", "a_ts", "a_val")
+      .withWatermark("a_ts", "1 hour")
+    val right = rb.toDF().toDF("user_id", "b_ts", "b_val")
+      .withWatermark("b_ts", "1 hour")
+    val q = graft.streaming.StreamJoins
+      .intervalJoinFullOuter(left, right, "user_id", "a_ts", "b_ts",
+        "2 hours")
+      .select($"user_id", $"a_val", $"b_val")
+      .writeStream.format("memory").queryName("ssjf")
+      .outputMode("append").start()
+    try {
+      // 1L matches; 2L (left) and 7L (right) never will — but their
+      // bounds have not passed, so NO null rows yet on either side
+      la.addData((1L, ts(3), 1.0), (2L, ts(3), 2.0))
+      rb.addData((1L, ts(4), 10.0), (7L, ts(4), 70.0))
+      q.processAllAvailable()
+      val early = spark.table("ssjf")
+        .select($"user_id", $"a_val", $"b_val")
+        .as[(Long, Option[Double], Option[Double])].collect().toSet
+      assert(early == Set((1L, Some(1.0), Some(10.0))),
+        s"null row emitted before watermark passed a bound: $early")
+      // advance both watermarks far past every bound, then one more
+      // micro-batch so eviction runs against the advanced watermark
+      la.addData((9L, ts(20), 0.0))
+      rb.addData((9L, ts(20), 0.0))
+      q.processAllAvailable()
+      la.addData((8L, ts(21), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ssjf")
+        .select($"user_id", $"a_val", $"b_val")
+        .as[(Long, Option[Double], Option[Double])].collect().toSet
+      assert(got.contains((2L, Some(2.0), None)),
+        s"unmatched LEFT row never emitted null-padded: $got")
+      assert(got.contains((7L, None, Some(70.0))),
+        s"unmatched RIGHT row never emitted null-padded: $got")
+      assert(got.contains((9L, Some(0.0), Some(0.0))))
+      // two-sided eviction: both stores retired their early rows
+      val stateRows = q.lastProgress.stateOperators
+        .map(_.numRowsTotal).sum
+      assert(stateRows < 7,
+        s"state not evicted after watermark passed: $stateRows rows")
+    } finally q.stop()
+    // batch mirror: identical call on static frames plans as a plain
+    // full join with the same rows, key present from either side
+    val bl = Seq((1L, ts(3), 1.0), (2L, ts(3), 2.0))
+      .toDF("user_id", "a_ts", "a_val")
+    val br = Seq((1L, ts(4), 10.0), (7L, ts(4), 70.0))
+      .toDF("user_id", "b_ts", "b_val")
+    val batch = graft.streaming.StreamJoins
+      .intervalJoinFullOuter(bl, br, "user_id", "a_ts", "b_ts", "2 hours")
+      .select($"user_id", $"a_val", $"b_val")
+      .as[(Long, Option[Double], Option[Double])].collect().toSet
+    assert(batch == Set((1L, Some(1.0), Some(10.0)),
+      (2L, Some(2.0), None), (7L, None, Some(70.0))))
+  }
+
   test("bm25: tf saturation and rarity ordering; misses drop out") {
     val docs = Seq(
       (1L, "spark spark spark stream alpha beta gamma"),

@@ -15,6 +15,58 @@ class PipelineSpec extends SparkSpec {
     assert(r.forall(b => b >= 0 && b < 100))
   }
 
+  test("canonicalUrl: every normalization rule fires; registeredDomain " +
+    "extracts the last two host labels") {
+    val raw = Seq(
+      "HTTPS://WWW.Site3.COM:443/doc/9/?b=1&a=5#top",
+      "https://site3.com/doc/9?a=5&b=1",
+      "http://www.other.org:80/",
+      "http://a.b.example.net/x/y/")
+      .toDF("url_raw")
+    val c = raw.select(Pipeline.canonicalUrl($"url_raw").as("c"))
+      .as[String].collect().toSeq
+    assert(c(0) == "https://site3.com/doc/9?a=5&b=1") // all rules at once
+    assert(c(1) == "https://site3.com/doc/9?a=5&b=1") // already canonical
+    assert(c(2) == "http://other.org/")               // root path stays /
+    assert(c(3) == "http://a.b.example.net/x/y")      // m. NOT stripped
+    val d = raw.select(Pipeline.registeredDomain(
+      Pipeline.canonicalUrl($"url_raw")).as("d")).as[String].collect()
+    assert(d.toSeq ==
+      Seq("site3.com", "site3.com", "other.org", "example.net"))
+  }
+
+  test("urlCanonical: id pairs sharing a source collapse to one " +
+    "canonical URL; differing sources stay distinct") {
+    val d = Seq(
+      (10L, "hello world", "web"), (11L, "other text", "web"),
+      (12L, "third", "web"), (13L, "fourth", "news"))
+      .toDF("doc_id", "text", "source")
+    val r = Pipeline.urlCanonical(d)
+      .select($"doc_id", $"url_canon", $"keep_id", $"is_url_dup")
+      .as[(Long, String, Long, Long)].collect()
+      .map(x => x._1 -> x).toMap
+    // 10/11: same pair id (g=5), same source — raw forms differ in
+    // scheme case, default port, trailing slash and param order, but
+    // canonicalize identically; 10 is the keeper
+    assert(r(10L)._2 == r(11L)._2)
+    assert(r(10L)._3 == 10L && r(10L)._4 == 0L)
+    assert(r(11L)._3 == 10L && r(11L)._4 == 1L)
+    // 12/13: same pair id but different sources -> different domains
+    assert(r(12L)._2 != r(13L)._2)
+    assert(r(12L)._4 == 0L && r(13L)._4 == 0L)
+  }
+
+  test("domainCap: rollup accounts for every doc; shares are exact " +
+    "ppm of the corpus total") {
+    val r = Pipeline.domainCap(docs)
+    assert(r.agg(sum($"n_docs")).as[Long].head() == docs.count())
+    val shares = r.select($"tok_share_ppm").as[Long].collect()
+    assert(shares.forall(s => s >= 0 && s <= 1000000L))
+    // floor-div shares sum to at most 1e6 and within |domains| of it
+    assert(shares.sum <= 1000000L && shares.sum > 1000000L - shares.length)
+    assert(r.filter($"n_urls" > $"n_docs").count() == 0)
+  }
+
   test("hashSplit partitions every doc into exactly one split") {
     val s = Pipeline.hashSplit(docs)
     assert(s.count() == docs.count())

@@ -388,7 +388,9 @@ class PlanAuditSpec extends SparkSpec {
       // the zero-fill the correlation NEEDS (see typeCorrelationStats)
       "events_type_correlation",
       // 1-row corpus-totals broadcasts (surprisal chain / drift N0·N1)
-      "text_ppl_buckets", "text_vocab_drift")
+      "text_ppl_buckets", "text_vocab_drift",
+      // 1-row corpus-token-total broadcast onto the bounded domain frame
+      "pipe_domain_cap")
   // Building these performs driver-side actions (KMeans fit / LBFGS
   // training / count()s) — plan shape is audited by their own specs.
   private val ActionOnBuild =
