@@ -319,13 +319,11 @@ object Dedup {
     * job scheduling. */
   /** Edge-count bound under which connected components run as one
     * driver-side union-find pass instead of the distributed label
-    * loop: 1M symmetric edges ≈ 16 MB collected, and the loop's
-    * per-round scheduling (3+ jobs × diameter rounds) costs orders of
-    * magnitude more than the O(E·α) local pass. Near-dup edge sets
-    * are bounded by dup density, not corpus size — but NOT bounded in
-    * general, so the distributed loop stays and engages past the
-    * threshold. */
-  val LocalCcMaxEdges = 1000000L
+    * loop (see [[graft.core.UnionFind]] — the shared small-graph fast
+    * path). Near-dup edge sets are bounded by dup density, not corpus
+    * size — but NOT bounded in general, so the distributed loop stays
+    * and engages past the threshold. */
+  val LocalCcMaxEdges: Long = graft.core.UnionFind.LocalMaxEdges
 
   def nearDupClusters(docs: DataFrame, maxIters: Int = 10,
       localMaxEdges: Long = LocalCcMaxEdges,
@@ -343,33 +341,15 @@ object Dedup {
     distributedClusters(docs, edges, maxIters)
   }
 
-  /** Driver union-find (path halving + union by min label) over a
-    * bounded collected pair list; returns (doc_id, cluster_id) for
+  /** Driver union-find ([[graft.core.UnionFind]]) over a bounded
+    * collected pair list; returns (doc_id, cluster_id) for
     * PARTICIPANTS only — the same partial frame the distributed loop
     * produces, joined back identically by [[joinLabels]]. */
   private def localUnionFind(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val es = pairs.as[(Long, Long)].collect()
-    val parent = scala.collection.mutable.Map[Long, Long]()
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) {
-        val p = parent(r)
-        parent(r) = parent.getOrElse(p, p) // path halving
-        r = parent(r)
-      }
-      r
-    }
-    es.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) { // min root wins = min-member cluster labels
-        if (ra < rb) parent(rb) = ra else parent(ra) = rb
-      }
-      parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
-    }
-    val members = es.flatMap(e => Seq(e._1, e._2)).distinct
-    members.map(m => (m, find(m))).toSeq.toDF("doc_id", "cluster_id")
+    graft.core.UnionFind.components(pairs.as[(Long, Long)].collect())
+      .toSeq.toDF("doc_id", "cluster_id")
   }
 
   /** Left-join participant labels back onto the full doc list;

@@ -40,11 +40,17 @@ object CheapestPath {
     * row per node reachable from the seed set within [[Rounds]] hops,
     * `(part, cost_e6)` — 0 on seeds. */
   def seedCosts(weighted: DataFrame, rounds: Int = Rounds): DataFrame = {
+    // cached hash-partitioned on the relaxation join key `u`: each of
+    // the `rounds` joins then reads the 2m-row edge side exchange-free
+    // and only the distance frame shuffles per round (the
+    // sharedUndirectedEdges trade — one exchange at build, one saved
+    // per round)
     val und = graft.core.CacheBay.register(
       weighted.select(col("a").as("u"), col("b").as("v"),
         expr(s"$CostScale div w").cast("long").as("cost"))
         .unionByName(weighted.select(col("b").as("u"), col("a").as("v"),
-          expr(s"$CostScale div w").cast("long").as("cost"))))
+          expr(s"$CostScale div w").cast("long").as("cost")))
+        .repartition(col("u")))
     var dist = und.select(col("u").as("node")).distinct()
       .filter(col("node") % SeedMod === 0)
       .withColumn("cost_e6", lit(0L))

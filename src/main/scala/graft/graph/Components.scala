@@ -57,10 +57,29 @@ object Components {
   /** Per-component membership counts over canonical edges:
     * `(component_id, n_nodes)` where the id is the component's minimum
     * part key. Isolated parts (no qualifying edge) are out of scope —
-    * the graph is DEFINED by its edge set. */
-  def connectedComponents(edges: DataFrame,
-      maxIters: Int = MaxRounds): DataFrame = {
-    val und = graft.core.CacheBay.register(Triangles.undirected(edges))
+    * the graph is DEFINED by its edge set.
+    *
+    * Small-graph fast path (the [[graft.dedup.Dedup.nearDupClusters]]
+    * gate, r12-verdict-blessed): the support filter keeps this graph
+    * SUBLINEAR in fact size (~3.4k edges at sf0.1), so below
+    * [[graft.core.UnionFind.LocalMaxEdges]] one driver union-find pass
+    * replaces the fixpoint loop's per-round scheduling (two actions ×
+    * diameter rounds — measured 3.6 s of pure overhead on a 3.4k-edge
+    * graph). Identical min-member labels; the distributed loop stays
+    * and engages past the gate, so a 100× graph takes the loop. */
+  def connectedComponents(edges: DataFrame, maxIters: Int = MaxRounds,
+      localMaxEdges: Long = graft.core.UnionFind.LocalMaxEdges): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val canon = graft.core.CacheBay.register(edges)
+    if (canon.count() * 2 <= localMaxEdges) {
+      val labels = graft.core.UnionFind.components(
+        canon.select(col("a"), col("b")).as[(Long, Long)].collect())
+      return labels.map(_._2).groupBy(identity)
+        .map { case (c, ms) => (c, ms.length.toLong) }
+        .toSeq.toDF("component_id", "n_nodes")
+    }
+    val und = graft.core.CacheBay.register(Triangles.undirected(canon))
     var labels = und.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
       .localCheckpoint()

@@ -75,11 +75,19 @@ object Triangles {
     * most expensive graph queries — both start every round from this
     * same 2m-row frame, so a Bench/Verify sweep materializes it ONCE
     * instead of once per query (VERDICT r7 #5). Priced as its own
-    * `[cache:graph.und]` tier in Bench. */
+    * `[cache:graph.und]` tier in Bench.
+    *
+    * Cached HASH-PARTITIONED ON `v` — the LPA rounds' join key: a
+    * cached frame keeps its outputPartitioning, so each of the 4
+    * label-propagation joins reads the 2m-row side exchange-free and
+    * only the (|V|-row) label frame shuffles per round. One exchange
+    * paid at cache build buys one per round for every consumer joining
+    * on v; consumers joining on other keys shuffle exactly as an
+    * unpartitioned cache would. */
   def sharedUndirectedEdges(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
     graft.core.SessionCache.cached(spark, s"copurchase_und:$dir")(
-      undirected(sharedCoPurchaseEdges(spark, dir)))
+      undirected(sharedCoPurchaseEdges(spark, dir)).repartition(col("v")))
 
   /** Per-node degree and triangle participation count over canonical
     * `(a, b)` edges (`a < b`). Nodes in no triangle report 0. */

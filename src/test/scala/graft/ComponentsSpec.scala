@@ -15,6 +15,12 @@ class ComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     graft.core.CacheBay.drain()
     assert(r === Map(1L -> 4L, 10L -> 2L, 20L -> 3L))
+    // localMaxEdges = 0 forces the distributed fixpoint loop; labels
+    // and counts must be identical to the union-find fast path
+    val viaLoop = Components.connectedComponents(edges, localMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    graft.core.CacheBay.drain()
+    assert(viaLoop === r)
   }
 
   test("Assortativity.degreeMoments: path graph is perfectly " +
@@ -40,7 +46,9 @@ class ComponentsSpec extends SparkSpec {
     graft.core.CacheBay.drain()
     assert(es.nonEmpty && es.length < raw,
       s"support filter did not bind: ${es.length} vs raw $raw")
-    val got = Components.connectedComponents(edges)
+    // force the DISTRIBUTED loop: the fast path IS the scalar model
+    // below, so comparing it against itself would prove nothing
+    val got = Components.connectedComponents(edges, localMaxEdges = 0L)
       .as[(Long, Long)].collect().toMap
     graft.core.CacheBay.drain()
     // scalar model: union-find over the same collected edges
