@@ -63,7 +63,10 @@ object SparkEntry {
     // no-oracle QUERY rows (present in `queries`, absent from oracleSql)
     "ml_stream_train" -> ("StreamingTrainerSpec — LBFGS fit is not " +
       "SQL-expressible; MemoryStream convergence asserted; the scoring " +
-      "half is oracle-green as ml_stream_eval"),
+      "half is oracle-green as ml_stream_eval; the final_loss_e6 curve " +
+      "(frozen final weights, integer micro-nats) is asserted to EXACT " +
+      "integer values against an independent scalar re-derivation from " +
+      "the raw events table"),
     "sim_ivf_topk" -> ("SimilaritySpec — KMeans fit has no SQL oracle; " +
       "planted-cluster recovery asserted; probe/rank mechanics " +
       "oracle-green as sim_ivf_recall"),

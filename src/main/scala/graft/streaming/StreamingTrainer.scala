@@ -198,7 +198,18 @@ object StreamingTrainer {
     * user of the streaming trainer would see. Per-batch `fit` runs
     * distributed; only the O(1) metrics row comes back per batch. */
   def trainOnEvents(spark: SparkSession, dir: String,
-      nBatchesMax: Int = 5, batchSize: Int = 2000): DataFrame = {
+      nBatchesMax: Int = 5, batchSize: Int = 2000): DataFrame =
+    trainOnEventsWithModel(spark, dir, nBatchesMax, batchSize)._1
+
+  /** [[trainOnEvents]] plus the fitted model — the spec-facing
+    * entry: the returned trainer's FROZEN final weights let
+    * `StreamingTrainerSpec` recompute the `final_loss_e6` curve
+    * scalar-side from the raw events table and assert the exact
+    * integers (r12 verdict #8: the curve's VALUES are machine-checked,
+    * not just its monotonicity). */
+  private[graft] def trainOnEventsWithModel(spark: SparkSession,
+      dir: String, nBatchesMax: Int = 5,
+      batchSize: Int = 2000): (DataFrame, StreamingLogistic) = {
     import spark.implicits._
     val ev = graft.core.Tables(spark, dir, "events")
       .select(
@@ -237,7 +248,43 @@ object StreamingTrainer {
       val (loss, acc) = trainer.evaluate(holdout)
       (b, loss, acc)
     }
-    metrics.toSeq.toDF("batch_id", "log_loss", "accuracy")
+    // The replayable half of the curve (r12 verdict #8): per batch,
+    // the log-loss of the FROZEN final weights over that batch's own
+    // rows, each row's loss quantized to integer MICRO-NATS before the
+    // sum (`floor(x·10⁶ + 0.5)`, the house spelling) so the aggregate
+    // is order-free and the spec re-derives the exact integers
+    // scalar-side from the raw events table. The fitted `log_loss`
+    // trajectory keeps its convergence spec; this column makes the
+    // scoring path (featurization → batching → margin → loss) exact.
+    val curveInput = prefix
+      .map { case (b, fs, l) => (b, fs(0), fs(1), l) }.toSeq
+      .toDF("batch_id", "feature0", "feature1", "label")
+    val curve = fixedLossCurveE6(curveInput,
+      trainer.coefficients.toSeq, trainer.intercept)
+    val df = metrics.toSeq.toDF("batch_id", "log_loss", "accuracy")
+      .join(curve, Seq("batch_id"))
+    (df, trainer)
+  }
+
+  /** Per-batch integer micro-nat log-loss of a FIXED weight vector
+    * over `(batch_id, feature0, feature1, label)` rows — distributed
+    * column arithmetic with the numerically stable spelling
+    * `max(m,0) − y·m + log1p(e^{−|m|})`, per-row quantization before
+    * the keyed sum, integer mean via `div`. One map pass + one
+    * map-side-combinable aggregate on the bounded batch key. */
+  def fixedLossCurveE6(rows: DataFrame, w: Seq[Double],
+      b: Double): DataFrame = {
+    val m = lit(w(0)) * col("feature0") + lit(w(1)) * col("feature1") +
+      lit(b)
+    val y = col("label").cast("double")
+    val lossE6 = floor((greatest(m, lit(0.0)) - y * m +
+      log1p(exp(-abs(m)))) * 1e6 + 0.5).cast("long")
+    rows.select(col("batch_id"), lossE6.as("loss_e6"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col("loss_e6")).cast("long").as("sum_loss_e6"))
+      .select(col("batch_id"), col("n_rows"),
+        expr("sum_loss_e6 div n_rows").as("final_loss_e6"))
   }
 
   /** Fixed snapshot weights for [[evalFixedWeights]] — a deliberately
