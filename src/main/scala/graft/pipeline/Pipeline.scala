@@ -1283,6 +1283,52 @@ object Pipeline {
         when(col("tok_share_ppm") > capPpm, 1L).otherwise(0L))
   }
 
+  /** Domain-quality verdict constants: a domain is flagged when its
+    * integer mean quality sits under the floor with at least
+    * `DomainQualityMinDocs` docs of support (a 2-doc domain is noise,
+    * not a signal — the RefinedWeb §3 reading that quality filtering
+    * is applied at DOMAIN granularity for systematic offenders). */
+  val DomainQualityFloorE6 = 600000L
+  val DomainQualityMinDocs = 3L
+
+  /** Per-registered-domain quality profile + drop verdict (the
+    * RefinedWeb domain-level filter beside [[domainCap]]'s volume
+    * cap): docs, integer mean quality (`Σq div n`), share of
+    * below-floor docs in exact ppm, and `flagged` when the mean is
+    * under [[DomainQualityFloorE6]] with enough support. A
+    * boilerplate-heavy or SEO'd site fails SYSTEMATICALLY — flagging
+    * the domain catches the next crawl's pages too, which per-doc
+    * screens cannot.
+    *
+    * Scale: one doc_id equi-join (map-side after the same scan) + ONE
+    * domain-grain map-side-combinable aggregate; the sum is guarded by
+    * an n·10⁶ pre-overflow witness. */
+  def domainQualityProfile(docs: DataFrame,
+      floorE6: Long = DomainQualityFloorE6,
+      minDocs: Long = DomainQualityMinDocs): DataFrame = {
+    val dom = withSyntheticUrl(docs).select(col("doc_id"),
+      registeredDomain(canonicalUrl(col("url_raw"))).as("domain"))
+    val q = qualityScored(docs).select(col("doc_id"), col("quality_e6"))
+    dom.join(q, Seq("doc_id"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("quality_e6")).cast("long").as("q_sum"),
+        sum(when(col("quality_e6") < floorE6, 1L).otherwise(0L))
+          .cast("long").as("n_low"))
+      .select(col("domain"),
+        // witness BEFORE the ppm multiply: n·10⁶ bounds q_sum (each
+        // term ≤ 10⁶) and n_low·10⁶ alike
+        expr("n_docs + coalesce(cast(assert_true(" +
+          "cast(n_docs as double) * 1.0e6 <= 9.0e18, " +
+          "'domain quality: doc count exceeds the ppm Long-exact " +
+          "range') as bigint), 0)").cast("long").as("n_docs"),
+        expr("q_sum div n_docs").as("mean_quality_e6"),
+        expr("(n_low * 1000000) div n_docs").as("low_share_ppm"))
+      .withColumn("flagged",
+        when(col("n_docs") >= minDocs &&
+          col("mean_quality_e6") < floorE6, 1L).otherwise(0L))
+  }
+
   def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
       k: Int = 10): DataFrame = {
     val classes = df.groupBy(quasiCols.map(col): _*)

@@ -42,6 +42,10 @@ object PipelineQueries {
     // X272: per-registered-domain doc/URL/token rollup + cap verdict
     // (the RefinedWeb/C4 per-domain cap)
     "pipe_domain_cap" -> ((s, d) => Pipeline.domainCap(docs(s, d))),
+    // X274: per-registered-domain quality profile + drop verdict
+    // (RefinedWeb domain-granularity quality filtering)
+    "pipe_domain_quality" -> ((s, d) =>
+      Pipeline.domainQualityProfile(docs(s, d))),
     // X183: effective dataset size per source — how many of a
     // source's tokens survive exact dedup (keeper = global min doc_id
     // per content fingerprint); the duplicated-token ppm is the
@@ -304,6 +308,26 @@ object PipelineQueries {
          |FROM curl c JOIN (SELECT url_canon, MIN(doc_id) AS keep_id
          |                  FROM curl GROUP BY 1) k
          |  USING (url_canon)""".stripMargin,
+
+    "pipe_domain_quality" ->
+      s"""WITH $QualityCte, $UrlCtes,
+         |j AS (
+         |  SELECT c.domain, s.quality_e6
+         |  FROM curl c JOIN sc s USING (doc_id)),
+         |agg AS (
+         |  SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(quality_e6) AS BIGINT) AS q_sum,
+         |    CAST(SUM(CASE WHEN quality_e6 <
+         |      ${Pipeline.DomainQualityFloorE6} THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_low
+         |  FROM j GROUP BY 1)
+         |SELECT domain, n_docs,
+         |  CAST(q_sum // n_docs AS BIGINT) AS mean_quality_e6,
+         |  CAST((n_low * 1000000) // n_docs AS BIGINT) AS low_share_ppm,
+         |  CAST(CASE WHEN n_docs >= ${Pipeline.DomainQualityMinDocs}
+         |         AND q_sum // n_docs < ${Pipeline.DomainQualityFloorE6}
+         |       THEN 1 ELSE 0 END AS BIGINT) AS flagged
+         |FROM agg""".stripMargin,
 
     "pipe_domain_cap" ->
       s"""WITH $UrlCtes,
