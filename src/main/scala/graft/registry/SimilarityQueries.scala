@@ -30,6 +30,15 @@ object SimilarityQueries {
       val e = emb(s, d)
       Similarity.nearestNeighbor(e, nBits = scaledNBits(e.count()))
     }),
+    // X275: predicate-filtered (tenant-partitioned) ANN — the filter
+    // composes INTO the candidate key: (label, bucket) equi-join, so
+    // a query never meets another label's candidates (no post-filter
+    // recall loss); ranking identical to sim_lsh_topk within the label
+    "sim_filtered_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.filteredTopK(e, nBits = filteredNBits(e.count(),
+        e.select("label").distinct().count()))
+    }),
     // IVF over MLlib k-means cells — the LEARNED centers have no SQL
     // oracle (KMeans); driver records the rows-only check, recall
     // proven in SimilaritySpec's planted-cluster test. The identical
@@ -302,6 +311,30 @@ object SimilarityQueries {
          |        PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rank
          |      FROM p)
          |SELECT q_id, rank, nn_id, ROUND(cos, 6) AS cos
+         |FROM r WHERE rank <= $TopK""".stripMargin,
+
+    // the filtered variant: the SAME bucket chain joined on the
+    // compound (label, bucket) key — a query only ever meets its own
+    // label's candidates, mirroring the Spark plan's composed filter
+    "sim_filtered_topk" ->
+      s"""WITH $ECte, nb AS (SELECT $FilteredNBitsSql AS nbits),
+         |$BucketCte,
+         |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+         |        FROM embeddings),
+         |q AS (SELECT b.vec_id AS q_id, l.label, b.v AS qv, b.bucket
+         |      FROM bk b JOIN lab l USING (vec_id)
+         |      WHERE b.vec_id % $QueryMod = 0),
+         |c AS (SELECT b.vec_id AS nn_id, l.label, b.v AS cv, b.bucket
+         |      FROM bk b JOIN lab l USING (vec_id)),
+         |p AS (SELECT q_id, q.label, nn_id,
+         |        ${cosSql("qv", "c.cv")} AS cos
+         |      FROM q JOIN c ON q.label = c.label
+         |                   AND q.bucket = c.bucket
+         |      WHERE q_id <> nn_id),
+         |r AS (SELECT q_id, label, nn_id, cos, row_number() OVER (
+         |        PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rank
+         |      FROM p)
+         |SELECT q_id, label, rank, nn_id, ROUND(cos, 6) AS cos
          |FROM r WHERE rank <= $TopK""".stripMargin,
 
     // multi-probe LSH NN: own bucket + every Hamming-1 flip as probe

@@ -55,6 +55,27 @@ object Similarity {
        | GREATEST(((SELECT COUNT(*) FROM embeddings) + ${TargetBucket - 1})
        |   // $TargetBucket - 1, 0))))""".stripMargin.replace("\n", "")
 
+  /** Hyperplane count for the FILTERED variant ([[filteredTopK]]):
+    * the same [[TargetBucket]] rule applied to the PER-LABEL corpus
+    * (the label filter already divides the candidate space by
+    * |labels|), with a 2-bit floor instead of [[NumHyperplanes]] —
+    * under the global floor a 50-vector label partition would spread
+    * over 256 buckets and the result would be pathologically sparse.
+    * Integer-only, mirrored by [[FilteredNBitsSql]]. */
+  def filteredNBits(n: Long, nLabels: Long): Int = {
+    val per = n / math.max(nLabels, 1L)
+    val m = (per + TargetBucket - 1) / TargetBucket
+    math.max(2, java.lang.Long.toBinaryString(math.max(m - 1, 0)).length)
+  }
+
+  /** The same derivation in DuckDB SQL, over the live counts. */
+  val FilteredNBitsSql: String =
+    s"""GREATEST(2, length(format('{:b}',
+       | GREATEST((((SELECT COUNT(*) FROM embeddings)
+       |   // (SELECT COUNT(DISTINCT label) FROM embeddings))
+       |   + ${TargetBucket - 1}) // $TargetBucket - 1, 0))))"""
+      .stripMargin.replace("\n", "")
+
   /** Deterministic pseudo-random hyperplane coefficient in [-0.5, 0.5):
     * c(j, d) = ((j*64 + d) * 2654435761 mod 1000003) / 1000003 - 0.5
     * (d is 1-based; same expression in the oracle SQL). */
@@ -178,6 +199,47 @@ object Similarity {
       .filter(col("q_id") =!= col("nn_id"))
       .select(col("q_id"), col("nn_id"), pairCos.as("cos"))
     topKOf(pairs, k)
+  }
+
+  /** Predicate-FILTERED ANN top-k (X275) — the tenant/category-
+    * partitioned vector search every production vector store serves
+    * ("neighbors of q AMONG ITS OWN label's vectors"): post-filtering
+    * a plain ANN result loses recall exactly when the filter is
+    * selective (the classic filtered-ANN failure), so the filter
+    * composes INTO the candidate key — the bucket equi-join runs on
+    * the COMPOUND (label, bucket) key and a query physically never
+    * meets another label's candidates. Within the partition the
+    * ranking is identical to [[lshTopK]].
+    *
+    * Scale: same shuffle shape as [[lshTopK]] (one equi-join, now on
+    * a strictly finer key → smaller buckets, never bigger); the label
+    * column rides the one bucketed cache. At 100 TB a per-tenant
+    * corpus skew shows up as bucket skew on (label, bucket) — AQE
+    * skew-join or per-label nBits scaling are the standard
+    * treatments, both compatible with this key. */
+  def filteredTopK(emb: DataFrame, k: Int = TopK,
+      queryMod: Int = QueryMod, nBits: Int = NumHyperplanes): DataFrame = {
+    val bucketed = graft.core.CacheBay.register(
+      graft.core.Spread(emb)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          asDouble(col("embedding")).as("v"),
+          l2Norm(asDouble(col("embedding"))).as("nrm"),
+          lshBucket(col("embedding"), nBits).as("bucket")))
+    val q = bucketed.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("label"),
+        col("v").as("q_emb"), col("nrm").as("q_norm"), col("bucket"))
+    val c = bucketed.select(col("vec_id").as("nn_id"), col("label"),
+      col("v").as("c_emb"), col("nrm").as("c_norm"), col("bucket"))
+    q.join(c, Seq("label", "bucket"))
+      .filter(col("q_id") =!= col("nn_id"))
+      .select(col("q_id"), col("label"), col("nn_id"), pairCos.as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(desc("cos"), asc("nn_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("label"),
+        col("rank").cast("long").as("rank"),
+        col("nn_id"), round(col("cos"), 6).as("cos"))
   }
 
   /** Per-vector approximate nearest neighbor — the embedding-cosine

@@ -150,6 +150,30 @@ class SimilaritySpec extends SparkSpec {
     assert(r.size == 3)
   }
 
+  test("filteredTopK: every neighbor shares the query's label, ranks " +
+    "are contiguous from 1, and no pair crosses labels") {
+    val e = graft.core.Tables(spark, SfDir, "embeddings")
+    val rows = Similarity
+      .filteredTopK(e, nBits = Similarity.filteredNBits(e.count(),
+        e.select("label").distinct().count()))
+      .select($"q_id", $"label", $"rank", $"nn_id")
+      .as[(Long, Long, Long, Long)].collect()
+    graft.core.CacheBay.drain()
+    assert(rows.nonEmpty)
+    val labels = e.select($"vec_id", $"label".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (q, lab, _, nn) =>
+      assert(labels(q) == lab, s"query $q label mismatch")
+      assert(labels(nn) == lab,
+        s"cross-label neighbor leaked: q=$q (label ${labels(q)}) " +
+          s"nn=$nn (label ${labels(nn)})")
+    }
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq,
+        s"ranks not contiguous for q=$q")
+    }
+  }
+
   test("brute-force top-k ranks by cosine desc, ranks 1..k") {
     val r = Similarity.bruteForceTopK(
       graft.core.Tables(spark, SfDir, "embeddings"), k = 3)
