@@ -808,6 +808,10 @@ object Similarity {
 
   /** Candidate-pool size per query for [[mmrTopK]]. */
   val MmrCand = 20
+  /** Pairwise-frame row bound under which the MMR greedy runs on the
+    * driver (≈48 MB of Long tuples at the bound; |Q| grows with the
+    * corpus, so the distributed loop engages past it). */
+  val MmrLocalMaxRows = 2000000L
   /** MMR trade-off λ numerator over a denominator of 10 (λ = 0.5):
     * `score = λnum·rel_e6 − (10−λnum)·maxsim_e6`. */
   val MmrLambdaNum = 5L
@@ -837,7 +841,8 @@ object Similarity {
     * after the pool builds. */
   def mmrTopK(emb: DataFrame, k: Int = TopK, candK: Int = MmrCand,
       queryMod: Int = QueryMod,
-      lambdaNum: Long = MmrLambdaNum): DataFrame = {
+      lambdaNum: Long = MmrLambdaNum,
+      localMaxRows: Long = MmrLocalMaxRows): DataFrame = {
     val feat = graft.core.CacheBay.register(
       graft.core.Spread(emb).select(col("vec_id"),
         asDouble(col("embedding")).as("v"),
@@ -865,6 +870,43 @@ object Similarity {
       ca.join(cb, Seq("q_id")).filter(col("a_id") =!= col("b_id"))
         .select(col("q_id"), col("a_id"), col("b_id"),
           floor(pairCos * 1000000.0 + 0.5).cast("long").as("sim_e6")))
+    // Small-pool fast path (the UnionFind/nearDupClusters gate): the
+    // greedy state is |Q|·candK² integer rows — when that fits the
+    // driver comfortably, k−1 rounds of joins + windows +
+    // localCheckpoints are pure scheduling overhead (measured 4.4 s →
+    // sub-second at sf0.1) and one in-memory greedy over the SAME
+    // integer scores picks identically (every score and tie-break is
+    // integer by construction). |Q| grows with the corpus, so the
+    // distributed loop below stays and engages past the gate.
+    if (cc.count() <= localMaxRows) {
+      val spark = emb.sparkSession
+      import spark.implicits._
+      val candRows = cand.as[(Long, Long, Long)].collect()
+      val sims = cc.as[(Long, Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(r => ((r._2, r._3), r._4))
+          .toMap).toMap
+      val out = candRows.groupBy(_._1).toSeq.flatMap { case (qId, cs) =>
+        val pool = cs.map(r => (r._2, r._3)) // (nn_id, rel_e6)
+        val sim = sims.getOrElse(qId, Map.empty)
+        val picked = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        val remaining = scala.collection.mutable.Set(pool.map(_._1): _*)
+        val rel = pool.toMap
+        (1 to k).foreach { r =>
+          if (remaining.nonEmpty) {
+            val best =
+              if (r == 1) remaining.maxBy(id => (rel(id), -id))
+              else remaining.maxBy { id =>
+                val maxsim = picked.map(p => sim((id, p._1))).max
+                (lambdaNum * rel(id) - (10 - lambdaNum) * maxsim, -id)
+              }
+            picked += ((best, r.toLong))
+            remaining -= best
+          }
+        }
+        picked.map { case (id, r) => (qId, r, id, rel(id)) }
+      }
+      return out.toDF("q_id", "rank", "nn_id", "rel_e6")
+    }
     // eager localCheckpoint per round: without it, round r re-executes
     // every earlier round's pick tree (the plan doubles per round —
     // the iterative-loop discipline the graph family follows; measured

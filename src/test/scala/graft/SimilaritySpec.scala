@@ -150,6 +150,20 @@ class SimilaritySpec extends SparkSpec {
     assert(r.size == 3)
   }
 
+  test("mmrTopK: driver-local greedy and the distributed loop pick " +
+    "identical rows (localMaxRows = 0 forces the loop)") {
+    val e = graft.core.Tables(spark, SfDir, "embeddings")
+    val local = Similarity.mmrTopK(e)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    graft.core.CacheBay.drain()
+    val dist = Similarity.mmrTopK(e, localMaxRows = 0L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    graft.core.CacheBay.drain()
+    assert(local == dist,
+      s"paths diverge: local-only=${(local -- dist).take(3)} " +
+        s"dist-only=${(dist -- local).take(3)}")
+  }
+
   test("filteredTopK: every neighbor shares the query's label, ranks " +
     "are contiguous from 1, and no pair crosses labels") {
     val e = graft.core.Tables(spark, SfDir, "embeddings")
