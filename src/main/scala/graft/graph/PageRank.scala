@@ -119,10 +119,16 @@ object PageRank {
     * tier. */
   def sharedPurchaseGraph(spark: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, DataFrame) = {
+    // cached hash-partitioned on `src` — the key every iterative
+    // consumer joins or aggregates on (PageRank/PPR contribution
+    // joins, BFS frontier joins, HITS' hub leg, the degree rollup):
+    // one exchange at cache build, one saved per round per consumer
+    // (the sharedUndirectedEdges trade)
     val edges = graft.core.SessionCache.cached(spark,
       s"purchase_edges:$dir")(rawPurchaseEdges(
         graft.core.Tables(spark, dir, "orders"),
-        graft.core.Tables(spark, dir, "lineitem")))
+        graft.core.Tables(spark, dir, "lineitem"))
+        .repartition(col("src")))
     (edges, graft.core.SessionCache.cached(spark,
       s"purchase_deg:$dir")(degreesOf(edges)))
   }
