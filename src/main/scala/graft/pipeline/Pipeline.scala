@@ -1192,6 +1192,7 @@ object Pipeline {
             lit("&b="), (g % 3).cast("string")))
           .otherwise(concat(lit("?b="), (g % 3).cast("string"),
             lit("&a="), (g % 10).cast("string"))),
+        when(col("doc_id") % 3 === 1, "&utm_source=feed").otherwise(""),
         when(col("doc_id") % 6 === 0, "#top").otherwise("")
       ).as("url_raw"))
   }
@@ -1201,8 +1202,12 @@ object Pipeline {
     * conventions): lowercase scheme and host, strip the scheme's
     * default port (`:80`/`:443`), strip a leading `www.`, drop the
     * fragment, collapse trailing slashes on the path (root stays
-    * `/`), and sort query parameters so param order is identityless.
-    * Pure string built-ins (regexp_extract/replace + array_sort) with
+    * `/`), drop `utm_*` tracking parameters (the crawl-dedup rule —
+    * tracking params multiply one page into dozens of "URLs"; a query
+    * left all-tracking loses its `?` entirely), and sort the
+    * surviving query parameters so param order is identityless.
+    * Pure string built-ins (regexp_extract/replace + array_sort +
+    * a HOF filter over the tiny param array) with
     * character-identical patterns in the DuckDB oracle — no UDF, no
     * URL library. */
   def canonicalUrl(url: Column): Column = {
@@ -1219,8 +1224,10 @@ object Pipeline {
       regexp_extract(pathqf, "^([^?#]*)", 1), "/+$", "")
     val path = when(trimmed === "", "/").otherwise(trimmed)
     val q = regexp_extract(pathqf, "\\?([^#]*)", 1)
-    val qs = when(q === "", "").otherwise(
-      concat(lit("?"), array_join(array_sort(split(q, "&")), "&")))
+    val params = array_join(array_sort(
+      filter(split(q, "&"), p => !p.startsWith("utm_"))), "&")
+    val qs = when(q === "" || params === "", "")
+      .otherwise(concat(lit("?"), params))
     concat(sch, lit("://"), host, path, qs)
   }
 

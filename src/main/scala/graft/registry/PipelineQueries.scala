@@ -263,6 +263,8 @@ object PipelineQueries {
        |          ELSE '?b=' || CAST((doc_id // 2) % 3 AS VARCHAR) ||
        |               '&a=' || CAST((doc_id // 2) % 10 AS VARCHAR)
        |          END) ||
+       |    (CASE WHEN doc_id % 3 = 1 THEN '&utm_source=feed'
+       |          ELSE '' END) ||
        |    (CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END)
        |    AS url_raw
        |  FROM documents),
@@ -288,16 +290,20 @@ object PipelineQueries {
        |      '/+$$', '') AS ptrim,
        |    regexp_extract(pathqf, '\\?([^#]*)', 1) AS q
        |  FROM chost),
+       |cq AS (
+       |  SELECT *, array_to_string(list_sort(list_filter(
+       |    string_split(q, '&'),
+       |    p -> NOT starts_with(p, 'utm_'))), '&') AS params
+       |  FROM cbits),
        |curl AS (
        |  SELECT doc_id, text, url_raw,
        |    sch || '://' || host ||
        |    (CASE WHEN ptrim = '' THEN '/' ELSE ptrim END) ||
-       |    (CASE WHEN q = '' THEN ''
-       |          ELSE '?' || array_to_string(
-       |            list_sort(string_split(q, '&')), '&') END)
+       |    (CASE WHEN q = '' OR params = '' THEN ''
+       |          ELSE '?' || params END)
        |    AS url_canon,
        |    regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain
-       |  FROM cbits)""".stripMargin
+       |  FROM cq)""".stripMargin
 
   val oracles: Map[String, String] = Reg.strict(
     "pipe_url_canonical" ->

@@ -18,10 +18,11 @@ class PipelineSpec extends SparkSpec {
   test("canonicalUrl: every normalization rule fires; registeredDomain " +
     "extracts the last two host labels") {
     val raw = Seq(
-      "HTTPS://WWW.Site3.COM:443/doc/9/?b=1&a=5#top",
+      "HTTPS://WWW.Site3.COM:443/doc/9/?b=1&utm_source=feed&a=5#top",
       "https://site3.com/doc/9?a=5&b=1",
       "http://www.other.org:80/",
-      "http://a.b.example.net/x/y/")
+      "http://a.b.example.net/x/y/",
+      "https://site3.com/p?utm_source=x&utm_medium=y") // all-tracking
       .toDF("url_raw")
     val c = raw.select(Pipeline.canonicalUrl($"url_raw").as("c"))
       .as[String].collect().toSeq
@@ -29,10 +30,11 @@ class PipelineSpec extends SparkSpec {
     assert(c(1) == "https://site3.com/doc/9?a=5&b=1") // already canonical
     assert(c(2) == "http://other.org/")               // root path stays /
     assert(c(3) == "http://a.b.example.net/x/y")      // m. NOT stripped
+    assert(c(4) == "https://site3.com/p") // all-tracking query loses '?'
     val d = raw.select(Pipeline.registeredDomain(
       Pipeline.canonicalUrl($"url_raw")).as("d")).as[String].collect()
-    assert(d.toSeq ==
-      Seq("site3.com", "site3.com", "other.org", "example.net"))
+    assert(d.toSeq == Seq("site3.com", "site3.com", "other.org",
+      "example.net", "site3.com"))
   }
 
   test("urlCanonical: id pairs sharing a source collapse to one " +
