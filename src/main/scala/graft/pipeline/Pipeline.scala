@@ -812,7 +812,7 @@ object Pipeline {
           .otherwise(size(lowerToks).cast("long")).as("n_ws"),
         length(regexp_replace(col("text"), "[^\\p{Punct}]", ""))
           .cast("long").as("n_punct"),
-        length(regexp_replace(col("text"), "\\s", ""))
+        length(regexp_replace(col("text"), WsClassPattern, ""))
           .cast("long").as("n_nonspace"),
         tokenCount(col("text")).as("n_tokens"))
       .withColumn("len_s", least(col("len_chars") * 2000L, lit(1000000L)))

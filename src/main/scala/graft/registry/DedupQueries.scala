@@ -287,7 +287,7 @@ object DedupQueries {
          |  CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
          |  CAST(MAX(length(d.text)) AS BIGINT) AS max_chars,
          |  CAST(SUM(CASE WHEN trim(d.text) = '' THEN 0
-         |    ELSE len(string_split_regex(trim(d.text), '\\s+')) END)
+         |    ELSE len(string_split_regex(trim(d.text), '${graft.text.TextAnalysis.WsPlusPattern}')) END)
          |    AS BIGINT) AS total_tokens
          |FROM cl JOIN documents d ON cl.doc_id = d.doc_id
          |GROUP BY 1""".stripMargin,

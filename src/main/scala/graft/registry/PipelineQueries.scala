@@ -150,17 +150,17 @@ object PipelineQueries {
        |  SELECT lang, source, doc_id,
        |    CAST(length(text) AS BIGINT) AS len_chars,
        |    CAST(len(list_filter(
-       |      string_split_regex(trim(lower(text)), '\\s+'),
+       |      string_split_regex(trim(lower(text)), '${graft.text.TextAnalysis.WsPlusPattern}'),
        |      t -> list_contains($markers, t))) AS BIGINT) AS stop_hits,
        |    CASE WHEN trim(text) = '' THEN 0
        |         ELSE CAST(len(string_split_regex(trim(lower(text)),
-       |           '\\s+')) AS BIGINT) END AS n_ws,
+       |           '${graft.text.TextAnalysis.WsPlusPattern}')) AS BIGINT) END AS n_ws,
        |    CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
        |      AS BIGINT) AS n_punct,
-       |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+       |    CAST(length(regexp_replace(text, '${graft.text.TextAnalysis.WsClassPattern}', '', 'g')) AS BIGINT)
        |      AS n_nonspace,
        |    CASE WHEN trim(text) = '' THEN 0
-       |         ELSE CAST(len(string_split_regex(trim(text), '\\s+'))
+       |         ELSE CAST(len(string_split_regex(trim(text), '${graft.text.TextAnalysis.WsPlusPattern}'))
        |           AS BIGINT) END AS n_tokens
        |  FROM documents),
        |q AS (
@@ -199,7 +199,7 @@ object PipelineQueries {
     s"""t AS (
        |  SELECT doc_id, doc_id % $PackParts AS part,
        |         CASE WHEN trim(text) = '' THEN 0
-       |              ELSE len(string_split_regex(trim(text), '\\s+'))
+       |              ELSE len(string_split_regex(trim(text), '${graft.text.TextAnalysis.WsPlusPattern}'))
        |         END AS n_tokens
        |  FROM documents),
        |c AS (
@@ -340,7 +340,7 @@ object PipelineQueries {
          |d AS (
          |  SELECT domain, url_canon,
          |    CASE WHEN trim(text) = '' THEN 0
-         |         ELSE CAST(len(string_split_regex(trim(text), '\\s+'))
+         |         ELSE CAST(len(string_split_regex(trim(text), '${graft.text.TextAnalysis.WsPlusPattern}'))
          |           AS BIGINT) END AS n_tok
          |  FROM curl),
          |agg AS (
@@ -499,7 +499,7 @@ object PipelineQueries {
       s"""WITH t AS (
          |  SELECT source, doc_id,
          |    CASE WHEN trim(text) = '' THEN 0
-         |         ELSE len(string_split_regex(trim(text), '\\s+'))
+         |         ELSE len(string_split_regex(trim(text), '${graft.text.TextAnalysis.WsPlusPattern}'))
          |    END AS n_tok,
          |    md5(${DedupQueries.normSql}) AS fp
          |  FROM documents),

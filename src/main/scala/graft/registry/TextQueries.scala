@@ -254,7 +254,7 @@ object TextQueries {
     s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
   private def toksSql(c: String): String =
-    s"string_split_regex(trim($c), '\\s+')"
+    s"string_split_regex(trim($c), '$WsPlusPattern')"
 
   private def markerHitsSql(toks: String, markers: Seq[String]): String = {
     val list = markers.map(m => s"'$m'").mkString("[", ", ", "]")
@@ -283,15 +283,15 @@ object TextQueries {
 
   /** Shared with [[PipelineQueries]] (curation-composite oracle). */
   private[registry] val punctSql =
-    """CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0 THEN 0.0
-      |     ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
-      |          / length(regexp_replace(text, '\s', '', 'g')) END""".stripMargin
+    s"""CASE WHEN length(regexp_replace(text, '$WsClassPattern', '', 'g')) = 0 THEN 0.0
+       |     ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+       |          / length(regexp_replace(text, '$WsClassPattern', '', 'g')) END""".stripMargin
 
   private[registry] val stopSql = {
-    val hits = markerHitsSql("string_split_regex(trim(lower(text)), '\\s+')",
+    val hits = markerHitsSql(s"string_split_regex(trim(lower(text)), '$WsPlusPattern')",
       graft.text.TextAnalysis.LangMarkers.head._2)
     s"""CASE WHEN trim(text) = '' THEN 0.0
-       |     ELSE $hits / len(string_split_regex(trim(lower(text)), '\\s+')) END""".stripMargin
+       |     ELSE $hits / len(string_split_regex(trim(lower(text)), '$WsPlusPattern')) END""".stripMargin
   }
 
   /** The composite quality score — shared verbatim with

@@ -25,8 +25,9 @@ object TextAnalysis {
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "),
       " +", " "))
 
-  /** Whitespace tokens of the trimmed text. */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokens of the trimmed text ([[WsPlusPattern]] — the
+    * explicit class, not `\s`, for cross-engine identity). */
+  def tokens(text: Column): Column = split(trim(text), WsPlusPattern)
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
@@ -36,13 +37,13 @@ object TextAnalysis {
   /** BPE-ish token count: runs of letters, runs of digits, and single
     * non-alphanumeric marks each count as one token — a cheap proxy for
     * subword tokenizer cost used to budget training data. */
-  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeishPattern), lit(0))).cast("long")
 
   /** Ratio of punctuation characters to total non-space characters. */
   def punctRatio(text: Column): Column = {
-    val nonSpace = length(regexp_replace(text, "\\s", ""))
+    val nonSpace = length(regexp_replace(text, WsClassPattern, ""))
     val punct = length(regexp_replace(text, "[^\\p{Punct}]", ""))
     when(nonSpace === 0, lit(0.0))
       .otherwise(punct.cast("double") / nonSpace.cast("double"))
@@ -184,6 +185,10 @@ object TextAnalysis {
     * document carrying a vertical tab scores the same word_chars on
     * both sides. */
   val WsClassPattern = "[ \\t\\n\\x0B\\f\\r]"
+
+  /** One-or-more repetition of [[WsClassPattern]] — the tokenizer's
+    * split pattern, shared with every oracle's `string_split_regex`. */
+  val WsPlusPattern = WsClassPattern + "+"
 
   /** Total non-whitespace characters (= summed word lengths). */
   def wordChars(text: Column): Column =
