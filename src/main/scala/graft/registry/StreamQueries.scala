@@ -162,6 +162,12 @@ object StreamQueries {
       naive
     }),
 
+    // X276: per-key admission quota (crawl-politeness rate cap) —
+    // batch face of Quota.quotaStream's cross-batch budget; the rank
+    // stamp is the audit column the drop decision replays from
+    "events_quota_filter" -> ((s, d) =>
+      graft.streaming.Quota.quotaFilter(Tables(s, d, "events"))),
+
     // Exact interpolated percentiles per event type (Spark percentile
     // == DuckDB quantile_cont: both linear-interpolate at rank (n-1)p)
     "events_funnel" -> ((s, d) =>
@@ -993,6 +999,15 @@ object StreamQueries {
         |    AS funnel_stage
         |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |       LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    "events_quota_filter" -> {
+      val n = graft.streaming.Quota.DefaultQuota
+      s"""SELECT user_id, ts, event_id,
+         |  CAST(row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id) AS BIGINT) AS quota_rank
+         |FROM events
+         |QUALIFY quota_rank <= $n""".stripMargin
+    },
 
     "events_percentiles" ->
       """SELECT event_type, COUNT(*) AS n,

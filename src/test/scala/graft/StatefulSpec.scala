@@ -81,4 +81,42 @@ class StatefulSpec extends SparkSpec {
     assert(viaState.exceptAll(viaWindow).count() == 0 &&
       viaWindow.exceptAll(viaState).count() == 0)
   }
+
+  test("quota: admission budget holds ACROSS micro-batches; drops " +
+    "emit nothing; ranks continue where the last batch stopped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Quota
+    import graft.streaming.Quota.Ev
+    val ms = MemoryStream[Ev](
+      org.apache.spark.sql.Encoders.product[Ev], spark.sqlContext)
+    val q = Quota.quotaStream(ms.toDS(), n = 3L)
+      .writeStream.format("memory").queryName("quota_test")
+      .outputMode("append").start()
+    try {
+      ms.addData(Ev(1L, ts(1), 10L), Ev(1L, ts(2), 11L))
+      q.processAllAvailable()
+      // budget 3: one more admission, then the cap — only if the
+      // accepted count survived the micro-batch boundary
+      ms.addData(Ev(1L, ts(3), 12L), Ev(1L, ts(4), 13L),
+        Ev(2L, ts(1), 20L))
+      q.processAllAvailable()
+      ms.addData(Ev(1L, ts(5), 14L)) // over budget — must emit nothing
+      q.processAllAvailable()
+      val got = spark.table("quota_test")
+        .select($"user_id", $"event_id", $"quota_rank")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+        (2L, 20L, 1L)), s"quota violated: $got")
+    } finally q.stop()
+  }
+
+  test("quota: batch face equals the streaming fold on in-order data") {
+    import graft.streaming.Quota
+    val ev = graft.core.Tables(spark, SfDir, "events")
+      .select($"user_id", $"ts", $"event_id")
+    val viaWindow = Quota.quotaFilter(ev, n = 5L)
+    val viaState = Quota.quotaStream(ev.as[Quota.Ev], n = 5L).toDF()
+    assert(viaWindow.exceptAll(viaState).count() == 0 &&
+      viaState.exceptAll(viaWindow).count() == 0)
+  }
 }
