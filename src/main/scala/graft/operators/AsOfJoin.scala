@@ -46,7 +46,25 @@ object AsOfJoin {
   private val Reserved = Seq("__p", "__side", "__m")
 
   def asOf(probe: DataFrame, build: DataFrame, keys: Seq[String],
-      ts: String, payload: Seq[String]): DataFrame = {
+      ts: String, payload: Seq[String]): DataFrame =
+    joined(probe, build, keys, ts, payload, forward = false)
+
+  /** FORWARD as-of join — the symmetric production shape ("the next
+    * maintenance after each failure", "the next price tick at-or-after
+    * the order"): for every probe row, the payload of the FIRST build
+    * row with the same key and build.ts ≥ probe.ts (inclusive). Same
+    * union + one-window decomposition, same contracts and cost as the
+    * backward form — the window frame just flips to
+    * [currentRow, unboundedFollowing] with `first(ignoreNulls)`, and
+    * at equal ts the probe sorts BEFORE the build row so the ≥ is
+    * inclusive. Oracle = DuckDB's native `ASOF LEFT JOIN … ts <= ts`. */
+  def asOfForward(probe: DataFrame, build: DataFrame, keys: Seq[String],
+      ts: String, payload: Seq[String]): DataFrame =
+    joined(probe, build, keys, ts, payload, forward = true)
+
+  private def joined(probe: DataFrame, build: DataFrame,
+      keys: Seq[String], ts: String, payload: Seq[String],
+      forward: Boolean): DataFrame = {
     val taken = (probe.columns ++ build.columns).toSet
     require(Reserved.forall(!taken.contains(_)),
       s"asOf: input columns collide with reserved internals $Reserved")
@@ -72,11 +90,23 @@ object AsOfJoin {
       (keys :+ ts).map(col) ++ probeExtra.map(c =>
         lit(null).cast(probe.schema(c).dataType).as(c)) ++ Seq(
         struct(payload.map(col): _*).as("__p"), lit(0).as("__side")): _*)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(ts).asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // backward: build rows sort BEFORE probe at equal ts (≤ inclusive),
+    // last() over the preceding frame. Forward: probe sorts BEFORE
+    // build at equal ts (≥ inclusive), first() over the following frame.
+    val w =
+      if (forward)
+        Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(ts).asc, col("__side").desc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else
+        Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(ts).asc, col("__side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m =
+      if (forward) first(col("__p"), ignoreNulls = true).over(w)
+      else last(col("__p"), ignoreNulls = true).over(w)
     p.unionByName(b)
-      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .withColumn("__m", m)
       .filter(col("__side") === 1)
       .select((keys :+ ts).map(col) ++ probeExtra.map(col) ++
         payload.map(c => col(s"__m.$c").as(c)): _*)

@@ -77,6 +77,20 @@ object StreamQueries {
         Seq("user_id"), "ts", Seq("m_event_id", "m_value"))
     }),
 
+    // X277: FORWARD as-of join — every event picks up the EARLIEST
+    // milestone at-or-after its ts (same user); oracle is DuckDB's
+    // native forward ASOF LEFT JOIN (e.ts <= b.ts)
+    "asof_next_milestone" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      val probe = ev.select(col("event_id"), col("user_id"), col("ts"))
+      val build = ev.filter(col("event_id") % 20 === 0)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("m_event_id"),
+          expr("max_by(value, event_id)").as("m_value"))
+      graft.operators.AsOfJoin.asOfForward(probe, build,
+        Seq("user_id"), "ts", Seq("m_event_id", "m_value"))
+    }),
+
     // Bucketed point-in-interval range join: all events inside each
     // milestone's 2-day window, same user — equi-join on (user, day
     // bucket), never a nested loop; oracle is the plain theta join
@@ -919,6 +933,15 @@ object StreamQueries {
         |SELECT e.event_id, e.user_id, e.ts, b.m_event_id, b.m_value
         |FROM events e ASOF LEFT JOIN b
         |  ON e.user_id = b.user_id AND e.ts >= b.ts""".stripMargin,
+
+    "asof_next_milestone" ->
+      """WITH b AS (
+        |  SELECT user_id, ts, MAX(event_id) AS m_event_id,
+        |         arg_max(value, event_id) AS m_value
+        |  FROM events WHERE event_id % 20 = 0 GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts, b.m_event_id, b.m_value
+        |FROM events e ASOF LEFT JOIN b
+        |  ON e.user_id = b.user_id AND e.ts <= b.ts""".stripMargin,
 
     "events_range_join" ->
       """WITH m AS (

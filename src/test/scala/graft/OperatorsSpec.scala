@@ -54,6 +54,20 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("asOfForward: earliest at-or-after match per key; ties " +
+    "inclusive; no-future rows are null") {
+    val probe = Seq((1L, ts(1), "p1"), (1L, ts(5), "p2"), (1L, ts(9), "p3"),
+      (2L, ts(5), "p4")).toDF("k", "t", "tag")
+    val build = Seq((1L, ts(2), 10L), (1L, ts(5), 20L), (2L, ts(4), 30L))
+      .toDF("k", "t", "v")
+    val r = AsOfJoin.asOfForward(probe, build, Seq("k"), "t", Seq("v"))
+      .select($"tag", $"v").as[(String, Option[Long])].collect().toMap
+    assert(r("p1").contains(10L)) // earliest at-or-after t=1
+    assert(r("p2").contains(20L)) // tie at t=5 is inclusive
+    assert(r("p3").isEmpty)       // nothing at-or-after t=9
+    assert(r("p4").isEmpty)       // key 2's build row is in the past
+  }
+
   test("asOf: contract violations fail loudly, not silently") {
     val probe = Seq((1L, ts(1), "p")).toDF("k", "t", "tag")
     val build = Seq((1L, ts(1), 5L)).toDF("k", "t", "v")
