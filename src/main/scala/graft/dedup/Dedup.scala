@@ -130,13 +130,21 @@ object Dedup {
 
   /** The planted repeated-boilerplate paragraph — the same device as
     * the synthetic PII/URL fixtures: the corpus has no `\n\n`
-    * structure, so each doc gets a per-SOURCE boilerplate paragraph
-    * appended (identical expression in the oracle SQL), giving the
-    * paragraph rule cross-doc duplicates it demonstrably removes. */
+    * structure, so `doc_id % 3 == 0` docs get a per-SOURCE boilerplate
+    * paragraph appended (identical expression in the oracle SQL),
+    * giving the paragraph rule cross-doc duplicates it demonstrably
+    * removes. The mod-3 gate (not every doc, and deliberately NOT
+    * parity — the fixture's source/domain derivations fix parity
+    * within a domain) keeps the per-DOMAIN template rates of
+    * [[graft.pipeline.Pipeline.domainBoilerplate]] discriminative:
+    * with the block on every doc, every domain scored an identical
+    * constant. */
   def withBoilerplate(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      concat(col("text"), lit("\n\nSubscribe to the "), col("source"),
-        lit(" newsletter today.")).as("ptext"))
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit("\n\nSubscribe to the "), col("source"),
+          lit(" newsletter today.")))
+        .otherwise(col("text")).as("ptext"))
 
   /** Paragraph-grain dedup (the C4 rule, X273) — the curation
     * mid-grain between whole-document exact dedup (X1) and

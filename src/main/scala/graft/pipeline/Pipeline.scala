@@ -1336,6 +1336,42 @@ object Pipeline {
           col("mean_quality_e6") < floorE6, 1L).otherwise(0L))
   }
 
+  /** Per-domain boilerplate (template) rate (X278) — the jusText/
+    * trafilatura question asked at SITE grain: what fraction of a
+    * domain's paragraph mass is a template repeated across its own
+    * pages (nav blocks, footers, subscribe boxes)? A paragraph is
+    * template when it appears in ≥ 2 DISTINCT docs of the SAME
+    * domain; the rate is exact ppm of paragraph occurrences. High
+    * template share = extract-the-main-content before training, or
+    * apply the X273 paragraph dedup. Uses the planted per-source
+    * boilerplate ([[graft.dedup.Dedup.withBoilerplate]]) + the
+    * corpus's natural exact-dup texts, so the verdict demonstrably
+    * fires.
+    *
+    * Scale: one narrow Generate + two keyed aggregates — (domain,
+    * paragraph-hash) grain then domain grain, both map-side
+    * combinable; the doc_id join rides the same scan. */
+  def domainBoilerplate(docs: DataFrame): DataFrame = {
+    val dom = withSyntheticUrl(docs).select(col("doc_id"),
+      registeredDomain(canonicalUrl(col("url_raw"))).as("domain"))
+    val paras = graft.dedup.Dedup.withBoilerplate(docs)
+      .select(col("doc_id"),
+        explode(split(col("ptext"), "\n\n")).as("para"))
+      .join(dom, Seq("doc_id"))
+      .select(col("domain"), col("doc_id"), md5(col("para")).as("pkey"))
+    paras.groupBy(col("domain"), col("pkey"))
+      .agg(count(lit(1)).cast("long").as("n_occ"),
+        countDistinct(col("doc_id")).cast("long").as("n_docs_with"))
+      .groupBy(col("domain"))
+      .agg(sum(col("n_occ")).cast("long").as("n_paras"),
+        count(lit(1)).cast("long").as("n_distinct_paras"),
+        sum(when(col("n_docs_with") >= 2, col("n_occ")).otherwise(0L))
+          .cast("long").as("n_template"))
+      .select(col("domain"), col("n_paras"), col("n_distinct_paras"),
+        col("n_template"),
+        expr("(n_template * 1000000) div n_paras").as("template_ppm"))
+  }
+
   def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
       k: Int = 10): DataFrame = {
     val classes = df.groupBy(quasiCols.map(col): _*)

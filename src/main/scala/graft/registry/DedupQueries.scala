@@ -253,9 +253,10 @@ object DedupQueries {
     // is involved; rank window mirrors the Spark first-occurrence rule
     "dedup_paragraphs" ->
       """WITH t AS (
-        |  SELECT doc_id, text || chr(10) || chr(10) ||
-        |    'Subscribe to the ' || source || ' newsletter today.'
-        |    AS ptext
+        |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+        |    THEN text || chr(10) || chr(10) ||
+        |      'Subscribe to the ' || source || ' newsletter today.'
+        |    ELSE text END AS ptext
         |  FROM documents),
         |s AS (SELECT doc_id,
         |        string_split(ptext, chr(10) || chr(10)) AS parts

@@ -46,6 +46,10 @@ object PipelineQueries {
     // (RefinedWeb domain-granularity quality filtering)
     "pipe_domain_quality" -> ((s, d) =>
       Pipeline.domainQualityProfile(docs(s, d))),
+    // X278: per-domain boilerplate/template rate — paragraphs repeated
+    // across >= 2 distinct docs of the SAME domain, exact ppm
+    "pipe_domain_boilerplate" -> ((s, d) =>
+      Pipeline.domainBoilerplate(docs(s, d))),
     // X183: effective dataset size per source — how many of a
     // source's tokens survive exact dedup (keeper = global min doc_id
     // per content fingerprint); the duplicated-token ppm is the
@@ -334,6 +338,39 @@ object PipelineQueries {
          |         AND q_sum // n_docs < ${Pipeline.DomainQualityFloorE6}
          |       THEN 1 ELSE 0 END AS BIGINT) AS flagged
          |FROM agg""".stripMargin,
+
+    "pipe_domain_boilerplate" ->
+      s"""WITH $UrlCtes,
+         |tb AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+         |    THEN text || chr(10) || chr(10) ||
+         |      'Subscribe to the ' || source || ' newsletter today.'
+         |    ELSE text END AS ptext
+         |  FROM documents),
+         |sp AS (SELECT doc_id,
+         |         string_split(ptext, chr(10) || chr(10)) AS parts
+         |       FROM tb),
+         |pp AS (SELECT doc_id,
+         |         CAST(unnest(range(0, len(parts))) AS BIGINT) AS pos,
+         |         parts
+         |       FROM sp),
+         |px AS (SELECT doc_id, md5(parts[CAST(pos + 1 AS INT)]) AS pkey
+         |       FROM pp),
+         |pj AS (SELECT c.domain, px.doc_id, px.pkey
+         |       FROM px JOIN curl c USING (doc_id)),
+         |pg AS (SELECT domain, pkey,
+         |         CAST(COUNT(*) AS BIGINT) AS n_occ,
+         |         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_with
+         |       FROM pj GROUP BY 1, 2)
+         |SELECT domain,
+         |  CAST(SUM(n_occ) AS BIGINT) AS n_paras,
+         |  CAST(COUNT(*) AS BIGINT) AS n_distinct_paras,
+         |  CAST(SUM(CASE WHEN n_docs_with >= 2 THEN n_occ ELSE 0 END)
+         |    AS BIGINT) AS n_template,
+         |  CAST((SUM(CASE WHEN n_docs_with >= 2 THEN n_occ ELSE 0 END)
+         |    * 1000000) // CAST(SUM(n_occ) AS BIGINT) AS BIGINT)
+         |    AS template_ppm
+         |FROM pg GROUP BY domain""".stripMargin,
 
     "pipe_domain_cap" ->
       s"""WITH $UrlCtes,

@@ -25,22 +25,26 @@ class DedupSpec extends SparkSpec {
     val d = Seq(
       (0L, "unique zero\n\nshared body", "web"),
       (1L, "shared body\n\nunique one", "web"),
-      (2L, "unique two", "books"))
+      (3L, "unique two", "books"),
+      (6L, "four\n\nshared body", "web"))
       .toDF("doc_id", "text", "source")
     val r = Dedup.paragraphDedup(d)
       .select($"doc_id", $"n_paras", $"n_kept", $"clean_text")
       .as[(Long, Long, Long, String)].collect()
       .map(x => x._1 -> x).toMap
-    // doc 0: all three paragraphs (incl. the web boilerplate) are
-    // first occurrences
+    // doc 0 (0 % 3 == 0 -> boilerplate appended): all three paragraphs
+    // are first occurrences
     assert(r(0L) == (0L, 3L, 3L, "unique zero\n\nshared body\n\n" +
       "Subscribe to the web newsletter today."))
-    // doc 1: 'shared body' and the web boilerplate were doc 0's —
-    // only the middle paragraph survives, order preserved
-    assert(r(1L) == (1L, 3L, 1L, "unique one"))
-    // doc 2: different source -> its boilerplate is a first occurrence
-    assert(r(2L) == (2L, 2L, 2L, "unique two\n\n" +
+    // doc 1 (no boilerplate): 'shared body' was doc 0's — only the
+    // second paragraph survives, order preserved
+    assert(r(1L) == (1L, 2L, 1L, "unique one"))
+    // doc 3: different source -> its boilerplate is a first occurrence
+    assert(r(3L) == (3L, 2L, 2L, "unique two\n\n" +
       "Subscribe to the books newsletter today."))
+    // doc 6: body dup of doc 0's pos-1 paragraph AND the web
+    // boilerplate both cut — only 'four' survives
+    assert(r(6L) == (6L, 3L, 1L, "four"))
   }
 
   test("minhash LSH finds exact and near pairs, not unrelated ones") {
