@@ -126,7 +126,12 @@ object Maintenance {
           .as("n_null"),
         min(col("v")).cast("long").as("min_val"),
         max(col("v")).cast("long").as("max_val"))
-    val dh = unpivoted.filter(col("v").isNotNull)
+    // distinct the VALUES before hashing: the hash set is identical
+    // (distinct∘hash ≡ distinct∘hash∘distinct — the trailing distinct
+    // still collapses hex8 collisions exactly like the oracle's
+    // DISTINCT over hashes), but md5 runs ndv times instead of
+    // |rows|·|cols| times — the digest was the scan's dominant CPU
+    val dh = unpivoted.filter(col("v").isNotNull).distinct()
       .select(col("col_name"),
         expr("CAST(conv(substring(md5(CAST(v AS STRING)), 1, 8), 16, " +
           "10) AS BIGINT)").as("h"))
