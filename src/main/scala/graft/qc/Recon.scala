@@ -734,4 +734,123 @@ object Recon {
         when(expr("(n * 1000000) div greatest(n_col, 1)") < minPpm, 1L)
           .otherwise(0L).as("is_rare"))
   }
+
+  /** X280: mutual information between two categorical columns in
+    * integer bits — the dependence screen behind feature selection and
+    * leakage hunts ("does this column secretly encode that one"), and
+    * the cross-tab counterpart of the X205 entropy: `MI = H(A) + H(B)
+    * − H(A,B)`, each entropy DEFINED as its bits form
+    * `(n·bits(n) − Σ c·bits(c)) / n` (`bits(x) = ⌊log2 x⌋ + 1`, the
+    * telescoped identity), so the whole statistic is exact integer
+    * arithmetic and replays identically in any engine. MI ≥ 0 does not
+    * strictly hold for the bits form (it is a quantized surrogate) —
+    * the value is the CONTRACT, its ordering across column pairs the
+    * use.
+    *
+    * Scale shape: one (a, b)-grain aggregate (map-side combinable) —
+    * cells are bounded by |A|·|B|, so the three entropy reductions all
+    * run on the already-reduced cell frame; the 1-row sides meet by
+    * cross-join broadcast. Overflow: asserted past the same
+    * ~1.4·10¹¹-row e6 bound as X205. */
+  def mutualInfoBits(df: DataFrame, a: Column, b: Column): DataFrame = {
+    // the cell frame feeds three reductions — persist the |A|·|B|-row
+    // aggregate so the fact table shuffles once, not three times
+    val cells = graft.core.CacheBay.register(
+      df.select(a.as("a"), b.as("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).cast("long").as("c"))).toDF()
+    def hSide(counts: DataFrame): DataFrame =
+      counts.groupBy()
+        .agg(sum(col("c")).cast("long").as("n"),
+          count(lit(1)).cast("long").as("levels"),
+          sum(col("c") * length(bin(col("c")))).cast("long")
+            .as("sum_cb"))
+    val hx = hSide(cells.groupBy(col("a"))
+        .agg(sum(col("c")).cast("long").as("c")))
+      .select(col("n"), col("levels").as("levels_a"),
+        col("sum_cb").as("cb_a"))
+    val hy = hSide(cells.groupBy(col("b"))
+        .agg(sum(col("c")).cast("long").as("c")))
+      .select(col("levels").as("levels_b"), col("sum_cb").as("cb_b"))
+    val hxy = hSide(cells)
+      .select(col("levels").as("cells"), col("sum_cb").as("cb_ab"))
+    def bitsE6(cb: String): String =
+      s"((n * length(bin(n)) - $cb) * 1000000) div greatest(n, 1)"
+    hx.crossJoin(broadcast(hy)).crossJoin(broadcast(hxy))
+      .select(col("n"), col("levels_a"), col("levels_b"), col("cells"),
+        expr("coalesce(cast(assert_true(n <= 144115188075, " +
+          "'MI-bits e6 scaling exceeds the Long-exact range: " +
+          "audit a finer slice') as bigint), 0) + " +
+          bitsE6("cb_a")).cast("long").as("ha_bits_e6"),
+        expr(bitsE6("cb_b")).cast("long").as("hb_bits_e6"),
+        expr(bitsE6("cb_ab")).cast("long").as("hab_bits_e6"))
+      .withColumn("mi_bits_e6",
+        col("ha_bits_e6") + col("hb_bits_e6") - col("hab_bits_e6"))
+  }
+
+  /** X281: chi-square independence audit between two categorical
+    * columns — the classical cross-tab test beside X280's MI (MI ranks
+    * dependence; the chi-square statistic carries the significance
+    * convention reviewers expect). Per observed cell: `contrib_e6 =
+    * (n·c_ab − c_a·c_b)² · 10⁶ div (n·c_a·c_b)` — the exact-rational
+    * per-cell quantization IS the contract (floor per cell, then sum),
+    * transcendental-free. Absent cells (c_ab = 0) contribute
+    * `c_a·c_b·10⁶ div n²` each; rather than materialize the zero
+    * cells, their total is added in closed form: Σ_absent c_a·c_b =
+    * n² − Σ_present c_a·c_b … which does NOT commute with the per-cell
+    * floor, so the absent-cell mass is emitted as its own floored
+    * aggregate term (documented asymmetry: one floor over the absent
+    * POOL, not per absent cell — cheaper by |A|·|B| − cells rows and
+    * the difference is < 1e6·cells).
+    *
+    * Scale: one cell-grain aggregate, two marginal reductions joined
+    * back BY KEY (broadcastable — marginal frames are |A| and |B|
+    * rows), one final 1-row reduce. Products run in decimal(38,0)
+    * (n·c_a·c_b overflows Long past n ≈ 2·10⁶ on a skewed pair), the
+    * emitted statistic is asserted back into Long. */
+  def chisqIndependence(df: DataFrame, a: Column, b: Column)
+      : DataFrame = {
+    // four reductions read the cell frame (marginals, total, the
+    // per-cell pass) — persist it so the fact shuffles once
+    val cells = graft.core.CacheBay.register(
+      df.select(a.as("a"), b.as("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).cast("long").as("c_ab"))).toDF()
+    val ma = cells.groupBy(col("a"))
+      .agg(sum(col("c_ab")).cast("long").as("c_a"))
+    val mb = cells.groupBy(col("b"))
+      .agg(sum(col("c_ab")).cast("long").as("c_b"))
+    val n = cells.groupBy()
+      .agg(sum(col("c_ab")).cast("long").as("n"),
+        count(lit(1)).cast("long").as("cells"))
+    val la = ma.groupBy().agg(count(lit(1)).cast("long").as("levels_a"))
+    val lb = mb.groupBy().agg(count(lit(1)).cast("long").as("levels_b"))
+    // present-cell pass: exact-rational contribution per observed
+    // cell + the Σ c_a·c_b mass the absent-cell closed form needs
+    val present = cells
+      .join(broadcast(ma), "a").join(broadcast(mb), "b")
+      .crossJoin(broadcast(n))
+      .select(
+        expr("coalesce(cast(assert_true(n <= 100000000, " +
+          "'chi-square decimal(38) headroom exceeded (n^4 * 1e6): " +
+          "audit a finer slice') as bigint), 0) + " +
+          "cast((cast(n as decimal(38,0)) * c_ab - " +
+          "cast(c_a as decimal(38,0)) * c_b) * " +
+          "(cast(n as decimal(38,0)) * c_ab - " +
+          "cast(c_a as decimal(38,0)) * c_b) * 1000000 div " +
+          "(cast(n as decimal(38,0)) * c_a * c_b) as bigint)")
+          .as("contrib_e6"),
+        expr("cast(c_a as decimal(38,0)) * c_b").as("ee"))
+      .groupBy()
+      .agg(sum(col("contrib_e6")).cast("long").as("present_e6"),
+        sum(col("ee")).as("s_present"))
+    present.crossJoin(broadcast(n))
+      .crossJoin(broadcast(la)).crossJoin(broadcast(lb))
+      .select(col("n"), col("cells"), col("levels_a"), col("levels_b"),
+        ((col("levels_a") - lit(1)) * (col("levels_b") - lit(1)))
+          .cast("long").as("dof"),
+        expr("cast(present_e6 + " +
+          "(cast(n as decimal(38,0)) * n - s_present) * 1000000 div " +
+          "greatest(n, 1) as bigint)").as("chi2_e6"))
+  }
 }

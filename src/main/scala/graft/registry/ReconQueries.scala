@@ -118,6 +118,21 @@ object ReconQueries {
       Recon.giniAudit(Tables(s, d, "orders"),
         Tables(s, d, "customer"), Tables(s, d, "nation"))),
 
+    // X280: mutual information between event type and hour-of-day in
+    // integer bits (the X205 bits form applied to a cross-tab) — the
+    // dependence/leakage screen; cell-grain aggregate, three
+    // reductions over the persisted cell frame
+    "qc_mutual_info" -> ((s, d) =>
+      Recon.mutualInfoBits(Tables(s, d, "events"),
+        col("event_type"), hour(col("ts")).cast("long"))),
+
+    // X281: chi-square independence audit (nation x market segment) —
+    // exact-rational per-cell contributions in decimal(38), absent
+    // cells folded in closed form; beside X280's MI ranking
+    "qc_chisq_independence" -> ((s, d) =>
+      Recon.chisqIndependence(Tables(s, d, "customer"),
+        col("c_nationkey").cast("long"), col("c_mktsegment"))),
+
     // X235: rare-level screen over part's categorical columns — the
     // pre-encoding fold-into-OTHER list; NULL is a level
     "qc_rare_levels" -> ((s, d) =>
@@ -302,6 +317,71 @@ object ReconQueries {
        |END""".stripMargin
 
   val oracles: Map[String, String] = Reg.strict(
+    // same bits device as the X205 entropy oracle (length of the
+    // binary form via format('{:b}', …)), applied to the cross-tab
+    // and its two marginals; all operands non-negative so // ≡ div
+    "qc_mutual_info" ->
+      s"""WITH ct AS (
+         |  SELECT event_type AS a, CAST(hour(ts) AS BIGINT) AS b,
+         |         CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2),
+         |ca AS (SELECT a, CAST(SUM(c) AS BIGINT) AS c FROM ct GROUP BY 1),
+         |cb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS c FROM ct GROUP BY 1),
+         |hx AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+         |              CAST(count(*) AS BIGINT) AS levels_a,
+         |              CAST(SUM(c * length(format('{:b}', c)))
+         |                AS BIGINT) AS cb_a FROM ca),
+         |hy AS (SELECT CAST(count(*) AS BIGINT) AS levels_b,
+         |              CAST(SUM(c * length(format('{:b}', c)))
+         |                AS BIGINT) AS cb_b FROM cb),
+         |hz AS (SELECT CAST(count(*) AS BIGINT) AS cells,
+         |              CAST(SUM(c * length(format('{:b}', c)))
+         |                AS BIGINT) AS cb_ab FROM ct),
+         |e AS (SELECT n, levels_a, levels_b, cells,
+         |  CAST(((n * length(format('{:b}', n)) - cb_a) * 1000000)
+         |    // greatest(n, 1) AS BIGINT) AS ha_bits_e6,
+         |  CAST(((n * length(format('{:b}', n)) - cb_b) * 1000000)
+         |    // greatest(n, 1) AS BIGINT) AS hb_bits_e6,
+         |  CAST(((n * length(format('{:b}', n)) - cb_ab) * 1000000)
+         |    // greatest(n, 1) AS BIGINT) AS hab_bits_e6
+         |  FROM hx, hy, hz)
+         |SELECT n, levels_a, levels_b, cells, ha_bits_e6, hb_bits_e6,
+         |  hab_bits_e6,
+         |  CAST(ha_bits_e6 + hb_bits_e6 - hab_bits_e6 AS BIGINT)
+         |    AS mi_bits_e6
+         |FROM e""".stripMargin,
+
+    // exact-rational per-cell chi-square in HUGEINT (mirrors the
+    // Spark decimal(38,0) leg); absent-cell mass in closed form —
+    // one floor over the absent pool, per the scaladoc contract
+    "qc_chisq_independence" ->
+      s"""WITH ct AS (
+         |  SELECT CAST(c_nationkey AS BIGINT) AS a, c_mktsegment AS b,
+         |         CAST(count(*) AS BIGINT) AS c_ab
+         |  FROM customer GROUP BY 1, 2),
+         |ma AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a
+         |       FROM ct GROUP BY 1),
+         |mb AS (SELECT b, CAST(SUM(c_ab) AS BIGINT) AS c_b
+         |       FROM ct GROUP BY 1),
+         |nn AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n,
+         |              CAST(count(*) AS BIGINT) AS cells FROM ct),
+         |pres AS (SELECT
+         |    CAST(SUM(CAST(
+         |      (CAST(n AS HUGEINT) * c_ab - CAST(c_a AS HUGEINT) * c_b)
+         |      * (CAST(n AS HUGEINT) * c_ab - CAST(c_a AS HUGEINT) * c_b)
+         |      * 1000000 // (CAST(n AS HUGEINT) * c_a * c_b)
+         |      AS BIGINT)) AS BIGINT) AS present_e6,
+         |    SUM(CAST(c_a AS HUGEINT) * c_b) AS s_present
+         |  FROM ct JOIN ma ON ct.a = ma.a JOIN mb ON ct.b = mb.b, nn),
+         |la AS (SELECT CAST(count(*) AS BIGINT) AS levels_a FROM ma),
+         |lb AS (SELECT CAST(count(*) AS BIGINT) AS levels_b FROM mb)
+         |SELECT n, cells, levels_a, levels_b,
+         |  CAST((levels_a - 1) * (levels_b - 1) AS BIGINT) AS dof,
+         |  CAST(present_e6 +
+         |    CAST((CAST(n AS HUGEINT) * n - s_present) * 1000000
+         |      // greatest(n, 1) AS BIGINT) AS BIGINT) AS chi2_e6
+         |FROM pres, nn, la, lb""".stripMargin,
+
     "f_display_functions" ->
       s"""WITH g AS (
          |  SELECT o_orderpriority AS priority,

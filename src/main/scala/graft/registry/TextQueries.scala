@@ -224,6 +224,13 @@ object TextQueries {
       graft.text.CorpusStats.tokenEntropyBits(
         Tables(s, d, "documents"))),
 
+    // X279: FORCAST readability grade per source — the
+    // punctuation-free readability formula (the normal form strips
+    // sentence punctuation, so FK's sentence term is degenerate);
+    // map-only higher-order-function counts, one keyed aggregate
+    "text_readability" -> ((s, d) =>
+      graft.text.CorpusStats.readability(docs(s, d))),
+
     "text_tfidf_topk" -> ((s, d) =>
       graft.text.CorpusStats.tfIdfTopTerms(Tables(s, d, "documents"))),
 
@@ -606,6 +613,40 @@ object TextQueries {
          |    AS hapax_frac_e6,
          |  CAST((vocab * 1000000) // greatest(n_tokens, 1) AS BIGINT)
          |    AS ttr_e6
+         |FROM ag""".stripMargin,
+
+    // FORCAST per-doc counts via list lambdas on the SAME normal-form
+    // token array; vowel groups on the rejoined normal form (runs
+    // cannot span the single-space separators, so the whole-string
+    // count equals the per-token sum); integer grade, // ≡ div on the
+    // non-negative operands
+    "text_readability" ->
+      s"""WITH tw AS (
+         |  SELECT source,
+         |         CASE WHEN ${normSql("text")} = ''
+         |              THEN CAST([] AS VARCHAR[])
+         |              ELSE string_split(${normSql("text")}, ' ') END AS w
+         |  FROM documents),
+         |pd AS (SELECT source, CAST(len(w) AS BIGINT) AS words,
+         |  CAST(len(regexp_extract_all(array_to_string(w, ' '),
+         |    '[aeiouy]+')) AS BIGINT) AS vg,
+         |  CAST(len(list_filter(w, t ->
+         |    len(regexp_extract_all(t, '[aeiouy]+')) <= 1))
+         |    AS BIGINT) AS mono,
+         |  CAST(len(list_filter(w, t ->
+         |    len(regexp_extract_all(t, '[aeiouy]+')) = 0))
+         |    AS BIGINT) AS zerov
+         |  FROM tw),
+         |ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |              CAST(SUM(words) AS BIGINT) AS words,
+         |              CAST(SUM(vg + zerov) AS BIGINT) AS syllables,
+         |              CAST(SUM(mono) AS BIGINT) AS mono
+         |       FROM pd GROUP BY 1)
+         |SELECT source, n_docs, words, syllables, mono,
+         |  CAST(20000000 - (15000000 * mono) // greatest(words, 1)
+         |    AS BIGINT) AS forcast_grade_e6,
+         |  CAST((1000000 * syllables) // greatest(words, 1)
+         |    AS BIGINT) AS spw_e6
          |FROM ag""".stripMargin,
 
     // same bits device (length of the binary form), same telescoped

@@ -1068,4 +1068,54 @@ object CorpusStats {
           "div greatest(n_tokens, 1)").cast("long").as("h_bits_e6"),
         expr("(length(bin(greatest(vocab, 1))) * 1000000)")
           .cast("long").as("max_bits_e6"))
+
+  /** X279: FORCAST readability grade per source — the reading-level
+    * screen a curation pipeline runs beside [[qualityScore]] when
+    * selecting pre-training text by audience level.
+    *
+    * FORCAST (Caylor & Sticht 1973) is the one classic readability
+    * formula designed for text WITHOUT sentence structure (forms,
+    * listings): `grade = 20 − mono/150-words ÷ 10`, needing only the
+    * monosyllabic-word rate — the right family member here because
+    * [[graft.text.TextAnalysis.normalize]] strips sentence
+    * punctuation, so Flesch-Kincaid's words-per-sentence term is
+    * degenerate by construction. Syllables are proxied by vowel-group
+    * runs (`[aeiouy]+`) in the normal form; a vowel-less token (codes,
+    * numerals) counts one syllable; monosyllabic = at most one run.
+    * Emitted exactly: `forcast_grade_e6 = 20e6 − (15e6·mono) div
+    * words` — integer arithmetic end to end, so the statistic replays
+    * identically in any engine (the X205 bits-form discipline).
+    *
+    * Scale shape: map-only per-doc counts via higher-order `filter`
+    * over the token array — no explode, no per-token shuffle — then
+    * ONE keyed aggregate on source. Overflow: the 15e6·mono scaling
+    * wraps past ~6·10¹¹ words per source — asserted, not silently
+    * wrapped (the X168 discipline). */
+  def readability(docs: DataFrame): DataFrame = {
+    val syl = "size(regexp_extract_all(t, '[aeiouy]+', 0))"
+    docs
+      .select(col("source"), tokenArray(col("text")).as("w"))
+      .select(col("source"),
+        expr("cast(size(w) as bigint)").as("words"),
+        expr("cast(size(regexp_extract_all(array_join(w, ' '), " +
+          "'[aeiouy]+', 0)) as bigint)").as("vg"),
+        expr(s"cast(size(filter(w, t -> $syl <= 1)) as bigint)")
+          .as("mono"),
+        expr(s"cast(size(filter(w, t -> $syl = 0)) as bigint)")
+          .as("zerov"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("words")).cast("long").as("words"),
+        sum(col("vg") + col("zerov")).cast("long").as("syllables"),
+        sum(col("mono")).cast("long").as("mono"))
+      .select(col("source"), col("n_docs"), col("words"),
+        col("syllables"), col("mono"),
+        expr("coalesce(cast(assert_true(words <= 600000000000, " +
+          "'FORCAST e6 scaling exceeds the Long-exact range: " +
+          "audit a finer slice') as bigint), 0) + " +
+          "(20000000 - (15000000 * mono) div greatest(words, 1))")
+          .cast("long").as("forcast_grade_e6"),
+        expr("(1000000 * syllables) div greatest(words, 1)")
+          .cast("long").as("spw_e6"))
+  }
 }

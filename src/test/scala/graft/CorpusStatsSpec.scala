@@ -543,4 +543,30 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r(3).getAs[Long]("tag_count") == 2L &&
       r(3).getAs[Long]("link_ppm") > 0L)
   }
+
+  test("readability: FORCAST grade from vowel-group syllables; " +
+    "vowel-less tokens count one syllable and read as monosyllabic") {
+    val docs = Seq(
+      // 7 words; vowel groups: the=1 cat=1 runs=1 quickly=2 over=2
+      // a=1 banana=3 -> vg=11; mono (<=1 group) = the,cat,runs,a = 4
+      (1L, "the cat runs quickly over a banana", "s"),
+      // vowel-less tokens: vg=0, zerov=2, mono=2, syllables=2
+      (2L, "xyz 42", "s"),
+      (3L, "", "t")) // empty normal form -> zero-token doc
+      .toDF("doc_id", "text", "source")
+    val r = graft.text.CorpusStats.readability(docs)
+      .orderBy("source").collect()
+    assert(r.length == 2)
+    val s = r(0)
+    assert(s.getAs[Long]("n_docs") == 2L)
+    assert(s.getAs[Long]("words") == 9L)
+    assert(s.getAs[Long]("syllables") == 13L)
+    assert(s.getAs[Long]("mono") == 6L)
+    // 20e6 - (15e6*6) div 9 = 20e6 - 10e6
+    assert(s.getAs[Long]("forcast_grade_e6") == 10000000L)
+    assert(s.getAs[Long]("spw_e6") == 13000000L / 9L)
+    val t = r(1)
+    assert(t.getAs[Long]("words") == 0L &&
+      t.getAs[Long]("forcast_grade_e6") == 20000000L)
+  }
 }

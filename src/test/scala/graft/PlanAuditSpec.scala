@@ -359,6 +359,10 @@ class PlanAuditSpec extends SparkSpec {
       "sim_lsh_bucket_profile",
       // two 1-row counts assembled by broadcast cross join
       "sim_mutual_neighbor_rate",
+      // three 1-row entropy reductions assembled by broadcast cross
+      // join (X280); chi-square crosses its 1-row total onto the
+      // bounded cell frame and its 1-row level counts (X281)
+      "qc_mutual_info", "qc_chisq_independence",
       // 1-row totals broadcast onto the ≤|max-size| size classes
       "orders_basket_profile",
       // 1-row pair-total broadcast onto the ≤|sources|² matrix

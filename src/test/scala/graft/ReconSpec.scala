@@ -329,4 +329,50 @@ class ReconSpec extends SparkSpec {
     assert(at == devs.filter(_._1 == best).map(_._2).min)
     assert(ppm == dev / math.max(n1 * n2 / 1000000L, 1L))
   }
+
+  test("mutualInfoBits: bits-form MI is ha for a copied column, " +
+    "zero for an independent uniform cross-tab") {
+    // b = a, two levels x2 each: n=4, bits(4)=3, marginal/cell
+    // sum_cb = 2*bits(2)*2 = 8 -> every entropy = (12-8)e6/4 = 1e6
+    val dep = Seq("x", "x", "y", "y").toDF("a")
+      .select(col("a"), col("a").as("b"))
+    val d = Recon.mutualInfoBits(dep, col("a"), col("b"))
+      .collect().head
+    graft.core.CacheBay.drain()
+    assert(d.getAs[Long]("n") == 4L && d.getAs[Long]("cells") == 2L)
+    assert(d.getAs[Long]("ha_bits_e6") == 1000000L)
+    assert(d.getAs[Long]("hb_bits_e6") == 1000000L)
+    assert(d.getAs[Long]("hab_bits_e6") == 1000000L)
+    assert(d.getAs[Long]("mi_bits_e6") == 1000000L)
+    // independent uniform 2x2: hab = (12-4)e6/4 = 2e6 = ha + hb
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val i = Recon.mutualInfoBits(ind, col("a"), col("b"))
+      .collect().head
+    graft.core.CacheBay.drain()
+    assert(i.getAs[Long]("hab_bits_e6") == 2000000L)
+    assert(i.getAs[Long]("mi_bits_e6") == 0L)
+  }
+
+  test("chisqIndependence: zero for independence, n*(2-1)^2 scale for " +
+    "a perfect 2x2 association, absent cells folded in closed form") {
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val i = Recon.chisqIndependence(ind, col("a"), col("b"))
+      .collect().head
+    graft.core.CacheBay.drain()
+    assert(i.getAs[Long]("chi2_e6") == 0L && i.getAs[Long]("dof") == 1L)
+    // perfect association, only 2 of 4 cells present: present pass
+    // contributes 2 * (4*2-4)^2e6/(4*2*2) = 2e6; the absent pool
+    // (n^2 - s_present)e6/n = (16-8)e6/4 = 2e6; chi2 = 4 = n*phi^2
+    val dep = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"))
+      .toDF("a", "b")
+    val d = Recon.chisqIndependence(dep, col("a"), col("b"))
+      .collect().head
+    graft.core.CacheBay.drain()
+    assert(d.getAs[Long]("chi2_e6") == 4000000L)
+    assert(d.getAs[Long]("n") == 4L && d.getAs[Long]("cells") == 2L)
+    assert(d.getAs[Long]("levels_a") == 2L &&
+      d.getAs[Long]("levels_b") == 2L)
+  }
 }
