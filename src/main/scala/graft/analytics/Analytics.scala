@@ -2227,4 +2227,135 @@ object Analytics {
         expr("(n_parts * 1000000) div greatest(n_total, 1)")
           .cast("long").as("share_ppm"))
   }
+
+  /** X282: simple exponential smoothing (SES) forecast per supplier
+    * over the monthly demand series, α = ½ — EXACT by construction:
+    * with a half-life α every weight is a power of two, so the
+    * recursion `s_k = α·q_k + (1−α)·s_{k−1}` (s₁ = q₁) closes to
+    * `s_k = (q₁ + Σ_{i=2..k} q_i·2^{i−2}) / 2^{k−1}` — an integer sum
+    * over shifted Longs divided by one power of two, replayable
+    * identically in any engine where the float form would drift by
+    * accumulation order. The next-period forecast IS s_k (the SES
+    * convention). Demand gaps count as zero via the X172 dense spine
+    * (a supplier silent for a month genuinely smoothed toward zero).
+    *
+    * The window keeps the last `window` (default 24) months: beyond
+    * the half-life horizon older terms contribute < 2⁻²³ of the
+    * forecast — and the truncation is what bounds the shift exponent
+    * (`q·2²²` headroom, asserted at Σ ≤ 9·10¹² so the e6 scaling
+    * stays Long-exact; the message says to shorten the window).
+    *
+    * Scale: one fact-grain hash aggregate to (supplier, month), the
+    * bounded ×|months| spine, ONE supplier-partitioned window pass
+    * (row_number + count), one supplier-grain aggregate. */
+  def sesHalfLife(li: DataFrame, window: Int = 24): DataFrame = {
+    val obs = li.groupBy(col("l_suppkey"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)
+          .cast("long").as("m"))
+      .agg(sum(col("l_quantity").cast("long")).cast("long").as("qty"))
+    val span = obs.agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+    val spine = obs.select(col("l_suppkey")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("l_suppkey"),
+        explode(sequence(col("m0"), col("m1"))).as("m"))
+    val dense = spine.join(obs, Seq("l_suppkey", "m"), "left")
+      .select(col("l_suppkey"), col("m"),
+        coalesce(col("qty"), lit(0L)).as("qty"))
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("m").desc)
+    dense
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= window)
+      .withColumn("k", count(lit(1))
+        .over(Window.partitionBy(col("l_suppkey"))).cast("long"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).cast("long").as("n_months"),
+        max(col("m")).cast("long").as("m_last"),
+        max(when(col("rn") === 1, col("qty"))).cast("long")
+          .as("qty_last"),
+        sum(col("qty") *
+          expr("shiftleft(cast(1 as bigint), " +
+            "cast(greatest(k - rn - 1, 0) as int))"))
+          .cast("long").as("s_num"))
+      .select(col("l_suppkey"), col("n_months"), col("m_last"),
+        col("qty_last"),
+        expr("coalesce(cast(assert_true(s_num <= 9000000000000, " +
+          "'SES e6 scaling exceeds the Long-exact range: shorten the " +
+          "half-life window or slice finer') as bigint), 0) + " +
+          "(s_num * 1000000) div shiftleft(cast(1 as bigint), " +
+          "cast(n_months - 1 as int))").cast("long").as("ses_qty_e6"))
+  }
+
+  /** X284: arc price elasticity of demand per part brand — the
+    * pricing-analytics read ("how much does demand rate fall from the
+    * brand's cheap half to its expensive half"), computed as the
+    * midpoint-formula arc elasticity between the two price tiers and
+    * emitted EXACTLY: every term is an integer aggregate (part counts,
+    * retail cents, lineitem quantity units), the two rate/price deltas
+    * are exact rationals whose denominators cancel in the ratio, and
+    * the single quotient runs in decimal(38,0) with the floor taken on
+    * the ABSOLUTE value (sign applied after — Spark `div` truncates
+    * toward zero where DuckDB `//` floors, so the negative-operand
+    * semantics must never meet the division):
+    * `elast_e6 = sign(q_hi·m_lo − q_lo·m_hi) · |q_hi·m_lo − q_lo·m_hi|
+    * ·(P_hi·m_lo + P_lo·m_hi)·10⁶ div ((q_hi·m_lo + q_lo·m_hi)
+    * ·(P_hi·m_lo − P_lo·m_hi))`. A part is LO iff its cents·m ≤ ΣP of
+    * the brand (price ≤ brand mean without dividing). NULL when a
+    * brand has one tier only or zero demand (no slope exists).
+    *
+    * Scale: broadcastable part-grain frames (parts ≪ facts), ONE
+    * fact-grain aggregate to (part) joined to the tier tags BY KEY,
+    * one brand-grain rollup. decimal(38) headroom asserted. */
+  def priceElasticity(part: DataFrame, li: DataFrame): DataFrame = {
+    val p = part.select(col("p_partkey"), col("p_brand"),
+      floor(col("p_retailprice") * 100.0 + 0.5).cast("long").as("pc"))
+    val brandTot = p.groupBy(col("p_brand"))
+      .agg(sum(col("pc")).cast("long").as("psum"),
+        count(lit(1)).cast("long").as("pm"))
+    val tagged = p.join(broadcast(brandTot), "p_brand")
+      .select(col("p_partkey"), col("p_brand"), col("pc"),
+        when(col("pc") * col("pm") <= col("psum"), lit("lo"))
+          .otherwise(lit("hi")).as("tier"))
+    val qty = li.groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).cast("long").as("q"))
+    val tiers = tagged
+      .join(qty, tagged("p_partkey") === qty("l_partkey"), "left")
+      .groupBy(col("p_brand"), col("tier"))
+      .agg(count(lit(1)).cast("long").as("m"),
+        sum(col("pc")).cast("long").as("pcs"),
+        sum(coalesce(col("q"), lit(0L))).cast("long").as("q"))
+    tiers.groupBy(col("p_brand"))
+      .agg(
+        max(when(col("tier") === "lo", col("m"))).as("m_lo"),
+        max(when(col("tier") === "hi", col("m"))).as("m_hi"),
+        max(when(col("tier") === "lo", col("q"))).as("q_lo"),
+        max(when(col("tier") === "hi", col("q"))).as("q_hi"),
+        max(when(col("tier") === "lo", col("pcs"))).as("pc_lo"),
+        max(when(col("tier") === "hi", col("pcs"))).as("pc_hi"))
+      .select(col("p_brand"),
+        coalesce(col("m_lo"), lit(0L)).cast("long").as("m_lo"),
+        coalesce(col("m_hi"), lit(0L)).cast("long").as("m_hi"),
+        coalesce(col("q_lo"), lit(0L)).cast("long").as("q_lo"),
+        coalesce(col("q_hi"), lit(0L)).cast("long").as("q_hi"),
+        coalesce(col("pc_lo"), lit(0L)).cast("long").as("pc_lo"),
+        coalesce(col("pc_hi"), lit(0L)).cast("long").as("pc_hi"))
+      .select(col("p_brand"), col("m_lo"), col("m_hi"), col("q_lo"),
+        col("q_hi"), col("pc_lo"), col("pc_hi"),
+        expr("coalesce(cast(assert_true(" +
+          "cast(greatest(q_lo, q_hi) as double) * greatest(m_lo, m_hi)" +
+          " * cast(pc_lo + pc_hi as double) * greatest(m_lo, m_hi)" +
+          " * 1.0e6 <= 0.9e38, " +
+          "'price-elasticity decimal(38) headroom exceeded: slice " +
+          "finer') as bigint), 0) + " +
+          "cast(signum(cast(q_hi as decimal(38,0)) * m_lo - " +
+          "cast(q_lo as decimal(38,0)) * m_hi) as bigint) * " +
+          "(abs(cast(q_hi as decimal(38,0)) * m_lo - " +
+          "cast(q_lo as decimal(38,0)) * m_hi) * " +
+          "(cast(pc_hi as decimal(38,0)) * m_lo + " +
+          "cast(pc_lo as decimal(38,0)) * m_hi) * 1000000 div " +
+          "nullif((cast(q_hi as decimal(38,0)) * m_lo + " +
+          "cast(q_lo as decimal(38,0)) * m_hi) * " +
+          "(cast(pc_hi as decimal(38,0)) * m_lo - " +
+          "cast(pc_lo as decimal(38,0)) * m_hi), 0))")
+          .cast("long").as("elast_e6"))
+  }
 }

@@ -1389,4 +1389,56 @@ object Pipeline {
       .withColumn("row_share_ppm",
         expr("(n_rows * 1000000) div total_rows"))
   }
+
+  /** X283: right-to-be-forgotten cascade audit — the GDPR/CCPA erasure
+    * PREFLIGHT every data platform runs before executing a delete
+    * sweep: given a deterministic forget-set of users (here the
+    * [[hashBucket]] device mod [[ForgetMod]], the way X57 injects PII
+    * — a real deployment passes the DSR id list), report per table how
+    * many rows and distinct keys the erasure touches, including the
+    * REFERENTIAL cascade (lineitem holds no user key — its affected
+    * rows follow through the orders foreign key). The report is the
+    * audit artifact; the delete itself is the S14 predicate-delete
+    * surface.
+    *
+    * Scale: events and orders legs are pure predicate aggregates (no
+    * join — the forget flag is a hash of the row's own key); the
+    * lineitem leg is ONE equi-join on orderkey against the forgotten
+    * orders projection (broadcastable: the forget set is ~1/64 of
+    * orders), then the same keyed aggregate. Three one-row frames
+    * union — no cross joins, no collects. */
+  val ForgetMod = 64
+
+  def forgetAudit(events: DataFrame, orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    def flag(id: Column): Column =
+      (conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+        .cast("long") % ForgetMod) === 0
+    def leg(name: String, df: DataFrame, key: Column,
+        affected: Column): DataFrame =
+      df.select(key.as("k"), affected.as("hit"))
+        .groupBy()
+        .agg(count(lit(1)).cast("long").as("rows_total"),
+          sum(when(col("hit"), 1L).otherwise(0L)).cast("long")
+            .as("rows_affected"),
+          countDistinct(when(col("hit"), col("k"))).cast("long")
+            .as("keys_affected"))
+        .select(lit(name).as("table_name"), col("rows_total"),
+          col("rows_affected"), col("keys_affected"),
+          expr("(rows_affected * 1000000) div greatest(rows_total, 1)")
+            .cast("long").as("affected_ppm"))
+    val forgottenOrders = orders
+      .filter(flag(col("o_custkey")))
+      .select(col("o_orderkey").as("fk_orderkey"),
+        col("o_custkey").as("fk_custkey"))
+    val liJoined = lineitem
+      .join(forgottenOrders,
+        lineitem("l_orderkey") === col("fk_orderkey"), "left")
+    leg("events", events, col("user_id"), flag(col("user_id")))
+      .unionByName(
+        leg("orders", orders, col("o_custkey"), flag(col("o_custkey"))))
+      .unionByName(
+        leg("lineitem", liJoined, col("fk_custkey"),
+          col("fk_custkey").isNotNull))
+  }
 }

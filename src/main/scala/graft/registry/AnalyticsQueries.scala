@@ -37,6 +37,17 @@ object AnalyticsQueries {
     // error over the dense per-part month spine, exact integer units
     "fca_mase" -> ((s, d) => Analytics.seasonalNaiveMase(
       graft.core.Tables(s, d, "lineitem"))),
+    // X282: simple exponential smoothing forecast per supplier, α=½
+    // — every weight a power of two, so the smoothed value is one
+    // integer sum over shifted Longs: exact cross-engine
+    "fcst_ses_halflife" -> ((s, d) => Analytics.sesHalfLife(
+      graft.core.Tables(s, d, "lineitem"))),
+    // X284: arc price elasticity per brand between its cheap and
+    // expensive part tiers — exact rationals, decimal(38) quotient,
+    // sign split off so the floor never sees a negative operand
+    "orders_price_elasticity" -> ((s, d) => Analytics.priceElasticity(
+      graft.core.Tables(s, d, "part"),
+      graft.core.Tables(s, d, "lineitem"))),
     // X213: cohort lifetime-value curve — first-purchase-month
     // cohorts tracked by age in months, exact integer cents
     "orders_cohort_ltv" -> ((s, d) =>
@@ -514,6 +525,94 @@ object AnalyticsQueries {
         |  CAST((SUM(abs(qty - lag12)) * 1000000)
         |    // nullif(SUM(abs(qty - lag1)), 0) AS BIGINT) AS mase_ppm
         |FROM lg WHERE lag12 IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // the same dense month spine as fca_mase; the SES closed form is
+    // one shifted-integer sum per supplier — DuckDB's << on BIGINT
+    // mirrors Spark's shiftleft, SUM widens to HUGEINT and casts back
+    "fcst_ses_halflife" ->
+      """WITH obs AS (
+        |  SELECT l_suppkey,
+        |    CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1
+        |      AS BIGINT) AS m,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |sp AS (SELECT MIN(m) AS m0, MAX(m) AS m1 FROM obs),
+        |spine AS (SELECT l_suppkey, unnest(range(m0, m1 + 1)) AS m
+        |          FROM (SELECT DISTINCT l_suppkey FROM obs)
+        |          CROSS JOIN sp),
+        |dense AS (SELECT s.l_suppkey, s.m, COALESCE(o.qty, 0) AS qty
+        |          FROM spine s LEFT JOIN obs o
+        |            ON s.l_suppkey = o.l_suppkey AND s.m = o.m),
+        |rn AS (SELECT l_suppkey, m, qty,
+        |         row_number() OVER (PARTITION BY l_suppkey
+        |                            ORDER BY m DESC) AS rn
+        |       FROM dense),
+        |wnd AS (SELECT *, CAST(count(*) OVER
+        |          (PARTITION BY l_suppkey) AS BIGINT) AS k
+        |        FROM rn WHERE rn <= 24)
+        |SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_months,
+        |  CAST(MAX(m) AS BIGINT) AS m_last,
+        |  CAST(MAX(CASE WHEN rn = 1 THEN qty END) AS BIGINT)
+        |    AS qty_last,
+        |  CAST((SUM(qty * (CAST(1 AS BIGINT) <<
+        |      CAST(greatest(k - rn - 1, 0) AS INT))) * 1000000)
+        |    // (CAST(1 AS BIGINT) << CAST(MAX(k) - 1 AS INT))
+        |    AS BIGINT) AS ses_qty_e6
+        |FROM wnd GROUP BY 1""".stripMargin,
+
+    // exact-rational arc elasticity in HUGEINT (mirrors the Spark
+    // decimal(38,0) leg); sign split off the absolute quotient so
+    // floor never meets a negative operand
+    "orders_price_elasticity" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_brand,
+        |    CAST(floor(CAST(p_retailprice AS DOUBLE)
+        |      * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |      AS pc
+        |  FROM part),
+        |bt AS (SELECT p_brand, CAST(SUM(pc) AS BIGINT) AS psum,
+        |              CAST(count(*) AS BIGINT) AS pm
+        |       FROM p GROUP BY 1),
+        |tg AS (SELECT p.p_partkey, p.p_brand, p.pc,
+        |         CASE WHEN p.pc * bt.pm <= bt.psum
+        |              THEN 'lo' ELSE 'hi' END AS tier
+        |       FROM p JOIN bt ON p.p_brand = bt.p_brand),
+        |q AS (SELECT l_partkey,
+        |        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |      FROM lineitem GROUP BY 1),
+        |t AS (SELECT tg.p_brand, tg.tier,
+        |        CAST(count(*) AS BIGINT) AS m,
+        |        CAST(SUM(tg.pc) AS BIGINT) AS pcs,
+        |        CAST(SUM(COALESCE(q.q, 0)) AS BIGINT) AS q
+        |      FROM tg LEFT JOIN q ON tg.p_partkey = q.l_partkey
+        |      GROUP BY 1, 2),
+        |piv AS (SELECT p_brand,
+        |  CAST(COALESCE(MAX(CASE WHEN tier = 'lo' THEN m END), 0)
+        |    AS BIGINT) AS m_lo,
+        |  CAST(COALESCE(MAX(CASE WHEN tier = 'hi' THEN m END), 0)
+        |    AS BIGINT) AS m_hi,
+        |  CAST(COALESCE(MAX(CASE WHEN tier = 'lo' THEN q END), 0)
+        |    AS BIGINT) AS q_lo,
+        |  CAST(COALESCE(MAX(CASE WHEN tier = 'hi' THEN q END), 0)
+        |    AS BIGINT) AS q_hi,
+        |  CAST(COALESCE(MAX(CASE WHEN tier = 'lo' THEN pcs END), 0)
+        |    AS BIGINT) AS pc_lo,
+        |  CAST(COALESCE(MAX(CASE WHEN tier = 'hi' THEN pcs END), 0)
+        |    AS BIGINT) AS pc_hi
+        |  FROM t GROUP BY 1)
+        |SELECT p_brand, m_lo, m_hi, q_lo, q_hi, pc_lo, pc_hi,
+        |  CAST(CAST(sign(CAST(q_hi AS HUGEINT) * m_lo
+        |      - CAST(q_lo AS HUGEINT) * m_hi) AS BIGINT) *
+        |    (abs(CAST(q_hi AS HUGEINT) * m_lo
+        |       - CAST(q_lo AS HUGEINT) * m_hi) *
+        |     (CAST(pc_hi AS HUGEINT) * m_lo
+        |       + CAST(pc_lo AS HUGEINT) * m_hi) * 1000000 //
+        |     nullif((CAST(q_hi AS HUGEINT) * m_lo
+        |       + CAST(q_lo AS HUGEINT) * m_hi) *
+        |      (CAST(pc_hi AS HUGEINT) * m_lo
+        |       - CAST(pc_lo AS HUGEINT) * m_hi), 0))
+        |    AS BIGINT) AS elast_e6
+        |FROM piv""".stripMargin,
 
     // same month index (year·12 + month − 1), same customer-grain
     // first-month, (cohort, age) rollup and cohort-partition cumsum

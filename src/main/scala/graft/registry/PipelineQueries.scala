@@ -20,6 +20,12 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Reg.strict(
     "pipe_hash_split" -> ((s, d) => Pipeline.hashSplit(docs(s, d))),
+    // X283: right-to-be-forgotten cascade preflight — per-table rows/
+    // keys an erasure sweep touches, lineitem following through the
+    // orders foreign key; predicate aggregates + one keyed equi-join
+    "pipe_forget_audit" -> ((s, d) => Pipeline.forgetAudit(
+      Tables(s, d, "events"), Tables(s, d, "orders"),
+      Tables(s, d, "lineitem"))),
     // X198: sample-ratio-mismatch audit — exact integer SRM chi-square
     // over observed vs declared split counts
     "pipe_srm_audit" -> ((s, d) => Pipeline.srmAudit(docs(s, d))),
@@ -310,6 +316,46 @@ object PipelineQueries {
        |  FROM cq)""".stripMargin
 
   val oracles: Map[String, String] = Reg.strict(
+    // the forget flag mirrors Pipeline.forgetAudit's md5-bucket device
+    // via the shared hex8 expansion; count(DISTINCT CASE…END) ignores
+    // the NULL misses exactly like Spark's countDistinct(when(…))
+    "pipe_forget_audit" -> {
+      def f(id: String) =
+        s"${hex8Sql(s"md5(CAST($id AS VARCHAR))")} % ${Pipeline.ForgetMod} = 0"
+      s"""WITH ev AS (
+         |  SELECT 'events' AS table_name,
+         |    CAST(count(*) AS BIGINT) AS rows_total,
+         |    CAST(SUM(CASE WHEN ${f("user_id")} THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS rows_affected,
+         |    CAST(count(DISTINCT CASE WHEN ${f("user_id")}
+         |      THEN user_id END) AS BIGINT) AS keys_affected
+         |  FROM events),
+         |od AS (
+         |  SELECT 'orders' AS table_name,
+         |    CAST(count(*) AS BIGINT) AS rows_total,
+         |    CAST(SUM(CASE WHEN ${f("o_custkey")} THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS rows_affected,
+         |    CAST(count(DISTINCT CASE WHEN ${f("o_custkey")}
+         |      THEN o_custkey END) AS BIGINT) AS keys_affected
+         |  FROM orders),
+         |fo AS (SELECT o_orderkey, o_custkey FROM orders
+         |       WHERE ${f("o_custkey")}),
+         |li AS (
+         |  SELECT 'lineitem' AS table_name,
+         |    CAST(count(*) AS BIGINT) AS rows_total,
+         |    CAST(SUM(CASE WHEN fo.o_custkey IS NOT NULL
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS rows_affected,
+         |    CAST(count(DISTINCT fo.o_custkey) AS BIGINT)
+         |      AS keys_affected
+         |  FROM lineitem LEFT JOIN fo ON l_orderkey = fo.o_orderkey)
+         |SELECT table_name, rows_total, rows_affected, keys_affected,
+         |  CAST((rows_affected * 1000000) // greatest(rows_total, 1)
+         |    AS BIGINT) AS affected_ppm
+         |FROM (SELECT * FROM ev UNION ALL
+         |      SELECT * FROM od UNION ALL
+         |      SELECT * FROM li)""".stripMargin
+    },
+
     "pipe_url_canonical" ->
       s"""WITH $UrlCtes
          |SELECT c.doc_id, c.url_raw, c.url_canon, c.domain, k.keep_id,

@@ -1319,4 +1319,60 @@ class AnalyticsSpec extends SparkSpec {
     // part 3: +2 every month vs last year; lag-1: |3-12|=9 + 11×1=20
     assert(got(3L) == ((12L, 24L, 20L, 24L * 1000000L / 20L)))
   }
+
+  test("sesHalfLife: closed form equals the alpha=1/2 recursion, " +
+    "demand gaps smooth toward zero, window truncates at 24") {
+    import java.sql.Timestamp
+    def t(ym: String) = Timestamp.valueOf(s"$ym-15 00:00:00")
+    // supplier 1: q=[4,2,6] -> s1=4, s2=3, s3=4.5
+    // supplier 2: q=[5,GAP,8] -> dense [5,0,8] -> s3=5.25
+    // supplier 3: 26 months of q=1 -> window keeps 24, ses exactly 1
+    // (the spine densifies every supplier over the GLOBAL span, so
+    // suppliers 1/2 gain leading zero months: their recursion must be
+    // replayed over the dense series)
+    val rows =
+      Seq((1L, "1997-01", 4L), (1L, "1997-02", 2L), (1L, "1997-03", 6L),
+        (2L, "1997-01", 5L), (2L, "1997-03", 8L)) ++
+      (1 to 26).map(i => (3L, f"${1995 + (i - 1) / 12}%04d-${(i - 1) % 12 + 1}%02d", 1L))
+    val li = rows.map { case (s, ym, q) => (s, t(ym), q.toDouble) }
+      .toDF("l_suppkey", "l_shipdate", "l_quantity")
+    val got = Analytics.sesHalfLife(li)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    // global span 1995-01..1997-03 = 27 months; suppliers 1/2 take the
+    // last 24 -> long zero prefix then the planted tail; replay the
+    // recursion as the independent check
+    def ses(qs: Seq[Long]): Double =
+      qs.tail.foldLeft(qs.head.toDouble)((s, q) => 0.5 * q + 0.5 * s)
+    val s1 = Seq.fill(21)(0L) ++ Seq(4L, 2L, 6L)
+    val s2 = Seq.fill(21)(0L) ++ Seq(5L, 0L, 8L)
+    assert(got(1L) == ((24L, 6L, math.floor(ses(s1) * 1e6).toLong)))
+    assert(got(2L) == ((24L, 8L, math.floor(ses(s2) * 1e6).toLong)))
+    // supplier 3: 26 observed one-months, but the global span ends at
+    // 1997-03 (suppliers 1/2), so its dense tail gains one trailing
+    // zero: window = [1x23, 0] -> s = 0.5 exactly; qty_last = 0
+    assert(got(3L) == ((24L, 0L, 500000L)))
+  }
+
+  test("priceElasticity: midpoint arc elasticity exact in micro-units; " +
+    "single-tier brands yield NULL") {
+    import java.sql.Timestamp
+    val part = Seq(
+      (1L, "B", 10.00), (2L, "B", 30.00), // lo / hi split at mean 20
+      (3L, "C", 5.00)) // one part -> price == mean -> all-lo brand
+      .toDF("p_partkey", "p_brand", "p_retailprice")
+    val li = Seq((1L, 10.0), (1L, 0.0), (2L, 5.0), (3L, 7.0))
+      .map { case (p, q) =>
+        (p, Timestamp.valueOf("1997-01-15 00:00:00"), q) }
+      .toDF("l_partkey", "l_shipdate", "l_quantity")
+    val got = Analytics.priceElasticity(part, li).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val b = got("B")
+    assert(b.getLong(1) == 1L && b.getLong(2) == 1L) // m_lo, m_hi
+    assert(b.getLong(3) == 10L && b.getLong(4) == 5L) // q_lo, q_hi
+    // arc: dQ/Qm = -5/7.5, dP/Pm = 2000/2000 -> -2/3 -> floor toward
+    // zero after the sign split: -(5*4000*1e6 div 30000) = -666666
+    assert(b.getLong(7) == -666666L)
+    assert(got("C").isNullAt(7)) // no hi tier -> no slope
+  }
 }

@@ -607,4 +607,43 @@ class PipelineSpec extends SparkSpec {
     val rdvMoved = keys.count(k => shard(k, 8) != shard(k, 10))
     assert(nmMod == modMoved && nmRdv == rdvMoved)
   }
+
+  test("forgetAudit: per-table rows/keys match an independent md5 " +
+    "derivation; lineitem cascades through the orders foreign key") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // independent forget-flag derivation: first 8 md5 hex chars as a
+    // long, mod ForgetMod — java.security, not the Spark expression
+    def flagged(id: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = d.take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % Pipeline.ForgetMod == 0
+    }
+    val users = (1L to 500L)
+    val ts = Timestamp.valueOf("1997-01-15 00:00:00")
+    val events = users.map(u => (u * 7L, ts, u, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    // orders: users 1..400 (the first md5-flagged id is 308, so the
+    // order range must reach past it), orderkey = 1000+u; two
+    // lineitems each
+    val orders = (1L to 400L).map(u => (1000L + u, u))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = (1L to 400L).flatMap(u =>
+      Seq((1000L + u, 1), (1000L + u, 2)))
+      .toDF("l_orderkey", "l_linenumber")
+    val got = Pipeline.forgetAudit(events, orders, lineitem)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val fAll = users.count(flagged)
+    val f100 = (1L to 400L).count(flagged)
+    assert(fAll > 0 && f100 > 0, "fixture must flag at least one user")
+    assert(got("events") ==
+      ((500L, fAll.toLong, fAll.toLong, fAll * 1000000L / 500L)))
+    assert(got("orders") ==
+      ((400L, f100.toLong, f100.toLong, f100 * 1000000L / 400L)))
+    assert(got("lineitem") ==
+      ((800L, 2L * f100, f100.toLong, 2L * f100 * 1000000L / 800L)))
+  }
 }
