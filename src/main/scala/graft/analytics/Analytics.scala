@@ -2285,6 +2285,62 @@ object Analytics {
           "cast(n_months - 1 as int))").cast("long").as("ses_qty_e6"))
   }
 
+  /** X287: Croston's method for INTERMITTENT demand per supplier —
+    * the standard forecast where SES fails (X218 classifies
+    * intermittency; this forecasts through it): maintain two SES
+    * estimates, demand SIZE `z` and inter-demand INTERVAL `p`, both
+    * updated only at demand occurrences, and forecast the demand RATE
+    * `z_hat / p_hat`. With α = ½ both SES legs close to the X282
+    * shifted-integer sum over the SAME event count k, so the
+    * `2^(k−1)` denominators CANCEL and the rate is one integer
+    * quotient: `rate_e6 = Z·10⁶ div P` — exact cross-engine with no
+    * shift in the output at all.
+    *
+    * Events are the non-zero demand months (no dense spine — Croston
+    * deliberately skips the zeros); the first event seeds no interval,
+    * so suppliers need ≥ 2 demand months to appear; the window keeps
+    * the last 16 intervals (the same truncation rationale as X282,
+    * exponent ≤ 14). Z ≤ 9·10¹² asserted for the e6 scaling; P ≥ k ≥ 1
+    * by construction so the div is total.
+    *
+    * Scale: one fact-grain aggregate to (supplier, month), one
+    * supplier-partitioned window pass (lag + row_number + count), one
+    * supplier-grain aggregate. */
+  def crostonRate(li: DataFrame, window: Int = 16): DataFrame = {
+    val obs = li.groupBy(col("l_suppkey"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)
+          .cast("long").as("m"))
+      .agg(sum(col("l_quantity").cast("long")).cast("long").as("z"))
+      .filter(col("z") > 0)
+    val wAsc = Window.partitionBy(col("l_suppkey")).orderBy(col("m"))
+    val ev = obs
+      .withColumn("p", (col("m") - lag(col("m"), 1).over(wAsc))
+        .cast("long"))
+      .filter(col("p").isNotNull)
+    val wDesc = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("m").desc)
+    ev.withColumn("rn", row_number().over(wDesc))
+      .filter(col("rn") <= window)
+      .withColumn("k", count(lit(1))
+        .over(Window.partitionBy(col("l_suppkey"))).cast("long"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        max(when(col("rn") === 1, col("z"))).cast("long").as("z_last"),
+        max(when(col("rn") === 1, col("p"))).cast("long").as("p_last"),
+        sum(col("z") * expr("shiftleft(cast(1 as bigint), " +
+          "cast(greatest(k - rn - 1, 0) as int))")).cast("long")
+          .as("zn"),
+        sum(col("p") * expr("shiftleft(cast(1 as bigint), " +
+          "cast(greatest(k - rn - 1, 0) as int))")).cast("long")
+          .as("pn"))
+      .select(col("l_suppkey"), col("n_events"), col("z_last"),
+        col("p_last"),
+        expr("coalesce(cast(assert_true(zn <= 9000000000000, " +
+          "'Croston e6 scaling exceeds the Long-exact range: shorten " +
+          "the window or slice finer') as bigint), 0) + " +
+          "(zn * 1000000) div pn").cast("long").as("croston_rate_e6"))
+  }
+
   /** X284: arc price elasticity of demand per part brand — the
     * pricing-analytics read ("how much does demand rate fall from the
     * brand's cheap half to its expensive half"), computed as the

@@ -48,6 +48,11 @@ object AnalyticsQueries {
     "orders_price_elasticity" -> ((s, d) => Analytics.priceElasticity(
       graft.core.Tables(s, d, "part"),
       graft.core.Tables(s, d, "lineitem"))),
+    // X287: Croston intermittent-demand rate per supplier — twin α=½
+    // SES over demand sizes and inter-demand intervals; the shared
+    // 2^(k−1) denominators cancel into one integer quotient
+    "fcst_croston" -> ((s, d) => Analytics.crostonRate(
+      graft.core.Tables(s, d, "lineitem"))),
     // X213: cohort lifetime-value curve — first-purchase-month
     // cohorts tracked by age in months, exact integer cents
     "orders_cohort_ltv" -> ((s, d) =>
@@ -559,6 +564,38 @@ object AnalyticsQueries {
         |    // (CAST(1 AS BIGINT) << CAST(MAX(k) - 1 AS INT))
         |    AS BIGINT) AS ses_qty_e6
         |FROM wnd GROUP BY 1""".stripMargin,
+
+    // Croston: non-zero demand months only (no spine — the method
+    // skips zeros), lag for intervals, the same shifted-sum device as
+    // fcst_ses_halflife on BOTH legs; the shared power-of-two
+    // denominators cancel so the rate is one integer quotient
+    "fcst_croston" ->
+      """WITH obs AS (
+        |  SELECT l_suppkey,
+        |    CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1
+        |      AS BIGINT) AS m,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS z
+        |  FROM lineitem GROUP BY 1, 2
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 0),
+        |ev AS (SELECT l_suppkey, m, z,
+        |         CAST(m - lag(m) OVER (PARTITION BY l_suppkey
+        |           ORDER BY m) AS BIGINT) AS p
+        |       FROM obs),
+        |w1 AS (SELECT *, row_number() OVER (PARTITION BY l_suppkey
+        |         ORDER BY m DESC) AS rn
+        |       FROM ev WHERE p IS NOT NULL),
+        |w2 AS (SELECT *, CAST(count(*) OVER
+        |         (PARTITION BY l_suppkey) AS BIGINT) AS k
+        |       FROM w1 WHERE rn <= 16)
+        |SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(MAX(CASE WHEN rn = 1 THEN z END) AS BIGINT) AS z_last,
+        |  CAST(MAX(CASE WHEN rn = 1 THEN p END) AS BIGINT) AS p_last,
+        |  CAST((SUM(z * (CAST(1 AS BIGINT) <<
+        |      CAST(greatest(k - rn - 1, 0) AS INT))) * 1000000)
+        |    // SUM(p * (CAST(1 AS BIGINT) <<
+        |      CAST(greatest(k - rn - 1, 0) AS INT)))
+        |    AS BIGINT) AS croston_rate_e6
+        |FROM w2 GROUP BY 1""".stripMargin,
 
     // exact-rational arc elasticity in HUGEINT (mirrors the Spark
     // decimal(38,0) leg); sign split off the absolute quotient so

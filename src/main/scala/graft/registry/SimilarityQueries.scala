@@ -80,6 +80,9 @@ object SimilarityQueries {
     // review; taxonomy-sized frames, exact integer distances
     "sim_centroid_distances" -> ((s, d) =>
       Similarity.centroidDistances(emb(s, d))),
+    // X286: simplified (centroid) silhouette per label — clustering
+    // quality + misplaced-point counts, exact sign-split integers
+    "sim_silhouette" -> ((s, d) => Similarity.silhouette(emb(s, d))),
     "sim_semantic_dedup" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.semanticDedup(e, nBits = scaledNBits(e.count()))
@@ -974,6 +977,48 @@ object SimilarityQueries {
         |  CAST(CASE WHEN dist2 > 2 * mean_d2 THEN 1 ELSE 0 END AS BIGINT)
         |    AS is_outlier
         |FROM pv JOIN pl USING (label)""".stripMargin,
+
+    // same qq/cent CTEs as sim_centroid_outliers; distances to ALL
+    // centroids via the dim-keyed join, a/b split by CASE, sign-split
+    // quotients in HUGEINT mirroring the Spark decimal(38) leg
+    "sim_silhouette" ->
+      """WITH exq AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |         CAST(unnest(range(0, len(embedding))) AS BIGINT) AS dim,
+        |         unnest(embedding) AS x
+        |  FROM embeddings),
+        |qq AS (SELECT vec_id, label, dim,
+        |         CAST(floor(CAST(x AS DOUBLE) * CAST(1000000 AS DOUBLE)
+        |           + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q
+        |       FROM exq),
+        |cent AS (SELECT label AS cand, dim,
+        |           CAST(floor(CAST(SUM(q) AS DOUBLE) / count(*))
+        |             AS BIGINT) AS ce
+        |         FROM qq GROUP BY 1, 2),
+        |d2 AS (SELECT qq.vec_id, qq.label, cent.cand,
+        |         CAST(SUM((qq.q - cent.ce) * (qq.q - cent.ce))
+        |           AS BIGINT) AS d2
+        |       FROM qq JOIN cent ON qq.dim = cent.dim
+        |       GROUP BY 1, 2, 3),
+        |ab AS (SELECT vec_id, label,
+        |         CAST(MAX(CASE WHEN cand = label THEN d2 END)
+        |           AS BIGINT) AS a,
+        |         CAST(MIN(CASE WHEN cand <> label THEN d2 END)
+        |           AS BIGINT) AS b
+        |       FROM d2 GROUP BY 1, 2),
+        |s AS (SELECT label,
+        |        CAST(sign(b - a) AS BIGINT) *
+        |          CAST(abs(CAST(b AS HUGEINT) - a) * 1000000 //
+        |            greatest(greatest(a, b), 1) AS BIGINT) AS s_e6
+        |      FROM ab WHERE b IS NOT NULL)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(s_e6) AS BIGINT) AS sum_s_e6,
+        |  CAST(SUM(CASE WHEN s_e6 < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_misplaced,
+        |  CAST(CAST(sign(CAST(SUM(s_e6) AS BIGINT)) AS BIGINT) *
+        |    (abs(CAST(SUM(s_e6) AS BIGINT)) // count(*)) AS BIGINT)
+        |    AS mean_s_e6
+        |FROM s GROUP BY 1""".stripMargin,
 
     "sim_centroid_distances" ->
       """WITH ex AS (

@@ -231,6 +231,11 @@ object TextQueries {
     "text_readability" -> ((s, d) =>
       graft.text.CorpusStats.readability(docs(s, d))),
 
+    // X285: RAKE keyword extraction — top stopword-free phrases per
+    // source by summed deg/freq word scores, exact integer micro-units
+    "text_rake_keywords" -> ((s, d) =>
+      graft.text.CorpusStats.rakeKeywords(docs(s, d))),
+
     "text_tfidf_topk" -> ((s, d) =>
       graft.text.CorpusStats.tfIdfTopTerms(Tables(s, d, "documents"))),
 
@@ -648,6 +653,57 @@ object TextQueries {
          |  CAST((1000000 * syllables) // greatest(words, 1)
          |    AS BIGINT) AS spw_e6
          |FROM ag""".stripMargin,
+
+    // RAKE: the same stopword → '|' delimiter transform on the
+    // normal-form token array, regex phrase split, (source, word)
+    // deg/freq stats, phrase rescore by keyed join, top-k window with
+    // the (score desc, phrase asc) deterministic tie-break
+    "text_rake_keywords" -> {
+      val stop = graft.text.CorpusStats.RakeStopwords
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH tw AS (
+         |  SELECT source,
+         |         CASE WHEN ${normSql("text")} = ''
+         |              THEN CAST([] AS VARCHAR[])
+         |              ELSE string_split(${normSql("text")}, ' ') END AS w
+         |  FROM documents),
+         |ph0 AS (SELECT source,
+         |    unnest(list_filter(string_split_regex(
+         |      array_to_string(list_transform(w, t ->
+         |        CASE WHEN list_contains($stop, t)
+         |             THEN '|' ELSE t END), ' '),
+         |      '( ?\\| ?)+'), p -> p <> '')) AS phrase
+         |  FROM tw),
+         |ph AS (SELECT source, phrase,
+         |         CAST(len(string_split(phrase, ' ')) AS BIGINT)
+         |           AS plen
+         |       FROM ph0),
+         |ws AS (SELECT source, word,
+         |         CAST((CAST(SUM(plen) AS BIGINT) * 1000000)
+         |           // count(*) AS BIGINT) AS score_e6
+         |       FROM (SELECT source, plen,
+         |               unnest(string_split(phrase, ' ')) AS word
+         |             FROM ph)
+         |       GROUP BY 1, 2),
+         |uq AS (SELECT source, phrase,
+         |         CAST(count(*) AS BIGINT) AS n_occ
+         |       FROM ph GROUP BY 1, 2),
+         |sc AS (SELECT u.source, u.phrase,
+         |         CAST(MAX(u.n_occ) AS BIGINT) AS n_occ,
+         |         CAST(SUM(ws.score_e6) AS BIGINT) AS phrase_score_e6
+         |       FROM (SELECT source, phrase, n_occ,
+         |               unnest(string_split(phrase, ' ')) AS word
+         |             FROM uq) u
+         |       JOIN ws ON u.source = ws.source AND u.word = ws.word
+         |       GROUP BY 1, 2),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY source
+         |         ORDER BY phrase_score_e6 DESC, phrase) AS rk
+         |       FROM sc)
+         |SELECT source, CAST(rk AS BIGINT) AS rk, phrase, n_occ,
+         |  phrase_score_e6
+         |FROM rk WHERE rk <= ${graft.text.CorpusStats.RakeTopK}"""
+        .stripMargin
+    },
 
     // same bits device (length of the binary form), same telescoped
     // n·bits(n) − Σ c·bits(c) identity

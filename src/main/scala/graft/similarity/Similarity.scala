@@ -1080,6 +1080,63 @@ object Similarity {
           .as("is_outlier"))
   }
 
+  /** X286: simplified (centroid-based) silhouette per label — the
+    * clustering-quality read beside X181's confusability matrix and
+    * the outlier flags: for each vector, `a` = squared distance to its
+    * OWN label centroid, `b` = squared distance to the nearest OTHER
+    * centroid, and the silhouette `s = (b−a)/max(a,b)` (Hruschka et
+    * al.'s simplified silhouette — centroid distances instead of the
+    * O(n²) pairwise mean, the standard large-scale variant). Exact
+    * integers on [[labelCentroids]]' e6 components: squared distances
+    * are order-free integer sums, the ratio is quantized
+    * `sign(b−a)·(|b−a|·10⁶ div max(a,b))` with the sign split off so
+    * truncate-vs-floor never sees a negative operand, and the
+    * per-label mean applies the same sign-split to the summed
+    * micro-units. `n_misplaced` counts s < 0 (nearer a foreign
+    * prototype than its own — the mislabel hotspot count).
+    *
+    * Scale: the n·dim·|labels| distance frame is the nearest-centroid
+    * staple (labels are taxonomy-sized; the centroid frame
+    * broadcasts), reduced by one keyed aggregate each at
+    * (vec, cand-label) and (vec) grain, then a label-grain rollup.
+    * The |b−a|·10⁶ product runs in decimal(38,0) — e12-scale squared
+    * distances would wrap a Long past ~9·10¹² — and the quotient
+    * lands back in Long. */
+  def silhouette(emb: DataFrame): DataFrame = {
+    val cent = labelCentroids(emb)
+      .select(col("label").as("cand"), col("dim"), col("centroid_e6"))
+    val q = graft.core.Spread(emb)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(asDouble(col("embedding"))))
+      .select(col("vec_id"), col("label"),
+        col("pos").cast("long").as("dim"),
+        floor(col("col") * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("q"))
+    val d2 = q.join(broadcast(cent), Seq("dim"))
+      .groupBy(col("vec_id"), col("label"), col("cand"))
+      .agg(sum((col("q") - col("centroid_e6")) *
+        (col("q") - col("centroid_e6"))).cast("long").as("d2"))
+    val s = d2.groupBy(col("vec_id"), col("label"))
+      .agg(max(when(col("cand") === col("label"), col("d2")))
+          .cast("long").as("a"),
+        min(when(col("cand") =!= col("label"), col("d2")))
+          .cast("long").as("b"))
+      .filter(col("b").isNotNull) // single-label corpora have no s
+      .select(col("label"),
+        expr("cast(signum(b - a) as bigint) * cast(" +
+          "abs(cast(b as decimal(38,0)) - a) * 1000000 div " +
+          "greatest(greatest(a, b), 1) as bigint)").as("s_e6"))
+    s.groupBy(col("label"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("s_e6")).cast("long").as("sum_s_e6"),
+        sum(when(col("s_e6") < 0, 1L).otherwise(0L)).cast("long")
+          .as("n_misplaced"))
+      .select(col("label"), col("n"), col("sum_s_e6"),
+        col("n_misplaced"),
+        expr("cast(signum(sum_s_e6) as bigint) * " +
+          "(abs(sum_s_e6) div n)").cast("long").as("mean_s_e6"))
+  }
+
   /** A pair closer than this (cosine in µunits, floor(cos·10⁶ + 0.5))
     * is a semantic duplicate. */
   val SemDupMinCosE6 = 950000L

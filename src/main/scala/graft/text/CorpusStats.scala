@@ -1118,4 +1118,74 @@ object CorpusStats {
         expr("(1000000 * syllables) div greatest(words, 1)")
           .cast("long").as("spw_e6"))
   }
+
+  /** Stopword delimiters for [[rakeKeywords]] — the English marker
+    * list ([[graft.text.TextAnalysis.LangMarkers]]), the same public
+    * function-word set the quality score and language-ID use. */
+  val RakeStopwords: Seq[String] =
+    graft.text.TextAnalysis.LangMarkers.head._2
+
+  /** Keyword phrases kept per source. */
+  val RakeTopK = 5
+
+  /** X285: RAKE keyword extraction per source (Rose et al. 2010 —
+    * Rapid Automatic Keyword Extraction): candidate phrases are the
+    * maximal stopword-free token runs; each word scores
+    * `deg(w)/freq(w)` where `freq` counts occurrences and `deg` sums
+    * the lengths of the phrase occurrences containing it (the
+    * co-occurrence-inclusive degree); a phrase scores the sum of its
+    * word scores, and the top-[[RakeTopK]] phrases per source (score
+    * desc, phrase asc — deterministic ties) are the corpus's keyword
+    * fingerprint. All scores are integer micro-units
+    * (`deg·10⁶ div freq`, summed) — exact cross-engine.
+    *
+    * Scale shape: phrase splitting is a map-only higher-order
+    * transform (stopwords → a delimiter, rejoin, regex split — no
+    * per-token shuffle); word stats are one (source, word)-grain
+    * map-side-combinable aggregate; phrase scores rejoin words to
+    * stats BY KEY; top-k is one bounded source-partitioned window.
+    * The phrase-grain frame feeds two legs and is persisted. Overflow:
+    * deg ≤ words-per-source, asserted at the same 6·10¹¹ e6 bound as
+    * X279. */
+  def rakeKeywords(docs: DataFrame, topK: Int = RakeTopK): DataFrame = {
+    val stopList = RakeStopwords.map(w => s"'$w'")
+      .mkString("array(", ", ", ")")
+    val pw = graft.core.CacheBay.register(docs
+      .select(col("source"), tokenArray(col("text")).as("w"))
+      .select(col("source"),
+        expr(s"filter(split(array_join(transform(w, t -> " +
+          s"if(array_contains($stopList, t), '|', t)), ' '), " +
+          "'( ?\\\\| ?)+'), p -> p <> '')").as("phrases"))
+      .select(col("source"), explode(col("phrases")).as("phrase"))
+      .select(col("source"), col("phrase"),
+        size(split(col("phrase"), " ")).cast("long").as("plen")))
+    val wordStats = pw
+      .select(col("source"), col("plen"),
+        explode(split(col("phrase"), " ")).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).cast("long").as("freq"),
+        sum(col("plen")).cast("long").as("deg"))
+      .select(col("source"), col("word"),
+        expr("coalesce(cast(assert_true(deg <= 600000000000, " +
+          "'RAKE e6 scaling exceeds the Long-exact range: audit a " +
+          "finer slice') as bigint), 0) + " +
+          "(deg * 1000000) div freq").cast("long").as("score_e6"))
+    val uniq = pw.groupBy(col("source"), col("phrase"))
+      .agg(count(lit(1)).cast("long").as("n_occ"))
+    val scored = uniq
+      .select(col("source"), col("phrase"), col("n_occ"),
+        explode(split(col("phrase"), " ")).as("word"))
+      .join(wordStats, Seq("source", "word"))
+      .groupBy(col("source"), col("phrase"))
+      .agg(max(col("n_occ")).cast("long").as("n_occ"),
+        sum(col("score_e6")).cast("long").as("phrase_score_e6"))
+    scored
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(col("phrase_score_e6").desc, col("phrase"))))
+      .filter(col("rk") <= topK)
+      .select(col("source"), col("rk").cast("long").as("rk"),
+        col("phrase"), col("n_occ"), col("phrase_score_e6"))
+  }
 }

@@ -1375,4 +1375,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(b.getLong(7) == -666666L)
     assert(got("C").isNullAt(7)) // no hi tier -> no slope
   }
+
+  test("crostonRate: twin SES numerators over sizes and intervals, " +
+    "single-demand suppliers excluded") {
+    import java.sql.Timestamp
+    def t(ym: String) = Timestamp.valueOf(s"$ym-15 00:00:00")
+    // supplier 1 demand months 1997-01/02/04/08, sizes 5,3,6,4:
+    // events (z,p) = (3,1), (6,2), (4,4); k=3, weights [1,1,2] oldest
+    // to newest -> Z = 3+6+8 = 17, P = 1+2+8 = 11
+    // recursion check: z_hat = 4.25 = 17/4, p_hat = 2.75 = 11/4
+    val li = Seq(
+      (1L, "1997-01", 5.0), (1L, "1997-02", 3.0),
+      (1L, "1997-04", 6.0), (1L, "1997-08", 4.0),
+      (2L, "1997-03", 9.0)) // one demand month -> no interval -> out
+      .map { case (s, ym, q) => (s, t(ym), q) }
+      .toDF("l_suppkey", "l_shipdate", "l_quantity")
+    val got = Analytics.crostonRate(li).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 4L && r.getLong(3) == 4L) // z_last, p_last
+    assert(r.getLong(4) == 17000000L / 11L)
+  }
 }

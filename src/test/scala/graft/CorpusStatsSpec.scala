@@ -569,4 +569,24 @@ class CorpusStatsSpec extends SparkSpec {
     assert(t.getAs[Long]("words") == 0L &&
       t.getAs[Long]("forcast_grade_e6") == 20000000L)
   }
+
+  test("rakeKeywords: deg/freq phrase scores with deterministic " +
+    "tie-break; stopword-only docs contribute no phrases") {
+    val docs = Seq(
+      // phrases: [red apple] x2, [green apple]; red deg=4 freq=2,
+      // apple deg=6 freq=3, green deg=2 freq=1 -> all words score 2e6
+      // -> both phrases score 4e6, tie broken by phrase asc
+      (1L, "red apple of green apple and the red apple", "s"),
+      (2L, "the of and", "s"), // all stopwords -> no phrases
+      (3L, "", "t"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.text.CorpusStats.rakeKeywords(docs).collect()
+    graft.core.CacheBay.drain()
+    assert(r.length == 2 && r.forall(_.getString(0) == "s"))
+    val byRk = r.map(x => x.getAs[Long]("rk") ->
+      ((x.getAs[String]("phrase"), x.getAs[Long]("n_occ"),
+        x.getAs[Long]("phrase_score_e6")))).toMap
+    assert(byRk(1L) == (("green apple", 1L, 4000000L)))
+    assert(byRk(2L) == (("red apple", 2L, 4000000L)))
+  }
 }

@@ -778,4 +778,35 @@ class SimilaritySpec extends SparkSpec {
     assert(r3.getAs[Long]("nn1_id") == d3.head._2 &&
       r3.getAs[Long]("d1_e6") == d3.head._1)
   }
+
+  test("silhouette: perfect separation scores 1e6; a point on the " +
+    "foreign prototype scores -1e6 and counts as misplaced") {
+    // label 0: two at origin plus one planted ON label 1's prototype;
+    // label 1: two at (1,1). Centroids: c0 = (333333, 333333) after
+    // the floor, c1 = (1e6, 1e6).
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f), 0),
+      (1L, Array(0.0f, 0.0f), 0),
+      (2L, Array(1.0f, 1.0f), 0), // misplaced
+      (3L, Array(1.0f, 1.0f), 1),
+      (4L, Array(1.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.silhouette(emb).collect()
+      .map(x => x.getAs[Long]("label") -> x).toMap
+    graft.core.CacheBay.drain()
+    // label 0 origin points: a = 2*333333^2 = 222221777778,
+    // b = 2e12 -> s = (b-a)*1e6 div b = 888889; the planted point:
+    // a = 2*666667^2, b = 0 -> s = -1e6
+    val l0 = r(0L)
+    assert(l0.getAs[Long]("n") == 3L)
+    assert(l0.getAs[Long]("sum_s_e6") == 888889L + 888889L - 1000000L)
+    assert(l0.getAs[Long]("n_misplaced") == 1L)
+    assert(l0.getAs[Long]("mean_s_e6") == 777778L / 3L)
+    // label 1 points sit on their own centroid: a = 0 -> s = 1e6
+    val l1 = r(1L)
+    assert(l1.getAs[Long]("n") == 2L &&
+      l1.getAs[Long]("sum_s_e6") == 2000000L &&
+      l1.getAs[Long]("mean_s_e6") == 1000000L &&
+      l1.getAs[Long]("n_misplaced") == 0L)
+  }
 }
