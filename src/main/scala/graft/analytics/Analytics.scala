@@ -2285,6 +2285,60 @@ object Analytics {
           "cast(n_months - 1 as int))").cast("long").as("ses_qty_e6"))
   }
 
+  /** X288: difference-in-differences lift — the causal-inference
+    * staple beside the X151 A/B lift when assignment is NOT
+    * randomized: compare the treated group's pre→post change against
+    * the control group's over the same cutoff, so any shared temporal
+    * shock cancels. Treatment membership is the deterministic
+    * md5-bucket device (the X283 discipline — a deployment passes the
+    * real assignment), the metric is mean event value in cents, and
+    * the whole estimate is ONE conditional aggregate over the fact —
+    * no join anywhere. The four cell means are rationals; their
+    * double difference cross-multiplies to a single decimal(38,0)
+    * quotient with the sign split off (truncate-vs-floor), and every
+    * cell's numerator/denominator is emitted so the estimate is
+    * auditable. NULL when any cell is empty (no counterfactual).
+    * decimal(38) headroom asserted by a double-space witness. */
+  def didLift(events: DataFrame, cutoff: String = "2024-01-16",
+      treatMod: Int = 4): DataFrame = {
+    val treated = (conv(substring(md5(col("user_id").cast("string")),
+      1, 8), 16, 10).cast("long") % treatMod) === 0
+    val post = col("ts") >= to_timestamp(lit(cutoff))
+    def cell(name: String, t: Boolean, p: Boolean) = {
+      val pred = (if (t) treated else !treated) &&
+        (if (p) post else !post)
+      Seq(count(when(pred, lit(1))).cast("long").as(s"n_$name"),
+        sum(when(pred, floor(col("value") * 100.0 + 0.5).cast("long"))
+          .otherwise(0L)).cast("long").as(s"cents_$name"))
+    }
+    val cells = cell("t_post", t = true, p = true) ++
+      cell("t_pre", t = true, p = false) ++
+      cell("c_post", t = false, p = true) ++
+      cell("c_pre", t = false, p = false)
+    val d38 = "cast(%s as decimal(38,0))"
+    // A = s_tp·n_tr − s_tr·n_tp over D_t = n_tp·n_tr; B likewise for
+    // control; did = (A·D_c − B·D_t) / (D_t·D_c)
+    events
+      .groupBy()
+      .agg(cells.head, cells.tail: _*)
+      .select(col("*"),
+        expr(("coalesce(cast(assert_true(" +
+          "cast(abs(%A) as double) * (%Dc) * 1.0e6 <= 0.45e38 and " +
+          "cast(abs(%B) as double) * (%Dt) * 1.0e6 <= 0.45e38, " +
+          "'DiD decimal(38) headroom exceeded: slice finer') " +
+          "as bigint), 0) + " +
+          "cast(signum((%A) * (%Dc) - (%B) * (%Dt)) as bigint) * " +
+          "cast(abs((%A) * (%Dc) - (%B) * (%Dt)) * 1000000 div " +
+          "nullif((%Dt) * (%Dc), 0) as bigint)")
+          .replace("%A", d38.format("cents_t_post") + " * n_t_pre - " +
+            d38.format("cents_t_pre") + " * n_t_post")
+          .replace("%B", d38.format("cents_c_post") + " * n_c_pre - " +
+            d38.format("cents_c_pre") + " * n_c_post")
+          .replace("%Dt", d38.format("n_t_post") + " * n_t_pre")
+          .replace("%Dc", d38.format("n_c_post") + " * n_c_pre"))
+          .cast("long").as("did_cents_e6"))
+  }
+
   /** X287: Croston's method for INTERMITTENT demand per supplier —
     * the standard forecast where SES fails (X218 classifies
     * intermittency; this forecasts through it): maintain two SES
@@ -2339,6 +2393,97 @@ object Analytics {
           "'Croston e6 scaling exceeds the Long-exact range: shorten " +
           "the window or slice finer') as bigint), 0) + " +
           "(zn * 1000000) div pn").cast("long").as("croston_rate_e6"))
+  }
+
+  /** Months in the Holt window — fixed so the dyadic coefficient
+    * vectors are compile-time constants shared with the oracle. */
+  val HoltWindow = 16
+
+  /** Exact dyadic coefficient vectors for Holt's linear trend with
+    * α = β = ½ over a fixed [[HoltWindow]]-month series: level
+    * `l_t = ½y_t + ½(l+b)`, trend `b_t = ½(l_t − l_{t−1}) + ½b`
+    * (b₁ = 0). Each recursion step multiplies the common denominator
+    * by 4, so after W−1 steps every coefficient of y₁..y_W in l_W and
+    * b_W is an integer over 2^(2(W−1)) = 2³⁰ — computed ONCE here in
+    * exact BigInt arithmetic and interpolated into both the Spark
+    * expression and the DuckDB oracle (the generated-from-the-same-
+    * constants discipline). Returned scaled by 2³⁰: (level, trend). */
+  lazy val holtCoeffs: (Array[Long], Array[Long]) = {
+    val W = HoltWindow
+    var L = Array.tabulate(W)(i => BigInt(if (i == 0) 1 else 0))
+    var B = Array.fill(W)(BigInt(0))
+    var d = BigInt(1) // common denominator
+    for (t <- 1 until W) {
+      // l_new over 2d: y_t·d + L + B; everything re-expressed over 4d
+      val n2 = Array.tabulate(W)(i =>
+        (if (i == t) d else BigInt(0)) + L(i) + B(i))
+      val nl = n2.map(_ * 2)
+      val nb = Array.tabulate(W)(i => n2(i) - 2 * L(i) + 2 * B(i))
+      L = nl; B = nb; d *= 4
+    }
+    require(d == BigInt(2).pow(2 * (W - 1)))
+    (L.map(_.toLong), B.map(_.toLong))
+  }
+
+  /** X289: Holt linear-trend forecast per supplier, α = β = ½ — the
+    * trended sibling of X282's SES (SES lags any drift; Holt carries
+    * an explicit trend state). The coupled recursion does NOT close to
+    * a single shifted sum the way SES does, but over a FIXED window
+    * every coefficient of the inputs is an exact dyadic rational
+    * ([[holtCoeffs]]), so the one-step-ahead forecast
+    * `f = l_W + b_W` is one integer dot product over 2³⁰ — exact
+    * cross-engine, with the sign split off the final quotient (the
+    * trend coefficients are negative for early months). The X172
+    * dense spine gives every supplier the same month count; the fixed
+    * window is asserted, not assumed.
+    *
+    * Scale: one fact-grain aggregate, the bounded spine, one
+    * supplier-partitioned window pass, one supplier-grain dot
+    * product; the ·10⁶ rescale runs in decimal(38,0). */
+  def holtLinear(li: DataFrame): DataFrame = {
+    val W = HoltWindow
+    val (cl, cb) = holtCoeffs
+    val fc = cl.zip(cb).map { case (a, b) => a + b }
+    def arr(xs: Array[Long]) =
+      xs.map(x => s"cast($x as bigint)").mkString("array(", ", ", ")")
+    val obs = li.groupBy(col("l_suppkey"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)
+          .cast("long").as("m"))
+      .agg(sum(col("l_quantity").cast("long")).cast("long").as("qty"))
+    val span = obs.agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+    val spine = obs.select(col("l_suppkey")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("l_suppkey"),
+        explode(sequence(col("m0"), col("m1"))).as("m"))
+    val dense = spine.join(obs, Seq("l_suppkey", "m"), "left")
+      .select(col("l_suppkey"), col("m"),
+        coalesce(col("qty"), lit(0L)).as("qty"))
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("m").desc)
+    dense
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= W)
+      .withColumn("i", (lit(W + 1) - col("rn")).cast("int"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).cast("long").as("n_months"),
+        max(col("m")).cast("long").as("m_last"),
+        sum(col("qty") * expr(s"element_at(${arr(fc)}, i)"))
+          .cast("long").as("f_num"),
+        sum(col("qty") * expr(s"element_at(${arr(cb)}, i)"))
+          .cast("long").as("b_num"))
+      .select(col("l_suppkey"),
+        expr(s"coalesce(cast(assert_true(n_months = $W, " +
+          "'Holt window underfilled: the corpus spans fewer months " +
+          "than HoltWindow') as bigint), 0) + n_months")
+          .cast("long").as("n_months"),
+        col("m_last"),
+        expr("cast(signum(f_num) as bigint) * cast(" +
+          "abs(cast(f_num as decimal(38,0))) * 1000000 div " +
+          s"cast(${1L << 30} as bigint) as bigint)")
+          .as("holt_fcst_e6"),
+        expr("cast(signum(b_num) as bigint) * cast(" +
+          "abs(cast(b_num as decimal(38,0))) * 1000000 div " +
+          s"cast(${1L << 30} as bigint) as bigint)")
+          .as("holt_trend_e6"))
   }
 
   /** X284: arc price elasticity of demand per part brand — the

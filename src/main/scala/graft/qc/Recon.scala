@@ -852,5 +852,11 @@ object Recon {
         expr("cast(present_e6 + " +
           "(cast(n as decimal(38,0)) * n - s_present) * 1000000 div " +
           "greatest(n, 1) as bigint)").as("chi2_e6"))
+      // Cramér's V² = χ²/(n·(min(|A|,|B|)−1)) — the [0,1]-normalized
+      // effect size (V² avoids the cross-engine sqrt); NULL for a
+      // single-level side, where association is undefined
+      .withColumn("cramers_v2_e6",
+        expr("chi2_e6 div nullif(n * " +
+          "(least(levels_a, levels_b) - 1), 0)").cast("long"))
   }
 }

@@ -53,6 +53,14 @@ object AnalyticsQueries {
     // 2^(k−1) denominators cancel into one integer quotient
     "fcst_croston" -> ((s, d) => Analytics.crostonRate(
       graft.core.Tables(s, d, "lineitem"))),
+    // X289: Holt linear-trend forecast — exact dyadic coefficient dot
+    // product over the fixed window, sign-split decimal(38) rescale
+    "fcst_holt_linear" -> ((s, d) => Analytics.holtLinear(
+      graft.core.Tables(s, d, "lineitem"))),
+    // X288: difference-in-differences lift — one conditional
+    // aggregate, four audited cells, sign-split decimal(38) quotient
+    "events_did_lift" -> ((s, d) => Analytics.didLift(
+      graft.core.Tables(s, d, "events"))),
     // X213: cohort lifetime-value curve — first-purchase-month
     // cohorts tracked by age in months, exact integer cents
     "orders_cohort_ltv" -> ((s, d) =>
@@ -564,6 +572,93 @@ object AnalyticsQueries {
         |    // (CAST(1 AS BIGINT) << CAST(MAX(k) - 1 AS INT))
         |    AS BIGINT) AS ses_qty_e6
         |FROM wnd GROUP BY 1""".stripMargin,
+
+    // Holt: the same dense spine as fcst_ses_halflife; the dyadic
+    // coefficient lists are interpolated from Analytics.holtCoeffs —
+    // generated once in exact BigInt arithmetic and shared verbatim
+    // with the Spark expression, so the two engines cannot drift
+    "fcst_holt_linear" -> {
+      val (cl, cb) = Analytics.holtCoeffs
+      val fc = cl.zip(cb).map { case (a, b) => a + b }
+      def lst(xs: Array[Long]) = xs.mkString("[", ", ", "]")
+      val W = Analytics.HoltWindow
+      s"""WITH obs AS (
+         |  SELECT l_suppkey,
+         |    CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1
+         |      AS BIGINT) AS m,
+         |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+         |  FROM lineitem GROUP BY 1, 2),
+         |sp AS (SELECT MIN(m) AS m0, MAX(m) AS m1 FROM obs),
+         |spine AS (SELECT l_suppkey, unnest(range(m0, m1 + 1)) AS m
+         |          FROM (SELECT DISTINCT l_suppkey FROM obs)
+         |          CROSS JOIN sp),
+         |dense AS (SELECT s.l_suppkey, s.m, COALESCE(o.qty, 0) AS qty
+         |          FROM spine s LEFT JOIN obs o
+         |            ON s.l_suppkey = o.l_suppkey AND s.m = o.m),
+         |rn AS (SELECT l_suppkey, m, qty,
+         |         row_number() OVER (PARTITION BY l_suppkey
+         |                            ORDER BY m DESC) AS rn
+         |       FROM dense),
+         |wnd AS (SELECT *, CAST($W + 1 - rn AS INT) AS i
+         |        FROM rn WHERE rn <= $W),
+         |ag AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_months,
+         |         CAST(MAX(m) AS BIGINT) AS m_last,
+         |         CAST(SUM(qty * (${lst(fc)})[i]) AS BIGINT) AS f_num,
+         |         CAST(SUM(qty * (${lst(cb)})[i]) AS BIGINT) AS b_num
+         |       FROM wnd GROUP BY 1)
+         |SELECT l_suppkey, n_months, m_last,
+         |  CAST(CAST(sign(f_num) AS BIGINT) *
+         |    (abs(CAST(f_num AS HUGEINT)) * 1000000 // ${1L << 30})
+         |    AS BIGINT) AS holt_fcst_e6,
+         |  CAST(CAST(sign(b_num) AS BIGINT) *
+         |    (abs(CAST(b_num AS HUGEINT)) * 1000000 // ${1L << 30})
+         |    AS BIGINT) AS holt_trend_e6
+         |FROM ag""".stripMargin
+    },
+
+    // DiD: the same md5-bucket treatment flag (shared hex8 expansion)
+    // and cutoff literal; four conditional cells in one aggregate,
+    // HUGEINT cross-multiplied double difference, sign split off
+    "events_did_lift" -> {
+      val f = s"${OracleSql.hex8("md5(CAST(user_id AS VARCHAR))")} % 4 = 0"
+      val a = "(CAST(cents_t_post AS HUGEINT) * n_t_pre - " +
+        "CAST(cents_t_pre AS HUGEINT) * n_t_post)"
+      val b = "(CAST(cents_c_post AS HUGEINT) * n_c_pre - " +
+        "CAST(cents_c_pre AS HUGEINT) * n_c_post)"
+      val dt = "(CAST(n_t_post AS HUGEINT) * n_t_pre)"
+      val dc = "(CAST(n_c_post AS HUGEINT) * n_c_pre)"
+      s"""WITH r AS (
+         |  SELECT $f AS t,
+         |         ts >= TIMESTAMP '2024-01-16 00:00:00' AS p,
+         |         CAST(floor(CAST(value AS DOUBLE)
+         |           * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |           AS BIGINT) AS cents
+         |  FROM events),
+         |ag AS (SELECT
+         |  CAST(SUM(CASE WHEN t AND p THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_t_post,
+         |  CAST(SUM(CASE WHEN t AND p THEN cents ELSE 0 END)
+         |    AS BIGINT) AS cents_t_post,
+         |  CAST(SUM(CASE WHEN t AND NOT p THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_t_pre,
+         |  CAST(SUM(CASE WHEN t AND NOT p THEN cents ELSE 0 END)
+         |    AS BIGINT) AS cents_t_pre,
+         |  CAST(SUM(CASE WHEN NOT t AND p THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_c_post,
+         |  CAST(SUM(CASE WHEN NOT t AND p THEN cents ELSE 0 END)
+         |    AS BIGINT) AS cents_c_post,
+         |  CAST(SUM(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_c_pre,
+         |  CAST(SUM(CASE WHEN NOT t AND NOT p THEN cents ELSE 0 END)
+         |    AS BIGINT) AS cents_c_pre
+         |  FROM r)
+         |SELECT *,
+         |  CAST(CAST(sign($a * $dc - $b * $dt) AS BIGINT) *
+         |    CAST(abs($a * $dc - $b * $dt) * 1000000 //
+         |      nullif($dt * $dc, 0) AS BIGINT) AS BIGINT)
+         |    AS did_cents_e6
+         |FROM ag""".stripMargin
+    },
 
     // Croston: non-zero demand months only (no spine — the method
     // skips zeros), lag for intervals, the same shifted-sum device as

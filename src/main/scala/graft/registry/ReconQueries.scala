@@ -375,12 +375,15 @@ object ReconQueries {
          |  FROM ct JOIN ma ON ct.a = ma.a JOIN mb ON ct.b = mb.b, nn),
          |la AS (SELECT CAST(count(*) AS BIGINT) AS levels_a FROM ma),
          |lb AS (SELECT CAST(count(*) AS BIGINT) AS levels_b FROM mb)
-         |SELECT n, cells, levels_a, levels_b,
+         |SELECT n, cells, levels_a, levels_b, dof, chi2_e6,
+         |  CAST(chi2_e6 // nullif(n * (least(levels_a, levels_b) - 1),
+         |    0) AS BIGINT) AS cramers_v2_e6
+         |FROM (SELECT n, cells, levels_a, levels_b,
          |  CAST((levels_a - 1) * (levels_b - 1) AS BIGINT) AS dof,
          |  CAST(present_e6 +
          |    CAST((CAST(n AS HUGEINT) * n - s_present) * 1000000
          |      // greatest(n, 1) AS BIGINT) AS BIGINT) AS chi2_e6
-         |FROM pres, nn, la, lb""".stripMargin,
+         |FROM pres, nn, la, lb)""".stripMargin,
 
     "f_display_functions" ->
       s"""WITH g AS (

@@ -1397,4 +1397,64 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getLong(2) == 4L && r.getLong(3) == 4L) // z_last, p_last
     assert(r.getLong(4) == 17000000L / 11L)
   }
+
+  test("holtLinear: exact dyadic dot product equals the replayed " +
+    "alpha=beta=1/2 recursion on ramp and constant series") {
+    import java.sql.Timestamp
+    val W = Analytics.HoltWindow
+    def t(i: Int) = { // 16 consecutive months from 1995-01
+      val y = 1995 + (i - 1) / 12; val m = (i - 1) % 12 + 1
+      Timestamp.valueOf(f"$y%04d-$m%02d-15 00:00:00")
+    }
+    val ramp = (1 to W).map(i => (1L, t(i), (3 * i + 5).toDouble))
+    val const = (1 to W).map(i => (2L, t(i), 7.0))
+    val li = (ramp ++ const)
+      .toDF("l_suppkey", "l_shipdate", "l_quantity")
+    val got = Analytics.holtLinear(li).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    // independent replay: the recursion in doubles (all states are
+    // dyadic rationals with denominator 2^30 and magnitude << 2^53,
+    // so double arithmetic is exact here)
+    def holt(ys: Seq[Double]): (Double, Double) =
+      ys.tail.foldLeft((ys.head, 0.0)) { case ((l, b), y) =>
+        val ln = 0.5 * y + 0.5 * (l + b); (ln, 0.5 * (ln - l) + 0.5 * b)
+      }
+    def e6(x: Double) =
+      math.signum(x).toLong * math.floor(math.abs(x) * 1e6).toLong
+    val (lr, br) = holt(ramp.map(_._3))
+    assert(got(1L) == ((W.toLong, e6(lr + br), e6(br))))
+    // constant series: l = 7, b = 0 at every step, exactly
+    assert(got(2L) == ((W.toLong, 7000000L, 0L)))
+  }
+
+  test("didLift: cells match an independent md5 treatment derivation; " +
+    "a planted treated-only post lift is recovered exactly") {
+    import java.sql.Timestamp
+    def flagged(id: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = d.take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 4 == 0
+    }
+    val pre = Timestamp.valueOf("2024-01-10 00:00:00")
+    val post = Timestamp.valueOf("2024-01-20 00:00:00")
+    // every user: pre value 10; post value 30 if treated else 20 ->
+    // DiD = (30-10) - (20-10) = 10 = 1e9 micro-cents
+    val users = (1L to 40L)
+    val ev = users.flatMap { u =>
+      val p = if (flagged(u)) 30.0 else 20.0
+      Seq((u, pre, 10.0), (u, post, p))
+    }.toDF("user_id", "ts", "value")
+    val r = Analytics.didLift(ev).collect().head
+    val nt = users.count(flagged).toLong
+    assert(nt > 0 && nt < 40, "fixture needs both groups")
+    assert(r.getAs[Long]("n_t_post") == nt &&
+      r.getAs[Long]("n_t_pre") == nt)
+    assert(r.getAs[Long]("cents_t_post") == 3000L * nt &&
+      r.getAs[Long]("cents_t_pre") == 1000L * nt)
+    assert(r.getAs[Long]("n_c_post") == 40L - nt &&
+      r.getAs[Long]("cents_c_post") == 2000L * (40L - nt))
+    assert(r.getAs[Long]("did_cents_e6") == 1000000000L)
+  }
 }

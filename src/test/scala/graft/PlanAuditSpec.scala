@@ -347,8 +347,8 @@ class PlanAuditSpec extends SparkSpec {
       "abc_migration",
       // 1-row month-span broadcast building the month spine
       "fca_mase",
-      // same 1-row month-span spine broadcast as fca_mase (X282)
-      "fcst_ses_halflife",
+      // same 1-row month-span spine broadcast as fca_mase (X282/X289)
+      "fcst_ses_halflife", "fcst_holt_linear",
       // 1-row last-day scalar broadcast for the current-streak flag
       "events_streaks",
       // 1-row last-week scalar broadcast capping the churn rows

@@ -374,5 +374,8 @@ class ReconSpec extends SparkSpec {
     assert(d.getAs[Long]("n") == 4L && d.getAs[Long]("cells") == 2L)
     assert(d.getAs[Long]("levels_a") == 2L &&
       d.getAs[Long]("levels_b") == 2L)
+    // Cramér's V² = χ²/(n·(min−1)): perfect 2x2 association -> 1.0
+    assert(d.getAs[Long]("cramers_v2_e6") == 1000000L)
+    assert(i.getAs[Long]("cramers_v2_e6") == 0L)
   }
 }
