@@ -72,6 +72,10 @@ object Bench {
         graft.multimodal.Multimodal.sharedImageTable(spark, sfDir).count())
       tier("sessions")(
         graft.operators.Sessionize.sharedSessions(spark, sfDir).count())
+      tier("fcst.dense")(graft.core.SessionCache.cached(
+        spark, s"fcstdense:$sfDir")(
+        graft.analytics.Analytics.supplierMonthlyDense(
+          graft.core.Tables(spark, sfDir, "lineitem"))).count())
     }
     val cacheBuild = (System.nanoTime() - tc) / 1e9
     System.err.println(f"[bench] [cache-build]${""}%15s $cacheBuild%8.2f s")

@@ -2247,20 +2247,10 @@ object Analytics {
     *
     * Scale: one fact-grain hash aggregate to (supplier, month), the
     * bounded ×|months| spine, ONE supplier-partitioned window pass
-    * (row_number + count), one supplier-grain aggregate. */
-  def sesHalfLife(li: DataFrame, window: Int = 24): DataFrame = {
-    val obs = li.groupBy(col("l_suppkey"),
-        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)
-          .cast("long").as("m"))
-      .agg(sum(col("l_quantity").cast("long")).cast("long").as("qty"))
-    val span = obs.agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
-    val spine = obs.select(col("l_suppkey")).distinct()
-      .crossJoin(broadcast(span))
-      .select(col("l_suppkey"),
-        explode(sequence(col("m0"), col("m1"))).as("m"))
-    val dense = spine.join(obs, Seq("l_suppkey", "m"), "left")
-      .select(col("l_suppkey"), col("m"),
-        coalesce(col("qty"), lit(0L)).as("qty"))
+    * (row_number + count), one supplier-grain aggregate. Takes the
+    * [[supplierMonthlyDense]] frame so the X282/X289 forecast pair
+    * shares one materialization (session-cached by the registry). */
+  def sesHalfLife(dense: DataFrame, window: Int = 24): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey")).orderBy(col("m").desc)
     dense
       .withColumn("rn", row_number().over(w))
@@ -2339,6 +2329,39 @@ object Analytics {
           .cast("long").as("did_cents_e6"))
   }
 
+  /** X290: experiment-power preflight per event type — the
+    * sample-size question every experimentation platform answers
+    * BEFORE an A/B test runs ("how many users per arm to detect a 5%
+    * move in this metric"): the classic rule-of-thumb
+    * `n ≈ 16σ²/δ²` (two-sided α = 5%, power 80%; Kohavi et al.'s
+    * shorthand for `2(z_{α/2}+z_β)²σ²/δ²`), with the minimum
+    * detectable effect δ fixed at 5% of the metric mean. Everything
+    * reduces to integer moments: `n_req = ⌈6400·(n·Σx² − (Σx)²) /
+    * (Σx)²⌉` — the σ²/δ² denominators cancel, the ceiling is the
+    * non-negative `(a + b − 1) div b` form, and the one product runs
+    * in decimal(38,0)/HUGEINT. NULL when the metric sums to zero (no
+    * scale to detect against). One conditional aggregate per type —
+    * map-side combinable, no joins. */
+  def mdeSampleSize(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("cents")).cast("long").as("sum_cents"),
+        sum(col("cents") * col("cents")).cast("long").as("sum_sq"))
+      .select(col("event_type"), col("n"), col("sum_cents"),
+        col("sum_sq"),
+        expr("coalesce(cast(assert_true(" +
+          "cast(n as double) * sum_sq * 6400.0 <= 0.9e38, " +
+          "'MDE decimal(38) headroom exceeded: slice finer') " +
+          "as bigint), 0) + " +
+          "cast((6400 * (cast(n as decimal(38,0)) * sum_sq - " +
+          "cast(sum_cents as decimal(38,0)) * sum_cents) + " +
+          "cast(sum_cents as decimal(38,0)) * sum_cents - 1) div " +
+          "nullif(cast(sum_cents as decimal(38,0)) * sum_cents, 0) " +
+          "as bigint)").cast("long").as("n_required"))
+
   /** X287: Croston's method for INTERMITTENT demand per supplier —
     * the standard forecast where SES fails (X218 classifies
     * intermittency; this forecasts through it): maintain two SES
@@ -2395,6 +2418,26 @@ object Analytics {
           "(zn * 1000000) div pn").cast("long").as("croston_rate_e6"))
   }
 
+  /** Dense (supplier, month) demand frame over the global month span
+    * — one fact-grain hash aggregate plus the X172 calendar spine
+    * (gaps as zeros), SHARED by the X282 SES and X289 Holt forecasts
+    * through the registry's session cache so the Bench/Verify sweep
+    * pays the lineitem shuffle once for the whole forecast family. */
+  def supplierMonthlyDense(li: DataFrame): DataFrame = {
+    val obs = li.groupBy(col("l_suppkey"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)
+          .cast("long").as("m"))
+      .agg(sum(col("l_quantity").cast("long")).cast("long").as("qty"))
+    val span = obs.agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+    val spine = obs.select(col("l_suppkey")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("l_suppkey"),
+        explode(sequence(col("m0"), col("m1"))).as("m"))
+    spine.join(obs, Seq("l_suppkey", "m"), "left")
+      .select(col("l_suppkey"), col("m"),
+        coalesce(col("qty"), lit(0L)).as("qty"))
+  }
+
   /** Months in the Holt window — fixed so the dyadic coefficient
     * vectors are compile-time constants shared with the oracle. */
   val HoltWindow = 16
@@ -2439,25 +2482,14 @@ object Analytics {
     *
     * Scale: one fact-grain aggregate, the bounded spine, one
     * supplier-partitioned window pass, one supplier-grain dot
-    * product; the ·10⁶ rescale runs in decimal(38,0). */
-  def holtLinear(li: DataFrame): DataFrame = {
+    * product; the ·10⁶ rescale runs in decimal(38,0). Takes the
+    * [[supplierMonthlyDense]] frame shared with X282. */
+  def holtLinear(dense: DataFrame): DataFrame = {
     val W = HoltWindow
     val (cl, cb) = holtCoeffs
     val fc = cl.zip(cb).map { case (a, b) => a + b }
     def arr(xs: Array[Long]) =
       xs.map(x => s"cast($x as bigint)").mkString("array(", ", ", ")")
-    val obs = li.groupBy(col("l_suppkey"),
-        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)
-          .cast("long").as("m"))
-      .agg(sum(col("l_quantity").cast("long")).cast("long").as("qty"))
-    val span = obs.agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
-    val spine = obs.select(col("l_suppkey")).distinct()
-      .crossJoin(broadcast(span))
-      .select(col("l_suppkey"),
-        explode(sequence(col("m0"), col("m1"))).as("m"))
-    val dense = spine.join(obs, Seq("l_suppkey", "m"), "left")
-      .select(col("l_suppkey"), col("m"),
-        coalesce(col("qty"), lit(0L)).as("qty"))
     val w = Window.partitionBy(col("l_suppkey")).orderBy(col("m").desc)
     dense
       .withColumn("rn", row_number().over(w))

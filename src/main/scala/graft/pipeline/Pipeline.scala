@@ -1390,6 +1390,59 @@ object Pipeline {
         expr("(n_rows * 1000000) div total_rows"))
   }
 
+  /** Language → upsampling tier for [[prioritySample]]: weight = 2^tier
+    * (rare languages upsampled). POWERS OF TWO are the exactness
+    * contract — see the scaladoc. */
+  val PriorityTiers: Seq[(String, Int)] =
+    Seq("en" -> 0, "de" -> 1, "es" -> 1, "fr" -> 2, "zh" -> 2)
+
+  /** Rows kept by [[prioritySample]]. */
+  val PrioritySampleK = 100
+
+  /** X291: weighted priority sampling WITHOUT replacement
+    * (Efraimidis–Spirakis A-ES) — the standard one-pass weighted
+    * sample a curation pipeline draws for human review or probe
+    * training sets: each row keys by `u^(1/w)` (u a uniform from the
+    * row's own id) and the global top-k keys are the sample, which is
+    * exactly a PPSWOR draw. Two determinism devices make the draw
+    * replay identically in any IEEE-754 engine: the uniform is the
+    * md5-bucket integer over 10⁶ (a deterministic dyadic-by-division
+    * double), and weights are QUANTIZED TO POWERS OF TWO so
+    * `u^(1/2^t)` is t repeated applications of the correctly-rounded
+    * `sqrt` — no `pow`, whose rounding the IEEE standard does not fix.
+    * Ties (u = 1 across tiers) break by doc_id.
+    *
+    * Scale: map-only key computation + ONE TakeOrdered top-k (no
+    * global sort materialization), then a lang-grain rollup of the
+    * k-row sample joined against the lang totals — broadcastable both
+    * sides. */
+  def prioritySample(docs: DataFrame,
+      k: Int = PrioritySampleK): DataFrame = {
+    val tierCase = PriorityTiers
+      .map { case (l, t) => s"WHEN lang = '$l' THEN $t" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    val keyed = docs.select(col("doc_id"), col("lang"),
+        (hashBucketE6(col("doc_id")) + 1).cast("double")
+          ./(lit(1000000.0)).as("u"),
+        expr(tierCase).cast("int").as("tier"))
+      // u^(1/2^t): t-fold sqrt — NEVER pow (rounding unspecified)
+      .withColumn("key", expr(
+        (0 until PriorityTiers.map(_._2).max).foldLeft("u") {
+          case (acc, i) => s"if(tier > $i, sqrt($acc), $acc)"
+        }))
+    val sampled = keyed
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(k)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_sampled"))
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        expr(tierCase).cast("long").as("tier"))
+  }
+
   /** X283: right-to-be-forgotten cascade audit — the GDPR/CCPA erasure
     * PREFLIGHT every data platform runs before executing a delete
     * sweep: given a deterministic forget-set of users (here the

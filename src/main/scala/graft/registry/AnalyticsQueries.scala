@@ -9,6 +9,13 @@ import graft.analytics.Analytics
   */
 object AnalyticsQueries {
 
+  /** Session-cached dense (supplier, month) demand spine shared by
+    * the X282/X289 forecast pair — the lineitem shuffle and the
+    * calendar densification run once per (session, dir). */
+  private def fcstDense(s: SparkSession, d: String): DataFrame =
+    graft.core.SessionCache.cached(s, s"fcstdense:$d")(
+      Analytics.supplierMonthlyDense(graft.core.Tables(s, d, "lineitem")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Reg.strict(
     // X208: exact CART best split — every distinct price cent is a
     // candidate threshold; purity score via two prefix scans over the
@@ -39,9 +46,10 @@ object AnalyticsQueries {
       graft.core.Tables(s, d, "lineitem"))),
     // X282: simple exponential smoothing forecast per supplier, α=½
     // — every weight a power of two, so the smoothed value is one
-    // integer sum over shifted Longs: exact cross-engine
-    "fcst_ses_halflife" -> ((s, d) => Analytics.sesHalfLife(
-      graft.core.Tables(s, d, "lineitem"))),
+    // integer sum over shifted Longs: exact cross-engine; the dense
+    // spine is session-cached and shared with X289
+    "fcst_ses_halflife" -> ((s, d) =>
+      Analytics.sesHalfLife(fcstDense(s, d))),
     // X284: arc price elasticity per brand between its cheap and
     // expensive part tiers — exact rationals, decimal(38) quotient,
     // sign split off so the floor never sees a negative operand
@@ -54,12 +62,17 @@ object AnalyticsQueries {
     "fcst_croston" -> ((s, d) => Analytics.crostonRate(
       graft.core.Tables(s, d, "lineitem"))),
     // X289: Holt linear-trend forecast — exact dyadic coefficient dot
-    // product over the fixed window, sign-split decimal(38) rescale
-    "fcst_holt_linear" -> ((s, d) => Analytics.holtLinear(
-      graft.core.Tables(s, d, "lineitem"))),
+    // product over the fixed window, sign-split decimal(38) rescale;
+    // shares the X282 session-cached dense spine
+    "fcst_holt_linear" -> ((s, d) =>
+      Analytics.holtLinear(fcstDense(s, d))),
     // X288: difference-in-differences lift — one conditional
     // aggregate, four audited cells, sign-split decimal(38) quotient
     "events_did_lift" -> ((s, d) => Analytics.didLift(
+      graft.core.Tables(s, d, "events"))),
+    // X290: experiment-power preflight — required per-arm n for a 5%
+    // MDE via the 16σ²/δ² rule, exact integer moments, ceil-div
+    "events_mde_sample_size" -> ((s, d) => Analytics.mdeSampleSize(
       graft.core.Tables(s, d, "events"))),
     // X213: cohort lifetime-value curve — first-purchase-month
     // cohorts tracked by age in months, exact integer cents
@@ -615,6 +628,27 @@ object AnalyticsQueries {
          |    AS BIGINT) AS holt_trend_e6
          |FROM ag""".stripMargin
     },
+
+    // MDE: the 6400·(nΣx² − (Σx)²) / (Σx)² reduction in HUGEINT with
+    // the non-negative (a + b − 1) // b ceiling; NULL on zero sums
+    "events_mde_sample_size" ->
+      """WITH ag AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |    CAST(SUM(cents * cents) AS BIGINT) AS sum_sq
+        |  FROM (SELECT event_type,
+        |          CAST(floor(CAST(value AS DOUBLE)
+        |            * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |            AS BIGINT) AS cents
+        |        FROM events)
+        |  GROUP BY 1)
+        |SELECT event_type, n, sum_cents, sum_sq,
+        |  CAST((6400 * (CAST(n AS HUGEINT) * sum_sq -
+        |      CAST(sum_cents AS HUGEINT) * sum_cents) +
+        |    CAST(sum_cents AS HUGEINT) * sum_cents - 1) //
+        |    nullif(CAST(sum_cents AS HUGEINT) * sum_cents, 0)
+        |    AS BIGINT) AS n_required
+        |FROM ag""".stripMargin,
 
     // DiD: the same md5-bucket treatment flag (shared hex8 expansion)
     // and cutoff literal; four conditional cells in one aggregate,

@@ -26,6 +26,11 @@ object PipelineQueries {
     "pipe_forget_audit" -> ((s, d) => Pipeline.forgetAudit(
       Tables(s, d, "events"), Tables(s, d, "orders"),
       Tables(s, d, "lineitem"))),
+    // X291: Efraimidis–Spirakis weighted priority sample — power-of-
+    // two weights so the u^(1/w) key is repeated correctly-rounded
+    // sqrt (deterministic in any IEEE engine); one TakeOrdered top-k
+    "pipe_priority_sample" -> ((s, d) =>
+      Pipeline.prioritySample(docs(s, d))),
     // X198: sample-ratio-mismatch audit — exact integer SRM chi-square
     // over observed vs declared split counts
     "pipe_srm_audit" -> ((s, d) => Pipeline.srmAudit(docs(s, d))),
@@ -316,6 +321,38 @@ object PipelineQueries {
        |  FROM cq)""".stripMargin
 
   val oracles: Map[String, String] = Reg.strict(
+    // A-ES: the same tier CASE and t-fold-sqrt key (if() exists in
+    // both dialects, so the fold string is shared verbatim with the
+    // Spark expression), ORDER BY key DESC, doc_id LIMIT k, lang
+    // rollup with zero-fill
+    "pipe_priority_sample" -> {
+      val tierCase = Pipeline.PriorityTiers
+        .map { case (l, t) => s"WHEN lang = '$l' THEN $t" }
+        .mkString("CASE ", " ", " ELSE 0 END")
+      val keyFold =
+        (0 until Pipeline.PriorityTiers.map(_._2).max).foldLeft("u") {
+          case (acc, i) => s"if(tier > $i, sqrt($acc), $acc)"
+        }
+      s"""WITH keyed AS (
+         |  SELECT doc_id, lang,
+         |    CAST(${hex8Sql("md5(CAST(doc_id AS VARCHAR))")} % 1000000
+         |      + 1 AS DOUBLE) / 1000000.0 AS u,
+         |    CAST($tierCase AS INT) AS tier
+         |  FROM documents),
+         |k2 AS (SELECT doc_id, lang, $keyFold AS key FROM keyed),
+         |topk AS (SELECT lang FROM k2
+         |         ORDER BY key DESC, doc_id
+         |         LIMIT ${Pipeline.PrioritySampleK}),
+         |s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled
+         |      FROM topk GROUP BY 1)
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(COALESCE(MAX(s.n_sampled), 0) AS BIGINT) AS n_sampled,
+         |  CAST(${tierCase.replace("WHEN lang", "WHEN d.lang")}
+         |    AS BIGINT) AS tier
+         |FROM documents d LEFT JOIN s ON d.lang = s.lang
+         |GROUP BY d.lang""".stripMargin
+    },
+
     // the forget flag mirrors Pipeline.forgetAudit's md5-bucket device
     // via the shared hex8 expansion; count(DISTINCT CASE…END) ignores
     // the NULL misses exactly like Spark's countDistinct(when(…))

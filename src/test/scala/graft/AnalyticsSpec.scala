@@ -1336,7 +1336,7 @@ class AnalyticsSpec extends SparkSpec {
       (1 to 26).map(i => (3L, f"${1995 + (i - 1) / 12}%04d-${(i - 1) % 12 + 1}%02d", 1L))
     val li = rows.map { case (s, ym, q) => (s, t(ym), q.toDouble) }
       .toDF("l_suppkey", "l_shipdate", "l_quantity")
-    val got = Analytics.sesHalfLife(li)
+    val got = Analytics.sesHalfLife(Analytics.supplierMonthlyDense(li))
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
     // global span 1995-01..1997-03 = 27 months; suppliers 1/2 take the
@@ -1410,7 +1410,7 @@ class AnalyticsSpec extends SparkSpec {
     val const = (1 to W).map(i => (2L, t(i), 7.0))
     val li = (ramp ++ const)
       .toDF("l_suppkey", "l_shipdate", "l_quantity")
-    val got = Analytics.holtLinear(li).collect()
+    val got = Analytics.holtLinear(Analytics.supplierMonthlyDense(li)).collect()
       .map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
     // independent replay: the recursion in doubles (all states are
@@ -1456,5 +1456,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_c_post") == 40L - nt &&
       r.getAs[Long]("cents_c_post") == 2000L * (40L - nt))
     assert(r.getAs[Long]("did_cents_e6") == 1000000000L)
+  }
+
+  test("mdeSampleSize: 16 sigma^2 / delta^2 at a 5% MDE from exact " +
+    "moments; constant metric needs 0; zero-sum metric is NULL") {
+    import java.sql.Timestamp
+    val ts = Timestamp.valueOf("2024-01-10 00:00:00")
+    val ev = Seq(
+      ("a", 1.0), ("a", 3.0),   // sigma^2=1e4 cents^2, mean 200c,
+                                // delta 10c -> n = 16e4/100 = 1600
+      ("b", 2.0), ("b", 2.0),   // constant -> 0
+      ("c", 0.0))               // zero sum -> NULL
+      .map { case (t, v) => (t, ts, v) }
+      .toDF("event_type", "ts", "value")
+    val got = Analytics.mdeSampleSize(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("a").getAs[Long]("n_required") == 1600L)
+    assert(got("b").getAs[Long]("n_required") == 0L)
+    assert(got("c").isNullAt(got("c").fieldIndex("n_required")))
   }
 }

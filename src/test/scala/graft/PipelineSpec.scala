@@ -646,4 +646,38 @@ class PipelineSpec extends SparkSpec {
     assert(got("lineitem") ==
       ((800L, 2L * f100, f100.toLong, 2L * f100 * 1000000L / 800L)))
   }
+
+  test("prioritySample: the k-row PPSWOR draw matches an independent " +
+    "repeated-sqrt derivation; counts reconcile with the corpus") {
+    import java.sql.Timestamp
+    val _ = Timestamp.valueOf("2024-01-01 00:00:00") // keep import used
+    val langs = Array("en", "de", "es", "fr", "zh")
+    val docs = (1L to 500L).map(i =>
+      (i, s"text $i", langs((i % 5).toInt), "src"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Pipeline.prioritySample(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // independent draw: same md5 uniform, t-fold strict sqrt
+    def u(id: Long): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = d.take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 1000000 + 1).toDouble / 1000000.0
+    }
+    val tiers = Pipeline.PriorityTiers.toMap
+    def key(id: Long, lang: String): Double =
+      (0 until tiers(lang)).foldLeft(u(id))((a, _) => math.sqrt(a))
+    val expect = (1L to 500L)
+      .map(i => (i, langs((i % 5).toInt)))
+      .sortBy { case (i, l) => (-key(i, l), i) }
+      .take(Pipeline.PrioritySampleK)
+      .groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    for (l <- langs) {
+      val (nDocs, nSampled, tier) = got(l)
+      assert(nDocs == 100L && tier == tiers(l).toLong)
+      assert(nSampled == expect.getOrElse(l, 0L), s"lang $l")
+    }
+    assert(got.values.map(_._2).sum == Pipeline.PrioritySampleK.toLong)
+  }
 }
