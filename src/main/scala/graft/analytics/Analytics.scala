@@ -379,8 +379,13 @@ object Analytics {
     * (o_custkey) hash partitioning — Catalyst reuses one exchange for
     * all three; nothing global. `max_by(priority, orderkey)` makes the
     * per-month pick deterministic under concurrent orders. */
-  def scd2History(spark: SparkSession, dir: String): DataFrame = {
-    val snap = Tables(spark, dir, "orders")
+  def scd2History(spark: SparkSession, dir: String): DataFrame =
+    scd2HistoryOf(Tables(spark, dir, "orders"))
+
+  /** [[scd2History]] over an explicit orders frame — the X292 apply
+    * query derives its pre-cutoff base through this. */
+  def scd2HistoryOf(orders: DataFrame): DataFrame = {
+    val snap = orders
       .groupBy(col("o_custkey"),
         date_trunc("month", col("o_orderdate")).cast("date").as("month"))
       .agg(expr("max_by(o_orderpriority, o_orderkey)").as("attr"))
@@ -397,6 +402,63 @@ object Analytics {
         count(lit(1)).as("n_months"))
       .select(col("o_custkey"), col("attr"), col("valid_from"),
         col("valid_to"), col("n_months"))
+  }
+
+  /** Open-row sentinel for [[scd2Apply]] (the warehouse convention —
+    * a real date, so range predicates need no NULL branch). */
+  val Scd2OpenEnd = "9999-12-31"
+
+  /** X292: SCD2 MERGE apply — the nightly dimension-maintenance write
+    * the X236 history READ derives from (and Kimball's Type-2 rule
+    * verbatim): given the current versioned dimension (`key, attr,
+    * valid_from, valid_to, is_current`; open rows carry
+    * [[Scd2OpenEnd]]) and a change batch (`key, attr`) effective at
+    * `effDate`,
+    *  - an unchanged or unmentioned key keeps its open row,
+    *  - a changed key CLOSES the open row at `effDate − 1 day` and
+    *    OPENS a new version at `effDate`,
+    *  - a brand-new key inserts an open version,
+    *  - closed history passes through untouched.
+    * Pure-transform face of the S13 MERGE surface: the output IS the
+    * post-merge table, so the semantics are batch-oracle-checkable
+    * (the side-effecting Delta leg stays spec-verified in SinksSpec).
+    *
+    * Scale: ONE key-grain full-outer join between the open rows and
+    * the change batch (both dimension-sized, both hash-partitioned on
+    * the key — never fact-sized), two narrow projections off the same
+    * joined frame, a pass-through union. */
+  def scd2Apply(dim: DataFrame, changes: DataFrame,
+      effDate: String): DataFrame = {
+    val hist = dim.filter(col("is_current") === 0)
+    val cur = dim.filter(col("is_current") === 1)
+      .select(col("o_custkey"), col("attr").as("cur_attr"),
+        col("valid_from").as("cur_from"))
+    val j = graft.core.CacheBay.register(
+      cur.join(changes.select(col("o_custkey"),
+        col("attr").as("new_attr")), Seq("o_custkey"), "full_outer"))
+      .toDF()
+    val eff = to_date(lit(effDate))
+    val openEnd = to_date(lit(Scd2OpenEnd))
+    // leg 1: surviving / closed versions of previously-open rows
+    val fromCur = j.filter(col("cur_attr").isNotNull)
+      .select(col("o_custkey"),
+        col("cur_attr").as("attr"),
+        col("cur_from").as("valid_from"),
+        when(col("new_attr").isNotNull &&
+          col("new_attr") =!= col("cur_attr"), date_sub(eff, 1))
+          .otherwise(openEnd).as("valid_to"),
+        when(col("new_attr").isNotNull &&
+          col("new_attr") =!= col("cur_attr"), 0L).otherwise(1L)
+          .as("is_current"))
+    // leg 2: newly-opened versions (changed keys + brand-new keys)
+    val opened = j.filter(col("new_attr").isNotNull &&
+        (col("cur_attr").isNull || col("new_attr") =!= col("cur_attr")))
+      .select(col("o_custkey"), col("new_attr").as("attr"),
+        eff.as("valid_from"), openEnd.as("valid_to"),
+        lit(1L).as("is_current"))
+    hist.select(col("o_custkey"), col("attr"), col("valid_from"),
+        col("valid_to"), col("is_current"))
+      .unionByName(fromCur).unionByName(opened)
   }
 
   /** Temporal-interval integrity audit (X260) — the validity-range

@@ -67,4 +67,59 @@ object BfsHops {
       expr("node div 2").cast("long").as("id"),
       col("hops").cast("long").as("hops"))
   }
+
+  /** Sampling rate for [[harmonicSampled]]'s seed set — every 100th
+    * supplier, so the seed count (= the Eppstein–Wang sample size)
+    * grows with the graph while the per-round frontier stays
+    * seeds × |reachable|. */
+  val HarmonicSeedMod = 100
+
+  /** X293: SAMPLED harmonic centrality (Eppstein & Wang 2001) — the
+    * per-node closeness read the X188 single-source set cannot give:
+    * exact harmonic centrality needs all-pairs BFS, so the standard
+    * large-graph estimator BFS's from a node SAMPLE and scores every
+    * node by `Σ_seeds 1/d(seed, node)` — here in exact integer
+    * micro-units (`Σ 1e6 div hops`, hop counts are integers, so the
+    * estimator replays identically in any engine; the estimate's only
+    * error is the SAMPLING, which the deterministic seed predicate
+    * makes reproducible too).
+    *
+    * Same frontier BFS as [[seedHops]] with the state keyed by
+    * (seed, node): each edge is traversed once per (seed, discovery),
+    * the anti-join keeps hops minimal per seed, `localCheckpoint`
+    * truncates the per-round lineage. Frontier size is bounded by
+    * |seeds|·|nodes| — the sample rate is the scale knob. */
+  def harmonicSampled(orders: DataFrame, lineitem: DataFrame,
+      rounds: Int = Rounds,
+      graph: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val (edges, deg) = graph.getOrElse(
+      PageRank.purchaseGraph(orders, lineitem))
+    var dist = deg.select(col("src").as("node"))
+      .filter(col("node") % 2 === 1 &&
+        expr(s"(node div 2) % $HarmonicSeedMod") === 0)
+      .select(col("node").as("seed"), col("node"),
+        lit(0L).as("hops"))
+      .localCheckpoint()
+    var frontier = dist.select(col("seed"), col("node"))
+    for (i <- 1 to rounds) {
+      val reached = edges
+        .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+        .join(dist, Seq("seed", "node"), "left_anti")
+        .withColumn("hops", lit(i.toLong))
+        .localCheckpoint()
+      dist = dist.unionByName(
+        reached.select(col("seed"), col("node"), col("hops")))
+      frontier = reached.select(col("seed"), col("node"))
+    }
+    dist.filter(col("hops") > 0)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).cast("long").as("n_sources"),
+        sum(expr("1000000 div hops")).cast("long").as("harm_e6"))
+      .select(
+        when(col("node") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("kind"),
+        expr("node div 2").cast("long").as("id"),
+        col("n_sources"), col("harm_e6"))
+  }
 }

@@ -110,6 +110,29 @@ object AnalyticsQueries {
     "weekly_disaggregation" -> ((s, d) => Analytics.weeklyDisaggregation(s, d)),
     "running_totals" -> ((s, d) => Analytics.runningTotals(s, d)),
     "scd2_history" -> ((s, d) => Analytics.scd2History(s, d)),
+    // X292: SCD2 MERGE apply — the pre-1999 history is the base
+    // dimension (open rows normalized to the sentinel), 1999-01's
+    // snapshot is the change batch; output IS the post-merge table
+    "scd2_apply" -> ((s, d) => {
+      val orders = graft.core.Tables(s, d, "orders")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+      val dim = Analytics.scd2HistoryOf(
+          orders.filter(col("o_orderdate") < lit("1999-01-01")))
+        .withColumn("mx", max(col("valid_from")).over(w))
+        .select(col("o_custkey"), col("attr"), col("valid_from"),
+          when(col("valid_from") === col("mx"),
+            to_date(lit(Analytics.Scd2OpenEnd)))
+            .otherwise(col("valid_to")).as("valid_to"),
+          when(col("valid_from") === col("mx"), 1L).otherwise(0L)
+            .as("is_current"))
+      val changes = orders
+        .filter(col("o_orderdate") >= lit("1999-01-01") &&
+          col("o_orderdate") < lit("1999-02-01"))
+        .groupBy(col("o_custkey"))
+        .agg(expr("max_by(o_orderpriority, o_orderkey)").as("attr"))
+      Analytics.scd2Apply(dim, changes, "1999-01-01")
+    }),
     // X260: temporal-interval integrity audit chained over the SCD2
     // history — sweep-form overlap detection, integer day-gap evidence
     "qc_interval_audit" -> ((s, d) =>
@@ -237,12 +260,12 @@ object AnalyticsQueries {
   /** SCD2 validity-range derivation as a CTE — shared verbatim by the
     * `scd2_history` oracle and the `qc_interval_audit` oracle so the
     * audit provably runs over the exact history the X-row publishes. */
-  private val Scd2Cte: String =
-    """snap AS (
+  private def scd2CteOf(src: String): String =
+    s"""snap AS (
       |  SELECT o_custkey,
       |         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
       |         arg_max(o_orderpriority, o_orderkey) AS attr
-      |  FROM orders GROUP BY 1, 2),
+      |  FROM $src GROUP BY 1, 2),
       |x AS (
       |  SELECT *, CASE WHEN lag(attr) OVER w IS NULL
       |                   OR lag(attr) OVER w <> attr
@@ -257,7 +280,58 @@ object AnalyticsQueries {
       |         MAX(month) AS valid_to, COUNT(*) AS n_months
       |  FROM i GROUP BY o_custkey, island, attr)""".stripMargin
 
+  private val Scd2Cte: String = scd2CteOf("orders")
+
   val oracles: Map[String, String] = Reg.strict(
+    // same gaps-and-islands base restricted to pre-cutoff orders, the
+    // same sentinel normalization, one key-grain full-outer merge
+    "scd2_apply" -> {
+      val cte = scd2CteOf(
+        "(SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01')")
+      s"""WITH $cte,
+         |base AS (SELECT o_custkey, attr, valid_from,
+         |  CASE WHEN valid_from = MAX(valid_from)
+         |         OVER (PARTITION BY o_custkey)
+         |       THEN DATE '9999-12-31' ELSE valid_to END AS valid_to,
+         |  CASE WHEN valid_from = MAX(valid_from)
+         |         OVER (PARTITION BY o_custkey)
+         |       THEN 1 ELSE 0 END AS is_current
+         |  FROM scd2),
+         |ch AS (SELECT o_custkey,
+         |         arg_max(o_orderpriority, o_orderkey) AS attr
+         |       FROM orders
+         |       WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+         |         AND o_orderdate < TIMESTAMP '1999-02-01'
+         |       GROUP BY 1),
+         |cur AS (SELECT o_custkey, attr AS cur_attr,
+         |          valid_from AS cur_from
+         |        FROM base WHERE is_current = 1),
+         |j AS (SELECT COALESCE(cur.o_custkey, ch.o_custkey)
+         |        AS o_custkey, cur_attr, cur_from, ch.attr AS new_attr
+         |      FROM cur FULL OUTER JOIN ch
+         |        ON cur.o_custkey = ch.o_custkey),
+         |fromcur AS (SELECT o_custkey, cur_attr AS attr,
+         |    cur_from AS valid_from,
+         |    CASE WHEN new_attr IS NOT NULL AND new_attr <> cur_attr
+         |         THEN DATE '1998-12-31'
+         |         ELSE DATE '9999-12-31' END AS valid_to,
+         |    CAST(CASE WHEN new_attr IS NOT NULL
+         |           AND new_attr <> cur_attr
+         |         THEN 0 ELSE 1 END AS BIGINT) AS is_current
+         |  FROM j WHERE cur_attr IS NOT NULL),
+         |opened AS (SELECT o_custkey, new_attr AS attr,
+         |    DATE '1999-01-01' AS valid_from,
+         |    DATE '9999-12-31' AS valid_to,
+         |    CAST(1 AS BIGINT) AS is_current
+         |  FROM j WHERE new_attr IS NOT NULL
+         |    AND (cur_attr IS NULL OR new_attr <> cur_attr)),
+         |hist AS (SELECT o_custkey, attr, valid_from, valid_to,
+         |    CAST(0 AS BIGINT) AS is_current
+         |  FROM base WHERE is_current = 0)
+         |SELECT * FROM hist UNION ALL
+         |SELECT * FROM fromcur UNION ALL
+         |SELECT * FROM opened""".stripMargin
+    },
     // same top-(k+1) frame (ties are bits-invariant), same bits device
     "orders_tail_index" -> {
       val k1 = graft.analytics.Analytics.HillK + 1

@@ -108,6 +108,12 @@ object MaintQueries {
       graft.graph.BfsHops.seedHops(Tables(s, d, "orders"),
         Tables(s, d, "lineitem"),
         graph = Some(PageRank.sharedPurchaseGraph(s, d)))),
+    // X293: sampled harmonic centrality — per-node Σ 1e6 div hops over
+    // the deterministic seed sample; (seed, node)-keyed frontier BFS
+    "graph_harmonic" -> ((s, d) =>
+      graft.graph.BfsHops.harmonicSampled(Tables(s, d, "orders"),
+        Tables(s, d, "lineitem"),
+        graph = Some(PageRank.sharedPurchaseGraph(s, d)))),
     // X191: seed-set cheapest-path cost — Bellman-Ford min-plus over
     // inverse-support edge costs; full-table relaxation per round (a
     // settled node can still improve, so no frontier shortcut)
@@ -252,6 +258,43 @@ object MaintQueries {
          |    AS kind,
          |  CAST(node // 2 AS BIGINT) AS id, hops
          |FROM d$r""".stripMargin
+    },
+
+    // the bfs frontier unrolled with (seed, node) state — same
+    // MATERIALIZED-per-round device, integer 1e6 div hops scoring
+    "graph_harmonic" -> {
+      def round(i: Int): String =
+        s"""f$i AS MATERIALIZED (
+           |  SELECT DISTINCT f.seed, e.dst AS node
+           |  FROM e JOIN f${i - 1} f ON e.src = f.node
+           |  WHERE NOT EXISTS (SELECT 1 FROM d${i - 1} s
+           |                    WHERE s.seed = f.seed
+           |                      AND s.node = e.dst)),
+           |d$i AS MATERIALIZED (
+           |  SELECT seed, node, hops FROM d${i - 1}
+           |  UNION ALL
+           |  SELECT seed, node, CAST($i AS BIGINT) AS hops FROM f$i)"""
+          .stripMargin
+      val r = graft.graph.BfsHops.Rounds
+      val m = graft.graph.BfsHops.HarmonicSeedMod
+      s"""WITH cs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS MATERIALIZED (SELECT src, dst FROM cs
+         |      UNION ALL SELECT dst AS src, src AS dst FROM cs),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+         |        FROM e GROUP BY 1),
+         |d0 AS MATERIALIZED (
+         |  SELECT src AS seed, src AS node, CAST(0 AS BIGINT) AS hops
+         |  FROM deg WHERE src % 2 = 1 AND (src // 2) % $m = 0),
+         |f0 AS MATERIALIZED (SELECT seed, node FROM d0),
+         |${(1 to r).map(round).mkString(",\n")}
+         |SELECT CASE WHEN node % 2 = 0 THEN 'customer'
+         |            ELSE 'supplier' END AS kind,
+         |  CAST(node // 2 AS BIGINT) AS id,
+         |  CAST(count(*) AS BIGINT) AS n_sources,
+         |  CAST(SUM(1000000 // hops) AS BIGINT) AS harm_e6
+         |FROM d$r WHERE hops > 0 GROUP BY 1, 2""".stripMargin
     },
 
     // same incidence/edge derivation; sim² ppm and the (ppm, w, nbr)

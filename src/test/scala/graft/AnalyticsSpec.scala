@@ -1475,4 +1475,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(got("b").getAs[Long]("n_required") == 0L)
     assert(got("c").isNullAt(got("c").fieldIndex("n_required")))
   }
+
+  test("scd2Apply: close+open on change, passthrough on no-op and " +
+    "absent keys, insert on new keys, history untouched") {
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    val open = d(Analytics.Scd2OpenEnd)
+    val dim = Seq(
+      (1L, "A", d("1995-01-01"), d("1995-12-01"), 0L), // history
+      (1L, "B", d("1996-01-01"), open, 1L),            // will change
+      (2L, "X", d("1997-01-01"), open, 1L),            // no-op change
+      (3L, "Y", d("1997-06-01"), open, 1L))            // not in batch
+      .toDF("o_custkey", "attr", "valid_from", "valid_to", "is_current")
+    val changes = Seq((1L, "C"), (2L, "X"), (4L, "Z"))
+      .toDF("o_custkey", "attr")
+    val got = Analytics.scd2Apply(dim, changes, "1999-01-01")
+      .as[(Long, String, Date, Date, Long)].collect().toSet
+    graft.core.CacheBay.drain()
+    assert(got == Set(
+      (1L, "A", d("1995-01-01"), d("1995-12-01"), 0L),
+      (1L, "B", d("1996-01-01"), d("1998-12-31"), 0L),
+      (1L, "C", d("1999-01-01"), open, 1L),
+      (2L, "X", d("1997-01-01"), open, 1L),
+      (3L, "Y", d("1997-06-01"), open, 1L),
+      (4L, "Z", d("1999-01-01"), open, 1L)))
+  }
 }

@@ -74,4 +74,31 @@ class BfsHopsSpec extends SparkSpec {
     assert(got === want)
     assert(got.valuesIterator.exists(_ > 0L), "BFS never left the seeds")
   }
+
+  test("harmonicSampled: per-node sum of 1e6 div hops over both seeds " +
+    "of a hand graph; seeds excluded from their own score") {
+    // seeds = suppliers 0 and 100 (HarmonicSeedMod = 100):
+    //   s0 - c1 - s100 (both seeds 2 hops apart via c1)
+    //   s0 - c2 (only s0 side), c3 - s7 (disconnected from seeds)
+    val orders = Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 3L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((1L, 0L), (2L, 100L), (3L, 0L), (4L, 7L))
+      .toDF("l_orderkey", "l_suppkey")
+    val got = BfsHops.harmonicSampled(orders, lineitem)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    graft.core.CacheBay.drain()
+    // c1 at hop 1 from both seeds: 2 sources, 2e6
+    assert(got(("customer", 1L)) == ((2L, 2000000L)))
+    // c2 at hop 1 from s0, hop 3 from s100 (s100-c1-s0-c2):
+    // 1e6 + 1e6 div 3
+    assert(got(("customer", 2L)) == ((2L, 1000000L + 333333L)))
+    // each seed scores the OTHER seed at hop 2 (its own 0-hop row is
+    // excluded): 500000
+    assert(got(("supplier", 0L)) == ((1L, 500000L)))
+    assert(got(("supplier", 100L)) == ((1L, 500000L)))
+    // the disconnected pair never appears
+    assert(!got.contains(("supplier", 7L)) &&
+      !got.contains(("customer", 3L)))
+  }
 }
