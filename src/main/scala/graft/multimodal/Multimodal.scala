@@ -561,4 +561,106 @@ object Multimodal {
         md5(frame).as("frame_md5"),
         (length(frame) / lit(2)).cast("long").as("n_bytes"))
   }
+
+  case class ImageResize(doc_id: Long, in_w: Long, in_h: Long,
+    out_w: Long, out_h: Long, out_sum: Long, out_mean_e6: Long,
+    px00: Long)
+
+  /** X294: 2× box-downsample RESIZE over the real decoded raster —
+    * the "resize" leg the multimodal brief names beside decode and
+    * frame-sampling (thumbnailing / resolution normalization before
+    * feature extraction). Each output pixel is the floor mean of its
+    * 2×2 source block (`sum div 4` — non-negative, so truncation ≡
+    * floor in any engine); odd trailing rows/columns are dropped
+    * (the box grid's coverage rule), and images narrower than one
+    * block quarantine out like unreadable payloads. Emits the resized
+    * raster's integer evidence (sum, mean, the (0,0) probe pixel)
+    * rather than the raster itself, so the decode→resize path
+    * hash-matches the SQL replay of the synthetic pixel function —
+    * the X13 oracle device. Same batched [[mapPartitions]] decode
+    * seam; per-image cost is one raster pass. */
+  def resizeImage(batch: Seq[MediaRecord]): Seq[ImageResize] =
+    batch.flatMap { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      if (img == null || img.getWidth < 2 || img.getHeight < 2) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val raster = img.getRaster
+        val ow = w / 2
+        val oh = h / 2
+        var sum = 0L
+        var px00 = 0L
+        var by = 0
+        while (by < oh) {
+          var bx = 0
+          while (bx < ow) {
+            val s = raster.getSample(2 * bx, 2 * by, 0) +
+              raster.getSample(2 * bx + 1, 2 * by, 0) +
+              raster.getSample(2 * bx, 2 * by + 1, 0) +
+              raster.getSample(2 * bx + 1, 2 * by + 1, 0)
+            val v = s / 4
+            if (bx == 0 && by == 0) px00 = v
+            sum += v
+            bx += 1
+          }
+          by += 1
+        }
+        val n = ow.toLong * oh
+        Some(ImageResize(r.doc_id, w.toLong, h.toLong, ow.toLong,
+          oh.toLong, sum, sum * 1000000L / n, px00))
+      }
+    }
+
+  /** Resize query over the shared encoded-image table. */
+  def imageResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sharedImageTable(spark, dir)
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(resizeImage))
+      .toDF()
+  }
+
+  case class PcmDownsample(doc_id: Long, n_in: Long, n_out: Long,
+    sum_abs_out: Long, peak_out: Long)
+
+  /** X295: 2:1 decimation RESAMPLE over the PCM16LE decode — the
+    * audio counterpart of [[resizeImage]] (sample-rate normalization
+    * before feature extraction): each output sample is the floor mean
+    * of a non-overlapping input pair, `floorDiv(s₀+s₁, 2)` — FLOOR,
+    * not truncate, because samples are signed and the two semantics
+    * part ways below zero (DuckDB's `//` floors; the Scala leg says
+    * `math.floorDiv` so the engines agree). A trailing odd sample
+    * drops (no full pair). Evidence columns are the decimated
+    * signal's integer Σ|s| and peak. Same batched decode seam. */
+  def pcmDownsampleLeg(batch: Seq[MediaRecord]): Seq[PcmDownsample] =
+    batch.flatMap { r =>
+      val b = r.payload
+      val n = b.length / 2
+      if (n < 2) None
+      else {
+        def smp(i: Int): Long =
+          ((b(2 * i + 1).toInt << 8) | (b(2 * i) & 0xff)).toLong
+        val nOut = n / 2
+        var i = 0; var sumAbs = 0L; var peak = 0L
+        while (i < nOut) {
+          val v = math.floorDiv(smp(2 * i) + smp(2 * i + 1), 2L)
+          val a = math.abs(v)
+          sumAbs += a
+          if (a > peak) peak = a
+          i += 1
+        }
+        Some(PcmDownsample(r.doc_id, n.toLong, nOut.toLong, sumAbs,
+          peak))
+      }
+    }
+
+  /** Downsample query over the media table's PCM interpretation. */
+  def pcmDownsample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .mapPartitions(
+        _.grouped(DecodeBatchSize).flatMap(pcmDownsampleLeg))
+      .toDF()
+  }
 }

@@ -35,6 +35,13 @@ object MultimodalQueries {
     // that prunes the decode queue (extreme aspect / tiny assets)
     "multimodal_dim_profile" -> ((s, d) => Multimodal.dimProfile(s, d)),
     "multimodal_image_decode" -> ((s, d) => Multimodal.imageFeatures(s, d)),
+    // X294: 2x box-downsample resize over the real decoded raster —
+    // integer block means, odd edges dropped, (0,0) probe pixel
+    "multimodal_image_resize" -> ((s, d) => Multimodal.imageResize(s, d)),
+    // X295: 2:1 PCM decimation — floor pair means (floorDiv, signed),
+    // decimated-signal sum/peak evidence
+    "multimodal_pcm_downsample" -> ((s, d) =>
+      Multimodal.pcmDownsample(s, d)),
     "multimodal_ahash" -> ((s, d) => Multimodal.imageHashes(s, d)),
     "multimodal_ahash_pairs" -> ((s, d) =>
       Multimodal.ahashPairs(Multimodal.imageHashes(s, d))))
@@ -284,6 +291,64 @@ object MultimodalQueries {
          |         THEN 1 ELSE 0 END)), 0) AS BIGINT) AS edges
          |FROM px""".stripMargin
     },
+
+    // resize replay: the same pixel function grouped into 2x2 blocks
+    // (j -> bx = j % ow, by = j // ow; source index 2·by·w + 2·bx),
+    // floor block means; odd trailing rows/columns never indexed
+    "multimodal_image_resize" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |    (length(text) % 64) + 1 AS w, (length(text) % 48) + 1 AS h
+         |  FROM documents
+         |  WHERE length(text) > 0 AND (length(text) % 64) + 1 >= 2
+         |    AND (length(text) % 48) + 1 >= 2),
+         |px AS (
+         |  SELECT doc_id, w, h, w // 2 AS ow, h // 2 AS oh,
+         |    list_transform(range(0, w * h),
+         |      k -> ascii(text[(k % len) + 1:(k % len) + 1])) AS p
+         |  FROM m),
+         |bl AS (
+         |  SELECT doc_id, w, h, ow, oh,
+         |    list_transform(range(0, ow * oh), j ->
+         |      (p[(2 * (j // ow)) * w + 2 * (j % ow) + 1]
+         |       + p[(2 * (j // ow)) * w + 2 * (j % ow) + 2]
+         |       + p[(2 * (j // ow) + 1) * w + 2 * (j % ow) + 1]
+         |       + p[(2 * (j // ow) + 1) * w + 2 * (j % ow) + 2]) // 4)
+         |      AS q
+         |  FROM px)
+         |SELECT doc_id, CAST(w AS BIGINT) AS in_w,
+         |  CAST(h AS BIGINT) AS in_h, CAST(ow AS BIGINT) AS out_w,
+         |  CAST(oh AS BIGINT) AS out_h,
+         |  CAST(list_sum(q) AS BIGINT) AS out_sum,
+         |  CAST((CAST(list_sum(q) AS BIGINT) * 1000000) // (ow * oh)
+         |    AS BIGINT) AS out_mean_e6,
+         |  CAST(q[1] AS BIGINT) AS px00
+         |FROM bl""".stripMargin,
+
+    // decimation replay over the same PCM16LE list decode; // floors
+    // signed pair sums exactly like the Scala leg's floorDiv
+    "multimodal_pcm_downsample" ->
+      """WITH m AS (
+        |  SELECT doc_id, text FROM documents WHERE length(text) >= 4),
+        |s AS (
+        |  SELECT doc_id, list_transform(range(1, length(text)//2 + 1),
+        |    i -> CASE WHEN ascii(text[2*i:2*i]) >= 128
+        |              THEN ascii(text[2*i-1:2*i-1])
+        |                   + ascii(text[2*i:2*i]) * 256 - 65536
+        |              ELSE ascii(text[2*i-1:2*i-1])
+        |                   + ascii(text[2*i:2*i]) * 256 END) AS smp
+        |  FROM m),
+        |q AS (
+        |  SELECT doc_id, CAST(len(smp) AS BIGINT) AS n_in,
+        |    list_transform(range(1, len(smp)//2 + 1),
+        |      i -> (smp[2*i-1] + smp[2*i]) // 2) AS ds
+        |  FROM s)
+        |SELECT doc_id, n_in, CAST(len(ds) AS BIGINT) AS n_out,
+        |  CAST(COALESCE(list_sum(list_transform(ds, x -> abs(x))), 0)
+        |    AS BIGINT) AS sum_abs_out,
+        |  CAST(list_max(list_transform(ds, x -> abs(x))) AS BIGINT)
+        |    AS peak_out
+        |FROM q""".stripMargin,
 
     // aHash replay: the same pixel function, cell assignment
     // ((y·8)//h)·8 + (x·8)//w, integer cell means, global mean of

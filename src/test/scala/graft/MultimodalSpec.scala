@@ -248,4 +248,50 @@ class MultimodalSpec extends SparkSpec {
     graft.core.CacheBay.drain()
     assert(p == Seq((1L, 2L, 2L)), p.toString)
   }
+
+  test("resizeImage: 2x2 block floor means on a hand raster; " +
+    "sub-block images quarantine out") {
+    def png(w: Int, h: Int, vals: Array[Int]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (k <- vals.indices)
+        img.getRaster.setSample(k % w, k / w, 0, vals(k))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // 3x3: one 2x2 block survives; col 2 and row 2 drop
+    val r = Multimodal.resizeImage(Seq(
+      Multimodal.MediaRecord(1L, "image/png",
+        png(3, 3, Array(10, 20, 30, 41, 50, 60, 70, 80, 90)), 3, 3),
+      Multimodal.MediaRecord(2L, "image/png",
+        png(1, 5, Array(1, 2, 3, 4, 5)), 1, 5))) // w < 2 -> dropped
+    assert(r.length == 1)
+    val x = r.head
+    // block (10+20+41+50) / 4 = 121 div 4 = 30 (floor binds)
+    assert(x.out_w == 1L && x.out_h == 1L && x.px00 == 30L)
+    assert(x.out_sum == 30L && x.out_mean_e6 == 30000000L)
+  }
+
+  test("pcmDownsampleLeg: signed floor pair means (floorDiv, not " +
+    "truncate); trailing odd sample drops") {
+    def pcm(samples: Seq[Int]): Array[Byte] =
+      samples.flatMap(s =>
+        Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)).toArray
+    // [5, -3, 7]: one pair -> floorDiv(2, 2) = 1; the 7 drops
+    val a = Multimodal.pcmDownsampleLeg(Seq(
+      Multimodal.MediaRecord(1L, "audio/pcm", pcm(Seq(5, -3, 7)),
+        1, 1))).head
+    assert(a.n_in == 3L && a.n_out == 1L &&
+      a.sum_abs_out == 1L && a.peak_out == 1L)
+    // [-5, -4]: floorDiv(-9, 2) = -5 (truncation would say -4)
+    val b = Multimodal.pcmDownsampleLeg(Seq(
+      Multimodal.MediaRecord(2L, "audio/pcm", pcm(Seq(-5, -4)),
+        1, 1))).head
+    assert(b.sum_abs_out == 5L && b.peak_out == 5L)
+    // a lone sample has no pair -> quarantined
+    assert(Multimodal.pcmDownsampleLeg(Seq(
+      Multimodal.MediaRecord(3L, "audio/pcm", pcm(Seq(9)), 1, 1)))
+      .isEmpty)
+  }
 }
