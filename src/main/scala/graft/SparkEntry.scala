@@ -75,6 +75,13 @@ object SparkEntry {
     "X230_stream_static_enrichment" -> ("StreamEnrichSpec — " +
       "per-micro-batch dimension lookup; streamed result row-equals " +
       "the batch mirror, broadcast plan asserted"),
+    "X296_stream_sessionize" -> ("SessionStateSpec — event-time-" +
+      "timeout sessionizer emitting COMPLETE session records exactly " +
+      "once (gap-close with the closer's batch, watermark-timeout for " +
+      "successor-less sessions); cross-micro-batch session continuity " +
+      "and stream≡batch equality against the sharedSessions gap-" +
+      "island face proven on MemoryStream; the batch face's oracle-" +
+      "green consumers carry the SQL cross-check"),
     "S1_S3_S4_csv_folder_latest" -> "ReadersSpec",
     "S5_S6_S8_S12_jdbc" -> "JdbcSpec (DuckDB-JDBC round-trip)",
     "S10_S14_S15_sinks" -> "SinksSpec (side-effecting writes)",
