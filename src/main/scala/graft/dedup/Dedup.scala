@@ -128,6 +128,38 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"),
         count(lit(1)).as("n_copies"))
 
+  /** X298: dedup storage-savings report per source — the capacity
+    * answer the X1 exact-dedup verdict feeds ("how much does exact
+    * dedup shrink each source's corpus"): every non-keeper copy's
+    * characters are savings, attributed to the SOURCE THAT HOLDS THE
+    * COPY (the keeper is the global min doc_id, so a copy whose
+    * original lives in another source still counts against the copy's
+    * own source — that is where the bytes sit). Exact integers
+    * end-to-end; ppm by floor-div.
+    *
+    * Scale: the X1 fingerprint aggregate (fact-grain, map-side
+    * combinable), one keyed join back on the fingerprint, one
+    * source-grain rollup — no new heavy derivation. */
+  def dedupSavings(docs: DataFrame): DataFrame = {
+    val keep = exactDedup(docs)
+      .select(col("fp"), col("keep_id"))
+    docs.select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("n_chars"),
+        fingerprintMd5(col("text")).as("fp"))
+      .join(keep, Seq("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L))
+          .cast("long").as("dup_docs"),
+        sum(col("n_chars")).cast("long").as("chars_total"),
+        sum(when(col("doc_id") =!= col("keep_id"), col("n_chars"))
+          .otherwise(0L)).cast("long").as("chars_saved"))
+      .select(col("source"), col("n_docs"), col("dup_docs"),
+        col("chars_total"), col("chars_saved"),
+        expr("(chars_saved * 1000000) div greatest(chars_total, 1)")
+          .cast("long").as("saved_ppm"))
+  }
+
   /** The planted repeated-boilerplate paragraph — the same device as
     * the synthetic PII/URL fixtures: the corpus has no `\n\n`
     * structure, so `doc_id % 3 == 0` docs get a per-SOURCE boilerplate

@@ -859,4 +859,39 @@ object Recon {
         expr("chi2_e6 div nullif(n * " +
           "(least(levels_a, levels_b) - 1), 0)").cast("long"))
   }
+
+  /** X297: candidate-key discovery — the uniqueness profile a schema
+    * reviewer (or an auto-modeling tool) runs before declaring primary
+    * keys and grain: per declared candidate (single columns and
+    * composite tuples), the exact distinct count, uniqueness ppm, and
+    * the key verdict. The X226 FD audit answers "does A determine B";
+    * this answers the prior question "is A a key at all" — together
+    * they are the normalization workbench. NULL-bearing candidates
+    * are disqualified outright (SQL keys are NOT NULL by definition):
+    * `has_nulls` reports it and `is_key` is 0 regardless of distinct
+    * count.
+    *
+    * Scale: one aggregate PER CANDIDATE over the fact (map-side
+    * partial distinct via hash aggregate), results unioned — the
+    * candidate list is the bounded dimension, never the data. */
+  def keyDiscovery(df: DataFrame,
+      candidates: Seq[Seq[String]]): DataFrame =
+    candidates.map { cand =>
+      val tuple = if (cand.sizeIs > 1) struct(cand.map(col): _*)
+        else col(cand.head)
+      val anyNull = cand.map(c => col(c).isNull)
+        .reduce[Column](_ || _)
+      df.groupBy()
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          countDistinct(tuple).cast("long").as("n_distinct"),
+          sum(when(anyNull, 1L).otherwise(0L)).cast("long")
+            .as("n_null_rows"))
+        .select(lit(cand.mkString(",")).as("candidate"),
+          col("n_rows"), col("n_distinct"), col("n_null_rows"),
+          expr("(n_distinct * 1000000) div greatest(n_rows, 1)")
+            .cast("long").as("unique_ppm"),
+          when(col("n_distinct") === col("n_rows") &&
+            col("n_null_rows") === 0L, 1L).otherwise(0L)
+            .cast("long").as("is_key"))
+    }.reduce(_ unionByName _)
 }

@@ -23,6 +23,9 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Reg.strict(
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(docs(s, d))),
+    // X298: storage savings of exact dedup per source — non-keeper
+    // copies' characters, attributed to the source holding the copy
+    "dedup_savings" -> ((s, d) => Dedup.dedupSavings(docs(s, d))),
     // X273: paragraph-grain dedup (the C4 rule) — blank-line split,
     // exact cross-doc paragraph dedup (first (doc_id, pos) occurrence
     // kept), in-order reassembly; planted per-source boilerplate
@@ -248,6 +251,24 @@ object DedupQueries {
       s"""SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies
          |FROM (SELECT doc_id, md5($normSql) AS fp FROM documents)
          |GROUP BY fp""".stripMargin,
+
+    // same fingerprint grain joined back; savings = non-keeper chars
+    "dedup_savings" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+         |         md5($normSql) AS fp
+         |  FROM documents),
+         |k AS (SELECT fp, min(doc_id) AS keep_id FROM f GROUP BY 1)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS dup_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+         |  CAST(SUM(CASE WHEN doc_id <> keep_id THEN n_chars
+         |    ELSE 0 END) AS BIGINT) AS chars_saved,
+         |  CAST((SUM(CASE WHEN doc_id <> keep_id THEN n_chars
+         |      ELSE 0 END) * 1000000)
+         |    // greatest(SUM(n_chars), 1) AS BIGINT) AS saved_ppm
+         |FROM f JOIN k USING (fp) GROUP BY 1""".stripMargin,
 
     // paragraph split via chr(10) so no engine-side escape processing
     // is involved; rank window mirrors the Spark first-occurrence rule

@@ -133,6 +133,11 @@ object ReconQueries {
       Recon.chisqIndependence(Tables(s, d, "customer"),
         col("c_nationkey").cast("long"), col("c_mktsegment"))),
 
+    // X297: candidate-key discovery over the declared candidate list
+    // — exact distinct counts, NULL disqualification, key verdicts
+    "qc_key_discovery" -> ((s, d) =>
+      Recon.keyDiscovery(Tables(s, d, "orders"), KeyCandidates)),
+
     // X235: rare-level screen over part's categorical columns — the
     // pre-encoding fold-into-OTHER list; NULL is a level
     "qc_rare_levels" -> ((s, d) =>
@@ -316,7 +321,36 @@ object ReconQueries {
        |     ELSE CAST(CAST(ROUND($v, 1) AS DECIMAL(28,1)) AS VARCHAR)
        |END""".stripMargin
 
+  /** X297 candidate list — shared by the query and its oracle so the
+    * two cannot drift. */
+  private val KeyCandidates: Seq[Seq[String]] = Seq(
+    Seq("o_orderkey"), Seq("o_custkey"), Seq("o_orderdate"),
+    Seq("o_custkey", "o_orderdate"))
+
   val oracles: Map[String, String] = Reg.strict(
+    // one scalar-subquery block per candidate, generated from the
+    // same KeyCandidates constant as the Spark leg
+    "qc_key_discovery" -> {
+      def block(cand: Seq[String]): String = {
+        val cols = cand.mkString(", ")
+        val anyNull = cand.map(c => s"$c IS NULL").mkString(" OR ")
+        s"""SELECT '${cand.mkString(",")}' AS candidate,
+           |  CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_rows,
+           |  CAST((SELECT count(*) FROM
+           |    (SELECT DISTINCT $cols FROM orders)) AS BIGINT)
+           |    AS n_distinct,
+           |  CAST((SELECT SUM(CASE WHEN $anyNull THEN 1 ELSE 0 END)
+           |    FROM orders) AS BIGINT) AS n_null_rows""".stripMargin
+      }
+      s"""SELECT candidate, n_rows, n_distinct, n_null_rows,
+         |  CAST((n_distinct * 1000000) // greatest(n_rows, 1)
+         |    AS BIGINT) AS unique_ppm,
+         |  CAST(CASE WHEN n_distinct = n_rows AND n_null_rows = 0
+         |       THEN 1 ELSE 0 END AS BIGINT) AS is_key
+         |FROM (${KeyCandidates.map(block).mkString("\nUNION ALL\n")})"""
+        .stripMargin
+    },
+
     // same bits device as the X205 entropy oracle (length of the
     // binary form via format('{:b}', …)), applied to the cross-tab
     // and its two marginals; all operands non-negative so // ≡ div

@@ -363,4 +363,20 @@ class DedupSpec extends SparkSpec {
     val total = got.map(_._3).sum
     assert(got.forall(c => c._4 == c._3 * 1000000L / total))
   }
+
+  test("dedupSavings: non-keeper copies' chars count against the " +
+    "source holding the copy, cross-source included") {
+    val docs = Seq(
+      (1L, "same text", "a", 9L), // global keeper
+      (2L, "same text", "b", 9L), // cross-source copy -> b pays
+      (3L, "same text", "a", 9L), // same-source copy -> a pays
+      (4L, "unique", "b", 6L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val got = Dedup.dedupSavings(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got("a") == ((2L, 1L, 18L, 9L, 500000L)))
+    assert(got("b") == ((2L, 1L, 15L, 9L, 600000L)))
+  }
 }

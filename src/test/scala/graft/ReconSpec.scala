@@ -378,4 +378,22 @@ class ReconSpec extends SparkSpec {
     assert(d.getAs[Long]("cramers_v2_e6") == 1000000L)
     assert(i.getAs[Long]("cramers_v2_e6") == 0L)
   }
+
+  test("keyDiscovery: unique non-null column is a key; NULLs " +
+    "disqualify even a fully-distinct composite") {
+    val df = Seq(
+      (1L, Some(10L), "x"), (2L, Some(10L), "y"),
+      (3L, None: Option[Long], "y"))
+      .toDF("id", "k", "d")
+    val got = Recon.keyDiscovery(df,
+        Seq(Seq("id"), Seq("k"), Seq("k", "d")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got("id") == ((3L, 3L, 0L, 1000000L, 1L)))
+    // countDistinct ignores the NULL -> 1 level; the null row reports
+    assert(got("k") == ((3L, 1L, 1L, 333333L, 0L)))
+    // all three (k, d) tuples distinct, but the NULL disqualifies
+    assert(got("k,d") == ((3L, 3L, 1L, 1000000L, 0L)))
+  }
 }
