@@ -67,9 +67,6 @@ object SparkEntry {
       "(frozen final weights, integer micro-nats) is asserted to EXACT " +
       "integer values against an independent scalar re-derivation from " +
       "the raw events table"),
-    "sim_ivf_topk" -> ("SimilaritySpec — KMeans fit has no SQL oracle; " +
-      "planted-cluster recovery asserted; probe/rank mechanics " +
-      "oracle-green as sim_ivf_recall"),
     // operator surfaces with no queries entry (side-effecting /
     // driver-side / streaming-state semantics)
     "X230_stream_static_enrichment" -> ("StreamEnrichSpec — " +

@@ -79,27 +79,62 @@ class SimilaritySpec extends SparkSpec {
   test("IVF top-k recovers planted clusters and never beats brute force") {
     def coef(seed: Int, d: Int): Double =
       ((seed * 64L + d) * 1103515245L % 1000003L) / 1000003.0 - 0.5
-    // 10 clusters x 5 near-identical members; query = member 0 of each
+    // 10 clusters x 5 near-identical members, vec_id = c*5+m: the
+    // m=2 member of every cluster satisfies the vec_id % 5 == 2 seed
+    // rule, so lloydCentersE6 seeds exactly one center per planted
+    // cluster; queryMod=1 queries every vector
     val vecs = for { c <- 0 until 10; m <- 0 until 5 } yield
-      ((c * 5 + m).toLong * 25L, // every vec_id % 25 == 0 -> all queried
+      ((c * 5 + m).toLong,
         (1 to 64).map(d =>
           (coef(c, d) + 0.01 * coef(c * 5 + m + 500, d)).toFloat))
     val emb = vecs.toDF("vec_id", "embedding")
-    val ivf = Similarity.ivfTopK(emb, k = 4, nCells = 10, nProbe = 2)
+    val ivf = Similarity.ivfTopK(emb, k = 4, queryMod = 1,
+        nCells = 10, nProbe = 2)
       .select("q_id", "rank", "nn_id", "cos")
       .as[(Long, Long, Long, Double)].collect()
     assert(ivf.nonEmpty)
-    val bf = Similarity.bruteForceTopK(emb, k = 4)
+    val bf = Similarity.bruteForceTopK(emb, k = 4, queryMod = 1)
       .select("q_id", "nn_id", "cos").as[(Long, Long, Double)]
       .collect().map(t => (t._1, t._2) -> t._3).toMap
     ivf.foreach { case (q, _, n, c) =>
-      // in-cluster members only (cluster = vec_id/125 by construction)
-      assert(q / 125 == n / 125, s"query $q matched foreign vector $n")
+      // in-cluster members only (cluster = vec_id/5 by construction)
+      assert(q / 5 == n / 5, s"query $q matched foreign vector $n")
       // agrees with brute force where both rank the pair
       bf.get((q, n)).foreach(c2 => assert(math.abs(c - c2) < 1e-9))
     }
     // every query finds all 4 of its cluster siblings
     assert(ivf.groupBy(_._1).forall(_._2.length == 4))
+  }
+
+  test("lloydCentersE6 is deterministic and moves seeds toward the " +
+    "planted cluster centroids") {
+    def coef(seed: Int, d: Int): Double =
+      ((seed * 64L + d) * 1103515245L % 1000003L) / 1000003.0 - 0.5
+    val vecs = for { c <- 0 until 4; m <- 0 until 5 } yield
+      ((c * 5 + m).toLong,
+        (1 to 64).map(d =>
+          (coef(c, d) + 0.01 * coef(c * 5 + m + 900, d)).toFloat))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val c1 = Similarity.lloydCentersE6(emb, nCells = 4)
+    val c2 = Similarity.lloydCentersE6(emb, nCells = 4)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq,
+      "two fits over the same frame must be bit-identical")
+    assert(c1.length == 4 && c1.forall(_.length == 64))
+    // each final center sits near its cluster's exact quantized mean:
+    // within the ±1-per-round floor slack of the e6 grid
+    val byCluster = vecs.groupBy(_._1 / 5).map { case (c, vs) =>
+      c.toInt -> (0 until 64).map(d =>
+        math.floor(vs.map(v => math.floor(
+          v._2(d).toDouble * 1000000.0 + 0.5)).sum / vs.size).toLong)
+    }
+    // seeds were vec_id 2,7,12,17 -> clusters 0..3 in cell order
+    c1.zipWithIndex.foreach { case (center, cell) =>
+      val want = byCluster(cell)
+      center.zip(want).foreach { case (got, w) =>
+        assert(math.abs(got - w) <= 2L,
+          s"cell $cell drifted from its cluster mean: $got vs $w")
+      }
+    }
   }
 
   test("bucketed NN recovers planted near-duplicate clusters") {
