@@ -1119,21 +1119,46 @@ object Analytics {
       .filter(col("type_a") < col("type_b"))
     pairs.groupBy(col("type_a"), col("type_b"))
       .agg(count(lit(1)).cast("long").as("n_days"),
+        max(col("x")).cast("long").as("mx"),
+        max(col("y")).cast("long").as("my"),
         sum(col("x")).cast("long").as("sx"),
         sum(col("y")).cast("long").as("sy"),
         sum(col("x") * col("y")).cast("long").as("sxy"),
         sum(col("x") * col("x")).cast("long").as("sxx"),
         sum(col("y") * col("y")).cast("long").as("syy"))
       .select(col("type_a"), col("type_b"), col("n_days"),
-        col("sx"), col("sy"), col("sxy"),
+        col("mx"), col("my"),
+        col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"),
         expr("n_days * sxy - sx * sy").as("cov_n2"),
         expr("n_days * sxx - sx * sx").as("vx_n2"),
         expr("n_days * syy - sy * sy").as("vy_n2"))
       .select(col("type_a"), col("type_b"), col("n_days"),
         col("sx"), col("sy"), col("sxy"), col("cov_n2"),
         signum(col("cov_n2")).cast("long").as("cov_sign"),
+        // Pre-overflow witness (VERDICT r13 #2), two-tier: the loose
+        // double-space bounds n·mx·mx / n·my·my / n·mx·my ≤ 9e18
+        // prove every moment sum (Σxy ≤ n·mx·my, Σx² ≤ n·mx², …)
+        // never wrapped — the old guard tested cov_n2, computed FROM
+        // possibly-wrapped sums. The actual-value div-form checks
+        // then run on TRUSTWORTHY integers and keep the original
+        // firing thresholds: |n·Σxy| and |Σx·Σy| each ≤ Long.Max/2
+        // so their difference cannot wrap, n·Σx² ≤ Long.Max with
+        // (Σx)² ≤ n·Σx² by Cauchy-Schwarz for the variances (`and`
+        // short-circuits left-to-right in codegen, so cov² only
+        // computes once |cov| ≤ √Long.Max holds).
         expr("case when vx_n2 = 0 or vy_n2 = 0 then 0 else " +
           "coalesce(cast(assert_true(" +
+          "cast(n_days as double) * cast(mx as double) * " +
+          "cast(mx as double) <= 9.0e18 and " +
+          "cast(n_days as double) * cast(my as double) * " +
+          "cast(my as double) <= 9.0e18 and " +
+          "cast(n_days as double) * cast(mx as double) * " +
+          "cast(my as double) <= 9.0e18 and " +
+          "abs(sxy) <= 4611686018427387903 div greatest(n_days, 1) " +
+          "and abs(sx) <= 4611686018427387903 div " +
+          "greatest(abs(sy), 1) and " +
+          "sxx <= 9223372036854775807 div greatest(n_days, 1) and " +
+          "syy <= 9223372036854775807 div greatest(n_days, 1) and " +
           "abs(cov_n2) <= 3037000499 and " +
           "cov_n2 * cov_n2 <= 9223372036854775807 div 1000000 and " +
           "vx_n2 <= 9223372036854775807 div vy_n2," +
@@ -1298,13 +1323,22 @@ object Analytics {
       .agg(count(lit(1)).cast("long").as("n_active"),
         (max(col("mi")) - min(col("mi")) + 1).cast("long")
           .as("span_months"),
+        max(abs(col("q"))).cast("long").as("max_abs_q"),
         sum(col("q")).cast("long").as("s"),
         sum(col("q") * col("q")).cast("long").as("ss"))
       .select(col("l_partkey"), col("n_active"), col("span_months"),
         expr("(span_months * 1000000) div n_active").as("adi_e6"),
+        // Pre-overflow witness (VERDICT r13 #2), two-tier: the loose
+        // double-space bound n·max|q| ≤ 9e18 proves S never wrapped;
+        // the original `s <= √Long.Max` then tests the TRUSTWORTHY
+        // sum (a wrapped S lands negative and would sail under the
+        // one-sided `<=` without the witness), and via Cauchy-Schwarz
+        // (Σq² ≤ (Σq)² on non-negatives) also bounds ss and n·ss
+        // pre-wrap — `and` short-circuits left-to-right, so the later
+        // conjuncts only run once the earlier ones hold.
         expr("coalesce(cast(assert_true(" +
-          "s <= 3037000499 and n_active <= 9223372036854775807 div ss" +
-          " and (n_active * ss - s * s) <=" +
+          "cast(n_active as double) * cast(max_abs_q as double) <= " +
+          "9.0e18 and s <= 3037000499 and (n_active * ss - s * s) <=" +
           " 9223372036854775807 div 1000000," +
           " 'intermittency cv2 exceeds the Long-exact range " +
           "(S^2, n*sum(q^2) or the e6-scaled variance numerator " +
@@ -1336,13 +1370,24 @@ object Analytics {
         cents.as("cents"))
       .groupBy(col("m"))
       .agg(count(lit(1)).cast("long").as("n_orders"),
+        max(abs(col("cents"))).cast("long").as("max_abs_cents"),
         sum(col("cents")).cast("long").as("cents"))
     val tot = m.agg(sum(col("n_orders")).cast("long").as("tn"),
       sum(col("cents")).cast("long").as("tc"))
     m.crossJoin(broadcast(tot))
       .select(col("m"), col("n_orders"), col("cents"),
+        // Pre-overflow witness (VERDICT r13 #2), two-tier: the loose
+        // double-space bound n_orders·max|cents| ≤ 9e18 proves the
+        // month sum never wrapped (max|cents| is a per-order
+        // quantization, never a sum); the original 12e6-headroom
+        // checks then test the TRUSTWORTHY sum — a wrapped cents
+        // lands negative and would sail under the one-sided `<=`
+        // without the witness. Every month passing also bounds tc
+        // (≤ 12 trustworthy month sums).
         expr("coalesce(cast(assert_true(" +
-          "cents <= 9223372036854775807 div 12000000 and" +
+          "cast(n_orders as double) * cast(max_abs_cents as double)" +
+          " <= 9.0e18 and" +
+          " cents <= 9223372036854775807 div 12000000 and" +
           " n_orders <= 9223372036854775807 div 12000000," +
           " 'seasonal index exceeds the Long-exact range: shard the " +
           "sums or move to decimal(38)') as bigint), 0)" +
@@ -1352,7 +1397,9 @@ object Analytics {
         // other column — and its assert with it (the FuzzyMatch
         // projection-pruning trap)
         expr("coalesce(cast(assert_true(" +
-          "cents <= 9223372036854775807 div 12000000," +
+          "cast(n_orders as double) * cast(max_abs_cents as double)" +
+          " <= 9.0e18 and" +
+          " cents <= 9223372036854775807 div 12000000," +
           " 'seasonal index exceeds the Long-exact range: shard the " +
           "sums or move to decimal(38)') as bigint), 0)" +
           " + ((cents * 12000000) div tc)").as("revenue_idx_e6"))
@@ -1434,14 +1481,20 @@ object Analytics {
           " as bigint), 0) + n").as("n")))
     val base = daily.groupBy(col("k"))
       .agg(count(lit(1)).cast("long").as("n_days"),
+        max(col("n")).cast("long").as("max_n"),
         sum(col("n") * col("n")).cast("long").as("energy"))
       // second overflow gate: the ratio computes dot·10⁶, and
       // dot ≤ energy (rearrangement inequality on the same series),
       // so energy·10⁶ fitting Long bounds every lag's numerator; the
-      // per-day cap above bounds one term, not the SUM over many days
+      // per-day cap above bounds one term, not the SUM over many days.
+      // Pre-overflow witness (VERDICT r13 #2): n_days·max(n)²·10⁶ in
+      // double space bounds the energy sum BEFORE a wrap — testing
+      // the summed energy itself would let a wrapped (negative) value
+      // sail under the one-sided `<=`.
       .select(col("k"),
         expr("coalesce(cast(assert_true(" +
-          "energy <= 9223372036854775807 div 1000000," +
+          "cast(n_days as double) * cast(max_n as double) * " +
+          "cast(max_n as double) * 1000000.0 <= 9.0e18," +
           " 'autocorrelation energy exceeds the Long-exact e6 range:" +
           " rescale counts or shorten the window') as bigint), 0)" +
           " + n_days").as("n_days"),
@@ -1949,13 +2002,32 @@ object Analytics {
         .over(Window.partitionBy(col(key))))
     val st = based.groupBy(col(key))
       .agg(count(lit(1)).cast("long").as("n"),
+        max(abs(col("_x"))).cast("long").as("max_ax"),
+        max(abs(col(y))).cast("long").as("max_ay"),
         sum(col("_x")).cast("long").as("sx"),
         sum(col(y)).cast("long").as("sy"),
         sum(col("_x") * col(y)).cast("long").as("sxy"),
         sum(col("_x") * col("_x")).cast("long").as("sxx"))
     st.select(col(key), col("n").as("n_points"),
+      // Pre-overflow witness (VERDICT r13 #2), two-tier: the loose
+      // double-space bounds n·max|x|·max|y| / n·max|x|² / n·max|y|
+      // ≤ 9e18 prove every moment sum never wrapped — the old guard
+      // tested |n·Σxy − Σx·Σy| computed FROM possibly-wrapped sums.
+      // The actual-value div-form checks then run on TRUSTWORTHY
+      // integers: |n·Σxy| and |Σx·Σy| each ≤ Long.Max/2 so their
+      // difference cannot wrap, n·Σx² ≤ Long.Max with (Σx)² ≤ n·Σx²
+      // by Cauchy-Schwarz for the denominator, then the original e6
+      // bar on the true numerator.
       expr("coalesce(cast(assert_true(" +
-        "abs(n * sxy - sx * sy) <= 9223372036854775807 div 1000000," +
+        "cast(n as double) * cast(max_ax as double) * " +
+        "cast(max_ay as double) <= 9.0e18 and " +
+        "cast(n as double) * cast(max_ax as double) * " +
+        "cast(max_ax as double) <= 9.0e18 and " +
+        "cast(n as double) * cast(max_ay as double) <= 9.0e18 and " +
+        "abs(sxy) <= 4611686018427387903 div greatest(n, 1) and " +
+        "abs(sx) <= 4611686018427387903 div greatest(abs(sy), 1) and " +
+        "sxx <= 9223372036854775807 div greatest(n, 1) " +
+        "and abs(n * sxy - sx * sy) <= 9223372036854775807 div 1000000," +
         " 'trend numerator exceeds the Long-exact e6 range: rescale " +
         "y or re-base x') as bigint), 0) + " +
         "(case when n * sxx - sx * sx = 0 then null else " +
@@ -2324,13 +2396,24 @@ object Analytics {
         max(col("m")).cast("long").as("m_last"),
         max(when(col("rn") === 1, col("qty"))).cast("long")
           .as("qty_last"),
+        max(abs(col("qty"))).cast("long").as("max_abs_qty"),
         sum(col("qty") *
           expr("shiftleft(cast(1 as bigint), " +
             "cast(greatest(k - rn - 1, 0) as int))"))
           .cast("long").as("s_num"))
       .select(col("l_suppkey"), col("n_months"), col("m_last"),
         col("qty_last"),
-        expr("coalesce(cast(assert_true(s_num <= 9000000000000, " +
+        // Pre-overflow witness (the twap pattern): the shifted weights
+        // sum to exactly 2^(k−1), so max|qty|·2^(n_months−1) bounds
+        // every partial AND the final sum in double space BEFORE a
+        // Long wrap can occur — asserting on the summed s_num itself
+        // cannot work (a wrap lands negative and sails under `<=`).
+        // max|qty| is itself an unweighted max of row-bounded month
+        // sums, never a wrappable quantity.
+        expr("coalesce(cast(assert_true(" +
+          "cast(max_abs_qty as double) * " +
+          "cast(shiftleft(cast(1 as bigint), " +
+          "cast(n_months - 1 as int)) as double) <= 9.0e12, " +
           "'SES e6 scaling exceeds the Long-exact range: shorten the " +
           "half-life window or slice finer') as bigint), 0) + " +
           "(s_num * 1000000) div shiftleft(cast(1 as bigint), " +
@@ -2410,11 +2493,19 @@ object Analytics {
         floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("n"),
+        max(abs(col("cents"))).cast("long").as("max_abs_cents"),
         sum(col("cents")).cast("long").as("sum_cents"),
         sum(col("cents") * col("cents")).cast("long").as("sum_sq"))
       .select(col("event_type"), col("n"), col("sum_cents"),
         col("sum_sq"),
+        // Pre-overflow witness (VERDICT r13 #2): n·max|cents|² ≤ 9e18
+        // in double space proves the Long sums (Σc², |Σc| ≤ the same
+        // bound) never wrapped BEFORE the decimal(38) headroom check
+        // reads them — the old witness multiplied the possibly-wrapped
+        // sum_sq itself.
         expr("coalesce(cast(assert_true(" +
+          "cast(n as double) * cast(max_abs_cents as double) * " +
+          "cast(max_abs_cents as double) <= 9.0e18 and " +
           "cast(n as double) * sum_sq * 6400.0 <= 0.9e38, " +
           "'MDE decimal(38) headroom exceeded: slice finer') " +
           "as bigint), 0) + " +
@@ -2466,6 +2557,8 @@ object Analytics {
       .agg(count(lit(1)).cast("long").as("n_events"),
         max(when(col("rn") === 1, col("z"))).cast("long").as("z_last"),
         max(when(col("rn") === 1, col("p"))).cast("long").as("p_last"),
+        max(abs(col("z"))).cast("long").as("max_abs_z"),
+        max(abs(col("p"))).cast("long").as("max_abs_p"),
         sum(col("z") * expr("shiftleft(cast(1 as bigint), " +
           "cast(greatest(k - rn - 1, 0) as int))")).cast("long")
           .as("zn"),
@@ -2474,7 +2567,19 @@ object Analytics {
           .as("pn"))
       .select(col("l_suppkey"), col("n_events"), col("z_last"),
         col("p_last"),
-        expr("coalesce(cast(assert_true(zn <= 9000000000000, " +
+        // Pre-overflow witness (VERDICT r13 #2, the twap pattern): the
+        // shifted weights sum to exactly 2^(k−1), so max|z|·2^(k−1)
+        // bounds the Z sum — and max|p|·2^(k−1) the P denominator sum
+        // (previously unguarded) — in double space BEFORE a Long wrap
+        // can occur. Asserting on the summed zn itself cannot work: a
+        // wrap lands negative and sails under the one-sided `<=`.
+        expr("coalesce(cast(assert_true(" +
+          "cast(max_abs_z as double) * " +
+          "cast(shiftleft(cast(1 as bigint), " +
+          "cast(n_events - 1 as int)) as double) <= 9.0e12 and " +
+          "cast(max_abs_p as double) * " +
+          "cast(shiftleft(cast(1 as bigint), " +
+          "cast(n_events - 1 as int)) as double) <= 9.0e18, " +
           "'Croston e6 scaling exceeds the Long-exact range: shorten " +
           "the window or slice finer') as bigint), 0) + " +
           "(zn * 1000000) div pn").cast("long").as("croston_rate_e6"))

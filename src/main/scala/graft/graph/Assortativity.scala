@@ -32,14 +32,25 @@ object Assortativity {
     und.join(deg, Seq("u"))
       .join(deg.select(col("u").as("v"), col("du").as("dv")), Seq("v"))
       .agg(count(lit(1)).cast("long").as("n_ends"),
+        max(col("du")).cast("long").as("max_du"),
         sum(col("du")).cast("long").as("s_x"),
         sum(col("du") * col("dv")).cast("long").as("s_xy"),
         sum(col("du") * col("du")).cast("long").as("s_x2"))
       .select(col("n_ends"), col("s_x"), col("s_xy"), col("s_x2"),
+        // Pre-overflow witness (VERDICT r13 #2), two-tier: the loose
+        // double-space bound n_ends·max(deg) ≤ 9e18 proves Σdu never
+        // wrapped; the original `s_x <= √Long.Max` then tests the
+        // TRUSTWORTHY sum (a wrap — one hub with ~3·10⁹ edge-ends
+        // squares past 2⁶³ — lands negative and would sail under the
+        // one-sided `<=` without the witness), and via Cauchy-Schwarz
+        // on non-negative degrees (Σa² ≤ (Σa)², Σab ≤ √(Σa²·Σb²))
+        // also bounds Σdu² and Σdu·dv pre-wrap, making the n·Σ
+        // product checks sound.
         expr("coalesce(cast(assert_true(" +
+          "cast(n_ends as double) * cast(max_du as double) <= " +
+          "9.0e18 and s_x <= 3037000499 and " +
           "n_ends <= 9223372036854775807 div greatest(s_xy, 1) and " +
-          "n_ends <= 9223372036854775807 div greatest(s_x2, 1) and " +
-          "s_x <= 3037000499," +
+          "n_ends <= 9223372036854775807 div greatest(s_x2, 1)," +
           " 'assortativity moments exceed the Long-exact range: move " +
           "to decimal(38)') as bigint), 0)" +
           " + (n_ends * s_xy - s_x * s_x)").as("num"),

@@ -55,11 +55,13 @@ object Hits {
     for (_ <- 1 to iters) {
       auth = normalized(
         cs.join(hub.withColumnRenamed("node", "src"), Seq("src"))
-          .groupBy(col("dst")).agg(sum(col("s")).cast("long").as("raw"))
+          .groupBy(col("dst")).agg(sum(col("s")).cast("long").as("raw"),
+            count(lit(1)).cast("long").as("deg"))
           .withColumnRenamed("dst", "node"))
       hub = normalized(
         cs.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
-          .groupBy(col("src")).agg(sum(col("s")).cast("long").as("raw"))
+          .groupBy(col("src")).agg(sum(col("s")).cast("long").as("raw"),
+            count(lit(1)).cast("long").as("deg"))
           .withColumnRenamed("src", "node"))
     }
     hub.select(lit("customer").as("kind"),
@@ -84,8 +86,16 @@ object Hits {
     raw.join(broadcast(
         raw.agg(greatest(max(col("raw")), lit(1L)).as("m"))))
       .select(col("node"),
-        expr("coalesce(cast(assert_true(cast(m as double) <= " +
-          s"$MaxMass, 'HITS mass exceeds the Long-exact range') " +
+        // Pre-overflow witness (VERDICT r13 #2): scores are ≤ 10⁶ by
+        // the max-normalization invariant, so deg·10⁶ bounds each
+        // node's raw sum in double space BEFORE a wrap — checking
+        // only max(raw) cannot see a node whose sum wrapped negative
+        // (it simply stops being the max). The MaxMass check on the
+        // max then runs on trustworthy sums and covers every raw.
+        expr("coalesce(cast(assert_true(" +
+          "cast(deg as double) * 1.0e6 <= 9.0e18 and " +
+          s"cast(m as double) <= $MaxMass, " +
+          "'HITS mass exceeds the Long-exact range') " +
           "as bigint), 0) + (raw * 1000000 div m)")
           .cast("long").as("s"))
   }

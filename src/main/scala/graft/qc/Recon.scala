@@ -426,10 +426,19 @@ object Recon {
         .orderBy(col("dollars"), col("o_custkey"))).cast("long"))
     ranked.groupBy(col("n_name"))
       .agg(count(lit(1)).cast("long").as("n_members"),
+        max(abs(col("dollars"))).cast("long").as("max_abs_dollars"),
         sum(col("dollars")).cast("long").as("total_dollars"),
         sum(col("rk") * col("dollars")).cast("long").as("rank_weighted"))
       .select(col("n_name"), col("n_members"), col("total_dollars"),
+        // Pre-overflow witness (VERDICT r13 #2), two-tier: ranks are
+        // ≤ n_members, so n²·max|dollars| ≤ 9e18 in double space
+        // proves BOTH the rank-weighted sum and the plain total never
+        // wrapped (a wrapped sum lands negative and sails under the
+        // one-sided `<=`); the original actual-value headroom checks
+        // then run on trustworthy sums.
         expr("coalesce(cast(assert_true(" +
+          "cast(n_members as double) * cast(n_members as double) * " +
+          "cast(max_abs_dollars as double) <= 9.0e18 and " +
           // the numerator multiplies (n_members + 1), not n_members —
           // guard the actual factor or the product wraps just under 2^63
           "(n_members + 1) <= 9223372036854775807 div " +
@@ -871,27 +880,43 @@ object Recon {
     * `has_nulls` reports it and `is_key` is 0 regardless of distinct
     * count.
     *
-    * Scale: one aggregate PER CANDIDATE over the fact (map-side
-    * partial distinct via hash aggregate), results unioned — the
-    * candidate list is the bounded dimension, never the data. */
+    * Scale (VERDICT r13 #3): ONE aggregate over ONE scan of the fact
+    * for ALL candidates — every candidate's `countDistinct(struct…)`
+    * and null count land in the same `groupBy()`, which Catalyst
+    * plans as a single table read + Expand (one row copy per distinct
+    * group, map-side partial dedup before the one shuffle), then a
+    * bounded `stack` unpivot to candidate-grain rows. The previous
+    * per-candidate `df.groupBy().agg(...).reduce(union)` read the
+    * table N times — at 100 TB, N candidate keys meant N full scans
+    * where one suffices. The candidate list stays the bounded
+    * dimension, never the data. */
   def keyDiscovery(df: DataFrame,
-      candidates: Seq[Seq[String]]): DataFrame =
-    candidates.map { cand =>
-      val tuple = if (cand.sizeIs > 1) struct(cand.map(col): _*)
-        else col(cand.head)
-      val anyNull = cand.map(c => col(c).isNull)
-        .reduce[Column](_ || _)
-      df.groupBy()
-        .agg(count(lit(1)).cast("long").as("n_rows"),
-          countDistinct(tuple).cast("long").as("n_distinct"),
+      candidates: Seq[Seq[String]]): DataFrame = {
+    require(candidates.nonEmpty, "keyDiscovery: no candidates")
+    val aggs: Seq[Column] = candidates.zipWithIndex.flatMap {
+      case (cand, i) =>
+        val tuple = if (cand.sizeIs > 1) struct(cand.map(col): _*)
+          else col(cand.head)
+        val anyNull = cand.map(c => col(c).isNull)
+          .reduce[Column](_ || _)
+        Seq(countDistinct(tuple).cast("long").as(s"d$i"),
           sum(when(anyNull, 1L).otherwise(0L)).cast("long")
-            .as("n_null_rows"))
-        .select(lit(cand.mkString(",")).as("candidate"),
-          col("n_rows"), col("n_distinct"), col("n_null_rows"),
-          expr("(n_distinct * 1000000) div greatest(n_rows, 1)")
-            .cast("long").as("unique_ppm"),
-          when(col("n_distinct") === col("n_rows") &&
-            col("n_null_rows") === 0L, 1L).otherwise(0L)
-            .cast("long").as("is_key"))
-    }.reduce(_ unionByName _)
+            .as(s"z$i"))
+    }
+    val allAggs = count(lit(1)).cast("long").as("n_rows") +: aggs
+    val one = df.groupBy().agg(allAggs.head, allAggs.tail: _*)
+    val stackArgs = candidates.indices.map { i =>
+      s"'${candidates(i).mkString(",")}', d$i, z$i"
+    }.mkString(", ")
+    one.selectExpr("n_rows",
+        s"stack(${candidates.size}, $stackArgs) " +
+          "as (candidate, n_distinct, n_null_rows)")
+      .select(col("candidate"), col("n_rows"), col("n_distinct"),
+        col("n_null_rows"),
+        expr("(n_distinct * 1000000) div greatest(n_rows, 1)")
+          .cast("long").as("unique_ppm"),
+        when(col("n_distinct") === col("n_rows") &&
+          col("n_null_rows") === 0L, 1L).otherwise(0L)
+          .cast("long").as("is_key"))
+  }
 }

@@ -1348,11 +1348,19 @@ object Similarity {
           .cast("long").as("v"))
     q.groupBy(col("dim"))
       .agg(count(lit(1)).cast("long").as("n"),
+        max(abs(col("v"))).cast("long").as("max_abs_v"),
         sum(col("v")).cast("long").as("sum_e6"),
         sum(col("v") * col("v")).cast("long").as("sumsq_e12"))
       .select(col("dim"), col("n"), col("sum_e6"),
+        // Pre-overflow witness (VERDICT r13 #2): n·max|v| ≤ 2⁵³ and
+        // n·max|v|² ≤ 9e18 in double space bound both sums BEFORE a
+        // wrap — the old `sumsq_e12 >= 0` tested the summed Long,
+        // which a double wrap can leave positive.
         expr("coalesce(cast(assert_true(" +
-          "abs(sum_e6) <= 9007199254740992 and sumsq_e12 >= 0, " +
+          "cast(n as double) * cast(max_abs_v as double) <= " +
+          "9007199254740992.0 and " +
+          "cast(n as double) * cast(max_abs_v as double) * " +
+          "cast(max_abs_v as double) <= 9.0e18, " +
           "'dim-stats sums exceed the double-exact / Long range') " +
           "as bigint), 0) + cast(floor(sum_e6 / n) as bigint)")
           .as("mean_e6"),
@@ -1401,15 +1409,24 @@ object Similarity {
           .cast("long").as("vj"))
     pairs.groupBy(col("i"), col("j"))
       .agg(count(lit(1)).cast("long").as("n"),
+        max(abs(col("vi"))).cast("long").as("max_abs_i"),
+        max(abs(col("vj"))).cast("long").as("max_abs_j"),
         sum(col("vi")).cast("long").as("sum_i_e6"),
         sum(col("vj")).cast("long").as("sum_j_e6"),
         sum(col("vi") * col("vj")).cast("long").as("sum_ij_e12"))
       .select(col("i"), col("j"), col("n"),
         col("sum_i_e6"), col("sum_j_e6"),
+        // Pre-overflow witness (VERDICT r13 #2): n·max|vi|·max|vj| and
+        // the two marginal n·max bounds ≤ 2⁵³ in double space bound
+        // every sum BEFORE a wrap — the old abs() checks tested the
+        // summed Longs, which a deep wrap can land back inside ±2⁵³.
         expr("coalesce(cast(assert_true(" +
-          "abs(sum_ij_e12) <= 9007199254740992 and " +
-          "abs(sum_i_e6) <= 9007199254740992 and " +
-          "abs(sum_j_e6) <= 9007199254740992, " +
+          "cast(n as double) * cast(max_abs_i as double) * " +
+          "cast(max_abs_j as double) <= 9007199254740992.0 and " +
+          "cast(n as double) * cast(max_abs_i as double) <= " +
+          "9007199254740992.0 and " +
+          "cast(n as double) * cast(max_abs_j as double) <= " +
+          "9007199254740992.0, " +
           "'covariance sums exceed the double-exact range') " +
           "as bigint), 0) + sum_ij_e12").cast("long").as("sum_ij_e12"),
         (expr("cast(floor(sum_ij_e12 / n) as bigint)") -

@@ -1105,17 +1105,42 @@ object CorpusStats {
           .as("zerov"))
       .groupBy(col("source"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
+        max(col("words")).cast("long").as("max_words"),
+        max(col("vg") + col("zerov")).cast("long").as("max_syl"),
         sum(col("words")).cast("long").as("words"),
         sum(col("vg") + col("zerov")).cast("long").as("syllables"),
         sum(col("mono")).cast("long").as("mono"))
       .select(col("source"), col("n_docs"), col("words"),
         col("syllables"), col("mono"),
-        expr("coalesce(cast(assert_true(words <= 600000000000, " +
+        // Pre-overflow witness (VERDICT r13 #2), two-tier: the loose
+        // double-space bounds n_docs·max(words) / n_docs·max(syl)
+        // ≤ 9e18 prove the corpus sums never wrapped (per-doc counts
+        // are row-bounded, never sums); the original e6 bar then
+        // tests the TRUSTWORTHY total — a wrapped sum lands negative
+        // and would sail under the one-sided `<=` without it. mono ≤
+        // words per doc, so the words witness covers the mono sum.
+        expr("coalesce(cast(assert_true(" +
+          "cast(n_docs as double) * cast(max_words as double) <= " +
+          "9.0e18 and " +
+          "cast(n_docs as double) * cast(max_syl as double) <= " +
+          "9.0e18 and words <= 600000000000 and " +
+          "syllables <= 9223372036854775807 div 1000000, " +
           "'FORCAST e6 scaling exceeds the Long-exact range: " +
           "audit a finer slice') as bigint), 0) + " +
           "(20000000 - (15000000 * mono) div greatest(words, 1))")
           .cast("long").as("forcast_grade_e6"),
-        expr("(1000000 * syllables) div greatest(words, 1)")
+        // witness duplicated HERE, not only in forcast_grade_e6: a
+        // consumer projecting spw_e6 alone lets Catalyst prune the
+        // other column — and its assert with it
+        expr("coalesce(cast(assert_true(" +
+          "cast(n_docs as double) * cast(max_words as double) <= " +
+          "9.0e18 and " +
+          "cast(n_docs as double) * cast(max_syl as double) <= " +
+          "9.0e18 and " +
+          "syllables <= 9223372036854775807 div 1000000, " +
+          "'FORCAST e6 scaling exceeds the Long-exact range: " +
+          "audit a finer slice') as bigint), 0) + " +
+          "(1000000 * syllables) div greatest(words, 1)")
           .cast("long").as("spw_e6"))
   }
 
@@ -1164,9 +1189,18 @@ object CorpusStats {
         explode(split(col("phrase"), " ")).as("word"))
       .groupBy(col("source"), col("word"))
       .agg(count(lit(1)).cast("long").as("freq"),
+        max(col("plen")).cast("long").as("max_plen"),
         sum(col("plen")).cast("long").as("deg"))
       .select(col("source"), col("word"),
-        expr("coalesce(cast(assert_true(deg <= 600000000000, " +
+        // Pre-overflow witness (VERDICT r13 #2), two-tier: the loose
+        // double-space bound freq·max(plen) ≤ 9e18 proves the degree
+        // sum never wrapped (plen is a per-phrase length, never a
+        // sum); the original e6 bar then tests the TRUSTWORTHY sum —
+        // a wrapped deg lands negative and would sail under the
+        // one-sided `<=` without it.
+        expr("coalesce(cast(assert_true(" +
+          "cast(freq as double) * cast(max_plen as double) <= " +
+          "9.0e18 and deg <= 600000000000, " +
           "'RAKE e6 scaling exceeds the Long-exact range: audit a " +
           "finer slice') as bigint), 0) + " +
           "(deg * 1000000) div freq").cast("long").as("score_e6"))

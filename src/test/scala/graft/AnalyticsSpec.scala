@@ -1376,6 +1376,73 @@ class AnalyticsSpec extends SparkSpec {
     assert(got("C").isNullAt(7)) // no hi tier -> no slope
   }
 
+  test("pre-overflow witnesses fire on wrap-scale inputs BEFORE the " +
+    "sum goes bad (the guards the one-sided post-sum checks missed)") {
+    import java.sql.Timestamp
+    def t(ym: String) = Timestamp.valueOf(s"$ym-15 00:00:00")
+    def fires(msgs: String*)(body: => Unit): Unit = {
+      val e = intercept[Exception](body)
+      def all(x: Throwable): Seq[String] =
+        if (x == null) Nil
+        else Option(x.getMessage).toSeq ++ all(x.getCause)
+      assert(all(e).exists(m => msgs.exists(m.contains)),
+        s"expected one of $msgs in: ${all(e).mkString(" | ")}")
+    }
+    // SES: one month of qty 10^13 -> max|qty|*2^0 > 9e12
+    fires("SES e6 scaling exceeds") {
+      val li = Seq((1L, t("1997-01"), 1.0e13))
+        .toDF("l_suppkey", "l_shipdate", "l_quantity")
+      Analytics.sesHalfLife(Analytics.supplierMonthlyDense(li)).collect()
+    }
+    // Croston: two demand months of z = 10^13 -> max|z|*2^0 > 9e12
+    fires("Croston e6 scaling exceeds") {
+      val li = Seq((1L, t("1997-01"), 1.0e13), (1L, t("1997-02"), 1.0e13))
+        .toDF("l_suppkey", "l_shipdate", "l_quantity")
+      Analytics.crostonRate(li).collect()
+    }
+    // intermittency: q = 2e9 twice — every sum stays Long-safe, but
+    // the true S = 4e9 clears the √Long.Max bar the squared terms
+    // need. Under Spark 4's default ANSI mode the CSE-hoisted s·s
+    // multiply throws ARITHMETIC_OVERFLOW before the guard message
+    // can surface — equally loud; the witness text is what a
+    // non-ANSI deployment (where the wrap would otherwise be SILENT)
+    // sees, so both are accepted
+    fires("intermittency cv2 exceeds", "ARITHMETIC_OVERFLOW") {
+      val li = Seq((1L, t("1997-01"), 2.0e9), (1L, t("1997-02"), 2.0e9))
+        .toDF("l_partkey", "l_shipdate", "l_quantity")
+      Analytics.intermittencyClassification(li).collect()
+    }
+    // seasonal: a month at cents = 10^13 — Long-safe sum, but past
+    // the 12e6-scaling headroom the guard protects
+    fires("seasonal index exceeds") {
+      val orders = Seq((Timestamp.valueOf("1997-01-10 00:00:00"), 5.0e10),
+        (Timestamp.valueOf("1997-01-20 00:00:00"), 5.0e10))
+        .toDF("o_orderdate", "o_totalprice")
+      Analytics.seasonalIndex(orders).collect()
+    }
+    // trend: y = 4e18 twice — sums Long-safe, but n·Σxy would pass
+    // Long.Max/2 and the n·Σxy − Σx·Σy difference could wrap
+    fires("trend numerator exceeds") {
+      val series = Seq(("k", 0L, 4000000000000000000L),
+        ("k", 1L, 4000000000000000000L)).toDF("k", "x", "y")
+      Analytics.trendByKey(series, "k", "x", "y").collect()
+    }
+    // MDE: cents = 2.13e9 twice — Σc² = 9.07e18 is still Long-safe,
+    // but n·max² clears the 9e18 witness bar (one more row WOULD wrap)
+    fires("MDE decimal(38) headroom exceeded") {
+      val ev = Seq(
+        ("a", Timestamp.valueOf("1997-01-01 00:00:00"), 21300000.0),
+        ("a", Timestamp.valueOf("1997-01-02 00:00:00"), 21300000.0))
+        .toDF("event_type", "ts", "value")
+      Analytics.mdeSampleSize(ev).collect()
+    }
+    // and the witnesses stay silent on sane magnitudes
+    val ok = Seq((1L, t("1997-01"), 4.0), (1L, t("1997-02"), 2.0))
+      .toDF("l_suppkey", "l_shipdate", "l_quantity")
+    assert(Analytics.sesHalfLife(
+      Analytics.supplierMonthlyDense(ok)).count() > 0)
+  }
+
   test("crostonRate: twin SES numerators over sizes and intervals, " +
     "single-demand suppliers excluded") {
     import java.sql.Timestamp

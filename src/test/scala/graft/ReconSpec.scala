@@ -117,6 +117,36 @@ class ReconSpec extends SparkSpec {
     assert(got === Set((0L, 3L, 18L)))
   }
 
+  test("giniAudit pre-overflow witness fires on wrap-scale member " +
+    "revenue before the rank-weighted sum is trusted") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // 10 members at 9.1e16 dollars each: every sum stays Long-safe
+    // (rank_weighted = 55·9.1e16 ≈ 5e18), but n²·max|dollars| =
+    // 100·9.1e16 clears the 9e18 witness bar — a bigger cohort WOULD
+    // wrap the rank-weighted sum, and the old one-sided headroom
+    // checks never saw the wrap coming
+    val orders = (1 to 10).map(i =>
+      (i.toLong, 100L + i, 9.1e16, t("1995-01-01")))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val cust = (1 to 10).map(i => (100L + i, 0))
+      .toDF("c_custkey", "c_nationkey")
+    val nat = Seq((0, "A")).toDF("n_nationkey", "n_name")
+    val e = intercept[Exception] {
+      graft.qc.Recon.giniAudit(orders, cust, nat).collect()
+    }
+    def all(x: Throwable): Seq[String] =
+      if (x == null) Nil
+      else Option(x.getMessage).toSeq ++ all(x.getCause)
+    // under Spark 4's default ANSI mode the CSE-hoisted
+    // 2·rank_weighted multiply throws ARITHMETIC_OVERFLOW before the
+    // guard message can surface — equally loud; the witness text is
+    // what a non-ANSI deployment (where the wrap would otherwise be
+    // SILENT) sees, so both are accepted
+    assert(all(e).exists(m => m.contains("gini terms exceed") ||
+        m.contains("ARITHMETIC_OVERFLOW")),
+      s"expected gini witness in: ${all(e).mkString(" | ")}")
+  }
+
   test("concentrationAudit: monopoly = 1e6 ppm, even split = 1/n, " +
     "shares quantize before squaring") {
     def t(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")

@@ -650,6 +650,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("moment pre-overflow witnesses fire on wrap-scale components " +
+    "before any sum is trusted") {
+    def fires(msg: String)(body: => Unit): Unit = {
+      val e = intercept[Exception](body)
+      def all(x: Throwable): Seq[String] =
+        if (x == null) Nil
+        else Option(x.getMessage).toSeq ++ all(x.getCause)
+      assert(all(e).exists(_.contains(msg)),
+        s"expected '$msg' in: ${all(e).mkString(" | ")}")
+    }
+    // component 2130 -> v = 2.13e9 micro-units: Σv² = 9.07e18 is
+    // still Long-safe (ANSI would throw on a genuine wrap before any
+    // guard), but n·max|v|² clears the 9e18 witness bar — one more
+    // row WOULD wrap, and the old `sumsq >= 0` could stay positive
+    val huge = Seq((0L, Seq(2130.0f, 0.0f)), (1L, Seq(2130.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    fires("dim-stats sums exceed") {
+      Similarity.dimStats(huge).collect()
+    }
+    fires("covariance sums exceed") {
+      Similarity.covarianceMoments(huge).collect()
+    }
+  }
+
   test("dimStats: constant dims flag low-var, mean uses FLOOR " +
     "division on negative sums, variance exact in quantized units") {
     // all values exactly representable in binary floats
