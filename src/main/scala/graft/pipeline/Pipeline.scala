@@ -1064,6 +1064,76 @@ object Pipeline {
       .select(col("doc_id"), col("bucket"), col("quality"))
   }
 
+  /** X301: end-to-end pretraining-shard MANIFEST (VERDICT r13 #5) —
+    * the integration proof the pipeline family closes on: ONE lazy
+    * plan composing the already-proven operators with no
+    * materialization seam between stages, emitting the final
+    * per-shard training manifest (shard, packed sequence, per-doc
+    * token spans) a data loader would consume:
+    *
+    *  1. curate — the X29 funnel verdict (train split, non-benchmark,
+    *     exact-dup keeper, quality ≥ [[MinQuality]], uncontaminated);
+    *  2. paragraph dedup (X273) over the WHOLE corpus (dedup
+    *     verdicts must see every copy), survivors keep their
+    *     reassembled clean text; empty survivors drop;
+    *  3. exact dedup AGAIN on the cleaned text — paragraph removal
+    *     can only create new exact duplicates (two docs differing
+    *     only in boilerplate converge), first doc_id keeps;
+    *  4. token-budget select (X38) per language over the CLEANED
+    *     text's quality ranking and token counts;
+    *  5. deterministic shuffle (X40) into nShards training shards;
+    *  6. concat-and-chunk packing (the X39 rule) within each shard
+    *     in shuffle-rank order: seq = the packBudget-token chunk the
+    *     doc STARTS in, spans relative to that chunk.
+    *
+    * Every stage is the standalone operator's exact code path (or its
+    * arithmetic applied to the cleaned frame), so the DuckDB oracle
+    * composes the SAME shared CTEs the standalone oracles use — the
+    * composite and the parts cannot disagree about a document.
+    *
+    * Scale shape: no stage introduces a global sort or a corpus
+    * broadcast — the funnel is keyed joins, paragraph dedup shuffles
+    * on the paragraph hash, the budget select decomposes over the
+    * (lang, quality) value distribution, the shuffle and the packing
+    * windows partition on the bounded shard key. One lazy plan end
+    * to end: Catalyst sees the whole funnel and prunes every unused
+    * column back into the scans. */
+  def pretrainManifest(docs: DataFrame,
+      budgetPerLang: Long = LangTokenBudget,
+      packBudget: Long = PackBudget,
+      nShards: Int = NumShards): DataFrame = {
+    val curated = curatedCorpus(docs).select(col("doc_id"))
+    val cleaned = graft.core.CacheBay.register(
+      graft.dedup.Dedup.paragraphDedup(docs)
+        .join(curated, Seq("doc_id"), "left_semi")
+        .join(docs.select(col("doc_id"), col("lang"), col("source")),
+          Seq("doc_id"))
+        .filter(col("clean_text") =!= "")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("clean_text").as("text")))
+    val keep2 = graft.dedup.Dedup.exactDedup(cleaned)
+      .select(col("keep_id").as("doc_id"))
+    val selected = tokenBudgetSelect(
+      cleaned.join(keep2, Seq("doc_id"), "left_semi"), budgetPerLang)
+      .select(col("doc_id"), col("n_tokens"))
+    val shuffled = shuffleShards(selected, nShards = nShards)
+      .select(col("doc_id"), col("shard"), col("rank"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    selected.join(shuffled, Seq("doc_id"))
+      .withColumn("cum", sum(col("n_tokens")).over(w).cast("long"))
+      .select(col("shard"),
+        floor((col("cum") - col("n_tokens")) / lit(packBudget.toDouble))
+          .cast("long").as("seq"),
+        col("doc_id"), col("rank"), col("n_tokens"),
+        (col("cum") - col("n_tokens") -
+          floor((col("cum") - col("n_tokens")) / lit(packBudget.toDouble))
+            .cast("long") * packBudget).cast("long").as("tok_start"),
+        (col("cum") -
+          floor((col("cum") - col("n_tokens")) / lit(packBudget.toDouble))
+            .cast("long") * packBudget).cast("long").as("tok_end"))
+  }
+
   /** Temporal fold period (days) and embargo gap (days) for
     * [[embargoSplit]] — weekly folds with a one-day purge fit the
     * fixture's 30-day event window (5 folds); production feeds tune

@@ -105,6 +105,39 @@ object DedupQueries {
 
   // ---- shared DuckDB CTEs (generated from the same constants) ----
 
+  /** Paragraph-dedup CTE chain (X273) ending in `pclean(doc_id,
+    * n_paras, n_kept, clean_text)` — shared with [[PipelineQueries]]
+    * (pretraining-manifest oracle) so the composite and the
+    * standalone query cannot disagree about a paragraph. CTE names
+    * are p-prefixed to compose without collisions. */
+  private[registry] val ParagraphCtes =
+    """pt AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+      |    THEN text || chr(10) || chr(10) ||
+      |      'Subscribe to the ' || source || ' newsletter today.'
+      |    ELSE text END AS ptext
+      |  FROM documents),
+      |ps AS (SELECT doc_id,
+      |        string_split(ptext, chr(10) || chr(10)) AS parts
+      |      FROM pt),
+      |pp AS (SELECT doc_id,
+      |        CAST(unnest(range(0, len(parts))) AS BIGINT) AS pos,
+      |        parts
+      |      FROM ps),
+      |px AS (SELECT doc_id, pos, parts[CAST(pos + 1 AS INT)] AS para
+      |      FROM pp),
+      |pr AS (SELECT doc_id, pos, para,
+      |        row_number() OVER (PARTITION BY md5(para)
+      |          ORDER BY doc_id, pos) AS rk
+      |      FROM px),
+      |pclean AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+      |    CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_kept,
+      |    COALESCE(string_agg(CASE WHEN rk = 1 THEN para END,
+      |      chr(10) || chr(10) ORDER BY pos), '') AS clean_text
+      |  FROM pr GROUP BY doc_id)""".stripMargin
+
   /** Shared with [[PipelineQueries]] (curation-composite oracle). */
   private[registry] val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
@@ -273,31 +306,9 @@ object DedupQueries {
     // paragraph split via chr(10) so no engine-side escape processing
     // is involved; rank window mirrors the Spark first-occurrence rule
     "dedup_paragraphs" ->
-      """WITH t AS (
-        |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
-        |    THEN text || chr(10) || chr(10) ||
-        |      'Subscribe to the ' || source || ' newsletter today.'
-        |    ELSE text END AS ptext
-        |  FROM documents),
-        |s AS (SELECT doc_id,
-        |        string_split(ptext, chr(10) || chr(10)) AS parts
-        |      FROM t),
-        |p AS (SELECT doc_id,
-        |        CAST(unnest(range(0, len(parts))) AS BIGINT) AS pos,
-        |        parts
-        |      FROM s),
-        |x AS (SELECT doc_id, pos, parts[CAST(pos + 1 AS INT)] AS para
-        |      FROM p),
-        |r AS (SELECT doc_id, pos, para,
-        |        row_number() OVER (PARTITION BY md5(para)
-        |          ORDER BY doc_id, pos) AS rk
-        |      FROM x)
-        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
-        |  CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_kept,
-        |  COALESCE(string_agg(CASE WHEN rk = 1 THEN para END,
-        |    chr(10) || chr(10) ORDER BY pos), '') AS clean_text
-        |FROM r GROUP BY doc_id""".stripMargin,
+      s"""WITH $ParagraphCtes
+         |SELECT doc_id, n_paras, n_kept, clean_text
+         |FROM pclean""".stripMargin,
 
     // survivorship over the same recursive-closure cluster labels as
     // dedup_clusters: order-free min/max/count/sum field rules

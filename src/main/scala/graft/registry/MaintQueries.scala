@@ -50,6 +50,16 @@ object MaintQueries {
         graft.core.SessionCache.cached(s, s"purchase_cs:$d")(
           PageRank.sharedPurchaseGraph(s, d)._1
             .filter(col("src") % 2 === 0)))),
+    // X302: directed strongly-connected components over the
+    // nation-trade graph (VERDICT r13 #7) — mutual-trade cores vs
+    // drive-by partners; Fleischer-trim + min-pivot coloring loop
+    // (driver Tarjan below the small-graph gate), oracle = recursive
+    // transitive closure + mutual-reachability min (an independent
+    // first-principles derivation, not a loop transcription)
+    "graph_scc" -> ((s, d) =>
+      graft.graph.Scc.tradeScc(Tables(s, d, "lineitem"),
+        Tables(s, d, "orders"), Tables(s, d, "customer"),
+        Tables(s, d, "supplier"), Tables(s, d, "nation"))),
     "maint_compaction_plan" -> ((s, d) =>
       Maintenance.compactionPlan(
         Tables(s, d, "documents").select(col("source"), col("doc_id"),
@@ -605,6 +615,53 @@ object MaintQueries {
          |SELECT lbl AS component_id,
          |       CAST(COUNT(*) AS BIGINT) AS n_nodes
          |FROM m GROUP BY 1""".stripMargin
+    },
+
+    // SCC from first principles: recursive transitive closure (UNION
+    // dedup terminates it on cycles — the graph is the bounded
+    // uniform-share trade matrix), then scc_id(v) = min of v and
+    // every mutually-reachable u; the engine reaches the same labels
+    // by trim + coloring peeling (or the gated driver Tarjan)
+    "graph_scc" -> {
+      val ppm = graft.graph.Scc.MeanSharePpm
+      s"""WITH RECURSIVE flows AS (
+         |  SELECT c.c_nationkey AS cn, s.s_nationkey AS sn,
+         |         l.l_orderkey AS o
+         |  FROM lineitem l
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer c ON o_custkey = c_custkey
+         |  JOIN supplier s ON l_suppkey = s_suppkey),
+         |pc AS (SELECT cn, sn, CAST(count(DISTINCT o) AS BIGINT) AS w
+         |       FROM flows GROUP BY 1, 2),
+         |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS t FROM pc),
+         |e AS MATERIALIZED (
+         |  SELECT CAST(cn AS BIGINT) AS src, CAST(sn AS BIGINT) AS dst
+         |  FROM pc, tot
+         |  WHERE cn <> sn AND w * 1000000 >= t * $ppm),
+         |nd AS (SELECT DISTINCT v FROM (
+         |         SELECT src AS v FROM e
+         |         UNION ALL SELECT dst AS v FROM e)),
+         |reach AS (
+         |  SELECT src AS s, dst AS t FROM e
+         |  UNION
+         |  SELECT r.s, e.dst FROM reach r JOIN e ON r.t = e.src),
+         |mut AS (SELECT a.s AS v, a.t AS u
+         |        FROM reach a JOIN reach b
+         |          ON a.s = b.t AND a.t = b.s),
+         |scc AS (
+         |  SELECT nd.v,
+         |         CAST(LEAST(nd.v, COALESCE(MIN(m.u), nd.v)) AS BIGINT)
+         |           AS scc_id
+         |  FROM nd LEFT JOIN mut m ON nd.v = m.v
+         |  GROUP BY nd.v),
+         |sz AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS n_members
+         |       FROM scc GROUP BY 1)
+         |SELECT n.n_name, scc.v AS nationkey, scc.scc_id, sz.n_members,
+         |  CAST(CASE WHEN sz.n_members > 1 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS in_mutual_core
+         |FROM scc
+         |JOIN sz USING (scc_id)
+         |JOIN nation n ON scc.v = n.n_nationkey""".stripMargin
     },
 
     // generated from the SAME StatsCols list as the engine query; the

@@ -116,6 +116,11 @@ object PipelineQueries {
     "pipe_temperature_sample" -> ((s, d) =>
       Pipeline.temperatureSample(docs(s, d))),
     "pipe_curated_corpus" -> ((s, d) => Pipeline.curatedCorpus(docs(s, d))),
+    // X301: end-to-end pretraining-shard manifest (VERDICT r13 #5) —
+    // curate → paragraph+exact dedup → token-budget select →
+    // deterministic shuffle → pack, ONE lazy plan; the oracle
+    // composes the SAME shared CTEs as the standalone operators
+    "pipe_manifest" -> ((s, d) => Pipeline.pretrainManifest(docs(s, d))),
     "pipe_length_deciles" -> ((s, d) => Pipeline.lengthDeciles(docs(s, d))),
     // X236: curriculum training order — exact quality terciles via the
     // value decomposition, seed-reproducible shard shuffle per phase
@@ -156,9 +161,12 @@ object PipelineQueries {
   /** Integer micro-unit quality scoring CTE chain (raw → q → sc),
     * ending in `sc(lang, source, doc_id, n_tokens, quality_e6)` —
     * generated from the same constants as
-    * `Pipeline.qualityScored` and shared by the token-budget and
-    * source-cap oracles so their rankings cannot drift. */
-  private val QualityCte = {
+    * `Pipeline.qualityScored` and shared by the token-budget,
+    * source-cap, and pretraining-manifest oracles so their rankings
+    * cannot drift. `rel` is the (lang, source, doc_id, text)
+    * relation to score — `documents` for the standalone oracles, the
+    * cleaned-survivor frame for the manifest composite. */
+  private def qualityCtes(rel: String): String = {
     val markers = graft.text.TextAnalysis.LangMarkers.head._2
       .map(m => s"'$m'").mkString("[", ", ", "]")
     s"""raw AS (
@@ -177,7 +185,7 @@ object PipelineQueries {
        |    CASE WHEN trim(text) = '' THEN 0
        |         ELSE CAST(len(string_split_regex(trim(text), '${graft.text.TextAnalysis.WsPlusPattern}'))
        |           AS BIGINT) END AS n_tokens
-       |  FROM documents),
+       |  FROM $rel),
        |q AS (
        |  SELECT lang, source, doc_id, n_tokens,
        |    least(len_chars * 2000, 1000000) AS len_s,
@@ -194,6 +202,8 @@ object PipelineQueries {
        |      AS quality_e6
        |  FROM q)""".stripMargin
   }
+
+  private val QualityCte = qualityCtes("documents")
 
   /** doc_id → 0-99 bucket + split label, from the same thresholds. */
   private val SplitCte =
@@ -846,6 +856,88 @@ object PipelineQueries {
     // normSql, TextQueries.qualitySql, ContamCtes) — composed, never
     // re-typed, so the composite and the standalone queries cannot
     // disagree about a document
+    // the full pretraining manifest: the X29 funnel CTEs verbatim →
+    // the shared paragraph-dedup chain → a second exact-dedup pass on
+    // the CLEANED text → the quality chain re-pointed at the cleaned
+    // survivors → the token-budget window → the shuffle-shard chain →
+    // shard-ordered concat-and-chunk packing. Every fragment is the
+    // same shared val its standalone oracle uses.
+    "pipe_manifest" ->
+      s"""WITH $SplitCte,
+         |fp AS (SELECT doc_id, md5(${DedupQueries.normSql}) AS fp
+         |       FROM documents),
+         |keep AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fp),
+         |qual AS (SELECT doc_id, ${TextQueries.qualitySql} AS quality
+         |         FROM documents),
+         |${DedupQueries.ShinglesCte}, $ContamCtes,
+         |contam AS (
+         |  SELECT doc_id,
+         |         CASE WHEN n_hit * 1.0 / n_sh >= $MinContamOverlap
+         |              THEN 1 ELSE 0 END AS contaminated
+         |  FROM agg),
+         |cur AS MATERIALIZED (
+         |  SELECT spl.doc_id
+         |  FROM spl
+         |  JOIN keep USING (doc_id)
+         |  JOIN qual USING (doc_id)
+         |  LEFT JOIN contam USING (doc_id)
+         |  WHERE spl.split = 'train' AND spl.doc_id % $BenchMod <> 0
+         |    AND qual.quality >= ${Pipeline.MinQuality}
+         |    AND COALESCE(contam.contaminated, 0) = 0),
+         |${DedupQueries.ParagraphCtes},
+         |cdoc AS MATERIALIZED (
+         |  SELECT c.doc_id, d.lang, d.source, c.clean_text AS text
+         |  FROM pclean c
+         |  JOIN cur ON c.doc_id = cur.doc_id
+         |  JOIN documents d ON c.doc_id = d.doc_id
+         |  WHERE c.clean_text <> ''),
+         |fp2 AS (SELECT doc_id, md5(${DedupQueries.normSql}) AS f2
+         |        FROM cdoc),
+         |keep2 AS (SELECT MIN(doc_id) AS doc_id FROM fp2 GROUP BY f2),
+         |${qualityCtes("(SELECT cdoc.* FROM cdoc " +
+            "JOIN keep2 USING (doc_id))")},
+         |cb AS (
+         |  SELECT lang, doc_id, quality_e6, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY quality_e6 DESC, doc_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cum_tokens
+         |  FROM sc),
+         |sel AS MATERIALIZED (
+         |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+         |  FROM cb WHERE cum_tokens <= $LangTokenBudget),
+         |sk AS (SELECT doc_id, n_tokens,
+         |         md5('${Pipeline.ShuffleSeed}-'
+         |           || CAST(doc_id AS VARCHAR)) AS shuffle_key
+         |       FROM sel),
+         |shd AS (SELECT doc_id, n_tokens, shuffle_key,
+         |          ${hex8Sql("shuffle_key")} % ${Pipeline.NumShards}
+         |            AS shard
+         |        FROM sk),
+         |rkd AS (SELECT doc_id, n_tokens, shard,
+         |          CAST(row_number() OVER (
+         |            PARTITION BY shard ORDER BY shuffle_key, doc_id)
+         |            AS BIGINT) AS rank
+         |        FROM shd),
+         |m AS (SELECT shard, rank, doc_id, n_tokens,
+         |        SUM(n_tokens) OVER (PARTITION BY shard ORDER BY rank
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          AS cum
+         |      FROM rkd)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(FLOOR((cum - n_tokens) / ${Pipeline.PackBudget}.0)
+         |    AS BIGINT) AS seq,
+         |  doc_id, rank, n_tokens,
+         |  CAST(cum - n_tokens -
+         |    CAST(FLOOR((cum - n_tokens) / ${Pipeline.PackBudget}.0)
+         |      AS BIGINT) * ${Pipeline.PackBudget} AS BIGINT)
+         |    AS tok_start,
+         |  CAST(cum -
+         |    CAST(FLOOR((cum - n_tokens) / ${Pipeline.PackBudget}.0)
+         |      AS BIGINT) * ${Pipeline.PackBudget} AS BIGINT)
+         |    AS tok_end
+         |FROM m""".stripMargin,
+
     "pipe_curated_corpus" ->
       s"""WITH $SplitCte,
          |fp AS (SELECT doc_id, md5(${DedupQueries.normSql}) AS fp

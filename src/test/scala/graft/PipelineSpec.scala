@@ -251,6 +251,51 @@ class PipelineSpec extends SparkSpec {
     graft.core.CacheBay.drain()
   }
 
+  test("pretrainManifest: manifest equals the stage-by-stage " +
+    "recomposition and every packing invariant holds") {
+    val m = Pipeline.pretrainManifest(docs).cache()
+    assert(m.count() > 0)
+    // span invariants: width == token count, start inside the budget
+    assert(m.filter($"tok_end" - $"tok_start" =!= $"n_tokens")
+      .count() == 0)
+    assert(m.filter($"tok_start" < 0 ||
+      $"tok_start" >= Pipeline.PackBudget).count() == 0)
+    // per shard: ranks dense from 1, seq/tok_start are exactly the
+    // concat-and-chunk arithmetic over the running token offset
+    val rows = m.select("shard", "seq", "rank", "n_tokens", "tok_start")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (s, rs) => s -> rs.sortBy(_._3).toSeq }
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, rs) =>
+      assert(rs.map(_._3) == (1L to rs.length).toSeq)
+      var cum = 0L
+      rs.foreach { case (_, seq, _, n, start) =>
+        assert(seq == cum / Pipeline.PackBudget)
+        assert(start == cum - seq * Pipeline.PackBudget)
+        cum += n
+      }
+    }
+    // every manifest doc survived the curation funnel
+    val cur = Pipeline.curatedCorpus(docs).select($"doc_id")
+    assert(m.join(cur, Seq("doc_id"), "left_anti").count() == 0)
+    // the doc set is exactly the stage-by-stage recomposition:
+    // paragraph dedup -> funnel survivors -> exact re-dedup on the
+    // CLEANED text -> token budget
+    val cleaned = graft.dedup.Dedup.paragraphDedup(docs)
+      .join(cur, Seq("doc_id"), "left_semi")
+      .join(docs.select($"doc_id", $"lang", $"source"), Seq("doc_id"))
+      .filter($"clean_text" =!= "")
+      .select($"doc_id", $"lang", $"source", $"clean_text".as("text"))
+    val keep2 = graft.dedup.Dedup.exactDedup(cleaned)
+      .select($"keep_id".as("doc_id"))
+    val expected = Pipeline.tokenBudgetSelect(
+        cleaned.join(keep2, Seq("doc_id"), "left_semi"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(m.select($"doc_id").as[Long].collect().toSet == expected)
+    m.unpersist()
+    graft.core.CacheBay.drain()
+  }
+
   test("chunkWithOverlap: stride/overlap invariants, tokens reconcile") {
     val d = Seq((1L, (1 to 30).map(i => s"w$i").mkString(" ")),
       (2L, "a b c"), (3L, "!!!")) // 3 tokens; symbol-only drops out

@@ -23,6 +23,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), s"missing window:\n$p")
   }
 
+  test("keyDiscovery scans the fact table ONCE for all candidates " +
+    "(multi-distinct via Expand, not per-candidate union of scans)") {
+    val p = plan(SparkEntry.queries("qc_key_discovery")(spark, SfDir))
+    assert(count(p, "Scan parquet") == 1,
+      s"expected a single fact scan:\n$p")
+    assert(p.contains("Expand"), s"missing multi-distinct Expand:\n$p")
+    assert(!p.contains("Union"), s"per-candidate union remains:\n$p")
+  }
+
   test("range join is a hash equi-join, never a nested loop") {
     val p = plan(SparkEntry.queries("events_range_join")(spark, SfDir))
     assert(!p.contains("NestedLoop"), s"nested loop:\n$p")
@@ -413,6 +422,8 @@ class PlanAuditSpec extends SparkSpec {
       // fixpoint min-label loop: localCheckpoint + label-sum action
       // per round on build
       "graph_components",
+      // small-graph-gated driver Tarjan (edge collect on build)
+      "graph_scc",
       // greedy MMR rounds: eager localCheckpoint per pick on build
       // (candidate-pool BNLJ is the documented brute-force shape)
       "sim_mmr_topk",

@@ -119,4 +119,47 @@ class StatefulSpec extends SparkSpec {
     assert(viaWindow.exceptAll(viaState).count() == 0 &&
       viaState.exceptAll(viaWindow).count() == 0)
   }
+
+  test("quota via transformWithState: identical admissions to the " +
+    "flatMapGroupsWithState face across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Quota
+    import graft.streaming.Quota.Ev
+    // transformWithState requires the RocksDB state store provider;
+    // scope it to a forked session (the SpikeProcessor pattern)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Ev](
+      org.apache.spark.sql.Encoders.product[Ev], s2.sqlContext)
+    val q = Quota.quotaStreamTws(ms.toDS(), n = 3L)
+      .writeStream.format("memory").queryName("quota_tws")
+      .outputMode("append").start()
+    try {
+      // the exact micro-batch schedule of the fMGWS test above — the
+      // two APIs must produce the same admission set
+      ms.addData(Ev(1L, ts(1), 10L), Ev(1L, ts(2), 11L))
+      q.processAllAvailable()
+      ms.addData(Ev(1L, ts(3), 12L), Ev(1L, ts(4), 13L),
+        Ev(2L, ts(1), 20L))
+      q.processAllAvailable()
+      ms.addData(Ev(1L, ts(5), 14L)) // over budget — must emit nothing
+      q.processAllAvailable()
+      val got = s2.table("quota_tws")
+        .select($"user_id", $"event_id", $"quota_rank")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+        (2L, 20L, 1L)), s"TWS quota diverged: $got")
+    } finally q.stop()
+  }
+
+  test("quota: both state APIs emit identical batch output and match " +
+    "the rank-window face") {
+    import graft.streaming.Quota
+    val ev = graft.core.Tables(spark, SfDir, "events")
+      .select($"user_id", $"ts", $"event_id")
+    val a = Quota.quotaStream(ev.as[Quota.Ev], n = 5L).toDF()
+    val b = Quota.quotaStreamTws(ev.as[Quota.Ev], n = 5L).toDF()
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
 }
