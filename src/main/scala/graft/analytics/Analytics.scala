@@ -1198,6 +1198,41 @@ object Analytics {
           .cast("long").as("cum_users"))
   }
 
+  /** X304: weekly cohort retention TRIANGLE — the canonical
+    * product-retention artifact (cohort week × weeks-since-cohort
+    * matrix) beside [[dailyUsers]]' growth curve and the cohort-LTV
+    * revenue view: every user joins the cohort of their first active
+    * epoch-week, and cell (c, k) counts the cohort-c users active
+    * again k weeks later, with the cohort size and the retained ppm.
+    * Weeks are integer epoch-week indexes (`unix_micros div 7·86400·
+    * 10⁶` — no calendar/locale week truncation, so both engines agree
+    * on every boundary).
+    *
+    * Scale: one (user, week) dedup, one per-user min, one
+    * (cohort, offset) rollup, one cohort-size join — all keyed hash
+    * aggregates, map-side combinable; the triangle itself is bounded
+    * by weeks², never user count. */
+  def retentionTriangle(events: DataFrame): DataFrame = {
+    val uw = graft.core.CacheBay.register(
+      events.select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("w"))
+        .distinct())
+    val cohort = uw.groupBy(col("user_id"))
+      .agg(min(col("w")).as("cohort_week"))
+    val sizes = cohort.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).cast("long").as("cohort_size"))
+    uw.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (col("w") - col("cohort_week")).as("offset_weeks"))
+      .agg(count(lit(1)).cast("long").as("n_active"))
+      .join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week").cast("long").as("cohort_week"),
+        col("offset_weeks").cast("long").as("offset_weeks"),
+        col("n_active"), col("cohort_size"),
+        expr("(n_active * 1000000) div cohort_size").cast("long")
+          .as("retained_ppm"))
+  }
+
   /** Quintile count for [[rfmSegmentation]]. */
   val RfmTiles = 5
 

@@ -279,6 +279,38 @@ object Scc {
       .select(col("src"), col("dst"))
       .localCheckpoint()
 
+  /** X303: per-nation trade reciprocity — the edge-level mutuality
+    * read beside [[tradeScc]]'s component-level one (a standard
+    * link-spam signal in web-graph curation: organic link
+    * neighborhoods reciprocate, drive-by/spam ones don't): per
+    * nation, out-edges above the uniform-share bar, how many are
+    * reciprocated (the reverse edge also clears the bar), and the
+    * reciprocity ppm. One self-semi-join of the bounded edge frame on
+    * the swapped key + two keyed aggregates — linear in |E|. */
+  def tradeReciprocity(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val e = graft.core.CacheBay.register(
+      tradeEdges(lineitem, orders, customer, supplier))
+    val mut = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    val out = e.groupBy(col("src"))
+      .agg(count(lit(1)).cast("long").as("n_out"))
+    val m = mut.groupBy(col("src"))
+      .agg(count(lit(1)).cast("long").as("n_mutual"))
+    out.join(m, Seq("src"), "left")
+      .select(col("src"), col("n_out"),
+        coalesce(col("n_mutual"), lit(0L)).as("n_mutual"))
+      .join(broadcast(nation.select(
+        col("n_nationkey").cast("long").as("src"), col("n_name"))),
+        Seq("src"))
+      .select(col("n_name"), col("src").as("nationkey"),
+        col("n_out"), col("n_mutual"),
+        expr("(n_mutual * 1000000) div n_out").cast("long")
+          .as("reciprocity_ppm"))
+  }
+
   /** The registry face: per-nation SCC labels over [[tradeEdges]],
     * with the SCC size and the mutual-core flag. */
   def tradeScc(lineitem: DataFrame, orders: DataFrame,

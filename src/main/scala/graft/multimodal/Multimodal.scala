@@ -663,4 +663,70 @@ object Multimodal {
         _.grouped(DecodeBatchSize).flatMap(pcmDownsampleLeg))
       .toDF()
   }
+
+  case class ImageEntropy(doc_id: Long, n_pixels: Long, n_levels: Long,
+    h_bits_e6: Long, max_bits_e6: Long)
+
+  /** Binary digit count — `bits(x) = ⌊log₂ x⌋ + 1` for x ≥ 1, the
+    * X205 integer-entropy device. */
+  private def bits(x: Long): Long =
+    64L - java.lang.Long.numberOfLeadingZeros(math.max(x, 1L))
+
+  /** X307: per-image grayscale histogram ENTROPY over the real PNG
+    * decode — the flat/degenerate-image screen an image-corpus
+    * curation pass runs (a single-color or two-tone frame carries no
+    * training signal however sharp its edges look): decode, histogram
+    * the 256 gray levels, and score Shannon entropy in the X205
+    * floor-log2 bits device — `H_bits·10⁶ = (n·bits(n) −
+    * Σ_v c_v·bits(c_v))·10⁶ div n` with `bits(x)` the binary digit
+    * count — exact integers in any engine, no float log. `n_levels`
+    * and its `bits` ceiling come along as the saturation read
+    * (entropy near the level ceiling = well-spread pixels).
+    *
+    * Same batched `mapPartitions` decode seam as [[decodeImage]];
+    * pixels are the deterministic text function, so the oracle
+    * recomputes the histogram from the raw table. Per-image state is
+    * one 256-long histogram — O(1) memory per record at any corpus
+    * size. */
+  def imageEntropyLeg(batch: Seq[MediaRecord]): Seq[ImageEntropy] =
+    batch.flatMap { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val raster = img.getRaster
+        val hist = new Array[Long](256)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            hist(raster.getSample(x, y, 0)) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        var sumCb = 0L
+        var levels = 0L
+        var v = 0
+        while (v < 256) {
+          val c = hist(v)
+          if (c > 0) { sumCb += c * bits(c); levels += 1 }
+          v += 1
+        }
+        Some(ImageEntropy(r.doc_id, n, levels,
+          (n * bits(n) - sumCb) * 1000000L / n,
+          bits(levels) * 1000000L))
+      }
+    }
+
+  /** Entropy query over the shared encoded-image table. */
+  def imageEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sharedImageTable(spark, dir)
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(imageEntropyLeg))
+      .toDF()
+  }
 }

@@ -242,6 +242,52 @@ object Pipeline {
     }.toSeq
   }
 
+  /** Epoch bar for [[mixEpochs]]' repeat-risk flag: past ~4 passes
+    * over the same tokens, repetition stops substituting for fresh
+    * data (the Muennighoff et al. 2023 data-constrained-scaling
+    * observation), so a mix demanding more is a curation smell. */
+  val MaxHealthyEpochsE6 = 4000000L
+
+  /** X306: mixture-epochs report — the planning table the temperature
+    * mix implies: [[temperatureThresholds]] answers "what keep-rate
+    * downsamples each language", this answers the dual question a
+    * budget-sized training run asks: for a ONE-CORPUS token budget
+    * mixed at α = ½ (target share ∝ √p), how many PASSES over each
+    * language's tokens does the mix demand (`epochs = share/p` —
+    * > 1 epoch = upsampled rare language, repeated data; < 1 =
+    * downsampled head), with the repeat-risk flag past
+    * [[MaxHealthyEpochsE6]].
+    *
+    * Determinism: the α = ½ arithmetic is the proven IEEE-exact
+    * chain (sqrt, the lang-ordered left-fold sum, two divisions, the
+    * e6 floor quantization — every step an exactly-specified IEEE op
+    * replayed in the same order by the oracle). Token counts per
+    * language are one map + hash aggregate; the per-language fold is
+    * a bounded |langs|-row driver pass (the
+    * [[temperatureThresholds]] device). */
+  def mixEpochs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs
+      .select(col("lang"), tokenCount(col("text")).as("t"))
+      .groupBy(col("lang")).agg(sum(col("t")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val total = counts.map(_._2).sum.toDouble
+    val s = counts.foldLeft(0.0) { case (acc, (_, n)) =>
+      acc + math.sqrt(n / total)
+    }
+    val rows = counts.map { case (l, n) =>
+      val p = n / total
+      val share = math.sqrt(p) / s
+      val sharePpm = math.floor(share * 1000000.0 + 0.5).toLong
+      val epochsE6 = math.floor(share / p * 1000000.0 + 0.5).toLong
+      (l, n, sharePpm, epochsE6,
+        if (epochsE6 > MaxHealthyEpochsE6) 1L else 0L)
+    }.toSeq
+    rows.toDF("lang", "n_tokens", "target_share_ppm", "epochs_e6",
+      "repeat_risk")
+  }
+
   /** Deterministic temperature sample: keep a doc iff its e6 hash
     * bucket falls under its language's threshold. The rate lookup folds
     * into a CASE (no join); the only non-map work is the one tiny
@@ -1224,6 +1270,60 @@ object Pipeline {
         .over(Window.partitionBy()).cast("long"))
       .withColumn("row_share_ppm",
         expr("(n_rows * 1000000) div total_rows"))
+  }
+
+  /** t bar (ppm of total-variation distance) for [[tClosenessAudit]]:
+    * the classic t = 0.3. */
+  val TClosenessPpm = 300000L
+
+  /** X305: t-closeness audit — the third leg of the privacy trio
+    * (k-anonymity bounds class SIZE, l-diversity bounds sensitive
+    * CARDINALITY, t-closeness bounds the sensitive DISTRIBUTION: a
+    * class whose sensitive values are diverse but heavily skewed vs
+    * the corpus still leaks — the skewness attack l-diversity
+    * misses). Per quasi-identifier class, the total-variation
+    * distance between the class's sensitive distribution and the
+    * GLOBAL one, as exact integer ppm:
+    * `tv = ½ Σ_v |c_v/n − g_v/N|` cross-multiplies to
+    * `Σ_v |c_v·N − n·g_v| · 10⁶ div (2·n·N)` — every operand a count
+    * (row-bounded, never a wrappable weighted sum), the products in
+    * decimal(38,0) with a double-space headroom witness, the quotient
+    * emerging ≤ 10⁶ into a Long.
+    *
+    * Scale: one (QI, sensitive) cell aggregate, two rollups of it,
+    * and a class × sensitive-domain grid (the sensitive domain is
+    * attribute-sized, broadcast) — absent cells enter as zeros, which
+    * the |·| needs. */
+  def tClosenessAudit(df: DataFrame, quasiCols: Seq[String],
+      sensitive: String, tPpm: Long = TClosenessPpm): DataFrame = {
+    val q = quasiCols.map(col)
+    val cells = graft.core.CacheBay.register(
+      df.groupBy(q :+ col(sensitive): _*)
+        .agg(count(lit(1)).cast("long").as("c")))
+    val classes = cells.groupBy(q: _*)
+      .agg(sum(col("c")).cast("long").as("n"))
+    val global = cells.groupBy(col(sensitive))
+      .agg(sum(col("c")).cast("long").as("g"))
+    val total = global.agg(sum(col("g")).cast("long").as("nn"))
+    classes.crossJoin(broadcast(global))
+      .join(cells, quasiCols :+ sensitive, "left")
+      .select((q :+ col("n") :+ col("g") :+
+        coalesce(col("c"), lit(0L)).as("c")): _*)
+      .crossJoin(broadcast(total))
+      .groupBy(q :+ col("n") :+ col("nn"): _*)
+      .agg(sum(expr("abs(cast(c as decimal(38,0)) * nn - " +
+        "cast(n as decimal(38,0)) * g)")).as("sd"))
+      .select((q :+ col("n").as("n_rows") :+
+        expr("coalesce(cast(assert_true(" +
+          "cast(n as double) * cast(nn as double) * 2000000.0 " +
+          "<= 0.9e38, " +
+          "'t-closeness decimal(38) headroom exceeded: slice finer')" +
+          " as bigint), 0) + " +
+          "cast(sd * 1000000 div " +
+          "(2 * cast(n as decimal(38,0)) * nn) as bigint)")
+          .as("tv_ppm")): _*)
+      .withColumn("is_far",
+        when(col("tv_ppm") > tPpm, 1L).otherwise(0L))
   }
 
   // ---- web-curation URL/domain layer ----

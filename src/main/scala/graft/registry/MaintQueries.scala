@@ -60,6 +60,12 @@ object MaintQueries {
       graft.graph.Scc.tradeScc(Tables(s, d, "lineitem"),
         Tables(s, d, "orders"), Tables(s, d, "customer"),
         Tables(s, d, "supplier"), Tables(s, d, "nation"))),
+    // X303: per-nation trade reciprocity — the edge-level mutuality
+    // signal beside graph_scc's component-level one
+    "graph_reciprocity" -> ((s, d) =>
+      graft.graph.Scc.tradeReciprocity(Tables(s, d, "lineitem"),
+        Tables(s, d, "orders"), Tables(s, d, "customer"),
+        Tables(s, d, "supplier"), Tables(s, d, "nation"))),
     "maint_compaction_plan" -> ((s, d) =>
       Maintenance.compactionPlan(
         Tables(s, d, "documents").select(col("source"), col("doc_id"),
@@ -167,7 +173,46 @@ object MaintQueries {
        |       JOIN $prev r ON e.src = r.node
        |  GROUP BY 1) s ON d.src = s.dst)""".stripMargin
 
+  /** Nation-trade edge CTE chain (flows → pair counts → uniform-share
+    * bar → directed edges `e(src, dst)`), generated from
+    * [[graft.graph.Scc.MeanSharePpm]] — shared by the graph_scc and
+    * graph_reciprocity oracles so the two cannot disagree about an
+    * edge. */
+  private val TradeEdgeCtes: String = {
+    val ppm = graft.graph.Scc.MeanSharePpm
+    s"""flows AS (
+       |  SELECT c.c_nationkey AS cn, s.s_nationkey AS sn,
+       |         l.l_orderkey AS o
+       |  FROM lineitem l
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer c ON o_custkey = c_custkey
+       |  JOIN supplier s ON l_suppkey = s_suppkey),
+       |pc AS (SELECT cn, sn, CAST(count(DISTINCT o) AS BIGINT) AS w
+       |       FROM flows GROUP BY 1, 2),
+       |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS t FROM pc),
+       |e AS MATERIALIZED (
+       |  SELECT CAST(cn AS BIGINT) AS src, CAST(sn AS BIGINT) AS dst
+       |  FROM pc, tot
+       |  WHERE cn <> sn AND w * 1000000 >= t * $ppm)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Reg.strict(
+    // the shared trade-edge chain + one swapped self-join for the
+    // mutual count; reciprocity by floor-div ppm
+    "graph_reciprocity" ->
+      s"""WITH $TradeEdgeCtes,
+         |om AS (
+         |  SELECT a.src, CAST(count(*) AS BIGINT) AS n_out,
+         |    CAST(SUM(CASE WHEN b.src IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_mutual
+         |  FROM e a LEFT JOIN e b
+         |    ON a.src = b.dst AND a.dst = b.src
+         |  GROUP BY a.src)
+         |SELECT n.n_name, om.src AS nationkey, om.n_out, om.n_mutual,
+         |  CAST((om.n_mutual * 1000000) // om.n_out AS BIGINT)
+         |    AS reciprocity_ppm
+         |FROM om JOIN nation n ON om.src = n.n_nationkey""".stripMargin,
+
     "graph_pagerank" ->
       s"""WITH cs AS (
          |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
@@ -623,21 +668,7 @@ object MaintQueries {
     // every mutually-reachable u; the engine reaches the same labels
     // by trim + coloring peeling (or the gated driver Tarjan)
     "graph_scc" -> {
-      val ppm = graft.graph.Scc.MeanSharePpm
-      s"""WITH RECURSIVE flows AS (
-         |  SELECT c.c_nationkey AS cn, s.s_nationkey AS sn,
-         |         l.l_orderkey AS o
-         |  FROM lineitem l
-         |  JOIN orders ON l_orderkey = o_orderkey
-         |  JOIN customer c ON o_custkey = c_custkey
-         |  JOIN supplier s ON l_suppkey = s_suppkey),
-         |pc AS (SELECT cn, sn, CAST(count(DISTINCT o) AS BIGINT) AS w
-         |       FROM flows GROUP BY 1, 2),
-         |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS t FROM pc),
-         |e AS MATERIALIZED (
-         |  SELECT CAST(cn AS BIGINT) AS src, CAST(sn AS BIGINT) AS dst
-         |  FROM pc, tot
-         |  WHERE cn <> sn AND w * 1000000 >= t * $ppm),
+      s"""WITH RECURSIVE $TradeEdgeCtes,
          |nd AS (SELECT DISTINCT v FROM (
          |         SELECT src AS v FROM e
          |         UNION ALL SELECT dst AS v FROM e)),

@@ -38,6 +38,10 @@ object MultimodalQueries {
     // X294: 2x box-downsample resize over the real decoded raster —
     // integer block means, odd edges dropped, (0,0) probe pixel
     "multimodal_image_resize" -> ((s, d) => Multimodal.imageResize(s, d)),
+    // X307: histogram entropy over the real PNG decode — the
+    // flat/degenerate-image screen, X205 integer-bits device
+    "multimodal_image_entropy" -> ((s, d) =>
+      Multimodal.imageEntropy(s, d)),
     // X295: 2:1 PCM decimation — floor pair means (floorDiv, signed),
     // decimated-signal sum/peak evidence
     "multimodal_pcm_downsample" -> ((s, d) =>
@@ -291,6 +295,35 @@ object MultimodalQueries {
          |         THEN 1 ELSE 0 END)), 0) AS BIGINT) AS edges
          |FROM px""".stripMargin
     },
+
+    // entropy replay: the same pixel function, histogram by GROUP BY
+    // over the exploded levels, the X205 bits device for H
+    "multimodal_image_entropy" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    (length(text) % 64) + 1 AS w, (length(text) % 48) + 1 AS h
+        |  FROM documents WHERE length(text) > 0),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    list_transform(range(0, w * h),
+        |      k -> ascii(text[(k % len) + 1:(k % len) + 1])) AS p
+        |  FROM m),
+        |cnt AS (
+        |  SELECT doc_id, pv, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(p) AS pv FROM px)
+        |  GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_levels,
+        |    CAST(SUM(c * length(format('{:b}', c))) AS BIGINT)
+        |      AS sum_cb
+        |  FROM cnt GROUP BY 1)
+        |SELECT doc_id, n AS n_pixels, n_levels,
+        |  CAST(((n * length(format('{:b}', n)) - sum_cb) * 1000000)
+        |    // n AS BIGINT) AS h_bits_e6,
+        |  CAST(length(format('{:b}', n_levels)) * 1000000 AS BIGINT)
+        |    AS max_bits_e6
+        |FROM agg""".stripMargin,
 
     // resize replay: the same pixel function grouped into 2x2 blocks
     // (j -> bx = j % ow, by = j // ow; source index 2·by·w + 2·bx),

@@ -104,6 +104,17 @@ object PipelineQueries {
           .selectExpr("c_nationkey", "c_mktsegment",
             "cast(floor(c_acctbal / 100.0) as long) as bal_bucket"),
         Seq("c_nationkey", "bal_bucket"), "c_mktsegment")),
+    // X306: mixture-epochs report — passes per language the α=½ mix
+    // demands of a one-corpus token budget; repeat-risk past 4 epochs
+    "pipe_mix_epochs" -> ((s, d) => Pipeline.mixEpochs(docs(s, d))),
+    // X305: t-closeness — the distribution-skew leg of the privacy
+    // trio, same QI/sensitive frame as k-anon / l-div
+    "pipe_t_closeness" -> ((s, d) =>
+      Pipeline.tClosenessAudit(
+        graft.core.Tables(s, d, "customer")
+          .selectExpr("c_nationkey", "c_mktsegment",
+            "cast(floor(c_acctbal / 100.0) as long) as bal_bucket"),
+        Seq("c_nationkey", "bal_bucket"), "c_mktsegment")),
     "pipe_decontaminate" -> ((s, d) => Pipeline.decontaminate(docs(s, d))),
     "pipe_pack_sequences" -> ((s, d) => Pipeline.packSequences(docs(s, d))),
     "pipe_pack_report" -> ((s, d) => Pipeline.packReport(docs(s, d))),
@@ -652,6 +663,48 @@ object PipelineQueries {
 
     // same class derivation, exact distinct of the sensitive column,
     // banded at the shared L constant
+    // exact-integer total-variation distance per QI class vs the
+    // global sensitive distribution: |c·N − n·g| summed over the
+    // CLASS × SENSITIVE-DOMAIN grid (absent cells as zeros), scaled
+    // in decimal(38) and floor-div'd — every operand a count
+    "pipe_t_closeness" -> {
+      val t = graft.pipeline.Pipeline.TClosenessPpm
+      s"""WITH q AS (
+         |  SELECT c_nationkey, c_mktsegment,
+         |    CAST(floor(c_acctbal / 100.0) AS BIGINT) AS bal_bucket
+         |  FROM customer),
+         |cells AS (
+         |  SELECT c_nationkey, bal_bucket, c_mktsegment,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM q GROUP BY 1, 2, 3),
+         |cls AS (SELECT c_nationkey, bal_bucket,
+         |          CAST(SUM(c) AS BIGINT) AS n
+         |        FROM cells GROUP BY 1, 2),
+         |gl AS (SELECT c_mktsegment, CAST(SUM(c) AS BIGINT) AS g
+         |       FROM cells GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(g) AS BIGINT) AS nn FROM gl),
+         |grid AS (
+         |  SELECT cls.c_nationkey, cls.bal_bucket, cls.n,
+         |    gl.c_mktsegment, gl.g, COALESCE(cells.c, 0) AS c
+         |  FROM cls CROSS JOIN gl
+         |  LEFT JOIN cells
+         |    ON cls.c_nationkey = cells.c_nationkey
+         |   AND cls.bal_bucket = cells.bal_bucket
+         |   AND gl.c_mktsegment = cells.c_mktsegment),
+         |s AS (
+         |  SELECT grid.c_nationkey, grid.bal_bucket, grid.n, tt.nn,
+         |    SUM(ABS(CAST(c AS HUGEINT) * nn
+         |        - CAST(n AS HUGEINT) * g)) AS sd
+         |  FROM grid CROSS JOIN tt GROUP BY 1, 2, 3, 4)
+         |SELECT c_nationkey, bal_bucket, n AS n_rows,
+         |  CAST(sd * 1000000 // (2 * CAST(n AS HUGEINT) * nn)
+         |    AS BIGINT) AS tv_ppm,
+         |  CAST(CASE WHEN sd * 1000000 //
+         |    (2 * CAST(n AS HUGEINT) * nn) > $t
+         |    THEN 1 ELSE 0 END AS BIGINT) AS is_far
+         |FROM s""".stripMargin
+    },
+
     "pipe_l_diversity" -> {
       val l = graft.pipeline.Pipeline.LDiversityL
       s"""WITH q AS (
@@ -816,6 +869,37 @@ object PipelineQueries {
          |  FROM documents)
          |SELECT doc_id, lang, bucket, keep_rate
          |FROM b WHERE bucket < keep_rate""".stripMargin
+    },
+
+    // the same IEEE-exact α=½ chain as pipe_temperature_sample, over
+    // TOKEN counts, answering the dual question: epochs = share/p,
+    // every floor applied to the identically-ordered double chain
+    "pipe_mix_epochs" -> {
+      val ws = graft.text.TextAnalysis.WsPlusPattern
+      val shareD = "sqrt(CAST(n AS DOUBLE) / nt) / s"
+      val epochsD = s"$shareD / (CAST(n AS DOUBLE) / nt)"
+      val epochsE6 = s"CAST(floor($epochsD * CAST(1000000 AS DOUBLE)" +
+        " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+      s"""WITH lc AS (
+         |  SELECT lang, CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+         |    ELSE len(string_split_regex(trim(text), '$ws')) END)
+         |    AS BIGINT) AS n
+         |  FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM lc),
+         |ssum AS (
+         |  SELECT list_reduce(
+         |    [CAST(0 AS DOUBLE)] ||
+         |      list(sqrt(CAST(n AS DOUBLE) / nt) ORDER BY lang),
+         |    (a, b) -> a + b) AS s
+         |  FROM lc, tot)
+         |SELECT lang, n AS n_tokens,
+         |  CAST(floor($shareD * CAST(1000000 AS DOUBLE)
+         |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS target_share_ppm,
+         |  $epochsE6 AS epochs_e6,
+         |  CAST(CASE WHEN $epochsE6 >
+         |    ${graft.pipeline.Pipeline.MaxHealthyEpochsE6}
+         |    THEN 1 ELSE 0 END AS BIGINT) AS repeat_risk
+         |FROM lc, tot, ssum""".stripMargin
     },
 
     // the oracle RECOMPUTES the data-dependent α=0.5 temperature

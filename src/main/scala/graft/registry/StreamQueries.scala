@@ -205,6 +205,12 @@ object StreamQueries {
     "events_daily_users" -> ((s, d) =>
       graft.analytics.Analytics.dailyUsers(Tables(s, d, "events"))),
 
+    // X304: weekly cohort retention triangle — integer epoch-weeks,
+    // ppm retention per (cohort, offset) cell
+    "events_retention_triangle" -> ((s, d) =>
+      graft.analytics.Analytics.retentionTriangle(
+        Tables(s, d, "events"))),
+
     // mergeable moment sums over the zero-filled daily spine; integer
     // cov/r² under the house overflow assert
     "events_type_correlation" -> ((s, d) =>
@@ -2021,6 +2027,26 @@ object StreamQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS BIGINT) AS cum_users
         |FROM a LEFT JOIN fs USING (day)""".stripMargin,
+
+    // same (user, epoch-week) dedup + first-week cohort rule; ppm by
+    // floor-div against the cohort size
+    "events_retention_triangle" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |         epoch_us(ts) // 604800000000 AS w
+        |  FROM events),
+        |ch AS (SELECT user_id, MIN(w) AS cw FROM uw GROUP BY 1),
+        |sz AS (SELECT cw, CAST(count(*) AS BIGINT) AS cohort_size
+        |       FROM ch GROUP BY 1),
+        |g AS (SELECT ch.cw, uw.w - ch.cw AS off,
+        |        CAST(count(*) AS BIGINT) AS n_active
+        |      FROM uw JOIN ch USING (user_id) GROUP BY 1, 2)
+        |SELECT CAST(g.cw AS BIGINT) AS cohort_week,
+        |  CAST(g.off AS BIGINT) AS offset_weeks,
+        |  g.n_active, sz.cohort_size,
+        |  CAST((g.n_active * 1000000) // sz.cohort_size AS BIGINT)
+        |    AS retained_ppm
+        |FROM g JOIN sz USING (cw)""".stripMargin,
 
     // same (ts, event_id) lag order; epoch-floor second diffs agree
     // between cast-to-long and date_diff('second')

@@ -1376,6 +1376,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(got("C").isNullAt(7)) // no hi tier -> no slope
   }
 
+  test("retentionTriangle: hand fixture — cohorts by first epoch-week, " +
+    "offset cells count returning users, ppm exact") {
+    import java.sql.Timestamp
+    def ts(d: String) = Timestamp.valueOf(s"$d 10:00:00")
+    // epoch weeks run Thursday..Wednesday (1970-01-01 was a Thursday):
+    // w0 = 2024-01-04..01-10, w1 = 01-11..01-17, w2 = 01-18..01-24
+    val ev = Seq(
+      (1L, ts("2024-01-04")), (1L, ts("2024-01-11")), // w0, w1
+      (2L, ts("2024-01-05")), (2L, ts("2024-01-18")), // w0, w2
+      (3L, ts("2024-01-12")), // w1 only
+      (1L, ts("2024-01-04"))) // dup within week — must not double count
+      .toDF("user_id", "ts")
+    val w0 = r0(ev)
+    val r = Analytics.retentionTriangle(ev)
+      .select("cohort_week", "offset_weeks", "n_active", "cohort_size",
+        "retained_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(x => (x._1 - w0, x._2) -> ((x._3, x._4, x._5))).toMap
+    // cohort w0 = users {1,2}: offset 0 -> 2, offset 1 -> {1}, offset
+    // 2 -> {2}; cohort w1 = {3}: offset 0 -> 1
+    assert(r((0L, 0L)) == ((2L, 2L, 1000000L)))
+    assert(r((0L, 1L)) == ((1L, 2L, 500000L)))
+    assert(r((0L, 2L)) == ((1L, 2L, 500000L)))
+    assert(r((1L, 0L)) == ((1L, 1L, 1000000L)))
+    assert(r.size == 4)
+    graft.core.CacheBay.drain()
+  }
+
+  // min cohort week of the fixture, to normalize epoch-week ids
+  private def r0(ev: org.apache.spark.sql.DataFrame): Long =
+    ev.select(expr("min(unix_micros(ts) div 604800000000)"))
+      .head().getLong(0)
+
   test("pre-overflow witnesses fire on wrap-scale inputs BEFORE the " +
     "sum goes bad (the guards the one-sided post-sum checks missed)") {
     import java.sql.Timestamp

@@ -85,6 +85,33 @@ class MultimodalSpec extends SparkSpec {
     assert(r(2L) == ((4L, 4L, 0L, 0L, 0L)), s"all-quiet: ${r(2L)}")
   }
 
+  test("imageEntropyLeg: flat image scores 0 bits; an even two-level " +
+    "image scores exactly 1 bit; levels counted exactly") {
+    def png(id: Long, w: Int, h: Int, px: Int => Int) = {
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      (0 until w * h).foreach(k =>
+        bi.getRaster.setSample(k % w, k / w, 0, px(k)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "png", bos)
+      Multimodal.MediaRecord(id, "image/png", bos.toByteArray, w, h)
+    }
+    val flat = png(1L, 4, 4, _ => 42) // one level -> H = 0
+    val twoTone = png(2L, 4, 4, k => if (k % 2 == 0) 0 else 255)
+    val r = Multimodal.imageEntropyLeg(Seq(flat, twoTone))
+      .map(e => e.doc_id -> e).toMap
+    // flat: n=16, one level c=16: n*bits(16) - 16*bits(16) = 0
+    assert(r(1L).n_pixels == 16 && r(1L).n_levels == 1)
+    assert(r(1L).h_bits_e6 == 0L && r(1L).max_bits_e6 == 1000000L)
+    // two even levels of 8: 16*5 - 2*(8*4) = 16 -> (16*1e6)/16 = 1e6
+    assert(r(2L).n_levels == 2 && r(2L).h_bits_e6 == 1000000L)
+    assert(r(2L).max_bits_e6 == 2000000L)
+    // corrupt payload quarantines
+    assert(Multimodal.imageEntropyLeg(Seq(
+      Multimodal.MediaRecord(3L, "image/png", Array[Byte](1, 2), 1, 1)))
+      .isEmpty)
+  }
+
   test("dimProfile: aspect ppm exact from metadata, extreme and tiny " +
     "flags match a direct recompute") {
     val r = graft.multimodal.Multimodal.dimProfile(spark, SfDir)

@@ -251,6 +251,55 @@ class PipelineSpec extends SparkSpec {
     graft.core.CacheBay.drain()
   }
 
+  test("tClosenessAudit: hand fixture — uniform class scores 0, " +
+    "fully-skewed class scores the exact TV distance") {
+    // global sensitive distribution: A:4, B:4 (N=8, 50/50)
+    // class g1: A:2, B:2 -> TV = 0
+    // class g2: A:2, B:0 -> TV = 1/2·(|1/2 − 1/2|·... ) exact:
+    //   Σ|c·N − n·g| = |2·8 − 2·4| + |0·8 − 2·4| = 8 + 8 = 16
+    //   tv_ppm = 16·10⁶ / (2·2·8) = 500000
+    val df = Seq(
+      ("g1", "A"), ("g1", "A"), ("g1", "B"), ("g1", "B"),
+      ("g2", "A"), ("g2", "A"),
+      ("g3", "B"), ("g3", "B"))
+      .toDF("qi", "sens")
+    val r = Pipeline.tClosenessAudit(df, Seq("qi"), "sens")
+      .select("qi", "n_rows", "tv_ppm", "is_far")
+      .as[(String, Long, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    assert(r("g1") == ((4L, 0L, 0L)))
+    assert(r("g2") == ((2L, 500000L, 1L)))
+    assert(r("g3") == ((2L, 500000L, 1L)))
+    graft.core.CacheBay.drain()
+  }
+
+  test("mixEpochs: shares sum to ~1, epochs = share/p, repeat flag " +
+    "fires exactly above the 4-epoch bar; head downsampled below 1") {
+    val r = Pipeline.mixEpochs(docs)
+      .select("lang", "n_tokens", "target_share_ppm", "epochs_e6",
+        "repeat_risk")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    val shareSum = r.map(_._3).sum
+    assert(math.abs(shareSum - 1000000L) <= r.length,
+      s"shares sum to $shareSum")
+    val total = r.map(_._2).sum.toDouble
+    r.foreach { case (_, n, sharePpm, epochsE6, risk) =>
+      // epochs reconciles with share/p on the same double chain
+      val p = n / total
+      val share = sharePpm / 1000000.0
+      assert(math.abs(epochsE6 / 1000000.0 - share / p) < 0.01,
+        s"epochs vs share/p mismatch")
+      assert((risk == 1L) == (epochsE6 > Pipeline.MaxHealthyEpochsE6))
+    }
+    // the sqrt mix flattens: biggest language is downsampled (< 1
+    // epoch), smallest upsampled (> 1 epoch)
+    val byN = r.sortBy(_._2)
+    assert(byN.last._4 < 1000000L, "head language not downsampled")
+    assert(byN.head._4 > 1000000L, "tail language not upsampled")
+    graft.core.CacheBay.drain()
+  }
+
   test("pretrainManifest: manifest equals the stage-by-stage " +
     "recomposition and every packing invariant holds") {
     val m = Pipeline.pretrainManifest(docs).cache()

@@ -362,6 +362,11 @@ class PlanAuditSpec extends SparkSpec {
       "events_streaks",
       // 1-row last-week scalar broadcast capping the churn rows
       "events_growth_accounting",
+      // 1-row trade-flow total broadcast onto the ≤625-pair matrix
+      "graph_reciprocity",
+      // attribute-sized sensitive-domain + 1-row total broadcasts
+      // onto the QI-class grid
+      "pipe_t_closeness",
       // 1-row total broadcast onto the ≤168-cell heatmap grid
       "events_dow_hour_heatmap",
       // 1-row total broadcast onto the ≤64-bucket degree histogram

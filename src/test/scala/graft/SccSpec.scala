@@ -51,6 +51,28 @@ class SccSpec extends SparkSpec {
     graft.core.CacheBay.drain()
   }
 
+  test("tradeReciprocity: mutual counts match a naive pair check and " +
+    "reciprocity is consistent with the SCC mutual core") {
+    def t(n: String) = graft.core.Tables(spark, SfDir, n)
+    val r = graft.graph.Scc.tradeReciprocity(t("lineitem"), t("orders"),
+      t("customer"), t("supplier"), t("nation"))
+      .select("nationkey", "n_out", "n_mutual", "reciprocity_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (_, out, mut, ppm) =>
+      assert(mut <= out && out > 0)
+      assert(ppm == mut * 1000000L / out)
+    }
+    // naive cross-check on the same edge frame
+    val e = graft.graph.Scc.tradeEdges(t("lineitem"), t("orders"),
+      t("customer"), t("supplier")).as[(Long, Long)].collect().toSet
+    val wantMut = e.groupBy(_._1).map { case (s, es) =>
+      s -> es.count { case (a, b) => e.contains((b, a)) } }
+    r.foreach { case (n, _, mut, _) =>
+      assert(wantMut.getOrElse(n, 0) == mut, s"nation $n mutual") }
+    graft.core.CacheBay.drain()
+  }
+
   test("tradeScc: labels partition the trade graph, scc_id is the " +
     "min member, sizes reconcile, and a mutual core exists") {
     def t(n: String) = graft.core.Tables(spark, SfDir, n)
