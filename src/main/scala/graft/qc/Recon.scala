@@ -889,7 +889,15 @@ object Recon {
     * per-candidate `df.groupBy().agg(...).reduce(union)` read the
     * table N times — at 100 TB, N candidate keys meant N full scans
     * where one suffices. The candidate list stays the bounded
-    * dimension, never the data. */
+    * dimension, never the data.
+    *
+    * Measured trade at sf0.1 (150k-row fact): the Expand form costs
+    * ~0.8 s vs ~0.2 s for four separate scans — Expand pushes 5× rows
+    * through one aggregate while four tiny cached scans are nearly
+    * free. The crossover is IO-bound scans: at cluster scale each
+    * extra scan is a full table read off storage, which dwarfs the
+    * Expand's in-memory row copies — the single-scan form is the one
+    * that survives 100×. */
   def keyDiscovery(df: DataFrame,
       candidates: Seq[Seq[String]]): DataFrame = {
     require(candidates.nonEmpty, "keyDiscovery: no candidates")
