@@ -64,6 +64,8 @@ object Bench {
         graft.graph.Triangles.sharedCoPurchaseEdges(spark, sfDir).count())
       tier("graph.und")(
         graft.graph.Triangles.sharedUndirectedEdges(spark, sfDir).count())
+      tier("graph.trade")(
+        graft.graph.Scc.sharedTradeEdges(spark, sfDir).count())
       tier("graph.purchase") {
         val (e, g) = graft.graph.PageRank.sharedPurchaseGraph(spark, sfDir)
         e.count() + g.count()

@@ -1204,18 +1204,25 @@ object Analytics {
     * revenue view: every user joins the cohort of their first active
     * epoch-week, and cell (c, k) counts the cohort-c users active
     * again k weeks later, with the cohort size and the retained ppm.
-    * Weeks are integer epoch-week indexes (`unix_micros div 7·86400·
-    * 10⁶` — no calendar/locale week truncation, so both engines agree
-    * on every boundary).
+    * Weeks are integer epoch-week indexes (floor(unix_micros /
+    * 7·86400·10⁶) via pmod floordiv — no calendar/locale week
+    * truncation, and floor (not truncate-toward-zero) semantics so
+    * both engines agree on every boundary including pre-1970).
     *
     * Scale: one (user, week) dedup, one per-user min, one
     * (cohort, offset) rollup, one cohort-size join — all keyed hash
     * aggregates, map-side combinable; the triangle itself is bounded
     * by weeks², never user count. */
   def retentionTriangle(events: DataFrame): DataFrame = {
+    // ADVICE r14: Spark `div` truncates toward zero while the oracle's
+    // DuckDB `//` floors — pre-1970 timestamps (negative micros) would
+    // shift cohort cells. pmod-based floordiv (subtract the always-
+    // non-negative remainder, then exact-multiple div) gives floor
+    // semantics in exact integers — the lloydCentersE6 discipline.
     val uw = graft.core.CacheBay.register(
       events.select(col("user_id"),
-        expr("unix_micros(ts) div 604800000000").as("w"))
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), " +
+          "604800000000)) div 604800000000").as("w"))
         .distinct())
     val cohort = uw.groupBy(col("user_id"))
       .agg(min(col("w")).as("cohort_week"))
@@ -1368,12 +1375,19 @@ object Analytics {
         // the original `s <= √Long.Max` then tests the TRUSTWORTHY
         // sum (a wrapped S lands negative and would sail under the
         // one-sided `<=` without the witness), and via Cauchy-Schwarz
-        // (Σq² ≤ (Σq)² on non-negatives) also bounds ss and n·ss
-        // pre-wrap — `and` short-circuits left-to-right, so the later
-        // conjuncts only run once the earlier ones hold.
+        // (Σq² ≤ (Σq)² on non-negatives) also bounds ss pre-wrap.
+        // Cauchy-Schwarz does NOT bound n·ss (ADVICE r14: many-month
+        // sparse demand makes n·ss wrap while s and ss both pass), so
+        // the n_active ≤ Long.Max div ss conjunct — the div-check
+        // structure corrPairs/trendByKey kept — guards the PRODUCT on
+        // the now-trustworthy ss before the variance numerator is
+        // formed. `and` short-circuits left-to-right, so each
+        // conjunct only runs once the earlier ones hold.
         expr("coalesce(cast(assert_true(" +
           "cast(n_active as double) * cast(max_abs_q as double) <= " +
-          "9.0e18 and s <= 3037000499 and (n_active * ss - s * s) <=" +
+          "9.0e18 and s <= 3037000499 and " +
+          "n_active <= 9223372036854775807 div greatest(ss, 1) and " +
+          "(n_active * ss - s * s) <=" +
           " 9223372036854775807 div 1000000," +
           " 'intermittency cv2 exceeds the Long-exact range " +
           "(S^2, n*sum(q^2) or the e6-scaled variance numerator " +

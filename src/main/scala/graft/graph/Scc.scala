@@ -94,6 +94,22 @@ object Scc {
       .select(col("src"), col("dst"))
   }
 
+  /** Session-cached [[tradeEdges]] for the tables at `dir` (VERDICT
+    * r14 #1): graph_scc and graph_reciprocity both start from the
+    * same lineitem-grain 4-table join + distinct — the
+    * [[Triangles.sharedCoPurchaseEdges]] family-cache pattern, so a
+    * Bench/Verify sweep (and any future directed-graph operator) pays
+    * the fact-scan derivation ONCE per session instead of once per
+    * query. At 100 TB that is one full lineitem scan, not two.
+    * Priced as its own `[cache:graph.trade]` tier in Bench. */
+  def sharedTradeEdges(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.core.SessionCache.cached(spark, s"tradeedges:$dir")(
+      tradeEdges(graft.core.Tables(spark, dir, "lineitem"),
+        graft.core.Tables(spark, dir, "orders"),
+        graft.core.Tables(spark, dir, "customer"),
+        graft.core.Tables(spark, dir, "supplier")))
+
   /** Per-node SCC labels `(node, scc_id)` over arbitrary directed
     * `(src, dst)` edges; `scc_id` = the SCC's minimum member id.
     * Nodes are DEFINED by the edge set (either endpoint). */
@@ -289,9 +305,16 @@ object Scc {
     * the swapped key + two keyed aggregates — linear in |E|. */
   def tradeReciprocity(lineitem: DataFrame, orders: DataFrame,
       customer: DataFrame, supplier: DataFrame,
-      nation: DataFrame): DataFrame = {
-    val e = graft.core.CacheBay.register(
-      tradeEdges(lineitem, orders, customer, supplier))
+      nation: DataFrame): DataFrame =
+    tradeReciprocity(graft.core.CacheBay.register(
+      tradeEdges(lineitem, orders, customer, supplier)), nation)
+
+  /** Core face over a pre-derived (ideally [[sharedTradeEdges]]-
+    * cached) edge frame — the registry entry point, so the sweep
+    * never rebuilds the fact-grain derivation per query. */
+  def tradeReciprocity(edges: DataFrame, nation: DataFrame)
+      : DataFrame = {
+    val e = edges
     val mut = e.join(
       e.select(col("dst").as("src"), col("src").as("dst")),
       Seq("src", "dst"), "left_semi")
@@ -315,9 +338,13 @@ object Scc {
     * with the SCC size and the mutual-core flag. */
   def tradeScc(lineitem: DataFrame, orders: DataFrame,
       customer: DataFrame, supplier: DataFrame,
-      nation: DataFrame): DataFrame = {
-    val labels = stronglyConnected(
-      tradeEdges(lineitem, orders, customer, supplier))
+      nation: DataFrame): DataFrame =
+    tradeScc(tradeEdges(lineitem, orders, customer, supplier), nation)
+
+  /** Core face over a pre-derived (ideally [[sharedTradeEdges]]-
+    * cached) edge frame. */
+  def tradeScc(edges: DataFrame, nation: DataFrame): DataFrame = {
+    val labels = stronglyConnected(edges)
     val sizes = labels.groupBy(col("scc_id"))
       .agg(count(lit(1)).cast("long").as("n_members"))
     labels.join(sizes, Seq("scc_id"))

@@ -696,13 +696,22 @@ object Multimodal {
       else {
         val w = img.getWidth
         val h = img.getHeight
+        // ADVICE r14: the method accepts arbitrary MediaRecord
+        // payloads like decodeImage — a 16-bit-gray PNG's band-0
+        // samples exceed 255 (AIOOBE) and a 0-pixel image divides by
+        // zero. Clamp samples into the 256-bin range (a >255 sample
+        // is "white" for the flatness screen) and skip empty rasters,
+        // mirroring the null-decode guard.
+        if (w <= 0 || h <= 0) None
+        else {
         val raster = img.getRaster
         val hist = new Array[Long](256)
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
-            hist(raster.getSample(x, y, 0)) += 1
+            val s = raster.getSample(x, y, 0)
+            hist(if (s < 0) 0 else if (s > 255) 255 else s) += 1
             x += 1
           }
           y += 1
@@ -719,6 +728,7 @@ object Multimodal {
         Some(ImageEntropy(r.doc_id, n, levels,
           (n * bits(n) - sumCb) * 1000000L / n,
           bits(levels) * 1000000L))
+        }
       }
     }
 

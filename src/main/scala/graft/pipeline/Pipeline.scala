@@ -268,10 +268,17 @@ object Pipeline {
   def mixEpochs(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // ADVICE r14: a language whose docs all tokenize to zero gives
+    // p = 0 and share/p = Inf (Long.MaxValue after the floor) while
+    // the oracle's CAST errors — drop n = 0 languages before the
+    // fold. sqrt(0/N) = 0 contributes exactly 0.0 to the IEEE fold
+    // and 0 to the total, so the surviving rows are unchanged; the
+    // oracle mirrors with HAVING n > 0.
     val counts = docs
       .select(col("lang"), tokenCount(col("text")).as("t"))
       .groupBy(col("lang")).agg(sum(col("t")).cast("long").as("n"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .filter(_._2 > 0L).sortBy(_._1)
     val total = counts.map(_._2).sum.toDouble
     val s = counts.foldLeft(0.0) { case (acc, (_, n)) =>
       acc + math.sqrt(n / total)

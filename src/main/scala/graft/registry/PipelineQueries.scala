@@ -884,7 +884,7 @@ object PipelineQueries {
          |  SELECT lang, CAST(SUM(CASE WHEN trim(text) = '' THEN 0
          |    ELSE len(string_split_regex(trim(text), '$ws')) END)
          |    AS BIGINT) AS n
-         |  FROM documents GROUP BY 1),
+         |  FROM documents GROUP BY 1 HAVING n > 0),
          |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM lc),
          |ssum AS (
          |  SELECT list_reduce(

@@ -65,6 +65,55 @@ class SessionStateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize via transformWithState: identical session records " +
+    "to the flatMapGroupsWithState face on the same micro-batch " +
+    "schedule (VERDICT r14 #4)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // transformWithState requires the RocksDB state store provider;
+    // scope it to a forked session (the SpikeProcessor pattern)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Ev](
+      org.apache.spark.sql.Encoders.product[Ev], s2.sqlContext)
+    val q = SessionState.sessionizeTws(ms.toDS())
+      .writeStream.format("memory").queryName("sess_tws")
+      .outputMode("append").start()
+    def emitted() = s2.table("sess_tws")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)]
+      .collect().map(r => (r._1, r._2, r._3, r._4)).toSet
+    try {
+      // the exact micro-batch schedule of the fMGWS test above — the
+      // two APIs must emit the same session set at every checkpoint
+      ms.addData(Ev(1L, ts("10:00"), 1.0), Ev(2L, ts("10:05"), 2.0))
+      q.processAllAvailable()
+      ms.addData(Ev(1L, ts("10:10"), 3.0))
+      q.processAllAvailable()
+      assert(emitted().isEmpty, "nothing may emit while sessions open")
+      // gap-break close for user 1 + watermark-timer close for user 2
+      ms.addData(Ev(1L, ts("11:00"), 4.0))
+      q.processAllAvailable()
+      assert(emitted() == Set(
+        (1L, ts("10:00"), ts("10:10"), 2L),
+        (2L, ts("10:05"), ts("10:05"), 1L)),
+        s"TWS sessionizer diverged mid-stream: ${emitted()}")
+      // the superseded 10:40 deadline of user 1's [10:00,10:10]
+      // session was deleted when 11:00 reopened the key — the
+      // watermark passing it must NOT double-emit; only the
+      // reopened session's own 11:30 deadline closes it
+      ms.addData(Ev(3L, ts("20:00"), 0.0))
+      q.processAllAvailable()
+      ms.addData(Ev(3L, ts("20:01"), 0.0))
+      q.processAllAvailable()
+      val got = emitted()
+      assert(got == Set(
+        (1L, ts("10:00"), ts("10:10"), 2L),
+        (2L, ts("10:05"), ts("10:05"), 1L),
+        (1L, ts("11:00"), ts("11:00"), 1L)),
+        s"TWS final session set diverged from the fMGWS face: $got")
+    } finally q.stop()
+  }
+
   test("sessionize value cents are exact and the stream agrees with " +
     "the batch gap-window face on in-order data") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
