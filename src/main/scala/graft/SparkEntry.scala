@@ -79,6 +79,13 @@ object SparkEntry {
       "and stream≡batch equality against the sharedSessions gap-" +
       "island face proven on MemoryStream; the batch face's oracle-" +
       "green consumers carry the SQL cross-check"),
+    "X310_manifest_shard_write" -> ("ManifestWriteSpec — side-" +
+      "effecting shard write of the pipe_manifest plan " +
+      "(partitionBy(shard) + observe() counters); written table " +
+      "asserted row-equal to the lazy plan (whose SQL oracle is " +
+      "pipe_manifest), observed metrics asserted equal to re-read " +
+      "rollups, one file per shard, X82 compaction plan over the " +
+      "written files"),
     "S1_S3_S4_csv_folder_latest" -> "ReadersSpec",
     "S5_S6_S8_S12_jdbc" -> "JdbcSpec (DuckDB-JDBC round-trip)",
     "S10_S14_S15_sinks" -> "SinksSpec (side-effecting writes)",

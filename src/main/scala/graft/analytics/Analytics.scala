@@ -1168,6 +1168,97 @@ object Analytics {
           .as("r2_ppm"))
   }
 
+  /** Max lag (days) for [[acfDaily]] — a week of daily lags covers
+    * the weekly-seasonality read the forecast family needs. */
+  val AcfMaxLag = 7
+
+  /** X311: daily-count AUTOCORRELATION function per event type — the
+    * seasonality detector the forecast family (SES/Croston/Holt) is
+    * chosen BY: a spike at lag 7 says weekly cadence (use a seasonal
+    * model / the X-row seasonal indices), flat ACF says the smoothing
+    * family suffices, slow decay says trend (Holt). Per (type, lag ∈
+    * 1..[[AcfMaxLag]]): the exact Pearson moments of the
+    * (x_t, x_{t−k}) pair series over the ZERO-FILLED per-type daily
+    * spine (gaps are real zeros — the [[gapFillDaily]] spine device;
+    * skipping gap days would splice non-adjacent days together), with
+    * the [[typeCorrelationStats]] output convention: `cov_sign`
+    * carries the direction and `acf2_ppm = (cov_n2²·10⁶) div
+    * (vx_n2·vy_n2)` the squared magnitude — non-negative by
+    * construction, so div ≡ // and no negative-floor-div divergence;
+    * the same two-tier pre-overflow witness guards every moment.
+    *
+    * Shape: one per-type daily aggregate, the per-type spine
+    * explode, ONE window pass producing all [[AcfMaxLag]] lag
+    * columns (partitioned by type — bounded partitions, no global
+    * sort), a `stack` unpivot to (type, lag) grain and one hash
+    * aggregate — the lag count is a constant, so work is
+    * O(days·maxLag) per type. */
+  def acfDaily(events: DataFrame, maxLag: Int = AcfMaxLag): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val spine = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"))).as("day"))
+    val filled = graft.core.CacheBay.register(
+      spine.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n")))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val lagged = filled.select(
+      Seq(col("event_type"), col("n")) ++
+        (1 to maxLag).map(k => lag(col("n"), k).over(w).as(s"l$k")): _*)
+    val pairs = lagged
+      .select(col("event_type"), col("n").as("x"),
+        expr(s"stack($maxLag, " + (1 to maxLag)
+          .map(k => s"cast($k as bigint), l$k").mkString(", ") +
+          ") as (lag, y)"))
+      .filter(col("y").isNotNull)
+    pairs.groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        max(col("x")).cast("long").as("mx"),
+        max(col("y")).cast("long").as("my"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("y")).cast("long").as("sy"),
+        sum(col("x") * col("y")).cast("long").as("sxy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"),
+        sum(col("y") * col("y")).cast("long").as("syy"))
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        col("mx"), col("my"), col("sx"), col("sy"), col("sxy"),
+        col("sxx"), col("syy"),
+        expr("n_pairs * sxy - sx * sy").as("cov_n2"),
+        expr("n_pairs * sxx - sx * sx").as("vx_n2"),
+        expr("n_pairs * syy - sy * sy").as("vy_n2"))
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        col("sx"), col("sy"), col("sxy"),
+        signum(col("cov_n2")).cast("long").as("cov_sign"),
+        // the typeCorrelationStats two-tier witness verbatim: loose
+        // double-space bounds prove the moment sums never wrapped,
+        // the div-form checks then run on trustworthy integers
+        expr("case when vx_n2 = 0 or vy_n2 = 0 then 0 else " +
+          "coalesce(cast(assert_true(" +
+          "cast(n_pairs as double) * cast(mx as double) * " +
+          "cast(mx as double) <= 9.0e18 and " +
+          "cast(n_pairs as double) * cast(my as double) * " +
+          "cast(my as double) <= 9.0e18 and " +
+          "cast(n_pairs as double) * cast(mx as double) * " +
+          "cast(my as double) <= 9.0e18 and " +
+          "abs(sxy) <= 4611686018427387903 div greatest(n_pairs, 1) " +
+          "and abs(sx) <= 4611686018427387903 div " +
+          "greatest(abs(sy), 1) and " +
+          "sxx <= 9223372036854775807 div greatest(n_pairs, 1) and " +
+          "syy <= 9223372036854775807 div greatest(n_pairs, 1) and " +
+          "abs(cov_n2) <= 3037000499 and " +
+          "cov_n2 * cov_n2 <= 9223372036854775807 div 1000000 and " +
+          "vx_n2 <= 9223372036854775807 div vy_n2," +
+          " 'acf moments exceed the Long-exact range: shard the day " +
+          "spine or move to decimal(38)') as bigint), 0)" +
+          " + ((cov_n2 * cov_n2 * 1000000) div (vx_n2 * vy_n2)) end")
+          .as("acf2_ppm"))
+  }
+
   /** Daily active / new / cumulative user curve — the product-growth
     * view beside the cohort matrix (X66 answers "does a cohort come
     * back"; this answers "is the user base growing or churning in

@@ -1187,6 +1187,42 @@ object Pipeline {
             .cast("long") * packBudget).cast("long").as("tok_end"))
   }
 
+  /** X310: manifest shard WRITE (VERDICT r14 #7) — the side-effecting
+    * last mile [[pretrainManifest]] plans for: materialize the
+    * manifest as hive-partitioned training shards
+    * (`partitionBy(shard)`) with the X57 single-pass `observe()`
+    * counters, so the QC numbers (row count, token total, span
+    * checksum) come out of the SAME job that wrote the shards — at
+    * 100 TB the alternative is an entire extra read pass. The leading
+    * `repartition(shard)` means each shard directory is written by
+    * ONE task (no tasks × shards small-file explosion — the
+    * [[graft.load.Sinks.writePartitionedSorted]] discipline), and the
+    * within-task sort on (shard, rank) gives parquet row-group
+    * min/max on the data-loader's read order. Returns the observed
+    * metrics; [[ManifestWriteSpec]] asserts the written table
+    * row-equals the lazy plan, the metrics match the written rows,
+    * and the X82 compaction planner bins the written files.
+    * Spec-only by nature (a write, not a query) — documented in
+    * `SparkEntry.specOnly`. */
+  def writeManifestShards(docs: DataFrame, path: String,
+      budgetPerLang: Long = LangTokenBudget,
+      packBudget: Long = PackBudget,
+      nShards: Int = NumShards): Map[String, Any] = {
+    val m = pretrainManifest(docs, budgetPerLang, packBudget, nShards)
+    val obs = org.apache.spark.sql.Observation()
+    m.observe(obs,
+        count(lit(1)).cast("long").as("n_rows"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        sum(col("tok_end") - col("tok_start")).cast("long")
+          .as("span_tokens"),
+        max(col("shard")).cast("long").as("max_shard"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("rank"))
+      .write.partitionBy("shard")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    obs.get
+  }
+
   /** Temporal fold period (days) and embargo gap (days) for
     * [[embargoSplit]] — weekly folds with a one-day purge fit the
     * fixture's 30-day event window (5 folds); production feeds tune

@@ -57,15 +57,16 @@ object MaintQueries {
     // transitive closure + mutual-reachability min (an independent
     // first-principles derivation, not a loop transcription)
     "graph_scc" -> ((s, d) =>
-      graft.graph.Scc.tradeScc(Tables(s, d, "lineitem"),
-        Tables(s, d, "orders"), Tables(s, d, "customer"),
-        Tables(s, d, "supplier"), Tables(s, d, "nation"))),
+      graft.graph.Scc.tradeScc(
+        graft.graph.Scc.sharedTradeEdges(s, d),
+        Tables(s, d, "nation"))),
     // X303: per-nation trade reciprocity — the edge-level mutuality
-    // signal beside graph_scc's component-level one
+    // signal beside graph_scc's component-level one; both ride the
+    // session-cached trade-edge derivation (VERDICT r14 #1)
     "graph_reciprocity" -> ((s, d) =>
-      graft.graph.Scc.tradeReciprocity(Tables(s, d, "lineitem"),
-        Tables(s, d, "orders"), Tables(s, d, "customer"),
-        Tables(s, d, "supplier"), Tables(s, d, "nation"))),
+      graft.graph.Scc.tradeReciprocity(
+        graft.graph.Scc.sharedTradeEdges(s, d),
+        Tables(s, d, "nation"))),
     "maint_compaction_plan" -> ((s, d) =>
       Maintenance.compactionPlan(
         Tables(s, d, "documents").select(col("source"), col("doc_id"),
@@ -130,6 +131,13 @@ object MaintQueries {
       graft.graph.BfsHops.harmonicSampled(Tables(s, d, "orders"),
         Tables(s, d, "lineitem"),
         graph = Some(PageRank.sharedPurchaseGraph(s, d)))),
+    // X309: sampled betweenness centrality (VERDICT r14 #6) — Brandes
+    // dependency accumulation in e6 micro-units over the σ-carrying
+    // frontier BFS; forward hop frames reused by the backward pass
+    "graph_betweenness" -> ((s, d) => {
+      val (e, g) = PageRank.sharedPurchaseGraph(s, d)
+      graft.graph.Betweenness.sampledBetweenness(e, g)
+    }),
     // X191: seed-set cheapest-path cost — Bellman-Ford min-plus over
     // inverse-support edge costs; full-table relaxation per round (a
     // settled node can still improve, so no frontier shortcut)
@@ -350,6 +358,72 @@ object MaintQueries {
          |  CAST(count(*) AS BIGINT) AS n_sources,
          |  CAST(SUM(1000000 // hops) AS BIGINT) AS harm_e6
          |FROM d$r WHERE hops > 0 GROUP BY 1, 2""".stripMargin
+    },
+
+    // the σ-carrying frontier BFS unrolled forward (MATERIALIZED per
+    // round), then Brandes' dependency accumulation unrolled BACKWARD
+    // level by level — every term the same non-negative integer
+    // floor-div in both engines
+    "graph_betweenness" -> {
+      def fwd(i: Int): String =
+        s"""f$i AS MATERIALIZED (
+           |  SELECT f.seed, e.dst AS node,
+           |         CAST(SUM(f.sigma) AS BIGINT) AS sigma
+           |  FROM e JOIN f${i - 1} f ON e.src = f.node
+           |  WHERE NOT EXISTS (SELECT 1 FROM d${i - 1} s
+           |                    WHERE s.seed = f.seed
+           |                      AND s.node = e.dst)
+           |  GROUP BY 1, 2),
+           |d$i AS MATERIALIZED (
+           |  SELECT seed, node, hops, sigma FROM d${i - 1}
+           |  UNION ALL
+           |  SELECT seed, node, CAST($i AS BIGINT) AS hops, sigma
+           |  FROM f$i)""".stripMargin
+      val r = graft.graph.BfsHops.Rounds
+      def bwd(l: Int): String =
+        s"""b$l AS MATERIALIZED (
+           |  SELECT c.seed, c.node, c.sigma,
+           |         CAST(COALESCE(t.delta, 0) AS BIGINT) AS delta
+           |  FROM (SELECT seed, node, sigma FROM d$r WHERE hops = $l) c
+           |  LEFT JOIN (
+           |    SELECT c2.seed, c2.node,
+           |      CAST(SUM((c2.sigma * (1000000 + n.delta)) // n.sigma)
+           |        AS BIGINT) AS delta
+           |    FROM (SELECT seed, node, sigma FROM d$r
+           |          WHERE hops = $l) c2
+           |    JOIN e ON e.src = c2.node
+           |    JOIN b${l + 1} n ON n.seed = c2.seed AND n.node = e.dst
+           |    GROUP BY 1, 2) t
+           |  ON t.seed = c.seed AND t.node = c.node)""".stripMargin
+      val m = graft.graph.Betweenness.SeedMod
+      val unions = (r - 1 to 1 by -1).map(l =>
+        s"      UNION ALL SELECT seed, node, delta FROM b$l")
+        .mkString("\n")
+      s"""WITH cs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS MATERIALIZED (SELECT src, dst FROM cs
+         |      UNION ALL SELECT dst AS src, src AS dst FROM cs),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+         |        FROM e GROUP BY 1),
+         |d0 AS MATERIALIZED (
+         |  SELECT src AS seed, src AS node, CAST(0 AS BIGINT) AS hops,
+         |         CAST(1 AS BIGINT) AS sigma
+         |  FROM deg WHERE src % 2 = 1 AND (src // 2) % $m = 0),
+         |f0 AS MATERIALIZED (SELECT seed, node, sigma FROM d0),
+         |${(1 to r).map(fwd).mkString(",\n")},
+         |b$r AS MATERIALIZED (
+         |  SELECT seed, node, sigma, CAST(0 AS BIGINT) AS delta
+         |  FROM d$r WHERE hops = $r),
+         |${(r - 1 to 1 by -1).map(bwd).mkString(",\n")}
+         |SELECT CASE WHEN node % 2 = 0 THEN 'customer'
+         |            ELSE 'supplier' END AS kind,
+         |  CAST(node // 2 AS BIGINT) AS id,
+         |  CAST(count(*) AS BIGINT) AS n_seeds,
+         |  CAST(SUM(delta) AS BIGINT) AS bc_e6
+         |FROM (SELECT seed, node, delta FROM b$r
+         |$unions)
+         |GROUP BY 1, 2""".stripMargin
     },
 
     // same incidence/edge derivation; sim² ppm and the (ppm, w, nbr)

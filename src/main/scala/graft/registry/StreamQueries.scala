@@ -217,6 +217,12 @@ object StreamQueries {
       graft.analytics.Analytics.typeCorrelationStats(
         Tables(s, d, "events"))),
 
+    // X311: per-type daily-count autocorrelation at lags 1..7 — the
+    // seasonality detector; one window pass for all lags, stack
+    // unpivot, the corr-style sign + squared-ppm integer outputs
+    "events_acf" -> ((s, d) =>
+      graft.analytics.Analytics.acfDaily(Tables(s, d, "events"))),
+
     "events_percentiles" -> ((s, d) =>
       Tables(s, d, "events").groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -2008,6 +2014,59 @@ object StreamQueries {
         |       ELSE (cov_n2 * cov_n2 * 1000000) // (vx_n2 * vy_n2)
         |       END AS BIGINT) AS r2_ppm
         |FROM d2""".stripMargin,
+
+    // per-type zero-filled spine, ONE window of 7 lag columns, a
+    // parallel-unnest unpivot, the same moment identities — sign and
+    // squared magnitude stay in non-negative integer floor-div land
+    "events_acf" -> {
+      val r = graft.analytics.Analytics.AcfMaxLag
+      val lagCols = (1 to r).map(k => s"lag(n, $k) OVER w AS l$k")
+        .mkString(", ")
+      val lagList = (1 to r).map(k => s"CAST($k AS BIGINT)")
+        .mkString("[", ", ", "]")
+      val valList = (1 to r).map(k => s"l$k").mkString("[", ", ", "]")
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |mm AS (SELECT event_type, min(day) AS mn, max(day) AS mx
+         |       FROM daily GROUP BY 1),
+         |spine AS (
+         |  SELECT event_type,
+         |    CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+         |      CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+         |  FROM mm),
+         |f AS (SELECT s.event_type, s.day, COALESCE(daily.n, 0) AS n
+         |      FROM spine s LEFT JOIN daily
+         |        ON s.event_type = daily.event_type
+         |          AND s.day = daily.day),
+         |l AS (SELECT event_type, n AS x, $lagCols
+         |      FROM f
+         |      WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         |u AS (SELECT event_type, x,
+         |        unnest($lagList) AS lag, unnest($valList) AS y
+         |      FROM l),
+         |p AS (SELECT * FROM u WHERE y IS NOT NULL),
+         |m AS (SELECT event_type, lag,
+         |        CAST(count(*) AS BIGINT) AS n_pairs,
+         |        CAST(SUM(x) AS BIGINT) AS sx,
+         |        CAST(SUM(y) AS BIGINT) AS sy,
+         |        CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |        CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |        CAST(SUM(y * y) AS BIGINT) AS syy
+         |      FROM p GROUP BY 1, 2),
+         |d2 AS (SELECT event_type, lag, n_pairs, sx, sy, sxy,
+         |         n_pairs * sxy - sx * sy AS cov_n2,
+         |         n_pairs * sxx - sx * sx AS vx_n2,
+         |         n_pairs * syy - sy * sy AS vy_n2
+         |       FROM m)
+         |SELECT event_type, lag, n_pairs, sx, sy, sxy,
+         |  CAST(sign(cov_n2) AS BIGINT) AS cov_sign,
+         |  CAST(CASE WHEN vx_n2 = 0 OR vy_n2 = 0 THEN 0
+         |       ELSE (cov_n2 * cov_n2 * 1000000) // (vx_n2 * vy_n2)
+         |       END AS BIGINT) AS acf2_ppm
+         |FROM d2""".stripMargin
+    },
 
     // same (user, day) dedup + first-seen rule; cumulative = prefix
     // sum of daily new

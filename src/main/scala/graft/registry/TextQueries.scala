@@ -160,6 +160,15 @@ object TextQueries {
     // second-order leg of the perplexity quality filter
     "text_bigram_surprisal" -> ((s, d) =>
       graft.text.CorpusStats.bigramSurprisalScores(docs(s, d))),
+    // X308: Kneser-Ney-smoothed bigram surprisal (VERDICT r14 #5) —
+    // absolute discount D as an integer-ppm constant, continuation
+    // counts, one common-denominator integer rational per bigram type
+    "text_kn_surprisal" -> ((s, d) =>
+      graft.text.CorpusStats.knSurprisalScores(docs(s, d))),
+    // X312: Good-Turing frequency-of-frequencies per language — the
+    // unseen-mass (N1/N ppm) and discounted hapax count (2·N2/N1 e6)
+    "text_good_turing" -> ((s, d) =>
+      graft.text.CorpusStats.goodTuringProfile(docs(s, d))),
     // X247: Church-Gale term burstiness — topical vs function-word
     // separation from the tf/df ratio
     "text_term_burstiness" -> ((s, d) =>
@@ -991,6 +1000,67 @@ object TextQueries {
          |  CAST(COALESCE((a.total_bits * 1000000) // a.n_bigrams, 0)
          |    AS BIGINT) AS bits_per_bigram_e6
          |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
+
+    // same bigram extraction; interpolated Kneser-Ney with D as an
+    // integer-ppm constant over one common denominator — num/den are
+    // exact count rationals, bits = the X110 floor-log2 device
+    "text_kn_surprisal" -> {
+      val dp = graft.text.CorpusStats.KnDiscountPpm
+      s"""WITH $TokCte,
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+         |         i -> w[i] || ' ' || w[i + 1])) AS bigram
+         |       FROM tw),
+         |bi AS (SELECT bigram,
+         |         string_split(bigram, ' ')[1] AS a,
+         |         string_split(bigram, ' ')[2] AS b,
+         |         CAST(count(*) AS BIGINT) AS n_ab
+         |       FROM bg GROUP BY 1, 2, 3),
+         |hd AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS n_a,
+         |         CAST(count(*) AS BIGINT) AS t_a
+         |       FROM bi GROUP BY 1),
+         |tl AS (SELECT b, CAST(count(*) AS BIGINT) AS t_b
+         |       FROM bi GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM bi),
+         |ty AS (SELECT bigram,
+         |         CAST(length(format('{:b}',
+         |           (n_a * 1000000 * tt) //
+         |           (greatest(n_ab * 1000000 - $dp, 0) * tt +
+         |            $dp * t_a * t_b))) AS BIGINT) AS bits
+         |       FROM bi JOIN hd USING (a) JOIN tl USING (b), tot),
+         |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |         CAST(SUM(bits) AS BIGINT) AS total_bits
+         |       FROM bg JOIN ty USING (bigram) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(ag.n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(ag.total_bits, 0) AS total_bits,
+         |  CAST(COALESCE((ag.total_bits * 1000000) // ag.n_bigrams, 0)
+         |    AS BIGINT) AS bits_per_bigram_e6
+         |FROM documents d LEFT JOIN ag USING (doc_id)""".stripMargin
+    },
+
+    // same normalized tokenization at (lang, term) grain; frequency-
+    // of-frequencies folded into conditional sums, ppm/e6 floor-divs
+    "text_good_turing" ->
+      s"""WITH ex AS (
+         |  SELECT lang,
+         |         unnest(string_split(${normSql("text")}, ' ')) AS tok
+         |  FROM documents WHERE ${normSql("text")} <> ''),
+         |tf AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+         |       FROM ex GROUP BY 1, 2),
+         |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+         |        CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |        CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS n_hapax,
+         |        CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS n_dis
+         |      FROM tf GROUP BY 1)
+         |SELECT lang, n_tokens, n_types, n_hapax, n_dis,
+         |  CAST((n_hapax * 1000000) // n_tokens AS BIGINT)
+         |    AS unseen_mass_ppm,
+         |  CAST(CASE WHEN n_hapax = 0 THEN 0
+         |       ELSE (2 * n_dis * 1000000) // n_hapax END AS BIGINT)
+         |    AS c1_star_e6
+         |FROM g""".stripMargin,
 
     // integer tf-idf score: (tf · 1e6 · n_docs) // (df · dl) — exact
     // BIGINT arithmetic in both engines, term-asc tiebreak (see

@@ -189,6 +189,137 @@ object CorpusStats {
           .as("bits_per_bigram_e6"))
   }
 
+  /** Absolute discount for the Kneser-Ney bigram LM, as an integer
+    * ppm constant (the canonical D = 0.75 of Chen & Goodman 1998) —
+    * ppm so every probability stays an exact count ratio. */
+  val KnDiscountPpm = 750000L
+
+  /** Integer bits-per-bigram KNESER-NEY surprisal (X308, VERDICT r14
+    * #5) — the SMOOTHED n-gram LM the CCNet filter actually runs
+    * (Wenzek et al., arXiv:1911.00359 score with a KenLM 5-gram;
+    * Kneser-Ney is its smoothing family), where [[surprisalScores]]
+    * is the unigram proxy and [[bigramSurprisalScores]] the raw
+    * maximum-likelihood bigram: ML assigns a count-1 bigram the full
+    * 1/c(w₁) and an echo of the head's frequency, while interpolated
+    * KN discounts every observed count by D and hands the freed mass
+    * to the CONTINUATION unigram (how many distinct contexts a word
+    * follows — the "San Francisco" device: frequent but
+    * single-context words stop looking probable everywhere).
+    *
+    * Exact count arithmetic end to end — with D = [[KnDiscountPpm]]
+    * ppm, the interpolated probability
+    * `p(b|a) = max(c_ab−D,0)/c_a + (D·t_a/c_a)·(t_b/T)`
+    * over one common denominator is the integer rational
+    * `num = max(c_ab·10⁶ − D, 0)·T + D·t_a·t_b`,
+    * `den = c_a·10⁶·T`
+    * (c_ab/c_a the bigram/head counts, t_a = distinct types with head
+    * a, t_b = distinct types with TAIL b — the continuation count, T
+    * = total bigram types; num ≥ D·1·1 > 0 for every observed
+    * bigram, so the division is total). The X110 floor-bits device
+    * then gives `bits = bit_length(den div num)` ∈
+    * [surprisal, surprisal+1) — an integer both engines compute
+    * identically, immune to float log noise. The house double-space
+    * witness bounds both products before they are formed.
+    *
+    * Shape: [[bigramSurprisalScores]]' exact topology plus one
+    * vocabulary-grain tail rollup and a 1-row type-count broadcast —
+    * instances explode once, everything else aggregates and joins at
+    * bigram-TYPE or vocabulary grain on their own keys; nothing
+    * vocabulary-sized is ever broadcast. */
+  def knSurprisalScores(docs: DataFrame,
+      dPpm: Long = KnDiscountPpm): DataFrame = {
+    val t = graft.core.CacheBay.register(
+      docs.select(col("doc_id"), tokenArray(col("text")).as("w")))
+    val exb = graft.core.CacheBay.register(
+      t.select(col("doc_id"),
+        explode(wordShinglesOf(col("w"), 2)).as("bigram")))
+    val bi = graft.core.CacheBay.register(
+      exb.groupBy(col("bigram"))
+        .agg(count(lit(1)).cast("long").as("n_ab"))
+        .withColumn("a", split(col("bigram"), " ").getItem(0))
+        .withColumn("b", split(col("bigram"), " ").getItem(1)))
+    val heads = bi.groupBy(col("a"))
+      .agg(sum(col("n_ab")).cast("long").as("n_a"),
+        count(lit(1)).cast("long").as("t_a"))
+    val tails = bi.groupBy(col("b"))
+      .agg(count(lit(1)).cast("long").as("t_b"))
+    val tot = bi.agg(count(lit(1)).cast("long").as("tt"))
+    val types = bi.join(heads, Seq("a")).join(tails, Seq("b"))
+      .crossJoin(broadcast(tot))
+      .select(col("bigram"),
+        // double-space pre-overflow witness (the r13 #2 device):
+        // products bound in IEEE doubles, which cannot wrap, BEFORE
+        // the Long products are formed — num's two addends each ≤
+        // 4.5e18 keeps their sum ≤ 9e18
+        expr("coalesce(cast(assert_true(" +
+          s"cast(n_ab as double) * 1.0e6 * cast(tt as double) <= " +
+          s"4.5e18 and " +
+          s"$dPpm * cast(t_a as double) * cast(t_b as double) <= " +
+          s"4.5e18 and " +
+          s"cast(n_a as double) * 1.0e6 * cast(tt as double) <= " +
+          s"9.0e18, " +
+          "'kn surprisal exceeds the Long-exact range (c_ab*1e6*T, " +
+          "D*t_a*t_b or c_a*1e6*T > 2^63-1): move to decimal(38)')" +
+          " as bigint), 0)" +
+          s" + cast(length(bin((n_a * 1000000 * tt) div " +
+          s"(greatest(n_ab * 1000000 - $dPpm, 0) * tt + " +
+          s"$dPpm * t_a * t_b))) as long)").as("bits"))
+    val agg = exb.join(types, Seq("bigram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(col("bits")).cast("long").as("total_bits"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("total_bits"), lit(0L)).as("total_bits"),
+        coalesce(expr("(total_bits * 1000000) div n_bigrams"), lit(0L))
+          .as("bits_per_bigram_e6"))
+  }
+
+  /** X312: Good-Turing frequency-of-frequencies profile per language
+    * — the UNSEEN-MASS estimate that prices a corpus's lexical
+    * coverage (Good 1953; the estimator behind Katz backoff and the
+    * [[KnDiscountPpm]] discount family): the Turing estimate of the
+    * probability mass on never-seen words is N₁/N (hapax share of
+    * tokens), and the discounted count for once-seen words is
+    * c*₁ = 2·N₂/N₁ — both pure count ratios, emitted as exact
+    * integer ppm/e6 (floor-div on non-negative integers, div ≡ //).
+    * A language whose unseen mass stays high as the corpus grows is
+    * under-collected; one whose hapaxes are OCR shrapnel shows it
+    * here first (N₁ inflated, c*₁ collapsed). Reads beside the X213
+    * Heaps-law growth curve and the X221 hapax rate, which profile
+    * TYPES — this one prices the missing PROBABILITY.
+    *
+    * Shape: one (lang, term) aggregate, one language-grain rollup —
+    * the [[termBurstiness]] topology; the frequency-of-frequencies
+    * dimension is folded into conditional sums, so nothing beyond
+    * the vocabulary frame ever materializes. */
+  def goodTuringProfile(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), explode(tokenArray(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_types"),
+        sum(col("c")).cast("long").as("n_tokens"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).cast("long")
+          .as("n_hapax"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).cast("long")
+          .as("n_dis"))
+      .select(col("lang"), col("n_tokens"), col("n_types"),
+        col("n_hapax"), col("n_dis"),
+        // ppm/e6 scale witnesses (counts are trustworthy: plain
+        // row-count sums of a keyed aggregate)
+        expr("coalesce(cast(assert_true(" +
+          "n_hapax <= 9223372036854775807 div 1000000 and " +
+          "n_dis <= 9223372036854775807 div 2000000," +
+          " 'good-turing counts exceed the Long-exact range: move " +
+          "to decimal(38)') as bigint), 0)" +
+          " + ((n_hapax * 1000000) div n_tokens)")
+          .as("unseen_mass_ppm"),
+        expr("case when n_hapax = 0 then 0 else " +
+          "(2 * n_dis * 1000000) div n_hapax end").cast("long")
+          .as("c1_star_e6"))
+
   /** Terms below this document frequency are noise for the
     * burstiness read. */
   val BurstMinDf = 2L

@@ -639,6 +639,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.size == 3)
   }
 
+  test("acfDaily: a period-2 series alternates sign with |r| = 1 at " +
+    "every lag with 2+ pairs; the spine zero-fills real gaps") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s + " 01:00:00")
+    def burst(ty: String, day: String, k: Int) =
+      Seq.fill(k)((ty, t(day)))
+    // A: counts 1,2,1,2,1,2,1,2 over eight consecutive days
+    val a = (1 to 8).flatMap(d =>
+      burst("A", f"2024-01-0$d", if (d % 2 == 0) 2 else 1))
+    // B: events on day 1 and day 3 only -> spine = [1, 0, 1]; without
+    // the zero-fill, lag 1 would splice the non-adjacent days
+    val b = burst("B", "2024-01-01", 1) ++ burst("B", "2024-01-03", 1)
+    val r = Analytics.acfDaily((a ++ b).toDF("event_type", "ts"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(x => (x._1, x._2) -> ((x._3, x._7, x._8))).toMap
+    graft.core.CacheBay.drain()
+    assert(r(("A", 1L)) == ((7L, -1L, 1000000L)))
+    assert(r(("A", 2L)) == ((6L, 1L, 1000000L)))
+    assert(r(("A", 3L)) == ((5L, -1L, 1000000L)))
+    assert(r(("A", 4L)) == ((4L, 1L, 1000000L)))
+    assert(r(("A", 5L)) == ((3L, -1L, 1000000L)))
+    assert(r(("A", 6L)) == ((2L, 1L, 1000000L)))
+    assert(r(("A", 7L)) == ((1L, 0L, 0L))) // one pair: zero variance
+    // B at lag 1 pairs (0,1) and (1,0) — anticorrelated ONLY because
+    // the gap day is a real zero on the spine
+    assert(r(("B", 1L)) == ((2L, -1L, 1000000L)))
+    assert(r(("B", 2L)) == ((1L, 0L, 0L)))
+    assert(r.size == 9, r.toString)
+  }
+
   test("rfmSegmentation: exact quintiles per dimension, 3-digit code") {
     def t(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
     val o = Seq(

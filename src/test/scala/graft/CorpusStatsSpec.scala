@@ -485,6 +485,94 @@ class CorpusStatsSpec extends SparkSpec {
     }
   }
 
+  test("knSurprisalScores property: random small-vocab corpora equal " +
+    "a naive recompute of the interpolated Kneser-Ney floor-bits") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val docGen: Gen[List[String]] = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 9).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d"))
+          .map(_.mkString(" ")))))
+    val D = CorpusStats.KnDiscountPpm
+    (1L to 8L).foreach { seed =>
+      val texts = sample(docGen, seed)
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = CorpusStats.knSurprisalScores(docs)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      graft.core.CacheBay.drain()
+      // naive: type counts, head/tail continuation counts, the one-
+      // common-denominator KN rational, floor-bits per doc
+      val docToks = texts.map(_.split("\\s+").filter(_.nonEmpty).toSeq)
+      val allBi = docToks.flatMap(ts => ts.zip(ts.drop(1)))
+      val cAb = allBi.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val cHead = allBi.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val tHead = cAb.keys.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val tTail = cAb.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val tt = cAb.size.toLong
+      val want = docToks.zipWithIndex.map { case (ts, i) =>
+        val bi = ts.zip(ts.drop(1))
+        val bits = bi.map { b =>
+          val num = BigInt(math.max(cAb(b) * 1000000L - D, 0L)) * tt +
+            BigInt(D) * tHead(b._1) * tTail(b._2)
+          val den = BigInt(cHead(b._1)) * 1000000L * tt
+          (den / num).toString(2).length.toLong
+        }.sum
+        i.toLong -> ((bi.size.toLong, bits,
+          if (bi.isEmpty) 0L else bits * 1000000L / bi.size))
+      }.toMap
+      assert(got == want, s"seed=$seed texts=$texts")
+    }
+  }
+
+  test("knSurprisalScores: hand-computed interpolated-KN bits exact; " +
+    "no-bigram docs report zeros") {
+    // corpus bigram types: "a b"×3, "b a"×2, "a c"×1; T = 3,
+    // t_head(a) = 2, t_tail(b) = t_tail(a) = t_tail(c) = 1,
+    // c_head(a) = 4, c_head(b) = 2. With D = 0.75e6 ppm:
+    // "a b": num = (3e6-75e4)*3 + 75e4*2*1 = 825e4, den = 4e6*3 =
+    //   12e6, bits = bitlen(12e6 div 825e4 = 1) = 1
+    // "b a": num = (2e6-75e4)*3 + 75e4*1*1 = 450e4, den = 2e6*3 =
+    //   6e6, bits = bitlen(1) = 1
+    // "a c": num = (1e6-75e4)*3 + 75e4*2*1 = 225e4, den = 12e6,
+    //   bits = bitlen(12e6 div 225e4 = 5) = 3
+    val docs = Seq(
+      (0L, "a b a b a b"),
+      (1L, "a c"),
+      (2L, "z"))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.knSurprisalScores(docs)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    graft.core.CacheBay.drain()
+    assert(got(0L) == ((5L, 5L, 1000000L)), s"doc0: ${got(0L)}")
+    assert(got(1L) == ((1L, 3L, 3000000L)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((0L, 0L, 0L)), s"doc2: ${got(2L)}")
+  }
+
+  test("goodTuringProfile: hand-computed count-of-counts — unseen " +
+    "mass N1/N ppm, discounted hapax count 2*N2/N1 e6") {
+    val docs = Seq(
+      (0L, "en", "a a b c"), (1L, "en", "c d"),
+      (2L, "fr", "x"),
+      (3L, "zz", ""))   // no tokens -> no row
+      .toDF("doc_id", "lang", "text")
+    val got = CorpusStats.goodTuringProfile(docs)
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7)))
+      .toMap
+    graft.core.CacheBay.drain()
+    // en: a:2 b:1 c:2 d:1 -> N=6, types=4, N1=2, N2=2;
+    // unseen = 2e6 div 6 = 333333; c1* = (2*2*1e6) div 2 = 2e6
+    assert(got("en") == ((6L, 4L, 2L, 2L, 333333L, 2000000L)))
+    // fr: one hapax -> unseen mass 1e6, c1* = 0 (no dis legomena)
+    assert(got("fr") == ((1L, 1L, 1L, 0L, 1000000L, 0L)))
+    assert(got.size == 2, got.toString)
+  }
+
   test("bigramSurprisalScores: conditional bits exact; no-bigram docs " +
     "report zeros") {
     val docs = Seq(

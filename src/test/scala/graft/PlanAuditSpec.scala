@@ -409,6 +409,9 @@ class PlanAuditSpec extends SparkSpec {
       "events_type_correlation",
       // 1-row corpus-totals broadcasts (surprisal chain / drift N0·N1)
       "text_ppl_buckets", "text_vocab_drift",
+      // 1-row bigram-type-total broadcast onto the type frame (the
+      // KN common denominator's T)
+      "text_kn_surprisal",
       // 1-row corpus-token-total broadcast onto the bounded domain frame
       "pipe_domain_cap")
   // Building these performs driver-side actions (KMeans fit / LBFGS
