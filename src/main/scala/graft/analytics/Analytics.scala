@@ -1168,6 +1168,60 @@ object Analytics {
           .as("r2_ppm"))
   }
 
+  /** X313: Tukey IQR outlier screen per event type — the box-plot
+    * fence QC beside the X-row MAD screen (MAD is the robust
+    * per-point z-score; Tukey fences are the distribution-shape
+    * verdict audit dashboards draw): quartiles as exact ORDER
+    * STATISTICS on integer cents (type-1, `q = smallest value whose
+    * cumulative count ≥ ⌈p·n⌉` — no interpolation, so no float
+    * boundary to disagree on), fences at q1 − 1.5·IQR / q3 + 1.5·IQR
+    * compared in doubled integers (`2·v < 2·q1 − 3·iqr`) so the half
+    * never leaves integer land, low/high outlier counts and the ppm.
+    *
+    * Scale shape: quartiles come from the VALUE-DOMAIN offset device
+    * (the X28/weighted-median discipline) — per-(type, cents) counts
+    * + a cumulative window over the bounded distinct-value domain,
+    * never a per-row sort; fence counting reuses the same value
+    * frame, and the per-type fence table broadcasts. */
+  def iqrOutliers(events: DataFrame): DataFrame = {
+    val vc = graft.core.CacheBay.register(
+      events.select(col("event_type"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).cast("long").as("c")))
+    val cum = vc.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy(col("event_type"))
+        .orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+    val n = vc.groupBy(col("event_type"))
+      .agg(sum(col("c")).cast("long").as("n"))
+    val q = cum.join(n, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") >= expr("(n + 3) div 4"), col("cents")))
+          .cast("long").as("q1_cents"),
+        min(when(col("cum") >= expr("(3 * n + 3) div 4"), col("cents")))
+          .cast("long").as("q3_cents"))
+      .withColumn("iqr_cents", col("q3_cents") - col("q1_cents"))
+    vc.join(broadcast(q), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        max(col("q1_cents")).as("q1_cents"),
+        max(col("q3_cents")).as("q3_cents"),
+        max(col("iqr_cents")).as("iqr_cents"),
+        sum(when(col("cents") * 2 <
+          col("q1_cents") * 2 - col("iqr_cents") * 3, col("c"))
+          .otherwise(0L)).cast("long").as("n_low"),
+        sum(when(col("cents") * 2 >
+          col("q3_cents") * 2 + col("iqr_cents") * 3, col("c"))
+          .otherwise(0L)).cast("long").as("n_high"))
+      .select(col("event_type"), col("n"), col("q1_cents"),
+        col("q3_cents"), col("iqr_cents"), col("n_low"), col("n_high"),
+        expr("((n_low + n_high) * 1000000) div n").cast("long")
+          .as("outlier_ppm"))
+  }
+
   /** Max lag (days) for [[acfDaily]] — a week of daily lags covers
     * the weekly-seasonality read the forecast family needs. */
   val AcfMaxLag = 7

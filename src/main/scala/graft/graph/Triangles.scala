@@ -101,6 +101,21 @@ object Triangles {
       .unionByName(e.select(col("b").as("u"), col("a").as("v")))
     val deg = graft.core.CacheBay.register(
       und.groupBy(col("u")).agg(count(lit(1)).cast("long").as("deg")))
+    val tris = triangleFrame(e, und, deg)
+    val perNode = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).cast("long").as("c"))
+    deg.join(perNode.select(col("n").as("u"), col("c")), Seq("u"), "left")
+      .select(col("u").as("part"), col("deg"),
+        coalesce(col("c"), lit(0L)).as("n_tri"))
+  }
+
+  /** The oriented-wedge triangle enumeration shared by
+    * [[triangleCounts]] and [[edgeEmbeddedness]]: one row per
+    * triangle as `(x, y, z)` with x the wedge center and y < z the
+    * probed edge. See the object scaladoc for the m^(3/2) bound. */
+  private[graph] def triangleFrame(e: DataFrame, und: DataFrame,
+      deg: DataFrame): DataFrame = {
     // orient u→v iff (deg_u, u) < (deg_v, v): a strict total order, so
     // each undirected edge appears exactly once and out-degree ≤ √(2m)
     val oriented = graft.core.CacheBay.register(
@@ -114,15 +129,51 @@ object Triangles {
     val wedges = oriented.select(col("u"), col("v").as("v1"))
       .join(oriented.select(col("u"), col("v").as("v2")), Seq("u"))
       .filter(col("v1") < col("v2"))
-    val tris = wedges.join(e,
-      wedges("v1") === e("a") && wedges("v2") === e("b"))
+    wedges.join(e.select(col("a"), col("b")),
+      wedges("v1") === col("a") && wedges("v2") === col("b"))
       .select(col("u").as("x"), col("v1").as("y"), col("v2").as("z"))
-    val perNode = tris
-      .select(explode(array(col("x"), col("y"), col("z"))).as("n"))
-      .groupBy(col("n")).agg(count(lit(1)).cast("long").as("c"))
-    deg.join(perNode.select(col("n").as("u"), col("c")), Seq("u"), "left")
-      .select(col("u").as("part"), col("deg"),
-        coalesce(col("c"), lit(0L)).as("n_tri"))
+  }
+
+  /** X314: per-edge EMBEDDEDNESS and local-bridge flag — the
+    * Granovetter tie-strength read the node-grain triangle count
+    * cannot give: an edge's embeddedness is the number of triangles
+    * through it (common neighbors of its endpoints), and an edge
+    * with embeddedness 0 is a LOCAL BRIDGE — the weak tie whose
+    * removal disconnects its endpoints' neighborhoods (in link-graph
+    * curation: the cross-community citation worth keeping vs the
+    * in-clique echo; in basket analysis: the cross-category
+    * co-purchase that merchandising actually wants). Emitted beside
+    * the co-purchase support weight `w`, because the interesting
+    * anomaly is a STRONG tie (high w) with zero embeddedness.
+    *
+    * Scale shape: the same m^(3/2)-bounded oriented-wedge triangle
+    * enumeration as [[triangleCounts]] ([[triangleFrame]] is shared),
+    * plus one explode to the 3 canonical edges per triangle and one
+    * edge-keyed hash aggregate — linear in the triangle count. The
+    * oracle recomputes embeddedness as an independent common-neighbor
+    * join (NOT the orientation transcription). */
+  def edgeEmbeddedness(weighted: DataFrame): DataFrame = {
+    val e = weighted.select(col("a"), col("b"), col("w"))
+    val und = e.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+    val deg = graft.core.CacheBay.register(
+      und.groupBy(col("u")).agg(count(lit(1)).cast("long").as("deg")))
+    val tris = triangleFrame(e, und, deg)
+    val support = tris.select(explode(array(
+        struct(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b")),
+        struct(least(col("x"), col("z")).as("a"),
+          greatest(col("x"), col("z")).as("b")),
+        struct(least(col("y"), col("z")).as("a"),
+          greatest(col("y"), col("z")).as("b")))).as("eg"))
+      .select(col("eg.a").as("a"), col("eg.b").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).cast("long").as("n_triangles"))
+    e.join(support, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), col("w"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(coalesce(col("n_triangles"), lit(0L)) === 0L, 1L)
+          .otherwise(0L).as("is_local_bridge"))
   }
 
   /** Degree histogram in power-of-2 buckets (X246) — the graph-side

@@ -77,6 +77,12 @@ object MaintQueries {
     "graph_triangles" -> ((s, d) =>
       graft.graph.Triangles.triangleCounts(
         graft.graph.Triangles.sharedCoPurchaseEdges(s, d))),
+    // X314: per-edge embeddedness + local-bridge flag (Granovetter
+    // weak ties) — shared oriented-wedge enumeration, edge-grain
+    // rollup; rides the session-cached weighted co-purchase edges
+    "graph_edge_embeddedness" -> ((s, d) =>
+      graft.graph.Triangles.edgeEmbeddedness(
+        graft.graph.Triangles.sharedWeightedEdges(s, d))),
     // X212: per-node local clustering coefficient — one ppm
     // projection over the m^(3/2)-bounded triangle frame; shares the
     // session co-purchase edge cache
@@ -564,6 +570,30 @@ object MaintQueries {
         |tc AS (SELECT n, CAST(count(*) AS BIGINT) AS c FROM nodes GROUP BY 1)
         |SELECT d.u AS part, d.deg, CAST(COALESCE(tc.c, 0) AS BIGINT) AS n_tri
         |FROM deg d LEFT JOIN tc ON d.u = tc.n""".stripMargin,
+
+    // embeddedness recomputed INDEPENDENTLY as a common-neighbor join
+    // (adjacent-to-both count per edge), not the engine's orientation
+    // transcription — same edge set, same counts
+    "graph_edge_embeddedness" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT x.p AS a, y.p AS b, CAST(count(*) AS BIGINT) AS w
+        |  FROM op x JOIN op y ON x.ok = y.ok AND x.p < y.p
+        |  GROUP BY 1, 2),
+        |und AS (SELECT a AS u, b AS v FROM e
+        |        UNION ALL SELECT b, a FROM e),
+        |cn AS (
+        |  SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM e
+        |  JOIN und x ON x.u = e.a
+        |  JOIN und y ON y.u = e.b AND y.v = x.v
+        |  GROUP BY 1, 2)
+        |SELECT e.a, e.b, e.w,
+        |  CAST(COALESCE(cn.n_triangles, 0) AS BIGINT) AS n_triangles,
+        |  CAST(CASE WHEN COALESCE(cn.n_triangles, 0) = 0 THEN 1
+        |       ELSE 0 END AS BIGINT) AS is_local_bridge
+        |FROM e LEFT JOIN cn USING (a, b)""".stripMargin,
 
     // same canonical triangle enumeration; cc = 2e6·tri // deg·(deg−1)
     // (non-negative, so // ≡ div), degree-1 nodes 0 by convention

@@ -331,6 +331,12 @@ object StreamQueries {
             .as("is_outlier"))
     }),
 
+    // X313: Tukey IQR fences per type — exact order-statistic
+    // quartiles on cents via the value-domain offset device, doubled-
+    // integer fence comparisons, low/high counts + ppm
+    "events_iqr_outliers" -> ((s, d) =>
+      graft.analytics.Analytics.iqrOutliers(Tables(s, d, "events"))),
+
     // Reliability diagram for the same score/label pair as events_auc:
     // equi-depth score deciles (X44 decomposition, no global sort) ×
     // integer-ppm positive rate
@@ -1203,6 +1209,43 @@ object StreamQueries {
         |  CAST(CASE WHEN adev > 3 * mad THEN 1 ELSE 0 END AS BIGINT)
         |    AS is_outlier
         |FROM d JOIN md USING (event_type)""".stripMargin,
+
+    // same value-domain cumulative device; type-1 order statistics,
+    // doubled-integer fences — nothing leaves integer land
+    "events_iqr_outliers" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |vc AS (SELECT event_type, cents, CAST(count(*) AS BIGINT) AS c
+        |       FROM t GROUP BY 1, 2),
+        |cm AS (SELECT event_type, cents, c,
+        |         CAST(SUM(c) OVER (PARTITION BY event_type
+        |           ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+        |           AND CURRENT ROW) AS BIGINT) AS cum
+        |       FROM vc),
+        |nn AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+        |       FROM vc GROUP BY 1),
+        |q AS (SELECT cm.event_type, MAX(n) AS n,
+        |        MIN(CASE WHEN cum >= (n + 3) // 4 THEN cents END)
+        |          AS q1_cents,
+        |        MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN cents END)
+        |          AS q3_cents
+        |      FROM cm JOIN nn USING (event_type) GROUP BY 1),
+        |o AS (SELECT vc.event_type,
+        |        CAST(SUM(CASE WHEN cents * 2 <
+        |          q1_cents * 2 - (q3_cents - q1_cents) * 3
+        |          THEN c ELSE 0 END) AS BIGINT) AS n_low,
+        |        CAST(SUM(CASE WHEN cents * 2 >
+        |          q3_cents * 2 + (q3_cents - q1_cents) * 3
+        |          THEN c ELSE 0 END) AS BIGINT) AS n_high
+        |      FROM vc JOIN q USING (event_type) GROUP BY 1)
+        |SELECT q.event_type, q.n, q1_cents, q3_cents,
+        |  CAST(q3_cents - q1_cents AS BIGINT) AS iqr_cents,
+        |  n_low, n_high,
+        |  CAST(((n_low + n_high) * 1000000) // q.n AS BIGINT)
+        |    AS outlier_ppm
+        |FROM q JOIN o USING (event_type)""".stripMargin,
 
     // equi-depth tile via the integer rank formula (NOT NTILE —
     // remainder placement differs); oracle may global-sort, the

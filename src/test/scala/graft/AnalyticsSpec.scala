@@ -639,6 +639,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.size == 3)
   }
 
+  test("iqrOutliers: type-1 quartiles on cents, doubled-integer " +
+    "Tukey fences, low/high counts exact on a hand fixture") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // type A: cents 100..900 by 100 (n=9) -> k1=ceil(9/4)=3 -> q1=300,
+    // k3=ceil(27/4)=7 -> q3=700, iqr=400; fences: lo 2*300-3*400=-600
+    // (cents*2 < -600 -> none), hi 2*700+3*400=2600 -> cents*2 > 2600
+    // -> 14.00 and 29.00 outliers high
+    val a = (1 to 9).map(i => ("A", t("2024-01-01 01:00:00"), i * 1.0))
+    val b = Seq(("A", t("2024-01-01 02:00:00"), 14.0),
+      ("A", t("2024-01-01 03:00:00"), 29.0))
+    // recompute A with the outliers IN the sample: n=11, k1=3 ->
+    // q1=300, k3=ceil(33/4)=9 -> q3=900, iqr=600; hi fence 2*900+1800
+    // = 3600 -> only 29.00 (5800 > 3600); lo -1200 -> none
+    val ev = (a ++ b).toDF("event_type", "ts", "value")
+    val r = graft.analytics.Analytics.iqrOutliers(ev)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(x => x._1 -> ((x._2, x._3, x._4, x._5, x._6,
+        x._7, x._8))).toMap
+    graft.core.CacheBay.drain()
+    assert(r("A") == ((11L, 300L, 900L, 600L, 0L, 1L, 90909L)),
+      r.toString)
+  }
+
   test("acfDaily: a period-2 series alternates sign with |r| = 1 at " +
     "every lag with 2+ pairs; the spine zero-fills real gaps") {
     def t(s: String) = java.sql.Timestamp.valueOf(s + " 01:00:00")

@@ -73,6 +73,22 @@ class SccSpec extends SparkSpec {
     graft.core.CacheBay.drain()
   }
 
+  test("sharedTradeEdges: one derivation per session — the second " +
+    "call returns the SAME cached frame, and the registry faces " +
+    "agree with the uncached derivation (VERDICT r14 #1)") {
+    def t(n: String) = graft.core.Tables(spark, SfDir, n)
+    val a = graft.graph.Scc.sharedTradeEdges(spark, SfDir)
+    val b = graft.graph.Scc.sharedTradeEdges(spark, SfDir)
+    assert(a eq b, "sharedTradeEdges must be session-cached (eq), " +
+      "not rebuilt per call")
+    val fresh = graft.graph.Scc.tradeEdges(t("lineitem"), t("orders"),
+      t("customer"), t("supplier")).as[(Long, Long)].collect().toSet
+    assert(a.as[(Long, Long)].collect().toSet == fresh,
+      "cached trade edges diverge from the uncached derivation")
+    graft.core.SessionCache.clear(spark)
+    graft.core.CacheBay.drain()
+  }
+
   test("tradeScc: labels partition the trade graph, scc_id is the " +
     "min member, sizes reconcile, and a mutual core exists") {
     def t(n: String) = graft.core.Tables(spark, SfDir, n)

@@ -36,6 +36,31 @@ class TrianglesSpec extends SparkSpec {
     assert(rs.forall(_._3 == 0L))
   }
 
+  test("edgeEmbeddedness: triangle edges embed once, the pendant and " +
+    "the bridge are local bridges, weights pass through; K4 edges " +
+    "embed twice") {
+    // triangle 1-2-3, pendant 3-4, bridge 4-5
+    val e = Seq((1L, 2L, 7L), (1L, 3L, 1L), (2L, 3L, 2L),
+      (3L, 4L, 9L), (4L, 5L, 1L)).toDF("a", "b", "w")
+    val r = Triangles.edgeEmbeddedness(e)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(x => (x._1, x._2) -> ((x._3, x._4, x._5))).toMap
+    graft.core.CacheBay.drain()
+    assert(r == Map(
+      (1L, 2L) -> ((7L, 1L, 0L)), (1L, 3L) -> ((1L, 1L, 0L)),
+      (2L, 3L) -> ((2L, 1L, 0L)),
+      (3L, 4L) -> ((9L, 0L, 1L)), (4L, 5L) -> ((1L, 0L, 1L))),
+      r.toString)
+    // K4: every edge sits in exactly 2 of the 4 triangles
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b }
+      yield (a, b, 1L)).toDF("a", "b", "w")
+    val rk = Triangles.edgeEmbeddedness(k4)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    graft.core.CacheBay.drain()
+    assert(rk.length == 6 && rk.forall(x => x._4 == 2L && x._5 == 0L),
+      rk.toSeq.toString)
+  }
+
   test("labelPropagation: two triangles over a bridge settle into " +
     "two communities with the deterministic tie rule") {
     // 1-2-3 and 4-5-6 triangles, bridge 3-4; hand-traced sync rounds
