@@ -10,7 +10,10 @@ import org.apache.spark.sql.SparkSession
 object ExplainQueries {
   private val Default = Seq("graph_communities", "graph_kcore",
     "basket_rules", "dedup_winnow", "rfm_segments", "text_surprisal",
-    "j_fuzzy_canonical", "events_type_correlation")
+    "j_fuzzy_canonical", "events_type_correlation",
+    // the round-15 heavyweights: the end-to-end manifest composition
+    // and the sampled-Brandes forward/backward frames
+    "pipe_manifest", "graph_betweenness")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
