@@ -1222,6 +1222,79 @@ object Analytics {
           .as("outlier_ppm"))
   }
 
+  /** X315: Wald–Wolfowitz RUNS TEST on the daily count series per
+    * event type — the randomness screen the forecast family is
+    * gated by from the other side of [[acfDaily]]: ACF finds
+    * structure at a specific lag, the runs test asks the lag-free
+    * question "do up/down moves cluster at all?" (too FEW runs =
+    * trending/sticky series — smoothing leaves structure on the
+    * table; too MANY = oscillation — a period the ACF grid may
+    * straddle). Day-over-day moves come off the zero-filled spine
+    * (gaps are real zeros); flat days (diff = 0) are excluded, the
+    * standard treatment. Emitted in the house exact-moment style —
+    * observed runs R plus the CLOSED-FORM null moments as scaled
+    * integers (`E[R]·10⁶ = 10⁶ + (2·n₁·n₂·10⁶) div (n₁+n₂)`,
+    * `Var[R]·10⁶` from the textbook formula, both floor-divs on
+    * non-negative integers) — never a float z-score, so both engines
+    * agree bit-for-bit and the consumer applies whatever cut it
+    * wants.
+    *
+    * Shape: the per-type daily aggregate + spine explode, two
+    * type-partitioned windows (diff lag, run-break lag over the
+    * nonzero-sign subsequence) — partitions bounded by the day span,
+    * never a global sort; one final per-type rollup. The house
+    * double-space witness bounds the variance numerator before the
+    * product forms. */
+  def runsTest(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val spine = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"))).as("day"))
+    val filled = spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val signs = filled
+      .withColumn("d", col("n") - lag(col("n"), 1).over(w))
+      .filter(col("d").isNotNull && col("d") =!= 0L)
+      .withColumn("s", signum(col("d")).cast("long"))
+    val runs = signs
+      .withColumn("brk", when(lag(col("s"), 1).over(w).isNull ||
+        col("s") =!= lag(col("s"), 1).over(w), 1L).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("s") === 1L, 1L).otherwise(0L)).cast("long")
+          .as("n_up"),
+        sum(when(col("s") === -1L, 1L).otherwise(0L)).cast("long")
+          .as("n_down"),
+        sum(col("brk")).cast("long").as("n_runs"))
+    runs.select(col("event_type"), col("n_up"), col("n_down"),
+      col("n_runs"),
+      expr("case when n_up + n_down = 0 then 0 else " +
+        "1000000 + (2 * n_up * n_down * 1000000) div (n_up + n_down)" +
+        " end").cast("long").as("expected_runs_e6"),
+      // Var[R] = 2n1n2(2n1n2 − n1 − n2) / ((n1+n2)²(n1+n2−1)); the
+      // double-space witness proves both products fit a Long before
+      // they form (2n1n2 and its cofactor are each ≤ ~2n², so the
+      // n⁴-scale numerator is the binding term)
+      expr("case when n_up + n_down < 2 then 0 else " +
+        "coalesce(cast(assert_true(" +
+        "2.0 * cast(n_up as double) * cast(n_down as double) * " +
+        "(2.0 * cast(n_up as double) * cast(n_down as double)) * " +
+        "1.0e6 <= 9.0e18 and " +
+        "cast(n_up + n_down as double) * cast(n_up + n_down as double)" +
+        " * cast(n_up + n_down as double) <= 9.0e18, " +
+        "'runs-test variance exceeds the Long-exact range: move to " +
+        "decimal(38)') as bigint), 0) + " +
+        "((2 * n_up * n_down * " +
+        "(2 * n_up * n_down - n_up - n_down) * 1000000) div " +
+        "((n_up + n_down) * (n_up + n_down) * (n_up + n_down - 1)))" +
+        " end").cast("long").as("var_runs_e6"))
+  }
+
   /** Max lag (days) for [[acfDaily]] — a week of daily lags covers
     * the weekly-seasonality read the forecast family needs. */
   val AcfMaxLag = 7

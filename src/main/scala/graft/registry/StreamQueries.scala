@@ -223,6 +223,12 @@ object StreamQueries {
     "events_acf" -> ((s, d) =>
       graft.analytics.Analytics.acfDaily(Tables(s, d, "events"))),
 
+    // X315: Wald–Wolfowitz runs test on the daily series — observed
+    // runs + the closed-form null moments as scaled integers (never
+    // a float z); flat days excluded, gaps are real zeros
+    "events_runs_test" -> ((s, d) =>
+      graft.analytics.Analytics.runsTest(Tables(s, d, "events"))),
+
     "events_percentiles" -> ((s, d) =>
       Tables(s, d, "events").groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -2057,6 +2063,57 @@ object StreamQueries {
         |       ELSE (cov_n2 * cov_n2 * 1000000) // (vx_n2 * vy_n2)
         |       END AS BIGINT) AS r2_ppm
         |FROM d2""".stripMargin,
+
+    // same zero-filled spine; diff lag, nonzero-sign subsequence,
+    // run-break lag, the textbook E[R]/Var[R] as e6 floor-divs (the
+    // variance numerator is non-negative whenever both signs occur)
+    "events_runs_test" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |mm AS (SELECT event_type, min(day) AS mn, max(day) AS mx
+        |       FROM daily GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type,
+        |    CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+        |      CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM mm),
+        |f AS (SELECT s.event_type, s.day, COALESCE(daily.n, 0) AS n
+        |      FROM spine s LEFT JOIN daily
+        |        ON s.event_type = daily.event_type
+        |          AND s.day = daily.day),
+        |dd AS (SELECT event_type, day,
+        |         n - lag(n) OVER (PARTITION BY event_type
+        |           ORDER BY day) AS d
+        |       FROM f),
+        |sg AS (SELECT event_type, day,
+        |         CAST(sign(d) AS BIGINT) AS s
+        |       FROM dd WHERE d IS NOT NULL AND d <> 0),
+        |br AS (SELECT event_type, s,
+        |         CASE WHEN lag(s) OVER w IS NULL
+        |              OR s <> lag(s) OVER w THEN 1 ELSE 0 END AS brk
+        |       FROM sg
+        |       WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |r AS (SELECT event_type,
+        |        CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_up,
+        |        CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_down,
+        |        CAST(SUM(brk) AS BIGINT) AS n_runs
+        |      FROM br GROUP BY 1)
+        |SELECT event_type, n_up, n_down, n_runs,
+        |  CAST(CASE WHEN n_up + n_down = 0 THEN 0
+        |       ELSE 1000000 +
+        |         (2 * n_up * n_down * 1000000) // (n_up + n_down)
+        |       END AS BIGINT) AS expected_runs_e6,
+        |  CAST(CASE WHEN n_up + n_down < 2 THEN 0
+        |       ELSE (2 * n_up * n_down *
+        |         (2 * n_up * n_down - n_up - n_down) * 1000000) //
+        |         ((n_up + n_down) * (n_up + n_down) *
+        |          (n_up + n_down - 1))
+        |       END AS BIGINT) AS var_runs_e6
+        |FROM r""".stripMargin,
 
     // per-type zero-filled spine, ONE window of 7 lag columns, a
     // parallel-unnest unpivot, the same moment identities — sign and

@@ -639,6 +639,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.size == 3)
   }
 
+  test("runsTest: hand-traced signs, run breaks, closed-form null " +
+    "moments; flat days excluded and gaps are real zeros") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s + " 01:00:00")
+    def burst(ty: String, day: String, k: Int) =
+      Seq.fill(k)((ty, t(day)))
+    // A: counts 1,2,1,2,2,3 -> diffs +,-,+,0,+ -> signs +,-,+,+ ->
+    // runs 3, n_up 3, n_down 1; E = 1e6 + (2*3*1*1e6)//4 = 2.5e6;
+    // Var = 2*3*1*(6-4)*1e6 // (16*3) = 250000
+    val a = Seq(("2024-01-01", 1), ("2024-01-02", 2), ("2024-01-03", 1),
+      ("2024-01-04", 2), ("2024-01-05", 2), ("2024-01-06", 3))
+      .flatMap { case (d, k) => burst("A", d, k) }
+    // B: day1=1, day3=2 with a GAP day2 -> spine 1,0,2 -> signs -,+
+    // -> runs 2; E = 2e6; Var = 0 (n=2)
+    val b = burst("B", "2024-01-01", 1) ++ burst("B", "2024-01-03", 2)
+    val r = graft.analytics.Analytics.runsTest(
+      (a ++ b).toDF("event_type", "ts"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4, x._5, x._6))).toMap
+    graft.core.CacheBay.drain()
+    assert(r("A") == ((3L, 1L, 3L, 2500000L, 250000L)), r.toString)
+    assert(r("B") == ((1L, 1L, 2L, 2000000L, 0L)), r.toString)
+    assert(r.size == 2, r.toString)
+  }
+
   test("iqrOutliers: type-1 quartiles on cents, doubled-integer " +
     "Tukey fences, low/high counts exact on a hand fixture") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
