@@ -845,16 +845,8 @@ object Analytics {
     * left join back is keyed on (type, day); the carry-forward window
     * partitions per type over calendar days. Nothing here grows with
     * event volume except the one initial daily aggregate. */
-  def gapFillDaily(events: DataFrame): DataFrame = {
-    val daily = events
-      .select(col("event_type"), to_date(col("ts")).as("day"))
-      .groupBy(col("event_type"), col("day"))
-      .agg(count(lit(1)).cast("long").as("n"))
-    val spine = daily.groupBy(col("event_type"))
-      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
-      .select(col("event_type"),
-        explode(sequence(col("mn"), col("mx"))).as("day"))
-    spine.join(daily, Seq("event_type", "day"), "left")
+  def gapFillDaily(events: DataFrame): DataFrame =
+    dailySpine(events)
       .select(col("event_type"), col("day"),
         coalesce(col("n"), lit(0L)).as("n_obs"),
         col("n").isNull.cast("boolean").as("is_gap"),
@@ -862,6 +854,25 @@ object Analytics {
           Window.partitionBy(col("event_type")).orderBy(col("day"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("long").as("n_filled"))
+
+  /** The per-type dense daily spine shared by [[gapFillDaily]],
+    * [[acfDaily]] and [[runsTest]]: the (type, day) count aggregate
+    * left-joined onto each type's min..max calendar sequence; `n` is
+    * NULL on gap days (callers coalesce to the honest zero, or read
+    * the null as the gap flag). The daily aggregate is CacheBay-
+    * registered because the spine derivation consumes it twice
+    * (min/max + the join back) — one events scan per query, not
+    * two. */
+  private def dailySpine(events: DataFrame): DataFrame = {
+    val daily = graft.core.CacheBay.register(
+      events.select(col("event_type"), to_date(col("ts")).as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).cast("long").as("n")))
+    daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"))).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
   }
 
   /** Fulfillment-lag SLA threshold (days) for [[supplierLeadTime]]. */
@@ -1246,15 +1257,7 @@ object Analytics {
     * double-space witness bounds the variance numerator before the
     * product forms. */
   def runsTest(events: DataFrame): DataFrame = {
-    val daily = events
-      .select(col("event_type"), to_date(col("ts")).as("day"))
-      .groupBy(col("event_type"), col("day"))
-      .agg(count(lit(1)).cast("long").as("n"))
-    val spine = daily.groupBy(col("event_type"))
-      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
-      .select(col("event_type"),
-        explode(sequence(col("mn"), col("mx"))).as("day"))
-    val filled = spine.join(daily, Seq("event_type", "day"), "left")
+    val filled = dailySpine(events)
       .select(col("event_type"), col("day"),
         coalesce(col("n"), lit(0L)).as("n"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
@@ -1321,18 +1324,9 @@ object Analytics {
     * aggregate — the lag count is a constant, so work is
     * O(days·maxLag) per type. */
   def acfDaily(events: DataFrame, maxLag: Int = AcfMaxLag): DataFrame = {
-    val daily = events
-      .select(col("event_type"), to_date(col("ts")).as("day"))
-      .groupBy(col("event_type"), col("day"))
-      .agg(count(lit(1)).cast("long").as("n"))
-    val spine = daily.groupBy(col("event_type"))
-      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
-      .select(col("event_type"),
-        explode(sequence(col("mn"), col("mx"))).as("day"))
-    val filled = graft.core.CacheBay.register(
-      spine.join(daily, Seq("event_type", "day"), "left")
-        .select(col("event_type"), col("day"),
-          coalesce(col("n"), lit(0L)).as("n")))
+    val filled = dailySpine(events)
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
     val lagged = filled.select(
       Seq(col("event_type"), col("n")) ++

@@ -127,7 +127,17 @@ object Betweenness {
             "bigint), 0) + " +
             "((sigma * (1000000 + delta_w)) div sigma_w)").as("term"))
         .groupBy(col("seed"), col("node"))
-        .agg(sum(col("term")).cast("long").as("delta_e6"))
+        .agg(count(lit(1)).cast("long").as("n_succ"),
+          max(col("term")).cast("long").as("max_term"),
+          sum(col("term")).cast("long").as("term_sum"))
+        // the forward pass's n·max device again: prove the term SUM
+        // never wrapped before it is trusted as this level's delta
+        .select(col("seed"), col("node"),
+          expr("coalesce(cast(assert_true(" +
+            "cast(n_succ as double) * cast(max_term as double) <= " +
+            "9.0e18, 'betweenness dependency sum exceeds the " +
+            "Long-exact range: lower the seed rate or move to " +
+            "decimal(38)') as bigint), 0) + term_sum").as("delta_e6"))
       val dl = cur.select(col("seed"), col("node"), col("sigma"))
         .join(terms, Seq("seed", "node"), "left")
         .select(col("seed"), col("node"), col("sigma"),
@@ -139,11 +149,18 @@ object Betweenness {
     }
     acc.groupBy(col("node"))
       .agg(count(lit(1)).cast("long").as("n_seeds"),
-        sum(col("delta_e6")).cast("long").as("bc_e6"))
+        max(col("delta_e6")).cast("long").as("max_d"),
+        sum(col("delta_e6")).cast("long").as("bc_sum"))
       .select(
         when(col("node") % 2 === 0, lit("customer"))
           .otherwise(lit("supplier")).as("kind"),
         expr("node div 2").cast("long").as("id"),
-        col("n_seeds"), col("bc_e6"))
+        col("n_seeds"),
+        // and once more for the cross-seed rollup
+        expr("coalesce(cast(assert_true(" +
+          "cast(n_seeds as double) * cast(max_d as double) <= " +
+          "9.0e18, 'betweenness score sum exceeds the Long-exact " +
+          "range: lower the seed rate or move to decimal(38)') as " +
+          "bigint), 0) + bc_sum").as("bc_e6"))
   }
 }

@@ -314,7 +314,7 @@ object Scc {
     * never rebuilds the fact-grain derivation per query. */
   def tradeReciprocity(edges: DataFrame, nation: DataFrame)
       : DataFrame = {
-    val e = edges
+    val e = edges.select(col("src"), col("dst"))
     val mut = e.join(
       e.select(col("dst").as("src"), col("src").as("dst")),
       Seq("src", "dst"), "left_semi")

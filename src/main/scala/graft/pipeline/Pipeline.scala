@@ -1210,12 +1210,16 @@ object Pipeline {
       nShards: Int = NumShards): Map[String, Any] = {
     val m = pretrainManifest(docs, budgetPerLang, packBudget, nShards)
     val obs = org.apache.spark.sql.Observation()
+    // coalesced so an EMPTY manifest (everything curated away) reports
+    // well-defined zeros / -1, not null metric cells
     m.observe(obs,
         count(lit(1)).cast("long").as("n_rows"),
-        sum(col("n_tokens")).cast("long").as("n_tokens"),
-        sum(col("tok_end") - col("tok_start")).cast("long")
-          .as("span_tokens"),
-        max(col("shard")).cast("long").as("max_shard"))
+        coalesce(sum(col("n_tokens")), lit(0L)).cast("long")
+          .as("n_tokens"),
+        coalesce(sum(col("tok_end") - col("tok_start")), lit(0L))
+          .cast("long").as("span_tokens"),
+        coalesce(max(col("shard")), lit(-1L)).cast("long")
+          .as("max_shard"))
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("rank"))
       .write.partitionBy("shard")
