@@ -102,6 +102,7 @@ object Bench {
         // the full sweep — the long-lived Star fact/calendar cache that
         // all extract-family queries share survives deliberately
         graft.core.CacheBay.drain()
+        graft.core.CheckpointBay.drain()
         (System.nanoTime() - t0) / 1e9
       }
       val dt = times.min

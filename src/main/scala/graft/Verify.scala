@@ -55,6 +55,7 @@ object Verify {
         Files.writeString(failDir.resolve(s"$name.txt"), sw.toString)
       }
       graft.core.CacheBay.drain() // drop per-query transient persists
+      graft.core.CheckpointBay.drain() // release leaked checkpoint blocks
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -1216,6 +1216,18 @@ object Analytics {
           .cast("long").as("q3_cents"))
       .withColumn("iqr_cents", col("q3_cents") - col("q1_cents"))
     vc.join(broadcast(q), Seq("event_type"))
+      // ADVICE r15: the house pre-overflow witnesses — bound the
+      // doubled/tripled fence operands BEFORE the products form (the
+      // runsTest/acfDaily discipline): |cents|,|q| ≤ Long.Max/4 keeps
+      // each 2·x at ≤ Long.Max/2 and |iqr|·3 ≤ Long.Max/2, so the
+      // fence difference/sum cannot wrap silently
+      .withColumn("cents", expr("coalesce(cast(assert_true(" +
+        "abs(cents) <= 2305843009213693951 and " +
+        "abs(q1_cents) <= 2305843009213693951 and " +
+        "abs(q3_cents) <= 2305843009213693951 and " +
+        "abs(iqr_cents) <= 1537228672809129301," +
+        " 'IQR fence operands exceed the Long-exact range: move to " +
+        "decimal(38)') as bigint), 0) + cents"))
       .groupBy(col("event_type"))
       .agg(max(col("n")).as("n"),
         max(col("q1_cents")).as("q1_cents"),
@@ -1229,7 +1241,13 @@ object Analytics {
           .otherwise(0L)).cast("long").as("n_high"))
       .select(col("event_type"), col("n"), col("q1_cents"),
         col("q3_cents"), col("iqr_cents"), col("n_low"), col("n_high"),
-        expr("((n_low + n_high) * 1000000) div n").cast("long")
+        // ADVICE r15: (n_low + n_high) ≤ n, so bounding n covers the
+        // ppm scale-up product
+        expr("coalesce(cast(assert_true(" +
+          "n <= 9223372036854775807 div 1000000," +
+          " 'IQR outlier ppm exceeds the Long-exact e6 range: shard " +
+          "the type grain') as bigint), 0) + " +
+          "((n_low + n_high) * 1000000) div n").cast("long")
           .as("outlier_ppm"))
   }
 

@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.core.CheckpointBay.Checkpointable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.text.TextAnalysis._
@@ -445,7 +446,7 @@ object Dedup {
       // canonical iterative-algorithm discipline: without it the
       // logical plan (and its per-round analysis cost) grows with
       // every iteration even though execution reads the cache
-      val next = hop(labels).localCheckpoint()
+      val next = hop(labels).trackedCheckpoint()
       val nextSum = next.agg(sum("cluster_id")).head().getLong(0)
       labels = next
       converged = nextSum == prevSum

@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.core.CheckpointBay.Checkpointable
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -63,7 +64,7 @@ object Betweenness {
         expr(s"(node div 2) % $seedMod") === 0)
       .select(col("node").as("seed"), col("node"),
         lit(1L).as("sigma"))
-      .localCheckpoint()
+      .trackedCheckpoint()
     val levels = scala.collection.mutable.ArrayBuffer(seeds)
     var settled = seeds.select(col("seed"), col("node"))
     for (i <- 1 to rounds) {
@@ -85,7 +86,7 @@ object Betweenness {
             "9.0e18, 'betweenness sigma exceeds the Long-exact " +
             "range: lower the BFS horizon or move to decimal(38)')" +
             " as bigint), 0) + sig").as("sigma"))
-        .localCheckpoint()
+        .trackedCheckpoint()
       levels += reached
       settled = settled.unionByName(
         reached.select(col("seed"), col("node")))
@@ -105,7 +106,7 @@ object Betweenness {
     var deltaNext = levels(rounds)
       .select(col("seed"), col("node"), col("sigma"),
         lit(0L).as("delta_e6"))
-      .localCheckpoint()
+      .trackedCheckpoint()
     var acc = deltaNext.select(col("seed"), col("node"),
       col("delta_e6"))
     for (l <- rounds - 1 to 1 by -1) {
@@ -142,7 +143,7 @@ object Betweenness {
         .join(terms, Seq("seed", "node"), "left")
         .select(col("seed"), col("node"), col("sigma"),
           coalesce(col("delta_e6"), lit(0L)).as("delta_e6"))
-        .localCheckpoint()
+        .trackedCheckpoint()
       acc = acc.unionByName(
         dl.select(col("seed"), col("node"), col("delta_e6")))
       deltaNext = dl

@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.core.CheckpointBay.Checkpointable
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -47,7 +48,7 @@ object BfsHops {
     var dist = deg.select(col("src").as("node"))
       .filter(col("node") % 2 === 1 && expr("(node div 2) % 10") === 0)
       .withColumn("hops", lit(0L))
-      .localCheckpoint()
+      .trackedCheckpoint()
     var frontier = dist.select(col("node"))
     for (i <- 1 to rounds) {
       val reached = edges
@@ -55,7 +56,7 @@ object BfsHops {
         .select(col("dst").as("node")).distinct()
         .join(dist, Seq("node"), "left_anti")
         .withColumn("hops", lit(i.toLong))
-        .localCheckpoint()
+        .trackedCheckpoint()
       // dist is a union of ALREADY-checkpointed rounds — flat lineage
       // without a second eager materialization per round
       dist = dist.unionByName(reached)
@@ -99,7 +100,7 @@ object BfsHops {
         expr(s"(node div 2) % $HarmonicSeedMod") === 0)
       .select(col("node").as("seed"), col("node"),
         lit(0L).as("hops"))
-      .localCheckpoint()
+      .trackedCheckpoint()
     var frontier = dist.select(col("seed"), col("node"))
     for (i <- 1 to rounds) {
       val reached = edges
@@ -107,7 +108,7 @@ object BfsHops {
         .select(col("seed"), col("dst").as("node")).distinct()
         .join(dist, Seq("seed", "node"), "left_anti")
         .withColumn("hops", lit(i.toLong))
-        .localCheckpoint()
+        .trackedCheckpoint()
       dist = dist.unionByName(
         reached.select(col("seed"), col("node"), col("hops")))
       frontier = reached.select(col("seed"), col("node"))

@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.core.CheckpointBay.Checkpointable
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -54,7 +55,7 @@ object CheapestPath {
     var dist = und.select(col("u").as("node")).distinct()
       .filter(col("node") % SeedMod === 0)
       .withColumn("cost_e6", lit(0L))
-      .localCheckpoint()
+      .trackedCheckpoint()
     for (_ <- 1 to rounds) {
       val relaxed = und
         .join(dist.withColumnRenamed("node", "u"), Seq("u"))
@@ -63,7 +64,7 @@ object CheapestPath {
       dist = dist.unionByName(relaxed)
         .groupBy(col("node"))
         .agg(min(col("cost_e6")).cast("long").as("cost_e6"))
-        .localCheckpoint()
+        .trackedCheckpoint()
     }
     dist.select(col("node").as("part"), col("cost_e6"))
   }

@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.core.CheckpointBay.Checkpointable
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -60,7 +61,7 @@ object Communities {
         .groupBy(col("u"))
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("u").as("node"), (-col("m.nl")).as("label"))
-        .localCheckpoint()
+        .trackedCheckpoint()
       i += 1
     }
     val sizes = labels.groupBy(col("label"))

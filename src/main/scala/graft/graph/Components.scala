@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.core.CheckpointBay.Checkpointable
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -82,7 +83,7 @@ object Components {
     val und = graft.core.CacheBay.register(Triangles.undirected(canon))
     var labels = und.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
-      .localCheckpoint()
+      .trackedCheckpoint()
     var prevSum = labels.agg(sum("lbl")).head().getLong(0)
     def hop(l: DataFrame): DataFrame = {
       val nbrMin = und
@@ -96,7 +97,7 @@ object Components {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val next = hop(labels).localCheckpoint()
+      val next = hop(labels).trackedCheckpoint()
       val nextSum = next.agg(sum("lbl")).head().getLong(0)
       labels = next
       converged = nextSum == prevSum

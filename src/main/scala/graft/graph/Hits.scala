@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.core.CheckpointBay.Checkpointable
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -50,7 +51,7 @@ object Hits {
   def purchaseHits(cs: DataFrame, iters: Int = Iters): DataFrame = {
     var hub = cs.select(col("src").as("node")).distinct()
       .withColumn("s", lit(BaseE6))
-      .localCheckpoint()
+      .trackedCheckpoint()
     var auth: DataFrame = hub.limit(0)
     for (_ <- 1 to iters) {
       auth = normalized(
@@ -82,7 +83,7 @@ object Hits {
     * jobs per round at a fixed small `iters` is the documented cost
     * of keeping both engines' arithmetic replayable. */
   private def normalized(rawIn: DataFrame): DataFrame = {
-    val raw = rawIn.localCheckpoint()
+    val raw = rawIn.trackedCheckpoint()
     raw.join(broadcast(
         raw.agg(greatest(max(col("raw")), lit(1L)).as("m"))))
       .select(col("node"),

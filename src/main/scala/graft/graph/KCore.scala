@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.core.CheckpointBay.Checkpointable
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -74,11 +75,11 @@ object KCore {
     // are no-op filters there, so degree comes straight off `und`
     var s = und.groupBy(col("u"))
       .agg(count(lit(1)).cast("long").as("deg"))
-      .filter(col("deg") >= k).select(col("u")).localCheckpoint()
+      .filter(col("deg") >= k).select(col("u")).trackedCheckpoint()
     var i = 1
     while (i < rounds) {
       s = degreesOver(s).filter(col("deg") >= k)
-        .select(col("u")).localCheckpoint()
+        .select(col("u")).trackedCheckpoint()
       i += 1
     }
     // report degree within the FINAL survivor set (at fixpoint every

@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.core.CheckpointBay.Checkpointable
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -72,11 +73,11 @@ object PageRank {
       tolE6: Long = 1000L, maxIters: Int = 20): (DataFrame, Seq[Long]) = {
     val (edges, deg) = purchaseGraph(orders, lineitem)
     var rank = deg.select(col("src").as("node"), lit(BaseE6).as("pr"))
-      .localCheckpoint()
+      .trackedCheckpoint()
     val deltas = ArrayBuffer.empty[Long]
     var converged = false
     while (deltas.size < maxIters && !converged) {
-      val next = step(edges, deg, rank).localCheckpoint()
+      val next = step(edges, deg, rank).trackedCheckpoint()
       val delta = next
         .join(rank.select(col("node"), col("pr").as("prev")), Seq("node"))
         .agg(max(abs(col("pr") - col("prev"))).cast("long"))

@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.core.CheckpointBay.Checkpointable
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -186,7 +187,7 @@ object Scc {
   private def minReachFixpoint(edges: DataFrame,
       nodes: DataFrame): DataFrame = {
     var f = nodes.select(col("node"), col("node").as("f"))
-      .localCheckpoint()
+      .trackedCheckpoint()
     var prev = f.agg(sum(col("f"))).head().getLong(0)
     var converged = false
     var i = 0
@@ -199,7 +200,7 @@ object Scc {
       val next = f.join(nbr, Seq("node"), "left")
         .select(col("node"),
           least(col("f"), coalesce(col("nf"), col("f"))).as("f"))
-        .localCheckpoint()
+        .trackedCheckpoint()
       val s = next.agg(sum(col("f"))).head().getLong(0)
       converged = s == prev
       prev = s; f = next; i += 1
@@ -219,10 +220,10 @@ object Scc {
         Seq("dst"))
       .filter(col("fs") === col("fd"))
       .select(col("src"), col("dst"))
-      .localCheckpoint()
+      .trackedCheckpoint()
     var m = f.select(col("node"), col("f"),
       when(col("node") === col("f"), 1L).otherwise(0L).as("m"))
-      .localCheckpoint()
+      .trackedCheckpoint()
     var prev = m.agg(sum(col("m"))).head().getLong(0)
     var converged = false
     var i = 0
@@ -235,7 +236,7 @@ object Scc {
       val next = m.join(nbr, Seq("node"), "left")
         .select(col("node"), col("f"),
           greatest(col("m"), coalesce(col("nm"), lit(0L))).as("m"))
-        .localCheckpoint()
+        .trackedCheckpoint()
       val s = next.agg(sum(col("m"))).head().getLong(0)
       converged = s == prev
       prev = s; m = next; i += 1
@@ -246,10 +247,10 @@ object Scc {
   }
 
   private def distributedScc(e0: DataFrame, maxRounds: Int): DataFrame = {
-    var edges = e0.localCheckpoint()
+    var edges = e0.trackedCheckpoint()
     var rem = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
+      .distinct().trackedCheckpoint()
     var remCount = rem.count()
     val found = mutable.ArrayBuffer.empty[DataFrame]
     var round = 0
@@ -261,11 +262,11 @@ object Scc {
           "left_anti")
         .unionByName(rem.join(edges.select(col("dst").as("node")),
           Seq("node"), "left_anti"))
-        .distinct().localCheckpoint()
+        .distinct().trackedCheckpoint()
       if (trivial.count() > 0) {
         found += trivial.select(col("node"), col("node").as("scc_id"))
         rem = rem.join(trivial, Seq("node"), "left_anti")
-          .localCheckpoint()
+          .trackedCheckpoint()
         remCount = rem.count()
         edges = restrict(edges, rem)
       }
@@ -274,10 +275,10 @@ object Scc {
         val scc = backwardMark(edges, f)
           .filter(col("m") === 1L)
           .select(col("node"), col("f").as("scc_id"))
-          .localCheckpoint()
+          .trackedCheckpoint()
         found += scc
         rem = rem.join(scc.select(col("node")), Seq("node"), "left_anti")
-          .localCheckpoint()
+          .trackedCheckpoint()
         remCount = rem.count()
         if (remCount > 0) edges = restrict(edges, rem)
       }
@@ -293,7 +294,7 @@ object Scc {
       .join(rem.select(col("node").as("src")), Seq("src"), "left_semi")
       .join(rem.select(col("node").as("dst")), Seq("dst"), "left_semi")
       .select(col("src"), col("dst"))
-      .localCheckpoint()
+      .trackedCheckpoint()
 
   /** X303: per-nation trade reciprocity — the edge-level mutuality
     * read beside [[tradeScc]]'s component-level one (a standard
@@ -314,7 +315,13 @@ object Scc {
     * never rebuilds the fact-grain derivation per query. */
   def tradeReciprocity(edges: DataFrame, nation: DataFrame)
       : DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    // ADVICE r15: the mutual-pair self-join consumes this frame twice;
+    // register the projection so an UNPERSISTED caller doesn't pay the
+    // fact-grain derivation twice in one query (on the SessionCache-
+    // backed registry path the persist is a cheap projection of the
+    // cached parent)
+    val e = graft.core.CacheBay.register(
+      edges.select(col("src"), col("dst")))
     val mut = e.join(
       e.select(col("dst").as("src"), col("src").as("dst")),
       Seq("src", "dst"), "left_semi")

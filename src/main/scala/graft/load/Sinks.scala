@@ -1,5 +1,6 @@
 package graft.load
 
+import graft.core.CheckpointBay.Checkpointable
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -126,7 +127,7 @@ object Sinks {
       .join(broadcast(affected), Seq(partCol), "left_semi")
       .join(newDf.select(pk.map(col): _*), pk, "left_anti")
       .select(newDf.columns.toIndexedSeq.map(col): _*)
-    val merged = survivors.unionByName(newDf).localCheckpoint(true)
+    val merged = survivors.unionByName(newDf).trackedCheckpoint()
     merged.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol).parquet(targetPath)

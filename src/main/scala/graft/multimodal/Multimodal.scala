@@ -699,18 +699,22 @@ object Multimodal {
         // ADVICE r14: the method accepts arbitrary MediaRecord
         // payloads like decodeImage — a 16-bit-gray PNG's band-0
         // samples exceed 255 (AIOOBE) and a 0-pixel image divides by
-        // zero. Clamp samples into the 256-bin range (a >255 sample
-        // is "white" for the flatness screen) and skip empty rasters,
-        // mirroring the null-decode guard.
+        // zero. ADVICE r15: SCALE by bit depth instead of clamping —
+        // a clamp collapses every high-bit-depth image into the 255
+        // bin (entropy ~0, flagging a normal image as flat); shifting
+        // right by (sampleSize − 8) keeps the 256-bin histogram's
+        // meaning at any depth. Empty rasters still skip, mirroring
+        // the null-decode guard.
         if (w <= 0 || h <= 0) None
         else {
         val raster = img.getRaster
+        val shift = math.max(raster.getSampleModel.getSampleSize(0) - 8, 0)
         val hist = new Array[Long](256)
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
-            val s = raster.getSample(x, y, 0)
+            val s = raster.getSample(x, y, 0) >> shift
             hist(if (s < 0) 0 else if (s > 255) 255 else s) += 1
             x += 1
           }

@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.core.CheckpointBay.Checkpointable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -734,7 +735,7 @@ object CorpusStats {
         posexplode(split(col("token"), "")))
       .select(col("tid"), col("n"), col("pos").cast("long").as("pos"),
         col("col").as("sym"))
-      .localCheckpoint()
+      .trackedCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
     var r = 1
     while (r <= rounds) {
@@ -773,7 +774,7 @@ object CorpusStats {
               .otherwise(col("sym")).as("sym"))
           .withColumn("pos",
             (row_number().over(byTok) - 1).cast("long"))
-          .localCheckpoint()
+          .trackedCheckpoint()
         r += 1
       }
     }

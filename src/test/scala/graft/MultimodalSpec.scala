@@ -110,6 +110,20 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.imageEntropyLeg(Seq(
       Multimodal.MediaRecord(3L, "image/png", Array[Byte](1, 2), 1, 1)))
       .isEmpty)
+    // ADVICE r15: a 16-bit gray image scales by bit depth instead of
+    // clamping — an even two-level USHORT image keeps its exact 1 bit
+    // of entropy (the clamp collapsed it to a single 255 bin)
+    val bi16 = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    (0 until 16).foreach(k => bi16.getRaster.setSample(
+      k % 4, k / 4, 0, if (k % 2 == 0) 0 else 65535))
+    val bos16 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi16, "png", bos16)
+    val r16 = Multimodal.imageEntropyLeg(Seq(
+      Multimodal.MediaRecord(4L, "image/png", bos16.toByteArray, 4, 4)))
+    assert(r16.nonEmpty)
+    assert(r16.head.n_levels == 2L, s"16-bit levels: ${r16.head}")
+    assert(r16.head.h_bits_e6 == 1000000L, s"16-bit entropy: ${r16.head}")
   }
 
   test("dimProfile: aspect ppm exact from metadata, extreme and tiny " +
