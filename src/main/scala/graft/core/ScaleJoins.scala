@@ -69,6 +69,43 @@ object ScaleJoins {
         expr("(c * 1000000) div n_rows").as("share_e6"))
   }
 
+  /** Hot-key share bar for [[autoSaltedJoin]]: 5% of the rows on one
+    * key is where a single reduce task starts to own the join. */
+  val AutoSaltSharePpm = 50000L
+
+  /** X318 driver face: [[keySkewProfile]] measured, hot keys
+    * REGISTERED for [[graft.plans.SaltedJoinRewrite]], and the PLAIN
+    * equi-join returned — the rewrite to the salted form happens in
+    * the optimizer, result-identically. The profile collect is the
+    * bounded top-k (≤ topK rows). The plan is optimized EAGERLY under
+    * the registration and the confs are cleared before returning
+    * (conf hygiene — a lingering registration must not rewrite
+    * unrelated joins later in the session; `QueryExecution` memoizes
+    * the optimized plan, so the returned frame keeps the salted shape
+    * through its actions). When no key clears the share bar the plain
+    * join returns un-rewritten — the uniform fixture costs nothing. */
+  def autoSaltedJoin(skewed: DataFrame, right: DataFrame, key: String,
+      minSharePpm: Long = AutoSaltSharePpm, salts: Int = 8): DataFrame = {
+    import graft.plans.SaltedJoinRewrite.{EnabledKey, HotKeysPrefix, SaltsKey}
+    val spark = skewed.sparkSession
+    val hot = keySkewProfile(skewed, key)
+      .filter(col("share_e6") >= minSharePpm)
+      .select(col(key).cast("string")).collect().map(_.getString(0))
+    val joined = skewed.join(right, Seq(key))
+    if (hot.isEmpty) joined
+    else {
+      spark.conf.set(EnabledKey, "true")
+      spark.conf.set(SaltsKey, salts.toString)
+      spark.conf.set(HotKeysPrefix + key, hot.mkString(","))
+      try { joined.queryExecution.optimizedPlan; joined }
+      finally {
+        spark.conf.unset(HotKeysPrefix + key)
+        spark.conf.unset(SaltsKey)
+        spark.conf.unset(EnabledKey)
+      }
+    }
+  }
+
   /** Bucket count for [[bitmapPrunedJoin]]'s key bitmap: false-positive
     * rate ≈ \|dim key set\| / buckets (one hash, no bit packing — the
     * broadcast is a distinct-bucket list, bounded by this constant no

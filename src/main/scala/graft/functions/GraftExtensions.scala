@@ -14,10 +14,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * SELECT doc_id FROM emb WHERE graft_dot(a, b) > 0.9
   * }}}
   *
-  * Besides the functions, `injectOptimizerRule` adds
-  * [[graft.plans.RangeJoinRewrite]] — the one plan rewrite the library
-  * carries: naive point-in-interval theta joins (nested-loop at scale)
-  * become the bucketed equi-join automatically. Everything else stays a
+  * Besides the functions, `injectOptimizerRule` adds the library's two
+  * plan rewrites: [[graft.plans.RangeJoinRewrite]] (naive
+  * point-in-interval theta joins — nested-loop at scale — become the
+  * bucketed equi-join automatically) and
+  * [[graft.plans.SaltedJoinRewrite]] (equi-joins on a column with a
+  * REGISTERED skew profile become the salted join; off unless a
+  * profile is registered). Everything else stays a
   * stock Catalyst plan, which is the point: the optimizer surface
   * remains Spark's own (predicate pushdown, AQE, codegen all apply
   * unmodified). Integer arguments to the dedup signatures arrive as SQL
@@ -77,5 +80,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // off by default — fires only where a skew profile was registered
+    // (spark.graft.saltedJoin.*; X318)
+    ext.injectOptimizerRule(_ => graft.plans.SaltedJoinRewrite)
   }
 }

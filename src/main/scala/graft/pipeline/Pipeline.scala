@@ -992,6 +992,73 @@ object Pipeline {
         expr("((n_docs - n_unique) * 1000000) div n_docs").as("dup_ppm"),
         expr("sum_q div n_docs").as("mean_quality_e6"))
 
+  /** Arrival-batch count for the [[sourceQualityDrift]] mirror
+    * (batch = `doc_id % DriftBatches`, the X78 arrival split). */
+  val DriftBatches = 6
+  /** CUSUM allowance divisor: k = baseline/20 — a sustained 5%-of-
+    * baseline quality drop is the drift the monitor prices. */
+  val DriftAllowanceDiv = 20L
+
+  /** X319: per-source quality-drift CUSUM over arrival batches — the
+    * monitor a 100 TB ingest runs continuously: the X79 source
+    * profile gives each batch's per-source mean quality, and the X114
+    * one-sided CUSUM accumulates sustained DOWNWARD drift against the
+    * baseline (batch 0's mean — the stored profile a deployment
+    * commits at onboarding): `dev_b = base − mean_b − k`,
+    * `S_b = max(0, S_{b−1} + dev_b)`, alarm past `k·`
+    * [[graft.analytics.Analytics.CusumAlarmMult]]. A slow template
+    * rot or a scraper regression that never trips a per-batch
+    * threshold accumulates here until it alarms (the Page-1954 point,
+    * per source). Spelled in the order-free CLOSED FORM
+    * (`S = C − min(0, min-prefix C)`, the X114 device) — two bounded
+    * windows instead of a row-at-a-time loop; the sequential
+    * recurrence lives in [[graft.streaming.StreamDrift]], whose
+    * MemoryStream spec proves it lands on this mirror's state.
+    *
+    * Shape: one corpus map + a (source, batch) hash aggregate, a
+    * baseline join at source grain, windows partitioned by source
+    * over ≤ batches rows. Integer throughout: quality enters as
+    * `floor(q·10⁶ + 0.5)` before the sum ([[sourceProfile]]'s exact-
+    * mean spelling; witness bounds n before the e6 sum could wrap). */
+  def sourceQualityDrift(docs: DataFrame, batches: Int = DriftBatches,
+      allowDiv: Long = DriftAllowanceDiv,
+      alarmMult: Long = graft.analytics.Analytics.CusumAlarmMult)
+      : DataFrame = {
+    val per = docs
+      .select(col("source"), (col("doc_id") % batches).cast("long")
+          .as("batch"),
+        floor(qualityScore(col("text")) * 1000000.0 + 0.5).cast("long")
+          .as("q_e6"))
+      .groupBy(col("source"), col("batch"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("q_e6")).cast("long").as("sum_q"))
+      .select(col("source"), col("batch"), col("n_docs"),
+        expr("coalesce(cast(assert_true(" +
+          "n_docs <= 9223372036854775807 div 1000000," +
+          " 'drift batch mean exceeds the Long-exact e6 range: shard " +
+          "the batch') as bigint), 0) + sum_q div n_docs")
+          .as("mean_q_e6"))
+    val baseline = per.filter(col("batch") === 0L)
+      .select(col("source"), col("mean_q_e6").as("base_q_e6"),
+        expr(s"mean_q_e6 div $allowDiv").as("k"))
+    val w = Window.partitionBy(col("source")).orderBy(col("batch"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.filter(col("batch") >= 1L).join(baseline, Seq("source"))
+      .select(col("source"), col("batch"), col("n_docs"),
+        col("mean_q_e6"), col("base_q_e6"), col("k"),
+        (col("base_q_e6") - col("mean_q_e6") - col("k")).as("dev"))
+      .withColumn("cum", sum(col("dev")).over(w).cast("long"))
+      .select(col("source"), col("batch"), col("n_docs"),
+        col("mean_q_e6"), col("base_q_e6"), col("k"), col("dev"),
+        (col("cum") - least(lit(0L), min(col("cum")).over(w)))
+          .cast("long").as("cusum"))
+      .select(col("source"), col("batch"), col("n_docs"),
+        col("mean_q_e6"), col("base_q_e6"), col("k"), col("dev"),
+        col("cusum"),
+        when(col("cusum") > col("k") * alarmMult, 1L).otherwise(0L)
+          .as("is_alarm"))
+  }
+
   /** Deterministic ratio mixing (curriculum interleave): source i (in
     * source-name order, 1-based) gets weight i; the j-th doc of a
     * source (1-based doc_id rank) is scheduled at integer key

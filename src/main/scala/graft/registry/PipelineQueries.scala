@@ -163,7 +163,13 @@ object PipelineQueries {
       Pipeline.contentChunks(docs(s, d))),
     "pipe_source_cap" -> ((s, d) => Pipeline.perSourceCap(docs(s, d))),
     "pipe_source_calibration" -> ((s, d) =>
-      Pipeline.sourceCalibratedQuality(docs(s, d))))
+      Pipeline.sourceCalibratedQuality(docs(s, d))),
+    // X319: per-source quality-drift CUSUM over arrival batches —
+    // the X79 profile composed with the X114 closed-form CUSUM
+    // against the batch-0 baseline; the sequential stream leg is
+    // StreamDrift (MemoryStream-proven equal)
+    "pipe_source_drift" -> ((s, d) =>
+      Pipeline.sourceQualityDrift(docs(s, d))))
 
   // ---- DuckDB oracle SQL, generated from the same constants ----
 
@@ -1062,6 +1068,44 @@ object PipelineQueries {
          |  ((n_docs - n_unique) * 1000000) // n_docs AS dup_ppm,
          |  sum_q // n_docs AS mean_quality_e6
          |FROM a""".stripMargin,
+
+    // X319: quality quantized before the sum (exact integer mean),
+    // closed-form one-sided CUSUM as two source-partitioned windows
+    // over the ≤(batches−1)-row per-source series
+    "pipe_source_drift" ->
+      s"""WITH p AS (
+         |  SELECT source,
+         |         CAST(doc_id % ${Pipeline.DriftBatches} AS BIGINT)
+         |           AS batch,
+         |         CAST(floor((${TextQueries.qualitySql})
+         |           * CAST(1000000 AS DOUBLE)
+         |           + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q_e6
+         |  FROM documents),
+         |m AS (SELECT source, batch,
+         |        CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(SUM(q_e6) AS BIGINT) // count(*) AS mean_q_e6
+         |      FROM p GROUP BY 1, 2),
+         |b AS (SELECT source, mean_q_e6 AS base_q_e6,
+         |        mean_q_e6 // ${Pipeline.DriftAllowanceDiv} AS k
+         |      FROM m WHERE batch = 0),
+         |d AS (SELECT m.source, batch, n_docs, mean_q_e6, base_q_e6,
+         |        k, base_q_e6 - mean_q_e6 - k AS dev
+         |      FROM m JOIN b USING (source) WHERE batch >= 1),
+         |c AS (SELECT *, CAST(SUM(dev) OVER (PARTITION BY source
+         |          ORDER BY batch ROWS BETWEEN UNBOUNDED PRECEDING
+         |          AND CURRENT ROW) AS BIGINT) AS cum
+         |      FROM d),
+         |s AS (SELECT *, CAST(cum - LEAST(0, MIN(cum) OVER (
+         |          PARTITION BY source ORDER BY batch
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |          AS BIGINT) AS cusum
+         |      FROM c)
+         |SELECT source, batch, n_docs, mean_q_e6, base_q_e6, k, dev,
+         |  cusum,
+         |  CAST(CASE WHEN cusum >
+         |    k * ${graft.analytics.Analytics.CusumAlarmMult}
+         |    THEN 1 ELSE 0 END AS BIGINT) AS is_alarm
+         |FROM s""".stripMargin,
 
     // the dedup LSH pair CTEs joined to the split rule: pairs whose
     // members land in different splits

@@ -343,6 +343,21 @@ object StreamQueries {
     "events_iqr_outliers" -> ((s, d) =>
       graft.analytics.Analytics.iqrOutliers(Tables(s, d, "events"))),
 
+    // X318: rule-based salted-join rewrite — the X61 skew profile is
+    // MEASURED, its hot keys REGISTERED, and the plain type-dim
+    // enrich join rewritten to the X47 salted form by the optimizer
+    // (SaltedJoinRewrite), result-identically; the oracle is the
+    // plain join
+    "events_salted_auto" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      val dim = Tables(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("type_n"))
+      graft.core.ScaleJoins.autoSaltedJoin(ev, dim, "event_type")
+    }),
+
     // Reliability diagram for the same score/label pair as events_auc:
     // equi-depth score deciles (X44 decomposition, no global sort) ×
     // integer-ppm positive rate
@@ -1252,6 +1267,17 @@ object StreamQueries {
         |  CAST(((n_low + n_high) * 1000000) // q.n AS BIGINT)
         |    AS outlier_ppm
         |FROM q JOIN o USING (event_type)""".stripMargin,
+
+    // the salt only spreads a hot key's rows across shuffle sub-keys;
+    // the result must be the plain join, so the plain join IS the
+    // oracle (the j_salted_join contract, now rule-driven)
+    "events_salted_auto" ->
+      """WITH dim AS (SELECT event_type, CAST(count(*) AS BIGINT)
+        |               AS type_n
+        |             FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, type_n
+        |FROM events e JOIN dim USING (event_type)""".stripMargin,
 
     // equi-depth tile via the integer rank formula (NOT NTILE —
     // remainder placement differs); oracle may global-sort, the

@@ -1,5 +1,6 @@
 package graft.similarity
 
+import graft.core.CheckpointBay.Checkpointable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -471,6 +472,77 @@ object Similarity {
     ivfTopKFromCenters(feat, centers, k, queryMod, nProbe)
   }
 
+  /** X316: INCREMENTAL IVF index maintenance — the one 100 TB story a
+    * rebuild-per-run index lacks: a production corpus grows by
+    * batches, and re-assigning the whole corpus per arrival is a full
+    * scan the arithmetic doesn't need. The stored index is the
+    * `(vec_id, cell)` assignment table against centers FROZEN at
+    * build time (the production IVF contract — FAISS `add()` after
+    * `train()`: an arrival re-assigns nothing), persisted through the
+    * X68 [[graft.streaming.VersionedState]] commit pattern:
+    *
+    *  - v0 = the BASE corpus (`vec_id % 4 ≠ 0`) assigned against
+    *    centers trained on the base ([[lloydCentersE6]]);
+    *  - the arrival batch (`vec_id % 4 = 0`) assigns ONLY ITSELF
+    *    against the same centers and commits v1 = v0 ∪ batch — cost
+    *    \|batch\|·nCells distances + one append, never \|corpus\|;
+    *  - a REPLAYED arrival is a no-op (`currentVersion ≥ 1` guard —
+    *    the X94/X147 incremental discipline), which
+    *    `SimilaritySpec` proves by mtime identity;
+    *  - the probe/rank query runs off the STORED index joined back to
+    *    the vector table (the index persists assignments, not
+    *    vectors). Because assignment is per-row against the same
+    *    frozen centers, the stored index ≡ assigning the merged
+    *    corpus in one shot, so the query result is EXACTLY
+    *    [[ivfTopKFromCenters]] over the full corpus — which is what
+    *    the DuckDB oracle recomputes (the sim_ivf_topk pipeline with
+    *    the fit restricted to the base split).
+    *
+    * Probe cells are computed fresh per query vector (query-time
+    * probe selection is always computed, never stored). */
+  def ivfIncremental(emb: DataFrame, root: String, k: Int = TopK,
+      queryMod: Int = QueryMod, nCells: Int = 16, nProbe: Int = 2,
+      iters: Int = LloydIters): DataFrame = {
+    import graft.streaming.VersionedState
+    val spark = emb.sparkSession
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    val batch = emb.filter(col("vec_id") % 4 === 0)
+    val centers = lloydCentersE6(base, nCells, iters)
+      .map(_.map(_.toDouble / 1000000.0))
+    val sorted = array_sort(array(centerDistStructs(centers): _*))
+    def assignTop1(df: DataFrame): DataFrame =
+      graft.core.Spread(df)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .select(col("vec_id"),
+          sorted.getItem(0).getField("cell").cast("long").as("cell"))
+    if (VersionedState.currentVersion(spark, root) < 0L)
+      VersionedState.commit(assignTop1(base), 0L, root)
+    if (VersionedState.currentVersion(spark, root) < 1L)
+      VersionedState.commit(
+        spark.read.parquet(s"$root/v0").unionByName(assignTop1(batch)),
+        1L, root)
+    val idx = VersionedState.current(spark, root).get
+    val feat = graft.core.CacheBay.register(
+      graft.core.Spread(emb).select(col("vec_id"),
+        asDouble(col("embedding")).as("v"),
+        l2Norm(asDouble(col("embedding"))).as("nrm")))
+    val corpus = feat.join(idx, Seq("vec_id"))
+      .select(col("vec_id").as("nn_id"), col("v").as("c_emb"),
+        col("nrm").as("c_norm"), col("cell"))
+    val probes = feat.filter(col("vec_id") % queryMod === 0)
+      .withColumn("cells",
+        slice(sorted, 1, math.min(math.max(nProbe, 1), centers.length)))
+      .select(col("vec_id").as("q_id"), col("v").as("q_emb"),
+        col("nrm").as("q_norm"),
+        explode(col("cells.cell")).as("cell0"))
+      .select(col("q_id"), col("q_emb"), col("q_norm"),
+        col("cell0").cast("long").as("cell"))
+    val pairs = probes.join(corpus, Seq("cell"))
+      .filter(col("q_id") =!= col("nn_id"))
+      .select(col("q_id"), col("nn_id"), pairCos.as("cos"))
+    topKOf(pairs, k)
+  }
+
   val PqM = 8
   val PqCodes = 16
 
@@ -574,6 +646,68 @@ object Similarity {
       .select(col("n_vectors"), col("n_mutual"),
         expr("(n_mutual * 1000000) div greatest(n_vectors, 1)")
           .cast("long").as("mutual_ppm"))
+  }
+
+  /** Bucket-size cap for [[lshSplitTopK]]: 4× the target mean
+    * occupancy — past it, one bucket's candidate pairs dominate one
+    * reduce task. */
+  val SplitCap = 4 * TargetBucket
+
+  /** X317: ADAPTIVE bucket splitting — the mitigation X248 diagnoses
+    * the need for but nothing acted on: a mega-bucket (collinear /
+    * duplicated embeddings all hashing alike) puts its entire
+    * quadratic candidate load on ONE reduce task. Each bucket over
+    * [[SplitCap]] splits into `fan` sub-buckets, `fan` = the smallest
+    * power of two with n/fan ≤ cap (the X92 size-scaling device made
+    * adaptive PER BUCKET, binary-digit-count integer form — no float
+    * log); healthy buckets keep fan = 1 and pay nothing.
+    *
+    * The sub-key is `vec_id % fan` — deterministic and replayable —
+    * and NOT more hyperplane bits: an exactly-collinear bucket (the
+    * pathological case this exists for) gives IDENTICAL signs on
+    * every further hyperplane, so semantic splitting provably cannot
+    * bound it; id-spreading always can. The query side probes ALL
+    * `fan` sub-buckets of its bucket (bounded replication,
+    * `Σ fan ≈ n/cap` probe rows), so the candidate PAIR SET — and
+    * therefore recall — is EXACTLY [[lshTopK]]'s (the result-identity
+    * bar, spec-proven as full equality), while the per-task bucket
+    * population is ≤ cap by construction. The same trade as the X47
+    * salted join, applied to the ANN candidate join. */
+  def lshSplitBuckets(emb: DataFrame, nBits: Int = NumHyperplanes,
+      cap: Int = SplitCap): DataFrame = {
+    val bucketed = graft.core.CacheBay.register(
+      graft.core.Spread(emb)
+        .select(col("vec_id"),
+          asDouble(col("embedding")).as("v"),
+          l2Norm(asDouble(col("embedding"))).as("nrm"),
+          lshBucket(col("embedding"), nBits).as("bucket")))
+    val fans = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .select(col("bucket"),
+        expr(s"case when n <= $cap then cast(1 as bigint) else " +
+          s"cast(shiftleft(1, length(bin((n + $cap - 1) div $cap - 1)))" +
+          " as bigint) end").as("fan"))
+    bucketed.join(fans, Seq("bucket"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("bucket"),
+        col("fan"), (col("vec_id") % col("fan")).as("sub"))
+  }
+
+  /** Top-k over the split buckets — result-identical to [[lshTopK]]
+    * (see [[lshSplitBuckets]]); the join key is (bucket, sub). */
+  def lshSplitTopK(emb: DataFrame, k: Int = TopK,
+      queryMod: Int = QueryMod, nBits: Int = NumHyperplanes,
+      cap: Int = SplitCap): DataFrame = {
+    val b = graft.core.CacheBay.register(lshSplitBuckets(emb, nBits, cap))
+    val q = b.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q_emb"),
+        col("nrm").as("q_norm"), col("bucket"),
+        explode(sequence(lit(0L), col("fan") - 1L)).as("sub"))
+    val c = b.select(col("vec_id").as("nn_id"), col("v").as("c_emb"),
+      col("nrm").as("c_norm"), col("bucket"), col("sub"))
+    val pairs = q.join(c, Seq("bucket", "sub"))
+      .filter(col("q_id") =!= col("nn_id"))
+      .select(col("q_id"), col("nn_id"), pairCos.as("cos"))
+    topKOf(pairs, k)
   }
 
   /** LSH bucket-occupancy profile (X248) — the index-health read for
@@ -988,7 +1122,7 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col("q_id"), col("nn_id"), col("rel_e6"),
         lit(1L).as("rank"))
-      .localCheckpoint()
+      .trackedCheckpoint()
     for (r <- 2 to k) {
       val mx = cc
         .join(sel.select(col("q_id"), col("nn_id").as("b_id")),
@@ -1007,7 +1141,7 @@ object Similarity {
         .filter(col("rn") === 1)
         .select(col("q_id"), col("nn_id"), col("rel_e6"),
           lit(r.toLong).as("rank"))
-      sel = sel.unionByName(pick).localCheckpoint()
+      sel = sel.unionByName(pick).trackedCheckpoint()
     }
     sel.select(col("q_id"), col("rank"), col("nn_id"), col("rel_e6"))
   }

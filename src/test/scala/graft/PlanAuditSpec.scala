@@ -442,7 +442,11 @@ class PlanAuditSpec extends SparkSpec {
       // prefix-scan composition: bounded per-partition totals collect
       "events_lateness_audit", "qc_ks_drift", "orders_best_split",
       // Bloom filter words collect on build (≤ bits/64 = 1024 rows)
-      "j_bloom_prune")
+      "j_bloom_prune",
+      // X316: Lloyd center collect + versioned index commits on build
+      "sim_ivf_incremental",
+      // X318: bounded skew-profile collect + conf registration on build
+      "events_salted_auto")
 
   test("the shared Tables read path pushes filters into the parquet " +
     "scan and prunes unread columns") {

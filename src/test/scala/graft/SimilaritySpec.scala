@@ -868,4 +868,77 @@ class SimilaritySpec extends SparkSpec {
       l1.getAs[Long]("mean_s_e6") == 1000000L &&
       l1.getAs[Long]("n_misplaced") == 0L)
   }
+
+  private def topkRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("q_id", "rank", "nn_id", "cos")
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+
+  test("ivfIncremental: equals the full one-shot recompute with the " +
+    "same frozen centers, and a replayed arrival is a no-op") {
+    val emb = spark.read.parquet(s"$SfDir/embeddings.parquet")
+    val root = java.nio.file.Files
+      .createTempDirectory("ivf_inc_").toFile.getAbsolutePath
+    val inc = topkRows(Similarity.ivfIncremental(emb, root))
+    graft.core.CacheBay.drain()
+    // full recompute: assign the WHOLE corpus in one shot against the
+    // centers trained on the base split — must be identical
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    val centers = Similarity.lloydCentersE6(base, 16)
+      .map(_.map(_.toDouble / 1000000.0))
+    val feat = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"),
+      l2Norm(col("embedding").cast("array<double>")).as("nrm"))
+    val full = topkRows(Similarity.ivfTopKFromCenters(feat, centers))
+    graft.core.CacheBay.drain()
+    assert(inc.nonEmpty && inc == full)
+    // replay guard: the committed v1 is not rewritten on a second run
+    assert(graft.streaming.VersionedState
+      .currentVersion(spark, root) == 1L)
+    val v1 = new java.io.File(s"$root/v1/_SUCCESS")
+    val stamp = v1.lastModified()
+    val again = topkRows(Similarity.ivfIncremental(emb, root))
+    graft.core.CacheBay.drain()
+    assert(again == inc)
+    assert(v1.lastModified() == stamp,
+      "replayed arrival rewrote the committed index version")
+  }
+
+  test("lshSplitTopK: result-identical to lshTopK (the recall bar as " +
+    "exact equality)") {
+    val emb = spark.read.parquet(s"$SfDir/embeddings.parquet")
+    val nBits = Similarity.scaledNBits(emb.count())
+    val split = topkRows(Similarity.lshSplitTopK(emb, nBits = nBits))
+    graft.core.CacheBay.drain()
+    val plain = topkRows(Similarity.lshTopK(emb, nBits = nBits))
+    graft.core.CacheBay.drain()
+    assert(split.nonEmpty && split == plain)
+  }
+
+  test("lshSplitBuckets: a planted collinear mega-bucket splits to " +
+    "sub-buckets bounded by the cap; healthy buckets keep fan 1") {
+    // 1200 identical vectors -> every hyperplane bit agrees -> one
+    // bucket of 1200 under plain LSH (the X248 pathology); plus a
+    // small healthy cluster far away
+    val collinear = (0 until 1200).map(i =>
+      (i.toLong, Array.fill(64)(0.5f)))
+    val healthy = (0 until 10).map(i =>
+      (2000L + i, Array.tabulate(64)(d => if (d == i) -1.0f else 0.01f)))
+    val emb = (collinear ++ healthy).toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+    val b = Similarity.lshSplitBuckets(emb).collect()
+    graft.core.CacheBay.drain()
+    val byKey = b.groupBy(r =>
+      (r.getAs[String]("bucket"), r.getAs[Long]("sub")))
+    val mega = b.groupBy(_.getAs[String]("bucket"))
+      .maxBy(_._2.length)
+    assert(mega._2.length >= 1200, "collinear vectors must share a bucket")
+    // fan for n=1200(+) at cap 64: ceil(n/64)=19 -> next pow2 = 32
+    assert(mega._2.head.getAs[Long]("fan") == 32L)
+    val maxSub = byKey.values.map(_.length).max
+    assert(maxSub <= Similarity.SplitCap,
+      s"sub-bucket of $maxSub exceeds the cap")
+    // every bucket outside the mega one is small -> fan 1
+    assert(b.filter(_.getAs[String]("bucket") != mega._1)
+      .forall(_.getAs[Long]("fan") == 1L))
+  }
 }
