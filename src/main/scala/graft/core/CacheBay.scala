@@ -21,10 +21,23 @@ import org.apache.spark.storage.StorageLevel
 object CacheBay {
   private val live = scala.collection.mutable.Buffer[Dataset[_]]()
 
-  /** Persist a dataset and register it for the next [[drain]]. */
+  /** Persist a dataset and register it for the next [[drain]].
+    *
+    * A dataset whose plan is ALREADY cached (its own persist, or a
+    * plan-identical projection of a [[SessionCache]] tier — Spark's
+    * cache lookup matches by `sameResult`, so `tier.select(<all its
+    * columns>)` hits the tier's entry) is returned untouched: calling
+    * `persist` would be a no-op on the existing entry, and the later
+    * [[drain]]'s `unpersist` would then EVICT the long-lived tier —
+    * the r16 `graph_scc`/`graph_reciprocity` regression (tier
+    * silently dropped mid-sweep, every later consumer re-paying the
+    * fact-grain derivation). */
   def register[T](ds: Dataset[T],
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Dataset[T] =
-    synchronized { live += ds.persist(level); ds }
+    synchronized {
+      if (ds.storageLevel != StorageLevel.NONE) ds
+      else { live += ds.persist(level); ds }
+    }
 
   /** Unpersist every registered transient frame (non-blocking). */
   def drain(): Unit = synchronized {

@@ -17,19 +17,22 @@ object SimilarityQueries {
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "embeddings")
 
-  /** Versioned stored-index root for `sim_ivf_incremental`, memoized
-    * per (session, dir): the FIRST invocation in a session builds v0
+  /** Versioned stored-index root for the incremental-index queries
+    * (`sim_ivf_incremental` / `sim_pq_incremental`), memoized per
+    * (session, kind, dir): the FIRST invocation in a session builds v0
     * (base index) and applies the arrival batch (v1); every later
     * invocation — the bench's second pass, a Verify rerun — finds the
     * committed v1 and replays as a read-only no-op, which is exactly
     * the incremental contract under test. A fresh temp root per JVM
     * keeps stale state from an older build out. */
-  private val ivfRoots =
+  private val idxRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def ivfStateRoot(s: SparkSession, d: String): String =
-    ivfRoots.computeIfAbsent(
-      System.identityHashCode(s).toString + "|" + d, _ => {
-        val p = java.nio.file.Files.createTempDirectory("graft_ivf_idx_")
+  private def stateRoot(s: SparkSession, kind: String, d: String)
+      : String =
+    idxRoots.computeIfAbsent(
+      System.identityHashCode(s).toString + "|" + kind + "|" + d, _ => {
+        val p = java.nio.file.Files.createTempDirectory(
+          s"graft_${kind}_idx_")
         Runtime.getRuntime.addShutdownHook(new Thread(() => {
           try {
             import scala.jdk.CollectionConverters._
@@ -74,7 +77,15 @@ object SimilarityQueries {
     // versioned index serves the probe/rank; ≡ the full recompute
     // with the same centers, which is what the oracle replays
     "sim_ivf_incremental" -> ((s, d) =>
-      Similarity.ivfIncremental(emb(s, d), ivfStateRoot(s, d))),
+      Similarity.ivfIncremental(emb(s, d), stateRoot(s, "ivf", d))),
+    // X320: the X316 discipline on the compression leg — frozen
+    // codebook, the arrival batch encodes only itself, the stored
+    // (vec_id, bucket, codes) table serves the ADC ranking
+    "sim_pq_incremental" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.pqIncremental(e, stateRoot(s, "pq", d),
+        nBits = scaledNBits(e.count()))
+    }),
     // X317: adaptive bucket splitting for mega-buckets — fan sized
     // per bucket by the X92 device, query probes every sub-bucket, so
     // the result is exactly sim_lsh_topk's while no reduce task owns
@@ -242,12 +253,13 @@ object SimilarityQueries {
   /** The PQ code-ASSIGNMENT chain (seeds → per-subspace distances →
     * rank-1 pick), shared by the full PQ oracles and the code-balance
     * audit. */
-  private val PqAssignCtes: String = {
+  private def pqAssignCtes(train: String): String = {
     val m = Similarity.PqM
     val sub = Similarity.Dim / Similarity.PqM
     s"""seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
        |             AS INT) AS j, v AS sv
-       |          FROM (SELECT vec_id, v FROM e WHERE vec_id % 5 = 2
+       |          FROM (SELECT vec_id, v FROM e
+       |                WHERE vec_id % 5 = 2 AND ($train)
        |                ORDER BY vec_id LIMIT ${Similarity.PqCodes})),
        |dd AS (SELECT e.vec_id, t.s, c.j,
        |         list_sum(list_transform(range(1, ${sub + 1}), d ->
@@ -261,10 +273,10 @@ object SimilarityQueries {
        |       FROM dd)""".stripMargin
   }
 
-  private val PqCtes: String = {
+  private def pqCtes(train: String): String = {
     val m = Similarity.PqM
     val sub = Similarity.Dim / Similarity.PqM
-    s"""$PqAssignCtes,
+    s"""${pqAssignCtes(train)},
        |cl AS (SELECT vec_id, list(j ORDER BY s) AS codes
        |       FROM cd WHERE rn = 1 GROUP BY vec_id),
        |cbn AS (SELECT list(sv ORDER BY j) AS cbv FROM seeds),
@@ -296,6 +308,9 @@ object SimilarityQueries {
        |        PARTITION BY q_id ORDER BY adc, nn_id) AS rank
        |      FROM ad)""".stripMargin
   }
+
+  private val PqCtes: String = pqCtes("TRUE")
+  private val PqAssignCtes: String = pqAssignCtes("TRUE")
 
   /** One unrolled integer-Lloyd round per iteration (assign → per-dim
     * quantized means → COALESCE recenter, empty cells keep their
@@ -1040,6 +1055,15 @@ object SimilarityQueries {
     "sim_pq_topk" ->
       s"""WITH $ECte, $NbCte, $BucketCte,
          |$PqCtes
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, nn_id,
+         |  ROUND(adc, 6) AS adc
+         |FROM r WHERE rank <= $TopK""".stripMargin,
+
+    // X320: same PQ chain, codebook restricted to the base arrival
+    // split — the incremental code store must reproduce this exactly
+    "sim_pq_incremental" ->
+      s"""WITH $ECte, $NbCte, $BucketCte,
+         |${pqCtes("vec_id % 4 <> 0")}
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, nn_id,
          |  ROUND(adc, 6) AS adc
          |FROM r WHERE rank <= $TopK""".stripMargin,

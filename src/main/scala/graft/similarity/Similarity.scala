@@ -482,7 +482,10 @@ object Similarity {
     * X68 [[graft.streaming.VersionedState]] commit pattern:
     *
     *  - v0 = the BASE corpus (`vec_id % 4 ≠ 0`) assigned against
-    *    centers trained on the base ([[lloydCentersE6]]);
+    *    centers trained on the base ([[lloydCentersE6]]); the
+    *    quantizer itself commits beside the assignments (a
+    *    `(cell, dim, c_e6)` frame under `root/quantizer`) and is
+    *    READ, never retrained, by every later arrival or query;
     *  - the arrival batch (`vec_id % 4 = 0`) assigns ONLY ITSELF
     *    against the same centers and commits v1 = v0 ∪ batch — cost
     *    \|batch\|·nCells distances + one append, never \|corpus\|;
@@ -505,10 +508,34 @@ object Similarity {
       iters: Int = LloydIters): DataFrame = {
     import graft.streaming.VersionedState
     val spark = emb.sparkSession
+    import spark.implicits._
     val base = emb.filter(col("vec_id") % 4 =!= 0)
     val batch = emb.filter(col("vec_id") % 4 === 0)
-    val centers = lloydCentersE6(base, nCells, iters)
-      .map(_.map(_.toDouble / 1000000.0))
+    // the quantizer IS part of the stored index (what "frozen at
+    // build time" means operationally): trained once, committed
+    // beside the assignments, and READ — not retrained — on every
+    // later arrival or query. The (cell, dim, c_e6) frame is
+    // nCells·dim rows; the read-back collect is bounded by it.
+    val qRoot = s"$root/quantizer"
+    val centersE6: Array[Array[Long]] =
+      if (VersionedState.currentVersion(spark, qRoot) < 0L) {
+        val c = lloydCentersE6(base, nCells, iters)
+        VersionedState.commit(
+          c.zipWithIndex.flatMap { case (row, cell) =>
+            row.zipWithIndex.map { case (v, dim) => (cell, dim, v) }
+          }.toSeq.toDF("cell", "dim", "c_e6"), 0L, qRoot)
+        c
+      } else {
+        val rows = VersionedState.current(spark, qRoot).get
+          .select(col("cell").cast("int"), col("dim").cast("int"),
+            col("c_e6").cast("long"))
+          .collect() // bounded: nCells·dim rows
+        val dim = rows.map(_.getInt(1)).max + 1
+        val out = Array.ofDim[Long](rows.map(_.getInt(0)).max + 1, dim)
+        rows.foreach(r => out(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+        out
+      }
+    val centers = centersE6.map(_.map(_.toDouble / 1000000.0))
     val sorted = array_sort(array(centerDistStructs(centers): _*))
     def assignTop1(df: DataFrame): DataFrame =
       graft.core.Spread(df)
@@ -570,8 +597,17 @@ object Similarity {
     * the oracle's `ORDER BY dd, j`). */
   def pqTopK(emb: DataFrame, k: Int = TopK, queryMod: Int = QueryMod,
       m: Int = PqM, kCodes: Int = PqCodes,
+      nBits: Int = NumHyperplanes): DataFrame =
+    pqTopKWithSeeds(emb, seedCenters(emb, kCodes), k, queryMod, m,
+      kCodes, nBits)
+
+  /** [[pqTopK]] against an EXPLICIT codebook — the seam
+    * [[pqIncremental]] shares, so "incremental ≡ one-shot with the
+    * same frozen codebook" is assertable as frame equality. */
+  def pqTopKWithSeeds(emb: DataFrame, seeds: Array[Array[Double]],
+      k: Int = TopK, queryMod: Int = QueryMod,
+      m: Int = PqM, kCodes: Int = PqCodes,
       nBits: Int = NumHyperplanes): DataFrame = {
-    val seeds = seedCenters(emb, kCodes)
     require(seeds.length == kCodes && seeds.head.length % m == 0,
       s"pqTopK: need $kCodes seeds and dim divisible by $m")
     // encode and ADC run as the native PqEncode/PqAdc expressions: the
@@ -604,6 +640,73 @@ object Similarity {
     val c = bucketed.select(col("vec_id").as("nn_id"),
       graft.functions.VectorExpressions.pqEncode(col("v"), seeds, m)
         .as("codes"),
+      col("bucket"))
+    q.join(c, Seq("bucket"))
+      .filter(col("q_id") =!= col("nn_id"))
+      .select(col("q_id"), col("nn_id"),
+        graft.functions.VectorExpressions.pqAdc(col("qv"), col("codes"),
+          seeds, m).as("adc"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(asc("adc"), asc("nn_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("nn_id"), round(col("adc"), 6).as("adc"))
+  }
+
+  /** X320: incremental PQ code maintenance — [[ivfIncremental]]'s
+    * X316 discipline applied to the COMPRESSION leg: the codebook is
+    * FROZEN at build time ([[seedCenters]] of the base split — the
+    * train-then-add contract), the stored index is the
+    * `(vec_id, bucket, codes)` table (bucket at the index's
+    * configured hyperplane count, codes = the m sub-space bytes —
+    * what a 10⁹-vector deployment actually persists), an arrival
+    * batch encodes ONLY itself and commits v_prev ∪ batch through the
+    * X68 versioned-state pattern (replay-guarded). Per-row encoding
+    * against a frozen codebook makes the merged index ≡ the one-shot
+    * full encode, so the ADC ranking equals [[pqTopKWithSeeds]] on
+    * the full corpus — the oracle replays the X8 PQ pipeline with the
+    * codebook restricted to the base split. */
+  def pqIncremental(emb: DataFrame, root: String, k: Int = TopK,
+      queryMod: Int = QueryMod, m: Int = PqM, kCodes: Int = PqCodes,
+      nBits: Int = NumHyperplanes): DataFrame = {
+    import graft.streaming.VersionedState
+    val spark = emb.sparkSession
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    val batch = emb.filter(col("vec_id") % 4 === 0)
+    val seeds = seedCenters(base, kCodes)
+    require(seeds.length == kCodes && seeds.head.length % m == 0,
+      s"pqIncremental: need $kCodes seeds and dim divisible by $m")
+    def encode(df: DataFrame): DataFrame =
+      graft.core.Spread(df)
+        .select(col("vec_id"),
+          asDouble(col("embedding")).as("v"),
+          lshBucket(col("embedding"), nBits).as("bucket"))
+        .select(col("vec_id"), col("bucket"),
+          graft.functions.VectorExpressions.pqEncode(col("v"), seeds, m)
+            .as("codes"))
+    if (VersionedState.currentVersion(spark, root) < 0L)
+      VersionedState.commit(encode(base), 0L, root)
+    if (VersionedState.currentVersion(spark, root) < 1L)
+      VersionedState.commit(
+        spark.read.parquet(s"$root/v0").unionByName(encode(batch)),
+        1L, root)
+    val idx = graft.core.CacheBay.register(
+      VersionedState.current(spark, root).get)
+    val feat = graft.core.Spread(emb)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val flips = (0 until nBits).map { j =>
+      concat(
+        col("bucket").substr(1, j),
+        when(col("bucket").substr(j + 1, 1) === "1", lit("0"))
+          .otherwise(lit("1")),
+        col("bucket").substr(j + 2, nBits - j - 1))
+    }
+    val q = feat.filter(col("vec_id") % queryMod === 0)
+      .join(idx.select(col("vec_id"), col("bucket")), Seq("vec_id"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        explode(array(col("bucket") +: flips: _*)).as("bucket"))
+    val c = idx.select(col("vec_id").as("nn_id"), col("codes"),
       col("bucket"))
     q.join(c, Seq("bucket"))
       .filter(col("q_id") =!= col("nn_id"))

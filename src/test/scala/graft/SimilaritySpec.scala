@@ -903,6 +903,30 @@ class SimilaritySpec extends SparkSpec {
       "replayed arrival rewrote the committed index version")
   }
 
+  test("pqIncremental: equals the one-shot encode with the same " +
+    "frozen codebook, and a replayed arrival is a no-op") {
+    val emb = spark.read.parquet(s"$SfDir/embeddings.parquet")
+    val root = java.nio.file.Files
+      .createTempDirectory("pq_inc_").toFile.getAbsolutePath
+    def adcRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rank", "nn_id", "adc")
+        .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    val inc = adcRows(Similarity.pqIncremental(emb, root))
+    graft.core.CacheBay.drain()
+    val baseSeeds = Similarity.seedCenters(
+      emb.filter(col("vec_id") % 4 =!= 0), Similarity.PqCodes)
+    val full = adcRows(Similarity.pqTopKWithSeeds(emb, baseSeeds))
+    graft.core.CacheBay.drain()
+    assert(inc.nonEmpty && inc == full)
+    assert(graft.streaming.VersionedState
+      .currentVersion(spark, root) == 1L)
+    val v1 = new java.io.File(s"$root/v1/_SUCCESS")
+    val stamp = v1.lastModified()
+    val again = adcRows(Similarity.pqIncremental(emb, root))
+    graft.core.CacheBay.drain()
+    assert(again == inc && v1.lastModified() == stamp)
+  }
+
   test("lshSplitTopK: result-identical to lshTopK (the recall bar as " +
     "exact equality)") {
     val emb = spark.read.parquet(s"$SfDir/embeddings.parquet")
