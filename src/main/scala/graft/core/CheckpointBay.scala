@@ -42,6 +42,18 @@ import org.apache.spark.sql.Dataset
 object CheckpointBay {
   private val live = scala.collection.mutable.Buffer[RDD[_]]()
 
+  // Spark WARNs "RDD N was locally checkpointed … cannot be recomputed
+  // after unpersisting" on every drained checkpoint — in a 360-query
+  // sweep that is thousands of lines describing exactly the intended
+  // behavior (the safety contract lives in this object's scaladoc, and
+  // [[drain]] only runs at query boundaries where no live frame can
+  // recompute through the dropped blocks). Quiet that one logger; the
+  // rest of org.apache.spark.rdd keeps its levels.
+  try org.apache.logging.log4j.core.config.Configurator.setLevel(
+    "org.apache.spark.rdd.MapPartitionsRDD",
+    org.apache.logging.log4j.Level.ERROR)
+  catch { case _: Throwable => () }
+
   /** `ds.localCheckpoint()` with the checkpoint blocks registered for
     * the next [[drain]]. */
   def checkpoint[T](ds: Dataset[T]): Dataset[T] = synchronized {

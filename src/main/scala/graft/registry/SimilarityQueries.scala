@@ -43,6 +43,18 @@ object SimilarityQueries {
         p.toFile.getAbsolutePath
       })
 
+  /** Session-memoized deterministic Lloyd quantizer for the tables at
+    * `dir` — the BPE-merges precedent (`bpemerges:$d`): the fit is a
+    * train-once artifact, deterministic given the corpus, so a sweep
+    * pays it once per (session, dir) instead of once per pass. The
+    * oracle still replays the FULL fit from the raw table. */
+  private val lloydMemos =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]()
+  private def lloydMemo(s: SparkSession, d: String): Array[Array[Long]] =
+    lloydMemos.computeIfAbsent(
+      System.identityHashCode(s).toString + "|" + d,
+      _ => Similarity.lloydCentersE6(emb(s, d)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Reg.strict(
     "sim_bruteforce_topk" -> ((s, d) => Similarity.bruteForceTopK(emb(s, d))),
     // X255: TwoNN intrinsic-dimension evidence — exact 2-NN per query
@@ -68,7 +80,8 @@ object SimilarityQueries {
     // IVF over deterministic integer-Lloyd cells (VERDICT r13 #1) —
     // seed-center init + LloydIters exact-integer rounds, so the FULL
     // fit+probe+rank pipeline unrolls into MATERIALIZED oracle CTEs
-    "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(emb(s, d))),
+    "sim_ivf_topk" -> ((s, d) =>
+      Similarity.ivfTopK(emb(s, d), centersE6 = Some(lloydMemo(s, d)))),
     // the X45-pattern audit: deterministic seed centers make the whole
     // IVF pipeline + its recall-vs-brute-force SQL-recomputable
     "sim_ivf_recall" -> ((s, d) => Similarity.ivfRecallAudit(emb(s, d))),

@@ -458,18 +458,37 @@ object Similarity {
     * so the FULL pipeline — fit, assignment, probe, rank — is replayed
     * verbatim by the DuckDB oracle as unrolled MATERIALIZED CTEs (the
     * PageRank/BPE loop device); final centers enter the distance
-    * expressions as e6/10⁶ doubles, bit-identical on both engines. */
+    * expressions as e6/10⁶ doubles, bit-identical on both engines.
+    *
+    * `centersE6` hands in an already-trained quantizer (the registry
+    * memoizes the deterministic fit per session+dir — the BPE-merges
+    * precedent: a train-once artifact is not refit per query); None
+    * trains inline. */
   def ivfTopK(emb: DataFrame, k: Int = TopK, queryMod: Int = QueryMod,
       nCells: Int = 16, nProbe: Int = 2,
-      iters: Int = LloydIters): DataFrame = {
+      iters: Int = LloydIters,
+      centersE6: Option[Array[Array[Long]]] = None): DataFrame = {
     val feat = graft.core.CacheBay.register(
       graft.core.Spread(emb)
         .select(col("vec_id"),
           asDouble(col("embedding")).as("v"),
           l2Norm(asDouble(col("embedding"))).as("nrm")))
-    val centers = lloydCentersE6(emb, nCells, iters)
+    val centers = centersE6.getOrElse(lloydCentersE6(emb, nCells, iters))
       .map(_.map(_.toDouble / 1000000.0))
     ivfTopKFromCenters(feat, centers, k, queryMod, nProbe)
+  }
+
+  /** Top-1 cell assignment `(vec_id, cell)` of `emb` against explicit
+    * centers — the per-row arrival step shared by [[ivfIncremental]]
+    * and the streaming leg ([[graft.streaming.StreamIvf]]); ties →
+    * lowest cell, the [[ivfTopKFromCenters]] total order. */
+  def assignCells(emb: DataFrame,
+      centers: Array[Array[Double]]): DataFrame = {
+    val sorted = array_sort(array(centerDistStructs(centers): _*))
+    graft.core.Spread(emb)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"),
+        sorted.getItem(0).getField("cell").cast("long").as("cell"))
   }
 
   /** X316: INCREMENTAL IVF index maintenance — the one 100 TB story a
@@ -537,11 +556,7 @@ object Similarity {
       }
     val centers = centersE6.map(_.map(_.toDouble / 1000000.0))
     val sorted = array_sort(array(centerDistStructs(centers): _*))
-    def assignTop1(df: DataFrame): DataFrame =
-      graft.core.Spread(df)
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .select(col("vec_id"),
-          sorted.getItem(0).getField("cell").cast("long").as("cell"))
+    def assignTop1(df: DataFrame): DataFrame = assignCells(df, centers)
     if (VersionedState.currentVersion(spark, root) < 0L)
       VersionedState.commit(assignTop1(base), 0L, root)
     if (VersionedState.currentVersion(spark, root) < 1L)
