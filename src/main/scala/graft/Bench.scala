@@ -78,6 +78,8 @@ object Bench {
         spark, s"fcstdense:$sfDir")(
         graft.analytics.Analytics.supplierMonthlyDense(
           graft.core.Tables(spark, sfDir, "lineitem"))).count())
+      tier("pipe.quality")(
+        graft.pipeline.Pipeline.sharedQualityScored(spark, sfDir).count())
     }
     val cacheBuild = (System.nanoTime() - tc) / 1e9
     System.err.println(f"[bench] [cache-build]${""}%15s $cacheBuild%8.2f s")

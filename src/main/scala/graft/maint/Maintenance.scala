@@ -115,17 +115,41 @@ object Maintenance {
     * ndv_est)`. */
   def columnStats(df: DataFrame, cols: Seq[(String, Column)],
       k: Int = StatsNdvK): DataFrame = {
-    val unpivoted = graft.core.CacheBay.register(df.select(
+    // Basic stats as ONE wide map-side-combinable aggregate over the
+    // source scan — 4 expressions per column, no unpivot row blowup
+    // (r16, guide §2.3 "aggregate before you shuffle": the previous
+    // shape exploded ×c rows into a persisted frame and hash-
+    // aggregated it; this shape shuffles 1 partial-agg row per task
+    // and frees the ×c-row cache entirely). The 1-row result unpivots
+    // to (col_name, stats) rows — a c-element explode of one row.
+    // Group semantics are preserved exactly: the exploded struct was
+    // never NULL, so every group held ALL rows (n_rows = COUNT(*)),
+    // and min/max/n_null ignore or count NULL v identically; the
+    // n_rows > 0 filter reproduces the GROUP BY's empty-input result.
+    val aggs = cols.flatMap { case (n, c) =>
+      val v = c.cast("long")
+      Seq(count(lit(1)).cast("long").as(s"__nr_$n"),
+        sum(when(v.isNull, 1L).otherwise(0L)).cast("long").as(s"__nn_$n"),
+        min(v).cast("long").as(s"__mn_$n"),
+        max(v).cast("long").as(s"__mx_$n"))
+    }
+    val base = df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map { case (n, _) =>
+        struct(lit(n).as("col_name"), col(s"__nr_$n").as("n_rows"),
+          col(s"__nn_$n").as("n_null"), col(s"__mn_$n").as("min_val"),
+          col(s"__mx_$n").as("max_val"))
+      }: _*)).as("t"))
+      .select(col("t.col_name").as("col_name"), col("t.n_rows").as("n_rows"),
+        col("t.n_null").as("n_null"), col("t.min_val").as("min_val"),
+        col("t.max_val").as("max_val"))
+      .filter(col("n_rows") > 0)
+    // the NDV leg keeps the unpivot (it needs per-column DISTINCT
+    // values) but is now its single consumer — no persist needed
+    val unpivoted = df.select(
       explode(array(cols.map { case (n, c) =>
         struct(lit(n).as("col_name"), c.cast("long").as("v"))
       }: _*)).as("t"))
-      .select(col("t.col_name").as("col_name"), col("t.v").as("v")))
-    val base = unpivoted.groupBy(col("col_name"))
-      .agg(count(lit(1)).cast("long").as("n_rows"),
-        sum(when(col("v").isNull, 1L).otherwise(0L)).cast("long")
-          .as("n_null"),
-        min(col("v")).cast("long").as("min_val"),
-        max(col("v")).cast("long").as("max_val"))
+      .select(col("t.col_name").as("col_name"), col("t.v").as("v"))
     // distinct the VALUES before hashing: the hash set is identical
     // (distinct∘hash ≡ distinct∘hash∘distinct — the trailing distinct
     // still collapses hex8 collisions exactly like the oracle's

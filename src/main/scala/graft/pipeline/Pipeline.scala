@@ -367,11 +367,19 @@ object Pipeline {
     * (small, fixed) eval-set size, so it is `broadcast()` and the
     * probe is a map-side hash join over the corpus shingles — the
     * corpus is never shuffled on the shingle key; the only shuffle is
-    * the per-doc count aggregate. Survives a 100× corpus unchanged. */
+    * the per-doc count aggregate. Survives a 100× corpus unchanged.
+    *
+    * `shingles`: callers whose `docs` IS the documents table pass the
+    * session shingle tier ([[graft.dedup.Dedup.sharedShingles]]) so a
+    * sweep pays the tokenize→shingle regex passes once, not once per
+    * consuming query (guide §2.4 — share one derivation; r16:
+    * pipe_decontaminate / pipe_curated_corpus / pipe_manifest each
+    * re-derived it). Same optional-tier seam as every dedup operator. */
   def decontaminate(docs: DataFrame, benchMod: Int = BenchMod,
-      minOverlap: Double = MinContamOverlap): DataFrame = {
-    val ss = graft.core.CacheBay.register(
-      graft.dedup.Dedup.shingleSets(docs))
+      minOverlap: Double = MinContamOverlap,
+      shingles: Option[DataFrame] = None): DataFrame = {
+    val ss = shingles.getOrElse(graft.core.CacheBay.register(
+      graft.dedup.Dedup.shingleSets(docs)))
     val ex = ss.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val bench = ex.filter(col("doc_id") % benchMod === 0)
       .select(col("sh")).distinct()
@@ -505,9 +513,10 @@ object Pipeline {
     * rank against). Integer-exact; one window per the bounded source
     * key; composes with X38's budget selection as the calibrated
     * alternative ranking. */
-  def sourceCalibratedQuality(docs: DataFrame): DataFrame = {
+  def sourceCalibratedQuality(docs: DataFrame,
+      scored: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = qualityScored(docs)
+    val base = scored.getOrElse(qualityScored(docs))
       .select(col("source"), col("doc_id"), col("quality_e6"))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("quality_e6"), col("doc_id"))
@@ -750,9 +759,11 @@ object Pipeline {
     * row-level windows partition on (quality) then (phase, shard);
     * no global sort anywhere. */
   def curriculumOrder(docs: DataFrame, phases: Int = CurriculumPhases,
-      seed: String = ShuffleSeed, nShards: Int = NumShards): DataFrame = {
-    val base = graft.core.CacheBay.register(
-      qualityScored(docs).select(col("doc_id"), col("quality_e6")))
+      seed: String = ShuffleSeed, nShards: Int = NumShards,
+      scored: Option[DataFrame] = None): DataFrame = {
+    val base = scored.map(_.select(col("doc_id"), col("quality_e6")))
+      .getOrElse(graft.core.CacheBay.register(
+        qualityScored(docs).select(col("doc_id"), col("quality_e6"))))
     val off = base.groupBy(col("quality_e6"))
       .agg(count(lit(1)).as("c"))
       .withColumn("off", coalesce(
@@ -802,8 +813,9 @@ object Pipeline {
     *
     * Scale: one linear pass over the integer quality frame, one 1-row
     * map-side-combinable aggregate. */
-  def qualityLengthCorr(docs: DataFrame): DataFrame =
-    qualityScored(docs)
+  def qualityLengthCorr(docs: DataFrame,
+      scored: Option[DataFrame] = None): DataFrame =
+    scored.getOrElse(qualityScored(docs))
       .select(col("n_tokens"),
         expr("quality_e6 div 1000").cast("long").as("q3"))
       .agg(count(lit(1)).cast("long").as("n"),
@@ -853,6 +865,21 @@ object Pipeline {
     * rounded DOUBLE: last-ulp float ties would reorder greedy cuts
     * cross-engine. Map-only over the corpus (Spread adds no exchange
     * on an already-split source). */
+  /** Session-cached [[qualityScored]] over the `documents` table at
+    * `dir` — the pipeline family's shared derivation tier (the
+    * [[graft.dedup.Dedup.sharedShingles]] pattern): six registry
+    * queries (token budget, source cap, curriculum order, source
+    * calibration, quality–length corr, domain quality) all start from
+    * the same tokenize+regex quality scan, so a sweep pays the
+    * per-doc regex passes ONCE instead of once per query — and at
+    * 100 TB, one corpus scan feeds the whole family (guide §2.4).
+    * Narrow output (lang, source, doc_id, quality_e6, n_tokens):
+    * the heavy `text` column never enters the cache. */
+  def sharedQualityScored(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.core.SessionCache.cached(spark, s"qscored:$dir")(
+      qualityScored(graft.core.Tables(spark, dir, "documents")))
+
   private def qualityScored(docs: DataFrame): DataFrame = {
     val lowerToks = tokens(lower(col("text")))
     graft.core.Spread(docs)
@@ -901,10 +928,13 @@ object Pipeline {
     * quality) key, so even a pathological single-domain corpus spreads
     * across the quality buckets. The offset joins back ON THE COMPOUND
     * KEY (sources are unbounded at web scale — never broadcast). */
-  def perSourceCap(docs: DataFrame, cap: Int = SourceCap): DataFrame = {
-    val scored = graft.core.CacheBay.register(
-      qualityScored(docs)
-        .select(col("source"), col("doc_id"), col("quality_e6")))
+  def perSourceCap(docs: DataFrame, cap: Int = SourceCap,
+      scoredIn: Option[DataFrame] = None): DataFrame = {
+    val scored = scoredIn
+      .map(_.select(col("source"), col("doc_id"), col("quality_e6")))
+      .getOrElse(graft.core.CacheBay.register(
+        qualityScored(docs)
+          .select(col("source"), col("doc_id"), col("quality_e6"))))
     val off = scored.groupBy(col("source"), col("quality_e6"))
       .agg(count(lit(1)).as("c"))
       .withColumn("off", coalesce(
@@ -944,11 +974,15 @@ object Pipeline {
     * the corpus), broadcast back, plus an intra-(lang, quality) window
     * hash-partitioned on the value key. */
   def tokenBudgetSelect(docs: DataFrame,
-      budgetPerLang: Long = LangTokenBudget): DataFrame = {
-    val base = graft.core.CacheBay.register(
-      qualityScored(docs)
-        .select(col("lang"), col("doc_id"), col("quality_e6"),
-          col("n_tokens")))
+      budgetPerLang: Long = LangTokenBudget,
+      scored: Option[DataFrame] = None): DataFrame = {
+    val base = scored
+      .map(_.select(col("lang"), col("doc_id"), col("quality_e6"),
+        col("n_tokens")))
+      .getOrElse(graft.core.CacheBay.register(
+        qualityScored(docs)
+          .select(col("lang"), col("doc_id"), col("quality_e6"),
+            col("n_tokens"))))
     val off = base.groupBy(col("lang"), col("quality_e6"))
       .agg(sum(col("n_tokens")).as("s"))
       .withColumn("off", coalesce(
@@ -1164,11 +1198,13 @@ object Pipeline {
     * itself a benchmark doc), and (4) landed in the train split. The
     * output is the training corpus manifest with the audit columns a
     * curation run reports. Every stage is the already-proven operator;
-    * this query is the proof they compose in one lazy plan. */
-  def curatedCorpus(docs: DataFrame): DataFrame = {
+    * this query is the proof they compose in one lazy plan.
+    * `shingles`: the session tier, forwarded to [[decontaminate]]. */
+  def curatedCorpus(docs: DataFrame,
+      shingles: Option[DataFrame] = None): DataFrame = {
     val keepers = graft.dedup.Dedup.exactDedup(docs)
       .select(col("keep_id").as("doc_id"))
-    val contam = decontaminate(docs)
+    val contam = decontaminate(docs, shingles = shingles)
       .select(col("doc_id"), col("contaminated"))
     val q = docs.select(col("doc_id"),
       graft.text.TextAnalysis.qualityScore(col("text")).as("quality"))
@@ -1221,8 +1257,9 @@ object Pipeline {
   def pretrainManifest(docs: DataFrame,
       budgetPerLang: Long = LangTokenBudget,
       packBudget: Long = PackBudget,
-      nShards: Int = NumShards): DataFrame = {
-    val curated = curatedCorpus(docs).select(col("doc_id"))
+      nShards: Int = NumShards,
+      shingles: Option[DataFrame] = None): DataFrame = {
+    val curated = curatedCorpus(docs, shingles).select(col("doc_id"))
     val cleaned = graft.core.CacheBay.register(
       graft.dedup.Dedup.paragraphDedup(docs)
         .join(curated, Seq("doc_id"), "left_semi")
@@ -1233,9 +1270,15 @@ object Pipeline {
           col("clean_text").as("text")))
     val keep2 = graft.dedup.Dedup.exactDedup(cleaned)
       .select(col("keep_id").as("doc_id"))
-    val selected = tokenBudgetSelect(
+    // `selected` is consumed TWICE below (shuffleShards builds the
+    // shard/rank assignment from it, then the packing join reads it
+    // again) — without a cache boundary the whole budget-select
+    // subtree (join + two windows over the corpus) re-evaluates per
+    // consumer (guide §2.4: two ops keyed off one derivation share
+    // one materialization; measured r16: ~1 s of the 4.2 s query)
+    val selected = graft.core.CacheBay.register(tokenBudgetSelect(
       cleaned.join(keep2, Seq("doc_id"), "left_semi"), budgetPerLang)
-      .select(col("doc_id"), col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens")))
     val shuffled = shuffleShards(selected, nShards = nShards)
       .select(col("doc_id"), col("shard"), col("rank"))
     val w = Window.partitionBy(col("shard")).orderBy(col("rank"))
@@ -1596,10 +1639,12 @@ object Pipeline {
     * an n·10⁶ pre-overflow witness. */
   def domainQualityProfile(docs: DataFrame,
       floorE6: Long = DomainQualityFloorE6,
-      minDocs: Long = DomainQualityMinDocs): DataFrame = {
+      minDocs: Long = DomainQualityMinDocs,
+      scored: Option[DataFrame] = None): DataFrame = {
     val dom = withSyntheticUrl(docs).select(col("doc_id"),
       registeredDomain(canonicalUrl(col("url_raw"))).as("domain"))
-    val q = qualityScored(docs).select(col("doc_id"), col("quality_e6"))
+    val q = scored.getOrElse(qualityScored(docs))
+      .select(col("doc_id"), col("quality_e6"))
     dom.join(q, Seq("doc_id"))
       .groupBy(col("domain"))
       .agg(count(lit(1)).cast("long").as("n_docs"),

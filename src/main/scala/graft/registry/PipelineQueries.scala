@@ -56,7 +56,8 @@ object PipelineQueries {
     // X274: per-registered-domain quality profile + drop verdict
     // (RefinedWeb domain-granularity quality filtering)
     "pipe_domain_quality" -> ((s, d) =>
-      Pipeline.domainQualityProfile(docs(s, d))),
+      Pipeline.domainQualityProfile(docs(s, d),
+        scored = Some(Pipeline.sharedQualityScored(s, d)))),
     // X278: per-domain boilerplate/template rate — paragraphs repeated
     // across >= 2 distinct docs of the SAME domain, exact ppm
     "pipe_domain_boilerplate" -> ((s, d) =>
@@ -115,7 +116,8 @@ object PipelineQueries {
           .selectExpr("c_nationkey", "c_mktsegment",
             "cast(floor(c_acctbal / 100.0) as long) as bal_bucket"),
         Seq("c_nationkey", "bal_bucket"), "c_mktsegment")),
-    "pipe_decontaminate" -> ((s, d) => Pipeline.decontaminate(docs(s, d))),
+    "pipe_decontaminate" -> ((s, d) => Pipeline.decontaminate(docs(s, d),
+      shingles = Some(graft.dedup.Dedup.sharedShingles(s, d)))),
     "pipe_pack_sequences" -> ((s, d) => Pipeline.packSequences(docs(s, d))),
     "pipe_pack_report" -> ((s, d) => Pipeline.packReport(docs(s, d))),
     // X234: per-doc token spans inside each pack — the attention-
@@ -126,24 +128,29 @@ object PipelineQueries {
       Pipeline.stratifiedSample(docs(s, d))),
     "pipe_temperature_sample" -> ((s, d) =>
       Pipeline.temperatureSample(docs(s, d))),
-    "pipe_curated_corpus" -> ((s, d) => Pipeline.curatedCorpus(docs(s, d))),
+    "pipe_curated_corpus" -> ((s, d) => Pipeline.curatedCorpus(docs(s, d),
+      shingles = Some(graft.dedup.Dedup.sharedShingles(s, d)))),
     // X301: end-to-end pretraining-shard manifest (VERDICT r13 #5) —
     // curate → paragraph+exact dedup → token-budget select →
     // deterministic shuffle → pack, ONE lazy plan; the oracle
     // composes the SAME shared CTEs as the standalone operators
-    "pipe_manifest" -> ((s, d) => Pipeline.pretrainManifest(docs(s, d))),
+    "pipe_manifest" -> ((s, d) => Pipeline.pretrainManifest(docs(s, d),
+      shingles = Some(graft.dedup.Dedup.sharedShingles(s, d)))),
     "pipe_length_deciles" -> ((s, d) => Pipeline.lengthDeciles(docs(s, d))),
     // X236: curriculum training order — exact quality terciles via the
     // value decomposition, seed-reproducible shard shuffle per phase
     "pipe_curriculum_order" -> ((s, d) =>
-      Pipeline.curriculumOrder(docs(s, d))),
+      Pipeline.curriculumOrder(docs(s, d),
+        scored = Some(Pipeline.sharedQualityScored(s, d)))),
     // X245: quality–length moment screen — exact integer (n, Σx, Σy,
     // Σxy, Σx², Σy²); "is my quality filter a length filter?"
     "pipe_quality_length_corr" -> ((s, d) =>
-      Pipeline.qualityLengthCorr(docs(s, d))),
+      Pipeline.qualityLengthCorr(docs(s, d),
+        scored = Some(Pipeline.sharedQualityScored(s, d)))),
     "pipe_chunk_overlap" -> ((s, d) => Pipeline.chunkWithOverlap(docs(s, d))),
     "pipe_token_budget" -> ((s, d) =>
-      Pipeline.tokenBudgetSelect(docs(s, d))),
+      Pipeline.tokenBudgetSelect(docs(s, d),
+        scored = Some(Pipeline.sharedQualityScored(s, d)))),
     "pipe_balanced_sample" -> ((s, d) =>
       Pipeline.balancedSample(docs(s, d))),
     "pipe_source_profile" -> ((s, d) => Pipeline.sourceProfile(docs(s, d))),
@@ -161,9 +168,11 @@ object PipelineQueries {
       Pipeline.exciseContamination(docs(s, d))),
     "pipe_content_chunks" -> ((s, d) =>
       Pipeline.contentChunks(docs(s, d))),
-    "pipe_source_cap" -> ((s, d) => Pipeline.perSourceCap(docs(s, d))),
+    "pipe_source_cap" -> ((s, d) => Pipeline.perSourceCap(docs(s, d),
+      scoredIn = Some(Pipeline.sharedQualityScored(s, d)))),
     "pipe_source_calibration" -> ((s, d) =>
-      Pipeline.sourceCalibratedQuality(docs(s, d))),
+      Pipeline.sourceCalibratedQuality(docs(s, d),
+        scored = Some(Pipeline.sharedQualityScored(s, d)))),
     // X319: per-source quality-drift CUSUM over arrival batches —
     // the X79 profile composed with the X114 closed-form CUSUM
     // against the batch-0 baseline; the sequential stream leg is
