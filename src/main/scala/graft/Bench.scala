@@ -58,6 +58,10 @@ object Bench {
       tier("dedup.clusters")(graft.dedup.Dedup.sharedClusters(spark, sfDir).count())
       tier("dedup.ppjoin")(
         graft.dedup.Dedup.sharedExactPairs(spark, sfDir).count())
+      tier("dedup.cappedidx")(
+        graft.dedup.Dedup.sharedCappedIndex(spark, sfDir).count())
+      tier("dedup.overlap")(
+        graft.dedup.Dedup.sharedOverlapCounts(spark, sfDir).count())
       tier("graph.copurchase_w")(
         graft.graph.Triangles.sharedWeightedEdges(spark, sfDir).count())
       tier("graph.copurchase")(
@@ -80,6 +84,10 @@ object Bench {
           graft.core.Tables(spark, sfDir, "lineitem"))).count())
       tier("pipe.quality")(
         graft.pipeline.Pipeline.sharedQualityScored(spark, sfDir).count())
+      tier("fct.wbase")(
+        graft.analytics.Analytics.sharedWeightedBase(spark, sfDir).count())
+      tier("sim.exacttopk")(
+        graft.similarity.Similarity.sharedExactTopK(spark, sfDir).count())
     }
     val cacheBuild = (System.nanoTime() - tc) / 1e9
     System.err.println(f"[bench] [cache-build]${""}%15s $cacheBuild%8.2f s")

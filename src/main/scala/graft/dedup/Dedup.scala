@@ -684,32 +684,75 @@ object Dedup {
       .groupBy(col("cluster_size"))
       .agg(count(lit(1)).cast("long").as("n_clusters"))
 
+  /** Session-cached df-capped inverted index `(doc_id, sh)` for the
+    * `documents` table — the frame BOTH symmetric Jaccard (X5) and
+    * directed containment (X176) probe: explode the shared shingle
+    * tier, drop shingles with df > [[MaxShingleDf]] (the hot-term
+    * guard that is part of both statistics), keep the rest. One
+    * sweep-wide materialization instead of one per consuming query
+    * (r16, guide §2.4). */
+  def sharedCappedIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.core.SessionCache.cached(spark, s"cappedindex:$dir") {
+      val ex = sharedShingles(spark, dir)
+        .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      val rare = ex.groupBy(col("sh"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxShingleDf)
+        .select(col("sh"))
+      ex.join(rare, Seq("sh"))
+    }
+
+  /** Session-cached shared-shingle overlap counts
+    * `(a_id < b_id, shared)` over [[sharedCappedIndex]] — the
+    * inverted-index self-join both X5 and X176 aggregate; the single
+    * most expensive dedup-family step after the shingle tier itself,
+    * now paid once per sweep (r16). */
+  def sharedOverlapCounts(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.core.SessionCache.cached(spark, s"overlapcounts:$dir") {
+      val exF = sharedCappedIndex(spark, dir)
+      exF.select(col("doc_id").as("a_id"), col("sh"))
+        .join(exF.select(col("doc_id").as("b_id"), col("sh")), Seq("sh"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("shared"))
+    }
+
   /** True n-gram Jaccard near-dup pairs via the inverted-index join.
     * Shingles occurring in more than maxDf documents are dropped from
     * BOTH numerator and denominator (consistent set semantics) before
-    * the join — the hot-term guard that keeps the join linear-ish. */
+    * the join — the hot-term guard that keeps the join linear-ish.
+    * `cappedIndex`/`overlap`: the session tiers ([[sharedCappedIndex]]
+    * / [[sharedOverlapCounts]]) when `docs` is the documents table at
+    * the tier's `dir` and the caps are the defaults. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = ShingleN,
       minJaccard: Double = MinJaccard, maxDf: Int = MaxShingleDf,
-      shingles: Option[DataFrame] = None): DataFrame = {
+      shingles: Option[DataFrame] = None,
+      cappedIndex: Option[DataFrame] = None,
+      overlap: Option[DataFrame] = None): DataFrame = {
     // persist BEFORE explode: the cache boundary stops the optimizer
     // from re-inlining the shingle expression into the Generate (which
     // re-evaluates normalize+split per element), and the frame feeds
     // three consumers (df-cap aggregate, and both sides via exF)
-    val ss = shingles.getOrElse(
+    lazy val ss = shingles.getOrElse(
       graft.core.CacheBay.register(shingleSets(docs, n)))
-    val ex = ss.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val rare = ex.groupBy(col("sh"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select(col("sh"))
-    // read by the counts agg and BOTH sides of the pair join: persist
-    val exF = graft.core.CacheBay.register(ex.join(rare, Seq("sh")))
+    val exF = cappedIndex.getOrElse {
+      val ex = ss.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      val rare = ex.groupBy(col("sh"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf)
+        .select(col("sh"))
+      // read by the counts agg and BOTH sides of the pair join: persist
+      graft.core.CacheBay.register(ex.join(rare, Seq("sh")))
+    }
     val counts = exF.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val shared = exF.select(col("doc_id").as("a_id"), col("sh"))
-      .join(exF.select(col("doc_id").as("b_id"), col("sh")), Seq("sh"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("shared"))
+    val shared = overlap.getOrElse(
+      exF.select(col("doc_id").as("a_id"), col("sh"))
+        .join(exF.select(col("doc_id").as("b_id"), col("sh")), Seq("sh"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("shared")))
     shared
       .join(counts.withColumnsRenamed(Map("doc_id" -> "a_id", "n_sh" -> "na")),
         Seq("a_id"))
@@ -737,22 +780,29 @@ object Dedup {
     * session shingle cache. */
   def containmentPairs(docs: DataFrame, n: Int = ShingleN,
       minPpm: Long = 500000L, maxDf: Int = MaxShingleDf,
-      shingles: Option[DataFrame] = None): DataFrame = {
-    val ss = shingles.getOrElse(
+      shingles: Option[DataFrame] = None,
+      cappedIndex: Option[DataFrame] = None,
+      overlap: Option[DataFrame] = None): DataFrame = {
+    lazy val ss = shingles.getOrElse(
       graft.core.CacheBay.register(shingleSets(docs, n)))
-    val ex = ss.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val rare = ex.groupBy(col("sh"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select(col("sh"))
-    val exF = graft.core.CacheBay.register(ex.join(rare, Seq("sh")))
+    val exF = cappedIndex.getOrElse {
+      val ex = ss.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      val rare = ex.groupBy(col("sh"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf)
+        .select(col("sh"))
+      graft.core.CacheBay.register(ex.join(rare, Seq("sh")))
+    }
     val counts = exF.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_sh"))
-    val shared = exF.select(col("doc_id").as("a_id"), col("sh"))
-      .join(exF.select(col("doc_id").as("b_id"), col("sh")), Seq("sh"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).cast("long").as("shared"))
+    val shared = overlap
+      .map(_.select(col("a_id"), col("b_id"),
+        col("shared").cast("long").as("shared")))
+      .getOrElse(exF.select(col("doc_id").as("a_id"), col("sh"))
+        .join(exF.select(col("doc_id").as("b_id"), col("sh")), Seq("sh"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).cast("long").as("shared")))
     val directed = shared
       .select(col("a_id").as("src_id"), col("b_id").as("dst_id"),
         col("shared"))

@@ -163,7 +163,8 @@ object AnalyticsQueries {
     // whole-group single-task sort
     "weighted_median" -> ((s, d) =>
       Analytics.weightedMedian(graft.core.Tables(s, d, "lineitem"),
-        graft.core.Tables(s, d, "part"))),
+        graft.core.Tables(s, d, "part"),
+        baseIn = Some(Analytics.sharedWeightedBase(s, d)))),
 
     // X164: per-supplier monthly-quantity OLS trend from sufficient
     // statistics — one aggregate per key, slope in exact e6 units
@@ -208,7 +209,8 @@ object AnalyticsQueries {
     "weighted_quantiles" -> ((s, d) =>
       graft.analytics.Analytics.weightedQuantiles(
         graft.core.Tables(s, d, "lineitem"),
-        graft.core.Tables(s, d, "part"))),
+        graft.core.Tables(s, d, "part"),
+        baseIn = Some(Analytics.sharedWeightedBase(s, d)))),
 
     // X141: GLOBAL running total via the distributed two-phase prefix
     // scan — the empty-PARTITION-BY window this replaces would move

@@ -49,11 +49,16 @@ object DedupQueries {
     "dedup_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(docs(s, d), shingles = sh(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(docs(s, d), shingles = sh(s, d))),
+      Dedup.ngramJaccardPairs(docs(s, d), shingles = sh(s, d),
+        cappedIndex = Some(Dedup.sharedCappedIndex(s, d)),
+        overlap = Some(Dedup.sharedOverlapCounts(s, d)))),
     // X176: directed containment — the sub-document detector Jaccard
-    // is blind to; same df-capped inverted index, both directions
+    // is blind to; same df-capped inverted index, both directions —
+    // both legs off the session tiers the two queries share
     "dedup_containment" -> ((s, d) =>
-      Dedup.containmentPairs(docs(s, d), shingles = sh(s, d))),
+      Dedup.containmentPairs(docs(s, d), shingles = sh(s, d),
+        cappedIndex = Some(Dedup.sharedCappedIndex(s, d)),
+        overlap = Some(Dedup.sharedOverlapCounts(s, d)))),
     // X140: EXACT tau-Jaccard join — prefix filtering instead of the
     // df cap, so no shingle is dropped and the answer set is complete
     "dedup_ppjoin" -> ((s, d) => Dedup.sharedExactPairs(s, d)),

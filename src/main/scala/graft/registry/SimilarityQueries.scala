@@ -1,6 +1,7 @@
 package graft.registry
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.core.Tables
 import graft.similarity.Similarity
 import graft.similarity.Similarity._
@@ -56,7 +57,9 @@ object SimilarityQueries {
       _ => Similarity.lloydCentersE6(emb(s, d)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Reg.strict(
-    "sim_bruteforce_topk" -> ((s, d) => Similarity.bruteForceTopK(emb(s, d))),
+    "sim_bruteforce_topk" -> ((s, d) =>
+      Similarity.sharedExactTopK(s, d)
+        .filter(col("rank") <= Similarity.TopK)),
     // X255: TwoNN intrinsic-dimension evidence — exact 2-NN per query
     // point, e6-quantized cosine distances, ratio in integer ppm
     "sim_twonn_intrinsic" -> ((s, d) => Similarity.twoNNProfile(emb(s, d))),
@@ -84,7 +87,8 @@ object SimilarityQueries {
       Similarity.ivfTopK(emb(s, d), centersE6 = Some(lloydMemo(s, d)))),
     // the X45-pattern audit: deterministic seed centers make the whole
     // IVF pipeline + its recall-vs-brute-force SQL-recomputable
-    "sim_ivf_recall" -> ((s, d) => Similarity.ivfRecallAudit(emb(s, d))),
+    "sim_ivf_recall" -> ((s, d) => Similarity.ivfRecallAudit(emb(s, d),
+      exactIn = Some(Similarity.sharedExactTopK(s, d)))),
     // X316: incremental IVF maintenance — centers frozen on the base
     // split, the arrival batch assigns only itself, the stored
     // versioned index serves the probe/rank; ≡ the full recompute
@@ -110,7 +114,8 @@ object SimilarityQueries {
     // X192: Matryoshka-truncation recall — rank on the first quarter
     // of the embedding, judge against full-dimension ground truth
     "sim_matryoshka_recall" -> ((s, d) =>
-      Similarity.matryoshkaRecallAudit(emb(s, d))),
+      Similarity.matryoshkaRecallAudit(emb(s, d),
+        exactIn = Some(Similarity.sharedExactTopK(s, d)))),
     // X195: reciprocal-rank fusion of the three compressed rankings
     // (matryoshka prefix / int8 / JL) — rank-only hybrid combiner,
     // integer-exact after the per-list ranks
@@ -128,7 +133,8 @@ object SimilarityQueries {
     }),
     "sim_pq_recall" -> ((s, d) => {
       val e = emb(s, d)
-      Similarity.pqRecallAudit(e, nBits = scaledNBits(e.count()))
+      Similarity.pqRecallAudit(e, nBits = scaledNBits(e.count()),
+        exactIn = Some(Similarity.sharedExactTopK(s, d)))
     }),
     "sim_random_projection" -> ((s, d) =>
       Similarity.randomProjection(emb(s, d))),
@@ -180,7 +186,8 @@ object SimilarityQueries {
     // at max(k), bounded ladder explode over the hit pairs
     "sim_recall_curve" -> ((s, d) => {
       val e = emb(s, d)
-      Similarity.recallCurve(e, nBits = scaledNBits(e.count()))
+      Similarity.recallCurve(e, nBits = scaledNBits(e.count()),
+        exactIn = Some(Similarity.sharedExactTopK(s, d)))
     }),
     // X240: PQ codebook-usage balance — the IVF balance read on the
     // quantizer's other half; dead sub-spaces and hot codes

@@ -126,6 +126,24 @@ object Similarity {
   private def pairCos: Column =
     dotProduct(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))
 
+  /** Deepest rung any recall audit asks of the exact ground truth —
+    * [[sharedExactTopK]] materializes to THIS depth so every consumer
+    * (k ≤ this) is a rank filter over one session-cached frame. */
+  lazy val SharedExactK: Int = (RecallKs.max.toInt).max(TopK)
+
+  /** Session-cached [[bruteForceTopK]] at depth [[SharedExactK]] for
+    * the `embeddings` table at `dir` — the exact-cosine ground truth
+    * every recall audit (brute-force listing, LSH curve, IVF, PQ,
+    * matryoshka) re-derived per query: ONE bounded |Q|×N dot-product
+    * pass per sweep instead of five (r16, guide §2.4). A consumer at
+    * k ≤ [[SharedExactK]] filters `rank <= k` — identical rows by
+    * construction (per-query ranking is a prefix property). */
+  def sharedExactTopK(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.core.SessionCache.cached(spark, s"exacttopk:$dir")(
+      bruteForceTopK(graft.core.Tables(spark, dir, "embeddings"),
+        SharedExactK))
+
   /** Exact brute-force cosine top-k for the query subset. */
   def bruteForceTopK(emb: DataFrame, k: Int = TopK,
       queryMod: Int = QueryMod): DataFrame = {
@@ -942,14 +960,16 @@ object Similarity {
     * oracle recomputes the full audit — assignment, probes,
     * candidate ranking, recall — from the raw table. */
   def ivfRecallAudit(emb: DataFrame, k: Int = TopK, queryMod: Int = QueryMod,
-      nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 2,
+      exactIn: Option[DataFrame] = None): DataFrame = {
     val feat = graft.core.CacheBay.register(
       graft.core.Spread(emb)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"),
           l2Norm(asDouble(col("embedding"))).as("nrm")))
     val ivf = ivfTopKFromCenters(feat, seedCenters(emb, nCells), k,
       queryMod, nProbe)
-    recallOf(bruteForceTopK(emb, k, queryMod), ivf, k)
+    recallOf(exactIn.map(_.filter(col("rank") <= k))
+      .getOrElse(bruteForceTopK(emb, k, queryMod)), ivf, k)
   }
 
   /** The k ladder [[recallCurve]] sweeps. */
@@ -972,12 +992,16 @@ object Similarity {
     * broadcast crosses against the |ks|-row ladder. */
   def recallCurve(emb: DataFrame, ks: Seq[Long] = RecallKs,
       queryMod: Int = QueryMod,
-      nBits: Int = NumHyperplanes): DataFrame = {
+      nBits: Int = NumHyperplanes,
+      exactIn: Option[DataFrame] = None): DataFrame = {
     import emb.sparkSession.implicits._
     val maxK = ks.max.toInt
-    val exact = graft.core.CacheBay.register(
-      bruteForceTopK(emb, maxK, queryMod)
+    val exact = exactIn
+      .map(_.filter(col("rank") <= maxK)
         .select(col("q_id"), col("nn_id"), col("rank").as("e_rank")))
+      .getOrElse(graft.core.CacheBay.register(
+        bruteForceTopK(emb, maxK, queryMod)
+          .select(col("q_id"), col("nn_id"), col("rank").as("e_rank"))))
     val approx = lshTopK(emb, maxK, queryMod, nBits)
       .select(col("q_id"), col("nn_id"), col("rank").as("a_rank"))
     val hitAt = exact.join(approx, Seq("q_id", "nn_id"))
@@ -1019,9 +1043,11 @@ object Similarity {
     * end to end, so the oracle recomputes the full audit. */
   def pqRecallAudit(emb: DataFrame, k: Int = TopK,
       queryMod: Int = QueryMod,
-      nBits: Int = NumHyperplanes): DataFrame = {
+      nBits: Int = NumHyperplanes,
+      exactIn: Option[DataFrame] = None): DataFrame = {
     val pq = pqTopK(emb, k, queryMod, nBits = nBits)
-    recallOf(bruteForceTopK(emb, k, queryMod), pq, k)
+    recallOf(exactIn.map(_.filter(col("rank") <= k))
+      .getOrElse(bruteForceTopK(emb, k, queryMod)), pq, k)
   }
 
   /** Matryoshka prefix dimensionality for [[matryoshkaRecallAudit]]:
@@ -1041,12 +1067,14 @@ object Similarity {
     * oracle recomputes the full audit from the raw embeddings. */
   def matryoshkaRecallAudit(emb: DataFrame, k: Int = TopK,
       queryMod: Int = QueryMod,
-      prefixDims: Int = MatryoshkaDims): DataFrame = {
+      prefixDims: Int = MatryoshkaDims,
+      exactIn: Option[DataFrame] = None): DataFrame = {
     val feat = graft.core.CacheBay.register(
       graft.core.Spread(emb)
         .select(col("vec_id"),
           slice(asDouble(col("embedding")), 1, prefixDims).as("fv")))
-    recallOf(bruteForceTopK(emb, k, queryMod),
+    recallOf(exactIn.map(_.filter(col("rank") <= k))
+      .getOrElse(bruteForceTopK(emb, k, queryMod)),
       featureTopK(feat, k, queryMod), k)
   }
 
