@@ -56,20 +56,26 @@ object Betweenness {
 
   /** Per-(seed, level) frames of the forward σ-BFS: (seed, node,
     * sigma), levels 0..rounds; level frames are `localCheckpoint`ed
-    * so the backward pass reuses them without re-running the BFS. */
+    * (or pinned by the caller-supplied `pin`, see
+    * [[sharedForwardLevels]]) so the backward pass reuses them without
+    * re-running the BFS. `pin` MUST materialize eagerly: each level
+    * has several downstream consumers inside single actions, and a
+    * lazily-persisted round frame was measured (r16) to race its own
+    * materialization catastrophically. */
   private[graph] def forwardLevels(edges: DataFrame, deg: DataFrame,
-      rounds: Int, seedMod: Int): IndexedSeq[DataFrame] = {
-    val seeds = deg.select(col("src").as("node"))
+      rounds: Int, seedMod: Int,
+      pin: (DataFrame, Int) => DataFrame =
+        (df, _) => df.trackedCheckpoint()): IndexedSeq[DataFrame] = {
+    val seeds = pin(deg.select(col("src").as("node"))
       .filter(col("node") % 2 === 1 &&
         expr(s"(node div 2) % $seedMod") === 0)
       .select(col("node").as("seed"), col("node"),
-        lit(1L).as("sigma"))
-      .trackedCheckpoint()
+        lit(1L).as("sigma")), 0)
     val levels = scala.collection.mutable.ArrayBuffer(seeds)
     var settled = seeds.select(col("seed"), col("node"))
     for (i <- 1 to rounds) {
       val frontier = levels(i - 1)
-      val reached = edges
+      val reached = pin(edges
         .join(frontier.withColumnRenamed("node", "src"),
           Seq("src"))
         .groupBy(col("seed"), col("dst"))
@@ -85,8 +91,7 @@ object Betweenness {
             "cast(n_pred as double) * cast(max_sig as double) <= " +
             "9.0e18, 'betweenness sigma exceeds the Long-exact " +
             "range: lower the BFS horizon or move to decimal(38)')" +
-            " as bigint), 0) + sig").as("sigma"))
-        .trackedCheckpoint()
+            " as bigint), 0) + sig").as("sigma")), i)
       levels += reached
       settled = settled.unionByName(
         reached.select(col("seed"), col("node")))
@@ -94,14 +99,55 @@ object Betweenness {
     levels.toIndexedSeq
   }
 
+  /** Session-memoized forward σ-BFS level frames over the shared
+    * purchase graph at `dir` — the family tier for the TWO queries
+    * whose forward pass is identical: [[sampledBetweenness]] (which
+    * consumes σ) and [[BfsHops.harmonicSampled]] (whose per-level
+    * (seed, node) sets are provably the same: same seed predicate —
+    * [[SeedMod]] = [[BfsHops.HarmonicSeedMod]] — and the same
+    * frontier⋈edges → per-(seed,dst) collapse → settled anti-join
+    * recurrence; harmonic's `distinct` and this pass's `groupBy` keep
+    * the same key set, hops = the level index). A sweep pays the
+    * 4-round BFS once instead of twice per pass.
+    *
+    * Lifetime mechanics (the [[graft.core.CheckpointBay]] tier
+    * contract, verbatim): each level is `trackedCheckpoint`ed first —
+    * the per-round lineage truncation the loop needs regardless; a
+    * level frame whose plan still chains `settled = ∪ prior levels`
+    * grows combinatorially and was measured to triple the tier build
+    * and slow BOTH consumers — then persisted through
+    * [[graft.core.SessionCache]] and EAGERLY counted, all inside the
+    * build call, i.e. before any query-boundary drain can drop the
+    * checkpoint blocks the persist materialized from. Consumers see a
+    * flat IMR-over-LogicalRDD plan. Priced as its own
+    * `[cache:graph.bfslevels]` Bench tier. */
+  def sharedForwardLevels(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IndexedSeq[DataFrame] =
+    levelsMemos.computeIfAbsent(
+      System.identityHashCode(spark).toString + "|" + dir,
+      _ => {
+        val (e, g) = PageRank.sharedPurchaseGraph(spark, dir)
+        forwardLevels(e, g, BfsHops.Rounds, SeedMod,
+          pin = (df, i) => {
+            val c = graft.core.SessionCache.cached(
+              spark, s"bfslevels:$dir:$i")(df.trackedCheckpoint())
+            c.count() // materialize before any drain (contract above)
+            c
+          })
+      })
+  private val levelsMemos = new java.util.concurrent.ConcurrentHashMap[
+    String, IndexedSeq[DataFrame]]()
+
   /** Brandes betweenness in e6 micro-units over arbitrary symmetric
     * `(src, dst)` edges with odd-node seeds (the purchase-graph
     * encoding). Output: one row per reached non-seed node with the
     * number of covering seeds and the accumulated dependency. */
   def sampledBetweenness(edges: DataFrame, deg: DataFrame,
       rounds: Int = BfsHops.Rounds,
-      seedMod: Int = SeedMod): DataFrame = {
-    val levels = forwardLevels(edges, deg, rounds, seedMod)
+      seedMod: Int = SeedMod,
+      levelsIn: Option[IndexedSeq[DataFrame]] = None): DataFrame = {
+    val levels = levelsIn.getOrElse(
+      forwardLevels(edges, deg, rounds, seedMod))
     // deepest level: no successors inside the horizon -> delta = 0
     var deltaNext = levels(rounds)
       .select(col("seed"), col("node"), col("sigma"),

@@ -92,7 +92,37 @@ object BfsHops {
     * |seeds|·|nodes| — the sample rate is the scale knob. */
   def harmonicSampled(orders: DataFrame, lineitem: DataFrame,
       rounds: Int = Rounds,
-      graph: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+      graph: Option[(DataFrame, DataFrame)] = None,
+      levelsIn: Option[IndexedSeq[DataFrame]] = None): DataFrame = {
+    // the estimator only needs each node's FIRST-discovery level per
+    // seed — exactly the per-level (seed, node) sets of the σ-BFS the
+    // betweenness query runs over the same seed predicate
+    // ([[Betweenness.sharedForwardLevels]] proves set equality), so
+    // when the session tier is handed in, hops = the level index and
+    // the whole BFS below is skipped
+    val dist = levelsIn match {
+      case Some(levels) =>
+        (1 to rounds).map(i => levels(i)
+          .select(col("seed"), col("node"), lit(i.toLong).as("hops")))
+          .reduce(_ unionByName _)
+      case None => harmonicDist(orders, lineitem, rounds, graph)
+    }
+    dist
+      .groupBy(col("node"))
+      .agg(count(lit(1)).cast("long").as("n_sources"),
+        sum(expr("1000000 div hops")).cast("long").as("harm_e6"))
+      .select(
+        when(col("node") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("kind"),
+        expr("node div 2").cast("long").as("id"),
+        col("n_sources"), col("harm_e6"))
+  }
+
+  /** The stand-alone (seed, node, hops > 0) frontier BFS behind
+    * [[harmonicSampled]] — the path taken when no shared level tier is
+    * handed in (tests, ad-hoc frames). */
+  private def harmonicDist(orders: DataFrame, lineitem: DataFrame,
+      rounds: Int, graph: Option[(DataFrame, DataFrame)]): DataFrame = {
     val (edges, deg) = graph.getOrElse(
       PageRank.purchaseGraph(orders, lineitem))
     var dist = deg.select(col("src").as("node"))
@@ -114,13 +144,5 @@ object BfsHops {
       frontier = reached.select(col("seed"), col("node"))
     }
     dist.filter(col("hops") > 0)
-      .groupBy(col("node"))
-      .agg(count(lit(1)).cast("long").as("n_sources"),
-        sum(expr("1000000 div hops")).cast("long").as("harm_e6"))
-      .select(
-        when(col("node") % 2 === 0, lit("customer"))
-          .otherwise(lit("supplier")).as("kind"),
-        expr("node div 2").cast("long").as("id"),
-        col("n_sources"), col("harm_e6"))
   }
 }

@@ -37,21 +37,37 @@ object CheapestPath {
   /** Edge cost scale: cost(a,b) = CostScale div w. */
   val CostScale = 1000000L
 
+  /** The undirected inverse-support cost edges `(u, v, cost)` behind
+    * [[seedCosts]], hash-partitioned on the relaxation join key `u`:
+    * each of the `rounds` joins then reads the 2m-row edge side
+    * exchange-free and only the distance frame shuffles per round
+    * (the sharedUndirectedEdges trade — one exchange at build, one
+    * saved per round). */
+  private def costEdges(weighted: DataFrame): DataFrame =
+    weighted.select(col("a").as("u"), col("b").as("v"),
+      expr(s"$CostScale div w").cast("long").as("cost"))
+      .unionByName(weighted.select(col("b").as("u"), col("a").as("v"),
+        expr(s"$CostScale div w").cast("long").as("cost")))
+      .repartition(col("u"))
+
+  /** Session-cached [[costEdges]] over the shared weighted co-purchase
+    * edges at `dir`: the expansion+repartition+persist used to rebuild
+    * per query PASS (2× per bench sweep); a session tier pays it once
+    * (the sharedUndirectedEdges pattern). Priced as
+    * `[cache:graph.costund]` in Bench. */
+  def sharedCostEdges(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.core.SessionCache.cached(spark, s"costedges:$dir")(
+      costEdges(Triangles.sharedWeightedEdges(spark, dir)))
+
   /** `weighted`: canonical co-purchase edges `(a, b, w)`. Output: one
     * row per node reachable from the seed set within [[Rounds]] hops,
-    * `(part, cost_e6)` — 0 on seeds. */
-  def seedCosts(weighted: DataFrame, rounds: Int = Rounds): DataFrame = {
-    // cached hash-partitioned on the relaxation join key `u`: each of
-    // the `rounds` joins then reads the 2m-row edge side exchange-free
-    // and only the distance frame shuffles per round (the
-    // sharedUndirectedEdges trade — one exchange at build, one saved
-    // per round)
-    val und = graft.core.CacheBay.register(
-      weighted.select(col("a").as("u"), col("b").as("v"),
-        expr(s"$CostScale div w").cast("long").as("cost"))
-        .unionByName(weighted.select(col("b").as("u"), col("a").as("v"),
-          expr(s"$CostScale div w").cast("long").as("cost")))
-        .repartition(col("u")))
+    * `(part, cost_e6)` — 0 on seeds. `undIn`: the session cost-edge
+    * tier ([[sharedCostEdges]]); ad-hoc callers omit it. */
+  def seedCosts(weighted: DataFrame, rounds: Int = Rounds,
+      undIn: Option[DataFrame] = None): DataFrame = {
+    val und = undIn.getOrElse(
+      graft.core.CacheBay.register(costEdges(weighted)))
     var dist = und.select(col("u").as("node")).distinct()
       .filter(col("node") % SeedMod === 0)
       .withColumn("cost_e6", lit(0L))

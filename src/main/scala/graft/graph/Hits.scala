@@ -47,8 +47,19 @@ object Hits {
   /** `cs`: directed customer→supplier edges (node encoding as in
     * [[PageRank]]: customers at 2·key, suppliers at 2·key+1). Pass the
     * even-src half of [[PageRank.sharedPurchaseGraph]]'s symmetrized
-    * cache so a Bench/Verify sweep reuses the family materialization. */
-  def purchaseHits(cs: DataFrame, iters: Int = Iters): DataFrame = {
+    * cache so a Bench/Verify sweep reuses the family materialization.
+    * `sc`: the REVERSED edge set (supplier→customer, i.e. the odd-src
+    * half of the same symmetrized cache). The hub update sums authority
+    * over each customer's out-edges — keyed by `dst` on `cs`, but by
+    * `src` on `sc` (identical edge multiset, roles swapped), so passing
+    * the tier's odd half lets BOTH per-round joins reuse the cache's
+    * src hash-partitioning instead of re-shuffling the edge list by
+    * dst every round. Defaults to a projection flip of `cs` (same
+    * rows; ad-hoc callers keep the single-argument contract). */
+  def purchaseHits(cs: DataFrame, iters: Int = Iters,
+      sc: Option[DataFrame] = None): DataFrame = {
+    val rev = sc.getOrElse(
+      cs.select(col("dst").as("src"), col("src").as("dst")))
     var hub = cs.select(col("src").as("node")).distinct()
       .withColumn("s", lit(BaseE6))
       .trackedCheckpoint()
@@ -60,10 +71,10 @@ object Hits {
             count(lit(1)).cast("long").as("deg"))
           .withColumnRenamed("dst", "node"))
       hub = normalized(
-        cs.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
-          .groupBy(col("src")).agg(sum(col("s")).cast("long").as("raw"),
+        rev.join(auth.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst")).agg(sum(col("s")).cast("long").as("raw"),
             count(lit(1)).cast("long").as("deg"))
-          .withColumnRenamed("src", "node"))
+          .withColumnRenamed("dst", "node"))
     }
     hub.select(lit("customer").as("kind"),
         expr("node div 2").cast("long").as("id"),

@@ -49,7 +49,13 @@ object MaintQueries {
       graft.graph.Hits.purchaseHits(
         graft.core.SessionCache.cached(s, s"purchase_cs:$d")(
           PageRank.sharedPurchaseGraph(s, d)._1
-            .filter(col("src") % 2 === 0)))),
+            .filter(col("src") % 2 === 0)),
+        // the odd-src half IS the reversed edge set (the cache is
+        // symmetrized), already hash-partitioned on src — the hub
+        // leg's per-round edge reshuffle disappears (Hits scaladoc)
+        sc = Some(graft.core.SessionCache.cached(s, s"purchase_sc:$d")(
+          PageRank.sharedPurchaseGraph(s, d)._1
+            .filter(col("src") % 2 === 1))))),
     // X302: directed strongly-connected components over the
     // nation-trade graph (VERDICT r13 #7) — mutual-trade cores vs
     // drive-by partners; Fleischer-trim + min-pivot coloring loop
@@ -136,20 +142,27 @@ object MaintQueries {
     "graph_harmonic" -> ((s, d) =>
       graft.graph.BfsHops.harmonicSampled(Tables(s, d, "orders"),
         Tables(s, d, "lineitem"),
-        graph = Some(PageRank.sharedPurchaseGraph(s, d)))),
+        graph = Some(PageRank.sharedPurchaseGraph(s, d)),
+        // same seed predicate, same frontier recurrence: the σ-BFS
+        // level tier IS harmonic's (seed, node, hops) table
+        levelsIn = Some(
+          graft.graph.Betweenness.sharedForwardLevels(s, d)))),
     // X309: sampled betweenness centrality (VERDICT r14 #6) — Brandes
     // dependency accumulation in e6 micro-units over the σ-carrying
     // frontier BFS; forward hop frames reused by the backward pass
     "graph_betweenness" -> ((s, d) => {
       val (e, g) = PageRank.sharedPurchaseGraph(s, d)
-      graft.graph.Betweenness.sampledBetweenness(e, g)
+      graft.graph.Betweenness.sampledBetweenness(e, g,
+        levelsIn = Some(
+          graft.graph.Betweenness.sharedForwardLevels(s, d)))
     }),
     // X191: seed-set cheapest-path cost — Bellman-Ford min-plus over
     // inverse-support edge costs; full-table relaxation per round (a
     // settled node can still improve, so no frontier shortcut)
     "graph_cheapest_path" -> ((s, d) =>
       graft.graph.CheapestPath.seedCosts(
-        graft.graph.Triangles.sharedWeightedEdges(s, d))),
+        graft.graph.Triangles.sharedWeightedEdges(s, d),
+        undIn = Some(graft.graph.CheapestPath.sharedCostEdges(s, d)))),
     // X199: item-item co-purchase cosine neighborhoods — candidates
     // are exactly the shared weighted edge list (never all-pairs),
     // sim² as exact integer ppm so no sqrt crosses engines
@@ -164,7 +177,8 @@ object MaintQueries {
     // the consumer — the X129 mergeable-moments discipline)
     "graph_assortativity" -> ((s, d) =>
       graft.graph.Assortativity.degreeMoments(
-        graft.graph.Triangles.sharedCoPurchaseEdges(s, d))))
+        graft.graph.Triangles.sharedCoPurchaseEdges(s, d),
+        undIn = Some(graft.graph.Triangles.sharedUndirectedEdges(s, d)))))
 
   /** One PageRank step as a CTE, from the same constants. */
   private def pprStep(prev: String, curr: String): String =
