@@ -197,6 +197,16 @@ object Dedup {
     * count, bounded), reassembly is the X41 device —
     * `array_sort(collect_list(struct(pos, para)))` per doc, never a
     * global sort. Two shuffles total (paragraph key, doc key). */
+  /** Session-cached [[paragraphDedup]] for the `documents` table at
+    * `dir`: the per-doc cleaned text is both a standalone registry
+    * query and the pretraining manifest's dedup stage, so a sweep pays
+    * the posexplode→rank→reassemble pipeline once. Priced as
+    * `[cache:pipe.paradedup]` in Bench. */
+  def sharedParagraphDedup(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.core.SessionCache.cached(spark, s"paradedup:$dir")(
+      paragraphDedup(graft.core.Tables(spark, dir, "documents")))
+
   def paragraphDedup(docs: DataFrame): DataFrame = {
     val paras = withBoilerplate(docs).select(col("doc_id"),
       posexplode(split(col("ptext"), "\n\n")).as(Seq("pos", "para")))
@@ -496,10 +506,17 @@ object Dedup {
     * all-non-null for the oracle hash. */
   def lshAudit(docs: DataFrame,
       shingles: Option[DataFrame] = None,
-      pairs: Option[DataFrame] = None): DataFrame = {
+      pairs: Option[DataFrame] = None,
+      cappedIndex: Option[DataFrame] = None,
+      overlap: Option[DataFrame] = None): DataFrame = {
     val est = pairs.getOrElse(minhashLshPairs(docs, shingles = shingles))
       .select(col("a_id"), col("b_id"), col("est_jaccard"))
-    val tru = ngramJaccardPairs(docs, shingles = shingles)
+    // the truth side is the SAME df-capped inverted-index join the
+    // jaccard/containment queries run — take the session tiers through
+    // the standard seams so a sweep builds the index self-join once,
+    // not once more here (r16 left this caller on the per-query path)
+    val tru = ngramJaccardPairs(docs, shingles = shingles,
+        cappedIndex = cappedIndex, overlap = overlap)
       .select(col("a_id"), col("b_id"), col("jaccard"))
     est.join(tru, Seq("a_id", "b_id"), "full_outer")
       .select(col("a_id"), col("b_id"),
@@ -849,44 +866,61 @@ object Dedup {
     * by construction (hot shingles sort to the suffix and never join)
     * — the skew-proofing falls out of the algorithm instead of a
     * semantic cap. Everything else is per-doc map work and equi-joins;
-    * the length filter (⌊min·10⁶⌋ ≥ max·τ_e6) prunes size-incompatible
-    * candidates before verification. All comparisons are integer
-    * cross-multiplications — exact in both engines. */
+    * the length filter (⌊min·10⁶⌋ ≥ max·τ_e6) and the PPJoin
+    * positional filter (inline below) prune size- and
+    * position-incompatible candidates before verification. All
+    * comparisons are integer cross-multiplications — exact in both
+    * engines. */
   def prefixFilterPairs(docs: DataFrame, n: Int = ShingleN,
       minJaccard: Double = MinJaccard,
       shingles: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tauE6 = math.round(minJaccard * 1e6)
     val ss = graft.core.CacheBay.register(
       shingles.getOrElse(shingleSets(docs, n))
         .filter(size(col("shingles")) > 0))
-    val ex = graft.core.CacheBay.register(
-      ss.select(col("doc_id"), explode(col("shingles")).as("sh")))
-    val dfreq = ex.groupBy(col("sh"))
-      .agg(count(lit(1)).cast("long").as("dfc"))
+    val ex = ss.select(col("doc_id"), explode(col("shingles")).as("sh"))
     // rarest-first global total order = (df asc, shingle asc); the
-    // struct sort is deterministic because shingles are per-doc unique.
-    // Persisted: BOTH sides of the candidate join read this frame —
-    // without the cache boundary the groupBy+sort+slice chain runs
-    // twice (measured ~2x on the sf0.1 bench)
-    val pfx = graft.core.CacheBay.register(ex.join(dfreq, Seq("sh"))
-      .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("dfc").as("dfc"),
-        col("sh").as("sh")))).as("toks"))
-      .select(col("doc_id"), size(col("toks")).cast("long").as("n_sh"),
-        col("toks"))
-      .select(col("doc_id"), col("n_sh"),
-        expr(s"slice(toks, 1, cast(n_sh - " +
-          s"((n_sh * $tauE6 + 999999) div 1000000) + 1 as int))")
-          .as("pfx"))
-      .select(col("doc_id"), col("n_sh"), explode(col("pfx")).as("t"))
-      .select(col("doc_id"), col("n_sh"), col("t.sh").as("sh")))
+    // rank is deterministic because shingles are per-doc unique.
+    // df rides a WINDOW over the (sh)-partitioned explode and the
+    // per-doc rank/size share the (doc_id) exchange — two exchanges
+    // end to end where the r16 shape (groupBy df + join back +
+    // collect_list/array_sort/slice/re-explode) paid three plus the
+    // per-doc array build (profiled at 1.8 s + 1.1 s persist of the
+    // 4.2 s tier). `pos` is the rank itself — free, and what the
+    // positional filter below needs.
+    // Persisted: BOTH sides of the candidate join read this frame.
+    val pfx = graft.core.CacheBay.register(ex
+      .withColumn("dfc", count(lit(1))
+        .over(Window.partitionBy(col("sh"))).cast("long"))
+      .withColumn("n_sh", count(lit(1))
+        .over(Window.partitionBy(col("doc_id"))).cast("long"))
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("dfc"), col("sh"))).cast("long"))
+      .filter(col("pos") <=
+        col("n_sh") - expr(s"(n_sh * $tauE6 + 999999) div 1000000") + 1)
+      .select(col("doc_id"), col("n_sh"), col("pos"), col("sh")))
     val cands = pfx
-      .select(col("doc_id").as("a_id"), col("n_sh").as("na"), col("sh"))
+      .select(col("doc_id").as("a_id"), col("n_sh").as("na"),
+        col("pos").as("pa"), col("sh"))
       .join(pfx.select(col("doc_id").as("b_id"), col("n_sh").as("nb"),
-        col("sh")), Seq("sh"))
+        col("pos").as("pb"), col("sh")), Seq("sh"))
       .filter(col("a_id") < col("b_id"))
       .filter(least(col("na"), col("nb")) * lit(1000000L) >=
         greatest(col("na"), col("nb")) * lit(tauE6))
+      // PPJoin POSITIONAL filter (Xiao et al. §3.2), lossless: the
+      // tokens of both docs follow ONE global order, so at a
+      // qualifying pair's FIRST collision no earlier common token
+      // exists and |x∩y| ≤ 1 + min(|x|−pa, |y|−pb); jac ≥ τ ⟺
+      // inter·(1+τ) ≥ τ·(na+nb), so a collision row may be dropped
+      // unless its bound clears that bar — the first collision of
+      // every qualifying pair always does, later collisions of the
+      // same pair may not (they need not: distinct keeps the pair) —
+      // integer cross-multiplication, exact in both engines
+      .filter((lit(1L) + least(col("na") - col("pa"),
+          col("nb") - col("pb"))) * lit(1000000L + tauE6) >=
+        lit(tauE6) * (col("na") + col("nb")))
       .select(col("a_id"), col("b_id")).distinct()
     val arrays = ss.select(col("doc_id"), col("shingles"))
     cands

@@ -1200,6 +1200,18 @@ object Pipeline {
     * curation run reports. Every stage is the already-proven operator;
     * this query is the proof they compose in one lazy plan.
     * `shingles`: the session tier, forwarded to [[decontaminate]]. */
+  /** Session-cached [[curatedCorpus]] for the `documents` table at
+    * `dir`: the funnel verdict is both a standalone registry query and
+    * [[pretrainManifest]]'s first stage, so a sweep pays the
+    * decontaminate⋈quality⋈split composition once (the
+    * [[graft.dedup.Dedup.sharedShingles]] family-cache pattern).
+    * Priced as `[cache:pipe.curated]` in Bench. */
+  def sharedCuratedCorpus(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.core.SessionCache.cached(spark, s"curated:$dir")(
+      curatedCorpus(graft.core.Tables(spark, dir, "documents"),
+        shingles = Some(graft.dedup.Dedup.sharedShingles(spark, dir))))
+
   def curatedCorpus(docs: DataFrame,
       shingles: Option[DataFrame] = None): DataFrame = {
     val keepers = graft.dedup.Dedup.exactDedup(docs)
@@ -1258,10 +1270,17 @@ object Pipeline {
       budgetPerLang: Long = LangTokenBudget,
       packBudget: Long = PackBudget,
       nShards: Int = NumShards,
-      shingles: Option[DataFrame] = None): DataFrame = {
-    val curated = curatedCorpus(docs, shingles).select(col("doc_id"))
+      shingles: Option[DataFrame] = None,
+      curatedIn: Option[DataFrame] = None,
+      paraDedupIn: Option[DataFrame] = None): DataFrame = {
+    // `curatedIn`/`paraDedupIn`: the session tiers ([[sharedCuratedCorpus]]
+    // / [[graft.dedup.Dedup.sharedParagraphDedup]]) — the two funnel
+    // stages that are ALSO standalone registry queries, so a sweep
+    // materializes each once instead of once per consumer per pass
+    val curated = curatedIn.getOrElse(curatedCorpus(docs, shingles))
+      .select(col("doc_id"))
     val cleaned = graft.core.CacheBay.register(
-      graft.dedup.Dedup.paragraphDedup(docs)
+      paraDedupIn.getOrElse(graft.dedup.Dedup.paragraphDedup(docs))
         .join(curated, Seq("doc_id"), "left_semi")
         .join(docs.select(col("doc_id"), col("lang"), col("source")),
           Seq("doc_id"))

@@ -29,7 +29,7 @@ object DedupQueries {
     // X273: paragraph-grain dedup (the C4 rule) — blank-line split,
     // exact cross-doc paragraph dedup (first (doc_id, pos) occurrence
     // kept), in-order reassembly; planted per-source boilerplate
-    "dedup_paragraphs" -> ((s, d) => Dedup.paragraphDedup(docs(s, d))),
+    "dedup_paragraphs" -> ((s, d) => Dedup.sharedParagraphDedup(s, d)),
     "dedup_clusters" -> ((s, d) =>
       Dedup.nearDupClusters(docs(s, d),
         pairs = Some(Dedup.sharedPairs(s, d)))),
@@ -91,7 +91,9 @@ object DedupQueries {
       Dedup.labelSpread(docs(s, d), Dedup.sharedClusters(s, d))),
     "dedup_lsh_audit" -> ((s, d) =>
       Dedup.lshAudit(docs(s, d), shingles = sh(s, d),
-        pairs = Some(Dedup.sharedPairs(s, d)))),
+        pairs = Some(Dedup.sharedPairs(s, d)),
+        cappedIndex = Some(Dedup.sharedCappedIndex(s, d)),
+        overlap = Some(Dedup.sharedOverlapCounts(s, d)))),
     "dedup_cluster_sizes" -> ((s, d) =>
       Dedup.clusterSizeHistogram(docs(s, d),
         clusterLabels = Some(Dedup.sharedClusters(s, d)))),

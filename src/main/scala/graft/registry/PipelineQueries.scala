@@ -128,14 +128,15 @@ object PipelineQueries {
       Pipeline.stratifiedSample(docs(s, d))),
     "pipe_temperature_sample" -> ((s, d) =>
       Pipeline.temperatureSample(docs(s, d))),
-    "pipe_curated_corpus" -> ((s, d) => Pipeline.curatedCorpus(docs(s, d),
-      shingles = Some(graft.dedup.Dedup.sharedShingles(s, d)))),
+    "pipe_curated_corpus" -> ((s, d) => Pipeline.sharedCuratedCorpus(s, d)),
     // X301: end-to-end pretraining-shard manifest (VERDICT r13 #5) —
     // curate → paragraph+exact dedup → token-budget select →
     // deterministic shuffle → pack, ONE lazy plan; the oracle
     // composes the SAME shared CTEs as the standalone operators
     "pipe_manifest" -> ((s, d) => Pipeline.pretrainManifest(docs(s, d),
-      shingles = Some(graft.dedup.Dedup.sharedShingles(s, d)))),
+      shingles = Some(graft.dedup.Dedup.sharedShingles(s, d)),
+      curatedIn = Some(Pipeline.sharedCuratedCorpus(s, d)),
+      paraDedupIn = Some(graft.dedup.Dedup.sharedParagraphDedup(s, d)))),
     "pipe_length_deciles" -> ((s, d) => Pipeline.lengthDeciles(docs(s, d))),
     // X236: curriculum training order — exact quality terciles via the
     // value decomposition, seed-reproducible shard shuffle per phase
