@@ -95,11 +95,15 @@ object Analytics {
         .select(col("l_partkey"), col("abc_class").as(as))
     val early = leg(col("l_shipdate") < lit(splitDate), "abc_early")
     val late = leg(col("l_shipdate") >= lit(splitDate), "abc_late")
-    val cells = early.join(late, Seq("l_partkey"), "full_outer")
+    // persisted: the share-of-total crossJoin reads `cells` twice (the
+    // rows and the 1-row total) — without the boundary BOTH abc legs
+    // (two fact scans + windows each) re-evaluate for the total side
+    val cells = graft.core.CacheBay.register(
+      early.join(late, Seq("l_partkey"), "full_outer")
       .select(coalesce(col("abc_early"), lit("N")).as("abc_early"),
         coalesce(col("abc_late"), lit("N")).as("abc_late"))
       .groupBy(col("abc_early"), col("abc_late"))
-      .agg(count(lit(1)).cast("long").as("n_parts"))
+      .agg(count(lit(1)).cast("long").as("n_parts")))
     cells.crossJoin(broadcast(
         cells.agg(sum(col("n_parts")).cast("long").as("n_total"))))
       .select(col("abc_early"), col("abc_late"), col("n_parts"),
@@ -126,10 +130,15 @@ object Analytics {
     * 1-row span broadcasts), TWO lags over ONE part-partition window
     * pass, one part-grain aggregate. */
   def seasonalNaiveMase(li: DataFrame): DataFrame = {
-    val obs = li.groupBy(col("l_partkey"),
+    // persisted: the monthly aggregate feeds THREE consumers (the span
+    // aggregate, the part spine, and the dense left join) — without the
+    // cache boundary the fact-grain groupBy re-runs per consumer
+    // (measured 3 lineitem scans in the r16 plan dump)
+    val obs = graft.core.CacheBay.register(
+      li.groupBy(col("l_partkey"),
         (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)
           .cast("long").as("m"))
-      .agg(sum(col("l_quantity").cast("long")).cast("long").as("qty"))
+      .agg(sum(col("l_quantity").cast("long")).cast("long").as("qty")))
     val span = obs.agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
     val spine = obs.select(col("l_partkey")).distinct()
       .crossJoin(broadcast(span))
@@ -2656,9 +2665,11 @@ object Analytics {
       .select(col("l_partkey"), col("abc_class"))
     val xyz = xyzClassification(spark, dir)
       .select(col("l_partkey"), col("xyz_class"))
-    val cells = abc.join(xyz, Seq("l_partkey"))
+    // persisted for the same reason as [[abcMigration]]'s cells: the
+    // total side of the crossJoin re-evaluates the abc⋈xyz pipeline
+    val cells = graft.core.CacheBay.register(abc.join(xyz, Seq("l_partkey"))
       .groupBy(col("abc_class"), col("xyz_class"))
-      .agg(count(lit(1)).cast("long").as("n_parts"))
+      .agg(count(lit(1)).cast("long").as("n_parts")))
     cells.crossJoin(broadcast(
         cells.agg(sum(col("n_parts")).cast("long").as("n_total"))))
       .select(col("abc_class"), col("xyz_class"), col("n_parts"),

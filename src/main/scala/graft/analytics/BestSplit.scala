@@ -30,11 +30,16 @@ object BestSplit {
     * worthless split can show a slightly negative gain). */
   def bestSplit(df: DataFrame, feature: Column,
       label: Column): DataFrame = {
-    val byVal = df.select(feature.cast("long").as("v"),
+    // persisted: the value-grain counts feed BOTH the 1-row total and
+    // the prefix scan — without the boundary the fact scan + aggregate
+    // run twice (the scan's internal range-repartition cache does not
+    // cover the total side)
+    val byVal = graft.core.CacheBay.register(
+      df.select(feature.cast("long").as("v"),
         label.cast("long").as("y"))
       .groupBy(col("v"))
       .agg(count(lit(1)).cast("long").as("a"),
-        sum(col("y")).cast("long").as("a1"))
+        sum(col("y")).cast("long").as("a1")))
     val tot = byVal.agg(sum(col("a")).cast("long").as("n"),
       sum(col("a1")).cast("long").as("n1"))
     val l = graft.operators.PrefixScan

@@ -109,25 +109,37 @@ object Sinks {
     * selective directory swap; the merged content is materialized
     * first (`localCheckpoint`) because a lazy plan cannot read the
     * partitions it is about to overwrite. The delta's partition values
-    * are a tiny distinct set, broadcast into a semi-join that prunes
-    * the target scan to the affected directories. Returns the number
-    * of rows written. On a cluster this is Delta/Iceberg MERGE with
-    * `replaceWhere`; plain parquet reproduces the semantics at
-    * partition granularity (same tiering note as
+    * are collected as a BOUNDED literal set (|touched partitions| —
+    * the replaceWhere predicate every MERGE engine computes on the
+    * driver) and applied as a static `isin` filter, so the pruning
+    * reaches the reader as a PartitionFilter and untouched directories
+    * are never read; the r16 semi-join spelling left the full-table
+    * scan in the plan whenever runtime DPP declined to fire. Returns
+    * the number of rows written. On a cluster this is Delta/Iceberg
+    * MERGE with `replaceWhere`; plain parquet reproduces the semantics
+    * at partition granularity (same tiering note as
     * [[deltaUpsertAppend]]). */
   def partitionedUpsert(spark: SparkSession, newDf: DataFrame,
       targetPath: String, partCol: String, pk: Seq[String]): Long = {
     val pType = newDf.schema(partCol).dataType
+    // the delta feeds three consumers (the partition-value collect,
+    // the pk anti-join, the merged union) — persist for the merge span
+    val delta = graft.core.CacheBay.register(newDf)
+    val raw = spark.read.parquet(targetPath)
+    // collect the affected values ALREADY CAST to the reader's
+    // (inferred) partition type so the isin literals match the column
+    // and the filter prunes directories instead of coercing the column
+    val affected = delta
+      .select(col(partCol).cast(raw.schema(partCol).dataType))
+      .distinct().collect().map(_.get(0))
     // partition-column type inference would retype e.g. "199601" to
     // INT; cast back to the delta's declared type so the joins align
-    val target = spark.read.parquet(targetPath)
+    val target = raw.filter(col(partCol).isin(affected.toIndexedSeq: _*))
       .withColumn(partCol, col(partCol).cast(pType))
-    val affected = newDf.select(col(partCol)).distinct()
     val survivors = target
-      .join(broadcast(affected), Seq(partCol), "left_semi")
-      .join(newDf.select(pk.map(col): _*), pk, "left_anti")
-      .select(newDf.columns.toIndexedSeq.map(col): _*)
-    val merged = survivors.unionByName(newDf).trackedCheckpoint()
+      .join(delta.select(pk.map(col): _*), pk, "left_anti")
+      .select(delta.columns.toIndexedSeq.map(col): _*)
+    val merged = survivors.unionByName(delta).trackedCheckpoint()
     merged.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol).parquet(targetPath)

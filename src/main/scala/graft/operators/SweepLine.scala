@@ -35,26 +35,35 @@ object SweepLine {
     * zero-length intervals ([d, d)) net to 0 and never open. */
   def peakConcurrency(intervals: DataFrame, key: String, start: String,
       end: String): DataFrame = {
+    // ONE pass over `intervals`: a bounded ×2 explode replaces the
+    // two-projection union (which evaluated the source twice), and the
+    // interval count rides the delta aggregate as "number of +1 rows"
+    // instead of a third source pass + join — the r16 plan computed
+    // the upstream join three times (12 exchanges / 12 scans)
     val deltas = intervals
-      .select(col(key).as("k"), col(start).cast("date").as("d"),
-        lit(1L).as("delta"))
-      .unionByName(intervals.select(col(key).as("k"),
-        col(end).cast("date").as("d"), lit(-1L).as("delta")))
+      .select(col(key).as("k"), explode(array(
+        struct(col(start).cast("date").as("d"), lit(1L).as("delta")),
+        struct(col(end).cast("date").as("d"), lit(-1L).as("delta"))))
+        .as("x"))
+      .select(col("k"), col("x.d").as("d"), col("x.delta").as("delta"))
       .groupBy(col("k"), col("d"))
-      .agg(sum(col("delta")).cast("long").as("net"))
+      .agg(sum(col("delta")).cast("long").as("net"),
+        count(when(col("delta") > 0, 1)).cast("long").as("n_start"))
     val scan = Window.partitionBy(col("k")).orderBy(col("d"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wk = Window.partitionBy(col("k"))
     deltas
       .withColumn("open_cnt", sum(col("net")).over(scan).cast("long"))
-      .withColumn("peak", max(col("open_cnt"))
-        .over(Window.partitionBy(col("k"))).cast("long"))
+      .withColumn("peak", max(col("open_cnt")).over(wk).cast("long"))
+      // total starts per key = the interval count (every interval
+      // contributes exactly one +1 row); shares the peak window's
+      // exchange instead of re-aggregating the source
+      .withColumn("n_intervals", sum(col("n_start")).over(wk)
+        .cast("long"))
       .filter(col("open_cnt") === col("peak"))
       .groupBy(col("k"))
-      .agg(min(col("d")).as("peak_date"), max(col("peak")).as("peak_open"))
-      .join(
-        intervals.groupBy(col(key).as("k"))
-          .agg(count(lit(1)).cast("long").as("n_intervals")),
-        Seq("k"))
+      .agg(min(col("d")).as("peak_date"), max(col("peak")).as("peak_open"),
+        max(col("n_intervals")).as("n_intervals"))
       .select(col("k").as(key), col("peak_open"), col("peak_date"),
         col("n_intervals"))
   }

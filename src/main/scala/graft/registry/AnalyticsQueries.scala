@@ -117,7 +117,11 @@ object AnalyticsQueries {
       val orders = graft.core.Tables(s, d, "orders")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("o_custkey"))
-      val dim = Analytics.scd2HistoryOf(
+      // persisted: scd2Apply splits dim into its closed (hist) and open
+      // (cur) halves — two consumers, so without the cache boundary the
+      // whole history derivation (fact aggregate + island windows) runs
+      // twice (8 scans / 13 exchanges in the r16 plan dump)
+      val dim = graft.core.CacheBay.register(Analytics.scd2HistoryOf(
           orders.filter(col("o_orderdate") < lit("1999-01-01")))
         .withColumn("mx", max(col("valid_from")).over(w))
         .select(col("o_custkey"), col("attr"), col("valid_from"),
@@ -125,7 +129,7 @@ object AnalyticsQueries {
             to_date(lit(Analytics.Scd2OpenEnd)))
             .otherwise(col("valid_to")).as("valid_to"),
           when(col("valid_from") === col("mx"), 1L).otherwise(0L)
-            .as("is_current"))
+            .as("is_current")))
       val changes = orders
         .filter(col("o_orderdate") >= lit("1999-01-01") &&
           col("o_orderdate") < lit("1999-02-01"))

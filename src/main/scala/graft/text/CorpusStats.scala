@@ -1305,16 +1305,20 @@ object CorpusStats {
     *
     * Scale shape: phrase splitting is a map-only higher-order
     * transform (stopwords → a delimiter, rejoin, regex split — no
-    * per-token shuffle); word stats are one (source, word)-grain
-    * map-side-combinable aggregate; phrase scores rejoin words to
-    * stats BY KEY; top-k is one bounded source-partitioned window.
-    * The phrase-grain frame feeds two legs and is persisted. Overflow:
-    * deg ≤ words-per-source, asserted at the same 6·10¹¹ e6 bound as
+    * per-token shuffle); occurrences collapse to DISTINCT phrases
+    * before any word explode (freq/deg factor exactly through the
+    * per-phrase occurrence count: freq = Σ n_occ, deg = Σ n_occ·plen),
+    * so word stats are one (source, word)-grain map-side-combinable
+    * aggregate over phrase-grain rows; phrase scores rejoin words to
+    * stats BY KEY off the same persisted exploded frame; top-k is one
+    * bounded source-partitioned window. Overflow: deg ≤
+    * words-per-source, asserted at the same 6·10¹¹ e6 bound as
     * X279. */
   def rakeKeywords(docs: DataFrame, topK: Int = RakeTopK): DataFrame = {
     val stopList = RakeStopwords.map(w => s"'$w'")
       .mkString("array(", ", ", ")")
-    val pw = graft.core.CacheBay.register(docs
+    // single consumer (the distinct-phrase collapse below) — no persist
+    val pw = docs
       .select(col("source"), tokenArray(col("text")).as("w"))
       .select(col("source"),
         expr(s"filter(split(array_join(transform(w, t -> " +
@@ -1322,14 +1326,24 @@ object CorpusStats {
           "'( ?\\\\| ?)+'), p -> p <> '')").as("phrases"))
       .select(col("source"), explode(col("phrases")).as("phrase"))
       .select(col("source"), col("phrase"),
-        size(split(col("phrase"), " ")).cast("long").as("plen")))
-    val wordStats = pw
-      .select(col("source"), col("plen"),
-        explode(split(col("phrase"), " ")).as("word"))
+        size(split(col("phrase"), " ")).cast("long").as("plen"))
+    // collapse to DISTINCT phrases first, then explode words ONCE for
+    // both legs: word freq/degree over occurrences factor exactly
+    // through the per-phrase occurrence count (freq = Σ n_occ,
+    // deg = Σ n_occ·plen over distinct-phrase word positions), so the
+    // occurrence-grain frame is never exploded — the r16 plan exploded
+    // pw twice (word stats + phrase scoring) at occurrence grain
+    val uniq = pw.groupBy(col("source"), col("phrase"))
+      .agg(count(lit(1)).cast("long").as("n_occ"),
+        max(col("plen")).cast("long").as("plen"))
+    val euw = graft.core.CacheBay.register(uniq
+      .select(col("source"), col("phrase"), col("n_occ"), col("plen"),
+        explode(split(col("phrase"), " ")).as("word")))
+    val wordStats = euw
       .groupBy(col("source"), col("word"))
-      .agg(count(lit(1)).cast("long").as("freq"),
+      .agg(sum(col("n_occ")).cast("long").as("freq"),
         max(col("plen")).cast("long").as("max_plen"),
-        sum(col("plen")).cast("long").as("deg"))
+        sum(col("n_occ") * col("plen")).cast("long").as("deg"))
       .select(col("source"), col("word"),
         // Pre-overflow witness (VERDICT r13 #2), two-tier: the loose
         // double-space bound freq·max(plen) ≤ 9e18 proves the degree
@@ -1343,11 +1357,7 @@ object CorpusStats {
           "'RAKE e6 scaling exceeds the Long-exact range: audit a " +
           "finer slice') as bigint), 0) + " +
           "(deg * 1000000) div freq").cast("long").as("score_e6"))
-    val uniq = pw.groupBy(col("source"), col("phrase"))
-      .agg(count(lit(1)).cast("long").as("n_occ"))
-    val scored = uniq
-      .select(col("source"), col("phrase"), col("n_occ"),
-        explode(split(col("phrase"), " ")).as("word"))
+    val scored = euw
       .join(wordStats, Seq("source", "word"))
       .groupBy(col("source"), col("phrase"))
       .agg(max(col("n_occ")).cast("long").as("n_occ"),
