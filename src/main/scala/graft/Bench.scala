@@ -74,6 +74,11 @@ object Bench {
         val (e, g) = graft.graph.PageRank.sharedPurchaseGraph(spark, sfDir)
         e.count() + g.count()
       }
+      tier("graph.bfslevels")(
+        graft.graph.Betweenness.sharedForwardLevels(spark, sfDir)
+          .map(_.count()).sum)
+      tier("graph.costund")(
+        graft.graph.CheapestPath.sharedCostEdges(spark, sfDir).count())
       tier("multimodal.imgtable")(
         graft.multimodal.Multimodal.sharedImageTable(spark, sfDir).count())
       tier("sessions")(
@@ -84,6 +89,10 @@ object Bench {
           graft.core.Tables(spark, sfDir, "lineitem"))).count())
       tier("pipe.quality")(
         graft.pipeline.Pipeline.sharedQualityScored(spark, sfDir).count())
+      tier("pipe.paradedup")(
+        graft.dedup.Dedup.sharedParagraphDedup(spark, sfDir).count())
+      tier("pipe.curated")(
+        graft.pipeline.Pipeline.sharedCuratedCorpus(spark, sfDir).count())
       tier("fct.wbase")(
         graft.analytics.Analytics.sharedWeightedBase(spark, sfDir).count())
       tier("sim.exacttopk")(
