@@ -41,7 +41,12 @@ object Attribution {
     val gapUs = gapHours * 3600L * 1000000L
     val byU = Window.partitionBy(col("user_id"))
       .orderBy(col("tus"), col("event_id"))
-    val s = events
+    // persisted: the sessionized frame feeds the first-purchase pick
+    // AND both sides of the touch join — unpersisted, the per-user
+    // sort + lag/cumsum windows above the (reused) user_id exchange
+    // re-run once per consumer (4-5x in the physical plan; exchange
+    // reuse shares only the shuffle below them)
+    val s = graft.core.CacheBay.register(events
       .select(col("user_id"), col("event_id"), col("event_type"),
         expr("unix_micros(ts)").as("tus"))
       .withColumn("brk", when(lag(col("tus"), 1).over(byU).isNull ||
@@ -49,21 +54,31 @@ object Attribution {
         .otherwise(0L))
       .withColumn("sid", sum(col("brk")).over(byU.rowsBetween(
         Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("tus"), col("sid")))
     // first purchase per session by the unique (tus, event_id) order
     val bySess = Window.partitionBy(col("user_id"), col("sid"))
       .orderBy(col("tus"), col("event_id"))
-    val fp = s.filter(col("event_type") === "purchase")
+    // persisted: one row per converting session, consumed by the
+    // touch join and the (direct) anti-join
+    val fp = graft.core.CacheBay.register(
+      s.filter(col("event_type") === "purchase")
       .withColumn("pr", row_number().over(bySess))
       .filter(col("pr") === 1)
       .select(col("user_id"), col("sid"), col("tus").as("fp_tus"),
-        col("event_id").as("fp_id"))
+        col("event_id").as("fp_id")))
     // touches: converting-session events strictly before that purchase
-    val touches = s.join(fp, Seq("user_id", "sid"))
+    // (persisted: consumed by the credit rollup and, session-distinct,
+    // by the (direct) anti-join)
+    val touches = graft.core.CacheBay.register(s
+      .join(fp, Seq("user_id", "sid"))
       .filter(col("tus") < col("fp_tus") ||
         (col("tus") === col("fp_tus") && col("event_id") < col("fp_id")))
       .withColumn("rn", row_number().over(bySess))
       .withColumn("nt", count(lit(1)).over(
         Window.partitionBy(col("user_id"), col("sid"))))
+      .select(col("user_id"), col("sid"), col("event_type"),
+        col("rn"), col("nt")))
     val touchCredit = touches.select(col("event_type"),
       expr("1000000 div nt").cast("long").as("credit"),
       when(col("rn") === 1, 1L).otherwise(0L).cast("long").as("fst"),
