@@ -15,12 +15,12 @@ import org.apache.spark.sql.functions._
   * semi-join is the operator's contract (and its oracle), the filter
   * only changes HOW MUCH data reaches the shuffle.
   *
-  * Scale shape: the filter build is one map-side-combinable `bit_or`
-  * aggregate at word grain (≤ m/64 rows — a BOUNDED driver collect,
-  * 1024 longs at the default m, independent of dimension size), and
-  * the fact test is per-row map work against a broadcast literal
-  * array. Hashes are the repo's deterministic md5-hex8 integers with
-  * a per-hash salt, so the same build replays bit-for-bit anywhere.
+  * Scale shape: the filter build is one distinct at bit-position
+  * grain (≤ min(k·|dim|, m) rows — a BOUNDED driver collect, capped
+  * by the filter size m independent of dimension size), and the fact
+  * test is k O(1) InSet probes of per-row map work. Hashes are the
+  * repo's deterministic md5-hex8 integers with a per-hash salt, so
+  * the same build replays bit-for-bit anywhere.
   */
 object BloomPrune {
 
@@ -47,26 +47,34 @@ object BloomPrune {
       hashes: Int = NumHashes): DataFrame = {
     require(hashes > 0 && bits >= 64 && bits % 64 == 0,
       "bloomFilteredFact: hashes > 0 and bits a positive multiple of 64")
-    val words = dim
+    // the filter is carried as the SET of set-bit positions and tested
+    // with an O(1) InSet hash probe: the position expression then
+    // appears ONCE per hash. The word-array + AND-mask spelling needed
+    // the position twice (word index and bit mask) and Catalyst
+    // re-inlines any attempt to project it first (PushPredicateThrough-
+    // Project substitutes aliases), so the md5 chain evaluated 2k times
+    // per row instead of k — measured in the r17 before-plan, 12 md5
+    // calls in the filter condition. The InSet node is built directly
+    // (one expression carrying one Set) rather than via `isin`: a
+    // k·|dim|-literal In list costs the analyzer/optimizer a tree walk
+    // per literal per rule — measured +0.3 s of pure plan time on
+    // maint_bloom_fpr. Membership semantics are identical (p passes
+    // iff bit p is set), so the pass superset — and with it
+    // maint_bloom_fpr's measured counts — is bit-for-bit unchanged.
+    val positions = dim
       .select(explode(array((0 until hashes).map(j =>
         expr(posSql(dimKey, j, bits))): _*)).as("pos"))
-      .select(expr("CAST(pos div 64 AS INT)").as("word"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
-          .as("mask"))
-      .groupBy(col("word"))
-      .agg(expr("bit_or(mask)").as("bm"))
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
-    val filter = Array.fill(bits / 64)(0L)
-    words.foreach { case (w, m) => filter(w) = m }
-    val filterLit = typedLit(filter.toSeq)
-    // test via AND-mask, never shift-right: an arithmetic >> of a
-    // negative word smears the sign bit and (x >> 63) % 2 is -1
-    val pass = (0 until hashes).map { j =>
-      val p = posSql(factKey, j, bits)
-      element_at(filterLit, expr(s"CAST($p div 64 AS INT) + 1"))
-        .bitwiseAND(expr(
-          s"shiftleft(CAST(1 AS BIGINT), CAST($p % 64 AS INT))")) =!= 0L
-    }.reduce(_ && _)
+      .distinct()
+      .collect().map(_.getLong(0))
+    val posSet: Set[Any] = positions.map(Long.box(_): Any).toSet
+    val pass = (0 until hashes)
+      .map { j =>
+        org.apache.spark.sql.graft.ColumnShim.column(
+          org.apache.spark.sql.catalyst.expressions.InSet(
+            org.apache.spark.sql.graft.ColumnShim.expression(
+              expr(posSql(factKey, j, bits))), posSet))
+      }
+      .reduce(_ && _)
     fact.filter(pass)
   }
 
