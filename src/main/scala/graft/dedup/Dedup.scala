@@ -142,12 +142,21 @@ object Dedup {
     * combinable), one keyed join back on the fingerprint, one
     * source-grain rollup — no new heavy derivation. */
   def dedupSavings(docs: DataFrame): DataFrame = {
-    val keep = exactDedup(docs)
-      .select(col("fp"), col("keep_id"))
-    docs.select(col("doc_id"), col("source"),
+    // persisted: the normalize+md5 fingerprint is the operator's
+    // dominant per-row cost and feeds BOTH the keeper aggregate and
+    // the join-back leg — unpersisted, each leg scans documents and
+    // re-evaluates the chain, and the join's inferred isnotnull(fp)
+    // constraint re-inlines it a second time per leg (4 regex+digest
+    // passes per document in the r17 before-plan)
+    val f = graft.core.CacheBay.register(
+      docs.select(col("doc_id"), col("source"),
         col("n_chars").cast("long").as("n_chars"),
-        fingerprintMd5(col("text")).as("fp"))
-      .join(keep, Seq("fp"))
+        fingerprintMd5(col("text")).as("fp")))
+    // keeper = min doc_id per fingerprint — [[exactDedup]]'s rule on
+    // the shared frame
+    val keep = f.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    f.join(keep, Seq("fp"))
       .groupBy(col("source"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L))

@@ -1454,15 +1454,24 @@ object Similarity {
     * distances would wrap a Long past ~9·10¹² — and the quotient
     * lands back in Long. */
   def silhouette(emb: DataFrame): DataFrame = {
-    val cent = labelCentroids(emb)
-      .select(col("label").as("cand"), col("dim"), col("centroid_e6"))
-    val q = graft.core.Spread(emb)
+    // persisted: the quantized component explode feeds both the
+    // centroid aggregate and the distance join — unpersisted, the
+    // embedding array explodes twice ([[labelCentroids]] re-derives
+    // the same rows label-grain)
+    val q = graft.core.CacheBay.register(graft.core.Spread(emb)
       .select(col("vec_id"), col("label").cast("long").as("label"),
         posexplode(asDouble(col("embedding"))))
       .select(col("vec_id"), col("label"),
         col("pos").cast("long").as("dim"),
         floor(col("col") * lit(1000000.0) + lit(0.5)).cast("long")
-          .as("q"))
+          .as("q")))
+    // the [[labelCentroids]] aggregate off the shared explode —
+    // identical quantization and floor(sum/n) IEEE-double mean
+    val cent = q.groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).cast("long").as("sum_q"))
+      .select(col("label").as("cand"), col("dim"),
+        floor(col("sum_q").cast("double") / col("n")).cast("long")
+          .as("centroid_e6"))
     val d2 = q.join(broadcast(cent), Seq("dim"))
       .groupBy(col("vec_id"), col("label"), col("cand"))
       .agg(sum((col("q") - col("centroid_e6")) *
