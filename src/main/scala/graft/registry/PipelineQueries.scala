@@ -69,9 +69,15 @@ object PipelineQueries {
     "pipe_effective_tokens" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       import graft.text.TextAnalysis
-      val t = docs(s, d).select(col("source"), col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("n_tok"),
-        TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+      // persisted: the tokenize + normalize+md5 frame feeds the keeper
+      // aggregate AND the join-back leg — unpersisted, each leg scans
+      // documents and re-evaluates the chain, with the join's inferred
+      // isnotnull(fp) re-inlining it once more per leg (the
+      // dedup_savings shape, 4 chain evaluations per document)
+      val t = graft.core.CacheBay.register(
+        docs(s, d).select(col("source"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok"),
+          TextAnalysis.fingerprintMd5(col("text")).as("fp")))
       val keep = t.groupBy(col("fp"))
         .agg(min(col("doc_id")).as("keep_id"))
       t.join(keep, Seq("fp"))
